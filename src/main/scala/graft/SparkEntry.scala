@@ -1,13 +1,535 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.Points
+import graft.operators._
+import graft.query._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the
+ * semantics are SQL-expressible.
+ *
+ * Conventions shared by Spark queries and oracles so result hashes
+ * match: timestamps are epoch-millis BIGINT named `ts`; tags are flat
+ * string columns `tag_user`/`tag_k`; float results are rounded to 4
+ * decimals on both sides; every query ends with a deterministic ORDER BY.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared helpers -------------------------------------------------
+
+  private val DAY = 86400000L
+  private val HOUR = 3600000L
+  private val T_0105 = 1704412800000L // 2024-01-05T00:00:00Z
+  private val T_0120 = 1705708800000L // 2024-01-20T00:00:00Z
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    Points.fromEvents(s, dir)
+
+  /** Flatten the tags map to tag_user / tag_k output columns. */
+  private def flat(df: DataFrame): DataFrame = {
+    val cols = Seq(
+      col("metric"),
+      col("tags").getItem("user").as("tag_user"),
+      col("tags").getItem("k").as("tag_k")) ++
+      df.columns.filter(c => c != "metric" && c != "tags" && c != "series_id")
+        .map(col)
+    df.select(cols: _*)
+  }
+
+  /** Round half-away-from-zero on the raw binary double — bit-identical
+    * to DuckDB's round(x, 4) (Spark's own `round` re-parses the shortest
+    * decimal representation via BigDecimal, which disagrees with the
+    * oracle on values like 38.37874999… → "38.37875" → 38.3788). */
+  private def r4(c: Column): Column =
+    signum(c) * floor(abs(c) * 10000d + 0.5d) / 10000d
+
+  /** DuckDB view of `events` as canonical points (mirror of
+    * Points.fromEvents). */
+  private val O =
+    "WITH points AS (SELECT event_type AS metric, epoch_ms(ts) AS ts, value, " +
+    "CAST(user_id AS VARCHAR) AS tag_user, " +
+    "json_extract_string(props, '$.k') AS tag_k FROM events)"
+
+  // ---- driver contract ------------------------------------------------
+
+  /** Flagship query on sf=0.001: the full scan→filter→downsample→
+    * lerp-group-aggregate pipeline (SURVEY §2.5). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q07_groupby_lerp_sum")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.1 scan + §2.2 literal_or filter + time-range clip
+    "q01_scan_filter" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "click" &&
+        col("ts") >= T_0105 && col("ts") < T_0120)
+      flat(TagFilters(df, Seq(LiteralOr("user", Seq("1", "2", "3")))))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user")
+    }),
+
+    // §2.2 regexp filter
+    "q02_filter_regex" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "view")
+      flat(TagFilters(df, Seq(RegexpFilter("k", "^[1-3][0-9]$"))))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user")
+    }),
+
+    // §2.2 not_literal_or + wildcard
+    "q03_filter_not_literal" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "error")
+      flat(TagFilters(df, Seq(
+          NotLiteralOr("user", Seq("1", "2", "3", "4", "5")),
+          Wildcard("k", "*"))))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user")
+    }),
+
+    // §2.6 downsample: per-series 1d-sum
+    "q04_downsample_sum" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "purchase")
+      flat(Downsample(df, DownsampleSpec.parse("1d-sum")))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user", "tag_k")
+    }),
+
+    // §2.6 downsample with zero-fill over each series' observed span
+    "q05_downsample_avg_fill" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "signup")
+      flat(Downsample(df, DownsampleSpec.parse("1d-avg-zero")))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user", "tag_k")
+    }),
+
+    // §2.5 cross-series aggregation, ZIM policy (zimsum of 1h sums)
+    "q06_groupby_zimsum" -> ((s, dir) => {
+      val ds = Downsample(pts(s, dir), DownsampleSpec.parse("1h-sum"))
+      Interpolate.aggregate(ds, "zimsum")
+        .select(col("metric"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("metric", "ts")
+    }),
+
+    // §2.5 THE core op: cross-series LERP aggregation of 1h-avg series
+    "q07_groupby_lerp_sum" -> ((s, dir) => {
+      val ds = Downsample(pts(s, dir).filter(col("metric") === "click"),
+        DownsampleSpec.parse("1h-avg"))
+      Interpolate.aggregate(ds, "sum")
+        .select(col("metric"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("ts")
+    }),
+
+    // §2.7 rate over per-series daily sums
+    "q08_rate" -> ((s, dir) => {
+      val ds = Downsample(pts(s, dir).filter(col("metric") === "purchase"),
+        DownsampleSpec.parse("1d-sum"))
+      flat(Rate(ds))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "tag_k", "ts")
+    }),
+
+    // §2.7 counter rate with rollover math
+    "q09_rate_counter" -> ((s, dir) => {
+      val ds = Downsample(pts(s, dir).filter(col("metric") === "view"),
+        DownsampleSpec.parse("1d-sum"))
+      flat(Rate(ds, RateOptions(counter = true, counterMax = 10000L)))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "tag_k", "ts")
+    }),
+
+    // §2.7 dropResets
+    "q10_rate_dropresets" -> ((s, dir) => {
+      val ds = Downsample(pts(s, dir).filter(col("metric") === "view"),
+        DownsampleSpec.parse("1d-sum"))
+      flat(Rate(ds, RateOptions(counter = true, dropResets = true)))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "tag_k", "ts")
+    }),
+
+    // §2.8 highestMax top-k series
+    "q11_topk_highestmax" -> ((s, dir) => {
+      val ds = flat(Downsample(pts(s, dir).filter(col("metric") === "view"),
+        DownsampleSpec.parse("1d-sum")))
+      SeriesFunctions.highestMax(ds, 3)
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "tag_k", "ts")
+    }),
+
+    // §2.8 movingAverage by count
+    "q12_moving_avg" -> ((s, dir) => {
+      val ds = flat(Downsample(pts(s, dir).filter(col("metric") === "error"),
+        DownsampleSpec.parse("1d-avg")))
+      SeriesFunctions.movingAverageByCount(ds, 3)
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "tag_k", "ts")
+    }),
+
+    // §2.8 firstDiff
+    "q13_first_diff" -> ((s, dir) => {
+      val ds = flat(Downsample(pts(s, dir).filter(col("metric") === "signup"),
+        DownsampleSpec.parse("1d-sum")))
+      SeriesFunctions.firstDiff(ds)
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "tag_k", "ts")
+    }),
+
+    // §2.8 timeShift + scale + absolute composition
+    "q14_shift_scale_abs" -> ((s, dir) => {
+      val df = flat(pts(s, dir).filter(col("metric") === "error"))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"), col("value"))
+      SeriesFunctions.absolute(
+          SeriesFunctions.scale(SeriesFunctions.timeShift(df, HOUR), -2.5))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user")
+    }),
+
+    // §2.4 the whole aggregator registry over (metric, day) groups
+    "q15_aggregators" -> ((s, dir) => {
+      val df = pts(s, dir).withColumn("b", col("ts") - col("ts") % DAY)
+      df.groupBy(col("metric"), col("b").as("ts"))
+        .agg(
+          r4(Aggregators.expr("sum", col("value"), col("ts"))).as("sum_v"),
+          r4(Aggregators.expr("avg", col("value"), col("ts"))).as("avg_v"),
+          r4(Aggregators.expr("min", col("value"), col("ts"))).as("min_v"),
+          r4(Aggregators.expr("max", col("value"), col("ts"))).as("max_v"),
+          Aggregators.expr("count", col("value"), col("ts")).as("cnt_v"),
+          r4(Aggregators.expr("dev", col("value"), col("ts"))).as("dev_v"),
+          r4(Aggregators.expr("squareSum", col("value"), col("ts"))).as("sq_v"),
+          r4(Aggregators.expr("first", col("value"), col("ts"))).as("first_v"),
+          r4(Aggregators.expr("last", col("value"), col("ts"))).as("last_v"),
+          r4(Aggregators.expr("diff", col("value"), col("ts"))).as("diff_v"),
+          r4(Aggregators.expr("median", col("value"), col("ts"))).as("med_v"),
+          r4(Aggregators.expr("p90", col("value"), col("ts"))).as("p90r6_v"),
+          r4(Aggregators.expr("ep90r7", col("value"), col("ts"))).as("p90r7_v"))
+        .orderBy("metric", "ts")
+    }),
+
+    // §2.4 product aggregator (mult) over small groups
+    "q16_product" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "purchase")
+        .withColumn("b", col("ts") - col("ts") % DAY)
+      df.groupBy(col("tags").getItem("user").as("tag_user"), col("b").as("ts"))
+        .agg(r4(Aggregators.expr("mult", col("value") / 100.0, col("ts"))).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
+    // §2.14 /api/query/last — last point per series
+    "q17_last_point" -> ((s, dir) => {
+      flat(pts(s, dir))
+        .groupBy("metric", "tag_user", "tag_k")
+        .agg(max(col("ts")).as("ts"), r4(max_by(col("value"), col("ts"))).as("value"))
+        .orderBy("metric", "tag_user", "tag_k")
+    }),
+
+    // §2.14 /api/suggest — metric prefix autocomplete
+    "q18_suggest" -> ((s, dir) => {
+      pts(s, dir).select(col("metric")).where(col("metric").startsWith("c"))
+        .distinct().orderBy("metric").limit(25)
+    }),
+
+    // §2.14 /api/search/lookup — series discovery by tag filter
+    "q19_lookup" -> ((s, dir) => {
+      flat(pts(s, dir)).filter(col("tag_user") === "3")
+        .select("metric", "tag_user", "tag_k").distinct()
+        .orderBy("metric", "tag_k")
+    }),
+
+    // §2.3/§2.8 UNION join: sumSeries(click, view) on hourly sums
+    "q20_union_sum_series" -> ((s, dir) => {
+      def hourly(m: String) = Interpolate.aggregate(
+        Downsample(pts(s, dir).filter(col("metric") === m),
+          DownsampleSpec.parse("1h-sum")), "zimsum")
+        .select(col("ts"), col("value"))
+      SeriesFunctions.combineUnion(
+          Seq(hourly("click"), hourly("view")), Seq.empty, _ + _, fill = 0.0)
+        .select(col("ts"), r4(col("value")).as("value"))
+        .orderBy("ts")
+    }),
+
+    // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
+    "q21_intersect_divide" -> ((s, dir) => {
+      def hourly(m: String) = Interpolate.aggregate(
+        Downsample(pts(s, dir).filter(col("metric") === m),
+          DownsampleSpec.parse("1h-sum")), "zimsum")
+        .select(col("ts"), col("value"))
+      SeriesFunctions.combineIntersection(
+          Seq(hourly("click"), hourly("view")), Seq.empty, _ / _)
+        .select(col("ts"), r4(col("value")).as("value"))
+        .orderBy("ts")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_scan_filter" ->
+      s"""$O SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+         FROM points
+         WHERE metric = 'click' AND ts >= $T_0105 AND ts < $T_0120
+           AND tag_user IN ('1','2','3')
+         ORDER BY ts, tag_user""",
+
+    "q02_filter_regex" ->
+      s"""$O SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+         FROM points
+         WHERE metric = 'view' AND regexp_matches(tag_k, '^[1-3][0-9]$$')
+         ORDER BY ts, tag_user""",
+
+    "q03_filter_not_literal" ->
+      s"""$O SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+         FROM points
+         WHERE metric = 'error' AND tag_user IS NOT NULL
+           AND tag_user NOT IN ('1','2','3','4','5') AND tag_k IS NOT NULL
+         ORDER BY ts, tag_user""",
+
+    "q04_downsample_sum" ->
+      s"""$O SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
+           round(sum(value), 4) AS value
+         FROM points WHERE metric = 'purchase'
+         GROUP BY metric, tag_user, tag_k, ts - ts % $DAY
+         ORDER BY ts, tag_user, tag_k""",
+
+    "q05_downsample_avg_fill" ->
+      s"""$O, agg AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $DAY AS b,
+             avg(value) AS v
+           FROM points WHERE metric = 'signup'
+           GROUP BY metric, tag_user, tag_k, ts - ts % $DAY),
+         bounds AS (
+           SELECT metric, tag_user, tag_k, min(b) AS lo, max(b) AS hi
+           FROM agg GROUP BY metric, tag_user, tag_k),
+         grid AS (
+           SELECT metric, tag_user, tag_k,
+             unnest(generate_series(lo, hi, $DAY)) AS b
+           FROM bounds)
+         SELECT g.metric, g.tag_user, g.tag_k, g.b AS ts,
+           round(coalesce(a.v, 0.0), 4) AS value
+         FROM grid g LEFT JOIN agg a
+           ON g.metric = a.metric AND g.tag_user = a.tag_user
+             AND g.tag_k = a.tag_k AND g.b = a.b
+         ORDER BY g.b, g.tag_user, g.tag_k""",
+
+    "q06_groupby_zimsum" ->
+      s"""$O SELECT metric, ts - ts % $HOUR AS ts, round(sum(value), 4) AS value
+         FROM points GROUP BY metric, ts - ts % $HOUR
+         ORDER BY metric, ts""",
+
+    "q07_groupby_lerp_sum" ->
+      s"""$O, p AS (
+           SELECT tag_user, tag_k, ts - ts % $HOUR AS b, avg(value) AS v
+           FROM points WHERE metric = 'click'
+           GROUP BY tag_user, tag_k, ts - ts % $HOUR),
+         grid AS (SELECT DISTINCT b FROM p),
+         series AS (SELECT DISTINCT tag_user, tag_k FROM p),
+         slots AS (SELECT s.tag_user, s.tag_k, g.b FROM series s CROSS JOIN grid g),
+         j AS (
+           SELECT sl.tag_user, sl.tag_k, sl.b, p.v
+           FROM slots sl LEFT JOIN p
+             ON sl.tag_user = p.tag_user AND sl.tag_k = p.tag_k AND sl.b = p.b),
+         w AS (
+           SELECT b, v,
+             last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wp AS pb,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wn AS nb,
+             first_value(v IGNORE NULLS) OVER wn AS nv
+           FROM j
+           WINDOW wp AS (PARTITION BY tag_user, tag_k ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY tag_user, tag_k ORDER BY b
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         iv AS (
+           SELECT b, CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (b - pb) * (nv - pv) / (nb - pb) END AS ival
+           FROM w)
+         SELECT 'click' AS metric, b AS ts, round(sum(ival), 4) AS value
+         FROM iv GROUP BY b ORDER BY ts""",
+
+    "q08_rate" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $DAY AS b,
+             sum(value) AS v
+           FROM points WHERE metric = 'purchase'
+           GROUP BY metric, tag_user, tag_k, ts - ts % $DAY),
+         r AS (
+           SELECT metric, tag_user, tag_k, b AS ts,
+             (v - lag(v) OVER w) / ((b - lag(b) OVER w) / 1000.0) AS rate
+           FROM d WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY b))
+         SELECT metric, tag_user, tag_k, ts, round(rate, 4) AS value
+         FROM r WHERE rate IS NOT NULL
+         ORDER BY tag_user, tag_k, ts""",
+
+    "q09_rate_counter" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $DAY AS b,
+             sum(value) AS v
+           FROM points WHERE metric = 'view'
+           GROUP BY metric, tag_user, tag_k, ts - ts % $DAY),
+         r AS (
+           SELECT metric, tag_user, tag_k, b AS ts, v,
+             lag(v) OVER w AS pv, (b - lag(b) OVER w) / 1000.0 AS dt
+           FROM d WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY b))
+         SELECT metric, tag_user, tag_k, ts,
+           round(CASE WHEN v - pv < 0 THEN (10000 - pv + v) / dt
+             ELSE (v - pv) / dt END, 4) AS value
+         FROM r WHERE pv IS NOT NULL
+         ORDER BY tag_user, tag_k, ts""",
+
+    "q10_rate_dropresets" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $DAY AS b,
+             sum(value) AS v
+           FROM points WHERE metric = 'view'
+           GROUP BY metric, tag_user, tag_k, ts - ts % $DAY),
+         r AS (
+           SELECT metric, tag_user, tag_k, b AS ts, v,
+             lag(v) OVER w AS pv, (b - lag(b) OVER w) / 1000.0 AS dt
+           FROM d WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY b))
+         SELECT metric, tag_user, tag_k, ts,
+           round((v - pv) / dt, 4) AS value
+         FROM r WHERE pv IS NOT NULL AND v - pv >= 0
+         ORDER BY tag_user, tag_k, ts""",
+
+    "q11_topk_highestmax" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
+             sum(value) AS value
+           FROM points WHERE metric = 'view'
+           GROUP BY metric, tag_user, tag_k, ts - ts % $DAY),
+         scored AS (
+           SELECT metric, tag_user, tag_k, max(value) AS score
+           FROM d GROUP BY metric, tag_user, tag_k),
+         ranked AS (
+           SELECT metric, tag_user, tag_k,
+             row_number() OVER (ORDER BY score DESC, metric, tag_user, tag_k) AS rk
+           FROM scored)
+         SELECT d.metric, d.tag_user, d.tag_k, d.ts, round(d.value, 4) AS value
+         FROM d JOIN ranked r
+           ON d.metric = r.metric AND d.tag_user = r.tag_user
+             AND d.tag_k = r.tag_k
+         WHERE r.rk <= 3
+         ORDER BY d.tag_user, d.tag_k, d.ts""",
+
+    "q12_moving_avg" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
+             avg(value) AS value
+           FROM points WHERE metric = 'error'
+           GROUP BY metric, tag_user, tag_k, ts - ts % $DAY)
+         SELECT metric, tag_user, tag_k, ts,
+           round(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
+             ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS value
+         FROM d ORDER BY tag_user, tag_k, ts""",
+
+    "q13_first_diff" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
+             sum(value) AS value
+           FROM points WHERE metric = 'signup'
+           GROUP BY metric, tag_user, tag_k, ts - ts % $DAY),
+         r AS (
+           SELECT metric, tag_user, tag_k, ts,
+             value - lag(value) OVER (PARTITION BY metric, tag_user, tag_k
+               ORDER BY ts) AS value
+           FROM d)
+         SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+         FROM r WHERE value IS NOT NULL
+         ORDER BY tag_user, tag_k, ts""",
+
+    "q14_shift_scale_abs" ->
+      s"""$O SELECT metric, tag_user, tag_k, ts + $HOUR AS ts,
+           round(abs(value * -2.5), 4) AS value
+         FROM points WHERE metric = 'error'
+         ORDER BY ts, tag_user""",
+
+    "q15_aggregators" ->
+      s"""$O, g AS (
+           SELECT metric, ts - ts % $DAY AS ts,
+             round(sum(value), 4) AS sum_v,
+             round(avg(value), 4) AS avg_v,
+             round(min(value), 4) AS min_v,
+             round(max(value), 4) AS max_v,
+             count(value) AS cnt_v,
+             round(CASE WHEN count(value) = 1 THEN 0.0
+               ELSE stddev_samp(value) END, 4) AS dev_v,
+             round(sum(value * value), 4) AS sq_v,
+             round(arg_min(value, ts), 4) AS first_v,
+             round(arg_max(value, ts), 4) AS last_v,
+             round(arg_max(value, ts) - arg_min(value, ts), 4) AS diff_v,
+             list_sort(list(value)) AS arr,
+             round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90r7_v,
+             count(*) AS n
+           FROM points GROUP BY metric, ts - ts % $DAY)
+         SELECT metric, ts, sum_v, avg_v, min_v, max_v, cnt_v, dev_v, sq_v,
+           first_v, last_v, diff_v,
+           round(arr[CAST(floor(n / 2) AS INT) + 1], 4) AS med_v,
+           round(CASE WHEN (n + 1) * 0.9 <= 1 THEN arr[1]
+             WHEN (n + 1) * 0.9 >= n THEN arr[n]
+             ELSE arr[CAST(floor((n + 1) * 0.9) AS INT)]
+               + ((n + 1) * 0.9 - floor((n + 1) * 0.9))
+               * (arr[CAST(floor((n + 1) * 0.9) AS INT) + 1]
+                  - arr[CAST(floor((n + 1) * 0.9) AS INT)]) END, 4) AS p90r6_v,
+           p90r7_v
+         FROM g ORDER BY metric, ts""",
+
+    "q16_product" ->
+      s"""$O SELECT tag_user, ts - ts % $DAY AS ts,
+           round(product(value / 100.0), 4) AS value
+         FROM points WHERE metric = 'purchase'
+         GROUP BY tag_user, ts - ts % $DAY
+         ORDER BY tag_user, ts""",
+
+    "q17_last_point" ->
+      s"""$O SELECT metric, tag_user, tag_k, max(ts) AS ts,
+           round(arg_max(value, ts), 4) AS value
+         FROM points GROUP BY metric, tag_user, tag_k
+         ORDER BY metric, tag_user, tag_k""",
+
+    "q18_suggest" ->
+      s"""$O SELECT DISTINCT metric FROM points WHERE metric LIKE 'c%'
+         ORDER BY metric LIMIT 25""",
+
+    "q19_lookup" ->
+      s"""$O SELECT DISTINCT metric, tag_user, tag_k FROM points
+         WHERE tag_user = '3' ORDER BY metric, tag_k""",
+
+    "q20_union_sum_series" ->
+      s"""$O, c AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'click' GROUP BY ts - ts % $HOUR),
+         v AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'view' GROUP BY ts - ts % $HOUR)
+         SELECT coalesce(c.ts, v.ts) AS ts,
+           round(coalesce(c.v, 0.0) + coalesce(v.v, 0.0), 4) AS value
+         FROM c FULL OUTER JOIN v ON c.ts = v.ts
+         ORDER BY ts""",
+
+    "q21_intersect_divide" ->
+      s"""$O, c AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'click' GROUP BY ts - ts % $HOUR),
+         v AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'view' GROUP BY ts - ts % $HOUR)
+         SELECT c.ts AS ts, round(c.v / v.v, 4) AS value
+         FROM c JOIN v ON c.ts = v.ts
+         ORDER BY ts"""
+  )
 }

@@ -1,0 +1,73 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Canonical data-point model.
+ *
+ * The reference models one logical append-only table of points
+ * `(metric, timestamp, value, tags)` (reference:
+ * src/core/IncomingDataPoint.java:41). Values are either 64-bit signed
+ * integers or floats, flagged per point (src/core/TSDB.java:1203-1299);
+ * timestamps are epoch seconds or milliseconds
+ * (src/core/Const.java:89-92).
+ *
+ * Spark-native design: a DataFrame with the schema below. The
+ * long-vs-double duality is kept via `value_l` + `is_int` so integer
+ * aggregation paths (truncating avg/dev, reference
+ * src/core/Aggregators.java runLong vs runDouble) stay observable.
+ * There is no UID dictionary — Parquet dictionary-encodes strings for
+ * free — and no salting: Spark partitioning replaces salt buckets
+ * (reference src/core/RowKey.java:141-167).
+ */
+object Points {
+
+  /** Canonical schema for a points DataFrame. */
+  val schema: StructType = StructType(Seq(
+    StructField("metric", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false), // epoch millis
+    StructField("value", DoubleType, nullable = false),
+    StructField("value_l", LongType, nullable = true),
+    StructField("is_int", BooleanType, nullable = false),
+    StructField("tags", MapType(StringType, StringType), nullable = false)
+  ))
+
+  /** Stable surrogate for the reference's TSUID: hash of (metric, sorted
+    * tags). Used as the per-series shuffle/window key. */
+  def seriesId(metric: Column, tags: Column): Column =
+    xxhash64(metric, to_json(map_entries(tags)))
+
+  /** Add a `series_id` column derived from metric + tags. */
+  def withSeriesId(df: DataFrame): DataFrame =
+    df.withColumn("series_id", seriesId(col("metric"), col("tags")))
+
+  /**
+   * Map the driver's `events` table onto the canonical point schema
+   * (FIXTURES.md §3): event_type → metric, event time → ts (millis),
+   * value → value, low-cardinality attributes → tags.
+   *
+   * The time filter is applied *before* anything else so Parquet
+   * row-group pruning sees it (the analogue of the reference's rowkey
+   * scan-range pruning, src/core/TsdbQuery.java:1446-1546).
+   */
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 only reads as
+    // a raw long behind this session conf; millis = integer-div by 1e6
+    // (fp division would lose precision on int64 nanos > 2^53).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev.select(
+      col("event_type").as("metric"),
+      expr("CAST(ts AS BIGINT) div 1000000").as("ts"),
+      col("value").as("value"),
+      lit(null).cast(LongType).as("value_l"),
+      lit(false).as("is_int"),
+      map(
+        lit("user"), col("user_id").cast(StringType),
+        lit("k"), get_json_object(col("props"), "$.k")
+      ).as("tags")
+    )
+  }
+}

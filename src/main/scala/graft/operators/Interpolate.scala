@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Interpolation-aware cross-series aggregation — the reference's
+ * AggregationIterator pipeline (reference:
+ * src/core/AggregationIterator.java:218-280 bounds, 700-797 lerp;
+ * src/core/SpanGroup.java:525-529).
+ *
+ * Semantics: within a group (metric + grouping-tag values), the output
+ * timestamp grid is the union of all member series' timestamps. At each
+ * grid timestamp, a series contributes its exact value if present,
+ * otherwise a value per the aggregator's interpolation policy
+ * (src/core/Aggregators.java:38-44):
+ *  - LERP: y0 + (x-x0)(y1-y0)/(x1-x0) between surrounding points; no
+ *    contribution outside the series' own [first, last] range
+ *  - ZIM: 0 when missing (zimsum)
+ *  - PREV: previous value carried forward (pfsum; also all rates —
+ *    rates are never lerped, src/core/AggregationIterator.java:744-753)
+ *  - MAX/MIN sentinels (mimmin/mimmax): equivalent to "ignore missing",
+ *    expressed here as null (Spark's min/max skip nulls)
+ *
+ * Spark design (SURVEY §2.5 option (a)): build the (group, ts) grid ×
+ * member-series slot table, left-join actual points, compute
+ * prev/next (ts, value) per series with ignore-null window frames, lerp
+ * as a column expression, then a standard groupBy(group, ts) — all
+ * declarative, whole-stage-codegen-able, one shuffle for the windows
+ * (by series) and one for the final agg (by group, ts).
+ */
+object Interpolate {
+
+  sealed trait Policy
+  case object Lerp extends Policy
+  case object Zim extends Policy
+  case object Prev extends Policy
+  case object Ignore extends Policy
+
+  /** Interpolation policy of a reference aggregator name
+    * (reference src/core/Aggregators.java:175-203). */
+  def policyOf(agg: String): Policy = agg match {
+    case "zimsum" => Zim
+    case "pfsum" => Prev
+    case "mimmin" | "mimmax" => Ignore
+    case _ => Lerp
+  }
+
+  /**
+   * Aggregate series within groups, aligning timestamps by policy.
+   *
+   * @param df canonical points (metric, ts, value, tags[, series_id])
+   * @param agg reference aggregator name
+   * @param groupTagKeys tag keys to group by (empty = group all series
+   *   of a metric together)
+   * @param isRate rates reuse the previous value instead of lerping
+   * @return (metric, [tag value columns], ts, value)
+   */
+  def aggregate(df: DataFrame, agg: String, groupTagKeys: Seq[String] = Seq.empty,
+                isRate: Boolean = false): DataFrame = {
+    val withSeries =
+      if (df.columns.contains("series_id")) df
+      else graft.model.Points.withSeriesId(df)
+
+    val tagCols = groupTagKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
+    val groupCols = (col("metric") +: groupTagKeys.map(k => col(s"tag_$k")))
+    val pts = withSeries.select(
+      (col("metric") +: tagCols) ++ Seq(col("series_id"), col("ts"), col("value")): _*)
+
+    if (agg == "none" || agg == "raw") {
+      // bypass: no grouping, no interpolation (reference
+      // src/core/TsdbQuery.java:1006-1028)
+      return pts.select((groupCols :+ col("ts")) :+ col("value"): _*)
+    }
+
+    // union-of-timestamps grid per group × member series
+    val grid = pts.select(groupCols :+ col("ts"): _*).distinct()
+    val members = pts.select(groupCols :+ col("series_id"): _*).distinct()
+    val slots = grid.join(members,
+      ("metric" +: groupTagKeys.map(k => s"tag_$k")).toSeq)
+    val joined = slots.join(pts.select(col("series_id"), col("ts"), col("value")),
+      Seq("series_id", "ts"), "left")
+
+    val policy = if (isRate) Prev else policyOf(agg)
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts"))
+    val present = col("value").isNotNull
+    val pv = struct(col("ts"), col("value"))
+    val prevP = last(when(present, pv), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nextP = first(when(present, pv), ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+
+    val interp: Column = policy match {
+      case Lerp =>
+        val x0 = prevP.getField("ts"); val y0 = prevP.getField("value")
+        val x1 = nextP.getField("ts"); val y1 = nextP.getField("value")
+        when(present, col("value"))
+          .when(prevP.isNotNull && nextP.isNotNull,
+            y0 + (col("ts") - x0).cast("double") * (y1 - y0) / (x1 - x0).cast("double"))
+          .otherwise(lit(null).cast("double"))
+      case Zim =>
+        when(present, col("value")).otherwise(lit(0.0))
+      case Prev =>
+        when(present, col("value")).otherwise(prevP.getField("value"))
+      case Ignore =>
+        col("value")
+    }
+
+    joined
+      .withColumn("ivalue", interp)
+      .groupBy(groupCols :+ col("ts"): _*)
+      .agg(Aggregators.expr(agg, col("ivalue"), col("ts")).as("value"))
+  }
+}

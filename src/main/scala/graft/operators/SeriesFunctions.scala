@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Expression-layer series functions — the gexp function registry
+ * (reference: src/query/expression/ExpressionFactory.java:32-59).
+ *
+ * Each operates on a "result set" DataFrame: the output of a sub-query
+ * with columns (metric, tags|tag_* group cols, series_id?, ts, value).
+ * All are declarative column/window transforms; the set-combining
+ * functions (sumSeries etc.) are ts-equi-joins per SURVEY §2.3.
+ */
+object SeriesFunctions {
+
+  private def seriesKey(df: DataFrame): Seq[String] =
+    df.columns.filter(c => c == "metric" || c.startsWith("tag_") || c == "tags" || c == "series_id").toSeq
+
+  /** absolute(m) — abs per point (reference Absolute.java). */
+  def absolute(df: DataFrame): DataFrame =
+    df.withColumn("value", abs(col("value")))
+
+  /** scale(m, f) — multiply by a factor (reference Scale.java). */
+  def scale(df: DataFrame, factor: Double): DataFrame =
+    df.withColumn("value", col("value") * lit(factor))
+
+  /** alias(name) — rename the output metric (reference Alias.java). */
+  def alias(df: DataFrame, name: String): DataFrame =
+    df.withColumn("metric", lit(name))
+
+  /** shift/timeShift(m, interval) — move series in time
+    * (reference TimeShift.java). */
+  def timeShift(df: DataFrame, shiftMs: Long): DataFrame =
+    df.withColumn("ts", col("ts") + lit(shiftMs))
+
+  /** firstDiff(m) — successive difference per series
+    * (reference FirstDifference.java; first point emits 0-diff via
+    * pairing with itself → we drop the null-lag row like `rate`). */
+  def firstDiff(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(seriesKey(df).map(col): _*).orderBy(col("ts"))
+    df.withColumn("value", col("value") - lag(col("value"), 1).over(w))
+      .filter(col("value").isNotNull)
+  }
+
+  /** movingAverage(m, window) — trailing average by point count
+    * (reference MovingAverage.java:345). */
+  def movingAverageByCount(df: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(seriesKey(df).map(col): _*).orderBy(col("ts"))
+      .rowsBetween(-(n - 1), 0)
+    df.withColumn("value", avg(col("value")).over(w))
+  }
+
+  /** movingAverage(m, 'Xm') — trailing average by time window. Uses a
+    * rangeBetween frame on the millis ts — single pass, spill-safe. */
+  def movingAverageByTime(df: DataFrame, windowMs: Long): DataFrame = {
+    val w = Window.partitionBy(seriesKey(df).map(col): _*).orderBy(col("ts"))
+      .rangeBetween(-(windowMs - 1), 0)
+    df.withColumn("value", avg(col("value")).over(w))
+  }
+
+  /** highestCurrent(m, n) — top-n series by most-recent value
+    * (reference HighestCurrent.java:283). */
+  def highestCurrent(df: DataFrame, n: Int): DataFrame =
+    topK(df, n, max_by(col("value"), col("ts")))
+
+  /** highestMax(m, n) — top-n series by max value
+    * (reference HighestMax.java:293). */
+  def highestMax(df: DataFrame, n: Int): DataFrame =
+    topK(df, n, max(col("value")))
+
+  /** Rank series by a per-series aggregate, keep top n. Two shuffles
+    * (series agg + broadcast-join back); the ranked side is tiny
+    * (#series rows) so Spark broadcasts it. */
+  private def topK(df: DataFrame, n: Int, score: Column): DataFrame = {
+    val keys = seriesKey(df)
+    val scored = df.groupBy(keys.map(col): _*).agg(score.as("__score"))
+    val ranked = scored
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__score").desc +: keys.map(c => col(c).asc): _*)))
+      .filter(col("__rank") <= n)
+      .select(keys.map(col): _*)
+    df.join(broadcast(ranked), keys, "left_semi")
+  }
+
+  /**
+   * UNION-join combine of N result sets on (join tags, ts)
+   * (reference UnionIterator.java:455, SumSeries/DiffSeries/
+   * MultiplySeries/DivideSeries.java). Missing sides fill per
+   * `fill` (NaN default, reference NumericFillPolicy).
+   *
+   * Sets are aligned on the tag columns they share plus ts; `op` folds
+   * the N value columns left-to-right (difference = first minus rest,
+   * divide = first over rest — reference DiffSeries/DivideSeries.java).
+   */
+  def combineUnion(dfs: Seq[DataFrame], joinKeys: Seq[String],
+                   op: (Column, Column) => Column,
+                   fill: Double = Double.NaN): DataFrame =
+    combine(dfs, joinKeys, op, "full_outer", Some(fill))
+
+  /** INTERSECTION-join combine — only grid points present in all sets
+    * (reference IntersectionIterator.java:521). */
+  def combineIntersection(dfs: Seq[DataFrame], joinKeys: Seq[String],
+                          op: (Column, Column) => Column): DataFrame =
+    combine(dfs, joinKeys, op, "inner", None)
+
+  private def combine(dfs: Seq[DataFrame], joinKeys: Seq[String],
+                      op: (Column, Column) => Column, how: String,
+                      fill: Option[Double]): DataFrame = {
+    require(dfs.nonEmpty)
+    val keys = joinKeys :+ "ts"
+    val prepared = dfs.zipWithIndex.map { case (d, i) =>
+      d.select(keys.map(col) :+ col("value").as(s"__v$i"): _*)
+    }
+    val joined = prepared.reduce((a, b) => a.join(b, keys, how))
+    val vals = dfs.indices.map { i =>
+      fill match {
+        case Some(f) => coalesce(col(s"__v$i"), lit(f))
+        case None => col(s"__v$i")
+      }
+    }
+    joined.withColumn("value", vals.reduce(op))
+      .select(keys.map(col) :+ col("value"): _*)
+  }
+}

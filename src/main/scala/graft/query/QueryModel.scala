@@ -1,0 +1,179 @@
+package graft.query
+
+import graft.model.TimeUtils
+
+/**
+ * Query model — case-class mirror of the reference's
+ * TSQuery/TSSubQuery/TagVFilter/RateOptions/DownsamplingSpecification
+ * (reference: src/core/TSQuery.java:47-109, src/core/TSSubQuery.java:50-104,
+ * src/query/filter/TagVFilter.java, src/core/RateOptions.java:27-57,
+ * src/core/DownsamplingSpecification.java:116-191).
+ */
+
+/** Tag-value filter types (reference src/query/filter/TagV*Filter.java). */
+sealed trait TagFilter { def tagk: String; def groupBy: Boolean }
+case class LiteralOr(tagk: String, values: Seq[String], caseInsensitive: Boolean = false,
+                     groupBy: Boolean = false) extends TagFilter
+case class NotLiteralOr(tagk: String, values: Seq[String], caseInsensitive: Boolean = false,
+                        groupBy: Boolean = false) extends TagFilter
+case class Wildcard(tagk: String, pattern: String, caseInsensitive: Boolean = false,
+                    groupBy: Boolean = false) extends TagFilter
+case class RegexpFilter(tagk: String, regex: String, groupBy: Boolean = false) extends TagFilter
+case class NotKey(tagk: String) extends TagFilter { val groupBy = false }
+/** Group-by-all-values marker (the legacy `{tag=*}` sugar,
+  * reference src/core/Tags.java parseWithMetricAndFilters). */
+case class GroupByAll(tagk: String) extends TagFilter { val groupBy = true }
+
+/** Rate options (reference src/core/RateOptions.java:27-57). */
+case class RateOptions(
+    counter: Boolean = false,
+    counterMax: Long = Long.MaxValue,
+    resetValue: Long = 0,
+    dropResets: Boolean = false)
+
+/** Fill policy for empty downsample intervals
+  * (reference src/core/FillPolicy.java:22-28). */
+sealed trait FillPolicy
+object FillPolicy {
+  case object None extends FillPolicy    // skip interval
+  case object Zero extends FillPolicy
+  case object NaN extends FillPolicy
+  case object Null extends FillPolicy
+  case class Scalar(v: Double) extends FillPolicy
+}
+
+/** Downsampling spec `interval-agg[-fill]`, `0all`, calendar `1dc`
+  * (reference src/core/DownsamplingSpecification.java:116-191). */
+case class DownsampleSpec(
+    intervalMs: Long,          // 0 => run_all (one bucket over the range)
+    aggregator: String,
+    fill: FillPolicy = FillPolicy.None,
+    calendar: Boolean = false,
+    calendarUnit: String = "") // d/w/n/y when calendar-aligned
+
+object DownsampleSpec {
+  /** Parse `1h-sum`, `30m-avg-zero`, `0all-sum`, `1dc-max`. */
+  def parse(s: String): DownsampleSpec = {
+    val parts = s.split("-", 3)
+    require(parts.length >= 2, s"invalid downsample spec: $s")
+    val ivStr = parts(0)
+    val agg = parts(1)
+    val fill = if (parts.length == 3) parts(2).toLowerCase match {
+      case "none" => FillPolicy.None
+      case "zero" => FillPolicy.Zero
+      case "nan"  => FillPolicy.NaN
+      case "null" => FillPolicy.Null
+      case x      => FillPolicy.Scalar(x.toDouble)
+    } else FillPolicy.None
+    if (ivStr == "0all" || ivStr == "all") DownsampleSpec(0L, agg, fill)
+    else if (ivStr.endsWith("c")) {
+      val core = ivStr.dropRight(1)
+      val (digits, unit) = core.span(_.isDigit)
+      DownsampleSpec(TimeUtils.parseDuration(core), agg, fill,
+        calendar = true, calendarUnit = unit)
+    } else DownsampleSpec(TimeUtils.parseDuration(ivStr), agg, fill)
+  }
+}
+
+/** One sub-query: aggregator + metric + filters (+ rate, downsample). */
+case class SubQuery(
+    aggregator: String,
+    metric: String,
+    filters: Seq[TagFilter] = Seq.empty,
+    downsample: Option[DownsampleSpec] = None,
+    rate: Option[RateOptions] = None,
+    explicitTags: Boolean = false,
+    percentiles: Seq[Double] = Seq.empty)
+
+/** Top-level query (time range + sub-queries). */
+case class TsQuery(
+    startMs: Long,
+    endMs: Long,
+    queries: Seq[SubQuery],
+    msResolution: Boolean = true)
+
+object QueryParser {
+  /**
+   * Parse the `m=` URI sub-query grammar
+   * `agg:[interval-agg[-fill]:][rate[{...}]:]metric[{group-filters}[{filters}]]`
+   * (reference src/tsd/QueryRpc.java:630-683 parseMTypeSubQuery).
+   */
+  def parseSubQuery(m: String): SubQuery = {
+    // split metric part from leading colon-separated stages; the metric
+    // segment is the last one and may contain `{...}` with commas
+    val firstBrace = m.indexOf('{')
+    val head = if (firstBrace < 0) m else m.substring(0, firstBrace)
+    val segs = head.split(":", -1)
+    require(segs.nonEmpty, s"empty m= spec")
+    val agg = segs(0)
+    var rate: Option[RateOptions] = None
+    var ds: Option[DownsampleSpec] = None
+    // middle segments (between agg and metric name)
+    val mid = segs.drop(1).dropRight(1)
+    mid.foreach { seg =>
+      if (seg.startsWith("rate")) rate = Some(parseRate(seg))
+      else if (seg.nonEmpty) ds = Some(DownsampleSpec.parse(seg))
+    }
+    val metricName = segs.last
+    val filters =
+      if (firstBrace < 0) Seq.empty
+      else parseLegacyFilters(m.substring(firstBrace))
+    SubQuery(agg, metricName, filters, ds, rate)
+  }
+
+  /** `rate` or `rate{counter[,max[,reset]]}` / `rate{dropcounter}`
+    * (reference src/tsd/QueryRpc.java:745-783). */
+  def parseRate(s: String): RateOptions = {
+    if (s == "rate") RateOptions()
+    else {
+      val inner = s.stripPrefix("rate").stripPrefix("{").stripSuffix("}")
+      val parts = inner.split(",", -1)
+      val counter = parts(0) == "counter" || parts(0) == "dropcounter"
+      val drop = parts(0) == "dropcounter"
+      val max = if (parts.length > 1 && parts(1).nonEmpty) parts(1).toLong else Long.MaxValue
+      val reset = if (parts.length > 2 && parts(2).nonEmpty) parts(2).toLong else 0L
+      RateOptions(counter, max, reset, drop)
+    }
+  }
+
+  /**
+   * Legacy `{tag=value}` sugar → filters (reference src/core/Tags.java
+   * parseWithMetricAndFilters + TagVFilter.tagsToFilters):
+   * `*` → group-by-all, `a|b` → literal_or with group-by,
+   * plain value → literal_or group-by, `wildcard(*pat*)` etc. for the
+   * second (non-grouping) brace group.
+   */
+  def parseLegacyFilters(braces: String): Seq[TagFilter] = {
+    // braces may be `{g}` or `{g}{f}`
+    val groups = raw"\{([^}]*)\}".r.findAllMatchIn(braces).map(_.group(1)).toSeq
+    def parseOne(body: String, grouping: Boolean): Seq[TagFilter] =
+      if (body.trim.isEmpty) Seq.empty
+      else body.split(",").toSeq.map { pair =>
+        val Array(k, v) = pair.split("=", 2)
+        parseFilterValue(k.trim, v.trim, grouping)
+      }
+    groups.zipWithIndex.flatMap { case (g, i) => parseOne(g, i == 0) }
+  }
+
+  /** A single filter value in either sugar or `type(value)` form. */
+  def parseFilterValue(k: String, v: String, groupBy: Boolean): TagFilter = {
+    val fnRe = raw"(\w+)\((.*)\)".r
+    v match {
+      case "*" => if (groupBy) GroupByAll(k) else Wildcard(k, "*", groupBy = false)
+      case fnRe(fn, arg) => fn.toLowerCase match {
+        case "literal_or"      => LiteralOr(k, arg.split("\\|").toSeq, groupBy = groupBy)
+        case "iliteral_or"     => LiteralOr(k, arg.split("\\|").toSeq, caseInsensitive = true, groupBy = groupBy)
+        case "not_literal_or"  => NotLiteralOr(k, arg.split("\\|").toSeq, groupBy = groupBy)
+        case "not_iliteral_or" => NotLiteralOr(k, arg.split("\\|").toSeq, caseInsensitive = true, groupBy = groupBy)
+        case "wildcard"        => Wildcard(k, arg, groupBy = groupBy)
+        case "iwildcard"       => Wildcard(k, arg, caseInsensitive = true, groupBy = groupBy)
+        case "regexp"          => RegexpFilter(k, arg, groupBy = groupBy)
+        case "not_key"         => NotKey(k)
+        case other => throw new IllegalArgumentException(s"unknown filter type $other")
+      }
+      case s if s.contains("|") => LiteralOr(k, s.split("\\|").toSeq, groupBy = groupBy)
+      case s if s.contains("*") => Wildcard(k, s, groupBy = groupBy)
+      case s => LiteralOr(k, Seq(s), groupBy = groupBy)
+    }
+  }
+}
