@@ -1,0 +1,348 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline queries over the `documents` and `embeddings`
+ * tables: dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+ * embedding), similarity search (brute-force + IVF top-k), text
+ * analysis (stats, language ID, fingerprints) and multimodal column
+ * plumbing. Same conventions as the TSDB queries: matching column
+ * names, floor-based 4-decimal rounding, deterministic ORDER BY.
+ */
+object PipelineQueries {
+
+  private def r4(c: Column): Column =
+    signum(c) * floor(abs(c) * 10000d + 0.5d) / 10000d
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** DuckDB mirror of TextAnalysis.tokens / shingles(3) over documents. */
+  private val O_SH =
+    """WITH toks AS (
+         SELECT doc_id, lang, text,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, CASE WHEN len(tk) >= 3
+           THEN list_distinct(list_transform(range(len(tk) - 2),
+             i -> tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2]
+               || ' ' || tk[CAST(i AS INT) + 3]))
+           ELSE [array_to_string(tk, ' ')] END AS sh
+         FROM toks),
+       post AS (SELECT doc_id, unnest(sh) AS term FROM sh)"""
+
+  /** DuckDB mirror of TextAnalysis.h32. */
+  private def oH32(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 4294967296"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup by content hash
+    "d01_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "text", "doc_id")
+        .orderBy("content_hash")
+    }),
+
+    // n-gram (3-shingle) Jaccard near-dup pairs via postings join
+    "d02_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+          threshold = 0.5, ngram = 3)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash-LSH banded candidates, verified at jaccard >= 0.5
+    "d03_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
+          bands = 4, threshold = 0.5, ngram = 3)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 32-bit SimHash signatures
+    "d04_simhash" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          Dedup.simhash32(col("text"), 3).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // embedding near-dup pairs blocked by label cell
+    "d05_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(embs(s, dir), "embedding", "vec_id",
+          "label", threshold = 0.35)
+        .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-10 for 3 query vectors
+    "s01_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(e, q, 10)
+        .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF-style single-probe top-5 within the query's label cell
+    "s02_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_cell"))
+      Similarity.ivfTopK(e, q, 5)
+        .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // token counting / punctuation / stopword ratio / quality score
+    "t01_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          TextAnalysis.bpeishCount(t).as("n_bpeish"),
+          TextAnalysis.punctChars(t).as("n_punct"),
+          r4(TextAnalysis.stopwordRatio(t)).as("stop_ratio"),
+          r4(TextAnalysis.qualityScore(t)).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic vs labeled lang
+    "t02_langid" -> ((s, dir) => {
+      val t = col("text")
+      val hits = TextAnalysis.langHits(t)
+      docs(s, dir).select(
+          Seq(col("doc_id"), col("lang"), TextAnalysis.langId(t).as("predicted")) ++
+            hits.map { case (l, c) => c.as(s"h_$l") }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprint: min rolling-hash over 8-char shingles
+    "t03_fingerprint" -> ((s, dir) => {
+      val (fp, n) = TextAnalysis.fingerprint(col("text"), 8)
+      docs(s, dir).select(col("doc_id"), fp.as("fp_min"),
+          n.as("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal: binary payload + metadata + stub feature extraction
+    "m01_media_meta" -> ((s, dir) => {
+      val m = Multimodal.fromDocuments(docs(s, dir))
+      val f = Multimodal.decodeFeatures(col("payload"), 4)
+      m.select(
+          col("media_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          r4(element_at(f, 1)).as("f0"),
+          r4(element_at(f, 2)).as("f1"),
+          r4(element_at(f, 3)).as("f2"),
+          r4(element_at(f, 4)).as("f3"))
+        .orderBy("media_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+           count(*) AS n_docs
+         FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+
+    "d02_ngram_jaccard" ->
+      s"""$O_SH,
+         sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM post a JOIN post b
+             ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
+         FROM shared JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "d03_minhash_lsh" ->
+      s"""$O_SH,
+         hashed AS (SELECT doc_id, ${oH32("term")} AS h FROM post),
+         params AS (SELECT * FROM (VALUES
+           (0, 836603681, 1), (1, 442543251, 7), (2, 1004818243, 13),
+           (3, 668265263, 31), (4, 374761393, 97), (5, 741103597, 41),
+           (6, 988021567, 151), (7, 540483477, 65537)) p(i, a, b)),
+         sig AS (
+           SELECT doc_id, i, min((h * a + b) % 4294967291) AS mh
+           FROM hashed CROSS JOIN params GROUP BY doc_id, i),
+         band AS (
+           SELECT doc_id, i // 2 AS band,
+             string_agg(mh::VARCHAR, '_' ORDER BY i) AS key
+           FROM sig GROUP BY doc_id, i // 2),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM band x JOIN band y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         verified AS (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+           FROM cand JOIN sh sa ON sa.doc_id = id_a
+             JOIN sh sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+         FROM verified WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    "d04_simhash" ->
+      s"""$O_SH,
+         hashed AS (SELECT doc_id, ${oH32("term")} AS h FROM post),
+         votes AS (
+           SELECT doc_id, j,
+             CASE WHEN sum(((h >> j) & 1) * 2 - 1) >= 0
+               THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END AS bit
+           FROM hashed CROSS JOIN range(32) t(j)
+           GROUP BY doc_id, j)
+         SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+         FROM votes GROUP BY doc_id ORDER BY doc_id""",
+
+    "d05_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(cos, 4) AS cos
+         FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b""",
+
+    "s01_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, q.q_vec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.q_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "s02_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_cell
+           FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, q.q_vec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.q_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings e JOIN q
+             ON e.label = q.q_cell AND e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "t01_text_stats" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(tk) AS n_tokens,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+               + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_bpeish,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it'], x))) AS DOUBLE)
+                 / len(tk) END AS stop_ratio,
+             length(text) AS n_chars,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                 / len(tk) END AS avg_tok
+           FROM t)
+         SELECT doc_id, n_tokens, n_bpeish, n_punct,
+           round(stop_ratio, 4) AS stop_ratio,
+           round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + least(stop_ratio * 4.0, 1.0)
+             + greatest(0.0, 1.0 - CAST(n_punct AS DOUBLE)
+                 / greatest(n_chars, 1) * 10.0)
+             + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
+             / 4.0, 4) AS quality
+         FROM m ORDER BY doc_id""",
+
+    "t02_langid" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tk
+           FROM documents),
+         h AS (
+           SELECT doc_id, lang,
+             len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','zu'])) AS h_de,
+             len(list_intersect(tk, ['the','and','of','to','is','in','that','it'])) AS h_en,
+             len(list_intersect(tk, ['el','la','los','las','es','y','que','de'])) AS h_es,
+             len(list_intersect(tk, ['le','la','les','et','est','que','une','dans'])) AS h_fr,
+             len(list_intersect(tk, ['的','是','了','在','我','有','和','不'])) AS h_zh
+           FROM t)
+         SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+             WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+             WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+             WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+             WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+             ELSE 'zh' END AS predicted,
+           h_de, h_en, h_es, h_fr, h_zh
+         FROM h ORDER BY doc_id""",
+
+    "t03_fingerprint" ->
+      s"""WITH sh AS (
+           SELECT doc_id,
+             list_transform(range(greatest(length(text) - 7, 1)),
+               i -> substr(text, CAST(i AS INT) + 1, 8)) AS sgl
+           FROM documents)
+         SELECT doc_id,
+           list_min(list_transform(sgl, s -> ${oH32("s")})) AS fp_min,
+           len(list_distinct(sgl)) AS n_shingles
+         FROM sh ORDER BY doc_id""",
+
+    "m01_media_meta" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes,
+             CAST(doc_id % 64 + 1 AS INT) AS width,
+             CAST(doc_id % 48 + 1 AS INT) AS height
+           FROM documents)
+         SELECT media_id, n_bytes, width, height,
+           round(CAST(concat('0x', substr(hx, 1, 2)) AS INT) / 255.0, 4) AS f0,
+           round(CAST(concat('0x', substr(hx, 3, 2)) AS INT) / 255.0, 4) AS f1,
+           round(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0, 4) AS f2,
+           round(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0, 4) AS f3
+         FROM m ORDER BY media_id"""
+  )
+}

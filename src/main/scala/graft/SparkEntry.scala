@@ -60,7 +60,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q07_groupby_lerp_sum")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    tsdbQueries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    tsdbOracles ++ PipelineQueries.oracles
+
+  private def tsdbQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.1 scan + §2.2 literal_or filter + time-range clip
     "q01_scan_filter" -> ((s, dir) => {
@@ -274,7 +280,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def tsdbOracles: Map[String, String] = Map(
 
     "q01_scan_filter" ->
       s"""$O SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value

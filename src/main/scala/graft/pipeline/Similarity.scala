@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (array<float>).
+ *
+ *  - brute-force cosine top-k: broadcast the (small) query set, score
+ *    the whole corpus in a single codegen'd projection, rank per query.
+ *    At 100 TB the corpus side stays partition-parallel; only the
+ *    query set is replicated.
+ *  - IVF-style top-k: corpus pre-bucketed by a coarse cell id (here
+ *    the dataset's cluster label; in production, a k-means assignment
+ *    maintained as a column). Probing only the query's cell turns the
+ *    scan into a partition-pruned lookup.
+ */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Sequential fold keeps summation order deterministic. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k most
+   * similar corpus vectors. `queries` is expected to be small (it is
+   * broadcast).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     corpusId: String = "vec_id", corpusVec: String = "embedding",
+                     queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val scored = corpus.select(col(corpusId), col(corpusVec))
+      .crossJoin(broadcast(queries.select(col(queryId), col(queryVec))))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("cos").desc, col(corpusId).asc)))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+  }
+
+  /** IVF-style top-k: only corpus vectors in the query's coarse cell
+    * are scored (single-probe). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cellCol: String = "label",
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "q_id", queryVec: String = "q_vec",
+              queryCell: String = "q_cell"): DataFrame = {
+    val scored = corpus.select(col(corpusId), col(corpusVec), col(cellCol))
+      .join(broadcast(queries.select(col(queryId), col(queryVec), col(queryCell))),
+        col(cellCol) === col(queryCell) && col(corpusId) =!= col(queryId))
+      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("cos").desc, col(corpusId).asc)))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits-bit signature) from
+    * deterministic pseudo-hyperplanes: component j of plane p has sign
+    * derived from h32(p:j). Used to bucket corpus for ANN without a
+    * trained quantizer. */
+  def rhpBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    val planes = (0 until nBits).map { p =>
+      val dots = (0 until dim).map { j =>
+        val sign = if (((p * 1103515245L + j * 12345L) >> 16) % 2 == 0) 1.0 else -1.0
+        element_at(vec, j + 1).cast("double") * lit(sign)
+      }.reduce(_ + _)
+      when(dots >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a + b)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, token counting, quality scoring, language ID, and
+ * document fingerprinting. All pure column expressions (whole-stage
+ * codegen, no UDFs) so they scan-scale linearly — no shuffles at all
+ * until an aggregation is requested.
+ *
+ * Hashing convention (shared with Dedup/Similarity and the DuckDB
+ * oracles): h32(s) = first 15 hex digits of md5(s) parsed as a long,
+ * mod 2^32 — portable across engines, no dependence on engine-native
+ * hash functions.
+ */
+object TextAnalysis {
+
+  /** 32-bit portable string hash (see object doc). */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % 4294967296L
+
+  /** Lowercased alnum tokens; empty strings removed. */
+  def tokens(text: Column): Column =
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
+
+  /** Whitespace-ish token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-gram shingles (space-joined); documents shorter
+    * than n tokens collapse to one whole-text shingle. The shingle
+    * space is |vocab|^n, which keeps postings joins discriminative even
+    * over small vocabularies. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(0), size(tk) - n), i =>
+        concat_ws(" ", (1 to n).map(o => element_at(tk, i + o)): _*))))
+      .otherwise(array(array_join(tk, " ")))
+  }
+
+  /** BPE-ish subword count: alnum runs + punctuation marks each count
+    * (a cheap proxy for byte-pair tokenizers: words + symbols). */
+  def bpeishCount(text: Column): Column =
+    size(array_remove(split(text, "\\s+"), "")) +
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+
+  /** Count of non-alnum, non-space characters. */
+  def punctChars(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+
+  private val STOPWORDS = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "for", "on", "with", "as", "by", "at", "it")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = array(STOPWORDS.map(lit): _*)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => array_contains(stops, t)))
+        .cast("double") / size(toks))
+  }
+
+  /**
+   * Heuristic quality score in [0,1]: rewards mid-length documents,
+   * some stopword presence (English prose), low punctuation density,
+   * and mid-length tokens. Deterministic formula, replicated in the
+   * oracle.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctScore = greatest(lit(0.0),
+      lit(1.0) - punctChars(text).cast("double") / greatest(length(text), lit(1)).cast("double") * 10.0)
+    val avgTokLen = when(nTok === 0, 0.0)
+      .otherwise(aggregate(tokens(text), lit(0), (acc, t) => acc + length(t)).cast("double") / nTok)
+    val tokLenScore = when(avgTokLen >= 3 && avgTokLen <= 8, 1.0).otherwise(0.5)
+    (lenScore + stopScore + punctScore + tokLenScore) / 4.0
+  }
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. */
+  val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Distinct-token overlap with each language's marker list. */
+  def langHits(text: Column): Seq[(String, Column)] = {
+    val toks = array_distinct(tokens(text))
+    LANG_MARKERS.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+    }
+  }
+
+  /** Predicted language: argmax of marker hits, first-wins tie-break in
+    * LANG_MARKERS order (alphabetical). */
+  def langId(text: Column): Column = {
+    val hits = langHits(text)
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), elze) =>
+      when(h === best && h > 0, lit(lang)).otherwise(elze)
+    }
+  }
+
+  /** Document fingerprint: min h32 over k-char shingles (winnowing-
+    * style rolling signature) plus the distinct-shingle count. */
+  def fingerprint(text: Column, k: Int = 8): (Column, Column) = {
+    val n = greatest(length(text) - (k - 1), lit(1))
+    val sh = transform(sequence(lit(1), n), i => text.substr(i, lit(k)))
+    (array_min(transform(sh, s => h32(s))), size(array_distinct(sh)))
+  }
+}
