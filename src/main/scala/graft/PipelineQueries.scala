@@ -17,8 +17,17 @@ object PipelineQueries {
   private def r4(c: Column): Column =
     signum(c) * floor(abs(c) * 10000d + 0.5d) / 10000d
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+  /** documents arrives as a single parquet file → one partition; the
+    * per-row work downstream (regex tokenize, shingle, md5) is CPU-
+    * bound, so spread it across the cluster first. On a real multi-file
+    * 100 TB table this is a no-op decision — input splits already
+    * parallelize — hence the small-input guard. */
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    if (d.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      d.repartition(s.sparkContext.defaultParallelism)
+    else d
+  }
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -67,10 +76,11 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // 32-bit SimHash signatures
+    // 32-bit SimHash signatures (term hashes materialized once)
     "d04_simhash" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-          Dedup.simhash32(col("text"), 3).as("simhash"))
+      docs(s, dir)
+        .select(col("doc_id"), Dedup.termHashes(col("text"), 3).as("hs"))
+        .select(col("doc_id"), Dedup.simhash32FromHashes(col("hs")).as("simhash"))
         .orderBy("doc_id")
     }),
 
@@ -160,11 +170,12 @@ object PipelineQueries {
 
     "d02_ngram_jaccard" ->
       s"""$O_SH,
-         sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM hpost GROUP BY doc_id),
          shared AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-           FROM post a JOIN post b
-             ON a.term = b.term AND a.doc_id < b.doc_id
+           FROM hpost a JOIN hpost b
+             ON a.h = b.h AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT id_a, id_b,
            round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard

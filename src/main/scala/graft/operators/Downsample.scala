@@ -38,8 +38,8 @@ object Downsample {
         case "m" => "MINUTE"
         case _   => "DAY"
       }
-      val local = convert_timezone(lit("UTC"), lit(tz), timestamp_millis(ts))
-      unix_millis(convert_timezone(lit(tz), lit("UTC"), date_trunc(unit, local)))
+      val local = from_utc_timestamp(timestamp_millis(ts), tz)
+      unix_millis(to_utc_timestamp(date_trunc(unit, local), tz))
     } else (ts - (ts % spec.intervalMs))
   }
 

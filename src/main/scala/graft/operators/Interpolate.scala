@@ -82,13 +82,15 @@ object Interpolate {
     val joined = slots.join(pts.select(col("series_id"), col("ts"), col("value")),
       Seq("series_id", "ts"), "left")
 
+    // Zim/Ignore need no neighbor lookup — skip the window passes
+    // entirely (one less sort per series for the common zimsum path)
     val policy = if (isRate) Prev else policyOf(agg)
     val w = Window.partitionBy(col("series_id")).orderBy(col("ts"))
     val present = col("value").isNotNull
     val pv = struct(col("ts"), col("value"))
-    val prevP = last(when(present, pv), ignoreNulls = true)
+    lazy val prevP = last(when(present, pv), ignoreNulls = true)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val nextP = first(when(present, pv), ignoreNulls = true)
+    lazy val nextP = first(when(present, pv), ignoreNulls = true)
       .over(w.rowsBetween(1, Window.unboundedFollowing))
 
     val interp: Column = policy match {

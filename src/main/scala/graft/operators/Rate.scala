@@ -35,7 +35,11 @@ object Rate {
     val prevT0 = lag(col("ts"), 1).over(w)
     val prevV = if (firstAgainstZero) coalesce(prevV0, lit(0.0)) else prevV0
     val prevT = if (firstAgainstZero) coalesce(prevT0, lit(0L)) else prevT0
-    val dtSec = (col("ts") - prevT).cast("double") / 1000.0
+    // guard zero/absent dt (ANSI mode raises on division by zero);
+    // duplicate timestamps produce no rate point, matching the
+    // reference's skip of zero-interval pairs
+    val dtSec = when((col("ts") - prevT) =!= 0,
+      (col("ts") - prevT).cast("double") / 1000.0)
     val delta = col("value") - prevV
 
     val rate =

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.query.DownsampleSpec
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Rollup (pre-aggregated) tables and query-side routing (reference:
+ * src/rollup/RollupInterval.java:32-94, RollupUtils.java:120-160
+ * storage; query routing TsdbQuery.tableToBeScanned
+ * src/core/TsdbQuery.java:1553-1571 and the ROLLUP_USAGE fallback
+ * ladder :197-232; rollup-aware avg = Σsum/Σcount
+ * src/core/Downsampler.java:163-210).
+ *
+ * Spark-native: a rollup is a materialized DataFrame/table of
+ * (metric, tags, series_id, ts=interval start, sum, count, min, max)
+ * maintained by batch or Structured Streaming aggregation
+ * (sources.Ingest.rollupStream). A query whose downsample interval is
+ * a multiple of the rollup interval re-aggregates the rollup instead
+ * of raw points — the core 100 TB lever: a 1d query over years reads
+ * the 1h rollup (~1/3600 of the raw bytes).
+ */
+object Rollups {
+
+  /** Materialize a rollup table from raw points at a fixed interval. */
+  def materialize(points: DataFrame, intervalMs: Long): DataFrame = {
+    val withSeries =
+      if (points.columns.contains("series_id")) points
+      else graft.model.Points.withSeriesId(points)
+    withSeries
+      .withColumn("ts", col("ts") - col("ts") % intervalMs)
+      .groupBy(col("series_id"), col("ts"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        sum(col("value")).as("sum"), count(col("value")).as("count"),
+        min(col("value")).as("min"), max(col("value")).as("max"))
+  }
+
+  /** Can `spec` be served from a rollup of `rollupMs`? (reference
+    * routing rule: interval multiple + supported aggregator) */
+  def canServe(spec: DownsampleSpec, rollupMs: Long): Boolean =
+    spec.intervalMs > 0 && spec.intervalMs % rollupMs == 0 && !spec.calendar &&
+      Set("sum", "avg", "count", "min", "max", "zimsum", "mimmin", "mimmax")
+        .contains(spec.aggregator)
+
+  /**
+   * Downsample FROM a rollup table to a coarser interval. avg is
+   * Σsum/Σcount (not avg-of-avgs); min/max re-aggregate; sum/count
+   * re-sum.
+   */
+  def downsampleFromRollup(rollup: DataFrame, spec: DownsampleSpec): DataFrame = {
+    val b = col("ts") - col("ts") % spec.intervalMs
+    val g = rollup.withColumn("bucket", b)
+      .groupBy(col("series_id"), col("bucket"))
+    val agged = spec.aggregator match {
+      case "avg" => g.agg(first(col("metric")).as("metric"),
+        first(col("tags")).as("tags"),
+        (sum(col("sum")) / sum(col("count"))).as("value"))
+      case "sum" | "zimsum" => g.agg(first(col("metric")).as("metric"),
+        first(col("tags")).as("tags"), sum(col("sum")).as("value"))
+      case "count" => g.agg(first(col("metric")).as("metric"),
+        first(col("tags")).as("tags"), sum(col("count")).cast("double").as("value"))
+      case "min" | "mimmin" => g.agg(first(col("metric")).as("metric"),
+        first(col("tags")).as("tags"), min(col("min")).as("value"))
+      case "max" | "mimmax" => g.agg(first(col("metric")).as("metric"),
+        first(col("tags")).as("tags"), max(col("max")).as("value"))
+      case other => throw new IllegalArgumentException(
+        s"aggregator $other cannot be served from a rollup")
+    }
+    agged.withColumnRenamed("bucket", "ts")
+      .select("metric", "tags", "series_id", "ts", "value")
+  }
+
+  /**
+   * Stitch a rollup table with fresh raw points past the rollup
+   * horizon (replaces the reference's SplitRollupQuery blackout-SLA
+   * splitting, src/core/SplitRollupQuery.java): rows up to `horizonMs`
+   * come from the rollup, later ones from raw.
+   */
+  def stitch(rollup: DataFrame, rawPoints: DataFrame, spec: DownsampleSpec,
+             horizonMs: Long): DataFrame = {
+    val old = downsampleFromRollup(rollup.filter(col("ts") < horizonMs), spec)
+    val fresh = Downsample(rawPoints.filter(col("ts") >= horizonMs), spec)
+    old.unionByName(fresh)
+  }
+}

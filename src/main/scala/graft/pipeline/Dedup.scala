@@ -61,9 +61,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double, maxDf: Option[Long] = None,
                         ngram: Int = 3): DataFrame = {
-    val sizes = df.select(col(idCol).as("id"),
-      size(terms(col(textCol), ngram)).as("sz"))
-    val p = postings(df, textCol, idCol, maxDf, ngram)
+    // join on the 32-bit term hash, not the term string: the postings
+    // shuffle moves 8-byte longs instead of ~20-char shingles, and the
+    // Jaccard is computed over the hashed term sets on both engine and
+    // oracle so rare collisions stay consistent
+    val p = df.select(col(idCol).as("id"),
+      explode(array_distinct(termHashes(col(textCol), ngram))).as("tok"))
+      .transform(d => maxDf match {
+        case None => d
+        case Some(cap) =>
+          val dfreq = d.groupBy("tok").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cap)
+          d.join(dfreq.select("tok"), Seq("tok"))
+      })
+      // self-join + sizes read postings three times; persist so the
+      // tokenize+hash scan runs once (spills at scale, never recomputes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // set sizes derived from the (capped) postings — one groupBy instead
+    // of a second full text scan
+    val sizes = p.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shared = p.as("a").join(p.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -85,14 +101,24 @@ object Dedup {
     (836603681L, 1L), (442543251L, 7L), (1004818243L, 13L), (668265263L, 31L),
     (374761393L, 97L), (741103597L, 41L), (988021567L, 151L), (540483477L, 65537L))
 
-  /** MinHash signature column: for each (a,b) param, min over tokens of
-    * (a*h32(tok)+b) mod p. Returns array<long> of length MH_PARAMS. */
-  def minhashSignature(text: Column, ngram: Int = 3): Column = {
-    val hs = transform(terms(text, ngram), t => h32(t))
+  /** Array of h32 term hashes — materialize this ONCE per row before
+    * feeding minhash/simhash, so the md5-per-term cost is not inlined
+    * into every downstream expression (Catalyst does not CSE across
+    * higher-order-function lambdas). */
+  def termHashes(text: Column, ngram: Int = 3): Column =
+    transform(terms(text, ngram), t => h32(t))
+
+  /** MinHash signature from a materialized hash array: for each (a,b)
+    * param, min over terms of (a*h+b) mod p. */
+  def minhashSigFromHashes(hs: Column): Column =
     array(MH_PARAMS.map { case (a, b) =>
       array_min(transform(hs, h => (h * a + b) % MH_PRIME))
     }: _*)
-  }
+
+  /** MinHash signature column (prefer materializing termHashes first
+    * when the text expression is reused). */
+  def minhashSignature(text: Column, ngram: Int = 3): Column =
+    minhashSigFromHashes(termHashes(text, ngram))
 
   /**
    * MinHash-LSH candidate pairs: signatures banded (rows-per-band
@@ -102,15 +128,27 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       bands: Int, threshold: Double, ngram: Int = 3): DataFrame = {
     val rowsPerBand = MH_PARAMS.length / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      minhashSignature(col(textCol), ngram).as("sig"))
+    // relational signature: explode term hashes once, take the 8 mins
+    // in one aggregation. (A projection-based variant gets re-inlined
+    // by CollapseProject, recomputing md5 once per permutation per
+    // join side — the aggregate is a hard barrier and the partial-agg
+    // combine keeps shuffle traffic at 8 longs per doc.)
+    val post = df.select(col(idCol).as("id"),
+      explode(termHashes(col(textCol), ngram)).as("h"))
+    val sig = post.groupBy(col("id")).agg(
+      min((col("h") * MH_PARAMS.head._1 + MH_PARAMS.head._2) % MH_PRIME).as("mh0"),
+      MH_PARAMS.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((col("h") * a + b) % MH_PRIME).as(s"mh$i")
+      }: _*)
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
+            col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
       }: _*)))
       .select(col("id"), col("col.band"), col("col.key"))
+      // banded is self-joined below — persist (8 longs + key per doc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -131,8 +169,7 @@ object Dedup {
   /** 32-bit SimHash: per bit j, sum over distinct tokens of
     * (bit_j(h32)*2 - 1); bit set in the signature iff the vote is
     * non-negative. Pure column expressions (higher-order functions). */
-  def simhash32(text: Column, ngram: Int = 3): Column = {
-    val hs = transform(terms(text, ngram), t => h32(t))
+  def simhash32FromHashes(hs: Column): Column = {
     val bits = (0 until 32).map { j =>
       when(aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, j) % 2) * 2 - 1) >= 0,
@@ -141,15 +178,22 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** SimHash over a text column (materialize termHashes first when
+    * composing with other hash consumers). */
+  def simhash32(text: Column, ngram: Int = 3): Column =
+    simhash32FromHashes(termHashes(text, ngram))
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by a
     * coarse cell (IVF-style) to avoid the cross join. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             cellCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(cellCol).as("cell"),
-      col(vecCol).as("vec"))
+        col(vecCol).as("vec"))
+      .withColumn("nrm", Similarity.norm(col("vec")))
     v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .withColumn("cos", Similarity.cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cos",
+        Similarity.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

@@ -18,15 +18,20 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double.
-    * Sequential fold keeps summation order deterministic. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+  /** Dot product of two float-array columns in double; sequential fold
+    * keeps summation order deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+
+  /** L2 norm of a float-array column. Precompute this per row before a
+    * pair join — recomputing it inside the join multiplies the O(dim)
+    * work by the pair count. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
    * Brute-force cosine top-k: for each query vector, the k most
@@ -37,9 +42,11 @@ object Similarity {
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
                      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
     val scored = corpus.select(col(corpusId), col(corpusVec))
-      .crossJoin(broadcast(queries.select(col(queryId), col(queryVec))))
+      .withColumn("__cn", norm(col(corpusVec)))
+      .crossJoin(broadcast(queries.select(col(queryId), col(queryVec))
+        .withColumn("__qn", norm(col(queryVec)))))
       .filter(col(corpusId) =!= col(queryId))
-      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("cos", dot(col(corpusVec), col(queryVec)) / (col("__cn") * col("__qn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId))
@@ -56,9 +63,11 @@ object Similarity {
               queryId: String = "q_id", queryVec: String = "q_vec",
               queryCell: String = "q_cell"): DataFrame = {
     val scored = corpus.select(col(corpusId), col(corpusVec), col(cellCol))
-      .join(broadcast(queries.select(col(queryId), col(queryVec), col(queryCell))),
+      .withColumn("__cn", norm(col(corpusVec)))
+      .join(broadcast(queries.select(col(queryId), col(queryVec), col(queryCell))
+          .withColumn("__qn", norm(col(queryVec)))),
         col(cellCol) === col(queryCell) && col(corpusId) =!= col(queryId))
-      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("cos", dot(col(corpusVec), col(queryVec)) / (col("__cn") * col("__qn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId))

@@ -1,0 +1,90 @@
+package graft.query
+
+import graft.model.TimeUtils
+import graft.operators.SeriesFunctions
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Graphite-style expression (`gexp`) endpoint: nested function grammar
+ * `f(g(m),,param)` with `,,` as the argument delimiter (reference:
+ * src/query/expression/Expressions.java:43-163 parser,
+ * src/parser.jj:48-58 grammar,
+ * src/query/expression/ExpressionFactory.java:32-59 registry).
+ *
+ * Each AST node evaluates to a DataFrame transform over sub-query
+ * results, so a nested expression becomes one composed Catalyst plan.
+ */
+object Gexp {
+
+  sealed trait Node
+  /** A leaf `agg:metric{...}` sub-query spec. */
+  case class MetricNode(spec: String) extends Node
+  case class FuncNode(name: String, args: Seq[Node], params: Seq[String]) extends Node
+
+  /** Parse a gexp string into an AST. */
+  def parse(s: String): Node = {
+    val t = s.trim
+    val open = t.indexOf('(')
+    if (open < 0 || !t.take(open).forall(c => c.isLetterOrDigit || c == '_'))
+      return MetricNode(t)
+    val name = t.take(open)
+    require(t.endsWith(")"), s"unbalanced parens in $t")
+    val inner = t.substring(open + 1, t.length - 1)
+    // split on `,,` at depth 0
+    val args = scala.collection.mutable.Buffer[String]()
+    var depth = 0; var start = 0; var i = 0
+    while (i < inner.length) {
+      inner(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 && i + 1 < inner.length && inner(i + 1) == ',' =>
+          args += inner.substring(start, i); start = i + 2; i += 1
+        case _ =>
+      }
+      i += 1
+    }
+    args += inner.substring(start)
+    val parsed = args.map(_.trim)
+    // leading args that parse as expressions are child nodes; trailing
+    // scalar params (numbers, names, durations) stay strings
+    val (exprs, params) = parsed.partition(a =>
+      a.contains(':') || a.contains('(') || a.contains('{'))
+    FuncNode(name, exprs.map(parse).toSeq, params.toSeq)
+  }
+
+  /**
+   * Evaluate an AST. `runMetric` resolves a leaf sub-query spec to its
+   * result DataFrame (columns: metric, series key columns, ts, value).
+   */
+  def eval(node: Node, runMetric: String => DataFrame,
+           joinKeys: Seq[String] = Seq.empty): DataFrame = node match {
+    case MetricNode(spec) => runMetric(spec)
+    case FuncNode(name, args, params) =>
+      def a0 = eval(args.head, runMetric, joinKeys)
+      def all = args.map(eval(_, runMetric, joinKeys))
+      name match {
+        case "absolute" => SeriesFunctions.absolute(a0)
+        case "scale" => SeriesFunctions.scale(a0, params.head.toDouble)
+        case "alias" => SeriesFunctions.alias(a0, params.head)
+        case "movingAverage" =>
+          val p = params.head
+          if (p.forall(_.isDigit)) SeriesFunctions.movingAverageByCount(a0, p.toInt)
+          else SeriesFunctions.movingAverageByTime(a0,
+            TimeUtils.parseDuration(p.stripPrefix("'").stripSuffix("'")))
+        case "highestCurrent" => SeriesFunctions.highestCurrent(a0, params.head.toInt)
+        case "highestMax" => SeriesFunctions.highestMax(a0, params.head.toInt)
+        case "shift" | "timeShift" => SeriesFunctions.timeShift(a0,
+          TimeUtils.parseDuration(params.head.stripPrefix("'").stripSuffix("'")))
+        case "firstDiff" => SeriesFunctions.firstDiff(a0)
+        case "sum" | "sumSeries" =>
+          SeriesFunctions.combineUnion(all, joinKeys, _ + _, fill = 0.0)
+        case "difference" | "diffSeries" =>
+          SeriesFunctions.combineUnion(all, joinKeys, _ - _, fill = 0.0)
+        case "multiply" | "multiplySeries" =>
+          SeriesFunctions.combineUnion(all, joinKeys, _ * _, fill = 1.0)
+        case "divide" | "divideSeries" =>
+          SeriesFunctions.combineIntersection(all, joinKeys, _ / _)
+        case other => throw new IllegalArgumentException(s"unknown gexp function $other")
+      }
+  }
+}

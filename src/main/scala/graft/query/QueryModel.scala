@@ -99,26 +99,41 @@ object QueryParser {
    * (reference src/tsd/QueryRpc.java:630-683 parseMTypeSubQuery).
    */
   def parseSubQuery(m: String): SubQuery = {
-    // split metric part from leading colon-separated stages; the metric
-    // segment is the last one and may contain `{...}` with commas
-    val firstBrace = m.indexOf('{')
-    val head = if (firstBrace < 0) m else m.substring(0, firstBrace)
-    val segs = head.split(":", -1)
+    // split stages on ':' at brace depth 0 — rate{...} and filter
+    // bodies may contain anything
+    val segs = splitTop(m, ':')
     require(segs.nonEmpty, s"empty m= spec")
-    val agg = segs(0)
+    val agg = segs.head
     var rate: Option[RateOptions] = None
     var ds: Option[DownsampleSpec] = None
-    // middle segments (between agg and metric name)
-    val mid = segs.drop(1).dropRight(1)
-    mid.foreach { seg =>
+    segs.tail.dropRight(1).foreach { seg =>
       if (seg.startsWith("rate")) rate = Some(parseRate(seg))
       else if (seg.nonEmpty) ds = Some(DownsampleSpec.parse(seg))
     }
-    val metricName = segs.last
+    val metricSeg = segs.last
+    val firstBrace = metricSeg.indexOf('{')
+    val metricName = if (firstBrace < 0) metricSeg else metricSeg.take(firstBrace)
     val filters =
       if (firstBrace < 0) Seq.empty
-      else parseLegacyFilters(m.substring(firstBrace))
+      else parseLegacyFilters(metricSeg.substring(firstBrace))
     SubQuery(agg, metricName, filters, ds, rate)
+  }
+
+  /** Split on `sep` at `{}` depth 0. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var depth = 0; var start = 0
+    s.indices.foreach { i =>
+      s(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case c if c == sep && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start)
+    out.toSeq
   }
 
   /** `rate` or `rate{counter[,max[,reset]]}` / `rate{dropcounter}`

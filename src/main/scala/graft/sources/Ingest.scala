@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Ingest parsing — the reference's telnet `put` line protocol and
+ * `/api/put` JSON bodies as pure DataFrame transforms (reference:
+ * src/tsd/PutDataPointRpc.java:129-266 telnet, :272-430 JSON;
+ * validation rules src/core/Tags.java validateString,
+ * src/core/TSDB.java:1203-1299 value parsing).
+ *
+ * Both parsers are pure column expressions, so they compose equally
+ * with `spark.read.text` (bulk import, reference
+ * src/tools/TextImporter.java:40) and `spark.readStream` (live
+ * ingest) — the batch/streaming split costs nothing.
+ */
+object Ingest {
+
+  /** Charset rule for metric/tagk/tagv (reference Tags.validateString:
+    * alphanumerics plus `-_./` and unicode letters). */
+  val NAME_RE = "^[a-zA-Z0-9\\-_./\\p{L}]+$"
+
+  /**
+   * Parse telnet-style lines `put <metric> <ts> <value> <tagk=tagv> ...`
+   * from a one-column DataFrame (`value` string) into the canonical
+   * point schema. Invalid rows land in a `_error` column instead of
+   * being dropped (callers decide whether to route them to a dead
+   * letter sink — the analogue of the reference's
+   * StorageExceptionHandler plugin).
+   */
+  def parsePutLines(lines: DataFrame): DataFrame = {
+    val parts = split(trim(col("value")), "\\s+")
+    val metric = element_at(parts, 2)
+    val tsRaw = element_at(parts, 3)
+    val v = element_at(parts, 4)
+    val tagPairs = expr("slice(parts, 5, greatest(size(parts) - 4, 0))")
+    val parsed = lines
+      .withColumn("parts", parts)
+      .withColumn("metric", metric)
+      .withColumn("ts_raw", tsRaw)
+      // try_* casts: malformed rows must flow to _error, not abort the
+      // batch under ANSI mode
+      .withColumn("ts_num", expr("try_cast(ts_raw AS DECIMAL(20,3))"))
+      // seconds vs millis auto-detect by magnitude
+      // (reference src/core/Const.java:89-92 SECOND_MASK)
+      .withColumn("ts",
+        when(col("ts_num") > 4294967295L, col("ts_num").cast("long"))
+          .otherwise((col("ts_num") * 1000).cast("long")))
+      .withColumn("value_str", v)
+      .withColumn("is_int", v.rlike("^-?\\d+$"))
+      .withColumn("value", expr("try_cast(value_str AS DOUBLE)"))
+      .withColumn("value_l",
+        when(col("is_int"), expr("try_cast(value_str AS BIGINT)")))
+      .withColumn("tags",
+        map_from_entries(transform(tagPairs, p =>
+          struct(split(p, "=").getItem(0), split(p, "=").getItem(1)))))
+    // NB: refer to the materialized columns — `value` now holds the
+    // parsed double, not the raw line
+    parsed.withColumn("_error",
+        when(element_at(col("parts"), 1) =!= "put", lit("not a put command"))
+          .when(size(col("parts")) < 5, lit("too few fields"))
+          .when(col("value").isNull, lit("bad value"))
+          .when(col("ts_num").isNull, lit("bad timestamp"))
+          .when(!col("metric").rlike(NAME_RE), lit("bad metric charset")))
+      .select("metric", "ts", "value", "value_l", "is_int", "tags", "_error")
+  }
+
+  /** JSON body schema of /api/put (single object or array of
+    * IncomingDataPoint — reference src/core/IncomingDataPoint.java:41). */
+  val putJsonSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("metric", StringType),
+    StructField("timestamp", LongType),
+    StructField("value", StringType),
+    StructField("tags", MapType(StringType, StringType)))))
+
+  /** Parse /api/put JSON bodies (one per row, object or array). */
+  def parsePutJson(bodies: DataFrame): DataFrame = {
+    val arr = when(trim(col("value")).startsWith("["), col("value"))
+      .otherwise(concat(lit("["), col("value"), lit("]")))
+    bodies
+      .withColumn("dp", explode(from_json(arr, putJsonSchema)))
+      .select(
+        col("dp.metric").as("metric"),
+        when(col("dp.timestamp") > 4294967295L, col("dp.timestamp"))
+          .otherwise(col("dp.timestamp") * 1000).as("ts"),
+        expr("try_cast(dp.value AS DOUBLE)").as("value"),
+        when(col("dp.value").rlike("^-?\\d+$"),
+          expr("try_cast(dp.value AS BIGINT)")).as("value_l"),
+        col("dp.value").rlike("^-?\\d+$").as("is_int"),
+        col("dp.tags").as("tags"))
+  }
+
+  /**
+   * Structured Streaming ingest: file/socket/kafka line source →
+   * parsed points → parquet sink partitioned by date, with
+   * watermarking + per-(series, ts) dedup — the streaming replacement
+   * for the reference's compaction-time last-write-wins dedup
+   * (src/core/CompactionQueue.java:267-500).
+   */
+  def streamToParquet(spark: SparkSession, lines: DataFrame, outPath: String,
+                      checkpoint: String, lateness: String = "10 minutes") = {
+    val pts = parsePutLines(lines)
+      .filter(col("_error").isNull).drop("_error")
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicates("metric", "tags", "ts")
+      .withColumn("date", to_date(col("event_time")))
+    pts.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("date")
+  }
+
+  /**
+   * Rollup materialization as a tumbling-window streaming aggregation
+   * (replaces the reference's offline rollup jobs + SplitRollupQuery
+   * stitching, src/rollup/RollupUtils.java:120-160): emits
+   * (metric, tags, window_start, sum, count, min, max) per interval so
+   * query-time avg = sum/count matches the reference's rollup-aware
+   * downsampling (src/core/Downsampler.java:163-210).
+   */
+  def rollupStream(points: DataFrame, interval: String = "1 hour",
+                   lateness: String = "10 minutes"): DataFrame =
+    points
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("metric"), col("tags"),
+        window(col("event_time"), interval).as("w"))
+      .agg(sum(col("value")).as("sum"), count(col("value")).as("count"),
+        min(col("value")).as("min"), max(col("value")).as("max"))
+      .select(col("metric"), col("tags"),
+        unix_millis(col("w.start")).as("ts"),
+        col("sum"), col("count"), col("min"), col("max"))
+}

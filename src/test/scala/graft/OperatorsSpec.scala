@@ -1,0 +1,248 @@
+package graft
+
+import graft.model.Points
+import graft.operators._
+import graft.query._
+import graft.sources.Ingest
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/**
+ * Operator golden-vector specs, porting the reference's inline expected
+ * values (cf. test/core/TestAggregators.java,
+ * TestAggregationIterator.java, TestRateSpan.java,
+ * TestFillingDownsampler.java, test/tsd/TestPutRpc.java).
+ */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Canonical points from (metric, ts, value, tags). */
+  private def pointsDf(rows: Seq[(String, Long, Double, Map[String, String])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val data = rows.map { case (m, t, v, tg) =>
+      Row(m, t, v, null, false, tg)
+    }.asJava
+    spark.createDataFrame(data, Points.schema)
+  }
+
+  private def host(h: String) = Map("host" -> h)
+
+  // ---- interpolation-aware aggregation (the reference's
+  // AggregationIterator lerp semantics) --------------------------------
+
+  private val offset = pointsDf(Seq(
+    ("m", 0L, 1.0, host("a")), ("m", 30000L, 2.0, host("a")),
+    ("m", 15000L, 10.0, host("b")), ("m", 45000L, 20.0, host("b"))))
+
+  private def valuesByTs(df: DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getAs[Long]("ts") -> r.getAs[Double]("value")).toMap
+
+  test("lerp sum across offset series (AggregationIterator golden)") {
+    val r = valuesByTs(Interpolate.aggregate(offset, "sum"))
+    assert(r == Map(0L -> 1.0, 15000L -> 11.5, 30000L -> 17.0, 45000L -> 20.0))
+  }
+
+  test("zimsum fills zero instead of interpolating") {
+    val r = valuesByTs(Interpolate.aggregate(offset, "zimsum"))
+    assert(r == Map(0L -> 1.0, 15000L -> 10.0, 30000L -> 2.0, 45000L -> 20.0))
+  }
+
+  test("pfsum carries previous value forward") {
+    val r = valuesByTs(Interpolate.aggregate(offset, "pfsum"))
+    assert(r == Map(0L -> 1.0, 15000L -> 11.0, 30000L -> 12.0, 45000L -> 22.0))
+  }
+
+  test("mimmin ignores missing (MAX-sentinel semantics)") {
+    val r = valuesByTs(Interpolate.aggregate(offset, "mimmin"))
+    assert(r == Map(0L -> 1.0, 15000L -> 10.0, 30000L -> 2.0, 45000L -> 20.0))
+  }
+
+  test("none aggregator bypasses grouping") {
+    val r = Interpolate.aggregate(offset, "none")
+    assert(r.count() == 4)
+  }
+
+  // ---- aggregator registry -------------------------------------------
+
+  private def agg1(name: String, vals: Seq[Double]): Double = {
+    val df = pointsDf(vals.zipWithIndex.map { case (v, i) =>
+      ("m", i.toLong * 1000, v, host("a"))
+    })
+    df.agg(Aggregators.expr(name, col("value"), col("ts")).as("v"))
+      .collect()(0).getAs[Any]("v") match {
+        case d: Double => d
+        case l: Long => l.toDouble
+      }
+  }
+
+  test("dev is sample stddev with single-value -> 0 (reference Welford)") {
+    assert(math.abs(agg1("dev", Seq(2, 4, 4, 4, 5, 5, 7, 9)) - 2.13809) < 1e-4)
+    assert(agg1("dev", Seq(42.0)) == 0.0)
+  }
+
+  test("median picks the upper median (size/2 index)") {
+    assert(agg1("median", Seq(1, 2, 3, 4)) == 3.0)
+    assert(agg1("median", Seq(1, 2, 3)) == 2.0)
+  }
+
+  test("percentile estimation types R-6 (default), R-7, R-3") {
+    val v = (1 to 10).map(_.toDouble)
+    assert(math.abs(agg1("p90", v) - 9.9) < 1e-9)     // (n+1)p = 9.9
+    assert(math.abs(agg1("ep90r7", v) - 9.1) < 1e-9)  // (n-1)p+1 = 9.1
+    assert(agg1("ep90r3", v) == 8.0)                  // round-half-even(np-.5)
+  }
+
+  test("mult, diff, first, last, squareSum") {
+    assert(agg1("mult", Seq(2, 3, 4)) == 24.0)
+    assert(agg1("diff", Seq(5, 9, 3)) == -2.0)  // last - first by ts
+    assert(agg1("first", Seq(5, 9, 3)) == 5.0)
+    assert(agg1("last", Seq(5, 9, 3)) == 3.0)
+    assert(agg1("squareSum", Seq(1, 2, 3)) == 14.0)
+  }
+
+  // ---- downsample ----------------------------------------------------
+
+  test("downsample buckets on ts - ts % interval; run_all single bucket") {
+    val df = pointsDf(Seq(
+      ("m", 0L, 1.0, host("a")), ("m", 59000L, 2.0, host("a")),
+      ("m", 61000L, 10.0, host("a"))))
+    val spec = DownsampleSpec.parse("1m-sum")
+    val r = valuesByTs(Downsample(df, spec).select("ts", "value"))
+    assert(r == Map(0L -> 3.0, 60000L -> 10.0))
+    val all = Downsample(df, DownsampleSpec.parse("0all-sum"),
+      Some((0L, 100000L)))
+    assert(valuesByTs(all.select("ts", "value")) == Map(0L -> 13.0))
+  }
+
+  test("fill policies zero and scalar emit values for empty buckets") {
+    val df = pointsDf(Seq(
+      ("m", 0L, 1.0, host("a")), ("m", 180000L, 4.0, host("a"))))
+    val zero = Downsample(df, DownsampleSpec.parse("1m-sum-zero"))
+    assert(valuesByTs(zero.select("ts", "value")) ==
+      Map(0L -> 1.0, 60000L -> 0.0, 120000L -> 0.0, 180000L -> 4.0))
+    val scalar = Downsample(df, DownsampleSpec.parse("1m-sum-7.5"))
+    assert(valuesByTs(scalar.select("ts", "value"))(60000L) == 7.5)
+  }
+
+  test("calendar downsample truncates in the query timezone") {
+    // 2024-01-02T05:00Z = 2024-01-01T22:00 in Denver -> day bucket
+    // must be 2024-01-01T07:00Z (midnight Denver), not the UTC midnight
+    val ts = 1704171600000L
+    val df = pointsDf(Seq(("m", ts, 1.0, host("a"))))
+    val r = Downsample(df, DownsampleSpec.parse("1dc-sum"), None,
+      tz = "America/Denver").select("ts").collect()(0).getLong(0)
+    assert(r == 1704092400000L)
+  }
+
+  // ---- rate ----------------------------------------------------------
+
+  test("rate, counter rollover, dropResets (TestRateSpan goldens)") {
+    val df = pointsDf(Seq(
+      ("m", 0L, 0.0, host("a")), ("m", 60000L, 60.0, host("a")),
+      ("m", 120000L, 30.0, host("a"))))
+    val plain = valuesByTs(Rate(df).select("ts", "value"))
+    assert(plain == Map(60000L -> 1.0, 120000L -> -0.5))
+    val counter = valuesByTs(
+      Rate(df, RateOptions(counter = true, counterMax = 100L)).select("ts", "value"))
+    assert(math.abs(counter(120000L) - 70.0 / 60.0) < 1e-9)
+    val dropped = valuesByTs(
+      Rate(df, RateOptions(counter = true, dropResets = true)).select("ts", "value"))
+    assert(dropped == Map(60000L -> 1.0))
+    // legacy first-point-vs-(0,0) quirk behind the flag (reference
+    // RateSpan.java:109-114): first point pairs with synthetic (t=0,v=0)
+    val df2 = pointsDf(Seq(
+      ("m", 60000L, 120.0, host("a")), ("m", 120000L, 180.0, host("a"))))
+    val legacy = valuesByTs(Rate(df2, firstAgainstZero = true).select("ts", "value"))
+    assert(legacy == Map(60000L -> 2.0, 120000L -> 1.0))
+  }
+
+  // ---- ingest parsers ------------------------------------------------
+
+  test("telnet put line parsing: values, s/ms timestamps, tags, errors") {
+    import spark.implicits._
+    val lines = Seq(
+      "put sys.cpu.user 1356998400 42 host=web01 dc=lga",
+      "put sys.cpu.user 1356998400500 42.5 host=web02",
+      "put bad~metric 1356998400 1 h=x",
+      "put sys.cpu.user 1356998400 notanumber h=x",
+      "get sys.cpu.user 1 2").toDF("value")
+    val parsed = Ingest.parsePutLines(lines).collect()
+    val ok = parsed.filter(_.getAs[String]("_error") == null)
+    assert(ok.length == 2)
+    assert(ok(0).getAs[Long]("ts") == 1356998400000L)
+    assert(ok(0).getAs[Boolean]("is_int"))
+    assert(ok(0).getAs[Map[String, String]]("tags") ==
+      Map("host" -> "web01", "dc" -> "lga"))
+    assert(ok(1).getAs[Long]("ts") == 1356998400500L)
+    assert(!ok(1).getAs[Boolean]("is_int"))
+    val errs = parsed.flatMap(r => Option(r.getAs[String]("_error")))
+    assert(errs.length == 3)
+  }
+
+  test("api/put JSON parsing: single object and array") {
+    import spark.implicits._
+    val bodies = Seq(
+      """{"metric":"m1","timestamp":1356998400,"value":"7","tags":{"h":"a"}}""",
+      """[{"metric":"m2","timestamp":1356998400000,"value":"1.5","tags":{"h":"b"}}]"""
+    ).toDF("value")
+    val parsed = Ingest.parsePutJson(bodies).orderBy("metric").collect()
+    assert(parsed.length == 2)
+    assert(parsed(0).getAs[Long]("ts") == 1356998400000L)
+    assert(parsed(0).getAs[Boolean]("is_int"))
+    assert(parsed(1).getAs[Double]("value") == 1.5)
+  }
+
+  // ---- engine end-to-end ---------------------------------------------
+
+  test("Engine.run: full m= pipeline with grouping and clipping") {
+    val df = pointsDf(Seq(
+      ("cpu", 10000L, 1.0, Map("host" -> "a", "dc" -> "x")),
+      ("cpu", 10000L, 5.0, Map("host" -> "b", "dc" -> "x")),
+      ("cpu", 70000L, 3.0, Map("host" -> "a", "dc" -> "x")),
+      ("other", 10000L, 99.0, Map("host" -> "a"))))
+    val q = TsQuery(0L, 100000L, Seq.empty)
+    val res = Engine.runM(df, q, "sum:1m-sum:cpu{host=*}")
+    val rows = res.orderBy("ts", "tag_host").collect()
+    // grouped by host: (a,0)=1, (b,0)=5, (a,60000)=3
+    assert(rows.map(r => (r.getAs[String]("tag_host"), r.getAs[Long]("ts"),
+      r.getAs[Double]("value"))).toSet ==
+      Set(("a", 0L, 1.0), ("b", 0L, 5.0), ("a", 60000L, 3.0)))
+  }
+
+  test("Engine.shapeOutput produces dps maps per group") {
+    val df = pointsDf(Seq(
+      ("cpu", 0L, 1.0, host("a")), ("cpu", 60000L, 2.0, host("a"))))
+    val q = TsQuery(0L, 100000L, Seq.empty)
+    val res = Engine.runM(df, q, "sum:1m-sum:cpu{host=*}")
+    val shaped = Engine.shapeOutput(res, Seq("host")).collect()
+    assert(shaped.length == 1)
+    assert(shaped(0).getAs[Map[Long, Double]]("dps") ==
+      Map(0L -> 1.0, 60000L -> 2.0))
+  }
+
+  // ---- gexp eval -----------------------------------------------------
+
+  test("gexp eval: scale and sumSeries over metric leaves") {
+    val a = pointsDf(Seq(("a", 0L, 1.0, host("x")))).select(
+      col("metric"), col("ts"), col("value"))
+    val b = pointsDf(Seq(("b", 0L, 2.0, host("x")))).select(
+      col("metric"), col("ts"), col("value"))
+    val run = Map("A" -> a, "B" -> b)
+    val scaled = Gexp.eval(Gexp.parse("scale(A{h=x},,2.5)"),
+      m => run(m.takeWhile(_ != '{')))
+    assert(scaled.select("value").collect()(0).getDouble(0) == 2.5)
+    val summed = Gexp.eval(Gexp.parse("sumSeries(A{h=x},,B{h=x})"),
+      m => run(m.takeWhile(_ != '{')))
+    assert(summed.select("value").collect()(0).getDouble(0) == 3.0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.model.TimeUtils
+import graft.query._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-function specs: duration/date parsing and the m=/filter/rate/
+  * downsample grammars (reference semantics per SURVEY §2.11, §3.1). */
+class ParserSpec extends AnyFunSuite {
+
+  test("duration units incl. n=30d and y=365d") {
+    assert(TimeUtils.parseDuration("100ms") == 100L)
+    assert(TimeUtils.parseDuration("5s") == 5000L)
+    assert(TimeUtils.parseDuration("2m") == 120000L)
+    assert(TimeUtils.parseDuration("3h") == 3 * 3600000L)
+    assert(TimeUtils.parseDuration("1d") == 86400000L)
+    assert(TimeUtils.parseDuration("2w") == 14 * 86400000L)
+    assert(TimeUtils.parseDuration("1n") == 30L * 86400000L)
+    assert(TimeUtils.parseDuration("1y") == 365L * 86400000L)
+  }
+
+  test("date parsing: relative, epoch s/ms, absolute") {
+    val now = 1700000000000L
+    assert(TimeUtils.parseDateTime("5m-ago", now) == now - 300000L)
+    assert(TimeUtils.parseDateTime("now", now) == now)
+    assert(TimeUtils.parseDateTime("1700000000", now) == 1700000000000L)
+    assert(TimeUtils.parseDateTime("1700000000123", now) == 1700000000123L)
+    assert(TimeUtils.parseDateTime("1700000000.5", now) == 1700000000500L)
+    assert(TimeUtils.parseDateTime("2024/01/05", now) == 1704412800000L)
+    assert(TimeUtils.parseDateTime("2024/01/05-01:30:00", now) == 1704418200000L)
+  }
+
+  test("downsample spec: fixed, fill, all, calendar") {
+    val d1 = DownsampleSpec.parse("1h-sum")
+    assert(d1.intervalMs == 3600000L && d1.aggregator == "sum" && d1.fill == FillPolicy.None)
+    val d2 = DownsampleSpec.parse("30m-avg-zero")
+    assert(d2.intervalMs == 1800000L && d2.fill == FillPolicy.Zero)
+    val d3 = DownsampleSpec.parse("0all-max")
+    assert(d3.intervalMs == 0L && d3.aggregator == "max")
+    val d4 = DownsampleSpec.parse("1dc-min")
+    assert(d4.calendar && d4.calendarUnit == "d" && d4.intervalMs == 86400000L)
+    val d5 = DownsampleSpec.parse("5m-avg-nan")
+    assert(d5.fill == FillPolicy.NaN)
+    val d6 = DownsampleSpec.parse("1h-sum-42.5")
+    assert(d6.fill == FillPolicy.Scalar(42.5))
+  }
+
+  test("m= sub-query grammar: agg:interval:rate:metric{filters}") {
+    val q = QueryParser.parseSubQuery(
+      "avg:5m-avg:rate{counter,1000,10}:proc.net.bytes{iface=eth0}")
+    assert(q.aggregator == "avg")
+    assert(q.downsample.get.intervalMs == 300000L)
+    assert(q.rate.get.counter && q.rate.get.counterMax == 1000L
+      && q.rate.get.resetValue == 10L)
+    assert(q.metric == "proc.net.bytes")
+    assert(q.filters == Seq(LiteralOr("iface", Seq("eth0"), groupBy = true)))
+  }
+
+  test("legacy filter sugar: *, a|b, wildcard, second brace group") {
+    val q = QueryParser.parseSubQuery(
+      "sum:sys.cpu.user{host=*,dc=lga|phx}{rack=regexp(r[0-9]+)}")
+    assert(q.filters.contains(GroupByAll("host")))
+    assert(q.filters.contains(LiteralOr("dc", Seq("lga", "phx"), groupBy = true)))
+    assert(q.filters.contains(RegexpFilter("rack", "r[0-9]+", groupBy = false)))
+  }
+
+  test("filter function forms") {
+    assert(QueryParser.parseFilterValue("h", "iliteral_or(Web01|WEB02)", true) ==
+      LiteralOr("h", Seq("Web01", "WEB02"), caseInsensitive = true, groupBy = true))
+    assert(QueryParser.parseFilterValue("h", "not_literal_or(a)", false) ==
+      NotLiteralOr("h", Seq("a")))
+    assert(QueryParser.parseFilterValue("h", "iwildcard(web*)", false) ==
+      Wildcard("h", "web*", caseInsensitive = true))
+    assert(QueryParser.parseFilterValue("h", "not_key(x)", false) == NotKey("h"))
+  }
+
+  test("rate grammar: plain, counter, dropcounter") {
+    assert(QueryParser.parseRate("rate") == RateOptions())
+    assert(QueryParser.parseRate("rate{counter}") ==
+      RateOptions(counter = true))
+    assert(QueryParser.parseRate("rate{dropcounter,100}") ==
+      RateOptions(counter = true, counterMax = 100L, dropResets = true))
+  }
+
+  test("gexp nested grammar with ,, delimiter") {
+    val ast = Gexp.parse("scale(sum:sys.cpu.user{host=*},,0.1)")
+    ast match {
+      case Gexp.FuncNode("scale", Seq(Gexp.MetricNode(m)), Seq(p)) =>
+        assert(m == "sum:sys.cpu.user{host=*}" && p == "0.1")
+      case other => fail(s"unexpected $other")
+    }
+    val nested = Gexp.parse("highestMax(absolute(sum:a{h=*}),,2)")
+    nested match {
+      case Gexp.FuncNode("highestMax",
+        Seq(Gexp.FuncNode("absolute", Seq(Gexp.MetricNode(_)), _)), Seq("2")) =>
+      case other => fail(s"unexpected $other")
+    }
+  }
+}
