@@ -267,6 +267,53 @@ object SparkEntry {
         .orderBy("ts")
     }),
 
+    // §1.2/§2.9 histogram points + percentile extraction
+    "q22_histogram_p90" -> ((s, dir) => {
+      val df = pts(s, dir).withColumn("b", col("ts") - col("ts") % DAY)
+      val hist = Histograms.fromPoints(df, Seq("metric", "b"), "value", 10.0)
+      Histograms.percentile(hist, Seq("metric", "b"), 0.9)
+        .select(col("metric"), col("b").as("ts"), r4(col("value")).as("value"))
+        .orderBy("metric", "ts")
+    }),
+
+    // §2.14 annotations attached to query results by time-interval join
+    "q23_annotations" -> ((s, dir) => {
+      val sums = Interpolate.aggregate(
+        Downsample(pts(s, dir).filter(col("metric") === "click"),
+          DownsampleSpec.parse("1d-sum")), "zimsum")
+        .select(col("ts"), col("value"))
+      val ann = pts(s, dir)
+        .filter(col("metric") === "error" && col("value") > 95)
+        .select((col("ts") - HOUR).as("start_ts"), (col("ts") + HOUR).as("end_ts"),
+          lit("high-error").as("description"))
+      graft.meta.Annotations.attach(sums, ann, Seq.empty)
+        .groupBy(col("ts"))
+        .agg(r4(first(col("value"))).as("value"),
+          count(col("description")).as("n_ann"))
+        .orderBy("ts")
+    }),
+
+    // §2.12 rollup table: 1d avg served from the 1h rollup (sum/count)
+    "q24_rollup_avg" -> ((s, dir) => {
+      val rollup = Rollups.materialize(pts(s, dir), HOUR)
+      flat(Rollups.downsampleFromRollup(rollup, DownsampleSpec.parse("1d-avg")))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("metric", "tag_user", "tag_k", "ts")
+    }),
+
+    // §2.8/§3.3 /api/query/exp infix arithmetic over joined variables
+    "q25_exp_infix" -> ((s, dir) => {
+      def hourly(m: String) = Interpolate.aggregate(
+        Downsample(pts(s, dir).filter(col("metric") === m),
+          DownsampleSpec.parse("1h-sum")), "zimsum")
+        .select(col("ts"), col("value"))
+      ExpQuery.eval("a + b / 2 - (a - b) * 0.5",
+          Map("a" -> hourly("click"), "b" -> hourly("view")))
+        .select(col("ts"), r4(col("value")).as("value"))
+        .orderBy("ts")
+    }),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
