@@ -25,9 +25,21 @@ import org.apache.spark.sql.functions._
  */
 object Engine {
 
+  /** Lookback for rate/lerp neighbors when no downsample interval
+    * bounds it — the reference widens the scan by one row span
+    * (MAX_TIMESPAN = 1h, src/core/TsdbQuery.java:1575-1615). */
+  val RATE_LERP_PAD_MS = 3600000L
+
   /** Run one sub-query against a canonical points DataFrame. */
   def run(points: DataFrame, query: TsQuery, sub: SubQuery): DataFrame = {
-    val padMs = sub.downsample.map(d => math.max(d.intervalMs, 1L)).getOrElse(0L)
+    // pre-pad the scan so edge buckets AND the first rate delta / lerp
+    // neighbor exist (reference getScanStartTimeSeconds pads for rate
+    // too, not just downsample)
+    val needsNeighbors = sub.rate.isDefined ||
+      Interpolate.policyOf(sub.aggregator) == Interpolate.Lerp
+    val padMs = math.max(
+      sub.downsample.map(d => math.max(d.intervalMs, 1L)).getOrElse(0L),
+      if (needsNeighbors) RATE_LERP_PAD_MS else 0L)
     val scanned = points.filter(
       col("metric") === sub.metric &&
         col("ts") >= (query.startMs - padMs) && col("ts") <= (query.endMs + padMs))

@@ -24,7 +24,8 @@ object PipelineQueries {
     * parallelize — hence the small-input guard. */
   private def docs(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet")
-    if (d.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+    // inputFiles reads the file index only — no RDD lineage instantiated
+    if (d.inputFiles.length < s.sparkContext.defaultParallelism)
       d.repartition(s.sparkContext.defaultParallelism)
     else d
   }
@@ -51,6 +52,19 @@ object PipelineQueries {
   /** DuckDB mirror of TextAnalysis.h32. */
   private def oH32(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 4294967296"
+
+  /** DuckDB mirror of Similarity.rhpBucket(vec, nBits, dim, planeOffset):
+    * generated with the same rhpSign constants, same left-associative
+    * addition order, so doubles match bit-for-bit. */
+  private def rhpBucketSql(nBits: Int, dim: Int, planeOffset: Int): String =
+    (0 until nBits).map { b =>
+      val p = planeOffset + b
+      val dots = (0 until dim).map { j =>
+        val s = if (Similarity.rhpSign(p, j) > 0) "+" else "-"
+        s"$s CAST(embedding[${j + 1}] AS DOUBLE)"
+      }.mkString(" ")
+      s"(CASE WHEN ($dots) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -84,10 +98,12 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // embedding near-dup pairs blocked by label cell
+    // embedding near-dup pairs blocked by 3-table 6-bit RHP-LSH buckets
+    // (data-independent cells — bounded bucket population at any scale,
+    // unlike blocking on a skewed label column)
     "d05_embedding_neardup" -> ((s, dir) => {
-      Dedup.embeddingNearDupPairs(embs(s, dir), "embedding", "vec_id",
-          "label", threshold = 0.35)
+      Dedup.embeddingRhpPairs(embs(s, dir), "embedding", "vec_id",
+          threshold = 0.35, nBits = 6, dim = 64, tables = 3)
         .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -170,7 +186,10 @@ object PipelineQueries {
 
     "d02_ngram_jaccard" ->
       s"""$O_SH,
-         hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         hpost0 AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         dfq AS (SELECT h, count(*) AS df FROM hpost0 GROUP BY h),
+         hpost AS (SELECT hpost0.doc_id, hpost0.h FROM hpost0
+           JOIN dfq ON dfq.h = hpost0.h WHERE dfq.df <= ${Dedup.DEFAULT_MAX_DF}),
          sizes AS (SELECT doc_id, count(*) AS sz FROM hpost GROUP BY doc_id),
          shared AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -186,14 +205,14 @@ object PipelineQueries {
 
     "d03_minhash_lsh" ->
       s"""$O_SH,
-         hashed AS (SELECT doc_id, ${oH32("term")} AS h FROM post),
+         hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
          params AS (SELECT * FROM (VALUES
            (0, 836603681, 1), (1, 442543251, 7), (2, 1004818243, 13),
            (3, 668265263, 31), (4, 374761393, 97), (5, 741103597, 41),
            (6, 988021567, 151), (7, 540483477, 65537)) p(i, a, b)),
          sig AS (
            SELECT doc_id, i, min((h * a + b) % 4294967291) AS mh
-           FROM hashed CROSS JOIN params GROUP BY doc_id, i),
+           FROM hpost CROSS JOIN params GROUP BY doc_id, i),
          band AS (
            SELECT doc_id, i // 2 AS band,
              string_agg(mh::VARCHAR, '_' ORDER BY i) AS key
@@ -202,12 +221,18 @@ object PipelineQueries {
            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
            FROM band x JOIN band y
              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM hpost GROUP BY doc_id),
+         shared AS (
+           SELECT id_a, id_b, count(*) AS shared
+           FROM cand
+             JOIN hpost a ON a.doc_id = cand.id_a
+             JOIN hpost b ON b.doc_id = cand.id_b AND b.h = a.h
+           GROUP BY id_a, id_b),
          verified AS (
            SELECT id_a, id_b,
-             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-           FROM cand JOIN sh sa ON sa.doc_id = id_a
-             JOIN sh sb ON sb.doc_id = id_b)
+             CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+           FROM shared JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b)
          SELECT id_a, id_b, round(jaccard, 4) AS jaccard
          FROM verified WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
 
@@ -224,16 +249,25 @@ object PipelineQueries {
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
 
     "d05_embedding_neardup" ->
-      """WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         bucketed AS (
+           ${(0 until 3).map(t =>
+             s"SELECT vec_id, $t AS t, ${rhpBucketSql(6, 64, t * 6)} AS bkt FROM v")
+             .mkString("\n           UNION ALL ")}),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bucketed a JOIN bucketed b
+             ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
          pairs AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           SELECT id_a, id_b,
+             list_sum(list_transform(list_zip(va.embedding, vb.embedding),
                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
-             (sqrt(list_sum(list_transform(a.embedding,
+             (sqrt(list_sum(list_transform(va.embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-              sqrt(list_sum(list_transform(b.embedding,
+              sqrt(list_sum(list_transform(vb.embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+           FROM cand JOIN v va ON va.vec_id = id_a
+             JOIN v vb ON vb.vec_id = id_b)
          SELECT id_a, id_b, round(cos, 4) AS cos
          FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b""",
 

@@ -314,6 +314,18 @@ object SparkEntry {
         .orderBy("ts")
     }),
 
+    // §2.5/§2.3 THE canonical OpenTSDB shape: m=sum:click{user=*} —
+    // lerp-sum grouped by a tag subset (reference GroupByAndAggregateCB,
+    // src/core/TsdbQuery.java:981-1114)
+    "q26_groupby_tag" -> ((s, dir) => {
+      val ds = Downsample(pts(s, dir).filter(col("metric") === "click"),
+        DownsampleSpec.parse("1h-avg"))
+      Interpolate.aggregate(ds, "sum", Seq("user"))
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -583,6 +595,96 @@ object SparkEntry {
            WHERE metric = 'view' GROUP BY ts - ts % $HOUR)
          SELECT c.ts AS ts, round(c.v / v.v, 4) AS value
          FROM c JOIN v ON c.ts = v.ts
-         ORDER BY ts"""
+         ORDER BY ts""",
+
+    "q22_histogram_p90" ->
+      s"""$O, h AS (
+           SELECT metric, ts - ts % $DAY AS b,
+             floor(value / 10.0) * 10.0 AS lo,
+             (floor(value / 10.0) + 1) * 10.0 AS hi,
+             count(*) AS cnt
+           FROM points GROUP BY metric, ts - ts % $DAY,
+             floor(value / 10.0)),
+         c AS (
+           SELECT metric, b, lo, hi, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY metric, b ORDER BY lo) AS DOUBLE) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY metric, b) AS DOUBLE) AS total
+           FROM h)
+         SELECT metric, b AS ts,
+           round(lo + (hi - lo) * (total * 0.9 - (cum - cnt)) / cnt, 4) AS value
+         FROM c
+         WHERE cum >= total * 0.9 AND (cum - cnt) < total * 0.9
+         ORDER BY metric, ts""",
+
+    "q23_annotations" ->
+      s"""$O, sums AS (
+           SELECT ts - ts % $DAY AS ts, sum(value) AS value FROM points
+           WHERE metric = 'click' GROUP BY ts - ts % $DAY),
+         ann AS (
+           SELECT ts - $HOUR AS start_ts, ts + $HOUR AS end_ts FROM points
+           WHERE metric = 'error' AND value > 95)
+         SELECT s.ts, round(any_value(s.value), 4) AS value,
+           count(a.start_ts) AS n_ann
+         FROM sums s LEFT JOIN ann a
+           ON s.ts >= a.start_ts AND s.ts <= a.end_ts
+         GROUP BY s.ts ORDER BY s.ts""",
+
+    "q24_rollup_avg" ->
+      s"""$O, hourly AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $HOUR AS hb,
+             sum(value) AS s, count(value) AS c
+           FROM points GROUP BY metric, tag_user, tag_k, ts - ts % $HOUR)
+         SELECT metric, tag_user, tag_k, hb - hb % $DAY AS ts,
+           round(sum(s) / sum(c), 4) AS value
+         FROM hourly GROUP BY metric, tag_user, tag_k, hb - hb % $DAY
+         ORDER BY metric, tag_user, tag_k, ts""",
+
+    "q25_exp_infix" ->
+      s"""$O, c AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'click' GROUP BY ts - ts % $HOUR),
+         v AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'view' GROUP BY ts - ts % $HOUR)
+         SELECT c.ts AS ts,
+           round(c.v + v.v / 2 - (c.v - v.v) * 0.5, 4) AS value
+         FROM c JOIN v ON c.ts = v.ts
+         ORDER BY ts""",
+
+    "q26_groupby_tag" ->
+      s"""$O, p AS (
+           SELECT tag_user, tag_k, ts - ts % $HOUR AS b, avg(value) AS v
+           FROM points WHERE metric = 'click'
+           GROUP BY tag_user, tag_k, ts - ts % $HOUR),
+         grid AS (SELECT DISTINCT tag_user, b FROM p),
+         series AS (SELECT DISTINCT tag_user, tag_k FROM p),
+         slots AS (
+           SELECT s.tag_user, s.tag_k, g.b
+           FROM series s JOIN grid g ON s.tag_user = g.tag_user),
+         j AS (
+           SELECT sl.tag_user, sl.tag_k, sl.b, p.v
+           FROM slots sl LEFT JOIN p
+             ON sl.tag_user = p.tag_user AND sl.tag_k = p.tag_k AND sl.b = p.b),
+         w AS (
+           SELECT tag_user, b, v,
+             last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wp AS pb,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wn AS nb,
+             first_value(v IGNORE NULLS) OVER wn AS nv
+           FROM j
+           WINDOW wp AS (PARTITION BY tag_user, tag_k ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY tag_user, tag_k ORDER BY b
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         iv AS (
+           SELECT tag_user, b, CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (b - pb) * (nv - pv) / (nb - pb) END AS ival
+           FROM w)
+         SELECT 'click' AS metric, tag_user, b AS ts,
+           round(sum(ival), 4) AS value
+         FROM iv GROUP BY tag_user, b ORDER BY tag_user, ts"""
   )
 }

@@ -35,9 +35,13 @@ object Points {
   ))
 
   /** Stable surrogate for the reference's TSUID: hash of (metric, sorted
-    * tags). Used as the per-series shuffle/window key. */
+    * tags). Used as the per-series shuffle/window key. Tag entries are
+    * sorted by key before hashing so `{host=a,dc=x}` and `{dc=x,host=a}`
+    * collide to one series, matching the reference's tagk-sorted row key
+    * (src/core/RowKey.java:83-105) — map_entries alone preserves
+    * construction order and would silently split one logical series. */
   def seriesId(metric: Column, tags: Column): Column =
-    xxhash64(metric, to_json(map_entries(tags)))
+    xxhash64(metric, to_json(array_sort(map_entries(tags))))
 
   /** Add a `series_id` column derived from metric + tags. */
   def withSeriesId(df: DataFrame): DataFrame =

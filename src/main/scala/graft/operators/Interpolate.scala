@@ -69,9 +69,29 @@ object Interpolate {
       (col("metric") +: tagCols) ++ Seq(col("series_id"), col("ts"), col("value")): _*)
 
     if (agg == "none" || agg == "raw") {
-      // bypass: no grouping, no interpolation (reference
-      // src/core/TsdbQuery.java:1006-1028)
-      return pts.select((groupCols :+ col("ts")) :+ col("value"): _*)
+      // bypass: no grouping, no interpolation; >1 series is an error
+      // (reference src/core/TsdbQuery.java:1006-1028). The guard stays
+      // lazy: a broadcast single-row count + assert_true in the plan.
+      val n1 = pts.agg(countDistinct(col("series_id")).as("__n"))
+      return pts.crossJoin(broadcast(n1))
+        .where(assert_true(col("__n") <= 1,
+          lit("aggregator 'none' requires exactly one series")).isNull)
+        .select((groupCols :+ col("ts")) :+ col("value"): _*)
+    }
+
+    val policy0 = if (isRate) Prev else policyOf(agg)
+    if (policy0 == Zim || policy0 == Ignore) {
+      // Short-circuit: the grid×members slot join is a mathematical
+      // no-op for these policies — filling 0 cannot change a sum and
+      // nulls are skipped by min/max/count — so aggregate the present
+      // points directly. The grid (distinct group ts) is exactly the
+      // set of (group, ts) with ≥1 present point, which is what the
+      // direct groupBy emits. Saves two distincts + two joins; at scale
+      // the slot table is |series|×|union-of-ts| per group — a genuine
+      // scale-killer for metric-wide grouping.
+      return pts
+        .groupBy(groupCols :+ col("ts"): _*)
+        .agg(Aggregators.expr(agg, col("value"), col("ts")).as("value"))
     }
 
     // union-of-timestamps grid per group × member series
@@ -82,9 +102,7 @@ object Interpolate {
     val joined = slots.join(pts.select(col("series_id"), col("ts"), col("value")),
       Seq("series_id", "ts"), "left")
 
-    // Zim/Ignore need no neighbor lookup — skip the window passes
-    // entirely (one less sort per series for the common zimsum path)
-    val policy = if (isRate) Prev else policyOf(agg)
+    val policy = policy0
     val w = Window.partitionBy(col("series_id")).orderBy(col("ts"))
     val present = col("value").isNotNull
     val pv = struct(col("ts"), col("value"))

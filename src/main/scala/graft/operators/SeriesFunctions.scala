@@ -70,18 +70,18 @@ object SeriesFunctions {
   def highestMax(df: DataFrame, n: Int): DataFrame =
     topK(df, n, max(col("value")))
 
-  /** Rank series by a per-series aggregate, keep top n. Two shuffles
-    * (series agg + broadcast-join back); the ranked side is tiny
-    * (#series rows) so Spark broadcasts it. */
+  /** Rank series by a per-series aggregate, keep top n. orderBy+limit
+    * plans TakeOrderedAndProject — per-partition top-n then a single
+    * merge of n×partitions rows, never a global sort on one task (the
+    * unpartitioned-window anti-pattern with millions of series). The
+    * winner set is n rows, so the semi-join back is a broadcast. */
   private def topK(df: DataFrame, n: Int, score: Column): DataFrame = {
     val keys = seriesKey(df)
-    val scored = df.groupBy(keys.map(col): _*).agg(score.as("__score"))
-    val ranked = scored
-      .withColumn("__rank", row_number().over(
-        Window.orderBy(col("__score").desc +: keys.map(c => col(c).asc): _*)))
-      .filter(col("__rank") <= n)
+    val winners = df.groupBy(keys.map(col): _*).agg(score.as("__score"))
+      .orderBy(col("__score").desc +: keys.map(c => col(c).asc): _*)
+      .limit(n)
       .select(keys.map(col): _*)
-    df.join(broadcast(ranked), keys, "left_semi")
+    df.join(broadcast(winners), keys, "left_semi")
   }
 
   /**

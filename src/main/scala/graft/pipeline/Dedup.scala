@@ -58,8 +58,14 @@ object Dedup {
    * threshold, via the postings join. Returns (id_a, id_b, jaccard)
    * with id_a < id_b.
    */
+  /** Default document-frequency cap: ON by default — it is the one
+    * guard that keeps the postings self-join from going quadratic on a
+    * boilerplate shingle (a term in d docs contributes d²/2 pairs). */
+  val DEFAULT_MAX_DF = 1000L
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        threshold: Double, maxDf: Option[Long] = None,
+                        threshold: Double,
+                        maxDf: Option[Long] = Some(DEFAULT_MAX_DF),
                         ngram: Int = 3): DataFrame = {
     // join on the 32-bit term hash, not the term string: the postings
     // shuffle moves 8-byte longs instead of ~20-char shingles, and the
@@ -124,17 +130,22 @@ object Dedup {
    * MinHash-LSH candidate pairs: signatures banded (rows-per-band
    * consecutive hashes); docs sharing any band bucket become
    * candidates; candidates verified with exact Jaccard ≥ threshold.
+   *
+   * The text is tokenized+hashed exactly ONCE: the distinct (id, hash)
+   * postings feed the signature build, the set-size table, AND the
+   * verify stage (shared-hash counts per candidate pair), so no stage
+   * re-tokenizes raw text or joins full shingle arrays.
    */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       bands: Int, threshold: Double, ngram: Int = 3): DataFrame = {
     val rowsPerBand = MH_PARAMS.length / bands
-    // relational signature: explode term hashes once, take the 8 mins
-    // in one aggregation. (A projection-based variant gets re-inlined
-    // by CollapseProject, recomputing md5 once per permutation per
-    // join side — the aggregate is a hard barrier and the partial-agg
-    // combine keeps shuffle traffic at 8 longs per doc.)
+    // one tokenize+hash pass; persisted because it is read four times
+    // (signature agg, sizes, and both sides of the verify join)
     val post = df.select(col(idCol).as("id"),
-      explode(termHashes(col(textCol), ngram)).as("h"))
+        explode(array_distinct(termHashes(col(textCol), ngram))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // relational signature: the aggregate is a hard barrier, and the
+    // partial-agg combine keeps shuffle traffic at 8 longs per doc
     val sig = post.groupBy(col("id")).agg(
       min((col("h") * MH_PARAMS.head._1 + MH_PARAMS.head._2) % MH_PRIME).as("mh0"),
       MH_PARAMS.zipWithIndex.tail.map { case ((a, b), i) =>
@@ -153,15 +164,19 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    // verify candidates with exact Jaccard over the same term space
-    val toks = df.select(col(idCol).as("id"),
-      terms(col(textCol), ngram).as("toks"))
-    cand
-      .join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
-      .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+    // verify from the postings: |A∩B| = shared hash count per pair,
+    // |A∪B| = sz_a + sz_b - shared. Intermediate size is |cand| × avg
+    // doc size, not |docs|² — the LSH savings survive verification.
+    val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = cand
+      .join(post.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(post.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))))
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -183,8 +198,49 @@ object Dedup {
   def simhash32(text: Column, ngram: Int = 3): Column =
     simhash32FromHashes(termHashes(text, ngram))
 
+  /**
+   * Embedding near-duplicate pairs via multi-table random-hyperplane
+   * LSH blocking: each vector lands in `tables` independent nBits-bit
+   * buckets; docs sharing any bucket are candidates; candidates are
+   * verified with exact cosine ≥ threshold.
+   *
+   * The 100 TB shape: bucket population is |corpus| / 2^nBits per
+   * table (data-independent, no skewed "label" cells), so the
+   * within-bucket pair count is bounded and tunable. Recall is
+   * OR-amplified across tables — 1-(1-p^nBits)^tables for collision
+   * probability p = 1-θ/π — and still < 1: this is an approximate
+   * near-dup pass by design; raise `tables` (or add multi-probe) to
+   * trade cost for recall.
+   */
+  def embeddingRhpPairs(df: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double, nBits: Int, dim: Int,
+                        tables: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", Similarity.norm(col("vec")))
+      // read three times (bucketing + both sides of the verify join)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = v.select(col("id"), posexplode(array((0 until tables).map(t =>
+        Similarity.rhpBucket(col("vec"), nBits, dim, t * nBits)): _*)))
+      .select(col("id"), col("pos").as("t"), col("col").as("bkt"))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos",
+        Similarity.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by a
-    * coarse cell (IVF-style) to avoid the cross join. */
+    * coarse cell column (IVF-style). Prefer embeddingRhpPairs when no
+    * trained/balanced cell assignment exists — a skewed cell column
+    * makes the within-cell pair count quadratic. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             cellCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(cellCol).as("cell"),

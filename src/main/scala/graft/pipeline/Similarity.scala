@@ -76,17 +76,28 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("cos"), col("rank"))
   }
 
+  /** Sign (±1) of component j of deterministic pseudo-hyperplane p —
+    * shared by the Column implementation and oracle-SQL generation. */
+  def rhpSign(p: Int, j: Int): Double =
+    if (((p * 1103515245L + j * 12345L) >> 16) % 2 == 0) 1.0 else -1.0
+
   /** Random-hyperplane LSH bucket id (nBits-bit signature) from
-    * deterministic pseudo-hyperplanes: component j of plane p has sign
-    * derived from h32(p:j). Used to bucket corpus for ANN without a
-    * trained quantizer. */
-  def rhpBucket(vec: Column, nBits: Int, dim: Int): Column = {
-    val planes = (0 until nBits).map { p =>
-      val dots = (0 until dim).map { j =>
-        val sign = if (((p * 1103515245L + j * 12345L) >> 16) % 2 == 0) 1.0 else -1.0
-        element_at(vec, j + 1).cast("double") * lit(sign)
-      }.reduce(_ + _)
-      when(dots >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    * deterministic pseudo-hyperplanes: component j of plane
+    * (planeOffset + b) has sign rhpSign. Used to bucket a corpus for
+    * ANN without a trained quantizer; distinct planeOffsets give
+    * independent hash tables for OR-amplified (multi-table) LSH. */
+  def rhpBucket(vec: Column, nBits: Int, dim: Int, planeOffset: Int = 0): Column = {
+    val planes = (0 until nBits).map { b =>
+      val p = planeOffset + b
+      // sign vector as an array literal + zip_with fold: compact codegen
+      // (an unrolled dim-term sum blows the 64 KB JVM method limit and
+      // drops the whole stage out of codegen). The sequential fold adds
+      // terms in index order — the same IEEE order as the oracle SQL.
+      val signs = typedlit((0 until dim).map(j => rhpSign(p, j)))
+      val dots = aggregate(
+        zip_with(vec, signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(dots >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     planes.reduce((a, b) => a + b)
   }

@@ -67,9 +67,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map(0L -> 1.0, 15000L -> 10.0, 30000L -> 2.0, 45000L -> 20.0))
   }
 
-  test("none aggregator bypasses grouping") {
-    val r = Interpolate.aggregate(offset, "none")
-    assert(r.count() == 4)
+  test("none aggregator bypasses grouping for one series, errors on more") {
+    val one = pointsDf(Seq(
+      ("m", 0L, 1.0, host("a")), ("m", 30000L, 2.0, host("a"))))
+    assert(Interpolate.aggregate(one, "none").count() == 2)
+    // >1 series is an error (reference src/core/TsdbQuery.java:1006-1028)
+    val e = intercept[Exception] {
+      Interpolate.aggregate(offset, "none").count()
+    }
+    assert(e.getMessage.contains("one series") ||
+      Option(e.getCause).exists(_.getMessage.contains("one series")))
+  }
+
+  test("seriesId is insensitive to tag insertion order") {
+    // the reference sorts tags by tagk in the row key
+    // (src/core/RowKey.java:83-105); hashing must canonicalize too
+    val df = pointsDf(Seq(("m", 0L, 1.0, Map.empty[String, String])))
+    val ids = df.select(
+      Points.seriesId(lit("m"),
+        map(lit("host"), lit("a"), lit("dc"), lit("x"))).as("id1"),
+      Points.seriesId(lit("m"),
+        map(lit("dc"), lit("x"), lit("host"), lit("a"))).as("id2"))
+      .collect()(0)
+    assert(ids.getAs[Long]("id1") == ids.getAs[Long]("id2"))
   }
 
   // ---- aggregator registry -------------------------------------------
