@@ -30,8 +30,29 @@ object Engine {
     * (MAX_TIMESPAN = 1h, src/core/TsdbQuery.java:1575-1615). */
   val RATE_LERP_PAD_MS = 3600000L
 
-  /** Run one sub-query against a canonical points DataFrame. */
-  def run(points: DataFrame, query: TsQuery, sub: SubQuery): DataFrame = {
+  /**
+   * A registered pre-aggregated table (schema of Rollups.materialize /
+   * sources.Ingest.rollupStream) plus the freshness horizon up to which
+   * it is complete — the reference's rollup table registry + blackout
+   * SLA (src/rollup/RollupInterval.java:32-94,
+   * src/core/SplitRollupQuery.java:29).
+   */
+  case class RollupTable(intervalMs: Long, df: DataFrame,
+                         horizonMs: Long = Long.MaxValue)
+
+  /**
+   * Run one sub-query against a canonical points DataFrame.
+   *
+   * When `rollups` are registered and the downsample spec can be served
+   * from one (interval multiple, supported aggregator — reference
+   * TsdbQuery.tableToBeScanned src/core/TsdbQuery.java:1553-1571), the
+   * coarsest qualifying rollup is scanned instead of raw points — THE
+   * 100 TB lever: a 1d query over years reads ~1/3600 of the raw bytes
+   * from the 1h rollup. Buckets past the rollup's horizon are computed
+   * from fresh raw points and stitched in (SplitRollupQuery semantics).
+   */
+  def run(points: DataFrame, query: TsQuery, sub: SubQuery,
+          rollups: Seq[RollupTable] = Seq.empty): DataFrame = {
     // pre-pad the scan so edge buckets AND the first rate delta / lerp
     // neighbor exist (reference getScanStartTimeSeconds pads for rate
     // too, not just downsample)
@@ -40,15 +61,34 @@ object Engine {
     val padMs = math.max(
       sub.downsample.map(d => math.max(d.intervalMs, 1L)).getOrElse(0L),
       if (needsNeighbors) RATE_LERP_PAD_MS else 0L)
-    val scanned = points.filter(
-      col("metric") === sub.metric &&
-        col("ts") >= (query.startMs - padMs) && col("ts") <= (query.endMs + padMs))
-    val filtered = TagFilters(scanned, sub.filters, sub.explicitTags)
-    val withSeries = Points.withSeriesId(filtered)
+    // shared scan shape for raw points AND rollup rows: metric + padded
+    // time range (pushdown-friendly) then tag filters
+    def scanned(df: DataFrame): DataFrame = TagFilters(
+      df.filter(col("metric") === sub.metric &&
+        col("ts") >= (query.startMs - padMs) && col("ts") <= (query.endMs + padMs)),
+      sub.filters, sub.explicitTags)
+    lazy val withSeries = Points.withSeriesId(scanned(points))
 
     val downsampled = sub.downsample match {
       case Some(spec) =>
-        Downsample(withSeries, spec, Some((query.startMs, query.endMs)))
+        val route = rollups
+          .filter(r => Rollups.canServe(spec, r.intervalMs))
+          .sortBy(-_.intervalMs).headOption
+        route match {
+          case Some(r) =>
+            // align the split to a downsample bucket boundary so no
+            // bucket is half-rollup half-raw
+            val hz = if (r.horizonMs == Long.MaxValue) Long.MaxValue
+              else r.horizonMs - r.horizonMs % math.max(spec.intervalMs, 1L)
+            val fromRollup = Rollups.downsampleFromRollup(
+              scanned(r.df).filter(col("ts") < hz), spec)
+            if (hz == Long.MaxValue) fromRollup
+            else fromRollup.unionByName(
+              Downsample(withSeries.filter(col("ts") >= hz), spec,
+                Some((query.startMs, query.endMs))))
+          case None =>
+            Downsample(withSeries, spec, Some((query.startMs, query.endMs)))
+        }
       case None => withSeries
     }
     val rated = sub.rate match {

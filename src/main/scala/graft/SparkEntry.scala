@@ -326,6 +326,22 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.12/§4 rollup ROUTING through the engine: a 1d-avg query served
+    // from the 1h rollup table up to its freshness horizon, stitched
+    // with fresh raw points past it (reference tableToBeScanned +
+    // SplitRollupQuery, src/core/TsdbQuery.java:1553-1571)
+    "q27_rollup_routed" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val rollup = Rollups.materialize(p, HOUR)
+      val query = TsQuery(T_0105, T_0120 + 7 * DAY, Seq.empty)
+      val sub = SubQuery("zimsum", "view",
+        Seq(LiteralOr("user", Seq("1", "2", "3", "4", "5"))),
+        Some(DownsampleSpec.parse("1d-avg")))
+      Engine.run(p, query, sub, Seq(Engine.RollupTable(HOUR, rollup, T_0120)))
+        .select(col("metric"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("ts")
+    }),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -650,6 +666,31 @@ object SparkEntry {
            round(c.v + v.v / 2 - (c.v - v.v) * 0.5, 4) AS value
          FROM c JOIN v ON c.ts = v.ts
          ORDER BY ts""",
+
+    "q27_rollup_routed" -> {
+      val start = T_0105; val end = T_0120 + 7 * DAY; val pad = DAY
+      s"""$O, hourly AS (
+           SELECT tag_user, tag_k, ts - ts % $HOUR AS hb,
+             sum(value) AS s, count(value) AS c
+           FROM points
+           WHERE metric = 'view' AND tag_user IN ('1','2','3','4','5')
+           GROUP BY tag_user, tag_k, ts - ts % $HOUR),
+         old AS (
+           SELECT tag_user, tag_k, hb - hb % $DAY AS db, sum(s) / sum(c) AS v
+           FROM hourly
+           WHERE hb >= ${start - pad} AND hb <= ${end + pad} AND hb < $T_0120
+           GROUP BY tag_user, tag_k, hb - hb % $DAY),
+         fresh AS (
+           SELECT tag_user, tag_k, ts - ts % $DAY AS db, avg(value) AS v
+           FROM points
+           WHERE metric = 'view' AND tag_user IN ('1','2','3','4','5')
+             AND ts >= ${start - pad} AND ts <= ${end + pad} AND ts >= $T_0120
+           GROUP BY tag_user, tag_k, ts - ts % $DAY),
+         uni AS (SELECT * FROM old UNION ALL SELECT * FROM fresh)
+         SELECT 'view' AS metric, db AS ts, round(sum(v), 4) AS value
+         FROM uni WHERE db >= $start AND db <= $end
+         GROUP BY db ORDER BY ts"""
+    },
 
     "q26_groupby_tag" ->
       s"""$O, p AS (

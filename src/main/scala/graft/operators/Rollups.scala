@@ -36,9 +36,11 @@ object Rollups {
   }
 
   /** Can `spec` be served from a rollup of `rollupMs`? (reference
-    * routing rule: interval multiple + supported aggregator) */
+    * routing rule: interval multiple + supported aggregator; fill
+    * policies need the raw-path grid generator) */
   def canServe(spec: DownsampleSpec, rollupMs: Long): Boolean =
     spec.intervalMs > 0 && spec.intervalMs % rollupMs == 0 && !spec.calendar &&
+      spec.fill == graft.query.FillPolicy.None &&
       Set("sum", "avg", "count", "min", "max", "zimsum", "mimmin", "mimmax")
         .contains(spec.aggregator)
 
@@ -47,7 +49,10 @@ object Rollups {
    * Σsum/Σcount (not avg-of-avgs); min/max re-aggregate; sum/count
    * re-sum.
    */
-  def downsampleFromRollup(rollup: DataFrame, spec: DownsampleSpec): DataFrame = {
+  def downsampleFromRollup(rollup0: DataFrame, spec: DownsampleSpec): DataFrame = {
+    val rollup =
+      if (rollup0.columns.contains("series_id")) rollup0
+      else graft.model.Points.withSeriesId(rollup0)
     val b = col("ts") - col("ts") % spec.intervalMs
     val g = rollup.withColumn("bucket", b)
       .groupBy(col("series_id"), col("bucket"))
@@ -78,8 +83,12 @@ object Rollups {
    */
   def stitch(rollup: DataFrame, rawPoints: DataFrame, spec: DownsampleSpec,
              horizonMs: Long): DataFrame = {
-    val old = downsampleFromRollup(rollup.filter(col("ts") < horizonMs), spec)
-    val fresh = Downsample(rawPoints.filter(col("ts") >= horizonMs), spec)
+    // align the split to an output bucket boundary so no bucket is
+    // computed half from the rollup and half from raw
+    val hz = if (spec.intervalMs > 0) horizonMs - horizonMs % spec.intervalMs
+             else horizonMs
+    val old = downsampleFromRollup(rollup.filter(col("ts") < hz), spec)
+    val fresh = Downsample(rawPoints.filter(col("ts") >= hz), spec)
     old.unionByName(fresh)
   }
 }

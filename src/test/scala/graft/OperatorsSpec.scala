@@ -79,6 +79,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("one series")))
   }
 
+  test("rollup stitch aligns the horizon to an output bucket boundary") {
+    // one series, a point every 6h over 4 days
+    val p = pointsDf((0 until 16).map(i =>
+      ("m", i * 6 * 3600000L, i.toDouble, host("a"))))
+    val rollup = Rollups.materialize(p, 3600000L)
+    val spec = DownsampleSpec.parse("1d-sum")
+    // a mid-bucket horizon (day 2 + 1h) must split at the day boundary —
+    // otherwise day 2 would appear in BOTH the rollup and raw halves
+    val stitched = Rollups.stitch(rollup, p, spec, 2 * 86400000L + 3600000L)
+    val direct = Downsample(p, spec)
+    assert(valuesByTs(stitched) == valuesByTs(direct))
+    assert(stitched.count() == direct.count())
+  }
+
   test("seriesId is insensitive to tag insertion order") {
     // the reference sorts tags by tagk in the row key
     // (src/core/RowKey.java:83-105); hashing must canonicalize too
