@@ -107,6 +107,70 @@ object Engine {
   def runM(points: DataFrame, query: TsQuery, m: String): DataFrame =
     run(points, query, QueryParser.parseSubQuery(m))
 
+  /** Parse-and-run a POST /api/query JSON body: one result DataFrame
+    * per sub-query, routed through percentile extraction when the
+    * sub-query sets `percentiles` (reference TSSubQuery.percentiles,
+    * src/core/TSSubQuery.java:94-95). */
+  def runJson(points: DataFrame, body: String,
+              now: Long = System.currentTimeMillis(),
+              rollups: Seq[RollupTable] = Seq.empty): Seq[DataFrame] = {
+    val q = JsonQuery.parse(body, now)
+    q.queries.map { sub =>
+      if (sub.percentiles.nonEmpty) runPercentiles(points, q, sub)
+      else run(points, q, sub, rollups)
+    }
+  }
+
+  /**
+   * Histogram-percentile query path (reference
+   * test/core/TestTsdbQueryHistogramQueries.java; `percentiles[]` on a
+   * sub-query): points bucketed per (group tags, downsample interval)
+   * into fixed-width histograms, one output row set per requested
+   * percentile with a `ptile` column. Percentiles are 0-100 as in the
+   * reference API. `binWidth` configures the histogram codec (the
+   * reference delegates codec choice to HistogramCodecManager; our
+   * relational histogram model needs only a bin width).
+   */
+  def runPercentiles(points: DataFrame, query: TsQuery, sub: SubQuery,
+                     binWidth: Double = 10.0): DataFrame = {
+    require(sub.percentiles.nonEmpty, "no percentiles requested")
+    val scanned = TagFilters(
+      points.filter(col("metric") === sub.metric &&
+        col("ts") >= query.startMs && col("ts") <= query.endMs),
+      sub.filters, sub.explicitTags)
+    val groupKeys = TagFilters.groupByKeys(sub.filters)
+    val bucketMs = sub.downsample.map(_.intervalMs).filter(_ > 0)
+      .getOrElse(3600000L)
+    val tagCols = groupKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
+    val base = scanned.select(
+      (col("metric") +: tagCols) ++
+        Seq((col("ts") - col("ts") % bucketMs).as("ts"), col("value")): _*)
+    val gcols = ("metric" +: groupKeys.map(k => s"tag_$k")) :+ "ts"
+    val hist = Histograms.fromPoints(base, gcols, "value", binWidth)
+    sub.percentiles
+      .map(p => Histograms.percentile(hist, gcols, p / 100.0)
+        .withColumn("ptile", lit(p)))
+      .reduce(_ unionByName _)
+  }
+
+  /**
+   * Data-point budget guard (reference `tsd.query.limits.*`,
+   * src/core/TsdbQuery.java:188-191, enforcement in
+   * SaltScanner.processRow; per-client overrides
+   * src/query/QueryLimitOverride.java:52): the query fails at execution
+   * time when the result exceeds `max` rows. Lazy — a broadcast
+   * single-row count plus assert_true in the plan — at the cost of one
+   * extra pass over the (already aggregated, small) result.
+   */
+  def withMaxDataPoints(df: DataFrame, max: Long): DataFrame = {
+    val n = df.agg(count(lit(1)).as("__n"))
+    df.crossJoin(broadcast(n))
+      .where(assert_true(col("__n") <= max,
+        concat(lit("query result exceeds the data-point budget of "),
+          lit(max))).isNull)
+      .drop("__n")
+  }
+
   /**
    * Output shaping to the reference's serialization shape
    * (HttpJsonSerializer.formatQueryV1): one row per group with

@@ -42,4 +42,45 @@ object Annotations {
       .drop("rb", "ab")
       .drop(keyCols.map(k => s"a_$k"): _*)
   }
+
+  // ---- CRUD (reference src/tsd/AnnotationRpc.java) --------------------
+  //
+  // Storage-agnostic DataFrame transforms: the caller owns persistence
+  // (overwrite the annotation table / Delta MERGE). Identity of an
+  // annotation = (series key columns, start_ts), matching the
+  // reference's (tsuid, start_time) row key.
+
+  /** Create-or-update: rows in `edits` replace table rows with the same
+    * (keyCols, start_ts) identity — the reference's POST/PUT upsert. */
+  def upsert(table: DataFrame, edits: DataFrame,
+             keyCols: Seq[String]): DataFrame = {
+    val id = keyCols :+ "start_ts"
+    table.join(edits.select(id.map(col): _*), id, "left_anti")
+      .unionByName(edits)
+  }
+
+  /** Delete by identity — DELETE /api/annotation. */
+  def delete(table: DataFrame, keyCols: Seq[String],
+             startTs: Long): DataFrame =
+    table.filter(!(col("start_ts") === startTs &&
+      keyCols.map(k => col(k).isNull).reduceOption(_ && _).getOrElse(lit(true))))
+
+  /** Bulk delete: all annotations overlapping [startTs, endTs], global
+    * ones only when `global` — the reference's bulk delete endpoint
+    * (AnnotationRpc bulk path). */
+  def bulkDelete(table: DataFrame, startTs: Long, endTs: Long,
+                 keyCols: Seq[String], globalOnly: Boolean = false): DataFrame = {
+    val overlaps = col("start_ts") <= endTs && col("end_ts") >= startTs
+    val isGlobal = keyCols.map(k => col(k).isNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    table.filter(!(overlaps && (if (globalOnly) isGlobal else lit(true))))
+  }
+
+  /** Global annotations in a time range (null key columns), attached to
+    * query output when requested (reference QueryRpc globalAnnotations,
+    * src/tsd/QueryRpc.java:124-320). */
+  def globals(table: DataFrame, keyCols: Seq[String],
+              startTs: Long, endTs: Long): DataFrame =
+    table.filter(col("start_ts") <= endTs && col("end_ts") >= startTs &&
+      keyCols.map(k => col(k).isNull).reduceOption(_ && _).getOrElse(lit(true)))
 }

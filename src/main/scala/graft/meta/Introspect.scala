@@ -1,0 +1,50 @@
+package graft.meta
+
+import graft.operators.Aggregators
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Introspection endpoints — /api/aggregators, /api/config,
+ * /api/version, /api/stats (reference: src/tsd/RpcManager.java:280-331,
+ * src/tsd/HttpJsonSerializer.java formatAggregatorsV1 etc.). Each is a
+ * small DataFrame so the serialization layer stays uniform with query
+ * results.
+ */
+object Introspect {
+
+  /** GET /api/aggregators — the registered aggregator names. */
+  def aggregators(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Aggregators.all.toDF("aggregator")
+  }
+
+  /** GET /api/version. */
+  def version(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("graft", "2.0", spark.version))
+      .toDF("name", "version", "spark_version")
+  }
+
+  /** GET /api/config — the engine-relevant Spark session confs. */
+  def config(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.conf.getAll.toSeq.toDF("key", "value")
+  }
+
+  /** GET /api/stats over a points table: per-metric row counts and time
+    * bounds (the reference reports TSD counters; a Spark engine's
+    * equivalent operational stats are per-table). */
+  def stats(points: DataFrame): DataFrame =
+    points.groupBy(col("metric"))
+      .agg(count(lit(1)).as("points"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("max_ts"))
+      .withColumnRenamed("max_ts", "last_ts")
+
+  /** Distinct-series table (metric + tags), the base for suggest /
+    * lookup / tsuid-style queries (reference src/meta/TSMeta.java). */
+  def seriesMeta(points: DataFrame): DataFrame =
+    points.groupBy(col("metric"), col("tags"))
+      .agg(min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
+        count(lit(1)).as("points"))
+}

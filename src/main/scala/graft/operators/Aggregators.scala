@@ -115,6 +115,32 @@ object Aggregators {
   private def pctFromDigits(d: String): Double =
     d.toDouble / math.pow(10, d.length)
 
+  /**
+   * Long/double dual aggregate (SURVEY hard-part #2): when every point
+   * in the group is integral (`is_int`), `avg` uses truncating long
+   * division and `dev` truncates the result to a long — the reference's
+   * `runLong` paths (src/core/Aggregators.java:365-395 avg, :498-571
+   * dev). Everything else in the registry is value-preserving on longs
+   * (sum/min/max/first/last/diff of integers is integral in doubles up
+   * to 2^53), so double promotion there is intentional and lossless at
+   * realistic magnitudes; only the division-based aggregates observe
+   * the integer path.
+   */
+  def dualExpr(name: String, v: Column, vl: Column, isInt: Column,
+               ts: Column): Column = name match {
+    case "avg" =>
+      // long/long division truncating toward zero like Java (cast-to-
+      // long truncation; exact for |sum| < 2^53 which covers the
+      // reference's realistic counter magnitudes)
+      when(bool_and(isInt),
+        (sum(vl) / count(vl)).cast("long").cast("double"))
+        .otherwise(avg(v))
+    case "dev" =>
+      val d = when(count(v) === 1, lit(0.0)).otherwise(stddev_samp(v))
+      when(bool_and(isInt), d.cast("long").cast("double")).otherwise(d)
+    case other => expr(other, v, ts)
+  }
+
   /** Names whose double path skips NaN (all of them, in the reference —
     * aggregation iterators only feed non-NaN); exposed for tests. */
   val all: Seq[String] = Seq("sum", "min", "max", "avg", "count", "median",

@@ -105,7 +105,12 @@ object Ingest {
       .filter(col("_error").isNull).drop("_error")
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", lateness)
-      .dropDuplicates("metric", "tags", "ts")
+      // dedup on the canonical series hash: map-type columns are not
+      // valid dropDuplicates keys, and the hash matches the query-side
+      // series identity (sorted tag entries)
+      .withColumn("series_id",
+        graft.model.Points.seriesId(col("metric"), col("tags")))
+      .dropDuplicates("series_id", "ts")
       .withColumn("date", to_date(col("event_time")))
     pts.writeStream
       .format("parquet")
@@ -113,6 +118,19 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .partitionBy("date")
   }
+
+  /**
+   * Real-time publisher hook — the reference's RTPublisher plugin
+   * (src/tsd/RTPublisher.java, publishDataPoint per ingested point):
+   * a second consumer of the ingest stream via foreachBatch, so the
+   * same micro-batch feeds the durable sink and any push target
+   * (Kafka producer, alert evaluator, ...) without re-reading the
+   * source.
+   */
+  def withPublisher(parsed: DataFrame, publish: (DataFrame, Long) => Unit) =
+    parsed.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+      publish(batch.toDF(), id)
+    }
 
   /**
    * Rollup materialization as a tumbling-window streaming aggregation
@@ -125,13 +143,19 @@ object Ingest {
   def rollupStream(points: DataFrame, interval: String = "1 hour",
                    lateness: String = "10 minutes"): DataFrame =
     points
+      // group on the series hash — a map column is not an orderable
+      // grouping key — and carry metric/tags through as first()s; the
+      // output schema matches Rollups.materialize, so the stream sink
+      // is directly registrable as an Engine.RollupTable
+      .withColumn("series_id",
+        graft.model.Points.seriesId(col("metric"), col("tags")))
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", lateness)
-      .groupBy(col("metric"), col("tags"),
-        window(col("event_time"), interval).as("w"))
-      .agg(sum(col("value")).as("sum"), count(col("value")).as("count"),
+      .groupBy(col("series_id"), window(col("event_time"), interval).as("w"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        sum(col("value")).as("sum"), count(col("value")).as("count"),
         min(col("value")).as("min"), max(col("value")).as("max"))
-      .select(col("metric"), col("tags"),
+      .select(col("metric"), col("tags"), col("series_id"),
         unix_millis(col("w.start")).as("ts"),
         col("sum"), col("count"), col("min"), col("max"))
 }

@@ -93,6 +93,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stitched.count() == direct.count())
   }
 
+  test("integer path: truncating avg and dev (reference runLong)") {
+    import scala.jdk.CollectionConverters._
+    def mk(rows: Seq[(Double, Long, Boolean)]) =
+      spark.createDataFrame(rows.zipWithIndex.map { case ((v, vl, ii), i) =>
+        Row("m", i.toLong * 1000, v, if (ii) vl else null, ii, host("a"))
+      }.asJava, Points.schema)
+    val ints = mk(Seq((1.0, 1L, true), (2.0, 2L, true)))
+    val r = ints.agg(
+      Aggregators.dualExpr("avg", col("value"), col("value_l"),
+        col("is_int"), col("ts")).as("a"),
+      Aggregators.dualExpr("dev", col("value"), col("value_l"),
+        col("is_int"), col("ts")).as("d")).collect()(0)
+    assert(r.getAs[Double]("a") == 1.0) // 3/2 truncates (runLong avg)
+    assert(r.getAs[Double]("d") == 0.0) // 0.707... truncated to long
+    // any double in the group promotes the whole group to double math
+    val mixed = mk(Seq((1.0, 1L, true), (2.0, 0L, false)))
+    val m = mixed.agg(Aggregators.dualExpr("avg", col("value"),
+      col("value_l"), col("is_int"), col("ts")).as("a")).collect()(0)
+    assert(m.getAs[Double]("a") == 1.5)
+  }
+
+  test("percentiles[] wiring: Engine.runPercentiles + runJson routing") {
+    val p = pointsDf((0 until 100).map(i => ("m", i.toLong, i.toDouble, host("a"))))
+    val q = TsQuery(0L, 86400000L, Seq.empty)
+    val sub = SubQuery("sum", "m", Seq.empty,
+      Some(DownsampleSpec.parse("1d-sum")), percentiles = Seq(50.0))
+    val rows = Engine.runPercentiles(p, q, sub, binWidth = 1.0).collect()
+    // values 0..99 in width-1 bins: p50 interpolates to exactly 50.0
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("value") == 50.0)
+    assert(rows(0).getAs[Double]("ptile") == 50.0)
+    // JSON entry point routes percentile sub-queries through the same path
+    val dfs = Engine.runJson(p,
+      """{"start":0,"queries":[
+           {"aggregator":"sum","metric":"m","percentiles":[50.0]},
+           {"aggregator":"sum","metric":"m"}]}""",
+      now = 86400000L)
+    assert(dfs.size == 2)
+    assert(dfs(0).collect()(0).getAs[Double]("value") == 50.0)
+    assert(dfs(1).count() > 0)
+  }
+
   test("seriesId is insensitive to tag insertion order") {
     // the reference sorts tags by tagk in the row key
     // (src/core/RowKey.java:83-105); hashing must canonicalize too

@@ -96,4 +96,44 @@ class ParserSpec extends AnyFunSuite {
       case other => fail(s"unexpected $other")
     }
   }
+
+  test("JSON /api/query body parsing (parseQueryV1 semantics)") {
+    val now = 1700000000000L
+    val q = JsonQuery.parse(
+      """{"start":"1h-ago","msResolution":true,
+         "queries":[
+           {"aggregator":"sum","metric":"sys.cpu.user","rate":true,
+            "rateOptions":{"counter":true,"counterMax":100,"resetValue":1},
+            "downsample":"5m-avg","tags":{"host":"*"},
+            "filters":[{"type":"literal_or","tagk":"dc",
+                        "filter":"east|west","groupBy":false}],
+            "explicitTags":true},
+           {"aggregator":"avg","metric":"sys.lat","percentiles":[99.0,95.0]}
+         ]}""", now)
+    assert(q.startMs == now - 3600000L && q.endMs == now)
+    assert(q.queries.size == 2)
+    val s0 = q.queries(0)
+    assert(s0.aggregator == "sum" && s0.metric == "sys.cpu.user")
+    assert(s0.rate.contains(RateOptions(counter = true, counterMax = 100,
+      resetValue = 1, dropResets = false)))
+    assert(s0.downsample.map(_.intervalMs).contains(300000L))
+    assert(s0.explicitTags)
+    assert(s0.filters.collect { case GroupByAll(k) => k } == Seq("host"))
+    assert(s0.filters.collect {
+      case LiteralOr("dc", vs, false, false) => vs } == Seq(Seq("east", "west")))
+    val s1 = q.queries(1)
+    assert(s1.percentiles == Seq(99.0, 95.0) && s1.rate.isEmpty)
+    // epoch numbers: seconds vs millis auto-detect
+    val q2 = JsonQuery.parse(
+      """{"start":1700000000,"end":1700000100000,
+         "queries":[{"aggregator":"sum","metric":"m"}]}""", now)
+    assert(q2.startMs == 1700000000000L && q2.endMs == 1700000100000L)
+    // missing start / empty queries are errors
+    intercept[IllegalArgumentException] {
+      JsonQuery.parse("""{"queries":[{"aggregator":"sum","metric":"m"}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      JsonQuery.parse("""{"start":1,"queries":[]}""")
+    }
+  }
 }

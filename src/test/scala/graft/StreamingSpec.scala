@@ -1,0 +1,133 @@
+package graft
+
+import graft.meta.{Annotations, Introspect}
+import graft.model.Points
+import graft.sources.{Export, Ingest}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/**
+ * Structured Streaming ingest + rollup materialization actually
+ * executed on MemoryStreams (reference semantics: compaction-time
+ * last-write-wins dedup src/core/CompactionQueue.java:267-500, rollup
+ * writing src/rollup/RollupUtils.java:120-160), plus the metadata /
+ * export / limits surface.
+ */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming ingest: parse, watermark dedup, parquet sink") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val cp = Files.createTempDirectory("graft_stream_cp").toString
+    val q = Ingest.streamToParquet(spark, mem.toDF(), out, cp).start()
+    mem.addData(
+      "put cpu 1700000000 1 host=a",
+      "put cpu 1700000000 1 host=a", // exact duplicate → dropped
+      "put cpu 1700000060 2.5 host=a",
+      "put cpu 1700000060 7 host=b",
+      "this is not a put line") // parse error → dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3)
+    assert(rows.filter(col("metric") === "cpu" && col("ts") === 1700000000000L)
+      .count() == 1)
+  }
+
+  test("streaming rollup materialization (tumbling window agg)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val pts = Ingest.parsePutLines(mem.toDF())
+      .filter(col("_error").isNull).drop("_error")
+    val q = Ingest.rollupStream(pts, "1 hour").writeStream
+      .format("memory").queryName("rollup_stream_test")
+      .outputMode("complete").start()
+    mem.addData(
+      "put cpu 1700000000 1 host=a",
+      "put cpu 1700000100 3 host=a",
+      "put cpu 1700003700 5 host=a") // next hour bucket
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("rollup_stream_test")
+      .orderBy("ts").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Double]("sum") == 4.0 && r(0).getAs[Long]("count") == 2)
+    assert(r(1).getAs[Double]("sum") == 5.0 && r(1).getAs[Long]("count") == 1)
+    // schema is registrable as an Engine rollup table
+    assert(Seq("metric", "tags", "series_id", "ts", "sum", "count", "min", "max")
+      .forall(spark.table("rollup_stream_test").columns.contains))
+  }
+
+  test("annotation CRUD: upsert replaces identity, bulk delete by range") {
+    import spark.implicits._
+    val table = Seq(
+      (Some("s1"), 100L, 200L, "old"),
+      (None: Option[String], 150L, 250L, "global note"))
+      .toDF("series", "start_ts", "end_ts", "description")
+    val edits = Seq((Some("s1"), 100L, 210L, "new"))
+      .toDF("series", "start_ts", "end_ts", "description")
+    val up = Annotations.upsert(table, edits, Seq("series"))
+    assert(up.count() == 2)
+    assert(up.filter(col("description") === "new").count() == 1)
+    assert(up.filter(col("description") === "old").count() == 0)
+    val afterDelete = Annotations.bulkDelete(up, 0L, 300L, Seq("series"),
+      globalOnly = true)
+    assert(afterDelete.count() == 1)
+    assert(Annotations.globals(up, Seq("series"), 0L, 300L).count() == 1)
+  }
+
+  test("introspection endpoints and series meta") {
+    assert(Introspect.aggregators(spark).count() > 30)
+    assert(Introspect.version(spark).count() == 1)
+    assert(Introspect.config(spark).filter(col("key").startsWith("spark.sql"))
+      .count() > 0)
+    import spark.implicits._
+    val pts = Seq(("cpu", 1000L, 1.0), ("cpu", 2000L, 2.0), ("mem", 1000L, 3.0))
+      .toDF("metric", "ts", "value").withColumn("tags",
+        map(lit("host"), lit("a")))
+    val st = Introspect.stats(pts).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("points")).toMap
+    assert(st == Map("cpu" -> 2L, "mem" -> 1L))
+    assert(Introspect.seriesMeta(pts).count() == 2)
+  }
+
+  test("export round-trips through the put-line parser") {
+    import scala.jdk.CollectionConverters._
+    val pts = spark.createDataFrame(Seq(
+      Row("cpu", 1700000000000L, 42.0, 42L, true,
+        Map("host" -> "a", "dc" -> "x")),
+      Row("mem", 1700000001000L, 1.5, null, false, Map("host" -> "b"))
+    ).asJava, Points.schema)
+    val lines = Export.toPutLines(pts)
+    val back = Ingest.parsePutLines(lines).filter(col("_error").isNull)
+    assert(back.count() == 2)
+    val cpu = back.filter(col("metric") === "cpu").collect()(0)
+    assert(cpu.getAs[Long]("ts") == 1700000000000L)
+    assert(cpu.getAs[Boolean]("is_int") && cpu.getAs[Long]("value_l") == 42L)
+    assert(cpu.getAs[Map[String, String]]("tags") ==
+      Map("dc" -> "x", "host" -> "a"))
+  }
+
+  test("data-point budget guard fails oversized results lazily") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("v")
+    assert(Engine.withMaxDataPoints(df, 10).count() == 10)
+    intercept[Exception] { Engine.withMaxDataPoints(df, 9).count() }
+  }
+}
