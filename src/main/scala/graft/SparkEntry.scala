@@ -342,6 +342,142 @@ object SparkEntry {
         .orderBy("ts")
     }),
 
+    // §3.1 the m= URI grammar through the full engine: parse → scan →
+    // filter → downsample → group-aggregate → clip
+    "q28_engine_uri" -> ((s, dir) => {
+      val q = TsQuery(T_0105, T_0120, Seq.empty)
+      Engine.runM(pts(s, dir), q, "zimsum:1h-sum:click{user=*}")
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
+    // §2.2 case-insensitive filters: iliteral_or + iwildcard
+    "q29_filters_ci" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "signup")
+      flat(TagFilters(df, Seq(
+          LiteralOr("user", Seq("1", "2", "3"), caseInsensitive = true),
+          Wildcard("k", "1*", caseInsensitive = true))))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user")
+    }),
+
+    // §2.8 movingAverage by TIME window (rangeBetween frame)
+    "q30_moving_avg_time" -> ((s, dir) => {
+      val ds = flat(Downsample(pts(s, dir).filter(col("metric") === "purchase"),
+        DownsampleSpec.parse("1d-sum")))
+      SeriesFunctions.movingAverageByTime(ds, 3 * DAY)
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "tag_k", "ts")
+    }),
+
+    // §2.8 highestCurrent top-k by most-recent value
+    "q31_highest_current" -> ((s, dir) => {
+      val ds = flat(Downsample(pts(s, dir).filter(col("metric") === "signup"),
+        DownsampleSpec.parse("1d-sum")))
+      SeriesFunctions.highestCurrent(ds, 3)
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "tag_k", "ts")
+    }),
+
+    // §2.5 PREV interpolation policy (pfsum) across the metric's series
+    "q32_pfsum_group" -> ((s, dir) => {
+      val ds = Downsample(pts(s, dir).filter(col("metric") === "click"),
+        DownsampleSpec.parse("1h-sum"))
+      Interpolate.aggregate(ds, "pfsum")
+        .select(col("metric"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("ts")
+    }),
+
+    // §2.2 explicit_tags: series' tag set must equal the filter keys
+    // exactly (k dropped for even users → only those survive)
+    "q33_explicit_tags" -> ((s, dir) => {
+      val base = pts(s, dir).filter(col("metric") === "error")
+        .withColumn("tags",
+          when(col("tags").getItem("user").cast("int") % 2 === 0,
+            map(lit("user"), col("tags").getItem("user")))
+          .otherwise(col("tags")))
+      flat(TagFilters(base, Seq(GroupByAll("user")), explicitTags = true))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user")
+    }),
+
+    // §2.2 not_key: series must NOT contain the tag key at all
+    "q34_not_key" -> ((s, dir) => {
+      val base = pts(s, dir).filter(col("metric") === "error")
+        .withColumn("tags",
+          when(col("tags").getItem("user").cast("int") % 2 === 0,
+            map(lit("user"), col("tags").getItem("user")))
+          .otherwise(col("tags")))
+      flat(TagFilters(base, Seq(NotKey("k"))))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user")
+    }),
+
+    // §2.6 run_all: one bucket spanning the query range, stamped start
+    "q35_run_all" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "purchase" &&
+        col("ts") >= T_0105 && col("ts") < T_0120)
+      flat(Downsample(df, DownsampleSpec.parse("0all-sum"),
+          Some((T_0105, T_0120))))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "tag_k")
+    }),
+
+    // §2.6 calendar-aligned weekly downsample (tz-aware date_trunc)
+    "q36_calendar_week" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "signup")
+      flat(Downsample(df, DownsampleSpec.parse("1wc-sum")))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user", "tag_k")
+    }),
+
+    // §2.4 R-3 estimation-type percentile (nearest-even, no interp)
+    "q37_ep90r3" -> ((s, dir) => {
+      val df = pts(s, dir).withColumn("b", col("ts") - col("ts") % DAY)
+      df.groupBy(col("metric"), col("b").as("ts"))
+        .agg(r4(Aggregators.expr("ep90r3", col("value"), col("ts"))).as("p90r3_v"),
+          Aggregators.expr("count", col("value"), col("ts")).as("cnt_v"))
+        .orderBy("metric", "ts")
+    }),
+
+    // §2.14 fsck data-quality report (reference src/tools/Fsck.java)
+    "q38_fsck" -> ((s, dir) => {
+      graft.meta.Fsck.report(pts(s, dir), T_0120).orderBy("check")
+    }),
+
+    // §2.8 diffSeries (UNION, 0-fill) + multiplySeries (INTERSECTION)
+    "q39_gexp_diff_mult" -> ((s, dir) => {
+      def hourly(m: String) = Interpolate.aggregate(
+        Downsample(pts(s, dir).filter(col("metric") === m),
+          DownsampleSpec.parse("1h-sum")), "zimsum")
+        .select(col("ts"), col("value"))
+      val a = hourly("click"); val b = hourly("view")
+      val d = SeriesFunctions.combineUnion(Seq(a, b), Seq.empty, _ - _,
+        fill = 0.0).withColumnRenamed("value", "diff_v")
+      val m2 = SeriesFunctions.combineIntersection(Seq(a, b), Seq.empty, _ * _)
+        .withColumnRenamed("value", "mult_v")
+      d.join(m2, Seq("ts"), "left")
+        .select(col("ts"), r4(col("diff_v")).as("diff_v"),
+          r4(col("mult_v")).as("mult_v"))
+        .orderBy("ts")
+    }),
+
+    // §2.14 tree API: rule-driven hierarchy (metric → user tag) with
+    // per-node leaf counts (reference TreeBuilder)
+    "q40_tree" -> ((s, dir) => {
+      graft.meta.Trees.build(pts(s, dir),
+          Seq(graft.meta.Trees.metricRule(), graft.meta.Trees.tagRule("user")))
+        .orderBy("depth", "path")
+    }),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -726,6 +862,182 @@ object SparkEntry {
            FROM w)
          SELECT 'click' AS metric, tag_user, b AS ts,
            round(sum(ival), 4) AS value
-         FROM iv GROUP BY tag_user, b ORDER BY tag_user, ts"""
+         FROM iv GROUP BY tag_user, b ORDER BY tag_user, ts""",
+
+    "q28_engine_uri" ->
+      s"""$O, d AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'click' AND tag_user IS NOT NULL
+           GROUP BY tag_user, ts - ts % $HOUR)
+         SELECT 'click' AS metric, tag_user, b AS ts, round(v, 4) AS value
+         FROM d WHERE b >= $T_0105 AND b <= $T_0120
+         ORDER BY tag_user, ts""",
+
+    "q29_filters_ci" ->
+      s"""$O SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+         FROM points
+         WHERE metric = 'signup' AND lower(tag_user) IN ('1','2','3')
+           AND regexp_matches(lower(tag_k), '^1.*$$')
+         ORDER BY ts, tag_user""",
+
+    "q30_moving_avg_time" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
+             sum(value) AS value
+           FROM points WHERE metric = 'purchase'
+           GROUP BY metric, tag_user, tag_k, ts - ts % $DAY)
+         SELECT metric, tag_user, tag_k, ts,
+           round(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
+             ORDER BY ts RANGE BETWEEN ${3 * DAY - 1} PRECEDING
+               AND CURRENT ROW), 4) AS value
+         FROM d ORDER BY tag_user, tag_k, ts""",
+
+    "q31_highest_current" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
+             sum(value) AS value
+           FROM points WHERE metric = 'signup'
+           GROUP BY metric, tag_user, tag_k, ts - ts % $DAY),
+         scored AS (
+           SELECT metric, tag_user, tag_k, arg_max(value, ts) AS score
+           FROM d GROUP BY metric, tag_user, tag_k),
+         ranked AS (
+           SELECT metric, tag_user, tag_k,
+             row_number() OVER (ORDER BY score DESC, metric, tag_user, tag_k) AS rk
+           FROM scored)
+         SELECT d.metric, d.tag_user, d.tag_k, d.ts, round(d.value, 4) AS value
+         FROM d JOIN ranked r
+           ON d.metric = r.metric AND d.tag_user = r.tag_user
+             AND d.tag_k = r.tag_k
+         WHERE r.rk <= 3
+         ORDER BY d.tag_user, d.tag_k, d.ts""",
+
+    "q32_pfsum_group" ->
+      s"""$O, p AS (
+           SELECT tag_user, tag_k, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points WHERE metric = 'click'
+           GROUP BY tag_user, tag_k, ts - ts % $HOUR),
+         grid AS (SELECT DISTINCT b FROM p),
+         series AS (SELECT DISTINCT tag_user, tag_k FROM p),
+         slots AS (SELECT s.tag_user, s.tag_k, g.b FROM series s CROSS JOIN grid g),
+         j AS (
+           SELECT sl.tag_user, sl.tag_k, sl.b, p.v
+           FROM slots sl LEFT JOIN p
+             ON sl.tag_user = p.tag_user AND sl.tag_k = p.tag_k AND sl.b = p.b),
+         w AS (
+           SELECT b, v, last_value(v IGNORE NULLS) OVER
+             (PARTITION BY tag_user, tag_k ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv
+           FROM j),
+         iv AS (SELECT b, coalesce(v, pv) AS ival FROM w)
+         SELECT 'click' AS metric, b AS ts, round(sum(ival), 4) AS value
+         FROM iv GROUP BY b ORDER BY ts""",
+
+    "q33_explicit_tags" ->
+      s"""$O SELECT metric, tag_user, CAST(NULL AS VARCHAR) AS tag_k, ts,
+           round(value, 4) AS value
+         FROM points
+         WHERE metric = 'error' AND CAST(tag_user AS INT) % 2 = 0
+         ORDER BY ts, tag_user""",
+
+    "q34_not_key" ->
+      s"""$O SELECT metric, tag_user, CAST(NULL AS VARCHAR) AS tag_k, ts,
+           round(value, 4) AS value
+         FROM points
+         WHERE metric = 'error' AND CAST(tag_user AS INT) % 2 = 0
+         ORDER BY ts, tag_user""",
+
+    "q35_run_all" ->
+      s"""$O SELECT metric, tag_user, tag_k, $T_0105 AS ts,
+           round(sum(value), 4) AS value
+         FROM points
+         WHERE metric = 'purchase' AND ts >= $T_0105 AND ts < $T_0120
+         GROUP BY metric, tag_user, tag_k
+         ORDER BY tag_user, tag_k""",
+
+    "q36_calendar_week" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k,
+             epoch_ms(date_trunc('week', make_timestamp(ts * 1000))) AS b,
+             sum(value) AS v
+           FROM points WHERE metric = 'signup'
+           GROUP BY metric, tag_user, tag_k,
+             epoch_ms(date_trunc('week', make_timestamp(ts * 1000))))
+         SELECT metric, tag_user, tag_k, b AS ts, round(v, 4) AS value
+         FROM d ORDER BY ts, tag_user, tag_k""",
+
+    "q37_ep90r3" ->
+      s"""$O, g AS (
+           SELECT metric, ts - ts % $DAY AS ts,
+             list_sort(list(value)) AS arr, count(*) AS n
+           FROM points GROUP BY metric, ts - ts % $DAY),
+         h AS (
+           SELECT metric, ts, arr, n, n * 0.9 - 0.5 AS hh FROM g),
+         idx AS (
+           SELECT metric, ts, arr, n,
+             CASE WHEN hh - floor(hh) = 0.5 THEN
+               CASE WHEN CAST(floor(hh) AS BIGINT) % 2 = 0
+                 THEN floor(hh) ELSE floor(hh) + 1 END
+             ELSE round(hh, 0) END AS i0
+           FROM h)
+         SELECT metric, ts,
+           round(arr[CAST(least(greatest(i0, 1), n) AS INT)], 4) AS p90r3_v,
+           n AS cnt_v
+         FROM idx ORDER BY metric, ts""",
+
+    "q38_fsck" ->
+      s"""$O SELECT * FROM (
+           SELECT 'bad_metric_charset' AS "check",
+             count(CASE WHEN NOT regexp_matches(metric,
+               '^[a-zA-Z0-9\\-_./\\p{L}]+$$') THEN 1 END)::BIGINT AS n
+           FROM points
+           UNION ALL
+           SELECT 'duplicate_points',
+             CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+           FROM (SELECT count(*) AS c FROM points
+                 GROUP BY metric, tag_user, tag_k, ts HAVING count(*) > 1)
+           UNION ALL
+           SELECT 'future_timestamps',
+             count(CASE WHEN ts > $T_0120 THEN 1 END)::BIGINT FROM points
+           UNION ALL
+           SELECT 'non_finite_values',
+             count(CASE WHEN isnan(value) OR isinf(value) THEN 1 END)::BIGINT
+           FROM points
+           UNION ALL
+           SELECT 'null_values',
+             count(CASE WHEN value IS NULL THEN 1 END)::BIGINT FROM points)
+         ORDER BY "check"""",
+
+    "q39_gexp_diff_mult" ->
+      s"""$O, c AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'click' GROUP BY ts - ts % $HOUR),
+         v AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'view' GROUP BY ts - ts % $HOUR),
+         d AS (
+           SELECT coalesce(c.ts, v.ts) AS ts,
+             coalesce(c.v, 0.0) - coalesce(v.v, 0.0) AS diff_v
+           FROM c FULL OUTER JOIN v ON c.ts = v.ts),
+         m AS (
+           SELECT c.ts AS ts, c.v * v.v AS mult_v
+           FROM c JOIN v ON c.ts = v.ts)
+         SELECT d.ts AS ts, round(d.diff_v, 4) AS diff_v,
+           round(m.mult_v, 4) AS mult_v
+         FROM d LEFT JOIN m ON d.ts = m.ts
+         ORDER BY d.ts""",
+
+    "q40_tree" ->
+      s"""$O SELECT * FROM (
+           SELECT 1 AS depth, metric AS path, metric AS name, '' AS parent,
+             count(DISTINCT (tag_user, tag_k)) AS leaves
+           FROM points GROUP BY metric
+           UNION ALL
+           SELECT 2, metric || '/' || tag_user, tag_user, metric,
+             count(DISTINCT (tag_user, tag_k))
+           FROM points WHERE tag_user IS NOT NULL
+           GROUP BY metric, tag_user)
+         ORDER BY depth, path"""
   )
 }

@@ -92,6 +92,35 @@ object Ingest {
         col("dp.tags").as("tags"))
   }
 
+  /** JSON body schema of /api/histogram (reference
+    * src/tsd/HistogramDataPointRpc.java; SimpleHistogram pojo with a
+    * bucket map keyed "lo,hi"). */
+  val histogramJsonSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("metric", StringType),
+    StructField("timestamp", LongType),
+    StructField("buckets", MapType(StringType, LongType)),
+    StructField("tags", MapType(StringType, StringType)))))
+
+  /** Parse /api/histogram JSON bodies into relational histogram rows
+    * (metric, ts, tags, bucket_lo, bucket_hi, count) — the engine's
+    * histogram model (SURVEY §1.5), mergeable by plain groupBy+sum. */
+  def parseHistogramJson(bodies: DataFrame): DataFrame = {
+    val arr = when(trim(col("value")).startsWith("["), col("value"))
+      .otherwise(concat(lit("["), col("value"), lit("]")))
+    bodies
+      .withColumn("hp", explode(from_json(arr, histogramJsonSchema)))
+      .select(
+        col("hp.metric").as("metric"),
+        when(col("hp.timestamp") > 4294967295L, col("hp.timestamp"))
+          .otherwise(col("hp.timestamp") * 1000).as("ts"),
+        col("hp.tags").as("tags"),
+        explode(col("hp.buckets")).as(Seq("bucket", "count")))
+      .select(col("metric"), col("ts"), col("tags"),
+        split(col("bucket"), ",").getItem(0).cast("double").as("bucket_lo"),
+        split(col("bucket"), ",").getItem(1).cast("double").as("bucket_hi"),
+        col("count"))
+  }
+
   /**
    * Structured Streaming ingest: file/socket/kafka line source →
    * parsed points → parquet sink partitioned by date, with

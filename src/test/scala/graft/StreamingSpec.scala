@@ -124,6 +124,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("dc" -> "x", "host" -> "a"))
   }
 
+  test("histogram JSON sink parses to relational bucket rows") {
+    import spark.implicits._
+    val body =
+      """{"metric":"lat","timestamp":1700000000,
+         "buckets":{"0.0,10.0":5,"10.0,20.0":2},"tags":{"host":"a"}}"""
+    val rows = Ingest.parseHistogramJson(Seq(body).toDF("value"))
+      .orderBy("bucket_lo").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("ts") == 1700000000000L)
+    assert(rows(0).getAs[Double]("bucket_lo") == 0.0 &&
+      rows(0).getAs[Double]("bucket_hi") == 10.0 &&
+      rows(0).getAs[Long]("count") == 5L)
+    assert(rows(1).getAs[Long]("count") == 2L)
+  }
+
   test("data-point budget guard fails oversized results lazily") {
     import spark.implicits._
     val df = (1 to 10).toDF("v")
