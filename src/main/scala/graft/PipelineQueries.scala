@@ -77,7 +77,7 @@ object PipelineQueries {
     // n-gram (3-shingle) Jaccard near-dup pairs via postings join
     "d02_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
-          threshold = 0.5, ngram = 3)
+          threshold = 0.5, ngram = 3, portable = true)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -85,7 +85,7 @@ object PipelineQueries {
     // MinHash-LSH banded candidates, verified at jaccard >= 0.5
     "d03_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
-          bands = 4, threshold = 0.5, ngram = 3)
+          bands = 4, threshold = 0.5, ngram = 3, portable = true)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -93,7 +93,8 @@ object PipelineQueries {
     // 32-bit SimHash signatures (term hashes materialized once)
     "d04_simhash" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"), Dedup.termHashes(col("text"), 3).as("hs"))
+        .select(col("doc_id"),
+          Dedup.termHashes(col("text"), 3, portable = true).as("hs"))
         .select(col("doc_id"), Dedup.simhash32FromHashes(col("hs")).as("simhash"))
         .orderBy("doc_id")
     }),
@@ -125,6 +126,18 @@ object PipelineQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
           col("label").as("q_cell"))
       Similarity.ivfTopK(e, q, 5)
+        .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // ANN top-5 via 3-table 6-bit RHP-LSH buckets (the quantizer-free
+    // scale path: candidates bounded by bucket population, recall
+    // OR-amplified across tables)
+    "s03_rhp_ann" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.rhpTopK(e, q, 5, nBits = 6, dim = 64, tables = 3)
         .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
     }),
@@ -303,6 +316,36 @@ object PipelineQueries {
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
            FROM embeddings e JOIN q
              ON e.label = q.q_cell AND e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "s03_rhp_ann" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         bucketed AS (
+           ${(0 until 3).map(t =>
+             s"SELECT vec_id, $t AS t, ${rhpBucketSql(6, 64, t * 6)} AS bkt FROM v")
+             .mkString("\n           UNION ALL ")}),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 3),
+         qb AS (SELECT vec_id AS q_id, t, bkt FROM bucketed WHERE vec_id < 3),
+         cand AS (
+           SELECT DISTINCT qb.q_id, b.vec_id
+           FROM bucketed b JOIN qb
+             ON b.t = qb.t AND b.bkt = qb.bkt AND b.vec_id <> qb.q_id),
+         scored AS (
+           SELECT cand.q_id, cand.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, q.q_vec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.q_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM cand JOIN v e ON e.vec_id = cand.vec_id
+             JOIN q ON q.q_id = cand.q_id),
          ranked AS (
            SELECT q_id, vec_id, cos, row_number() OVER
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank

@@ -41,9 +41,17 @@ object Scratch {
       }: _*)
     time("signature agg") { sig.count() }
 
-    time("full d03") {
+    time("full d03 portable md5") {
       Dedup.minhashLshPairs(docs, "text", "doc_id", bands = 4,
-        threshold = 0.5, ngram = 3).count()
+        threshold = 0.5, ngram = 3, portable = true).count()
+    }
+    time("full d03 fast xxhash64") {
+      Dedup.minhashLshPairs(docs, "text", "doc_id", bands = 4,
+        threshold = 0.5, ngram = 3, portable = false).count()
+    }
+    time("full d02 fast xxhash64") {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        threshold = 0.5, ngram = 3, portable = false).count()
     }
 
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
  *  - embedding near-dup: cosine pairs blocked by a coarse cell id
  *    (IVF-style), avoiding the full cross join.
  *
- * All hashing uses the portable TextAnalysis.h32 so results are
- * engine-independent (and DuckDB-oracle-checkable).
+ * Hashing: the production default is the engine-native h32Fast
+ * (xxhash64 masked to 32 bits); oracle-checked contract queries pin
+ * `portable = true` to get the md5-based TextAnalysis.h32, which is
+ * replicable in DuckDB. Both live behind the same `portable` flag.
  */
 object Dedup {
 
-  import TextAnalysis.{h32, shingles, tokens}
+  import TextAnalysis.{hash32, shingles, tokens}
 
   /** Term extractor: 1 → distinct tokens, n>1 → word n-gram shingles. */
   private def terms(text: Column, ngram: Int): Column =
@@ -66,13 +68,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double,
                         maxDf: Option[Long] = Some(DEFAULT_MAX_DF),
-                        ngram: Int = 3): DataFrame = {
+                        ngram: Int = 3,
+                        portable: Boolean = false): DataFrame = {
     // join on the 32-bit term hash, not the term string: the postings
     // shuffle moves 8-byte longs instead of ~20-char shingles, and the
     // Jaccard is computed over the hashed term sets on both engine and
     // oracle so rare collisions stay consistent
     val p = df.select(col(idCol).as("id"),
-      explode(array_distinct(termHashes(col(textCol), ngram))).as("tok"))
+      explode(array_distinct(termHashes(col(textCol), ngram, portable))).as("tok"))
       .transform(d => maxDf match {
         case None => d
         case Some(cap) =>
@@ -111,8 +114,9 @@ object Dedup {
     * feeding minhash/simhash, so the md5-per-term cost is not inlined
     * into every downstream expression (Catalyst does not CSE across
     * higher-order-function lambdas). */
-  def termHashes(text: Column, ngram: Int = 3): Column =
-    transform(terms(text, ngram), t => h32(t))
+  def termHashes(text: Column, ngram: Int = 3,
+                 portable: Boolean = false): Column =
+    transform(terms(text, ngram), t => hash32(t, portable))
 
   /** MinHash signature from a materialized hash array: for each (a,b)
     * param, min over terms of (a*h+b) mod p. */
@@ -123,8 +127,9 @@ object Dedup {
 
   /** MinHash signature column (prefer materializing termHashes first
     * when the text expression is reused). */
-  def minhashSignature(text: Column, ngram: Int = 3): Column =
-    minhashSigFromHashes(termHashes(text, ngram))
+  def minhashSignature(text: Column, ngram: Int = 3,
+                       portable: Boolean = false): Column =
+    minhashSigFromHashes(termHashes(text, ngram, portable))
 
   /**
    * MinHash-LSH candidate pairs: signatures banded (rows-per-band
@@ -137,12 +142,13 @@ object Dedup {
    * re-tokenizes raw text or joins full shingle arrays.
    */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      bands: Int, threshold: Double, ngram: Int = 3): DataFrame = {
+                      bands: Int, threshold: Double, ngram: Int = 3,
+                      portable: Boolean = false): DataFrame = {
     val rowsPerBand = MH_PARAMS.length / bands
     // one tokenize+hash pass; persisted because it is read four times
     // (signature agg, sizes, and both sides of the verify join)
     val post = df.select(col(idCol).as("id"),
-        explode(array_distinct(termHashes(col(textCol), ngram))).as("h"))
+        explode(array_distinct(termHashes(col(textCol), ngram, portable))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // relational signature: the aggregate is a hard barrier, and the
     // partial-agg combine keeps shuffle traffic at 8 longs per doc
@@ -195,8 +201,9 @@ object Dedup {
 
   /** SimHash over a text column (materialize termHashes first when
     * composing with other hash consumers). */
-  def simhash32(text: Column, ngram: Int = 3): Column =
-    simhash32FromHashes(termHashes(text, ngram))
+  def simhash32(text: Column, ngram: Int = 3,
+                portable: Boolean = false): Column =
+    simhash32FromHashes(termHashes(text, ngram, portable))
 
   /**
    * Embedding near-duplicate pairs via multi-table random-hyperplane

@@ -76,6 +76,44 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("cos"), col("rank"))
   }
 
+  /**
+   * ANN top-k via multi-table random-hyperplane LSH: only corpus
+   * vectors sharing a bucket with the query (in any of `tables`
+   * independent tables) are scored — the trained-quantizer-free scale
+   * path next to ivfTopK. Candidates dedup on ids before vectors are
+   * joined back, so the distinct never shuffles embedding arrays.
+   * Approximate by construction: recall grows with `tables`
+   * (OR-amplification) and multi-probe would raise it further.
+   */
+  def rhpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int, dim: Int, tables: Int,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), posexplode(array((0 until tables).map(t =>
+          rhpBucket(col(vec), nBits, dim, t * nBits)): _*)))
+        .select(col(id), col("pos").as("t"), col("col").as("bkt"))
+    val cb = bucketed(corpus, corpusId, corpusVec)
+    val qb = bucketed(queries, queryId, queryVec)
+    val cand = cb.join(broadcast(qb),
+        cb("t") === qb("t") && cb("bkt") === qb("bkt") &&
+          col(corpusId) =!= col(queryId))
+      .select(col(queryId), col(corpusId)).distinct()
+    val scored = cand
+      .join(corpus.select(col(corpusId), col(corpusVec))
+        .withColumn("__cn", norm(col(corpusVec))), corpusId)
+      .join(broadcast(queries.select(col(queryId), col(queryVec))
+        .withColumn("__qn", norm(col(queryVec)))), queryId)
+      .withColumn("cos",
+        dot(col(corpusVec), col(queryVec)) / (col("__cn") * col("__qn")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("cos").desc, col(corpusId).asc)))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+  }
+
   /** Sign (±1) of component j of deterministic pseudo-hyperplane p —
     * shared by the Column implementation and oracle-SQL generation. */
   def rhpSign(p: Int, j: Int): Double =

@@ -21,6 +21,17 @@ object TextAnalysis {
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % 4294967296L
 
+  /** 32-bit engine-native hash: xxhash64 masked to 32 bits — markedly
+    * cheaper than the md5-based portable hash (no digest, no hex
+    * round-trip) but not replicable in the DuckDB oracle. Production
+    * default for dedup; oracle-checked queries pin `portable = true`. */
+  def h32Fast(c: Column): Column =
+    xxhash64(c).bitwiseAND(lit(4294967295L))
+
+  /** Hash selector shared by the dedup family. */
+  def hash32(c: Column, portable: Boolean): Column =
+    if (portable) h32(c) else h32Fast(c)
+
   /** Lowercased alnum tokens; empty strings removed. */
   def tokens(text: Column): Column =
     array_remove(split(lower(text), "[^a-z0-9]+"), "")

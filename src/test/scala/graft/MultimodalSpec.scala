@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real-codec decode over the per-partition media path: binary PPM and
+  * RIFF/WAVE PCM parsed from actual bytes (no external libraries). */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** 2×2 P6 PPM: red, green / blue, white. */
+  private def ppmBytes: Array[Byte] =
+    "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Int](
+      255, 0, 0, 0, 255, 0,
+      0, 0, 255, 255, 255, 255).map(_.toByte)
+
+  /** Mono 16-bit PCM WAV at 8 kHz with samples [16384, -16384]. */
+  private def wavBytes: Array[Byte] = {
+    val data = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(16384.toShort).putShort((-16384).toShort).array()
+    val bb = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  test("PPM codec: header, mean RGB, 2x2 luma resize") {
+    val d = Multimodal.decodePpm(ppmBytes).get
+    assert(d.kind == "image/ppm" && d.width == 2 && d.height == 2)
+    assert(d.features.take(3).forall(v => math.abs(v - 0.5) < 1e-9))
+    val luma = d.features.drop(3)
+    assert(math.abs(luma(0) - 0.299) < 1e-9) // red
+    assert(math.abs(luma(1) - 0.587) < 1e-9) // green
+    assert(math.abs(luma(2) - 0.114) < 1e-9) // blue
+    assert(math.abs(luma(3) - 1.0) < 1e-9)   // white
+  }
+
+  test("WAV codec: fmt chunk and mean amplitude") {
+    val d = Multimodal.decodeWav(wavBytes).get
+    assert(d.kind == "audio/wav" && d.channels == 1 && d.sampleRate == 8000)
+    assert(math.abs(d.features(0) - 2.0 / 8000) < 1e-12) // duration
+    assert(math.abs(d.features(1) - 0.5) < 1e-9)         // mean |amp|
+  }
+
+  test("decodeMedia dispatches per partition and nulls unknown formats") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ppmBytes), (2L, wavBytes), (3L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeMedia(df).orderBy("media_id").collect()
+    assert(out(0).getStruct(2).getString(0) == "image/ppm")
+    assert(out(1).getStruct(2).getString(0) == "audio/wav")
+    assert(out(2).isNullAt(2))
+  }
+}
