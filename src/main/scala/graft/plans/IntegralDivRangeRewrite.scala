@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Optimizer rule: rewrite range predicates over an integral division by
+ * a positive constant into range predicates over the raw column, so
+ * they reach the parquet scan as PushedFilters.
+ *
+ * Motivation: the canonical points view derives epoch-millis as
+ * `ts_nanos div 1000000` (parquet TIMESTAMP(NANOS) read as raw long).
+ * A time filter `millis >= T` then sits above a Project and never
+ * prunes row groups — at 100 TB the scan reads every file. With
+ * truncation-toward-zero division t = a div k (k > 0) these rewrites
+ * are exact equivalences over ALL longs (negative dividends included):
+ *
+ *   t >= b  (b >= 1)  ⇔  a >= b*k
+ *   t >  b  (b >= 0)  ⇔  a >= (b+1)*k
+ *   t <= b  (b >= 0)  ⇔  a <= (b+1)*k - 1
+ *   t <  b  (b >= 1)  ⇔  a <= b*k - 1
+ *
+ * (For b outside those ranges, or multiplication overflow, the
+ * predicate is left untouched.) The reference achieves the same
+ * pruning by building the scan key range from the query time range
+ * (TsdbQuery.getScanStartTimeSeconds, src/core/TsdbQuery.java:
+ * 1575-1660); here it is a Catalyst rule so every operator benefits
+ * with no per-call-site plumbing.
+ */
+object IntegralDivRangeRewrite extends Rule[LogicalPlan] {
+
+  private def mulOk(x: Long, y: Long): Boolean = {
+    val r = BigInt(x) * BigInt(y)
+    r >= Long.MinValue && r <= Long.MaxValue
+  }
+
+  private object DivByPosConst {
+    def unapply(e: Expression): Option[(Expression, Long)] = e match {
+      case d: IntegralDivide if d.dataType == LongType => d.right match {
+        case Literal(k: Long, LongType) if k > 0 => Some((d.left, k))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case GreaterThanOrEqual(DivByPosConst(a, k), Literal(b: Long, LongType))
+          if b >= 1 && mulOk(b, k) =>
+        GreaterThanOrEqual(a, Literal(b * k, LongType))
+      case GreaterThan(DivByPosConst(a, k), Literal(b: Long, LongType))
+          if b >= 0 && mulOk(b + 1, k) =>
+        GreaterThanOrEqual(a, Literal((b + 1) * k, LongType))
+      case LessThanOrEqual(DivByPosConst(a, k), Literal(b: Long, LongType))
+          if b >= 0 && mulOk(b + 1, k) =>
+        LessThanOrEqual(a, Literal((b + 1) * k - 1, LongType))
+      case LessThan(DivByPosConst(a, k), Literal(b: Long, LongType))
+          if b >= 1 && mulOk(b, k) =>
+        LessThanOrEqual(a, Literal(b * k - 1, LongType))
+    }
+}
+
+/** Session extension entry point:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => IntegralDivRangeRewrite)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.model.Points
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Catalyst extension spec: integral-division range predicates must
+  * rewrite onto the raw column and reach the parquet scan as
+  * PushedFilters, with unchanged results. */
+class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("div-range rewrite is an exact equivalence on all longs") {
+    import spark.implicits._
+    // exhaustive around the truncation boundaries, negatives included
+    val vals = (-25L to 25L) ++ Seq(Long.MaxValue, Long.MinValue + 7)
+    val df = vals.toDF("a")
+    val k = 7L
+    for ((op, b) <- Seq((">=", 2L), (">", 1L), ("<=", 2L), ("<", 3L))) {
+      val rewritten = df.filter(expr(s"(a div $k) $op $b")).collect().map(_.getLong(0)).toSet
+      val control = vals.filter { a =>
+        val t = a / k // Scala / on longs truncates toward zero like div
+        op match {
+          case ">=" => t >= b
+          case ">"  => t > b
+          case "<=" => t <= b
+          case "<"  => t < b
+        }
+      }.toSet
+      assert(rewritten == control, s"op $op $b")
+    }
+  }
+
+  test("time filters on derived millis reach the parquet scan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = Points.fromEvents(spark, sfDir)
+      .filter(col("ts") >= 1704412800000L && col("ts") < 1705708800000L)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    // 1704412800000 ms * 1e6 = 1704412800000000000 ns on the raw column
+    assert(pushed.contains("GreaterThanOrEqual(ts,1704412800000000000)"),
+      s"missing pushed lower bound in: $pushed")
+    assert(pushed.contains("LessThanOrEqual(ts,1705708799999999999)"),
+      s"missing pushed upper bound in: $pushed")
+  }
+}
