@@ -185,4 +185,48 @@ object Engine {
       .agg(map_from_entries(array_sort(collect_list(
         struct(col("ts"), col("value"))))).as("dps"))
   }
+
+  /**
+   * Full V1 response serialization — one JSON document per group, the
+   * reference's `[{metric, tags, aggregateTags, dps:{ts:val}}]` wire
+   * shape (HttpJsonSerializer.formatQueryAsyncV1,
+   * src/tsd/HttpJsonSerializer.java). `aggregateTags` = tag keys that
+   * occur in the group's matched series but are not grouped on — one
+   * extra aggregation over the scanned series, joined back per group.
+   * When the query is not ms-resolution, dps keys are epoch seconds
+   * (TSQuery.msResolution, src/core/TSQuery.java).
+   */
+  def serializeV1(points: DataFrame, query: TsQuery, sub: SubQuery,
+                  rollups: Seq[RollupTable] = Seq.empty): DataFrame = {
+    val groupKeys = TagFilters.groupByKeys(sub.filters)
+    val result = run(points, query, sub, rollups)
+    val outTs =
+      if (query.msResolution) col("ts")
+      else (col("ts") / 1000L).cast("long")
+    val tagCols = groupKeys.map(k => col(s"tag_$k"))
+    val dps = result
+      .groupBy(col("metric") +: tagCols: _*)
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(outTs.as("ts"), col("value"))))).as("dps"))
+    // aggregate tag keys per group, from the matched series
+    val scanned = TagFilters(
+      points.filter(col("metric") === sub.metric &&
+        col("ts") >= query.startMs && col("ts") <= query.endMs),
+      sub.filters, sub.explicitTags)
+    val aggTags = scanned
+      .select((col("metric") +: groupKeys.map(k =>
+        col("tags").getItem(k).as(s"tag_$k"))) :+
+        explode(map_keys(col("tags"))).as("__k"): _*)
+      .filter(if (groupKeys.isEmpty) lit(true) else !col("__k").isin(groupKeys: _*))
+      .groupBy(col("metric") +: tagCols: _*)
+      .agg(array_sort(collect_set(col("__k"))).as("aggregateTags"))
+    val keys = "metric" +: groupKeys.map(k => s"tag_$k")
+    dps.join(aggTags, keys, "left")
+      .select(to_json(struct(
+        col("metric"),
+        map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*).as("tags"),
+        coalesce(col("aggregateTags"),
+          array().cast("array<string>")).as("aggregateTags"),
+        col("dps"))).as("json"))
+  }
 }

@@ -94,12 +94,22 @@ object Interpolate {
         .agg(Aggregators.expr(agg, col("value"), col("ts")).as("value"))
     }
 
+    // The slot-join path reads `pts` three times (grid, members, left
+    // join). Without a persist each branch re-runs the upstream scan +
+    // downsample from scratch — .explain shows three parquet scans, and
+    // AQE exchange reuse does NOT kick in because column pruning gives
+    // each branch a different ReadSchema. Persisting costs a ~1 s
+    // materialization barrier at toy scale but avoids re-shuffling the
+    // full point set three times at 100 TB; MEMORY_AND_DISK spills
+    // rather than recomputes.
+    val cached = pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // union-of-timestamps grid per group × member series
-    val grid = pts.select(groupCols :+ col("ts"): _*).distinct()
-    val members = pts.select(groupCols :+ col("series_id"): _*).distinct()
+    val grid = cached.select(groupCols :+ col("ts"): _*).distinct()
+    val members = cached.select(groupCols :+ col("series_id"): _*).distinct()
     val slots = grid.join(members,
       ("metric" +: groupTagKeys.map(k => s"tag_$k")).toSeq)
-    val joined = slots.join(pts.select(col("series_id"), col("ts"), col("value")),
+    val joined = slots.join(cached.select(col("series_id"), col("ts"), col("value")),
       Seq("series_id", "ts"), "left")
 
     val policy = policy0

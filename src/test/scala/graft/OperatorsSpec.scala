@@ -135,6 +135,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dfs(1).count() > 0)
   }
 
+  test("serializeV1 emits the reference wire shape with aggregateTags") {
+    val p = pointsDf(Seq(
+      ("m", 1000L, 1.0, Map("host" -> "a", "dc" -> "x")),
+      ("m", 2000L, 2.0, Map("host" -> "a", "dc" -> "y")),
+      ("m", 1000L, 5.0, Map("host" -> "b", "dc" -> "x"))))
+    val q = TsQuery(0L, 10000L, Seq.empty)
+    val sub = SubQuery("zimsum", "m", Seq(GroupByAll("host")))
+    val out = Engine.serializeV1(p, q, sub).collect()
+      .map(_.getAs[String]("json")).sorted
+    assert(out.length == 2)
+    assert(out(0).contains(""""metric":"m""""))
+    assert(out(0).contains(""""tags":{"host":"a"}"""))
+    assert(out(0).contains(""""aggregateTags":["dc"]"""))
+    assert(out(0).contains(""""dps":{"1000":1.0,"2000":2.0}"""))
+    // non-ms resolution keys dps by epoch seconds
+    val secs = Engine.serializeV1(p, q.copy(msResolution = false), sub)
+      .collect().map(_.getAs[String]("json")).sorted
+    assert(secs(0).contains(""""dps":{"1":1.0,"2":2.0}"""))
+  }
+
   test("seriesId is insensitive to tag insertion order") {
     // the reference sorts tags by tagk in the row key
     // (src/core/RowKey.java:83-105); hashing must canonicalize too
