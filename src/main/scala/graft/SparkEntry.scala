@@ -478,6 +478,34 @@ object SparkEntry {
         .orderBy("depth", "path")
     }),
 
+    // §2.8/§3.1 nested gexp through the engine: parse → per-metric
+    // sub-query → scale → top-k, one composed Catalyst plan
+    "q41_gexp_pipeline" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val q = TsQuery(T_0105, T_0120, Seq.empty)
+      val ast = Gexp.parse("highestMax(scale(zimsum:1h-sum:view{user=*},,2),,3)")
+      Gexp.eval(ast, spec => Engine.runM(p, q, spec))
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
+    // §2.2 case-insensitivity proven on genuinely mixed-case values:
+    // tag k rewritten to 'K<k>', filters match via lowercase only
+    "q42_filters_ci_real" -> ((s, dir) => {
+      val base = pts(s, dir).filter(col("metric") === "click")
+        .withColumn("tags", map(
+          lit("user"), col("tags").getItem("user"),
+          lit("k"), concat(lit("K"), col("tags").getItem("k"))))
+      flat(TagFilters(base, Seq(
+          LiteralOr("k", Seq("k1", "k2", "k3", "k10", "k11"),
+            caseInsensitive = true),
+          Wildcard("k", "k1*", caseInsensitive = true))))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user")
+    }),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -1027,6 +1055,35 @@ object SparkEntry {
            round(m.mult_v, 4) AS mult_v
          FROM d LEFT JOIN m ON d.ts = m.ts
          ORDER BY d.ts""",
+
+    "q41_gexp_pipeline" ->
+      s"""$O, d AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, 2 * sum(value) AS v
+           FROM points
+           WHERE metric = 'view' AND tag_user IS NOT NULL
+           GROUP BY tag_user, ts - ts % $HOUR),
+         clipped AS (
+           SELECT tag_user, b, v FROM d
+           WHERE b >= $T_0105 AND b <= $T_0120),
+         scored AS (
+           SELECT tag_user, max(v) AS score FROM clipped GROUP BY tag_user),
+         ranked AS (
+           SELECT tag_user,
+             row_number() OVER (ORDER BY score DESC, tag_user) AS rk
+           FROM scored)
+         SELECT 'view' AS metric, c.tag_user, c.b AS ts, round(c.v, 4) AS value
+         FROM clipped c JOIN ranked r ON c.tag_user = r.tag_user
+         WHERE r.rk <= 3
+         ORDER BY c.tag_user, ts""",
+
+    "q42_filters_ci_real" ->
+      s"""$O SELECT metric, tag_user, concat('K', tag_k) AS tag_k, ts,
+           round(value, 4) AS value
+         FROM points
+         WHERE metric = 'click'
+           AND lower(concat('K', tag_k)) IN ('k1','k2','k3','k10','k11')
+           AND regexp_matches(lower(concat('K', tag_k)), '^k1.*$$')
+         ORDER BY ts, tag_user""",
 
     "q40_tree" ->
       s"""$O SELECT * FROM (

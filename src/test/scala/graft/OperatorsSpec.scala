@@ -155,6 +155,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secs(0).contains(""""dps":{"1":1.0,"2":2.0}"""))
   }
 
+  test("calendar downsample handles DST and week boundaries in a tz") {
+    import java.time._
+    import java.time.temporal.TemporalAdjusters
+    val tz = "America/New_York"
+    val zone = ZoneId.of(tz)
+    val instants = Seq(
+      Instant.parse("2024-03-10T12:00:00Z"), // spring-forward day
+      Instant.parse("2024-03-11T03:30:00Z"), // 23:30 EDT still Mar 10 local
+      Instant.parse("2024-11-03T06:30:00Z")) // fall-back day
+    val df = pointsDf(instants.zipWithIndex.map { case (t, i) =>
+      ("m", t.toEpochMilli, i.toDouble, host("a")) })
+    val days = Downsample(df, DownsampleSpec.parse("1dc-sum"), tz = tz)
+      .select("ts").collect().map(_.getLong(0)).toSet
+    val expDays = instants.map(t =>
+      t.atZone(zone).toLocalDate.atStartOfDay(zone).toInstant.toEpochMilli).toSet
+    assert(days == expDays)
+    val weeks = Downsample(df, DownsampleSpec.parse("1wc-sum"), tz = tz)
+      .select("ts").collect().map(_.getLong(0)).toSet
+    val expWeeks = instants.map(t =>
+      t.atZone(zone).toLocalDate
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        .atStartOfDay(zone).toInstant.toEpochMilli).toSet
+    assert(weeks == expWeeks)
+  }
+
   test("seriesId is insensitive to tag insertion order") {
     // the reference sorts tags by tagk in the row key
     // (src/core/RowKey.java:83-105); hashing must canonicalize too
