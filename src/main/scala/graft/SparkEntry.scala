@@ -483,7 +483,8 @@ object SparkEntry {
     "q41_gexp_pipeline" -> ((s, dir) => {
       val p = pts(s, dir)
       val q = TsQuery(T_0105, T_0120, Seq.empty)
-      val ast = Gexp.parse("highestMax(scale(zimsum:1h-sum:view{user=*},,2),,3)")
+      val ast = Gexp.parse(
+        "alias(highestMax(scale(zimsum:1h-sum:view{user=*},,2),,3),,topviews)")
       Gexp.eval(ast, spec => Engine.runM(p, q, spec))
         .select(col("metric"), col("tag_user"), col("ts"),
           r4(col("value")).as("value"))
@@ -504,6 +505,18 @@ object SparkEntry {
         .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
           r4(col("value")).as("value"))
         .orderBy("ts", "tag_user")
+    }),
+
+    // §2.9/§3.1 percentiles[] through the engine: histogram build per
+    // (group, downsample bucket), one row set per requested percentile
+    "q43_engine_percentiles" -> ((s, dir) => {
+      val q = TsQuery(T_0105, T_0120, Seq.empty)
+      val sub = SubQuery("sum", "purchase", Seq.empty,
+        Some(DownsampleSpec.parse("1d-sum")), percentiles = Seq(50.0, 90.0))
+      Engine.runPercentiles(pts(s, dir), q, sub, binWidth = 10.0)
+        .select(col("metric"), col("ts"), r4(col("value")).as("value"),
+          col("ptile"))
+        .orderBy("ptile", "ts")
     }),
 
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
@@ -1071,7 +1084,8 @@ object SparkEntry {
            SELECT tag_user,
              row_number() OVER (ORDER BY score DESC, tag_user) AS rk
            FROM scored)
-         SELECT 'view' AS metric, c.tag_user, c.b AS ts, round(c.v, 4) AS value
+         SELECT 'topviews' AS metric, c.tag_user, c.b AS ts,
+           round(c.v, 4) AS value
          FROM clipped c JOIN ranked r ON c.tag_user = r.tag_user
          WHERE r.rk <= 3
          ORDER BY c.tag_user, ts""",
@@ -1084,6 +1098,29 @@ object SparkEntry {
            AND lower(concat('K', tag_k)) IN ('k1','k2','k3','k10','k11')
            AND regexp_matches(lower(concat('K', tag_k)), '^k1.*$$')
          ORDER BY ts, tag_user""",
+
+    "q43_engine_percentiles" ->
+      s"""$O, h AS (
+           SELECT metric, ts - ts % $DAY AS b,
+             floor(value / 10.0) * 10.0 AS lo,
+             (floor(value / 10.0) + 1) * 10.0 AS hi,
+             count(*) AS cnt
+           FROM points
+           WHERE metric = 'purchase' AND ts >= $T_0105 AND ts <= $T_0120
+           GROUP BY metric, ts - ts % $DAY, floor(value / 10.0)),
+         c AS (
+           SELECT metric, b, lo, hi, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY metric, b ORDER BY lo) AS DOUBLE) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY metric, b) AS DOUBLE) AS total
+           FROM h)
+         SELECT metric, b AS ts,
+           round(lo + (hi - lo) * (total * (pt / 100) - (cum - cnt)) / cnt, 4)
+             AS value,
+           CAST(pt AS DOUBLE) AS ptile
+         FROM c CROSS JOIN (VALUES (CAST(50.0 AS DOUBLE)),
+           (CAST(90.0 AS DOUBLE))) pp(pt)
+         WHERE cum >= total * (pt / 100) AND (cum - cnt) < total * (pt / 100)
+         ORDER BY ptile, ts""",
 
     "q40_tree" ->
       s"""$O SELECT * FROM (
