@@ -60,13 +60,27 @@ object Downsample {
       else graft.model.Points.withSeriesId(df)
     val qStart = queryRange.map(_._1).getOrElse(0L)
     val b = bucket(col("ts"), spec, qStart, tz)
+    // metric and a canonical JSON encoding of tags ride along as GROUP
+    // KEYS instead of first() aggregates: a map-typed aggregation
+    // buffer forces SortAggregate (sorting every point per partition);
+    // string keys keep the whole downsample in HashAggregate. The JSON
+    // round-trip is per-ROW work that codegens, not a per-partition
+    // sort.
+    val tagEntries = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
     val agged = withSeries
       .withColumn("bucket", b)
-      .groupBy(col("series_id"), col("bucket"))
-      .agg(
-        first(col("metric")).as("metric"),
-        first(col("tags")).as("tags"),
-        Aggregators.expr(spec.aggregator, col("value"), col("ts")).as("value"))
+      .withColumn("__tags_json", to_json(array_sort(map_entries(col("tags")))))
+      .groupBy(col("series_id"), col("bucket"), col("metric"),
+        col("__tags_json"))
+      .agg(Aggregators.expr(spec.aggregator, col("value"), col("ts")).as("value"))
+      .withColumn("tags",
+        map_from_entries(from_json(col("__tags_json"), tagEntries)))
+      .drop("__tags_json")
       .withColumnRenamed("bucket", "ts")
 
     spec.fill match {

@@ -22,17 +22,29 @@ import org.apache.spark.sql.functions._
  */
 object Rollups {
 
-  /** Materialize a rollup table from raw points at a fixed interval. */
+  /** Materialize a rollup table from raw points at a fixed interval.
+    * metric/tags ride as group keys (tags via canonical JSON) so the
+    * aggregation stays hash-based — a map-typed first() buffer would
+    * force SortAggregate over every raw point. */
   def materialize(points: DataFrame, intervalMs: Long): DataFrame = {
     val withSeries =
       if (points.columns.contains("series_id")) points
       else graft.model.Points.withSeriesId(points)
+    val tagEntries = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
     withSeries
       .withColumn("ts", col("ts") - col("ts") % intervalMs)
-      .groupBy(col("series_id"), col("ts"))
-      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
-        sum(col("value")).as("sum"), count(col("value")).as("count"),
+      .withColumn("__tags_json", to_json(array_sort(map_entries(col("tags")))))
+      .groupBy(col("series_id"), col("ts"), col("metric"), col("__tags_json"))
+      .agg(sum(col("value")).as("sum"), count(col("value")).as("count"),
         min(col("value")).as("min"), max(col("value")).as("max"))
+      .withColumn("tags",
+        map_from_entries(from_json(col("__tags_json"), tagEntries)))
+      .drop("__tags_json")
   }
 
   /** Can `spec` be served from a rollup of `rollupMs`? (reference
