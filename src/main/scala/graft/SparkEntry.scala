@@ -501,7 +501,8 @@ object SparkEntry {
       flat(TagFilters(base, Seq(
           LiteralOr("k", Seq("k1", "k2", "k3", "k10", "k11"),
             caseInsensitive = true),
-          Wildcard("k", "k1*", caseInsensitive = true))))
+          Wildcard("k", "k1*", caseInsensitive = true),
+          NotLiteralOr("k", Seq("K10"), caseInsensitive = true))))
         .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
           r4(col("value")).as("value"))
         .orderBy("ts", "tag_user")
@@ -1097,6 +1098,7 @@ object SparkEntry {
          WHERE metric = 'click'
            AND lower(concat('K', tag_k)) IN ('k1','k2','k3','k10','k11')
            AND regexp_matches(lower(concat('K', tag_k)), '^k1.*$$')
+           AND lower(concat('K', tag_k)) NOT IN ('k10')
          ORDER BY ts, tag_user""",
 
     "q43_engine_percentiles" ->

@@ -92,6 +92,35 @@ object Ingest {
         col("dp.tags").as("tags"))
   }
 
+  /** JSON body schema of /api/rollup (reference
+    * src/tsd/RollupDataPointRpc.java: pre-aggregated points carry the
+    * source interval and aggregator). */
+  val rollupJsonSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("metric", StringType),
+    StructField("timestamp", LongType),
+    StructField("value", StringType),
+    StructField("interval", StringType),
+    StructField("aggregator", StringType),
+    StructField("tags", MapType(StringType, StringType)))))
+
+  /** Parse /api/rollup JSON bodies: externally pre-aggregated points →
+    * (metric, ts, tags, interval_ms, aggregator, value), appendable to
+    * a rollup table consumed by Engine rollup routing. */
+  def parseRollupJson(bodies: DataFrame): DataFrame = {
+    val arr = when(trim(col("value")).startsWith("["), col("value"))
+      .otherwise(concat(lit("["), col("value"), lit("]")))
+    bodies
+      .withColumn("rp", explode(from_json(arr, rollupJsonSchema)))
+      .select(
+        col("rp.metric").as("metric"),
+        when(col("rp.timestamp") > 4294967295L, col("rp.timestamp"))
+          .otherwise(col("rp.timestamp") * 1000).as("ts"),
+        col("rp.tags").as("tags"),
+        col("rp.interval").as("interval"),
+        lower(col("rp.aggregator")).as("aggregator"),
+        expr("try_cast(rp.value AS DOUBLE)").as("value"))
+  }
+
   /** JSON body schema of /api/histogram (reference
     * src/tsd/HistogramDataPointRpc.java; SimpleHistogram pojo with a
     * bucket map keyed "lo,hi"). */

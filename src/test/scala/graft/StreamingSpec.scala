@@ -139,6 +139,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getAs[Long]("count") == 2L)
   }
 
+  test("rollup JSON sink parses pre-aggregated points") {
+    import spark.implicits._
+    val body =
+      """{"metric":"cpu","timestamp":1700000000,"value":"42.5",
+         "interval":"1h","aggregator":"SUM","tags":{"host":"a"}}"""
+    val r = Ingest.parseRollupJson(Seq(body).toDF("value")).collect()(0)
+    assert(r.getAs[String]("metric") == "cpu")
+    assert(r.getAs[Long]("ts") == 1700000000000L)
+    assert(r.getAs[String]("aggregator") == "sum")
+    assert(r.getAs[String]("interval") == "1h")
+    assert(r.getAs[Double]("value") == 42.5)
+  }
+
   test("data-point budget guard fails oversized results lazily") {
     import spark.implicits._
     val df = (1 to 10).toDF("v")
