@@ -1,0 +1,113 @@
+package graft
+
+import graft.model.Points
+import graft.operators._
+import graft.query.DownsampleSpec
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/**
+ * Property-style invariants over seeded random data (SURVEY §5:
+ * downsample(1ms) == identity, zimsum == aligned sum, rate∘cumsum == id,
+ * stitch == direct at any horizon). Fixed seed keeps runs deterministic
+ * while still exercising irregular shapes a hand-written golden never
+ * would.
+ */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rnd = new scala.util.Random(42)
+
+  /** ~n random points over `series` series with irregular timestamps. */
+  private def randomPoints(n: Int, series: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until n).map { _ =>
+      val s = rnd.nextInt(series)
+      val ts = 1700000000000L + rnd.nextInt(500000) * 100L
+      Row("m", ts, rnd.nextDouble() * 100 - 20, null, false,
+        Map("host" -> s"h$s"))
+    }
+    // one row per (series, ts): last-write-wins dedup as ingest would
+    spark.createDataFrame(rows.asJava, Points.schema)
+      .groupBy("metric", "ts", "tags").agg(
+        first("value").as("value"), first("value_l").as("value_l"),
+        first("is_int").as("is_int"))
+      .select("metric", "ts", "value", "value_l", "is_int", "tags")
+  }
+
+  private def toMap(df: DataFrame): Map[(String, Long), Double] =
+    df.collect().map(r => (r.getAs[Map[String, String]]("tags")("host"),
+      r.getAs[Long]("ts")) -> r.getAs[Double]("value")).toMap
+
+  test("property: 1ms-sum downsample is the identity") {
+    val p = randomPoints(400, 5)
+    val d = Downsample(p, DownsampleSpec.parse("1ms-sum"))
+    val orig = p.collect().map(r => (r.getAs[Map[String, String]]("tags")("host"),
+      r.getAs[Long]("ts")) -> r.getAs[Double]("value")).toMap
+    assert(toMap(d) == orig)
+  }
+
+  test("property: zimsum equals the per-timestamp sum of present points") {
+    val p = randomPoints(400, 5)
+    val viaInterp = Interpolate.aggregate(p, "zimsum").collect()
+      .map(r => r.getAs[Long]("ts") -> r.getAs[Double]("value")).toMap
+    val direct = p.groupBy("ts").agg(sum("value").as("v")).collect()
+      .map(r => r.getAs[Long]("ts") -> r.getAs[Double]("v")).toMap
+    assert(viaInterp.keySet == direct.keySet)
+    assert(viaInterp.forall { case (k, v) => math.abs(v - direct(k)) < 1e-9 })
+  }
+
+  test("property: rate of a cumulative counter recovers the increments") {
+    import scala.jdk.CollectionConverters._
+    val incs = (1 to 50).map(_ => rnd.nextInt(1000) + 1)
+    val ts0 = 1700000000000L
+    var acc = 0.0
+    val rows = incs.zipWithIndex.map { case (inc, i) =>
+      acc += inc
+      Row("m", ts0 + (i + 1) * 10000L, acc, null, false, Map("host" -> "a"))
+    }
+    val p = spark.createDataFrame(rows.asJava, Points.schema)
+    val rates = Rate(p).orderBy("ts").collect().map(_.getAs[Double]("value"))
+    // dt = 10 s, so rate = increment / 10
+    val expected = incs.drop(1).map(_ / 10.0)
+    assert(rates.length == expected.length)
+    rates.zip(expected).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 1e-9) }
+  }
+
+  test("property: rollup stitch equals direct downsample at ANY horizon") {
+    val p = randomPoints(300, 3)
+    val rollup = Rollups.materialize(p, 3600000L)
+    val spec = DownsampleSpec.parse("1d-avg")
+    val direct = toMap(Downsample(p, spec))
+    val (lo, hi) = (1700000000000L, 1700000000000L + 500000 * 100L)
+    (0 until 4).foreach { _ =>
+      val horizon = lo + (rnd.nextLong().abs % (hi - lo))
+      val stitched = toMap(Rollups.stitch(rollup, p, spec, horizon))
+      assert(stitched.keySet == direct.keySet, s"horizon $horizon")
+      assert(stitched.forall { case (k, v) =>
+        math.abs(v - direct(k)) < 1e-9 }, s"horizon $horizon")
+    }
+  }
+
+  test("property: topK output is a subset with at most k series") {
+    val p = randomPoints(300, 8)
+    val flat = p.select(col("metric"),
+      col("tags").getItem("host").as("tag_host"), col("ts"), col("value"))
+    val top = SeriesFunctions.highestMax(flat, 3)
+    assert(top.select("tag_host").distinct().count() <= 3)
+    // every surviving row exists in the input
+    assert(top.join(flat, Seq("metric", "tag_host", "ts", "value"),
+      "left_anti").count() == 0)
+  }
+}
