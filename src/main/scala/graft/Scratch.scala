@@ -23,7 +23,6 @@ object Scratch {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println(plan.linesIterator.take(80).mkString("\n"))
-      val full = df.queryExecution.executedPlan.toString()
       val nShuffles = "Exchange".r.findAllIn(plan).size
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       println(s"--- exchanges: $nShuffles")

@@ -59,11 +59,17 @@ object Annotations {
       .unionByName(edits)
   }
 
-  /** Delete by identity — DELETE /api/annotation. */
-  def delete(table: DataFrame, keyCols: Seq[String],
-             startTs: Long): DataFrame =
-    table.filter(!(col("start_ts") === startTs &&
-      keyCols.map(k => col(k).isNull).reduceOption(_ && _).getOrElse(lit(true))))
+  /** Delete by identity — DELETE /api/annotation. `ids` carries the
+    * (keyCols, start_ts) rows to remove; key matching is null-safe so
+    * global annotations (null key columns) are addressable too. */
+  def delete(table: DataFrame, ids: DataFrame,
+             keyCols: Seq[String]): DataFrame = {
+    val idRows = ids.select((keyCols :+ "start_ts").map(c =>
+      col(c).as(s"__d_$c")): _*)
+    val cond = (keyCols.map(k => table(k) <=> idRows(s"__d_$k")) :+
+      (table("start_ts") === idRows("__d_start_ts"))).reduce(_ && _)
+    table.join(idRows, cond, "left_anti")
+  }
 
   /** Bulk delete: all annotations overlapping [startTs, endTs], global
     * ones only when `global` — the reference's bulk delete endpoint

@@ -101,7 +101,10 @@ object Interpolate {
     // each branch a different ReadSchema. Persisting costs a ~1 s
     // materialization barrier at toy scale but avoids re-shuffling the
     // full point set three times at 100 TB; MEMORY_AND_DISK spills
-    // rather than recomputes.
+    // rather than recomputes. Lifecycle: blocks are LRU-evicted from
+    // memory; a long-lived query service should reclaim disk blocks
+    // between requests with spark.catalog.clearCache() (same applies
+    // to the persisted postings in graft.pipeline.Dedup).
     val cached = pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // union-of-timestamps grid per group × member series

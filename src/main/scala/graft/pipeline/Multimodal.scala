@@ -98,8 +98,10 @@ object Multimodal {
     }
     val (w, h, maxv) = (token(), token(), token())
     pos += 1 // single whitespace after maxval
-    if (w <= 0 || h <= 0 || maxv <= 0 ||
-        bytes.length < pos + w * h * 3) return None
+    // size check in Long: a crafted huge header would overflow w*h*3
+    // to a small/negative Int and sail past the bounds guard
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || maxv <= 0 ||
+        bytes.length.toLong < pos.toLong + w.toLong * h * 3) return None
     var (sr, sg, sb) = (0L, 0L, 0L)
     var i = pos
     val end = pos + w * h * 3
@@ -132,14 +134,20 @@ object Multimodal {
     var pos = 12
     var channels = 0; var rate = 0; var bits = 0
     var dataOff = -1; var dataLen = 0L
-    while (pos + 8 <= bytes.length) {
+    var walking = true
+    while (walking && pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val len = u32(pos + 4)
       if (id == "fmt ") {
         channels = u16(pos + 10); rate = u32(pos + 12).toInt
         bits = u16(pos + 22)
       } else if (id == "data") { dataOff = pos + 8; dataLen = len }
-      pos += 8 + len.toInt + (len.toInt & 1)
+      // advance in Long: a malformed chunk length >= 2^31 truncated to
+      // Int advances by <= 0 and spins the walk forever; a length past
+      // the buffer means a truncated file — stop either way
+      val adv = 8L + len + (len & 1L)
+      if (pos + adv > bytes.length) walking = false
+      else pos = (pos + adv).toInt
     }
     if (channels == 0 || rate == 0 || dataOff < 0 || bits != 16) return None
     val nSamples = (dataLen / 2).toInt

@@ -57,6 +57,22 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(d.features(1) - 0.5) < 1e-9)         // mean |amp|
   }
 
+  test("codecs reject malformed payloads instead of hanging or throwing") {
+    // RIFF chunk with length 0xFFFFFFF8: Int-truncated advance would be
+    // <= 0 and spin the chunk walk forever
+    val evilWav = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8).array()
+    assert(Multimodal.decodeWav(evilWav).isEmpty)
+    // PPM header whose w*h*3 overflows Int past the bounds guard
+    val evilPpm = "P6\n100000 100000\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    assert(Multimodal.decodePpm(evilPpm).isEmpty)
+    assert(Multimodal.decode(Array[Byte]()).isEmpty)
+    assert(Multimodal.decode(null).isEmpty)
+  }
+
   test("decodeMedia dispatches per partition and nulls unknown formats") {
     import spark.implicits._
     val df = Seq(

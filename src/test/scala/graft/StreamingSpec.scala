@@ -90,6 +90,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       globalOnly = true)
     assert(afterDelete.count() == 1)
     assert(Annotations.globals(up, Seq("series"), 0L, 300L).count() == 1)
+    // identity delete targets series rows, and null-safely global ones
+    val delSeries = Seq((Some("s1"), 100L)).toDF("series", "start_ts")
+    val d1 = Annotations.delete(up, delSeries, Seq("series"))
+    assert(d1.count() == 1 && d1.filter(col("series").isNull).count() == 1)
+    val delGlobal = Seq((None: Option[String], 150L)).toDF("series", "start_ts")
+    assert(Annotations.delete(up, delGlobal, Seq("series")).count() == 1)
   }
 
   test("introspection endpoints and series meta") {
