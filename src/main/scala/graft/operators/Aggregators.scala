@@ -79,6 +79,16 @@ object Aggregators {
     element_at(sorted, (n.cast("double") / 2).cast("int") + 1)
   }
 
+  /** Plugin point: custom aggregators registered by name (the
+    * reference allows extending the Aggregators map,
+    * src/core/Aggregators.java registry + SURVEY §2.13). */
+  private val custom =
+    scala.collection.concurrent.TrieMap.empty[String, (Column, Column) => Column]
+
+  /** Register a custom aggregate `(value, ts) => aggregate Column`. */
+  def register(name: String, fn: (Column, Column) => Column): Unit =
+    custom.put(name, fn)
+
   /**
    * Aggregate expression by reference name over value column `v` with
    * time column `ts` (needed by first/last/diff).
@@ -107,7 +117,10 @@ object Aggregators {
     case p if p.startsWith("p") && p.drop(1).forall(_.isDigit) =>
       percentile(v, pctFromDigits(p.drop(1)), "r6")
     case "none" | "raw" => first_value(v) // bypass; caller enforces 1 series
-    case other => throw new IllegalArgumentException(s"unknown aggregator: $other")
+    case other => custom.get(other) match {
+      case Some(fn) => fn(v, ts)
+      case None => throw new IllegalArgumentException(s"unknown aggregator: $other")
+    }
   }
 
   /** `50`→0.50, `999`→0.999 (reference constants

@@ -40,6 +40,7 @@ object TagFilters {
     case RegexpFilter(k, re, _) => tags.getItem(k).rlike(re)
     case NotKey(k) => !map_contains_key(tags, lit(k))
     case GroupByAll(k) => tags.getItem(k).isNotNull
+    case PluginFilter(_, predicate, _) => predicate(tags)
   }
 
   /** Apply all filters plus the `explicit_tags` rule (series' tag set

@@ -16,6 +16,18 @@ import org.apache.spark.sql.DataFrame
  */
 object Gexp {
 
+  /** Plugin point: custom expression functions by name (the
+    * reference's ExpressionFactory.addFunction,
+    * src/query/expression/ExpressionFactory.java:71-79). A function
+    * receives the evaluated child DataFrames and the scalar params. */
+  private val custom = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[DataFrame], Seq[String]) => DataFrame]
+
+  /** Register a custom gexp function. */
+  def register(name: String,
+               fn: (Seq[DataFrame], Seq[String]) => DataFrame): Unit =
+    custom.put(name, fn)
+
   sealed trait Node
   /** A leaf `agg:metric{...}` sub-query spec. */
   case class MetricNode(spec: String) extends Node
@@ -84,7 +96,11 @@ object Gexp {
           SeriesFunctions.combineUnion(all, joinKeys, _ * _, fill = 1.0)
         case "divide" | "divideSeries" =>
           SeriesFunctions.combineIntersection(all, joinKeys, _ / _)
-        case other => throw new IllegalArgumentException(s"unknown gexp function $other")
+        case other => custom.get(other) match {
+          case Some(fn) => fn(all, params)
+          case None =>
+            throw new IllegalArgumentException(s"unknown gexp function $other")
+        }
       }
   }
 }

@@ -23,6 +23,12 @@ case class NotKey(tagk: String) extends TagFilter { val groupBy = false }
 /** Group-by-all-values marker (the legacy `{tag=*}` sugar,
   * reference src/core/Tags.java parseWithMetricAndFilters). */
 case class GroupByAll(tagk: String) extends TagFilter { val groupBy = true }
+/** Plugin filter: arbitrary predicate over the tags map column
+  * (reference TagVFilter plugin loading,
+  * src/query/filter/TagVFilter.java:45-68). */
+case class PluginFilter(tagk: String,
+                        predicate: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                        groupBy: Boolean = false) extends TagFilter
 
 /** Rate options (reference src/core/RateOptions.java:27-57). */
 case class RateOptions(
@@ -106,8 +112,14 @@ object QueryParser {
     val agg = segs.head
     var rate: Option[RateOptions] = None
     var ds: Option[DownsampleSpec] = None
+    var pcts: Seq[Double] = Seq.empty
     segs.tail.dropRight(1).foreach { seg =>
       if (seg.startsWith("rate")) rate = Some(parseRate(seg))
+      else if (seg.startsWith("percentiles[") && seg.endsWith("]"))
+        // histogram-percentile stage (reference QueryRpc
+        // parseMTypeSubQuery percentiles grammar)
+        pcts = seg.stripPrefix("percentiles[").stripSuffix("]")
+          .split(",").toSeq.filter(_.trim.nonEmpty).map(_.trim.toDouble)
       else if (seg.nonEmpty) ds = Some(DownsampleSpec.parse(seg))
     }
     val metricSeg = segs.last
@@ -116,7 +128,7 @@ object QueryParser {
     val filters =
       if (firstBrace < 0) Seq.empty
       else parseLegacyFilters(metricSeg.substring(firstBrace))
-    SubQuery(agg, metricName, filters, ds, rate)
+    SubQuery(agg, metricName, filters, ds, rate, percentiles = pcts)
   }
 
   /** Split on `sep` at `{}` depth 0. */
@@ -170,6 +182,17 @@ object QueryParser {
     groups.zipWithIndex.flatMap { case (g, i) => parseOne(g, i == 0) }
   }
 
+  /** Plugin point: custom filter types by name — the reference's
+    * TagVFilter plugin loading (src/query/filter/TagVFilter.java:45-68).
+    * A factory receives (tagk, argument, groupBy). */
+  private val customFilters = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, Boolean) => TagFilter]
+
+  /** Register a custom filter type usable in both grammars. */
+  def registerFilter(name: String,
+                     fn: (String, String, Boolean) => TagFilter): Unit =
+    customFilters.put(name.toLowerCase, fn)
+
   /** A single filter value in either sugar or `type(value)` form. */
   def parseFilterValue(k: String, v: String, groupBy: Boolean): TagFilter = {
     val fnRe = raw"(\w+)\((.*)\)".r
@@ -184,7 +207,10 @@ object QueryParser {
         case "iwildcard"       => Wildcard(k, arg, caseInsensitive = true, groupBy = groupBy)
         case "regexp"          => RegexpFilter(k, arg, groupBy = groupBy)
         case "not_key"         => NotKey(k)
-        case other => throw new IllegalArgumentException(s"unknown filter type $other")
+        case other => customFilters.get(other) match {
+          case Some(mk) => mk(k, arg, groupBy)
+          case None => throw new IllegalArgumentException(s"unknown filter type $other")
+        }
       }
       case s if s.contains("|") => LiteralOr(k, s.split("\\|").toSeq, groupBy = groupBy)
       case s if s.contains("*") => Wildcard(k, s, groupBy = groupBy)

@@ -180,6 +180,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(weeks == expWeeks)
   }
 
+  test("custom aggregator and gexp function plugin points") {
+    Aggregators.register("range", (v, _) => max(v) - min(v))
+    val df = pointsDf(Seq(("m", 0L, 3.0, host("a")), ("m", 1000L, 10.0, host("a"))))
+    val r = df.agg(Aggregators.expr("range", col("value"), col("ts")).as("v"))
+      .collect()(0).getAs[Double]("v")
+    assert(r == 7.0)
+    graft.query.Gexp.register("half",
+      (dfs, _) => SeriesFunctions.scale(dfs.head, 0.5))
+    val flatDf = df.select(col("metric"), col("ts"), col("value"))
+    val out = graft.query.Gexp.eval(
+      graft.query.Gexp.parse("half(sum:m{h=*})"), _ => flatDf)
+    assert(out.agg(max(col("value"))).collect()(0).getDouble(0) == 5.0)
+  }
+
   test("seriesId is insensitive to tag insertion order") {
     // the reference sorts tags by tagk in the row key
     // (src/core/RowKey.java:83-105); hashing must canonicalize too

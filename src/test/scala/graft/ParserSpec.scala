@@ -97,6 +97,24 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("m= percentiles[] stage and plugin filter registration") {
+    val s = QueryParser.parseSubQuery(
+      "sum:1h-avg:percentiles[99,95.5]:sys.lat{host=*}")
+    assert(s.percentiles == Seq(99.0, 95.5))
+    assert(s.downsample.map(_.intervalMs).contains(3600000L))
+    // custom filter types resolve through the registry
+    QueryParser.registerFilter("ends_with",
+      (k, arg, gb) => RegexpFilter(k, ".*" + java.util.regex.Pattern.quote(arg),
+        groupBy = gb))
+    QueryParser.parseFilterValue("host", "ends_with(01)", groupBy = false) match {
+      case RegexpFilter("host", re, false) => assert(re.endsWith("\\Q01\\E"))
+      case other => fail(s"unexpected $other")
+    }
+    intercept[IllegalArgumentException] {
+      QueryParser.parseFilterValue("host", "no_such_type(x)", groupBy = false)
+    }
+  }
+
   test("JSON /api/query body parsing (parseQueryV1 semantics)") {
     val now = 1700000000000L
     val q = JsonQuery.parse(
