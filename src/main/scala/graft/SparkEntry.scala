@@ -520,6 +520,31 @@ object SparkEntry {
         .orderBy("ptile", "ts")
     }),
 
+    // §3.3 exp query with UNION join + fill policy (NumericFillPolicy):
+    // hours where only one metric has data fill the other with 0
+    "q44_exp_union_fill" -> ((s, dir) => {
+      def hourly(m: String) = Interpolate.aggregate(
+        Downsample(pts(s, dir).filter(col("metric") === m),
+          DownsampleSpec.parse("1h-sum")), "zimsum")
+        .select(col("ts"), col("value"))
+      ExpQuery.eval("a - b",
+          Map("a" -> hourly("click"), "b" -> hourly("purchase")),
+          intersect = false, fill = 0.0)
+        .select(col("ts"), r4(col("value")).as("value"))
+        .orderBy("ts")
+    }),
+
+    // §2.7/§3.1 rate THROUGH the engine: scan pre-padding gives the
+    // first in-range bucket its rate neighbor (reference
+    // getScanStartTimeSeconds pads for rate)
+    "q45_engine_rate" -> ((s, dir) => {
+      val q = TsQuery(T_0105, T_0120, Seq.empty)
+      Engine.runM(pts(s, dir), q, "zimsum:1d-sum:rate:purchase{user=*}")
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -1123,6 +1148,38 @@ object SparkEntry {
            (CAST(90.0 AS DOUBLE))) pp(pt)
          WHERE cum >= total * (pt / 100) AND (cum - cnt) < total * (pt / 100)
          ORDER BY ptile, ts""",
+
+    "q44_exp_union_fill" ->
+      s"""$O, c AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'click' GROUP BY ts - ts % $HOUR),
+         p AS (
+           SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
+           WHERE metric = 'purchase' GROUP BY ts - ts % $HOUR)
+         SELECT coalesce(c.ts, p.ts) AS ts,
+           round(coalesce(c.v, 0.0) - coalesce(p.v, 0.0), 4) AS value
+         FROM c FULL OUTER JOIN p ON c.ts = p.ts
+         ORDER BY ts""",
+
+    "q45_engine_rate" -> {
+      val start = T_0105; val end = T_0120; val pad = DAY
+      s"""$O, d AS (
+           SELECT tag_user, tag_k, ts - ts % $DAY AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'purchase' AND tag_user IS NOT NULL
+             AND ts >= ${start - pad} AND ts <= ${end + pad}
+           GROUP BY tag_user, tag_k, ts - ts % $DAY),
+         r AS (
+           SELECT tag_user, b,
+             (v - lag(v) OVER w) / ((b - lag(b) OVER w) / 1000.0) AS rate
+           FROM d WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY b)),
+         c AS (
+           SELECT tag_user, b, rate FROM r
+           WHERE rate IS NOT NULL AND b >= $start AND b <= $end)
+         SELECT 'purchase' AS metric, tag_user, b AS ts,
+           round(sum(rate), 4) AS value
+         FROM c GROUP BY tag_user, b ORDER BY tag_user, ts"""
+    },
 
     "q40_tree" ->
       s"""$O SELECT * FROM (

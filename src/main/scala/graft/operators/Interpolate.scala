@@ -79,7 +79,15 @@ object Interpolate {
         .select((groupCols :+ col("ts")) :+ col("value"): _*)
     }
 
-    val policy0 = if (isRate) Prev else policyOf(agg)
+    // rates are never lerped — the previous RATE is reused — but that
+    // rule replaces only the LERP policy; zimsum stays zero-filled and
+    // mimmin/mimmax stay ignore-missing even for rate queries
+    // (reference src/core/AggregationIterator.java:744-753: the rate
+    // branch substitutes the lerp step, not the fill policies)
+    val policy0 = policyOf(agg) match {
+      case Lerp if isRate => Prev
+      case p => p
+    }
     if (policy0 == Zim || policy0 == Ignore) {
       // Short-circuit: the grid×members slot join is a mathematical
       // no-op for these policies — filling 0 cannot change a sum and
