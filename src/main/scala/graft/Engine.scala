@@ -122,6 +122,41 @@ object Engine {
   }
 
   /**
+   * Whole-request serialization: parse a POST /api/query body, run
+   * every sub-query (plain or percentiles[]), and emit one DataFrame of
+   * V1 JSON documents — the complete reference response for the
+   * request. Percentile groups serialize with the percentile suffixed
+   * to the metric name (the reference emits them as separate result
+   * groups) and empty aggregateTags.
+   */
+  def serializeJson(points: DataFrame, body: String,
+                    now: Long = System.currentTimeMillis(),
+                    rollups: Seq[RollupTable] = Seq.empty): DataFrame = {
+    val q = JsonQuery.parse(body, now)
+    q.queries.map { sub =>
+      if (sub.percentiles.isEmpty) serializeV1(points, q, sub, rollups)
+      else {
+        val groupKeys = TagFilters.groupByKeys(sub.filters)
+        val tagCols = groupKeys.map(k => col(s"tag_$k"))
+        val outTs =
+          if (q.msResolution) col("ts") else (col("ts") / 1000L).cast("long")
+        runPercentiles(points, q, sub)
+          .withColumn("metric",
+            concat(col("metric"), lit("_p"), col("ptile").cast("string")))
+          .groupBy(col("metric") +: tagCols: _*)
+          .agg(map_from_entries(array_sort(collect_list(
+            struct(outTs.as("ts"), col("value"))))).as("dps"))
+          .select(to_json(struct(
+            col("metric"),
+            map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*)
+              .as("tags"),
+            array().cast("array<string>").as("aggregateTags"),
+            col("dps"))).as("json"))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * Histogram-percentile query path (reference
    * test/core/TestTsdbQueryHistogramQueries.java; `percentiles[]` on a
    * sub-query): points bucketed per (group tags, downsample interval)

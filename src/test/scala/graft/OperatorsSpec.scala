@@ -194,6 +194,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.agg(max(col("value"))).collect()(0).getDouble(0) == 5.0)
   }
 
+  test("serializeJson answers a whole multi-sub-query request") {
+    val p = pointsDf((0 until 100).map(i =>
+      ("m", i.toLong * 1000, i.toDouble, host("a"))))
+    val docs = Engine.serializeJson(p,
+      """{"start":0,"queries":[
+           {"aggregator":"zimsum","metric":"m","tags":{"host":"*"}},
+           {"aggregator":"sum","metric":"m","percentiles":[90.0]}]}""",
+      now = 200000L).collect().map(_.getAs[String]("json"))
+    assert(docs.length == 2)
+    assert(docs.exists(_.contains(""""tags":{"host":"a"}""")))
+    assert(docs.exists(_.contains(""""metric":"m_p90.0"""")))
+  }
+
   test("seriesId is insensitive to tag insertion order") {
     // the reference sorts tags by tagk in the row key
     // (src/core/RowKey.java:83-105); hashing must canonicalize too
