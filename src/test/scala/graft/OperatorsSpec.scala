@@ -207,6 +207,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docs.exists(_.contains(""""metric":"m_p90.0"""")))
   }
 
+  test("exp query per-variable fill policies") {
+    import spark.implicits._
+    val a = Seq((1000L, 10.0), (2000L, 20.0)).toDF("ts", "value")
+    val b = Seq((1000L, 1.0)).toDF("ts", "value")
+    val r = graft.query.ExpQuery.evalWithFills("a + b", Map("a" -> a, "b" -> b),
+        intersect = false, fills = Map("b" -> 100.0))
+      .collect().map(x => x.getAs[Long]("ts") -> x.getAs[Double]("value")).toMap
+    assert(r == Map(1000L -> 11.0, 2000L -> 120.0)) // b fills 100 at 2000
+  }
+
   test("seriesId is insensitive to tag insertion order") {
     // the reference sorts tags by tagk in the row key
     // (src/core/RowKey.java:83-105); hashing must canonicalize too
