@@ -99,6 +99,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash banded near-dup pairs: 4×8-bit bands, Hamming ≤ 3
+    // (pigeonhole: any pair within Hamming 3 shares at least one band)
+    "d06_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
+          maxHamming = 3, ngram = 3, bands = 4, portable = true)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // embedding near-dup pairs blocked by 3-table 6-bit RHP-LSH buckets
     // (data-independent cells — bounded bucket population at any scale,
     // unlike blocking on a skewed label column)
@@ -260,6 +270,32 @@ object PipelineQueries {
            GROUP BY doc_id, j)
          SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
+
+    "d06_simhash_pairs" ->
+      s"""$O_SH,
+         hashed AS (SELECT doc_id, ${oH32("term")} AS h FROM post),
+         votes AS (
+           SELECT doc_id, j,
+             CASE WHEN sum(((h >> j) & 1) * 2 - 1) >= 0
+               THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END AS bit
+           FROM hashed CROSS JOIN range(32) t(j)
+           GROUP BY doc_id, j),
+         sig AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim
+           FROM votes GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, sim, b AS band,
+             (sim >> CAST(b * 8 AS INT)) & 255 AS key
+           FROM sig CROSS JOIN range(4) t(b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.sim AS sim_a, y.sim AS sim_b
+           FROM banded x JOIN banded y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         ORDER BY id_a, id_b""",
 
     "d05_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),

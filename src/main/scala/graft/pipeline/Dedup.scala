@@ -206,6 +206,44 @@ object Dedup {
     simhash32FromHashes(termHashes(text, ngram, portable))
 
   /**
+   * SimHash near-duplicate pairs: 32-bit signatures banded into
+   * `bands` equal bit-slices; docs sharing any band value become
+   * candidates, verified by Hamming distance ≤ maxHamming.
+   *
+   * Pigeonhole recall guarantee: with 4 bands, any pair at Hamming
+   * distance ≤ 3 has at least one identical band, so recall is exact
+   * for maxHamming < bands. Cost scales with band-bucket collision
+   * counts (the signature is 1 long per doc), never |docs|² — the
+   * companion candidate query the SimHash signature (simhash32) was
+   * missing.
+   */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int, ngram: Int = 3, bands: Int = 4,
+                   portable: Boolean = false): DataFrame = {
+    require(32 % bands == 0, s"bands=$bands must divide 32")
+    val bandBits = 32 / bands
+    val sigs = df.select(col(idCol).as("id"),
+      simhash32(col(textCol), ngram, portable).as("sim"))
+    // signature + band keys in one pass; the signature rides along the
+    // band join so the verify stage needs no join back to sigs
+    val banded = sigs.select(col("id"), col("sim"), posexplode(
+        array((0 until bands).map(b =>
+          shiftright(col("sim"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .select(col("id"), col("sim"), col("pos").as("band"), col("col").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /**
    * Embedding near-duplicate pairs via multi-table random-hyperplane
    * LSH blocking: each vector lands in `tables` independent nBits-bit
    * buckets; docs sharing any bucket are candidates; candidates are

@@ -403,4 +403,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       m => run(m.takeWhile(_ != '{')))
     assert(summed.select("value").collect()(0).getDouble(0) == 3.0)
   }
+
+  // ---- simhash banded pairs ------------------------------------------
+
+  test("simhashPairs: exact recall for Hamming <= maxHamming < bands") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "totally unrelated words about query engines and shuffle plans"))
+      .toDF("doc_id", "text")
+    val sigs = docs
+      .select($"doc_id", graft.pipeline.Dedup.simhash32($"text", 3).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pigeonhole: 4 bands of 8 bits => every pair at Hamming <= 3 shares
+    // a band, so the banded join + filter must return EXACTLY these pairs
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val got = graft.pipeline.Dedup
+      .simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.contains((0L, 1L))) // the exact duplicate is always found
+  }
 }
