@@ -53,6 +53,7 @@ object Engine {
    */
   def run(points: DataFrame, query: TsQuery, sub: SubQuery,
           rollups: Seq[RollupTable] = Seq.empty): DataFrame = {
+    graft.meta.Introspect.incr("query.sub_queries")
     // pre-pad the scan so edge buckets AND the first rate delta / lerp
     // neighbor exist (reference getScanStartTimeSeconds pads for rate
     // too, not just downsample)
@@ -197,6 +198,24 @@ object Engine {
    * single-row count plus assert_true in the plan — at the cost of one
    * extra pass over the (already aggregated, small) result.
    */
+  /**
+   * Scan-byte budget guard (reference `tsd.query.limits.bytes`,
+   * src/core/TsdbQuery.java:188-191): rejects a query whose estimated
+   * input size exceeds `maxBytes` BEFORE any job runs, using Catalyst's
+   * optimized-plan statistics (parquet footer sizes after partition
+   * pruning and column pruning). The reference aborts mid-scan after
+   * the budget is spent; estimating from plan statistics is the
+   * planner-native equivalent — overscan is rejected for free instead
+   * of detected at cost.
+   */
+  def withMaxScanBytes(df: DataFrame, maxBytes: Long): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > maxBytes)
+      throw new IllegalStateException(
+        s"query would scan ~$est bytes, over the budget of $maxBytes")
+    df
+  }
+
   def withMaxDataPoints(df: DataFrame, max: Long): DataFrame = {
     val n = df.agg(count(lit(1)).as("__n"))
     df.crossJoin(broadcast(n))

@@ -545,6 +545,11 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.14 /api/aggregators introspection: the registered aggregator
+    // names as a wire-ordered listing (reference RpcManager.java:280-331)
+    "q46_aggregators" -> ((s, dir) =>
+      graft.meta.Introspect.aggregators(s).orderBy("aggregator")),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -1180,6 +1185,11 @@ object SparkEntry {
            round(sum(rate), 4) AS value
          FROM c GROUP BY tag_user, b ORDER BY tag_user, ts"""
     },
+
+    "q46_aggregators" ->
+      s"""SELECT * FROM (VALUES ${graft.operators.Aggregators.all.sorted
+           .map(a => s"('$a')").mkString(", ")}) t(aggregator)
+         ORDER BY aggregator""",
 
     "q40_tree" ->
       s"""$O SELECT * FROM (

@@ -47,4 +47,27 @@ object Introspect {
     points.groupBy(col("metric"), col("tags"))
       .agg(min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
         count(lit(1)).as("points"))
+
+  // ---- runtime counters (the reference's StatsCollector namespace,
+  // src/stats/StatsCollector.java — `tsd.rpc.received`-style counts
+  // incremented by the engine and ingest paths) ------------------------
+
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+
+  /** Increment a named runtime counter (driver-side, thread-safe). */
+  def incr(name: String, by: Long = 1L): Unit =
+    counters.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.LongAdder).add(by)
+
+  /** GET /api/stats, counter half: current runtime counter values. */
+  def statsCounters(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    counters.asScala.toSeq.map { case (k, v) => (k, v.sum) }
+      .sorted.toDF("metric", "value")
+  }
+
+  /** Test hook: reset all runtime counters. */
+  def resetStats(): Unit = counters.clear()
 }

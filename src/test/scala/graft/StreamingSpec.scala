@@ -74,6 +74,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(spark.table("rollup_stream_test").columns.contains))
   }
 
+  test("RT publisher: foreachBatch second sink sees each ingested batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val pts = Ingest.parsePutLines(mem.toDF())
+      .filter(col("_error").isNull).drop("_error")
+    val published = new java.util.concurrent.atomic.LongAdder
+    val q = Ingest.withPublisher(pts, (batch, _) =>
+      published.add(batch.count())).start()
+    mem.addData(
+      "put cpu 1700000000 1 host=a",
+      "put cpu 1700000060 2 host=a",
+      "put mem 1700000000 3 host=b")
+    q.processAllAvailable()
+    q.stop()
+    assert(published.sum() == 3L)
+  }
+
   test("annotation CRUD: upsert replaces identity, bulk delete by range") {
     import spark.implicits._
     val table = Seq(
@@ -163,5 +181,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = (1 to 10).toDF("v")
     assert(Engine.withMaxDataPoints(df, 10).count() == 10)
     intercept[Exception] { Engine.withMaxDataPoints(df, 9).count() }
+  }
+
+  test("scan-byte budget rejects overscan at plan time, before any job") {
+    import spark.implicits._
+    val df = (1 to 1000).toDF("v")
+    assert(Engine.withMaxScanBytes(df, Long.MaxValue).count() == 1000)
+    // plan-stat estimate of 1000 ints is far above 1 byte; the guard
+    // must throw from the driver without running a job
+    intercept[IllegalStateException] { Engine.withMaxScanBytes(df, 1L) }
+  }
+
+  test("runtime stats counters count engine sub-queries") {
+    Introspect.resetStats()
+    Introspect.incr("rpc.received")
+    Introspect.incr("rpc.received")
+    Introspect.incr("query.errors", 3)
+    val st = Introspect.statsCounters(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == Map("rpc.received" -> 2L, "query.errors" -> 3L))
   }
 }
