@@ -53,6 +53,10 @@ object PipelineQueries {
   private def oH32(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 4294967296"
 
+  /** DuckDB mirror of TextAnalysis.h60 (same 15 hex digits, no mod). */
+  private def oH60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
   /** DuckDB mirror of Similarity.rhpBucket(vec, nBits, dim, planeOffset):
     * generated with the same rhpSign constants, same left-associative
     * addition order, so doubles match bit-for-bit. */
@@ -273,19 +277,19 @@ object PipelineQueries {
 
     "d06_simhash_pairs" ->
       s"""$O_SH,
-         hashed AS (SELECT doc_id, ${oH32("term")} AS h FROM post),
+         hashed AS (SELECT doc_id, ${oH60("term")} AS h FROM post),
          votes AS (
            SELECT doc_id, j,
              CASE WHEN sum(((h >> j) & 1) * 2 - 1) >= 0
                THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END AS bit
-           FROM hashed CROSS JOIN range(32) t(j)
+           FROM hashed CROSS JOIN range(60) t(j)
            GROUP BY doc_id, j),
          sig AS (
            SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim
            FROM votes GROUP BY doc_id),
          banded AS (
            SELECT doc_id, sim, b AS band,
-             (sim >> CAST(b * 8 AS INT)) & 255 AS key
+             (sim >> CAST(b * 15 AS INT)) & 32767 AS key
            FROM sig CROSS JOIN range(4) t(b)),
          cand AS (
            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,

@@ -205,8 +205,38 @@ object Dedup {
                 portable: Boolean = false): Column =
     simhash32FromHashes(termHashes(text, ngram, portable))
 
+  /** SimHash signature bit width for the pair query: 60 bits (15 hex
+    * md5 digits — the widest portably-replicable slice). A 32-bit
+    * signature caps band keys at 8 bits = 256 buckets, so bucket
+    * population grows as n/256 and candidate pairs quadratically; 60
+    * bits give 15-bit bands (32k buckets per band) — the classic
+    * simhash64 blocking shape. */
+  val SIMHASH_BITS = 60
+
   /**
-   * SimHash near-duplicate pairs: 32-bit signatures banded into
+   * 60-bit SimHash signatures, relationally: postings explode to
+   * (id, term-hash) rows, one conditional-sum vote per bit in a single
+   * groupBy — plain declarative aggregates, so Catalyst plans map-side
+   * partial aggregation and the shuffle carries 60 longs per doc
+   * regardless of document length.
+   */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        ngram: Int = 3, portable: Boolean = false): DataFrame = {
+    import TextAnalysis.hash60
+    val post = df.select(col(idCol).as("id"),
+      explode(terms(col(textCol), ngram)).as("t"))
+      .select(col("id"), hash60(col("t"), portable).as("h"))
+    val votes = (0 until SIMHASH_BITS).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    post.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until SIMHASH_BITS).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /**
+   * SimHash near-duplicate pairs: 60-bit signatures banded into
    * `bands` equal bit-slices; docs sharing any band value become
    * candidates, verified by Hamming distance ≤ maxHamming.
    *
@@ -220,10 +250,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int, ngram: Int = 3, bands: Int = 4,
                    portable: Boolean = false): DataFrame = {
-    require(32 % bands == 0, s"bands=$bands must divide 32")
-    val bandBits = 32 / bands
-    val sigs = df.select(col(idCol).as("id"),
-      simhash32(col(textCol), ngram, portable).as("sim"))
+    require(SIMHASH_BITS % bands == 0, s"bands=$bands must divide $SIMHASH_BITS")
+    val bandBits = SIMHASH_BITS / bands
+    val sigs = simhashSignatures(df, textCol, idCol, ngram, portable)
     // signature + band keys in one pass; the signature rides along the
     // band join so the verify stage needs no join back to sigs
     val banded = sigs.select(col("id"), col("sim"), posexplode(

@@ -32,6 +32,20 @@ object TextAnalysis {
   def hash32(c: Column, portable: Boolean): Column =
     if (portable) h32(c) else h32Fast(c)
 
+  /** 60-bit portable hash: first 15 hex digits of md5 (no modulo) —
+    * the wider variant for signature schemes (SimHash) where 32 bits
+    * leave band keys too narrow to block effectively at scale. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit engine-native hash: top 60 bits of xxhash64. */
+  def h60Fast(c: Column): Column =
+    shiftrightunsigned(xxhash64(c), 4)
+
+  /** 60-bit hash selector. */
+  def hash60(c: Column, portable: Boolean): Column =
+    if (portable) h60(c) else h60Fast(c)
+
   /** Lowercased alnum tokens; empty strings removed. */
   def tokens(text: Column): Column =
     array_remove(split(lower(text), "[^a-z0-9]+"), "")

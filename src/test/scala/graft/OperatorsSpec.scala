@@ -414,10 +414,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
       (3L, "totally unrelated words about query engines and shuffle plans"))
       .toDF("doc_id", "text")
-    val sigs = docs
-      .select($"doc_id", graft.pipeline.Dedup.simhash32($"text", 3).as("sim"))
+    val sigs = graft.pipeline.Dedup.simhashSignatures(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // pigeonhole: 4 bands of 8 bits => every pair at Hamming <= 3 shares
+    // pigeonhole: 4 bands of 15 bits => every pair at Hamming <= 3 shares
     // a band, so the banded join + filter must return EXACTLY these pairs
     val expected = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
