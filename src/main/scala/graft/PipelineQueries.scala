@@ -201,6 +201,30 @@ object PipelineQueries {
           r4(element_at(f, 3)).as("f2"),
           r4(element_at(f, 4)).as("f3"))
         .orderBy("media_id")
+    }),
+
+    // multimodal: REAL codec path under oracle — 2×2 binary-PPM images
+    // synthesized per doc, decoded by the per-partition PPM codec
+    // (header parse + pixel math), features checked arithmetically
+    "m02_media_decode" -> ((s, dir) => {
+      val pix = concat(
+        lpad(hex(pmod(col("doc_id"), lit(256))), 2, "0"),
+        lpad(hex(pmod(col("doc_id") * 7, lit(256))), 2, "0"),
+        lpad(hex(pmod(col("doc_id") * 13, lit(256))), 2, "0"))
+      val payload = concat(encode(lit("P6\n2 2\n255\n"), "UTF-8"),
+        unhex(concat(pix, pix, pix, pix)))
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.decodeMedia(media)
+        .select(col("media_id"),
+          col("decoded.kind").as("kind"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          r4(element_at(col("decoded.features"), 1)).as("mean_r"),
+          r4(element_at(col("decoded.features"), 2)).as("mean_g"),
+          r4(element_at(col("decoded.features"), 3)).as("mean_b"),
+          r4(element_at(col("decoded.features"), 4)).as("luma"))
+        .orderBy("media_id")
     })
   )
 
@@ -471,6 +495,22 @@ object PipelineQueries {
            round(CAST(concat('0x', substr(hx, 3, 2)) AS INT) / 255.0, 4) AS f1,
            round(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0, 4) AS f2,
            round(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0, 4) AS f3
-         FROM m ORDER BY media_id"""
+         FROM m ORDER BY media_id""",
+
+    "m02_media_decode" ->
+      """WITH px AS (
+           SELECT doc_id AS media_id,
+             CAST(doc_id % 256 AS DOUBLE) AS r,
+             CAST((doc_id * 7) % 256 AS DOUBLE) AS g,
+             CAST((doc_id * 13) % 256 AS DOUBLE) AS b
+           FROM documents)
+         SELECT media_id, 'image/ppm' AS kind,
+           CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           round(r / CAST(255 AS DOUBLE), 4) AS mean_r,
+           round(g / CAST(255 AS DOUBLE), 4) AS mean_g,
+           round(b / CAST(255 AS DOUBLE), 4) AS mean_b,
+           round((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE), 4) AS luma
+         FROM px ORDER BY media_id"""
   )
 }

@@ -352,6 +352,24 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §3.1 the JSON POST /api/query form end-to-end: body parse →
+    // filter array (wildcard groupBy + literal_or) → downsample →
+    // engine pad/clip (reference HttpJsonSerializer.parseQueryV1)
+    "q47_engine_json" -> ((s, dir) => {
+      val body =
+        """{"start": 1704412800, "end": 1705708800,
+           "queries": [{"aggregator": "zimsum", "metric": "click",
+             "downsample": "1h-sum",
+             "filters": [
+               {"type":"wildcard","tagk":"user","filter":"*","groupBy":true},
+               {"type":"literal_or","tagk":"k",
+                "filter":"10|11|12|13|14|15","groupBy":false}]}]}"""
+      Engine.runJson(pts(s, dir), body).head
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.2 case-insensitive filters: iliteral_or + iwildcard
     "q29_filters_ci" -> ((s, dir) => {
       val df = pts(s, dir).filter(col("metric") === "signup")
@@ -941,6 +959,17 @@ object SparkEntry {
            SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
            FROM points
            WHERE metric = 'click' AND tag_user IS NOT NULL
+           GROUP BY tag_user, ts - ts % $HOUR)
+         SELECT 'click' AS metric, tag_user, b AS ts, round(v, 4) AS value
+         FROM d WHERE b >= $T_0105 AND b <= $T_0120
+         ORDER BY tag_user, ts""",
+
+    "q47_engine_json" ->
+      s"""$O, d AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'click' AND tag_user IS NOT NULL
+             AND tag_k IN ('10','11','12','13','14','15')
            GROUP BY tag_user, ts - ts % $HOUR)
          SELECT 'click' AS metric, tag_user, b AS ts, round(v, 4) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
