@@ -57,6 +57,30 @@ object PipelineQueries {
   private def oH60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** DuckDB mirror of Dedup.simhashSignatures + banding: CTE chain
+    * from the O_SH postings to `cand` (candidate pairs with both
+    * signatures). Shared by d06 (pair output) and d07 (clusters). */
+  private def oSimhashCand: String =
+    s"""hashed AS (SELECT doc_id, ${oH60("term")} AS h FROM post),
+         votes AS (
+           SELECT doc_id, j,
+             CASE WHEN sum(((h >> j) & 1) * 2 - 1) >= 0
+               THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END AS bit
+           FROM hashed CROSS JOIN range(60) t(j)
+           GROUP BY doc_id, j),
+         sig AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim
+           FROM votes GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, sim, b AS band,
+             (sim >> CAST(b * 15 AS INT)) & 32767 AS key
+           FROM sig CROSS JOIN range(4) t(b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.sim AS sim_a, y.sim AS sim_b
+           FROM banded x JOIN banded y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
+
   /** DuckDB mirror of Similarity.rhpBucket(vec, nBits, dim, planeOffset):
     * generated with the same rhpSign constants, same left-associative
     * addition order, so doubles match bit-for-bit. */
@@ -111,6 +135,16 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // duplicate-cluster resolution: simhash pairs → connected
+    // components → keeper per cluster (min doc id)
+    "d07_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
+        maxHamming = 3, ngram = 3, bands = 4, portable = true)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("keeper_id"))
+        .orderBy("doc_id")
     }),
 
     // embedding near-dup pairs blocked by 3-table 6-bit RHP-LSH buckets
@@ -185,6 +219,22 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"), fp.as("fp_min"),
           n.as("n_shingles"))
         .orderBy("doc_id")
+    }),
+
+    // deterministic Bernoulli sample: pure filter, reproducible by hash
+    "t04_sample_bernoulli" -> ((s, dir) => {
+      Sampling.bernoulli(docs(s, dir), "doc_id", 0.1, "s42", portable = true)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic stratified sample: 5 docs per language via the
+    // bounded-heap top-n aggregate (no per-stratum global sort)
+    "t05_sample_stratified" -> ((s, dir) => {
+      Sampling.stratifiedTopN(docs(s, dir), "lang", "doc_id", 5,
+          "s42", portable = true)
+        .select(col("stratum").as("lang"), col("id").as("doc_id"))
+        .orderBy("lang", "doc_id")
     }),
 
     // multimodal: binary payload + metadata + stub feature extraction
@@ -300,30 +350,27 @@ object PipelineQueries {
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
 
     "d06_simhash_pairs" ->
-      s"""$O_SH,
-         hashed AS (SELECT doc_id, ${oH60("term")} AS h FROM post),
-         votes AS (
-           SELECT doc_id, j,
-             CASE WHEN sum(((h >> j) & 1) * 2 - 1) >= 0
-               THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END AS bit
-           FROM hashed CROSS JOIN range(60) t(j)
-           GROUP BY doc_id, j),
-         sig AS (
-           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim
-           FROM votes GROUP BY doc_id),
-         banded AS (
-           SELECT doc_id, sim, b AS band,
-             (sim >> CAST(b * 15 AS INT)) & 32767 AS key
-           FROM sig CROSS JOIN range(4) t(b)),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-             x.sim AS sim_a, y.sim AS sim_b
-           FROM banded x JOIN banded y
-             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      s"""$O_SH, $oSimhashCand
          SELECT id_a, id_b,
            CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
          ORDER BY id_a, id_b""",
+
+    "d07_dedup_clusters" ->
+      s"""${O_SH.replaceFirst("WITH ", "WITH RECURSIVE ")}, $oSimhashCand,
+         pairs AS (
+           SELECT id_a, id_b FROM cand
+           WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT src AS id, dst AS r FROM edges
+           UNION
+           SELECT reach.id, edges.dst
+           FROM reach JOIN edges ON reach.r = edges.src)
+         SELECT id AS doc_id, least(id, min(r)) AS keeper_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
 
     "d05_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
@@ -496,6 +543,23 @@ object PipelineQueries {
            round(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0, 4) AS f2,
            round(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0, 4) AS f3
          FROM m ORDER BY media_id""",
+
+    "t04_sample_bernoulli" ->
+      s"""SELECT doc_id FROM documents
+         WHERE ${oH32("'s42' || CAST(doc_id AS VARCHAR)")}
+           < ${(0.1 * 4294967296.0).toLong}
+         ORDER BY doc_id""",
+
+    "t05_sample_stratified" ->
+      s"""WITH h AS (
+           SELECT lang, doc_id,
+             ${oH32("'s42' || CAST(doc_id AS VARCHAR)")} AS hh
+           FROM documents),
+         r AS (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+           FROM h)
+         SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id""",
 
     "m02_media_decode" ->
       """WITH px AS (

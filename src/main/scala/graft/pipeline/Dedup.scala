@@ -311,6 +311,54 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /**
+   * Duplicate-cluster resolution: near-dup pairs → connected
+   * components → keeper per component (min id) — the step that turns
+   * any of the pair detectors (ngramJaccardPairs / minhashLshPairs /
+   * simhashPairs / embeddingRhpPairs) into an actionable drop list.
+   *
+   * Algorithm: iterative min-label propagation over the undirected
+   * pair graph. Each round every node adopts the minimum label in its
+   * neighborhood (including its own); rounds double the distance a
+   * minimum travels, so convergence needs O(diameter) ≤ O(log n)
+   * rounds for the short, chain-like components near-dup graphs
+   * produce. Each round is one groupBy over the (symmetrized) edge
+   * list — map-side combined, shuffle keyed by node — and convergence
+   * is detected with a count of changed labels (one cheap action per
+   * round). maxIter caps pathological chains; persist keeps each
+   * round's labels from recomputing the whole lineage.
+   *
+   * Returns (id, component) for every node appearing in `pairs`;
+   * component = min doc id of the cluster (the keeper).
+   */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // min over neighbors' labels and own label, one shuffle
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("comp"))
+      val next = viaEdges.unionByName(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by a
     * coarse cell column (IVF-style). Prefer embeddingRhpPairs when no
     * trained/balanced cell assignment exists — a skewed cell column

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines. Everything is
+ * hash-based — no RNG state, no seed-per-partition coupling — so a
+ * sample is reproducible across runs, cluster sizes, and engines
+ * (the portable hash is replicable in the DuckDB oracle), and a
+ * document's membership can be audited after the fact.
+ */
+object Sampling {
+
+  import TextAnalysis.hash32
+
+  /** Salted per-row hash in [0, 2^32). */
+  private def rowHash(idCol: Column, salt: String, portable: Boolean): Column =
+    hash32(concat(lit(salt), idCol.cast("string")), portable)
+
+  /**
+   * Deterministic Bernoulli sample: keep rows whose salted id-hash
+   * falls under `fraction` of the 32-bit space. Pure filter — no
+   * shuffle, fully pushed into the scan stage, trivially parallel at
+   * any scale.
+   */
+  def bernoulli(df: DataFrame, idCol: String, fraction: Double,
+                salt: String = "s", portable: Boolean = false): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction")
+    df.filter(rowHash(col(idCol), salt, portable) <
+      (fraction * 4294967296.0).toLong)
+  }
+
+  /** Bounded top-n buffer: keeps the n smallest (hash, id) pairs.
+    * The buffer never exceeds n entries, so map-side partial
+    * aggregation ships at most n pairs per stratum per partition —
+    * unlike a window over the stratum (single-task sort of the whole
+    * stratum) or collect_list (unbounded buffer). */
+  class TopNAgg(n: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    def zero: Seq[(Long, Long)] = Seq.empty
+    private def cap(s: Seq[(Long, Long)]) = s.sorted.take(n)
+    def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+      cap(b :+ a)
+    def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      cap(b1 ++ b2)
+    def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r.sorted
+    def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+  }
+
+  /**
+   * Deterministic stratified sample: the n rows with the smallest
+   * salted hash per stratum (ties broken by id). One hash-partitioned
+   * aggregation with a bounded buffer — no per-stratum global sort, so
+   * a stratum with billions of rows costs the same shuffle as a small
+   * one.
+   */
+  def stratifiedTopN(df: DataFrame, strataCol: String, idCol: String, n: Int,
+                     salt: String = "s", portable: Boolean = false): DataFrame = {
+    val topN = udaf(new TopNAgg(n),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    df.select(col(strataCol).as("stratum"),
+        rowHash(col(idCol), salt, portable).as("__h"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy("stratum")
+      .agg(topN(col("__h"), col("__id")).as("picks"))
+      .select(col("stratum"), explode(col("picks")).as("p"))
+      .select(col("stratum"), col("p._2").as("id"))
+  }
+
+  /** Window-function formulation of the same stratified sample —
+    * simpler plan for small strata; kept as the semantic reference
+    * (identical output to stratifiedTopN by construction). */
+  def stratifiedTopNWindow(df: DataFrame, strataCol: String, idCol: String,
+                           n: Int, salt: String = "s",
+                           portable: Boolean = false): DataFrame =
+    df.select(col(strataCol).as("stratum"), col(idCol).cast("long").as("id"),
+        rowHash(col(idCol), salt, portable).as("__h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(col("__h"), col("id"))))
+      .filter(col("__rn") <= n)
+      .select("stratum", "id")
+}

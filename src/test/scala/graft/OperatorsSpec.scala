@@ -428,4 +428,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
     assert(got.contains((0L, 1L))) // the exact duplicate is always found
   }
+
+  test("duplicateClusters: min-label propagation over a chain converges") {
+    import spark.implicits._
+    // chain 5-4-3-2-1 (min must travel 4 hops => >1 round) + pair 10-11
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = graft.pipeline.Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("stratified sampling: bounded-heap agg == window formulation") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (s"s${i % 3}", i)).toDF("lang", "doc_id")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val heap = rows(graft.pipeline.Sampling
+      .stratifiedTopN(df, "lang", "doc_id", 4))
+    val win = rows(graft.pipeline.Sampling
+      .stratifiedTopNWindow(df, "lang", "doc_id", 4))
+    assert(heap == win && heap.size == 12)
+    // bernoulli is a deterministic filter: same sample every run
+    val s1 = graft.pipeline.Sampling.bernoulli(df, "doc_id", 0.25)
+      .collect().map(_.getLong(1)).toSet
+    val s2 = graft.pipeline.Sampling.bernoulli(df, "doc_id", 0.25)
+      .collect().map(_.getLong(1)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 200)
+  }
 }
