@@ -63,11 +63,19 @@ object Engine {
       sub.downsample.map(d => math.max(d.intervalMs, 1L)).getOrElse(0L),
       if (needsNeighbors) RATE_LERP_PAD_MS else 0L)
     // shared scan shape for raw points AND rollup rows: metric + padded
-    // time range (pushdown-friendly) then tag filters
-    def scanned(df: DataFrame): DataFrame = TagFilters(
-      df.filter(col("metric") === sub.metric &&
-        col("ts") >= (query.startMs - padMs) && col("ts") <= (query.endMs + padMs)),
-      sub.filters, sub.explicitTags)
+    // time range (pushdown-friendly) then tag filters. Explicit-series
+    // addressing (reference TSSubQuery.tsuids) replaces the
+    // metric+filter resolution with a series-id membership test —
+    // tsuid = hex of the 64-bit series hash (Points.seriesId).
+    val timeF = col("ts") >= (query.startMs - padMs) &&
+      col("ts") <= (query.endMs + padMs)
+    def scanned(df: DataFrame): DataFrame =
+      if (sub.tsuids.nonEmpty)
+        Points.withSeriesId(df.filter(timeF))
+          .filter(hex(col("series_id"))
+            .isin(sub.tsuids.map(_.toUpperCase): _*))
+      else TagFilters(df.filter(col("metric") === sub.metric && timeF),
+        sub.filters, sub.explicitTags)
     lazy val withSeries = Points.withSeriesId(scanned(points))
 
     val downsampled = sub.downsample match {

@@ -370,6 +370,23 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §3.1 explicit-series addressing: resolve TSUIDs (hex series
+    // hashes) via lookup, then query by tsuids with no metric filter
+    // (reference TSSubQuery.tsuids, src/core/TSSubQuery.java:50-104)
+    "q48_tsuid_query" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val ids = graft.model.Points.withSeriesId(p)
+        .filter(col("metric") === "click" && col("tags").getItem("user") === "1")
+        .select(hex(col("series_id"))).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val q = TsQuery(T_0105, T_0120, Seq.empty)
+      val sub = SubQuery(aggregator = "zimsum", metric = "",
+        downsample = Some(DownsampleSpec.parse("1d-sum")), tsuids = ids)
+      Engine.run(p, q, sub)
+        .select(col("metric"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("ts")
+    }),
+
     // §2.2 case-insensitive filters: iliteral_or + iwildcard
     "q29_filters_ci" -> ((s, dir) => {
       val df = pts(s, dir).filter(col("metric") === "signup")
@@ -963,6 +980,16 @@ object SparkEntry {
          SELECT 'click' AS metric, tag_user, b AS ts, round(v, 4) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
          ORDER BY tag_user, ts""",
+
+    "q48_tsuid_query" ->
+      s"""$O, d AS (
+           SELECT tag_k, ts - ts % $DAY AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'click' AND tag_user = '1'
+           GROUP BY tag_k, ts - ts % $DAY)
+         SELECT 'click' AS metric, b AS ts, round(sum(v), 4) AS value
+         FROM d WHERE b >= $T_0105 AND b <= $T_0120
+         GROUP BY b ORDER BY ts""",
 
     "q47_engine_json" ->
       s"""$O, d AS (

@@ -63,7 +63,10 @@ object JsonQuery {
 
   private def parseSub(n: JsonNode): SubQuery = {
     require(n.hasNonNull("aggregator"), "sub-query missing 'aggregator'")
-    require(n.hasNonNull("metric"), "sub-query missing 'metric'")
+    val tsuids = Option(n.get("tsuids")).filterNot(x => x == null || x.isNull)
+      .toSeq.flatMap(_.elements().asScala.map(_.asText()).toSeq)
+    require(n.hasNonNull("metric") || tsuids.nonEmpty,
+      "sub-query missing 'metric' (or 'tsuids')")
     val downsample = Option(n.get("downsample")).filter(_.isTextual)
       .map(d => DownsampleSpec.parse(d.asText()))
     val rate =
@@ -99,11 +102,12 @@ object JsonQuery {
       .flatMap(_.elements().asScala.map(_.asDouble()).toSeq)
     SubQuery(
       aggregator = n.get("aggregator").asText(),
-      metric = n.get("metric").asText(),
+      metric = n.path("metric").asText(""),
       filters = tagFilters ++ filters,
       downsample = downsample,
       rate = rate,
       explicitTags = n.path("explicitTags").asBoolean(false),
-      percentiles = percentiles)
+      percentiles = percentiles,
+      tsuids = tsuids)
   }
 }

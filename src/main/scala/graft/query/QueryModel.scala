@@ -89,7 +89,12 @@ case class SubQuery(
     downsample: Option[DownsampleSpec] = None,
     rate: Option[RateOptions] = None,
     explicitTags: Boolean = false,
-    percentiles: Seq[Double] = Seq.empty)
+    percentiles: Seq[Double] = Seq.empty,
+    // explicit-series addressing (reference TSSubQuery.tsuids,
+    // src/core/TSSubQuery.java:50-104): series ids replace the
+    // metric+filter resolution entirely. Our TSUID analog is the
+    // 64-bit series hash (Points.seriesId) rendered as hex.
+    tsuids: Seq[String] = Seq.empty)
 
 /** Top-level query (time range + sub-queries). */
 case class TsQuery(

@@ -440,6 +440,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("tsuids sub-query addresses explicit series, no metric filter") {
+    val p = pointsDf(Seq(
+      ("cpu", 0L, 1.0, host("a")), ("cpu", 60000L, 2.0, host("a")),
+      ("cpu", 0L, 10.0, host("b")), ("mem", 0L, 5.0, host("a"))))
+    val tsuidA = graft.model.Points.withSeriesId(p)
+      .filter(col("metric") === "cpu" && col("tags").getItem("host") === "a")
+      .select(hex(col("series_id"))).distinct().collect()(0).getString(0)
+    val body =
+      s"""{"start": 0, "end": 4294967296,
+          "queries": [{"aggregator": "zimsum", "tsuids": ["$tsuidA"]}]}"""
+    val rows = Engine.runJson(p, body).head
+      .orderBy("ts").collect()
+    assert(rows.map(r => r.getAs[Long]("ts") -> r.getAs[Double]("value")).toSeq
+      == Seq(0L -> 1.0, 60000L -> 2.0))
+  }
+
   test("stratified sampling: bounded-heap agg == window formulation") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (s"s${i % 3}", i)).toDF("lang", "doc_id")
