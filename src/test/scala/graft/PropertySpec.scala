@@ -110,4 +110,50 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.join(flat, Seq("metric", "tag_host", "ts", "value"),
       "left_anti").count() == 0)
   }
+
+  test("property: simhashPairs == brute-force pairs at Hamming <= 3") {
+    import spark.implicits._
+    // random docs drawn from a tiny vocabulary so near-dups happen
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val docs = (0L until 60L).map { i =>
+      val words = (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = graft.pipeline.Dedup.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = graft.pipeline.Dedup
+      .simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute) // pigeonhole recall is exact, filter is exact
+  }
+
+  test("property: duplicateClusters == brute-force connected components") {
+    import spark.implicits._
+    val n = 40
+    val edges = (0 until 50).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val pairs = edges.toDF("id_a", "id_b")
+    // brute force: repeated min-relaxation to fixpoint on the driver
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var comp = nodes.map(v => v -> v).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (a, b) =>
+        val m = math.min(comp(a), comp(b))
+        if (comp(a) != m) { comp += a -> m; changed = true }
+        if (comp(b) != m) { comp += b -> m; changed = true }
+      }
+    }
+    val got = graft.pipeline.Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == comp)
+  }
 }
