@@ -22,6 +22,31 @@ object Scratch {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def audit(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val nEx = "Exchange".r.findAllIn(plan).size
+      val nScan = "Scan parquet".r.findAllIn(plan).size
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+      val warn = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "GlobalSort" -> "\\bSort \\[[^\\]]*\\], true".r.findFirstIn(plan)
+          .exists(_ => !plan.contains("TakeOrderedAndProject")),
+        "UnpartitionedWindow" -> plan.contains("Window [")
+      ).collect { case (w, true) => w }
+      println(s"AUDIT $name exchanges=$nEx scans=$nScan " +
+        s"pushedNonEmpty=${pushed.count(p => !p.contains("[]"))} " +
+        (if (warn.nonEmpty) s"WARN=${warn.mkString(",")}" else "ok"))
+    }
+
+    if (args.headOption.contains("--plans")) {
+      val names = if (args.length > 1) args.tail.toSeq
+        else SparkEntry.queries.keys.toSeq.sorted
+      names.foreach(audit)
+      spark.stop(); return
+    }
+
     val names = args.toSeq match {
       case Seq() => SparkEntry.queries.keys.toSeq.sorted
       case xs => xs

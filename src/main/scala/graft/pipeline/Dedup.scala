@@ -332,12 +332,16 @@ object Dedup {
    * component = min doc id of the cluster (the keeper).
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) after every round truncates lineage —
+    // without it the logical plan chains all rounds (hundreds of scan
+    // nodes by round 20) and a lost cached partition would recompute
+    // the entire iteration history
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -347,15 +351,13 @@ object Dedup {
         .select(col("src").as("id"), col("comp"))
       val next = viaEdges.unionByName(labels)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       it += 1
     }
-    sym.unpersist()
     labels
   }
 
