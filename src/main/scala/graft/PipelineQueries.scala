@@ -221,6 +221,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top-3 terms per doc (corpus-size as broadcast aggregate)
+    "t06_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "text", "doc_id", 3)
+        .select(col("id").as("doc_id"), col("tok"),
+          r4(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id", "tok")
+    }),
+
     // deterministic Bernoulli sample: pure filter, reproducible by hash
     "t04_sample_bernoulli" -> ((s, dir) => {
       Sampling.bernoulli(docs(s, dir), "doc_id", 0.1, "s42", portable = true)
@@ -543,6 +551,28 @@ object PipelineQueries {
            round(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0, 4) AS f2,
            round(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0, 4) AS f3
          FROM m ORDER BY media_id""",
+
+    "t06_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM toks GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, tok,
+             tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+           FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, tok, tfidf, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+           FROM scored)
+         SELECT doc_id, tok, round(tfidf, 4) AS tfidf
+         FROM r WHERE rn <= 3 ORDER BY doc_id, tok""",
 
     "t04_sample_bernoulli" ->
       s"""SELECT doc_id FROM documents

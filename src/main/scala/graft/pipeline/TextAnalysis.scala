@@ -139,4 +139,31 @@ object TextAnalysis {
     val sh = transform(sequence(lit(1), n), i => text.substr(i, lit(k)))
     (array_min(transform(sh, s => h32(s))), size(array_distinct(sh)))
   }
+
+  /**
+   * TF-IDF top-k terms per document: tf(doc, term) × ln(N / df(term)),
+   * the k highest-scoring terms each (ties by term). Three shuffles —
+   * token postings, document frequency, per-doc ranking — all keyed on
+   * high-cardinality columns (term / doc), so no skew hot-spot; the
+   * corpus size joins in as a broadcast single-row aggregate rather
+   * than a driver-side count, keeping the whole transform lazy.
+   */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("tfidf").desc, col("tok").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("id"), col("tok"), col("tfidf"))
+  }
 }
