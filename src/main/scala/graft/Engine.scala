@@ -234,6 +234,29 @@ object Engine {
   }
 
   /**
+   * DELETE /api/query — remove the points a query matches (reference
+   * TSQuery.delete flag; QueryRpc delete path): returns the surviving
+   * points table. Matching = the sub-query's series (metric + tag
+   * filters) within the query time range. Expressed as a semi/anti
+   * join on the series hash, never a row-wise anti-join on the map
+   * column (maps are not join keys); at scale the matched-series set
+   * is small and broadcasts.
+   */
+  def deletePoints(points: DataFrame, query: TsQuery, sub: SubQuery): DataFrame = {
+    val ws = Points.withSeriesId(points)
+    val matchedSeries = Points.withSeriesId(TagFilters(
+        points.filter(col("metric") === sub.metric),
+        sub.filters, sub.explicitTags))
+      .select("series_id").distinct()
+    val inRange = col("ts") >= query.startMs && col("ts") <= query.endMs
+    ws.join(broadcast(matchedSeries), Seq("series_id"), "left_anti")
+      .unionByName(
+        ws.join(broadcast(matchedSeries), Seq("series_id"), "left_semi")
+          .filter(!inRange))
+      .drop("series_id")
+  }
+
+  /**
    * Output shaping to the reference's serialization shape
    * (HttpJsonSerializer.formatQueryV1): one row per group with
    * `metric`, grouping `tags`, `aggregateTags` (tag keys present in
@@ -259,7 +282,8 @@ object Engine {
    * (TSQuery.msResolution, src/core/TSQuery.java).
    */
   def serializeV1(points: DataFrame, query: TsQuery, sub: SubQuery,
-                  rollups: Seq[RollupTable] = Seq.empty): DataFrame = {
+                  rollups: Seq[RollupTable] = Seq.empty,
+                  globalAnnotations: Option[DataFrame] = None): DataFrame = {
     val groupKeys = TagFilters.groupByKeys(sub.filters)
     val result = run(points, query, sub, rollups)
     val outTs =
@@ -283,12 +307,29 @@ object Engine {
       .groupBy(col("metric") +: tagCols: _*)
       .agg(array_sort(collect_set(col("__k"))).as("aggregateTags"))
     val keys = "metric" +: groupKeys.map(k => s"tag_$k")
-    dps.join(aggTags, keys, "left")
-      .select(to_json(struct(
-        col("metric"),
-        map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*).as("tags"),
-        coalesce(col("aggregateTags"),
-          array().cast("array<string>")).as("aggregateTags"),
-        col("dps"))).as("json"))
+    val base = dps.join(aggTags, keys, "left")
+    val fields = Seq(
+      col("metric"),
+      map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*).as("tags"),
+      coalesce(col("aggregateTags"),
+        array().cast("array<string>")).as("aggregateTags"),
+      col("dps"))
+    globalAnnotations match {
+      case None => base.select(to_json(struct(fields: _*)).as("json"))
+      case Some(ann) =>
+        // globalAnnotations=true (reference QueryRpc.java:124-320):
+        // annotations with no series key inside the query range ride on
+        // every result document as one broadcast single-row aggregate
+        val ga = graft.meta.Annotations
+          .globals(ann, ann.columns.filterNot(
+            Seq("start_ts", "end_ts", "description").contains).toSeq,
+            query.startMs, query.endMs)
+          .agg(array_sort(collect_list(struct(
+            col("start_ts"), col("end_ts"), col("description"))))
+            .as("globalAnnotations"))
+        base.crossJoin(broadcast(ga))
+          .select(to_json(struct(fields :+ col("globalAnnotations"): _*))
+            .as("json"))
+    }
   }
 }

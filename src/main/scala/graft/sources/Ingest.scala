@@ -178,6 +178,21 @@ object Ingest {
   }
 
   /**
+   * `/api/put?summary` / `?details` response (reference
+   * PutDataPointRpc.java:272-430): success/failed counts over a parsed
+   * batch, plus the per-row error messages for the details form.
+   */
+  def putSummary(parsed: DataFrame): DataFrame =
+    parsed.agg(
+      sum(when(col("_error").isNull, 1L).otherwise(0L)).as("success"),
+      sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("failed"))
+
+  /** The `details` error list: one row per rejected point. */
+  def putDetails(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_error").isNotNull)
+      .select(col("_error").as("error"), col("metric"), col("ts"))
+
+  /**
    * Real-time publisher hook — the reference's RTPublisher plugin
    * (src/tsd/RTPublisher.java, publishDataPoint per ingested point):
    * a second consumer of the ingest stream via foreachBatch, so the

@@ -192,6 +192,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException] { Engine.withMaxScanBytes(df, 1L) }
   }
 
+  test("put summary/details report success and failure counts") {
+    import spark.implicits._
+    val parsed = Ingest.parsePutLines(Seq(
+      "put cpu 1700000000 1 host=a",
+      "put cpu 1700000060 2 host=a",
+      "not a put line",
+      "put cpu notatime 3 host=a").toDF("value"))
+    val s = Ingest.putSummary(parsed).collect()(0)
+    assert(s.getAs[Long]("success") == 2L && s.getAs[Long]("failed") == 2L)
+    assert(Ingest.putDetails(parsed).count() == 2)
+  }
+
+  test("delete-by-query removes only matched series in range") {
+    import scala.jdk.CollectionConverters._
+    import graft.query.{SubQuery, TsQuery}
+    val p = spark.createDataFrame(Seq(
+      Row("cpu", 1000L, 1.0, null, false, Map("host" -> "a")),
+      Row("cpu", 5000L, 2.0, null, false, Map("host" -> "a")),
+      Row("cpu", 1000L, 3.0, null, false, Map("host" -> "b")),
+      Row("mem", 1000L, 4.0, null, false, Map("host" -> "a"))
+    ).asJava, Points.schema)
+    val q = TsQuery(0L, 2000L, Seq.empty)
+    val sub = graft.query.QueryParser.parseSubQuery("sum:cpu{host=a}")
+    val left = Engine.deletePoints(p, q, sub)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // cpu/a@1000 deleted; cpu/a@5000 out of range survives; b and mem stay
+    assert(left == Set(("cpu", 5000L, 2.0), ("cpu", 1000L, 3.0),
+      ("mem", 1000L, 4.0)))
+  }
+
+  test("serializeV1 attaches globalAnnotations when requested") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.query.{QueryParser, TsQuery}
+    val p = spark.createDataFrame(Seq(
+      Row("cpu", 1000L, 1.0, null, false, Map("host" -> "a"))
+    ).asJava, Points.schema)
+    val ann = Seq(
+      (null.asInstanceOf[java.lang.Long], 500L, 1500L, "maintenance"),
+      (java.lang.Long.valueOf(7L), 500L, 1500L, "series-scoped"),
+      (null.asInstanceOf[java.lang.Long], 9000L, 9900L, "out of range"))
+      .toDF("series", "start_ts", "end_ts", "description")
+    val q = TsQuery(0L, 2000L, Seq.empty)
+    val sub = QueryParser.parseSubQuery("sum:cpu")
+    val doc = Engine.serializeV1(p, q, sub, Seq.empty, Some(ann))
+      .collect()(0).getString(0)
+    assert(doc.contains("\"globalAnnotations\""))
+    assert(doc.contains("maintenance"))
+    assert(!doc.contains("series-scoped") && !doc.contains("out of range"))
+  }
+
   test("runtime stats counters count engine sub-queries") {
     Introspect.resetStats()
     Introspect.incr("rpc.received")
