@@ -283,7 +283,8 @@ object Engine {
    */
   def serializeV1(points: DataFrame, query: TsQuery, sub: SubQuery,
                   rollups: Seq[RollupTable] = Seq.empty,
-                  globalAnnotations: Option[DataFrame] = None): DataFrame = {
+                  globalAnnotations: Option[DataFrame] = None,
+                  showTsuids: Boolean = false): DataFrame = {
     val groupKeys = TagFilters.groupByKeys(sub.filters)
     val result = run(points, query, sub, rollups)
     val outTs =
@@ -307,13 +308,27 @@ object Engine {
       .groupBy(col("metric") +: tagCols: _*)
       .agg(array_sort(collect_set(col("__k"))).as("aggregateTags"))
     val keys = "metric" +: groupKeys.map(k => s"tag_$k")
-    val base = dps.join(aggTags, keys, "left")
+    // showTSUIDs (reference TSQuery.showTSUIDs): the member series of
+    // each group as hex series hashes — the ids q48-style tsuids
+    // queries accept back, closing the lookup→query round trip
+    val withTsuids =
+      if (!showTsuids) dps.join(aggTags, keys, "left")
+      else dps.join(aggTags, keys, "left").join(
+        Points.withSeriesId(scanned)
+          .select((col("metric") +: groupKeys.map(k =>
+            col("tags").getItem(k).as(s"tag_$k"))) :+
+            hex(col("series_id")).as("__tsuid"): _*)
+          .groupBy(col("metric") +: tagCols: _*)
+          .agg(array_sort(collect_set(col("__tsuid"))).as("tsuids")),
+        keys, "left")
+    val base = withTsuids
     val fields = Seq(
       col("metric"),
       map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*).as("tags"),
       coalesce(col("aggregateTags"),
         array().cast("array<string>")).as("aggregateTags"),
-      col("dps"))
+      col("dps")) ++
+      (if (showTsuids) Seq(col("tsuids")) else Seq.empty)
     globalAnnotations match {
       case None => base.select(to_json(struct(fields: _*)).as("json"))
       case Some(ann) =>

@@ -245,6 +245,21 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // composed corpus-cleaning pipeline: exact-dedup keepers ∩ quality
+    // threshold ∩ language gate — the end-to-end filter chain a corpus
+    // build runs, as one declarative plan (semi-join + column filters)
+    "t07_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepers = Dedup.exact(d, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      d.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.7 &&
+          TextAnalysis.langId(col("text")) === "en")
+        .select(col("doc_id"),
+          r4(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: binary payload + metadata + stub feature extraction
     "m01_media_meta" -> ((s, dir) => {
       val m = Multimodal.fromDocuments(docs(s, dir))
@@ -551,6 +566,57 @@ object PipelineQueries {
            round(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0, 4) AS f2,
            round(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0, 4) AS f3
          FROM m ORDER BY media_id""",
+
+    "t07_clean_corpus" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         m AS (
+           SELECT doc_id, tk,
+             len(tk) AS n_tokens,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it'], x))) AS DOUBLE)
+                 / len(tk) END AS stop_ratio,
+             length(text) AS n_chars,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                 / len(tk) END AS avg_tok
+           FROM t),
+         q AS (
+           SELECT doc_id, tk,
+             (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+              + least(stop_ratio * 4.0, 1.0)
+              + greatest(0.0, 1.0 - CAST(n_punct AS DOUBLE)
+                  / greatest(n_chars, 1) * 10.0)
+              + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
+             / 4.0 AS quality
+           FROM m),
+         h AS (
+           SELECT doc_id, quality,
+             len(list_intersect(list_distinct(tk), ['der','die','das','und','ist','nicht','ein','zu'])) AS h_de,
+             len(list_intersect(list_distinct(tk), ['the','and','of','to','is','in','that','it'])) AS h_en,
+             len(list_intersect(list_distinct(tk), ['el','la','los','las','es','y','que','de'])) AS h_es,
+             len(list_intersect(list_distinct(tk), ['le','la','les','et','est','que','une','dans'])) AS h_fr,
+             len(list_intersect(list_distinct(tk), ['的','是','了','在','我','有','和','不'])) AS h_zh
+           FROM q),
+         pred AS (
+           SELECT doc_id, quality,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+               WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+               WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+               WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+               WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+               ELSE 'zh' END AS predicted
+           FROM h),
+         keep AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT p.doc_id, round(p.quality, 4) AS quality
+         FROM pred p JOIN keep k ON k.doc_id = p.doc_id
+         WHERE p.quality >= 0.7 AND p.predicted = 'en'
+         ORDER BY p.doc_id""",
 
     "t06_tfidf" ->
       """WITH toks AS (

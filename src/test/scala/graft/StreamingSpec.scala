@@ -243,6 +243,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!doc.contains("series-scoped") && !doc.contains("out of range"))
   }
 
+  test("serializeV1 showTsuids emits the series ids tsuid queries accept") {
+    import scala.jdk.CollectionConverters._
+    import graft.query.{QueryParser, TsQuery}
+    val p = spark.createDataFrame(Seq(
+      Row("cpu", 1000L, 1.0, null, false, Map("host" -> "a")),
+      Row("cpu", 1000L, 2.0, null, false, Map("host" -> "b"))
+    ).asJava, Points.schema)
+    val expected = graft.model.Points.withSeriesId(p)
+      .select(hex(col("series_id"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    val q = TsQuery(0L, 2000L, Seq.empty)
+    val doc = Engine.serializeV1(p, q, QueryParser.parseSubQuery("zimsum:cpu"),
+        showTsuids = true)
+      .collect()(0).getString(0)
+    assert(doc.contains("\"tsuids\""))
+    assert(expected.forall(doc.contains))
+  }
+
   test("runtime stats counters count engine sub-queries") {
     Introspect.resetStats()
     Introspect.incr("rpc.received")
