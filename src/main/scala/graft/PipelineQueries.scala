@@ -33,6 +33,25 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Per-session cache of the dedup family's shared (id, h) postings —
+    * the tokenize+md5 scan is the dominant cost of every dedup pass,
+    * and a pipeline running several passes materializes it once
+    * (Dedup.hashedPostings doc). Keyed by (bits, dir); rebuilt when the
+    * session changes. */
+  private val postCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
+
+  private def sharedPostings(s: SparkSession, dir: String, bits: Int): DataFrame =
+    postCache.get((bits, dir)) match {
+      case Some((sess, df)) if sess eq s => df
+      case _ =>
+        val df = Dedup.hashedPostings(docs(s, dir), "text", "doc_id",
+            ngram = 3, portable = true, bits = bits)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        postCache.put((bits, dir), (s, df))
+        df
+    }
+
   /** DuckDB mirror of TextAnalysis.tokens / shingles(3) over documents. */
   private val O_SH =
     """WITH toks AS (
@@ -103,17 +122,17 @@ object PipelineQueries {
     }),
 
     // n-gram (3-shingle) Jaccard near-dup pairs via postings join
+    // (shares the materialized postings with d03)
     "d02_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
-          threshold = 0.5, ngram = 3, portable = true)
+      Dedup.jaccardFromPostings(sharedPostings(s, dir, 32), threshold = 0.5)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
     // MinHash-LSH banded candidates, verified at jaccard >= 0.5
     "d03_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
-          bands = 4, threshold = 0.5, ngram = 3, portable = true)
+      Dedup.minhashLshFromPostings(sharedPostings(s, dir, 32),
+          bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -130,8 +149,8 @@ object PipelineQueries {
     // SimHash banded near-dup pairs: 4×8-bit bands, Hamming ≤ 3
     // (pigeonhole: any pair within Hamming 3 shares at least one band)
     "d06_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
-          maxHamming = 3, ngram = 3, bands = 4, portable = true)
+      Dedup.simhashPairsFromPostings(sharedPostings(s, dir, 60),
+          maxHamming = 3, bands = 4)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -140,8 +159,8 @@ object PipelineQueries {
     // duplicate-cluster resolution: simhash pairs → connected
     // components → keeper per cluster (min doc id)
     "d07_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
-        maxHamming = 3, ngram = 3, bands = 4, portable = true)
+      val pairs = Dedup.simhashPairsFromPostings(sharedPostings(s, dir, 60),
+        maxHamming = 3, bands = 4)
       Dedup.duplicateClusters(pairs)
         .select(col("id").as("doc_id"), col("comp").as("keeper_id"))
         .orderBy("doc_id")

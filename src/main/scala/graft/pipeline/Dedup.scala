@@ -69,28 +69,34 @@ object Dedup {
                         threshold: Double,
                         maxDf: Option[Long] = Some(DEFAULT_MAX_DF),
                         ngram: Int = 3,
-                        portable: Boolean = false): DataFrame = {
+                        portable: Boolean = false): DataFrame =
     // join on the 32-bit term hash, not the term string: the postings
     // shuffle moves 8-byte longs instead of ~20-char shingles, and the
     // Jaccard is computed over the hashed term sets on both engine and
     // oracle so rare collisions stay consistent
-    val p = df.select(col(idCol).as("id"),
-      explode(array_distinct(termHashes(col(textCol), ngram, portable))).as("tok"))
-      .transform(d => maxDf match {
-        case None => d
-        case Some(cap) =>
-          val dfreq = d.groupBy("tok").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= cap)
-          d.join(dfreq.select("tok"), Seq("tok"))
-      })
-      // self-join + sizes read postings three times; persist so the
-      // tokenize+hash scan runs once (spills at scale, never recomputes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardFromPostings(
+      hashedPostings(df, textCol, idCol, ngram, portable)
+        // self-join + sizes read postings three times; persist so the
+        // tokenize+hash scan runs once (spills at scale, never recomputes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold, maxDf)
+
+  /** Jaccard pairs from pre-materialized (id, h) postings — feed a
+    * persisted hashedPostings when several dedup passes share it. */
+  def jaccardFromPostings(post: DataFrame, threshold: Double,
+                          maxDf: Option[Long] = Some(DEFAULT_MAX_DF)): DataFrame = {
+    val p = post.transform(d => maxDf match {
+      case None => d
+      case Some(cap) =>
+        val dfreq = d.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+        d.join(dfreq.select("h"), Seq("h"))
+    })
     // set sizes derived from the (capped) postings — one groupBy instead
     // of a second full text scan
     val sizes = p.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shared = p.as("a").join(p.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
@@ -118,6 +124,29 @@ object Dedup {
                  portable: Boolean = false): Column =
     transform(terms(text, ngram), t => hash32(t, portable))
 
+  /** 60-bit term-hash array (for signature schemes; see SIMHASH_BITS). */
+  def termHashes60(text: Column, ngram: Int = 3,
+                   portable: Boolean = false): Column =
+    transform(terms(text, ngram), t => TextAnalysis.hash60(t, portable))
+
+  /**
+   * (id, h) term-hash postings — THE shared intermediate of the dedup
+   * family. A pipeline running several dedup passes (Jaccard + MinHash
+   * + SimHash) should materialize this once and feed the
+   * `...FromPostings` variants: the tokenize+hash scan is the dominant
+   * cost at any scale and is identical across passes of one bit width.
+   */
+  def hashedPostings(df: DataFrame, textCol: String, idCol: String,
+                     ngram: Int = 3, portable: Boolean = false,
+                     bits: Int = 32): DataFrame = {
+    val hs = bits match {
+      case 32 => array_distinct(termHashes(col(textCol), ngram, portable))
+      case 60 => termHashes60(col(textCol), ngram, portable)
+      case other => throw new IllegalArgumentException(s"bits $other")
+    }
+    df.select(col(idCol).as("id"), explode(hs).as("h"))
+  }
+
   /** MinHash signature from a materialized hash array: for each (a,b)
     * param, min over terms of (a*h+b) mod p. */
   def minhashSigFromHashes(hs: Column): Column =
@@ -143,13 +172,18 @@ object Dedup {
    */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       bands: Int, threshold: Double, ngram: Int = 3,
-                      portable: Boolean = false): DataFrame = {
-    val rowsPerBand = MH_PARAMS.length / bands
+                      portable: Boolean = false): DataFrame =
     // one tokenize+hash pass; persisted because it is read four times
     // (signature agg, sizes, and both sides of the verify join)
-    val post = df.select(col(idCol).as("id"),
-        explode(array_distinct(termHashes(col(textCol), ngram, portable))).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashLshFromPostings(
+      hashedPostings(df, textCol, idCol, ngram, portable)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      bands, threshold)
+
+  /** MinHash-LSH pairs from pre-materialized (id, h) postings. */
+  def minhashLshFromPostings(post: DataFrame, bands: Int,
+                             threshold: Double): DataFrame = {
+    val rowsPerBand = MH_PARAMS.length / bands
     // relational signature: the aggregate is a hard barrier, and the
     // partial-agg combine keeps shuffle traffic at 8 longs per doc
     val sig = post.groupBy(col("id")).agg(
@@ -221,11 +255,14 @@ object Dedup {
    * regardless of document length.
    */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        ngram: Int = 3, portable: Boolean = false): DataFrame = {
-    import TextAnalysis.hash60
-    val post = df.select(col(idCol).as("id"),
-      explode(terms(col(textCol), ngram)).as("t"))
-      .select(col("id"), hash60(col("t"), portable).as("h"))
+                        ngram: Int = 3, portable: Boolean = false): DataFrame =
+    simhashSignaturesFromPostings(
+      hashedPostings(df, textCol, idCol, ngram, portable, bits = 60))
+
+  /** Signatures from pre-materialized 60-bit (id, h) postings (NOT
+    * distinct-ed: each distinct term votes once; hash collisions vote
+    * per term on both engine and oracle). */
+  def simhashSignaturesFromPostings(post: DataFrame): DataFrame = {
     val votes = (0 until SIMHASH_BITS).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
     post.groupBy(col("id")).agg(votes.head, votes.tail: _*)
@@ -249,10 +286,17 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int, ngram: Int = 3, bands: Int = 4,
-                   portable: Boolean = false): DataFrame = {
+                   portable: Boolean = false): DataFrame =
+    simhashPairsFromPostings(
+      hashedPostings(df, textCol, idCol, ngram, portable, bits = 60),
+      maxHamming, bands)
+
+  /** Banded SimHash pairs from pre-materialized 60-bit postings. */
+  def simhashPairsFromPostings(post: DataFrame, maxHamming: Int,
+                               bands: Int = 4): DataFrame = {
     require(SIMHASH_BITS % bands == 0, s"bands=$bands must divide $SIMHASH_BITS")
     val bandBits = SIMHASH_BITS / bands
-    val sigs = simhashSignatures(df, textCol, idCol, ngram, portable)
+    val sigs = simhashSignaturesFromPostings(post)
     // signature + band keys in one pass; the signature rides along the
     // band join so the verify stage needs no join back to sigs
     val banded = sigs.select(col("id"), col("sim"), posexplode(
