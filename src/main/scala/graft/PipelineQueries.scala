@@ -45,8 +45,12 @@ object PipelineQueries {
     postCache.get((bits, dir)) match {
       case Some((sess, df)) if sess eq s => df
       case _ =>
+        // pre-partition by doc id: the signature/size aggregations and
+        // the verify joins all key on id, so they reuse this hash
+        // partitioning with no further exchange of the postings
         val df = Dedup.hashedPostings(docs(s, dir), "text", "doc_id",
             ngram = 3, portable = true, bits = bits)
+          .repartition(col("id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         postCache.put((bits, dir), (s, df))
         df

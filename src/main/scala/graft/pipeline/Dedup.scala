@@ -185,12 +185,16 @@ object Dedup {
                              threshold: Double): DataFrame = {
     val rowsPerBand = MH_PARAMS.length / bands
     // relational signature: the aggregate is a hard barrier, and the
-    // partial-agg combine keeps shuffle traffic at 8 longs per doc
+    // partial-agg combine keeps shuffle traffic at 9 longs per doc.
+    // The set size rides along in the SAME aggregation — the verify
+    // stage needs it, and folding it here saves a full second shuffle
+    // over the postings
     val sig = post.groupBy(col("id")).agg(
       min((col("h") * MH_PARAMS.head._1 + MH_PARAMS.head._2) % MH_PRIME).as("mh0"),
       MH_PARAMS.zipWithIndex.tail.map { case ((a, b), i) =>
         min((col("h") * a + b) % MH_PRIME).as(s"mh$i")
-      }: _*)
+      } :+ count(lit(1)).as("sz"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -207,7 +211,7 @@ object Dedup {
     // verify from the postings: |A∩B| = shared hash count per pair,
     // |A∪B| = sz_a + sz_b - shared. Intermediate size is |cand| × avg
     // doc size, not |docs|² — the LSH savings survive verification.
-    val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = sig.select(col("id"), col("sz"))
     val shared = cand
       .join(post.select(col("id").as("id_a"), col("h")), Seq("id_a"))
       .join(post.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
