@@ -76,7 +76,8 @@ object Aggregators {
   def medianUpper(v: Column): Column = {
     val sorted = sort_array(collect_list(v))
     val n = size(sorted)
-    element_at(sorted, (n.cast("double") / 2).cast("int") + 1)
+    when(n === 0, lit(Double.NaN))
+      .otherwise(element_at(sorted, (n.cast("double") / 2).cast("int") + 1))
   }
 
   /** Plugin point: custom aggregators registered by name (the
@@ -89,33 +90,45 @@ object Aggregators {
   def register(name: String, fn: (Column, Column) => Column): Unit =
     custom.put(name, fn)
 
+  /** NaN-skipping input: the reference's double paths skip NaN points
+    * (src/core/Aggregators.java doubles branches; AggregationIterator
+    * feeds only non-NaN). Spark instead propagates NaN through sum/avg
+    * and sorts it ABOVE every value in max — so NaN inputs are mapped
+    * to null (which every Spark aggregate skips). */
+  private def nn(v: Column): Column = when(!isnan(v), v)
+
   /**
    * Aggregate expression by reference name over value column `v` with
    * time column `ts` (needed by first/last/diff).
    * Interpolation policy differences (sum vs zimsum etc.) are handled
    * by the alignment stage (Interpolate), not here.
+   * NaN semantics: value aggregates skip NaN inputs; a group with no
+   * non-NaN input yields NaN (count yields 0) — reference behavior.
    */
   def expr(name: String, v: Column, ts: Column): Column = name match {
-    case "sum" | "zimsum" | "pfsum" | "mimsum" => sum(v)
-    case "min" | "mimmin" => min(v)
-    case "max" | "mimmax" => max(v)
-    case "avg" => avg(v)
-    case "count" => count(v)
-    case "median" => medianUpper(v)
+    case "sum" | "zimsum" | "pfsum" | "mimsum" =>
+      coalesce(sum(nn(v)), lit(Double.NaN))
+    case "min" | "mimmin" => coalesce(min(nn(v)), lit(Double.NaN))
+    case "max" | "mimmax" => coalesce(max(nn(v)), lit(Double.NaN))
+    case "avg" => coalesce(avg(nn(v)), lit(Double.NaN))
+    case "count" => count(nn(v))
+    case "median" => medianUpper(nn(v))
     case "mult" => productUdaf(v)
     // Welford /(n-1) + sqrt = sample stddev; single value → 0
     // (reference src/core/Aggregators.java:498-571)
-    case "dev" => when(count(v) === 1, lit(0.0)).otherwise(stddev_samp(v))
+    case "dev" => when(count(nn(v)) === 1, lit(0.0))
+      .otherwise(coalesce(stddev_samp(nn(v)), lit(Double.NaN)))
     case "diff" => max_by(v, ts) - min_by(v, ts) // last - first by time
     case "first" => min_by(v, ts)
     case "last" => max_by(v, ts)
-    case "squareSum" | "squaresum" => sum(v * v)
+    case "squareSum" | "squaresum" =>
+      coalesce(sum(nn(v) * nn(v)), lit(Double.NaN))
     case p if p.startsWith("ep") && (p.endsWith("r3") || p.endsWith("r7")) =>
       val est = p.takeRight(2)
       val digits = p.drop(2).dropRight(2)
-      percentile(v, pctFromDigits(digits), est)
+      percentile(nn(v), pctFromDigits(digits), est)
     case p if p.startsWith("p") && p.drop(1).forall(_.isDigit) =>
-      percentile(v, pctFromDigits(p.drop(1)), "r6")
+      percentile(nn(v), pctFromDigits(p.drop(1)), "r6")
     case "none" | "raw" => first_value(v) // bypass; caller enforces 1 series
     case other => custom.get(other) match {
       case Some(fn) => fn(v, ts)
@@ -147,9 +160,9 @@ object Aggregators {
       // reference's realistic counter magnitudes)
       when(bool_and(isInt),
         (sum(vl) / count(vl)).cast("long").cast("double"))
-        .otherwise(avg(v))
+        .otherwise(expr("avg", v, ts))
     case "dev" =>
-      val d = when(count(v) === 1, lit(0.0)).otherwise(stddev_samp(v))
+      val d = expr("dev", v, ts)
       when(bool_and(isInt), d.cast("long").cast("double")).otherwise(d)
     case other => expr(other, v, ts)
   }

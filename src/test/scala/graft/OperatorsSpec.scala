@@ -243,6 +243,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("double-path aggregates skip NaN; all-NaN group yields NaN") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", Double.NaN), ("g", 3.0),
+        ("h", Double.NaN), ("h", Double.NaN))
+      .toDF("g", "value").withColumn("ts", lit(0L))
+    def agg(name: String) = df.groupBy("g")
+      .agg(Aggregators.expr(name, col("value"), col("ts")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val s = agg("sum"); assert(s("g") == 4.0 && s("h").isNaN)
+    val mx = agg("max"); assert(mx("g") == 3.0 && mx("h").isNaN)
+    val av = agg("avg"); assert(av("g") == 2.0 && av("h").isNaN)
+    val md = agg("median"); assert(md("g") == 3.0 && md("h").isNaN)
+    val ct = df.groupBy("g")
+      .agg(Aggregators.expr("count", col("value"), col("ts")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ct("g") == 2L && ct("h") == 0L)
+  }
+
   test("dev is sample stddev with single-value -> 0 (reference Welford)") {
     assert(math.abs(agg1("dev", Seq(2, 4, 4, 4, 5, 5, 7, 9)) - 2.13809) < 1e-4)
     assert(agg1("dev", Seq(42.0)) == 0.0)
