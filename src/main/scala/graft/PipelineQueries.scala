@@ -252,6 +252,14 @@ object PipelineQueries {
         .orderBy("doc_id", "tok")
     }),
 
+    // repetition quality signals: top-bigram fraction + type-token ratio
+    "t08_repetition" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          r4(TextAnalysis.topBigramFraction(col("text"))).as("top_bigram_frac"),
+          r4(TextAnalysis.typeTokenRatio(col("text"))).as("type_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic Bernoulli sample: pure filter, reproducible by hash
     "t04_sample_bernoulli" -> ((s, dir) => {
       Sampling.bernoulli(docs(s, dir), "doc_id", 0.1, "s42", portable = true)
@@ -662,6 +670,30 @@ object PipelineQueries {
            FROM scored)
          SELECT doc_id, tok, round(tfidf, 4) AS tfidf
          FROM r WHERE rn <= 3 ORDER BY doc_id, tok""",
+
+    "t08_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 2
+               THEN list_transform(range(len(tk) - 1),
+                 i -> tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2])
+               ELSE [] END AS bi,
+             tk
+           FROM t)
+         SELECT doc_id,
+           round(CASE WHEN len(bi) = 0 THEN 0.0 ELSE
+             CAST(list_max(list_transform(list_distinct(bi),
+               x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE)
+               / len(bi) END, 4) AS top_bigram_frac,
+           round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 4)
+             AS type_token_ratio
+         FROM b ORDER BY doc_id""",
 
     "t04_sample_bernoulli" ->
       s"""SELECT doc_id FROM documents

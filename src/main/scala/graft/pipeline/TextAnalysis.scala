@@ -140,6 +140,38 @@ object TextAnalysis {
     (array_min(transform(sh, s => h32(s))), size(array_distinct(sh)))
   }
 
+  /** Non-distinct word bigrams (repetition measures need counts). */
+  private def bigrams(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2), i =>
+        concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Repetition signal: fraction of bigrams taken by the most frequent
+   * bigram (the "fraction of characters in most common n-gram" family
+   * of training-data quality filters). Pure per-row column
+   * expressions — quadratic in tokens-per-doc (bounded, ~tens), zero
+   * shuffles over the corpus.
+   */
+  def topBigramFraction(text: Column): Column = {
+    val bi = bigrams(text)
+    val top = array_max(transform(array_distinct(bi), b =>
+      size(filter(bi, x => x === b))))
+    when(size(bi) === 0, lit(0.0))
+      .otherwise(top.cast("double") / size(bi))
+  }
+
+  /** Lexical-diversity signal: distinct tokens / tokens (type-token
+    * ratio); heavily repeated boilerplate scores low. */
+  def typeTokenRatio(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(size(array_distinct(tk)).cast("double") / size(tk))
+  }
+
   /**
    * TF-IDF top-k terms per document: tf(doc, term) × ln(N / df(term)),
    * the k highest-scoring terms each (ties by term). Three shuffles —
