@@ -180,6 +180,15 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // trained quantizer: deterministic Lloyd k-means cell assignment
+    // (k lowest-id init, rounded-distance argmin, 1 iteration)
+    "s04_kmeans_cells" -> ((s, dir) => {
+      Similarity.kmeansAssign(embs(s, dir), "embedding", "vec_id",
+          k = 4, iters = 1)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // brute-force cosine top-10 for 3 query vectors
     "s01_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -448,6 +457,38 @@ object PipelineQueries {
              JOIN v vb ON vb.vec_id = id_b)
          SELECT id_a, id_b, round(cos, 4) AS cos
          FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b""",
+
+    "s04_kmeans_cells" -> {
+      def assign(centCte: String) =
+        s"""SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                floor(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                  z -> (CAST(z[1] AS DOUBLE) - z[2])
+                    * (CAST(z[1] AS DOUBLE) - z[2])))
+                  * 1000000 + 0.5) / 1000000, c.cluster) AS rn
+            FROM e CROSS JOIN $centCte c) t WHERE rn = 1"""
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS cluster,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+         a1 AS (${assign("c0")}),
+         d1 AS (
+           SELECT a1.cluster, i.i AS pos,
+             avg(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)) AS v
+           FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) i(i)
+           GROUP BY a1.cluster, i.i),
+         cm AS (
+           SELECT cluster, list(v ORDER BY pos) AS cvec
+           FROM d1 GROUP BY cluster),
+         c1 AS (
+           SELECT c0.cluster, coalesce(cm.cvec, c0.cvec) AS cvec
+           FROM c0 LEFT JOIN cm USING (cluster)),
+         a2 AS (${assign("c1")})
+         SELECT vec_id, cluster FROM a2 ORDER BY vec_id"""
+    },
 
     "s01_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

@@ -34,6 +34,59 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * Lloyd's k-means cell assignment — the trained quantizer for real
+   * IVF search (vs blocking on a pre-existing label column).
+   *
+   * Deterministic and engine-reproducible by construction:
+   *  - init = the k lowest-id vectors (no RNG);
+   *  - squared distances are rounded to 1e-6 BEFORE the argmin (fp
+   *    summation order in the centroid averages differs across
+   *    engines/partitionings at ~1e-13 — rounding makes that noise
+   *    unobservable), ties broken by lowest cluster id;
+   *  - an emptied cluster keeps its previous centroid.
+   *
+   * Each iteration broadcasts k×dim doubles in the plan (centroid
+   * literals — no join) and runs one (cluster, dim) aggregation; the
+   * corpus is scanned, never shuffled by vector. Returns the input
+   * plus a `cluster` column from the final assignment.
+   */
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    def assignTo(cents: Seq[Seq[Double]]): DataFrame = {
+      val vec = col(vecCol)
+      val dists = cents.zipWithIndex.map { case (c, i) =>
+        val d = aggregate(
+          zip_with(vec, typedlit(c), (a, b) =>
+            (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x)
+        (i, floor(d * 1e6 + 0.5) / 1e6)
+      }
+      val minD = least(dists.map(_._2): _*)
+      val cluster = dists.foldRight(lit(-1): Column) { case ((i, d), elze) =>
+        when(d === minD, lit(i)).otherwise(elze)
+      }
+      df.withColumn("cluster", cluster)
+    }
+    var cents: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val perDim = assignTo(cents)
+        .select(col("cluster"), posexplode(col(vecCol)))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("v"))
+        .collect()
+      val updated = perDim.groupBy(_.getAs[Int]("cluster")).map { case (c, rows) =>
+        c -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("v")).toSeq
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        updated.getOrElse(i, old) // emptied cluster keeps its centroid
+      }
+    }
+    assignTo(cents)
+  }
+
+  /**
    * Brute-force cosine top-k: for each query vector, the k most
    * similar corpus vectors. `queries` is expected to be small (it is
    * broadcast).

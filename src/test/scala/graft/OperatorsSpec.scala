@@ -474,6 +474,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq(0L -> 1.0, 60000L -> 2.0))
   }
 
+  test("kmeansAssign separates two obvious clusters deterministically") {
+    import spark.implicits._
+    // ids 0..3 near the origin, ids 10..13 near (10,10,...)
+    val rows = (0L to 3L).map(i => (i, Array.fill(8)(0.1f * i))) ++
+      (10L to 13L).map(i => (i, Array.fill(8)(10f + 0.1f * (i - 10))))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity
+      .kmeansAssign(df, "embedding", "vec_id", k = 2, iters = 2)
+      .select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val low = (0L to 3L).map(out).toSet
+    val high = (10L to 13L).map(out).toSet
+    assert(low.size == 1 && high.size == 1 && low != high)
+    // deterministic: a second run yields the identical assignment
+    val out2 = graft.pipeline.Similarity
+      .kmeansAssign(df, "embedding", "vec_id", k = 2, iters = 2)
+      .select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out2 == out)
+  }
+
   test("stratified sampling: bounded-heap agg == window formulation") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (s"s${i % 3}", i)).toDF("lang", "doc_id")
