@@ -104,6 +104,41 @@ object PipelineQueries {
            FROM banded x JOIN banded y
              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
 
+  /** DuckDB mirror of Similarity.kmeansAssign(k=4, iters=1): CTE chain
+    * ending in `a2` = the final (vec_id, cluster) assignment, with `e`
+    * = the embeddings in scope. Distances round to 1e-6 before the
+    * argmin exactly like the engine, so assignments match bit-for-bit. */
+  private def oKmeansA2: String = {
+    def assign(centCte: String) =
+      s"""SELECT vec_id, cluster FROM (
+          SELECT e.vec_id, c.cluster,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              floor(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                z -> (CAST(z[1] AS DOUBLE) - z[2])
+                  * (CAST(z[1] AS DOUBLE) - z[2])))
+                * 1000000 + 0.5) / 1000000, c.cluster) AS rn
+          FROM e CROSS JOIN $centCte c) t WHERE rn = 1"""
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+             AS cluster,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+       a1 AS (${assign("c0")}),
+       d1 AS (
+         SELECT a1.cluster, i.i AS pos,
+           avg(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)) AS v
+         FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) i(i)
+         GROUP BY a1.cluster, i.i),
+       cm AS (
+         SELECT cluster, list(v ORDER BY pos) AS cvec
+         FROM d1 GROUP BY cluster),
+       c1 AS (
+         SELECT c0.cluster, coalesce(cm.cvec, c0.cvec) AS cvec
+         FROM c0 LEFT JOIN cm USING (cluster)),
+       a2 AS (${assign("c1")})"""
+  }
+
   /** DuckDB mirror of Similarity.rhpBucket(vec, nBits, dim, planeOffset):
     * generated with the same rhpSign constants, same left-associative
     * addition order, so doubles match bit-for-bit. */
@@ -187,6 +222,20 @@ object PipelineQueries {
           k = 4, iters = 1)
         .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")
+    }),
+
+    // IVF top-5 over the TRAINED k-means cells (query probes its own
+    // cell — single-probe on a learned quantizer, not a given label)
+    "s05_ivf_trained" -> ((s, dir) => {
+      val assigned = Similarity.kmeansAssign(embs(s, dir),
+        "embedding", "vec_id", k = 4, iters = 1)
+      val q = assigned.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("cluster").as("q_cell"))
+      Similarity.ivfTopK(assigned, q, 5, cellCol = "cluster")
+        .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"),
+          col("rank"))
+        .orderBy("q_id", "rank")
     }),
 
     // brute-force cosine top-10 for 3 query vectors
@@ -458,37 +507,35 @@ object PipelineQueries {
          SELECT id_a, id_b, round(cos, 4) AS cos
          FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b""",
 
-    "s04_kmeans_cells" -> {
-      def assign(centCte: String) =
-        s"""SELECT vec_id, cluster FROM (
-            SELECT e.vec_id, c.cluster,
-              row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                floor(list_sum(list_transform(list_zip(e.embedding, c.cvec),
-                  z -> (CAST(z[1] AS DOUBLE) - z[2])
-                    * (CAST(z[1] AS DOUBLE) - z[2])))
-                  * 1000000 + 0.5) / 1000000, c.cluster) AS rn
-            FROM e CROSS JOIN $centCte c) t WHERE rn = 1"""
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-               AS cluster,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-         a1 AS (${assign("c0")}),
-         d1 AS (
-           SELECT a1.cluster, i.i AS pos,
-             avg(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)) AS v
-           FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) i(i)
-           GROUP BY a1.cluster, i.i),
-         cm AS (
-           SELECT cluster, list(v ORDER BY pos) AS cvec
-           FROM d1 GROUP BY cluster),
-         c1 AS (
-           SELECT c0.cluster, coalesce(cm.cvec, c0.cvec) AS cvec
-           FROM c0 LEFT JOIN cm USING (cluster)),
-         a2 AS (${assign("c1")})
-         SELECT vec_id, cluster FROM a2 ORDER BY vec_id"""
-    },
+    "s04_kmeans_cells" ->
+      s"""WITH $oKmeansA2
+         SELECT vec_id, cluster FROM a2 ORDER BY vec_id""",
+
+    "s05_ivf_trained" ->
+      s"""WITH $oKmeansA2,
+         q AS (
+           SELECT a2.vec_id AS q_id, e.embedding AS q_vec,
+             a2.cluster AS q_cell
+           FROM a2 JOIN e USING (vec_id) WHERE a2.vec_id < 3),
+         corp AS (
+           SELECT a2.vec_id, e.embedding, a2.cluster
+           FROM a2 JOIN e USING (vec_id)),
+         scored AS (
+           SELECT q.q_id, corp.vec_id,
+             list_sum(list_transform(list_zip(corp.embedding, q.q_vec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(corp.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.q_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM corp JOIN q
+             ON corp.cluster = q.q_cell AND corp.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s01_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
