@@ -349,6 +349,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // multimodal audio: REAL WAV codec under oracle — canonical
+    // 1-channel 8 kHz PCM with two identical 16-bit samples per doc,
+    // decoded by the per-partition RIFF walker (chunk parse, sample
+    // math), features checked arithmetically
+    "m03_audio_decode" -> ((s, dir) => {
+      def u16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+      def u32(v: Int) = u16(v & 0xffff) + u16(v >>> 16)
+      val headerHex = "52494646" + u32(36 + 4) + "57415645" + // RIFF/WAVE
+        "666d7420" + u32(16) + u16(1) + u16(1) + u32(8000) +  // fmt PCM mono
+        u32(16000) + u16(2) + u16(16) +                       // rates/align
+        "64617461" + u32(4)                                   // data, 4 bytes
+      val v = pmod(col("doc_id"), lit(20000))
+      val sampleHex = concat(
+        lpad(hex(pmod(v, lit(256))), 2, "0"),
+        lpad(hex(v.divide(256).cast("long")), 2, "0"))
+      val payload = unhex(concat(lit(headerHex), sampleHex, sampleHex))
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.decodeMedia(media)
+        .select(col("media_id"),
+          col("decoded.kind").as("kind"),
+          col("decoded.channels").as("channels"),
+          col("decoded.sample_rate").as("sample_rate"),
+          r4(element_at(col("decoded.features"), 1)).as("dur_sec"),
+          r4(element_at(col("decoded.features"), 2)).as("mean_amp"))
+        .orderBy("media_id")
+    }),
+
     // multimodal: binary payload + metadata + stub feature extraction
     "m01_media_meta" -> ((s, dir) => {
       val m = Multimodal.fromDocuments(docs(s, dir))
@@ -799,6 +827,13 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
            FROM h)
          SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id""",
+
+    "m03_audio_decode" ->
+      """SELECT doc_id AS media_id, 'audio/wav' AS kind,
+           CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+           round(CAST(2 AS DOUBLE) / 1 / 8000, 4) AS dur_sec,
+           round(CAST(doc_id % 20000 AS DOUBLE) / 32768, 4) AS mean_amp
+         FROM documents ORDER BY media_id""",
 
     "m02_media_decode" ->
       """WITH px AS (
