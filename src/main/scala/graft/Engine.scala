@@ -94,9 +94,10 @@ object Engine {
             if (hz == Long.MaxValue) fromRollup
             else fromRollup.unionByName(
               Downsample(withSeries.filter(col("ts") >= hz), spec,
-                Some((query.startMs, query.endMs))))
+                Some((query.startMs, query.endMs)), query.timezone))
           case None =>
-            Downsample(withSeries, spec, Some((query.startMs, query.endMs)))
+            Downsample(withSeries, spec,
+              Some((query.startMs, query.endMs)), query.timezone)
         }
       case None => withSeries
     }

@@ -50,7 +50,8 @@ object JsonQuery {
     require(end > start, s"end time $end must be after start $start")
     val subs = root.get("queries").elements().asScala.map(parseSub).toSeq
     TsQuery(start, end, subs,
-      msResolution = root.path("msResolution").asBoolean(true))
+      msResolution = root.path("msResolution").asBoolean(true),
+      timezone = root.path("timezone").asText("UTC"))
   }
 
   /** start/end: epoch number (s vs ms by magnitude, reference

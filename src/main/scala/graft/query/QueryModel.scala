@@ -96,12 +96,15 @@ case class SubQuery(
     // 64-bit series hash (Points.seriesId) rendered as hex.
     tsuids: Seq[String] = Seq.empty)
 
-/** Top-level query (time range + sub-queries). */
+/** Top-level query (time range + sub-queries). `timezone` drives
+  * calendar-aligned downsampling (reference TSQuery.timezone,
+  * src/core/TSQuery.java — dashboards set it for `c`-suffix specs). */
 case class TsQuery(
     startMs: Long,
     endMs: Long,
     queries: Seq[SubQuery],
-    msResolution: Boolean = true)
+    msResolution: Boolean = true,
+    timezone: String = "UTC")
 
 object QueryParser {
   /**

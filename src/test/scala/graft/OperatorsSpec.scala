@@ -458,6 +458,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("JSON timezone drives calendar downsample bucketing") {
+    // 2024-01-10T04:00Z = Jan 9 23:00 in America/New_York (UTC-5):
+    // the 1-day calendar bucket must start Jan 9 00:00 EST = Jan 9 05:00Z
+    val p = pointsDf(Seq(("cpu", 1704859200000L, 1.0, host("a"))))
+    val body =
+      """{"start": 1704672000, "end": 1705000000,
+         "timezone": "America/New_York",
+         "queries": [{"aggregator": "zimsum", "metric": "cpu",
+           "downsample": "1dc-sum"}]}"""
+    val rows = Engine.runJson(p, body).head.collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("ts") == 1704776400000L)
+    // same query without the timezone buckets at the UTC day boundary
+    val utc = Engine.runJson(p, body.replace(
+      """"timezone": "America/New_York",""", "")).head.collect()
+    assert(utc(0).getAs[Long]("ts") == 1704844800000L)
+  }
+
   test("tsuids sub-query addresses explicit series, no metric filter") {
     val p = pointsDf(Seq(
       ("cpu", 0L, 1.0, host("a")), ("cpu", 60000L, 2.0, host("a")),
