@@ -173,8 +173,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       bands: Int, threshold: Double, ngram: Int = 3,
                       portable: Boolean = false): DataFrame =
-    // one tokenize+hash pass; persisted because it is read four times
-    // (signature agg, sizes, and both sides of the verify join)
+    // one tokenize+hash pass; persisted because it is read three times
+    // (signature+size agg and both sides of the verify join)
     minhashLshFromPostings(
       hashedPostings(df, textCol, idCol, ngram, portable)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
