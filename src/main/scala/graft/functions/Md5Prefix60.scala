@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expression for the engine's portable hash: the first
+ * 15 hex digits of md5(input) as a 60-bit long — bit-identical to
+ * `conv(substring(md5(s), 1, 15), 16, 10)` but computed straight from
+ * the digest bytes. The expression-chain form materializes a 32-char
+ * hex string per row and re-parses 15 chars of it back to a long; this
+ * folds 7.5 digest bytes directly, with whole-stage codegen calling
+ * one static method. It sits in the hot path of every dedup pass
+ * (one call per shingle occurrence — billions of calls at corpus
+ * scale), which is what justifies a custom expression over built-ins.
+ */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix60.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix60.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
+object Md5Prefix60 {
+
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex digits of md5 = bytes 0..6 big-endian (56 bits) plus
+    * the high nibble of byte 7. Called from generated code. */
+  def hash(s: UTF8String): Long = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Column form. */
+  def apply(c: Column): Column =
+    Bridge.column(new Md5Prefix60(Bridge.expression(c)))
+}

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** 32-bit portable string hash (see object doc). */
+  /** 32-bit portable string hash (see object doc). Computed by the
+    * native Md5Prefix60 expression — digest bytes folded directly,
+    * no hex-string round-trip (graft.functions.Md5Prefix60). */
   def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % 4294967296L
+    graft.functions.Md5Prefix60(c) % 4294967296L
 
   /** 32-bit engine-native hash: xxhash64 masked to 32 bits — markedly
     * cheaper than the md5-based portable hash (no digest, no hex
@@ -36,7 +38,7 @@ object TextAnalysis {
     * the wider variant for signature schemes (SimHash) where 32 bits
     * leave band keys too narrow to block effectively at scale. */
   def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix60(c)
 
   /** 60-bit engine-native hash: top 60 bits of xxhash64. */
   def h60Fast(c: Column): Column =

@@ -422,6 +422,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(summed.select("value").collect()(0).getDouble(0) == 3.0)
   }
 
+  test("native Md5Prefix60 == conv(substring(md5,1,15),16,10) bit-for-bit") {
+    import spark.implicits._
+    val strs = Seq("", "a", "hello world", "naïve ünïcode 测试",
+      "the quick brown fox", "0", "\n\t spaces ")
+    val df = strs.toDF("s")
+    val rows = df.select(
+        graft.functions.Md5Prefix60(col("s")).as("native"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("chain"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // interpreted (non-codegen) path agrees too
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("hello world")
+    assert(graft.functions.Md5Prefix60.hash(u) ==
+      rows(strs.indexOf("hello world")).getLong(1))
+  }
+
   // ---- simhash banded pairs ------------------------------------------
 
   test("simhashPairs: exact recall for Hamming <= maxHamming < bands") {
