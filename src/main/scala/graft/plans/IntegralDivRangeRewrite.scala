@@ -65,8 +65,19 @@ object IntegralDivRangeRewrite extends Rule[LogicalPlan] {
 }
 
 /** Session extension entry point:
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Injects the pushdown rule and registers the engine's native SQL
+  * functions (`SELECT md5_prefix60(s)` works in spark.sql). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => IntegralDivRangeRewrite)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("md5_prefix60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.Md5Prefix60].getName, "md5_prefix60"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1, "md5_prefix60 takes one argument")
+        graft.functions.Md5Prefix60(args.head)
+      }))
+  }
 }

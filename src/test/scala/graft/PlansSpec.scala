@@ -55,4 +55,11 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pushed.contains("LessThanOrEqual(ts,1705708799999999999)"),
       s"missing pushed upper bound in: $pushed")
   }
+
+  test("md5_prefix60 is registered as a SQL function by the extension") {
+    val r = spark.sql(
+      "SELECT md5_prefix60('hello world') AS h").collect()(0).getLong(0)
+    assert(r == graft.functions.Md5Prefix60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+  }
 }
