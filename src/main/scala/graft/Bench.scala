@@ -13,8 +13,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet footer caches, so the
-    // first timed query measures the query rather than JVM startup
-    try SparkEntry.queries.get("q01_scan_filter")
+    // first timed query measures the query rather than JVM startup.
+    // One warm query per input family (events-scan path, document
+    // tokenize/hash path) — cheap queries that share no results with
+    // the timed runs
+    try Seq("q01_scan_filter", "t03_fingerprint")
+      .flatMap(SparkEntry.queries.get)
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
     val errors = scala.collection.mutable.Map[String, String]()
