@@ -261,6 +261,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ct("g") == 2L && ct("h") == 0L)
   }
 
+  test("reference TestAggregators golden vectors (percentiles, median, dev)") {
+    import spark.implicits._
+    def run(name: String, vals: Seq[Double]): Double =
+      vals.toDF("value").withColumn("ts", lit(0L))
+        .agg(Aggregators.expr(name, col("value"), col("ts")).as("v"))
+        .collect()(0).getDouble(0)
+    // test/core/TestAggregators.java testPercentiles: 1..1000, delta 1
+    val thousand = (1 to 1000).map(_.toDouble)
+    assert(math.abs(run("p50", thousand) - 500) <= 1.0)
+    assert(math.abs(run("p75", thousand) - 750) <= 1.0)
+    assert(math.abs(run("p90", thousand) - 900) <= 1.0)
+    assert(math.abs(run("p95", thousand) - 950) <= 1.0)
+    assert(math.abs(run("p99", thousand) - 990) <= 1.0)
+    // testMedian: upper median, double path, delta 1e-4
+    assert(math.abs(run("median",
+      Seq(5.1, 2.434, -1.99, 400.69487, 3.15168)) - 3.15168) < 1e-4)
+    assert(math.abs(run("median",
+      Seq(5.1, 2.434, -1.99, 400.69487, 3.15168, -42)) - 3.15168) < 1e-4)
+    assert(run("median", Seq(42.5)) == 42.5)
+    assert(run("median", Seq(5, 2, -1, 400, 3).map(_.toDouble)) == 3.0)
+    // testStdDevKnownValues: numpy.std(range(10000)) = 2886.7513...,
+    // asserted with the reference's own 1.0 tolerance floor
+    assert(math.abs(
+      run("dev", (0 until 10000).map(_.toDouble)) - 2886.7513315143719) <= 1.0)
+  }
+
   test("dev is sample stddev with single-value -> 0 (reference Welford)") {
     assert(math.abs(agg1("dev", Seq(2, 4, 4, 4, 5, 5, 7, 9)) - 2.13809) < 1e-4)
     assert(agg1("dev", Seq(42.0)) == 0.0)
