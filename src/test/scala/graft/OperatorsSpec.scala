@@ -287,6 +287,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       run("dev", (0 until 10000).map(_.toDouble)) - 2886.7513315143719) <= 1.0)
   }
 
+  test("NaN fill policy flows through cross-series aggregation") {
+    // A has hours 0 and 2, B has hour 0 only; 1h-avg-nan fills the
+    // gaps with NaN. zimsum must skip NaN contributions: h0 = 12,
+    // h1 = NaN (all contributions NaN), h2 = 4 (B's NaN skipped)
+    val HOUR = 3600000L
+    val p = pointsDf(Seq(
+      ("m", 0L, 2.0, host("a")), ("m", 2 * HOUR, 4.0, host("a")),
+      ("m", 0L, 10.0, host("b"))))
+    val ds = Downsample(p, DownsampleSpec.parse("1h-avg-nan"),
+      Some((0L, 3 * HOUR)))
+    val agged = Interpolate.aggregate(ds, "zimsum")
+      .collect().map(r => r.getAs[Long]("ts") -> r.getAs[Double]("value"))
+      .toMap
+    assert(agged(0L) == 12.0)
+    assert(agged(HOUR).isNaN)
+    assert(agged(2 * HOUR) == 4.0)
+  }
+
   test("dev is sample stddev with single-value -> 0 (reference Welford)") {
     assert(math.abs(agg1("dev", Seq(2, 4, 4, 4, 5, 5, 7, 9)) - 2.13809) < 1e-4)
     assert(agg1("dev", Seq(42.0)) == 0.0)
