@@ -132,6 +132,34 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded == brute) // pigeonhole recall is exact, filter is exact
   }
 
+  test("property: results are invariant to input partitioning") {
+    import spark.implicits._
+    // on a real cluster partition boundaries are arbitrary — any
+    // result that depends on them (agg merge order, heap merges)
+    // is a latent cluster-only bug invisible at local[2]
+    val docs = (0L until 120L)
+      .map(i => (s"s${i % 3}", i, s"w${i % 7} w${i % 11} w${i % 13} text $i"))
+      .toDF("lang", "doc_id", "text")
+    def sample(parts: Int) = graft.pipeline.Sampling
+      .stratifiedTopN(docs.repartition(parts), "lang", "doc_id", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sample(2) == sample(13))
+    def sigs(parts: Int) = graft.pipeline.Dedup
+      .simhashSignatures(docs.repartition(parts), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(2) == sigs(13))
+    def kmeans(parts: Int) = {
+      val vecs = (0L until 40L)
+        .map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toFloat % 5)))
+        .toDF("vec_id", "embedding")
+      graft.pipeline.Similarity
+        .kmeansAssign(vecs.repartition(parts), "embedding", "vec_id", 3, 2)
+        .select("vec_id", "cluster")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(kmeans(2) == kmeans(11))
+  }
+
   test("property: duplicateClusters == brute-force connected components") {
     import spark.implicits._
     val n = 40
