@@ -45,15 +45,30 @@ object PipelineQueries {
     postCache.get((bits, dir)) match {
       case Some((sess, df)) if sess eq s => df
       case _ =>
-        // pre-partition by doc id: the signature/size aggregations and
-        // the verify joins all key on id, so they reuse this hash
-        // partitioning with no further exchange of the postings
-        val df = Dedup.hashedPostings(docs(s, dir), "text", "doc_id",
-            ngram = 3, portable = true, bits = bits)
-          .repartition(col("id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        postCache.put((bits, dir), (s, df))
-        df
+        val df = bits match {
+          case 60 =>
+            // pre-partition by doc id: the signature/size aggregations
+            // and the verify joins all key on id, so they reuse this
+            // hash partitioning with no further exchange of the postings
+            Dedup.hashedPostings(docs(s, dir), "text", "doc_id",
+                ngram = 3, portable = true, bits = 60)
+              .repartition(col("id"))
+          case 32 =>
+            // h32 = h60 mod 2^32 by construction (TextAnalysis.h32), so
+            // the 32-bit postings DERIVE from the 60-bit scan: one
+            // tokenize+md5 pass over the corpus feeds the whole dedup
+            // family. dropDuplicates collapses post-mod collisions
+            // exactly like hashedPostings' per-doc array_distinct, and
+            // runs exchange-free on the inherited id partitioning.
+            sharedPostings(s, dir, 60)
+              .select(col("id"), (col("h") % 4294967296L).as("h"))
+              .dropDuplicates("id", "h")
+          case other => throw new IllegalArgumentException(s"bits $other")
+        }
+        val persisted = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        postCache.put((bits, dir), (s, persisted))
+        persisted
     }
 
   /** DuckDB mirror of TextAnalysis.tokens / shingles(3) over documents. */
