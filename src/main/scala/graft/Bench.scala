@@ -22,7 +22,12 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
     val errors = scala.collection.mutable.Map[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated subset for local profiling
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         // a broken query must read as broken, not as a fast query
@@ -30,7 +35,12 @@ object Bench {
           .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE")) {
+        val rt = Runtime.getRuntime
+        System.err.println(f"[bench] $name%-28s $secs%7.2f s  heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5d MB")
+      }
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -408,6 +408,34 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // multimodal video: frame sampling under oracle — each doc carries
+    // a 4-frame motion-PPM payload (concatenated P6 frames); the
+    // per-partition demuxer splits frames, every 2nd is decoded
+    // (frames 0 and 2), features checked arithmetically
+    "m04_frame_sample" -> ((s, dir) => {
+      def frame(f: Int) = {
+        val pix = concat(
+          lpad(hex(pmod(col("doc_id") + f * 17, lit(256))), 2, "0"),
+          lpad(hex(pmod(col("doc_id") * 7 + f * 29, lit(256))), 2, "0"),
+          lpad(hex(pmod(col("doc_id") * 13 + f * 31, lit(256))), 2, "0"))
+        concat(encode(lit("P6\n2 2\n255\n"), "UTF-8"),
+          unhex(concat(pix, pix, pix, pix)))
+      }
+      val payload = concat((0 until 4).map(frame): _*)
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.frameSample(media, every = 2)
+        .select(col("media_id"),
+          col("frame.frame_idx").as("frame_idx"),
+          col("frame.width").as("width"),
+          col("frame.height").as("height"),
+          r4(element_at(col("frame.features"), 1)).as("mean_r"),
+          r4(element_at(col("frame.features"), 2)).as("mean_g"),
+          r4(element_at(col("frame.features"), 3)).as("mean_b"),
+          r4(element_at(col("frame.features"), 4)).as("luma"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // multimodal: REAL codec path under oracle — 2×2 binary-PPM images
     // synthesized per doc, decoded by the per-partition PPM codec
     // (header parse + pixel math), features checked arithmetically
@@ -849,6 +877,22 @@ object PipelineQueries {
            round(CAST(2 AS DOUBLE) / 1 / 8000, 4) AS dur_sec,
            round(CAST(doc_id % 20000 AS DOUBLE) / 32768, 4) AS mean_amp
          FROM documents ORDER BY media_id""",
+
+    "m04_frame_sample" ->
+      """WITH px AS (
+           SELECT doc_id AS media_id, f.f AS frame_idx,
+             CAST((doc_id + f.f * 17) % 256 AS DOUBLE) AS r,
+             CAST((doc_id * 7 + f.f * 29) % 256 AS DOUBLE) AS g,
+             CAST((doc_id * 13 + f.f * 31) % 256 AS DOUBLE) AS b
+           FROM documents CROSS JOIN (VALUES (0), (2)) f(f))
+         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           round(r / CAST(255 AS DOUBLE), 4) AS mean_r,
+           round(g / CAST(255 AS DOUBLE), 4) AS mean_g,
+           round(b / CAST(255 AS DOUBLE), 4) AS mean_b,
+           round((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE), 4) AS luma
+         FROM px ORDER BY media_id, frame_idx""",
 
     "m02_media_decode" ->
       """WITH px AS (

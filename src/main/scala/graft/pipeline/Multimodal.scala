@@ -167,6 +167,98 @@ object Multimodal {
   def decode(bytes: Array[Byte]): Option[Decoded] =
     decodePpm(bytes).orElse(decodeWav(bytes))
 
+  /** Byte length of one P6 frame at `bytes(pos)` (header + pixels), or
+    * -1 when no valid frame starts there. Mirrors decodePpm's header
+    * walk without decoding pixels. */
+  private def ppmFrameLength(bytes: Array[Byte], pos0: Int): Int = {
+    if (pos0 + 2 > bytes.length || bytes(pos0) != 'P' || bytes(pos0 + 1) != '6')
+      return -1
+    var pos = pos0 + 2
+    def token(): Int = {
+      while (pos < bytes.length &&
+             (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = 0
+      while (pos < bytes.length && bytes(pos).toChar.isDigit) {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val (w, h, maxv) = (token(), token(), token())
+    pos += 1
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || maxv <= 0 ||
+        bytes.length.toLong < pos.toLong + w.toLong * h * 3) -1
+    else (pos - pos0) + w * h * 3
+  }
+
+  /**
+   * Video-as-frame-stream: split a payload of CONCATENATED P6 frames
+   * (motion-PPM — the raw output shape of `ffmpeg -f image2pipe`) into
+   * per-frame byte slices. Every real container (MP4/MKV) needs a
+   * native demuxer with exactly this signature: payload → ordered frame
+   * payloads.
+   */
+  def splitPpmFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null) return Seq.empty
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    var len = ppmFrameLength(bytes, pos)
+    while (len > 0) {
+      out += java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+      pos += len
+      len = ppmFrameLength(bytes, pos)
+    }
+    out.result()
+  }
+
+  /** Decoded frame record: frame index + per-frame features. */
+  private val frameType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /**
+   * Frame sampling over multi-frame media: demux the payload, keep
+   * every `every`-th frame (the I-frame-ish sampling a training
+   * pipeline uses to bound per-video cost), decode each kept frame, and
+   * explode to one output row per sampled frame.
+   *
+   * Runs per-partition (codec init amortizes across rows) and emits a
+   * bounded number of frames per video regardless of input length when
+   * `maxFrames` is set — at 100 TB, per-record output bounds are what
+   * keep a single pathological 10-hour video from skewing a partition.
+   */
+  def frameSample(df: DataFrame, every: Int, maxFrames: Int = Int.MaxValue,
+                  payloadCol: String = "payload"): DataFrame = {
+    require(every >= 1, s"every=$every")
+    val spark = df.sparkSession
+    val keptCols = df.schema.fields.filterNot(_.name == payloadCol)
+    val outSchema = StructType(keptCols :+
+      StructField("frame", frameType, nullable = true))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val keptIdx = df.schema.fields.indices.filter(_ != pIdx)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // per-partition demuxer/codec init would run here, once
+      rows.flatMap { r =>
+        val kept = keptIdx.map(r.get)
+        val frames = splitPpmFrames(r.get(pIdx).asInstanceOf[Array[Byte]])
+        frames.iterator.zipWithIndex
+          .filter { case (_, i) => i % every == 0 }
+          .take(maxFrames)
+          .map { case (fb, i) =>
+            val d = decodePpm(fb).orNull
+            val fRow = if (d == null) null
+              else Row(i, d.width, d.height, d.features.toSeq)
+            Row.fromSeq(kept :+ fRow)
+          }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /**
    * Per-partition media decode: payload column → `decoded` struct
    * (null when no codec matches). mapPartitions is deliberate — real

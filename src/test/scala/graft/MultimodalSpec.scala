@@ -73,6 +73,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decode(null).isEmpty)
   }
 
+  test("frameSample demuxes concatenated PPM frames and keeps every k-th") {
+    import spark.implicits._
+    // 5-frame "video": frame i is the 2×2 ppm with all-red replaced by
+    // a per-frame marker in the first byte of pixel 0
+    def frame(i: Int): Array[Byte] = {
+      val f = ppmBytes.clone(); f("P6\n2 2\n255\n".length) = i.toByte; f
+    }
+    val video = (0 until 5).flatMap(frame).toArray
+    val frames = Multimodal.splitPpmFrames(video)
+    assert(frames.length == 5 && frames.forall(_.length == ppmBytes.length))
+    // trailing garbage stops the demux cleanly instead of throwing
+    assert(Multimodal.splitPpmFrames(video ++ Array[Byte](9, 9)).length == 5)
+
+    val df = Seq((7L, video), (8L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val out = Multimodal.frameSample(df, every = 2)
+      .select($"media_id", $"frame.frame_idx".as("idx")).collect()
+    // unknown format → no frames at all; 5 frames sampled at 2 → 0,2,4
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
+      Seq((7L, 0), (7L, 2), (7L, 4)))
+    // maxFrames bounds per-video output
+    assert(Multimodal.frameSample(df, every = 1, maxFrames = 2).count() == 2)
+  }
+
   test("decodeMedia dispatches per partition and nulls unknown formats") {
     import spark.implicits._
     val df = Seq(
