@@ -65,6 +65,10 @@ object PipelineQueries {
               .dropDuplicates("id", "h")
           case other => throw new IllegalArgumentException(s"bits $other")
         }
+        // unconditional persist: shared by 4+ queries of the dedup
+        // family and the tokenize+hash recompute is CPU-dense (a
+        // bytes-based size estimate undercounts an exploded postings
+        // table by the shingle factor)
         val persisted = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         postCache.put((bits, dir), (s, persisted))

@@ -106,14 +106,15 @@ object Interpolate {
     // join). Without a persist each branch re-runs the upstream scan +
     // downsample from scratch — .explain shows three parquet scans, and
     // AQE exchange reuse does NOT kick in because column pruning gives
-    // each branch a different ReadSchema. Persisting costs a ~1 s
-    // materialization barrier at toy scale but avoids re-shuffling the
-    // full point set three times at 100 TB; MEMORY_AND_DISK spills
-    // rather than recomputes. Lifecycle: blocks are LRU-evicted from
+    // each branch a different ReadSchema. The persist is size-aware
+    // (Caching.maybePersist): at 100 TB it avoids re-shuffling the full
+    // point set three times (MEMORY_AND_DISK spills rather than
+    // recomputes), while small inputs skip the materialization barrier
+    // and just recompute. Lifecycle: blocks are LRU-evicted from
     // memory; a long-lived query service should reclaim disk blocks
     // between requests with spark.catalog.clearCache() (same applies
     // to the persisted postings in graft.pipeline.Dedup).
-    val cached = pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = graft.util.Caching.maybePersist(pts)
 
     // union-of-timestamps grid per group × member series
     val grid = cached.select(groupCols :+ col("ts"): _*).distinct()

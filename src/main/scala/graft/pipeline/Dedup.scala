@@ -75,9 +75,11 @@ object Dedup {
     // Jaccard is computed over the hashed term sets on both engine and
     // oracle so rare collisions stay consistent
     jaccardFromPostings(
+      // self-join + sizes read postings 3-4×; persist unconditionally:
+      // the recompute is CPU-dense (tokenize + per-shingle hash), which
+      // a bytes-based size estimate cannot see, and the self-join
+      // amplifies it on both sides (spills at scale, never recomputes)
       hashedPostings(df, textCol, idCol, ngram, portable)
-        // self-join + sizes read postings three times; persist so the
-        // tokenize+hash scan runs once (spills at scale, never recomputes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       threshold, maxDf)
 
@@ -173,8 +175,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       bands: Int, threshold: Double, ngram: Int = 3,
                       portable: Boolean = false): DataFrame =
-    // one tokenize+hash pass; persisted because it is read three times
-    // (signature+size agg and both sides of the verify join)
+    // one tokenize+hash pass; persisted unconditionally because it is
+    // read three times (signature+size agg, both sides of the verify
+    // join) and the tokenize+hash recompute is CPU-dense
     minhashLshFromPostings(
       hashedPostings(df, textCol, idCol, ngram, portable)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
@@ -189,6 +192,8 @@ object Dedup {
     // The set size rides along in the SAME aggregation — the verify
     // stage needs it, and folding it here saves a full second shuffle
     // over the postings
+    // persisted: read by the banding explode AND the sizes join, and
+    // recomputing it replays the full postings aggregation
     val sig = post.groupBy(col("id")).agg(
       min((col("h") * MH_PARAMS.head._1 + MH_PARAMS.head._2) % MH_PRIME).as("mh0"),
       MH_PARAMS.zipWithIndex.tail.map { case ((a, b), i) =>
@@ -202,9 +207,11 @@ object Dedup {
             col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
       }: _*)))
       .select(col("id"), col("col.band"), col("col.key"))
-      // banded is self-joined below — persist (8 longs + key per doc)
+      // self-joined below: both sides would replay the signature
+      // aggregation without this persist (8 longs + key per doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.as("x").join(banded.as("y"),
+    val bandedP = banded
+    val cand = bandedP.as("x").join(bandedP.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
@@ -303,6 +310,9 @@ object Dedup {
     val sigs = simhashSignaturesFromPostings(post)
     // signature + band keys in one pass; the signature rides along the
     // band join so the verify stage needs no join back to sigs
+    // persisted unconditionally: the self-join below would otherwise
+    // replay the 60-vote signature aggregation on BOTH sides — the
+    // single most CPU-dense recompute in the dedup family
     val banded = sigs.select(col("id"), col("sim"), posexplode(
         array((0 until bands).map(b =>
           shiftright(col("sim"), b * bandBits)
@@ -337,10 +347,11 @@ object Dedup {
   def embeddingRhpPairs(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, nBits: Int, dim: Int,
                         tables: Int): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", Similarity.norm(col("vec")))
-      // read three times (bucketing + both sides of the verify join)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // read three times (bucketing + both sides of the verify join) —
+    // persist when the vector table is big enough to dominate recompute
+    val v = graft.util.Caching.maybePersist(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("nrm", Similarity.norm(col("vec"))))
     val bucketed = v.select(col("id"), posexplode(array((0 until tables).map(t =>
         Similarity.rhpBucket(col("vec"), nBits, dim, t * nBits)): _*)))
       .select(col("id"), col("pos").as("t"), col("col").as("bkt"))

@@ -187,10 +187,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
-    // read twice (document frequency + the scoring join): persist so
-    // the tokenize+count pass runs once and spills rather than recomputes
-    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // read twice (document frequency + the scoring join): persist when
+    // big enough that the tokenize+count pass dominates (size-aware —
+    // spills rather than recomputes at scale, no barrier at small inputs)
+    val tf = graft.util.Caching.maybePersist(
+      toks.groupBy("id", "tok").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "tok")

@@ -1,0 +1,45 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Size-aware persist policy for operators whose plans read an
+ * intermediate several times (postings self-joins, grid/slot
+ * interpolation, LSH banding).
+ *
+ * Persisting is the right call at scale — recomputing a 100 TB scan
+ * three times is catastrophic — but each persist is also a
+ * materialization barrier plus storage-memory traffic, which at small
+ * inputs costs more than the recompute it avoids (and dozens of leaked
+ * cached intermediates crowd the storage pool over a long session).
+ * So: consult the optimizer's size estimate (rooted in parquet scan
+ * statistics) and persist only when the intermediate is big enough
+ * that recompute dominates. Both regimes keep identical results —
+ * this trades only where time is spent.
+ *
+ * Applicability: ONLY for intermediates whose recompute cost is
+ * byte-bound (scans, windowed point tables, plain aggregations). For
+ * CPU-dense recomputes the bytes estimate undercounts — an exploded
+ * postings table inherits its parent's scan size while carrying a
+ * per-shingle hash, and a 60-bit vote aggregation is heavy per input
+ * byte — and self-joins amplify the miss on both sides; those sites
+ * (graft.pipeline.Dedup) persist unconditionally.
+ */
+object Caching {
+
+  /** Below this estimated size, recompute beats the persist barrier.
+    * 256 MB ≈ a couple of seconds of scan on one executor — around the
+    * cost a persist barrier itself introduces on a busy cluster. */
+  val RECOMPUTE_CHEAP_BYTES: Long = 256L * 1024 * 1024
+
+  /** Persist `df` (MEMORY_AND_DISK — spill, never recompute) when the
+    * optimizer estimates it larger than `thresholdBytes`; otherwise
+    * return it unpersisted and let the branches recompute. */
+  def maybePersist(df: DataFrame,
+                   thresholdBytes: Long = RECOMPUTE_CHEAP_BYTES): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > thresholdBytes) df.persist(StorageLevel.MEMORY_AND_DISK)
+    else df
+  }
+}
