@@ -585,6 +585,13 @@ object SparkEntry {
     "q46_aggregators" -> ((s, dir) =>
       graft.meta.Introspect.aggregators(s).orderBy("aggregator")),
 
+    // §2.14 /api/uid registry: deterministic name⇄uid per kind
+    // (metric/tagk/tagv) via distributed dense numbering
+    "q49_uid_registry" -> ((s, dir) =>
+      graft.meta.Introspect.uidRegistry(
+          pts(s, dir).filter(col("metric").isin("click", "signup")))
+        .orderBy("kind", "uid")),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -1246,6 +1253,22 @@ object SparkEntry {
       s"""SELECT * FROM (VALUES ${graft.operators.Aggregators.all.sorted
            .map(a => s"('$a')").mkString(", ")}) t(aggregator)
          ORDER BY aggregator""",
+
+    "q49_uid_registry" ->
+      s"""$O, f AS (SELECT * FROM points WHERE metric IN ('click','signup')),
+         names AS (
+           SELECT DISTINCT 'metric' AS kind, metric AS name FROM f
+           UNION
+           SELECT DISTINCT 'tagk', k FROM f
+             CROSS JOIN (VALUES ('user'), ('k')) t(k)
+           UNION
+           SELECT DISTINCT 'tagv', tag_user FROM f
+             WHERE tag_user IS NOT NULL
+           UNION
+           SELECT DISTINCT 'tagv', tag_k FROM f WHERE tag_k IS NOT NULL)
+         SELECT kind, name,
+           dense_rank() OVER (PARTITION BY kind ORDER BY name) AS uid
+         FROM names ORDER BY kind, uid""",
 
     "q40_tree" ->
       s"""$O SELECT * FROM (

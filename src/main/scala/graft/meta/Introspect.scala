@@ -41,6 +41,49 @@ object Introspect {
         min(col("ts")).as("first_ts"), max(col("ts")).as("max_ts"))
       .withColumnRenamed("max_ts", "last_ts")
 
+  /**
+   * /api/uid name registry: deterministic name⇄id assignment per kind
+   * (metric / tagk / tagv). The reference allocates 3-byte UIDs by
+   * atomic-increment CAS on first sight (src/uid/UniqueId.java:509-561,
+   * src/tsd/UniqueIdRpc.java:48-124) — order-of-arrival ids held in the
+   * `tsdb-uid` table. A Spark engine has no single ingest-order
+   * authority, so ids are the dense rank of the name within its kind:
+   * stable, reproducible, rebuildable from the data alone.
+   *
+   * Scale: dense numbering needs a total order per kind, but a
+   * `Window.partitionBy(kind)` would sort ALL tag values in one task.
+   * Instead: range-partitioned distributed sort on (kind, name) +
+   * `zipWithIndex` (per-partition offsets, one lightweight count job),
+   * then per-kind rebasing via a broadcast min — no single-task stage
+   * at any cardinality.
+   */
+  def uidRegistry(points: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    val names = points.select(lit("metric").as("kind"), col("metric").as("name"))
+      .unionByName(points.select(lit("tagk").as("kind"),
+        explode(map_keys(col("tags"))).as("name")))
+      .unionByName(points.select(lit("tagv").as("kind"),
+        explode(map_values(col("tags"))).as("name")))
+      .filter(col("name").isNotNull)
+      .distinct()
+    val sorted = names.repartitionByRange(col("kind"), col("name"))
+      .sortWithinPartitions("kind", "name")
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), r.getString(1), i)
+    }
+    val idx = spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("gidx",
+          org.apache.spark.sql.types.LongType))))
+    val base = idx.groupBy("kind").agg(min(col("gidx")).as("base"))
+    idx.join(broadcast(base), "kind")
+      .select(col("kind"), col("name"), (col("gidx") - col("base") + 1).as("uid"))
+  }
+
   /** Distinct-series table (metric + tags), the base for suggest /
     * lookup / tsuid-style queries (reference src/meta/TSMeta.java). */
   def seriesMeta(points: DataFrame): DataFrame =

@@ -131,6 +131,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Introspect.seriesMeta(pts).count() == 2)
   }
 
+  test("uid registry: dense per-kind ids, stable across partitioning") {
+    import spark.implicits._
+    val pts = Seq(("cpu", "a", "x"), ("mem", "b", "x"), ("cpu", "b", "y"))
+      .toDF("metric", "u", "k")
+      .withColumn("tags", map(lit("host"), col("u"), lit("dc"), col("k")))
+      .select("metric", "tags")
+    def reg(df: org.apache.spark.sql.DataFrame) =
+      Introspect.uidRegistry(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ids = reg(pts)
+    // per-kind dense ids starting at 1, names ranked lexicographically
+    assert(ids(("metric", "cpu")) == 1 && ids(("metric", "mem")) == 2)
+    assert(ids(("tagk", "dc")) == 1 && ids(("tagk", "host")) == 2)
+    assert(ids(("tagv", "a")) == 1 && ids(("tagv", "b")) == 2 &&
+      ids(("tagv", "x")) == 3 && ids(("tagv", "y")) == 4)
+    // ids are a pure function of the data, not its partitioning
+    assert(reg(pts.repartition(7)) == ids)
+  }
+
   test("export round-trips through the put-line parser") {
     import scala.jdk.CollectionConverters._
     val pts = spark.createDataFrame(Seq(
