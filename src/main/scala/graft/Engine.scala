@@ -117,6 +117,58 @@ object Engine {
   def runM(points: DataFrame, query: TsQuery, m: String): DataFrame =
     run(points, query, QueryParser.parseSubQuery(m))
 
+  // ---- normalized-query result cache ---------------------------------
+  //
+  // The reference caches rendered query results keyed by a hash of the
+  // normalized query, with a max-age derived from whether the query
+  // touches "now" (GraphHandler.serveCachedIfPossible / computeMaxAge,
+  // src/tsd/GraphHandler.java:445-520): a fully-past range is stable
+  // and caches long; a range ending at the wall clock goes stale as new
+  // points arrive. Spark analog: cache the persisted RESULT DataFrame
+  // keyed by (semantic hash of the points plan, normalized query) so a
+  // dashboard poll re-serves the materialized result instead of
+  // re-scanning — on a 100 TB table that is the difference between a
+  // storage-layer hit and zero I/O.
+
+  private val resultCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (Long, DataFrame)]
+
+  /** Max-age for queries whose range is comfortably in the past. */
+  val CACHE_PAST_MS = 86400000L
+  /** Max-age for queries whose range touches the wall clock. */
+  val CACHE_FRESH_MS = 60000L
+
+  /** `run` through the result cache. Expiry follows the reference's
+    * computeMaxAge split: end-in-the-past → CACHE_PAST_MS, end near
+    * `now` → CACHE_FRESH_MS. Cached results are persisted (spill, not
+    * recompute); replacing an expired entry unpersists the old one. */
+  def runCached(points: DataFrame, query: TsQuery, sub: SubQuery,
+                rollups: Seq[RollupTable] = Seq.empty,
+                now: Long = System.currentTimeMillis()): DataFrame = {
+    val key = (points.queryExecution.analyzed.semanticHash(),
+      s"$query|$sub|${rollups.map(r => (r.intervalMs, r.horizonMs))}")
+    resultCache.get(key) match {
+      case Some((expires, df)) if now < expires =>
+        graft.meta.Introspect.incr("query.cache_hits")
+        df
+      case stale =>
+        stale.foreach(_._2.unpersist())
+        graft.meta.Introspect.incr("query.cache_misses")
+        val df = run(points, query, sub, rollups)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val maxAge =
+          if (query.endMs < now - 3600000L) CACHE_PAST_MS else CACHE_FRESH_MS
+        resultCache.put(key, (now + maxAge, df))
+        df
+    }
+  }
+
+  /** Drop every cached result (test hook / storage reclaim). */
+  def clearResultCache(): Unit = {
+    resultCache.values.foreach(_._2.unpersist())
+    resultCache.clear()
+  }
+
   /** Parse-and-run a POST /api/query JSON body: one result DataFrame
     * per sub-query, routed through percentile extraction when the
     * sub-query sets `percentiles` (reference TSSubQuery.percentiles,

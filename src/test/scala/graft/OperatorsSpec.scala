@@ -439,6 +439,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("a", 0L, 1.0), ("b", 0L, 5.0), ("a", 60000L, 3.0)))
   }
 
+  test("Engine.runCached serves repeat queries from the result cache") {
+    Engine.clearResultCache()
+    graft.meta.Introspect.resetStats()
+    val df = pointsDf(Seq(
+      ("cpu", 10000L, 1.0, host("a")), ("cpu", 70000L, 3.0, host("a"))))
+    val q = TsQuery(0L, 100000L, Seq.empty)
+    val sub = graft.query.QueryParser.parseSubQuery("sum:1m-sum:cpu")
+    val now = 10_000_000_000_000L // far past q.endMs → long max-age
+    val first = Engine.runCached(df, q, sub, now = now)
+    val again = Engine.runCached(df, q, sub, now = now + 1000)
+    assert(again eq first) // the SAME persisted result, no re-plan
+    // a different sub-query misses
+    val other = graft.query.QueryParser.parseSubQuery("max:1m-max:cpu")
+    assert(!(Engine.runCached(df, q, other, now = now) eq first))
+    // a fresh-range query (end at "now") expires within CACHE_FRESH_MS
+    val qNow = TsQuery(now - 50000L, now, Seq.empty)
+    val f1 = Engine.runCached(df, qNow, sub, now = now)
+    assert(Engine.runCached(df, qNow, sub,
+      now = now + Engine.CACHE_FRESH_MS + 1) ne f1)
+    val stats = graft.meta.Introspect.statsCounters(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("query.cache_hits") == 1 && stats("query.cache_misses") == 4)
+    Engine.clearResultCache()
+  }
+
   test("Engine.shapeOutput produces dps maps per group") {
     val df = pointsDf(Seq(
       ("cpu", 0L, 1.0, host("a")), ("cpu", 60000L, 2.0, host("a"))))

@@ -132,6 +132,36 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded == brute) // pigeonhole recall is exact, filter is exact
   }
 
+  test("property: minhash-LSH pairs are an exact-precision subset of Jaccard pairs") {
+    import spark.implicits._
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum")
+    // 25 random bases + a near-copy of each (one word mutated) so true
+    // >=threshold pairs exist; distinct randoms keep negatives around
+    val bases = (0L until 25L).map { i =>
+      (i, (0 until 10).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    val copies = bases.map { case (i, words) =>
+      (i + 25L, words.updated(rnd.nextInt(words.size),
+        vocab(rnd.nextInt(vocab.size))))
+    }
+    val docs = (bases ++ copies)
+      .map { case (i, ws) => (i, ws.mkString(" ")) }.toDF("doc_id", "text")
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // maxDf off on both so the universes match exactly
+    val exact = pairs(graft.pipeline.Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", 0.4, maxDf = None))
+    val lsh = pairs(graft.pipeline.Dedup
+      .minhashLshPairs(docs, "text", "doc_id", bands = 4, threshold = 0.4))
+    // verification makes LSH precision exact: every emitted pair is a
+    // true >=threshold pair with the same jaccard value; banding only
+    // ever LOSES candidates (recall < 1 by design)
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, j) => assert(math.abs(j - exact(k)) < 1e-12) }
+    // and on this vocabulary the bands actually fire: non-empty overlap
+    assert(lsh.nonEmpty)
+  }
+
   test("property: results are invariant to input partitioning") {
     import spark.implicits._
     // on a real cluster partition boundaries are arbitrary — any
