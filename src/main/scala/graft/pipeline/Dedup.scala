@@ -347,14 +347,19 @@ object Dedup {
   def embeddingRhpPairs(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, nBits: Int, dim: Int,
                         tables: Int): DataFrame = {
-    // read three times (bucketing + both sides of the verify join) —
-    // persist when the vector table is big enough to dominate recompute
-    val v = graft.util.Caching.maybePersist(
-      df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .withColumn("nrm", Similarity.norm(col("vec"))))
+    // read three times (bucketing + both sides of the verify join);
+    // persisted unconditionally: this feeds the CPU-dense rhpBucket
+    // stage and both verify sides — a bytes-based estimate undercounts
+    // the recompute (tables×nBits×dim multiply-adds per row)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", Similarity.norm(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the bucket table itself is tiny (id, t, bkt) but self-joined —
+    // without this persist BOTH join sides replay every hyperplane dot
     val bucketed = v.select(col("id"), posexplode(array((0 until tables).map(t =>
         Similarity.rhpBucket(col("vec"), nBits, dim, t * nBits)): _*)))
       .select(col("id"), col("pos").as("t"), col("col").as("bkt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
