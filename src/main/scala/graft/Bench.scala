@@ -15,9 +15,9 @@ object Bench {
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query measures the query rather than JVM startup.
     // One warm query per input family (events-scan path, document
-    // tokenize/hash path) — cheap queries that share no results with
-    // the timed runs
-    try Seq("q01_scan_filter", "t03_fingerprint")
+    // tokenize/hash path, embeddings vector path) — cheap queries that
+    // share no results with the timed runs
+    try Seq("q01_scan_filter", "t03_fingerprint", "s02_ivf_topk")
       .flatMap(SparkEntry.queries.get)
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }

@@ -69,19 +69,23 @@ object Dedup {
                         threshold: Double,
                         maxDf: Option[Long] = Some(DEFAULT_MAX_DF),
                         ngram: Int = 3,
-                        portable: Boolean = false): DataFrame =
+                        portable: Boolean = false): DataFrame = {
     // join on the 32-bit term hash, not the term string: the postings
     // shuffle moves 8-byte longs instead of ~20-char shingles, and the
     // Jaccard is computed over the hashed term sets on both engine and
-    // oracle so rare collisions stay consistent
-    jaccardFromPostings(
-      // self-join + sizes read postings 3-4×; persist unconditionally:
-      // the recompute is CPU-dense (tokenize + per-shingle hash), which
-      // a bytes-based size estimate cannot see, and the self-join
-      // amplifies it on both sides (spills at scale, never recomputes)
-      hashedPostings(df, textCol, idCol, ngram, portable)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      threshold, maxDf)
+    // oracle so rare collisions stay consistent.
+    // self-join + sizes read postings 3-4×; persist unconditionally:
+    // the recompute is CPU-dense (tokenize + per-shingle hash), which
+    // a bytes-based size estimate cannot see, and the self-join
+    // amplifies it on both sides (spills at scale, never recomputes)
+    val post = hashedPostings(df, textCol, idCol, ngram, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the small pair output, then release the postings —
+    // a caller-invisible persist must not outlive the call
+    val result = jaccardFromPostings(post, threshold, maxDf).localCheckpoint(true)
+    post.unpersist(false)
+    result
+  }
 
   /** Jaccard pairs from pre-materialized (id, h) postings — feed a
     * persisted hashedPostings when several dedup passes share it. */
@@ -174,14 +178,16 @@ object Dedup {
    */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       bands: Int, threshold: Double, ngram: Int = 3,
-                      portable: Boolean = false): DataFrame =
+                      portable: Boolean = false): DataFrame = {
     // one tokenize+hash pass; persisted unconditionally because it is
     // read three times (signature+size agg, both sides of the verify
     // join) and the tokenize+hash recompute is CPU-dense
-    minhashLshFromPostings(
-      hashedPostings(df, textCol, idCol, ngram, portable)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      bands, threshold)
+    val post = hashedPostings(df, textCol, idCol, ngram, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = minhashLshFromPostings(post, bands, threshold)
+    post.unpersist(false) // result is already materialized (checkpoint)
+    result
+  }
 
   /** MinHash-LSH pairs from pre-materialized (id, h) postings. */
   def minhashLshFromPostings(post: DataFrame, bands: Int,
@@ -223,13 +229,18 @@ object Dedup {
       .join(post.select(col("id").as("id_a"), col("h")), Seq("id_a"))
       .join(post.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
-    shared
+    val pairs = shared
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // materialize the verified pairs eagerly and release the two
+    // internal caches — they must not outlive the call (storage leak)
+    val result = pairs.localCheckpoint(true)
+    sig.unpersist(false); banded.unpersist(false)
+    result
   }
 
   /** 32-bit SimHash: per bit j, sum over distinct tokens of
@@ -319,7 +330,7 @@ object Dedup {
             .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .select(col("id"), col("sim"), col("pos").as("band"), col("col").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("x").join(banded.as("y"),
+    val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -328,6 +339,10 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    // materialize the pair output, release the banded-signature cache
+    val result = pairs.localCheckpoint(true)
+    banded.unpersist(false)
+    result
   }
 
   /**
@@ -347,32 +362,64 @@ object Dedup {
   def embeddingRhpPairs(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, nBits: Int, dim: Int,
                         tables: Int): DataFrame = {
-    // read three times (bucketing + both sides of the verify join);
-    // persisted unconditionally: this feeds the CPU-dense rhpBucket
-    // stage and both verify sides — a bytes-based estimate undercounts
-    // the recompute (tables×nBits×dim multiply-adds per row)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", Similarity.norm(col("vec")))
+    // Two regimes, chosen from the optimizer's size estimate (honest
+    // for embeddings — the vector IS the row):
+    //  - big input (eval-bound): UNROLLED bucket/dot/norm — plain
+    //    codegen'd arithmetic, no interpreted-lambda overhead on the
+    //    billions of per-pair ops; the one-time Janino compile of the
+    //    tables×nBits×dim projection amortizes over the data.
+    //  - small input (compile-bound): compact zip_with/aggregate HOF
+    //    forms — interpreted eval is irrelevant at small row counts,
+    //    while compiling the giant unrolled projection (~9 s measured
+    //    for 3×6×64 terms) would dominate the whole query.
+    // Both forms add terms in the same left-to-right IEEE order, so
+    // results are bit-identical — this trades only where time is spent.
+    val evalBound = df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      graft.util.Caching.RECOMPUTE_CHEAP_BYTES
+    def bkt(vec: Column, off: Int): Column =
+      if (evalBound) Similarity.rhpBucketN(vec, nBits, dim, off)
+      else Similarity.rhpBucket(vec, nBits, dim, off)
+    val nrmOf: Column => Column =
+      if (evalBound) Similarity.normN(_, dim) else Similarity.norm
+    val dotOf: (Column, Column) => Column =
+      if (evalBound) Similarity.dotN(_, _, dim) else Similarity.dot
+    // ONE persisted table carries everything downstream stages need —
+    // norm and all `tables` bucket ids next to the vector — so the
+    // pipeline materializes a single intermediate instead of three
+    // (each persist is a job + barrier; at bench scale those dominate,
+    // at cluster scale they serialize the DAG). The hyperplane dots and
+    // the norm land in one projection: one scan computes them all.
+    val v = (0 until tables).foldLeft(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .withColumn("nrm", nrmOf(col("vec")))) {
+        (d, t) => d.withColumn(s"__b$t", bkt(col("vec"), t * nBits))
+      }
+      // persisted unconditionally: read 4× (self-join + both verify
+      // sides), and every UNCACHED replay re-pays the bucket projection
+      // (codegen compile at small inputs, the hyperplane dots at scale)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the bucket table itself is tiny (id, t, bkt) but self-joined —
-    // without this persist BOTH join sides replay every hyperplane dot
-    val bucketed = v.select(col("id"), posexplode(array((0 until tables).map(t =>
-        Similarity.rhpBucket(col("vec"), nBits, dim, t * nBits)): _*)))
+    val bucketed = v.select(col("id"),
+        posexplode(array((0 until tables).map(t => col(s"__b$t")): _*)))
       .select(col("id"), col("pos").as("t"), col("col").as("bkt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    cand
+    val pairs = cand
       .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"),
         col("nrm").as("nrm_a")), "id_a")
       .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"),
         col("nrm").as("nrm_b")), "id_b")
       .withColumn("cos",
-        Similarity.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+        dotOf(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    // materialize the (small) verified pair list eagerly, then release
+    // the intermediate — a caller-invisible persist must not outlive
+    // the call (storage-pool crowding over long sessions)
+    val result = pairs.localCheckpoint(true)
+    v.unpersist(false)
+    result
   }
 
   /**

@@ -30,6 +30,30 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
+  /** Fixed-dim dot product as an unrolled index sum. Higher-order
+    * functions (aggregate/zip_with) are interpreted — they never enter
+    * whole-stage codegen — so on a verify stage touching millions of
+    * candidate pairs the lambda interpreter dominates the runtime. The
+    * unrolled form is plain codegen'd arithmetic and adds terms in the
+    * same left-to-right index order as the sequential fold (0.0 + t0
+    * == t0 in IEEE), so results are bit-identical. */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i =>
+      a.getItem(i).cast("double") * b.getItem(i).cast("double")).reduce(_ + _)
+
+  /** Fixed-dim L2 norm, unrolled (see dotN). */
+  def normN(a: Column, dim: Int): Column =
+    sqrt((0 until dim).map { i =>
+      val x = a.getItem(i).cast("double"); x * x
+    }.reduce(_ + _))
+
+  /** dot/norm dispatch: dim > 0 → unrolled codegen'd form, dim <= 0 →
+    * higher-order fold (for callers with unknown dimension). */
+  private[pipeline] def dotc(a: Column, b: Column, dim: Int): Column =
+    if (dim > 0) dotN(a, b, dim) else dot(a, b)
+  private[pipeline] def normc(a: Column, dim: Int): Column =
+    if (dim > 0) normN(a, dim) else norm(a)
+
   /** Cosine similarity of two float-array columns, computed in double. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -54,6 +78,10 @@ object Similarity {
                    k: Int, iters: Int): DataFrame = {
     def assignTo(cents: Seq[Seq[Double]]): DataFrame = {
       val vec = col(vecCol)
+      // distance stays a compact zip_with fold ON PURPOSE: each
+      // distance subtree is duplicated ~3× across least()/when() below,
+      // so an unrolled 64-term tree multiplies into thousands of nodes
+      // and Janino compile time dominates (measured 0.55 s → 3.4 s)
       val dists = cents.zipWithIndex.map { case (c, i) =>
         val d = aggregate(
           zip_with(vec, typedlit(c), (a, b) =>
@@ -93,13 +121,14 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
-                     queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+                     queryId: String = "q_id", queryVec: String = "q_vec",
+                     dim: Int = 0): DataFrame = {
     val scored = corpus.select(col(corpusId), col(corpusVec))
-      .withColumn("__cn", norm(col(corpusVec)))
+      .withColumn("__cn", normc(col(corpusVec), dim))
       .crossJoin(broadcast(queries.select(col(queryId), col(queryVec))
-        .withColumn("__qn", norm(col(queryVec)))))
+        .withColumn("__qn", normc(col(queryVec), dim))))
       .filter(col(corpusId) =!= col(queryId))
-      .withColumn("cos", dot(col(corpusVec), col(queryVec)) / (col("__cn") * col("__qn")))
+      .withColumn("cos", dotc(col(corpusVec), col(queryVec), dim) / (col("__cn") * col("__qn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId))
@@ -114,13 +143,13 @@ object Similarity {
               cellCol: String = "label",
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "q_id", queryVec: String = "q_vec",
-              queryCell: String = "q_cell"): DataFrame = {
+              queryCell: String = "q_cell", dim: Int = 0): DataFrame = {
     val scored = corpus.select(col(corpusId), col(corpusVec), col(cellCol))
-      .withColumn("__cn", norm(col(corpusVec)))
+      .withColumn("__cn", normc(col(corpusVec), dim))
       .join(broadcast(queries.select(col(queryId), col(queryVec), col(queryCell))
-          .withColumn("__qn", norm(col(queryVec)))),
+          .withColumn("__qn", normc(col(queryVec), dim))),
         col(cellCol) === col(queryCell) && col(corpusId) =!= col(queryId))
-      .withColumn("cos", dot(col(corpusVec), col(queryVec)) / (col("__cn") * col("__qn")))
+      .withColumn("cos", dotc(col(corpusVec), col(queryVec), dim) / (col("__cn") * col("__qn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId))
@@ -188,6 +217,26 @@ object Similarity {
       val dots = aggregate(
         zip_with(vec, signs, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
+      when(dots >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a + b)
+  }
+
+  /** rhpBucket with the per-plane dot unrolled to ±vec[j] terms (the
+    * sign is a compile-time constant, so x*s becomes x or -x — exact in
+    * IEEE). Same left-to-right order as the zip_with fold → identical
+    * buckets; plain arithmetic instead of interpreted lambdas. Emit ONE
+    * bucket expression per projection column (each nBits×dim terms) so
+    * codegen's per-expression method splitting keeps methods under the
+    * JVM limit — packing all tables into a single array() constructor
+    * is what used to blow it. */
+  def rhpBucketN(vec: Column, nBits: Int, dim: Int, planeOffset: Int = 0): Column = {
+    val planes = (0 until nBits).map { b =>
+      val p = planeOffset + b
+      val dots = (0 until dim).map { j =>
+        val x = vec.getItem(j).cast("double")
+        if (rhpSign(p, j) > 0) x else -x
+      }.reduce(_ + _)
       when(dots >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     planes.reduce((a, b) => a + b)
