@@ -78,13 +78,13 @@ object Dedup {
     // the recompute is CPU-dense (tokenize + per-shingle hash), which
     // a bytes-based size estimate cannot see, and the self-join
     // amplifies it on both sides (spills at scale, never recomputes)
-    val post = hashedPostings(df, textCol, idCol, ngram, portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the small pair output, then release the postings —
-    // a caller-invisible persist must not outlive the call
-    val result = jaccardFromPostings(post, threshold, maxDf).localCheckpoint(true)
-    post.unpersist(false)
-    result
+    // generation-bounded ownership (Caching.persistOwned): the cache
+    // outlives the call so the plan stays lazy (one action runs the
+    // whole DAG), but the next invocation releases it — no unbounded
+    // session-lifetime leak
+    val Seq(post) = graft.util.Caching.persistOwned("Dedup.ngramJaccardPairs",
+      hashedPostings(df, textCol, idCol, ngram, portable))
+    jaccardFromPostings(post, threshold, maxDf)
   }
 
   /** Jaccard pairs from pre-materialized (id, h) postings — feed a
@@ -182,11 +182,10 @@ object Dedup {
     // one tokenize+hash pass; persisted unconditionally because it is
     // read three times (signature+size agg, both sides of the verify
     // join) and the tokenize+hash recompute is CPU-dense
-    val post = hashedPostings(df, textCol, idCol, ngram, portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val result = minhashLshFromPostings(post, bands, threshold)
-    post.unpersist(false) // result is already materialized (checkpoint)
-    result
+    // generation-bounded ownership — see ngramJaccardPairs
+    val Seq(post) = graft.util.Caching.persistOwned("Dedup.minhashLshPairs",
+      hashedPostings(df, textCol, idCol, ngram, portable))
+    minhashLshFromPostings(post, bands, threshold)
   }
 
   /** MinHash-LSH pairs from pre-materialized (id, h) postings. */
@@ -200,22 +199,24 @@ object Dedup {
     // over the postings
     // persisted: read by the banding explode AND the sizes join, and
     // recomputing it replays the full postings aggregation
-    val sig = post.groupBy(col("id")).agg(
+    val sigRaw = post.groupBy(col("id")).agg(
       min((col("h") * MH_PARAMS.head._1 + MH_PARAMS.head._2) % MH_PRIME).as("mh0"),
       MH_PARAMS.zipWithIndex.tail.map { case ((a, b), i) =>
         min((col("h") * a + b) % MH_PRIME).as(s"mh$i")
       } :+ count(lit(1)).as("sz"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"), posexplode(
+    val bandedRaw = sigRaw.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", (0 until rowsPerBand).map(r =>
             col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
       }: _*)))
       .select(col("id"), col("col.band"), col("col.key"))
-      // self-joined below: both sides would replay the signature
-      // aggregation without this persist (8 longs + key per doc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sig is read 3× (banding fill + both size joins), banded is
+    // self-joined — without the persists each read replays the full
+    // postings aggregation. Ownership is generation-bounded
+    // (Caching.persistOwned): lazy plan, released on next invocation.
+    val Seq(sig, banded) = graft.util.Caching.persistOwned(
+      "Dedup.minhashLshFromPostings", sigRaw, bandedRaw)
     val bandedP = banded
     val cand = bandedP.as("x").join(bandedP.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -229,18 +230,13 @@ object Dedup {
       .join(post.select(col("id").as("id_a"), col("h")), Seq("id_a"))
       .join(post.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
-    val pairs = shared
+    shared
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // materialize the verified pairs eagerly and release the two
-    // internal caches — they must not outlive the call (storage leak)
-    val result = pairs.localCheckpoint(true)
-    sig.unpersist(false); banded.unpersist(false)
-    result
   }
 
   /** 32-bit SimHash: per bit j, sum over distinct tokens of
@@ -320,17 +316,18 @@ object Dedup {
     val bandBits = SIMHASH_BITS / bands
     val sigs = simhashSignaturesFromPostings(post)
     // signature + band keys in one pass; the signature rides along the
-    // band join so the verify stage needs no join back to sigs
-    // persisted unconditionally: the self-join below would otherwise
-    // replay the 60-vote signature aggregation on BOTH sides — the
-    // single most CPU-dense recompute in the dedup family
-    val banded = sigs.select(col("id"), col("sim"), posexplode(
-        array((0 until bands).map(b =>
-          shiftright(col("sim"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
-      .select(col("id"), col("sim"), col("pos").as("band"), col("col").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = banded.as("x").join(banded.as("y"),
+    // band join so the verify stage needs no join back to sigs.
+    // Persisted via generation-bounded ownership: the self-join below
+    // would otherwise replay the 60-vote signature aggregation on BOTH
+    // sides — the single most CPU-dense recompute in the dedup family.
+    val Seq(banded) = graft.util.Caching.persistOwned(
+      "Dedup.simhashPairsFromPostings",
+      sigs.select(col("id"), col("sim"), posexplode(
+          array((0 until bands).map(b =>
+            shiftright(col("sim"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+        .select(col("id"), col("sim"), col("pos").as("band"), col("col").as("key")))
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -339,10 +336,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    // materialize the pair output, release the banded-signature cache
-    val result = pairs.localCheckpoint(true)
-    banded.unpersist(false)
-    result
   }
 
   /**
@@ -389,15 +382,16 @@ object Dedup {
     // (each persist is a job + barrier; at bench scale those dominate,
     // at cluster scale they serialize the DAG). The hyperplane dots and
     // the norm land in one projection: one scan computes them all.
-    val v = (0 until tables).foldLeft(
-        df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-          .withColumn("nrm", nrmOf(col("vec")))) {
-        (d, t) => d.withColumn(s"__b$t", bkt(col("vec"), t * nBits))
-      }
-      // persisted unconditionally: read 4× (self-join + both verify
-      // sides), and every UNCACHED replay re-pays the bucket projection
-      // (codegen compile at small inputs, the hyperplane dots at scale)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (generation-bounded ownership): read 4× — self-join +
+    // both verify sides — and every UNCACHED replay re-pays the bucket
+    // projection (codegen compile at small inputs, hyperplane dots at
+    // scale)
+    val Seq(v) = graft.util.Caching.persistOwned("Dedup.embeddingRhpPairs",
+      (0 until tables).foldLeft(
+          df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+            .withColumn("nrm", nrmOf(col("vec")))) {
+          (d, t) => d.withColumn(s"__b$t", bkt(col("vec"), t * nBits))
+        })
     val bucketed = v.select(col("id"),
         posexplode(array((0 until tables).map(t => col(s"__b$t")): _*)))
       .select(col("id"), col("pos").as("t"), col("col").as("bkt"))
@@ -414,12 +408,7 @@ object Dedup {
         dotOf(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-    // materialize the (small) verified pair list eagerly, then release
-    // the intermediate — a caller-invisible persist must not outlive
-    // the call (storage-pool crowding over long sessions)
-    val result = pairs.localCheckpoint(true)
-    v.unpersist(false)
-    result
+    pairs
   }
 
   /**

@@ -42,4 +42,33 @@ object Caching {
     if (est > thresholdBytes) df.persist(StorageLevel.MEMORY_AND_DISK)
     else df
   }
+
+  private val owned = scala.collection.concurrent.TrieMap
+    .empty[(String, org.apache.spark.sql.SparkSession), Seq[DataFrame]]
+
+  /** Persist caller-invisible intermediates under an owner key,
+    * releasing the PREVIOUS generation registered under the same key —
+    * the same replace-style cleanup Engine.resultCache uses. This
+    * bounds a long session's leaked caches to one generation per
+    * operator while keeping the returned plan fully lazy (no eager
+    * materialization barrier, one action runs the whole DAG). The
+    * previous generation's DataFrames recompute if still referenced —
+    * a documented tradeoff, not a correctness hazard. Keyed per
+    * session (concurrent sessions must not clobber each other); the
+    * unpersist is best-effort because the previous generation's
+    * session may already be stopped. */
+  def persistOwned(owner: String, dfs: DataFrame*): Seq[DataFrame] = {
+    val persisted = dfs.map(_.persist(StorageLevel.MEMORY_AND_DISK))
+    dfs.headOption.foreach { head =>
+      owned.put((owner, head.sparkSession), persisted)
+        .foreach(_.foreach(d => scala.util.Try(d.unpersist(false))))
+    }
+    persisted
+  }
+
+  /** Release every operator-owned cache generation (session teardown). */
+  def releaseOwned(): Unit = {
+    owned.values.foreach(_.foreach(d => scala.util.Try(d.unpersist(false))))
+    owned.clear()
+  }
 }
