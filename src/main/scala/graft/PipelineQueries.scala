@@ -195,6 +195,26 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // benchmark decontamination: corpus docs sharing any 3-shingle
+    // with the "eval set" (every 50th doc); bench postings broadcast
+    "d08_decontaminate" -> ((s, dir) => {
+      val post = sharedPostings(s, dir, 32)
+      Dedup.decontaminateFromPostings(
+          post.filter(col("id") % 50 =!= 0),
+          post.filter(col("id") % 50 === 0))
+        .select(col("id").as("doc_id"), col("n_contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram novelty: fraction of a doc's distinct shingles with
+    // corpus-wide document frequency 1 (boilerplate filter)
+    "t09_novelty" -> ((s, dir) => {
+      TextAnalysis.noveltyFromPostings(sharedPostings(s, dir, 32))
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_unique"),
+          r4(col("novelty")).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // 32-bit SimHash signatures (term hashes materialized once)
     "d04_simhash" -> ((s, dir) => {
       docs(s, dir)
@@ -490,6 +510,27 @@ object PipelineQueries {
            JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
          ORDER BY id_a, id_b""",
+
+    "d08_decontaminate" ->
+      s"""$O_SH,
+         hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         bench AS (SELECT DISTINCT h FROM hpost WHERE doc_id % 50 = 0),
+         corp AS (SELECT doc_id, h FROM hpost WHERE doc_id % 50 <> 0)
+         SELECT corp.doc_id, count(*) AS n_contaminated
+         FROM corp JOIN bench USING (h)
+         GROUP BY corp.doc_id ORDER BY doc_id""",
+
+    "t09_novelty" ->
+      s"""$O_SH,
+         hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         dfq AS (SELECT h, count(*) AS df FROM hpost GROUP BY h)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS novelty
+         FROM hpost JOIN dfq USING (h)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "d03_minhash_lsh" ->
       s"""$O_SH,

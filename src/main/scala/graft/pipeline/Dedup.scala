@@ -461,6 +461,34 @@ object Dedup {
     labels
   }
 
+  /**
+   * Benchmark decontamination: flag corpus documents that share any
+   * word n-gram with a benchmark/eval set — the standard guard against
+   * test-set leakage in LLM training corpora. Returns (doc_id,
+   * n_contaminated) for every corpus document with ≥1 shared n-gram.
+   *
+   * The 100 TB shape: eval sets are tiny relative to the corpus, so
+   * the benchmark's distinct n-gram hashes BROADCAST — the corpus
+   * postings stream through a map-side hash join and are never
+   * shuffled; the only shuffle is the per-document count aggregation
+   * (map-side combined).
+   */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
+                    idCol: String, ngram: Int = 3,
+                    portable: Boolean = false): DataFrame =
+    decontaminateFromPostings(
+      hashedPostings(corpus, textCol, idCol, ngram, portable),
+      hashedPostings(bench, textCol, idCol, ngram, portable))
+
+  /** Decontamination from pre-materialized (id, h) postings — a
+    * pipeline holding the shared postings splits them into corpus and
+    * benchmark sides with two filters instead of re-tokenizing. */
+  def decontaminateFromPostings(corpusPost: DataFrame,
+                                benchPost: DataFrame): DataFrame =
+    corpusPost
+      .join(broadcast(benchPost.select(col("h")).distinct()), Seq("h"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by a
     * coarse cell column (IVF-style). Prefer embeddingRhpPairs when no
     * trained/balanced cell assignment exists — a skewed cell column

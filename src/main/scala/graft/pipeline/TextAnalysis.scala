@@ -204,4 +204,33 @@ object TextAnalysis {
       .filter(col("__rn") <= k)
       .select(col("id"), col("tok"), col("tfidf"))
   }
+
+  /**
+   * N-gram novelty score: the fraction of a document's distinct
+   * n-grams that occur in NO other document (corpus-wide document
+   * frequency 1). Low novelty identifies boilerplate/templated text —
+   * a standard corpus-quality filter next to dedup (which only flags
+   * whole near-duplicate documents, not shared scaffolding).
+   *
+   * Plan shape: postings → document-frequency aggregation → join back
+   * → per-document aggregation. Three shuffles, all keyed on
+   * high-cardinality columns (n-gram hash / doc id), map-side
+   * combined; nothing is quadratic in documents or corpus size.
+   */
+  def noveltyScore(df: DataFrame, textCol: String, idCol: String,
+                   ngram: Int = 3, portable: Boolean = false): DataFrame =
+    noveltyFromPostings(
+      Dedup.hashedPostings(df, textCol, idCol, ngram, portable))
+
+  /** Novelty from pre-materialized (id, h) postings (shared with the
+    * dedup family — one tokenize+hash scan feeds both). */
+  def noveltyFromPostings(post: DataFrame): DataFrame = {
+    val dfreq = post.groupBy("h").agg(count(lit(1)).as("df"))
+    post.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles"))
+  }
 }

@@ -532,6 +532,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains((0L, 1L))) // the exact duplicate is always found
   }
 
+  test("decontaminate flags exactly the corpus docs sharing a bench shingle") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),   // shares "alpha beta gamma" etc.
+      (1L, "one two three four five"),          // no overlap
+      (2L, "delta epsilon zeta eta theta"))     // shares "delta epsilon zeta"
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup
+      .decontaminate(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0: shingles {abg, bgd, gde} all inside bench text => 3 hits
+    // doc 2: shingles {dez, ezh, zht} all inside bench text => 3 hits
+    assert(got == Map(0L -> 3L, 2L -> 3L))
+  }
+
+  test("noveltyScore: unique-shingle fraction against hand-computed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),  // shingles: abg, bgd
+      (1L, "alpha beta gamma zeta"),   // shingles: abg, bgz
+      (2L, "one two three"))           // shingles: ott (unique)
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .noveltyScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // abg appears in docs 0 and 1 (df=2); bgd, bgz, ott unique (df=1)
+    assert(got == Map(
+      0L -> ((2L, 1L, 0.5)),
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((1L, 1L, 1.0))))
+  }
+
   test("duplicateClusters: min-label propagation over a chain converges") {
     import spark.implicits._
     // chain 5-4-3-2-1 (min must travel 4 hops => >1 round) + pair 10-11
