@@ -75,6 +75,27 @@ object PipelineQueries {
         persisted
     }
 
+  /** Per-session cache of the simhash near-dup pair list — d06 reports
+    * the pairs and d07 clusters them; one banded self-join feeds both
+    * (the same share-the-intermediate pattern as sharedPostings). The
+    * pair list is persisted via generation-bounded ownership so the
+    * second consumer reads the cache instead of replaying the
+    * signature aggregation and band join. */
+  private val simhashPairsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, DataFrame)]
+
+  private def sharedSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsCache.get(dir) match {
+      case Some((sess, df)) if sess eq s => df
+      case _ =>
+        val Seq(df) = graft.util.Caching.persistOwned(
+          "PipelineQueries.sharedSimhashPairs",
+          Dedup.simhashPairsFromPostings(sharedPostings(s, dir, 60),
+            maxHamming = 3, bands = 4))
+        simhashPairsCache.put(dir, (s, df))
+        df
+    }
+
   /** DuckDB mirror of TextAnalysis.tokens / shingles(3) over documents. */
   private val O_SH =
     """WITH toks AS (
@@ -227,8 +248,7 @@ object PipelineQueries {
     // SimHash banded near-dup pairs: 4×8-bit bands, Hamming ≤ 3
     // (pigeonhole: any pair within Hamming 3 shares at least one band)
     "d06_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairsFromPostings(sharedPostings(s, dir, 60),
-          maxHamming = 3, bands = 4)
+      sharedSimhashPairs(s, dir)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -237,9 +257,7 @@ object PipelineQueries {
     // duplicate-cluster resolution: simhash pairs → connected
     // components → keeper per cluster (min doc id)
     "d07_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.simhashPairsFromPostings(sharedPostings(s, dir, 60),
-        maxHamming = 3, bands = 4)
-      Dedup.duplicateClusters(pairs)
+      Dedup.duplicateClusters(sharedSimhashPairs(s, dir))
         .select(col("id").as("doc_id"), col("comp").as("keeper_id"))
         .orderBy("doc_id")
     }),
