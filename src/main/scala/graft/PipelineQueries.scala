@@ -328,6 +328,18 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // multi-probe RHP ANN: additionally probes every Hamming-1 bucket
+    // on the (broadcast) query side — recall knob at zero corpus cost
+    "s06_rhp_multiprobe" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.rhpTopK(e, q, 5, nBits = 6, dim = 64, tables = 3,
+          probeHamming = 1)
+        .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // token counting / punctuation / stopword ratio / quality score
     "t01_text_stats" -> ((s, dir) => {
       val t = col("text")
@@ -719,6 +731,40 @@ object PipelineQueries {
          q AS (SELECT vec_id AS q_id, embedding AS q_vec
            FROM embeddings WHERE vec_id < 3),
          qb AS (SELECT vec_id AS q_id, t, bkt FROM bucketed WHERE vec_id < 3),
+         cand AS (
+           SELECT DISTINCT qb.q_id, b.vec_id
+           FROM bucketed b JOIN qb
+             ON b.t = qb.t AND b.bkt = qb.bkt AND b.vec_id <> qb.q_id),
+         scored AS (
+           SELECT cand.q_id, cand.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, q.q_vec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.q_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM cand JOIN v e ON e.vec_id = cand.vec_id
+             JOIN q ON q.q_id = cand.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "s06_rhp_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         bucketed AS (
+           ${(0 until 3).map(t =>
+             s"SELECT vec_id, $t AS t, ${rhpBucketSql(6, 64, t * 6)} AS bkt FROM v")
+             .mkString("\n           UNION ALL ")}),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 3),
+         qb0 AS (SELECT vec_id AS q_id, t, bkt FROM bucketed WHERE vec_id < 3),
+         qb AS (
+           SELECT q_id, t, CASE WHEN f = 0 THEN bkt
+             ELSE xor(bkt, 1::BIGINT << CAST(f - 1 AS INT)) END AS bkt
+           FROM qb0 CROSS JOIN range(7) r(f)),
          cand AS (
            SELECT DISTINCT qb.q_id, b.vec_id
            FROM bucketed b JOIN qb

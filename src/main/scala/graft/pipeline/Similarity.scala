@@ -165,18 +165,34 @@ object Similarity {
    * path next to ivfTopK. Candidates dedup on ids before vectors are
    * joined back, so the distinct never shuffles embedding arrays.
    * Approximate by construction: recall grows with `tables`
-   * (OR-amplification) and multi-probe would raise it further.
+   * (OR-amplification) and with `probeHamming` (multi-probe).
+   *
+   * probeHamming = 1 additionally probes every bucket one bit-flip
+   * away from the query's bucket (nBits extra probes per table) — the
+   * classic multi-probe LSH recall knob. The expansion happens on the
+   * QUERY side only, which is broadcast anyway: corpus cost is
+   * unchanged, candidate count grows with the probed buckets'
+   * population. A vector near a hyperplane lands on its far side in
+   * some tables; flip-1 probes recover exactly those misses.
    */
   def rhpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int, dim: Int, tables: Int,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
-              queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+              queryId: String = "q_id", queryVec: String = "q_vec",
+              probeHamming: Int = 0): DataFrame = {
+    require(probeHamming <= 1, "only Hamming-1 multi-probe is implemented")
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(col(id), posexplode(array((0 until tables).map(t =>
           rhpBucket(col(vec), nBits, dim, t * nBits)): _*)))
         .select(col(id), col("pos").as("t"), col("col").as("bkt"))
     val cb = bucketed(corpus, corpusId, corpusVec)
-    val qb = bucketed(queries, queryId, queryVec)
+    val qb0 = bucketed(queries, queryId, queryVec)
+    val qb = if (probeHamming <= 0) qb0
+      else qb0.select(col(queryId), col("t"),
+        explode(array((0 to nBits).map {
+          case 0 => col("bkt")
+          case j => col("bkt").bitwiseXOR(lit(1L << (j - 1)))
+        }: _*)).as("bkt"))
     val cand = cb.join(broadcast(qb),
         cb("t") === qb("t") && cb("bkt") === qb("bkt") &&
           col(corpusId) =!= col(queryId))

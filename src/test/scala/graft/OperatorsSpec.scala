@@ -532,6 +532,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains((0L, 1L))) // the exact duplicate is always found
   }
 
+  test("multi-probe rhpTopK candidates dominate single-probe results") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val corpus = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topk(probe: Int) = graft.pipeline.Similarity
+      .rhpTopK(corpus, q, 5, nBits = 4, dim = dim, tables = 2,
+        probeHamming = probe)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    val single = topk(0)
+    val multi = topk(1)
+    // the multi-probe candidate set is a superset, so at every rank the
+    // returned similarity can only improve (or stay equal)
+    single.foreach { case (key, cosSingle) =>
+      assert(multi.contains(key) && multi(key) >= cosSingle - 1e-12,
+        s"$key: multi=${multi.get(key)} single=$cosSingle")
+    }
+    assert(multi.size >= single.size)
+  }
+
   test("decontaminate flags exactly the corpus docs sharing a bench shingle") {
     import spark.implicits._
     val corpus = Seq(
