@@ -162,6 +162,51 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.nonEmpty)
   }
 
+  test("property: m= URI grammar and JSON body produce identical results") {
+    import graft.query.TsQuery
+    // random points over 4 hosts, then the same logical query expressed
+    // through BOTH entry points must match row-for-row — the parser
+    // pair (QueryParser.parseSubQuery vs JsonQuery.parse) is the only
+    // thing that differs, so any divergence is a parser bug
+    val pts = randomPoints(400, 4)
+    val q = TsQuery(1700000000000L, 1700060000000L, Seq.empty)
+    val cases = Seq(
+      ("sum:cpu", // trivial; metric mismatch on purpose → empty both
+        """{"aggregator":"sum","metric":"cpu"}"""),
+      ("sum:1m-avg:m{host=*}",
+        """{"aggregator":"sum","metric":"m","downsample":"1m-avg",
+           "tags":{"host":"*"}}"""),
+      ("max:5m-sum-zero:m{host=h0|h1}",
+        """{"aggregator":"max","metric":"m","downsample":"5m-sum-zero",
+           "tags":{"host":"h0|h1"}}"""),
+      ("avg:rate:m",
+        """{"aggregator":"avg","metric":"m","rate":true}"""),
+      ("zimsum:rate{counter,1000,5}:1m-max:m",
+        """{"aggregator":"zimsum","rate":true,
+           "rateOptions":{"counter":true,"counterMax":1000,"resetValue":5},
+           "downsample":"1m-max","metric":"m"}"""),
+      // m= first-braces filters group; the non-grouping JSON filter
+      // (groupBy:false) corresponds to the second-braces form
+      ("dev:m{}{host=regexp(h[02])}",
+        """{"aggregator":"dev","metric":"m",
+           "filters":[{"type":"regexp","tagk":"host","filter":"h[02]",
+                       "groupBy":false}]}"""),
+      ("count:m{host=wildcard(h*)}",
+        """{"aggregator":"count","metric":"m",
+           "filters":[{"type":"wildcard","tagk":"host","filter":"h*",
+                       "groupBy":true}]}"""))
+    for ((m, subJson) <- cases) {
+      val viaM = Engine.runM(pts, q, m)
+      val body =
+        s"""{"start":${q.startMs},"end":${q.endMs},"queries":[$subJson]}"""
+      val viaJson = Engine.runJson(pts, body).head
+      val cols = viaM.columns.sorted.map(col)
+      val a = viaM.select(cols: _*).collect().map(_.toString).sorted
+      val b = viaJson.select(cols: _*).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"mismatch for m=$m")
+    }
+  }
+
   test("property: results are invariant to input partitioning") {
     import spark.implicits._
     // on a real cluster partition boundaries are arbitrary — any
