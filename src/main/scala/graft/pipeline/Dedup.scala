@@ -489,6 +489,23 @@ object Dedup {
       .join(broadcast(benchPost.select(col("h")).distinct()), Seq("h"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
 
+  /**
+   * Streaming exact dedup for document ingest: keeps the first arrival
+   * of each content hash; duplicates arriving within the watermark
+   * horizon are dropped. State per retained document is one 16-byte
+   * hash (not the text), and the watermark bounds state size — the two
+   * properties that make this viable on an unbounded 100 TB ingest
+   * stream. Batch dedup over the landed corpus (exact/minhash/simhash)
+   * remains the backstop for duplicates farther apart than the
+   * watermark; this is the cheap first line at the ingest edge.
+   */
+  def streamExactDedup(docs: DataFrame, textCol: String, tsCol: String,
+                       watermarkDelay: String): DataFrame =
+    docs.withColumn("__content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by a
     * coarse cell column (IVF-style). Prefer embeddingRhpPairs when no
     * trained/balanced cell assignment exists — a skewed cell column

@@ -49,6 +49,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 1)
   }
 
+  test("streaming document dedup: first arrival kept, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "epoch")
+      .withColumn("arrival", timestamp_seconds(col("epoch")))
+    val deduped = graft.pipeline.Dedup
+      .streamExactDedup(docs, "text", "arrival", "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("doc_dedup").outputMode("append").start()
+    mem.addData(
+      (1L, "alpha beta gamma", 1700000000L),
+      (2L, "alpha beta gamma", 1700000005L), // dup within watermark → dropped
+      (3L, "something else entirely", 1700000010L))
+    q.processAllAvailable()
+    mem.addData((4L, "alpha beta gamma", 1700000020L)) // still within horizon
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("doc_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("streaming rollup materialization (tumbling window agg)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
