@@ -512,6 +512,35 @@ object PipelineQueries {
           r4(element_at(col("decoded.features"), 3)).as("mean_b"),
           r4(element_at(col("decoded.features"), 4)).as("luma"))
         .orderBy("media_id")
+    }),
+
+    // multimodal: REAL BMP codec under oracle — 24-bit uncompressed,
+    // little-endian header, BOTTOM-UP 4-byte-padded rows, BGR pixel
+    // order; 2×2 uniform image per doc so features are arithmetic
+    "m05_bmp_decode" -> ((s, dir) => {
+      // 54-byte BITMAPINFOHEADER for a 2×2 24-bit image (stride 8,
+      // data 16 bytes, file 70 bytes), then two rows of BGR + 2 pad
+      val headerHex = "424D46000000000000003600000028000000" +
+        "0200000002000000010018000000000010000000" +
+        "00000000000000000000000000000000"
+      val bgr = concat(
+        lpad(hex(pmod(col("doc_id") * 13, lit(256))), 2, "0"), // B
+        lpad(hex(pmod(col("doc_id") * 7, lit(256))), 2, "0"),  // G
+        lpad(hex(pmod(col("doc_id"), lit(256))), 2, "0"))      // R
+      val row = concat(bgr, bgr, lit("0000"))
+      val payload = unhex(concat(lit(headerHex), row, row))
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.decodeMedia(media)
+        .select(col("media_id"),
+          col("decoded.kind").as("kind"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          r4(element_at(col("decoded.features"), 1)).as("mean_r"),
+          r4(element_at(col("decoded.features"), 2)).as("mean_g"),
+          r4(element_at(col("decoded.features"), 3)).as("mean_b"),
+          r4(element_at(col("decoded.features"), 4)).as("luma"))
+        .orderBy("media_id")
     })
   )
 
@@ -1011,6 +1040,22 @@ object PipelineQueries {
              CAST((doc_id * 13) % 256 AS DOUBLE) AS b
            FROM documents)
          SELECT media_id, 'image/ppm' AS kind,
+           CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           round(r / CAST(255 AS DOUBLE), 4) AS mean_r,
+           round(g / CAST(255 AS DOUBLE), 4) AS mean_g,
+           round(b / CAST(255 AS DOUBLE), 4) AS mean_b,
+           round((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE), 4) AS luma
+         FROM px ORDER BY media_id""",
+
+    "m05_bmp_decode" ->
+      """WITH px AS (
+           SELECT doc_id AS media_id,
+             CAST(doc_id % 256 AS DOUBLE) AS r,
+             CAST((doc_id * 7) % 256 AS DOUBLE) AS g,
+             CAST((doc_id * 13) % 256 AS DOUBLE) AS b
+           FROM documents)
+         SELECT media_id, 'image/bmp' AS kind,
            CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
            round(r / CAST(255 AS DOUBLE), 4) AS mean_r,
            round(g / CAST(255 AS DOUBLE), 4) AS mean_g,

@@ -163,9 +163,61 @@ object Multimodal {
       Array(durSec, if (nSamples == 0) 0.0 else sumAbs / nSamples)))
   }
 
+  /** Windows BMP (BITMAPINFOHEADER, 24-bit uncompressed): little-endian
+    * multi-byte fields, rows 4-byte aligned and stored BOTTOM-UP (or
+    * top-down when height is negative), pixels in BGR order — the
+    * quirks that make it a real codec exercise rather than a byte
+    * peek. Features mirror decodePpm: mean R/G/B + 2×2
+    * nearest-neighbor luma resize. */
+  def decodeBmp(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes == null || bytes.length < 54 ||
+        bytes(0) != 'B' || bytes(1) != 'M') return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val dataOff = u32(10).toInt
+    val hdrSize = u32(14)
+    val w = u32(18).toInt
+    val hRaw = u32(22).toInt // negative height = top-down row order
+    val (planes, bpp, compression) = (u16(26), u16(28), u32(30))
+    if (hdrSize < 40 || planes != 1 || bpp != 24 || compression != 0)
+      return None
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOff < 54 ||
+        bytes.length.toLong < dataOff.toLong + stride.toLong * h) return None
+    // pixel byte offset for image coordinates (x, y), y = 0 at the TOP
+    def pix(x: Int, y: Int): Int = {
+      val row = if (topDown) y else h - 1 - y
+      dataOff + row * stride + x * 3
+    }
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = pix(x, y) // stored B, G, R
+        sb += bytes(o) & 0xff; sg += bytes(o + 1) & 0xff; sr += bytes(o + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val resized = for (ry <- 0 until 2; rx <- 0 until 2) yield {
+      val px = math.min(w - 1, rx * w / 2); val py = math.min(h - 1, ry * h / 2)
+      val o = pix(px, py)
+      (0.299 * (bytes(o + 2) & 0xff) + 0.587 * (bytes(o + 1) & 0xff) +
+        0.114 * (bytes(o) & 0xff)) / 255.0
+    }
+    Some(Decoded("image/bmp", w, h, 3, 0,
+      Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0) ++ resized))
+  }
+
   /** Format sniff + dispatch — the codec-manager shape. */
   def decode(bytes: Array[Byte]): Option[Decoded] =
-    decodePpm(bytes).orElse(decodeWav(bytes))
+    decodePpm(bytes).orElse(decodeWav(bytes)).orElse(decodeBmp(bytes))
 
   /** Byte length of one P6 frame at `bytes(pos)` (header + pixels), or
     * -1 when no valid frame starts there. Mirrors decodePpm's header

@@ -57,6 +57,39 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(d.features(1) - 0.5) < 1e-9)         // mean |amp|
   }
 
+  /** 2×2 24-bit BMP: red, green / blue, white — stored with the BMP
+    * quirks: little-endian header, BGR pixels, rows 4-byte padded and
+    * bottom-up (bottom image row first in the file). */
+  private def bmpBytes(topDown: Boolean): Array[Byte] = {
+    val bb = ByteBuffer.allocate(70).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(if (topDown) -2 else 2)
+      .putShort(1).putShort(24).putInt(0).putInt(16)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)
+    val top = Array[Int](0, 0, 255, 0, 255, 0, 0, 0)    // red, green + pad
+    val bottom = Array[Int](255, 0, 0, 255, 255, 255, 0, 0) // blue, white + pad
+    val rows = if (topDown) top ++ bottom else bottom ++ top
+    rows.foreach(v => bb.put(v.toByte))
+    bb.array()
+  }
+
+  test("BMP codec: bottom-up BGR rows with stride padding decode correctly") {
+    for (topDown <- Seq(false, true)) {
+      val d = Multimodal.decodeBmp(bmpBytes(topDown)).get
+      assert(d.kind == "image/bmp" && d.width == 2 && d.height == 2)
+      // means: each channel lit in exactly 2 of 4 pixels at 255
+      assert(math.abs(d.features(0) - 0.5) < 1e-12)
+      assert(math.abs(d.features(1) - 0.5) < 1e-12)
+      assert(math.abs(d.features(2) - 0.5) < 1e-12)
+      // luma resize in image order TL,TR,BL,BR regardless of file order
+      val luma = d.features.drop(3)
+      assert(math.abs(luma(0) - 0.299) < 1e-12) // red
+      assert(math.abs(luma(1) - 0.587) < 1e-12) // green
+      assert(math.abs(luma(2) - 0.114) < 1e-12) // blue
+      assert(math.abs(luma(3) - 1.0) < 1e-12)   // white
+    }
+  }
+
   test("codecs reject malformed payloads instead of hanging or throwing") {
     // RIFF chunk with length 0xFFFFFFF8: Int-truncated advance would be
     // <= 0 and spin the chunk walk forever
