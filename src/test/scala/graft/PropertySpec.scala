@@ -162,6 +162,51 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.nonEmpty)
   }
 
+  /** Reference 3-shingle set (mirrors TextAnalysis.tokens/shingles). */
+  private def shingleSet(text: String): Set[String] = {
+    val tk = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+    else Set(tk.mkString(" "))
+  }
+
+  test("property: decontaminate == brute-force shingle intersection") {
+    import spark.implicits._
+    val vocab = Vector("ash", "bay", "cod", "dew", "elm", "fog", "gum", "hop")
+    val all = (0L until 80L).map { i =>
+      (i, (0 until 10).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val corpus = all.filter(_._1 % 5 != 0)
+    val bench = all.filter(_._1 % 5 == 0)
+    val benchGrams = bench.flatMap(d => shingleSet(d._2)).toSet
+    val expected = corpus
+      .map { case (id, t) => id -> shingleSet(t).count(benchGrams) }
+      .filter(_._2 > 0).toMap
+    val got = graft.pipeline.Dedup
+      .decontaminate(corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected)
+  }
+
+  test("property: noveltyScore == brute-force document-frequency count") {
+    import spark.implicits._
+    val vocab = Vector("oak", "fir", "yew", "ivy", "rue", "sage")
+    val docs = (0L until 60L).map { i =>
+      (i, (0 until 8).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dfreq = docs.flatMap(d => shingleSet(d._2).toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = docs.map { case (id, t) =>
+      val sh = shingleSet(t)
+      id -> ((sh.size, sh.count(dfreq(_) == 1)))
+    }.toMap
+    val got = graft.pipeline.TextAnalysis
+      .noveltyScore(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1).toInt, r.getLong(2).toInt)))
+      .toMap
+    assert(got == expected)
+  }
+
   test("property: m= URI grammar and JSON body produce identical results") {
     import graft.query.TsQuery
     // random points over 4 hosts, then the same logical query expressed
