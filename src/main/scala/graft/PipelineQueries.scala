@@ -236,6 +236,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // detector evaluation: MinHash-LSH recall against uncapped exact
+    // Jaccard truth — the parameter-tuning report a dedup pipeline
+    // runs on a corpus sample before the full pass
+    "d09_lsh_eval" -> ((s, dir) => {
+      val post = sharedPostings(s, dir, 32)
+      val truth = Dedup.jaccardFromPostings(post, 0.5, maxDf = None)
+      val lsh = Dedup.minhashLshFromPostings(post, bands = 4, threshold = 0.5)
+      Dedup.pairEval(truth, lsh)
+        .select(col("n_true"), col("n_found"), col("n_correct"),
+          r4(col("n_correct").cast("double") / col("n_found")).as("precision"),
+          r4(col("n_correct").cast("double") / col("n_true")).as("recall"))
+    }),
+
     // 32-bit SimHash signatures (term hashes materialized once)
     "d04_simhash" -> ((s, dir) => {
       docs(s, dir)
@@ -569,6 +582,58 @@ object PipelineQueries {
            JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
          ORDER BY id_a, id_b""",
+
+    "d09_lsh_eval" ->
+      s"""$O_SH,
+         hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM hpost GROUP BY doc_id),
+         tshared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM hpost a JOIN hpost b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         truth AS (
+           SELECT id_a, id_b FROM tshared
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+         params AS (SELECT * FROM (VALUES
+           (0, 836603681, 1), (1, 442543251, 7), (2, 1004818243, 13),
+           (3, 668265263, 31), (4, 374761393, 97), (5, 741103597, 41),
+           (6, 988021567, 151), (7, 540483477, 65537)) p(i, a, b)),
+         sig AS (
+           SELECT doc_id, i, min((h * a + b) % 4294967291) AS mh
+           FROM hpost CROSS JOIN params GROUP BY doc_id, i),
+         band AS (
+           SELECT doc_id, i // 2 AS band,
+             string_agg(mh::VARCHAR, '_' ORDER BY i) AS key
+           FROM sig GROUP BY doc_id, i // 2),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM band x JOIN band y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         lshared AS (
+           SELECT id_a, id_b, count(*) AS shared
+           FROM cand
+             JOIN hpost a ON a.doc_id = cand.id_a
+             JOIN hpost b ON b.doc_id = cand.id_b AND b.h = a.h
+           GROUP BY id_a, id_b),
+         found AS (
+           SELECT id_a, id_b FROM lshared
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+         eval AS (
+           SELECT
+             (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM found) AS n_found,
+             (SELECT count(*) FROM truth JOIN found USING (id_a, id_b))
+               AS n_correct)
+         SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           round(CAST(n_correct AS DOUBLE) / n_found, 4) AS precision,
+           round(CAST(n_correct AS DOUBLE) / n_true, 4) AS recall
+         FROM eval""",
 
     "d08_decontaminate" ->
       s"""$O_SH,

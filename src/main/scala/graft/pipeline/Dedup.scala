@@ -490,6 +490,25 @@ object Dedup {
       .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
 
   /**
+   * Pair-detector evaluation: compare a candidate detector's pair set
+   * against a ground-truth pair set → one row of (n_true, n_found,
+   * n_correct). In production this runs the detector AND the exact
+   * quadratic truth on a SAMPLE of the corpus to tune banding/threshold
+   * parameters before committing to the full run; the evaluation join
+   * itself is linear in the two pair lists (equi-join on the pair key).
+   */
+  def pairEval(truth: DataFrame, found: DataFrame): DataFrame = {
+    val t = truth.select(col("id_a"), col("id_b")).withColumn("t", lit(1L))
+    val f = found.select(col("id_a"), col("id_b")).withColumn("f", lit(1L))
+    t.join(f, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("f"), lit(0L))).as("n_found"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("f"), lit(0L)))
+          .as("n_correct"))
+  }
+
+  /**
    * Streaming exact dedup for document ingest: keeps the first arrival
    * of each content hash; duplicates arriving within the watermark
    * horizon are dropped. State per retained document is one 16-byte
