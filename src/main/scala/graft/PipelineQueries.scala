@@ -96,6 +96,24 @@ object PipelineQueries {
         df
     }
 
+  /** Per-session cache of the MinHash-LSH verified pair list — d03
+    * reports it and d09 evaluates it against exact truth; one
+    * signature+banding+verify pipeline feeds both. */
+  private val lshPairsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, DataFrame)]
+
+  private def sharedLshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsCache.get(dir) match {
+      case Some((sess, df)) if sess eq s => df
+      case _ =>
+        val Seq(df) = graft.util.Caching.persistOwned(
+          "PipelineQueries.sharedLshPairs",
+          Dedup.minhashLshFromPostings(sharedPostings(s, dir, 32),
+            bands = 4, threshold = 0.5))
+        lshPairsCache.put(dir, (s, df))
+        df
+    }
+
   /** DuckDB mirror of TextAnalysis.tokens / shingles(3) over documents. */
   private val O_SH =
     """WITH toks AS (
@@ -210,8 +228,7 @@ object PipelineQueries {
 
     // MinHash-LSH banded candidates, verified at jaccard >= 0.5
     "d03_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshFromPostings(sharedPostings(s, dir, 32),
-          bands = 4, threshold = 0.5)
+      sharedLshPairs(s, dir)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -242,7 +259,7 @@ object PipelineQueries {
     "d09_lsh_eval" -> ((s, dir) => {
       val post = sharedPostings(s, dir, 32)
       val truth = Dedup.jaccardFromPostings(post, 0.5, maxDf = None)
-      val lsh = Dedup.minhashLshFromPostings(post, bands = 4, threshold = 0.5)
+      val lsh = sharedLshPairs(s, dir)
       Dedup.pairEval(truth, lsh)
         .select(col("n_true"), col("n_found"), col("n_correct"),
           r4(col("n_correct").cast("double") / col("n_found")).as("precision"),
