@@ -48,6 +48,25 @@ object Points {
     df.withColumn("series_id", seriesId(col("metric"), col("tags")))
 
   /**
+   * Persist a points table BUCKETED by series_id and sorted by
+   * (series_id, ts) — the co-located layout for a corpus that is
+   * queried repeatedly. Every per-series stage of the query pipeline
+   * (downsample groupBy, rate/interpolation windows) clusters on
+   * series_id, so a scan that already reports
+   * HashPartitioning(series_id) satisfies their required distribution
+   * and the planner inserts NO Exchange: at 100 TB this converts each
+   * query's per-series shuffle into a local pass, paid once at write
+   * time instead of once per query. The in-bucket sort additionally
+   * covers the window ordering. Requires a catalog table (bucket
+   * metadata lives in the catalog, not in parquet footers).
+   */
+  def writeBucketed(points: DataFrame, table: String, buckets: Int): Unit =
+    withSeriesId(points.drop("series_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "series_id").sortBy("series_id", "ts")
+      .format("parquet").saveAsTable(table)
+
+  /**
    * Map the driver's `events` table onto the canonical point schema
    * (FIXTURES.md §3): event_type → metric, event time → ts (millis),
    * value → value, low-cardinality attributes → tags.

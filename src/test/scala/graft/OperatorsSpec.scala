@@ -532,6 +532,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains((0L, 1L))) // the exact duplicate is always found
   }
 
+  test("bucketed points layout: per-series stages plan with no Exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val pts = pointsDf(Seq(
+      ("cpu", 1000L, 1.0, host("a")), ("cpu", 2000L, 2.0, host("a")),
+      ("cpu", 1000L, 5.0, host("b")), ("mem", 1000L, 7.0, host("a"))))
+    Points.writeBucketed(pts, "pts_bucketed_test", 4)
+    try {
+      val t = spark.table("pts_bucketed_test")
+      // per-series aggregation: the bucketed scan reports
+      // HashPartitioning(series_id), satisfying the groupBy
+      // distribution — the planner must insert no shuffle
+      val agg = t.groupBy("series_id").agg(max("value"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        agg.queryExecution.executedPlan.toString)
+      // per-series window (the rate/interpolation shape): partitioning
+      // satisfied by buckets — no exchange either
+      val w = t.withColumn("prev", lag("value", 1).over(
+        Window.partitionBy("series_id").orderBy("ts")))
+      assert(!w.queryExecution.executedPlan.toString.contains("Exchange"),
+        w.queryExecution.executedPlan.toString)
+      // and the same data round-trips (4 points, 3 series)
+      assert(t.count() == 4 && t.select("series_id").distinct().count() == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS pts_bucketed_test")
+  }
+
   test("multi-probe rhpTopK candidates dominate single-probe results") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
