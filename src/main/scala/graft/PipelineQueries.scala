@@ -448,6 +448,59 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scrubbing: the corpus word-salad carries no PII, so each doc
+    // is seeded with deterministic doc_id-derived email/IP/phone spans
+    // (the oracle derives the identical corpus); the operator then
+    // counts and redacts them. Counts audit the extraction, the
+    // portable hash of the redacted text proves the replacement
+    // byte-for-byte.
+    "t10_pii_scrub" -> ((s, dir) => {
+      val seeded = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(col("doc_id") % 3 === 0, lit(" cc admin@test.org"))
+            .otherwise(lit("")),
+          lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") * 7 % 256).cast("string"),
+          lit("."), (col("doc_id") * 13 % 256).cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" tel 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      val cnts = TextAnalysis.piiCounts(col("text"))
+        .map { case (n, c) => c.as(s"n_$n") }
+      seeded.select(col("doc_id") +: cnts :+
+          TextAnalysis.h32(TextAnalysis.scrubPii(col("text")))
+            .as("clean_hash"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // training-data chunking: 64-token windows, 16-token overlap; one
+    // row per chunk with its token span and portable content hash
+    "t11_chunks" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), 64, 16)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_ix"),
+          col("col.start").cast("long").as("start"),
+          col("col.n_tok").cast("long").as("n_tok"),
+          TextAnalysis.h32(col("col.chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_ix")
+    }),
+
+    // canonical-doc selection: per near-dup cluster (d07's components)
+    // keep the highest-quality member; one join + one argmax
+    // aggregation, no per-cluster sort
+    "d10_keep_best" -> ((s, dir) => {
+      val clusters = Dedup.duplicateClusters(sharedSimhashPairs(s, dir))
+        .select(col("id"), col("comp"))
+      val qual = docs(s, dir).select(col("doc_id").as("id"),
+        r4(TextAnalysis.qualityScore(col("text"))).as("q"))
+      Dedup.keepBest(clusters, qual)
+        .orderBy("cluster_id")
+    }),
+
     // multimodal audio: REAL WAV codec under oracle — canonical
     // 1-channel 8 kHz PCM with two identical 16-bit samples per doc,
     // decoded by the per-partition RIFF walker (chunk parse, sample
@@ -741,6 +794,50 @@ object PipelineQueries {
          SELECT id AS doc_id, least(id, min(r)) AS keeper_id
          FROM reach GROUP BY id ORDER BY doc_id""",
 
+    "d10_keep_best" ->
+      s"""${O_SH.replaceFirst("WITH ", "WITH RECURSIVE ")}, $oSimhashCand,
+         pairs AS (
+           SELECT id_a, id_b FROM cand
+           WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT src AS id, dst AS r FROM edges
+           UNION
+           SELECT reach.id, edges.dst
+           FROM reach JOIN edges ON reach.r = edges.src),
+         comps AS (
+           SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+         m AS (
+           SELECT doc_id, len(tk) AS n_tokens,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it'], x))) AS DOUBLE)
+                 / len(tk) END AS stop_ratio,
+             length(text) AS n_chars,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                 / len(tk) END AS avg_tok
+           FROM toks),
+         quality AS (
+           SELECT doc_id, round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + least(stop_ratio * 4.0, 1.0)
+             + greatest(0.0, 1.0 - CAST(n_punct AS DOUBLE)
+                 / greatest(n_chars, 1) * 10.0)
+             + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
+             / 4.0, 4) AS q
+           FROM m),
+         ranked AS (
+           SELECT comps.comp, comps.id, quality.q,
+             row_number() OVER
+               (PARTITION BY comps.comp ORDER BY quality.q DESC, comps.id)
+               AS rn,
+             count(*) OVER (PARTITION BY comps.comp) AS n_members
+           FROM comps JOIN quality ON quality.doc_id = comps.id)
+         SELECT comp AS cluster_id, id AS keep_id, n_members, q AS quality
+         FROM ranked WHERE rn = 1 ORDER BY cluster_id""",
+
     "d05_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
          bucketed AS (
@@ -926,6 +1023,53 @@ object PipelineQueries {
              + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
              / 4.0, 4) AS quality
          FROM m ORDER BY doc_id""",
+
+    "t10_pii_scrub" ->
+      s"""WITH seeded AS (
+           SELECT doc_id, text ||
+             ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+             CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END ||
+             ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+             CAST(doc_id * 7 % 256 AS VARCHAR) || '.' ||
+             CAST(doc_id * 13 % 256 AS VARCHAR) ||
+             CASE WHEN doc_id % 2 = 0 THEN ' tel 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             AS text
+           FROM documents),
+         scrub AS (
+           SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+             len(regexp_extract_all(text,
+               '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
+             len(regexp_extract_all(text,
+               '\\b[0-9]{3}-[0-9]{4}\\b')) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS clean
+           FROM seeded)
+         SELECT doc_id, n_email, n_ip, n_phone,
+           ${oH32("clean")} AS clean_hash
+         FROM scrub ORDER BY doc_id""",
+
+    "t11_chunks" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id, unnest(list_transform(range(0, len(tk), 48),
+             s -> struct_pack(
+               st := s,
+               nt := least(s + 64, len(tk)) - s,
+               ck := array_to_string(list_slice(tk, CAST(s + 1 AS INT),
+                 CAST(least(s + 64, len(tk)) AS INT)), ' ')))) AS ch
+           FROM t WHERE len(tk) > 0)
+         SELECT doc_id, ch.st // 48 AS chunk_ix, ch.st AS start,
+           ch.nt AS n_tok, ${oH32("ch.ck")} AS chunk_hash
+         FROM c ORDER BY doc_id, chunk_ix""",
 
     "t02_langid" ->
       """WITH t AS (

@@ -431,6 +431,26 @@ object Dedup {
    * Returns (id, component) for every node appearing in `pairs`;
    * component = min doc id of the cluster (the keeper).
    */
+  /**
+   * Canonical-document selection: for each duplicate cluster, keep the
+   * highest-quality member (ties broken by lowest id). `clusters` is
+   * the (id, comp) labeling from [[duplicateClusters]]; `quality` maps
+   * id → a deterministic score column named `q` (pass it pre-rounded —
+   * cross-engine double ordering on raw scores is a tie-break hazard).
+   *
+   * One equi-join on id plus one aggregation on comp — `max_by` over a
+   * (q, -id) struct gives argmax-with-tiebreak inside the partial+final
+   * aggregation, so there is no per-cluster window or sort; comp is
+   * high-cardinality (many small clusters), no skew hot-spot at scale.
+   */
+  def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters.join(quality, "id")
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q").as("q"), (-col("id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), (-col("best.nid")).as("keep_id"),
+        col("n_members"), col("best.q").as("quality"))
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (eager) after every round truncates lineage —
     // without it the logical plan chains all rounds (hundreds of scan

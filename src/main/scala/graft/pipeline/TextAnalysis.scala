@@ -142,6 +142,55 @@ object TextAnalysis {
     (array_min(transform(sh, s => h32(s))), size(array_distinct(sh)))
   }
 
+  /** PII patterns `(name, regex, replacement)` in scrub order. The
+    * regexes stay inside RE2's feature set (no lookaround, ASCII `\b`)
+    * so the DuckDB oracle can run them verbatim; Java's engine treats
+    * them identically. Emails scrub first — an address can contain
+    * digit runs that the phone pattern would otherwise split. */
+  val PII_PATTERNS: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{4}\\b", "<PHONE>"))
+
+  /** Per-pattern match counts over the ORIGINAL text (audit columns —
+    * a redaction pipeline reports what it removed). Pure codegen'd
+    * column expressions, zero shuffles. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PII_PATTERNS.map { case (name, re, _) =>
+      name -> size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    }
+
+  /** Redacted text: each PII pattern replaced by its placeholder, in
+    * PII_PATTERNS order (Spark's regexp_replace is replace-all). */
+  def scrubPii(text: Column): Column =
+    PII_PATTERNS.foldLeft(text) { case (t, (_, re, repl)) =>
+      regexp_replace(t, re, repl)
+    }
+
+  /**
+   * Fixed-size token chunking with overlap — the training-data
+   * chunker: windows of `width` tokens starting every
+   * `width - overlap` tokens, last chunk ragged. Returns
+   * `array<struct<start, n_tok, chunk>>`; pair with `posexplode` to
+   * get one row per chunk. Per-row column expressions only, so
+   * chunking a 100 TB corpus is a single scan-shaped pass with no
+   * shuffle — parallelism stays whatever the scan had.
+   */
+  def chunks(text: Column, width: Int, overlap: Int): Column = {
+    require(width > overlap && overlap >= 0, s"width $width overlap $overlap")
+    val stride = width - overlap
+    val tk = tokens(text)
+    val n = size(tk)
+    // CaseWhen evaluates only the branch taken, so the empty-doc row
+    // never reaches sequence() (whose bounds would be inverted there)
+    when(n === 0,
+        array().cast("array<struct<start:int,n_tok:int,chunk:string>>"))
+      .otherwise(transform(sequence(lit(0), n - 1, lit(stride)), s =>
+        struct(s.cast("int").as("start"),
+          least(lit(width), n - s).cast("int").as("n_tok"),
+          array_join(slice(tk, s + 1, lit(width)), " ").as("chunk"))))
+  }
+
   /** Non-distinct word bigrams (repetition measures need counts). */
   private def bigrams(text: Column): Column = {
     val tk = tokens(text)

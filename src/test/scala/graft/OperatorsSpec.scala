@@ -616,6 +616,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> ((1L, 1L, 1.0))))
   }
 
+  test("chunks: 64/16 windowing goldens (width 3, overlap 1 model)") {
+    import spark.implicits._
+    val d = Seq((0L, "a1 b2 c3 d4 e5"), (1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        posexplode_outer(graft.pipeline.TextAnalysis.chunks(col("text"), 3, 1)))
+      .select(col("doc_id"), col("pos"), col("col.start"), col("col.n_tok"),
+        col("col.chunk"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4)))
+    // stride = 2: doc 0 (5 tokens) -> starts 0,2,4 with ragged tail
+    assert(got.toSet == Set(
+      (0L, 0, 0, 3, "a1 b2 c3"), (0L, 1, 2, 3, "c3 d4 e5"), (0L, 2, 4, 1, "e5"),
+      (1L, 0, 0, 1, "solo"), (2L, null, null, null, null)))
+  }
+
+  test("scrubPii redacts and piiCounts audits (email/ip/phone)") {
+    import spark.implicits._
+    val d = Seq("mail bob.smith+x@corp.example.org from 192.168.0.1 call 555-0199 x",
+      "no pii here 1234567").toDF("text")
+    val cnts = graft.pipeline.TextAnalysis.piiCounts(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val rows = d.select(graft.pipeline.TextAnalysis.scrubPii(col("text"))
+        .as("clean") +: cnts: _*).collect()
+    assert(rows(0).getString(0) == "mail <EMAIL> from <IP> call <PHONE> x")
+    assert((rows(0).getLong(1), rows(0).getLong(2), rows(0).getLong(3)) == ((1L, 1L, 1L)))
+    assert(rows(1).getString(0) == "no pii here 1234567")
+    assert((rows(1).getLong(1), rows(1).getLong(2), rows(1).getLong(3)) == ((0L, 0L, 0L)))
+  }
+
+  test("keepBest picks highest quality per cluster, lowest id on ties") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.3), (11L, 0.1))
+      .toDF("id", "q")
+    val got = graft.pipeline.Dedup.keepBest(clusters, quality)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // cluster 1: 2 and 3 tie at 0.9 -> keep 2; cluster 10: keep 10
+    assert(got.toSet == Set((1L, 2L, 3L, 0.9), (10L, 10L, 2L, 0.3)))
+  }
+
   test("duplicateClusters: min-label propagation over a chain converges") {
     import spark.implicits._
     // chain 5-4-3-2-1 (min must travel 4 hops => >1 round) + pair 10-11
