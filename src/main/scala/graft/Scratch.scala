@@ -40,6 +40,26 @@ object Scratch {
         (if (warn.nonEmpty) s"WARN=${warn.mkString(",")}" else "ok"))
     }
 
+    if (args.headOption.contains("--d03")) {
+      import org.apache.spark.sql.functions._
+      def stamp(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"STAGE $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(32)
+      stamp("scan")(docs.count())
+      val post = graft.pipeline.Dedup.hashedPostings(
+        docs, "text", "doc_id", 3, portable = true)
+      stamp("postings")(post.count())
+      val postC = post.persist()
+      stamp("postingsP")(postC.count())
+      stamp("pairs")(graft.pipeline.Dedup
+        .minhashLshFromPostings(postC, bands = 4, threshold = 0.5).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--plans")) {
       val names = if (args.length > 1) args.tail.toSeq
         else SparkEntry.queries.keys.toSeq.sorted

@@ -585,6 +585,21 @@ object SparkEntry {
     "q46_aggregators" -> ((s, dir) =>
       graft.meta.Introspect.aggregators(s).orderBy("aggregator")),
 
+    // §2.4 long/double duality: all-integral series take the
+    // reference's runLong truncating-avg path through the downsample
+    // (src/core/Aggregators.java:365-395) — value_l/is_int drive
+    // Aggregators.dualExpr inside Downsample
+    "q50_int_avg" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "click")
+        .withColumn("value_l", expr("CAST(floor(value * 10) AS BIGINT)"))
+        .withColumn("is_int", lit(true))
+        .withColumn("value", col("value_l").cast("double"))
+      flat(Downsample(df, DownsampleSpec.parse("1d-avg")))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          col("value"))
+        .orderBy("ts", "tag_user", "tag_k")
+    }),
+
     // §2.14 /api/uid registry: deterministic name⇄uid per kind
     // (metric/tagk/tagv) via distributed dense numbering
     "q49_uid_registry" -> ((s, dir) =>
@@ -631,6 +646,14 @@ object SparkEntry {
       s"""$O SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
            round(sum(value), 4) AS value
          FROM points WHERE metric = 'purchase'
+         GROUP BY metric, tag_user, tag_k, ts - ts % $DAY
+         ORDER BY ts, tag_user, tag_k""",
+
+    "q50_int_avg" ->
+      s"""$O SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
+           CAST(CAST(trunc(sum(CAST(floor(value * 10) AS BIGINT))
+             / count(*)) AS BIGINT) AS DOUBLE) AS value
+         FROM points WHERE metric = 'click'
          GROUP BY metric, tag_user, tag_k, ts - ts % $DAY
          ORDER BY ts, tag_user, tag_k""",
 

@@ -77,7 +77,16 @@ object Downsample {
       .withColumn("__tags_json", to_json(array_sort(map_entries(col("tags")))))
       .groupBy(col("series_id"), col("bucket"), col("metric"),
         col("__tags_json"))
-      .agg(Aggregators.expr(spec.aggregator, col("value"), col("ts")).as("value"))
+      .agg((if (withSeries.columns.contains("value_l") &&
+            withSeries.columns.contains("is_int"))
+          // long/double duality (reference runLong, SURVEY hard-part
+          // #2): all-integral intervals get truncating avg/dev; the
+          // dual falls through to the plain registry for every other
+          // aggregator and for any non-integral interval
+          Aggregators.dualExpr(spec.aggregator, col("value"),
+            col("value_l"), col("is_int"), col("ts"))
+        else Aggregators.expr(spec.aggregator, col("value"), col("ts")))
+        .as("value"))
       .withColumn("tags",
         map_from_entries(from_json(col("__tags_json"), tagEntries)))
       .drop("__tags_json")
