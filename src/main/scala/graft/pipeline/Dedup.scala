@@ -545,6 +545,33 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /**
+   * Streaming benchmark decontamination at the ingest edge: flag (and
+   * let the caller drop) arriving documents that share any n-gram
+   * shingle with a static evaluation corpus. The eval side collapses
+   * to ONE broadcast row holding its distinct shingle-hash set — eval
+   * sets are tiny next to a 100 TB corpus, so the stream side stays
+   * stateless and shuffle-free: per-row shingle hashing plus an
+   * `arrays_overlap` probe against the broadcast set, no watermark, no
+   * streaming state store. Complements the batch pass
+   * ([[decontaminateFromPostings]]), which reports per-doc hit counts.
+   */
+  def streamDecontaminate(docs: DataFrame, textCol: String,
+                          evalDocs: DataFrame, evalTextCol: String,
+                          ngram: Int = 3,
+                          portable: Boolean = false): DataFrame = {
+    val evalSet = evalDocs
+      .select(explode(termHashes(col(evalTextCol), ngram, portable)).as("h"))
+      .agg(collect_set(col("h")).as("__eval_hs"))
+      .withColumn("__one", lit(1))
+    docs.withColumn("__one", lit(1))
+      .join(broadcast(evalSet), Seq("__one"), "left")
+      .withColumn("contaminated",
+        arrays_overlap(termHashes(col(textCol), ngram, portable),
+          col("__eval_hs")))
+      .drop("__one", "__eval_hs")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by a
     * coarse cell column (IVF-style). Prefer embeddingRhpPairs when no
     * trained/balanced cell assignment exists — a skewed cell column

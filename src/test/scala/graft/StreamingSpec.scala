@@ -49,6 +49,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 1)
   }
 
+  test("streaming decontamination: eval-shingle overlap flags arriving docs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDocs = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    val flagged = graft.pipeline.Dedup.streamDecontaminate(
+      mem.toDF().toDF("doc_id", "text"), "text", evalDocs, "text")
+    val q = flagged.writeStream.format("memory")
+      .queryName("decon_stream_test").outputMode("append").start()
+    mem.addData(
+      (1L, "beta gamma delta leaked into the corpus"), // shares "beta gamma delta"
+      (2L, "completely unrelated training text here"),
+      (3L, "alpha beta but only a bigram"))            // no full 3-shingle match
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decon_stream_test")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("contaminated")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("streaming document dedup: first arrival kept, state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
