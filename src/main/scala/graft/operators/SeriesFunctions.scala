@@ -77,11 +77,15 @@ object SeriesFunctions {
     * winner set is n rows, so the semi-join back is a broadcast. */
   private def topK(df: DataFrame, n: Int, score: Column): DataFrame = {
     val keys = seriesKey(df)
-    val winners = df.groupBy(keys.map(col): _*).agg(score.as("__score"))
+    // the input plan is read twice (scoring pass + the semi-join's
+    // probe side); size-aware persist so a 100 TB upstream pipeline is
+    // not executed twice, while small inputs skip the barrier
+    val src = graft.util.Caching.maybePersist(df)
+    val winners = src.groupBy(keys.map(col): _*).agg(score.as("__score"))
       .orderBy(col("__score").desc +: keys.map(c => col(c).asc): _*)
       .limit(n)
       .select(keys.map(col): _*)
-    df.join(broadcast(winners), keys, "left_semi")
+    src.join(broadcast(winners), keys, "left_semi")
   }
 
   /**

@@ -204,20 +204,23 @@ object Dedup {
       MH_PARAMS.zipWithIndex.tail.map { case ((a, b), i) =>
         min((col("h") * a + b) % MH_PRIME).as(s"mh$i")
       } :+ count(lit(1)).as("sz"): _*)
-    val bandedRaw = sigRaw.select(col("id"), posexplode(
+    // ONE persist, on the narrow root: sig (9 longs per doc) feeds the
+    // banding explode (both self-join sides) and both size joins.
+    // banded itself stays lazy — re-deriving it from cached sig is a
+    // posexplode over in-memory rows, far cheaper than a second
+    // materialization barrier (each persist is a job + sync point; at
+    // bench scale the barriers dominate, at cluster scale they
+    // serialize the DAG). Ownership is generation-bounded
+    // (Caching.persistOwned): lazy plan, released on next invocation.
+    val Seq(sig) = graft.util.Caching.persistOwned(
+      "Dedup.minhashLshFromPostings", sigRaw)
+    val bandedP = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", (0 until rowsPerBand).map(r =>
             col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
       }: _*)))
       .select(col("id"), col("col.band"), col("col.key"))
-    // sig is read 3× (banding fill + both size joins), banded is
-    // self-joined — without the persists each read replays the full
-    // postings aggregation. Ownership is generation-bounded
-    // (Caching.persistOwned): lazy plan, released on next invocation.
-    val Seq(sig, banded) = graft.util.Caching.persistOwned(
-      "Dedup.minhashLshFromPostings", sigRaw, bandedRaw)
-    val bandedP = banded
     val cand = bandedP.as("x").join(bandedP.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
