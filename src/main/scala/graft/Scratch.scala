@@ -27,6 +27,7 @@ object Scratch {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val nEx = "Exchange".r.findAllIn(plan).size
+      val nReuse = "ReusedExchange".r.findAllIn(plan).size
       val nScan = "Scan parquet".r.findAllIn(plan).size
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       val warn = Seq(
@@ -35,7 +36,7 @@ object Scratch {
           .exists(_ => !plan.contains("TakeOrderedAndProject")),
         "UnpartitionedWindow" -> plan.contains("Window [")
       ).collect { case (w, true) => w }
-      println(s"AUDIT $name exchanges=$nEx scans=$nScan " +
+      println(s"AUDIT $name exchanges=$nEx reused=$nReuse scans=$nScan " +
         s"pushedNonEmpty=${pushed.count(p => !p.contains("[]"))} " +
         (if (warn.nonEmpty) s"WARN=${warn.mkString(",")}" else "ok"))
     }
@@ -57,6 +58,20 @@ object Scratch {
       stamp("postingsP")(postC.count())
       stamp("pairs")(graft.pipeline.Dedup
         .minhashLshFromPostings(postC, bands = 4, threshold = 0.5).count())
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("--exec")) {
+      // post-execution (AQE-final) plan: shows runtime stage/exchange
+      // reuse that the static explain cannot
+      args.tail.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.count()
+        val p = df.queryExecution.executedPlan.toString
+        println(s"EXEC $name reusedExchange=${"ReusedExchange".r.findAllIn(p).size} " +
+          s"tableCache=${"InMemoryTableScan".r.findAllIn(p).size} " +
+          s"exchanges=${"Exchange".r.findAllIn(p).size}")
+      }
       spark.stop(); return
     }
 

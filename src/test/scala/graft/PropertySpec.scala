@@ -252,6 +252,59 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: chunks tile the token stream exactly") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(30) // includes 0-token docs
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val width = 7; val overlap = 2; val stride = width - overlap
+    val got = df.select(col("doc_id"),
+        posexplode(graft.pipeline.TextAnalysis.chunks(col("text"), width, overlap)))
+      .select(col("doc_id"), col("pos"), col("col.start"), col("col.n_tok"),
+        col("col.chunk"))
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val chunks = got.getOrElse(id, Array.empty)
+      val starts = (0 until math.max(tk.length, 0) by stride).toSeq
+      assert(chunks.map(_.getInt(2)).toSeq == starts, s"doc $id starts")
+      chunks.foreach { r =>
+        val (s, n, c) = (r.getInt(2), r.getInt(3), r.getString(4))
+        assert(n == math.min(width, tk.length - s), s"doc $id n_tok")
+        assert(c == tk.slice(s, s + width).mkString(" "), s"doc $id chunk")
+      }
+      // every token position is covered by at least one chunk
+      val covered = chunks.flatMap(r =>
+        r.getInt(2) until (r.getInt(2) + r.getInt(3))).toSet
+      assert(covered == tk.indices.toSet, s"doc $id coverage")
+    }
+  }
+
+  test("property: scrubPii is idempotent and leaves no matches behind") {
+    import spark.implicits._
+    val frag = Vector("plain words", "x@y.io", "1.2.3.4", "555-1234",
+      "999.8.7.6", "a.b@c.de f", "12-3456", "10.0.0.255 end")
+    val docs = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(6))(frag(rnd.nextInt(frag.size)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val once = graft.pipeline.TextAnalysis.scrubPii(col("text"))
+    val twice = graft.pipeline.TextAnalysis.scrubPii(once)
+    val cnts = graft.pipeline.TextAnalysis.piiCounts(once)
+      .map { case (n, c) => c.as(n) }
+    val rows = df.select(Seq(once.as("c1"), twice.as("c2")) ++ cnts: _*)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "idempotent")
+      assert((2 to 4).forall(r.getLong(_) == 0L), "no residual matches")
+    }
+  }
+
   test("property: results are invariant to input partitioning") {
     import spark.implicits._
     // on a real cluster partition boundaries are arbitrary — any
