@@ -474,6 +474,17 @@ object SparkEntry {
         .orderBy("ts", "tag_user", "tag_k")
     }),
 
+    // §2.6 calendar month ('n' unit) in a DST-observing timezone:
+    // buckets start at local midnight on the 1st, re-expressed in UTC
+    "q51_calendar_month" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "purchase")
+      flat(Downsample(df, DownsampleSpec.parse("1nc-sum"),
+          tz = "America/New_York"))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user", "tag_k")
+    }),
+
     // §2.4 R-3 estimation-type percentile (nearest-even, no interp)
     "q37_ep90r3" -> ((s, dir) => {
       val df = pts(s, dir).withColumn("b", col("ts") - col("ts") % DAY)
@@ -1122,6 +1133,18 @@ object SparkEntry {
            FROM points WHERE metric = 'signup'
            GROUP BY metric, tag_user, tag_k,
              epoch_ms(date_trunc('week', make_timestamp(ts * 1000))))
+         SELECT metric, tag_user, tag_k, b AS ts, round(v, 4) AS value
+         FROM d ORDER BY ts, tag_user, tag_k""",
+
+    "q51_calendar_month" ->
+      s"""$O, d AS (
+           SELECT metric, tag_user, tag_k,
+             epoch_ms(timezone('America/New_York', date_trunc('month',
+               timezone('America/New_York',
+                 timezone('UTC', make_timestamp(ts * 1000)))))) AS b,
+             sum(value) AS v
+           FROM points WHERE metric = 'purchase'
+           GROUP BY 1, 2, 3, 4)
          SELECT metric, tag_user, tag_k, b AS ts, round(v, 4) AS value
          FROM d ORDER BY ts, tag_user, tag_k""",
 
