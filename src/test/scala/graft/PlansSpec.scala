@@ -56,6 +56,35 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing pushed upper bound in: $pushed")
   }
 
+  test("plan hygiene: no cartesian products, global sorts, or unpartitioned windows") {
+    // cross-section of the contract: scan, downsample+fill, group
+    // interpolation, rate, top-k, union join, dedup postings, LSH,
+    // embedding blocking, ANN, text stats, tf-idf, chunking, frame
+    // sampling. Plans only — nothing executes.
+    val names = Seq("q01_scan_filter", "q05_downsample_avg_fill",
+      "q07_groupby_lerp_sum", "q08_rate", "q11_topk_highestmax",
+      "q20_union_sum_series", "q26_groupby_tag", "q50_int_avg",
+      "d01_exact_dedup", "d02_ngram_jaccard", "d05_embedding_neardup",
+      "d10_keep_best", "s01_cosine_topk", "s03_rhp_ann", "t01_text_stats",
+      "t06_tfidf", "t10_pii_scrub", "t11_chunks", "m04_frame_sample")
+    val sf = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"), s"$n: cartesian product")
+      // a Window with no PARTITION BY funnels everything to one task
+      assert(!plan.contains("Window ["), s"$n: unpartitioned window")
+      // any true global Sort (the `, true` flag) outside
+      // TakeOrderedAndProject is a single-point bottleneck at scale;
+      // the contract queries' own output-presentation orderBy accounts
+      // for exactly one — anything beyond that is an operator
+      // regression
+      val globalSorts = "\\bSort \\[[^\\]]*\\], true".r.findAllIn(plan).size
+      assert(globalSorts <= 1, s"$n: $globalSorts global sorts")
+    }
+  }
+
   test("md5_prefix60 is registered as a SQL function by the extension") {
     val r = spark.sql(
       "SELECT md5_prefix60('hello world') AS h").collect()(0).getLong(0)
