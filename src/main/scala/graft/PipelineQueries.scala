@@ -167,15 +167,17 @@ object PipelineQueries {
     * = the embeddings in scope. Distances round to 1e-6 before the
     * argmin exactly like the engine, so assignments match bit-for-bit. */
   private def oKmeansA2: String = {
-    def assign(centCte: String) =
-      s"""SELECT vec_id, cluster FROM (
-          SELECT e.vec_id, c.cluster,
+    def assignRanked(centCte: String) =
+      s"""SELECT e.vec_id, c.cluster,
             row_number() OVER (PARTITION BY e.vec_id ORDER BY
               floor(list_sum(list_transform(list_zip(e.embedding, c.cvec),
                 z -> (CAST(z[1] AS DOUBLE) - z[2])
                   * (CAST(z[1] AS DOUBLE) - z[2])))
                 * 1000000 + 0.5) / 1000000, c.cluster) AS rn
-          FROM e CROSS JOIN $centCte c) t WHERE rn = 1"""
+          FROM e CROSS JOIN $centCte c"""
+    def assign(centCte: String) =
+      s"""SELECT vec_id, cluster FROM (
+          ${assignRanked(centCte)}) t WHERE rn = 1"""
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
        c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
@@ -194,7 +196,8 @@ object PipelineQueries {
        c1 AS (
          SELECT c0.cluster, coalesce(cm.cvec, c0.cvec) AS cvec
          FROM c0 LEFT JOIN cm USING (cluster)),
-       a2 AS (${assign("c1")})"""
+       a2r AS (${assignRanked("c1")}),
+       a2 AS (SELECT vec_id, cluster FROM a2r WHERE rn = 1)"""
   }
 
   /** DuckDB mirror of Similarity.rhpBucket(vec, nBits, dim, planeOffset):
@@ -320,6 +323,24 @@ object PipelineQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
           col("cluster").as("q_cell"))
       Similarity.ivfTopK(assigned, q, 5, cellCol = "cluster")
+        .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // multi-probe trained IVF: each query searches its 2 nearest
+    // cells (of 4) — the recall lever over s05's single probe; probe
+    // lists ride the broadcast side, corpus streams once
+    "s07_ivf_multiprobe" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id",
+        k = 4, iters = 1)
+      val q = Similarity.kmeansProbes(e, "embedding", "vec_id",
+          k = 4, iters = 1, nprobe = 2)
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("probes").as("q_probes"))
+      Similarity.ivfTopKMultiProbe(assigned, q, 5)
         .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"),
           col("rank"))
         .orderBy("q_id", "rank")
@@ -884,6 +905,34 @@ object PipelineQueries {
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
            FROM corp JOIN q
              ON corp.cluster = q.q_cell AND corp.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "s07_ivf_multiprobe" ->
+      s"""WITH $oKmeansA2,
+         q AS (
+           SELECT e.vec_id AS q_id, e.embedding AS q_vec
+           FROM e WHERE e.vec_id < 3),
+         qp AS (
+           SELECT vec_id AS q_id, cluster FROM a2r
+           WHERE rn <= 2 AND vec_id < 3),
+         corp AS (
+           SELECT a2.vec_id, e.embedding, a2.cluster
+           FROM a2 JOIN e USING (vec_id)),
+         scored AS (
+           SELECT q.q_id, corp.vec_id,
+             list_sum(list_transform(list_zip(corp.embedding, q.q_vec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(corp.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.q_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM corp JOIN qp ON corp.cluster = qp.cluster
+             JOIN q ON q.q_id = qp.q_id AND corp.vec_id <> q.q_id),
          ranked AS (
            SELECT q_id, vec_id, cos, row_number() OVER
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank

@@ -74,32 +74,41 @@ object Similarity {
    * corpus is scanned, never shuffled by vector. Returns the input
    * plus a `cluster` column from the final assignment.
    */
-  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
-                   k: Int, iters: Int): DataFrame = {
-    def assignTo(cents: Seq[Seq[Double]]): DataFrame = {
-      val vec = col(vecCol)
-      // distance stays a compact zip_with fold ON PURPOSE: each
-      // distance subtree is duplicated ~3× across least()/when() below,
-      // so an unrolled 64-term tree multiplies into thousands of nodes
-      // and Janino compile time dominates (measured 0.55 s → 3.4 s)
-      val dists = cents.zipWithIndex.map { case (c, i) =>
-        val d = aggregate(
-          zip_with(vec, typedlit(c), (a, b) =>
-            (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (acc, x) => acc + x)
-        (i, floor(d * 1e6 + 0.5) / 1e6)
-      }
-      val minD = least(dists.map(_._2): _*)
-      val cluster = dists.foldRight(lit(-1): Column) { case ((i, d), elze) =>
-        when(d === minD, lit(i)).otherwise(elze)
-      }
-      df.withColumn("cluster", cluster)
+  /** Rounded squared-distance columns to each centroid (shared by the
+    * argmin assignment and the multi-probe ranking). Distance stays a
+    * compact zip_with fold ON PURPOSE: each distance subtree is
+    * duplicated ~3× across least()/when() below, so an unrolled
+    * 64-term tree multiplies into thousands of nodes and Janino
+    * compile time dominates (measured 0.55 s → 3.4 s). */
+  private def centroidDists(vec: Column,
+                            cents: Seq[Seq[Double]]): Seq[(Int, Column)] =
+    cents.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(
+        zip_with(vec, typedlit(c), (a, b) =>
+          (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x)
+      (i, floor(d * 1e6 + 0.5) / 1e6)
     }
+
+  private def assignTo(df: DataFrame, vecCol: String,
+                       cents: Seq[Seq[Double]]): DataFrame = {
+    val dists = centroidDists(col(vecCol), cents)
+    val minD = least(dists.map(_._2): _*)
+    val cluster = dists.foldRight(lit(-1): Column) { case ((i, d), elze) =>
+      when(d === minD, lit(i)).otherwise(elze)
+    }
+    df.withColumn("cluster", cluster)
+  }
+
+  /** Deterministic Lloyd training: k lowest-id vectors seed, `iters`
+    * mean updates; emptied clusters keep their centroid. */
+  private def trainCentroids(df: DataFrame, vecCol: String, idCol: String,
+                             k: Int, iters: Int): Seq[Seq[Double]] = {
     var cents: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     for (_ <- 1 to iters) {
-      val perDim = assignTo(cents)
+      val perDim = assignTo(df, vecCol, cents)
         .select(col("cluster"), posexplode(col(vecCol)))
         .groupBy(col("cluster"), col("pos"))
         .agg(avg(col("col").cast("double")).as("v"))
@@ -111,7 +120,29 @@ object Similarity {
         updated.getOrElse(i, old) // emptied cluster keeps its centroid
       }
     }
-    assignTo(cents)
+    cents
+  }
+
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
+                   k: Int, iters: Int): DataFrame =
+    assignTo(df, vecCol, trainCentroids(df, vecCol, idCol, k, iters))
+
+  /**
+   * Multi-probe cell lists: the `nprobe` nearest centroids per vector
+   * (ordered, ties by centroid id) as a `probes` array column. The IVF
+   * recall lever — querying nprobe cells scans nprobe/k of the corpus
+   * instead of 1/k while covering boundary vectors whose true
+   * neighbors sit in an adjacent cell. Same rounded distances and
+   * tie-break as [[kmeansAssign]], so probes.head == cluster.
+   */
+  def kmeansProbes(df: DataFrame, vecCol: String, idCol: String,
+                   k: Int, iters: Int, nprobe: Int): DataFrame = {
+    val cents = trainCentroids(df, vecCol, idCol, k, iters)
+    val dists = centroidDists(col(vecCol), cents)
+    val ranked = array_sort(array(dists.map { case (i, d) =>
+      struct(d.as("d"), lit(i).as("i")) }: _*))
+    df.withColumn("probes",
+      transform(slice(ranked, 1, nprobe), s => s.getField("i")))
   }
 
   /**
@@ -150,6 +181,38 @@ object Similarity {
           .withColumn("__qn", normc(col(queryVec), dim))),
         col(cellCol) === col(queryCell) && col(corpusId) =!= col(queryId))
       .withColumn("cos", dotc(col(corpusVec), col(queryVec), dim) / (col("__cn") * col("__qn")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("cos").desc, col(corpusId).asc)))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+  }
+
+  /**
+   * Multi-probe IVF top-k: queries carry an array of probe cells
+   * (from [[kmeansProbes]]); a corpus vector is a candidate when its
+   * cell is in the query's probe list. The probe list lives on the
+   * BROADCAST side, so the corpus still streams through once with no
+   * shuffle — per-query cost grows to nprobe/k of the corpus, recall
+   * covers cell-boundary neighbors single-probe misses.
+   */
+  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                        cellCol: String = "cluster",
+                        corpusId: String = "vec_id",
+                        corpusVec: String = "embedding",
+                        queryId: String = "q_id", queryVec: String = "q_vec",
+                        queryProbes: String = "q_probes",
+                        dim: Int = 0): DataFrame = {
+    val scored = corpus.select(col(corpusId), col(corpusVec), col(cellCol))
+      .withColumn("__cn", normc(col(corpusVec), dim))
+      .join(broadcast(queries
+          .select(col(queryId), col(queryVec), col(queryProbes))
+          .withColumn("__qn", normc(col(queryVec), dim))),
+        array_contains(col(queryProbes), col(cellCol)) &&
+          col(corpusId) =!= col(queryId))
+      .withColumn("cos",
+        dotc(col(corpusVec), col(queryVec), dim) / (col("__cn") * col("__qn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId))
