@@ -215,9 +215,120 @@ object Multimodal {
       Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0) ++ resized))
   }
 
+  private val PNG_SIG =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /**
+   * PNG (RFC 2083): signature + IHDR/IDAT/IEND chunk walk, zlib
+   * inflate via java.util.zip, per-scanline unfiltering (None/Sub/Up/
+   * Average/Paeth); 8-bit greyscale/RGB/RGBA, non-interlaced.
+   * Ancillary chunks are skipped and CRCs are not re-verified — this
+   * is the decode path, integrity checking belongs to fsck-style
+   * tooling. Features match the other image codecs: mean R/G/B + 2×2
+   * nearest-neighbor luma resize.
+   */
+  def decodePng(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes == null || bytes.length < 8 + 25 ||
+        !bytes.take(8).sameElements(PNG_SIG)) return None
+    def u32(o: Int) = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var pos = 8
+    var w = 0; var h = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 8 <= bytes.length) {
+      val len = u32(pos).toInt
+      val dataOff = pos + 8
+      if (len < 0 || dataOff + len + 4 > bytes.length) return None
+      new String(bytes, pos + 4, 4, "US-ASCII") match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = u32(dataOff).toInt; h = u32(dataOff + 4).toInt
+          colorType = bytes(dataOff + 9) & 0xff
+          val (depth, interlace) =
+            (bytes(dataOff + 8) & 0xff, bytes(dataOff + 12) & 0xff)
+          // 8-bit gray (0), truecolor (2), truecolor+alpha (6); no
+          // palette/interlace — the formats a feature pipeline emits
+          if (depth != 8 || interlace != 0 ||
+              !Seq(0, 2, 6).contains(colorType)) return None
+        case "IDAT" => idat.write(bytes, dataOff, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk
+      }
+      pos = dataOff + len + 4 // skip CRC
+    }
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+        colorType < 0 || idat.size == 0) return None
+    val ch = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val rowBytes = w * ch
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (off < raw.length) return None
+    // unfilter scanlines: each row carries a filter-type byte; Sub/Up/
+    // Average/Paeth reconstruct from left (a), above (b), upper-left (c)
+    val pix = new Array[Byte](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (rowBytes + 1)) & 0xff
+      if (ft > 4) return None
+      val src = y * (rowBytes + 1) + 1
+      val dst = y * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= ch) pix(dst + i - ch) & 0xff else 0
+        val b = if (y > 0) pix(dst - rowBytes + i) & 0xff else 0
+        val c = if (y > 0 && i >= ch) pix(dst - rowBytes + i - ch) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case _ =>
+            val p = a + b - c
+            val (pa, pb, pc) =
+              (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        pix(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    def rgb(o: Int): (Int, Int, Int) =
+      if (ch == 1) { val g = pix(o) & 0xff; (g, g, g) }
+      else (pix(o) & 0xff, pix(o + 1) & 0xff, pix(o + 2) & 0xff)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    val n = w.toLong * h
+    var idx = 0
+    while (idx < n) {
+      val (r, g, b) = rgb(idx.toInt * ch)
+      sr += r; sg += g; sb += b; idx += 1
+    }
+    val resized = for (ry <- 0 until 2; rx <- 0 until 2) yield {
+      val px = math.min(w - 1, rx * w / 2); val py = math.min(h - 1, ry * h / 2)
+      val (r, g, b) = rgb((py * w + px) * ch)
+      (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+    }
+    Some(Decoded("image/png", w, h, ch, 0,
+      Array(sr / n.toDouble / 255.0, sg / n.toDouble / 255.0,
+        sb / n.toDouble / 255.0) ++ resized))
+  }
+
   /** Format sniff + dispatch — the codec-manager shape. */
   def decode(bytes: Array[Byte]): Option[Decoded] =
     decodePpm(bytes).orElse(decodeWav(bytes)).orElse(decodeBmp(bytes))
+      .orElse(decodePng(bytes))
 
   /** Byte length of one P6 frame at `bytes(pos)` (header + pixels), or
     * -1 when no valid frame starts there. Mirrors decodePpm's header

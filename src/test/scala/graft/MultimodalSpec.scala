@@ -90,6 +90,54 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PNG codec: ImageIO-encoded RGB and RGBA decode to exact pixel stats") {
+    import java.awt.image.BufferedImage
+    // 5x3 deterministic gradient — wide enough that the encoder's
+    // filter choices (Sub/Up/Paeth) actually vary across rows
+    def img(kind: Int): BufferedImage = {
+      val im = new BufferedImage(5, 3, kind)
+      for (y <- 0 until 3; x <- 0 until 5) {
+        val (r, g, b) = ((x * 50 + y) % 256, (255 - x * 40 + y) % 256,
+          (x * x * 11 + y * 90) % 256)
+        im.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+      }
+      im
+    }
+    def encode(im: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    for (kind <- Seq(BufferedImage.TYPE_INT_RGB, BufferedImage.TYPE_INT_ARGB)) {
+      val im = img(kind)
+      val d = Multimodal.decodePng(encode(im)).get
+      assert(d.kind == "image/png" && d.width == 5 && d.height == 3)
+      assert(d.channels == (if (kind == BufferedImage.TYPE_INT_ARGB) 4 else 3))
+      // reference stats straight from the BufferedImage
+      val px = for (y <- 0 until 3; x <- 0 until 5) yield im.getRGB(x, y)
+      def mean(shift: Int) =
+        px.map(p => (p >> shift) & 0xff).sum / 15.0 / 255.0
+      assert(math.abs(d.features(0) - mean(16)) < 1e-12, "mean R")
+      assert(math.abs(d.features(1) - mean(8)) < 1e-12, "mean G")
+      assert(math.abs(d.features(2) - mean(0)) < 1e-12, "mean B")
+      // 2x2 luma resize samples px = min(w-1, rx*w/2), py = min(h-1,
+      // ry*h/2) for rx,ry in 0..1 — same grid as the other codecs
+      val samples = for (ry <- 0 until 2; rx <- 0 until 2) yield {
+        val sx = math.min(4, rx * 5 / 2); val sy = math.min(2, ry * 3 / 2)
+        val p = im.getRGB(sx, sy)
+        (0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+          0.114 * (p & 0xff)) / 255.0
+      }
+      samples.zipWithIndex.foreach { case (s, i) =>
+        assert(math.abs(d.features(3 + i) - s) < 1e-12, s"resize $i")
+      }
+    }
+    // greyscale path
+    val grey = img(BufferedImage.TYPE_BYTE_GRAY)
+    val dg = Multimodal.decodePng(encode(grey)).get
+    assert(dg.channels == 1 && dg.width == 5)
+  }
+
   test("codecs reject malformed payloads instead of hanging or throwing") {
     // RIFF chunk with length 0xFFFFFFF8: Int-truncated advance would be
     // <= 0 and spin the chunk walk forever
