@@ -258,4 +258,26 @@ object Ingest {
       .select(col("metric"), col("tags"), col("series_id"),
         unix_millis(col("w.start")).as("ts"),
         col("sum"), col("count"), col("min"), col("max"))
+
+  /**
+   * Sliding-window streaming aggregation — the streaming form of
+   * `movingAverage(time)` (SURVEY §2.12: tumbling covers rollups,
+   * sliding comes free from the same windowed-aggregation machinery).
+   * Each point lands in `interval`/`slide` overlapping windows; state
+   * is bounded by the watermark exactly like [[rollupStream]].
+   */
+  def slidingAvgStream(points: DataFrame, interval: String = "10 minutes",
+                       slide: String = "5 minutes",
+                       lateness: String = "10 minutes"): DataFrame =
+    points
+      .withColumn("series_id",
+        graft.model.Points.seriesId(col("metric"), col("tags")))
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("series_id"),
+        window(col("event_time"), interval, slide).as("w"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        avg(col("value")).as("avg"), count(col("value")).as("count"))
+      .select(col("metric"), col("tags"), col("series_id"),
+        unix_millis(col("w.start")).as("ts"), col("avg"), col("count"))
 }

@@ -118,6 +118,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(spark.table("rollup_stream_test").columns.contains))
   }
 
+  test("streaming sliding-window average (movingAverage's streaming form)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val pts = Ingest.parsePutLines(mem.toDF())
+      .filter(col("_error").isNull).drop("_error")
+    val q = Ingest.slidingAvgStream(pts, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sliding_stream_test")
+      .outputMode("complete").start()
+    // 1700000000 = ..:53:20; 10m/5m windows → each point lands in 2
+    mem.addData(
+      "put cpu 1700000000 2 host=a",   // windows 53:20∈[:45,:55),[:50,:00)
+      "put cpu 1700000200 4 host=a")   // 56:40 ∈ [:50,:00),[:55,:05)
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("sliding_stream_test").orderBy("ts")
+      .collect().map(row => row.getAs[Long]("ts") ->
+        ((row.getAs[Double]("avg"), row.getAs[Long]("count"))))
+    // [:45,:55) holds only the first point, [:50,:00) both, [:55,:05)
+    // only the second
+    assert(r.toSeq == Seq(
+      1699999500000L -> ((2.0, 1L)),
+      1699999800000L -> ((3.0, 2L)),
+      1700000100000L -> ((4.0, 1L))))
+  }
+
   test("RT publisher: foreachBatch second sink sees each ingested batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
