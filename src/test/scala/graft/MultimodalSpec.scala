@@ -138,6 +138,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dg.channels == 1 && dg.width == 5)
   }
 
+  test("PNG codec: randomized round-trip vs ImageIO across edge sizes") {
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(7)
+    val sizes = Seq((1, 1), (1, 7), (9, 1), (2, 2), (17, 5), (31, 33))
+    for ((w, h) <- sizes; kind <- Seq(BufferedImage.TYPE_INT_RGB,
+        BufferedImage.TYPE_INT_ARGB)) {
+      val im = new BufferedImage(w, h, kind)
+      for (y <- 0 until h; x <- 0 until w)
+        im.setRGB(x, y, (0xff << 24) | rnd.nextInt(1 << 24))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      val d = Multimodal.decodePng(bos.toByteArray)
+        .getOrElse(fail(s"decode failed ${w}x$h kind=$kind"))
+      assert(d.width == w && d.height == h, s"dims ${w}x$h")
+      val px = for (y <- 0 until h; x <- 0 until w) yield im.getRGB(x, y)
+      def mean(shift: Int) =
+        px.map(p => (p >> shift) & 0xff).sum.toDouble / px.size / 255.0
+      assert(math.abs(d.features(0) - mean(16)) < 1e-12, s"R ${w}x$h")
+      assert(math.abs(d.features(1) - mean(8)) < 1e-12, s"G ${w}x$h")
+      assert(math.abs(d.features(2) - mean(0)) < 1e-12, s"B ${w}x$h")
+    }
+  }
+
   test("codecs reject malformed payloads instead of hanging or throwing") {
     // RIFF chunk with length 0xFFFFFFF8: Int-truncated advance would be
     // <= 0 and spin the chunk walk forever
