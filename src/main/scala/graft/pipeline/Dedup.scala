@@ -375,10 +375,11 @@ object Dedup {
     def bkt(vec: Column, off: Int): Column =
       if (evalBound) Similarity.rhpBucketN(vec, nBits, dim, off)
       else Similarity.rhpBucket(vec, nBits, dim, off)
-    val nrmOf: Column => Column =
-      if (evalBound) Similarity.normN(_, dim) else Similarity.norm
-    val dotOf: (Column, Column) => Column =
-      if (evalBound) Similarity.dotN(_, _, dim) else Similarity.dot
+    // dot/norm: always the native expression — constant codegen size
+    // AND codegen'd eval, so the regime choice above only governs the
+    // bucket projection (whose ±sign structure has no native form)
+    val nrmOf: Column => Column = graft.functions.VectorMath.normCol
+    val dotOf: (Column, Column) => Column = graft.functions.VectorMath.dotCol
     // ONE persisted table carries everything downstream stages need —
     // norm and all `tables` bucket ids next to the vector — so the
     // pipeline materializes a single intermediate instead of three
@@ -583,11 +584,12 @@ object Dedup {
                             cellCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(cellCol).as("cell"),
         col(vecCol).as("vec"))
-      .withColumn("nrm", Similarity.norm(col("vec")))
+      .withColumn("nrm", graft.functions.VectorMath.normCol(col("vec")))
     v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cos",
-        Similarity.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+        graft.functions.VectorMath.dotCol(col("a.vec"), col("b.vec")) /
+          (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

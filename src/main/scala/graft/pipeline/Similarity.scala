@@ -47,15 +47,21 @@ object Similarity {
       val x = a.getItem(i).cast("double"); x * x
     }.reduce(_ + _))
 
-  /** dot/norm dispatch: dim > 0 → unrolled codegen'd form, dim <= 0 →
-    * higher-order fold (for callers with unknown dimension). */
+  /** dot/norm dispatch — now always the native Catalyst expression
+    * (graft.functions.VectorMath): one tight static loop inside
+    * whole-stage codegen, constant compile size, no interpreted-vs-
+    * unrolled regime switch. Identical index-order double accumulation
+    * as both legacy forms, so results are bit-for-bit unchanged; the
+    * `dim` parameter is retained for API compatibility. */
   private[pipeline] def dotc(a: Column, b: Column, dim: Int): Column =
-    if (dim > 0) dotN(a, b, dim) else dot(a, b)
+    graft.functions.VectorMath.dotCol(a, b)
   private[pipeline] def normc(a: Column, dim: Int): Column =
-    if (dim > 0) normN(a, dim) else norm(a)
+    graft.functions.VectorMath.normCol(a)
 
   /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorMath.dotCol(a, b) /
+      (graft.functions.VectorMath.normCol(a) * graft.functions.VectorMath.normCol(b))
 
   /**
    * Lloyd's k-means cell assignment — the trained quantizer for real

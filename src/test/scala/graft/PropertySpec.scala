@@ -305,6 +305,28 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: native dot/norm expressions are bit-identical to both legacy forms") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 4 - 2),
+        Array.fill(dim)(rnd.nextFloat() * 4 - 2))
+    }.toDF("id", "a", "b")
+    val rows = vecs.select(
+      graft.functions.VectorMath.dotCol(col("a"), col("b")).as("native"),
+      graft.pipeline.Similarity.dot(col("a"), col("b")).as("hof"),
+      graft.pipeline.Similarity.dotN(col("a"), col("b"), dim).as("unrolled"),
+      graft.functions.VectorMath.normCol(col("a")).as("n_native"),
+      graft.pipeline.Similarity.norm(col("a")).as("n_hof"),
+      graft.pipeline.Similarity.normN(col("a"), dim).as("n_unrolled"))
+      .collect()
+    rows.foreach { r =>
+      // == on doubles: BIT-identical, not approximately equal
+      assert(r.getDouble(0) == r.getDouble(1) && r.getDouble(0) == r.getDouble(2))
+      assert(r.getDouble(3) == r.getDouble(4) && r.getDouble(3) == r.getDouble(5))
+    }
+  }
+
   test("property: results are invariant to input partitioning") {
     import spark.implicits._
     // on a real cluster partition boundaries are arbitrary — any
