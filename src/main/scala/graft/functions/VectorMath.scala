@@ -72,6 +72,37 @@ case class NormF32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket id as a native expression: nBits
+  * sign-dots against deterministic ±1 pseudo-hyperplanes
+  * (graft.pipeline.Similarity.rhpSign), accumulated in index order —
+  * bit-identical to both the zip_with-fold and unrolled column forms
+  * (x·(+1.0) == x and x·(−1.0) == −x are exact in IEEE). Removes the
+  * last compile-size-vs-eval-speed regime switch from the embedding
+  * blocking path. */
+case class RhpBucketF32(child: Expression, nBits: Int, dim: Int,
+                        planeOffset: Int) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rhp_bucket_f32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rhp_bucket_f32 expects array<float> input, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorMath.rhpBucket(a.asInstanceOf[ArrayData], nBits, dim, planeOffset)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorMath.rhpBucket($a, $nBits, $dim, $planeOffset)")
+
+  override protected def withNewChildInternal(newChild: Expression): RhpBucketF32 =
+    copy(child = newChild)
+}
+
 object VectorMath {
 
   /** Called from generated code. Index-order accumulation in double. */
@@ -99,9 +130,32 @@ object VectorMath {
     math.sqrt(s)
   }
 
+  /** Called from generated code. Sign constants and accumulation order
+    * replicate Similarity.rhpSign / rhpBucket exactly. */
+  def rhpBucket(a: ArrayData, nBits: Int, dim: Int, planeOffset: Int): Long = {
+    val n = math.min(dim, a.numElements())
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      val p = planeOffset + b
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val x = a.getFloat(j).toDouble
+        s += (if (((p * 1103515245L + j * 12345L) >> 16) % 2 == 0) x else -x)
+        j += 1
+      }
+      if (s >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** Column forms. */
   def dotCol(a: Column, b: Column): Column =
     Bridge.column(new DotF32(Bridge.expression(a), Bridge.expression(b)))
   def normCol(a: Column): Column =
     Bridge.column(new NormF32(Bridge.expression(a)))
+  def rhpBucketCol(a: Column, nBits: Int, dim: Int, planeOffset: Int): Column =
+    Bridge.column(new RhpBucketF32(Bridge.expression(a), nBits, dim, planeOffset))
 }

@@ -358,26 +358,15 @@ object Dedup {
   def embeddingRhpPairs(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, nBits: Int, dim: Int,
                         tables: Int): DataFrame = {
-    // Two regimes, chosen from the optimizer's size estimate (honest
-    // for embeddings — the vector IS the row):
-    //  - big input (eval-bound): UNROLLED bucket/dot/norm — plain
-    //    codegen'd arithmetic, no interpreted-lambda overhead on the
-    //    billions of per-pair ops; the one-time Janino compile of the
-    //    tables×nBits×dim projection amortizes over the data.
-    //  - small input (compile-bound): compact zip_with/aggregate HOF
-    //    forms — interpreted eval is irrelevant at small row counts,
-    //    while compiling the giant unrolled projection (~9 s measured
-    //    for 3×6×64 terms) would dominate the whole query.
-    // Both forms add terms in the same left-to-right IEEE order, so
-    // results are bit-identical — this trades only where time is spent.
-    val evalBound = df.queryExecution.optimizedPlan.stats.sizeInBytes >
-      graft.util.Caching.RECOMPUTE_CHEAP_BYTES
+    // bucket/dot/norm are native Catalyst expressions
+    // (graft.functions.VectorMath): constant codegen size AND
+    // codegen'd evaluation, so the old size-estimate regime switch
+    // (interpreted HOF folds vs ~9 s of Janino for the unrolled
+    // tables×nBits×dim projection) is gone entirely — one form serves
+    // both the 500-row oracle run and the billion-row corpus, with
+    // bit-identical results (same index-order IEEE accumulation).
     def bkt(vec: Column, off: Int): Column =
-      if (evalBound) Similarity.rhpBucketN(vec, nBits, dim, off)
-      else Similarity.rhpBucket(vec, nBits, dim, off)
-    // dot/norm: always the native expression — constant codegen size
-    // AND codegen'd eval, so the regime choice above only governs the
-    // bucket projection (whose ±sign structure has no native form)
+      graft.functions.VectorMath.rhpBucketCol(vec, nBits, dim, off)
     val nrmOf: Column => Column = graft.functions.VectorMath.normCol
     val dotOf: (Column, Column) => Column = graft.functions.VectorMath.dotCol
     // ONE persisted table carries everything downstream stages need —

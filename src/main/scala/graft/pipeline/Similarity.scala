@@ -252,7 +252,8 @@ object Similarity {
     require(probeHamming <= 1, "only Hamming-1 multi-probe is implemented")
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(col(id), posexplode(array((0 until tables).map(t =>
-          rhpBucket(col(vec), nBits, dim, t * nBits)): _*)))
+          graft.functions.VectorMath.rhpBucketCol(
+            col(vec), nBits, dim, t * nBits)): _*)))
         .select(col(id), col("pos").as("t"), col("col").as("bkt"))
     val cb = bucketed(corpus, corpusId, corpusVec)
     val qb0 = bucketed(queries, queryId, queryVec)

@@ -325,6 +325,14 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getDouble(0) == r.getDouble(1) && r.getDouble(0) == r.getDouble(2))
       assert(r.getDouble(3) == r.getDouble(4) && r.getDouble(3) == r.getDouble(5))
     }
+    val buckets = vecs.select(
+      graft.functions.VectorMath.rhpBucketCol(col("a"), 6, dim, 7).as("native"),
+      graft.pipeline.Similarity.rhpBucket(col("a"), 6, dim, 7).as("hof"),
+      graft.pipeline.Similarity.rhpBucketN(col("a"), 6, dim, 7).as("unrolled"))
+      .collect()
+    buckets.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == r.getLong(2))
+    }
   }
 
   test("property: results are invariant to input partitioning") {
