@@ -510,6 +510,14 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_ix")
     }),
 
+    // BPE tokenizer training, iteration 1: top adjacent char pairs
+    // weighted by word frequency (corpus collapses to its vocabulary
+    // before pairs explode)
+    "t12_bpe_merges" -> ((s, dir) => {
+      TextAnalysis.bpeMergeCandidates(docs(s, dir), "text", 20)
+        .orderBy(col("cnt").desc, col("pair").asc)
+    }),
+
     // canonical-doc selection: per near-dup cluster (d07's components)
     // keep the highest-quality member; one join + one argmax
     // aggregation, no per-cluster sort
@@ -1072,6 +1080,21 @@ object PipelineQueries {
              + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
              / 4.0, 4) AS quality
          FROM m ORDER BY doc_id""",
+
+    "t12_bpe_merges" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS w
+           FROM documents),
+         words AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+         pairs AS (
+           SELECT unnest(list_transform(range(0, length(w) - 1),
+             i -> substr(w, CAST(i AS INT) + 1, 2))) AS pair, freq
+           FROM words WHERE length(w) >= 2)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         FROM pairs GROUP BY pair
+         ORDER BY cnt DESC, pair LIMIT 20""",
 
     "t10_pii_scrub" ->
       s"""WITH seeded AS (

@@ -191,6 +191,30 @@ object TextAnalysis {
           array_join(slice(tk, s + 1, lit(width)), " ").as("chunk"))))
   }
 
+  /**
+   * BPE merge candidates — the first iteration of byte-pair-encoding
+   * tokenizer training: adjacent character pairs, weighted by corpus
+   * word frequency, ranked by count. The 100 TB shape: the corpus
+   * collapses to its word-frequency table FIRST (one shuffle on the
+   * word — vocabulary-sized, orders of magnitude smaller than the
+   * corpus), pairs explode off that small table, and the final top-k
+   * is a TakeOrderedAndProject. Subsequent BPE iterations would merge
+   * the winning pair into the symbol sequences and repeat — each
+   * round the same two bounded shuffles.
+   */
+  def bpeMergeCandidates(df: DataFrame, textCol: String,
+                         k: Int): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(0), length(col("w")) - 2),
+          i => col("w").substr(i + 1, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Non-distinct word bigrams (repetition measures need counts). */
   private def bigrams(text: Column): Column = {
     val tk = tokens(text)

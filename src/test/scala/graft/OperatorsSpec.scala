@@ -644,6 +644,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((rows(1).getLong(1), rows(1).getLong(2), rows(1).getLong(3)) == ((0L, 0L, 0L)))
   }
 
+  test("bpeMergeCandidates counts frequency-weighted adjacent char pairs") {
+    import spark.implicits._
+    // "ab" x3 (freq-weighted), "abc" x1 -> pairs: ab:4, bc:1; "x" too short
+    val d = Seq("ab ab x", "ab abc").toDF("text")
+    val got = graft.pipeline.TextAnalysis.bpeMergeCandidates(d, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("ab" -> 4L, "bc" -> 1L))
+  }
+
   test("keepBest picks highest quality per cluster, lowest id on ties") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
