@@ -352,6 +352,17 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.2 wildcard with a real glob PATTERN (not the bare `*`):
+    // `{user=1*2}` through the m= URI legacy sugar → Wildcard filter
+    // → anchored regex on the scan
+    "q52_wildcard_glob" -> ((s, dir) => {
+      val q = TsQuery(T_0105, T_0120, Seq.empty)
+      Engine.runM(pts(s, dir), q, "zimsum:1h-sum:click{user=1*2}")
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §3.1 the JSON POST /api/query form end-to-end: body parse →
     // filter array (wildcard groupBy + literal_or) → downsample →
     // engine pad/clip (reference HttpJsonSerializer.parseQueryV1)
@@ -1017,6 +1028,16 @@ object SparkEntry {
            SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
            FROM points
            WHERE metric = 'click' AND tag_user IS NOT NULL
+           GROUP BY tag_user, ts - ts % $HOUR)
+         SELECT 'click' AS metric, tag_user, b AS ts, round(v, 4) AS value
+         FROM d WHERE b >= $T_0105 AND b <= $T_0120
+         ORDER BY tag_user, ts""",
+
+    "q52_wildcard_glob" ->
+      s"""$O, d AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'click' AND tag_user LIKE '1%2'
            GROUP BY tag_user, ts - ts % $HOUR)
          SELECT 'click' AS metric, tag_user, b AS ts, round(v, 4) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
