@@ -335,6 +335,34 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: multi-probe IVF refines single-probe (probes.head == cluster, top-1 dominates)") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id", 4, 1)
+    val probed = Similarity.kmeansProbes(e, "embedding", "vec_id", 4, 1, 2)
+    // the nearest probe IS the argmin cell — same distances, same ties
+    val mismatch = assigned.select(col("vec_id"), col("cluster"))
+      .join(probed.select(col("vec_id"), element_at(col("probes"), 1).as("p0")),
+        "vec_id")
+      .filter(col("cluster") =!= col("p0")).count()
+    assert(mismatch == 0L)
+    val q1 = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cluster").as("q_cell"))
+    val qm = probed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("probes").as("q_probes"))
+    val single = Similarity.ivfTopK(assigned, q1, 1, cellCol = "cluster")
+      .select(col("q_id"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val multi = Similarity.ivfTopKMultiProbe(assigned, qm, 1)
+      .select(col("q_id"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // multi-probe candidates are a superset → its top-1 can only be
+    // at least as close
+    single.foreach { case (q, c) => assert(multi(q) >= c, s"q $q") }
+  }
+
   test("property: results are invariant to input partitioning") {
     import spark.implicits._
     // on a real cluster partition boundaries are arbitrary — any
