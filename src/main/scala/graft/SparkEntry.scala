@@ -124,6 +124,15 @@ object SparkEntry {
         .orderBy("metric", "ts")
     }),
 
+    // §2.5 MAX/MIN sentinel policies (mimmax fills -inf = missing
+    // series ignored): cross-series max of per-series hourly maxima
+    "q53_mimmax_group" -> ((s, dir) => {
+      val ds = Downsample(pts(s, dir), DownsampleSpec.parse("1h-max"))
+      Interpolate.aggregate(ds, "mimmax")
+        .select(col("metric"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("metric", "ts")
+    }),
+
     // §2.5 THE core op: cross-series LERP aggregation of 1h-avg series
     "q07_groupby_lerp_sum" -> ((s, dir) => {
       val ds = Downsample(pts(s, dir).filter(col("metric") === "click"),
@@ -701,6 +710,11 @@ object SparkEntry {
 
     "q06_groupby_zimsum" ->
       s"""$O SELECT metric, ts - ts % $HOUR AS ts, round(sum(value), 4) AS value
+         FROM points GROUP BY metric, ts - ts % $HOUR
+         ORDER BY metric, ts""",
+
+    "q53_mimmax_group" ->
+      s"""$O SELECT metric, ts - ts % $HOUR AS ts, round(max(value), 4) AS value
          FROM points GROUP BY metric, ts - ts % $HOUR
          ORDER BY metric, ts""",
 
