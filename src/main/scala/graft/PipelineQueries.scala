@@ -510,6 +510,18 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_ix")
     }),
 
+    // content-defined chunking: cut where the 16-char rolling window's
+    // portable hash = 0 mod 64 (edit-robust chunk boundaries)
+    "t13_cdc_chunks" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(TextAnalysis.cdcChunks(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_ix"),
+          col("col.start").cast("long").as("start"),
+          col("col.len").cast("long").as("n_chars"),
+          TextAnalysis.h32(col("col.chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_ix")
+    }),
+
     // BPE tokenizer training, iteration 1: top adjacent char pairs
     // weighted by word frequency (corpus collapses to its vocabulary
     // before pairs explode)
@@ -1080,6 +1092,38 @@ object PipelineQueries {
              + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
              / 4.0, 4) AS quality
          FROM m ORDER BY doc_id""",
+
+    "t13_cdc_chunks" ->
+      s"""WITH b AS (
+           SELECT doc_id, text, length(text) AS n,
+             list_filter(range(16, greatest(length(text), 16) + 1),
+               i -> i <= length(text) AND
+                 ${oH32("substr(text, CAST(i AS INT) - 15, 16)")} % 64 = 0)
+               AS bnds
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, n,
+             list_concat([CAST(1 AS BIGINT)],
+               list_transform(bnds, x -> x + 1)) AS starts,
+             list_concat(bnds, [CAST(n AS BIGINT)]) AS ends
+           FROM b),
+         e AS (
+           SELECT doc_id, text, unnest(list_transform(range(0, len(ends)),
+             j -> struct_pack(
+               st := starts[CAST(j AS INT) + 1],
+               ln := ends[CAST(j AS INT) + 1]
+                 - starts[CAST(j AS INT) + 1] + 1))) AS ch
+           FROM c),
+         f AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ch.st) - 1
+               AS chunk_ix,
+             ch.st AS start, ch.ln AS n_chars,
+             substr(text, CAST(ch.st AS INT), CAST(ch.ln AS INT)) AS chunk
+           FROM e WHERE ch.ln > 0)
+         SELECT doc_id, chunk_ix, start, n_chars,
+           ${oH32("chunk")} AS chunk_hash
+         FROM f ORDER BY doc_id, chunk_ix""",
 
     "t12_bpe_merges" ->
       """WITH toks AS (

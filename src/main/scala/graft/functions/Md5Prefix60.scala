@@ -33,6 +33,40 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Content-defined chunk boundaries: 1-based character positions `i`
+ * (width ≤ i ≤ length) where the portable 32-bit hash of the trailing
+ * `width`-char window satisfies `h32 % modulus == 0` — the rolling-
+ * fingerprint cut rule of storage-dedup chunking (Rabin/FastCDC
+ * family), using the engine's md5-prefix hash so the DuckDB oracle
+ * can replicate boundaries exactly. Native expression: the per-
+ * position digest loop runs as one static method inside whole-stage
+ * codegen instead of an interpreted higher-order filter.
+ */
+case class CdcBoundaries(child: Expression, width: Int, modulus: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix60.cdcBoundaries(input.asInstanceOf[UTF8String], width, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Md5Prefix60.cdcBoundaries($c, $width, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
+object CdcBoundaries {
+  def apply(c: Column, width: Int, modulus: Int): Column =
+    Bridge.column(new CdcBoundaries(Bridge.expression(c), width, modulus))
+}
+
 object Md5Prefix60 {
 
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
@@ -53,4 +87,21 @@ object Md5Prefix60 {
   /** Column form. */
   def apply(c: Column): Column =
     Bridge.column(new Md5Prefix60(Bridge.expression(c)))
+
+  /** Called from generated code (CdcBoundaries). Positions are 1-based
+    * character offsets; window = chars [i-width, i). ASCII-safe and
+    * mirrored verbatim by the oracle's substr+md5 expression. */
+  def cdcBoundaries(s: UTF8String, width: Int,
+                    modulus: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = width
+    while (i <= n) {
+      val window = UTF8String.fromString(str.substring(i - width, i))
+      if ((hash(window) % 4294967296L) % modulus == 0) out += i
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }

@@ -215,6 +215,30 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Content-defined chunking (the storage-dedup counterpart of the
+   * fixed token windows in [[chunks]]): cut wherever the portable
+   * hash of the trailing `width`-char window is ≡ 0 mod `modulus`
+   * (expected chunk ≈ modulus chars) — boundaries survive insertions
+   * and deletions elsewhere in the document, which is what makes
+   * chunk-hash dedup robust to edits. The boundary scan is a native
+   * expression (graft.functions.CdcBoundaries); the chunk assembly is
+   * small per-row array algebra. Scan-shaped, zero shuffles.
+   */
+  def cdcChunks(text: Column, width: Int = 16, modulus: Int = 64): Column = {
+    val b = graft.functions.CdcBoundaries(text, width, modulus)
+    val starts = concat(array(lit(1)), transform(b, x => x + 1))
+    val ends = concat(b, array(length(text)))
+    filter(
+      transform(sequence(lit(0), size(ends) - 1), j =>
+        struct(element_at(starts, j + 1).as("start"),
+          (element_at(ends, j + 1) - element_at(starts, j + 1) + 1).as("len"),
+          text.substr(element_at(starts, j + 1),
+            element_at(ends, j + 1) - element_at(starts, j + 1) + 1)
+            .as("chunk"))),
+      c => c.getField("len") > 0)
+  }
+
   /** Non-distinct word bigrams (repetition measures need counts). */
   private def bigrams(text: Column): Column = {
     val tk = tokens(text)

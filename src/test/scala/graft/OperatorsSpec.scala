@@ -644,6 +644,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((rows(1).getLong(1), rows(1).getLong(2), rows(1).getLong(3)) == ((0L, 0L, 0L)))
   }
 
+  test("cdcChunks boundaries resynchronize after an insertion (edit robustness)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(1500)(('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "INSERTED-PREFIX " + base
+    def hashes(t: String): Seq[Long] =
+      Seq(t).toDF("text")
+        .select(explode(graft.pipeline.TextAnalysis.cdcChunks(col("text"))).as("c"))
+        .select(graft.functions.Md5Prefix60(col("c.chunk")) % 4294967296L)
+        .collect().map(_.getLong(0)).toSeq
+    val (h1, h2) = (hashes(base), hashes(edited))
+    // a fixed-width chunker would shift EVERY chunk; content-defined
+    // boundaries realign after the edit, so most original chunk hashes
+    // survive verbatim (all but the first chunk, whose start moved)
+    val shared = h1.toSet.intersect(h2.toSet)
+    assert(h1.size > 5, s"expected several chunks, got ${h1.size}")
+    assert(shared.size >= h1.size - 1, s"only ${shared.size}/${h1.size} survived")
+    // and the tails are identical chunk-for-chunk
+    assert(h1.last == h2.last)
+  }
+
   test("bpeMergeCandidates counts frequency-weighted adjacent char pairs") {
     import spark.implicits._
     // "ab" x3 (freq-weighted), "abc" x1 -> pairs: ab:4, bc:1; "x" too short
