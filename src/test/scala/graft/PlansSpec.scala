@@ -65,8 +65,10 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q07_groupby_lerp_sum", "q08_rate", "q11_topk_highestmax",
       "q20_union_sum_series", "q26_groupby_tag", "q50_int_avg",
       "d01_exact_dedup", "d02_ngram_jaccard", "d05_embedding_neardup",
-      "d10_keep_best", "s01_cosine_topk", "s03_rhp_ann", "t01_text_stats",
-      "t06_tfidf", "t10_pii_scrub", "t11_chunks", "m04_frame_sample")
+      "d10_keep_best", "s01_cosine_topk", "s03_rhp_ann", "s07_ivf_multiprobe",
+      "t01_text_stats", "t06_tfidf", "t10_pii_scrub", "t11_chunks",
+      "t12_bpe_merges", "t13_cdc_chunks", "q51_calendar_month",
+      "q53_mimmax_group", "m04_frame_sample")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
