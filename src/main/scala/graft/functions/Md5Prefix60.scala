@@ -88,19 +88,47 @@ object Md5Prefix60 {
   def apply(c: Column): Column =
     Bridge.column(new Md5Prefix60(Bridge.expression(c)))
 
+  /** First 15 hex digits of md5 over a byte window, no allocation
+    * beyond the caller-provided 16-byte scratch buffer. */
+  private def hashWindow(bytes: Array[Byte], off: Int, len: Int,
+                         scratch: Array[Byte]): Long = {
+    val digest = md.get()
+    digest.reset()
+    digest.update(bytes, off, len)
+    digest.digest(scratch, 0, 16)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (scratch(i) & 0xffL); i += 1 }
+    (v << 4) | ((scratch(7) & 0xf0L) >>> 4)
+  }
+
   /** Called from generated code (CdcBoundaries). Positions are 1-based
-    * character offsets; window = chars [i-width, i). ASCII-safe and
-    * mirrored verbatim by the oracle's substr+md5 expression. */
+    * character offsets; window = chars [i-width, i), mirrored verbatim
+    * by the oracle's substr+md5 expression. ASCII input (the common
+    * case — byte count == char count) digests raw byte windows with
+    * ZERO per-position allocation; multi-byte text falls back to
+    * char-correct substrings. */
   def cdcBoundaries(s: UTF8String, width: Int,
                     modulus: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val str = s.toString
-    val n = str.length
     val out = new scala.collection.mutable.ArrayBuffer[Int]()
-    var i = width
-    while (i <= n) {
-      val window = UTF8String.fromString(str.substring(i - width, i))
-      if ((hash(window) % 4294967296L) % modulus == 0) out += i
-      i += 1
+    val nChars = s.numChars()
+    if (s.numBytes() == nChars) {
+      val bytes = s.getBytes
+      val scratch = new Array[Byte](16)
+      var i = width
+      while (i <= nChars) {
+        val h = hashWindow(bytes, i - width, width, scratch)
+        if ((h % 4294967296L) % modulus == 0) out += i
+        i += 1
+      }
+    } else {
+      val str = s.toString
+      var i = width
+      while (i <= nChars) {
+        val window = UTF8String.fromString(str.substring(i - width, i))
+        if ((hash(window) % 4294967296L) % modulus == 0) out += i
+        i += 1
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
