@@ -335,6 +335,20 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.3 UNION join with per-series TAG matching (reference
+    // UnionIterator aligns result sets by tag set, not just ts):
+    // per-user hourly click+view, full-outer on (tag_user, ts), 0-fill
+    "q54_union_by_tag" -> ((s, dir) => {
+      def hourly(m: String) = Interpolate.aggregate(
+        Downsample(pts(s, dir).filter(col("metric") === m),
+          DownsampleSpec.parse("1h-sum")), "zimsum", Seq("user"))
+      SeriesFunctions.combineUnion(
+          Seq(hourly("click"), hourly("view")), Seq("tag_user"),
+          _ + _, fill = 0.0)
+        .select(col("tag_user"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.12/§4 rollup ROUTING through the engine: a 1d-avg query served
     // from the 1h rollup table up to its freshness horizon, stitched
     // with fresh raw points past it (reference tableToBeScanned +
@@ -717,6 +731,22 @@ object SparkEntry {
       s"""$O SELECT metric, ts - ts % $HOUR AS ts, round(max(value), 4) AS value
          FROM points GROUP BY metric, ts - ts % $HOUR
          ORDER BY metric, ts""",
+
+    "q54_union_by_tag" ->
+      s"""$O, a AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points WHERE metric = 'click' GROUP BY 1, 2),
+         c AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points WHERE metric = 'view' GROUP BY 1, 2),
+         j AS (
+           SELECT coalesce(a.tag_user, c.tag_user) AS tag_user,
+             coalesce(a.b, c.b) AS b,
+             coalesce(a.v, 0) + coalesce(c.v, 0) AS v
+           FROM a FULL OUTER JOIN c
+             ON a.tag_user = c.tag_user AND a.b = c.b)
+         SELECT tag_user, b AS ts, round(v, 4) AS value
+         FROM j ORDER BY tag_user, ts""",
 
     "q07_groupby_lerp_sum" ->
       s"""$O, p AS (
