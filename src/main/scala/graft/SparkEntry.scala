@@ -349,6 +349,18 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.3 INTERSECTION join with per-series TAG matching: only
+    // (user, hour) grid points present in BOTH metrics survive
+    "q55_intersect_by_tag" -> ((s, dir) => {
+      def hourly(m: String) = Interpolate.aggregate(
+        Downsample(pts(s, dir).filter(col("metric") === m),
+          DownsampleSpec.parse("1h-sum")), "zimsum", Seq("user"))
+      SeriesFunctions.combineIntersection(
+          Seq(hourly("click"), hourly("view")), Seq("tag_user"), _ / _)
+        .select(col("tag_user"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.12/§4 rollup ROUTING through the engine: a 1d-avg query served
     // from the 1h rollup table up to its freshness horizon, stitched
     // with fresh raw points past it (reference tableToBeScanned +
@@ -747,6 +759,17 @@ object SparkEntry {
              ON a.tag_user = c.tag_user AND a.b = c.b)
          SELECT tag_user, b AS ts, round(v, 4) AS value
          FROM j ORDER BY tag_user, ts""",
+
+    "q55_intersect_by_tag" ->
+      s"""$O, a AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points WHERE metric = 'click' GROUP BY 1, 2),
+         c AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points WHERE metric = 'view' GROUP BY 1, 2)
+         SELECT a.tag_user, a.b AS ts, round(a.v / c.v, 4) AS value
+         FROM a JOIN c ON a.tag_user = c.tag_user AND a.b = c.b
+         ORDER BY a.tag_user, ts""",
 
     "q07_groupby_lerp_sum" ->
       s"""$O, p AS (
