@@ -52,6 +52,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map(0L -> 1.0, 15000L -> 11.5, 30000L -> 17.0, 45000L -> 20.0))
   }
 
+  test("rate groups reuse the previous value instead of lerping") {
+    // reference AggregationIterator.java:744-753: when the values are
+    // rates, the lerp step is replaced by previous-value carry-forward
+    val r = valuesByTs(Interpolate.aggregate(offset, "sum", isRate = true))
+    // ts0: b has no previous -> skipped; 15000: a carries 1 forward;
+    // 30000: b carries 10; 45000: a carries 2 (lerp would give
+    // 11.5 / 17 here instead)
+    assert(r == Map(0L -> 1.0, 15000L -> 11.0, 30000L -> 12.0, 45000L -> 22.0))
+  }
+
   test("zimsum fills zero instead of interpolating") {
     val r = valuesByTs(Interpolate.aggregate(offset, "zimsum"))
     assert(r == Map(0L -> 1.0, 15000L -> 10.0, 30000L -> 2.0, 45000L -> 20.0))
