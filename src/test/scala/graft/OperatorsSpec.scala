@@ -52,6 +52,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map(0L -> 1.0, 15000L -> 11.5, 30000L -> 17.0, 45000L -> 20.0))
   }
 
+  test("aggregator 'none' passes one series through and rejects several") {
+    val single = pointsDf(Seq(("m", 0L, 1.0, host("a")), ("m", 30000L, 2.0, host("a"))))
+    val ok = Interpolate.aggregate(single, "none")
+    assert(valuesByTs(ok) == Map(0L -> 1.0, 30000L -> 2.0))
+    // reference TsdbQuery.java:1006-1028 errors when >1 series reaches
+    // the bypass; the guard is lazy (fires at execution)
+    val err = intercept[Exception] {
+      Interpolate.aggregate(offset, "none").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("rate groups reuse the previous value instead of lerping") {
     // reference AggregationIterator.java:744-753: when the values are
     // rates, the lerp step is replaced by previous-value carry-forward
