@@ -116,12 +116,22 @@ object Interpolate {
     // to the persisted postings in graft.pipeline.Dedup).
     val cached = graft.util.Caching.maybePersist(pts)
 
-    // union-of-timestamps grid per group × member series
-    val grid = cached.select(groupCols :+ col("ts"): _*).distinct()
-    val members = cached.select(groupCols :+ col("series_id"): _*).distinct()
+    // union-of-timestamps grid per group × member series. Each branch
+    // re-aliases its columns (toDF assigns fresh expression ids): the
+    // three-way self-join otherwise carries identical attribute ids on
+    // every side, which the analyzer can fail to disambiguate for some
+    // upstream plan shapes (first()-aggregated rollup outputs trigger
+    // "conflicting references in Join"). Pure projections — Catalyst
+    // collapses them, plans are unchanged where they already resolved.
+    def freshIds(df: org.apache.spark.sql.DataFrame) =
+      df.toDF(df.columns.toIndexedSeq: _*)
+    val grid = freshIds(cached.select(groupCols :+ col("ts"): _*)).distinct()
+    val members = freshIds(cached.select(groupCols :+ col("series_id"): _*))
+      .distinct()
     val slots = grid.join(members,
       ("metric" +: groupTagKeys.map(k => s"tag_$k")).toSeq)
-    val joined = slots.join(cached.select(col("series_id"), col("ts"), col("value")),
+    val joined = slots.join(
+      freshIds(cached.select(col("series_id"), col("ts"), col("value"))),
       Seq("series_id", "ts"), "left")
 
     val policy = policy0

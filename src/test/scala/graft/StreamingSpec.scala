@@ -144,6 +144,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       1700000100000L -> ((4.0, 1L))))
   }
 
+  test("streamed rollup table serves an Engine query via rollup routing") {
+    import spark.implicits._
+    import graft.query.{QueryParser, TsQuery}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lines = Seq(
+      "put cpu 1700000000 1 host=a",
+      "put cpu 1700000100 3 host=a",
+      "put cpu 1700003700 5 host=a",
+      "put cpu 1700007300 7 host=a")
+    // stream the points into a materialized 1h rollup table...
+    val mem = MemoryStream[String]
+    val pts = Ingest.parsePutLines(mem.toDF())
+      .filter(col("_error").isNull).drop("_error")
+    val q = Ingest.rollupStream(pts, "1 hour").writeStream
+      .format("memory").queryName("rollup_route_src")
+      .outputMode("complete").start()
+    mem.addData(lines: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rollup = spark.table("rollup_route_src")
+    // ...and serve a 1h-sum query from it: identical to raw-only
+    val raw = Ingest.parsePutLines(lines.toDF("value"))
+      .filter(col("_error").isNull).drop("_error")
+    // start on the first hour-bucket boundary so no edge bucket clips
+    val query = TsQuery(1699999200000L, 1700010000000L, Seq.empty)
+    val sub = QueryParser.parseSubQuery("sum:1h-sum:cpu")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("ts", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = rows(Engine.run(raw, query, sub))
+    val routed = rows(Engine.run(raw, query, sub,
+      Seq(Engine.RollupTable(3600000L, rollup))))
+    assert(direct == routed && direct.size == 3)
+    // horizon split: rollup only complete before the 3rd hour; fresh
+    // raw points must stitch in past it, same answer
+    val horizon = 1700007200000L
+    val split = rows(Engine.run(raw, query, sub,
+      Seq(Engine.RollupTable(3600000L,
+        rollup.filter(col("ts") < horizon), horizonMs = horizon))))
+    assert(split == direct)
+  }
+
   test("RT publisher: foreachBatch second sink sees each ingested batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
