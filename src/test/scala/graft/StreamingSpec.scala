@@ -184,6 +184,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Engine.RollupTable(3600000L,
         rollup.filter(col("ts") < horizon), horizonMs = horizon))))
     assert(split == direct)
+    // rate over the rollup-served downsample (downsample -> rate ->
+    // aggregate order) must also match raw-only
+    val rateSub = QueryParser.parseSubQuery("sum:1h-sum:rate:cpu")
+    val directRate = rows(Engine.run(raw, query, rateSub))
+    val routedRate = rows(Engine.run(raw, query, rateSub,
+      Seq(Engine.RollupTable(3600000L, rollup))))
+    assert(directRate == routedRate && directRate.nonEmpty)
   }
 
   test("RT publisher: foreachBatch second sink sees each ingested batch") {
