@@ -191,6 +191,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val routedRate = rows(Engine.run(raw, query, rateSub,
       Seq(Engine.RollupTable(3600000L, rollup))))
     assert(directRate == routedRate && directRate.nonEmpty)
+    // tag-grouped aggregation over the rollup-served plan (Lerp policy
+    // + grouping keys exercises the grid path's tag columns)
+    val grpSub = QueryParser.parseSubQuery("sum:1h-sum:cpu{host=*}")
+    def grows(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag_host", "ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val directGrp = grows(Engine.run(raw, query, grpSub))
+    val routedGrp = grows(Engine.run(raw, query, grpSub,
+      Seq(Engine.RollupTable(3600000L, rollup))))
+    assert(directGrp == routedGrp && directGrp.nonEmpty)
   }
 
   test("RT publisher: foreachBatch second sink sees each ingested batch") {
