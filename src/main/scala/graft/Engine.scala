@@ -130,8 +130,24 @@ object Engine {
   // re-scanning — on a 100 TB table that is the difference between a
   // storage-layer hit and zero I/O.
 
-  private val resultCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (Long, DataFrame)]
+  /** Max distinct normalized queries kept in the result cache. A
+    * long-lived service answering many DISTINCT queries must not
+    * accumulate persisted DataFrames without bound, so the cache is an
+    * access-ordered LRU: on overflow the least-recently-served entry is
+    * unpersisted and dropped (counted as `query.cache_evictions`). */
+  @volatile var resultCacheMaxEntries: Int = 128
+
+  private val resultCache =
+    new java.util.LinkedHashMap[(Int, String), (Long, DataFrame)](16, 0.75f,
+      /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), (Long, DataFrame)]): Boolean =
+        if (size > resultCacheMaxEntries) {
+          scala.util.Try(e.getValue._2.unpersist(false))
+          graft.meta.Introspect.incr("query.cache_evictions")
+          true
+        } else false
+    }
 
   /** Max-age for queries whose range is comfortably in the past. */
   val CACHE_PAST_MS = 86400000L
@@ -147,25 +163,32 @@ object Engine {
                 now: Long = System.currentTimeMillis()): DataFrame = {
     val key = (points.queryExecution.analyzed.semanticHash(),
       s"$query|$sub|${rollups.map(r => (r.intervalMs, r.horizonMs))}")
-    resultCache.get(key) match {
+    resultCache.synchronized(Option(resultCache.get(key))) match {
       case Some((expires, df)) if now < expires =>
         graft.meta.Introspect.incr("query.cache_hits")
         df
       case stale =>
-        stale.foreach(_._2.unpersist())
+        stale.foreach(s => scala.util.Try(s._2.unpersist()))
         graft.meta.Introspect.incr("query.cache_misses")
         val df = run(points, query, sub, rollups)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val maxAge =
           if (query.endMs < now - 3600000L) CACHE_PAST_MS else CACHE_FRESH_MS
-        resultCache.put(key, (now + maxAge, df))
+        resultCache.synchronized {
+          val prev = resultCache.put(key, (now + maxAge, df))
+          // A concurrent miss on the same key may have raced us here;
+          // release whichever persisted result we just displaced.
+          if (prev != null && (prev._2 ne df) &&
+              !stale.exists(_._2 eq prev._2))
+            scala.util.Try(prev._2.unpersist(false))
+        }
         df
     }
   }
 
   /** Drop every cached result (test hook / storage reclaim). */
-  def clearResultCache(): Unit = {
-    resultCache.values.foreach(_._2.unpersist())
+  def clearResultCache(): Unit = resultCache.synchronized {
+    resultCache.values.forEach(v => scala.util.Try(v._2.unpersist()))
     resultCache.clear()
   }
 

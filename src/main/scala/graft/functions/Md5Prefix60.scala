@@ -122,10 +122,13 @@ object Md5Prefix60 {
         i += 1
       }
     } else {
-      val str = s.toString
+      // substringSQL is code-point indexed (1-based), matching the
+      // documented character semantics even for non-BMP text, where
+      // java.lang.String.substring (UTF-16 code units) would split
+      // surrogate pairs and misalign windows.
       var i = width
       while (i <= nChars) {
-        val window = UTF8String.fromString(str.substring(i - width, i))
+        val window = s.substringSQL(i - width + 1, width)
         if ((hash(window) % 4294967296L) % modulus == 0) out += i
         i += 1
       }

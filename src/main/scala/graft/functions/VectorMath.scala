@@ -38,12 +38,28 @@ case class DotF32(left: Expression, right: Expression)
         s"dot_f32 expects array<float> inputs, got $l / $r")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // Null on length mismatch, matching the aggregate/zip_with fold this
+  // expression replaces (zip_with pads the shorter side with nulls, so
+  // the fold null-propagates): a wrong-dimension vector must surface
+  // as null, not a plausible partial dot product.
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]
+    val r = b.asInstanceOf[ArrayData]
+    if (l.numElements() != r.numElements()) null
+    else VectorMath.dot(l, r)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if ($a.numElements() != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.VectorMath.dot($a, $b);
+      |}
+      |""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotF32 =

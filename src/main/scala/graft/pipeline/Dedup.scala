@@ -552,9 +552,22 @@ object Dedup {
   def streamDecontaminate(docs: DataFrame, textCol: String,
                           evalDocs: DataFrame, evalTextCol: String,
                           ngram: Int = 3,
-                          portable: Boolean = false): DataFrame = {
-    val evalSet = evalDocs
+                          portable: Boolean = false,
+                          maxEvalHashes: Long = 10_000_000L): DataFrame = {
+    val evalHashes = evalDocs
       .select(explode(termHashes(col(evalTextCol), ngram, portable)).as("h"))
+    // The single-row collect_set below hits the 2 GB row / broadcast
+    // ceilings ABRUPTLY if someone feeds a large corpus as the "eval"
+    // side; fail fast at setup with an actionable message instead.
+    // The eval side is static (batch), so one small count-distinct job
+    // here costs nothing against an unbounded stream.
+    val nHashes = evalHashes.agg(count_distinct(col("h"))).head.getLong(0)
+    require(nHashes <= maxEvalHashes,
+      s"streamDecontaminate: eval corpus has $nHashes distinct shingle " +
+        s"hashes, above the $maxEvalHashes cap for the single broadcast " +
+        "row this operator builds. Use decontaminateFromPostings (batch, " +
+        "join-based) for large eval sets, or raise maxEvalHashes.")
+    val evalSet = evalHashes
       .agg(collect_set(col("h")).as("__eval_hs"))
       .withColumn("__one", lit(1))
     docs.withColumn("__one", lit(1))

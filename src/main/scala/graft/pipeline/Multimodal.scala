@@ -239,7 +239,7 @@ object Multimodal {
     while (!done && pos + 8 <= bytes.length) {
       val len = u32(pos).toInt
       val dataOff = pos + 8
-      if (len < 0 || dataOff + len + 4 > bytes.length) return None
+      if (len < 0 || dataOff.toLong + len + 4 > bytes.length) return None
       new String(bytes, pos + 4, 4, "US-ASCII") match {
         case "IHDR" =>
           if (len < 13) return None

@@ -58,6 +58,13 @@ object Caching {
     * unpersist is best-effort because the previous generation's
     * session may already be stopped. */
   def persistOwned(owner: String, dfs: DataFrame*): Seq[DataFrame] = {
+    // Drop generations pinned to sessions that have since stopped —
+    // their cached blocks are already gone, but the map entry would
+    // otherwise keep the dead session's plan graph reachable forever
+    // in a JVM that cycles many sessions.
+    owned.keys.foreach { k =>
+      if (k._2.sparkContext.isStopped) owned.remove(k)
+    }
     val persisted = dfs.map(_.persist(StorageLevel.MEMORY_AND_DISK))
     dfs.headOption.foreach { head =>
       owned.put((owner, head.sparkSession), persisted)

@@ -486,6 +486,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Engine.clearResultCache()
   }
 
+  test("Engine result cache is LRU-bounded and unpersists on evict") {
+    Engine.clearResultCache()
+    graft.meta.Introspect.resetStats()
+    val prevCap = Engine.resultCacheMaxEntries
+    Engine.resultCacheMaxEntries = 2
+    try {
+      val df = pointsDf(Seq(
+        ("cpu", 10000L, 1.0, host("a")), ("cpu", 70000L, 3.0, host("a"))))
+      val q = TsQuery(0L, 100000L, Seq.empty)
+      val now = 10_000_000_000_000L
+      def sub(spec: String) = graft.query.QueryParser.parseSubQuery(spec)
+      val first = Engine.runCached(df, q, sub("sum:1m-sum:cpu"), now = now)
+      Engine.runCached(df, q, sub("max:1m-max:cpu"), now = now)
+      // Third distinct query overflows cap=2 → the oldest (first) is
+      // evicted and its persisted blocks released.
+      Engine.runCached(df, q, sub("min:1m-min:cpu"), now = now)
+      assert(first.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE)
+      // ...and a repeat of the evicted query is a miss, not a hit.
+      assert(Engine.runCached(df, q, sub("sum:1m-sum:cpu"),
+        now = now) ne first)
+      val stats = graft.meta.Introspect.statsCounters(spark).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(stats("query.cache_evictions") == 2) // first evict + repeat's
+      assert(stats.getOrElse("query.cache_hits", 0L) == 0 &&
+        stats("query.cache_misses") == 4)
+    } finally {
+      Engine.resultCacheMaxEntries = prevCap
+      Engine.clearResultCache()
+    }
+  }
+
   test("Engine.shapeOutput produces dps maps per group") {
     val df = pointsDf(Seq(
       ("cpu", 0L, 1.0, host("a")), ("cpu", 60000L, 2.0, host("a"))))

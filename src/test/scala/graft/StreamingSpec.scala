@@ -70,6 +70,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("streaming decontamination fails fast on an oversized eval set") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDocs = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.streamDecontaminate(
+        mem.toDF().toDF("doc_id", "text"), "text", evalDocs, "text",
+        maxEvalHashes = 2) // the eval doc has 3 distinct 3-shingles
+    }
+    assert(err.getMessage.contains("decontaminateFromPostings"))
+  }
+
   test("streaming document dedup: first arrival kept, state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
