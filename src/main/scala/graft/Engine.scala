@@ -207,6 +207,60 @@ object Engine {
   }
 
   /**
+   * Parse-and-run a POST `/api/query/exp` JSON body end-to-end — the
+   * reference's V2 expression endpoint (src/tsd/QueryExecutor.java:85):
+   * the POJO body compiles to per-metric sub-queries (shared timespan
+   * downsampler/rate, per-metric aggregator overrides), each runs
+   * through the normal engine pipeline, and the expressions evaluate
+   * over the named results via [[graft.query.ExpQuery.evalWithFills]]
+   * (UNION → full-outer + per-variable fills, INTERSECTION → inner).
+   * Nested expressions see earlier expression results as variables.
+   *
+   * Join keys are the tag columns common to an expression's variables —
+   * the grouped tags both sides actually carry, which is the tag set
+   * the reference's iterators match series on.
+   *
+   * Returns the requested outputs in order as (name, result) pairs:
+   * the `outputs` list when present (alias naming the emitted metric),
+   * else every expression in declaration order (QueryExecutor's
+   * documented default).
+   */
+  def runExpJson(points: DataFrame, body: String,
+                 now: Long = System.currentTimeMillis(),
+                 rollups: Seq[RollupTable] = Seq.empty)
+      : Seq[(String, DataFrame)] = {
+    val q = ExpJsonQuery.parse(body, now)
+    val tsq = q.tsQuery
+    var vars: Map[String, DataFrame] = q.metrics.map { m =>
+      m.id -> run(points, tsq, q.subQuery(m), rollups)
+    }.toMap
+    val fills = q.metricFills
+    q.expressions.foreach { e =>
+      val names = ExpQuery.variables(ExpQuery.parse(e.expr))
+      val joinKeys = names
+        .map(n => vars(n).columns.filter(_.startsWith("tag_")).toSet)
+        .reduce(_ intersect _).toSeq.sorted
+      val prepared = names.map(n =>
+        n -> vars(n).select((joinKeys :+ "ts" :+ "value").map(col): _*)).toMap
+      vars += e.id -> ExpQuery.evalWithFills(e.expr, prepared, joinKeys,
+        intersect = e.join.operator == "intersection",
+        fills = fills,
+        defaultFill = e.fillPolicy.map(_.fill).getOrElse(0.0))
+    }
+    val emit =
+      if (q.outputs.nonEmpty) q.outputs
+      else q.expressions.map(e => ExpJsonQuery.OutputDef(e.id, None))
+    emit.map { o =>
+      val df = vars(o.id)
+      val named =
+        if (df.columns.contains("metric"))
+          o.alias.map(a => df.withColumn("metric", lit(a))).getOrElse(df)
+        else df.withColumn("metric", lit(o.alias.getOrElse(o.id)))
+      o.id -> named
+    }
+  }
+
+  /**
    * Whole-request serialization: parse a POST /api/query body, run
    * every sub-query (plain or percentiles[]), and emit one DataFrame of
    * V1 JSON documents — the complete reference response for the

@@ -361,6 +361,33 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §3.3 the /api/query/exp JSON wire format END-TO-END: POJO body
+    // (time/filters/metrics/expressions/outputs, reference
+    // src/query/pojo/Query.java:33, compiled per
+    // src/tsd/QueryExecutor.java:120-224) → per-metric engine runs →
+    // infix expression over a UNION tag join with per-variable fill
+    // policies (zero + scalar) → output alias naming the metric
+    "q56_exp_json" -> ((s, dir) => {
+      val body = s"""{
+        "time": {"start": $T_0105, "end": $T_0120, "aggregator": "zimsum",
+                 "downsampler": {"interval": "1h", "aggregator": "sum"}},
+        "filters": [{"id": "f1", "tags": [
+          {"type": "literal_or", "tagk": "user", "filter": "1|2|3",
+           "groupBy": true}]}],
+        "metrics": [
+          {"id": "a", "metric": "click", "filter": "f1",
+           "fillPolicy": {"policy": "zero"}},
+          {"id": "b", "metric": "view", "filter": "f1",
+           "fillPolicy": {"policy": "scalar", "value": 5}}],
+        "expressions": [{"id": "e", "expr": "a + b * 2 - 1",
+          "join": {"operator": "union"}}],
+        "outputs": [{"id": "e", "alias": "combined"}]}"""
+      Engine.runExpJson(pts(s, dir), body).head._2
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.12/§4 rollup ROUTING through the engine: a 1d-avg query served
     // from the 1h rollup table up to its freshness horizon, stitched
     // with fresh raw points past it (reference tableToBeScanned +
@@ -770,6 +797,28 @@ object SparkEntry {
          SELECT a.tag_user, a.b AS ts, round(a.v / c.v, 4) AS value
          FROM a JOIN c ON a.tag_user = c.tag_user AND a.b = c.b
          ORDER BY a.tag_user, ts""",
+
+    "q56_exp_json" ->
+      s"""$O, a AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'click' AND tag_user IN ('1', '2', '3')
+           GROUP BY 1, 2),
+         c AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'view' AND tag_user IN ('1', '2', '3')
+           GROUP BY 1, 2),
+         j AS (
+           SELECT coalesce(a.tag_user, c.tag_user) AS tag_user,
+             coalesce(a.b, c.b) AS b,
+             coalesce(a.v, 0.0) + coalesce(c.v, 5.0) * 2 - 1 AS v
+           FROM a FULL OUTER JOIN c
+             ON a.tag_user = c.tag_user AND a.b = c.b)
+         SELECT 'combined' AS metric, tag_user, b AS ts,
+           round(v, 4) AS value
+         FROM j WHERE b >= $T_0105 AND b <= $T_0120
+         ORDER BY tag_user, ts""",
 
     "q07_groupby_lerp_sum" ->
       s"""$O, p AS (

@@ -1,0 +1,249 @@
+package graft.query
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.model.TimeUtils
+import scala.jdk.CollectionConverters._
+
+/**
+ * POST `/api/query/exp` JSON body parsing — the reference's V2
+ * expression-query POJO model (reference: src/query/pojo/Query.java:33,
+ * Timespan.java:32-49, Metric.java:30-50, Filter.java:30-40,
+ * Expression.java:38-55, Join.java:28-34, Output.java:27-33,
+ * Downsampler.java:33-41, src/query/expression/NumericFillPolicy.java)
+ * and the POJO→TSQuery compilation performed by the executor
+ * (src/tsd/QueryExecutor.java:120-224).
+ *
+ * The model is data-only: `parse` validates exactly the constraints of
+ * the reference's `Query.validate()` (required timespan + metrics,
+ * unique alphanumeric ids, resolvable filter references, resolvable
+ * expression variables) and `toTsQuery`/`subQueries` reproduces the
+ * executor's compilation — per-metric sub-queries sharing the
+ * timespan's downsampler/rate, with per-metric aggregator overrides.
+ * Evaluation lives in [[graft.Engine.runExpJson]], which feeds the
+ * sub-query results through [[ExpQuery.evalWithFills]].
+ *
+ * Accepted shape:
+ * {{{
+ * { "time": { "start": "1h-ago", "end": 1356998400, "timezone": "UTC",
+ *             "aggregator": "sum", "rate": false,
+ *             "downsampler": {"interval":"1h","aggregator":"sum",
+ *                             "fillPolicy":{"policy":"zero"}} },
+ *   "filters": [ {"id":"f1","explicitTags":false,
+ *                 "tags":[{"type":"literal_or","tagk":"host",
+ *                          "filter":"web01|web02","groupBy":true}]} ],
+ *   "metrics": [ {"id":"a","metric":"sys.cpu.user","filter":"f1",
+ *                 "aggregator":"max",
+ *                 "fillPolicy":{"policy":"scalar","value":5}} ],
+ *   "expressions": [ {"id":"e","expr":"a + b * 2",
+ *                     "join":{"operator":"union"},
+ *                     "fillPolicy":{"policy":"zero"}} ],
+ *   "outputs": [ {"id":"e","alias":"combined"} ] }
+ * }}}
+ */
+object ExpJsonQuery {
+
+  /** NumericFillPolicy: how a variable's missing values substitute in
+    * expression arithmetic. nan/null both surface as NaN doubles here —
+    * the engine has no "absent" scalar inside arithmetic, matching the
+    * reference's expression iterators which substitute the double form. */
+  case class NumericFill(policy: String, value: Double = 0.0) {
+    def fill: Double = policy match {
+      case "zero"           => 0.0
+      case "scalar"         => value
+      case "nan" | "null"   => Double.NaN
+      case "none"           => Double.NaN
+      case other => throw new IllegalArgumentException(
+        s"unknown fill policy: $other")
+    }
+  }
+
+  case class FilterSet(id: String, tags: Seq[TagFilter],
+                       explicitTags: Boolean)
+
+  case class MetricDef(id: String, metric: String, filter: Option[String],
+                       aggregator: Option[String],
+                       fillPolicy: Option[NumericFill])
+
+  /** Join component: set operator plus the two serialization-tag flags
+    * (use_query_tags / include_agg_tags, reference Join.java:28-34).
+    * The flags shape which tags the reference REPORTS on joined rows;
+    * the join itself always matches on the series' common tags, which
+    * is what the engine does — so they are parsed and carried, not
+    * consulted. */
+  case class JoinDef(operator: String, useQueryTags: Boolean = false,
+                     includeAggTags: Boolean = true)
+
+  case class ExprDef(id: String, expr: String, join: JoinDef,
+                     fillPolicy: Option[NumericFill])
+
+  case class OutputDef(id: String, alias: Option[String])
+
+  case class ExpRequest(startMs: Long, endMs: Long, timezone: String,
+                        aggregator: String, rate: Boolean,
+                        downsample: Option[DownsampleSpec],
+                        filters: Seq[FilterSet], metrics: Seq[MetricDef],
+                        expressions: Seq[ExprDef], outputs: Seq[OutputDef]) {
+
+    /** The executor's POJO→TSSubQuery compilation
+      * (src/tsd/QueryExecutor.java:148-190): the timespan's
+      * downsampler and rate flag apply to every metric; the metric's
+      * aggregator overrides the timespan's; the metric's filter id
+      * resolves to that filter set's tag filters + explicitTags. */
+    def subQuery(m: MetricDef): SubQuery = {
+      val fs = m.filter.flatMap(id => filters.find(_.id == id))
+      SubQuery(
+        aggregator = m.aggregator.getOrElse(aggregator),
+        metric = m.metric,
+        filters = fs.map(_.tags).getOrElse(Seq.empty),
+        downsample = downsample,
+        rate = if (rate) Some(RateOptions()) else None,
+        explicitTags = fs.exists(_.explicitTags))
+    }
+
+    def tsQuery: TsQuery =
+      TsQuery(startMs, endMs, metrics.map(subQuery), timezone = timezone)
+
+    /** Per-metric fill values for [[ExpQuery.evalWithFills]]. */
+    def metricFills: Map[String, Double] =
+      metrics.flatMap(m => m.fillPolicy.map(m.id -> _.fill)).toMap
+  }
+
+  private val mapper = new ObjectMapper()
+
+  def parse(body: String,
+            now: Long = System.currentTimeMillis()): ExpRequest = {
+    val root = mapper.readTree(body)
+    val time = root.get("time")
+    require(time != null && !time.isNull, "missing time")
+    require(time.hasNonNull("start"), "missing start")
+    require(time.hasNonNull("aggregator"), "missing or empty aggregator")
+    val startMs = parseTime(time.get("start"), now)
+    val endMs =
+      if (time.hasNonNull("end")) parseTime(time.get("end"), now) else now
+    require(endMs > startMs, s"end time $endMs must be after start $startMs")
+    val downsample = Option(time.get("downsampler"))
+      .filterNot(x => x == null || x.isNull).map { d =>
+        require(d.hasNonNull("interval"), "downsampler missing interval")
+        require(d.hasNonNull("aggregator"), "downsampler missing aggregator")
+        // the reference executor compiles interval + "-" + aggregator
+        // (QueryExecutor.java:158-161); the POJO also validates an
+        // optional fillPolicy, which our downsample honors directly
+        val fp = Option(d.get("fillPolicy"))
+          .filterNot(x => x == null || x.isNull)
+          .map(f => parseFill(f).policy)
+        DownsampleSpec.parse(
+          d.get("interval").asText() + "-" + d.get("aggregator").asText() +
+            fp.map("-" + _).getOrElse(""))
+      }
+
+    val filters = arr(root, "filters").map { f =>
+      require(f.hasNonNull("id"), "Missing or empty id")
+      val id = f.get("id").asText()
+      validateId(id)
+      val tags = arr(f, "tags").map { t =>
+        QueryParser.parseFilterValue(t.get("tagk").asText(),
+          s"${t.get("type").asText()}(${t.path("filter").asText("")})",
+          t.path("groupBy").asBoolean(false))
+      }
+      FilterSet(id, tags, f.path("explicitTags").asBoolean(false))
+    }
+    requireUnique(filters.map(_.id), "filter")
+
+    val metrics = arr(root, "metrics").map { m =>
+      require(m.hasNonNull("metric"), "missing or empty metric")
+      require(m.hasNonNull("id"), "missing or empty id")
+      val id = m.get("id").asText()
+      validateId(id)
+      MetricDef(id, m.get("metric").asText(),
+        Option(m.get("filter")).filterNot(x => x == null || x.isNull)
+          .map(_.asText()).filter(_.nonEmpty),
+        Option(m.get("aggregator")).filterNot(x => x == null || x.isNull)
+          .map(_.asText()).filter(_.nonEmpty),
+        Option(m.get("fillPolicy")).filterNot(x => x == null || x.isNull)
+          .map(parseFill))
+    }
+    require(metrics.nonEmpty, "missing or empty metrics")
+    requireUnique(metrics.map(_.id), "metric")
+    val filterIds = filters.map(_.id).toSet
+    metrics.foreach(m => m.filter.foreach(fid =>
+      require(filterIds.contains(fid),
+        s"unrecognized filter id $fid in metric ${m.id}")))
+
+    val expressions = arr(root, "expressions").map { e =>
+      require(e.hasNonNull("id"), "missing or empty id")
+      require(e.hasNonNull("expr"), "missing or empty expr")
+      val id = e.get("id").asText()
+      validateId(id)
+      val join = Option(e.get("join")).filterNot(x => x == null || x.isNull)
+        .map { j =>
+          val op = j.path("operator").asText("union").toLowerCase
+          require(op == "union" || op == "intersection",
+            s"unsupported join operator: $op")
+          JoinDef(op, j.path("useQueryTags").asBoolean(false),
+            j.path("includeAggTags").asBoolean(true))
+        }.getOrElse(JoinDef("union"))
+      ExprDef(id, e.get("expr").asText(), join,
+        Option(e.get("fillPolicy")).filterNot(x => x == null || x.isNull)
+          .map(parseFill))
+    }
+    // ids are one namespace: an expression may not shadow a metric
+    // (Query.validate, reference Query.java:134-141), and expression
+    // variables must resolve to a metric or an EARLIER expression (the
+    // reference collects all ids up front, but a forward reference
+    // cannot evaluate — fail it at parse, not mid-query)
+    requireUnique(metrics.map(_.id) ++ expressions.map(_.id),
+      "variable or expression")
+    var known = metrics.map(_.id).toSet
+    expressions.foreach { e =>
+      ExpQuery.variables(ExpQuery.parse(e.expr)).foreach(v =>
+        require(known.contains(v),
+          s"Expression [${e.expr}] was missing input $v"))
+      known += e.id
+    }
+
+    val outputs = arr(root, "outputs").map { o =>
+      require(o.hasNonNull("id"), "missing or empty id")
+      val id = o.get("id").asText()
+      validateId(id)
+      require(known.contains(id), s"unknown output id $id")
+      OutputDef(id,
+        Option(o.get("alias")).filterNot(x => x == null || x.isNull)
+          .map(_.asText()).filter(_.nonEmpty))
+    }
+
+    ExpRequest(startMs, endMs, time.path("timezone").asText("UTC"),
+      time.get("aggregator").asText(),
+      time.path("rate").asBoolean(false),
+      downsample, filters, metrics, expressions, outputs)
+  }
+
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).filterNot(x => x == null || x.isNull)
+      .toSeq.flatMap(_.elements().asScala.toSeq)
+
+  private def parseFill(n: JsonNode): NumericFill =
+    NumericFill(n.path("policy").asText("zero").toLowerCase,
+      n.path("value").asDouble(0.0))
+
+  private def parseTime(n: JsonNode, now: Long): Long =
+    if (n.isNumber) {
+      val v = n.asLong()
+      if (v > 4294967295L) v else v * 1000L
+    } else TimeUtils.parseDateTime(n.asText(), now)
+
+  /** Reference Query.validateId (Query.java:203-221): letters and
+    * digits only, and a single-character id may not be a digit (it
+    * would be ambiguous with a numeric literal in the expression). */
+  def validateId(id: String): Unit = {
+    require(id != null && id.nonEmpty, "The ID cannot be null or empty")
+    id.foreach(c => require(c.isLetterOrDigit,
+      s"""Invalid id ("$id"): illegal character: $c"""))
+    if (id.length == 1)
+      require(!id.charAt(0).isDigit, "The ID cannot be an integer")
+  }
+
+  private def requireUnique(ids: Seq[String], what: String): Unit = {
+    val dup = ids.diff(ids.distinct).distinct
+    require(dup.isEmpty, s"duplicated $what id: ${dup.mkString(", ")}")
+  }
+}

@@ -518,6 +518,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Engine.runExpJson: metrics → expressions → outputs end-to-end") {
+    val df = pointsDf(Seq(
+      ("cpu", 10000L, 1.0, host("a")), ("cpu", 10000L, 3.0, host("b")),
+      ("cpu", 70000L, 5.0, host("a")),
+      ("mem", 10000L, 10.0, host("a")), ("mem", 70000L, 20.0, host("b"))))
+    val body = """{
+      "time": {"start": 0, "end": 100, "aggregator": "zimsum",
+               "downsampler": {"interval": "1m", "aggregator": "sum"}},
+      "filters": [{"id": "f", "tags": [
+        {"type": "wildcard", "tagk": "host", "filter": "*",
+         "groupBy": true}]}],
+      "metrics": [
+        {"id": "a", "metric": "cpu", "filter": "f",
+         "fillPolicy": {"policy": "zero"}},
+        {"id": "b", "metric": "mem", "filter": "f",
+         "fillPolicy": {"policy": "scalar", "value": 100}}],
+      "expressions": [
+        {"id": "e", "expr": "a + b", "join": {"operator": "union"}},
+        {"id": "e2", "expr": "e * 2", "join": {"operator": "union"}}]}"""
+    // parseTime: epoch numbers ≤ 2^32-1 are SECONDS → end = 100000 ms
+    val out = Engine.runExpJson(df, body)
+    // no outputs declared → every expression, in declaration order
+    assert(out.map(_._1) == Seq("e", "e2"))
+    val e = out.head._2.collect().map(r => (r.getAs[String]("tag_host"),
+      r.getAs[Long]("ts"), r.getAs[Double]("value"))).toSet
+    // (a,0): 1+10=11; (b,0): 3+100(b-fill)=103;
+    // (a,60000): 5+100(b-fill)=105; (b,60000): 0(a-fill)+20=20
+    assert(e == Set(("a", 0L, 11.0), ("b", 0L, 103.0),
+      ("a", 60000L, 105.0), ("b", 60000L, 20.0)))
+    // nested expression consumes the earlier expression's result
+    val e2 = out(1)._2.collect().map(r => (r.getAs[String]("tag_host"),
+      r.getAs[Long]("ts"), r.getAs[Double]("value"))).toSet
+    assert(e2 == e.map { case (h, t, v) => (h, t, v * 2) })
+    // expression outputs carry the metric name: alias or the id
+    assert(out(1)._2.columns.contains("metric"))
+    assert(out(1)._2.select("metric").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("e2"))
+  }
+
   test("Engine.shapeOutput produces dps maps per group") {
     val df = pointsDf(Seq(
       ("cpu", 0L, 1.0, host("a")), ("cpu", 60000L, 2.0, host("a"))))

@@ -154,4 +154,71 @@ class ParserSpec extends AnyFunSuite {
       JsonQuery.parse("""{"start":1,"queries":[]}""")
     }
   }
+
+  test("/api/query/exp POJO body: parse, compile, validate") {
+    val now = 1700000000000L
+    val q = ExpJsonQuery.parse(
+      """{"time":{"start":"1h-ago","aggregator":"sum","rate":false,
+           "downsampler":{"interval":"5m","aggregator":"avg",
+                          "fillPolicy":{"policy":"zero"}}},
+         "filters":[{"id":"f1","explicitTags":true,
+           "tags":[{"type":"wildcard","tagk":"host","filter":"web*",
+                    "groupBy":true}]}],
+         "metrics":[
+           {"id":"a","metric":"sys.cpu.user","filter":"f1",
+            "fillPolicy":{"policy":"nan"}},
+           {"id":"b","metric":"sys.cpu.sys","aggregator":"max",
+            "fillPolicy":{"policy":"scalar","value":7}}],
+         "expressions":[
+           {"id":"e","expr":"a + b","join":{"operator":"intersection"}},
+           {"id":"e2","expr":"e * 2"}],
+         "outputs":[{"id":"e2","alias":"doubled"}]}""", now)
+    assert(q.startMs == now - 3600000L && q.endMs == now)
+    val subA = q.subQuery(q.metrics(0))
+    // timespan downsampler + aggregator flow into every sub-query
+    assert(subA.aggregator == "sum" && subA.metric == "sys.cpu.user")
+    assert(subA.downsample.map(_.intervalMs).contains(300000L))
+    assert(subA.downsample.map(_.fill).contains(FillPolicy.Zero))
+    assert(subA.explicitTags && subA.filters.nonEmpty)
+    // per-metric aggregator override; no filter ref → no filters
+    val subB = q.subQuery(q.metrics(1))
+    assert(subB.aggregator == "max" && subB.filters.isEmpty)
+    assert(q.metricFills("b") == 7.0 && q.metricFills("a").isNaN)
+    // join defaults to UNION when absent (Query.validate)
+    assert(q.expressions(1).join.operator == "union")
+    assert(q.outputs == Seq(ExpJsonQuery.OutputDef("e2", Some("doubled"))))
+
+    def bad(body: String) =
+      intercept[IllegalArgumentException](ExpJsonQuery.parse(body, now))
+    val base = """"time":{"start":1,"aggregator":"sum"}"""
+    // duplicate metric id
+    assert(bad(s"""{$base,"metrics":[
+        {"id":"a","metric":"m"},{"id":"a","metric":"n"}]}""")
+      .getMessage.contains("duplicated"))
+    // expression id shadowing a metric id
+    assert(bad(s"""{$base,"metrics":[{"id":"a","metric":"m"}],
+        "expressions":[{"id":"a","expr":"a + 1"}]}""")
+      .getMessage.contains("duplicated"))
+    // unresolvable expression variable (incl. forward reference)
+    assert(bad(s"""{$base,"metrics":[{"id":"a","metric":"m"}],
+        "expressions":[{"id":"e","expr":"e2 + 1"},
+                       {"id":"e2","expr":"a + 1"}]}""")
+      .getMessage.contains("missing input"))
+    // unrecognized filter reference
+    assert(bad(s"""{$base,"metrics":[
+        {"id":"a","metric":"m","filter":"nope"}]}""")
+      .getMessage.contains("unrecognized filter"))
+    // illegal id characters / integer id
+    assert(bad(s"""{$base,"metrics":[{"id":"a-b","metric":"m"}]}""")
+      .getMessage.contains("illegal character"))
+    assert(bad(s"""{$base,"metrics":[{"id":"7","metric":"m"}]}""")
+      .getMessage.contains("integer"))
+    // metrics are required
+    assert(bad(s"""{$base}""").getMessage.contains("metrics"))
+    // unsupported set operator
+    assert(bad(s"""{$base,"metrics":[{"id":"a","metric":"m"}],
+        "expressions":[{"id":"e","expr":"a + 1",
+          "join":{"operator":"cross"}}]}""")
+      .getMessage.contains("unsupported join operator"))
+  }
 }
