@@ -590,10 +590,15 @@ object SparkEntry {
     }),
 
     // §2.14 tree API: rule-driven hierarchy (metric → user tag) with
-    // per-node leaf counts (reference TreeBuilder)
+    // per-node leaf counts, built from STORED rules (reference
+    // TreeRule CRUD src/tsd/TreeRpc.java + TreeBuilder.java:62)
     "q40_tree" -> ((s, dir) => {
-      graft.meta.Trees.build(pts(s, dir),
-          Seq(graft.meta.Trees.metricRule(), graft.meta.Trees.tagRule("user")))
+      import graft.meta.Trees
+      val rules = Seq(
+        Trees.Rule(1, 0, 0, "METRIC"),
+        Trees.Rule(1, 1, 0, "TAGK", field = "user"))
+        .foldLeft(Trees.emptyRules(s))(Trees.upsertRule)
+      Trees.buildFromRules(pts(s, dir), rules, treeId = 1)
         .orderBy("depth", "path")
     }),
 
@@ -604,6 +609,21 @@ object SparkEntry {
       val q = TsQuery(T_0105, T_0120, Seq.empty)
       val ast = Gexp.parse(
         "alias(highestMax(scale(zimsum:1h-sum:view{user=*},,2),,3),,topviews)")
+      Gexp.eval(ast, spec => Engine.runM(p, q, spec))
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
+    // §2.8 alias TAG TEMPLATING through a gexp pipeline: `@user`
+    // advances the group tag into the metric name (reference
+    // PostAggregatedDataPoints.metricNameAsync:75-97 — Graphite-style
+    // flat naming), composed under scale()
+    "q57_alias_template" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val q = TsQuery(T_0105, T_0120, Seq.empty)
+      val ast = Gexp.parse(
+        "alias(scale(zimsum:1h-sum:click{user=*},,2),,user.@user.clicks)")
       Gexp.eval(ast, spec => Engine.runM(p, q, spec))
         .select(col("metric"), col("tag_user"), col("ts"),
           r4(col("value")).as("value"))
@@ -1345,6 +1365,17 @@ object SparkEntry {
            round(m.mult_v, 4) AS mult_v
          FROM d LEFT JOIN m ON d.ts = m.ts
          ORDER BY d.ts""",
+
+    "q57_alias_template" ->
+      s"""$O, d AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, 2 * sum(value) AS v
+           FROM points
+           WHERE metric = 'click' AND tag_user IS NOT NULL
+           GROUP BY tag_user, ts - ts % $HOUR)
+         SELECT 'user.' || tag_user || '.clicks' AS metric, tag_user,
+           b AS ts, round(v, 4) AS value
+         FROM d WHERE b >= $T_0105 AND b <= $T_0120
+         ORDER BY tag_user, ts""",
 
     "q41_gexp_pipeline" ->
       s"""$O, d AS (

@@ -20,6 +20,90 @@ object Trees {
   /** Rule: level from a tag value (reference TAGK rule). */
   def tagRule(tagk: String): Column = col("tags").getItem(tagk)
 
+  // ---- rules as data (reference TreeRule model, src/tree/TreeRule.java:
+  // 57-110 — tree_id/level/order identity, type, field, regex,
+  // separator; CRUD via src/tsd/TreeRpc.java handleRule) ---------------
+
+  /**
+   * One stored rule. `level` is the tree depth the rule feeds; within a
+   * level, rules are tried in `order` until one produces a value
+   * (reference TreeBuilder.processRuleset fallback chain,
+   * src/tree/TreeBuilder.java:62). `separator` splits the source value
+   * and `component` selects the piece; `regex` then extracts
+   * `regexGroup` (reference rule processing order: split, then regex).
+   */
+  case class Rule(treeId: Int, level: Int, order: Int, ruleType: String,
+                  field: String = "", separator: String = "",
+                  component: Int = 0, regex: String = "",
+                  regexGroup: Int = 0, description: String = "")
+
+  /** Compile one stored rule to its extractor Column. Non-matching
+    * regexes and missing tags yield null, which prunes the series at
+    * that depth (same as the inline-Column rules). */
+  def compileRule(r: Rule): Column = {
+    val base = r.ruleType.toUpperCase match {
+      case "METRIC" => col("metric")
+      case "TAGK"   => tagRule(r.field)
+      case other => throw new IllegalArgumentException(
+        s"unsupported tree rule type: $other")
+    }
+    val split0 =
+      if (r.separator.isEmpty) base
+      else element_at(split(base,
+        java.util.regex.Pattern.quote(r.separator)), r.component + 1)
+    if (r.regex.isEmpty) split0
+    else {
+      val ex = regexp_extract(split0, r.regex, r.regexGroup)
+      when(ex === "", lit(null: String)).otherwise(ex)
+    }
+  }
+
+  /** The rules table schema-bearer: an empty Dataset[Rule]. */
+  def emptyRules(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Rule].toDF()
+  }
+
+  /** Create-or-replace a rule; identity = (treeId, level, order) —
+    * the reference's POST /api/tree/rule upsert (TreeRpc.handleRule). */
+  def upsertRule(table: DataFrame, rule: Rule): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    table.filter(!(col("treeId") === rule.treeId &&
+        col("level") === rule.level && col("order") === rule.order))
+      .unionByName(Seq(rule).toDS().toDF())
+  }
+
+  /** DELETE /api/tree/rule by identity. */
+  def deleteRule(table: DataFrame, treeId: Int, level: Int,
+                 order: Int): DataFrame =
+    table.filter(!(col("treeId") === treeId &&
+      col("level") === level && col("order") === order))
+
+  /** A tree's stored rules, materialized and ordered. Rules are
+    * admin-authored (a handful of rows), so the collect is
+    * wire-sized — never data-sized. */
+  def rulesFor(table: DataFrame, treeId: Int): Seq[Rule] = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    table.filter(col("treeId") === treeId).as[Rule].collect()
+      .sortBy(r => (r.level, r.order)).toSeq
+  }
+
+  /** Build a tree from its STORED rules: per level, rules apply in
+    * `order` with first-non-null-wins (the reference's intra-level
+    * fallback chain), then the level columns feed [[build]]. */
+  def buildFromRules(series: DataFrame, rulesTable: DataFrame,
+                     treeId: Int): DataFrame = {
+    val rules = rulesFor(rulesTable, treeId)
+    require(rules.nonEmpty, s"tree $treeId has no rules")
+    val levels = rules.groupBy(_.level).toSeq.sortBy(_._1).map {
+      case (_, rs) => coalesce(rs.sortBy(_.order).map(compileRule): _*)
+    }
+    build(series, levels)
+  }
+
   /** Rule: level from the metric name, optionally a dot-split component
     * (reference METRIC rule with separator). */
   def metricRule(component: Int = -1): Column =

@@ -26,9 +26,28 @@ object SeriesFunctions {
   def scale(df: DataFrame, factor: Double): DataFrame =
     df.withColumn("value", col("value") * lit(factor))
 
-  /** alias(name) — rename the output metric (reference Alias.java). */
-  def alias(df: DataFrame, name: String): DataFrame =
-    df.withColumn("metric", lit(name))
+  /** alias(name) — rename the output metric (reference Alias.java).
+    * The template may reference tags as `@tagk` to advance tag values
+    * into the metric name, e.g. for Graphite-style flat naming
+    * (reference PostAggregatedDataPoints.metricNameAsync:75-97
+    * replaces each `@key` with that series' tag value). A `@key` whose
+    * tag is null on a row is left verbatim, mirroring the reference
+    * (it only substitutes tags the series actually carries). Values
+    * pass through unchanged — the reference's Alias.evaluate abs()es
+    * them (Alias.java:68-74, copied from Absolute), an artifact its
+    * own tests never exercise with negative data and at odds with the
+    * documented "returns an alias" contract. */
+  def alias(df: DataFrame, name: String): DataFrame = {
+    val tagCols = df.columns.filter(_.startsWith("tag_"))
+    val metricCol =
+      if (!name.contains('@') || tagCols.isEmpty) lit(name)
+      // longest key first so @hostname resolves before @host
+      else tagCols.sortBy(c => -c.length).foldLeft(lit(name)) { (acc, c) =>
+        val key = "@" + c.stripPrefix("tag_")
+        replace(acc, lit(key), coalesce(col(c).cast("string"), lit(key)))
+      }
+    df.withColumn("metric", metricCol)
+  }
 
   /** shift/timeShift(m, interval) — move series in time
     * (reference TimeShift.java). */

@@ -584,6 +584,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(summed.select("value").collect()(0).getDouble(0) == 3.0)
   }
 
+  test("alias @tag templating substitutes tag values into the metric") {
+    val df = pointsDf(Seq(
+        ("cpu", 0L, -1.5, Map("host" -> "web01", "dc" -> "east")),
+        ("cpu", 0L, 2.0, Map("host" -> "web02"))))
+      .select(col("metric"),
+        col("tags").getItem("host").as("tag_host"),
+        col("tags").getItem("dc").as("tag_dc"),
+        col("ts"), col("value"))
+    val out = SeriesFunctions.alias(df, "g.@host.@dc.load")
+      .collect().map(r => r.getAs[String]("metric") ->
+        r.getAs[Double]("value")).toMap
+    // null tag (@dc on web02) stays verbatim; values pass unchanged
+    assert(out == Map("g.web01.east.load" -> -1.5,
+      "g.web02.@dc.load" -> 2.0))
+    // no-@ template is a plain rename
+    assert(SeriesFunctions.alias(df, "flat").select("metric").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("flat"))
+  }
+
   test("native Md5Prefix60 == conv(substring(md5,1,15),16,10) bit-for-bit") {
     import spark.implicits._
     val strs = Seq("", "a", "hello world", "naïve ünïcode 测试",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.meta.{Annotations, Introspect}
+import graft.meta.{Annotations, Introspect, Uids}
 import graft.model.Points
 import graft.sources.{Export, Ingest}
 import org.apache.spark.sql.{Row, SparkSession}
@@ -290,6 +290,95 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ids(("tagv", "x")) == 3 && ids(("tagv", "y")) == 4)
     // ids are a pure function of the data, not its partitioning
     assert(reg(pts.repartition(7)) == ids)
+  }
+
+  test("uid admin mutations: assign continues numbering, rename keeps uid") {
+    import spark.implicits._
+    val pts = Seq(("click", "a"), ("view", "b")).toDF("metric", "u")
+      .withColumn("tags", map(lit("host"), col("u")))
+      .select("metric", "tags")
+    val registry = Introspect.uidRegistry(pts)
+    def lookup(reg: org.apache.spark.sql.DataFrame) =
+      reg.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // assign: new names continue each kind's dense numbering; an
+    // already-assigned name reports an error row, others still succeed
+    val (reg2, report) = Uids.assign(registry,
+      Map("metric" -> Seq("purchase", "click"), "tagk" -> Seq("dc")))
+    val rep = report.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getString(3))).toMap
+    assert(rep(("metric", "purchase"))._2 == null)
+    assert(rep(("metric", "click"))._2.startsWith("Name already exists"))
+    assert(rep(("tagk", "dc"))._2 == null)
+    val ids2 = lookup(reg2)
+    assert(ids2(("metric", "purchase")) ==
+      lookup(registry).filter(_._1._1 == "metric").values.max + 1)
+    assert(ids2(("tagk", "dc")) == 2) // host=1 from the seed
+
+    // rename: the NAME moves, the uid does not — re-resolving the
+    // q49-style lookup under the new name yields the original id
+    val oldUid = Uids.resolve(registry, "metric", "click")
+      .head.getLong(0)
+    val reg3 = Uids.rename(reg2, "metric", "click", "clicks")
+    assert(Uids.resolve(reg3, "metric", "clicks").head.getLong(0) == oldUid)
+    assert(Uids.resolve(reg3, "metric", "click").isEmpty)
+    // old name gone → the reference's errors reproduce
+    assert(intercept[IllegalArgumentException](
+      Uids.rename(reg3, "metric", "click", "x")
+    ).getMessage.contains("does not exist"))
+    assert(intercept[IllegalArgumentException](
+      Uids.rename(reg3, "metric", "view", "clicks")
+    ).getMessage.contains("already exists"))
+
+    // uidmeta upsert replaces by (kind, uid) identity
+    val meta = Seq(("metric", 1L, "Click Events")).toDF(
+      "kind", "uid", "displayName")
+    val meta2 = Uids.upsertUidMeta(meta,
+      Seq(("metric", 1L, "Clicks")).toDF("kind", "uid", "displayName"))
+    assert(meta2.collect().map(_.getString(2)).toSeq == Seq("Clicks"))
+    assert(Uids.deleteUidMeta(meta2, "metric", 1L).isEmpty)
+  }
+
+  test("tree rule CRUD: stored rules drive the branch build") {
+    import spark.implicits._
+    import graft.meta.Trees
+    val series = Seq(
+      ("sys.cpu.user", Map("host" -> "web01", "dc" -> "east")),
+      ("sys.cpu.idle", Map("host" -> "web02")),
+      ("app.latency", Map("dc" -> "west")))
+      .toDF("metric", "tags")
+
+    // level 0: first metric component; level 1: host tag with a dc-tag
+    // FALLBACK at order 1 (first-non-null-wins within a level)
+    var rules = Trees.emptyRules(spark)
+    rules = Trees.upsertRule(rules,
+      Trees.Rule(1, 0, 0, "METRIC", separator = ".", component = 0))
+    rules = Trees.upsertRule(rules, Trees.Rule(1, 1, 0, "TAGK", field = "host"))
+    rules = Trees.upsertRule(rules, Trees.Rule(1, 1, 1, "TAGK", field = "dc"))
+    val nodes = Trees.buildFromRules(series, rules, 1).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("leaves")).toMap
+    assert(nodes("sys") == 2 && nodes("app") == 1)
+    assert(nodes("sys/web01") == 1 && nodes("sys/web02") == 1)
+    assert(nodes("app/west") == 1) // dc fallback fired for app.latency
+
+    // upsert replaces by (treeId, level, order) identity: swap level 0
+    // to a regex rule that only matches sys.* metrics
+    rules = Trees.upsertRule(rules,
+      Trees.Rule(1, 0, 0, "METRIC", regex = "^(sys)\\..*", regexGroup = 1))
+    assert(rules.filter(col("level") === 0).count() == 1)
+    val pruned = Trees.buildFromRules(series, rules, 1).collect()
+      .map(_.getAs[String]("path")).toSet
+    assert(pruned("sys") && !pruned.exists(_.startsWith("app")))
+
+    // delete removes the level-1 fallback; dc-only series prune at depth 2
+    rules = Trees.deleteRule(rules, 1, 1, 1)
+    val noFallback = Trees.buildFromRules(series, rules, 1).collect()
+      .map(_.getAs[String]("path")).toSet
+    assert(!noFallback.contains("sys/east") && noFallback("sys/web01"))
+    // unknown tree id fails fast
+    intercept[IllegalArgumentException](
+      Trees.buildFromRules(series, rules, 9))
   }
 
   test("export round-trips through the put-line parser") {
