@@ -665,6 +665,34 @@ object PipelineQueries {
           r4(element_at(col("decoded.features"), 3)).as("mean_b"),
           r4(element_at(col("decoded.features"), 4)).as("luma"))
         .orderBy("media_id")
+    }),
+
+    // JPEG through the decode pipeline: per-doc uniform-gray baseline
+    // JFIF payloads (all-ones quant table → the lossy format decodes
+    // bit-exactly, so the oracle can predict the features). 256
+    // possible gray levels → a driver-built broadcast lookup keyed by
+    // doc_id % 256; the corpus side streams, payload synthesis costs
+    // O(256) regardless of corpus size.
+    "m06_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = (0 until 256)
+        .map(g => (g.toLong, Multimodal.encodeGrayJpeg(g, w = 16, h = 8)))
+        .toDF("gray", "payload")
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"),
+          pmod(col("doc_id"), lit(256L)).as("gray"))
+        .join(broadcast(payloads), Seq("gray"))
+        .select(col("media_id"), col("payload"))
+      Multimodal.decodeMedia(media)
+        .select(col("media_id"),
+          col("decoded.kind").as("kind"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          r4(element_at(col("decoded.features"), 1)).as("mean_r"),
+          r4(element_at(col("decoded.features"), 2)).as("mean_g"),
+          r4(element_at(col("decoded.features"), 3)).as("mean_b"),
+          r4(element_at(col("decoded.features"), 4)).as("luma"))
+        .orderBy("media_id")
     })
   )
 
@@ -1404,6 +1432,20 @@ object PipelineQueries {
            round(b / CAST(255 AS DOUBLE), 4) AS mean_b,
            round((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
              + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE), 4) AS luma
+         FROM px ORDER BY media_id""",
+
+    "m06_jpeg_decode" ->
+      """WITH px AS (
+           SELECT doc_id AS media_id,
+             CAST(doc_id % 256 AS DOUBLE) AS g
+           FROM documents)
+         SELECT media_id, 'image/jpeg' AS kind,
+           CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+           round(g / CAST(255 AS DOUBLE), 4) AS mean_r,
+           round(g / CAST(255 AS DOUBLE), 4) AS mean_g,
+           round(g / CAST(255 AS DOUBLE), 4) AS mean_b,
+           round((CAST(0.299 AS DOUBLE) * g + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * g) / CAST(255 AS DOUBLE), 4) AS luma
          FROM px ORDER BY media_id"""
   )
 }

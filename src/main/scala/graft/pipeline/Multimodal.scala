@@ -325,10 +325,439 @@ object Multimodal {
         sb / n.toDouble / 255.0) ++ resized))
   }
 
+  // ---- baseline JPEG (ITU-T T.81 / JFIF) ------------------------------
+
+  /** Per-length first-code/first-value offsets for one Huffman table —
+    * the standard DECODE procedure of T.81 Annex F.2.2.3. */
+  private final class HuffTable(counts: Array[Int], symbols: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(l: Int, code: Int): Int =
+      symbols(valPtr(l) + code - minCode(l)) & 0xff
+  }
+
+  /** Entropy-segment bit reader with 0xFF00 byte unstuffing and RSTn
+    * awareness (T.81 F.2.2.5). `hitMarker` goes true at any non-stuff
+    * marker; RSTn markers are consumed by `restart()`. */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var hitMarker = false
+    def readBit(): Int = {
+      if (bitCnt == 0) {
+        if (hitMarker || pos >= bytes.length) { hitMarker = true; return 0 }
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          val next = if (pos < bytes.length) bytes(pos) & 0xff else 0xd9
+          if (next == 0x00) pos += 1 // stuffed 0xFF data byte
+          else { hitMarker = true; pos -= 1; return 0 }
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Align to the next RSTn marker and consume it (DRI intervals). */
+    def restart(): Boolean = {
+      bitCnt = 0
+      while (pos + 1 < bytes.length &&
+             !((bytes(pos) & 0xff) == 0xff &&
+               (bytes(pos + 1) & 0xf8) == 0xd0)) pos += 1
+      if (pos + 1 >= bytes.length) false
+      else { pos += 2; hitMarker = false; true }
+    }
+  }
+
+  /** Huffman-decode one symbol (T.81 F.2.2.3). */
+  private def huffDecode(br: BitReader, t: HuffTable): Int = {
+    var code = br.readBit()
+    var l = 1
+    while ((t.maxCode(l) < 0 || code > t.maxCode(l)) && l < 16) {
+      code = (code << 1) | br.readBit()
+      l += 1
+    }
+    t.value(l, code)
+  }
+
+  /** EXTEND: amplitude bits → signed value (T.81 F.2.2.1). */
+  private def extend(v: Int, n: Int): Int =
+    if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+
+  private val ZIGZAG = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) · C(u), the separable IDCT basis. */
+  private val IDCT_COS: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (x, u) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Double-precision 2D IDCT of one dequantized block (row-major),
+    * +128 level shift and clamp to [0,255]. Separable: 8×8×8 × 2. */
+  private def idctBlock(f: Array[Double], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: over u for each x
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += IDCT_COS(x)(u) * f(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // columns: over v for each y
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += IDCT_COS(yy)(v) * tmp(v * 8 + x); v += 1 }
+        val px = math.round(s / 4.0 + 128.0).toInt
+        out(yy * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /**
+   * Baseline JPEG/JFIF (ITU-T T.81): marker walk (DQT/DHT/SOF0/DRI/
+   * SOS), Huffman entropy decode with restart-marker support, dequant,
+   * double-precision IDCT, nearest-neighbor chroma upsampling for
+   * subsampled scans, CCIR 601 YCbCr→RGB. Baseline sequential only —
+   * progressive (SOF2), arithmetic coding, and 12-bit precision return
+   * None, as does any malformed structure (the codec contract: None,
+   * never throw). Features match the other image codecs.
+   */
+  def decodeJpeg(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    try decodeJpegInner(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def decodeJpegInner(bytes: Array[Byte]): Option[Decoded] = {
+    def u16(o: Int) = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    val quant = new Array[Array[Double]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var w = 0; var h = 0
+    // per component: id, hSamp, vSamp, quant id, dc table, ac table
+    var comps: Array[Array[Int]] = null
+    var restartInterval = 0
+    var pos = 2
+    var scanStart = -1
+    while (scanStart < 0 && pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val marker = bytes(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      val seg = pos + 4
+      marker match {
+        case 0xc0 => // SOF0 baseline
+          if ((bytes(seg) & 0xff) != 8) return None // 8-bit precision only
+          h = u16(seg + 1); w = u16(seg + 3)
+          val n = bytes(seg + 5) & 0xff
+          if (n != 1 && n != 3) return None
+          comps = Array.tabulate(n) { i =>
+            val o = seg + 6 + i * 3
+            Array(bytes(o) & 0xff, (bytes(o + 1) & 0xf0) >> 4,
+              bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff, 0, 0)
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline SOF
+        case 0xc4 => // DHT: one or more tables per segment
+          var o = seg
+          while (o < pos + 2 + len) {
+            val tc = (bytes(o) & 0xf0) >> 4
+            val th = bytes(o) & 0x0f
+            val counts = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
+            val total = counts.sum
+            val symbols = java.util.Arrays.copyOfRange(
+              bytes, o + 17, o + 17 + total)
+            val t = new HuffTable(counts, symbols)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+            o += 17 + total
+          }
+        case 0xdb => // DQT: one or more tables per segment
+          var o = seg
+          while (o < pos + 2 + len) {
+            val pq = (bytes(o) & 0xf0) >> 4
+            val tq = bytes(o) & 0x0f
+            val tab = new Array[Double](64)
+            var i = 0
+            while (i < 64) {
+              tab(ZIGZAG(i)) =
+                if (pq == 0) (bytes(o + 1 + i) & 0xff).toDouble
+                else u16(o + 1 + i * 2).toDouble
+              i += 1
+            }
+            quant(tq) = tab
+            o += 1 + (if (pq == 0) 64 else 128)
+          }
+        case 0xdd => restartInterval = u16(seg)
+        case 0xda => // SOS
+          val ns = bytes(seg) & 0xff
+          var i = 0
+          while (i < ns) {
+            val cid = bytes(seg + 1 + i * 2) & 0xff
+            val tt = bytes(seg + 2 + i * 2) & 0xff
+            comps.find(_(0) == cid).foreach { c =>
+              c(4) = (tt & 0xf0) >> 4; c(5) = tt & 0x0f
+            }
+            i += 1
+          }
+          scanStart = seg + 1 + ns * 2 + 3 // skip Ss/Se/Ah|Al
+        case 0xd9 => return None // EOI before any scan
+        case _ => () // APPn / COM / others: skip
+      }
+      if (scanStart < 0) pos += 2 + len
+    }
+    if (scanStart < 0 || comps == null || w <= 0 || h <= 0 ||
+        w > (1 << 14) || h > (1 << 14)) return None
+
+    val hMax = comps.map(_(1)).max
+    val vMax = comps.map(_(2)).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component plane at its own resolution
+    val planeW = comps.map(c => mcusX * c(1) * 8)
+    val planeH = comps.map(c => mcusY * c(2) * 8)
+    val planes = comps.indices.map(i =>
+      new Array[Int](planeW(i) * planeH(i))).toArray
+    val dcPred = new Array[Int](comps.length)
+    val br = new BitReader(bytes, scanStart)
+    val coef = new Array[Double](64)
+    val px = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        java.util.Arrays.fill(dcPred, 0)
+        if (!br.restart()) return None
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = quant(c(3)); val dt = dcTables(c(4)); val at = acTables(c(5))
+        if (q == null || dt == null || at == null) return None
+        var by = 0
+        while (by < c(2)) {
+          var bx = 0
+          while (bx < c(1)) {
+            java.util.Arrays.fill(coef, 0.0)
+            val s = huffDecode(br, dt) // DC category
+            dcPred(ci) += extend(br.receive(s), s)
+            coef(0) = dcPred(ci) * q(0)
+            var k = 1
+            while (k < 64) { // AC run-length decode
+              val rs = huffDecode(br, at)
+              val r = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64         // EOB
+              } else {
+                k += r
+                if (k > 63) k = 64
+                else {
+                  coef(ZIGZAG(k)) = extend(br.receive(sz), sz) * q(ZIGZAG(k))
+                  k += 1
+                }
+              }
+            }
+            if (br.hitMarker && mcu < nMcus - 1 && restartInterval == 0)
+              return None // truncated entropy data
+            idctBlock(coef, px)
+            val ox = (mx * c(1) + bx) * 8; val oy = (my * c(2) + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              System.arraycopy(px, yy * 8, planes(ci),
+                (oy + yy) * planeW(ci) + ox, 8)
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // sample component ci at image coordinates (nearest-neighbor
+    // upsampling for subsampled chroma)
+    def sample(ci: Int, x: Int, y: Int): Int = {
+      val sx = x * comps(ci)(1) / hMax
+      val sy = y * comps(ci)(2) / vMax
+      planes(ci)(sy * planeW(ci) + sx)
+    }
+    def rgb(x: Int, y: Int): (Int, Int, Int) =
+      if (comps.length == 1) {
+        val g = sample(0, x, y); (g, g, g)
+      } else {
+        val yv = sample(0, x, y).toDouble
+        val cb = sample(1, x, y) - 128.0
+        val cr = sample(2, x, y) - 128.0
+        def cl(d: Double) = {
+          val v = math.round(d).toInt
+          if (v < 0) 0 else if (v > 255) 255 else v
+        }
+        (cl(yv + 1.402 * cr), cl(yv - 0.344136 * cb - 0.714136 * cr),
+          cl(yv + 1.772 * cb))
+      }
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y); sr += r; sg += g; sb += b
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val resized = for (ry <- 0 until 2; rx <- 0 until 2) yield {
+      val sx = math.min(w - 1, rx * w / 2); val sy = math.min(h - 1, ry * h / 2)
+      val (r, g, b) = rgb(sx, sy)
+      (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+    }
+    Some(Decoded("image/jpeg", w, h, comps.length, 0,
+      Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0) ++ resized))
+  }
+
+  // Standard Annex K.3 luminance Huffman tables (T.81 tables K.3/K.5),
+  // used by the uniform-gray test encoder below.
+  private val STD_DC_COUNTS =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val STD_DC_SYMBOLS = (0 to 11).map(_.toByte).toArray
+  private val STD_AC_COUNTS =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val STD_AC_SYMBOLS = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  /** Canonical (code, length) for each symbol of a count/symbol spec. */
+  private def huffCodes(counts: Array[Int],
+                        symbols: Array[Byte]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < counts(l - 1)) {
+        out += (symbols(k) & 0xff) -> (code, l)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+
+  /**
+   * Encode a UNIFORM gray image as a baseline grayscale JFIF with an
+   * all-ones quantization table. For a constant block the DCT has one
+   * DC term (8·(g−128)) which quantizes exactly at step 1, so decoding
+   * returns every pixel == g bit-exactly — the property that lets an
+   * SQL oracle predict a lossy format's decoded features. Sized in
+   * whole 8×8 blocks; DC diffs after the first block are 0.
+   */
+  def encodeGrayJpeg(gray: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    require(gray >= 0 && gray <= 255, s"gray=$gray")
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      "whole-block sizes only")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    b(0xff, 0xd8) // SOI
+    b(0xff, 0xdb, 0, 67, 0); (0 until 64).foreach(_ => b(1)) // DQT all-1s
+    b(0xff, 0xc0, 0, 11, 8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+      1, 1, 0x11, 0) // SOF0: 1 component, 1×1 sampling, qtable 0
+    b(0xff, 0xc4, 0, 2 + 17 + STD_DC_SYMBOLS.length, 0x00)
+    STD_DC_COUNTS.foreach(b(_)); STD_DC_SYMBOLS.foreach(s => b(s & 0xff))
+    b(0xff, 0xc4, 0, 2 + 17 + STD_AC_SYMBOLS.length, 0x10)
+    STD_AC_COUNTS.foreach(b(_)); STD_AC_SYMBOLS.foreach(s => b(s & 0xff))
+    b(0xff, 0xda, 0, 8, 1, 1, 0x00, 0, 63, 0) // SOS
+    // entropy data via a bit writer with FF-stuffing
+    val dcCodes = huffCodes(STD_DC_COUNTS, STD_DC_SYMBOLS)
+    val acCodes = huffCodes(STD_AC_COUNTS, STD_AC_SYMBOLS)
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf); if (bitBuf == 0xff) out.write(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def putSym(codes: Map[Int, (Int, Int)], s: Int): Unit = {
+      val (c, l) = codes(s); putBits(c, l)
+    }
+    val nBlocks = (w / 8) * (h / 8)
+    var i = 0
+    while (i < nBlocks) {
+      val diff = if (i == 0) 8 * (gray - 128) else 0
+      val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(
+        math.abs(diff))
+      putSym(dcCodes, cat)
+      if (cat > 0)
+        putBits(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      putSym(acCodes, 0x00) // EOB: all AC zero
+      i += 1
+    }
+    if (bitCnt > 0) { // pad with 1s
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      out.write(bitBuf); if (bitBuf == 0xff) out.write(0x00)
+    }
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Format sniff + dispatch — the codec-manager shape. */
   def decode(bytes: Array[Byte]): Option[Decoded] =
     decodePpm(bytes).orElse(decodeWav(bytes)).orElse(decodeBmp(bytes))
-      .orElse(decodePng(bytes))
+      .orElse(decodePng(bytes)).orElse(decodeJpeg(bytes))
 
   /** Byte length of one P6 frame at `bytes(pos)` (header + pixels), or
     * -1 when no valid frame starts there. Mirrors decodePpm's header
@@ -397,13 +826,17 @@ object Multimodal {
   def frameSample(df: DataFrame, every: Int, maxFrames: Int = Int.MaxValue,
                   payloadCol: String = "payload"): DataFrame = {
     require(every >= 1, s"every=$every")
-    val spark = df.sparkSession
     val keptCols = df.schema.fields.filterNot(_.name == payloadCol)
     val outSchema = StructType(keptCols :+
       StructField("frame", frameType, nullable = true))
     val pIdx = df.schema.fieldIndex(payloadCol)
     val keptIdx = df.schema.fields.indices.filter(_ != pIdx)
-    val rdd = df.rdd.mapPartitions { rows =>
+    // Dataset.mapPartitions (not df.rdd): the per-partition codec
+    // dispatch stays INSIDE the SQL engine, so the schema survives,
+    // upstream column pruning still reaches the scan, and downstream
+    // operators keep whole-stage codegen — an RDD hop would fence all
+    // three off behind a scan barrier.
+    df.mapPartitions { rows =>
       // per-partition demuxer/codec init would run here, once
       rows.flatMap { r =>
         val kept = keptIdx.map(r.get)
@@ -418,8 +851,7 @@ object Multimodal {
             Row.fromSeq(kept :+ fRow)
           }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**
@@ -429,7 +861,6 @@ object Multimodal {
    * that must amortize across a partition, exactly this shape.
    */
   def decodeMedia(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val spark = df.sparkSession
     val decodedType = StructType(Seq(
       StructField("kind", StringType), StructField("width", IntegerType),
       StructField("height", IntegerType), StructField("channels", IntegerType),
@@ -438,7 +869,9 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+
       StructField("decoded", decodedType, nullable = true))
     val idx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    // Dataset.mapPartitions keeps the decode inside the SQL engine
+    // (schema, pruning, downstream codegen) — see frameSample
+    df.mapPartitions { rows =>
       // per-partition codec init would run here, once
       rows.map { r =>
         val d = decode(r.get(idx).asInstanceOf[Array[Byte]]).orNull
@@ -447,18 +880,16 @@ object Multimodal {
             d.features.toSeq)
         Row.fromSeq(r.toSeq :+ dRow)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Partition-level batch decode demonstrating the mapPartitions
     * shape used when the codec is a native library with per-batch
     * setup cost. Deterministic fake: mean byte value. */
   def decodeBatch(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField("mean_byte", DoubleType, nullable = true))
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       // per-partition "codec init" would happen here
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
@@ -468,7 +899,6 @@ object Multimodal {
             payload.map(b => (b & 0xff).toDouble).sum / payload.length)
         Row.fromSeq(r.toSeq :+ mean)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

@@ -210,4 +210,86 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getStruct(2).getString(0) == "audio/wav")
     assert(out(2).isNullAt(2))
   }
+
+  test("JPEG codec: uniform-gray round-trip is bit-exact") {
+    // all-ones quant table + constant block = DC-only spectrum that
+    // quantizes exactly, so decode must return every pixel == g
+    for (g <- Seq(0, 1, 127, 128, 200, 255)) {
+      val d = Multimodal.decodeJpeg(Multimodal.encodeGrayJpeg(g)).get
+      assert(d.kind == "image/jpeg" && d.width == 8 && d.height == 8)
+      assert(d.channels == 1)
+      assert(d.features(0) == g / 255.0, s"mean R at g=$g")
+      assert(d.features(1) == g / 255.0 && d.features(2) == g / 255.0)
+      assert(d.features(3) ==
+        (0.299 * g + 0.587 * g + 0.114 * g) / 255.0, s"luma at g=$g")
+    }
+    // multi-block: differential DC (first block codes 8(g-128), the
+    // rest code diff 0) across a 24x16 image
+    val d = Multimodal.decodeJpeg(
+      Multimodal.encodeGrayJpeg(77, w = 24, h = 16)).get
+    assert(d.width == 24 && d.height == 16 && d.features(0) == 77 / 255.0)
+  }
+
+  test("JPEG codec: ImageIO-encoded color images decode to matching stats") {
+    import java.awt.image.BufferedImage
+    // gradient image wide enough to span several MCUs and exercise the
+    // 4:2:0 chroma subsampling + upsampling + YCbCr→RGB path
+    val (w, h) = (40, 24)
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ((x * 6 + y) % 256, (255 - x * 5 + y * 2) % 256,
+        (x * x + y * 9) % 256)
+      im.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    val bytes = bos.toByteArray
+    val d = Multimodal.decodeJpeg(bytes).get
+    assert(d.kind == "image/jpeg" && d.width == w && d.height == h &&
+      d.channels == 3)
+    // compare against ImageIO's OWN decode of the same lossy bytes —
+    // the decoders may differ by ±1/255 per pixel in IDCT rounding, so
+    // means get a small tolerance
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val px = for (y <- 0 until h; x <- 0 until w) yield ref.getRGB(x, y)
+    def mean(shift: Int) =
+      px.map(p => (p >> shift) & 0xff).sum.toDouble / px.size / 255.0
+    assert(math.abs(d.features(0) - mean(16)) < 2.0 / 255, "mean R")
+    assert(math.abs(d.features(1) - mean(8)) < 2.0 / 255, "mean G")
+    assert(math.abs(d.features(2) - mean(0)) < 2.0 / 255, "mean B")
+    // grayscale ImageIO jpeg exercises the 1-component scan
+    val gim = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gim.getRaster.setSample(x, y, 0, (x * 7 + y * 3) % 256)
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gim, "jpg", gbos)
+    val gd = Multimodal.decodeJpeg(gbos.toByteArray).get
+    assert(gd.channels == 1 && gd.width == w)
+    val gref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gbos.toByteArray))
+    // raster samples, not getRGB — getRGB on a gray image routes
+    // through gray→sRGB color conversion and gamma-shifts the values
+    val gmean = (for (y <- 0 until h; x <- 0 until w)
+      yield gref.getRaster.getSample(x, y, 0)).sum.toDouble / (w * h) / 255.0
+    assert(math.abs(gd.features(0) - gmean) < 2.0 / 255, "gray mean")
+    // malformed payloads: truncated entropy data and bare SOI → None
+    assert(Multimodal.decodeJpeg(bytes.take(bytes.length / 2)).isEmpty)
+    assert(Multimodal.decodeJpeg(Array(0xff, 0xd8).map(_.toByte)).isEmpty)
+  }
+
+  test("decode paths stay inside the SQL engine (no RDD scan barrier)") {
+    import spark.implicits._
+    val df = Seq((1L, ppmBytes)).toDF("media_id", "payload")
+    for (decoded <- Seq(Multimodal.decodeMedia(df),
+        Multimodal.frameSample(df, every = 1),
+        Multimodal.decodeBatch(df))) {
+      val plan = decoded.queryExecution.executedPlan.toString
+      // Dataset.mapPartitions plans as a MapPartitions node over the
+      // original scan; a df.rdd hop would surface as Scan ExistingRDD
+      // and fence off schema, pruning, and downstream codegen
+      assert(plan.contains("MapPartitions"), plan)
+      assert(!plan.contains("ExistingRDD"), plan)
+    }
+  }
 }
