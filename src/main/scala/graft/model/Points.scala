@@ -67,6 +67,41 @@ object Points {
       .format("parquet").saveAsTable(table)
 
   /**
+   * Persist a points table PARTITIONED by UTC date derived from ts —
+   * the complementary layout to [[writeBucketed]]: where bucketing
+   * removes the per-series shuffle, date partitioning makes the TIME
+   * dimension a directory structure, so a narrow time-range query
+   * never lists (let alone opens) files outside its dates, and
+   * retention is a directory drop instead of a rewrite. This is the
+   * reference's salt+timestamp rowkey scan range
+   * (src/core/TsdbQuery.java:1446-1546) expressed as Hive-style
+   * partitioning. At 100 TB with years of history, a one-day query
+   * prunes to ~1/1000 of the directory tree before any I/O.
+   */
+  def writeDatePartitioned(points: DataFrame, path: String): Unit =
+    points.drop("date")
+      .withColumn("date",
+        date_format(timestamp_millis(col("ts")), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+
+  /**
+   * Scan a date-partitioned points table for a time range. The range
+   * is applied BOTH as a date predicate (partition pruning — resolved
+   * against directory names at plan time) and as the exact ts clip
+   * (row-group pruning + residual filter within the boundary dates).
+   */
+  def scanDatePartitioned(spark: SparkSession, path: String,
+                          startMs: Long, endMs: Long): DataFrame = {
+    def day(ms: Long) = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+      .format(java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC))
+    spark.read.parquet(path)
+      .filter(col("date") >= day(startMs) && col("date") <= day(endMs))
+      .filter(col("ts") >= startMs && col("ts") <= endMs)
+      .drop("date")
+  }
+
+  /**
    * Map the driver's `events` table onto the canonical point schema
    * (FIXTURES.md §3): event_type → metric, event time → ts (millis),
    * value → value, low-cardinality attributes → tags.

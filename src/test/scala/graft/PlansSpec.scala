@@ -56,6 +56,38 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing pushed upper bound in: $pushed")
   }
 
+  test("date-partitioned layout prunes partitions for narrow time ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("datepart").toString
+    val day = 86400000L
+    // ten days of points, one per hour
+    val pts = (0 until 10).flatMap(d => (0 until 24).map(hr =>
+        ("cpu", d * day + hr * 3600000L, (d * 24 + hr).toDouble)))
+      .toDF("metric", "ts", "value")
+    Points.writeDatePartitioned(pts, dir)
+    // a 2-day query must touch only the 2 matching date directories
+    val scan = Points.scanDatePartitioned(spark, dir, 3 * day, 5 * day - 1)
+    assert(scan.count() == 48)
+    val scanExec = scan.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    // the date bounds appear as PARTITION filters (plan-time directory
+    // pruning), not just data filters
+    assert(scanExec.metadata("PartitionFilters").contains("date"),
+      scanExec.metadata("PartitionFilters"))
+    // and the scan actually read 2 of the 10 date directories
+    assert(scanExec.metrics("numFiles").value <
+      spark.read.parquet(dir).inputFiles.length,
+      "scan did not prune date partitions")
+    assert(scanExec.relation.location
+      .listFiles(scanExec.partitionFilters, Nil).length == 2,
+      "expected exactly the 2 in-range date partitions")
+    // ts clip still exact within the boundary dates
+    assert(scan.agg(min(col("ts")), max(col("ts"))).head.toSeq ==
+      Seq(3 * day, 3 * day + 47 * 3600000L))
+  }
+
   test("plan hygiene: no cartesian products, global sorts, or unpartitioned windows") {
     // cross-section of the contract: scan, downsample+fill, group
     // interpolation, rate, top-k, union join, dedup postings, LSH,
