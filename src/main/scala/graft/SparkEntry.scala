@@ -630,6 +630,32 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.1 the telnet `put` WIRE format oracle-backed end-to-end:
+    // render every event as a put line (the reference's primary ingest
+    // wire, src/tsd/PutDataPointRpc.java), parse it back through
+    // Ingest.parsePutLines, and compare the recovered points against
+    // the table they came from. A malformed line is unioned in and
+    // must flow to _error, not into the output.
+    "q58_put_parse" -> ((s, dir) => {
+      val ev = pts(s, dir).filter(col("tags").getItem("k").isNotNull)
+      val lines = ev.select(concat(
+        lit("put "), col("metric"), lit(" "), col("ts").cast("string"),
+        lit(" "), col("value").cast("string"),
+        lit(" user="), col("tags").getItem("user"),
+        lit(" k="), col("tags").getItem("k")).as("value"))
+        .unionByName(s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row("not a put line")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType)))))
+      flat(graft.sources.Ingest.parsePutLines(lines)
+          .filter(col("_error").isNull))
+        .groupBy("metric", "tag_user", "tag_k")
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"),
+          min(col("ts")).as("first_ts"))
+        .orderBy("metric", "tag_user", "tag_k")
+    }),
+
     // §2.2 case-insensitivity proven on genuinely mixed-case values:
     // tag k rewritten to 'K<k>', filters match via lowercase only
     "q42_filters_ci_real" -> ((s, dir) => {
@@ -1365,6 +1391,14 @@ object SparkEntry {
            round(m.mult_v, 4) AS mult_v
          FROM d LEFT JOIN m ON d.ts = m.ts
          ORDER BY d.ts""",
+
+    "q58_put_parse" ->
+      s"""$O
+         SELECT metric, tag_user, tag_k, count(*) AS n,
+           round(sum(value), 4) AS sum_v, min(ts) AS first_ts
+         FROM points WHERE tag_k IS NOT NULL
+         GROUP BY metric, tag_user, tag_k
+         ORDER BY metric, tag_user, tag_k""",
 
     "q57_alias_template" ->
       s"""$O, d AS (

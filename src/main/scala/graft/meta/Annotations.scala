@@ -54,6 +54,7 @@ object Annotations {
     * (keyCols, start_ts) identity — the reference's POST/PUT upsert. */
   def upsert(table: DataFrame, edits: DataFrame,
              keyCols: Seq[String]): DataFrame = {
+    SearchPlugins.each(_.indexAnnotation(edits))
     val id = keyCols :+ "start_ts"
     table.join(edits.select(id.map(col): _*), id, "left_anti")
       .unionByName(edits)
@@ -64,6 +65,7 @@ object Annotations {
     * global annotations (null key columns) are addressable too. */
   def delete(table: DataFrame, ids: DataFrame,
              keyCols: Seq[String]): DataFrame = {
+    SearchPlugins.each(_.deleteAnnotation(ids))
     val idRows = ids.select((keyCols :+ "start_ts").map(c =>
       col(c).as(s"__d_$c")): _*)
     val cond = (keyCols.map(k => table(k) <=> idRows(s"__d_$k")) :+

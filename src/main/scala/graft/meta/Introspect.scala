@@ -91,6 +91,21 @@ object Introspect {
       .agg(min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
         count(lit(1)).as("points"))
 
+  /** /api/search/lookup — series discovery by metric and exact tag
+    * values. Registered search plugins get first chance to serve the
+    * query from an external index (reference SearchPlugin.executeQuery
+    * / resolveTSQuery, src/search/SearchPlugin.java:152-164); None
+    * falls through to the relational scan over [[seriesMeta]]. Empty
+    * metric = any metric, matching the reference's lookup API. */
+  def lookup(points: DataFrame, metric: String = "",
+             tags: Map[String, String] = Map.empty): DataFrame =
+    SearchPlugins.lookup(metric, tags).getOrElse {
+      val mf = if (metric.isEmpty) lit(true) else col("metric") === metric
+      val tf = tags.map { case (k, v) => col("tags").getItem(k) === v }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      seriesMeta(points).filter(mf && tf)
+    }
+
   // ---- runtime counters (the reference's StatsCollector namespace,
   // src/stats/StatsCollector.java — `tsd.rpc.received`-style counts
   // incremented by the engine and ingest paths) ------------------------

@@ -113,21 +113,29 @@ object Uids {
   // in `edits` replace table rows with the same identity.
 
   /** Upsert UIDMeta rows; identity = (kind, uid). */
-  def upsertUidMeta(table: DataFrame, edits: DataFrame): DataFrame =
+  def upsertUidMeta(table: DataFrame, edits: DataFrame): DataFrame = {
+    SearchPlugins.each(_.indexUidMeta(edits))
     upsertBy(table, edits, Seq("kind", "uid"))
+  }
 
   /** Delete UIDMeta rows by (kind, uid). */
-  def deleteUidMeta(table: DataFrame, kind: String, uid: Long): DataFrame =
+  def deleteUidMeta(table: DataFrame, kind: String, uid: Long): DataFrame = {
+    SearchPlugins.each(_.deleteUidMeta(kind, uid))
     table.filter(!(col("kind") === kind && col("uid") === uid))
+  }
 
   /** Upsert TSMeta rows; identity = tsuid (the series-hash hex the
     * engine uses wherever the reference uses TSUIDs). */
-  def upsertTsMeta(table: DataFrame, edits: DataFrame): DataFrame =
+  def upsertTsMeta(table: DataFrame, edits: DataFrame): DataFrame = {
+    SearchPlugins.each(_.indexTsMeta(edits))
     upsertBy(table, edits, Seq("tsuid"))
+  }
 
   /** Delete TSMeta rows by tsuid. */
-  def deleteTsMeta(table: DataFrame, tsuid: String): DataFrame =
+  def deleteTsMeta(table: DataFrame, tsuid: String): DataFrame = {
+    SearchPlugins.each(_.deleteTsMeta(tsuid))
     table.filter(col("tsuid") =!= tsuid)
+  }
 
   private def upsertBy(table: DataFrame, edits: DataFrame,
                        id: Seq[String]): DataFrame =

@@ -50,4 +50,91 @@ object Histograms {
           (target - (col("cum") - col("count"))) / col("count"))
       .select(groupCols.map(col) :+ col("value"): _*)
   }
+
+  // ---- codec plugin point (reference HistogramCodecManager,
+  // src/core/HistogramCodecManager.java:47-120: a thread-safe map of
+  // codec ids to blob decoders; the id travels with the stored blob,
+  // so it can never change once data is written) ----------------------
+
+  /** One decoded bucket. */
+  case class Bucket(lo: Double, hi: Double, count: Long)
+
+  private val codecs = scala.collection.concurrent.TrieMap
+    .empty[Int, Array[Byte] => Seq[Bucket]]
+
+  /** Register a codec under an id (the reference's config-file mapping
+    * `class → id`, done here as a runtime call like the custom
+    * aggregator / gexp function registries). Decoders must return an
+    * empty Seq, not throw, on payloads they cannot parse. */
+  def registerCodec(id: Int, decode: Array[Byte] => Seq[Bucket]): Unit =
+    codecs.put(id, decode)
+
+  /** The bundled codec (id 0): the reference SimpleHistogram wire
+    * layout (src/core/SimpleHistogram.java:76-120) minus the Kryo
+    * framing — big-endian u16 bucket count then (f32 lo, f32 hi,
+    * i64 count) triples. */
+  val SIMPLE_CODEC_ID = 0
+
+  def simpleHistogramDecode(bytes: Array[Byte]): Seq[Bucket] = {
+    if (bytes == null || bytes.length < 2) return Seq.empty
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getShort & 0xffff
+    if (bytes.length < 2 + n * 16) return Seq.empty
+    (0 until n).map { _ =>
+      Bucket(in.getFloat.toDouble, in.getFloat.toDouble, in.getLong)
+    }
+  }
+
+  def simpleHistogramEncode(buckets: Seq[Bucket]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(2 + buckets.length * 16)
+    out.putShort(buckets.length.toShort)
+    buckets.foreach { b =>
+      out.putFloat(b.lo.toFloat); out.putFloat(b.hi.toFloat)
+      out.putLong(b.count)
+    }
+    out.array()
+  }
+
+  registerCodec(SIMPLE_CODEC_ID, simpleHistogramDecode)
+
+  /**
+   * Decode a table of stored histogram blobs to relational bucket rows
+   * via the codec registry: (groupCols..., codecIdCol, blobCol) →
+   * (groupCols..., bucket_lo, bucket_hi, count). Runs per-partition
+   * inside the SQL engine (same shape as the multimodal codec path) —
+   * an unknown codec id or undecodable blob yields no rows for that
+   * record, mirroring the reference's skip-and-log read behavior. The
+   * output feeds [[percentile]] directly.
+   */
+  def decodeBlobs(df: DataFrame, groupCols: Seq[String],
+                  codecIdCol: String = "codec_id",
+                  blobCol: String = "blob"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val keep = groupCols.map(c => df.schema(c))
+    val outSchema = StructType(keep ++ Seq(
+      StructField("bucket_lo", DoubleType), StructField("bucket_hi", DoubleType),
+      StructField("count", LongType)))
+    val keptIdx = groupCols.map(df.schema.fieldIndex)
+    val idIdx = df.schema.fieldIndex(codecIdCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    // snapshot the registry INTO the task closure: executors are fresh
+    // JVMs whose object initializer only knows the bundled codec, so
+    // driver-side registrations must travel with the plan (and a
+    // decode is thereby pinned to the codecs known when it was planned,
+    // the reference's write-time id binding)
+    val codecSnapshot = codecs.toMap
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val kept = keptIdx.map(r.get)
+        codecSnapshot.get(r.getAs[Number](idIdx).intValue).toSeq
+          .flatMap(_(r.getAs[Array[Byte]](blobIdx)))
+          // append one-by-one: Seq(b.lo, b.hi, b.count) would unify the
+          // element type to Double and silently widen the Long count
+          .map(b => Row.fromSeq(kept :+ b.lo :+ b.hi :+ b.count))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .groupBy((groupCols.map(col) :+ col("bucket_lo")) :+ col("bucket_hi"): _*)
+      .agg(sum(col("count")).as("count"))
+  }
 }

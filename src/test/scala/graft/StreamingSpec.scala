@@ -381,6 +381,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Trees.buildFromRules(series, rules, 9))
   }
 
+  test("histogram codec registry decodes stored blobs to bucket rows") {
+    import spark.implicits._
+    import graft.operators.Histograms
+    import graft.operators.Histograms.Bucket
+    // bundled SimpleHistogram codec round-trip plus a custom codec
+    // (single-byte count in [0,width) buckets) under a new id
+    Histograms.registerCodec(7, bytes =>
+      if (bytes == null || bytes.isEmpty) Seq.empty
+      else bytes.toSeq.zipWithIndex.map { case (c, i) =>
+        Bucket(i * 10.0, (i + 1) * 10.0, (c & 0xff).toLong)
+      })
+    val simple = Histograms.simpleHistogramEncode(
+      Seq(Bucket(0, 10, 4), Bucket(10, 20, 6)))
+    val rows = Seq(
+      ("web", Histograms.SIMPLE_CODEC_ID, simple),
+      ("web", 7, Array[Byte](1, 9)),   // buckets (0-10):1, (10-20):9
+      ("web", 99, Array[Byte](1)),     // unknown codec id → no rows
+      ("db", 7, null: Array[Byte]))    // undecodable → no rows
+      .toDF("host", "codec_id", "blob")
+    val hist = Histograms.decodeBlobs(rows, Seq("host"))
+    val got = hist.collect().map(r => (r.getString(0), r.getDouble(1),
+      r.getLong(3))).toSet
+    // same-bucket counts merge across blobs: (0,10) = 4+1, (10,20) = 6+9
+    assert(got == Set(("web", 0.0, 5L), ("web", 10.0, 15L)))
+    // decoded rows feed percentile extraction directly
+    val p50 = Histograms.percentile(hist, Seq("host"), 0.5)
+      .head.getDouble(1)
+    assert(p50 > 10.0 && p50 < 20.0) // 10 of 20 lands in bucket (10,20)
+  }
+
+  test("search plugins see meta mutations and can serve lookups") {
+    import spark.implicits._
+    val seen = scala.collection.mutable.Buffer[String]()
+    val served = Seq(("srv", Map("host" -> "x"))).toDF("metric", "tags")
+    val plugin = new graft.meta.SearchPlugin {
+      override def indexAnnotation(e: org.apache.spark.sql.DataFrame) =
+        seen += s"ann+${e.count()}"
+      override def deleteUidMeta(kind: String, uid: Long) =
+        seen += s"uid-$kind/$uid"
+      override def indexTsMeta(e: org.apache.spark.sql.DataFrame) =
+        seen += s"ts+${e.count()}"
+      override def executeLookup(metric: String, tags: Map[String, String]) =
+        if (metric == "srv") Some(served) else None
+    }
+    graft.meta.SearchPlugins.register(plugin)
+    try {
+      val annTable = Seq(("a", 1L, 2L, "x")).toDF(
+        "tag_host", "start_ts", "end_ts", "description")
+      Annotations.upsert(annTable,
+        Seq(("b", 3L, 4L, "y")).toDF(
+          "tag_host", "start_ts", "end_ts", "description"),
+        Seq("tag_host")).count()
+      Uids.deleteUidMeta(
+        Seq(("metric", 1L, "d")).toDF("kind", "uid", "displayName"),
+        "metric", 1L).count()
+      Uids.upsertTsMeta(Seq(("t1", "d")).toDF("tsuid", "displayName"),
+        Seq(("t2", "e")).toDF("tsuid", "displayName")).count()
+      assert(seen.toSet == Set("ann+1", "uid-metric/1", "ts+1"))
+      // plugin-served lookup replaces the scan; others fall through
+      val pts = Seq(("cpu", Map("host" -> "a"), 1L))
+        .toDF("metric", "tags", "ts")
+      assert(Introspect.lookup(pts, "srv").collect()
+        .map(_.getString(0)).toSeq == Seq("srv"))
+      assert(Introspect.lookup(pts, "cpu", Map("host" -> "a")).count() == 1)
+      assert(Introspect.lookup(pts, "cpu", Map("host" -> "zz")).count() == 0)
+    } finally graft.meta.SearchPlugins.deregister(plugin)
+  }
+
   test("export round-trips through the put-line parser") {
     import scala.jdk.CollectionConverters._
     val pts = spark.createDataFrame(Seq(
