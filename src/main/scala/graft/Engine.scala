@@ -261,6 +261,28 @@ object Engine {
   }
 
   /**
+   * Whole-request serialization for the exp endpoint: run the POJO
+   * body and emit one V1 JSON document per (output, tag group) — the
+   * response shape of the reference's QueryExecutor serialization
+   * (src/tsd/QueryExecutor.java:300-430: per-output metric name from
+   * the alias, the joined tags, and the dps map).
+   */
+  def serializeExpJson(points: DataFrame, body: String,
+                       now: Long = System.currentTimeMillis(),
+                       rollups: Seq[RollupTable] = Seq.empty): DataFrame =
+    runExpJson(points, body, now, rollups).map { case (_, df) =>
+      val tagCols = df.columns.filter(_.startsWith("tag_")).toSeq
+      df.groupBy(col("metric") +: tagCols.map(col): _*)
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("ts"), col("value"))))).as("dps"))
+        .select(to_json(struct(
+          col("metric"),
+          map(tagCols.flatMap(k =>
+            Seq(lit(k.stripPrefix("tag_")), col(k))): _*).as("tags"),
+          col("dps"))).as("json"))
+    }.reduce(_ unionByName _)
+
+  /**
    * Whole-request serialization: parse a POST /api/query body, run
    * every sub-query (plain or percentiles[]), and emit one DataFrame of
    * V1 JSON documents — the complete reference response for the

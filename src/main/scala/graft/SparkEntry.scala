@@ -257,10 +257,15 @@ object SparkEntry {
         .distinct().orderBy("metric").limit(25)
     }),
 
-    // §2.14 /api/search/lookup — series discovery by tag filter
+    // §2.14 /api/search/lookup — series discovery by tag filter,
+    // through the plugin-aware resolver (external index first,
+    // relational seriesMeta scan as the fallback exercised here)
     "q19_lookup" -> ((s, dir) => {
-      flat(pts(s, dir)).filter(col("tag_user") === "3")
-        .select("metric", "tag_user", "tag_k").distinct()
+      graft.meta.Introspect.lookup(pts(s, dir), tags = Map("user" -> "3"))
+        .select(col("metric"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k"))
+        .distinct()
         .orderBy("metric", "tag_k")
     }),
 

@@ -555,6 +555,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._2.columns.contains("metric"))
     assert(out(1)._2.select("metric").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("e2"))
+
+    // whole-request serialization: one V1 JSON doc per (output, group)
+    val docs = Engine.serializeExpJson(df, body).collect()
+      .map(_.getString(0))
+    assert(docs.length == 4) // 2 expressions × hosts a,b
+    val doc = docs.find(d => d.contains("\"e\"") && d.contains("\"a\"")).get
+    assert(doc.contains("\"tags\":{\"host\":\"a\"}"))
+    assert(doc.contains("\"dps\":{\"0\":11.0,\"60000\":105.0}"))
   }
 
   test("Engine.shapeOutput produces dps maps per group") {
