@@ -232,7 +232,17 @@ object Engine {
     val q = ExpJsonQuery.parse(body, now)
     val tsq = q.tsQuery
     var vars: Map[String, DataFrame] = q.metrics.map { m =>
-      m.id -> run(points, tsq, q.subQuery(m), rollups)
+      // time-over-time: the offset metric scans a window shifted into
+      // the past and its buckets shift forward onto today's clock, so
+      // the expression join aligns current against historical values
+      val r = m.timeOffsetMs match {
+        case Some(off) =>
+          run(points, tsq.copy(startMs = tsq.startMs - off,
+              endMs = tsq.endMs - off), q.subQuery(m), rollups)
+            .withColumn("ts", col("ts") + off)
+        case None => run(points, tsq, q.subQuery(m), rollups)
+      }
+      m.id -> r
     }.toMap
     val fills = q.metricFills
     q.expressions.foreach { e =>

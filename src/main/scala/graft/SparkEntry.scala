@@ -635,6 +635,32 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §3.3 TIME-OVER-TIME through the exp endpoint: metric b is the
+    // same series shifted 1 day into the past (Metric.time_offset,
+    // reference pojo/Metric.java:43 — declared there, left TODO in
+    // QueryExecutor; wired here), so the expression computes
+    // day-over-day deltas per user on today's clock
+    "q59_exp_time_offset" -> ((s, dir) => {
+      val start = T_0105 + DAY
+      val body = s"""{
+        "time": {"start": $start, "end": $T_0120, "aggregator": "zimsum",
+                 "downsampler": {"interval": "1h", "aggregator": "sum"}},
+        "filters": [{"id": "f1", "tags": [
+          {"type": "literal_or", "tagk": "user", "filter": "1|2|3",
+           "groupBy": true}]}],
+        "metrics": [
+          {"id": "a", "metric": "click", "filter": "f1",
+           "fillPolicy": {"policy": "zero"}},
+          {"id": "b", "metric": "click", "filter": "f1",
+           "timeOffset": "1d-ago", "fillPolicy": {"policy": "zero"}}],
+        "expressions": [{"id": "dod", "expr": "a - b",
+          "join": {"operator": "union"}}]}"""
+      Engine.runExpJson(pts(s, dir), body).head._2
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.1 the telnet `put` WIRE format oracle-backed end-to-end:
     // render every event as a put line (the reference's primary ingest
     // wire, src/tsd/PutDataPointRpc.java), parse it back through
@@ -1396,6 +1422,28 @@ object SparkEntry {
            round(m.mult_v, 4) AS mult_v
          FROM d LEFT JOIN m ON d.ts = m.ts
          ORDER BY d.ts""",
+
+    "q59_exp_time_offset" -> {
+      val start = T_0105 + DAY
+      s"""$O, hourly AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'click' AND tag_user IN ('1', '2', '3')
+           GROUP BY 1, 2),
+         cur AS (
+           SELECT tag_user, b, v FROM hourly
+           WHERE b >= $start AND b <= $T_0120),
+         prev AS (
+           SELECT tag_user, b + $DAY AS b, v FROM hourly
+           WHERE b >= ${start - DAY} AND b <= ${T_0120 - DAY})
+         SELECT 'dod' AS metric,
+           coalesce(cur.tag_user, prev.tag_user) AS tag_user,
+           coalesce(cur.b, prev.b) AS ts,
+           round(coalesce(cur.v, 0.0) - coalesce(prev.v, 0.0), 4) AS value
+         FROM cur FULL OUTER JOIN prev
+           ON cur.tag_user = prev.tag_user AND cur.b = prev.b
+         ORDER BY tag_user, ts"""
+    },
 
     "q58_put_parse" ->
       s"""$O

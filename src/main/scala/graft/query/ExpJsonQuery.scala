@@ -60,9 +60,17 @@ object ExpJsonQuery {
   case class FilterSet(id: String, tags: Seq[TagFilter],
                        explicitTags: Boolean)
 
+  /** `timeOffsetMs`: the metric's time-over-time shift (reference
+    * Metric.time_offset, Metric.java:43 — validated by the POJO as a
+    * relative date like "1w-ago" but left TODO in the reference
+    * executor, QueryExecutor.java:83 "time over time queries"; we wire
+    * it: the metric scans [start−offset, end−offset] and its
+    * timestamps shift forward by the offset so `a / aLastWeek` joins
+    * on today's clock). */
   case class MetricDef(id: String, metric: String, filter: Option[String],
                        aggregator: Option[String],
-                       fillPolicy: Option[NumericFill])
+                       fillPolicy: Option[NumericFill],
+                       timeOffsetMs: Option[Long] = None)
 
   /** Join component: set operator plus the two serialization-tag flags
     * (use_query_tags / include_agg_tags, reference Join.java:28-34).
@@ -160,7 +168,10 @@ object ExpJsonQuery {
         Option(m.get("aggregator")).filterNot(x => x == null || x.isNull)
           .map(_.asText()).filter(_.nonEmpty),
         Option(m.get("fillPolicy")).filterNot(x => x == null || x.isNull)
-          .map(parseFill))
+          .map(parseFill),
+        Option(m.get("timeOffset")).filterNot(x => x == null || x.isNull)
+          .map(_.asText()).filter(_.nonEmpty)
+          .map(s => TimeUtils.parseDuration(s.stripSuffix("-ago"))))
     }
     require(metrics.nonEmpty, "missing or empty metrics")
     requireUnique(metrics.map(_.id), "metric")

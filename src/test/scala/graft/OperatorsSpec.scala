@@ -565,6 +565,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doc.contains("\"dps\":{\"0\":11.0,\"60000\":105.0}"))
   }
 
+  test("Engine.runExpJson time-over-time: offset metric joins on today") {
+    val df = pointsDf(Seq(
+      ("cpu", 10000L, 1.0, host("a")),   // minute 0
+      ("cpu", 70000L, 5.0, host("a")),   // minute 1
+      ("cpu", 130000L, 2.0, host("a")))) // minute 2
+    val body = """{
+      "time": {"start": 60, "end": 200, "aggregator": "zimsum",
+               "downsampler": {"interval": "1m", "aggregator": "sum"}},
+      "filters": [{"id": "f", "tags": [
+        {"type": "wildcard", "tagk": "host", "filter": "*",
+         "groupBy": true}]}],
+      "metrics": [
+        {"id": "a", "metric": "cpu", "filter": "f",
+         "fillPolicy": {"policy": "zero"}},
+        {"id": "b", "metric": "cpu", "filter": "f",
+         "timeOffset": "1m-ago", "fillPolicy": {"policy": "zero"}}],
+      "expressions": [{"id": "d", "expr": "a - b"}]}"""
+    val got = Engine.runExpJson(df, body).head._2.collect()
+      .map(r => r.getAs[Long]("ts") -> r.getAs[Double]("value")).toMap
+    // bucket 60000: 5 − (bucket 0's 1) = 4; bucket 120000: 2 − 5 = −3;
+    // bucket 180000: a empty (0-fill) − shifted 2 = −2
+    assert(got == Map(60000L -> 4.0, 120000L -> -3.0, 180000L -> -2.0))
+  }
+
   test("Engine.shapeOutput produces dps maps per group") {
     val df = pointsDf(Seq(
       ("cpu", 0L, 1.0, host("a")), ("cpu", 60000L, 2.0, host("a"))))
