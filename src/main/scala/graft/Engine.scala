@@ -360,6 +360,39 @@ object Engine {
   }
 
   /**
+   * Percentile queries over STORED histograms — the reference's
+   * histogram data points (src/core/HistogramDataPoint.java:56-67:
+   * opaque codec-encoded blobs scanned like points and merged across
+   * series and time). The blob table (metric, ts, tags, codec_id,
+   * blob) goes through the same scan shape as raw points, buckets by
+   * the downsample interval, decodes via the codec registry
+   * ([[graft.operators.Histograms.registerCodec]]), merges bucket
+   * counts relationally, and extracts each requested percentile.
+   */
+  def runPercentilesFromHistograms(hists: DataFrame, query: TsQuery,
+                                   sub: SubQuery): DataFrame = {
+    require(sub.percentiles.nonEmpty, "no percentiles requested")
+    val scanned = TagFilters(
+      hists.filter(col("metric") === sub.metric &&
+        col("ts") >= query.startMs && col("ts") <= query.endMs),
+      sub.filters, sub.explicitTags)
+    val groupKeys = TagFilters.groupByKeys(sub.filters)
+    val bucketMs = sub.downsample.map(_.intervalMs).filter(_ > 0)
+      .getOrElse(3600000L)
+    val tagCols = groupKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
+    val base = scanned.select(
+      (col("metric") +: tagCols) ++
+        Seq((col("ts") - col("ts") % bucketMs).as("ts"),
+          col("codec_id"), col("blob")): _*)
+    val gcols = ("metric" +: groupKeys.map(k => s"tag_$k")) :+ "ts"
+    val hist = Histograms.decodeBlobs(base, gcols)
+    sub.percentiles
+      .map(p => Histograms.percentile(hist, gcols, p / 100.0)
+        .withColumn("ptile", lit(p)))
+      .reduce(_ unionByName _)
+  }
+
+  /**
    * Data-point budget guard (reference `tsd.query.limits.*`,
    * src/core/TsdbQuery.java:188-191, enforcement in
    * SaltScanner.processRow; per-client overrides

@@ -157,6 +157,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dfs(1).count() > 0)
   }
 
+  test("percentiles from STORED histogram blobs via the codec registry") {
+    import graft.operators.Histograms
+    import graft.operators.Histograms.Bucket
+    import scala.jdk.CollectionConverters._
+    // two series, two hours; each blob is a SimpleHistogram payload.
+    // host a hour 0 has two blobs whose same-bucket counts must merge.
+    def blob(bs: (Double, Long)*) = Histograms.simpleHistogramEncode(
+      bs.map { case (lo, c) => Bucket(lo, lo + 10, c) })
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("metric",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tags",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("codec_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("blob",
+        org.apache.spark.sql.types.BinaryType)))
+    val hists = spark.createDataFrame(Seq(
+      Row("lat", 600000L, host("a"), 0, blob((0.0, 5L))),
+      Row("lat", 1200000L, host("a"), 0, blob((10.0, 5L))),
+      Row("lat", 3600000L + 600000L, host("a"), 0, blob((20.0, 10L))),
+      Row("lat", 600000L, host("b"), 0, blob((40.0, 10L)))).asJava, schema)
+    val q = TsQuery(0L, 7200000L, Seq.empty)
+    val sub = SubQuery("sum", "lat", Seq(GroupByAll("host")),
+      Some(DownsampleSpec.parse("1h-sum")), percentiles = Seq(50.0))
+    val got = Engine.runPercentilesFromHistograms(hists, q, sub).collect()
+      .map(r => (r.getAs[String]("tag_host"), r.getAs[Long]("ts")) ->
+        r.getAs[Double]("value")).toMap
+    // (a, hour0): merged buckets (0-10):5 + (10-20):5 → p50 at the
+    // boundary 10.0; (a, hour1): all mass in (20-30) → midpoint 25.0;
+    // (b, hour0): all in (40-50) → 45.0
+    assert(got(("a", 0L)) == 10.0)
+    assert(got(("a", 3600000L)) == 25.0)
+    assert(got(("b", 0L)) == 45.0)
+  }
+
   test("serializeV1 emits the reference wire shape with aggregateTags") {
     val p = pointsDf(Seq(
       ("m", 1000L, 1.0, Map("host" -> "a", "dc" -> "x")),
