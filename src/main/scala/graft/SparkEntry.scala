@@ -778,6 +778,146 @@ object SparkEntry {
           Seq(hourly("click"), hourly("view")), Seq.empty, _ / _)
         .select(col("ts"), r4(col("value")).as("value"))
         .orderBy("ts")
+    }),
+
+    // §2.1 /api/put JSON bodies oracle-backed end-to-end: render each
+    // (metric, user) group of events as an IncomingDataPoint ARRAY body
+    // (reference src/core/IncomingDataPoint.java:41, array form of
+    // PutDataPointRpc.java:272-430), parse back through
+    // Ingest.parsePutJson, and aggregate the recovered points
+    "q60_put_json" -> ((s, dir) => {
+      val ev = pts(s, dir).filter(col("metric").isin("click", "view"))
+      val bodies = ev
+        .groupBy(col("metric").as("m"), col("tags").getItem("user").as("u"))
+        .agg(to_json(collect_list(struct(
+          col("metric"),
+          col("ts").as("timestamp"),
+          col("value").cast("string").as("value"),
+          col("tags")))).as("value"))
+        .select("value")
+      graft.sources.Ingest.parsePutJson(bodies)
+        .groupBy(col("metric"), col("tags").getItem("user").as("tag_user"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .orderBy("metric", "tag_user")
+    }),
+
+    // §2.1 DumpSeries `--import` round-trip oracle-backed (reference
+    // src/tools/DumpSeries.java:42): points with a synthetic integer
+    // subpopulation (even ts → long form) → Export.toPutLines →
+    // Ingest.parsePutLines; the recovered stream must reproduce counts,
+    // double sums, long sums and the is_int split exactly — proving the
+    // wire format preserves the reference's long/double value duality
+    "q61_export_roundtrip" -> ((s, dir) => {
+      val base = pts(s, dir).filter(col("metric") === "purchase" &&
+        col("tags").getItem("k").isNotNull)
+      val mixed = base
+        .withColumn("is_int", pmod(col("ts"), lit(2)) === 0)
+        .withColumn("value_l",
+          when(col("is_int"), expr("CAST(floor(value) AS BIGINT)")))
+        .withColumn("value",
+          when(col("is_int"), floor(col("value"))).otherwise(col("value")))
+      flat(graft.sources.Ingest.parsePutLines(
+            graft.sources.Export.toPutLines(mixed))
+          .filter(col("_error").isNull))
+        .groupBy("metric", "tag_user")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_int"), 1L).otherwise(0L)).as("n_int"),
+          sum(col("value_l")).as("sum_l"),
+          r4(sum(col("value"))).as("sum_v"))
+        .orderBy("metric", "tag_user")
+    }),
+
+    // §2.4 mimmin cross-series aggregation (min-if-missing: absent
+    // series never pull the group minimum, reference
+    // src/core/Aggregators.java Min interpolation ceiling)
+    "q62_mimmin_group" -> ((s, dir) => {
+      val ds = Downsample(pts(s, dir), DownsampleSpec.parse("1h-min"))
+      Interpolate.aggregate(ds, "mimmin")
+        .select(col("metric"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("metric", "ts")
+    }),
+
+    // §2.12 streaming ingest END-TO-END under oracle: put lines (every
+    // line injected TWICE) flow through the real readStream → parse →
+    // watermark dedup → date-partitioned parquet path with
+    // Trigger.AvailableNow, and the landed table must aggregate exactly
+    // like the batch the lines came from — the streaming analogue of the
+    // reference's compaction-time last-write-wins dedup
+    // (src/core/CompactionQueue.java:267-500)
+    "q63_stream_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      // collapse to one value per (series, ts) first: streaming dedup
+      // keeps an arbitrary survivor among same-key rows, so the input
+      // must be unique for the oracle comparison to be deterministic
+      val base = pts(s, dir).filter(col("metric") === "signup" &&
+          col("tags").getItem("k").isNotNull &&
+          col("ts") >= T_0105 && col("ts") < T_0120)
+        .groupBy(col("metric"), col("ts"),
+          col("tags").getItem("user").as("u"), col("tags").getItem("k").as("k"))
+        .agg(max(col("value")).as("value"))
+        .select(col("metric"), col("ts"), col("value"),
+          lit(null).cast("long").as("value_l"), lit(false).as("is_int"),
+          map(lit("user"), col("u"), lit("k"), col("k")).as("tags"))
+      val lines = graft.sources.Export.toPutLines(base)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q63_")
+      val src = tmp.resolve("src").toString
+      val out = tmp.resolve("out").toString
+      val cp = tmp.resolve("cp").toString
+      // one output file → one micro-batch → the watermark can never
+      // discard in-flight rows as late, whatever the file read order
+      lines.unionByName(lines).coalesce(1).write.text(src)
+      val stream = s.readStream.text(src)
+      val q = graft.sources.Ingest
+        .streamToParquet(s, stream, out, cp, lateness = "36500 days")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).groupBy("metric")
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .orderBy("metric")
+    }),
+
+    // §2.12/§2.13 streaming rollup materialization under oracle:
+    // put lines → parse → tumbling 1h windowed aggregation
+    // (Ingest.rollupStream, the streaming replacement for the
+    // reference's offline rollup jobs src/rollup/RollupUtils.java) via
+    // Trigger.AvailableNow + complete-mode memory sink; the emitted
+    // per-series rollups re-aggregate to exactly the batch answer
+    "q64_stream_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = pts(s, dir).filter(col("metric") === "error" &&
+        col("ts") >= T_0105 && col("ts") < T_0120)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q64_")
+      val src = tmp.resolve("src").toString
+      graft.sources.Export.toPutLines(base).coalesce(1).write.text(src)
+      val stream = s.readStream.text(src)
+      val ptsStream = graft.sources.Ingest.parsePutLines(stream)
+        .filter(col("_error").isNull).drop("_error")
+      val sink = s"q64_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.sources.Ingest.rollupStream(ptsStream, "1 hour")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).groupBy("metric", "ts")
+        .agg(sum(col("count")).as("n"), r4(sum(col("sum"))).as("sum_v"),
+          r4(min(col("min"))).as("min_v"), r4(max(col("max"))).as("max_v"))
+        .orderBy("metric", "ts")
+    }),
+
+    // §2.1 /api/put?summary response (reference
+    // PutDataPointRpc.java:272-430): success/failed counts over a batch
+    // with three malformed lines injected alongside the real export
+    "q65_put_summary" -> ((s, dir) => {
+      val lines = graft.sources.Export.toPutLines(
+        pts(s, dir).filter(col("metric") === "view"))
+      val badSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType)))
+      val bad = s.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row("put"),
+        org.apache.spark.sql.Row("nonsense line"),
+        org.apache.spark.sql.Row("put m notatime 1 a=b")), badSchema)
+      graft.sources.Ingest.putSummary(
+        graft.sources.Ingest.parsePutLines(lines.unionByName(bad)))
     })
   )
 
@@ -1581,6 +1721,51 @@ object SparkEntry {
              count(DISTINCT (tag_user, tag_k))
            FROM points WHERE tag_user IS NOT NULL
            GROUP BY metric, tag_user)
-         ORDER BY depth, path"""
+         ORDER BY depth, path""",
+
+    "q60_put_json" ->
+      s"""$O SELECT metric, tag_user, count(*) AS n,
+           round(sum(value), 4) AS sum_v
+         FROM points WHERE metric IN ('click', 'view')
+         GROUP BY metric, tag_user ORDER BY metric, tag_user""",
+
+    "q61_export_roundtrip" ->
+      s"""$O, mixed AS (
+           SELECT metric, tag_user,
+             CASE WHEN ts % 2 = 0 THEN floor(value) ELSE value END AS value,
+             CASE WHEN ts % 2 = 0 THEN CAST(floor(value) AS BIGINT) END AS value_l,
+             ts % 2 = 0 AS is_int
+           FROM points WHERE metric = 'purchase' AND tag_k IS NOT NULL)
+         SELECT metric, tag_user, count(*) AS n,
+           CAST(sum(CASE WHEN is_int THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+           CAST(sum(value_l) AS BIGINT) AS sum_l,
+           round(sum(value), 4) AS sum_v
+         FROM mixed GROUP BY metric, tag_user ORDER BY metric, tag_user""",
+
+    "q62_mimmin_group" ->
+      s"""$O SELECT metric, ts - ts % $HOUR AS ts, round(min(value), 4) AS value
+         FROM points GROUP BY metric, ts - ts % $HOUR
+         ORDER BY metric, ts""",
+
+    "q63_stream_ingest" ->
+      s"""$O, uniq AS (
+           SELECT metric, ts, tag_user, tag_k, max(value) AS value
+           FROM points WHERE metric = 'signup' AND tag_k IS NOT NULL
+             AND ts >= $T_0105 AND ts < $T_0120
+           GROUP BY metric, ts, tag_user, tag_k)
+         SELECT metric, count(*) AS n, round(sum(value), 4) AS sum_v
+         FROM uniq GROUP BY metric ORDER BY metric""",
+
+    "q64_stream_rollup" ->
+      s"""$O SELECT metric, ts - ts % $HOUR AS ts, count(*) AS n,
+           round(sum(value), 4) AS sum_v, round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v
+         FROM points
+         WHERE metric = 'error' AND ts >= $T_0105 AND ts < $T_0120
+         GROUP BY metric, ts - ts % $HOUR ORDER BY metric, ts""",
+
+    "q65_put_summary" ->
+      s"""$O SELECT count(*) AS success, CAST(3 AS BIGINT) AS failed
+         FROM points WHERE metric = 'view'"""
   )
 }

@@ -32,6 +32,32 @@ object Introspect {
     spark.conf.getAll.toSeq.toDF("key", "value")
   }
 
+  /** GET /api/serializers — the serializer plugin listing (reference
+    * src/tsd/RpcManager.java serializers endpoint; the JSON serializer's
+    * shortName and content types, HttpJsonSerializer.java:127,
+    * HttpSerializer.java:95-98). One built-in here: the V1 JSON shaping
+    * in Engine.serializeV1/serializeExpJson. */
+  def serializers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("json", "graft.Engine.serializeV1",
+      "application/json", "application/json; charset=UTF-8"))
+      .toDF("serializer", "class", "request_content_type",
+        "response_content_type")
+  }
+
+  /** GET|DELETE /api/dropcaches (reference src/tsd/DropCachesRpc.java:
+    * 55-84): drops the engine result cache, operator-owned persisted
+    * intermediates, and the Spark table cache; responds with the
+    * reference's status map. */
+  def dropCaches(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.Engine.clearResultCache()
+    graft.util.Caching.releaseOwned()
+    spark.catalog.clearCache()
+    incr("http.dropcaches")
+    Seq(("200", "Caches dropped")).toDF("status", "message")
+  }
+
   /** GET /api/stats over a points table: per-metric row counts and time
     * bounds (the reference reports TSD counters; a Spark engine's
     * equivalent operational stats are per-table). */

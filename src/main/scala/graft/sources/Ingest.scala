@@ -32,9 +32,12 @@ object Ingest {
    */
   def parsePutLines(lines: DataFrame): DataFrame = {
     val parts = split(trim(col("value")), "\\s+")
-    val metric = element_at(parts, 2)
-    val tsRaw = element_at(parts, 3)
-    val v = element_at(parts, 4)
+    // try_element_at, not element_at: under ANSI mode (Spark 4 default)
+    // an out-of-bounds index THROWS, so a truncated line like "put m"
+    // would abort the whole batch instead of flowing to _error
+    val metric = try_element_at(parts, lit(2))
+    val tsRaw = try_element_at(parts, lit(3))
+    val v = try_element_at(parts, lit(4))
     val tagPairs = expr("slice(parts, 5, greatest(size(parts) - 4, 0))")
     val parsed = lines
       .withColumn("parts", parts)
@@ -54,16 +57,20 @@ object Ingest {
       .withColumn("value_l",
         when(col("is_int"), expr("try_cast(value_str AS BIGINT)")))
       .withColumn("tags",
+        // get(), not getItem(): a tag token without '=' must yield a
+        // null value (→ _error below), not an ANSI array-index error
         map_from_entries(transform(tagPairs, p =>
-          struct(split(p, "=").getItem(0), split(p, "=").getItem(1)))))
+          struct(get(split(p, "="), lit(0)), get(split(p, "="), lit(1))))))
     // NB: refer to the materialized columns — `value` now holds the
     // parsed double, not the raw line
     parsed.withColumn("_error",
-        when(element_at(col("parts"), 1) =!= "put", lit("not a put command"))
+        when(try_element_at(col("parts"), lit(1)) =!= "put",
+          lit("not a put command"))
           .when(size(col("parts")) < 5, lit("too few fields"))
           .when(col("value").isNull, lit("bad value"))
           .when(col("ts_num").isNull, lit("bad timestamp"))
-          .when(!col("metric").rlike(NAME_RE), lit("bad metric charset")))
+          .when(!col("metric").rlike(NAME_RE), lit("bad metric charset"))
+          .when(exists(map_values(col("tags")), _.isNull), lit("bad tag")))
       .select("metric", "ts", "value", "value_l", "is_int", "tags", "_error")
   }
 

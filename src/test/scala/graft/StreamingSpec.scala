@@ -541,6 +541,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Ingest.putDetails(parsed).count() == 2)
   }
 
+  test("truncated and malformed-tag put lines flow to _error, not errors") {
+    import spark.implicits._
+    // under ANSI mode (Spark 4 default) naive element_at/getItem would
+    // THROW on these instead of routing them to the dead-letter column
+    val parsed = Ingest.parsePutLines(Seq(
+      "put",                               // 1 token
+      "put cpu",                           // no ts/value
+      "",                                  // blank
+      "put cpu 1700000000 1 hostnoequals", // tag without '='
+      "put cpu 1700000000 1 host=a").toDF("value"))
+    val errs = parsed.select("_error").collect().map(_.getString(0))
+    assert(errs.count(_ == null) == 1)
+    assert(errs.contains("too few fields"))
+    assert(errs.contains("bad tag"))
+  }
+
   test("delete-by-query removes only matched series in range") {
     import scala.jdk.CollectionConverters._
     import graft.query.{SubQuery, TsQuery}
@@ -606,5 +622,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = Introspect.statsCounters(spark)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(st == Map("rpc.received" -> 2L, "query.errors" -> 3L))
+  }
+
+  test("serializers endpoint lists the built-in JSON serializer") {
+    val r = Introspect.serializers(spark).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("serializer") == "json")
+    assert(r(0).getAs[String]("response_content_type")
+      .startsWith("application/json"))
+  }
+
+  test("dropcaches clears the table cache and responds like the reference") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("dc_probe")
+    spark.catalog.cacheTable("dc_probe")
+    assert(spark.catalog.isCached("dc_probe"))
+    val resp = Introspect.dropCaches(spark).collect()(0)
+    assert(resp.getAs[String]("status") == "200")
+    assert(resp.getAs[String]("message") == "Caches dropped")
+    assert(!spark.catalog.isCached("dc_probe"))
   }
 }
