@@ -200,6 +200,54 @@ object PipelineQueries {
        a2 AS (SELECT vec_id, cluster FROM a2r WHERE rn = 1)"""
   }
 
+  /** DuckDB mirror of one PQ subspace (Similarity.pqTrain/pqEncode/
+    * pqTopK at m=2, k=4, iters=1): slice → 4-seed → one Lloyd step →
+    * argmin code → per-(query, corpus) ADC distance, with the same
+    * 1e-6 distance rounding and lowest-centroid tie-break as the Spark
+    * side. `p` prefixes the CTE names so two subspaces coexist. */
+  private def oPqSub(p: String, lo: Int, hi: Int): String = {
+    val len = hi - lo + 1
+    def assignRanked(centCte: String) =
+      s"""SELECT pe.vec_id, c.cluster,
+            row_number() OVER (PARTITION BY pe.vec_id ORDER BY
+              floor(list_sum(list_transform(list_zip(pe.sv, c.cvec),
+                z -> (CAST(z[1] AS DOUBLE) - z[2])
+                  * (CAST(z[1] AS DOUBLE) - z[2])))
+                * 1000000 + 0.5) / 1000000, c.cluster) AS rn
+          FROM ${p}e pe CROSS JOIN $centCte c"""
+    s"""${p}e AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+       ${p}c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+             AS cluster,
+           list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec
+         FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT 4)),
+       ${p}a1 AS (SELECT vec_id, cluster FROM (
+         ${assignRanked(s"${p}c0")}) t WHERE rn = 1),
+       ${p}d1 AS (
+         SELECT a.cluster, i.i AS pos,
+           avg(CAST(pe.sv[CAST(i.i AS INT)] AS DOUBLE)) AS v
+         FROM ${p}a1 a JOIN ${p}e pe USING (vec_id)
+           CROSS JOIN range(1, ${len + 1}) i(i)
+         GROUP BY a.cluster, i.i),
+       ${p}cm AS (
+         SELECT cluster, list(v ORDER BY pos) AS cvec
+         FROM ${p}d1 GROUP BY cluster),
+       ${p}c1 AS (
+         SELECT c0.cluster, coalesce(cm.cvec, c0.cvec) AS cvec
+         FROM ${p}c0 c0 LEFT JOIN ${p}cm cm USING (cluster)),
+       ${p}code AS (SELECT vec_id, cluster AS code FROM (
+         ${assignRanked(s"${p}c1")}) t WHERE rn = 1),
+       ${p}adc AS (
+         SELECT q.vec_id AS q_id, pc.vec_id,
+           floor(list_sum(list_transform(list_zip(q.sv, c.cvec),
+             z -> (CAST(z[1] AS DOUBLE) - z[2])
+               * (CAST(z[1] AS DOUBLE) - z[2])))
+             * 1000000 + 0.5) / 1000000 AS d
+         FROM ${p}code pc
+         JOIN ${p}c1 c ON c.cluster = pc.code
+         CROSS JOIN (SELECT vec_id, sv FROM ${p}e WHERE vec_id < 3) q)"""
+  }
+
   /** DuckDB mirror of Similarity.rhpBucket(vec, nBits, dim, planeOffset):
     * generated with the same rhpSign constants, same left-associative
     * addition order, so doubles match bit-for-bit. */
@@ -342,6 +390,23 @@ object PipelineQueries {
           col("probes").as("q_probes"))
       Similarity.ivfTopKMultiProbe(assigned, q, 5)
         .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // product-quantization ADC top-5: corpus encoded to 2 subspace
+    // codes (4 centroids each, deterministic Lloyd), queries score the
+    // CODES — the 100 TB ANN memory path (codes are m bytes/vector,
+    // the float vectors are never read after encoding)
+    "s08_pq_adc_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val books = Similarity.pqTrain(e, "embedding", "vec_id",
+        m = 2, k = 4, iters = 1)
+      val encoded = Similarity.pqEncode(e, "embedding", books)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.pqTopK(encoded.select("vec_id", "codes"), q, 5, books)
+        .select(col("q_id"), col("vec_id"), r4(col("adc")).as("adc"),
           col("rank"))
         .orderBy("q_id", "rank")
     }),
@@ -986,6 +1051,20 @@ object PipelineQueries {
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
            FROM scored)
          SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "s08_pq_adc_topk" ->
+      s"""WITH ${oPqSub("p0", 1, 32)},
+         ${oPqSub("p1", 33, 64)},
+         summed AS (
+           SELECT a0.q_id, a0.vec_id, a0.d + a1.d AS adc
+           FROM p0adc a0 JOIN p1adc a1 USING (q_id, vec_id)
+           WHERE vec_id <> q_id),
+         ranked AS (
+           SELECT q_id, vec_id, adc, row_number() OVER
+             (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+           FROM summed)
+         SELECT q_id, vec_id, round(adc, 4) AS adc, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s01_cosine_topk" ->

@@ -227,6 +227,83 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("cos"), col("rank"))
   }
 
+  // ---- Product quantization (PQ / ADC) ------------------------------
+
+  /**
+   * Train per-subspace PQ codebooks: the vector splits into `m`
+   * contiguous subvectors (dim must divide evenly) and each subspace
+   * gets its own deterministic Lloyd codebook of `k` centroids (seeded
+   * by the k lowest-id vectors, identical discipline to
+   * [[kmeansAssign]] — same 1e-6-rounded distances, same
+   * lowest-centroid tie-break, emptied clusters keep their centroid).
+   *
+   * PQ is the memory/IO lever for ANN at 100 TB: the corpus is stored
+   * as m small codes (m bytes at k ≤ 256) instead of dim floats — 32×
+   * compression at dim=64/m=2/float32 — and query-time scoring reads
+   * ONLY the codes column. The codebooks are k·dim doubles held on the
+   * driver (like the IVF centroids): legitimately tiny.
+   */
+  def pqTrain(df: DataFrame, vecCol: String, idCol: String,
+              m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim does not split into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = df.withColumn("__sub", slice(col(vecCol), s * sub + 1, sub))
+      trainCentroids(sliced, "__sub", idCol, k, iters)
+    }
+  }
+
+  /** Per-subspace argmin code assignment: adds `codes`, an
+    * array<int> of length m — the ONLY per-vector state [[pqTopK]]
+    * reads. Same rounded-distance/tie-break as [[kmeansAssign]]. */
+  def pqEncode(df: DataFrame, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sub = codebooks.head.head.size
+    val codeCols = codebooks.zipWithIndex.map { case (cents, s) =>
+      val dists = centroidDists(slice(col(vecCol), s * sub + 1, sub), cents)
+      val minD = least(dists.map(_._2): _*)
+      dists.foldRight(lit(-1): Column) { case ((i, d), elze) =>
+        when(d === minD, lit(i)).otherwise(elze)
+      }
+    }
+    df.withColumn("codes", array(codeCols: _*))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k: each query scores corpus CODES
+   * against its own subvectors — corpus vectors are never read after
+   * encoding. Score = Σ over subspaces of the 1e-6-rounded squared L2
+   * distance from the query subvector to the code's centroid;
+   * ascending, ties by corpus id. The queries (plus the codebook
+   * literals inside the projection) broadcast; the codes column
+   * streams through one codegen'd stage with no shuffle before the
+   * per-query top-k window.
+   */
+  def pqTopK(codes: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Seq[Seq[Seq[Double]]],
+             corpusId: String = "vec_id",
+             queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val sub = codebooks.head.head.size
+    val score = codebooks.zipWithIndex.map { case (cents, s) =>
+      val qs = slice(col(queryVec), s * sub + 1, sub)
+      val cent = element_at(typedlit(cents), col("codes").getItem(s) + 1)
+      val d = aggregate(
+        zip_with(qs, cent, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x)
+      floor(d * 1e6 + 0.5) / 1e6
+    }.reduce(_ + _)
+    codes.select(col(corpusId), col("codes"))
+      .crossJoin(broadcast(queries.select(col(queryId), col(queryVec))))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("adc", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("adc").asc, col(corpusId).asc)))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("adc"), col("rank"))
+  }
+
   /**
    * ANN top-k via multi-table random-hyperplane LSH: only corpus
    * vectors sharing a bucket with the query (in any of `tables`

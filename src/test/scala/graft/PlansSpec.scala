@@ -100,7 +100,9 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d10_keep_best", "s01_cosine_topk", "s03_rhp_ann", "s07_ivf_multiprobe",
       "t01_text_stats", "t06_tfidf", "t10_pii_scrub", "t11_chunks",
       "t12_bpe_merges", "t13_cdc_chunks", "q51_calendar_month",
-      "q53_mimmax_group", "m04_frame_sample")
+      "q53_mimmax_group", "m04_frame_sample",
+      "q60_put_json", "q61_export_roundtrip", "q62_mimmin_group",
+      "s08_pq_adc_topk")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution

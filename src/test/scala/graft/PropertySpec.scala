@@ -363,6 +363,39 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     single.foreach { case (q, c) => assert(multi(q) >= c, s"q $q") }
   }
 
+  test("property: PQ codes are the argmin over every code combination") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.pqTrain(e, "embedding", "vec_id", m = 2, k = 4,
+      iters = 1)
+    assert(books.size == 2 && books.forall(_.size == 4) &&
+      books.forall(_.forall(_.size == 32)))
+    // training is deterministic: second run yields identical codebooks
+    assert(books == Similarity.pqTrain(e, "embedding", "vec_id", 2, 4, 1))
+    val sample = Similarity.pqEncode(e, "embedding", books)
+      .select(col("vec_id"), col("embedding"), col("codes")).limit(40)
+      .collect()
+    def rd(v: Seq[Double], c: Seq[Double]): Double = {
+      val s = v.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+        acc + (a - b) * (a - b) }
+      math.floor(s * 1e6 + 0.5) / 1e6
+    }
+    sample.foreach { r =>
+      val vec = r.getSeq[Float](1).map(_.toDouble)
+      val codes = r.getSeq[Int](2)
+      (0 until 2).foreach { s =>
+        val sub = vec.slice(s * 32, s * 32 + 32)
+        val dists = books(s).map(c => rd(sub, c))
+        val best = dists.min
+        // assigned code achieves the min; ties break to the LOWEST id,
+        // matching kmeansAssign (so ADC(v, codes(v)) is globally
+        // minimal — the score decomposes per subspace)
+        assert(dists(codes(s)) == best)
+        assert(codes(s) == dists.indexOf(best))
+      }
+    }
+  }
+
   test("property: results are invariant to input partitioning") {
     import spark.implicits._
     // on a real cluster partition boundaries are arbitrary — any
