@@ -266,6 +266,73 @@ object Ingest {
         unix_millis(col("w.start")).as("ts"),
         col("sum"), col("count"), col("min"), col("max"))
 
+  /** One arriving point for [[rateStream]] (typed for the encoder). */
+  case class RatePoint(seriesId: Long, metric: String, ts: Long,
+                       value: Double)
+  /** Per-series rate state: the last seen (ts, value) — 24 bytes. */
+  case class RateState(ts: Long, value: Double)
+  /** One emitted rate point. */
+  case class RateOut(seriesId: Long, metric: String, ts: Long, rate: Double)
+
+  /**
+   * Streaming per-series RATE — the streaming form of §2.7
+   * (reference src/core/RateSpan.java:103-180 semantics: seconds-based
+   * dv/dt, counter rollover via counterMax, resetValue spike-to-zero,
+   * dropResets): each series keeps ONE (ts, value) pair of state via
+   * `flatMapGroupsWithState`, so state is bounded by series
+   * cardinality, never by stream length — the custom-state Structured
+   * Streaming path for operators the windowed-agg machinery can't
+   * express (rate needs the *previous point*, not a window aggregate).
+   *
+   * Each micro-batch's points are processed in event-time order per
+   * series; a point at-or-before the carried state timestamp (a
+   * cross-batch straggler) is dropped like the batch path drops
+   * zero-interval pairs — feed an event-time-ordered source (or accept
+   * that stragglers produce no rate) for batch-identical output.
+   */
+  def rateStream(points: DataFrame,
+                 opts: graft.query.RateOptions = graft.query.RateOptions())
+      : org.apache.spark.sql.Dataset[RateOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .withColumn("series_id",
+        graft.model.Points.seriesId(col("metric"), col("tags")))
+      .select(col("series_id").as("seriesId"), col("metric"), col("ts"),
+        col("value"))
+      .as[RatePoint]
+      .groupByKey(_.seriesId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[RatePoint], state: GroupState[RateState]) => {
+          val out = Seq.newBuilder[RateOut]
+          var prev = state.getOption
+          it.toSeq.sortBy(_.ts).foreach { p =>
+            prev match {
+              case Some(pr) if p.ts > pr.ts =>
+                val dt = (p.ts - pr.ts) / 1000.0
+                val delta = p.value - pr.value
+                if (!(opts.dropResets && delta < 0)) {
+                  val r =
+                    if (opts.counter && delta < 0)
+                      (opts.counterMax.toDouble - pr.value + p.value) / dt
+                    else delta / dt
+                  val clipped =
+                    if (opts.counter && opts.resetValue > 0 &&
+                      r > opts.resetValue) 0.0
+                    else r
+                  out += RateOut(p.seriesId, p.metric, p.ts, clipped)
+                }
+                prev = Some(RateState(p.ts, p.value))
+              case Some(_) => // straggler at/behind state: no rate point
+              case None => prev = Some(RateState(p.ts, p.value))
+            }
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /**
    * Sliding-window streaming aggregation — the streaming form of
    * `movingAverage(time)` (SURVEY §2.12: tumbling covers rollups,

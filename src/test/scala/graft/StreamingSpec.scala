@@ -624,6 +624,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st == Map("rpc.received" -> 2L, "query.errors" -> 3L))
   }
 
+  test("streaming rate carries one (ts,value) state per series across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val pts = Ingest.parsePutLines(mem.toDF())
+      .filter(col("_error").isNull).drop("_error")
+    val rates = Ingest.rateStream(pts,
+      graft.query.RateOptions(counter = true, counterMax = 100L))
+    val q = rates.toDF().writeStream.format("memory")
+      .queryName("rate_stream_test").outputMode("append").start()
+    mem.addData(
+      "put cpu 1700000000 10 host=a",
+      "put cpu 1700000010 30 host=a",  // (30-10)/10 = 2.0
+      "put cpu 1700000000 5 host=b")
+    q.processAllAvailable()
+    mem.addData(
+      // next batch: prev state for host=a is (t+10, 30)
+      "put cpu 1700000020 90 host=a",  // (90-30)/10 = 6.0
+      "put cpu 1700000030 20 host=a",  // rollover: (100-90+20)/10 = 3.0
+      "put cpu 1700000010 8 host=b")   // (8-5)/10 = 0.3
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rate_stream_test")
+      .select("metric", "ts", "rate").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got == Seq(
+      (1700000010000L, 2.0), (1700000010000L, 0.3),
+      (1700000020000L, 6.0), (1700000030000L, 3.0)).sorted)
+    // equivalence: same points through the BATCH rate operator
+    val batch = graft.operators.Rate(
+      Ingest.parsePutLines(Seq(
+        "put cpu 1700000000 10 host=a", "put cpu 1700000010 30 host=a",
+        "put cpu 1700000020 90 host=a", "put cpu 1700000030 20 host=a",
+        "put cpu 1700000000 5 host=b", "put cpu 1700000010 8 host=b")
+        .toDF("value")).filter(col("_error").isNull).drop("_error"),
+      graft.query.RateOptions(counter = true, counterMax = 100L))
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(batch == got)
+  }
+
   test("serializers endpoint lists the built-in JSON serializer") {
     val r = Introspect.serializers(spark).collect()
     assert(r.length == 1)
