@@ -476,10 +476,52 @@ object Engine {
    * When the query is not ms-resolution, dps keys are epoch seconds
    * (TSQuery.msResolution, src/core/TSQuery.java).
    */
+  /** The sub-query as a literal struct column — the `query` ride-along
+    * of show_query (reference TSQuery.showQuery: the parsed TSSubQuery
+    * is echoed into each result document). */
+  private def subQueryStruct(sub: SubQuery): Column = {
+    def fType(f: TagFilter): String = f match {
+      case l: LiteralOr => if (l.caseInsensitive) "iliteral_or" else "literal_or"
+      case l: NotLiteralOr =>
+        if (l.caseInsensitive) "not_iliteral_or" else "not_literal_or"
+      case w: Wildcard => if (w.caseInsensitive) "iwildcard" else "wildcard"
+      case _: RegexpFilter => "regexp"
+      case _: NotKey => "not_key"
+      case _: GroupByAll => "wildcard"
+      case _: PluginFilter => "plugin"
+    }
+    def fExpr(f: TagFilter): String = f match {
+      case l: LiteralOr => l.values.mkString("|")
+      case l: NotLiteralOr => l.values.mkString("|")
+      case w: Wildcard => w.pattern
+      case r: RegexpFilter => r.regex
+      case _: GroupByAll => "*"
+      case _ => ""
+    }
+    val filters =
+      if (sub.filters.isEmpty) array().cast(
+        "array<struct<type:string,tagk:string,filter:string,groupBy:boolean>>")
+      else array(sub.filters.map(f => struct(
+        lit(fType(f)).as("type"), lit(f.tagk).as("tagk"),
+        lit(fExpr(f)).as("filter"), lit(f.groupBy).as("groupBy"))): _*)
+    struct(
+      lit(sub.aggregator).as("aggregator"),
+      lit(sub.metric).as("metric"),
+      lit(sub.rate.isDefined).as("rate"),
+      lit(sub.downsample.map(d =>
+        if (d.intervalMs == 0) s"0all-${d.aggregator}"
+        else s"${d.intervalMs}ms-${d.aggregator}").orNull).as("downsample"),
+      lit(sub.explicitTags).as("explicitTags"),
+      filters.as("filters"))
+  }
+
   def serializeV1(points: DataFrame, query: TsQuery, sub: SubQuery,
                   rollups: Seq[RollupTable] = Seq.empty,
                   globalAnnotations: Option[DataFrame] = None,
-                  showTsuids: Boolean = false): DataFrame = {
+                  showTsuids: Boolean = false,
+                  showQuery: Boolean = false,
+                  showStats: Boolean = false,
+                  showSummary: Boolean = false): DataFrame = {
     val groupKeys = TagFilters.groupByKeys(sub.filters)
     val result = run(points, query, sub, rollups)
     val outTs =
@@ -516,15 +558,31 @@ object Engine {
           .groupBy(col("metric") +: tagCols: _*)
           .agg(array_sort(collect_set(col("__tsuid"))).as("tsuids")),
         keys, "left")
-    val base = withTsuids
+    // show_stats (reference HttpJsonSerializer: per-query stats object;
+    // the deterministic members here — timings belong to the runtime
+    // counters, Introspect.statsCounters)
+    val withStats =
+      if (!showStats) withTsuids
+      else withTsuids.join(
+        Points.withSeriesId(scanned)
+          .select((col("metric") +: groupKeys.map(k =>
+            col("tags").getItem(k).as(s"tag_$k"))) :+ col("series_id"): _*)
+          .groupBy(col("metric") +: tagCols: _*)
+          .agg(countDistinct(col("series_id")).as("__series")),
+        keys, "left")
+    val base = withStats
     val fields = Seq(
       col("metric"),
       map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*).as("tags"),
       coalesce(col("aggregateTags"),
         array().cast("array<string>")).as("aggregateTags"),
       col("dps")) ++
-      (if (showTsuids) Seq(col("tsuids")) else Seq.empty)
-    globalAnnotations match {
+      (if (showTsuids) Seq(col("tsuids")) else Seq.empty) ++
+      (if (showQuery) Seq(subQueryStruct(sub).as("query")) else Seq.empty) ++
+      (if (showStats) Seq(struct(
+        size(col("dps")).as("aggregatedSize"),
+        col("__series").as("series")).as("stats")) else Seq.empty)
+    val docs = globalAnnotations match {
       case None => base.select(to_json(struct(fields: _*)).as("json"))
       case Some(ann) =>
         // globalAnnotations=true (reference QueryRpc.java:124-320):
@@ -541,5 +599,13 @@ object Engine {
           .select(to_json(struct(fields :+ col("globalAnnotations"): _*))
             .as("json"))
     }
+    // show_summary (reference FinalCB: {"statsSummary": …} appended as
+    // an EXTRA array element after the result documents)
+    if (!showSummary) docs
+    else docs.unionByName(base
+      .agg(count(lit(1)).as("groups"),
+        sum(size(col("dps"))).as("emittedDPs"))
+      .select(to_json(struct(struct(col("groups"), col("emittedDPs"))
+        .as("statsSummary"))).as("json")))
   }
 }

@@ -614,6 +614,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.forall(doc.contains))
   }
 
+  test("serializeV1 show_query/show_stats/show_summary ride-alongs") {
+    import scala.jdk.CollectionConverters._
+    import graft.query.{QueryParser, TsQuery}
+    val p = spark.createDataFrame(Seq(
+      Row("cpu", 1000L, 1.0, null, false, Map("host" -> "a")),
+      Row("cpu", 2000L, 3.0, null, false, Map("host" -> "a")),
+      Row("cpu", 1000L, 5.0, null, false, Map("host" -> "b"))
+    ).asJava, Points.schema)
+    val q = TsQuery(0L, 3000L, Seq.empty)
+    val sub = QueryParser.parseSubQuery("sum:cpu{host=*}")
+    val docs = Engine.serializeV1(p, q, sub, showQuery = true,
+        showStats = true, showSummary = true)
+      .collect().map(_.getString(0))
+    // per-group documents + ONE trailing statsSummary element
+    val summaries = docs.filter(_.contains("\"statsSummary\""))
+    assert(summaries.length == 1)
+    assert(summaries(0).contains("\"groups\":2") &&
+      summaries(0).contains("\"emittedDPs\":3"))
+    val series = docs.filterNot(_.contains("statsSummary"))
+    assert(series.length == 2)
+    // the echoed query object carries the parsed sub-query
+    series.foreach { d =>
+      assert(d.contains("\"query\":{\"aggregator\":\"sum\""), d)
+      assert(d.contains("\"metric\":\"cpu\""), d)
+      assert(d.contains("\"filters\":[{\"type\":\"wildcard\"," +
+        "\"tagk\":\"host\",\"filter\":\"*\",\"groupBy\":true}]"), d)
+    }
+    // per-series stats: host=a emitted 2 dps from 1 series
+    val a = series.find(_.contains("\"host\":\"a\"")).get
+    assert(a.contains("\"stats\":{\"aggregatedSize\":2,\"series\":1}"), a)
+  }
+
   test("runtime stats counters count engine sub-queries") {
     Introspect.resetStats()
     Introspect.incr("rpc.received")
