@@ -918,6 +918,94 @@ object SparkEntry {
         org.apache.spark.sql.Row("put m notatime 1 a=b")), badSchema)
       graft.sources.Ingest.putSummary(
         graft.sources.Ingest.parsePutLines(lines.unionByName(bad)))
+    }),
+
+    // §2.14 /api/stats over the points table: per-metric point counts
+    // and time bounds (the Spark engine's operational-stats analogue of
+    // the reference's TSD counters, RpcManager.java:280-331)
+    "q66_stats" -> ((s, dir) =>
+      graft.meta.Introspect.stats(pts(s, dir)).orderBy("metric")),
+
+    // §2.14 TSMeta-style distinct-series table (reference
+    // src/meta/TSMeta.java): one row per series with first/last seen
+    // and point count — the base for suggest/lookup/tsuid resolution
+    "q67_series_meta" -> ((s, dir) => {
+      val m = graft.meta.Introspect.seriesMeta(pts(s, dir))
+      m.select(col("metric"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k"),
+          col("first_seen"), col("last_seen"), col("points"))
+        .orderBy("metric", "tag_user", "tag_k")
+    }),
+
+    // §2.12 sliding-window streaming aggregation under oracle: the
+    // streaming movingAverage(time) form (10m windows sliding by 5m —
+    // every point lands in exactly two windows); complete-mode memory
+    // sink via Trigger.AvailableNow, one output row per (series, window)
+    "q68_sliding_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = pts(s, dir).filter(col("metric") === "purchase" &&
+        col("ts") >= T_0105 && col("ts") < T_0105 + 7 * DAY)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q68_")
+      val src = tmp.resolve("src").toString
+      graft.sources.Export.toPutLines(base).coalesce(1).write.text(src)
+      val ptsStream = graft.sources.Ingest.parsePutLines(s.readStream.text(src))
+        .filter(col("_error").isNull).drop("_error")
+      val sink = s"q68_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.sources.Ingest
+        .slidingAvgStream(ptsStream, "10 minutes", "5 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).select(col("metric"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k"),
+          col("ts"), r4(col("avg")).as("avg_v"), col("count").as("n"))
+        .orderBy("metric", "tag_user", "tag_k", "ts")
+    }),
+
+    // §2.1 /api/rollup JSON sink oracle-backed: hourly pre-aggregates
+    // rendered as RollupDataPointRpc bodies (interval + aggregator ride
+    // along), parsed back and re-aggregated — proving externally
+    // computed rollups land loss-free in the engine's rollup model
+    "q69_rollup_json" -> ((s, dir) => {
+      val hour = pts(s, dir).filter(col("metric") === "click")
+        .groupBy(col("metric"), (col("ts") - col("ts") % HOUR).as("ts"),
+          col("tags").getItem("user").as("u"))
+        .agg(sum(col("value")).as("v"))
+      val bodies = hour.select(to_json(struct(
+          col("metric"), col("ts").as("timestamp"),
+          col("v").cast("string").as("value"),
+          lit("1h").as("interval"), lit("SUM").as("aggregator"),
+          map(lit("user"), col("u")).as("tags"))).as("value"))
+      graft.sources.Ingest.parseRollupJson(bodies)
+        .groupBy(col("metric"), col("interval"), col("aggregator"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .orderBy("metric")
+    }),
+
+    // §2.1 /api/histogram JSON sink oracle-backed: fixed-width value
+    // histograms per hour rendered as SimpleHistogram bodies (bucket
+    // map keyed "lo,hi"), parsed back to relational bucket rows and
+    // merged by plain groupBy+sum — the mergeability the histogram
+    // query path (q22/q43) depends on
+    "q70_histogram_json" -> ((s, dir) => {
+      val binW = 10.0
+      val hb = pts(s, dir).filter(col("metric") === "purchase")
+        .groupBy(col("metric"), (col("ts") - col("ts") % HOUR).as("ts"),
+          (floor(col("value") / binW) * binW).as("lo"))
+        .agg(count(lit(1)).as("c"))
+      val bodies = hb.groupBy(col("metric"), col("ts"))
+        .agg(map_from_entries(collect_list(struct(
+          concat(col("lo").cast("string"), lit(","),
+            (col("lo") + binW).cast("string")).as("k"),
+          col("c").as("v")))).as("buckets"))
+        .select(to_json(struct(col("metric"), col("ts").as("timestamp"),
+          col("buckets"), map(lit("host"), lit("a")).as("tags"))).as("value"))
+      graft.sources.Ingest.parseHistogramJson(bodies)
+        .groupBy(col("metric"), col("bucket_lo"), col("bucket_hi"))
+        .agg(sum(col("count")).as("n"))
+        .orderBy("metric", "bucket_lo")
     })
   )
 
@@ -1766,6 +1854,44 @@ object SparkEntry {
 
     "q65_put_summary" ->
       s"""$O SELECT count(*) AS success, CAST(3 AS BIGINT) AS failed
-         FROM points WHERE metric = 'view'"""
+         FROM points WHERE metric = 'view'""",
+
+    "q66_stats" ->
+      s"""$O SELECT metric, count(*) AS points, min(ts) AS first_ts,
+           max(ts) AS last_ts
+         FROM points GROUP BY metric ORDER BY metric""",
+
+    "q67_series_meta" ->
+      s"""$O SELECT metric, tag_user, tag_k, min(ts) AS first_seen,
+           max(ts) AS last_seen, count(*) AS points
+         FROM points GROUP BY metric, tag_user, tag_k
+         ORDER BY metric, tag_user, tag_k""",
+
+    "q68_sliding_stream" ->
+      s"""$O, sl AS (
+           SELECT metric, tag_user, tag_k, value,
+             ts - ts % 300000 - o.off AS w
+           FROM points CROSS JOIN (VALUES (0), (300000)) o(off)
+           WHERE metric = 'purchase'
+             AND ts >= $T_0105 AND ts < ${T_0105 + 7 * DAY})
+         SELECT metric, tag_user, tag_k, w AS ts,
+           round(avg(value), 4) AS avg_v, count(*) AS n
+         FROM sl GROUP BY metric, tag_user, tag_k, w
+         ORDER BY metric, tag_user, tag_k, ts""",
+
+    "q69_rollup_json" ->
+      s"""$O, h AS (
+           SELECT metric, ts - ts % $HOUR AS ts, tag_user, sum(value) AS v
+           FROM points WHERE metric = 'click' GROUP BY 1, 2, 3)
+         SELECT metric, '1h' AS interval, 'sum' AS aggregator,
+           count(*) AS n, round(sum(v), 4) AS sum_v
+         FROM h GROUP BY metric ORDER BY metric""",
+
+    "q70_histogram_json" ->
+      s"""$O SELECT metric, floor(value / 10) * 10 AS bucket_lo,
+           floor(value / 10) * 10 + 10 AS bucket_hi, count(*) AS n
+         FROM points WHERE metric = 'purchase'
+         GROUP BY metric, floor(value / 10) * 10
+         ORDER BY metric, bucket_lo"""
   )
 }
