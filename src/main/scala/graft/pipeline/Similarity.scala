@@ -280,12 +280,14 @@ object Similarity {
    * streams through one codegen'd stage with no shuffle before the
    * per-query top-k window.
    */
-  def pqTopK(codes: DataFrame, queries: DataFrame, k: Int,
-             codebooks: Seq[Seq[Seq[Double]]],
-             corpusId: String = "vec_id",
-             queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+  /** The ADC score column: Σ over subspaces of the 1e-6-rounded
+    * squared L2 distance from the query subvector to the centroid the
+    * corpus row's code names. Pure literal arithmetic — whole-stage
+    * codegen'd, no shuffle. */
+  private def adcScore(codebooks: Seq[Seq[Seq[Double]]],
+                       queryVec: String): Column = {
     val sub = codebooks.head.head.size
-    val score = codebooks.zipWithIndex.map { case (cents, s) =>
+    codebooks.zipWithIndex.map { case (cents, s) =>
       val qs = slice(col(queryVec), s * sub + 1, sub)
       val cent = element_at(typedlit(cents), col("codes").getItem(s) + 1)
       val d = aggregate(
@@ -293,9 +295,43 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       floor(d * 1e6 + 0.5) / 1e6
     }.reduce(_ + _)
+  }
+
+  def pqTopK(codes: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Seq[Seq[Seq[Double]]],
+             corpusId: String = "vec_id",
+             queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val score = adcScore(codebooks, queryVec)
     codes.select(col(corpusId), col("codes"))
       .crossJoin(broadcast(queries.select(col(queryId), col(queryVec))))
       .filter(col(corpusId) =!= col(queryId))
+      .withColumn("adc", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("adc").asc, col(corpusId).asc)))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("adc"), col("rank"))
+  }
+
+  /**
+   * IVF-PQ top-k: the coarse IVF cell restricts candidates (like
+   * [[ivfTopK]]) and PQ asymmetric distance scores them (like
+   * [[pqTopK]]) — the composed production ANN design: cell pruning
+   * cuts the scan to 1/k of the corpus, PQ codes cut the bytes per
+   * scanned row. `codes` must carry the corpus id, `codes` array and
+   * the coarse cell column.
+   */
+  def ivfPqTopK(codes: DataFrame, queries: DataFrame, k: Int,
+                codebooks: Seq[Seq[Seq[Double]]],
+                cellCol: String = "cluster",
+                corpusId: String = "vec_id",
+                queryId: String = "q_id", queryVec: String = "q_vec",
+                queryCell: String = "q_cell"): DataFrame = {
+    val score = adcScore(codebooks, queryVec)
+    codes.select(col(corpusId), col("codes"), col(cellCol))
+      .join(broadcast(queries.select(col(queryId), col(queryVec),
+          col(queryCell))),
+        col(cellCol) === col(queryCell) && col(corpusId) =!= col(queryId))
       .withColumn("adc", score)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId))

@@ -396,6 +396,39 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: IVF-PQ == PQ ADC restricted to the query's cell") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id", 4, 1)
+    val books = Similarity.pqTrain(e, "embedding", "vec_id", 2, 4, 1)
+    val encoded = Similarity.pqEncode(assigned, "embedding", books)
+      .select("vec_id", "codes", "cluster")
+    val q = assigned.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cluster").as("q_cell"))
+    val composed = Similarity.ivfPqTopK(encoded, q, 5, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // reference computation: run full-corpus ADC per query, drop
+    // candidates outside the query's cell, re-rank
+    val cells = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = q.collect().flatMap { qr =>
+      val qid = qr.getLong(0)
+      Similarity.pqTopK(encoded, q.filter(col("q_id") === qid), Int.MaxValue,
+          books)
+        .collect()
+        .filter(r => cells(r.getLong(1)) == cells(qid))
+        .sortBy(r => (r.getDouble(2), r.getLong(1)))
+        .take(5).zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(1), i + 1) }
+    }.toSet
+    assert(composed == expected)
+    // every composed candidate shares the query's coarse cell
+    composed.foreach { case (qid, vid, _) =>
+      assert(cells(vid) == cells(qid))
+    }
+  }
+
   test("property: results are invariant to input partitioning") {
     import spark.implicits._
     // on a real cluster partition boundaries are arbitrary — any
@@ -422,6 +455,17 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     }
     assert(kmeans(2) == kmeans(11))
+    def pq(parts: Int) = {
+      val vecs = (0L until 40L)
+        .map(i => (i, Array.tabulate(8)(d => (i * 3 + d * d).toFloat % 7)))
+        .toDF("vec_id", "embedding").repartition(parts)
+      val books = graft.pipeline.Similarity
+        .pqTrain(vecs, "embedding", "vec_id", m = 2, k = 3, iters = 2)
+      graft.pipeline.Similarity.pqEncode(vecs, "embedding", books)
+        .select("vec_id", "codes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    }
+    assert(pq(2) == pq(11))
   }
 
   test("property: duplicateClusters == brute-force connected components") {
