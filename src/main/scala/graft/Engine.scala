@@ -521,7 +521,8 @@ object Engine {
                   showTsuids: Boolean = false,
                   showQuery: Boolean = false,
                   showStats: Boolean = false,
-                  showSummary: Boolean = false): DataFrame = {
+                  showSummary: Boolean = false,
+                  seriesAnnotations: Option[DataFrame] = None): DataFrame = {
     val groupKeys = TagFilters.groupByKeys(sub.filters)
     val result = run(points, query, sub, rollups)
     val outTs =
@@ -570,7 +571,27 @@ object Engine {
           .groupBy(col("metric") +: tagCols: _*)
           .agg(countDistinct(col("series_id")).as("__series")),
         keys, "left")
-    val base = withStats
+    // per-series annotations (reference HttpJsonSerializer: each result
+    // document carries the `annotations` of its MEMBER series whose
+    // start time falls in the query range, sorted) — keyed by the
+    // series hash, the same id the annotation CRUD and tsuid queries use
+    val withAnns = seriesAnnotations match {
+      case None => withStats
+      case Some(ann) =>
+        val perGroup = Points.withSeriesId(scanned)
+          .select((col("metric") +: groupKeys.map(k =>
+            col("tags").getItem(k).as(s"tag_$k"))) :+ col("series_id"): _*)
+          .distinct()
+          .join(ann.filter(col("start_ts").between(query.startMs, query.endMs))
+              .select(col("series").as("__as"), col("start_ts"),
+                col("end_ts"), col("description")),
+            col("series_id") === col("__as"))
+          .groupBy(col("metric") +: tagCols: _*)
+          .agg(array_sort(collect_list(struct(col("start_ts"),
+            col("end_ts"), col("description")))).as("annotations"))
+        withStats.join(perGroup, keys, "left")
+    }
+    val base = withAnns
     val fields = Seq(
       col("metric"),
       map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*).as("tags"),
@@ -581,7 +602,10 @@ object Engine {
       (if (showQuery) Seq(subQueryStruct(sub).as("query")) else Seq.empty) ++
       (if (showStats) Seq(struct(
         size(col("dps")).as("aggregatedSize"),
-        col("__series").as("series")).as("stats")) else Seq.empty)
+        col("__series").as("series")).as("stats")) else Seq.empty) ++
+      (if (seriesAnnotations.isDefined) Seq(coalesce(col("annotations"),
+        array().cast("array<struct<start_ts:bigint,end_ts:bigint," +
+          "description:string>>")).as("annotations")) else Seq.empty)
     val docs = globalAnnotations match {
       case None => base.select(to_json(struct(fields: _*)).as("json"))
       case Some(ann) =>

@@ -614,6 +614,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.forall(doc.contains))
   }
 
+  test("serializeV1 attaches per-series annotations to their own group only") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.query.{QueryParser, TsQuery}
+    val p = spark.createDataFrame(Seq(
+      Row("cpu", 1000L, 1.0, null, false, Map("host" -> "a")),
+      Row("cpu", 2000L, 3.0, null, false, Map("host" -> "b"))
+    ).asJava, Points.schema)
+    val idOf = Points.withSeriesId(p).select(
+        col("tags").getItem("host").as("h"), col("series_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ann = Seq(
+      (idOf("a"), 1500L, 1600L, "a-scoped"),
+      (idOf("b"), 9000L, 9100L, "b-out-of-range"))
+      .toDF("series", "start_ts", "end_ts", "description")
+    val q = TsQuery(0L, 3000L, Seq.empty)
+    val sub = QueryParser.parseSubQuery("sum:cpu{host=*}")
+    val docs = Engine.serializeV1(p, q, sub, seriesAnnotations = Some(ann))
+      .collect().map(_.getString(0))
+    val a = docs.find(_.contains("\"host\":\"a\"")).get
+    val b = docs.find(_.contains("\"host\":\"b\"")).get
+    assert(a.contains("a-scoped"), a)
+    assert(!b.contains("a-scoped") && !b.contains("b-out-of-range"), b)
+    assert(b.contains("\"annotations\":[]"), b)
+  }
+
   test("serializeV1 show_query/show_stats/show_summary ride-alongs") {
     import scala.jdk.CollectionConverters._
     import graft.query.{QueryParser, TsQuery}
