@@ -411,6 +411,27 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-PQ top-5: trained coarse cells prune candidates (s05's
+    // quantizer) and PQ codes score them (s08's ADC) — the composed
+    // production ANN design; corpus float vectors are read only at
+    // train/encode time, the serving scan touches cells + codes only
+    "s09_ivf_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id",
+        k = 4, iters = 1)
+      val books = Similarity.pqTrain(e, "embedding", "vec_id",
+        m = 2, k = 4, iters = 1)
+      val encoded = Similarity.pqEncode(assigned, "embedding", books)
+      val q = encoded.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("cluster").as("q_cell"))
+      Similarity.ivfPqTopK(encoded.select("vec_id", "codes", "cluster"),
+          q, 5, books)
+        .select(col("q_id"), col("vec_id"), r4(col("adc")).as("adc"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // brute-force cosine top-10 for 3 query vectors
     "s01_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -1064,6 +1085,27 @@ object PipelineQueries {
            SELECT q_id, vec_id, adc, row_number() OVER
              (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
            FROM summed)
+         SELECT q_id, vec_id, round(adc, 4) AS adc, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "s09_ivf_pq_topk" ->
+      s"""WITH $oKmeansA2,
+         ${oPqSub("p0", 1, 32)},
+         ${oPqSub("p1", 33, 64)},
+         summed AS (
+           SELECT a0.q_id, a0.vec_id, a0.d + a1.d AS adc
+           FROM p0adc a0 JOIN p1adc a1 USING (q_id, vec_id)
+           WHERE vec_id <> q_id),
+         cellok AS (
+           SELECT s.q_id, s.vec_id, s.adc
+           FROM summed s
+             JOIN a2 cq ON cq.vec_id = s.q_id
+             JOIN a2 cc ON cc.vec_id = s.vec_id
+           WHERE cq.cluster = cc.cluster),
+         ranked AS (
+           SELECT q_id, vec_id, adc, row_number() OVER
+             (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+           FROM cellok)
          SELECT q_id, vec_id, round(adc, 4) AS adc, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
