@@ -269,6 +269,16 @@ object PipelineQueries {
         .orderBy("content_hash")
     }),
 
+    // MassiveText-style sub-document dedup: 8-token segments, each
+    // distinct segment kept only at its first corpus occurrence,
+    // documents reassembled from the survivors
+    "d11_segment_dedup" -> ((s, dir) => {
+      Dedup.segmentDedup(docs(s, dir), "text", "doc_id", width = 8)
+        .select(col("id").as("doc_id"), col("n_seg"), col("n_kept"),
+          col("dedup_text"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram (3-shingle) Jaccard near-dup pairs via postings join
     // (shares the materialized postings with d03)
     "d02_ngram_jaccard" -> ((s, dir) => {
@@ -788,6 +798,40 @@ object PipelineQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
            count(*) AS n_docs
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+
+    "d11_segment_dedup" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id, unnest(list_transform(range(0, len(tk), 8),
+             s -> struct_pack(
+               st := s,
+               ck := array_to_string(list_slice(tk, CAST(s + 1 AS INT),
+                 CAST(least(s + 8, len(tk)) AS INT)), ' ')))) AS ch
+           FROM t WHERE len(tk) > 0),
+         seg AS (
+           SELECT doc_id, ch.st AS start, ch.ck AS segment,
+             ${oH60("ch.ck")} AS h
+           FROM c),
+         kept AS (
+           SELECT doc_id, start, segment FROM (
+             SELECT doc_id, start, segment,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, start)
+                 AS rn
+             FROM seg) WHERE rn = 1),
+         pa AS (SELECT doc_id, count(*) AS n_seg FROM seg GROUP BY doc_id),
+         pk AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(segment, ' ' ORDER BY start) AS dedup_text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(pa.n_seg, 0) AS n_seg,
+           coalesce(pk.n_kept, 0) AS n_kept,
+           coalesce(pk.dedup_text, '') AS dedup_text
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN pa USING (doc_id) LEFT JOIN pk USING (doc_id)
+         ORDER BY doc_id""",
 
     "d02_ngram_jaccard" ->
       s"""$O_SH,

@@ -39,6 +39,50 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
+  /**
+   * Segment-level exact dedup — MassiveText-style paragraph dedup
+   * generalized to fixed non-overlapping token windows (the segment
+   * boundary when the text carries no newlines): each distinct
+   * segment survives only at its FIRST corpus occurrence (lowest id,
+   * then lowest start offset); every later occurrence is dropped and
+   * the documents are reassembled from their surviving segments in
+   * order. Returns one row per input document:
+   * (id, n_seg, n_kept, dedup_text).
+   *
+   * 100 TB shape: chunking is scan-shaped (no shuffle);
+   * first-occurrence is ONE shuffle on the segment hash with a
+   * map-side-combinable min(struct(id, start)); the keeper join is
+   * co-partitioned on that same hash; reassembly is one shuffle on
+   * the document id. Nothing is quadratic and no driver state exists.
+   */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   width: Int = 8, portable: Boolean = true): DataFrame = {
+    val seg = df.select(col(idCol).as("id"), posexplode(
+        TextAnalysis.chunks(col(textCol), width, 0)).as(Seq("ix", "ch")))
+      .select(col("id"), col("ch.start").as("start"),
+        col("ch.chunk").as("segment"),
+        TextAnalysis.hash60(col("ch.chunk"), portable).as("seg_hash"))
+    val keeper = seg.groupBy("seg_hash")
+      .agg(min(struct(col("id"), col("start"))).as("k"))
+      .select(col("seg_hash"), col("k.id").as("k_id"),
+        col("k.start").as("k_start"))
+    val kept = seg.join(keeper,
+      seg("seg_hash") === keeper("seg_hash") &&
+        col("id") === col("k_id") && col("start") === col("k_start"))
+    val perDocAll = seg.groupBy("id").agg(count(lit(1)).as("n_seg"))
+    val perDocKept = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("start"), col("segment")))),
+        _.getField("segment")), " ").as("dedup_text"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDocAll, Seq("id"), "left")
+      .join(perDocKept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_seg"), lit(0L)).as("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Distinct (id, token) postings with an optional document-frequency
     * cap (tokens in more than maxDf docs are dropped — the classic
     * skew guard for postings joins). */

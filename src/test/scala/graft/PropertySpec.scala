@@ -492,4 +492,35 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == comp)
   }
+
+  test("property: segmentDedup keeps each segment once, at first occurrence") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    // random corpus of 4-token segments drawn from a tiny segment pool
+    // so cross-document repeats are guaranteed
+    val pool = (0 until 6).map(_ =>
+      Seq.fill(4)(vocab(rnd.nextInt(vocab.size))).mkString(" ")).toVector
+    val docsDf = (0L until 12L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(4))(pool(rnd.nextInt(pool.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup
+      .segmentDedup(docsDf, "text", "doc_id", width = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    // brute force on the driver
+    val toks = docsDf.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").toSeq).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = toks.map { case (id, tk) =>
+      val segs = tk.grouped(4).map(_.mkString(" ")).toSeq
+      val keep = segs.filter(s => seen.add(s))
+      (id, segs.size.toLong, keep.size.toLong, keep.mkString(" "))
+    }
+    assert(out.toSeq == expected.toSeq)
+    // global invariant: no surviving segment appears twice
+    val all = out.flatMap(_._4.split(" ").grouped(4).map(_.mkString(" ")))
+      .filter(_.nonEmpty)
+    assert(all.distinct.length == all.length)
+  }
 }
