@@ -49,35 +49,33 @@ object Dedup {
    * order. Returns one row per input document:
    * (id, n_seg, n_kept, dedup_text).
    *
-   * 100 TB shape: chunking is scan-shaped (no shuffle);
-   * first-occurrence is ONE shuffle on the segment hash with a
-   * map-side-combinable min(struct(id, start)); the keeper join is
-   * co-partitioned on that same hash; reassembly is one shuffle on
-   * the document id. Nothing is quadratic and no driver state exists.
+   * 100 TB shape: the corpus is scanned ONCE; chunking is scan-shaped
+   * (no shuffle); first-occurrence is a window over the segment hash
+   * (high-cardinality key, per-hash group = that segment's occurrence
+   * count); reassembly is one aggregation shuffle on the document id.
+   * Nothing is quadratic and no driver state exists.
    */
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
                    width: Int = 8, portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val seg = df.select(col(idCol).as("id"), posexplode(
         TextAnalysis.chunks(col(textCol), width, 0)).as(Seq("ix", "ch")))
       .select(col("id"), col("ch.start").as("start"),
         col("ch.chunk").as("segment"),
         TextAnalysis.hash60(col("ch.chunk"), portable).as("seg_hash"))
-    val keeper = seg.groupBy("seg_hash")
-      .agg(min(struct(col("id"), col("start"))).as("k"))
-      .select(col("seg_hash"), col("k.id").as("k_id"),
-        col("k.start").as("k_start"))
-    val kept = seg.join(keeper,
-      seg("seg_hash") === keeper("seg_hash") &&
-        col("id") === col("k_id") && col("start") === col("k_start"))
-    val perDocAll = seg.groupBy("id").agg(count(lit(1)).as("n_seg"))
-    val perDocKept = kept.groupBy("id").agg(
-      count(lit(1)).as("n_kept"),
+    val ranked = seg.withColumn("rn", row_number().over(
+      Window.partitionBy("seg_hash").orderBy("id", "start")))
+    // collect_list skips nulls, so the non-keeper rows vanish from the
+    // reassembly while still counting toward n_seg
+    val perDoc = ranked.groupBy("id").agg(
+      count(lit(1)).as("n_seg"),
+      count(when(col("rn") === 1, 1)).as("n_kept"),
       array_join(transform(
-        array_sort(collect_list(struct(col("start"), col("segment")))),
+        array_sort(collect_list(when(col("rn") === 1,
+          struct(col("start"), col("segment"))))),
         _.getField("segment")), " ").as("dedup_text"))
     df.select(col(idCol).as("id")).distinct()
-      .join(perDocAll, Seq("id"), "left")
-      .join(perDocKept, Seq("id"), "left")
+      .join(perDoc, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_seg"), lit(0L)).as("n_seg"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
