@@ -541,6 +541,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // sequence packing: 8 salted packing streams, 64-token training
+    // sequences — each doc lands in (bucket, pack) at pack_off
+    "t14_sequence_packing" -> ((s, dir) => {
+      TextAnalysis.packSequences(docs(s, dir), "text", "doc_id",
+          budget = 64, nBuckets = 8)
+        .select(col("id").as("doc_id"), col("bucket"), col("n_tok"),
+          col("pack"), col("pack_off"))
+        .orderBy("doc_id")
+    }),
+
+    // domain mixing toward target source proportions at a 0.2 global
+    // budget: src0/src1 clamp to keep-all, src2 keeps ~80%, every
+    // unlisted source drops
+    "t15_domain_mix" -> ((s, dir) => {
+      Sampling.domainMix(docs(s, dir), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          frac = 0.2, salt = "mix42", portable = true)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic stratified sample: 5 docs per language via the
     // bounded-heap top-n aggregate (no per-stratum global sort)
     "t05_sample_stratified" -> ((s, dir) => {
@@ -1532,6 +1553,43 @@ object PipelineQueries {
          WHERE ${oH32("'s42' || CAST(doc_id AS VARCHAR)")}
            < ${(0.1 * 4294967296.0).toLong}
          ORDER BY doc_id""",
+
+    "t14_sequence_packing" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS INT) AS n_tok,
+             CAST(${oH32("'pack' || CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+               AS bucket
+           FROM documents),
+         c AS (
+           SELECT doc_id, bucket, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM t)
+         SELECT doc_id, bucket, n_tok,
+           (cum - n_tok) // 64 AS pack,
+           CAST((cum - n_tok) % 64 AS INT) AS pack_off
+         FROM c ORDER BY doc_id""",
+
+    "t15_domain_mix" ->
+      s"""WITH n AS (SELECT count(*) AS n_total FROM documents),
+         c AS (SELECT source, count(*) AS n_src
+           FROM documents GROUP BY source),
+         r AS (
+           SELECT c.source,
+             CAST(floor(least(1.0,
+               CASE c.source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                 WHEN 'src2' THEN 0.2 ELSE 0.0 END
+               * 0.2 * n.n_total / c.n_src) * 4294967296.0) AS BIGINT)
+               AS thresh
+           FROM c CROSS JOIN n)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE ${oH32("'mix42' || CAST(doc_id AS VARCHAR)")} < r.thresh
+         ORDER BY d.doc_id""",
 
     "t05_sample_stratified" ->
       s"""WITH h AS (

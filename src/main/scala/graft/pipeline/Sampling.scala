@@ -32,6 +32,35 @@ object Sampling {
       (fraction * 4294967296.0).toLong)
   }
 
+  /**
+   * Domain mixing — re-weight a multi-source corpus toward target
+   * proportions: source `s` keeps
+   * `min(1, targets(s) * frac * N_total / N_s)` of its rows (sources
+   * absent from `targets` drop entirely), membership decided by the
+   * same salted deterministic hash as [[bernoulli]]. The per-source
+   * rates come from one tiny aggregation (`|sources|` rows) that
+   * joins back broadcast; the corpus itself only sees a pushdown-able
+   * filter — no shuffle, no driver-side counts.
+   */
+  def domainMix(df: DataFrame, sourceCol: String, idCol: String,
+                targets: Map[String, Double], frac: Double,
+                salt: String = "mix", portable: Boolean = false): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac $frac")
+    val weight = coalesce(
+      element_at(typedlit(targets), col(sourceCol)), lit(0.0))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val rates = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_src"))
+      .crossJoin(broadcast(total))
+      .select(col(sourceCol),
+        floor(least(lit(1.0),
+          weight * frac * col("n_total") / col("n_src")) * 4294967296.0)
+          .cast("long").as("__thresh"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(rowHash(col(idCol), salt, portable) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Bounded top-n buffer: keeps the n smallest (hash, id) pairs.
     * The buffer never exceeds n entries, so map-side partial
     * aggregation ships at most n pairs per stratum per partition —

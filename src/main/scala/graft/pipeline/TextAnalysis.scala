@@ -192,6 +192,36 @@ object TextAnalysis {
   }
 
   /**
+   * Sequence packing — the pretraining batch-assembly op: documents
+   * are concatenated (in id order) and cut into fixed `budget`-token
+   * training sequences; each document is assigned the pack its first
+   * token lands in plus its offset inside that pack. Packing is
+   * inherently sequential, so the corpus is first salted into
+   * `nBuckets` independent packing streams (pack identity =
+   * (bucket, pack)) — per-bucket cumulative sums are windows over a
+   * key whose group size shrinks as nBuckets grows with the cluster,
+   * never a single global ordering.
+   */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    budget: Int, nBuckets: Int = 8,
+                    portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && nBuckets > 0, s"budget $budget buckets $nBuckets")
+    val bucket = pmod(hash32(
+      concat(lit("pack"), col(idCol).cast("string")), portable),
+      lit(nBuckets)).cast("int")
+    val cum = sum(col("n_tok")).over(
+      Window.partitionBy("bucket").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tok"),
+        bucket.as("bucket"))
+      .withColumn("cum", cum)
+      .select(col("id"), col("bucket"), col("n_tok"),
+        ((col("cum") - col("n_tok")) / budget).cast("long").as("pack"),
+        ((col("cum") - col("n_tok")) % budget).cast("int").as("pack_off"))
+  }
+
+  /**
    * BPE merge candidates — the first iteration of byte-pair-encoding
    * tokenizer training: adjacent character pairs, weighted by corpus
    * word frequency, ranked by count. The 100 TB shape: the corpus
