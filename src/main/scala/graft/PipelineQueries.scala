@@ -541,6 +541,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-trained unigram log-prob per doc (perplexity-style
+    // quality signal: low = rare vocabulary, high = boilerplate)
+    "t16_unigram_logprob" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_tok"),
+          r4(col("logprob")).as("logprob"))
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: 8 salted packing streams, 64-token training
     // sequences — each doc lands in (bucket, pack) at pack_off
     "t14_sequence_packing" -> ((s, dir) => {
@@ -1553,6 +1562,20 @@ object PipelineQueries {
          WHERE ${oH32("'s42' || CAST(doc_id AS VARCHAR)")}
            < ${(0.1 * 4294967296.0).toLong}
          ORDER BY doc_id""",
+
+    "t16_unigram_logprob" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         f AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+         t AS (SELECT CAST(sum(tf) AS BIGINT) AS T FROM f)
+         SELECT doc_id, count(*) AS n_tok,
+           round(avg(ln(tf) - ln(T)), 4) AS logprob
+         FROM tk JOIN f USING (tok) CROSS JOIN t
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "t14_sequence_packing" ->
       s"""WITH t AS (

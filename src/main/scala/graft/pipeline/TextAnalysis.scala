@@ -192,6 +192,29 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-trained unigram log-probability per document — the
+   * relational analog of LM-perplexity quality filtering: a document
+   * scores the average ln(tf/T) of its token occurrences under the
+   * corpus's own unigram distribution (low = unusually rare
+   * vocabulary, high = boilerplate). Plan: one token explode, one
+   * vocabulary-sized frequency shuffle, a co-partitioned join back on
+   * the token, one per-doc aggregation; the corpus total rides a
+   * broadcast single-row aggregate, never a driver-side count.
+   */
+  def unigramLogProb(df: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).as("T"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("id").agg(count(lit(1)).as("n_tok"),
+        avg(log(col("tf").cast("double")) - log(col("T").cast("double")))
+          .as("logprob"))
+  }
+
+  /**
    * Sequence packing — the pretraining batch-assembly op: documents
    * are concatenated (in id order) and cut into fixed `budget`-token
    * training sequences; each document is assigned the pack its first
