@@ -205,7 +205,8 @@ object PipelineQueries {
     * argmin code → per-(query, corpus) ADC distance, with the same
     * 1e-6 distance rounding and lowest-centroid tie-break as the Spark
     * side. `p` prefixes the CTE names so two subspaces coexist. */
-  private def oPqSub(p: String, lo: Int, hi: Int): String = {
+  private def oPqSub(p: String, lo: Int, hi: Int,
+                     src: String = "embeddings"): String = {
     val len = hi - lo + 1
     def assignRanked(centCte: String) =
       s"""SELECT pe.vec_id, c.cluster,
@@ -215,7 +216,7 @@ object PipelineQueries {
                   * (CAST(z[1] AS DOUBLE) - z[2])))
                 * 1000000 + 0.5) / 1000000, c.cluster) AS rn
           FROM ${p}e pe CROSS JOIN $centCte c"""
-    s"""${p}e AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+    s"""${p}e AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM $src),
        ${p}c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
              AS cluster,
@@ -434,6 +435,30 @@ object PipelineQueries {
       val encoded = Similarity.pqEncode(assigned, "embedding", books)
       val q = encoded.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("cluster").as("q_cell"))
+      Similarity.ivfPqTopK(encoded.select("vec_id", "codes", "cluster"),
+          q, 5, books)
+        .select(col("q_id"), col("vec_id"), r4(col("adc")).as("adc"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // residual IVF-PQ top-5: codes encode vec − coarse centroid (the
+    // production design — residual magnitudes are small, so the same
+    // codebook budget buys finer resolution); ADC scores the query's
+    // residual against residual codebooks within its cell
+    "s10_ivf_pq_residual" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 4, iters = 1)
+      val res = Similarity.assignWith(e, "embedding", cents)
+        .withColumn("resid",
+          Similarity.residual(col("embedding"), cents, col("cluster")))
+      val books = Similarity.pqTrain(res, "resid", "vec_id",
+        m = 2, k = 4, iters = 1)
+      val encoded = Similarity.pqEncode(res, "resid", books)
+      val q = encoded.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("resid").as("q_vec"),
           col("cluster").as("q_cell"))
       Similarity.ivfPqTopK(encoded.select("vec_id", "codes", "cluster"),
           q, 5, books)
@@ -1166,6 +1191,33 @@ object PipelineQueries {
       s"""WITH $oKmeansA2,
          ${oPqSub("p0", 1, 32)},
          ${oPqSub("p1", 33, 64)},
+         summed AS (
+           SELECT a0.q_id, a0.vec_id, a0.d + a1.d AS adc
+           FROM p0adc a0 JOIN p1adc a1 USING (q_id, vec_id)
+           WHERE vec_id <> q_id),
+         cellok AS (
+           SELECT s.q_id, s.vec_id, s.adc
+           FROM summed s
+             JOIN a2 cq ON cq.vec_id = s.q_id
+             JOIN a2 cc ON cc.vec_id = s.vec_id
+           WHERE cq.cluster = cc.cluster),
+         ranked AS (
+           SELECT q_id, vec_id, adc, row_number() OVER
+             (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+           FROM cellok)
+         SELECT q_id, vec_id, round(adc, 4) AS adc, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "s10_ivf_pq_residual" ->
+      s"""WITH $oKmeansA2,
+         resid AS (
+           SELECT e.vec_id,
+             list_transform(list_zip(e.embedding, c1.cvec),
+               z -> CAST(z[1] AS DOUBLE) - z[2]) AS embedding
+           FROM e JOIN a2 USING (vec_id)
+             JOIN c1 ON c1.cluster = a2.cluster),
+         ${oPqSub("p0", 1, 32, "resid")},
+         ${oPqSub("p1", 33, 64, "resid")},
          summed AS (
            SELECT a0.q_id, a0.vec_id, a0.d + a1.d AS adc
            FROM p0adc a0 JOIN p1adc a1 USING (q_id, vec_id)

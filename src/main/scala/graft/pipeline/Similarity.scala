@@ -110,9 +110,10 @@ object Similarity {
     * mean updates; emptied clusters keep their centroid. */
   private def trainCentroids(df: DataFrame, vecCol: String, idCol: String,
                              k: Int, iters: Int): Seq[Seq[Double]] = {
+    // seed vectors may be float (raw embeddings) or double (residuals)
     var cents: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue).toSeq).toSeq
     for (_ <- 1 to iters) {
       val perDim = assignTo(df, vecCol, cents)
         .select(col("cluster"), posexplode(col(vecCol)))
@@ -132,6 +133,31 @@ object Similarity {
   def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
                    k: Int, iters: Int): DataFrame =
     assignTo(df, vecCol, trainCentroids(df, vecCol, idCol, k, iters))
+
+  /** The trained centroid vectors themselves — needed when a caller
+    * composes on the quantizer (e.g. residual PQ encodes
+    * vec − centroid[cell]). Same deterministic Lloyd discipline as
+    * [[kmeansAssign]]. */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+                      k: Int, iters: Int): Seq[Seq[Double]] =
+    trainCentroids(df, vecCol, idCol, k, iters)
+
+  /** Assignment under given centroids (adds `cluster`) — pairs with
+    * [[kmeansCentroids]] so train runs once per session, not once per
+    * derived column. */
+  def assignWith(df: DataFrame, vecCol: String,
+                 cents: Seq[Seq[Double]]): DataFrame =
+    assignTo(df, vecCol, cents)
+
+  /** Residual vector (double) w.r.t. the row's coarse cell centroid —
+    * the quantity real IVF-PQ encodes: residual magnitudes are much
+    * smaller than raw coordinates, so the same codebook budget buys
+    * finer resolution. Pure column expression (centroids ride as
+    * literals). */
+  def residual(vec: Column, cents: Seq[Seq[Double]],
+               cell: Column): Column =
+    zip_with(vec, element_at(typedlit(cents), cell + 1),
+      (a, b) => a.cast("double") - b)
 
   /**
    * Multi-probe cell lists: the `nprobe` nearest centroids per vector
