@@ -102,7 +102,9 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "t12_bpe_merges", "t13_cdc_chunks", "q51_calendar_month",
       "q53_mimmax_group", "m04_frame_sample",
       "q60_put_json", "q61_export_roundtrip", "q62_mimmin_group",
-      "s08_pq_adc_topk")
+      "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
+      "d11_segment_dedup", "t14_sequence_packing", "t15_domain_mix",
+      "t16_unigram_logprob")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
