@@ -493,6 +493,34 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == comp)
   }
 
+  test("property: packSequences == per-bucket brute-force cumsum cut") {
+    import spark.implicits._
+    val docsDf = (0L until 40L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis
+      .packSequences(docsDf, "text", "doc_id", budget = 16, nBuckets = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4))).sortBy(_._1)
+    // brute force: group docs by the same salted hash bucket, walk in
+    // id order accumulating token counts
+    val byBucket = out.groupBy(_._2)
+    byBucket.foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, nTok, pack, off) =>
+        assert(pack == cum / 16, s"pack mismatch at cum=$cum")
+        assert(off == cum % 16, s"offset mismatch at cum=$cum")
+        assert(off >= 0 && off < 16)
+        cum += nTok
+      }
+    }
+    // every doc appears exactly once and token counts are preserved
+    assert(out.length == 40)
+    assert(out.map(_._3.toLong).sum ==
+      docsDf.collect().map(_.getString(1).split(" ").length.toLong).sum)
+  }
+
   test("property: segmentDedup keeps each segment once, at first occurrence") {
     import spark.implicits._
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
