@@ -581,6 +581,28 @@ object Dedup {
       .drop("__content_hash")
 
   /**
+   * Streaming segment-level dedup at the ingest edge: arriving
+   * documents explode into fixed token-window segments and each
+   * distinct segment survives only at its first arrival (state = one
+   * hash per segment, watermark-bounded like [[streamExactDedup]]).
+   * Emits the surviving (id, start, segment) rows — reassembly stays
+   * a batch concern ([[segmentDedup]]): an append-mode stream cannot
+   * retract text it already emitted for a document.
+   */
+  def streamSegmentDedup(docs: DataFrame, textCol: String, idCol: String,
+                         tsCol: String, watermarkDelay: String,
+                         width: Int = 8,
+                         portable: Boolean = false): DataFrame =
+    docs.select(col(idCol).as("id"), col(tsCol), posexplode(
+        TextAnalysis.chunks(col(textCol), width, 0)).as(Seq("ix", "ch")))
+      .select(col("id"), col(tsCol), col("ch.start").as("start"),
+        col("ch.chunk").as("segment"),
+        TextAnalysis.hash60(col("ch.chunk"), portable).as("__seg_hash"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__seg_hash")
+      .drop("__seg_hash")
+
+  /**
    * Streaming benchmark decontamination at the ingest edge: flag (and
    * let the caller drop) arriving documents that share any n-gram
    * shingle with a static evaluation corpus. The eval side collapses

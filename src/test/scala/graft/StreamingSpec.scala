@@ -106,6 +106,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 3L))
   }
 
+  test("streaming segment dedup: repeated segments dropped across documents") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "epoch")
+      .withColumn("arrival", timestamp_seconds(col("epoch")))
+    val out = graft.pipeline.Dedup
+      .streamSegmentDedup(docs, "text", "doc_id", "arrival",
+        "10 minutes", width = 4)
+    val q = out.writeStream.format("memory")
+      .queryName("seg_dedup").outputMode("append").start()
+    mem.addData((1L, "a b c d e f g h", 1700000000L))
+    q.processAllAvailable()
+    // doc 2 repeats doc 1's first segment, brings one new segment
+    mem.addData((2L, "a b c d x y z w", 1700000005L))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("seg_dedup")
+      .select("id", "start", "segment").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(kept == Set((1L, 0, "a b c d"), (1L, 4, "e f g h"),
+      (2L, 4, "x y z w")))
+  }
+
   test("streaming rollup materialization (tumbling window agg)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
