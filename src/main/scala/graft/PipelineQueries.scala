@@ -1094,10 +1094,15 @@ object PipelineQueries {
 
     "d05_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
-         bucketed AS (
+         exploded AS (
            ${(0 until 3).map(t =>
              s"SELECT vec_id, $t AS t, ${rhpBucketSql(6, 64, t * 6)} AS bkt FROM v")
              .mkString("\n           UNION ALL ")}),
+         ok AS (
+           SELECT t, bkt FROM exploded GROUP BY t, bkt
+           HAVING count(*) <= ${Dedup.DEFAULT_MAX_BUCKET}),
+         bucketed AS (
+           SELECT e.* FROM exploded e JOIN ok USING (t, bkt)),
          cand AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            FROM bucketed a JOIN bucketed b

@@ -73,11 +73,22 @@ object ScaleGen {
     expand("embeddings") { (df, i) =>
       if (i == 0) df
       else {
+        // rotate by the copy index (new coordinates, same norm and
+        // distribution) THEN flip signs by a deterministic per-copy
+        // mask (rhpSign): within-copy cosines are preserved exactly
+        // (signs cancel in the dot product) while cross-copy cosines
+        // decorrelate — rotation alone aliases copies into genuinely
+        // similar vectors, inflating true near-dup pair density
+        // quadratically as a data artifact (measured: 1069 pairs at
+        // 1x -> 111k at 10x with rotation only)
         val n = size(col("embedding"))
+        val rotated = concat(
+          slice(col("embedding"), lit(i + 1), n - lit(i)),
+          slice(col("embedding"), lit(1), lit(i)))
+        val signs = typedlit((0 until 64).map(d =>
+          graft.pipeline.Similarity.rhpSign(i, d).toFloat))
         df.withColumn("vec_id", col("vec_id") + lit(i * ID_STRIDE))
-          .withColumn("embedding", concat(
-            slice(col("embedding"), lit(i + 1), n - lit(i)),
-            slice(col("embedding"), lit(1), lit(i))))
+          .withColumn("embedding", zip_with(rotated, signs, (a, b) => a * b))
       }
     }
 

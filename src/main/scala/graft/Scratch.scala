@@ -61,6 +61,41 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--d05")) {
+      // d05 at scale with the nBits knob: bucket population is
+      // corpus / 2^nBits per table, so nBits must grow with the
+      // corpus to hold per-bucket pair counts flat
+      val nBits = args.lift(1).map(_.toInt).getOrElse(6)
+      val threshold = args.lift(2).map(_.toDouble).getOrElse(0.35)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val n = graft.pipeline.Dedup.embeddingRhpPairs(
+          e, "embedding", "vec_id", threshold = threshold,
+          nBits = nBits, dim = 64, tables = 3).count()
+        println(s"  pairs=$n")
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (args.contains("--diag")) {
+        import org.apache.spark.sql.functions._
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        def bkt(off: Int) = graft.functions.VectorMath.rhpBucketCol(
+          col("embedding"), nBits, 64, off)
+        val b0 = e.select(bkt(0).as("b")).groupBy("b").count()
+          .orderBy(desc("count"))
+        val top = b0.limit(5).collect().map(_.getLong(1))
+        val nb = b0.count()
+        val sumSq = b0.agg(sum(col("count") * col("count"))).head.getLong(0)
+        println(s"  diag nBits=$nBits buckets=$nb top5=${top.mkString(",")} " +
+          s"pairsT0=${sumSq / 2}")
+        spark.stop(); return
+      }
+      val cold = run(); spark.catalog.clearCache()
+      val warm = run()
+      println(f"TIME d05[nBits=$nBits,t=$threshold] $cold%8.2f $warm%8.2f")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--exec")) {
       // post-execution (AQE-final) plan: shows runtime stage/exchange
       // reuse that the static explain cannot

@@ -397,9 +397,22 @@ object Dedup {
    * near-dup pass by design; raise `tables` (or add multi-probe) to
    * trade cost for recall.
    */
+  /** Default bucket-population cap — the embedding analog of
+    * [[DEFAULT_MAX_DF]]: a bucket with p members contributes p²/2
+    * candidate pairs, and RHP buckets are NOT uniform on clustered
+    * data (a tight cluster sits on the same side of most hyperplanes,
+    * so raising nBits cannot split it — measured on a 60k synthetic:
+    * top bucket 6.4k at nBits=6 and still 2.2k at nBits=12, keeping
+    * candidate volume quadratic at any nBits). Oversized buckets are
+    * dense clusters that flood a pair listing anyway; they belong to
+    * the clustering operator ([[duplicateClusters]]), not all-pairs. */
+  val DEFAULT_MAX_BUCKET = 1000
+
   def embeddingRhpPairs(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, nBits: Int, dim: Int,
-                        tables: Int): DataFrame = {
+                        tables: Int,
+                        maxBucket: Option[Int] = Some(DEFAULT_MAX_BUCKET))
+      : DataFrame = {
     // bucket/dot/norm are native Catalyst expressions
     // (graft.functions.VectorMath): constant codegen size AND
     // codegen'd evaluation, so the old size-estimate regime switch
@@ -427,9 +440,18 @@ object Dedup {
             .withColumn("nrm", nrmOf(col("vec")))) {
           (d, t) => d.withColumn(s"__b$t", bkt(col("vec"), t * nBits))
         })
-    val bucketed = v.select(col("id"),
+    val exploded = v.select(col("id"),
         posexplode(array((0 until tables).map(t => col(s"__b$t")): _*)))
       .select(col("id"), col("pos").as("t"), col("col").as("bkt"))
+    // population cap: one tiny agg on the (table, bucket) key, then a
+    // co-partitioned semi-join — same shape as the postings DF cap
+    val bucketed = maxBucket match {
+      case None => exploded
+      case Some(cap) =>
+        val ok = exploded.groupBy("t", "bkt")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+        exploded.join(ok.select("t", "bkt"), Seq("t", "bkt"))
+    }
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
