@@ -43,7 +43,13 @@ object PipelineQueries {
 
   private def sharedPostings(s: SparkSession, dir: String, bits: Int): DataFrame =
     postCache.get((bits, dir)) match {
-      case Some((sess, df)) if sess eq s => df
+      // a memo hit is only valid while its cached blocks still exist:
+      // /api/dropcaches (or any external clearCache) unpersists behind
+      // the memo's back, and serving the stale DataFrame would replay
+      // the full recompute on EVERY downstream read without ever
+      // re-persisting — measured as a 3-4x slowdown on the dedup family
+      case Some((sess, df)) if (sess eq s) &&
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE => df
       case _ =>
         val df = bits match {
           case 60 =>
@@ -86,7 +92,13 @@ object PipelineQueries {
 
   private def sharedSimhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairsCache.get(dir) match {
-      case Some((sess, df)) if sess eq s => df
+      // a memo hit is only valid while its cached blocks still exist:
+      // /api/dropcaches (or any external clearCache) unpersists behind
+      // the memo's back, and serving the stale DataFrame would replay
+      // the full recompute on EVERY downstream read without ever
+      // re-persisting — measured as a 3-4x slowdown on the dedup family
+      case Some((sess, df)) if (sess eq s) &&
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE => df
       case _ =>
         val Seq(df) = graft.util.Caching.persistOwned(
           "PipelineQueries.sharedSimhashPairs",
@@ -104,7 +116,13 @@ object PipelineQueries {
 
   private def sharedLshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsCache.get(dir) match {
-      case Some((sess, df)) if sess eq s => df
+      // a memo hit is only valid while its cached blocks still exist:
+      // /api/dropcaches (or any external clearCache) unpersists behind
+      // the memo's back, and serving the stale DataFrame would replay
+      // the full recompute on EVERY downstream read without ever
+      // re-persisting — measured as a 3-4x slowdown on the dedup family
+      case Some((sess, df)) if (sess eq s) &&
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE => df
       case _ =>
         val Seq(df) = graft.util.Caching.persistOwned(
           "PipelineQueries.sharedLshPairs",

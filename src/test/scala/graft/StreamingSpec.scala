@@ -765,4 +765,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resp.getAs[String]("message") == "Caches dropped")
     assert(!spark.catalog.isCached("dc_probe"))
   }
+
+  test("shared dedup intermediates re-persist after dropcaches (stale memo guard)") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries("d03_minhash_lsh")(spark, dir).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    Introspect.dropCaches(spark).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // a stale memo would serve the unpersisted plan forever; the
+    // storage-level guard must rebuild AND re-persist it
+    SparkEntry.queries("d03_minhash_lsh")(spark, dir).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+  }
 }
