@@ -306,6 +306,29 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ensemble consensus: a pair is a near-dup when >= 2 independent
+    // detectors (exact Jaccard, MinHash-LSH, SimHash) agree — the
+    // production pattern for precision without hand-tuning any single
+    // threshold; all three lists come from the SAME shared postings
+    // scan, so the ensemble costs three small pair unions, not three
+    // corpus passes
+    "d12_consensus_pairs" -> ((s, dir) => {
+      val j = Dedup.jaccardFromPostings(sharedPostings(s, dir, 32),
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit("jaccard").as("det"))
+      val m = sharedLshPairs(s, dir)
+        .select(col("id_a"), col("id_b"), lit("minhash").as("det"))
+      val sh = sharedSimhashPairs(s, dir)
+        .select(col("id_a"), col("id_b"), lit("simhash").as("det"))
+      j.unionByName(m).unionByName(sh)
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_detectors"),
+          array_join(array_sort(collect_list(col("det"))), ",")
+            .as("detectors"))
+        .filter(col("n_detectors") >= 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // MinHash-LSH banded candidates, verified at jaccard >= 0.5
     "d03_minhash_lsh" -> ((s, dir) => {
       sharedLshPairs(s, dir)
@@ -923,6 +946,67 @@ object PipelineQueries {
          FROM shared JOIN sizes sa ON sa.doc_id = id_a
            JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "d12_consensus_pairs" ->
+      s"""$O_SH,
+         jhpost0 AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         jdfq AS (SELECT h, count(*) AS df FROM jhpost0 GROUP BY h),
+         jhpost AS (SELECT jhpost0.doc_id, jhpost0.h FROM jhpost0
+           JOIN jdfq ON jdfq.h = jhpost0.h
+           WHERE jdfq.df <= ${Dedup.DEFAULT_MAX_DF}),
+         jsizes AS (SELECT doc_id, count(*) AS sz FROM jhpost
+           GROUP BY doc_id),
+         jshared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM jhpost a JOIN jhpost b
+             ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         jpairs AS (
+           SELECT id_a, id_b FROM jshared
+             JOIN jsizes sa ON sa.doc_id = id_a
+             JOIN jsizes sb ON sb.doc_id = id_b
+           WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+         mhpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         mparams AS (SELECT * FROM (VALUES
+           (0, 836603681, 1), (1, 442543251, 7), (2, 1004818243, 13),
+           (3, 668265263, 31), (4, 374761393, 97), (5, 741103597, 41),
+           (6, 988021567, 151), (7, 540483477, 65537)) p(i, a, b)),
+         msig AS (
+           SELECT doc_id, i, min((h * a + b) % 4294967291) AS mh
+           FROM mhpost CROSS JOIN mparams GROUP BY doc_id, i),
+         mband AS (
+           SELECT doc_id, i // 2 AS band,
+             string_agg(mh::VARCHAR, '_' ORDER BY i) AS key
+           FROM msig GROUP BY doc_id, i // 2),
+         mcand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM mband x JOIN mband y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         msizes AS (SELECT doc_id, count(*) AS sz FROM mhpost
+           GROUP BY doc_id),
+         mshared AS (
+           SELECT id_a, id_b, count(*) AS shared
+           FROM mcand
+             JOIN mhpost a ON a.doc_id = mcand.id_a
+             JOIN mhpost b ON b.doc_id = mcand.id_b AND b.h = a.h
+           GROUP BY id_a, id_b),
+         mpairs AS (
+           SELECT id_a, id_b FROM mshared
+             JOIN msizes sa ON sa.doc_id = id_a
+             JOIN msizes sb ON sb.doc_id = id_b
+           WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+         $oSimhashCand,
+         spairs AS (
+           SELECT id_a, id_b FROM cand
+           WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+         allp AS (
+           SELECT id_a, id_b, 'jaccard' AS det FROM jpairs
+           UNION ALL SELECT id_a, id_b, 'minhash' FROM mpairs
+           UNION ALL SELECT id_a, id_b, 'simhash' FROM spairs)
+         SELECT id_a, id_b, count(*) AS n_detectors,
+           string_agg(det, ',' ORDER BY det) AS detectors
+         FROM allp GROUP BY id_a, id_b HAVING count(*) >= 2
          ORDER BY id_a, id_b""",
 
     "d09_lsh_eval" ->
