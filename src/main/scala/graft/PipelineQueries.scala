@@ -306,6 +306,17 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // asymmetric containment >= 0.8: the quote/subset detector — a doc
+    // mostly contained in another scores ~1 even when symmetric
+    // Jaccard is low; both directions of each ordered pair
+    "d13_containment" -> ((s, dir) => {
+      Dedup.containmentFromPostings(sharedPostings(s, dir, 32),
+          threshold = 0.8)
+        .select(col("id"), col("id_in"),
+          r4(col("containment")).as("containment"))
+        .orderBy("id", "id_in")
+    }),
+
     // ensemble consensus: a pair is a near-dup when >= 2 independent
     // detectors (exact Jaccard, MinHash-LSH, SimHash) agree — the
     // production pattern for precision without hand-tuning any single
@@ -947,6 +958,26 @@ object PipelineQueries {
            JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
          ORDER BY id_a, id_b""",
+
+    "d13_containment" ->
+      s"""$O_SH,
+         chpost0 AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         cdfq AS (SELECT h, count(*) AS df FROM chpost0 GROUP BY h),
+         chpost AS (SELECT chpost0.doc_id, chpost0.h FROM chpost0
+           JOIN cdfq ON cdfq.h = chpost0.h
+           WHERE cdfq.df <= ${Dedup.DEFAULT_MAX_DF}),
+         csizes AS (SELECT doc_id, count(*) AS sz FROM chpost
+           GROUP BY doc_id),
+         cshared AS (
+           SELECT a.doc_id AS id, b.doc_id AS id_in, count(*) AS shared
+           FROM chpost a JOIN chpost b
+             ON a.h = b.h AND a.doc_id <> b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id, id_in,
+           round(CAST(shared AS DOUBLE) / sz, 4) AS containment
+         FROM cshared JOIN csizes ON csizes.doc_id = id
+         WHERE CAST(shared AS DOUBLE) / sz >= 0.8
+         ORDER BY id, id_in""",
 
     "d12_consensus_pairs" ->
       s"""$O_SH,

@@ -156,6 +156,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Asymmetric containment — |A∩B| / |A| — the quote/subset detector:
+   * a short document wholly contained in a long one scores ~1.0 while
+   * its symmetric Jaccard stays low (the union is dominated by the
+   * long side), so containment catches exactly the copies Jaccard
+   * misses. Emits BOTH directions of every qualifying ordered pair
+   * (contained id, container id). Same postings self-join + DF-cap
+   * shape (and shuffle keys) as [[jaccardFromPostings]].
+   */
+  def containmentFromPostings(post: DataFrame, threshold: Double,
+                              maxDf: Option[Long] = Some(DEFAULT_MAX_DF))
+      : DataFrame = {
+    val p = post.transform(d => maxDf match {
+      case None => d
+      case Some(cap) =>
+        val dfreq = d.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+        d.join(dfreq.select("h"), Seq("h"))
+    })
+    val sizes = p.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = p.as("a").join(p.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id"), col("b.id").as("id_in"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes, Seq("id"))
+      .withColumn("containment", col("shared").cast("double") / col("sz"))
+      .filter(col("containment") >= threshold)
+      .select("id", "id_in", "containment")
+  }
+
   /** Deterministic MinHash permutation parameters. Multipliers are kept
     * under 2^30 so a*h32 (< 2^62) never overflows a signed 64-bit long;
     * arithmetic is mod the largest 32-bit prime. */

@@ -493,6 +493,25 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == comp)
   }
 
+  test("property: containment catches subset docs that Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val post = graft.pipeline.Dedup
+      .hashedPostings(docsDf, "text", "doc_id")
+    val cont = graft.pipeline.Dedup
+      .containmentFromPostings(post, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the short doc is fully contained in the long one...
+    assert(cont.exists { case (id, in, c) => id == 1L && in == 2L && c == 1.0 })
+    // ...but not vice versa, and symmetric Jaccard misses the pair
+    assert(!cont.exists { case (id, in, _) => id == 2L && in == 1L })
+    val jac = graft.pipeline.Dedup
+      .jaccardFromPostings(post, threshold = 0.5).count()
+    assert(jac == 0)
+  }
+
   test("property: packSequences == per-bucket brute-force cumsum cut") {
     import spark.implicits._
     val docsDf = (0L until 40L).map { id =>
