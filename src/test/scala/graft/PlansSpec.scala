@@ -104,7 +104,7 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q60_put_json", "q61_export_roundtrip", "q62_mimmin_group",
       "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
       "d11_segment_dedup", "t14_sequence_packing", "t15_domain_mix",
-      "t16_unigram_logprob")
+      "t16_unigram_logprob", "d12_consensus_pairs", "d13_containment")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
