@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
  * mod 2^32 — portable across engines, no dependence on engine-native
  * hash functions.
  */
+/** Streaming sequence-packing row shapes (case classes at package
+  * level for stable Dataset encoders). */
+case class PackIn(id: Long, nTok: Int, bucket: Int)
+case class PackOut(id: Long, bucket: Int, pack: Long, packOff: Int,
+                   nTok: Int)
+
 object TextAnalysis {
 
   /** 32-bit portable string hash (see object doc). Computed by the
@@ -242,6 +248,43 @@ object TextAnalysis {
       .select(col("id"), col("bucket"), col("n_tok"),
         ((col("cum") - col("n_tok")) / budget).cast("long").as("pack"),
         ((col("cum") - col("n_tok")) % budget).cast("int").as("pack_off"))
+  }
+
+  /**
+   * Streaming sequence packing — the stateful continuation of
+   * [[packSequences]]: each bucket's packing cursor (cumulative token
+   * count) lives in `flatMapGroupsWithState`, so sequences keep
+   * filling across micro-batches exactly where the previous batch
+   * left off. State is ONE long per bucket — bounded by nBuckets,
+   * never by stream length. Arrivals are packed in id order within a
+   * batch; feed an id-ordered source for batch-identical output.
+   */
+  def streamPackSequences(docs: DataFrame, textCol: String, idCol: String,
+                          budget: Int, nBuckets: Int = 8,
+                          portable: Boolean = false)
+      : org.apache.spark.sql.Dataset[PackOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(budget > 0 && nBuckets > 0, s"budget $budget buckets $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        tokenCount(col(textCol)).as("nTok"),
+        pmod(hash32(concat(lit("pack"), col(idCol).cast("string")),
+          portable), lit(nBuckets)).cast("int").as("bucket"))
+      .as[PackIn]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bucket: Int, it: Iterator[PackIn], state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.id).map { p =>
+            val o = PackOut(p.id, bucket, cum / budget,
+              (cum % budget).toInt, p.nTok)
+            cum += p.nTok
+            o
+          }
+          state.update(cum)
+          out.iterator
+        })
   }
 
   /**

@@ -130,6 +130,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 4, "x y z w")))
   }
 
+  test("streaming sequence packing == batch packing across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = (0L until 12L).map(id =>
+      (id, Seq.fill(3 + (id % 5).toInt)("w").mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis
+      .streamPackSequences(docs, "text", "doc_id", budget = 8, nBuckets = 3)
+    val q = out.writeStream.format("memory")
+      .queryName("pack_stream").outputMode("append").start()
+    // id-ordered arrival split across two micro-batches: the per-bucket
+    // cursor must carry over the batch boundary
+    mem.addData(texts.take(6): _*)
+    q.processAllAvailable()
+    mem.addData(texts.drop(6): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pack_stream")
+      .select("id", "bucket", "pack", "packOff", "nTok").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSet
+    val batch = graft.pipeline.TextAnalysis
+      .packSequences(texts.toDF("doc_id", "text"), "text", "doc_id",
+        budget = 8, nBuckets = 3, portable = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getInt(4),
+        r.getInt(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming rollup materialization (tumbling window agg)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
