@@ -42,24 +42,41 @@ object Sampling {
    * joins back broadcast; the corpus itself only sees a pushdown-able
    * filter — no shuffle, no driver-side counts.
    */
-  def domainMix(df: DataFrame, sourceCol: String, idCol: String,
-                targets: Map[String, Double], frac: Double,
-                salt: String = "mix", portable: Boolean = false): DataFrame = {
+  /** The per-source keep-rate table (source, __thresh) — computed
+    * batch-side from corpus counts; tiny (|sources| rows). Split out
+    * so the filter side ([[applyDomainMix]]) can also run on a
+    * STREAM: rates come from the reference corpus, arrivals only see
+    * a stream-static broadcast join + hash filter. */
+  def domainMixRates(df: DataFrame, sourceCol: String,
+                     targets: Map[String, Double],
+                     frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac $frac")
     val weight = coalesce(
       element_at(typedlit(targets), col(sourceCol)), lit(0.0))
     val total = df.agg(count(lit(1)).as("n_total"))
-    val rates = df.groupBy(col(sourceCol))
+    df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_src"))
       .crossJoin(broadcast(total))
       .select(col(sourceCol),
         floor(least(lit(1.0),
           weight * frac * col("n_total") / col("n_src")) * 4294967296.0)
           .cast("long").as("__thresh"))
-    df.join(broadcast(rates), Seq(sourceCol))
+  }
+
+  /** Membership filter under a precomputed rate table — batch or
+    * streaming (stream-static join; stateless, no watermark). */
+  def applyDomainMix(docs: DataFrame, sourceCol: String, idCol: String,
+                     rates: DataFrame, salt: String = "mix",
+                     portable: Boolean = false): DataFrame =
+    docs.join(broadcast(rates), Seq(sourceCol))
       .filter(rowHash(col(idCol), salt, portable) < col("__thresh"))
       .drop("__thresh")
-  }
+
+  def domainMix(df: DataFrame, sourceCol: String, idCol: String,
+                targets: Map[String, Double], frac: Double,
+                salt: String = "mix", portable: Boolean = false): DataFrame =
+    applyDomainMix(df, sourceCol, idCol,
+      domainMixRates(df, sourceCol, targets, frac), salt, portable)
 
   /** Bounded top-n buffer: keeps the n smallest (hash, id) pairs.
     * The buffer never exceeds n entries, so map-side partial

@@ -161,6 +161,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming domain mix == batch mix under the same rate table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = (0L until 60L).map(id => (id, s"src${id % 3}"))
+      .toDF("doc_id", "source")
+    val targets = Map("src0" -> 0.6, "src1" -> 0.4)
+    val rates = graft.pipeline.Sampling
+      .domainMixRates(corpus, "source", targets, frac = 0.5)
+    val expected = graft.pipeline.Sampling
+      .applyDomainMix(corpus, "source", "doc_id", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < 60)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.pipeline.Sampling
+      .applyDomainMix(mem.toDF().toDF("doc_id", "source"),
+        "source", "doc_id", rates)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    corpus.collect().foreach(r => mem.addData((r.getLong(0), r.getString(1))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mix_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == expected)
+  }
+
   test("streaming rollup materialization (tumbling window agg)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
