@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /**
  * Similarity search over an embedding column (array<float>).
@@ -177,6 +178,54 @@ object Similarity {
       transform(slice(ranked, 1, nprobe), s => s.getField("i")))
   }
 
+  /** Bounded top-k candidate buffer over (score, id) — the scale-safe
+    * replacement for `row_number().over(Window.partitionBy(q_id))`:
+    * that window ships EVERY candidate row of a query to one task
+    * (O(corpus) rows per query for the brute-force paths), whereas a
+    * partial-aggregating buffer capped at k ships at most k pairs per
+    * query per map partition. Same ordering contract as the window:
+    * best score first (desc for cosine, asc for ADC distance), ties by
+    * lowest id, computed on the RAW double score (rounding happens
+    * after ranking, as in the oracle). */
+  class TopKAgg(k: Int, ascending: Boolean)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] = {
+      val byScore =
+        if (ascending) Ordering.Double.TotalOrdering
+        else Ordering.Double.TotalOrdering.reverse
+      Ordering.Tuple2(byScore, Ordering.Long)
+    }
+    def zero: Seq[(Double, Long)] = Seq.empty
+    private def cap(s: Seq[(Double, Long)]) = s.sorted(ord).take(k)
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      cap(b :+ a)
+    def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      cap(b1 ++ b2)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Per-query top-k reduction via [[TopKAgg]]: one hash-partitioned
+    * aggregation keyed by the query id, map-side combined, then the
+    * ≤k winners explode back out with a 1-based rank. Emits
+    * (queryId, corpusId, scoreCol, rank) — identical rows to the
+    * window formulation it replaces. */
+  private def topKReduce(scored: DataFrame, k: Int,
+                         queryId: String, corpusId: String,
+                         scoreCol: String, ascending: Boolean): DataFrame = {
+    val agg = udaf(new TopKAgg(k, ascending),
+      ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy(col(queryId))
+      .agg(agg(col(scoreCol).cast("double"), col(corpusId).cast("long"))
+        .as("__picks"))
+      .select(col(queryId), posexplode(col("__picks")))
+      .select(col(queryId), col("col._2").as(corpusId),
+        col("col._1").as(scoreCol), (col("pos") + 1).as("rank"))
+  }
+
   /**
    * Brute-force cosine top-k: for each query vector, the k most
    * similar corpus vectors. `queries` is expected to be small (it is
@@ -192,12 +241,7 @@ object Similarity {
         .withColumn("__qn", normc(col(queryVec), dim))))
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("cos", dotc(col(corpusVec), col(queryVec), dim) / (col("__cn") * col("__qn")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryId))
-          .orderBy(col("cos").desc, col(corpusId).asc)))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+    topKReduce(scored, k, queryId, corpusId, "cos", ascending = false)
   }
 
   /** IVF-style top-k: only corpus vectors in the query's coarse cell
@@ -213,12 +257,7 @@ object Similarity {
           .withColumn("__qn", normc(col(queryVec), dim))),
         col(cellCol) === col(queryCell) && col(corpusId) =!= col(queryId))
       .withColumn("cos", dotc(col(corpusVec), col(queryVec), dim) / (col("__cn") * col("__qn")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryId))
-          .orderBy(col("cos").desc, col(corpusId).asc)))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+    topKReduce(scored, k, queryId, corpusId, "cos", ascending = false)
   }
 
   /**
@@ -245,12 +284,7 @@ object Similarity {
           col(corpusId) =!= col(queryId))
       .withColumn("cos",
         dotc(col(corpusVec), col(queryVec), dim) / (col("__cn") * col("__qn")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryId))
-          .orderBy(col("cos").desc, col(corpusId).asc)))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+    topKReduce(scored, k, queryId, corpusId, "cos", ascending = false)
   }
 
   // ---- Product quantization (PQ / ADC) ------------------------------
@@ -304,7 +338,7 @@ object Similarity {
    * ascending, ties by corpus id. The queries (plus the codebook
    * literals inside the projection) broadcast; the codes column
    * streams through one codegen'd stage with no shuffle before the
-   * per-query top-k window.
+   * per-query bounded-heap top-k reduction.
    */
   /** The ADC score column: Σ over subspaces of the 1e-6-rounded
     * squared L2 distance from the query subvector to the centroid the
@@ -328,15 +362,11 @@ object Similarity {
              corpusId: String = "vec_id",
              queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
     val score = adcScore(codebooks, queryVec)
-    codes.select(col(corpusId), col("codes"))
+    val scored = codes.select(col(corpusId), col("codes"))
       .crossJoin(broadcast(queries.select(col(queryId), col(queryVec))))
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("adc", score)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryId))
-          .orderBy(col("adc").asc, col(corpusId).asc)))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("adc"), col("rank"))
+    topKReduce(scored, k, queryId, corpusId, "adc", ascending = true)
   }
 
   /**
@@ -354,16 +384,12 @@ object Similarity {
                 queryId: String = "q_id", queryVec: String = "q_vec",
                 queryCell: String = "q_cell"): DataFrame = {
     val score = adcScore(codebooks, queryVec)
-    codes.select(col(corpusId), col("codes"), col(cellCol))
+    val scored = codes.select(col(corpusId), col("codes"), col(cellCol))
       .join(broadcast(queries.select(col(queryId), col(queryVec),
           col(queryCell))),
         col(cellCol) === col(queryCell) && col(corpusId) =!= col(queryId))
       .withColumn("adc", score)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryId))
-          .orderBy(col("adc").asc, col(corpusId).asc)))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("adc"), col("rank"))
+    topKReduce(scored, k, queryId, corpusId, "adc", ascending = true)
   }
 
   /**
@@ -413,12 +439,7 @@ object Similarity {
         .withColumn("__qn", norm(col(queryVec)))), queryId)
       .withColumn("cos",
         dot(col(corpusVec), col(queryVec)) / (col("__cn") * col("__qn")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryId))
-          .orderBy(col("cos").desc, col(corpusId).asc)))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+    topKReduce(scored, k, queryId, corpusId, "cos", ascending = false)
   }
 
   /** Sign (±1) of component j of deterministic pseudo-hyperplane p —

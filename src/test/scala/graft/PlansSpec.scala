@@ -123,6 +123,25 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("similarity top-k reduces via bounded-heap aggregation, not a per-query window") {
+    // the row_number window formulation ships every candidate of a
+    // query to ONE task (O(corpus) rows/query for brute-force s01 and
+    // full-corpus ADC s08); the TopKAgg formulation partial-aggregates
+    // <=k pairs per query per partition. Assert the window never comes
+    // back and the object-hash aggregate is actually in the plan.
+    val sf = "/root/testdata/sf0.001"
+    for (n <- Seq("s01_cosine_topk", "s02_ivf_topk", "s03_rhp_ann",
+        "s05_ivf_trained", "s06_rhp_multiprobe", "s07_ivf_multiprobe",
+        "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(!plan.contains("Window"), s"$n: window over candidate set")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$n: expected bounded-heap ObjectHashAggregate reduction")
+    }
+  }
+
   test("md5_prefix60 is registered as a SQL function by the extension") {
     val r = spark.sql(
       "SELECT md5_prefix60('hello world') AS h").collect()(0).getLong(0)
