@@ -519,6 +519,32 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // multi-probe residual IVF-PQ top-5: the full FAISS-style stack —
+    // each query probes its 2 nearest coarse cells, scoring residual
+    // codes against a PER-PROBE query residual (q_vec − centroid[p]);
+    // probe expansion rides the broadcast side, corpus codes stream
+    // through once
+    "s11_ivf_pq_multiprobe" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 4, iters = 1)
+      val res = Similarity.assignWith(e, "embedding", cents)
+        .withColumn("resid",
+          Similarity.residual(col("embedding"), cents, col("cluster")))
+      val books = Similarity.pqTrain(res, "resid", "vec_id",
+        m = 2, k = 4, iters = 1)
+      val encoded = Similarity.pqEncode(res, "resid", books)
+      val q = Similarity.probesWith(e.filter(col("vec_id") < 3),
+          "embedding", cents, nprobe = 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("probes").as("q_probes"))
+      Similarity.ivfPqTopKMultiProbe(
+          encoded.select("vec_id", "codes", "cluster"), q, 5, books, cents)
+        .select(col("q_id"), col("vec_id"), r4(col("adc")).as("adc"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // brute-force cosine top-10 for 3 query vectors
     "s01_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -1370,6 +1396,53 @@ object PipelineQueries {
            SELECT q_id, vec_id, adc, row_number() OVER
              (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
            FROM cellok)
+         SELECT q_id, vec_id, round(adc, 4) AS adc, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // multi-probe residual IVF-PQ: probes = the 2 nearest cells per
+    // query (a2r rn<=2, same rounded distance + cluster tie-break as
+    // the engine), query residual recomputed PER PROBE against that
+    // probe's centroid, ADC per subspace with the engine's 1e-6
+    // rounding before the sum. The oPqSub codebook/code CTEs are
+    // reused; its own adc CTE goes unused (per-probe residuals need a
+    // probe-aware query side).
+    "s11_ivf_pq_multiprobe" ->
+      s"""WITH $oKmeansA2,
+         resid AS (
+           SELECT e.vec_id,
+             list_transform(list_zip(e.embedding, c1.cvec),
+               z -> CAST(z[1] AS DOUBLE) - z[2]) AS embedding
+           FROM e JOIN a2 USING (vec_id)
+             JOIN c1 ON c1.cluster = a2.cluster),
+         ${oPqSub("p0", 1, 32, "resid")},
+         ${oPqSub("p1", 33, 64, "resid")},
+         qp AS (
+           SELECT vec_id AS q_id, cluster FROM a2r
+           WHERE rn <= 2 AND vec_id < 3),
+         qres AS (
+           SELECT qp.q_id, qp.cluster,
+             list_transform(list_zip(e.embedding, c.cvec),
+               z -> CAST(z[1] AS DOUBLE) - z[2]) AS rv
+           FROM qp JOIN e ON e.vec_id = qp.q_id
+             JOIN c1 c ON c.cluster = qp.cluster),
+         scored AS (
+           SELECT qres.q_id, pc0.vec_id,
+             floor(list_sum(list_transform(list_zip(qres.rv[1:32], c0.cvec),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) * 1000000 + 0.5) / 1000000
+             + floor(list_sum(list_transform(list_zip(qres.rv[33:64], cb1.cvec),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) * 1000000 + 0.5) / 1000000
+               AS adc
+           FROM p0code pc0
+             JOIN p1code pc1 ON pc1.vec_id = pc0.vec_id
+             JOIN a2 ca ON ca.vec_id = pc0.vec_id
+             JOIN qres ON qres.cluster = ca.cluster
+               AND pc0.vec_id <> qres.q_id
+             JOIN p0c1 c0 ON c0.cluster = pc0.code
+             JOIN p1c1 cb1 ON cb1.cluster = pc1.code),
+         ranked AS (
+           SELECT q_id, vec_id, adc, row_number() OVER
+             (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+           FROM scored)
          SELECT q_id, vec_id, round(adc, 4) AS adc, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 

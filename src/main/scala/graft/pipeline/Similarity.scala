@@ -169,8 +169,14 @@ object Similarity {
    * tie-break as [[kmeansAssign]], so probes.head == cluster.
    */
   def kmeansProbes(df: DataFrame, vecCol: String, idCol: String,
-                   k: Int, iters: Int, nprobe: Int): DataFrame = {
-    val cents = trainCentroids(df, vecCol, idCol, k, iters)
+                   k: Int, iters: Int, nprobe: Int): DataFrame =
+    probesWith(df, vecCol, trainCentroids(df, vecCol, idCol, k, iters), nprobe)
+
+  /** Probe lists under GIVEN centroids (adds `probes`) — pairs with
+    * [[kmeansCentroids]] the way [[assignWith]] does, so a caller
+    * composing on the quantizer (residual IVF-PQ) trains once. */
+  def probesWith(df: DataFrame, vecCol: String,
+                 cents: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     val dists = centroidDists(col(vecCol), cents)
     val ranked = array_sort(array(dists.map { case (i, d) =>
       struct(d.as("d"), lit(i).as("i")) }: _*))
@@ -388,6 +394,44 @@ object Similarity {
       .join(broadcast(queries.select(col(queryId), col(queryVec),
           col(queryCell))),
         col(cellCol) === col(queryCell) && col(corpusId) =!= col(queryId))
+      .withColumn("adc", score)
+    topKReduce(scored, k, queryId, corpusId, "adc", ascending = true)
+  }
+
+  /**
+   * Multi-probe residual IVF-PQ top-k — the full FAISS-style serving
+   * stack in one plan: coarse cells prune candidates, each query
+   * probes its `nprobe` nearest cells (probe lists from
+   * [[probesWith]]), and PQ codes trained on RESIDUALS score them.
+   * The residual is probe-dependent — under probe cell p the query
+   * side scores `q_vec − centroid[p]` — so the (tiny, broadcast)
+   * query set explodes to one row per probe, each carrying its own
+   * residual, while the corpus codes stream through once with no
+   * shuffle: a corpus vector lives in exactly one cell, so no probe
+   * ever scores the same (query, vector) pair twice and no dedup is
+   * needed before the bounded-heap reduction.
+   *
+   * `codes` must carry the corpus id, the `codes` array (from
+   * [[pqEncode]] over residuals) and the coarse cell column; `queries`
+   * must carry the RAW query vector plus its probe array.
+   */
+  def ivfPqTopKMultiProbe(codes: DataFrame, queries: DataFrame, k: Int,
+                          codebooks: Seq[Seq[Seq[Double]]],
+                          cents: Seq[Seq[Double]],
+                          cellCol: String = "cluster",
+                          corpusId: String = "vec_id",
+                          queryId: String = "q_id",
+                          queryVec: String = "q_vec",
+                          queryProbes: String = "q_probes"): DataFrame = {
+    val probed = queries
+      .select(col(queryId), col(queryVec),
+        explode(col(queryProbes)).as("__probe"))
+      .withColumn("__qres", residual(col(queryVec), cents, col("__probe")))
+      .select(col(queryId), col("__probe"), col("__qres"))
+    val score = adcScore(codebooks, "__qres")
+    val scored = codes.select(col(corpusId), col("codes"), col(cellCol))
+      .join(broadcast(probed),
+        col(cellCol) === col("__probe") && col(corpusId) =!= col(queryId))
       .withColumn("adc", score)
     topKReduce(scored, k, queryId, corpusId, "adc", ascending = true)
   }

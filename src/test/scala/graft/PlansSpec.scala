@@ -103,6 +103,7 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q53_mimmax_group", "m04_frame_sample",
       "q60_put_json", "q61_export_roundtrip", "q62_mimmin_group",
       "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
+      "s11_ivf_pq_multiprobe",
       "d11_segment_dedup", "t14_sequence_packing", "t15_domain_mix",
       "t16_unigram_logprob", "d12_consensus_pairs", "d13_containment")
     val sf = "/root/testdata/sf0.001"
@@ -132,7 +133,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sf = "/root/testdata/sf0.001"
     for (n <- Seq("s01_cosine_topk", "s02_ivf_topk", "s03_rhp_ann",
         "s05_ivf_trained", "s06_rhp_multiprobe", "s07_ivf_multiprobe",
-        "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual")) {
+        "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
+        "s11_ivf_pq_multiprobe")) {
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode
           .fromString("formatted"))
