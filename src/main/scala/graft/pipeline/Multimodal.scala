@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video as opaque `binary`
  * columns with typed metadata, plus a decode/feature-extract stage.
  *
- * The real decode (JPEG/PNG/audio codecs) is STUBBED with a
- * deterministic byte-level fake — the image/audio libraries are not in
- * this container — but the Spark-side plumbing is real: schema shape
- * (binary payload + metadata struct), batch-friendly partition-level
- * processing, and a columnar feature extraction that whole-stage
- * codegens.
+ * The decode stage is REAL: hand-rolled pure-JVM codecs for binary
+ * PPM (P6), RIFF/WAVE PCM, BMP, PNG (RFC 2083 — zlib inflate, all
+ * five filter types), and baseline JPEG (ITU-T T.81 — marker walk,
+ * Huffman decode, dequant, IDCT, 4:2:0 upsampling), each feeding the
+ * same header-parse → pixel/sample math → feature/resize shape a
+ * production codec would. The ONLY remaining stub is
+ * [[decodeFeatures]], a byte-peek fake kept as the minimal
+ * columnar-expression harness for the m01/m02 schema contract.
  *
  * At scale the pattern is: binary payloads live in their own parquet
  * column (column pruning keeps metadata-only queries from reading
@@ -47,11 +49,13 @@ object Multimodal {
         (pmod(col(idCol), lit(48)) + 1).cast("int").as("height")).as("meta"))
 
   /**
-   * STUB decode / feature-extract: nFeatures values from the leading
-   * payload bytes (hex-pair → [0,1]). A real deployment swaps the
-   * expression for a per-partition codec call with the same signature
-   * (payload → fixed-width float vector); everything downstream
-   * (schema, partitioning, batch shape) is unchanged.
+   * STUB decode / feature-extract (the one remaining fake in this
+   * file): nFeatures values from the leading payload bytes (hex-pair
+   * → [0,1]). The real codecs below ([[decodePpm]] … [[decodeJpeg]])
+   * are the production-shaped path; this expression form is kept for
+   * the m01/m02 contract where the payload is arbitrary bytes with no
+   * container format. Swapping it for a per-partition codec call
+   * changes nothing downstream (schema, partitioning, batch shape).
    */
   def decodeFeatures(payload: Column, nFeatures: Int): Column = {
     val hx = hex(payload)
@@ -64,12 +68,14 @@ object Multimodal {
 
   // ---- real pure-JVM codecs ------------------------------------------
   //
-  // The container has no image/audio libraries, but two real formats
-  // are parseable with nothing beyond the JVM: binary PPM (P6) and
-  // RIFF/WAVE PCM. These make the per-partition decode path a genuine
-  // codec exercise — header parse, pixel/sample math, resize — not a
-  // byte-peek fake. JPEG/PNG/MP4 would slot into the same decode()
-  // signature via a native library.
+  // The container has no image/audio libraries, so every format here
+  // is parsed with nothing beyond the JVM: binary PPM (P6), RIFF/WAVE
+  // PCM, BMP, PNG (inflate + all five filters), and baseline JPEG
+  // (Huffman + dequant + IDCT + 4:2:0). The per-partition decode path
+  // is a genuine codec exercise — header parse, entropy decode,
+  // pixel/sample math, resize — not a byte-peek fake. Only exotic
+  // containers (MP4 etc.) would need a native library, via the same
+  // decode() signature.
 
   /** Decoded-media feature record. */
   case class Decoded(kind: String, width: Int, height: Int,
