@@ -247,11 +247,28 @@ object Engine {
     val fills = q.metricFills
     q.expressions.foreach { e =>
       val names = ExpQuery.variables(ExpQuery.parse(e.expr))
+      require(names.nonEmpty,
+        s"expression '${e.id}' references no metric or expression ids " +
+          s"(constant expressions are not supported): ${e.expr}")
       val joinKeys = names
         .map(n => vars(n).columns.filter(_.startsWith("tag_")).toSet)
         .reduce(_ intersect _).toSeq.sorted
-      val prepared = names.map(n =>
-        n -> vars(n).select((joinKeys :+ "ts" :+ "value").map(col): _*)).toMap
+      val prepared = names.map { n =>
+        val v = vars(n)
+        val extraTags = v.columns
+          .filter(_.startsWith("tag_")).toSet -- joinKeys
+        // Variables grouped by DIFFERENT tag sets: the wider side has
+        // several rows per (joinKeys, ts); joining as-is would multiply
+        // rows instead of collapsing the extra dimension. Aggregate the
+        // surplus tags away (sum — the reference's cross-variable join
+        // sums series that collide on the join tags) before the join.
+        val flat =
+          if (extraTags.isEmpty)
+            v.select((joinKeys :+ "ts" :+ "value").map(col): _*)
+          else v.groupBy((joinKeys :+ "ts").map(col): _*)
+            .agg(sum("value").as("value"))
+        n -> flat
+      }.toMap
       vars += e.id -> ExpQuery.evalWithFills(e.expr, prepared, joinKeys,
         intersect = e.join.operator == "intersection",
         fills = fills,
@@ -508,9 +525,7 @@ object Engine {
       lit(sub.aggregator).as("aggregator"),
       lit(sub.metric).as("metric"),
       lit(sub.rate.isDefined).as("rate"),
-      lit(sub.downsample.map(d =>
-        if (d.intervalMs == 0) s"0all-${d.aggregator}"
-        else s"${d.intervalMs}ms-${d.aggregator}").orNull).as("downsample"),
+      lit(sub.downsample.map(_.echo).orNull).as("downsample"),
       lit(sub.explicitTags).as("explicitTags"),
       filters.as("filters"))
   }

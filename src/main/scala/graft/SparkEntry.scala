@@ -1006,6 +1006,38 @@ object SparkEntry {
         .groupBy(col("metric"), col("bucket_lo"), col("bucket_hi"))
         .agg(sum(col("count")).as("n"))
         .orderBy("metric", "bucket_lo")
+    }),
+
+    // §2.13 small-file compaction oracle-backed end-to-end (reference
+    // src/core/CompactionQueue.java:340+): the streaming sink's
+    // pathology — many tiny files per date partition — written
+    // deliberately (16-way round-robin before the partitioned write),
+    // compacted down to one file per date, and the recovered table must
+    // hash-match aggregates computed straight from the source. The
+    // `compacted` flag folds the file-count contract into the oracle
+    // compare: it is only true when compaction actually reduced the
+    // file count to <= one per date.
+    "q71_compact" -> ((s, dir) => {
+      val base = pts(s, dir).filter(col("metric") === "view" &&
+          col("tags").getItem("k").isNotNull)
+        .select(col("metric"), col("ts"), col("value"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k"))
+      val tmp = java.nio.file.Files.createTempDirectory("q71compact")
+        .toString + "/pts"
+      graft.model.Points.writeDatePartitioned(base.repartition(16), tmp)
+      def fileCount = s.read.parquet(tmp).inputFiles.length
+      val before = fileCount
+      val nDates = s.read.parquet(tmp).select("date").distinct.count()
+      graft.sources.Ingest.compact(s, tmp,
+        targetFileBytes = Long.MaxValue / 4)
+      val after = fileCount
+      s.read.parquet(tmp)
+        .groupBy("metric", "tag_user")
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .withColumn("compacted", lit(after < before && after <= nDates))
+        .orderBy("metric", "tag_user")
     })
   )
 
@@ -1892,6 +1924,14 @@ object SparkEntry {
            floor(value / 10) * 10 + 10 AS bucket_hi, count(*) AS n
          FROM points WHERE metric = 'purchase'
          GROUP BY metric, floor(value / 10) * 10
-         ORDER BY metric, bucket_lo"""
+         ORDER BY metric, bucket_lo""",
+
+    "q71_compact" ->
+      s"""$O SELECT metric, tag_user, count(*) AS n,
+           round(sum(value), 4) AS sum_v,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           TRUE AS compacted
+         FROM points WHERE metric = 'view' AND tag_k IS NOT NULL
+         GROUP BY metric, tag_user ORDER BY metric, tag_user"""
   )
 }

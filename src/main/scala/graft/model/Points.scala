@@ -80,8 +80,15 @@ object Points {
    */
   def writeDatePartitioned(points: DataFrame, path: String): Unit =
     points.drop("date")
+      // Derive the UTC day arithmetically (epoch days from epoch
+      // millis), NOT via date_format, which renders in the session
+      // timezone: under a non-UTC session the write-side dates would
+      // shift while scanDatePartitioned prunes in hard UTC — silently
+      // excluding rows near day boundaries.
       .withColumn("date",
-        date_format(timestamp_millis(col("ts")), "yyyy-MM-dd"))
+        date_add(lit("1970-01-01").cast(DateType),
+          floor(col("ts").cast("double") / 86400000d).cast("int"))
+          .cast(StringType))
       .write.mode("overwrite").partitionBy("date").parquet(path)
 
   /**
@@ -111,14 +118,25 @@ object Points {
    * scan-range pruning, src/core/TsdbQuery.java:1446-1546).
    */
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 only reads as
-    // a raw long behind this session conf; millis = integer-div by 1e6
-    // (fp division would lose precision on int64 nanos > 2^53).
+    // events.ts has shipped as both parquet TIMESTAMP(NANOS) (readable
+    // in Spark 4 only as a raw long behind nanosAsLong; millis =
+    // integer-div by 1e6 — fp division would lose precision on int64
+    // nanos > 2^53) and TIMESTAMP(MICROS). Support both by branching on
+    // the inferred type. inferTimestampNTZ=false so a micros column
+    // reads as TimestampType, whose internal value IS epoch-micros —
+    // unix_millis() is then a pure floor-div with no session-tz shift,
+    // and IntegralDivRangeRewrite pushes range predicates over it down
+    // to the scan as timestamp filters.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsMillis = ev.schema("ts").dataType match {
+      case LongType => expr("CAST(ts AS BIGINT) div 1000000")
+      case _        => unix_millis(col("ts"))
+    }
     ev.select(
       col("event_type").as("metric"),
-      expr("CAST(ts AS BIGINT) div 1000000").as("ts"),
+      tsMillis.as("ts"),
       col("value").as("value"),
       lit(null).cast(LongType).as("value_l"),
       lit(false).as("is_int"),

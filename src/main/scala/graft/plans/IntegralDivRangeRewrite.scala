@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /**
  * Optimizer rule: rewrite range predicates over an integral division by
@@ -47,6 +47,25 @@ object IntegralDivRangeRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** `unix_millis(t)` over a TimestampType column. Catalyst stores
+    * timestamps as epoch-MICROS longs and UnixMillis is
+    * floorDiv(micros, 1000), so with floor division the range
+    * equivalences below are exact for ALL bounds (negatives included):
+    *
+    *   floorDiv(a,k) >= b ⇔ a >= b*k
+    *   floorDiv(a,k) <= b ⇔ a <= (b+1)*k - 1
+    *
+    * Rewriting onto the raw timestamp column turns a derived-millis
+    * time filter into a parquet timestamp PushedFilter. */
+  private object MillisOfTimestamp {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case UnixMillis(t) if t.dataType == TimestampType => Some(t)
+      case _ => None
+    }
+  }
+
+  private def tsLit(micros: Long): Literal = Literal(micros, TimestampType)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case GreaterThanOrEqual(DivByPosConst(a, k), Literal(b: Long, LongType))
@@ -61,6 +80,19 @@ object IntegralDivRangeRewrite extends Rule[LogicalPlan] {
       case LessThan(DivByPosConst(a, k), Literal(b: Long, LongType))
           if b >= 1 && mulOk(b, k) =>
         LessThanOrEqual(a, Literal(b * k - 1, LongType))
+
+      case GreaterThanOrEqual(MillisOfTimestamp(t), Literal(b: Long, LongType))
+          if mulOk(b, 1000L) =>
+        GreaterThanOrEqual(t, tsLit(b * 1000L))
+      case GreaterThan(MillisOfTimestamp(t), Literal(b: Long, LongType))
+          if mulOk(b + 1, 1000L) =>
+        GreaterThanOrEqual(t, tsLit((b + 1) * 1000L))
+      case LessThanOrEqual(MillisOfTimestamp(t), Literal(b: Long, LongType))
+          if mulOk(b + 1, 1000L) =>
+        LessThanOrEqual(t, tsLit((b + 1) * 1000L - 1))
+      case LessThan(MillisOfTimestamp(t), Literal(b: Long, LongType))
+          if mulOk(b, 1000L) =>
+        LessThanOrEqual(t, tsLit(b * 1000L - 1))
     }
 }
 

@@ -222,6 +222,13 @@ object ExpJsonQuery {
           .map(_.asText()).filter(_.nonEmpty))
     }
 
+    // The reference executor fails a body with nothing to emit deep in
+    // serialization; validate up front with an actionable message so an
+    // empty expressions+outputs list never reaches a reduce over an
+    // empty emit list.
+    require(expressions.nonEmpty || outputs.nonEmpty,
+      "request must declare at least one expression or output")
+
     ExpRequest(startMs, endMs, time.path("timezone").asText("UTC"),
       time.get("aggregator").asText(),
       time.path("rate").asBoolean(false),

@@ -55,11 +55,22 @@ case class DownsampleSpec(
     aggregator: String,
     fill: FillPolicy = FillPolicy.None,
     calendar: Boolean = false,
-    calendarUnit: String = "") // d/w/n/y when calendar-aligned
+    calendarUnit: String = "", // d/w/n/y when calendar-aligned
+    spec: String = "") {       // original request text, echoed by show_query
+  /** The spec as the reference echoes it back (TSSubQuery.getDownsample
+    * returns the request's own string, fill suffix and all); normalized
+    * form only when the spec was built programmatically. */
+  def echo: String =
+    if (spec.nonEmpty) spec
+    else if (intervalMs == 0) s"0all-$aggregator"
+    else s"${intervalMs}ms-$aggregator"
+}
 
 object DownsampleSpec {
   /** Parse `1h-sum`, `30m-avg-zero`, `0all-sum`, `1dc-max`. */
-  def parse(s: String): DownsampleSpec = {
+  def parse(s: String): DownsampleSpec = parseImpl(s).copy(spec = s)
+
+  private def parseImpl(s: String): DownsampleSpec = {
     val parts = s.split("-", 3)
     require(parts.length >= 2, s"invalid downsample spec: $s")
     val ivStr = parts(0)

@@ -61,6 +61,15 @@ object Ingest {
         // null value (→ _error below), not an ANSI array-index error
         map_from_entries(transform(tagPairs, p =>
           struct(get(split(p, "="), lit(0)), get(split(p, "="), lit(1))))))
+      // Strict tag-token shape (reference Tags.parse, src/core/Tags.java
+      // :128-144 throws on anything but exactly one '=' with non-empty
+      // sides): 'a=b=c' and 'a=' / '=b' must route to _error, not
+      // silently parse as a truncated tag.
+      .withColumn("bad_tag",
+        exists(tagPairs, p =>
+          size(split(p, "=")) =!= 2 ||
+            get(split(p, "="), lit(0)) === "" ||
+            get(split(p, "="), lit(1)) === ""))
     // NB: refer to the materialized columns — `value` now holds the
     // parsed double, not the raw line
     parsed.withColumn("_error",
@@ -70,7 +79,8 @@ object Ingest {
           .when(col("value").isNull, lit("bad value"))
           .when(col("ts_num").isNull, lit("bad timestamp"))
           .when(!col("metric").rlike(NAME_RE), lit("bad metric charset"))
-          .when(exists(map_values(col("tags")), _.isNull), lit("bad tag")))
+          .when(col("bad_tag") ||
+            exists(map_values(col("tags")), _.isNull), lit("bad tag")))
       .select("metric", "ts", "value", "value_l", "is_int", "tags", "_error")
   }
 

@@ -558,6 +558,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Engine result cache: concurrent callers leak no persisted results") {
+    Engine.clearResultCache()
+    graft.meta.Introspect.resetStats()
+    val prevCap = Engine.resultCacheMaxEntries
+    Engine.resultCacheMaxEntries = 8
+    try {
+      val df = pointsDf(Seq(
+        ("cpu", 10000L, 1.0, host("a")), ("cpu", 70000L, 3.0, host("a"))))
+      val q = TsQuery(0L, 100000L, Seq.empty)
+      val now = 10_000_000_000_000L
+      // 24 distinct queries (3x the cap), each requested by 4 threads:
+      // exercises BOTH races — same-key double-miss (both persist, the
+      // put must release the displaced one) and cross-key eviction
+      // under contention in removeEldestEntry.
+      val specs = (1 to 24).map(i => s"sum:${i}m-sum:cpu")
+      val baseline = spark.sparkContext.getPersistentRDDs.keySet
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+          scala.util.Random.shuffle((0 until 96).toList).map { i =>
+            val spec = specs(i % specs.size)
+            () => {
+              Engine.runCached(df, q,
+                graft.query.QueryParser.parseSubQuery(spec), now = now)
+              ()
+            }
+          }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
+      // no double-persist leak: at most cap new persisted RDDs survive
+      val afterRun = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+      assert(afterRun.size <= Engine.resultCacheMaxEntries,
+        s"${afterRun.size} persisted results for a cap of " +
+          s"${Engine.resultCacheMaxEntries}")
+      // eviction-counter sanity: at least (distinct - cap) entries were
+      // LRU-evicted regardless of interleaving
+      val stats = graft.meta.Introspect.statsCounters(spark).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(stats.getOrElse("query.cache_evictions", 0L) >=
+        (specs.size - Engine.resultCacheMaxEntries).toLong, stats.toString)
+      // and clearing returns persisted storage exactly to baseline
+      Engine.clearResultCache()
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).isEmpty,
+        "persisted results leaked past clearResultCache")
+    } finally {
+      Engine.resultCacheMaxEntries = prevCap
+      Engine.clearResultCache()
+    }
+  }
+
   test("Engine.runExpJson: metrics → expressions → outputs end-to-end") {
     val df = pointsDf(Seq(
       ("cpu", 10000L, 1.0, host("a")), ("cpu", 10000L, 3.0, host("b")),

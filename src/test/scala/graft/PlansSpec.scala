@@ -49,10 +49,14 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
-    // 1704412800000 ms * 1e6 = 1704412800000000000 ns on the raw column
-    assert(pushed.contains("GreaterThanOrEqual(ts,1704412800000000000)"),
+    // events.ts is TIMESTAMP(MICROS): the unix_millis range rewrite must
+    // surface as timestamp bounds on the raw column —
+    // 1704412800000 ms = 2024-01-05T00:00:00Z and the exclusive upper
+    // 1705708800000 ms becomes <= 2024-01-19T23:59:59.999999
+    assert(pushed.contains("GreaterThanOrEqual(ts,2024-01-05"),
       s"missing pushed lower bound in: $pushed")
-    assert(pushed.contains("LessThanOrEqual(ts,1705708799999999999)"),
+    assert(pushed.contains("LessThanOrEqual(ts,2024-01-19") &&
+      pushed.contains("59:59.999999"),
       s"missing pushed upper bound in: $pushed")
   }
 
