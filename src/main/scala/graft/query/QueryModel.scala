@@ -132,8 +132,14 @@ object QueryParser {
     var rate: Option[RateOptions] = None
     var ds: Option[DownsampleSpec] = None
     var pcts: Seq[Double] = Seq.empty
+    var explicit = false
     segs.tail.dropRight(1).foreach { seg =>
       if (seg.startsWith("rate")) rate = Some(parseRate(seg))
+      else if (seg == "explicit_tags") explicit = true
+        // stage form of explicit tag matching (reference QueryRpc
+        // parseMTypeSubQuery, src/tsd/QueryRpc.java:652-655; order
+        // against rate/downsample is free: `sum:explicit_tags:rate:
+        // 1m-sum:m` and `sum:explicit_tags:1m-sum:rate:m` both parse)
       else if (seg.startsWith("percentiles[") && seg.endsWith("]"))
         // histogram-percentile stage (reference QueryRpc
         // parseMTypeSubQuery percentiles grammar)
@@ -147,7 +153,8 @@ object QueryParser {
     val filters =
       if (firstBrace < 0) Seq.empty
       else parseLegacyFilters(metricSeg.substring(firstBrace))
-    SubQuery(agg, metricName, filters, ds, rate, percentiles = pcts)
+    SubQuery(agg, metricName, filters, ds, rate, explicitTags = explicit,
+      percentiles = pcts)
   }
 
   /** Split on `sep` at `{}` depth 0. */
@@ -190,13 +197,24 @@ object QueryParser {
    * second (non-grouping) brace group.
    */
   def parseLegacyFilters(braces: String): Seq[TagFilter] = {
-    // braces may be `{g}` or `{g}{f}`
+    // braces may be `{g}` or `{g}{f}`; anything else — an unclosed
+    // brace, text between groups — is a hard parse error, matching the
+    // reference (Tags.parseWithMetricAndFilters throws on unbalanced
+    // braces instead of silently dropping the filter)
+    require(braces.count(_ == '{') == braces.count(_ == '}') &&
+        braces.endsWith("}"),
+      s"unclosed filter brace in: $braces")
     val groups = raw"\{([^}]*)\}".r.findAllMatchIn(braces).map(_.group(1)).toSeq
+    require(groups.map(g => s"{$g}").mkString == braces,
+      s"malformed filter braces: $braces")
     def parseOne(body: String, grouping: Boolean): Seq[TagFilter] =
       if (body.trim.isEmpty) Seq.empty
       else body.split(",").toSeq.map { pair =>
-        val Array(k, v) = pair.split("=", 2)
-        parseFilterValue(k.trim, v.trim, grouping)
+        pair.split("=", 2) match {
+          case Array(k, v) => parseFilterValue(k.trim, v.trim, grouping)
+          case _ => throw new IllegalArgumentException(
+            s"filter pair missing '=': $pair")
+        }
       }
     groups.zipWithIndex.flatMap { case (g, i) => parseOne(g, i == 0) }
   }

@@ -115,6 +115,90 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("reference TestQueryRpc golden m= vectors parse identically") {
+    // ported 1:1 from reference test/tsd/TestQueryRpc.java:102-366
+    // (parseQueryMType* family): each vector is the m= component of the
+    // test's URI with the reference's own assertions on the parse.
+    def p(m: String) = QueryParser.parseSubQuery(m)
+
+    // parseQueryMType
+    val t1 = p("sum:sys.cpu.0")
+    assert(t1.aggregator == "sum" && t1.metric == "sys.cpu.0")
+    // parseQueryMTypeWRate
+    assert(p("sum:rate:sys.cpu.0").rate.isDefined)
+    // parseQueryMTypeWDS — downsample echoes the request text
+    assert(p("sum:1h-avg:sys.cpu.0").downsample.get.echo == "1h-avg")
+    // parseQueryMTypeWDSAndFill — fill suffix survives the echo. The
+    // reference vector uses "1h-avg-lerp", but "lerp" is NOT a legal
+    // FillPolicy even there (FillPolicy.java:22-27; TSSubQuery merely
+    // stores the raw string and validateAndSetQuery would reject it) —
+    // our parser fuses parse+validate, so the legal-fill form echoes
+    // and the lerp form raises here instead of at validate time.
+    val fill = p("sum:1h-avg-nan:sys.cpu.0").downsample.get
+    assert(fill.echo == "1h-avg-nan" && fill.aggregator == "avg")
+    intercept[Exception] { p("sum:1h-avg-lerp:sys.cpu.0") }
+    // parseQueryMTypeWRateAndDS
+    val rds = p("sum:1h-avg:rate:sys.cpu.0")
+    assert(rds.rate.isDefined && rds.downsample.get.echo == "1h-avg")
+    // parseQueryMTypeWTag — sugar becomes a grouping literal_or
+    assert(p("sum:sys.cpu.0{host=web01}").filters ==
+      Seq(LiteralOr("host", Seq("web01"), groupBy = true)))
+    // parseQueryMTypeWGroupByRegex
+    assert(p("sum:sys.cpu.0{host=regexp(something(foo|bar))}").filters
+      .head.isInstanceOf[RegexpFilter])
+    // parseQueryMTypeWGroupByWildcard{Explicit,Implicit}
+    assert(p("sum:sys.cpu.0{host=wildcard(*quirm)}").filters ==
+      Seq(Wildcard("host", "*quirm", groupBy = true)))
+    assert(p("sum:sys.cpu.0{host=*quirm}").filters ==
+      Seq(Wildcard("host", "*quirm", groupBy = true)))
+    // parseQueryMTypeWWildcardFilter{Explicit,Implicit} — second brace
+    // group is non-grouping
+    assert(p("sum:sys.cpu.0{}{host=wildcard(*quirm)}").filters ==
+      Seq(Wildcard("host", "*quirm", groupBy = false)))
+    assert(p("sum:sys.cpu.0{}{host=*quirm}").filters ==
+      Seq(Wildcard("host", "*quirm", groupBy = false)))
+    // parseQueryMTypeWGroupByAndWildcardFilterExplicit — both groups
+    val both = p("sum:sys.cpu.0{colo=lga}{host=wildcard(*quirm)}").filters
+    assert(both.contains(LiteralOr("colo", Seq("lga"), groupBy = true)) &&
+      both.contains(Wildcard("host", "*quirm", groupBy = false)))
+    // ...SameTagK — one tagk may carry a filter in each group
+    val same = p("sum:sys.cpu.0{host=quirm|tsort}{host=wildcard(*quirm)}")
+    assert(same.filters.size == 2)
+    // parseQueryMTypeWEmptyFilterBrackets
+    assert(p("sum:sys.cpu.0{}{}").filters.isEmpty)
+    // parseQueryMTypeWExplicit / +Rate / +RateAndDS / +DSAndRate —
+    // explicit_tags composes with rate and downsample in either order
+    val e1 = p("sum:explicit_tags:sys.cpu.0{host=web01}")
+    assert(e1.explicitTags && e1.filters.nonEmpty)
+    val e2 = p("sum:explicit_tags:rate:sys.cpu.0{host=web01}")
+    assert(e2.explicitTags && e2.rate.isDefined)
+    val e3 = p("sum:explicit_tags:rate:1m-sum:sys.cpu.0{host=web01}")
+    assert(e3.explicitTags && e3.rate.isDefined &&
+      e3.downsample.get.echo == "1m-sum")
+    val e4 = p("sum:explicit_tags:1m-sum:rate:sys.cpu.0{host=web01}")
+    assert(e4.explicitTags && e4.rate.isDefined &&
+      e4.downsample.get.echo == "1m-sum")
+    // parseQueryMTypePercentiles (TestQueryRpc.java:707-724)
+    assert(p("sum:percentiles[0.98]:msg.end2end.latency").percentiles ==
+      Seq(0.98))
+
+    // error vectors — the reference throws IllegalArgumentException
+    // parseQueryMTypeWGroupByFilterMissingClose
+    intercept[IllegalArgumentException] {
+      p("sum:sys.cpu.0{host=wildcard(*tsort)}{host=wildcard(*quirm)")
+    }
+    // parseQueryMTypeWGroupByFilterMissingEquals
+    intercept[IllegalArgumentException] {
+      p("sum:sys.cpu.0{host=wildcard(*tsort)}{hostwildcard(*quirm)}")
+    }
+    // parseQueryMTypeWGroupByNoSuchFilter
+    intercept[IllegalArgumentException] {
+      p("sum:sys.cpu.0{host=nosuchfilter(*tsort)}")
+    }
+    // parseQueryMTypeWBadFill (TestQueryRpc.java:592-596)
+    intercept[Exception] { p("sum:10m-avg-badbadbad:sys.cpu.user") }
+  }
+
   test("JSON /api/query body parsing (parseQueryV1 semantics)") {
     val now = 1700000000000L
     val q = JsonQuery.parse(

@@ -753,6 +753,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.contains("\"stats\":{\"aggregatedSize\":2,\"series\":1}"), a)
   }
 
+  test("show_query echoes the request's original downsample text") {
+    // reference TSSubQuery.getDownsample returns the REQUEST string
+    // ('1h-sum-zero'), not a normalized form — clients round-trip it
+    import scala.jdk.CollectionConverters._
+    import graft.query.{QueryParser, TsQuery}
+    val p = spark.createDataFrame(Seq(
+      Row("cpu", 1000L, 1.0, null, false, Map("host" -> "a"))
+    ).asJava, Points.schema)
+    val q = TsQuery(0L, 3000L, Seq.empty)
+    val doc = Engine.serializeV1(p, q,
+        QueryParser.parseSubQuery("sum:1h-sum-zero:cpu{host=*}"),
+        showQuery = true)
+      .collect().map(_.getString(0)).head
+    assert(doc.contains("\"downsample\":\"1h-sum-zero\""), doc)
+  }
+
   test("runtime stats counters count engine sub-queries") {
     Introspect.resetStats()
     Introspect.incr("rpc.received")
