@@ -98,9 +98,13 @@ object StreamScale {
         "10 minutes"))
 
     // ---- document operators -----------------------------------------
+    // arrivals 1 min apart in doc_id order: the stream spans days of
+    // event time, so the 10-minute watermark horizon actually evicts —
+    // the dedup operators' state must plateau at the per-horizon
+    // distinct count, not grow with the corpus
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       .withColumn("arrival",
-        timestamp_millis(lit(1704412800000L) + col("doc_id") % 86400000L))
+        timestamp_millis(lit(1704412800000L) + col("doc_id") * 60000L))
     println(s"STREAMSCALE-INPUT $label docs=${docs.count()}")
     val docsPath = stage(docs, "doc_id", 8, s"$work/docs_in")
 

@@ -132,7 +132,12 @@ object Points {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val tsMillis = ev.schema("ts").dataType match {
       case LongType => expr("CAST(ts AS BIGINT) div 1000000")
-      case _        => unix_millis(col("ts"))
+      // Spark-written copies (ScaleGen output) carry TIMESTAMP_NTZ in
+      // the footer metadata, which overrides inferTimestampNTZ; the
+      // NTZ→LTZ cast is offset-free under the pinned-UTC sessions and
+      // the rewrite rule strips it back off the pushdown predicate
+      case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+      case _ => unix_millis(col("ts"))
     }
     ev.select(
       col("event_type").as("metric"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Optimizer rule: rewrite range predicates over an integral division by
@@ -59,12 +59,26 @@ object IntegralDivRangeRewrite extends Rule[LogicalPlan] {
     * time filter into a parquet timestamp PushedFilter. */
   private object MillisOfTimestamp {
     def unapply(e: Expression): Option[Expression] = e match {
-      case UnixMillis(t) if t.dataType == TimestampType => Some(t)
+      case UnixMillis(t) => t match {
+        // strip an NTZ→LTZ cast so the rewritten predicate lands on the
+        // bare column (a Cast blocks data-source filter translation);
+        // the cast is a no-op exactly when the session zone is UTC, so
+        // only rewrite then
+        case Cast(a, TimestampType, _, _) if a.dataType == TimestampNTZType &&
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+              == "UTC" => Some(a)
+        case _ if t.dataType == TimestampType => Some(t)
+        case _ => None
+      }
       case _ => None
     }
   }
 
-  private def tsLit(micros: Long): Literal = Literal(micros, TimestampType)
+  /** Literal in the matched column's own timestamp flavor (both store
+    * epoch-micros longs internally; NTZ-as-UTC == LTZ under a UTC
+    * session, which MillisOfTimestamp guarantees for the NTZ arm). */
+  private def tsLit(micros: Long, like: Expression): Literal =
+    Literal(micros, like.dataType)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
@@ -83,16 +97,16 @@ object IntegralDivRangeRewrite extends Rule[LogicalPlan] {
 
       case GreaterThanOrEqual(MillisOfTimestamp(t), Literal(b: Long, LongType))
           if mulOk(b, 1000L) =>
-        GreaterThanOrEqual(t, tsLit(b * 1000L))
+        GreaterThanOrEqual(t, tsLit(b * 1000L, t))
       case GreaterThan(MillisOfTimestamp(t), Literal(b: Long, LongType))
           if mulOk(b + 1, 1000L) =>
-        GreaterThanOrEqual(t, tsLit((b + 1) * 1000L))
+        GreaterThanOrEqual(t, tsLit((b + 1) * 1000L, t))
       case LessThanOrEqual(MillisOfTimestamp(t), Literal(b: Long, LongType))
           if mulOk(b + 1, 1000L) =>
-        LessThanOrEqual(t, tsLit((b + 1) * 1000L - 1))
+        LessThanOrEqual(t, tsLit((b + 1) * 1000L - 1, t))
       case LessThan(MillisOfTimestamp(t), Literal(b: Long, LongType))
           if mulOk(b, 1000L) =>
-        LessThanOrEqual(t, tsLit(b * 1000L - 1))
+        LessThanOrEqual(t, tsLit(b * 1000L - 1, t))
     }
 }
 
