@@ -656,6 +656,60 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doc.contains("\"dps\":{\"0\":11.0,\"60000\":105.0}"))
   }
 
+  test("runExpJson re-aggregates variables grouped by wider tag sets") {
+    // a grouped by (host, core), b grouped by host only: the expression
+    // join runs on the tag intersection {host}, so a must collapse its
+    // core dimension (sum) BEFORE the join — joining as-is would
+    // multiply b's rows per (host, ts) instead of aggregating
+    val df = pointsDf(Seq(
+      ("cpu", 10000L, 1.0, Map("host" -> "a", "core" -> "0")),
+      ("cpu", 10000L, 2.0, Map("host" -> "a", "core" -> "1")),
+      ("cpu", 10000L, 4.0, Map("host" -> "b", "core" -> "0")),
+      ("mem", 10000L, 10.0, host("a")),
+      ("mem", 10000L, 20.0, host("b"))))
+    val body = """{
+      "time": {"start": 0, "end": 100, "aggregator": "zimsum",
+               "downsampler": {"interval": "1m", "aggregator": "sum"}},
+      "filters": [
+        {"id": "f1", "tags": [
+          {"type": "wildcard", "tagk": "host", "filter": "*", "groupBy": true},
+          {"type": "wildcard", "tagk": "core", "filter": "*", "groupBy": true}]},
+        {"id": "f2", "tags": [
+          {"type": "wildcard", "tagk": "host", "filter": "*", "groupBy": true}]}],
+      "metrics": [
+        {"id": "a", "metric": "cpu", "filter": "f1",
+         "fillPolicy": {"policy": "zero"}},
+        {"id": "b", "metric": "mem", "filter": "f2",
+         "fillPolicy": {"policy": "zero"}}],
+      "expressions": [
+        {"id": "e", "expr": "a + b", "join": {"operator": "union"}}]}"""
+    val rows = Engine.runExpJson(df, body).head._2.collect()
+      .map(r => (r.getAs[String]("tag_host"), r.getAs[Long]("ts"),
+        r.getAs[Double]("value"))).toSet
+    // ONE row per (host, ts): a collapses cores (a: 1+2=3, b: 4)
+    assert(rows == Set(("a", 0L, 13.0), ("b", 0L, 24.0)), rows.toString)
+  }
+
+  test("runExpJson guards: constant expression and empty emit list") {
+    val df = pointsDf(Seq(("cpu", 10000L, 1.0, host("a"))))
+    // an expression referencing no variables is a clean error, not a
+    // reduce-on-empty crash
+    val constBody = """{
+      "time": {"start": 0, "end": 100, "aggregator": "sum"},
+      "metrics": [{"id": "a", "metric": "cpu"}],
+      "expressions": [{"id": "e", "expr": "4 * 2",
+        "join": {"operator": "union"}}]}"""
+    intercept[IllegalArgumentException] { Engine.runExpJson(df, constBody) }
+    // nothing to emit is rejected at parse time with a clear message
+    val emptyBody = """{
+      "time": {"start": 0, "end": 100, "aggregator": "sum"},
+      "metrics": [{"id": "a", "metric": "cpu"}]}"""
+    val ex = intercept[IllegalArgumentException] {
+      graft.query.ExpJsonQuery.parse(emptyBody, 1700000000000L)
+    }
+    assert(ex.getMessage.contains("expression or output"), ex.getMessage)
+  }
+
   test("Engine.runExpJson time-over-time: offset metric joins on today") {
     val df = pointsDf(Seq(
       ("cpu", 10000L, 1.0, host("a")),   // minute 0
