@@ -267,6 +267,31 @@ object PipelineQueries {
          CROSS JOIN (SELECT vec_id, sv FROM ${p}e WHERE vec_id < 3) q)"""
   }
 
+  /** IVF-PQ cell-pruned ADC oracle — shared by s09 (in-session train +
+    * encode + query in one plan) and s12 (the identical computation
+    * served from a persisted index): both must reproduce this SQL's
+    * deterministic Lloyd cells, per-subspace codes and rounded ADC. */
+  private def ivfPqOracleSql: String =
+    s"""WITH $oKmeansA2,
+       ${oPqSub("p0", 1, 32)},
+       ${oPqSub("p1", 33, 64)},
+       summed AS (
+         SELECT a0.q_id, a0.vec_id, a0.d + a1.d AS adc
+         FROM p0adc a0 JOIN p1adc a1 USING (q_id, vec_id)
+         WHERE vec_id <> q_id),
+       cellok AS (
+         SELECT s.q_id, s.vec_id, s.adc
+         FROM summed s
+           JOIN a2 cq ON cq.vec_id = s.q_id
+           JOIN a2 cc ON cc.vec_id = s.vec_id
+         WHERE cq.cluster = cc.cluster),
+       ranked AS (
+         SELECT q_id, vec_id, adc, row_number() OVER
+           (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+         FROM cellok)
+       SELECT q_id, vec_id, round(adc, 4) AS adc, rank
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** DuckDB mirror of Similarity.rhpBucket(vec, nBits, dim, planeOffset):
     * generated with the same rhpSign constants, same left-associative
     * addition order, so doubles match bit-for-bit. */
@@ -540,6 +565,27 @@ object PipelineQueries {
           col("probes").as("q_probes"))
       Similarity.ivfPqTopKMultiProbe(
           encoded.select("vec_id", "codes", "cluster"), q, 5, books, cents)
+        .select(col("q_id"), col("vec_id"), r4(col("adc")).as("adc"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF-PQ through a PERSISTED index: train+encode once into a
+    // parquet codes table + JSON sidecar, reload, and serve the same
+    // queries as s09 entirely from disk state — proving the stored
+    // index reproduces the in-session computation bit-for-bit (same
+    // oracle as s09). The production lifecycle: build one pass,
+    // queries read only (cell, codes).
+    "s12_pq_index_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val idxDir = java.nio.file.Files.createTempDirectory("s12index")
+        .toString + "/idx"
+      Similarity.writePqIndex(e, "embedding", "vec_id", idxDir,
+        kCells = 4, m = 2, k = 4, iters = 1)
+      val index = Similarity.readPqIndex(s, idxDir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.pqIndexTopK(index, q, 5)
         .select(col("q_id"), col("vec_id"), r4(col("adc")).as("adc"),
           col("rank"))
         .orderBy("q_id", "rank")
@@ -1351,26 +1397,12 @@ object PipelineQueries {
          SELECT q_id, vec_id, round(adc, 4) AS adc, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
-    "s09_ivf_pq_topk" ->
-      s"""WITH $oKmeansA2,
-         ${oPqSub("p0", 1, 32)},
-         ${oPqSub("p1", 33, 64)},
-         summed AS (
-           SELECT a0.q_id, a0.vec_id, a0.d + a1.d AS adc
-           FROM p0adc a0 JOIN p1adc a1 USING (q_id, vec_id)
-           WHERE vec_id <> q_id),
-         cellok AS (
-           SELECT s.q_id, s.vec_id, s.adc
-           FROM summed s
-             JOIN a2 cq ON cq.vec_id = s.q_id
-             JOIN a2 cc ON cc.vec_id = s.vec_id
-           WHERE cq.cluster = cc.cluster),
-         ranked AS (
-           SELECT q_id, vec_id, adc, row_number() OVER
-             (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
-           FROM cellok)
-         SELECT q_id, vec_id, round(adc, 4) AS adc, rank
-         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+    "s09_ivf_pq_topk" -> ivfPqOracleSql,
+
+    // the persisted-index path serves the SAME computation as s09 —
+    // one oracle proves both the in-session plan and the index
+    // round-trip (train → store → reload → query)
+    "s12_pq_index_topk" -> ivfPqOracleSql,
 
     "s10_ivf_pq_residual" ->
       s"""WITH $oKmeansA2,

@@ -437,6 +437,75 @@ object Similarity {
   }
 
   /**
+   * Persist a trained IVF-PQ index — the production ANN lifecycle the
+   * per-query paths (s08–s11) fold into one plan: train the coarse
+   * quantizer and the PQ codebooks ONCE, encode the corpus ONCE, and
+   * store the serving state as a parquet codes table
+   * (id, cell, codes — m small ints per vector) plus a tiny JSON
+   * sidecar holding the centroids/codebooks. Every query thereafter
+   * reads ONLY the index: no float vectors, no training pass. At
+   * 100 TB this is the amortization that makes PQ serving real — the
+   * index build is one pass over the corpus, and the per-query cost
+   * is a codes-only scan of the probed cells.
+   */
+  def writePqIndex(df: DataFrame, vecCol: String, idCol: String,
+                   dir: String, kCells: Int, m: Int, k: Int,
+                   iters: Int): Unit = {
+    val cents = trainCentroids(df, vecCol, idCol, kCells, iters)
+    val books = pqTrain(df, vecCol, idCol, m, k, iters)
+    pqEncode(assignTo(df, vecCol, cents), vecCol, books)
+      .select(col(idCol), col("cluster"), col("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    // sidecar JSON, hand-rendered: Double.toString round-trips the
+    // binary value exactly, so reload reproduces training bit-for-bit
+    def a2(x: Seq[Seq[Double]]) =
+      x.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val json = s"""{"cents":${a2(cents)},""" +
+      s""""books":${books.map(a2).mkString("[", ",", "]")}}"""
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** A reloaded IVF-PQ index: the codes table plus the coarse
+    * centroids and per-subspace codebooks from the sidecar. */
+  case class PqIndex(codes: DataFrame, cents: Seq[Seq[Double]],
+                     books: Seq[Seq[Seq[Double]]])
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): PqIndex = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def a2(n: com.fasterxml.jackson.databind.JsonNode): Seq[Seq[Double]] =
+      n.elements().asScala.map(
+        _.elements().asScala.map(_.asDouble).toSeq).toSeq
+    PqIndex(spark.read.parquet(s"$dir/codes"), a2(root.get("cents")),
+      root.get("books").elements().asScala.map(a2).toSeq)
+  }
+
+  /** Serve top-k from a stored index: queries are assigned to their
+    * coarse cell with the sidecar centroids (same rounded-distance
+    * discipline as training) and scored by cell-pruned ADC over the
+    * codes table — [[ivfPqTopK]] fed entirely from disk state. */
+  def pqIndexTopK(index: PqIndex, queries: DataFrame, k: Int,
+                  queryId: String = "q_id", queryVec: String = "q_vec",
+                  corpusId: String = "vec_id"): DataFrame = {
+    val q = assignTo(queries, queryVec, index.cents)
+      .withColumnRenamed("cluster", "q_cell")
+    ivfPqTopK(index.codes, q, k, index.books, corpusId = corpusId,
+      queryId = queryId, queryVec = queryVec)
+  }
+
+  /**
    * ANN top-k via multi-table random-hyperplane LSH: only corpus
    * vectors sharing a bucket with the query (in any of `tables`
    * independent tables) are scored — the trained-quantizer-free scale

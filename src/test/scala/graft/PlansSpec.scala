@@ -107,7 +107,7 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q53_mimmax_group", "m04_frame_sample",
       "q60_put_json", "q61_export_roundtrip", "q62_mimmin_group",
       "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
-      "s11_ivf_pq_multiprobe",
+      "s11_ivf_pq_multiprobe", "s12_pq_index_topk",
       "d11_segment_dedup", "t14_sequence_packing", "t15_domain_mix",
       "t16_unigram_logprob", "d12_consensus_pairs", "d13_containment")
     val sf = "/root/testdata/sf0.001"
@@ -138,7 +138,7 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (n <- Seq("s01_cosine_topk", "s02_ivf_topk", "s03_rhp_ann",
         "s05_ivf_trained", "s06_rhp_multiprobe", "s07_ivf_multiprobe",
         "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
-        "s11_ivf_pq_multiprobe")) {
+        "s11_ivf_pq_multiprobe", "s12_pq_index_topk")) {
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode
           .fromString("formatted"))
