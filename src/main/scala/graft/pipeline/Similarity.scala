@@ -492,6 +492,23 @@ object Similarity {
       root.get("books").elements().asScala.map(a2).toSeq)
   }
 
+  /** Append new vectors to a stored index WITHOUT retraining: assign
+    * them to coarse cells and encode them under the index's existing
+    * centroids/codebooks (the production ingest path — codebooks are
+    * retrained offline on drift, not per arrival), appending the new
+    * (id, cell, codes) rows to the codes table. Works identically for
+    * a batch or a `foreachBatch` streaming sink: encoding is a pure
+    * per-row projection with the codebooks as broadcast literals —
+    * stateless, shuffle-free. */
+  def appendToPqIndex(df: DataFrame, vecCol: String, idCol: String,
+                      dir: String): Unit = {
+    val idx = readPqIndex(df.sparkSession, dir)
+    pqEncode(assignTo(df, vecCol, idx.cents), vecCol, idx.books)
+      .select(col(idCol).as(idx.codes.columns.head), col("cluster"),
+        col("codes"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** Serve top-k from a stored index: queries are assigned to their
     * coarse cell with the sidecar centroids (same rounded-distance
     * discipline as training) and scored by cell-pruned ADC over the

@@ -429,6 +429,38 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: index append encodes new vectors == full re-encode under stored state") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("pqappend")
+      .toString + "/idx"
+    // build on the first half only, then append the second half: the
+    // appended rows must carry exactly the codes a full encode under
+    // the STORED centroids/codebooks would give (no retraining), and
+    // queries must see both halves
+    val (half, rest) =
+      (e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+    Similarity.writePqIndex(half, "embedding", "vec_id", dir,
+      kCells = 4, m = 2, k = 4, iters = 1)
+    Similarity.appendToPqIndex(rest, "embedding", "vec_id", dir)
+    val idx = Similarity.readPqIndex(spark, dir)
+    assert(idx.codes.count() == e.count())
+    val expected = Similarity.pqEncode(
+        Similarity.assignWith(e, "embedding", idx.cents), "embedding",
+        idx.books)
+      .select("vec_id", "cluster", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val stored = idx.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(stored == expected)
+    // a query over the appended index scores candidates from BOTH halves
+    val q = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = Similarity.pqIndexTopK(idx, q, 10).collect()
+      .map(_.getLong(1)).toSet
+    assert(hits.exists(_ % 2 == 0) && hits.exists(_ % 2 == 1))
+  }
+
   test("property: results are invariant to input partitioning") {
     import spark.implicits._
     // on a real cluster partition boundaries are arbitrary — any
