@@ -453,9 +453,14 @@ object Similarity {
                    iters: Int): Unit = {
     val cents = trainCentroids(df, vecCol, idCol, kCells, iters)
     val books = pqTrain(df, vecCol, idCol, m, k, iters)
+    // the codes table is PARTITIONED by the coarse cell: a query's
+    // probed cells become directory pruning (static or via dynamic
+    // partition pruning through the broadcast join), so serving reads
+    // nprobe/kCells of the index files, not all of them
     pqEncode(assignTo(df, vecCol, cents), vecCol, books)
       .select(col(idCol), col("cluster"), col("codes"))
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/codes")
     // sidecar JSON, hand-rendered: Double.toString round-trips the
     // binary value exactly, so reload reproduces training bit-for-bit
     def a2(x: Seq[Seq[Double]]) =
@@ -503,10 +508,11 @@ object Similarity {
   def appendToPqIndex(df: DataFrame, vecCol: String, idCol: String,
                       dir: String): Unit = {
     val idx = readPqIndex(df.sparkSession, dir)
+    val idName = idx.codes.columns.filter(c =>
+      c != "cluster" && c != "codes").head
     pqEncode(assignTo(df, vecCol, idx.cents), vecCol, idx.books)
-      .select(col(idCol).as(idx.codes.columns.head), col("cluster"),
-        col("codes"))
-      .write.mode("append").parquet(s"$dir/codes")
+      .select(col(idCol).as(idName), col("cluster"), col("codes"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/codes")
   }
 
   /** Serve top-k from a stored index: queries are assigned to their

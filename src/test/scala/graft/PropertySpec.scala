@@ -450,7 +450,7 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         idx.books)
       .select("vec_id", "cluster", "codes").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
-    val stored = idx.codes.collect()
+    val stored = idx.codes.select("vec_id", "cluster", "codes").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
     assert(stored == expected)
     // a query over the appended index scores candidates from BOTH halves
@@ -459,6 +459,16 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val hits = Similarity.pqIndexTopK(idx, q, 10).collect()
       .map(_.getLong(1)).toSet
     assert(hits.exists(_ % 2 == 0) && hits.exists(_ % 2 == 1))
+    // the codes table is laid out cell-partitioned, so a probed cell
+    // reads only its own directory
+    assert(idx.codes.inputFiles.forall(_.contains("cluster=")))
+    val scan = idx.codes.filter(col("cluster") === 0).queryExecution
+      .executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).length == 1,
+      "probing one cell must read exactly that cell's directory")
   }
 
   test("property: results are invariant to input partitioning") {
