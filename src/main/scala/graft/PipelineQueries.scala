@@ -699,6 +699,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-trained bigram conditional log-prob with add-1 smoothing
+    // (the KenLM-style filter one rung up from t16: scores word
+    // TRANSITIONS, so shuffled/templated text separates from fluent
+    // text sharing the same vocabulary)
+    "t17_bigram_logprob" -> ((s, dir) => {
+      TextAnalysis.bigramLogProb(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_bigram"),
+          r4(col("logprob")).as("logprob"))
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: 8 salted packing streams, 64-token training
     // sequences — each doc lands in (bucket, pack) at pack_off
     "t14_sequence_packing" -> ((s, dir) => {
@@ -1870,6 +1881,31 @@ object PipelineQueries {
          SELECT doc_id, count(*) AS n_tok,
            round(avg(ln(tf) - ln(T)), 4) AS logprob
          FROM tk JOIN f USING (tok) CROSS JOIN t
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "t17_bigram_logprob" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         bi AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(range(1, len(tk)),
+                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])
+               ELSE [] END) AS bg
+           FROM tk),
+         c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+         c1 AS (
+           SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+           FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS V FROM bi)
+         SELECT doc_id, count(*) AS n_bigram,
+           round(avg(ln((c2 + 1.0) / (c1 + 1.0 * V))), 4) AS logprob
+         FROM bi JOIN c2 USING (bg)
+           JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w1
+           CROSS JOIN v
          GROUP BY doc_id ORDER BY doc_id""",
 
     "t14_sequence_packing" ->

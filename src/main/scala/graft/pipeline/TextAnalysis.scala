@@ -221,6 +221,39 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-trained BIGRAM conditional log-probability per document
+   * with add-alpha smoothing — one rung up the LM-quality ladder from
+   * [[unigramLogProb]] (KenLM-style pipeline filters score n-gram
+   * perplexity, not unigram): a document scores the average
+   * `ln((c(w1,w2) + α) / (c(w1·) + α·V))` over its bigram positions,
+   * where the counts are corpus-wide, `c(w1·) = Σ_w2 c(w1,w2)` is the
+   * proper conditional denominator and V the distinct-next-word
+   * vocabulary. Plan shape: one bigram explode, one bigram-keyed
+   * count shuffle, a w1-keyed rollup of it (vocabulary-sized, NOT
+   * corpus-sized), co-partitioned joins back, one per-doc agg; V
+   * rides a broadcast single-row aggregate. Documents with fewer than
+   * two tokens emit no row (no bigram evidence).
+   */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    alpha: Double = 1.0): DataFrame = {
+    val tk = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(col("id"), explode(
+        transform(sequence(lit(0), size(col("tk")) - 2), i =>
+          struct(element_at(col("tk"), i + 1).as("w1"),
+            element_at(col("tk"), i + 2).as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cW1 = cBi.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = bi.agg(count_distinct(col("w2")).as("V"))
+    bi.join(cBi, Seq("w1", "w2")).join(cW1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("id").agg(count(lit(1)).as("n_bigram"),
+        avg(log((col("c2") + alpha) /
+          (col("c1") + lit(alpha) * col("V")))).as("logprob"))
+  }
+
+  /**
    * Sequence packing — the pretraining batch-assembly op: documents
    * are concatenated (in id order) and cut into fixed `budget`-token
    * training sequences; each document is assigned the pack its first

@@ -106,6 +106,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 3L))
   }
 
+  test("streaming index ingest: foreachBatch appends == one batch append") {
+    // the persisted-ANN ingest path: arriving vectors encode under the
+    // STORED codebooks inside foreachBatch (stateless per batch), so a
+    // stream of arrivals must leave the index exactly as a single
+    // batch append of the same rows would
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("pqstream")
+      .toString + "/idx"
+    Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", dir, kCells = 4, m = 2, k = 4, iters = 1)
+    val arrivals = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          Similarity.appendToPqIndex(batch.toDF(), "embedding", "vec_id", dir)
+      }.start()
+    // two micro-batches: cross-batch arrivals must not interfere
+    mem.addData(arrivals.take(arrivals.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(arrivals.drop(arrivals.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val idx = Similarity.readPqIndex(spark, dir)
+    assert(idx.codes.count() == e.count())
+    // streamed appends == deterministic full re-encode under stored state
+    val expected = Similarity.pqEncode(
+        Similarity.assignWith(e, "embedding", idx.cents), "embedding",
+        idx.books)
+      .select("vec_id", "cluster", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val stored = idx.codes.select("vec_id", "cluster", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(stored == expected)
+  }
+
   test("streaming segment dedup: repeated segments dropped across documents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
