@@ -710,6 +710,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // quality-band curriculum sampling: docs band by their unigram LM
+    // score (floor of t16's logprob) and each band contributes a
+    // deterministic n-doc sample — the composition a curriculum /
+    // ablation pipeline runs to draw equal-sized slices across the
+    // quality spectrum. Bands shuffle once; the per-band pick is the
+    // bounded-heap aggregation (<= n pairs per band per partition)
+    "t18_quality_sample" -> ((s, dir) => {
+      val banded = TextAnalysis.unigramLogProb(docs(s, dir), "text", "doc_id")
+        // eighth-nat bands: the corpus's score spread is a fraction of
+        // a nat, so integer bands would collapse to one stratum
+        .withColumn("band", floor(col("logprob") * 8).cast("int"))
+      Sampling.stratifiedTopN(banded, "band", "id", n = 5,
+          salt = "q", portable = true)
+        .select(col("stratum").as("band"), col("id").as("doc_id"))
+        .orderBy("band", "doc_id")
+    }),
+
     // sequence packing: 8 salted packing streams, 64-token training
     // sequences — each doc lands in (bucket, pack) at pack_off
     "t14_sequence_packing" -> ((s, dir) => {
@@ -1955,6 +1972,30 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
            FROM h)
          SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id""",
+
+    "t18_quality_sample" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         f AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+         t AS (SELECT CAST(sum(tf) AS BIGINT) AS T FROM f),
+         scored AS (
+           SELECT doc_id,
+             CAST(floor(avg(ln(tf) - ln(T)) * 8) AS INT) AS band
+           FROM tk JOIN f USING (tok) CROSS JOIN t
+           GROUP BY doc_id),
+         h AS (
+           SELECT band, doc_id,
+             ${oH32("'q' || CAST(doc_id AS VARCHAR)")} AS hh
+           FROM scored),
+         r AS (
+           SELECT band, doc_id,
+             row_number() OVER (PARTITION BY band ORDER BY hh, doc_id) AS rn
+           FROM h)
+         SELECT band, doc_id FROM r WHERE rn <= 5 ORDER BY band, doc_id""",
 
     "m03_audio_decode" ->
       """SELECT doc_id AS media_id, 'audio/wav' AS kind,

@@ -109,7 +109,7 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
       "s11_ivf_pq_multiprobe", "s12_pq_index_topk",
       "d11_segment_dedup", "t14_sequence_packing", "t15_domain_mix",
-      "t16_unigram_logprob", "t17_bigram_logprob",
+      "t16_unigram_logprob", "t17_bigram_logprob", "t18_quality_sample",
       "d12_consensus_pairs", "d13_containment")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
