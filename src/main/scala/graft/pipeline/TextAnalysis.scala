@@ -221,6 +221,43 @@ object TextAnalysis {
   }
 
   /**
+   * Streaming LM-quality scoring at the ingest edge: arriving
+   * documents score under a FROZEN unigram frequency table — the
+   * streaming complement of [[unigramLogProb]], whose corpus-global
+   * counts cannot be computed on an unbounded stream. Production
+   * pipelines score arrivals under the last trained table and retrain
+   * offline (the same frozen-state discipline as
+   * [[graft.pipeline.Similarity.appendToPqIndex]]). The token join is
+   * stream-static (stateless); only the per-document average is
+   * stateful, grouped on (id, event-time window) so the watermark
+   * bounds state exactly like the rollup path. Inner join ⇒ tokens
+   * absent from the table contribute nothing — identical to the batch
+   * scorer when the table came from the same corpus.
+   */
+  def streamScoreUnigram(docs: DataFrame, textCol: String, idCol: String,
+                         tsCol: String, freq: DataFrame,
+                         horizon: String = "10 minutes",
+                         lateness: String = "10 minutes"): DataFrame = {
+    val total = freq.agg(sum(col("tf")).as("T"))
+    docs.withWatermark(tsCol, lateness)
+      .select(col(idCol).as("id"), col(tsCol),
+        explode(tokens(col(textCol))).as("tok"))
+      .join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"), window(col(tsCol), horizon))
+      .agg(count(lit(1)).as("n_tok"),
+        avg(log(col("tf").cast("double")) - log(col("T").cast("double")))
+          .as("logprob"))
+      .drop("window")
+  }
+
+  /** The frozen table [[streamScoreUnigram]] consumes: (tok, tf) from
+    * a landed corpus — one vocabulary-keyed aggregation. */
+  def unigramTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+
+  /**
    * Corpus-trained BIGRAM conditional log-probability per document
    * with add-alpha smoothing — one rung up the LM-quality ladder from
    * [[unigramLogProb]] (KenLM-style pipeline filters score n-gram

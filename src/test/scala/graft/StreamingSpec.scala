@@ -148,6 +148,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored == expected)
   }
 
+  test("streaming unigram scoring under a frozen table == batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.TextAnalysis
+    val corpus = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "gamma delta beta alpha")).toDF("doc_id", "text")
+    val freq = TextAnalysis.unigramTable(corpus, "text")
+    val batch = TextAnalysis.unigramLogProb(corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "epoch")
+      .withColumn("arrival", timestamp_seconds(col("epoch")))
+    val out = TextAnalysis.streamScoreUnigram(docs, "text", "doc_id",
+      "arrival", freq)
+    val q = out.writeStream.format("memory").queryName("uni_score")
+      .outputMode("append").start()
+    // same docs arrive across two micro-batches; watermark must pass
+    // the window before append emits, so push a late high-ts row
+    mem.addData((1L, "alpha beta beta gamma", 1700000000L),
+      (2L, "alpha alpha delta", 1700000010L))
+    q.processAllAvailable()
+    mem.addData((3L, "gamma delta beta alpha", 1700000020L))
+    q.processAllAvailable()
+    mem.addData((99L, "alpha", 1700009999L)) // watermark push
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("uni_score")
+      .filter(col("id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("streaming segment dedup: repeated segments dropped across documents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
