@@ -342,6 +342,18 @@ object PipelineQueries {
         .orderBy("id", "id_in")
     }),
 
+    // SemDeDup: k-means cells (same deterministic Lloyd as s04) +
+    // within-cell pairwise cosine; a vector is dropped when a lower-id
+    // neighbor sits at cos >= 0.35 in its cell — per-vector verdicts
+    // with the keeper's id, not a pair list
+    "d14_semdedup" -> ((s, dir) => {
+      Dedup.semDedup(embs(s, dir), "embedding", "vec_id",
+          k = 4, iters = 1, eps = 0.35)
+        .select(col("id").as("vec_id"), col("cluster"), col("keep"),
+          col("dup_of"))
+        .orderBy("vec_id")
+    }),
+
     // ensemble consensus: a pair is a near-dup when >= 2 independent
     // detectors (exact Jaccard, MinHash-LSH, SimHash) agree — the
     // production pattern for precision without hand-tuning any single
@@ -1078,6 +1090,26 @@ object PipelineQueries {
          FROM cshared JOIN csizes ON csizes.doc_id = id
          WHERE CAST(shared AS DOUBLE) / sz >= 0.8
          ORDER BY id, id_in""",
+
+    "d14_semdedup" ->
+      s"""WITH $oKmeansA2,
+         sv AS (
+           SELECT a2.vec_id AS id, a2.cluster, e.embedding AS vec,
+             sqrt(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           FROM a2 JOIN e USING (vec_id)),
+         dup AS (
+           SELECT x.id AS id, min(y.id) AS dup_of
+           FROM sv x JOIN sv y
+             ON x.cluster = y.cluster AND y.id < x.id
+           WHERE list_sum(list_transform(list_zip(x.vec, y.vec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             / (x.nrm * y.nrm) >= 0.35
+           GROUP BY x.id)
+         SELECT sv.id AS vec_id, sv.cluster,
+           dup.dup_of IS NULL AS keep, dup.dup_of
+         FROM sv LEFT JOIN dup ON dup.id = sv.id
+         ORDER BY vec_id""",
 
     "d12_consensus_pairs" ->
       s"""$O_SH,

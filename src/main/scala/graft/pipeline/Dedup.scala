@@ -712,4 +712,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+   * deduplication: k-means-cluster the embeddings (deterministic
+   * Lloyd, [[graft.pipeline.Similarity.kmeansAssign]]) and, within
+   * each cluster, drop every vector that has an eps-or-closer cosine
+   * neighbor with a lower id. Unlike the pair detectors this emits a
+   * per-vector VERDICT: (id, cluster, keep, dup_of) where `dup_of` is
+   * the lowest-id eps-neighbor of a dropped vector (null when kept).
+   * The keeper rule is deliberately pairwise, not transitive — chains
+   * A~B~C with cos(A,C) < eps keep A only (B, C both see a lower-id
+   * neighbor); transitive-closure resolution is
+   * [[duplicateClusters]]'s job.
+   *
+   * Scale shape: the quadratic pair work is confined within clusters,
+   * and SemDeDup's own prescription is to grow k with the corpus
+   * (the paper runs 50k clusters on LAION) so cell populations stay
+   * bounded; the cluster column also blocks the join, so candidates
+   * never cross cells. The keep decision is one groupBy(id)->min
+   * aggregation plus a left join back — both keyed on id, no window,
+   * no global sort. For corpora with pathological cells, cap
+   * populations upstream like [[embeddingRhpPairs]]'s maxBucket.
+   */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+               k: Int, iters: Int, eps: Double): DataFrame = {
+    val assigned = graft.pipeline.Similarity
+      .kmeansAssign(df, vecCol, idCol, k, iters)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cluster"))
+      .withColumn("nrm", graft.functions.VectorMath.normCol(col("vec")))
+    // lowest-id eps-neighbor per vector, within its cluster only
+    val dupOf = assigned.as("x").join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") && col("y.id") < col("x.id"))
+      .withColumn("cos",
+        graft.functions.VectorMath.dotCol(col("x.vec"), col("y.vec")) /
+          (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= eps)
+      .groupBy(col("x.id").as("id"))
+      .agg(min(col("y.id")).as("dup_of"))
+    assigned.select(col("id"), col("cluster"))
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("dup_of").isNull.as("keep"),
+        col("dup_of"))
+  }
 }

@@ -97,10 +97,15 @@ object Similarity {
       (i, floor(d * 1e6 + 0.5) / 1e6)
     }
 
+  /** least() over 1+ columns — Spark's `least` requires 2 args, and a
+    * k=1 quantizer (single cell) is legitimate for tiny corpora. */
+  private def least1(cols: Seq[Column]): Column =
+    if (cols.sizeIs == 1) cols.head else least(cols: _*)
+
   private def assignTo(df: DataFrame, vecCol: String,
                        cents: Seq[Seq[Double]]): DataFrame = {
     val dists = centroidDists(col(vecCol), cents)
-    val minD = least(dists.map(_._2): _*)
+    val minD = least1(dists.map(_._2))
     val cluster = dists.foldRight(lit(-1): Column) { case ((i, d), elze) =>
       when(d === minD, lit(i)).otherwise(elze)
     }
@@ -328,7 +333,7 @@ object Similarity {
     val sub = codebooks.head.head.size
     val codeCols = codebooks.zipWithIndex.map { case (cents, s) =>
       val dists = centroidDists(slice(col(vecCol), s * sub + 1, sub), cents)
-      val minD = least(dists.map(_._2): _*)
+      val minD = least1(dists.map(_._2))
       dists.foldRight(lit(-1): Column) { case ((i, d), elze) =>
         when(d === minD, lit(i)).otherwise(elze)
       }

@@ -975,6 +975,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == Set((1L, 2L, 3L, 0.9), (10L, 10L, 2L, 0.3)))
   }
 
+  test("semDedup: pairwise lower-id rule, chains stay non-transitive") {
+    import spark.implicits._
+    // a at 0deg, b at 25deg, c at 50deg: cos(a,b)=cos(b,c)~0.906,
+    // cos(a,c)~0.643; eps=0.9 links only adjacent pairs
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(math.cos(math.toRadians(25)).toFloat,
+               math.sin(math.toRadians(25)).toFloat)),
+      (3L, Seq(math.cos(math.toRadians(50)).toFloat,
+               math.sin(math.toRadians(50)).toFloat))
+    ).toDF("vec_id", "embedding")
+    val got = graft.pipeline.Dedup
+      .semDedup(e, "embedding", "vec_id", k = 1, iters = 1, eps = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // 2 dups of 1; 3's lowest-id eps-neighbor is 2 (NOT 1 — the rule
+    // is pairwise, transitive closure is duplicateClusters' job)
+    assert(got == Set((1L, true, -1L), (2L, false, 1L), (3L, false, 2L)))
+  }
+
   test("duplicateClusters: min-label propagation over a chain converges") {
     import spark.implicits._
     // chain 5-4-3-2-1 (min must travel 4 hops => >1 round) + pair 10-11
