@@ -687,6 +687,17 @@ object PipelineQueries {
         .orderBy("doc_id", "tok")
     }),
 
+    // Gopher rule-filter battery: every A1.1 rule as a named flag +
+    // the conjunction — pure column exprs, zero shuffles
+    "t19_gopher_rules" -> ((s, dir) => {
+      val t = col("text")
+      val flags = TextAnalysis.gopherFlags(t, minWords = 50)
+      docs(s, dir).select(
+          col("doc_id") +: flags.map { case (n, c) => c.as(n) } :+
+            TextAnalysis.gopherPass(t, minWords = 50).as("pass"): _*)
+        .orderBy("doc_id")
+    }),
+
     // repetition quality signals: top-bigram fraction + type-token ratio
     "t08_repetition" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -1911,6 +1922,49 @@ object PipelineQueries {
              CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 4)
              AS type_token_ratio
          FROM b ORDER BY doc_id""",
+
+    "t19_gopher_rules" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '') AS words,
+             string_split(text, chr(10)) AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(words) AS n,
+             CASE WHEN len(words) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(words, x -> len(x)))
+                 AS DOUBLE) / len(words) END AS mean_len,
+             (len(text) - len(replace(text, '#', '')))
+               + len(regexp_extract_all(text, '\.\.\.')) AS symbols,
+             CASE WHEN len(words) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(words,
+                 x -> regexp_matches(x, '[a-zA-Z]')))
+                 AS DOUBLE) / len(words) END AS alpha_frac,
+             len(list_filter(words, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'],
+               lower(x)))) AS n_stops,
+             CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+               OR starts_with(l, '* '))) AS DOUBLE) / len(lines)
+               AS bullet_frac,
+             CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+               AS DOUBLE) / len(lines) AS ellipsis_frac
+           FROM w)
+         SELECT doc_id,
+           n BETWEEN 50 AND 100000 AS ok_words,
+           mean_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+           CASE WHEN n = 0 THEN false ELSE
+             CAST(symbols AS DOUBLE) / n <= 0.1 END AS ok_symbol_ratio,
+           alpha_frac >= 0.8 AS ok_alpha_words,
+           n_stops >= 2 AS ok_stopwords,
+           bullet_frac <= 0.9 AS ok_bullets,
+           ellipsis_frac <= 0.3 AS ok_ellipsis,
+           (n BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+             AND (CASE WHEN n = 0 THEN false ELSE
+               CAST(symbols AS DOUBLE) / n <= 0.1 END)
+             AND alpha_frac >= 0.8 AND n_stops >= 2
+             AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AS pass
+         FROM m ORDER BY doc_id""",
 
     "t04_sample_bernoulli" ->
       s"""SELECT doc_id FROM documents

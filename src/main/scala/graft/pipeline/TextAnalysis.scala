@@ -113,6 +113,61 @@ object TextAnalysis {
     (lenScore + stopScore + punctScore + tokLenScore) / 4.0
   }
 
+  /** Gopher's rule-filter stopword set (Rae et al. 2021,
+    * arXiv:2112.11446, Appendix A1.1) — distinct from [[STOPWORDS]],
+    * which feeds the stopword-RATIO quality signal. */
+  val GOPHER_STOPWORDS: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher quality-rule battery (Rae et al. 2021, arXiv:2112.11446,
+   * Appendix A1.1): the deterministic per-document filter rules a
+   * production web-corpus pipeline applies before any model-based
+   * scoring. Each rule is a named boolean column; `gopherPass` is
+   * their conjunction. All pure codegen'd column expressions — zero
+   * shuffles, scan-parallel at any corpus size, and the filter pushes
+   * into the parquet scan when used as a predicate.
+   *
+   * Rules: word count in [minWords, maxWords]; mean word length in
+   * [3, 10]; symbol-to-word ratio (# or ...) <= 0.1; >= 80% of words
+   * contain an alphabetic char; >= 2 Gopher stopwords; <= 90% of
+   * lines bullet-started; <= 30% of lines ellipsis-ended.
+   */
+  def gopherFlags(text: Column, minWords: Int = 50,
+                  maxWords: Int = 100000): Seq[(String, Column)] = {
+    val words = array_remove(split(text, "\\s+"), "")
+    val n = size(words).cast("double")
+    val meanLen = when(n === 0, 0.0).otherwise(
+      aggregate(words, lit(0), (a, w) => a + length(w)).cast("double") / n)
+    val symbols = (length(text) - length(regexp_replace(text, "#", ""))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+    val alphaFrac = when(n === 0, 0.0).otherwise(
+      size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / n)
+    val stops = array(GOPHER_STOPWORDS.map(lit): _*)
+    val nStops = size(filter(words, w => array_contains(stops, lower(w))))
+    val lines = split(text, "\n")
+    val nl = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* "))).cast("double") / nl
+    val ellipsisFrac =
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nl
+    Seq(
+      "ok_words" -> (size(words) >= minWords && size(words) <= maxWords),
+      "ok_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_symbol_ratio" ->
+        (when(n === 0, lit(false))
+          .otherwise(symbols.cast("double") / n <= 0.1)),
+      "ok_alpha_words" -> (alphaFrac >= 0.8),
+      "ok_stopwords" -> (nStops >= 2),
+      "ok_bullets" -> (bulletFrac <= 0.9),
+      "ok_ellipsis" -> (ellipsisFrac <= 0.3))
+  }
+
+  /** Conjunction of every [[gopherFlags]] rule. */
+  def gopherPass(text: Column, minWords: Int = 50,
+                 maxWords: Int = 100000): Column =
+    gopherFlags(text, minWords, maxWords).map(_._2).reduce(_ && _)
+
   /** Marker stopwords per language for the n-gram/stopword language-ID
     * heuristic. */
   val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(

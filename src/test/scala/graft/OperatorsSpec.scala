@@ -975,6 +975,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == Set((1L, 2L, 3L, 0.9), (10L, 10L, 2L, 0.3)))
   }
 
+  test("gopherFlags: each rule trips on its crafted violator") {
+    import spark.implicits._
+    val good = ("the data " * 30).trim            // 60 words, clean prose
+    val short = "the of and data"                 // word count < 50
+    val symbolic = (("#tag " * 50).trim)          // symbol ratio 1.0
+    val dots = "the of a...\nthe of b...\nc"      // 2/3 lines ellipsis-ended
+    val bullets = "- the of x\n* the of y"        // every line bulleted
+    val d = Seq((1L, good), (2L, short), (3L, symbolic), (4L, dots),
+      (5L, bullets)).toDF("doc_id", "text")
+    val flags = graft.pipeline.TextAnalysis.gopherFlags(col("text"),
+      minWords = 50)
+    val got = d.select(col("doc_id") +:
+        flags.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        flags.indices.map(i => r.getBoolean(i + 1))).toMap
+    val names = flags.map(_._1)
+    def f(id: Long, name: String) = got(id)(names.indexOf(name))
+    assert(got(1L).forall(identity))              // clean doc passes all
+    assert(!f(2L, "ok_words") && f(2L, "ok_stopwords"))
+    assert(!f(3L, "ok_symbol_ratio") && !f(3L, "ok_stopwords"))
+    assert(!f(4L, "ok_ellipsis") && f(4L, "ok_bullets"))
+    assert(!f(5L, "ok_bullets"))
+  }
+
   test("semDedup: pairwise lower-id rule, chains stay non-transitive") {
     import spark.implicits._
     // a at 0deg, b at 25deg, c at 50deg: cos(a,b)=cos(b,c)~0.906,
