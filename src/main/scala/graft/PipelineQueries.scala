@@ -771,6 +771,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic 80/10/10 train/val/test split: pure per-row hash
+    // expression, reproducible and auditable from the id alone
+    "t20_split_assign" -> ((s, dir) => {
+      Sampling.splitAssign(docs(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "sp42", portable = true)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // token-budget prefix: 10k tokens in salted-hash order — banded
+    // cumsum (window partitioned by hash band + broadcast band
+    // offsets), never a global sort
+    "t21_token_budget" -> ((s, dir) => {
+      val withTok = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Sampling.tokenBudget(withTok, "doc_id", "n_tok",
+          budget = 10000L, bandBits = 4, salt = "tb42", portable = true)
+        .select(col("id").as("doc_id"), col("n_tok"), col("cum"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic stratified sample: 5 docs per language via the
     // bounded-heap top-n aggregate (no per-stratum global sort)
     "t05_sample_stratified" -> ((s, dir) => {
@@ -2047,6 +2069,32 @@ object PipelineQueries {
          FROM documents d JOIN r ON d.source = r.source
          WHERE ${oH32("'mix42' || CAST(doc_id AS VARCHAR)")} < r.thresh
          ORDER BY d.doc_id""",
+
+    "t20_split_assign" ->
+      s"""SELECT doc_id,
+           CASE WHEN ${oH32("'sp42' || CAST(doc_id AS VARCHAR)")}
+               < ${(0.8 * 4294967296.0).toLong} THEN 'train'
+             WHEN ${oH32("'sp42' || CAST(doc_id AS VARCHAR)")}
+               < ${(0.9 * 4294967296.0).toLong} THEN 'val'
+             ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "t21_token_budget" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS BIGINT) AS n_tok,
+             ${oH32("'tb42' || CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM t)
+         SELECT doc_id, n_tok, cum FROM c
+         WHERE cum <= 10000 ORDER BY doc_id""",
 
     "t05_sample_stratified" ->
       s"""WITH h AS (

@@ -117,6 +117,76 @@ object Sampling {
       .select(col("stratum"), col("p._2").as("id"))
   }
 
+  /**
+   * Deterministic train/val/test split: each row lands in the first
+   * split whose cumulative fraction its salted id-hash falls under.
+   * Pure per-row expression — no shuffle, no state, reproducible
+   * across runs/engines/cluster sizes, and a row's assignment is
+   * auditable from its id alone. `fractions` must sum to <= 1; rows
+   * past the last cumulative threshold get the LAST split (so
+   * fractions summing to 1 cover the id space exactly).
+   */
+  def splitAssign(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = "split",
+                  portable: Boolean = false): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions must be non-empty and sum to <= 1: $fractions")
+    val h = rowHash(col(idCol), salt, portable)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(f => (f * 4294967296.0).toLong)
+    val assign = fractions.zip(cuts).init
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((name, _), cut), elze) => when(h < cut, lit(name)).otherwise(elze)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /**
+   * Token-budget selection: keep the PREFIX of the corpus, in salted-
+   * hash-then-id order, whose cumulative token count stays within
+   * `budget` — "give me B tokens, deterministically, spread across the
+   * corpus". Returns (id, n_tok, cum) with cum = the inclusive global
+   * running total.
+   *
+   * A naive formulation is one global ORDER BY + running sum — a
+   * single-task sort at 100 TB. This one never orders globally: rows
+   * band by their hash's top `bandBits` bits (band order == hash
+   * order), per-band totals aggregate to `2^bandBits` rows on the
+   * driver, whole bands past the budget boundary prune out BEFORE the
+   * per-row work, and the in-band running sum is a window PARTITIONED
+   * by band (the same salted-cumsum shape as sequence packing). Band
+   * populations are hash-uniform, so no skew hot-spot; widen bandBits
+   * as the corpus grows.
+   */
+  def tokenBudget(df: DataFrame, idCol: String, tokCol: String,
+                  budget: Long, bandBits: Int = 8,
+                  salt: String = "tb", portable: Boolean = false): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 24, s"bandBits $bandBits")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(tokCol).cast("long").as("n_tok"),
+      rowHash(col(idCol), salt, portable).as("__h"))
+      .withColumn("__band",
+        shiftright(col("__h"), 32 - bandBits).cast("int"))
+    // 2^bandBits rows — legitimately driver-sized at any corpus scale
+    val totals = base.groupBy("__band")
+      .agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bands = totals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = bands.zip(
+      bands.scanLeft(0L)((acc, b) => acc + totals(b)).init).toMap
+    val off = element_at(typedlit(offsets), col("__band"))
+    base
+      // whole-band prune: bands whose exclusive prefix already
+      // exceeds the budget never reach the window
+      .filter(off <= budget)
+      .withColumn("cum", off + sum(col("n_tok")).over(
+        Window.partitionBy(col("__band"))
+          .orderBy(col("__h"), col("id"))))
+      .filter(col("cum") <= budget)
+      .select(col("id"), col("n_tok"), col("cum"))
+  }
+
   /** Window-function formulation of the same stratified sample —
     * simpler plan for small strata; kept as the semantic reference
     * (identical output to stratifiedTopN by construction). */

@@ -535,6 +535,37 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == comp)
   }
 
+  test("property: tokenBudget == brute-force global-order prefix") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, 1L + rnd.nextInt(50)))
+    val df = rows.toDF("doc_id", "n_tok").repartition(7)
+    // brute force: hash order on the driver, running-sum prefix
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("p" + id).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 4294967296L
+    }
+    for (budget <- Seq(0L, 100L, 1000L, 3000L, 100000L)) {
+      var cum = 0L
+      val want = rows.sortBy { case (id, _) => (h(id), id) }
+        .map { case (id, t) => cum += t; (id, t, cum) }
+        .takeWhile(_._3 <= budget).toSet
+      val got = graft.pipeline.Sampling
+        .tokenBudget(df, "doc_id", "n_tok", budget, bandBits = 3,
+          salt = "p", portable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"budget $budget")
+    }
+    // split assignment partitions the id space exactly, ~80/10/10
+    val sp = graft.pipeline.Sampling.splitAssign(df, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s", portable = true)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sp.values.sum == 200 && sp("train") > sp.getOrElse("val", 0L))
+  }
+
   test("property: containment catches subset docs that Jaccard misses") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta"
