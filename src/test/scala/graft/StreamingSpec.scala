@@ -148,6 +148,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored == expected)
   }
 
+  test("streaming ANN serving: per-batch pqIndexTopK == batch serving") {
+    // the query-side streaming path: queries ARRIVE as a stream and
+    // each micro-batch serves from the static stored index
+    // (pqIndexTopK is stateless w.r.t. the stream — codes table +
+    // sidecar codebooks are the only state, and they live on disk),
+    // so results across micro-batches must equal one batch run
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("pqserve")
+      .toString + "/idx"
+    Similarity.writePqIndex(e, "embedding", "vec_id", dir,
+      kCells = 4, m = 2, k = 4, iters = 1)
+    val index = Similarity.readPqIndex(spark, dir)
+    val queries = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("q_id", "q_vec").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          got ++= Similarity.pqIndexTopK(index, batch.toDF(), 5)
+            .select("q_id", "vec_id", "rank").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        }
+        ()
+      }.start()
+    mem.addData(queries.take(3).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(queries.drop(3).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Similarity.pqIndexTopK(index,
+        e.filter(col("vec_id") < 6).select(col("vec_id").as("q_id"),
+          col("embedding").as("q_vec")), 5)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+  }
+
   test("streaming unigram scoring under a frozen table == batch scorer") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
