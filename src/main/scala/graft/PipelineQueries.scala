@@ -918,6 +918,35 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // audio signal statistics: a 4-sample alternating-sign PCM wave
+    // per doc; the WAV decode path computes RMS energy, zero-crossing
+    // rate and peak amplitude in its single PCM pass
+    "m07_audio_stats" -> ((s, dir) => {
+      def u16h(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+      def u32h(v: Int) = u16h(v & 0xffff) + u16h(v >>> 16)
+      val headerHex = "52494646" + u32h(36 + 8) + "57415645" +
+        "666d7420" + u32h(16) + u16h(1) + u16h(1) + u32h(8000) +
+        u32h(16000) + u16h(2) + u16h(16) +
+        "64617461" + u32h(8) // 4 x 16-bit samples
+      def le16(m: org.apache.spark.sql.Column) = concat(
+        lpad(hex(pmod(m, lit(256))), 2, "0"),
+        lpad(hex(m.divide(256).cast("long")), 2, "0"))
+      val amp = (0 until 4).map(i =>
+        pmod(col("doc_id") + lit(i * 1000), lit(20000)))
+      val enc = amp.zipWithIndex.map { case (a, i) =>
+        le16(if (i % 2 == 0) a else pmod(lit(65536) - a, lit(65536)))
+      }
+      val payload = unhex(concat(lit(headerHex) +: enc: _*))
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.decodeMedia(media)
+        .select(col("media_id"), col("decoded.kind").as("kind"),
+          r4(element_at(col("decoded.features"), 3)).as("rms"),
+          r4(element_at(col("decoded.features"), 4)).as("zcr"),
+          r4(element_at(col("decoded.features"), 5)).as("peak"))
+        .orderBy("media_id")
+    }),
+
     // multimodal: binary payload + metadata + stub feature extraction
     "m01_media_meta" -> ((s, dir) => {
       val m = Multimodal.fromDocuments(docs(s, dir))
@@ -2137,6 +2166,23 @@ object PipelineQueries {
            round(CAST(2 AS DOUBLE) / 1 / 8000, 4) AS dur_sec,
            round(CAST(doc_id % 20000 AS DOUBLE) / 32768, 4) AS mean_amp
          FROM documents ORDER BY media_id""",
+
+    "m07_audio_stats" ->
+      """WITH s AS (
+           SELECT doc_id AS media_id,
+             [CAST(doc_id % 20000 AS DOUBLE),
+              -CAST((doc_id + 1000) % 20000 AS DOUBLE),
+              CAST((doc_id + 2000) % 20000 AS DOUBLE),
+              -CAST((doc_id + 3000) % 20000 AS DOUBLE)] AS ss
+           FROM documents)
+         SELECT media_id, 'audio/wav' AS kind,
+           round(sqrt(list_sum(list_transform(ss,
+             x -> (x / 32768) * (x / 32768))) / 4), 4) AS rms,
+           round(CAST(len(list_filter([1, 2, 3],
+             i -> ss[i] * ss[i + 1] < 0)) AS DOUBLE) / 3, 4) AS zcr,
+           round(list_max(list_transform(ss, x -> abs(x) / 32768)), 4)
+             AS peak
+         FROM s ORDER BY media_id""",
 
     "m04_frame_sample" ->
       """WITH px AS (

@@ -128,8 +128,9 @@ object Multimodal {
   }
 
   /** RIFF/WAVE PCM: fmt chunk (channels, sample rate, bits) + data
-    * chunk; features = duration (s) and mean absolute amplitude of
-    * 16-bit samples — the audio feature-extract stage. */
+    * chunk; features = [duration (s), mean |amp|, RMS energy,
+    * zero-crossing rate, peak |amp|] of the 16-bit samples — the
+    * audio feature-extract stage, one pass over the PCM data. */
   def decodeWav(bytes: Array[Byte]): Option[Decoded] = {
     def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
@@ -157,16 +158,28 @@ object Multimodal {
     }
     if (channels == 0 || rate == 0 || dataOff < 0 || bits != 16) return None
     val nSamples = (dataLen / 2).toInt
-    var sumAbs = 0.0
+    // one pass over the PCM data computes the whole signal-stat set:
+    // mean |amp|, RMS energy, peak |amp| (all in [0,1] full-scale
+    // units) and the zero-crossing rate (sign flips / transitions —
+    // the classic cheap voiced/unvoiced & noisiness signal)
+    var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0
+    var crossings = 0; var prev = 0
     var i = 0
     while (i < nSamples && dataOff + i * 2 + 1 < bytes.length) {
       val s = (u16(dataOff + i * 2) << 16) >> 16 // sign-extend
-      sumAbs += math.abs(s / 32768.0)
+      val a = s / 32768.0
+      sumAbs += math.abs(a); sumSq += a * a
+      if (math.abs(a) > peak) peak = math.abs(a)
+      if (i > 0 && prev.toLong * s < 0) crossings += 1
+      prev = s
       i += 1
     }
     val durSec = nSamples.toDouble / channels / rate
+    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+    val zcr = if (nSamples < 2) 0.0 else crossings.toDouble / (nSamples - 1)
     Some(Decoded("audio/wav", 0, 0, channels, rate,
-      Array(durSec, if (nSamples == 0) 0.0 else sumAbs / nSamples)))
+      Array(durSec, if (nSamples == 0) 0.0 else sumAbs / nSamples,
+        rms, zcr, peak)))
   }
 
   /** Windows BMP (BITMAPINFOHEADER, 24-bit uncompressed): little-endian
