@@ -149,6 +149,16 @@ object PipelineQueries {
        post AS (SELECT doc_id, unnest(sh) AS term FROM sh)"""
 
   /** DuckDB mirror of TextAnalysis.h32. */
+  /** Fixed merge list for the BPE apply query (t22) — in training
+    * order; covers the synthetic corpus's frequent bigrams. The
+    * replace-chain oracle is exact on this corpus because no
+    * vocabulary word repeats a merge pair back-to-back (no `thth`,
+    * `anan`, … — verified against the generator's 31-word vocab);
+    * the Scala side handles such chains correctly in general. */
+  private val BPE_MERGES: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "s" -> "c", "a" -> "n",
+    "e" -> "r", "o" -> "r")
+
   private def oH32(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 4294967296"
 
@@ -768,6 +778,15 @@ object PipelineQueries {
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
           frac = 0.2, salt = "mix42", portable = true)
         .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE segmentation under an ordered merge list (the apply side of
+    // t12's training counts): real greedy per-word merging via
+    // mapPartitions, merge table in the closure, no shuffle
+    "t22_bpe_segment" -> ((s, dir) => {
+      TextAnalysis.bpeSegment(docs(s, dir), "text", BPE_MERGES)
+        .select(col("doc_id"), col("n_pieces"), col("pieces"))
         .orderBy("doc_id")
     }),
 
@@ -2098,6 +2117,30 @@ object PipelineQueries {
          FROM documents d JOIN r ON d.source = r.source
          WHERE ${oH32("'mix42' || CAST(doc_id AS VARCHAR)")} < r.thresh
          ORDER BY d.doc_id""",
+
+    "t22_bpe_segment" -> {
+      // anchored space-padded replace chain == greedy left-to-right
+      // merge application (exact on this corpus: no same-pair chains)
+      val applyMerges = BPE_MERGES.foldLeft(
+        "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '") {
+        case (acc, (a, b)) =>
+          s"replace($acc, ' $a $b ', ' ${a + b} ')"
+      }
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         seg AS (
+           SELECT doc_id,
+             list_transform(tk, w -> trim($applyMerges)) AS ws
+           FROM t)
+         SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(ws,
+             s -> len(string_split(s, ' ')))), 0) AS INT) AS n_pieces,
+           array_to_string(ws, ' | ') AS pieces
+         FROM seg ORDER BY doc_id"""
+    },
 
     "t20_split_assign" ->
       s"""SELECT doc_id,

@@ -437,6 +437,59 @@ object TextAnalysis {
   }
 
   /**
+   * Greedy BPE encode of one word under an ordered merge list
+   * (Sennrich et al. 2016, arXiv:1508.07909 — the APPLY side of
+   * [[bpeMergeCandidates]]' training counts): the word splits to
+   * characters and each merge rule, in priority order, fuses ALL its
+   * adjacent occurrences left-to-right — including chains
+   * (`a b a b` → `ab ab`), which is why this is a real loop and not
+   * a replace expression.
+   */
+  def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    merges.foreach { case (a, b) =>
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          buf += (a + b); i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      syms = buf.result()
+    }
+    syms
+  }
+
+  /**
+   * BPE segmentation of a document column: every [[tokens]]-style
+   * word encodes under the (small, driver-held) merge list; adds
+   * `pieces` (words' symbol runs joined by " | ") and `n_pieces`
+   * (total symbol count — the sequence length a BPE-tokenized
+   * training run would see). Per-row iterative logic →
+   * Dataset.mapPartitions like the multimodal codecs: the merge
+   * table rides the closure once per partition, rows stream through
+   * with no shuffle.
+   */
+  def bpeSegment(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("pieces", StringType), StructField("n_pieces", IntegerType)))
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val words = Option(r.getString(idx)).getOrElse("")
+          .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val encoded = words.map(w => bpeEncodeWord(w, merges))
+        Row.fromSeq(r.toSeq :+
+          encoded.map(_.mkString(" ")).mkString(" | ") :+
+          encoded.map(_.length).sum)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
    * Content-defined chunking (the storage-dedup counterpart of the
    * fixed token windows in [[chunks]]): cut wherever the portable
    * hash of the trailing `width`-char window is ≡ 0 mod `modulus`

@@ -975,6 +975,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == Set((1L, 2L, 3L, 0.9), (10L, 10L, 2L, 0.3)))
   }
 
+  test("bpeEncodeWord: chains merge pairwise, symbol boundaries hold") {
+    import graft.pipeline.TextAnalysis.bpeEncodeWord
+    // consecutive same-pair chain: greedy left-to-right fuses both
+    assert(bpeEncodeWord("abab", Seq("a" -> "b")) == Seq("ab", "ab"))
+    // odd chain leaves the tail unmerged
+    assert(bpeEncodeWord("aaa", Seq("a" -> "a")) == Seq("aa", "a"))
+    // merge order is priority: (x,e) first consumes the 'e' so a
+    // later (e,s) must NOT match inside the fused "xe" symbol
+    assert(bpeEncodeWord("xes", Seq("x" -> "e", "e" -> "s")) ==
+      Seq("xe", "s"))
+    // reversed priority: (e,s) first -> [x, es]
+    assert(bpeEncodeWord("xes", Seq("e" -> "s", "x" -> "e")) ==
+      Seq("x", "es"))
+    // staged merges compose: t+h then th+e
+    assert(bpeEncodeWord("the", Seq("t" -> "h", "th" -> "e")) == Seq("the"))
+  }
+
   test("gopherFlags: each rule trips on its crafted violator") {
     import spark.implicits._
     val good = ("the data " * 30).trim            // 60 words, clean prose
