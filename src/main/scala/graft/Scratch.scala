@@ -61,6 +61,40 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--force")) {
+      // full-evaluation timing: count() lets Catalyst prune every
+      // projected expression (and eliminate a final unique-key left
+      // join entirely), so for expression-heavy operators it measures
+      // the scan, not the operator. Hashing the full row forces every
+      // output column to materialize.
+      import org.apache.spark.sql.functions._
+      args.drop(1).foreach { name =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val chk = df.select((xxhash64(df.columns.map(col): _*)
+            % 1000000007L).as("h"))
+          .agg(sum("h")).head.getLong(0)
+        println(f"FORCE $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  chk=$chk%x")
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("--d14")) {
+      // SemDeDup at scale with the k knob: within-cell pair work is
+      // sum over cells of |cell|^2/2, so k must grow with the corpus
+      // (the paper runs 50k cells on LAION) to hold cell populations
+      // — and with them the quadratic term — constant
+      val k = args.lift(1).map(_.toInt).getOrElse(4)
+      val t0 = System.nanoTime()
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val verdicts = graft.pipeline.Dedup.semDedup(
+        e, "embedding", "vec_id", k = k, iters = 1, eps = 0.35)
+      import org.apache.spark.sql.functions._
+      val dropped = verdicts.filter(!col("keep")).count()
+      println(f"d14 k=$k%-4d ${(System.nanoTime() - t0) / 1e9}%6.2f s  dropped=$dropped")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--d05")) {
       // d05 at scale with the nBits knob: bucket population is
       // corpus / 2^nBits per table, so nBits must grow with the
