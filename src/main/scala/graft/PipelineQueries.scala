@@ -966,6 +966,32 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // image near-dup via perceptual hash: decode 2x2 PPMs whose
+    // pixels collide across docs (doc_id % 37 pattern groups), aHash
+    // the resized luma, and block on the hash — one hash-keyed
+    // shuffle gives each image its duplicate-group size
+    "m08_image_phash" -> ((s, dir) => {
+      val g = pmod(col("doc_id"), lit(37))
+      val pix = (0 until 4).map { i =>
+        concat(
+          lpad(hex(pmod(g * 7 + lit(i * 53), lit(256))), 2, "0"),
+          lpad(hex(pmod(g * 11 + lit(i * 19), lit(256))), 2, "0"),
+          lpad(hex(pmod(g * 3 + lit(i * 41), lit(256))), 2, "0"))
+      }
+      val payload = concat(encode(lit("P6\n2 2\n255\n"), "UTF-8") +:
+        pix.map(unhex): _*)
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      val hashed = Multimodal.decodeMedia(media)
+        .select(col("media_id"),
+          Multimodal.aHash(col("decoded.features")).as("ahash"))
+      val groups = hashed.groupBy("ahash")
+        .agg(count(lit(1)).as("n_same"))
+      hashed.join(groups, "ahash")
+        .select(col("media_id"), col("ahash"), col("n_same"))
+        .orderBy("media_id")
+    }),
+
     // multimodal: binary payload + metadata + stub feature extraction
     "m01_media_meta" -> ((s, dir) => {
       val m = Multimodal.fromDocuments(docs(s, dir))
@@ -2209,6 +2235,30 @@ object PipelineQueries {
            round(CAST(2 AS DOUBLE) / 1 / 8000, 4) AS dur_sec,
            round(CAST(doc_id % 20000 AS DOUBLE) / 32768, 4) AS mean_amp
          FROM documents ORDER BY media_id""",
+
+    "m08_image_phash" ->
+      """WITH ls AS (
+           SELECT doc_id AS media_id,
+             list_transform([0, 1, 2, 3], i ->
+               (0.299 * (((doc_id % 37) * 7 + i * 53) % 256)
+                + 0.587 * (((doc_id % 37) * 11 + i * 19) % 256)
+                + 0.114 * (((doc_id % 37) * 3 + i * 41) % 256))
+               / 255) AS l
+           FROM documents),
+         h AS (
+           SELECT media_id,
+             (CASE WHEN l[1] >= (((l[1] + l[2]) + l[3]) + l[4]) / 4
+                THEN 1 ELSE 0 END
+              + CASE WHEN l[2] >= (((l[1] + l[2]) + l[3]) + l[4]) / 4
+                THEN 2 ELSE 0 END
+              + CASE WHEN l[3] >= (((l[1] + l[2]) + l[3]) + l[4]) / 4
+                THEN 4 ELSE 0 END
+              + CASE WHEN l[4] >= (((l[1] + l[2]) + l[3]) + l[4]) / 4
+                THEN 8 ELSE 0 END) AS ahash
+           FROM ls),
+         g AS (SELECT ahash, count(*) AS n_same FROM h GROUP BY ahash)
+         SELECT h.media_id, h.ahash, g.n_same
+         FROM h JOIN g USING (ahash) ORDER BY media_id""",
 
     "m07_audio_stats" ->
       """WITH s AS (

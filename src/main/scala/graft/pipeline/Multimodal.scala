@@ -85,6 +85,25 @@ object Multimodal {
     * Features: mean R/G/B plus a 2×2 nearest-neighbor luma resize —
     * the decode + feature-extract + resize stages of an image
     * pipeline in one pass. */
+  /**
+   * Average-hash (aHash) perceptual image fingerprint over the
+   * decoder's resized-luma features: bit i set when luma_i >= the
+   * mean luma of the thumbnail. The classic cheap image-dedup
+   * signature — identical images hash identically, small brightness/
+   * scale changes (which move every luma together) leave it stable —
+   * and as a plain integer column it blocks a near-dup pair join the
+   * same way MinHash bands block text. `off`/`n` locate the luma run
+   * inside the features array (PPM/BMP/PNG/JPEG decoders emit mean
+   * R/G/B then the 2×2 resized luma, so off=3, n=4).
+   */
+  def aHash(features: Column, off: Int = 3, n: Int = 4): Column = {
+    val lumas = slice(features, off + 1, n)
+    val mean = aggregate(lumas, lit(0.0), (a, x) => a + x) / n
+    (0 until n).map(i =>
+      when(element_at(lumas, i + 1) >= mean, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
   def decodePpm(bytes: Array[Byte]): Option[Decoded] = {
     if (bytes == null || bytes.length < 2 ||
         bytes(0) != 'P' || bytes(1) != '6') return None
