@@ -119,6 +119,50 @@ case class RhpBucketF32(child: Expression, nBits: Int, dim: Int,
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment as a native expression: argmin over
+  * the rounded squared L2 distances to a driver-held centroid matrix,
+  * ties to the lowest centroid id — the exact semantics of the
+  * rounded-distance `array_min(struct(d, i))` column form it replaces
+  * (same index-order accumulation, same `floor(d·1e6 + 0.5)/1e6`
+  * rounding, strict `<` keeps the first = lowest id). The k
+  * interpreted zip_with distance folds become one tight k×dim double
+  * loop inside whole-stage codegen; the matrix rides as a codegen
+  * reference object, not k literal subtrees. Accepts float vectors
+  * (raw embeddings, subvector slices) and double vectors (residuals).
+  * `cents` is Seq-shaped for structural plan equality. */
+case class ArgminDistF(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "argmin_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"argmin_dist expects array<float|double> input, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorMath.argminDist(a.asInstanceOf[ArrayData], centsArr, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorMath.argminDist($a, $ref, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgminDistF =
+    copy(child = newChild)
+}
+
 object VectorMath {
 
   /** Called from generated code. Index-order accumulation in double. */
@@ -167,6 +211,33 @@ object VectorMath {
     bucket
   }
 
+  /** Called from generated code. Distances accumulate in index order,
+    * round to 1e-6 BEFORE the comparison (the cross-engine fp-noise
+    * guard shared with the column form and the DuckDB oracle), and
+    * strict `<` keeps the first minimum = lowest centroid id. */
+  def argminDist(a: ArrayData, cents: Array[Array[Double]],
+                 isFloat: Boolean): Int = {
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(c.length, a.numElements())
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        val t = x - c(j)
+        d += t * t
+        j += 1
+      }
+      val r = math.floor(d * 1e6 + 0.5) / 1e6
+      if (r < bestD) { bestD = r; best = i }
+      i += 1
+    }
+    best
+  }
+
   /** Column forms. */
   def dotCol(a: Column, b: Column): Column =
     Bridge.column(new DotF32(Bridge.expression(a), Bridge.expression(b)))
@@ -174,4 +245,6 @@ object VectorMath {
     Bridge.column(new NormF32(Bridge.expression(a)))
   def rhpBucketCol(a: Column, nBits: Int, dim: Int, planeOffset: Int): Column =
     Bridge.column(new RhpBucketF32(Bridge.expression(a), nBits, dim, planeOffset))
+  def argminDistCol(a: Column, cents: Seq[Seq[Double]]): Column =
+    Bridge.column(new ArgminDistF(Bridge.expression(a), cents))
 }

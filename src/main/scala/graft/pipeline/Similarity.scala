@@ -97,21 +97,22 @@ object Similarity {
       (i, floor(d * 1e6 + 0.5) / 1e6)
     }
 
-  /** Argmin over (rounded distance, centroid id) via array_min on
-    * structs — struct ordering is lexicographic, so the minimum is
-    * exactly "lowest distance, ties by lowest id". The naive
-    * formulation (foldRight of when(d === least(allDists))) inlines
-    * the k-wide least() into every branch: O(k²·dim) expression work
-    * per row, measured 10× slower than the k=4 baseline at the
-    * paper-prescribed k=64 despite 16× fewer candidate pairs. This
-    * form evaluates each distance once — O(k·dim). */
-  private def argminDist(dists: Seq[(Int, Column)]): Column =
-    array_min(array(dists.map { case (i, d) =>
-      struct(d.as("d"), lit(i).as("i")) }: _*)).getField("i")
-
+  /** Nearest-centroid assignment — the native argmin expression
+    * (graft.functions.VectorMath.argminDistCol): one tight k×dim
+    * double loop inside whole-stage codegen, centroid matrix as a
+    * codegen reference object. Exact history of why: the original
+    * foldRight(when(d === least(allDists))) inlined the k-wide
+    * least() into every branch — O(k²·dim) interpreted work per row,
+    * measured 10× SLOWER at the paper-prescribed k=64 than at k=4
+    * despite 16× fewer candidate pairs; an array_min over
+    * (rounded dist, id) structs fixed the quadratic term but still
+    * paid k interpreted zip_with folds per row. All three forms are
+    * bit-identical (same index-order accumulation, same 1e-6
+    * rounding, lowest-id ties). */
   private def assignTo(df: DataFrame, vecCol: String,
                        cents: Seq[Seq[Double]]): DataFrame =
-    df.withColumn("cluster", argminDist(centroidDists(col(vecCol), cents)))
+    df.withColumn("cluster",
+      graft.functions.VectorMath.argminDistCol(col(vecCol), cents))
 
   /** Deterministic Lloyd training: k lowest-id vectors seed, `iters`
     * mean updates; emptied clusters keep their centroid. */
@@ -333,7 +334,8 @@ object Similarity {
                codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val sub = codebooks.head.head.size
     val codeCols = codebooks.zipWithIndex.map { case (cents, s) =>
-      argminDist(centroidDists(slice(col(vecCol), s * sub + 1, sub), cents))
+      graft.functions.VectorMath.argminDistCol(
+        slice(col(vecCol), s * sub + 1, sub), cents)
     }
     df.withColumn("codes", array(codeCols: _*))
   }
