@@ -695,6 +695,61 @@ object Dedup {
       .drop("__one", "__eval_hs")
   }
 
+  /**
+   * Streaming semantic dedup — [[semDedup]]'s arrival-screening form:
+   * each arriving vector is assigned to its coarse cell under FROZEN
+   * centroids (the same deterministic quantizer, retrained offline on
+   * drift like the PQ codebooks) and joined against only that cell of
+   * a static reference corpus; it is flagged a duplicate when any
+   * reference neighbor sits at cosine ≥ eps. Stream-static join +
+   * broadcast-able reference → STATELESS: no state store, no
+   * watermark, no streaming aggregation (the per-arrival verdict is a
+   * pure expression over the joined cell array), per-batch cost =
+   * |batch| × |cell| cosines. Build the per-cell reference ONCE with
+   * [[semDedupRefCells]] from a corpus assigned under the SAME
+   * centroids ([[graft.pipeline.Similarity.assignWith]]). Adds
+   * (cluster, dup_of, keep) — dup_of = the lowest-id eps-neighbor in
+   * the reference, null when kept. Works identically on a batch frame
+   * (proven == [[semDedup]]'s verdicts restricted to
+   * arrival-vs-reference pairs).
+   */
+  /** The per-cell reference table [[streamSemDedup]] joins against:
+    * one row per coarse cell carrying that cell's (id, vec, norm)
+    * structs. Built ONCE batch-side from a reference pre-assigned
+    * with [[graft.pipeline.Similarity.assignWith]]; cell populations
+    * are bounded by the quantizer's k (grow k with the corpus — see
+    * SCALING.md), which is what keeps the row arrays broadcast-able. */
+  def semDedupRefCells(reference: DataFrame, refVecCol: String,
+                       refIdCol: String, refCellCol: String): DataFrame =
+    reference
+      .select(col(refCellCol).as("cluster"),
+        struct(col(refIdCol).cast("long").as("id"),
+          col(refVecCol).as("v"),
+          graft.functions.VectorMath.normCol(col(refVecCol)).as("nrm"))
+          .as("__r"))
+      .groupBy("cluster")
+      .agg(collect_list(col("__r")).as("__refs"))
+
+  def streamSemDedup(arrivals: DataFrame, vecCol: String, idCol: String,
+                     refCells: DataFrame, cents: Seq[Seq[Double]],
+                     eps: Double): DataFrame = {
+    val assigned = arrivals.withColumn("cluster",
+        graft.functions.VectorMath.argminDistCol(col(vecCol), cents))
+      .withColumn("__nrm", graft.functions.VectorMath.normCol(col(vecCol)))
+    assigned
+      .join(broadcast(refCells), Seq("cluster"), "left")
+      // lowest-id eps-neighbor in the cell; array_min skips the nulls
+      // the non-qualifying entries map to, and a cell with no
+      // reference rows (null __refs) propagates to null = keep
+      .withColumn("dup_of", array_min(transform(col("__refs"), r =>
+        when(r.getField("id") =!= col(idCol).cast("long") &&
+            graft.functions.VectorMath.dotCol(col(vecCol), r.getField("v")) /
+              (col("__nrm") * r.getField("nrm")) >= eps,
+          r.getField("id")))))
+      .withColumn("keep", col("dup_of").isNull)
+      .drop("__refs", "__nrm")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by a
     * coarse cell column (IVF-style). Prefer embeddingRhpPairs when no
     * trained/balanced cell assignment exists — a skewed cell column

@@ -191,6 +191,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == expected && expected.nonEmpty)
   }
 
+  test("streaming semantic dedup: stateless cell screen == Scala brute force") {
+    // arrivals screen against a FROZEN per-cell reference: stateless
+    // stream-static broadcast join + array expression — no state
+    // store, no watermark, so the plan runs in append mode directly
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.{Dedup, Similarity}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ref = e.filter(col("vec_id") % 2 === 0)
+    val cents = Similarity.kmeansCentroids(ref, "embedding", "vec_id",
+      k = 4, iters = 1)
+    val refCells = Dedup.semDedupRefCells(
+      Similarity.assignWith(ref, "embedding", cents),
+      "embedding", "vec_id", "cluster")
+    val arrivals = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val screened = Dedup.streamSemDedup(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      refCells, cents, eps = 0.35)
+    val q = screened.select("vec_id", "cluster", "keep", "dup_of")
+      .writeStream.format("memory").queryName("semscreen")
+      .outputMode("append").start()
+    mem.addData(arrivals.take(arrivals.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(arrivals.drop(arrivals.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("semscreen").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // independent Scala brute force over the same frozen quantizer
+    val refRows = Similarity.assignWith(ref, "embedding", cents)
+      .select("vec_id", "cluster", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def assign(v: Seq[Float]): Int = cents.zipWithIndex.map { case (c, i) =>
+      val d = v.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      (math.floor(d * 1e6 + 0.5) / 1e6, i)
+    }.min._2
+    def cos(a: Seq[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    arrivals.foreach { case (id, v) =>
+      val cell = assign(v)
+      val dups = refRows.filter(r => r._2 == cell && r._1 != id &&
+        cos(v, r._3) >= 0.35).map(_._1)
+      val want = (cell, dups.isEmpty, if (dups.isEmpty) -1L else dups.min)
+      assert(got(id) == want, s"vec $id")
+    }
+    assert(got.values.exists(!_._2), "expected at least one duplicate")
+  }
+
   test("streaming unigram scoring under a frozen table == batch scorer") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
