@@ -352,6 +352,16 @@ object PipelineQueries {
         .orderBy("id", "id_in")
     }),
 
+    // exact-substring spans: overlapping 8-token window hashes (every
+    // position, unlike d11's disjoint segments) -> per-doc duplicated
+    // fraction; windows join a count table, never each other
+    "d15_dup_spans" -> ((s, dir) => {
+      Dedup.dupSpans(docs(s, dir), "text", "doc_id", width = 8)
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_dup"),
+          r4(col("dup_frac")).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means cells (same deterministic Lloyd as s04) +
     // within-cell pairwise cosine; a vector is dropped when a lower-id
     // neighbor sits at cos >= 0.35 in its cell — per-vector verdicts
@@ -1197,6 +1207,34 @@ object PipelineQueries {
          FROM cshared JOIN csizes ON csizes.doc_id = id
          WHERE CAST(shared AS DOUBLE) / sz >= 0.8
          ORDER BY id, id_in""",
+
+    "d15_dup_spans" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 8 THEN
+               list_transform(range(0, len(tk) - 8 + 1),
+                 i -> array_to_string(list_slice(tk,
+                   CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' '))
+               ELSE [] END) AS win
+           FROM t),
+         h AS (SELECT doc_id, ${oH60("win")} AS h FROM w),
+         c AS (SELECT h, count(*) AS n FROM h GROUP BY h),
+         p AS (
+           SELECT doc_id, count(*) AS n_windows,
+             sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_dup
+           FROM h JOIN c USING (h) GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(p.n_windows, 0) AS n_windows,
+           coalesce(p.n_dup, 0) AS n_dup,
+           round(CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
+             ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END, 4) AS dup_frac
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
 
     "d14_semdedup" ->
       s"""WITH $oKmeansA2,

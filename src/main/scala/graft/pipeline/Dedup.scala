@@ -215,6 +215,50 @@ object Dedup {
    * `...FromPostings` variants: the tokenize+hash scan is the dominant
    * cost at any scale and is identical across passes of one bit width.
    */
+  /**
+   * Duplicated-span detection over OVERLAPPING token windows — the
+   * exact-substring flavor of dedup (Lee et al. 2021,
+   * arXiv:2107.06499): where [[segmentDedup]] cuts the document into
+   * disjoint chunks (a repeat must align to a chunk boundary to be
+   * seen), this hashes the `width`-token window at EVERY token
+   * position, so any verbatim repeat of `width`+ tokens — at any
+   * offset, in any document — is caught. Emits per-doc
+   * (n_windows, n_dup, dup_frac): the fraction of a document's
+   * windows that occur anywhere else in the corpus (or again in the
+   * same document), the signal a pipeline thresholds to drop
+   * boilerplate-heavy docs or route them to span-level cutting.
+   *
+   * Scale shape: one scan explodes ~|tokens| windows/doc (linear, not
+   * quadratic — windows join a COUNT table, never each other), one
+   * high-cardinality shuffle on the window hash, one join back, one
+   * per-doc aggregation. No pair list exists at any point, so no DF
+   * cap is needed: a window repeated a million times costs one count
+   * row, unlike a postings self-join where it would cost 10^12 pairs.
+   */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               width: Int = 8, portable: Boolean = true): DataFrame = {
+    val tk = TextAnalysis.tokens(col(textCol))
+    val winText = when(size(tk) >= width,
+        transform(sequence(lit(0), size(tk) - width), i =>
+          concat_ws(" ", (1 to width).map(o => element_at(tk, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val wins = df.select(col(idCol).as("id"), explode(winText).as("win"))
+      .select(col("id"), TextAnalysis.hash60(col("win"), portable).as("h"))
+    val counts = wins.groupBy("h").agg(count(lit(1)).as("__n"))
+    val perDoc = wins.join(counts, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("__n") >= 2, 1)).as("n_dup"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_windows"))
+          .as("dup_frac"))
+  }
+
   def hashedPostings(df: DataFrame, textCol: String, idCol: String,
                      ngram: Int = 3, portable: Boolean = false,
                      bits: Int = 32): DataFrame = {

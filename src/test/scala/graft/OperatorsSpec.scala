@@ -1016,6 +1016,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!f(5L, "ok_bullets"))
   }
 
+  test("dupSpans: catches an off-boundary verbatim repeat, short docs 0") {
+    import spark.implicits._
+    val phrase = (1 to 8).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, phrase),             // 1 window, duplicated in doc 2
+      (2L, "x " + phrase),                // 2 windows, 1 dup (offset 1!)
+      (3L, "y z")).toDF("doc_id", "text") // < 8 tokens -> 0 windows
+    val got = graft.pipeline.Dedup.dupSpans(d, "text", "doc_id", width = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((1L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5))) // a boundary-aligned segmenter misses this
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("semDedup: pairwise lower-id rule, chains stay non-transitive") {
     import spark.implicits._
     // a at 0deg, b at 25deg, c at 50deg: cos(a,b)=cos(b,c)~0.906,

@@ -110,7 +110,10 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "s11_ivf_pq_multiprobe", "s12_pq_index_topk",
       "d11_segment_dedup", "t14_sequence_packing", "t15_domain_mix",
       "t16_unigram_logprob", "t17_bigram_logprob", "t18_quality_sample",
-      "d12_consensus_pairs", "d13_containment", "d14_semdedup")
+      "d12_consensus_pairs", "d13_containment", "d14_semdedup",
+      "t19_gopher_rules", "t20_split_assign", "t21_token_budget",
+      "t22_bpe_segment", "m07_audio_stats", "m08_image_phash",
+      "d15_dup_spans")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
