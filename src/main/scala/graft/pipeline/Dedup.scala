@@ -237,13 +237,24 @@ object Dedup {
    */
   def dupSpans(df: DataFrame, textCol: String, idCol: String,
                width: Int = 8, portable: Boolean = true): DataFrame = {
-    val tk = TextAnalysis.tokens(col(textCol))
+    // tokens materialize as a bound column BEFORE the window lambda:
+    // referenced inline, the regex split's subtree rides into every
+    // element_at occurrence — width+1 splits per row instead of one
+    val tk = col("__tk")
     val winText = when(size(tk) >= width,
         transform(sequence(lit(0), size(tk) - width), i =>
           concat_ws(" ", (1 to width).map(o => element_at(tk, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
-    val wins = df.select(col(idCol).as("id"), explode(winText).as("win"))
-      .select(col("id"), TextAnalysis.hash60(col("win"), portable).as("h"))
+    // persisted (generation-bounded ownership): read twice — the
+    // count aggregation and the join-back side — and every uncached
+    // replay re-pays tokenize + window explode + md5 over the corpus
+    // (measured 2× the whole operator at 30×). Only (id, h) persists:
+    // 16 B per window, the strings never leave the projection.
+    val Seq(wins) = graft.util.Caching.persistOwned("Dedup.dupSpans",
+      df.select(col(idCol).as("id"),
+          TextAnalysis.tokens(col(textCol)).as("__tk"))
+        .select(col("id"), explode(winText).as("win"))
+        .select(col("id"), TextAnalysis.hash60(col("win"), portable).as("h")))
     val counts = wins.groupBy("h").agg(count(lit(1)).as("__n"))
     val perDoc = wins.join(counts, "h")
       .groupBy("id")
