@@ -714,7 +714,7 @@ object PipelineQueries {
       val flags = TextAnalysis.gopherFlags(t, minWords = 50)
       docs(s, dir).select(
           col("doc_id") +: flags.map { case (n, c) => c.as(n) } :+
-            TextAnalysis.gopherPass(t, minWords = 50).as("pass"): _*)
+            flags.map(_._2).reduce(_ && _).as("pass"): _*)
         .orderBy("doc_id")
     }),
 
@@ -992,9 +992,14 @@ object PipelineQueries {
         pix.map(unhex): _*)
       val media = docs(s, dir)
         .select(col("doc_id").as("media_id"), payload.as("payload"))
-      val hashed = Multimodal.decodeMedia(media)
-        .select(col("media_id"),
-          Multimodal.aHash(col("decoded.features")).as("ahash"))
+      // persisted: read twice (group count + join-back probe) and an
+      // uncached replay re-decodes every image — the dupSpans re-read
+      // trap; only (media_id, ahash) persists, the pixels never do
+      val Seq(hashed) = graft.util.Caching.persistOwned(
+        "PipelineQueries.m08",
+        Multimodal.decodeMedia(media)
+          .select(col("media_id"),
+            Multimodal.aHash(col("decoded.features")).as("ahash")))
       val groups = hashed.groupBy("ahash")
         .agg(count(lit(1)).as("n_same"))
       hashed.join(groups, "ahash")

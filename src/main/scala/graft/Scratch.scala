@@ -73,7 +73,7 @@ object Scratch {
         val df = SparkEntry.queries(name)(spark, sfDir)
         val chk = df.select((xxhash64(df.columns.map(col): _*)
             % 1000000007L).as("h"))
-          .agg(sum("h")).head.getLong(0)
+          .agg(coalesce(sum("h"), lit(0L))).head.getLong(0)
         println(f"FORCE $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  chk=$chk%x")
       }
       spark.stop(); return

@@ -764,9 +764,13 @@ object Dedup {
    * [[semDedupRefCells]] from a corpus assigned under the SAME
    * centroids ([[graft.pipeline.Similarity.assignWith]]). Adds
    * (cluster, dup_of, keep) — dup_of = the lowest-id eps-neighbor in
-   * the reference, null when kept. Works identically on a batch frame
-   * (proven == [[semDedup]]'s verdicts restricted to
-   * arrival-vs-reference pairs).
+   * the reference, null when kept. NOTE the rule differs from
+   * [[semDedup]]'s lower-id-only pairwise rule on purpose: an arrival
+   * is a duplicate of ANY reference neighbor (the reference is the
+   * already-kept corpus — arrival order, not id order, decides
+   * precedence at the ingest edge). Works identically on a batch
+   * frame (proven == a Scala brute force of the same any-neighbor
+   * rule in StreamingSpec).
    */
   /** The per-cell reference table [[streamSemDedup]] joins against:
     * one row per coarse cell carrying that cell's (id, vec, norm)

@@ -163,11 +163,16 @@ object Sampling {
                   budget: Long, bandBits: Int = 8,
                   salt: String = "tb", portable: Boolean = false): DataFrame = {
     require(bandBits >= 1 && bandBits <= 24, s"bandBits $bandBits")
-    val base = df.select(col(idCol).cast("long").as("id"),
-      col(tokCol).cast("long").as("n_tok"),
-      rowHash(col(idCol), salt, portable).as("__h"))
-      .withColumn("__band",
-        shiftright(col("__h"), 32 - bandBits).cast("int"))
+    // persisted: read twice (driver-side band totals + the banded
+    // window pass) and an uncached replay re-pays the md5 hash and
+    // whatever the caller computed upstream (t21: tokenCount over
+    // text) for every row; only (id, n_tok, h, band) persists
+    val Seq(base) = graft.util.Caching.persistOwned("Sampling.tokenBudget",
+      df.select(col(idCol).cast("long").as("id"),
+        col(tokCol).cast("long").as("n_tok"),
+        rowHash(col(idCol), salt, portable).as("__h"))
+        .withColumn("__band",
+          shiftright(col("__h"), 32 - bandBits).cast("int")))
     // 2^bandBits rows — legitimately driver-sized at any corpus scale
     val totals = base.groupBy("__band")
       .agg(sum(col("n_tok")).as("t"))
