@@ -822,6 +822,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // epoch shuffle: dense global permutation rank via banded
+    // row_number + broadcast band offsets — reshuffles per salt,
+    // never a global sort
+    "t23_shuffle_order" -> ((s, dir) => {
+      Sampling.shuffleOrder(docs(s, dir), "doc_id", bandBits = 4,
+          salt = "epoch1", portable = true)
+        .select(col("id").as("doc_id"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic stratified sample: 5 docs per language via the
     // bounded-heap top-n aggregate (no per-stratum global sort)
     "t05_sample_stratified" -> ((s, dir) => {
@@ -2236,6 +2246,15 @@ object PipelineQueries {
            FROM t)
          SELECT doc_id, n_tok, cum FROM c
          WHERE cum <= 10000 ORDER BY doc_id""",
+
+    "t23_shuffle_order" ->
+      s"""WITH h AS (
+           SELECT doc_id,
+             ${oH32("'epoch1' || CAST(doc_id AS VARCHAR)")} AS hh
+           FROM documents)
+         SELECT doc_id,
+           row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+         FROM h ORDER BY doc_id""",
 
     "t05_sample_stratified" ->
       s"""WITH h AS (

@@ -192,6 +192,37 @@ object Sampling {
       .select(col("id"), col("n_tok"), col("cum"))
   }
 
+  /**
+   * Epoch shuffle order: a deterministic global pseudo-random
+   * permutation rank (0-based, dense) for training-order shuffling —
+   * change the salt (e.g. "epoch3") and the corpus reshuffles into a
+   * fresh, reproducible order. Same no-global-sort construction as
+   * [[tokenBudget]]: rows band by the hash's top bits (band order ==
+   * hash order), per-band COUNTS aggregate to the driver, and the
+   * in-band rank is a band-partitioned row_number — global position =
+   * band offset + in-band rank. Hash-uniform bands, no skew; widen
+   * bandBits with the corpus.
+   */
+  def shuffleOrder(df: DataFrame, idCol: String, bandBits: Int = 8,
+                   salt: String = "epoch", portable: Boolean = false): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 24, s"bandBits $bandBits")
+    val Seq(base) = graft.util.Caching.persistOwned("Sampling.shuffleOrder",
+      df.select(col(idCol).cast("long").as("id"),
+        rowHash(col(idCol), salt, portable).as("__h"))
+        .withColumn("__band",
+          shiftright(col("__h"), 32 - bandBits).cast("int")))
+    val counts = base.groupBy("__band").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bands = counts.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = bands.zip(
+      bands.scanLeft(0L)((acc, b) => acc + counts(b)).init).toMap
+    base.withColumn("pos",
+        element_at(typedlit(offsets), col("__band")) - 1 +
+          row_number().over(Window.partitionBy(col("__band"))
+            .orderBy(col("__h"), col("id"))))
+      .select(col("id"), col("pos"))
+  }
+
   /** Window-function formulation of the same stratified sample —
     * simpler plan for small strata; kept as the semantic reference
     * (identical output to stratifiedTopN by construction). */

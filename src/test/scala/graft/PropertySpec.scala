@@ -558,6 +558,19 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .toSet
       assert(got == want, s"budget $budget")
     }
+    // shuffleOrder == brute-force global hash-order rank, and a new
+    // salt produces a different permutation
+    val order = graft.pipeline.Sampling
+      .shuffleOrder(df, "doc_id", bandBits = 3, salt = "p", portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantOrder = rows.map(_._1).sortBy(id => (h(id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(order == wantOrder)
+    val order2 = graft.pipeline.Sampling
+      .shuffleOrder(df, "doc_id", bandBits = 3, salt = "q", portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(order2 != order && order2.values.toSeq.sorted == order.values.toSeq.sorted)
+
     // split assignment partitions the id space exactly, ~80/10/10
     val sp = graft.pipeline.Sampling.splitAssign(df, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s", portable = true)
