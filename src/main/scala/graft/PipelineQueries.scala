@@ -552,6 +552,32 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // ANN recall@5: the IVF-PQ serving path (s09's construction)
+    // scored against the exact brute-force top-5 ground truth — the
+    // continuous quality check a production ANN deployment runs. The
+    // toy config (4 cells, m=2/k=4 codebooks, squared-L2 ADC vs
+    // cosine truth) scores low by design: the eval exists to expose
+    // exactly that, and the knobs (nprobe, m, k) are its output
+    "s13_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = Similarity.bruteForceTopK(e, q, 5)
+      val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id",
+        k = 4, iters = 1)
+      val books = Similarity.pqTrain(e, "embedding", "vec_id",
+        m = 2, k = 4, iters = 1)
+      val encoded = Similarity.pqEncode(assigned, "embedding", books)
+      val qc = encoded.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("cluster").as("q_cell"))
+      val approx = Similarity.ivfPqTopK(
+        encoded.select("vec_id", "codes", "cluster"), qc, 5, books)
+      Similarity.annRecall(exact, approx)
+        .select(col("q_id"), col("n_match"), r4(col("recall")).as("recall"))
+        .orderBy("q_id")
+    }),
+
     // residual IVF-PQ top-5: codes encode vec − coarse centroid (the
     // production design — residual magnitudes are small, so the same
     // codebook budget buys finer resolution); ADC scores the query's
@@ -1618,6 +1644,45 @@ object PipelineQueries {
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s09_ivf_pq_topk" -> ivfPqOracleSql,
+
+    "s13_ann_recall" ->
+      s"""WITH $oKmeansA2,
+         ${oPqSub("p0", 1, 32)},
+         ${oPqSub("p1", 33, 64)},
+         summed AS (
+           SELECT a0.q_id, a0.vec_id, a0.d + a1.d AS adc
+           FROM p0adc a0 JOIN p1adc a1 USING (q_id, vec_id)
+           WHERE vec_id <> q_id),
+         cellok AS (
+           SELECT s.q_id, s.vec_id, s.adc
+           FROM summed s
+             JOIN a2 cq ON cq.vec_id = s.q_id
+             JOIN a2 cc ON cc.vec_id = s.vec_id
+           WHERE cq.cluster = cc.cluster),
+         approx5 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER
+               (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+             FROM cellok) t WHERE rank <= 5),
+         escore AS (
+           SELECT q.vec_id AS q_id, c.vec_id,
+             list_sum(list_transform(list_zip(c.embedding, q.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM e c CROSS JOIN e q
+           WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+         exact5 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER
+               (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+             FROM escore) t WHERE rank <= 5)
+         SELECT exact5.q_id, count(approx5.vec_id) AS n_match,
+           round(CAST(count(approx5.vec_id) AS DOUBLE) / 5, 4) AS recall
+         FROM exact5 LEFT JOIN approx5 USING (q_id, vec_id)
+         GROUP BY exact5.q_id ORDER BY q_id""",
 
     // the persisted-index path serves the SAME computation as s09 —
     // one oracle proves both the in-session plan and the index

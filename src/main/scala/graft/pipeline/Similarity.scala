@@ -533,6 +533,28 @@ object Similarity {
   }
 
   /**
+   * Recall@k — the standard ANN quality harness: per query,
+   * |approx ∩ exact| / |exact| against the exact top-k ground truth.
+   * A production ANN deployment runs this continuously (sampled
+   * queries vs a brute-force pass) to decide when nprobe/codebooks
+   * need retuning. One (query, id) equi-join + per-query aggregation:
+   * linear in k×queries, no windows, ground truth is the expensive
+   * side and is typically sampled.
+   */
+  def annRecall(exact: DataFrame, approx: DataFrame,
+                queryId: String = "q_id",
+                corpusId: String = "vec_id"): DataFrame =
+    exact.select(col(queryId), col(corpusId))
+      .join(approx.select(col(queryId), col(corpusId))
+          .withColumn("__m", lit(1)),
+        Seq(queryId, corpusId), "left")
+      .groupBy(col(queryId))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__m"), lit(0))).as("n_match"))
+      .withColumn("recall",
+        col("n_match").cast("double") / col("n_exact"))
+
+  /**
    * ANN top-k via multi-table random-hyperplane LSH: only corpus
    * vectors sharing a bucket with the query (in any of `tables`
    * independent tables) are scored — the trained-quantizer-free scale
