@@ -219,6 +219,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     mem.addData(arrivals.drop(arrivals.length / 2).toSeq: _*)
     q.processAllAvailable()
+    // the statelessness claim, asserted: no state store operator in
+    // the executed streaming plan (vs dedup/rollup streams, which
+    // report rows/bytes here)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "semantic screen must run without streaming state")
     q.stop()
     val got = spark.table("semscreen").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2),
