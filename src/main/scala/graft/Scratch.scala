@@ -79,6 +79,44 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--recall")) {
+      // mean recall@5 of IVF-PQ serving vs exact ground truth across
+      // configs — evidence the s13 eval's knobs (cells, nprobe, m, k)
+      // actually buy recall, not just different numbers
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.Similarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = Similarity.bruteForceTopK(e, q, 5)
+        .select("q_id", "vec_id").persist()
+      exact.count()
+      def mean(approx: org.apache.spark.sql.DataFrame): Double =
+        Similarity.annRecall(exact, approx)
+          .agg(avg("recall")).head.getDouble(0)
+      for ((cells, nprobe, m, k) <- Seq((4, 1, 2, 4), (4, 2, 2, 4),
+          (8, 3, 8, 16), (8, 8, 8, 16), (8, 8, 16, 64))) {
+        val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+          cells, iters = 2)
+        // residual encoding, as the multi-probe path expects (s11)
+        val res = Similarity.assignWith(e, "embedding", cents)
+          .withColumn("resid",
+            Similarity.residual(col("embedding"), cents, col("cluster")))
+        val books = Similarity.pqTrain(res, "resid", "vec_id", m, k,
+          iters = 2)
+        val enc = Similarity.pqEncode(res, "resid", books)
+        val qp = Similarity.probesWith(
+            e.filter(col("vec_id") < 20), "embedding", cents, nprobe)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("probes").as("q_probes"))
+        val approx = Similarity.ivfPqTopKMultiProbe(
+          enc.select("vec_id", "codes", "cluster"), qp, 5, books, cents)
+        println(f"RECALL cells=$cells nprobe=$nprobe m=$m k=$k  " +
+          f"recall@5=${mean(approx)}%.3f")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--d14")) {
       // SemDeDup at scale with the k knob: within-cell pair work is
       // sum over cells of |cell|^2/2, so k must grow with the corpus
