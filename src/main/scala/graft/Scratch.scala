@@ -114,6 +114,28 @@ object Scratch {
         println(f"RECALL cells=$cells nprobe=$nprobe m=$m k=$k  " +
           f"recall@5=${mean(approx)}%.3f")
       }
+      // normalized variant: on unit vectors L2 order == cosine order,
+      // so the ADC-vs-cosine metric mismatch disappears
+      locally {
+        val en = e.withColumn("nvec",
+          Similarity.l2Normalize(col("embedding")))
+        val cents = Similarity.kmeansCentroids(en, "nvec", "vec_id", 8,
+          iters = 2)
+        val res = Similarity.assignWith(en, "nvec", cents)
+          .withColumn("resid",
+            Similarity.residual(col("nvec"), cents, col("cluster")))
+        val books = Similarity.pqTrain(res, "resid", "vec_id", 16, 64,
+          iters = 2)
+        val enc = Similarity.pqEncode(res, "resid", books)
+        val qp = Similarity.probesWith(
+            en.filter(col("vec_id") < 20), "nvec", cents, 8)
+          .select(col("vec_id").as("q_id"), col("nvec").as("q_vec"),
+            col("probes").as("q_probes"))
+        val approx = Similarity.ivfPqTopKMultiProbe(
+          enc.select("vec_id", "codes", "cluster"), qp, 5, books, cents)
+        println(f"RECALL cells=8 nprobe=8 m=16 k=64 NORMALIZED  " +
+          f"recall@5=${mean(approx)}%.3f")
+      }
       spark.stop(); return
     }
 

@@ -59,6 +59,19 @@ object Similarity {
   private[pipeline] def normc(a: Column, dim: Int): Column =
     graft.functions.VectorMath.normCol(a)
 
+  /** L2-normalize a float-array column (unit vector, double
+    * components). The production preprocessing step when COSINE is
+    * the serving metric but the index ranks by L2 (PQ's ADC): on unit
+    * vectors ||a−b||² = 2 − 2·cos(a,b), so L2 order == cosine order
+    * and the metric-mismatch recall gap closes (measured in
+    * SCALING.md's recall sweep). Zero-vector inputs pass through
+    * unscaled rather than dividing by zero. */
+  def l2Normalize(vec: Column): Column = {
+    val n = graft.functions.VectorMath.normCol(vec)
+    transform(vec, x =>
+      when(n === 0.0, x.cast("double")).otherwise(x.cast("double") / n))
+  }
+
   /** Cosine similarity of two float-array columns, computed in double. */
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorMath.dotCol(a, b) /

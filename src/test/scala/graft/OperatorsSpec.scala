@@ -1016,6 +1016,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!f(5L, "ok_bullets"))
   }
 
+  test("l2Normalize: unit output, zero vector passes through") {
+    import spark.implicits._
+    val d = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "v")
+    val got = d.select(col("vec_id"),
+        graft.pipeline.Similarity.l2Normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) == Seq(0.6, 0.8))
+    assert(got(2L) == Seq(0.0, 0.0))
+  }
+
   test("dupSpans: catches an off-boundary verbatim repeat, short docs 0") {
     import spark.implicits._
     val phrase = (1 to 8).map(i => s"w$i").mkString(" ")
