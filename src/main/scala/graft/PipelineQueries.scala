@@ -578,6 +578,31 @@ object PipelineQueries {
         .orderBy("q_id")
     }),
 
+    // exact re-rank refine (FAISS IndexRefineFlat): the IVF-PQ ADC
+    // scan proposes a top-10 shortlist per query, then ONLY those
+    // |Q|×10 rows pay full-precision cosine against the float
+    // vectors — the production fix for PQ quantization error (the
+    // recall gap measured in SCALING.md). The shortlist broadcasts
+    // into a semi-join, so non-candidate embeddings never move.
+    "s14_pq_refine" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id",
+        k = 4, iters = 1)
+      val books = Similarity.pqTrain(e, "embedding", "vec_id",
+        m = 2, k = 4, iters = 1)
+      val encoded = Similarity.pqEncode(assigned, "embedding", books)
+      val qc = encoded.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("cluster").as("q_cell"))
+      val shortlist = Similarity.ivfPqTopK(
+        encoded.select("vec_id", "codes", "cluster"), qc, 10, books)
+      Similarity.refineTopK(shortlist, e,
+          qc.select(col("q_id"), col("q_vec")), 5)
+        .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // residual IVF-PQ top-5: codes encode vec − coarse centroid (the
     // production design — residual magnitudes are small, so the same
     // codebook budget buys finer resolution); ADC scores the query's
@@ -1688,6 +1713,45 @@ object PipelineQueries {
     // one oracle proves both the in-session plan and the index
     // round-trip (train → store → reload → query)
     "s12_pq_index_topk" -> ivfPqOracleSql,
+
+    // ADC top-10 shortlist (the s09 construction, deeper rank), then
+    // exact cosine re-rank of only the shortlist rows
+    "s14_pq_refine" ->
+      s"""WITH $oKmeansA2,
+         ${oPqSub("p0", 1, 32)},
+         ${oPqSub("p1", 33, 64)},
+         summed AS (
+           SELECT a0.q_id, a0.vec_id, a0.d + a1.d AS adc
+           FROM p0adc a0 JOIN p1adc a1 USING (q_id, vec_id)
+           WHERE vec_id <> q_id),
+         cellok AS (
+           SELECT s.q_id, s.vec_id, s.adc
+           FROM summed s
+             JOIN a2 cq ON cq.vec_id = s.q_id
+             JOIN a2 cc ON cc.vec_id = s.vec_id
+           WHERE cq.cluster = cc.cluster),
+         shortlist AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER
+               (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+             FROM cellok) t WHERE rank <= 10),
+         rescored AS (
+           SELECT sl.q_id, sl.vec_id,
+             list_sum(list_transform(list_zip(c.embedding, q.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM shortlist sl
+             JOIN e c ON c.vec_id = sl.vec_id
+             JOIN e q ON q.vec_id = sl.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM rescored)
+         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s10_ivf_pq_residual" ->
       s"""WITH $oKmeansA2,

@@ -114,6 +114,32 @@ object Scratch {
         println(f"RECALL cells=$cells nprobe=$nprobe m=$m k=$k  " +
           f"recall@5=${mean(approx)}%.3f")
       }
+      // refine variant: the ADC scan proposes a DEEPER shortlist
+      // (R > k), exact cosine re-ranks it (Similarity.refineTopK) —
+      // recall bought per unit of full-precision work, the standard
+      // production answer to PQ quantization error
+      locally {
+        val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+          8, iters = 2)
+        val res = Similarity.assignWith(e, "embedding", cents)
+          .withColumn("resid",
+            Similarity.residual(col("embedding"), cents, col("cluster")))
+        val books = Similarity.pqTrain(res, "resid", "vec_id", 16, 64,
+          iters = 2)
+        val enc = Similarity.pqEncode(res, "resid", books)
+        val qp = Similarity.probesWith(
+            e.filter(col("vec_id") < 20), "embedding", cents, 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("probes").as("q_probes"))
+        for (r <- Seq(10, 25, 50)) {
+          val shortlist = Similarity.ivfPqTopKMultiProbe(
+            enc.select("vec_id", "codes", "cluster"), qp, r, books, cents)
+          val refined = Similarity.refineTopK(shortlist, e,
+            qp.select(col("q_id"), col("q_vec")), 5)
+          println(f"RECALL cells=8 nprobe=8 m=16 k=64 REFINE R=$r%-3d " +
+            f"recall@5=${mean(refined)}%.3f")
+        }
+      }
       // normalized variant: on unit vectors L2 order == cosine order,
       // so the ADC-vs-cosine metric mismatch disappears
       locally {

@@ -546,6 +546,40 @@ object Similarity {
   }
 
   /**
+   * Exact re-ranking refine over an ANN shortlist — the FAISS
+   * `IndexRefineFlat` pattern: any approximate top-R result (ADC,
+   * IVF, RHP) is re-scored with EXACT cosine against the full float
+   * vectors and the true top-k of the shortlist kept. This is how
+   * production stacks buy back the PQ quantization error measured in
+   * SCALING.md's recall table: the quantized scan proposes R ≥ k
+   * candidates cheaply, the refine pays full-precision math on only
+   * |queries|×R rows.
+   *
+   * Scale shape: `shortlist` (q_id, vec_id pairs, ≤ R per query) is
+   * tiny and broadcasts into a semi-join against the corpus, so the
+   * float vectors of non-candidates are never deserialized, let alone
+   * shuffled; queries broadcast as everywhere else in this family;
+   * the final reduction is the bounded-heap [[TopKAgg]].
+   */
+  def refineTopK(shortlist: DataFrame, corpus: DataFrame,
+                 queries: DataFrame, k: Int,
+                 corpusId: String = "vec_id",
+                 corpusVec: String = "embedding",
+                 queryId: String = "q_id", queryVec: String = "q_vec",
+                 dim: Int = 0): DataFrame = {
+    val cand = corpus.select(col(corpusId), col(corpusVec))
+      .join(broadcast(shortlist.select(col(queryId), col(corpusId))),
+        Seq(corpusId))
+    val scored = cand
+      .join(broadcast(queries.select(col(queryId), col(queryVec))
+        .withColumn("__qn", normc(col(queryVec), dim))), Seq(queryId))
+      .withColumn("cos",
+        dotc(col(corpusVec), col(queryVec), dim) /
+          (normc(col(corpusVec), dim) * col("__qn")))
+    topKReduce(scored, k, queryId, corpusId, "cos", ascending = false)
+  }
+
+  /**
    * Recall@k — the standard ANN quality harness: per query,
    * |approx ∩ exact| / |exact| against the exact top-k ground truth.
    * A production ANN deployment runs this continuously (sampled

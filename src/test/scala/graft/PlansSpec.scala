@@ -113,7 +113,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d12_consensus_pairs", "d13_containment", "d14_semdedup",
       "t19_gopher_rules", "t20_split_assign", "t21_token_budget",
       "t22_bpe_segment", "m07_audio_stats", "m08_image_phash",
-      "d15_dup_spans", "t23_shuffle_order", "s13_ann_recall")
+      "d15_dup_spans", "t23_shuffle_order", "s13_ann_recall",
+      "s14_pq_refine")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
@@ -142,7 +143,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (n <- Seq("s01_cosine_topk", "s02_ivf_topk", "s03_rhp_ann",
         "s05_ivf_trained", "s06_rhp_multiprobe", "s07_ivf_multiprobe",
         "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
-        "s11_ivf_pq_multiprobe", "s12_pq_index_topk")) {
+        "s11_ivf_pq_multiprobe", "s12_pq_index_topk",
+        "s14_pq_refine")) {
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode
           .fromString("formatted"))

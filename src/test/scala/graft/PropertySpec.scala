@@ -429,6 +429,57 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: refine over a complete shortlist == bruteForceTopK") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // a shortlist containing EVERY (query, corpus) pair makes the
+    // refine degenerate to exact brute-force — same rows, same ranks
+    val full = e.select(col("vec_id"))
+      .crossJoin(q.select(col("q_id")))
+      .filter(col("vec_id") =!= col("q_id"))
+    val refined = Similarity.refineTopK(full, e, q, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(refined == brute)
+  }
+
+  test("property: refine re-ranks only shortlist rows, by exact cosine") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id", 4, 1)
+    val books = Similarity.pqTrain(e, "embedding", "vec_id", 2, 4, 1)
+    val encoded = Similarity.pqEncode(assigned, "embedding", books)
+      .select("vec_id", "codes", "cluster")
+    val qc = assigned.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cluster").as("q_cell"))
+    val shortlist = Similarity.ivfPqTopK(encoded, qc, 10, books)
+    val pairs = shortlist.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.refineTopK(shortlist, e,
+      qc.select(col("q_id"), col("q_vec")), 5).collect()
+    // candidates never escape the shortlist
+    refined.foreach { r =>
+      assert(pairs.contains((r.getLong(0), r.getLong(1))))
+    }
+    // per query: ranks are 1..k and cosine is non-increasing in rank
+    refined.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to byRank.size))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2))
+        case _ =>
+      }
+    }
+  }
+
   test("property: index append encodes new vectors == full re-encode under stored state") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
