@@ -883,6 +883,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance resampling: hashed-unigram bag log-ratio
+    // weights (target = English docs vs the raw pool) + deterministic
+    // Gumbel top-k draw — 50 docs sampled ∝ exp(log_w) without
+    // replacement, reproducible from the salt
+    "t24_dsir_sample" -> ((s, dir) => {
+      Sampling.dsirSample(docs(s, dir), "text", "doc_id",
+          col("lang") === "en", n = 50, buckets = 64, portable = true)
+        .select(col("id").as("doc_id"), col("n_tok"),
+          r4(col("log_w")).as("log_w"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic stratified sample: 5 docs per language via the
     // bounded-heap top-n aggregate (no per-stratum global sort)
     "t05_sample_stratified" -> ((s, dir) => {
@@ -2384,6 +2396,38 @@ object PipelineQueries {
          SELECT doc_id,
            row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
          FROM h ORDER BY doc_id""",
+
+    "t24_dsir_sample" ->
+      s"""WITH tk AS (
+           SELECT doc_id, lang = 'en' AS t,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         bk AS (SELECT doc_id, t, ${oH32("tok")} % 64 AS b FROM tk),
+         cnt AS (
+           SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+             count(*) AS rc
+           FROM bk GROUP BY b),
+         tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt),
+         ratio AS (
+           SELECT b, ln(tc + 1.0) - ln(tt + 64.0)
+             - ln(rc + 1.0) + ln(rt + 64.0) AS lr
+           FROM cnt CROSS JOIN tot),
+         w AS (
+           SELECT doc_id, count(*) AS n_tok, sum(lr) AS log_w
+           FROM bk JOIN ratio USING (b) GROUP BY doc_id),
+         keyed AS (
+           SELECT doc_id, n_tok, log_w,
+             log_w - ln(-ln(
+               (${oH32("'dsir' || CAST(doc_id AS VARCHAR)")} + 0.5)
+                 / 4294967296.0)) AS k
+           FROM w),
+         sel AS (
+           SELECT doc_id, n_tok, log_w FROM keyed
+           ORDER BY k DESC, doc_id LIMIT 50)
+         SELECT doc_id, n_tok, round(log_w, 4) AS log_w
+         FROM sel ORDER BY doc_id""",
 
     "t05_sample_stratified" ->
       s"""WITH h AS (

@@ -223,6 +223,68 @@ object Sampling {
       .select(col("id"), col("pos"))
   }
 
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): each document scores
+   * `Σ_tokens ln(p_target(bucket)/p_raw(bucket))` over hashed-unigram
+   * feature buckets, where both distributions are add-α-smoothed bag
+   * models fit on the corpus itself — target = rows matching
+   * `isTarget`, raw = everything. High weight = "looks like the
+   * target domain relative to the raw pool".
+   *
+   * Plan shape at 100 TB: one token explode, one BUCKETS-sized count
+   * aggregation (the only shuffle whose key isn't high-cardinality —
+   * and it is bounded by the constant `buckets`, with map-side
+   * combine doing all the work), the tiny log-ratio table broadcast
+   * back onto the token stream, and one per-doc aggregation. The
+   * corpus is never joined row-to-row and no distribution fit touches
+   * the driver.
+   */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+                  isTarget: Column, buckets: Int = 256,
+                  alpha: Double = 1.0,
+                  portable: Boolean = false): DataFrame = {
+    require(buckets > 0 && alpha > 0, s"buckets $buckets alpha $alpha")
+    val toks = df.select(col(idCol).as("id"), isTarget.as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("__b", hash32(col("tok"), portable) % buckets)
+    val counts = toks.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+      count(lit(1)).as("__rc"))
+    val totals = counts.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log(col("__tc") + alpha) - log(col("__tt") + alpha * buckets) -
+          log(col("__rc") + alpha) + log(col("__rt") + alpha * buckets))
+          .as("__lr"))
+    toks.join(broadcast(ratio), Seq("__b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("__lr")).as("log_w"))
+  }
+
+  /**
+   * DSIR selection: draw `n` documents WITHOUT replacement with
+   * probability proportional to `exp(log_w)` via the Gumbel top-k
+   * trick — `key = log_w + Gumbel(0,1)`, top n keys — with the
+   * uniform draw derived from the salted deterministic hash, so the
+   * sample is reproducible, auditable per document, and replicable in
+   * the oracle. The reduction is `orderBy(key).limit(n)`
+   * (TakeOrderedAndProject: per-partition top-n, driver merge), never
+   * a global sort.
+   */
+  def dsirSample(df: DataFrame, textCol: String, idCol: String,
+                 isTarget: Column, n: Int, buckets: Int = 256,
+                 alpha: Double = 1.0, salt: String = "dsir",
+                 portable: Boolean = false): DataFrame = {
+    val u = (rowHash(col("id"), salt, portable).cast("double") + 0.5d) /
+      4294967296.0d
+    dsirWeights(df, textCol, idCol, isTarget, buckets, alpha, portable)
+      .withColumn("__key", col("log_w") - log(-log(u)))
+      .orderBy(col("__key").desc, col("id"))
+      .limit(n)
+      .select(col("id"), col("n_tok"), col("log_w"))
+  }
+
   /** Window-function formulation of the same stratified sample —
     * simpler plan for small strata; kept as the semantic reference
     * (identical output to stratifiedTopN by construction). */

@@ -707,4 +707,45 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.nonEmpty)
     assert(all.distinct.length == all.length)
   }
+
+  test("property: DSIR weights vanish when target == raw; sample ⊆ corpus") {
+    import graft.pipeline.Sampling
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // target == raw pool ⇒ per-bucket tc == rc and tt == rt, so every
+    // log-ratio is EXACTLY ln(x)-ln(y)-ln(x)+ln(y) = 0.0 — identical
+    // doubles, not merely close
+    val flat = Sampling.dsirWeights(docs, "text", "doc_id",
+      org.apache.spark.sql.functions.lit(true), buckets = 32)
+    assert(flat.filter(col("log_w") =!= 0.0).count() == 0)
+    // n_tok is the document's token count
+    val nt = flat.select("id", "n_tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.pipeline.TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().foreach { r =>
+        assert(nt(r.getLong(0)) == r.getInt(1).toLong, s"doc ${r.getLong(0)}")
+      }
+    // with an English target, English docs average a higher weight
+    // than the rest (the point of the operator) — deterministic on
+    // this fixed corpus
+    val w = Sampling.dsirWeights(docs, "text", "doc_id",
+        col("lang") === "en", buckets = 64)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    val Array(nonEn, en) = w.groupBy(col("lang") === "en")
+      .agg(avg(col("log_w") / col("n_tok")).as("m"))
+      .orderBy(col("lang") === "en").collect() // false sorts first
+      .map(_.getDouble(1))
+    assert(en > nonEn)
+    // sample: exactly n rows, all present in the weight table
+    val ids = Sampling.dsirSample(docs, "text", "doc_id",
+      col("lang") === "en", n = 20, buckets = 64)
+      .collect().map(_.getLong(0))
+    assert(ids.length == 20 && ids.distinct.length == 20)
+    val all = Sampling.dsirWeights(docs, "text", "doc_id",
+      col("lang") === "en", buckets = 64)
+      .select("id").collect().map(_.getLong(0)).toSet
+    ids.foreach(i => assert(all.contains(i)))
+  }
 }
