@@ -362,6 +362,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // frequency-based boilerplate removal (CCNet/RefinedWeb line
+    // dedup over token windows): a 3-token segment appearing in >= 2
+    // distinct docs of the SAME source is template text and strips
+    // from every carrier — unlike d11, which keeps first occurrences
+    "d16_boilerplate" -> ((s, dir) => {
+      Dedup.boilerplateStrip(docs(s, dir), "text", "doc_id", "source",
+          width = 3, minDf = 2)
+        .select(col("id").as("doc_id"), col("n_seg"), col("n_kept"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means cells (same deterministic Lloyd as s04) +
     // within-cell pairwise cosine; a vector is dropped when a lower-id
     // neighbor sits at cos >= 0.35 in its cell — per-vector verdicts
@@ -1245,6 +1257,45 @@ object PipelineQueries {
            coalesce(pk.dedup_text, '') AS dedup_text
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN pa USING (doc_id) LEFT JOIN pk USING (doc_id)
+         ORDER BY doc_id""",
+
+    "d16_boilerplate" ->
+      s"""WITH t AS (
+           SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+             unnest(list_transform(range(0, len(tk), 3),
+             s -> struct_pack(
+               st := s,
+               ck := array_to_string(list_slice(tk, CAST(s + 1 AS INT),
+                 CAST(least(s + 3, len(tk)) AS INT)), ' ')))) AS ch
+           FROM t WHERE len(tk) > 0),
+         seg AS (
+           SELECT doc_id, source, ch.st AS start, ch.ck AS segment,
+             ${oH60("ch.ck")} AS h
+           FROM c),
+         freq AS (
+           SELECT source, h, count(DISTINCT doc_id) AS seg_df
+           FROM seg GROUP BY source, h),
+         flagged AS (
+           SELECT seg.doc_id, seg.start, seg.segment,
+             freq.seg_df >= 2 AS boiler
+           FROM seg JOIN freq ON freq.source = seg.source
+             AND freq.h = seg.h),
+         pa AS (
+           SELECT doc_id, count(*) AS n_seg,
+             count(CASE WHEN NOT boiler THEN 1 END) AS n_kept,
+             coalesce(string_agg(CASE WHEN NOT boiler THEN segment END,
+               ' ' ORDER BY start), '') AS clean_text
+           FROM flagged GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(pa.n_seg, 0) AS n_seg,
+           coalesce(pa.n_kept, 0) AS n_kept,
+           coalesce(pa.clean_text, '') AS clean_text
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN pa USING (doc_id)
          ORDER BY doc_id""",
 
     "d02_ngram_jaccard" ->

@@ -81,6 +81,54 @@ object Dedup {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /**
+   * Frequency-based boilerplate removal (the CCNet/RefinedWeb line
+   * dedup step, generalized to token windows since this corpus has no
+   * line structure): a segment that appears in `minDf` or more
+   * DISTINCT documents of the same source is boilerplate (headers,
+   * nav text, license banners — content templated by the site, not
+   * authored per page) and is stripped from every document carrying
+   * it. Differs from [[segmentDedup]] in both trigger and effect:
+   * segmentDedup keeps the FIRST occurrence of any repeat, this
+   * removes ALL occurrences once the per-source document frequency
+   * crosses the threshold — rare cross-doc repeats survive.
+   *
+   * Plan: segment explode → distinct (source, seg_hash, id) → count
+   * per (source, seg_hash) → hash join back (co-partitioned on the
+   * same key) → per-doc reassembly agg. All keys high-cardinality;
+   * no windows, no self-join — at 100 TB the frequency table is the
+   * only added shuffle and it is bounded by distinct segments, with
+   * map-side combine.
+   */
+  def boilerplateStrip(df: DataFrame, textCol: String, idCol: String,
+                       sourceCol: String, width: Int = 3,
+                       minDf: Long = 2,
+                       portable: Boolean = true): DataFrame = {
+    val seg = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+        posexplode(TextAnalysis.chunks(col(textCol), width, 0))
+          .as(Seq("ix", "ch")))
+      .select(col("id"), col("src"), col("ch.start").as("start"),
+        col("ch.chunk").as("segment"),
+        TextAnalysis.hash60(col("ch.chunk"), portable).as("seg_hash"))
+    val freq = seg.select("src", "seg_hash", "id").distinct()
+      .groupBy("src", "seg_hash")
+      .agg(count(lit(1)).as("seg_df"))
+    val flagged = seg.join(freq, Seq("src", "seg_hash"))
+      .withColumn("boiler", col("seg_df") >= minDf)
+    val perDoc = flagged.groupBy("id").agg(
+      count(lit(1)).as("n_seg"),
+      count(when(!col("boiler"), 1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(!col("boiler"),
+          struct(col("start"), col("segment"))))),
+        _.getField("segment")), " ").as("clean_text"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_seg"), lit(0L)).as("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Distinct (id, token) postings with an optional document-frequency
     * cap (tokens in more than maxDf docs are dropped — the classic
     * skew guard for postings joins). */

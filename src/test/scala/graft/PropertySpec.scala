@@ -708,6 +708,39 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.distinct.length == all.length)
   }
 
+  test("property: boilerplateStrip == brute-force per-source df filter") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val pool = (0 until 5).map(_ =>
+      Seq.fill(3)(vocab(rnd.nextInt(vocab.size))).mkString(" ")).toVector
+    val docsDf = (0L until 15L).map { id =>
+      (id, s"src${id % 3}",
+        Seq.fill(1 + rnd.nextInt(4))(pool(rnd.nextInt(pool.size)))
+          .mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = graft.pipeline.Dedup
+      .boilerplateStrip(docsDf, "text", "doc_id", "source",
+        width = 3, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    // brute force on the driver: df per (source, segment) over
+    // distinct docs; segments with df >= 2 strip everywhere
+    val rows = docsDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val segsOf = rows.map { case (id, src, text) =>
+      (id, src, text.split(" ").grouped(3).map(_.mkString(" ")).toSeq)
+    }
+    val df2 = segsOf.flatMap { case (id, src, segs) =>
+      segs.distinct.map(s => (src, s) -> id)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+    val expected = segsOf.map { case (id, src, segs) =>
+      val keep = segs.filter(s => df2((src, s)) < 2)
+      (id, segs.size.toLong, keep.size.toLong, keep.mkString(" "))
+    }
+    assert(out.toSeq == expected.toSeq)
+  }
+
   test("property: DSIR weights vanish when target == raw; sample ⊆ corpus") {
     import graft.pipeline.Sampling
     val docs = spark.read
