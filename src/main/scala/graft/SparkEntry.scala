@@ -1038,6 +1038,43 @@ object SparkEntry {
           min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
         .withColumn("compacted", lit(after < before && after <= nDates))
         .orderBy("metric", "tag_user")
+    }),
+
+    // §2 DELETE /api/query (reference TSQuery.delete / QueryRpc
+    // delete path): the matched series' points inside the query range
+    // vanish, everything else survives byte-identically — proven by
+    // aggregating the survivor table per series group
+    "q72_query_delete" -> ((s, dir) => {
+      val q = TsQuery(T_0105, T_0120 - 1, Seq.empty)
+      val sub = SubQuery("sum", "click",
+        Seq(LiteralOr("user", Seq("1", "2", "3"))))
+      flat(Engine.deletePoints(pts(s, dir), q, sub))
+        .groupBy("metric", "tag_user")
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .orderBy("metric", "tag_user")
+    }),
+
+    // §2 fsck --fix: a deterministically-dirtied copy of the corpus
+    // (injected duplicates, NaNs, future stamps, bad-charset metrics
+    // — all derived from the click/user=1 slice) runs through
+    // Fsck.repair; every injected pathology must vanish, with the
+    // duplicate resolved to the larger injected value
+    "q73_fsck_repair" -> ((s, dir) => {
+      val base = pts(s, dir)
+      val slice = base.filter(col("metric") === "click" &&
+        col("tags").getItem("user") === "1")
+      val dirty = base
+        .unionByName(slice.withColumn("value", col("value") + 1.0))
+        .unionByName(slice.withColumn("value", lit(Double.NaN)))
+        .unionByName(slice.withColumn("ts",
+          col("ts") + lit(315360000000L)))
+        .unionByName(slice.withColumn("metric",
+          concat(col("metric"), lit(" %"))))
+      flat(graft.meta.Fsck.repair(dirty, nowMs = 1767225600000L))
+        .groupBy("metric", "tag_user")
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .orderBy("metric", "tag_user")
     })
   )
 
@@ -1932,6 +1969,44 @@ object SparkEntry {
            min(ts) AS first_ts, max(ts) AS last_ts,
            TRUE AS compacted
          FROM points WHERE metric = 'view' AND tag_k IS NOT NULL
-         GROUP BY metric, tag_user ORDER BY metric, tag_user"""
+         GROUP BY metric, tag_user ORDER BY metric, tag_user""",
+
+    // NULL-safe: a series without the filtered tag is NOT matched
+    // (it survives), so the tag predicate coalesces to FALSE
+    "q72_query_delete" ->
+      s"""$O SELECT metric, tag_user, count(*) AS n,
+           round(sum(value), 4) AS sum_v,
+           min(ts) AS first_ts, max(ts) AS last_ts
+         FROM points
+         WHERE NOT (metric = 'click'
+           AND coalesce(tag_user IN ('1','2','3'), FALSE)
+           AND ts >= $T_0105 AND ts <= ${T_0120 - 1})
+         GROUP BY metric, tag_user ORDER BY metric, tag_user""",
+
+    "q73_fsck_repair" ->
+      s"""$O, slice AS (
+           SELECT * FROM points WHERE metric = 'click' AND tag_user = '1'),
+         dirty AS (
+           SELECT * FROM points
+           UNION ALL SELECT metric, ts, value + 1.0, tag_user, tag_k
+             FROM slice
+           UNION ALL SELECT metric, ts, 'NaN'::DOUBLE, tag_user, tag_k
+             FROM slice
+           UNION ALL SELECT metric, ts + 315360000000, value, tag_user,
+             tag_k FROM slice
+           UNION ALL SELECT metric || ' %', ts, value, tag_user, tag_k
+             FROM slice),
+         clean AS (
+           SELECT * FROM dirty
+           WHERE value IS NOT NULL AND NOT isnan(value)
+             AND NOT isinf(value) AND ts <= 1767225600000
+             AND regexp_matches(metric, '^[a-zA-Z0-9\\-_./\\p{L}]+$$')),
+         resolved AS (
+           SELECT metric, tag_user, tag_k, ts, max(value) AS value
+           FROM clean GROUP BY metric, tag_user, tag_k, ts)
+         SELECT metric, tag_user, count(*) AS n,
+           round(sum(value), 4) AS sum_v
+         FROM resolved GROUP BY metric, tag_user
+         ORDER BY metric, tag_user"""
   )
 }

@@ -44,4 +44,43 @@ object Fsck {
       flat.select(explode(map(checks.flatMap(c =>
         Seq(lit(c), col(c))): _*)).as(Seq("check", "n"))))
   }
+
+  /**
+   * Repair mode — the reference fsck's `--fix`/`--resolve-duplicates`
+   * (src/tools/Fsck.java:86, fix flags at :60-84) as one relational
+   * pass: every check [[report]] counts is enforced on the data.
+   *  - null / NaN / ±Inf values dropped
+   *  - timestamps beyond `nowMs` dropped
+   *  - bad-charset metrics dropped
+   *  - duplicate (series, ts) points resolved to ONE row. The
+   *    reference keeps the cell HBase wrote last; our model carries
+   *    no write timestamp, so the resolution key is the value itself
+   *    (greatest wins, then the integer flags) — deterministic across
+   *    runs and engines, which last-write-wins on a distributed
+   *    ingest is not.
+   *
+   * Plan: one filter (scan-stage, pushdown-able) + one partial+final
+   * max_by aggregation keyed on (series_id, ts) — the same
+   * high-cardinality key every per-series stage shuffles on, so a
+   * bucketed table repairs with no exchange at all.
+   */
+  def repair(points: DataFrame, nowMs: Long): DataFrame = {
+    val p0 = if (points.columns.contains("series_id")) points
+             else Points.withSeriesId(points)
+    val clean = p0.filter(
+      col("value").isNotNull && !isnan(col("value")) &&
+        col("value") =!= Double.PositiveInfinity &&
+        col("value") =!= Double.NegativeInfinity &&
+        col("ts") <= nowMs &&
+        col("metric").rlike(Ingest.NAME_RE))
+    val payload = struct(clean.columns.filter(_ != "series_id")
+      .map(col): _*)
+    val order = if (clean.columns.contains("value_l"))
+      struct(col("value"),
+        coalesce(col("value_l"), lit(Long.MinValue)).as("vl"))
+    else struct(col("value"))
+    clean.groupBy(col("series_id"), col("ts").as("__ts"))
+      .agg(max_by(payload, order).as("__r"))
+      .select("__r.*")
+  }
 }

@@ -1143,4 +1143,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(1)).toSet
     assert(s1 == s2 && s1.nonEmpty && s1.size < 200)
   }
+
+  test("Fsck.repair enforces every report check; duplicates resolve max-wins") {
+    import scala.jdk.CollectionConverters._
+    val p = spark.createDataFrame(Seq(
+      Row("cpu", 1000L, 1.0, null, false, host("a")),
+      Row("cpu", 1000L, 3.0, java.lang.Long.valueOf(3L), true, host("a")),
+      Row("cpu", 1000L, 2.0, null, false, host("a")),   // dup trio → 3.0
+      Row("cpu", 2000L, Double.NaN, null, false, host("a")), // non-finite
+      Row("cpu", 3000L, Double.PositiveInfinity, null, false, host("a")),
+      // NB: no null-value row — Points.schema declares value
+      // non-nullable, so a Row-level null would coerce, not inject
+      Row("cpu", 99999L, 5.0, null, false, host("a")),  // future
+      Row("bad metric", 1000L, 6.0, null, false, host("a")), // charset
+      Row("cpu", 1000L, 7.0, null, false, host("b"))    // clean survivor
+    ).asJava, Points.schema)
+    val out = graft.meta.Fsck.repair(p, nowMs = 50000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getAs[Map[String, String]](5)("host"))).toSet
+    assert(out == Set(("cpu", 1000L, 3.0, "a"), ("cpu", 1000L, 7.0, "b")))
+    // the kept duplicate carries its own payload (value_l rides along)
+    val kept = graft.meta.Fsck.repair(p, 50000L)
+      .filter(org.apache.spark.sql.functions.col("value") === 3.0)
+      .collect()(0)
+    assert(kept.getLong(3) == 3L && kept.getBoolean(4))
+    // a repaired table reports clean
+    val rep = graft.meta.Fsck.report(
+        graft.meta.Fsck.repair(p, 50000L), nowMs = 50000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.values.forall(_ == 0L), rep.toString)
+  }
 }

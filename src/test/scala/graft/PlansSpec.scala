@@ -114,7 +114,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "t19_gopher_rules", "t20_split_assign", "t21_token_budget",
       "t22_bpe_segment", "m07_audio_stats", "m08_image_phash",
       "d15_dup_spans", "t23_shuffle_order", "s13_ann_recall",
-      "s14_pq_refine", "t24_dsir_sample", "d16_boilerplate")
+      "s14_pq_refine", "t24_dsir_sample", "d16_boilerplate",
+      "q72_query_delete", "q73_fsck_repair")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
