@@ -104,6 +104,15 @@ object Dedup {
                        sourceCol: String, width: Int = 3,
                        minDf: Long = 2,
                        portable: Boolean = true): DataFrame = {
+    // NOT persisted, deliberately (measured): the two readers want
+    // different widths — the frequency branch needs only
+    // (src, seg_hash, id) while the flag join needs the segment text —
+    // and a persist barrier materializes the WIDE rows for both
+    // (1×: 3.6 s → 13.7 s, 30×: 33 s → 35 s, checksums identical).
+    // Recomputing the window pass once per branch lets Catalyst prune
+    // each to its own column slice — the same lesson as the top-k
+    // input in SCALING.md, and the inverse of d15's narrow-pair
+    // persist (16 B/row there, ~width tokens/row here).
     val seg = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
         posexplode(TextAnalysis.chunks(col(textCol), width, 0))
           .as(Seq("ix", "ch")))
