@@ -138,6 +138,68 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /**
+   * The frozen per-source boilerplate sets [[streamBoilerplateStrip]]
+   * screens against: one row per source carrying the array of segment
+   * hashes whose document frequency reached `minDf` in the landed
+   * corpus — |sources| rows, broadcast-able. The same frozen-state
+   * discipline as the decontamination eval set and the PQ codebooks:
+   * recompute offline as the corpus grows; arrivals never mutate it.
+   * `maxHashes` fails fast before the per-source collect_set can hit
+   * the row/broadcast ceilings (boilerplate sets are small by
+   * construction — they hold only segments REPEATED across >= minDf
+   * docs of one source).
+   */
+  def boilerplateRefSets(df: DataFrame, textCol: String, idCol: String,
+                         sourceCol: String, width: Int = 3,
+                         minDf: Long = 2, portable: Boolean = true,
+                         maxHashes: Long = 10_000_000L): DataFrame = {
+    val boiler = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+        explode(TextAnalysis.chunks(col(textCol), width, 0)).as("ch"))
+      .select(col("id"), col("src"),
+        TextAnalysis.hash60(col("ch.chunk"), portable).as("seg_hash"))
+      .distinct()
+      .groupBy("src", "seg_hash")
+      .agg(count(lit(1)).as("seg_df"))
+      .filter(col("seg_df") >= minDf)
+    val n = boiler.agg(count(lit(1))).head.getLong(0)
+    require(n <= maxHashes,
+      s"boilerplateRefSets: $n boilerplate hashes exceed the $maxHashes " +
+        "cap for the per-source broadcast arrays. Use boilerplateStrip " +
+        "(batch, join-based) or raise maxHashes.")
+    boiler.groupBy("src").agg(collect_set(col("seg_hash")).as("boiler_hs"))
+  }
+
+  /**
+   * Streaming boilerplate removal — [[boilerplateStrip]]'s
+   * arrival-screening form: each arriving document joins its source's
+   * frozen boilerplate-hash array (stream-static broadcast join,
+   * STATELESS — no state store, no watermark, no streaming agg) and
+   * the strip is a pure array expression: windows whose hash sits in
+   * the array vanish, the rest reassemble in order. A source with no
+   * boilerplate row passes untouched (left join + null-safe filter).
+   * Equal to the batch op when the ref sets came from the same corpus
+   * (asserted in StreamingSpec).
+   */
+  def streamBoilerplateStrip(docs: DataFrame, textCol: String,
+                             idCol: String, sourceCol: String,
+                             refSets: DataFrame, width: Int = 3,
+                             portable: Boolean = true): DataFrame = {
+    val ch = TextAnalysis.chunks(col(textCol), width, 0)
+    val kept = filter(col("__ch"), c =>
+      col("boiler_hs").isNull ||
+        !array_contains(col("boiler_hs"),
+          TextAnalysis.hash60(c.getField("chunk"), portable)))
+    docs.select(col(idCol).as("id"), col(sourceCol).as("src"),
+        ch.as("__ch"))
+      .join(broadcast(refSets), Seq("src"), "left")
+      .select(col("id"),
+        size(col("__ch")).cast("long").as("n_seg"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(transform(kept, _.getField("chunk")), " ")
+          .as("clean_text"))
+  }
+
   /** Distinct (id, token) postings with an optional document-frequency
     * cap (tokens in more than maxDf docs are dropped — the classic
     * skew guard for postings joins). */

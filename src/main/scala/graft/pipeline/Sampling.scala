@@ -240,27 +240,70 @@ object Sampling {
    * corpus is never joined row-to-row and no distribution fit touches
    * the driver.
    */
-  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
-                  isTarget: Column, buckets: Int = 256,
-                  alpha: Double = 1.0,
-                  portable: Boolean = false): DataFrame = {
+  /** The frozen per-bucket log-ratio table (`__b`, `__lr`) the DSIR
+    * scorer consumes — `buckets` rows from one bounded count
+    * aggregation over the fit corpus. Split out so the scoring side
+    * ([[streamScoreDsir]]) can also run on a STREAM under the same
+    * frozen-state discipline as the unigram table and PQ codebooks:
+    * fit offline, score arrivals, refit on drift. */
+  def dsirRatioTable(df: DataFrame, textCol: String, isTarget: Column,
+                     buckets: Int = 256, alpha: Double = 1.0,
+                     portable: Boolean = false): DataFrame = {
     require(buckets > 0 && alpha > 0, s"buckets $buckets alpha $alpha")
-    val toks = df.select(col(idCol).as("id"), isTarget.as("__t"),
+    val toks = df.select(isTarget.as("__t"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("__b", hash32(col("tok"), portable) % buckets)
     val counts = toks.groupBy("__b").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
       count(lit(1)).as("__rc"))
     val totals = counts.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt"))
-    val ratio = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("__b"),
         (log(col("__tc") + alpha) - log(col("__tt") + alpha * buckets) -
           log(col("__rc") + alpha) + log(col("__rt") + alpha * buckets))
           .as("__lr"))
-    toks.join(broadcast(ratio), Seq("__b"))
+  }
+
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+                  isTarget: Column, buckets: Int = 256,
+                  alpha: Double = 1.0,
+                  portable: Boolean = false): DataFrame = {
+    val ratio = dsirRatioTable(df, textCol, isTarget, buckets, alpha,
+      portable)
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("__b", hash32(col("tok"), portable) % buckets)
+      .join(broadcast(ratio), Seq("__b"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_tok"), sum(col("__lr")).as("log_w"))
   }
+
+  /**
+   * Streaming DSIR scoring at the ingest edge: arrivals score under a
+   * FROZEN ratio table ([[dsirRatioTable]], fit on the landed corpus)
+   * — token join is stream-static against `buckets` broadcast rows
+   * (stateless); only the per-document sum is stateful, grouped on
+   * (id, event-time window) so the watermark bounds state exactly
+   * like the streaming unigram scorer. Inner join is lossless here —
+   * every bucket the fit corpus saw has a row, and an arrival token
+   * hashing to an unseen bucket has no evidence either way (it
+   * contributes nothing, matching a batch re-fit's smoothed
+   * near-zero ratio in expectation).
+   */
+  def streamScoreDsir(docs: DataFrame, textCol: String, idCol: String,
+                      tsCol: String, ratio: DataFrame,
+                      buckets: Int = 256,
+                      horizon: String = "10 minutes",
+                      lateness: String = "10 minutes",
+                      portable: Boolean = false): DataFrame =
+    docs.withWatermark(tsCol, lateness)
+      .select(col(idCol).as("id"), col(tsCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("__b", hash32(col("tok"), portable) % buckets)
+      .join(ratio, Seq("__b"))
+      .groupBy(col("id"), window(col(tsCol), horizon))
+      .agg(count(lit(1)).as("n_tok"), sum(col("__lr")).as("log_w"))
+      .drop("window")
 
   /**
    * DSIR selection: draw `n` documents WITHOUT replacement with

@@ -251,6 +251,79 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(!_._2), "expected at least one duplicate")
   }
 
+  test("streaming boilerplate screen == batch strip under frozen ref sets") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text")
+    val batch = Dedup.boilerplateStrip(docs, "text", "doc_id", "source",
+        width = 3, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val ref = Dedup.boilerplateRefSets(docs, "text", "doc_id", "source",
+      width = 3, minDf = 2)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Dedup.streamBoilerplateStrip(
+        mem.toDF().toDF("doc_id", "source", "text"),
+        "text", "doc_id", "source", ref, width = 3)
+      .writeStream.format("memory").queryName("boiler_stream")
+      .outputMode("append").start()
+    mem.addData(rows.take(rows.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(rows.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "boilerplate screen must run without streaming state")
+    q.stop()
+    val streamed = spark.table("boiler_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(streamed == batch)
+    // something actually stripped
+    assert(streamed.exists(r => r._3 < r._2))
+  }
+
+  test("streaming DSIR scoring under a frozen ratio table == batch weights") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Sampling
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val batch = Sampling.dsirWeights(docs, "text", "doc_id",
+        col("lang") === "en", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val ratio = Sampling.dsirRatioTable(docs, "text",
+      col("lang") === "en", buckets = 64)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "epoch")
+      .withColumn("arrival", timestamp_seconds(col("epoch")))
+    val q = Sampling.streamScoreDsir(stream, "text", "doc_id",
+        "arrival", ratio, buckets = 64)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    val half = rows.length / 2
+    mem.addData(rows.take(half).map(r => (r._1, r._2, 1700000000L)).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(half).map(r => (r._1, r._2, 1700000010L)).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData((999999L, "watermarkpush", 1700009999L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_stream")
+      .filter(col("id") =!= 999999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(streamed == batch, s"diff=${(streamed diff batch).take(3)}")
+  }
+
   test("streaming unigram scoring under a frozen table == batch scorer") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
