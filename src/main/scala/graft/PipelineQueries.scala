@@ -2534,9 +2534,9 @@ object PipelineQueries {
            FROM bk JOIN ratio USING (b) GROUP BY doc_id),
          keyed AS (
            SELECT doc_id, n_tok, log_w,
-             log_w - ln(-ln(
+             floor((log_w - ln(-ln(
                (${oH32("'dsir' || CAST(doc_id AS VARCHAR)")} + 0.5)
-                 / 4294967296.0)) AS k
+                 / 4294967296.0))) * 1000000 + 0.5) / 1000000 AS k
            FROM w),
          sel AS (
            SELECT doc_id, n_tok, log_w FROM keyed

@@ -113,12 +113,7 @@ object Dedup {
     // each to its own column slice — the same lesson as the top-k
     // input in SCALING.md, and the inverse of d15's narrow-pair
     // persist (16 B/row there, ~width tokens/row here).
-    val seg = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
-        posexplode(TextAnalysis.chunks(col(textCol), width, 0))
-          .as(Seq("ix", "ch")))
-      .select(col("id"), col("src"), col("ch.start").as("start"),
-        col("ch.chunk").as("segment"),
-        TextAnalysis.hash60(col("ch.chunk"), portable).as("seg_hash"))
+    val seg = sourceSegments(df, textCol, idCol, sourceCol, width, portable)
     val freq = seg.select("src", "seg_hash", "id").distinct()
       .groupBy("src", "seg_hash")
       .agg(count(lit(1)).as("seg_df"))
@@ -138,6 +133,22 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** The (id, src, start, segment, seg_hash) window table both
+    * boilerplate forms derive from — ONE definition, so the batch
+    * strip and the frozen ref sets the streaming screen consumes can
+    * never drift apart in tokenization, width handling, or hash
+    * choice (the StreamingSpec equivalence depends on it). Catalyst
+    * prunes unused columns per consumer. */
+  private def sourceSegments(df: DataFrame, textCol: String, idCol: String,
+                             sourceCol: String, width: Int,
+                             portable: Boolean): DataFrame =
+    df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+        posexplode(TextAnalysis.chunks(col(textCol), width, 0))
+          .as(Seq("ix", "ch")))
+      .select(col("id"), col("src"), col("ch.start").as("start"),
+        col("ch.chunk").as("segment"),
+        TextAnalysis.hash60(col("ch.chunk"), portable).as("seg_hash"))
+
   /**
    * The frozen per-source boilerplate sets [[streamBoilerplateStrip]]
    * screens against: one row per source carrying the array of segment
@@ -154,14 +165,17 @@ object Dedup {
                          sourceCol: String, width: Int = 3,
                          minDf: Long = 2, portable: Boolean = true,
                          maxHashes: Long = 10_000_000L): DataFrame = {
-    val boiler = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
-        explode(TextAnalysis.chunks(col(textCol), width, 0)).as("ch"))
-      .select(col("id"), col("src"),
-        TextAnalysis.hash60(col("ch.chunk"), portable).as("seg_hash"))
-      .distinct()
-      .groupBy("src", "seg_hash")
-      .agg(count(lit(1)).as("seg_df"))
-      .filter(col("seg_df") >= minDf)
+    // persist the POST-aggregation frame (|boilerplate hashes| rows —
+    // tiny by construction) so the guard count and the collect_set do
+    // not each replay the full corpus explode + distinct + aggregate
+    val Seq(boiler) = graft.util.Caching.persistOwned(
+      "Dedup.boilerplateRefSets",
+      sourceSegments(df, textCol, idCol, sourceCol, width, portable)
+        .select("src", "seg_hash", "id")
+        .distinct()
+        .groupBy("src", "seg_hash")
+        .agg(count(lit(1)).as("seg_df"))
+        .filter(col("seg_df") >= minDf))
     val n = boiler.agg(count(lit(1))).head.getLong(0)
     require(n <= maxHashes,
       s"boilerplateRefSets: $n boilerplate hashes exceed the $maxHashes " +

@@ -300,7 +300,7 @@ object Sampling {
       .select(col(idCol).as("id"), col(tsCol),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("__b", hash32(col("tok"), portable) % buckets)
-      .join(ratio, Seq("__b"))
+      .join(broadcast(ratio), Seq("__b"))
       .groupBy(col("id"), window(col(tsCol), horizon))
       .agg(count(lit(1)).as("n_tok"), sum(col("__lr")).as("log_w"))
       .drop("window")
@@ -322,7 +322,12 @@ object Sampling {
     val u = (rowHash(col("id"), salt, portable).cast("double") + 0.5d) /
       4294967296.0d
     dsirWeights(df, textCol, idCol, isTarget, buckets, alpha, portable)
-      .withColumn("__key", col("log_w") - log(-log(u)))
+      // round-before-rank (the kmeans/ADC 1e-6 discipline): the key
+      // mixes a run-order-dependent partial-aggregated sum with
+      // libm-dependent ln(), so ranking raw doubles would make the
+      // selected SET engine- and run-sensitive at the cut boundary
+      .withColumn("__key",
+        floor((col("log_w") - log(-log(u))) * 1e6 + 0.5) / 1e6)
       .orderBy(col("__key").desc, col("id"))
       .limit(n)
       .select(col("id"), col("n_tok"), col("log_w"))

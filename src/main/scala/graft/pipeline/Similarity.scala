@@ -604,10 +604,18 @@ object Similarity {
     val decoded = zip_with(col("codes"), b, (c, ms) =>
       element_at(ms, 1) + c.cast("double") / 255.0 * element_at(ms, 2))
     val d = aggregate(
-      zip_with(col(queryVec), decoded, (a, x) =>
+      zip_with(col(queryVec), col("__dec"), (a, x) =>
         (a.cast("double") - x) * (a.cast("double") - x)),
       lit(0.0), (acc, x) => acc + x)
+    // decode is bound to a column BEFORE the query cross join, so the
+    // scoring lambda consumes a bound reference instead of carrying
+    // the decode subtree (the inline-HOF trap from SCALING.md's d15
+    // post-mortem). NB: with a single downstream consumer Catalyst's
+    // CollapseProject may still inline it across the join — per-pair
+    // decode is unmeasurable at bench |Q|; a huge query set would
+    // want a materialization barrier on the decoded codes instead
     val scored = codes.select(col(corpusId), col("codes"))
+      .withColumn("__dec", decoded)
       .crossJoin(broadcast(queries.select(col(queryId), col(queryVec))))
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("sqd", floor(d * 1e6 + 0.5) / 1e6)
@@ -634,17 +642,17 @@ object Similarity {
                  queries: DataFrame, k: Int,
                  corpusId: String = "vec_id",
                  corpusVec: String = "embedding",
-                 queryId: String = "q_id", queryVec: String = "q_vec",
-                 dim: Int = 0): DataFrame = {
+                 queryId: String = "q_id",
+                 queryVec: String = "q_vec"): DataFrame = {
     val cand = corpus.select(col(corpusId), col(corpusVec))
       .join(broadcast(shortlist.select(col(queryId), col(corpusId))),
         Seq(corpusId))
     val scored = cand
       .join(broadcast(queries.select(col(queryId), col(queryVec))
-        .withColumn("__qn", normc(col(queryVec), dim))), Seq(queryId))
+        .withColumn("__qn", normc(col(queryVec), 0))), Seq(queryId))
       .withColumn("cos",
-        dotc(col(corpusVec), col(queryVec), dim) /
-          (normc(col(corpusVec), dim) * col("__qn")))
+        dotc(col(corpusVec), col(queryVec), 0) /
+          (normc(col(corpusVec), 0) * col("__qn")))
     topKReduce(scored, k, queryId, corpusId, "cos", ascending = false)
   }
 
