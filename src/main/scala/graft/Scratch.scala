@@ -114,6 +114,16 @@ object Scratch {
         println(f"RECALL cells=$cells nprobe=$nprobe m=$m k=$k  " +
           f"recall@5=${mean(approx)}%.3f")
       }
+      // SQ8 variant: zero-training scalar quantizer, full-corpus scan
+      // (no cells) — distortion is range/255 per dim, so recall should
+      // sit far above PQ at the same scan shape
+      locally {
+        val bounds = Similarity.sqTrain(e, "embedding", 64)
+        val codes = Similarity.sqEncode(e, "embedding", bounds)
+          .select("vec_id", "codes")
+        val approx = Similarity.sqTopK(codes, q, 5, bounds)
+        println(f"RECALL SQ8 full-scan  recall@5=${mean(approx)}%.3f")
+      }
       // refine variant: the ADC scan proposes a DEEPER shortlist
       // (R > k), exact cosine re-ranks it (Similarity.refineTopK) —
       // recall bought per unit of full-precision work, the standard
