@@ -43,21 +43,30 @@ object TimeUtils {
   }
 
   /** Parse a start/end spec → epoch millis. `now` is injected for
-    * determinism. */
+    * determinism. Numeric semantics mirror the reference exactly
+    * (src/utils/DateTime.java:76-165, golden-vectored from
+    * test/utils/TestDateTime.java): an explicit `<digits>ms` suffix
+    * is millis verbatim; a dotted epoch must match `\d{10}\.\d{1,3}`
+    * and concatenates (NOT pads) its digits; otherwise the STRING
+    * length decides — ≤10 chars is seconds (×1000), longer is millis
+    * ("works until November 2286"). */
   def parseDateTime(s: String, now: Long = System.currentTimeMillis()): Long = {
     val t = s.trim
-    if (t.equalsIgnoreCase("now")) now
-    else if (t.endsWith("-ago")) now - parseDuration(t.dropRight(4))
-    else if (t.forall(c => c.isDigit || c == '.')) {
-      // epoch: seconds, seconds.millis, or millis
-      if (t.contains('.')) {
-        val Array(sec, ms) = t.split("\\.", 2)
-        sec.toLong * 1000 + ms.padTo(3, '0').take(3).toLong
-      } else if (t.length >= 13) t.toLong
-      else t.toLong * 1000
+    if (t.matches("^[0-9]+ms$")) t.dropRight(2).toLong
+    else if (t.equalsIgnoreCase("now")) now
+    else if (t.toLowerCase.endsWith("-ago")) now - parseDuration(t.dropRight(4))
+    else if (t.nonEmpty && t.forall(c => c.isDigit || c == '.')) {
+      val time =
+        if (t.contains('.')) {
+          require(t.matches("^[0-9]{10}\\.[0-9]{1,3}$"),
+            s"Invalid time: $s. Millisecond timestamps must be in the " +
+              "format <seconds>.<ms> with the milliseconds limited to 3 digits")
+          t.replace(".", "").toLong
+        } else t.toLong
+      if (t.length <= 10) time * 1000 else time
     } else {
       val fmts = Seq("yyyy/MM/dd-HH:mm:ss", "yyyy/MM/dd HH:mm:ss",
-        "yyyy/MM/dd-HH:mm", "yyyy/MM/dd")
+        "yyyy/MM/dd-HH:mm", "yyyy/MM/dd HH:mm", "yyyy/MM/dd")
       val zone = ZoneId.of("UTC")
       fmts.view.flatMap { f =>
         try {

@@ -25,9 +25,53 @@ class ParserSpec extends AnyFunSuite {
     assert(TimeUtils.parseDateTime("now", now) == now)
     assert(TimeUtils.parseDateTime("1700000000", now) == 1700000000000L)
     assert(TimeUtils.parseDateTime("1700000000123", now) == 1700000000123L)
-    assert(TimeUtils.parseDateTime("1700000000.5", now) == 1700000000500L)
+    // dotted epochs CONCATENATE digits (reference semantics: the dot
+    // is removed, no zero-padding) — "…0.5" is 11 digits of millis
+    assert(TimeUtils.parseDateTime("1700000000.5", now) == 17000000005L)
     assert(TimeUtils.parseDateTime("2024/01/05", now) == 1704412800000L)
     assert(TimeUtils.parseDateTime("2024/01/05-01:30:00", now) == 1704418200000L)
+  }
+
+  test("reference TestDateTime golden vectors parse identically") {
+    // ported 1:1 from reference test/utils/TestDateTime.java:75-290
+    // (parseDateTimeString block); `now` injected for determinism
+    val now = 1357300800000L
+    def p(s: String) = TimeUtils.parseDateTime(s, now)
+    // relative
+    assert(now - p("60s-ago") == 60000L)
+    assert(now - p("1m-ago") == 60000L)
+    assert(now - p("2h-ago") == 7200000L)
+    assert(now - p("3d-ago") == 3L * 86400000L)
+    assert(now - p("1w-ago") == 7L * 86400000L)
+    assert(now - p("1n-ago") == 30L * 86400000L)
+    assert(now - p("1y-ago") == 365L * 86400000L)
+    // unix seconds / millis by string length
+    assert(p("1355961600") == 1355961600000L)
+    assert(p("0") == 0L)
+    // 11 digits: "can happen if someone leaves off a zero" — MILLIS
+    assert(p("13559616000") == 13559616000L)
+    assert(p("1355961603418") == 1355961603418L)
+    // explicit ms suffix
+    assert(p("123123ms") == 123123L)
+    assert(p("1234567890123ms") == 1234567890123L)
+    // dotted: digits concatenate, never pad
+    assert(p("1355961603.418") == 1355961603418L)
+    assert(p("1355961603.41") == 135596160341L)
+    assert(p("1355961603.4") == 13559616034L)
+    // dotted shape violations throw (9 digits before dot; 4 after)
+    intercept[IllegalArgumentException](p("135596160.418"))
+    intercept[IllegalArgumentException](p("1355961603.4180"))
+    // absolute formats (reference default GMT == our pinned UTC)
+    assert(p("2012/12/20") == 1355961600000L)
+    assert(p("2012/12/20 12:42") == 1356007320000L)
+    assert(p("2012/12/20-12:42") == 1356007320000L)
+    assert(p("2012/12/20 12:42:42") == 1356007362000L)
+    assert(p("2012/12/20-12:42:42") == 1356007362000L)
+    // duration goldens (parseDuration block, incl. case-insensitivity)
+    assert(TimeUtils.parseDuration("60ms") == 60L)
+    assert(TimeUtils.parseDuration("60s") == 60000L)
+    assert(TimeUtils.parseDuration("60S") == 60000L)
+    assert(TimeUtils.parseDuration("60m") == 3600000L)
   }
 
   test("downsample spec: fixed, fill, all, calendar") {
