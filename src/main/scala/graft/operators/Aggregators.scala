@@ -90,6 +90,12 @@ object Aggregators {
   def register(name: String, fn: (Column, Column) => Column): Unit =
     custom.put(name, fn)
 
+  /** Is `name` a known aggregator (built-in or registered)? Parse-time
+    * validation hook (the reference resolves names at parse and throws
+    * there — DownsamplingSpecification ctor, TSSubQuery.setAggregator). */
+  def isKnown(name: String): Boolean =
+    all.contains(name) || name == "raw" || custom.contains(name)
+
   /** NaN-skipping input: the reference's double paths skip NaN points
     * (src/core/Aggregators.java doubles branches; AggregationIterator
     * feeds only non-NaN). Spark instead propagates NaN through sum/avg

@@ -75,20 +75,38 @@ object DownsampleSpec {
     require(parts.length >= 2, s"invalid downsample spec: $s")
     val ivStr = parts(0)
     val agg = parts(1)
+    // reference parity (DownsamplingSpecification ctor): the function
+    // must resolve at parse time, and 'none' is not a downsampler
+    require(agg != "none" && agg != "raw",
+      s"cannot downsample with the 'none' aggregator: $s")
+    require(graft.operators.Aggregators.isKnown(agg),
+      s"no such downsampling function: $agg in $s")
     val fill = if (parts.length == 3) parts(2).toLowerCase match {
       case "none" => FillPolicy.None
       case "zero" => FillPolicy.Zero
       case "nan"  => FillPolicy.NaN
       case "null" => FillPolicy.Null
-      case x      => FillPolicy.Scalar(x.toDouble)
+      case x      =>
+        try FillPolicy.Scalar(x.toDouble)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"unrecognized fill policy: $x in $s")
+        }
     } else FillPolicy.None
     if (ivStr == "0all" || ivStr == "all") DownsampleSpec(0L, agg, fill)
     else if (ivStr.endsWith("c")) {
       val core = ivStr.dropRight(1)
       val (digits, unit) = core.span(_.isDigit)
-      DownsampleSpec(TimeUtils.parseDuration(core), agg, fill,
-        calendar = true, calendarUnit = unit)
-    } else DownsampleSpec(TimeUtils.parseDuration(ivStr), agg, fill)
+      val iv = TimeUtils.parseDuration(core)
+      require(iv > 0, s"interval must be greater than zero: $s")
+      DownsampleSpec(iv, agg, fill, calendar = true, calendarUnit = unit)
+    } else {
+      val iv = TimeUtils.parseDuration(ivStr)
+      // reference parity: '0m-avg' is an error, not run-all — only the
+      // explicit '0all'/'all' token selects the whole-range bucket
+      require(iv > 0, s"interval must be greater than zero: $s")
+      DownsampleSpec(iv, agg, fill)
+    }
   }
 }
 

@@ -89,6 +89,28 @@ class ParserSpec extends AnyFunSuite {
     assert(d6.fill == FillPolicy.Scalar(42.5))
   }
 
+  test("reference TestDownsamplingSpecification golden vectors") {
+    // ported from reference test/core/TestDownsamplingSpecification.java
+    // :46-140 (string-ctor block)
+    val ok = DownsampleSpec.parse("15m-avg-nan")
+    assert(ok.intervalMs == 900000L && ok.aggregator == "avg" &&
+      ok.fill == FillPolicy.NaN)
+    // every invalid spec the reference rejects at parse time
+    for (bad <- Seq(
+        "blah-avg-nan",   // no interval
+        "1m-hurp-nan",    // unknown function
+        "10m-avg-max",    // unknown fill policy
+        "1m-none-nan",    // 'none' is not a downsampler
+        "0m-avg-nan",     // zero interval (only '0all' is whole-range)
+        "-60m-avg-nan",   // negative interval
+        "1j-avg-nan",     // unknown units
+        "1-avg-nan",      // missing units
+        "1m"))            // missing function
+      intercept[Exception] {
+        DownsampleSpec.parse(bad)
+      }
+  }
+
   test("m= sub-query grammar: agg:interval:rate:metric{filters}") {
     val q = QueryParser.parseSubQuery(
       "avg:5m-avg:rate{counter,1000,10}:proc.net.bytes{iface=eth0}")
