@@ -168,6 +168,9 @@ object QueryParser {
     val metricSeg = segs.last
     val firstBrace = metricSeg.indexOf('{')
     val metricName = if (firstBrace < 0) metricSeg else metricSeg.take(firstBrace)
+    // reference parity: '{host=x}' with no metric is a parse error
+    // (Tags.parseWithMetric throws on a null metric)
+    require(metricName.nonEmpty, s"missing metric in m= spec: $m")
     val filters =
       if (firstBrace < 0) Seq.empty
       else parseLegacyFilters(metricSeg.substring(firstBrace))
@@ -225,11 +228,22 @@ object QueryParser {
     val groups = raw"\{([^}]*)\}".r.findAllMatchIn(braces).map(_.group(1)).toSeq
     require(groups.map(g => s"{$g}").mkString == braces,
       s"malformed filter braces: $braces")
+    // reference strictness (Tags.parseWithMetric vectors, test/core/
+    // TestTags.java:80-208): empty pairs from forward/trailing commas,
+    // empty tag names or values, and a second '=' inside a value (the
+    // missing-comma case 'host=web01 dc=lga') are all hard errors —
+    // split(",", -1) keeps the empty fields so they can be rejected
     def parseOne(body: String, grouping: Boolean): Seq[TagFilter] =
       if (body.trim.isEmpty) Seq.empty
-      else body.split(",").toSeq.map { pair =>
+      else body.split(",", -1).toSeq.map { pair =>
         pair.split("=", 2) match {
-          case Array(k, v) => parseFilterValue(k.trim, v.trim, grouping)
+          case Array(k, v) =>
+            val (kt, vt) = (k.trim, v.trim)
+            require(kt.nonEmpty, s"empty tag name in filter pair: $pair")
+            require(vt.nonEmpty, s"empty tag value in filter pair: $pair")
+            require(!vt.contains('=') || vt.matches(raw"\w+\(.*\)"),
+              s"invalid tag value (stray '='): $pair")
+            parseFilterValue(kt, vt, grouping)
           case _ => throw new IllegalArgumentException(
             s"filter pair missing '=': $pair")
         }

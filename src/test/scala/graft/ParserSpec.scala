@@ -111,6 +111,37 @@ class ParserSpec extends AnyFunSuite {
       }
   }
 
+  test("reference TestTags parseWithMetric golden vectors") {
+    // ported from reference test/core/TestTags.java:80-208, applied to
+    // the m= metric segment (our Tags.parseWithMetric analog)
+    def p(m: String) = QueryParser.parseSubQuery(s"sum:$m")
+    val one = p("sys.cpu.user{host=web01}")
+    assert(one.metric == "sys.cpu.user" &&
+      one.filters == Seq(LiteralOr("host", Seq("web01"), groupBy = true)))
+    val two = p("sys.cpu.user{host=web01,dc=lga}")
+    assert(two.filters == Seq(
+      LiteralOr("host", Seq("web01"), groupBy = true),
+      LiteralOr("dc", Seq("lga"), groupBy = true)))
+    assert(p("sys.cpu.user").filters.isEmpty)
+    assert(p("sys.cpu.user{}").filters.isEmpty &&
+      p("sys.cpu.user{}").metric == "sys.cpu.user")
+    // every shape the reference rejects
+    for (bad <- Seq(
+        "{host=web01}",                    // null metric
+        "sys.cpu.user{host=}",             // null tagv
+        "sys.cpu.user{=web01}",            // null tagk
+        "sys.cpu.user{host=web01,dc=}",    // null tagv, 2nd pair
+        "sys.cpu.user{host=web01,=lga}",   // null tagk, 2nd pair
+        "sys.cpu.user{host=web01,dc=,=root}",
+        "sys.cpu.user{host=web01,=lga,owner=}",
+        "sys.cpu.user{host=web01",         // missing closing curly
+        "sys.cpu.user{hostweb01}",         // missing equals
+        "sys.cpu.user{host=web01 dc=lga}", // missing comma (stray '=')
+        "sys.cpu.user{host=web01,}",       // trailing comma
+        "sys.cpu.user{,host=web01}"))      // forward comma
+      intercept[Exception] { p(bad) }
+  }
+
   test("m= sub-query grammar: agg:interval:rate:metric{filters}") {
     val q = QueryParser.parseSubQuery(
       "avg:5m-avg:rate{counter,1000,10}:proc.net.bytes{iface=eth0}")
