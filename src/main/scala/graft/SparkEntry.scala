@@ -1332,8 +1332,7 @@ object SparkEntry {
              round(min(value), 4) AS min_v,
              round(max(value), 4) AS max_v,
              count(value) AS cnt_v,
-             round(CASE WHEN count(value) = 1 THEN 0.0
-               ELSE stddev_samp(value) END, 4) AS dev_v,
+             round(stddev_pop(value), 4) AS dev_v,
              round(sum(value * value), 4) AS sq_v,
              round(arg_min(value, ts), 4) AS first_v,
              round(arg_max(value, ts), 4) AS last_v,

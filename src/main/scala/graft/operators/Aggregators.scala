@@ -120,10 +120,13 @@ object Aggregators {
     case "count" => count(nn(v))
     case "median" => medianUpper(nn(v))
     case "mult" => productUdaf(v)
-    // Welford /(n-1) + sqrt = sample stddev; single value → 0
-    // (reference src/core/Aggregators.java:498-571)
-    case "dev" => when(count(nn(v)) === 1, lit(0.0))
-      .otherwise(coalesce(stddev_samp(nn(v)), lit(Double.NaN)))
+    // POPULATION stddev, not sample: the reference's Welford loop
+    // (src/core/Aggregators.java:498-522) starts n at 2 and increments
+    // past the last element, so its final sqrt(M2/(n-1)) divides by
+    // the COUNT — its own goldens prove it (dev({1,2}) == 0.5 exactly,
+    // test/core/TestAggregators.java testStdDevFewDataInputs).
+    // Single value → 0 falls out of stddev_pop naturally.
+    case "dev" => coalesce(stddev_pop(nn(v)), lit(Double.NaN))
     case "diff" => max_by(v, ts) - min_by(v, ts) // last - first by time
     case "first" => min_by(v, ts)
     case "last" => max_by(v, ts)

@@ -128,7 +128,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Aggregators.dualExpr("dev", col("value"), col("value_l"),
         col("is_int"), col("ts")).as("d")).collect()(0)
     assert(r.getAs[Double]("a") == 1.0) // 3/2 truncates (runLong avg)
-    assert(r.getAs[Double]("d") == 0.0) // 0.707... truncated to long
+    assert(r.getAs[Double]("d") == 0.0) // pop-stddev 0.5 truncated to long
     // any double in the group promotes the whole group to double math
     val mixed = mk(Seq((1.0, 1L, true), (2.0, 0L, false)))
     val m = mixed.agg(Aggregators.dualExpr("avg", col("value"),
@@ -343,10 +343,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(5.1, 2.434, -1.99, 400.69487, 3.15168, -42)) - 3.15168) < 1e-4)
     assert(run("median", Seq(42.5)) == 42.5)
     assert(run("median", Seq(5, 2, -1, 400, 3).map(_.toDouble)) == 3.0)
-    // testStdDevKnownValues: numpy.std(range(10000)) = 2886.7513...,
-    // asserted with the reference's own 1.0 tolerance floor
+    // testStdDevKnownValues: numpy.std(range(10000)) = 2886.7513...
+    // — numpy.std IS population stddev, and so is the reference's
+    // Welford (sqrt(M2/count)); with stddev_pop the match is tight,
+    // not the 1.0-tolerance near-miss the sample formula needed
     assert(math.abs(
-      run("dev", (0 until 10000).map(_.toDouble)) - 2886.7513315143719) <= 1.0)
+      run("dev", (0 until 10000).map(_.toDouble)) - 2886.7513315143719) <= 0.01)
+    // testStdDevFewDataInputs / testStdDevNoDeviation: exact
+    assert(run("dev", Seq(1.0, 2.0)) == 0.5)
+    assert(run("dev", Seq(3.0, 3.0, 3.0)) == 0.0)
   }
 
   test("NaN fill policy flows through cross-series aggregation") {
@@ -367,8 +372,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agged(2 * HOUR) == 4.0)
   }
 
-  test("dev is sample stddev with single-value -> 0 (reference Welford)") {
-    assert(math.abs(agg1("dev", Seq(2, 4, 4, 4, 5, 5, 7, 9)) - 2.13809) < 1e-4)
+  test("dev is population stddev with single-value -> 0 (reference Welford)") {
+    // sqrt(M2/count): {2,4,4,4,5,5,7,9} has population stddev exactly 2
+    assert(agg1("dev", Seq(2, 4, 4, 4, 5, 5, 7, 9)) == 2.0)
     assert(agg1("dev", Seq(42.0)) == 0.0)
   }
 
