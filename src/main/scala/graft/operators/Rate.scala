@@ -40,25 +40,61 @@ object Rate {
     // reference's skip of zero-interval pairs
     val dtSec = when((col("ts") - prevT) =!= 0,
       (col("ts") - prevT).cast("double") / 1000.0)
-    val delta = col("value") - prevV
+
+    // Long-domain deltas when both points are integral (reference
+    // RateSpan.calculateDelta, src/core/RateSpan.java:180-198 —
+    // proven by testCalculateDelta_bigLongValues: counters near
+    // Long.MaxValue differ by less than one double ulp, so the
+    // double subtraction would yield rate 0 instead of 0.8). try_*
+    // arithmetic degrades the pathological cross-sign overflow case
+    // to the double path instead of an ANSI error.
+    val hasLong = withSeries.columns.contains("value_l") &&
+      withSeries.columns.contains("is_int")
+    val deltaD = col("value") - prevV
+    val (useLong, deltaL, prevL) = if (hasLong) {
+      val pL0 = lag(col("value_l"), 1).over(w)
+      val pI0 = lag(col("is_int"), 1).over(w)
+      val pL = if (firstAgainstZero) coalesce(pL0, lit(0L)) else pL0
+      val pI = if (firstAgainstZero) coalesce(pI0, lit(true)) else pI0
+      val dL = try_subtract(col("value_l"), pL)
+      (col("is_int") && coalesce(pI, lit(false)) &&
+        col("value_l").isNotNull && pL.isNotNull && dL.isNotNull,
+        dL, pL)
+    } else (lit(false), lit(null).cast("long"), lit(null).cast("long"))
+    val delta = when(useLong, deltaL.cast("double")).otherwise(deltaD)
 
     val rate =
       if (!opts.counter) delta / dtSec
       else {
-        val rolled = (lit(opts.counterMax).cast("double") - prevV + col("value")) / dtSec
+        // rollover only fires when cur < prev, where
+        // (max - prev) + cur <= max cannot overflow; the long form
+        // stays exact for counters the double domain cannot represent
+        val rolledD = lit(opts.counterMax).cast("double") - prevV + col("value")
+        val rolled = (if (hasLong) {
+          val rolledL = try_add(try_subtract(lit(opts.counterMax), prevL),
+            col("value_l")).cast("double")
+          when(useLong, coalesce(rolledL, rolledD)).otherwise(rolledD)
+        } else rolledD) / dtSec
         val r = when(delta < 0, rolled).otherwise(delta / dtSec)
         if (opts.resetValue > 0) when(r > opts.resetValue, lit(0.0)).otherwise(r) else r
       }
 
     val out = withSeries
-      .withColumn("prev_v", prevV)
+      .withColumn("__delta", delta)
       .withColumn("rate_v", rate)
     val dropped =
-      if (opts.dropResets) out.filter(col("value") - col("prev_v") >= 0 || col("prev_v").isNull)
+      if (opts.dropResets) out.filter(col("__delta") >= 0 || col("__delta").isNull)
       else out
-    dropped
+    val cleaned = dropped
       .filter(col("rate_v").isNotNull)
-      .drop("value", "prev_v")
+      .drop("value", "__delta")
       .withColumnRenamed("rate_v", "value")
+    // a rate is never integral (reference RateSpan emits doubles
+    // only); stale value_l/is_int from the input must not leak into
+    // downstream truncating aggregation
+    if (hasLong)
+      cleaned.withColumn("value_l", lit(null).cast("long"))
+        .withColumn("is_int", lit(false))
+    else cleaned
   }
 }

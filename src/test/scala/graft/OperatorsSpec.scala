@@ -454,6 +454,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(legacy == Map(60000L -> 2.0, 120000L -> 1.0))
   }
 
+  test("rate computes long-domain deltas for big integral counters") {
+    import scala.jdk.CollectionConverters._
+    val MAX = Long.MaxValue
+    def mk(rows: Seq[(Long, Long)]) = spark.createDataFrame(rows.map {
+      case (t, vl) => Row("m", t, vl.toDouble, vl, true, host("a"))
+    }.asJava, Points.schema)
+    // reference testCalculateDelta_bigLongValues: MAX-100 -> MAX-20
+    // over 100 s = 0.8; the values collide to ONE double, so the
+    // double path would emit 0
+    val big = mk(Seq((1356998400000L, MAX - 100), (1356998500000L, MAX - 20)))
+    val r = valuesByTs(Rate(big).select("ts", "value"))
+    assert(r == Map(1356998500000L -> 0.8))
+    // reference testNext_counterLongMax: rollover across Long.MaxValue
+    // with counter max = MAX — exact long rollover arithmetic
+    val roll = mk(Seq((1356998430000L, MAX - 55), (1356998460000L, MAX - 25),
+      (1356998490000L, 5L)))
+    val cr = valuesByTs(Rate(roll,
+      RateOptions(counter = true, counterMax = MAX),
+      firstAgainstZero = true).select("ts", "value"))
+    assert(math.abs(cr(1356998430000L) - (MAX - 55).toDouble / 1356998430.0) < 1e-7)
+    assert(math.abs(cr(1356998460000L) - 1.0) < 1e-9)
+    assert(math.abs(cr(1356998490000L) - 1.0) < 1e-9)
+    // rate output is never integral: int markers are cleared
+    val cols = Rate(big).select("value_l", "is_int").collect()
+    assert(cols.forall(x => x.isNullAt(0) && !x.getBoolean(1)))
+  }
+
   // ---- ingest parsers ------------------------------------------------
 
   test("telnet put line parsing: values, s/ms timestamps, tags, errors") {
