@@ -12,34 +12,44 @@ import java.time.format.DateTimeFormatter
  * milliseconds.
  *
  * Dates: relative `<duration>-ago`, `now`, absolute
- * `yyyy/MM/dd[-HH:mm[:ss]]`, or unix epoch in seconds or millis
- * (auto-detected: >= 13 digits, or a 10+-digit value with `.` ms
- * separator).
+ * `yyyy/MM/dd[-HH:mm[:ss]]` (space or dash), an explicit `<digits>ms`
+ * epoch, or unix epoch auto-detected by string length (<= 10 chars is
+ * seconds; a `\d{10}.\d{1,3}` dotted form concatenates to millis).
  */
 object TimeUtils {
 
-  private val unitMs: Map[String, Long] = Map(
-    "ms" -> 1L,
-    "s" -> 1000L,
-    "m" -> 60L * 1000,
-    "h" -> 3600L * 1000,
-    "d" -> 86400L * 1000,
-    "w" -> 7L * 86400 * 1000,
-    "n" -> 30L * 86400 * 1000, // month = 30 days in the reference
-    "y" -> 365L * 86400 * 1000
-  )
-
-  /** Parse `5m`, `100ms`, `2w` ... → milliseconds. */
+  /** Parse `5m`, `100ms`, `2w` ... → milliseconds. Reference-exact
+    * (src/utils/DateTime.java parseDuration): zero/negative counts are
+    * rejected, the unit is dispatched on the LAST character with `ms`
+    * special-cased (so the reference's lenient "1min" = 1 month quirk
+    * is preserved — users rely on it), and an overflow past
+    * Long.MaxValue ms throws rather than wrapping. */
   def parseDuration(s: String): Long = {
     val t = s.trim
-    require(t.nonEmpty, "empty duration")
-    val (digits, unit) = t.span(c => c.isDigit)
-    require(digits.nonEmpty, s"invalid duration: $s")
-    val u = unit.toLowerCase
-    unitMs.get(u) match {
-      case Some(ms) => digits.toLong * ms
-      case None => throw new IllegalArgumentException(s"unknown duration unit '$unit' in $s")
+    require(t.nonEmpty, "Cannot parse null or empty duration")
+    val digits = t.takeWhile(_.isDigit)
+    require(digits.nonEmpty && digits.length < t.length,
+      s"Invalid duration, must have an integer and unit: $s")
+    val n = digits.toLong
+    require(n > 0, s"Zero or negative duration: $s")
+    val lower = t.toLowerCase
+    if (lower.length >= 2 && lower.endsWith("s") &&
+        lower.charAt(lower.length - 2) == 'm')
+      return n // milliseconds verbatim ('m' at len-2 can't be a digit)
+    val mult: Long = lower.last match {
+      case 's' => 1000L
+      case 'm' => 60000L
+      case 'h' => 3600000L
+      case 'd' => 86400000L
+      case 'w' => 7L * 86400000L
+      case 'n' => 30L * 86400000L // month = 30 days in the reference
+      case 'y' => 365L * 86400000L
+      case _ => throw new IllegalArgumentException(
+        s"Invalid duration (suffix): $s")
     }
+    require(n.toDouble * mult <= Long.MaxValue,
+      s"Duration must be < Long.MAX_VALUE ms: $s")
+    n * mult
   }
 
   /** Parse a start/end spec → epoch millis. `now` is injected for

@@ -72,6 +72,15 @@ class ParserSpec extends AnyFunSuite {
     assert(TimeUtils.parseDuration("60s") == 60000L)
     assert(TimeUtils.parseDuration("60S") == 60000L)
     assert(TimeUtils.parseDuration("60m") == 3600000L)
+    // reference dispatches the unit on the LAST character only, so
+    // the lenient "1min" = 1 month (30 d) quirk is load-bearing
+    assert(TimeUtils.parseDuration("1min") == 30L * 86400000L)
+    // zero/negative counts, missing unit, unknown suffix, overflow
+    intercept[IllegalArgumentException](TimeUtils.parseDuration("0m"))
+    intercept[IllegalArgumentException](TimeUtils.parseDuration("5"))
+    intercept[IllegalArgumentException](TimeUtils.parseDuration("5j"))
+    intercept[IllegalArgumentException](
+      TimeUtils.parseDuration("9999999999999999y"))
   }
 
   test("downsample spec: fixed, fill, all, calendar") {
