@@ -50,7 +50,10 @@ object JsonQuery {
     require(end > start, s"end time $end must be after start $start")
     val subs = root.get("queries").elements().asScala.map(parseSub).toSeq
     TsQuery(start, end, subs,
-      msResolution = root.path("msResolution").asBoolean(true),
+      // reference default is FALSE (TSQuery.ms_resolution is a bare
+      // Java boolean): dps keys serialize in SECONDS unless the
+      // request opts into ms — a wire-format contract clients parse
+      msResolution = root.path("msResolution").asBoolean(false),
       timezone = root.path("timezone").asText("UTC"))
   }
 

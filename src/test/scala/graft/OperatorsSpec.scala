@@ -267,6 +267,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docs.length == 2)
     assert(docs.exists(_.contains(""""tags":{"host":"a"}""")))
     assert(docs.exists(_.contains(""""metric":"m_p90.0"""")))
+    // reference default: dps keys in SECONDS unless msResolution set
+    assert(docs.exists(_.contains(""""1":""")),
+      "default (no msResolution) must emit second-resolution keys")
+    val ms = Engine.serializeJson(p,
+      """{"start":0,"msResolution":true,"queries":[
+           {"aggregator":"zimsum","metric":"m","tags":{"host":"*"}}]}""",
+      now = 200000L).collect().map(_.getAs[String]("json"))
+    assert(ms.exists(_.contains(""""1000":""")),
+      "msResolution:true must emit millisecond keys")
   }
 
   test("exp query per-variable fill policies") {
