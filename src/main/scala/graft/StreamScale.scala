@@ -118,6 +118,22 @@ object StreamScale {
     // exact dedup at the ingest edge: 16 B per retained content hash
     drive("exactdedup", docsPath, in => graft.pipeline.Dedup
       .streamExactDedup(in, "text", "arrival", "10 minutes"))
+    // boilerplate screen: STATELESS claim at volume — frozen per-source
+    // hash arrays broadcast; state rows must read 0 in every batch
+    val refSets = graft.pipeline.Dedup.boilerplateRefSets(
+      spark.read.parquet(s"$srcDir/documents.parquet"),
+      "text", "doc_id", "source")
+    drive("boiler", docsPath, in => graft.pipeline.Dedup
+      .streamBoilerplateStrip(in, "text", "doc_id", "source", refSets))
+    // DSIR scoring under a frozen ratio table: state = open
+    // (doc, window) sums inside the watermark horizon, like the
+    // unigram scorer — bounded by arrival rate, not corpus size
+    val ratio = graft.pipeline.Sampling.dsirRatioTable(
+      spark.read.parquet(s"$srcDir/documents.parquet"),
+      "text", col("lang") === "en", buckets = 64)
+    drive("dsir", docsPath, in => graft.pipeline.Sampling
+      .streamScoreDsir(in, "text", "doc_id", "arrival", ratio,
+        buckets = 64))
 
     spark.stop()
   }

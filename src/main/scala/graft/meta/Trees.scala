@@ -35,18 +35,12 @@ object Trees {
   case class Rule(treeId: Int, level: Int, order: Int, ruleType: String,
                   field: String = "", separator: String = "",
                   component: Int = 0, regex: String = "",
-                  regexGroup: Int = 0, description: String = "")
+                  regexGroup: Int = 0, description: String = "",
+                  customField: String = "")
 
-  /** Compile one stored rule to its extractor Column. Non-matching
-    * regexes and missing tags yield null, which prunes the series at
-    * that depth (same as the inline-Column rules). */
-  def compileRule(r: Rule): Column = {
-    val base = r.ruleType.toUpperCase match {
-      case "METRIC" => col("metric")
-      case "TAGK"   => tagRule(r.field)
-      case other => throw new IllegalArgumentException(
-        s"unsupported tree rule type: $other")
-    }
+  /** separator-then-regex post-processing shared by every rule type
+    * (reference TreeBuilder.processParsedValue order). */
+  private def applyTransforms(r: Rule, base: Column): Column = {
     val split0 =
       if (r.separator.isEmpty) base
       else element_at(split(base,
@@ -57,6 +51,69 @@ object Trees {
       when(ex === "", lit(null: String)).otherwise(ex)
     }
   }
+
+  private def isCustom(r: Rule): Boolean =
+    Set("METRIC_CUSTOM", "TAGK_CUSTOM", "TAGV_CUSTOM")
+      .contains(r.ruleType.toUpperCase)
+
+  /** Compile one stored rule to its extractor Column. Non-matching
+    * regexes and missing tags yield null, which prunes the series at
+    * that depth (same as the inline-Column rules). Custom rules read
+    * the pre-joined `__custom_<level>_<order>` column that
+    * [[withCustomSources]] attaches. */
+  def compileRule(r: Rule): Column = {
+    val base = r.ruleType.toUpperCase match {
+      case "METRIC" => col("metric")
+      case "TAGK"   => tagRule(r.field)
+      case t if isCustom(r) => col(s"__custom_${r.level}_${r.order}")
+      case other => throw new IllegalArgumentException(
+        s"unsupported tree rule type: $other")
+    }
+    applyTransforms(r, base)
+  }
+
+  /**
+   * Attach the source columns custom rules read — the reference's
+   * *_CUSTOM rule types (TreeBuilder.java:800-900): the level value
+   * comes from a UID's meta `custom` map rather than the name itself.
+   *  - METRIC_CUSTOM: custom[customField] of the series' metric UID
+   *  - TAGK_CUSTOM: custom[customField] of the tag KEY named `field`
+   *    (only when the series carries that tag)
+   *  - TAGV_CUSTOM: custom[customField] of the VALUE of tag `field`
+   *
+   * `uidMeta` rows: (kind ∈ metric/tagk/tagv, name, custom map). Each
+   * custom rule adds one broadcast-able left join keyed on the
+   * rule's source name — meta is name-cardinality, the series frame
+   * streams. Where the reference throws per-series on a null custom
+   * value, a columnar plan prunes (null) instead — its TESTING-mode
+   * behavior — since a vectorized operator cannot throw per row.
+   */
+  def withCustomSources(series: DataFrame, rules: Seq[Rule],
+                        uidMeta: DataFrame): DataFrame =
+    rules.filter(isCustom).foldLeft(series) { (s, r) =>
+      val kind = r.ruleType.toUpperCase match {
+        case "METRIC_CUSTOM" => "metric"
+        case "TAGK_CUSTOM"   => "tagk"
+        case "TAGV_CUSTOM"   => "tagv"
+      }
+      val key = r.ruleType.toUpperCase match {
+        case "METRIC_CUSTOM" => col("metric")
+        case "TAGK_CUSTOM"   => lit(r.field)
+        case "TAGV_CUSTOM"   => col("tags").getItem(r.field)
+      }
+      val outCol = s"__custom_${r.level}_${r.order}"
+      val m = uidMeta.filter(col("kind") === kind)
+        .select(col("name").as("__mname"),
+          element_at(col("custom"), r.customField).as(outCol))
+      val joined = s.join(broadcast(m), key === col("__mname"), "left")
+        .drop("__mname")
+      // TAGK_CUSTOM matches the key's meta, but only applies to
+      // series that actually carry the tag
+      if (r.ruleType.toUpperCase == "TAGK_CUSTOM")
+        joined.withColumn(outCol,
+          when(col("tags").getItem(r.field).isNotNull, col(outCol)))
+      else joined
+    }
 
   /** The rules table schema-bearer: an empty Dataset[Rule]. */
   def emptyRules(spark: org.apache.spark.sql.SparkSession)
@@ -93,15 +150,23 @@ object Trees {
 
   /** Build a tree from its STORED rules: per level, rules apply in
     * `order` with first-non-null-wins (the reference's intra-level
-    * fallback chain), then the level columns feed [[build]]. */
+    * fallback chain), then the level columns feed [[build]]. Custom
+    * rule types require `uidMeta` (see [[withCustomSources]]). */
   def buildFromRules(series: DataFrame, rulesTable: DataFrame,
-                     treeId: Int): DataFrame = {
+                     treeId: Int,
+                     uidMeta: Option[DataFrame] = None): DataFrame = {
     val rules = rulesFor(rulesTable, treeId)
     require(rules.nonEmpty, s"tree $treeId has no rules")
+    require(uidMeta.isDefined || !rules.exists(isCustom),
+      s"tree $treeId has *_CUSTOM rules but no uidMeta table was given")
+    val prepared = uidMeta match {
+      case Some(m) => withCustomSources(series, rules, m)
+      case None => series
+    }
     val levels = rules.groupBy(_.level).toSeq.sortBy(_._1).map {
       case (_, rs) => coalesce(rs.sortBy(_.order).map(compileRule): _*)
     }
-    build(series, levels)
+    build(prepared, levels)
   }
 
   /** Rule: level from the metric name, optionally a dot-split component

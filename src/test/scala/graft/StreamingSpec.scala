@@ -716,6 +716,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Trees.buildFromRules(series, rules, 9))
   }
 
+  test("tree *_CUSTOM rules read UID meta custom maps (TestTreeBuilder)") {
+    // reference TreeBuilder.java:800-900 — the level value comes from
+    // the UID's meta custom[customField], not the name itself
+    // (processTimeseriesMetaMetricCustom / TagkCustom / TagvCustom)
+    import spark.implicits._
+    import graft.meta.Trees
+    val series = Seq(
+      ("sys.cpu.user", Map("host" -> "web01")),
+      ("sys.cpu.idle", Map("host" -> "web02")),
+      ("app.latency", Map("dc" -> "west")))
+      .toDF("metric", "tags")
+    val uidMeta = Seq(
+      ("metric", "sys.cpu.user", Map("owner" -> "alice")),
+      ("metric", "sys.cpu.idle", Map("owner" -> "bob")),
+      ("tagk", "host", Map("datacenter" -> "lga")),
+      ("tagv", "web01", Map("rack" -> "r7")))
+      .toDF("kind", "name", "custom")
+    var rules = Trees.emptyRules(spark)
+    rules = Trees.upsertRule(rules, Trees.Rule(2, 0, 0, "METRIC_CUSTOM",
+      customField = "owner"))
+    rules = Trees.upsertRule(rules, Trees.Rule(2, 1, 0, "TAGK_CUSTOM",
+      field = "host", customField = "datacenter"))
+    rules = Trees.upsertRule(rules, Trees.Rule(2, 2, 0, "TAGV_CUSTOM",
+      field = "host", customField = "rack"))
+    val nodes = Trees.buildFromRules(series, rules, 2, Some(uidMeta))
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("leaves"))
+      .toMap
+    // app.latency has no metric meta -> prunes at level 0 (no-match);
+    // both sys metrics resolve their owner; only series WITH the host
+    // tag get the tagk custom value; only web01 has a rack
+    assert(nodes("alice") == 1 && nodes("bob") == 1)
+    assert(!nodes.keys.exists(_.contains("app")))
+    assert(nodes("alice/lga") == 1 && nodes("bob/lga") == 1)
+    assert(nodes("alice/lga/r7") == 1)
+    assert(!nodes.contains("bob/lga/r7")) // web02 has no rack meta
+    // custom rules without a meta table fail fast
+    intercept[IllegalArgumentException](
+      Trees.buildFromRules(series, rules, 2))
+    // separator/regex post-processing applies to custom values too
+    var r2 = Trees.emptyRules(spark)
+    r2 = Trees.upsertRule(r2, Trees.Rule(3, 0, 0, "METRIC_CUSTOM",
+      customField = "owner", regex = "^(a).*", regexGroup = 1))
+    val ex = Trees.buildFromRules(series, r2, 3, Some(uidMeta))
+      .collect().map(_.getAs[String]("path")).toSet
+    assert(ex == Set("a")) // only alice matches ^(a).*
+  }
+
   test("histogram codec registry decodes stored blobs to bucket rows") {
     import spark.implicits._
     import graft.operators.Histograms
