@@ -154,7 +154,8 @@ object Trees {
     * rule types require `uidMeta` (see [[withCustomSources]]). */
   def buildFromRules(series: DataFrame, rulesTable: DataFrame,
                      treeId: Int,
-                     uidMeta: Option[DataFrame] = None): DataFrame = {
+                     uidMeta: Option[DataFrame] = None,
+                     strictMatch: Boolean = false): DataFrame = {
     val rules = rulesFor(rulesTable, treeId)
     require(rules.nonEmpty, s"tree $treeId has no rules")
     require(uidMeta.isDefined || !rules.exists(isCustom),
@@ -166,7 +167,7 @@ object Trees {
     val levels = rules.groupBy(_.level).toSeq.sortBy(_._1).map {
       case (_, rs) => coalesce(rs.sortBy(_.order).map(compileRule): _*)
     }
-    build(prepared, levels)
+    build(prepared, levels, strictMatch)
   }
 
   /** Rule: level from the metric name, optionally a dot-split component
@@ -183,15 +184,24 @@ object Trees {
    * @return (depth, path, name, parent, leaves) — one row per node,
    *         `leaves` = number of distinct series below it
    */
-  def build(series: DataFrame, rules: Seq[Column]): DataFrame = {
+  def build(series: DataFrame, rules: Seq[Column],
+            strictMatch: Boolean = false): DataFrame = {
     val withId = if (series.columns.contains("series_id")) series
                  else graft.model.Points.withSeriesId(series)
     // distinct on (series hash, levels) — a map column is not a valid
     // set-operation key, the hash is
-    val leveled = withId.select(
+    val leveled0 = withId.select(
       col("series_id") +:
         rules.zipWithIndex.map { case (r, i) => r.as(s"__l$i") }: _*)
       .distinct()
+    // strict matching (reference Tree.strict_match, src/tree/Tree.java
+    // :107): a series failing ANY level is excluded from the tree
+    // entirely, instead of contributing to the levels it did match
+    val leveled =
+      if (strictMatch)
+        leveled0.filter(rules.indices
+          .map(i => col(s"__l$i").isNotNull).reduce(_ && _))
+      else leveled0
     val paths = (1 to rules.length).map { depth =>
       val lvls = (0 until depth).map(i => col(s"__l$i"))
       leveled

@@ -761,6 +761,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ex = Trees.buildFromRules(series, r2, 3, Some(uidMeta))
       .collect().map(_.getAs[String]("path")).toSet
     assert(ex == Set("a")) // only alice matches ^(a).*
+    // strict matching (processTimeseriesMetaStrict/StrictNoMatch):
+    // a series failing ANY level vanishes from the tree — web02 has no
+    // rack meta, so under strict it contributes nothing, not "bob/lga"
+    val strict = Trees.buildFromRules(series, rules, 2, Some(uidMeta),
+        strictMatch = true)
+      .collect().map(r => r.getAs[String]("path")).toSet
+    assert(strict == Set("alice", "alice/lga", "alice/lga/r7"))
   }
 
   test("histogram codec registry decodes stored blobs to bucket rows") {
