@@ -23,6 +23,8 @@ object StreamScale {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, label) = args.take(2)
+    // optional third arg: comma-separated op subset for focused reruns
+    val only = args.lift(2).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,6 +51,7 @@ object StreamScale {
       * one file per micro-batch; report per-batch state + latency. */
     def drive(op: String, inPath: String,
               mk: DataFrame => DataFrame): Unit = {
+      if (!only.forall(_.contains(op))) return
       val schema = spark.read.parquet(inPath).schema
       val in = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inPath)
