@@ -633,6 +633,28 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-SQ8 top-5 (FAISS IndexIVFScalarQuantizer): trained coarse
+    // cells prune candidates (s05's quantizer) and per-dim byte codes
+    // score them (s15's asymmetric decode) — completing the
+    // quantizer × cell matrix next to IVF-PQ: 1/k scan from the
+    // cells, 4× less I/O per row from the codes, no Lloyd rounds
+    // beyond the coarse quantizer
+    "s16_ivf_sq8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id",
+        k = 4, iters = 1)
+      val bounds = Similarity.sqTrain(e, "embedding", 64)
+      val codes = Similarity.sqEncode(assigned, "embedding", bounds)
+        .select("vec_id", "codes", "cluster")
+      val q = assigned.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("cluster").as("q_cell"))
+      Similarity.ivfSqTopK(codes, q, 5, bounds)
+        .select(col("q_id"), col("vec_id"), r4(col("sqd")).as("sqd"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // residual IVF-PQ top-5: codes encode vec − coarse centroid (the
     // production design — residual magnitudes are small, so the same
     // codebook budget buys finer resolution); ADC scores the query's
@@ -1838,6 +1860,58 @@ object PipelineQueries {
            SELECT q_id, vec_id, sqd, row_number() OVER
              (PARTITION BY q_id ORDER BY sqd, vec_id) AS rank
            FROM scored)
+         SELECT q_id, vec_id, round(sqd, 4) AS sqd, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // SQ8 scoring under the kmeans cell restriction: s15's bounds →
+    // codes → asymmetric decode CTEs composed with oKmeansA2's
+    // deterministic cell assignment
+    "s16_ivf_sq8" ->
+      s"""WITH $oKmeansA2,
+         b AS (
+           SELECT i.i AS pos,
+             min(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)) AS mn,
+             max(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)) AS mx
+           FROM e CROSS JOIN range(1, 65) i(i) GROUP BY i.i),
+         bl AS (
+           SELECT list(mn ORDER BY pos) AS mins,
+             list(mx - mn ORDER BY pos) AS scs
+           FROM b),
+         codes AS (
+           SELECT vec_id, list_transform(range(1, 65), j ->
+             CASE WHEN scs[CAST(j AS INT)] = 0 THEN 0
+               ELSE CAST(floor(
+                 (CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+                   - mins[CAST(j AS INT)]) / scs[CAST(j AS INT)]
+                   * 255.0 + 0.5) AS INT) END) AS codes
+           FROM e CROSS JOIN bl),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id,
+             floor(list_sum(list_transform(range(1, 65), j ->
+               (CAST(q.embedding[CAST(j AS INT)] AS DOUBLE)
+                 - (mins[CAST(j AS INT)]
+                    + CAST(c.codes[CAST(j AS INT)] AS DOUBLE) / 255.0
+                      * scs[CAST(j AS INT)]))
+               * (CAST(q.embedding[CAST(j AS INT)] AS DOUBLE)
+                 - (mins[CAST(j AS INT)]
+                    + CAST(c.codes[CAST(j AS INT)] AS DOUBLE) / 255.0
+                      * scs[CAST(j AS INT)]))))
+               * 1000000 + 0.5) / 1000000 AS sqd
+           FROM codes c
+             CROSS JOIN (SELECT vec_id, embedding FROM e
+               WHERE vec_id < 3) q
+             CROSS JOIN bl
+           WHERE c.vec_id <> q.vec_id),
+         cellok AS (
+           SELECT s.q_id, s.vec_id, s.sqd
+           FROM scored s
+             JOIN a2 cq ON cq.vec_id = s.q_id
+             JOIN a2 cc ON cc.vec_id = s.vec_id
+           WHERE cq.cluster = cc.cluster),
+         ranked AS (
+           SELECT q_id, vec_id, sqd, row_number() OVER
+             (PARTITION BY q_id ORDER BY sqd, vec_id) AS rank
+           FROM cellok)
          SELECT q_id, vec_id, round(sqd, 4) AS sqd, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 

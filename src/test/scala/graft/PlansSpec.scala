@@ -115,7 +115,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "t22_bpe_segment", "m07_audio_stats", "m08_image_phash",
       "d15_dup_spans", "t23_shuffle_order", "s13_ann_recall",
       "s14_pq_refine", "t24_dsir_sample", "d16_boilerplate",
-      "q72_query_delete", "q73_fsck_repair", "s15_sq8_topk")
+      "q72_query_delete", "q73_fsck_repair", "s15_sq8_topk",
+      "s16_ivf_sq8")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
@@ -145,7 +146,7 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
         "s05_ivf_trained", "s06_rhp_multiprobe", "s07_ivf_multiprobe",
         "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
         "s11_ivf_pq_multiprobe", "s12_pq_index_topk",
-        "s14_pq_refine", "s15_sq8_topk")) {
+        "s14_pq_refine", "s15_sq8_topk", "s16_ivf_sq8")) {
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode
           .fromString("formatted"))

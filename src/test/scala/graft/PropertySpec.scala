@@ -463,6 +463,37 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: ivfSqTopK == full SQ8 scan restricted to the query's cell") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    val bounds = Similarity.sqTrain(e, "embedding", 64)
+    val codes = Similarity.sqEncode(assigned, "embedding", bounds)
+    val q = assigned.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cluster").as("q_cell"))
+    val composed = Similarity.ivfSqTopK(
+        codes.select("vec_id", "codes", "cluster"), q, 5, bounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // ground truth: full-corpus SQ8 distances, re-ranked within the cell
+    val cells = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fullScan = Similarity.sqTopK(codes.select("vec_id", "codes"),
+        q.select("q_id", "q_vec"), cells.size, bounds).collect()
+    val expected = fullScan.groupBy(_.getLong(0)).toSeq.flatMap {
+      case (qid, rows) =>
+        rows.filter(r => cells(r.getLong(1)) == cells(qid))
+          .sortBy(r => (r.getDouble(2), r.getLong(1)))
+          .take(5).zipWithIndex
+          .map { case (r, i) => (qid, r.getLong(1), i + 1) }
+    }.toSet
+    assert(composed == expected)
+    composed.foreach { case (qid, vid, _) =>
+      assert(cells(vid) == cells(qid))
+    }
+  }
+
   test("property: refine over a complete shortlist == bruteForceTopK") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
