@@ -411,4 +411,50 @@ class ParserSpec extends AnyFunSuite {
           "join":{"operator":"cross"}}]}""")
       .getMessage.contains("unsupported join operator"))
   }
+
+  test("reference TestHttpJsonSerializer golden vectors (suggest/rename serdes)") {
+    // ported 1:1 from reference test/tsd/TestHttpJsonSerializer.java:
+    // parseSuggestV1 (:133-164), parseUidRenameV1 (:167-196),
+    // formatSuggestV1[+JSONP] (:198-220), formatUidRenameV1 (:229-252)
+    def bad(f: => Any) = intercept[IllegalArgumentException](f)
+
+    // parseSuggestV1: valid body → string map with type preserved
+    val sug = Serdes.parseSuggest("""{"type":"metrics","q":""}""")
+    assert(sug("type") == "metrics" && sug("q") == "")
+    // numeric scalars coerce to strings (Jackson HashMap<String,String>)
+    assert(Serdes.parseSuggest(
+      """{"type":"metrics","q":"sys","max":25}""")("max") == "25")
+    // parseSuggestV1NoContent / EmptyContent → missing-content error
+    assert(bad(Serdes.parseSuggest(null))
+      .getMessage.contains("Missing message content"))
+    assert(bad(Serdes.parseSuggest(""))
+      .getMessage.contains("Missing message content"))
+    // parseSuggestV1NotJSON → parse error
+    assert(bad(Serdes.parseSuggest("This is unparsable"))
+      .getMessage.contains("Unable to parse the given JSON"))
+
+    // parseUidRenameV1 family — same contract
+    val ren = Serdes.parseUidRename(
+      """{"metric":"sys.cpu.1","name":"sys.cpu.2"}""")
+    assert(ren("metric") == "sys.cpu.1" && ren("name") == "sys.cpu.2")
+    assert(bad(Serdes.parseUidRename(null))
+      .getMessage.contains("Missing message content"))
+    assert(bad(Serdes.parseUidRename(""))
+      .getMessage.contains("Missing message content"))
+    assert(bad(Serdes.parseUidRename("NOT JSON"))
+      .getMessage.contains("Unable to parse the given JSON"))
+
+    // formatSuggestV1: bare JSON array; JSONP wraps as func(...)
+    assert(Serdes.formatSuggest(Seq("sys.cpu.0.system"))
+      == "[\"sys.cpu.0.system\"]")
+    assert(Serdes.formatSuggest(Seq("sys.cpu.0.system"), Some("func"))
+      == "func([\"sys.cpu.0.system\"])")
+    assert(Serdes.formatSuggest(Nil) == "[]")
+
+    // formatUidRenameV1Success / Failed
+    assert(Serdes.formatUidRename(None) == "{\"result\":\"true\"}")
+    val failed = Serdes.formatUidRename(Some("known"))
+    assert(failed.contains("\"error\":\"known\"")
+      && failed.contains("\"result\":\"false\""))
+  }
 }
