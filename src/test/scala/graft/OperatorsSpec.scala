@@ -217,6 +217,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secs(0).contains(""""dps":{"1":1.0,"2":2.0}"""))
   }
 
+  test("reference formatQueryAsyncV1 golden fixture (system.cpu.user wire doc)") {
+    // ported from reference test/tsd/TestHttpJsonSerializer.java:278-430
+    // (formatQueryAsyncV1, …wQuery, …wStatsSummary, …TimeFilterV1,
+    // …EmptyDPs) over the MockDataPoints fixture: system.cpu.user,
+    // host=web01, 300-s cadence from 1356998400, value = step index.
+    // Adapted: dps values render as JSON doubles (1.0 vs the
+    // reference's bare 1 — SURVEY §2.2 Projection note) and tsuids are
+    // series hashes, not UID concatenations (q48 contract).
+    val t0 = 1356998400L
+    val pts = pointsDf((1 to 201).map(i =>
+      ("system.cpu.user", (t0 + i * 300L) * 1000L, i.toDouble,
+        host("web01"))))
+    val q = TsQuery(t0 * 1000L, (t0 + 202 * 300L) * 1000L, Seq.empty,
+      msResolution = false)
+    val sub = SubQuery("sum", "system.cpu.user", Seq.empty)
+    def doc(showTsuids: Boolean = false, showQuery: Boolean = false,
+            showStats: Boolean = false) = {
+      val rows = Engine.serializeV1(pts, q, sub, showTsuids = showTsuids,
+        showQuery = showQuery, showStats = showStats).collect()
+      assert(rows.length == 1)
+      rows.head.getAs[String]("json")
+    }
+    val json = doc()
+    assert(json.contains("\"metric\":\"system.cpu.user\""))
+    // second-resolution dps keys: first point and the 201st
+    assert(json.contains("\"1356998700\":1.0"))
+    assert(json.contains("\"1357058700\":201.0"))
+    // formatQueryAsyncV1 asserts the query echo is ABSENT by default…
+    assert(!json.contains("\"query\":"))
+    assert(!json.contains("\"tsuids\":"))
+    // …and PRESENT with the show_* ride-alongs
+    assert(doc(showQuery = true).contains("\"query\":"))
+    assert(doc(showTsuids = true).contains("\"tsuids\":["))
+    assert(doc(showStats = true).contains("\"stats\":{"))
+    // formatQueryAsyncV1EmptyDPs: a query matching nothing → no docs
+    assert(Engine.serializeV1(pts, q,
+      sub.copy(metric = "no.such.metric")).collect().isEmpty)
+  }
+
   test("calendar downsample handles DST and week boundaries in a tz") {
     import java.time._
     import java.time.temporal.TemporalAdjusters
