@@ -66,11 +66,17 @@ object JsonQuery {
     } else TimeUtils.parseDateTime(n.asText(), now)
 
   private def parseSub(n: JsonNode): SubQuery = {
-    require(n.hasNonNull("aggregator"), "sub-query missing 'aggregator'")
+    // reference TSSubQuery.validateAndSetQuery (:212-228): empty and
+    // unknown aggregators are request errors, and at least one of a
+    // non-empty metric or tsuids must address the series
+    val agg = n.path("aggregator").asText("")
+    require(agg.nonEmpty, "Missing the aggregation function")
+    require(graft.operators.Aggregators.isKnown(agg),
+      s"No such aggregation function: $agg")
     val tsuids = Option(n.get("tsuids")).filterNot(x => x == null || x.isNull)
       .toSeq.flatMap(_.elements().asScala.map(_.asText()).toSeq)
-    require(n.hasNonNull("metric") || tsuids.nonEmpty,
-      "sub-query missing 'metric' (or 'tsuids')")
+    require(n.path("metric").asText("").nonEmpty || tsuids.nonEmpty,
+      "Missing the metric or tsuids, provide at least one")
     val downsample = Option(n.get("downsample")).filter(_.isTextual)
       .map(d => DownsampleSpec.parse(d.asText()))
     val rate =
@@ -105,7 +111,7 @@ object JsonQuery {
       .filterNot(x => x == null || x.isNull).toSeq
       .flatMap(_.elements().asScala.map(_.asDouble()).toSeq)
     SubQuery(
-      aggregator = n.get("aggregator").asText(),
+      aggregator = agg,
       metric = n.path("metric").asText(""),
       filters = tagFilters ++ filters,
       downsample = downsample,

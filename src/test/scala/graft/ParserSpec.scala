@@ -345,6 +345,57 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("reference TestTSQuery/TestTSSubQuery validation golden vectors") {
+    // ported from reference test/core/TestTSQuery.java:104-160 and
+    // test/core/TestTSSubQuery.java:82-124,119-124,228-233
+    val now = 1357300800000L
+    def bad(body: String) =
+      intercept[IllegalArgumentException](JsonQuery.parse(body, now))
+    def sub(fields: String) =
+      s"""{"start":1356998400,"end":1356998460,"queries":[{$fields}]}"""
+
+    // validateInvalidStart
+    assert(bad("""{"start":"Not a timestamp at all",
+      "queries":[{"aggregator":"sum","metric":"m"}]}""") != null)
+    // validateNullEnd / validateEmptyEnd: end defaults to now
+    assert(JsonQuery.parse(
+      """{"start":1356998400,"queries":[{"aggregator":"sum","metric":"m"}]}""",
+      now).endMs == now)
+    // validateEmptyAgg / validateNullAgg → "Missing the aggregation function"
+    assert(bad(sub(""""aggregator":"","metric":"m""""))
+      .getMessage.contains("Missing the aggregation function"))
+    assert(bad(sub(""""metric":"m""""))
+      .getMessage.contains("Missing the aggregation function"))
+    // validateBadAgg → "No such aggregation function"
+    assert(bad(sub(""""aggregator":"Notanagg","metric":"m""""))
+      .getMessage.contains("No such aggregation function"))
+    // validateNoMetricOrTsuids / NoMetricOrEmptyTsuids
+    assert(bad(sub(""""aggregator":"sum""""))
+      .getMessage.contains("Missing the metric or tsuids"))
+    assert(bad(sub(""""aggregator":"sum","metric":"","tsuids":[]"""))
+      .getMessage.contains("Missing the metric or tsuids"))
+    // validateBadDS and validateWithDownsampleNone (1m-none is an error:
+    // "cannot use the NONE aggregator for downsampling")
+    assert(bad(sub(
+      """"aggregator":"sum","metric":"m","downsample":"bad"""")) != null)
+    assert(bad(sub(
+      """"aggregator":"sum","metric":"m","downsample":"1m-none"""")) != null)
+    // validate(): the happy path sets times and parses the downsampler
+    val ok = JsonQuery.parse(
+      """{"start":1356998400,"end":1356998460,"queries":[
+        {"aggregator":"sum","metric":"sys.cpu.0",
+         "downsample":"5m-avg",
+         "tags":{"host":"*","dc":"lga"}}]}""", now)
+    assert(ok.startMs == 1356998400000L && ok.endMs == 1356998460000L)
+    val s = ok.queries.head
+    assert(s.metric == "sys.cpu.0" && s.aggregator == "sum")
+    assert(s.downsample.map(_.intervalMs).contains(300000L) &&
+      s.downsample.map(_.aggregator).contains("avg"))
+    assert(s.filters.collect { case GroupByAll(k) => k } == Seq("host"))
+    assert(s.filters.collect {
+      case LiteralOr("dc", vs, false, _) => vs } == Seq(Seq("lga")))
+  }
+
   test("/api/query/exp POJO body: parse, compile, validate") {
     val now = 1700000000000L
     val q = ExpJsonQuery.parse(
