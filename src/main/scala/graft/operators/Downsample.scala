@@ -36,6 +36,7 @@ object Downsample {
         case "y" => "YEAR"
         case "h" => "HOUR"
         case "m" => "MINUTE"
+        case "s" => "SECOND"
         case _   => "DAY"
       }
       val local = from_utc_timestamp(timestamp_millis(ts), tz)

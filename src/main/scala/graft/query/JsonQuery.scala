@@ -47,8 +47,38 @@ object JsonQuery {
     val start = parseTime(root.get("start"), now)
     val end =
       if (root.hasNonNull("end")) parseTime(root.get("end"), now) else now
-    require(end > start, s"end time $end must be after start $start")
-    val subs = root.get("queries").elements().asScala.map(parseSub).toSeq
+    // reference TSQuery.validateAndSetQuery: end must be >= start
+    // (equal is allowed — an instant query)
+    require(end >= start,
+      s"End time [$end] must be greater than or equal to the start time [$start]")
+    val subs0 = root.get("queries").elements().asScala.map(parseSub).toSeq
+    // query-level useCalendar (reference TSQuery.validateAndSetQuery
+    // :203-207): flips every PRESENT downsampler to calendar alignment
+    // in the query timezone — equivalent to the spec's `c` suffix, with
+    // the unit taken from the interval's own unit (the engine's
+    // calendar trunc, like the reference's, is exact for 1-unit
+    // intervals — 1m/1h/1d/1w/1n/1y). Subs without a downsampler are
+    // untouched (validateVerifyNoDSOverrideWithCalendar). An unknown
+    // timezone is a request error only when it would drive a
+    // downsampler, as in the reference.
+    val subs =
+      if (!root.path("useCalendar").asBoolean(false)) subs0
+      else subs0.map { s =>
+        s.downsample match {
+          case None => s
+          case Some(d) =>
+            val tzName = root.path("timezone").asText("UTC")
+            try java.util.TimeZone.getTimeZone(java.time.ZoneId.of(tzName))
+            catch { case _: Exception => throw new IllegalArgumentException(
+              "The timezone specification could not be found") }
+            val unit = d.spec.split("-")(0).dropWhile(_.isDigit) match {
+              case "" => "m"
+              case u  => u
+            }
+            s.copy(downsample =
+              Some(d.copy(calendar = true, calendarUnit = unit)))
+        }
+      }
     TsQuery(start, end, subs,
       // reference default is FALSE (TSQuery.ms_resolution is a bare
       // Java boolean): dps keys serialize in SECONDS unless the

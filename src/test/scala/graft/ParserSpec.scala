@@ -394,6 +394,34 @@ class ParserSpec extends AnyFunSuite {
     assert(s.filters.collect { case GroupByAll(k) => k } == Seq("host"))
     assert(s.filters.collect {
       case LiteralOr("dc", vs, false, _) => vs } == Seq(Seq("lga")))
+    // end == start is allowed (reference: "greater than OR EQUAL")
+    assert(JsonQuery.parse(
+      """{"start":1356998400,"end":1356998400,
+         "queries":[{"aggregator":"sum","metric":"m"}]}""", now)
+      .endMs == 1356998400000L)
+    // validateWithTimezone: useCalendar flips a present downsampler to
+    // calendar alignment in the query timezone
+    val cal = JsonQuery.parse(
+      """{"start":1356998400,"end":1356998460,
+         "timezone":"Pacific/Funafuti","useCalendar":true,
+         "queries":[{"aggregator":"sum","metric":"sys.cpu.0",
+                     "downsample":"5m-avg"}]}""", now)
+    assert(cal.timezone == "Pacific/Funafuti")
+    val cd = cal.queries.head.downsample.get
+    assert(cd.calendar && cd.calendarUnit == "m" && cd.intervalMs == 300000L)
+    // validateVerifyNoDSOverrideWithCalendar: no downsampler → untouched
+    val noDs = JsonQuery.parse(
+      """{"start":1356998400,"end":1356998460,
+         "timezone":"Pacific/Funafuti","useCalendar":true,
+         "queries":[{"aggregator":"sum","metric":"sys.cpu.0"}]}""", now)
+    assert(noDs.queries.head.downsample.isEmpty)
+    // unknown timezone driving a downsampler is a request error
+    assert(bad(
+      """{"start":1356998400,"end":1356998460,
+         "timezone":"Not/AZone","useCalendar":true,
+         "queries":[{"aggregator":"sum","metric":"m",
+                     "downsample":"1h-avg"}]}""")
+      .getMessage.contains("timezone specification"))
   }
 
   test("/api/query/exp POJO body: parse, compile, validate") {
