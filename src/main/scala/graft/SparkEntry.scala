@@ -768,6 +768,20 @@ object SparkEntry {
           pts(s, dir).filter(col("metric").isin("click", "signup")))
         .orderBy("kind", "uid")),
 
+    // §2.14 UID mutations end-to-end: registry → POST /api/uid/assign
+    // (one fresh name gets max+1; an existing name is rejected into the
+    // report, not the registry) → POST /api/uid/rename (name moves,
+    // uid stays) — the full lifecycle the reference's UniqueIdRpc
+    // drives, previously unit-only
+    "q74_uid_mutations" -> ((s, dir) => {
+      val reg = graft.meta.Introspect.uidRegistry(
+        pts(s, dir).filter(col("metric").isin("click", "signup")))
+      val (reg2, _) = graft.meta.Uids.assign(reg,
+        Map("metric" -> Seq("zz.new", "click")))
+      graft.meta.Uids.rename(reg2, "metric", "signup", "signup2")
+        .orderBy("kind", "uid")
+    }),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -1866,6 +1880,34 @@ object SparkEntry {
          SELECT kind, name,
            dense_rank() OVER (PARTITION BY kind ORDER BY name) AS uid
          FROM names ORDER BY kind, uid""",
+
+    // q49's registry + assign (existing 'click' rejected, fresh
+    // 'zz.new' = per-kind max + 1) + rename signup→signup2 (uid kept)
+    "q74_uid_mutations" ->
+      s"""$O, f AS (SELECT * FROM points WHERE metric IN ('click','signup')),
+         names AS (
+           SELECT DISTINCT 'metric' AS kind, metric AS name FROM f
+           UNION
+           SELECT DISTINCT 'tagk', k FROM f
+             CROSS JOIN (VALUES ('user'), ('k')) t(k)
+           UNION
+           SELECT DISTINCT 'tagv', tag_user FROM f
+             WHERE tag_user IS NOT NULL
+           UNION
+           SELECT DISTINCT 'tagv', tag_k FROM f WHERE tag_k IS NOT NULL),
+         reg AS (
+           SELECT kind, name,
+             dense_rank() OVER (PARTITION BY kind ORDER BY name) AS uid
+           FROM names),
+         added AS (
+           SELECT 'metric' AS kind, 'zz.new' AS name,
+             (SELECT max(uid) FROM reg WHERE kind = 'metric') + 1 AS uid),
+         merged AS (SELECT * FROM reg UNION ALL SELECT * FROM added)
+         SELECT kind,
+           CASE WHEN kind = 'metric' AND name = 'signup'
+             THEN 'signup2' ELSE name END AS name,
+           uid
+         FROM merged ORDER BY kind, uid""",
 
     "q40_tree" ->
       s"""$O SELECT * FROM (
