@@ -773,6 +773,31 @@ object SparkEntry {
     // report, not the registry) → POST /api/uid/rename (name moves,
     // uid stays) — the full lifecycle the reference's UniqueIdRpc
     // drives, previously unit-only
+    // §2.4 `none` aggregator raw bypass (reference Aggregators.NONE:
+    // exactly one series passes through untouched, >1 is an error —
+    // the error direction stays unit-tested). The single series is
+    // picked deterministically: the most-populated (user, k) click
+    // series, ties by the lexicographically-lowest pair, resolved via
+    // a 1-row lookup (wire-sized collect, like the q48 tsuid harness),
+    // then run through the full Engine path with explicit literal_or
+    // filters.
+    "q75_agg_none" -> ((s, dir) => {
+      val p = pts(s, dir).filter(col("metric") === "click" &&
+        col("tags").getItem("user").isNotNull &&
+        col("tags").getItem("k").isNotNull)
+      val sel = p.select(col("tags").getItem("user").as("u"),
+          col("tags").getItem("k").as("kk"))
+        .groupBy("u", "kk").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("u"), col("kk")).limit(1).head()
+      val q = TsQuery(0L, 4102444800000L, Seq.empty)
+      val sub = SubQuery("none", "click", Seq(
+        LiteralOr("user", Seq(sel.getString(0))),
+        LiteralOr("k", Seq(sel.getString(1)))), explicitTags = true)
+      Engine.run(p, q, sub)
+        .select(col("ts"), r4(col("value")).as("value"))
+        .orderBy("ts", "value")
+    }),
+
     "q74_uid_mutations" -> ((s, dir) => {
       val reg = graft.meta.Introspect.uidRegistry(
         pts(s, dir).filter(col("metric").isin("click", "signup")))
@@ -1880,6 +1905,19 @@ object SparkEntry {
          SELECT kind, name,
            dense_rank() OVER (PARTITION BY kind ORDER BY name) AS uid
          FROM names ORDER BY kind, uid""",
+
+    // raw pass-through of the most-populated (user, k) click series
+    // (ties lexicographic) — no aggregation applied
+    "q75_agg_none" ->
+      s"""$O, c AS (SELECT * FROM points WHERE metric = 'click'
+           AND tag_user IS NOT NULL AND tag_k IS NOT NULL),
+         sel AS (SELECT tag_user, tag_k FROM c
+           GROUP BY tag_user, tag_k
+           ORDER BY count(*) DESC, tag_user, tag_k LIMIT 1)
+         SELECT c.ts, round(c.value, 4) AS value
+         FROM c JOIN sel ON c.tag_user = sel.tag_user
+           AND c.tag_k = sel.tag_k
+         ORDER BY ts, value""",
 
     // q49's registry + assign (existing 'click' rejected, fresh
     // 'zz.new' = per-kind max + 1) + rename signup→signup2 (uid kept)
