@@ -116,7 +116,7 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d15_dup_spans", "t23_shuffle_order", "s13_ann_recall",
       "s14_pq_refine", "t24_dsir_sample", "d16_boilerplate",
       "q72_query_delete", "q73_fsck_repair", "s15_sq8_topk",
-      "s16_ivf_sq8")
+      "s16_ivf_sq8", "q75_agg_none")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
