@@ -449,10 +449,15 @@ object Engine {
    * DELETE /api/query — remove the points a query matches (reference
    * TSQuery.delete flag; QueryRpc delete path): returns the surviving
    * points table. Matching = the sub-query's series (metric + tag
-   * filters) within the query time range. Expressed as a semi/anti
+   * filters) within the query time range. Expressed as a single left
    * join on the series hash, never a row-wise anti-join on the map
-   * column (maps are not join keys); at scale the matched-series set
-   * is small and broadcasts.
+   * column (maps are not join keys). The matched set is NOT hinted
+   * broadcast: it is `metric + filters`, so a wildcard delete on a
+   * high-cardinality metric can match millions of series — forcing a
+   * broadcast there is a driver-memory scale-killer. AQE picks
+   * broadcast-vs-shuffle from the runtime stats of the distinct set
+   * (small targeted deletes still broadcast; adversarial wildcards
+   * degrade gracefully to a shuffled join).
    */
   def deletePoints(points: DataFrame, query: TsQuery, sub: SubQuery): DataFrame = {
     val ws = Points.withSeriesId(points)
@@ -460,12 +465,11 @@ object Engine {
         points.filter(col("metric") === sub.metric),
         sub.filters, sub.explicitTags))
       .select("series_id").distinct()
+      .withColumn("__matched", lit(true))
     val inRange = col("ts") >= query.startMs && col("ts") <= query.endMs
-    ws.join(broadcast(matchedSeries), Seq("series_id"), "left_anti")
-      .unionByName(
-        ws.join(broadcast(matchedSeries), Seq("series_id"), "left_semi")
-          .filter(!inRange))
-      .drop("series_id")
+    ws.join(matchedSeries, Seq("series_id"), "left")
+      .filter(col("__matched").isNull || !inRange)
+      .drop("__matched", "series_id")
   }
 
   /**

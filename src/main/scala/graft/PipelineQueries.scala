@@ -299,7 +299,7 @@ object PipelineQueries {
          SELECT q_id, vec_id, adc, row_number() OVER
            (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
          FROM cellok)
-       SELECT q_id, vec_id, round(adc, 4) AS adc, rank
+       SELECT q_id, vec_id, (sign(adc) * floor(abs(adc) * 10000 + 0.5) / 10000) AS adc, rank
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
   /** DuckDB mirror of Similarity.rhpBucket(vec, nBits, dim, planeOffset):
@@ -1351,7 +1351,7 @@ object PipelineQueries {
              ON a.h = b.h AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT id_a, id_b,
-           round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
+           (sign(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)) * floor(abs(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)) * 10000 + 0.5) / 10000) AS jaccard
          FROM shared JOIN sizes sa ON sa.doc_id = id_a
            JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
@@ -1372,7 +1372,7 @@ object PipelineQueries {
              ON a.h = b.h AND a.doc_id <> b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT id, id_in,
-           round(CAST(shared AS DOUBLE) / sz, 4) AS containment
+           (sign(CAST(shared AS DOUBLE) / sz) * floor(abs(CAST(shared AS DOUBLE) / sz) * 10000 + 0.5) / 10000) AS containment
          FROM cshared JOIN csizes ON csizes.doc_id = id
          WHERE CAST(shared AS DOUBLE) / sz >= 0.8
          ORDER BY id, id_in""",
@@ -1400,8 +1400,9 @@ object PipelineQueries {
          SELECT d.doc_id,
            coalesce(p.n_windows, 0) AS n_windows,
            coalesce(p.n_dup, 0) AS n_dup,
-           round(CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
-             ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END, 4) AS dup_frac
+           (sign(CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
+             ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END) * floor(abs(CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
+             ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END) * 10000 + 0.5) / 10000) AS dup_frac
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
 
@@ -1534,8 +1535,8 @@ object PipelineQueries {
          SELECT CAST(n_true AS BIGINT) AS n_true,
            CAST(n_found AS BIGINT) AS n_found,
            CAST(n_correct AS BIGINT) AS n_correct,
-           round(CAST(n_correct AS DOUBLE) / n_found, 4) AS precision,
-           round(CAST(n_correct AS DOUBLE) / n_true, 4) AS recall
+           (sign(CAST(n_correct AS DOUBLE) / n_found) * floor(abs(CAST(n_correct AS DOUBLE) / n_found) * 10000 + 0.5) / 10000) AS precision,
+           (sign(CAST(n_correct AS DOUBLE) / n_true) * floor(abs(CAST(n_correct AS DOUBLE) / n_true) * 10000 + 0.5) / 10000) AS recall
          FROM eval""",
 
     "d08_decontaminate" ->
@@ -1554,8 +1555,9 @@ object PipelineQueries {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
            CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_unique,
-           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 4) AS novelty
+           (sign(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*)) * floor(abs(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*)) * 10000 + 0.5) / 10000) AS novelty
          FROM hpost JOIN dfq USING (h)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -1589,7 +1591,7 @@ object PipelineQueries {
              CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
            FROM shared JOIN sizes sa ON sa.doc_id = id_a
              JOIN sizes sb ON sb.doc_id = id_b)
-         SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+         SELECT id_a, id_b, (sign(jaccard) * floor(abs(jaccard) * 10000 + 0.5) / 10000) AS jaccard
          FROM verified WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
 
     "d04_simhash" ->
@@ -1654,12 +1656,17 @@ object PipelineQueries {
                  / len(tk) END AS avg_tok
            FROM toks),
          quality AS (
-           SELECT doc_id, round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           SELECT doc_id, (sign((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
              + least(stop_ratio * 4.0, 1.0)
              + greatest(0.0, 1.0 - CAST(n_punct AS DOUBLE)
                  / greatest(n_chars, 1) * 10.0)
              + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
-             / 4.0, 4) AS q
+             / 4.0) * floor(abs((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + least(stop_ratio * 4.0, 1.0)
+             + greatest(0.0, 1.0 - CAST(n_punct AS DOUBLE)
+                 / greatest(n_chars, 1) * 10.0)
+             + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
+             / 4.0) * 10000 + 0.5) / 10000) AS q
            FROM m),
          ranked AS (
            SELECT comps.comp, comps.id, quality.q,
@@ -1696,7 +1703,7 @@ object PipelineQueries {
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
            FROM cand JOIN v va ON va.vec_id = id_a
              JOIN v vb ON vb.vec_id = id_b)
-         SELECT id_a, id_b, round(cos, 4) AS cos
+         SELECT id_a, id_b, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos
          FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b""",
 
     "s04_kmeans_cells" ->
@@ -1726,7 +1733,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, cos, row_number() OVER
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s07_ivf_multiprobe" ->
@@ -1754,7 +1761,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, cos, row_number() OVER
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s08_pq_adc_topk" ->
@@ -1768,7 +1775,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, adc, row_number() OVER
              (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
            FROM summed)
-         SELECT q_id, vec_id, round(adc, 4) AS adc, rank
+         SELECT q_id, vec_id, (sign(adc) * floor(abs(adc) * 10000 + 0.5) / 10000) AS adc, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s09_ivf_pq_topk" -> ivfPqOracleSql,
@@ -1808,7 +1815,7 @@ object PipelineQueries {
                (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
              FROM escore) t WHERE rank <= 5)
          SELECT exact5.q_id, count(approx5.vec_id) AS n_match,
-           round(CAST(count(approx5.vec_id) AS DOUBLE) / 5, 4) AS recall
+           (sign(CAST(count(approx5.vec_id) AS DOUBLE) / 5) * floor(abs(CAST(count(approx5.vec_id) AS DOUBLE) / 5) * 10000 + 0.5) / 10000) AS recall
          FROM exact5 LEFT JOIN approx5 USING (q_id, vec_id)
          GROUP BY exact5.q_id ORDER BY q_id""",
 
@@ -1860,7 +1867,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, sqd, row_number() OVER
              (PARTITION BY q_id ORDER BY sqd, vec_id) AS rank
            FROM scored)
-         SELECT q_id, vec_id, round(sqd, 4) AS sqd, rank
+         SELECT q_id, vec_id, (sign(sqd) * floor(abs(sqd) * 10000 + 0.5) / 10000) AS sqd, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // SQ8 scoring under the kmeans cell restriction: s15's bounds →
@@ -1912,7 +1919,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, sqd, row_number() OVER
              (PARTITION BY q_id ORDER BY sqd, vec_id) AS rank
            FROM cellok)
-         SELECT q_id, vec_id, round(sqd, 4) AS sqd, rank
+         SELECT q_id, vec_id, (sign(sqd) * floor(abs(sqd) * 10000 + 0.5) / 10000) AS sqd, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // ADC top-10 shortlist (the s09 construction, deeper rank), then
@@ -1951,7 +1958,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, cos, row_number() OVER
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
            FROM rescored)
-         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s10_ivf_pq_residual" ->
@@ -1978,7 +1985,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, adc, row_number() OVER
              (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
            FROM cellok)
-         SELECT q_id, vec_id, round(adc, 4) AS adc, rank
+         SELECT q_id, vec_id, (sign(adc) * floor(abs(adc) * 10000 + 0.5) / 10000) AS adc, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // multi-probe residual IVF-PQ: probes = the 2 nearest cells per
@@ -2025,7 +2032,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, adc, row_number() OVER
              (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
            FROM scored)
-         SELECT q_id, vec_id, round(adc, 4) AS adc, rank
+         SELECT q_id, vec_id, (sign(adc) * floor(abs(adc) * 10000 + 0.5) / 10000) AS adc, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s01_cosine_topk" ->
@@ -2044,7 +2051,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, cos, row_number() OVER
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
          FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
 
     "s02_ivf_topk" ->
@@ -2064,7 +2071,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, cos, row_number() OVER
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s03_rhp_ann" ->
@@ -2094,7 +2101,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, cos, row_number() OVER
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s06_rhp_multiprobe" ->
@@ -2128,7 +2135,7 @@ object PipelineQueries {
            SELECT q_id, vec_id, cos, row_number() OVER
              (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, vec_id, round(cos, 4) AS cos, rank
+         SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "t01_text_stats" ->
@@ -2152,13 +2159,18 @@ object PipelineQueries {
                  / len(tk) END AS avg_tok
            FROM t)
          SELECT doc_id, n_tokens, n_bpeish, n_punct,
-           round(stop_ratio, 4) AS stop_ratio,
-           round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           (sign(stop_ratio) * floor(abs(stop_ratio) * 10000 + 0.5) / 10000) AS stop_ratio,
+           (sign((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
              + least(stop_ratio * 4.0, 1.0)
              + greatest(0.0, 1.0 - CAST(n_punct AS DOUBLE)
                  / greatest(n_chars, 1) * 10.0)
              + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
-             / 4.0, 4) AS quality
+             / 4.0) * floor(abs((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + least(stop_ratio * 4.0, 1.0)
+             + greatest(0.0, 1.0 - CAST(n_punct AS DOUBLE)
+                 / greatest(n_chars, 1) * 10.0)
+             + CASE WHEN avg_tok >= 3 AND avg_tok <= 8 THEN 1.0 ELSE 0.5 END)
+             / 4.0) * 10000 + 0.5) / 10000) AS quality
          FROM m ORDER BY doc_id""",
 
     "t13_cdc_chunks" ->
@@ -2299,10 +2311,10 @@ object PipelineQueries {
              CAST(doc_id % 48 + 1 AS INT) AS height
            FROM documents)
          SELECT media_id, n_bytes, width, height,
-           round(CAST(concat('0x', substr(hx, 1, 2)) AS INT) / 255.0, 4) AS f0,
-           round(CAST(concat('0x', substr(hx, 3, 2)) AS INT) / 255.0, 4) AS f1,
-           round(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0, 4) AS f2,
-           round(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0, 4) AS f3
+           (sign(CAST(concat('0x', substr(hx, 1, 2)) AS INT) / 255.0) * floor(abs(CAST(concat('0x', substr(hx, 1, 2)) AS INT) / 255.0) * 10000 + 0.5) / 10000) AS f0,
+           (sign(CAST(concat('0x', substr(hx, 3, 2)) AS INT) / 255.0) * floor(abs(CAST(concat('0x', substr(hx, 3, 2)) AS INT) / 255.0) * 10000 + 0.5) / 10000) AS f1,
+           (sign(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0) * floor(abs(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0) * 10000 + 0.5) / 10000) AS f2,
+           (sign(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0) * floor(abs(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0) * 10000 + 0.5) / 10000) AS f3
          FROM m ORDER BY media_id""",
 
     "t07_clean_corpus" ->
@@ -2351,7 +2363,7 @@ object PipelineQueries {
            FROM h),
          keep AS (
            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-         SELECT p.doc_id, round(p.quality, 4) AS quality
+         SELECT p.doc_id, (sign(p.quality) * floor(abs(p.quality) * 10000 + 0.5) / 10000) AS quality
          FROM pred p JOIN keep k ON k.doc_id = p.doc_id
          WHERE p.quality >= 0.7 AND p.predicted = 'en'
          ORDER BY p.doc_id""",
@@ -2375,7 +2387,7 @@ object PipelineQueries {
            SELECT doc_id, tok, tfidf, row_number() OVER
              (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
            FROM scored)
-         SELECT doc_id, tok, round(tfidf, 4) AS tfidf
+         SELECT doc_id, tok, (sign(tfidf) * floor(abs(tfidf) * 10000 + 0.5) / 10000) AS tfidf
          FROM r WHERE rn <= 3 ORDER BY doc_id, tok""",
 
     "t08_repetition" ->
@@ -2393,12 +2405,16 @@ object PipelineQueries {
              tk
            FROM t)
          SELECT doc_id,
-           round(CASE WHEN len(bi) = 0 THEN 0.0 ELSE
+           (sign(CASE WHEN len(bi) = 0 THEN 0.0 ELSE
              CAST(list_max(list_transform(list_distinct(bi),
                x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE)
-               / len(bi) END, 4) AS top_bigram_frac,
-           round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 4)
+               / len(bi) END) * floor(abs(CASE WHEN len(bi) = 0 THEN 0.0 ELSE
+             CAST(list_max(list_transform(list_distinct(bi),
+               x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE)
+               / len(bi) END) * 10000 + 0.5) / 10000) AS top_bigram_frac,
+           (sign(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END) * floor(abs(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END) * 10000 + 0.5) / 10000)
              AS type_token_ratio
          FROM b ORDER BY doc_id""",
 
@@ -2461,7 +2477,7 @@ object PipelineQueries {
          f AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
          t AS (SELECT CAST(sum(tf) AS BIGINT) AS T FROM f)
          SELECT doc_id, count(*) AS n_tok,
-           round(avg(ln(tf) - ln(T)), 4) AS logprob
+           (sign(avg(ln(tf) - ln(T))) * floor(abs(avg(ln(tf) - ln(T))) * 10000 + 0.5) / 10000) AS logprob
          FROM tk JOIN f USING (tok) CROSS JOIN t
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -2484,7 +2500,7 @@ object PipelineQueries {
            FROM c2 GROUP BY 1),
          v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS V FROM bi)
          SELECT doc_id, count(*) AS n_bigram,
-           round(avg(ln((c2 + 1.0) / (c1 + 1.0 * V))), 4) AS logprob
+           (sign(avg(ln((c2 + 1.0) / (c1 + 1.0 * V)))) * floor(abs(avg(ln((c2 + 1.0) / (c1 + 1.0 * V)))) * 10000 + 0.5) / 10000) AS logprob
          FROM bi JOIN c2 USING (bg)
            JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w1
            CROSS JOIN v
@@ -2615,7 +2631,7 @@ object PipelineQueries {
          sel AS (
            SELECT doc_id, n_tok, log_w FROM keyed
            ORDER BY k DESC, doc_id LIMIT 50)
-         SELECT doc_id, n_tok, round(log_w, 4) AS log_w
+         SELECT doc_id, n_tok, (sign(log_w) * floor(abs(log_w) * 10000 + 0.5) / 10000) AS log_w
          FROM sel ORDER BY doc_id""",
 
     "t05_sample_stratified" ->
@@ -2656,8 +2672,8 @@ object PipelineQueries {
     "m03_audio_decode" ->
       """SELECT doc_id AS media_id, 'audio/wav' AS kind,
            CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
-           round(CAST(2 AS DOUBLE) / 1 / 8000, 4) AS dur_sec,
-           round(CAST(doc_id % 20000 AS DOUBLE) / 32768, 4) AS mean_amp
+           (sign(CAST(2 AS DOUBLE) / 1 / 8000) * floor(abs(CAST(2 AS DOUBLE) / 1 / 8000) * 10000 + 0.5) / 10000) AS dur_sec,
+           (sign(CAST(doc_id % 20000 AS DOUBLE) / 32768) * floor(abs(CAST(doc_id % 20000 AS DOUBLE) / 32768) * 10000 + 0.5) / 10000) AS mean_amp
          FROM documents ORDER BY media_id""",
 
     "m08_image_phash" ->
@@ -2693,11 +2709,13 @@ object PipelineQueries {
               -CAST((doc_id + 3000) % 20000 AS DOUBLE)] AS ss
            FROM documents)
          SELECT media_id, 'audio/wav' AS kind,
-           round(sqrt(list_sum(list_transform(ss,
-             x -> (x / 32768) * (x / 32768))) / 4), 4) AS rms,
-           round(CAST(len(list_filter([1, 2, 3],
-             i -> ss[i] * ss[i + 1] < 0)) AS DOUBLE) / 3, 4) AS zcr,
-           round(list_max(list_transform(ss, x -> abs(x) / 32768)), 4)
+           (sign(sqrt(list_sum(list_transform(ss,
+             x -> (x / 32768) * (x / 32768))) / 4)) * floor(abs(sqrt(list_sum(list_transform(ss,
+             x -> (x / 32768) * (x / 32768))) / 4)) * 10000 + 0.5) / 10000) AS rms,
+           (sign(CAST(len(list_filter([1, 2, 3],
+             i -> ss[i] * ss[i + 1] < 0)) AS DOUBLE) / 3) * floor(abs(CAST(len(list_filter([1, 2, 3],
+             i -> ss[i] * ss[i + 1] < 0)) AS DOUBLE) / 3) * 10000 + 0.5) / 10000) AS zcr,
+           (sign(list_max(list_transform(ss, x -> abs(x) / 32768))) * floor(abs(list_max(list_transform(ss, x -> abs(x) / 32768))) * 10000 + 0.5) / 10000)
              AS peak
          FROM s ORDER BY media_id""",
 
@@ -2710,11 +2728,12 @@ object PipelineQueries {
            FROM documents CROSS JOIN (VALUES (0), (2)) f(f))
          SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
            CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
-           round(r / CAST(255 AS DOUBLE), 4) AS mean_r,
-           round(g / CAST(255 AS DOUBLE), 4) AS mean_g,
-           round(b / CAST(255 AS DOUBLE), 4) AS mean_b,
-           round((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
-             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE), 4) AS luma
+           (sign(r / CAST(255 AS DOUBLE)) * floor(abs(r / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_r,
+           (sign(g / CAST(255 AS DOUBLE)) * floor(abs(g / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_g,
+           (sign(b / CAST(255 AS DOUBLE)) * floor(abs(b / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_b,
+           (sign((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE)) * floor(abs((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS luma
          FROM px ORDER BY media_id, frame_idx""",
 
     "m02_media_decode" ->
@@ -2726,11 +2745,12 @@ object PipelineQueries {
            FROM documents)
          SELECT media_id, 'image/ppm' AS kind,
            CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
-           round(r / CAST(255 AS DOUBLE), 4) AS mean_r,
-           round(g / CAST(255 AS DOUBLE), 4) AS mean_g,
-           round(b / CAST(255 AS DOUBLE), 4) AS mean_b,
-           round((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
-             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE), 4) AS luma
+           (sign(r / CAST(255 AS DOUBLE)) * floor(abs(r / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_r,
+           (sign(g / CAST(255 AS DOUBLE)) * floor(abs(g / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_g,
+           (sign(b / CAST(255 AS DOUBLE)) * floor(abs(b / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_b,
+           (sign((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE)) * floor(abs((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS luma
          FROM px ORDER BY media_id""",
 
     "m05_bmp_decode" ->
@@ -2742,11 +2762,12 @@ object PipelineQueries {
            FROM documents)
          SELECT media_id, 'image/bmp' AS kind,
            CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
-           round(r / CAST(255 AS DOUBLE), 4) AS mean_r,
-           round(g / CAST(255 AS DOUBLE), 4) AS mean_g,
-           round(b / CAST(255 AS DOUBLE), 4) AS mean_b,
-           round((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
-             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE), 4) AS luma
+           (sign(r / CAST(255 AS DOUBLE)) * floor(abs(r / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_r,
+           (sign(g / CAST(255 AS DOUBLE)) * floor(abs(g / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_g,
+           (sign(b / CAST(255 AS DOUBLE)) * floor(abs(b / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_b,
+           (sign((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE)) * floor(abs((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS luma
          FROM px ORDER BY media_id""",
 
     "m06_jpeg_decode" ->
@@ -2756,11 +2777,12 @@ object PipelineQueries {
            FROM documents)
          SELECT media_id, 'image/jpeg' AS kind,
            CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
-           round(g / CAST(255 AS DOUBLE), 4) AS mean_r,
-           round(g / CAST(255 AS DOUBLE), 4) AS mean_g,
-           round(g / CAST(255 AS DOUBLE), 4) AS mean_b,
-           round((CAST(0.299 AS DOUBLE) * g + CAST(0.587 AS DOUBLE) * g
-             + CAST(0.114 AS DOUBLE) * g) / CAST(255 AS DOUBLE), 4) AS luma
+           (sign(g / CAST(255 AS DOUBLE)) * floor(abs(g / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_r,
+           (sign(g / CAST(255 AS DOUBLE)) * floor(abs(g / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_g,
+           (sign(g / CAST(255 AS DOUBLE)) * floor(abs(g / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS mean_b,
+           (sign((CAST(0.299 AS DOUBLE) * g + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * g) / CAST(255 AS DOUBLE)) * floor(abs((CAST(0.299 AS DOUBLE) * g + CAST(0.587 AS DOUBLE) * g
+             + CAST(0.114 AS DOUBLE) * g) / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS luma
          FROM px ORDER BY media_id"""
   )
 }

@@ -40,7 +40,7 @@ object SparkEntry {
   }
 
   /** Round half-away-from-zero on the raw binary double — bit-identical
-    * to DuckDB's round(x, 4) (Spark's own `round` re-parses the shortest
+    * to DuckDB's (sign(x) * floor(abs(x) * 10000 + 0.5) / 10000) (Spark's own `round` re-parses the shortest
     * decimal representation via BigDecimal, which disagrees with the
     * oracle on values like 38.37874999… → "38.37875" → 38.3788). */
   private def r4(c: Column): Column =
@@ -807,6 +807,97 @@ object SparkEntry {
         .orderBy("kind", "uid")
     }),
 
+    // §2.14 MetaSync over UIDMeta (reference src/tools/MetaSync.java:
+    // 40-50): stored metric rows carry a future `created` (→ fixed to
+    // the data's earliest ts), tag uids have no stored meta (→
+    // created), and a ghost row backs no data (→ orphan, MetaPurge's
+    // target). uid delete exercises the registry-mutation contract on
+    // the way in (assign zz.tmp → delete it, net no-op with the error
+    // direction unit-tested).
+    "q79_meta_sync_uid" -> ((s, dir) => {
+      import graft.meta.{Introspect, Uids}
+      import s.implicits._
+      val p = pts(s, dir).filter(col("metric").isin("click", "signup"))
+      val reg0 = Introspect.uidRegistry(p)
+      val (regTmp, _) = Uids.assign(reg0, Map("metric" -> Seq("zz.tmp")))
+      val reg = Uids.delete(regTmp, "metric", "zz.tmp")
+      val stored = reg.filter(col("kind") === "metric")
+        .withColumn("created", lit(9999999999999L))
+        .unionByName(Seq(("metric", "ghost", 999L, 123L))
+          .toDF("kind", "name", "uid", "created"))
+      Uids.syncUidMeta(p, reg, stored)
+        .orderBy("kind", "name")
+    }),
+
+    // §2.14 MetaSync over TSMeta with the canonical readable tsuid:
+    // user-1 series stored with a future created (→ fixed), the rest
+    // missing (→ created), one ghost tsuid (→ orphan)
+    "q80_meta_sync_ts" -> ((s, dir) => {
+      import graft.meta.{Trees, Uids}
+      import s.implicits._
+      val p = pts(s, dir).filter(col("metric") === "purchase")
+      val tsuidCol = Trees.canonicalTsuid
+      val stored = p.filter(col("tags").getItem("user") === "1")
+        .select(tsuidCol.as("tsuid")).distinct()
+        .withColumn("created", lit(9999999999999L))
+        .unionByName(Seq(("purchase|k=-,user=ghost", 123L))
+          .toDF("tsuid", "created"))
+      Uids.syncTsMeta(p, stored, tsuidCol)
+        .orderBy("tsuid")
+    }),
+
+    // §2.14 tree collision side-channel (/api/tree/collisions,
+    // reference Tree.addCollision via Branch.addLeaf): a 2-level tree
+    // (metric → user) makes every multi-k series of a (metric, user)
+    // pair collide on its leaf path; winner = min tsuid (deterministic
+    // surrogate for the reference's sync-arrival order)
+    "q76_tree_collisions" -> ((s, dir) => {
+      import graft.meta.Trees
+      val rules = Seq(
+        Trees.Rule(1, 0, 0, "METRIC"),
+        Trees.Rule(1, 1, 0, "TAGK", field = "user"))
+        .foldLeft(Trees.emptyRules(s))(Trees.upsertRule)
+      Trees.buildReport(pts(s, dir), rules, treeId = 1).collisions
+        .orderBy("tsuid")
+    }),
+
+    // §2.14 tree not-matched side-channel (/api/tree/notmatched,
+    // reference Tree.addNotMatched; message format
+    // TreeBuilder.java:647-650): a 3rd level on tag `k` strands every
+    // k-less series with the failed rule's [tree:level:order:TYPE] tag
+    "q77_tree_notmatched" -> ((s, dir) => {
+      import graft.meta.Trees
+      val rules = Seq(
+        Trees.Rule(1, 0, 0, "METRIC"),
+        Trees.Rule(1, 1, 0, "TAGK", field = "user"),
+        Trees.Rule(1, 2, 0, "TAGK", field = "k"))
+        .foldLeft(Trees.emptyRules(s))(Trees.upsertRule)
+      // the synthetic events always carry both tags; strand every
+      // user_id%3==0 series at level 2 by dropping its `k` tag
+      val stranded = pts(s, dir).withColumn("tags",
+        map(lit("user"), col("tags").getItem("user"),
+          lit("k"), when(col("tags").getItem("user").cast("int") % 3 === 0,
+            lit(null: String)).otherwise(col("tags").getItem("k"))))
+      Trees.buildReport(stranded, rules, treeId = 1).notMatched
+        .orderBy("tsuid")
+    }),
+
+    // §2.14 /api/tree/test rule trace (reference TreeRpc handleTest /
+    // TreeBuilder testing mode): per (series, rule) extracted value,
+    // tried (level fallback: order-0 on a missing tag forces the
+    // order-1 fallback to run) and matched
+    "q78_tree_test" -> ((s, dir) => {
+      import graft.meta.Trees
+      val rules = Seq(
+        Trees.Rule(1, 0, 0, "METRIC"),
+        Trees.Rule(1, 1, 0, "TAGK", field = "dc"),
+        Trees.Rule(1, 1, 1, "TAGK", field = "user"))
+        .foldLeft(Trees.emptyRules(s))(Trees.upsertRule)
+      Trees.testRun(pts(s, dir).filter(col("metric") === "click"),
+          rules, treeId = 1)
+        .orderBy("tsuid", "level", "order")
+    }),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -1120,20 +1211,20 @@ object SparkEntry {
   private def tsdbOracles: Map[String, String] = Map(
 
     "q01_scan_filter" ->
-      s"""$O SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+      s"""$O SELECT metric, tag_user, tag_k, ts, (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
          FROM points
          WHERE metric = 'click' AND ts >= $T_0105 AND ts < $T_0120
            AND tag_user IN ('1','2','3')
          ORDER BY ts, tag_user""",
 
     "q02_filter_regex" ->
-      s"""$O SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+      s"""$O SELECT metric, tag_user, tag_k, ts, (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
          FROM points
          WHERE metric = 'view' AND regexp_matches(tag_k, '^[1-3][0-9]$$')
          ORDER BY ts, tag_user""",
 
     "q03_filter_not_literal" ->
-      s"""$O SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+      s"""$O SELECT metric, tag_user, tag_k, ts, (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
          FROM points
          WHERE metric = 'error' AND tag_user IS NOT NULL
            AND tag_user NOT IN ('1','2','3','4','5') AND tag_k IS NOT NULL
@@ -1141,7 +1232,7 @@ object SparkEntry {
 
     "q04_downsample_sum" ->
       s"""$O SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
-           round(sum(value), 4) AS value
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS value
          FROM points WHERE metric = 'purchase'
          GROUP BY metric, tag_user, tag_k, ts - ts % $DAY
          ORDER BY ts, tag_user, tag_k""",
@@ -1168,19 +1259,19 @@ object SparkEntry {
              unnest(generate_series(lo, hi, $DAY)) AS b
            FROM bounds)
          SELECT g.metric, g.tag_user, g.tag_k, g.b AS ts,
-           round(coalesce(a.v, 0.0), 4) AS value
+           (sign(coalesce(a.v, 0.0)) * floor(abs(coalesce(a.v, 0.0)) * 10000 + 0.5) / 10000) AS value
          FROM grid g LEFT JOIN agg a
            ON g.metric = a.metric AND g.tag_user = a.tag_user
              AND g.tag_k = a.tag_k AND g.b = a.b
          ORDER BY g.b, g.tag_user, g.tag_k""",
 
     "q06_groupby_zimsum" ->
-      s"""$O SELECT metric, ts - ts % $HOUR AS ts, round(sum(value), 4) AS value
+      s"""$O SELECT metric, ts - ts % $HOUR AS ts, (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS value
          FROM points GROUP BY metric, ts - ts % $HOUR
          ORDER BY metric, ts""",
 
     "q53_mimmax_group" ->
-      s"""$O SELECT metric, ts - ts % $HOUR AS ts, round(max(value), 4) AS value
+      s"""$O SELECT metric, ts - ts % $HOUR AS ts, (sign(max(value)) * floor(abs(max(value)) * 10000 + 0.5) / 10000) AS value
          FROM points GROUP BY metric, ts - ts % $HOUR
          ORDER BY metric, ts""",
 
@@ -1197,7 +1288,7 @@ object SparkEntry {
              coalesce(a.v, 0) + coalesce(c.v, 0) AS v
            FROM a FULL OUTER JOIN c
              ON a.tag_user = c.tag_user AND a.b = c.b)
-         SELECT tag_user, b AS ts, round(v, 4) AS value
+         SELECT tag_user, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM j ORDER BY tag_user, ts""",
 
     "q55_intersect_by_tag" ->
@@ -1207,7 +1298,7 @@ object SparkEntry {
          c AS (
            SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
            FROM points WHERE metric = 'view' GROUP BY 1, 2)
-         SELECT a.tag_user, a.b AS ts, round(a.v / c.v, 4) AS value
+         SELECT a.tag_user, a.b AS ts, (sign(a.v / c.v) * floor(abs(a.v / c.v) * 10000 + 0.5) / 10000) AS value
          FROM a JOIN c ON a.tag_user = c.tag_user AND a.b = c.b
          ORDER BY a.tag_user, ts""",
 
@@ -1229,7 +1320,7 @@ object SparkEntry {
            FROM a FULL OUTER JOIN c
              ON a.tag_user = c.tag_user AND a.b = c.b)
          SELECT 'combined' AS metric, tag_user, b AS ts,
-           round(v, 4) AS value
+           (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM j WHERE b >= $T_0105 AND b <= $T_0120
          ORDER BY tag_user, ts""",
 
@@ -1263,7 +1354,7 @@ object SparkEntry {
              WHEN pv IS NOT NULL AND nv IS NOT NULL
                THEN pv + (b - pb) * (nv - pv) / (nb - pb) END AS ival
            FROM w)
-         SELECT 'click' AS metric, b AS ts, round(sum(ival), 4) AS value
+         SELECT 'click' AS metric, b AS ts, (sign(sum(ival)) * floor(abs(sum(ival)) * 10000 + 0.5) / 10000) AS value
          FROM iv GROUP BY b ORDER BY ts""",
 
     "q08_rate" ->
@@ -1276,7 +1367,7 @@ object SparkEntry {
            SELECT metric, tag_user, tag_k, b AS ts,
              (v - lag(v) OVER w) / ((b - lag(b) OVER w) / 1000.0) AS rate
            FROM d WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY b))
-         SELECT metric, tag_user, tag_k, ts, round(rate, 4) AS value
+         SELECT metric, tag_user, tag_k, ts, (sign(rate) * floor(abs(rate) * 10000 + 0.5) / 10000) AS value
          FROM r WHERE rate IS NOT NULL
          ORDER BY tag_user, tag_k, ts""",
 
@@ -1291,8 +1382,9 @@ object SparkEntry {
              lag(v) OVER w AS pv, (b - lag(b) OVER w) / 1000.0 AS dt
            FROM d WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY b))
          SELECT metric, tag_user, tag_k, ts,
-           round(CASE WHEN v - pv < 0 THEN (10000 - pv + v) / dt
-             ELSE (v - pv) / dt END, 4) AS value
+           (sign(CASE WHEN v - pv < 0 THEN (10000 - pv + v) / dt
+             ELSE (v - pv) / dt END) * floor(abs(CASE WHEN v - pv < 0 THEN (10000 - pv + v) / dt
+             ELSE (v - pv) / dt END) * 10000 + 0.5) / 10000) AS value
          FROM r WHERE pv IS NOT NULL
          ORDER BY tag_user, tag_k, ts""",
 
@@ -1307,7 +1399,7 @@ object SparkEntry {
              lag(v) OVER w AS pv, (b - lag(b) OVER w) / 1000.0 AS dt
            FROM d WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY b))
          SELECT metric, tag_user, tag_k, ts,
-           round((v - pv) / dt, 4) AS value
+           (sign((v - pv) / dt) * floor(abs((v - pv) / dt) * 10000 + 0.5) / 10000) AS value
          FROM r WHERE pv IS NOT NULL AND v - pv >= 0
          ORDER BY tag_user, tag_k, ts""",
 
@@ -1324,7 +1416,7 @@ object SparkEntry {
            SELECT metric, tag_user, tag_k,
              row_number() OVER (ORDER BY score DESC, metric, tag_user, tag_k) AS rk
            FROM scored)
-         SELECT d.metric, d.tag_user, d.tag_k, d.ts, round(d.value, 4) AS value
+         SELECT d.metric, d.tag_user, d.tag_k, d.ts, (sign(d.value) * floor(abs(d.value) * 10000 + 0.5) / 10000) AS value
          FROM d JOIN ranked r
            ON d.metric = r.metric AND d.tag_user = r.tag_user
              AND d.tag_k = r.tag_k
@@ -1338,8 +1430,9 @@ object SparkEntry {
            FROM points WHERE metric = 'error'
            GROUP BY metric, tag_user, tag_k, ts - ts % $DAY)
          SELECT metric, tag_user, tag_k, ts,
-           round(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
-             ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS value
+           (sign(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
+             ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * floor(abs(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
+             ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000) AS value
          FROM d ORDER BY tag_user, tag_k, ts""",
 
     "q13_first_diff" ->
@@ -1353,55 +1446,60 @@ object SparkEntry {
              value - lag(value) OVER (PARTITION BY metric, tag_user, tag_k
                ORDER BY ts) AS value
            FROM d)
-         SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+         SELECT metric, tag_user, tag_k, ts, (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
          FROM r WHERE value IS NOT NULL
          ORDER BY tag_user, tag_k, ts""",
 
     "q14_shift_scale_abs" ->
       s"""$O SELECT metric, tag_user, tag_k, ts + $HOUR AS ts,
-           round(abs(value * -2.5), 4) AS value
+           (sign(abs(value * -2.5)) * floor(abs(abs(value * -2.5)) * 10000 + 0.5) / 10000) AS value
          FROM points WHERE metric = 'error'
          ORDER BY ts, tag_user""",
 
     "q15_aggregators" ->
       s"""$O, g AS (
            SELECT metric, ts - ts % $DAY AS ts,
-             round(sum(value), 4) AS sum_v,
-             round(avg(value), 4) AS avg_v,
-             round(min(value), 4) AS min_v,
-             round(max(value), 4) AS max_v,
+             (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v,
+             (sign(avg(value)) * floor(abs(avg(value)) * 10000 + 0.5) / 10000) AS avg_v,
+             (sign(min(value)) * floor(abs(min(value)) * 10000 + 0.5) / 10000) AS min_v,
+             (sign(max(value)) * floor(abs(max(value)) * 10000 + 0.5) / 10000) AS max_v,
              count(value) AS cnt_v,
-             round(stddev_pop(value), 4) AS dev_v,
-             round(sum(value * value), 4) AS sq_v,
-             round(arg_min(value, ts), 4) AS first_v,
-             round(arg_max(value, ts), 4) AS last_v,
-             round(arg_max(value, ts) - arg_min(value, ts), 4) AS diff_v,
+             (sign(stddev_pop(value)) * floor(abs(stddev_pop(value)) * 10000 + 0.5) / 10000) AS dev_v,
+             (sign(sum(value * value)) * floor(abs(sum(value * value)) * 10000 + 0.5) / 10000) AS sq_v,
+             (sign(arg_min(value, ts)) * floor(abs(arg_min(value, ts)) * 10000 + 0.5) / 10000) AS first_v,
+             (sign(arg_max(value, ts)) * floor(abs(arg_max(value, ts)) * 10000 + 0.5) / 10000) AS last_v,
+             (sign(arg_max(value, ts) - arg_min(value, ts)) * floor(abs(arg_max(value, ts) - arg_min(value, ts)) * 10000 + 0.5) / 10000) AS diff_v,
              list_sort(list(value)) AS arr,
-             round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90r7_v,
+             (sign(CAST(quantile_cont(value, 0.9) AS DOUBLE)) * floor(abs(CAST(quantile_cont(value, 0.9) AS DOUBLE)) * 10000 + 0.5) / 10000) AS p90r7_v,
              count(*) AS n
            FROM points GROUP BY metric, ts - ts % $DAY)
          SELECT metric, ts, sum_v, avg_v, min_v, max_v, cnt_v, dev_v, sq_v,
            first_v, last_v, diff_v,
-           round(arr[CAST(floor(n / 2) AS INT) + 1], 4) AS med_v,
-           round(CASE WHEN (n + 1) * 0.9 <= 1 THEN arr[1]
+           (sign(arr[CAST(floor(n / 2) AS INT) + 1]) * floor(abs(arr[CAST(floor(n / 2) AS INT) + 1]) * 10000 + 0.5) / 10000) AS med_v,
+           (sign(CASE WHEN (n + 1) * 0.9 <= 1 THEN arr[1]
              WHEN (n + 1) * 0.9 >= n THEN arr[n]
              ELSE arr[CAST(floor((n + 1) * 0.9) AS INT)]
                + ((n + 1) * 0.9 - floor((n + 1) * 0.9))
                * (arr[CAST(floor((n + 1) * 0.9) AS INT) + 1]
-                  - arr[CAST(floor((n + 1) * 0.9) AS INT)]) END, 4) AS p90r6_v,
+                  - arr[CAST(floor((n + 1) * 0.9) AS INT)]) END) * floor(abs(CASE WHEN (n + 1) * 0.9 <= 1 THEN arr[1]
+             WHEN (n + 1) * 0.9 >= n THEN arr[n]
+             ELSE arr[CAST(floor((n + 1) * 0.9) AS INT)]
+               + ((n + 1) * 0.9 - floor((n + 1) * 0.9))
+               * (arr[CAST(floor((n + 1) * 0.9) AS INT) + 1]
+                  - arr[CAST(floor((n + 1) * 0.9) AS INT)]) END) * 10000 + 0.5) / 10000) AS p90r6_v,
            p90r7_v
          FROM g ORDER BY metric, ts""",
 
     "q16_product" ->
       s"""$O SELECT tag_user, ts - ts % $DAY AS ts,
-           round(product(value / 100.0), 4) AS value
+           (sign(product(value / 100.0)) * floor(abs(product(value / 100.0)) * 10000 + 0.5) / 10000) AS value
          FROM points WHERE metric = 'purchase'
          GROUP BY tag_user, ts - ts % $DAY
          ORDER BY tag_user, ts""",
 
     "q17_last_point" ->
       s"""$O SELECT metric, tag_user, tag_k, max(ts) AS ts,
-           round(arg_max(value, ts), 4) AS value
+           (sign(arg_max(value, ts)) * floor(abs(arg_max(value, ts)) * 10000 + 0.5) / 10000) AS value
          FROM points GROUP BY metric, tag_user, tag_k
          ORDER BY metric, tag_user, tag_k""",
 
@@ -1421,7 +1519,7 @@ object SparkEntry {
            SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
            WHERE metric = 'view' GROUP BY ts - ts % $HOUR)
          SELECT coalesce(c.ts, v.ts) AS ts,
-           round(coalesce(c.v, 0.0) + coalesce(v.v, 0.0), 4) AS value
+           (sign(coalesce(c.v, 0.0) + coalesce(v.v, 0.0)) * floor(abs(coalesce(c.v, 0.0) + coalesce(v.v, 0.0)) * 10000 + 0.5) / 10000) AS value
          FROM c FULL OUTER JOIN v ON c.ts = v.ts
          ORDER BY ts""",
 
@@ -1432,7 +1530,7 @@ object SparkEntry {
          v AS (
            SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
            WHERE metric = 'view' GROUP BY ts - ts % $HOUR)
-         SELECT c.ts AS ts, round(c.v / v.v, 4) AS value
+         SELECT c.ts AS ts, (sign(c.v / v.v) * floor(abs(c.v / v.v) * 10000 + 0.5) / 10000) AS value
          FROM c JOIN v ON c.ts = v.ts
          ORDER BY ts""",
 
@@ -1450,7 +1548,7 @@ object SparkEntry {
              CAST(sum(cnt) OVER (PARTITION BY metric, b) AS DOUBLE) AS total
            FROM h)
          SELECT metric, b AS ts,
-           round(lo + (hi - lo) * (total * 0.9 - (cum - cnt)) / cnt, 4) AS value
+           (sign(lo + (hi - lo) * (total * 0.9 - (cum - cnt)) / cnt) * floor(abs(lo + (hi - lo) * (total * 0.9 - (cum - cnt)) / cnt) * 10000 + 0.5) / 10000) AS value
          FROM c
          WHERE cum >= total * 0.9 AND (cum - cnt) < total * 0.9
          ORDER BY metric, ts""",
@@ -1462,7 +1560,7 @@ object SparkEntry {
          ann AS (
            SELECT ts - $HOUR AS start_ts, ts + $HOUR AS end_ts FROM points
            WHERE metric = 'error' AND value > 95)
-         SELECT s.ts, round(any_value(s.value), 4) AS value,
+         SELECT s.ts, (sign(any_value(s.value)) * floor(abs(any_value(s.value)) * 10000 + 0.5) / 10000) AS value,
            count(a.start_ts) AS n_ann
          FROM sums s LEFT JOIN ann a
            ON s.ts >= a.start_ts AND s.ts <= a.end_ts
@@ -1474,7 +1572,7 @@ object SparkEntry {
              sum(value) AS s, count(value) AS c
            FROM points GROUP BY metric, tag_user, tag_k, ts - ts % $HOUR)
          SELECT metric, tag_user, tag_k, hb - hb % $DAY AS ts,
-           round(sum(s) / sum(c), 4) AS value
+           (sign(sum(s) / sum(c)) * floor(abs(sum(s) / sum(c)) * 10000 + 0.5) / 10000) AS value
          FROM hourly GROUP BY metric, tag_user, tag_k, hb - hb % $DAY
          ORDER BY metric, tag_user, tag_k, ts""",
 
@@ -1486,7 +1584,7 @@ object SparkEntry {
            SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
            WHERE metric = 'view' GROUP BY ts - ts % $HOUR)
          SELECT c.ts AS ts,
-           round(c.v + v.v / 2 - (c.v - v.v) * 0.5, 4) AS value
+           (sign(c.v + v.v / 2 - (c.v - v.v) * 0.5) * floor(abs(c.v + v.v / 2 - (c.v - v.v) * 0.5) * 10000 + 0.5) / 10000) AS value
          FROM c JOIN v ON c.ts = v.ts
          ORDER BY ts""",
 
@@ -1510,7 +1608,7 @@ object SparkEntry {
              AND ts >= ${start - pad} AND ts <= ${end + pad} AND ts >= $T_0120
            GROUP BY tag_user, tag_k, ts - ts % $DAY),
          uni AS (SELECT * FROM old UNION ALL SELECT * FROM fresh)
-         SELECT 'view' AS metric, db AS ts, round(sum(v), 4) AS value
+         SELECT 'view' AS metric, db AS ts, (sign(sum(v)) * floor(abs(sum(v)) * 10000 + 0.5) / 10000) AS value
          FROM uni WHERE db >= $start AND db <= $end
          GROUP BY db ORDER BY ts"""
     },
@@ -1548,7 +1646,7 @@ object SparkEntry {
                THEN pv + (b - pb) * (nv - pv) / (nb - pb) END AS ival
            FROM w)
          SELECT 'click' AS metric, tag_user, b AS ts,
-           round(sum(ival), 4) AS value
+           (sign(sum(ival)) * floor(abs(sum(ival)) * 10000 + 0.5) / 10000) AS value
          FROM iv GROUP BY tag_user, b ORDER BY tag_user, ts""",
 
     "q28_engine_uri" ->
@@ -1557,7 +1655,7 @@ object SparkEntry {
            FROM points
            WHERE metric = 'click' AND tag_user IS NOT NULL
            GROUP BY tag_user, ts - ts % $HOUR)
-         SELECT 'click' AS metric, tag_user, b AS ts, round(v, 4) AS value
+         SELECT 'click' AS metric, tag_user, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
          ORDER BY tag_user, ts""",
 
@@ -1567,7 +1665,7 @@ object SparkEntry {
            FROM points
            WHERE metric = 'click' AND tag_user LIKE '1%2'
            GROUP BY tag_user, ts - ts % $HOUR)
-         SELECT 'click' AS metric, tag_user, b AS ts, round(v, 4) AS value
+         SELECT 'click' AS metric, tag_user, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
          ORDER BY tag_user, ts""",
 
@@ -1577,7 +1675,7 @@ object SparkEntry {
            FROM points
            WHERE metric = 'click' AND tag_user = '1'
            GROUP BY tag_k, ts - ts % $DAY)
-         SELECT 'click' AS metric, b AS ts, round(sum(v), 4) AS value
+         SELECT 'click' AS metric, b AS ts, (sign(sum(v)) * floor(abs(sum(v)) * 10000 + 0.5) / 10000) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
          GROUP BY b ORDER BY ts""",
 
@@ -1588,12 +1686,12 @@ object SparkEntry {
            WHERE metric = 'click' AND tag_user IS NOT NULL
              AND tag_k IN ('10','11','12','13','14','15')
            GROUP BY tag_user, ts - ts % $HOUR)
-         SELECT 'click' AS metric, tag_user, b AS ts, round(v, 4) AS value
+         SELECT 'click' AS metric, tag_user, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
          ORDER BY tag_user, ts""",
 
     "q29_filters_ci" ->
-      s"""$O SELECT metric, tag_user, tag_k, ts, round(value, 4) AS value
+      s"""$O SELECT metric, tag_user, tag_k, ts, (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
          FROM points
          WHERE metric = 'signup' AND lower(tag_user) IN ('1','2','3')
            AND regexp_matches(lower(tag_k), '^1.*$$')
@@ -1606,9 +1704,11 @@ object SparkEntry {
            FROM points WHERE metric = 'purchase'
            GROUP BY metric, tag_user, tag_k, ts - ts % $DAY)
          SELECT metric, tag_user, tag_k, ts,
-           round(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
+           (sign(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
              ORDER BY ts RANGE BETWEEN ${3 * DAY - 1} PRECEDING
-               AND CURRENT ROW), 4) AS value
+               AND CURRENT ROW)) * floor(abs(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
+             ORDER BY ts RANGE BETWEEN ${3 * DAY - 1} PRECEDING
+               AND CURRENT ROW)) * 10000 + 0.5) / 10000) AS value
          FROM d ORDER BY tag_user, tag_k, ts""",
 
     "q31_highest_current" ->
@@ -1624,7 +1724,7 @@ object SparkEntry {
            SELECT metric, tag_user, tag_k,
              row_number() OVER (ORDER BY score DESC, metric, tag_user, tag_k) AS rk
            FROM scored)
-         SELECT d.metric, d.tag_user, d.tag_k, d.ts, round(d.value, 4) AS value
+         SELECT d.metric, d.tag_user, d.tag_k, d.ts, (sign(d.value) * floor(abs(d.value) * 10000 + 0.5) / 10000) AS value
          FROM d JOIN ranked r
            ON d.metric = r.metric AND d.tag_user = r.tag_user
              AND d.tag_k = r.tag_k
@@ -1649,26 +1749,26 @@ object SparkEntry {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv
            FROM j),
          iv AS (SELECT b, coalesce(v, pv) AS ival FROM w)
-         SELECT 'click' AS metric, b AS ts, round(sum(ival), 4) AS value
+         SELECT 'click' AS metric, b AS ts, (sign(sum(ival)) * floor(abs(sum(ival)) * 10000 + 0.5) / 10000) AS value
          FROM iv GROUP BY b ORDER BY ts""",
 
     "q33_explicit_tags" ->
       s"""$O SELECT metric, tag_user, CAST(NULL AS VARCHAR) AS tag_k, ts,
-           round(value, 4) AS value
+           (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
          FROM points
          WHERE metric = 'error' AND CAST(tag_user AS INT) % 2 = 0
          ORDER BY ts, tag_user""",
 
     "q34_not_key" ->
       s"""$O SELECT metric, tag_user, CAST(NULL AS VARCHAR) AS tag_k, ts,
-           round(value, 4) AS value
+           (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
          FROM points
          WHERE metric = 'error' AND CAST(tag_user AS INT) % 2 = 0
          ORDER BY ts, tag_user""",
 
     "q35_run_all" ->
       s"""$O SELECT metric, tag_user, tag_k, $T_0105 AS ts,
-           round(sum(value), 4) AS value
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS value
          FROM points
          WHERE metric = 'purchase' AND ts >= $T_0105 AND ts < $T_0120
          GROUP BY metric, tag_user, tag_k
@@ -1682,7 +1782,7 @@ object SparkEntry {
            FROM points WHERE metric = 'signup'
            GROUP BY metric, tag_user, tag_k,
              epoch_ms(date_trunc('week', make_timestamp(ts * 1000))))
-         SELECT metric, tag_user, tag_k, b AS ts, round(v, 4) AS value
+         SELECT metric, tag_user, tag_k, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d ORDER BY ts, tag_user, tag_k""",
 
     "q51_calendar_month" ->
@@ -1694,7 +1794,7 @@ object SparkEntry {
              sum(value) AS v
            FROM points WHERE metric = 'purchase'
            GROUP BY 1, 2, 3, 4)
-         SELECT metric, tag_user, tag_k, b AS ts, round(v, 4) AS value
+         SELECT metric, tag_user, tag_k, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d ORDER BY ts, tag_user, tag_k""",
 
     "q37_ep90r3" ->
@@ -1712,7 +1812,7 @@ object SparkEntry {
              ELSE round(hh, 0) END AS i0
            FROM h)
          SELECT metric, ts,
-           round(arr[CAST(least(greatest(i0, 1), n) AS INT)], 4) AS p90r3_v,
+           (sign(arr[CAST(least(greatest(i0, 1), n) AS INT)]) * floor(abs(arr[CAST(least(greatest(i0, 1), n) AS INT)]) * 10000 + 0.5) / 10000) AS p90r3_v,
            n AS cnt_v
          FROM idx ORDER BY metric, ts""",
 
@@ -1753,8 +1853,8 @@ object SparkEntry {
          m AS (
            SELECT c.ts AS ts, c.v * v.v AS mult_v
            FROM c JOIN v ON c.ts = v.ts)
-         SELECT d.ts AS ts, round(d.diff_v, 4) AS diff_v,
-           round(m.mult_v, 4) AS mult_v
+         SELECT d.ts AS ts, (sign(d.diff_v) * floor(abs(d.diff_v) * 10000 + 0.5) / 10000) AS diff_v,
+           (sign(m.mult_v) * floor(abs(m.mult_v) * 10000 + 0.5) / 10000) AS mult_v
          FROM d LEFT JOIN m ON d.ts = m.ts
          ORDER BY d.ts""",
 
@@ -1774,7 +1874,7 @@ object SparkEntry {
          SELECT 'dod' AS metric,
            coalesce(cur.tag_user, prev.tag_user) AS tag_user,
            coalesce(cur.b, prev.b) AS ts,
-           round(coalesce(cur.v, 0.0) - coalesce(prev.v, 0.0), 4) AS value
+           (sign(coalesce(cur.v, 0.0) - coalesce(prev.v, 0.0)) * floor(abs(coalesce(cur.v, 0.0) - coalesce(prev.v, 0.0)) * 10000 + 0.5) / 10000) AS value
          FROM cur FULL OUTER JOIN prev
            ON cur.tag_user = prev.tag_user AND cur.b = prev.b
          ORDER BY tag_user, ts"""
@@ -1783,7 +1883,7 @@ object SparkEntry {
     "q58_put_parse" ->
       s"""$O
          SELECT metric, tag_user, tag_k, count(*) AS n,
-           round(sum(value), 4) AS sum_v, min(ts) AS first_ts
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v, min(ts) AS first_ts
          FROM points WHERE tag_k IS NOT NULL
          GROUP BY metric, tag_user, tag_k
          ORDER BY metric, tag_user, tag_k""",
@@ -1795,7 +1895,7 @@ object SparkEntry {
            WHERE metric = 'click' AND tag_user IS NOT NULL
            GROUP BY tag_user, ts - ts % $HOUR)
          SELECT 'user.' || tag_user || '.clicks' AS metric, tag_user,
-           b AS ts, round(v, 4) AS value
+           b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
          ORDER BY tag_user, ts""",
 
@@ -1815,14 +1915,14 @@ object SparkEntry {
              row_number() OVER (ORDER BY score DESC, tag_user) AS rk
            FROM scored)
          SELECT 'topviews' AS metric, c.tag_user, c.b AS ts,
-           round(c.v, 4) AS value
+           (sign(c.v) * floor(abs(c.v) * 10000 + 0.5) / 10000) AS value
          FROM clipped c JOIN ranked r ON c.tag_user = r.tag_user
          WHERE r.rk <= 3
          ORDER BY c.tag_user, ts""",
 
     "q42_filters_ci_real" ->
       s"""$O SELECT metric, tag_user, concat('K', tag_k) AS tag_k, ts,
-           round(value, 4) AS value
+           (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
          FROM points
          WHERE metric = 'click'
            AND lower(concat('K', tag_k)) IN ('k1','k2','k3','k10','k11')
@@ -1845,7 +1945,7 @@ object SparkEntry {
              CAST(sum(cnt) OVER (PARTITION BY metric, b) AS DOUBLE) AS total
            FROM h)
          SELECT metric, b AS ts,
-           round(lo + (hi - lo) * (total * (pt / 100) - (cum - cnt)) / cnt, 4)
+           (sign(lo + (hi - lo) * (total * (pt / 100) - (cum - cnt)) / cnt) * floor(abs(lo + (hi - lo) * (total * (pt / 100) - (cum - cnt)) / cnt) * 10000 + 0.5) / 10000)
              AS value,
            CAST(pt AS DOUBLE) AS ptile
          FROM c CROSS JOIN (VALUES (CAST(50.0 AS DOUBLE)),
@@ -1861,7 +1961,7 @@ object SparkEntry {
            SELECT ts - ts % $HOUR AS ts, sum(value) AS v FROM points
            WHERE metric = 'purchase' GROUP BY ts - ts % $HOUR)
          SELECT coalesce(c.ts, p.ts) AS ts,
-           round(coalesce(c.v, 0.0) - coalesce(p.v, 0.0), 4) AS value
+           (sign(coalesce(c.v, 0.0) - coalesce(p.v, 0.0)) * floor(abs(coalesce(c.v, 0.0) - coalesce(p.v, 0.0)) * 10000 + 0.5) / 10000) AS value
          FROM c FULL OUTER JOIN p ON c.ts = p.ts
          ORDER BY ts""",
 
@@ -1881,7 +1981,7 @@ object SparkEntry {
            SELECT tag_user, b, rate FROM r
            WHERE rate IS NOT NULL AND b >= $start AND b <= $end)
          SELECT 'purchase' AS metric, tag_user, b AS ts,
-           round(sum(rate), 4) AS value
+           (sign(sum(rate)) * floor(abs(sum(rate)) * 10000 + 0.5) / 10000) AS value
          FROM c GROUP BY tag_user, b ORDER BY tag_user, ts"""
     },
 
@@ -1914,7 +2014,7 @@ object SparkEntry {
          sel AS (SELECT tag_user, tag_k FROM c
            GROUP BY tag_user, tag_k
            ORDER BY count(*) DESC, tag_user, tag_k LIMIT 1)
-         SELECT c.ts, round(c.value, 4) AS value
+         SELECT c.ts, (sign(c.value) * floor(abs(c.value) * 10000 + 0.5) / 10000) AS value
          FROM c JOIN sel ON c.tag_user = sel.tag_user
            AND c.tag_k = sel.tag_k
          ORDER BY ts, value""",
@@ -1947,6 +2047,128 @@ object SparkEntry {
            uid
          FROM merged ORDER BY kind, uid""",
 
+    "q79_meta_sync_uid" ->
+      s"""$O, f AS (SELECT * FROM points WHERE metric IN ('click','signup')),
+         names AS (
+           SELECT 'metric' AS kind, metric AS name, min(ts) AS earliest
+           FROM f GROUP BY metric
+           UNION ALL
+           SELECT 'tagk', k, min(ts) FROM f
+             CROSS JOIN (VALUES ('user'), ('k')) t(k) GROUP BY k
+           UNION ALL
+           SELECT 'tagv', v, min(ts) FROM (
+             SELECT tag_user AS v, ts FROM f WHERE tag_user IS NOT NULL
+             UNION ALL
+             SELECT tag_k, ts FROM f WHERE tag_k IS NOT NULL) GROUP BY v),
+         reg AS (
+           SELECT kind, name,
+             dense_rank() OVER (PARTITION BY kind ORDER BY name) AS uid
+           FROM (SELECT DISTINCT kind, name FROM names)),
+         d AS (SELECT n.kind, n.name, n.earliest, r.uid
+               FROM names n LEFT JOIN reg r USING (kind, name)),
+         stored AS (
+           SELECT kind, name, uid, 9999999999999 AS created
+           FROM reg WHERE kind = 'metric'
+           UNION ALL SELECT 'metric', 'ghost', 999, 123),
+         j AS (SELECT coalesce(d.kind, s.kind) AS kind,
+                 coalesce(d.name, s.name) AS name,
+                 coalesce(d.uid, s.uid) AS uid,
+                 d.earliest, s.created AS stored_created
+               FROM d FULL OUTER JOIN stored s
+                 ON d.kind = s.kind AND d.uid = s.uid)
+         SELECT kind, name, uid,
+           CASE WHEN stored_created IS NULL THEN earliest
+                WHEN earliest IS NOT NULL AND stored_created > earliest
+                  THEN earliest
+                ELSE stored_created END AS created,
+           CASE WHEN earliest IS NULL THEN 'orphan'
+                WHEN stored_created IS NULL THEN 'created'
+                WHEN stored_created > earliest THEN 'fixed_created'
+                ELSE 'ok' END AS status
+         FROM j ORDER BY kind, name""",
+
+    "q80_meta_sync_ts" ->
+      s"""$O, f AS (SELECT * FROM points WHERE metric = 'purchase'),
+         d AS (
+           SELECT metric || '|k=' || coalesce(tag_k, '-')
+               || ',user=' || coalesce(tag_user, '-') AS tsuid,
+             min(ts) AS earliest
+           FROM f GROUP BY 1),
+         stored AS (
+           SELECT DISTINCT metric || '|k=' || coalesce(tag_k, '-')
+               || ',user=' || coalesce(tag_user, '-') AS tsuid,
+             9999999999999 AS created
+           FROM f WHERE tag_user = '1'
+           UNION ALL SELECT 'purchase|k=-,user=ghost', 123),
+         j AS (SELECT coalesce(d.tsuid, s.tsuid) AS tsuid,
+                 d.earliest, s.created AS stored_created
+               FROM d FULL OUTER JOIN stored s ON d.tsuid = s.tsuid)
+         SELECT tsuid,
+           CASE WHEN stored_created IS NULL THEN earliest
+                WHEN earliest IS NOT NULL AND stored_created > earliest
+                  THEN earliest
+                ELSE stored_created END AS created,
+           CASE WHEN earliest IS NULL THEN 'orphan'
+                WHEN stored_created IS NULL THEN 'created'
+                WHEN stored_created > earliest THEN 'fixed_created'
+                ELSE 'ok' END AS status
+         FROM j ORDER BY tsuid""",
+
+    // canonical tsuid = metric|k=<k>,user=<u> (sorted tag keys, null→'-')
+    "q76_tree_collisions" ->
+      s"""$O, series AS (
+           SELECT DISTINCT metric, tag_user, tag_k,
+             metric || '|k=' || coalesce(tag_k, '-')
+               || ',user=' || coalesce(tag_user, '-') AS tsuid
+           FROM points),
+         leafed AS (
+           SELECT tsuid, metric || '/' || tag_user AS path
+           FROM series WHERE tag_user IS NOT NULL),
+         w AS (SELECT path, min(tsuid) AS existing_tsuid
+               FROM leafed GROUP BY path)
+         SELECT l.tsuid, w.existing_tsuid, l.path
+         FROM leafed l JOIN w USING (path)
+         WHERE l.tsuid <> w.existing_tsuid
+         ORDER BY tsuid""",
+
+    "q77_tree_notmatched" ->
+      s"""$O, stranded AS (
+           SELECT metric, tag_user,
+             CASE WHEN CAST(tag_user AS INT) % 3 = 0 THEN NULL
+                  ELSE tag_k END AS tag_k
+           FROM points),
+         series AS (
+           SELECT DISTINCT metric, tag_user, tag_k,
+             metric || '|k=' || coalesce(tag_k, '-')
+               || ',user=' || coalesce(tag_user, '-') AS tsuid
+           FROM stranded)
+         SELECT tsuid, concat_ws(' ',
+             CASE WHEN tag_user IS NULL THEN '[1:1:0:TAGK]' END,
+             CASE WHEN tag_k IS NULL THEN '[1:2:0:TAGK]' END) AS message
+         FROM series WHERE tag_user IS NULL OR tag_k IS NULL
+         ORDER BY tsuid""",
+
+    "q78_tree_test" ->
+      s"""$O, series AS (
+           SELECT DISTINCT metric, tag_user, tag_k,
+             metric || '|k=' || coalesce(tag_k, '-')
+               || ',user=' || coalesce(tag_user, '-') AS tsuid
+           FROM points WHERE metric = 'click')
+         SELECT * FROM (
+           SELECT tsuid, CAST(0 AS INT) AS level, CAST(0 AS INT) AS "order",
+             '[1:0:0:METRIC]' AS rule, metric AS value,
+             true AS tried, true AS matched
+           FROM series
+           UNION ALL
+           SELECT tsuid, 1, 0, '[1:1:0:TAGK]', CAST(NULL AS VARCHAR),
+             true, false
+           FROM series
+           UNION ALL
+           SELECT tsuid, 1, 1, '[1:1:1:TAGK]', tag_user,
+             true, tag_user IS NOT NULL
+           FROM series)
+         ORDER BY tsuid, level, "order" """,
+
     "q40_tree" ->
       s"""$O SELECT * FROM (
            SELECT 1 AS depth, metric AS path, metric AS name, '' AS parent,
@@ -1961,7 +2183,7 @@ object SparkEntry {
 
     "q60_put_json" ->
       s"""$O SELECT metric, tag_user, count(*) AS n,
-           round(sum(value), 4) AS sum_v
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v
          FROM points WHERE metric IN ('click', 'view')
          GROUP BY metric, tag_user ORDER BY metric, tag_user""",
 
@@ -1975,11 +2197,11 @@ object SparkEntry {
          SELECT metric, tag_user, count(*) AS n,
            CAST(sum(CASE WHEN is_int THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
            CAST(sum(value_l) AS BIGINT) AS sum_l,
-           round(sum(value), 4) AS sum_v
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v
          FROM mixed GROUP BY metric, tag_user ORDER BY metric, tag_user""",
 
     "q62_mimmin_group" ->
-      s"""$O SELECT metric, ts - ts % $HOUR AS ts, round(min(value), 4) AS value
+      s"""$O SELECT metric, ts - ts % $HOUR AS ts, (sign(min(value)) * floor(abs(min(value)) * 10000 + 0.5) / 10000) AS value
          FROM points GROUP BY metric, ts - ts % $HOUR
          ORDER BY metric, ts""",
 
@@ -1989,13 +2211,13 @@ object SparkEntry {
            FROM points WHERE metric = 'signup' AND tag_k IS NOT NULL
              AND ts >= $T_0105 AND ts < $T_0120
            GROUP BY metric, ts, tag_user, tag_k)
-         SELECT metric, count(*) AS n, round(sum(value), 4) AS sum_v
+         SELECT metric, count(*) AS n, (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v
          FROM uniq GROUP BY metric ORDER BY metric""",
 
     "q64_stream_rollup" ->
       s"""$O SELECT metric, ts - ts % $HOUR AS ts, count(*) AS n,
-           round(sum(value), 4) AS sum_v, round(min(value), 4) AS min_v,
-           round(max(value), 4) AS max_v
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v, (sign(min(value)) * floor(abs(min(value)) * 10000 + 0.5) / 10000) AS min_v,
+           (sign(max(value)) * floor(abs(max(value)) * 10000 + 0.5) / 10000) AS max_v
          FROM points
          WHERE metric = 'error' AND ts >= $T_0105 AND ts < $T_0120
          GROUP BY metric, ts - ts % $HOUR ORDER BY metric, ts""",
@@ -2023,7 +2245,7 @@ object SparkEntry {
            WHERE metric = 'purchase'
              AND ts >= $T_0105 AND ts < ${T_0105 + 7 * DAY})
          SELECT metric, tag_user, tag_k, w AS ts,
-           round(avg(value), 4) AS avg_v, count(*) AS n
+           (sign(avg(value)) * floor(abs(avg(value)) * 10000 + 0.5) / 10000) AS avg_v, count(*) AS n
          FROM sl GROUP BY metric, tag_user, tag_k, w
          ORDER BY metric, tag_user, tag_k, ts""",
 
@@ -2032,7 +2254,7 @@ object SparkEntry {
            SELECT metric, ts - ts % $HOUR AS ts, tag_user, sum(value) AS v
            FROM points WHERE metric = 'click' GROUP BY 1, 2, 3)
          SELECT metric, '1h' AS interval, 'sum' AS aggregator,
-           count(*) AS n, round(sum(v), 4) AS sum_v
+           count(*) AS n, (sign(sum(v)) * floor(abs(sum(v)) * 10000 + 0.5) / 10000) AS sum_v
          FROM h GROUP BY metric ORDER BY metric""",
 
     "q70_histogram_json" ->
@@ -2044,7 +2266,7 @@ object SparkEntry {
 
     "q71_compact" ->
       s"""$O SELECT metric, tag_user, count(*) AS n,
-           round(sum(value), 4) AS sum_v,
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v,
            min(ts) AS first_ts, max(ts) AS last_ts,
            TRUE AS compacted
          FROM points WHERE metric = 'view' AND tag_k IS NOT NULL
@@ -2054,7 +2276,7 @@ object SparkEntry {
     // (it survives), so the tag predicate coalesces to FALSE
     "q72_query_delete" ->
       s"""$O SELECT metric, tag_user, count(*) AS n,
-           round(sum(value), 4) AS sum_v,
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v,
            min(ts) AS first_ts, max(ts) AS last_ts
          FROM points
          WHERE NOT (metric = 'click'
@@ -2084,7 +2306,7 @@ object SparkEntry {
            SELECT metric, tag_user, tag_k, ts, max(value) AS value
            FROM clean GROUP BY metric, tag_user, tag_k, ts)
          SELECT metric, tag_user, count(*) AS n,
-           round(sum(value), 4) AS sum_v
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v
          FROM resolved GROUP BY metric, tag_user
          ORDER BY metric, tag_user"""
   )

@@ -170,6 +170,129 @@ object Trees {
     build(prepared, levels, strictMatch)
   }
 
+  /** The reference's per-rule log/trace tag (TreeRule.toString,
+    * src/tree/TreeRule.java:227: `[tree:level:order:TYPE]`). */
+  private def ruleTag(r: Rule): String =
+    s"[${r.treeId}:${r.level}:${r.order}:${r.ruleType.toUpperCase}]"
+
+  /** Default human-readable TSUID surrogate: metric + sorted k=v tag
+    * pairs (null tag values render as `-`). Deterministic in any SQL
+    * engine, unlike the xxhash64 series_id. */
+  def canonicalTsuid: Column =
+    concat_ws("|", col("metric"),
+      concat_ws(",", transform(array_sort(map_entries(col("tags"))),
+        e => concat(e.getField("key"), lit("="),
+          coalesce(e.getField("value"), lit("-"))))))
+
+  /** The tree plus the two failure side-channels the reference stores
+    * next to it (src/tree/Tree.java:64-68, TreeBuilder.java:48). */
+  case class BuildReport(tree: DataFrame, collisions: DataFrame,
+                         notMatched: DataFrame)
+
+  /**
+   * [[buildFromRules]] plus the side outputs a user debugging tree
+   * rules reaches for (reference `/api/tree/collisions|notmatched`,
+   * src/tsd/TreeRpc.java; recorded via Tree.addCollision /
+   * addNotMatched):
+   *
+   *  - `collisions` (tsuid, existing_tsuid, path): series whose
+   *    full-depth path equals another series' path — the reference's
+   *    leaf-hash collision (Branch.addLeaf, src/tree/Branch.java:
+   *    238-252). The reference keeps whichever TSUID its meta sync
+   *    happened to process first; a relational build has no arrival
+   *    order, so the winner is the MIN tsuid — deterministic and
+   *    re-run-stable.
+   *  - `notMatched` (tsuid, message): series with no value at one or
+   *    more levels; the message space-joins the failed levels' rule
+   *    tags exactly as TreeBuilder accumulates them
+   *    (`not_matched += " " + rule`, TreeBuilder.java:647-650 — the
+   *    LAST rule tried on the failed level).
+   *
+   * The reference flushes not-matched only under strict_match +
+   * store-failures; here both channels are always computed and the
+   * caller decides what to persist. Both are grouped/joined on the
+   * full path — one shuffle each, no pair joins, scale-safe.
+   */
+  def buildReport(series: DataFrame, rulesTable: DataFrame, treeId: Int,
+                  uidMeta: Option[DataFrame] = None,
+                  strictMatch: Boolean = false,
+                  tsuid: Column = canonicalTsuid): BuildReport = {
+    val rules = rulesFor(rulesTable, treeId)
+    require(rules.nonEmpty, s"tree $treeId has no rules")
+    require(uidMeta.isDefined || !rules.exists(isCustom),
+      s"tree $treeId has *_CUSTOM rules but no uidMeta table was given")
+    val prepared = uidMeta match {
+      case Some(m) => withCustomSources(series, rules, m)
+      case None => series
+    }
+    val byLevel = rules.groupBy(_.level).toSeq.sortBy(_._1)
+    val levelCols = byLevel.map { case (_, rs) =>
+      coalesce(rs.sortBy(_.order).map(compileRule): _*) }
+    val lastRuleTags = byLevel.map { case (_, rs) =>
+      ruleTag(rs.sortBy(_.order).last) }
+    val n = levelCols.length
+    val leveled = prepared
+      .select(tsuid.as("__tsuid") +:
+        levelCols.zipWithIndex.map { case (c, i) => c.as(s"__l$i") }: _*)
+      .distinct()
+    val fullDepth = (0 until n).map(i => col(s"__l$i").isNotNull)
+      .reduce(_ && _)
+    val notMatched = leveled.filter(!fullDepth)
+      .select(col("__tsuid").as("tsuid"),
+        concat_ws(" ", (0 until n).map(i =>
+          when(col(s"__l$i").isNull, lit(lastRuleTags(i)))): _*)
+          .as("message"))
+    val full = leveled.filter(fullDepth)
+      .withColumn("path",
+        concat_ws("/", (0 until n).map(i => col(s"__l$i")): _*))
+    val winners = full.groupBy("path")
+      .agg(min(col("__tsuid")).as("existing_tsuid"))
+    val collisions = full.join(winners, Seq("path"))
+      .filter(col("__tsuid") =!= col("existing_tsuid"))
+      .select(col("__tsuid").as("tsuid"), col("existing_tsuid"), col("path"))
+    BuildReport(build(prepared, levelCols, strictMatch), collisions,
+      notMatched)
+  }
+
+  /**
+   * `/api/tree/test` — run series through a tree's rules WITHOUT
+   * storing, returning the per-rule trace the reference's testing mode
+   * compiles (TreeBuilder.testMessage / TreeRpc handleTest): one row
+   * per (series, rule) with the extracted value, whether the rule was
+   * even tried (an earlier-order rule on the level already matched —
+   * "rules on a given level are ORd", TreeBuilder.java:637-641), and
+   * whether it matched.
+   */
+  def testRun(series: DataFrame, rulesTable: DataFrame, treeId: Int,
+              uidMeta: Option[DataFrame] = None,
+              tsuid: Column = canonicalTsuid): DataFrame = {
+    val rules = rulesFor(rulesTable, treeId)
+    require(rules.nonEmpty, s"tree $treeId has no rules")
+    val prepared = uidMeta match {
+      case Some(m) => withCustomSources(series, rules, m)
+      case None => series
+    }
+    val base = prepared
+      .select(tsuid.as("__tsuid") +:
+        rules.zipWithIndex.map { case (r, i) => compileRule(r).as(s"__v$i") }: _*)
+      .distinct()
+    rules.zipWithIndex.map { case (r, i) =>
+      // tried ⇔ every earlier-order rule on the same level missed
+      val earlier = rules.zipWithIndex.filter { case (e, _) =>
+        e.level == r.level && e.order < r.order }
+      val tried = earlier.map { case (_, j) => col(s"__v$j").isNull }
+        .foldLeft(lit(true))(_ && _)
+      base.select(
+        col("__tsuid").as("tsuid"),
+        lit(r.level).as("level"),
+        lit(r.order).as("order"),
+        lit(ruleTag(r)).as("rule"),
+        col(s"__v$i").as("value"),
+        tried.as("tried"),
+        (tried && col(s"__v$i").isNotNull).as("matched"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Rule: level from the metric name, optionally a dot-split component
     * (reference METRIC rule with separator). */
   def metricRule(component: Int = -1): Column =

@@ -1,6 +1,6 @@
 package graft.meta
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -104,6 +104,22 @@ object Uids {
     registry.filter(col("kind") === kind && col("name") === name)
       .select("uid")
 
+  /**
+   * `tsd uid delete <kind> <name>` — remove a (kind, name, uid) mapping
+   * from the registry (reference src/tools/UidManager.java:417-436
+   * delete subcommand → TSDB.deleteUidAsync, which drops both the
+   * forward and reverse rows — one relational row here). Mirrors
+   * [[rename]]'s error contract: deleting an absent name is a request
+   * error, not a no-op.
+   */
+  def delete(registry: DataFrame, kind: String, name: String): DataFrame = {
+    validate(kind, name)
+    val k = col("kind") === kind && col("name") === name
+    require(registry.filter(k).take(1).nonEmpty,
+      s"""Name("$name") does not exist""")
+    registry.filter(!k)
+  }
+
   // ---- UIDMeta / TSMeta CRUD ------------------------------------------
   //
   // Reference UIDMeta (src/meta/UIDMeta.java: uid+type identity with
@@ -141,4 +157,90 @@ object Uids {
                        id: Seq[String]): DataFrame =
     table.join(edits.select(id.map(col): _*), id, "left_anti")
       .unionByName(edits)
+
+  // ---- MetaSync / MetaPurge -------------------------------------------
+  //
+  // Reference src/tools/MetaSync.java:40-50 (scan the data table,
+  // create missing TSMeta/UIDMeta, fix wrong "created" times — the
+  // earliest detected timestamp wins) and src/tools/MetaPurge.java
+  // (drop meta rows). One relational pass each: the data side reduces
+  // to (identity, earliest) under a single shuffle, the stored table
+  // full-outer-joins on the identity, and every row is labeled
+  //   ok | created | fixed_created | orphan
+  // `orphan` (stored meta no data backs — MetaPurge's target) is kept
+  // and flagged; [[purgeOrphans]] drops it.
+
+  /**
+   * Reconcile a STORED UIDMeta table — (kind, name, uid, created) —
+   * against the points table. `registry` supplies name→uid (a data-
+   * derived [[Introspect.uidRegistry]] or the CRUD-maintained table).
+   * The reference only ever moves `created` EARLIER (a later stored
+   * time is wrong by construction; an earlier one may predate retained
+   * data), so `fixed_created` fires only on stored > earliest-in-data.
+   */
+  def syncUidMeta(points: DataFrame, registry: DataFrame,
+                  stored: DataFrame): DataFrame = {
+    val names = points
+      .select(lit("metric").as("kind"), col("metric").as("name"), col("ts"))
+      .unionByName(points.select(lit("tagk").as("kind"),
+        explode(map_keys(col("tags"))).as("name"), col("ts")))
+      .unionByName(points.select(lit("tagv").as("kind"),
+        explode(map_values(col("tags"))).as("name"), col("ts")))
+      .filter(col("name").isNotNull)
+      .groupBy("kind", "name").agg(min(col("ts")).as("earliest"))
+    val dataSide = names.join(registry, Seq("kind", "name"), "left")
+    val j = dataSide.join(
+      stored.withColumnRenamed("name", "stored_name")
+        .withColumnRenamed("created", "stored_created"),
+      Seq("kind", "uid"), "full_outer")
+    val out = j.select(
+      col("kind"),
+      coalesce(col("name"), col("stored_name")).as("name"),
+      col("uid"),
+      when(col("stored_created").isNull, col("earliest"))
+        .when(col("earliest").isNotNull &&
+          col("stored_created") > col("earliest"), col("earliest"))
+        .otherwise(col("stored_created")).as("created"),
+      when(col("earliest").isNull, lit("orphan"))
+        .when(col("stored_created").isNull, lit("created"))
+        .when(col("stored_created") > col("earliest"), lit("fixed_created"))
+        .otherwise(lit("ok")).as("status"))
+    SearchPlugins.each(_.indexUidMeta(
+      out.filter(col("status").isin("created", "fixed_created"))))
+    out
+  }
+
+  /**
+   * Reconcile a STORED TSMeta table — (tsuid, created) — against the
+   * points table. `tsuid` names the series; defaults to the engine's
+   * hex series hash, overridable with any deterministic surrogate
+   * (e.g. [[Trees.canonicalTsuid]]).
+   */
+  def syncTsMeta(points: DataFrame, stored: DataFrame,
+                 tsuid: Column = hex(graft.model.Points.seriesId(
+                   col("metric"), col("tags")))): DataFrame = {
+    val dataSide = points.select(tsuid.as("tsuid"), col("ts"))
+      .groupBy("tsuid").agg(min(col("ts")).as("earliest"))
+    val j = dataSide.join(
+      stored.withColumnRenamed("created", "stored_created"),
+      Seq("tsuid"), "full_outer")
+    val out = j.select(
+      col("tsuid"),
+      when(col("stored_created").isNull, col("earliest"))
+        .when(col("earliest").isNotNull &&
+          col("stored_created") > col("earliest"), col("earliest"))
+        .otherwise(col("stored_created")).as("created"),
+      when(col("earliest").isNull, lit("orphan"))
+        .when(col("stored_created").isNull, lit("created"))
+        .when(col("stored_created") > col("earliest"), lit("fixed_created"))
+        .otherwise(lit("ok")).as("status"))
+    SearchPlugins.each(_.indexTsMeta(
+      out.filter(col("status").isin("created", "fixed_created"))))
+    out
+  }
+
+  /** MetaPurge: drop the rows [[syncUidMeta]]/[[syncTsMeta]] flagged as
+    * data-less (reference src/tools/MetaPurge.java). */
+  def purgeOrphans(synced: DataFrame): DataFrame =
+    synced.filter(col("status") =!= "orphan")
 }

@@ -673,6 +673,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("metric", 1L, "Clicks")).toDF("kind", "uid", "displayName"))
     assert(meta2.collect().map(_.getString(2)).toSeq == Seq("Clicks"))
     assert(Uids.deleteUidMeta(meta2, "metric", 1L).isEmpty)
+
+    // `tsd uid delete`: mapping removed; absent name is a request error
+    val reg4 = Uids.delete(reg3, "metric", "clicks")
+    assert(Uids.resolve(reg4, "metric", "clicks").isEmpty)
+    assert(intercept[IllegalArgumentException](
+      Uids.delete(reg4, "metric", "clicks")
+    ).getMessage.contains("does not exist"))
+  }
+
+  test("MetaSync reconciles stored meta against data; MetaPurge drops orphans") {
+    import spark.implicits._
+    import graft.meta.Uids
+    val points = Seq(
+      ("cpu", 100L, 1.0, Map("host" -> "a")),
+      ("cpu", 50L, 2.0, Map("host" -> "a")),
+      ("mem", 200L, 3.0, Map("host" -> "b")))
+      .toDF("metric", "ts", "value", "tags")
+    val registry = Seq(
+      ("metric", "cpu", 1L), ("metric", "mem", 2L),
+      ("tagk", "host", 1L), ("tagv", "a", 1L), ("tagv", "b", 2L))
+      .toDF("kind", "name", "uid")
+    // stored: cpu has a WRONG (too-late) created; ghost backs no data;
+    // everything else is missing
+    val stored = Seq(
+      ("metric", "cpu", 1L, 5000L),
+      ("metric", "ghost", 99L, 42L))
+      .toDF("kind", "name", "uid", "created")
+    val synced = Uids.syncUidMeta(points, registry, stored)
+    val byName = synced.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("created"), r.getString(4))).toMap
+    assert(byName(("metric", "cpu")) == ((50L, "fixed_created")))
+    assert(byName(("metric", "mem")) == ((200L, "created")))
+    assert(byName(("metric", "ghost")) == ((42L, "orphan")))
+    assert(byName(("tagk", "host")) == ((50L, "created")))
+    assert(byName(("tagv", "b")) == ((200L, "created")))
+    assert(Uids.purgeOrphans(synced).filter(col("name") === "ghost").isEmpty)
+
+    // an EARLIER stored created is preserved (may predate retained data)
+    val stored2 = Seq(("metric", "cpu", 1L, 10L))
+      .toDF("kind", "name", "uid", "created")
+    val ok = Uids.syncUidMeta(points, registry, stored2)
+      .filter(col("name") === "cpu").head()
+    assert(ok.getAs[Long]("created") == 10L && ok.getString(4) == "ok")
+
+    // TSMeta side with the canonical tsuid surrogate
+    val ts = Uids.syncTsMeta(points,
+      Seq(("cpu|host=a", 5000L), ("gone|host=z", 7L))
+        .toDF("tsuid", "created"),
+      graft.meta.Trees.canonicalTsuid)
+    val m = ts.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("created"), r.getString(2))).toMap
+    assert(m("cpu|host=a") == ((50L, "fixed_created")))
+    assert(m("mem|host=b") == ((200L, "created")))
+    assert(m("gone|host=z") == ((7L, "orphan")))
   }
 
   test("tree rule CRUD: stored rules drive the branch build") {
@@ -714,6 +768,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown tree id fails fast
     intercept[IllegalArgumentException](
       Trees.buildFromRules(series, rules, 9))
+  }
+
+  test("tree buildReport emits collision and not-matched side-channels") {
+    import spark.implicits._
+    import graft.meta.Trees
+    // web01/web02 collide on path sys/east (reference Branch.addLeaf
+    // leaf-hash collision); the host-less series strands at level 1
+    val series = Seq(
+      ("sys.cpu", Map("host" -> "web01", "dc" -> "east")),
+      ("sys.cpu", Map("host" -> "web02", "dc" -> "east")),
+      ("sys.cpu", Map("host" -> "web03")))
+      .toDF("metric", "tags")
+    var rules = Trees.emptyRules(spark)
+    rules = Trees.upsertRule(rules, Trees.Rule(1, 0, 0, "METRIC"))
+    rules = Trees.upsertRule(rules, Trees.Rule(1, 1, 0, "TAGK", field = "dc"))
+    val rep = Trees.buildReport(series, rules, 1)
+    val col0 = rep.collisions.collect()
+    assert(col0.length == 1)
+    // deterministic winner = MIN tsuid: web01 sorts before web02
+    assert(col0(0).getAs[String]("tsuid").contains("web02"))
+    assert(col0(0).getAs[String]("existing_tsuid").contains("web01"))
+    assert(col0(0).getAs[String]("path") == "sys.cpu/east")
+    val nm = rep.notMatched.collect()
+    assert(nm.length == 1)
+    assert(nm(0).getAs[String]("tsuid").contains("web03"))
+    // message = the failed level's LAST rule tag (TreeBuilder.java:647)
+    assert(nm(0).getAs[String]("message") == "[1:1:0:TAGK]")
+    // the tree itself is unchanged by reporting
+    assert(rep.tree.count() ==
+      Trees.buildFromRules(series, rules, 1).count())
+  }
+
+  test("tree testRun traces per-rule values with level fallback") {
+    import spark.implicits._
+    import graft.meta.Trees
+    val series = Seq(
+      ("sys.cpu", Map("host" -> "web01", "dc" -> "east")),
+      ("sys.cpu", Map("host" -> "web02")))
+      .toDF("metric", "tags")
+    var rules = Trees.emptyRules(spark)
+    rules = Trees.upsertRule(rules, Trees.Rule(1, 0, 0, "METRIC"))
+    rules = Trees.upsertRule(rules, Trees.Rule(1, 1, 0, "TAGK", field = "dc"))
+    rules = Trees.upsertRule(rules, Trees.Rule(1, 1, 1, "TAGK", field = "host"))
+    val trace = Trees.testRun(series, rules, 1).collect()
+      .map(r => (r.getAs[String]("tsuid"), r.getAs[String]("rule")) ->
+        (r.getAs[String]("value"), r.getAs[Boolean]("tried"),
+          r.getAs[Boolean]("matched"))).toMap
+    val t1 = trace.keys.map(_._1).find(_.contains("east")).get
+    val t2 = trace.keys.map(_._1).find(!_.contains("east")).get
+    // series 1: dc matches at order 0, so the host fallback is NOT tried
+    assert(trace((t1, "[1:1:0:TAGK]")) == (("east", true, true)))
+    assert(trace((t1, "[1:1:1:TAGK]"))._2 == false)
+    // series 2: dc misses, host fallback tried and matched
+    assert(trace((t2, "[1:1:0:TAGK]")) == ((null, true, false)))
+    assert(trace((t2, "[1:1:1:TAGK]")) == (("web02", true, true)))
   }
 
   test("tree *_CUSTOM rules read UID meta custom maps (TestTreeBuilder)") {
@@ -962,6 +1071,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cpu/a@1000 deleted; cpu/a@5000 out of range survives; b and mem stay
     assert(left == Set(("cpu", 5000L, 2.0), ("cpu", 1000L, 3.0),
       ("mem", 1000L, 4.0)))
+  }
+
+  test("wildcard delete on a high-cardinality metric never forces a broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import graft.query.{QueryParser, TsQuery}
+    // a wildcard delete matches EVERY series of the metric — at 100 TB
+    // that set is unbounded, so the matched-series side must not carry
+    // an explicit broadcast hint (AQE decides from runtime stats)
+    val p = (0 until 5000).map(i => ("cpu", 1000L + i, i.toDouble, s"h$i"))
+      .toDF("metric", "ts", "value", "host")
+      .select(col("metric"), col("ts"), col("value"),
+        lit(null).cast("long").as("value_l"), lit(false).as("is_int"),
+        map(lit("host"), col("host")).as("tags"))
+    val q = TsQuery(0L, 2000L, Seq.empty)
+    val sub = QueryParser.parseSubQuery("sum:cpu{host=wildcard(h*)}")
+    val del = Engine.deletePoints(p, q, sub)
+    val hints = del.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, "deletePoints must not force a broadcast of the matched-series set")
+    // semantics still hold: in-range rows of matched series are gone
+    assert(del.count() == 5000 - 1000 - 1)
   }
 
   test("serializeV1 attaches globalAnnotations when requested") {
