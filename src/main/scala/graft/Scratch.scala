@@ -79,6 +79,35 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--sq8q")) {
+      // large-|Q| SQ8 serving probe (the bench's s15 runs |Q|=20; the
+      // decode-inlining question only shows at a real query load):
+      // |Q|=1000 against the corpus at this sfDir, min of two warm
+      // passes. The plan-level guarantee (decode below the join,
+      // PlansSpec) makes per-pair decode impossible; this measures the
+      // scan+score cost actually scaling in |corpus|×|Q| pairs.
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.Similarity
+      val nq = args.drop(1).headOption.map(_.toInt).getOrElse(1000)
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      val bounds = Similarity.sqTrain(e, "embedding", dim)
+      val codes = Similarity.sqEncode(e, "embedding", bounds)
+        .select("vec_id", "codes").persist()
+      println(s"corpus=${codes.count()} dim=$dim |Q|=$nq")
+      val q = e.limit(nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .persist()
+      q.count()
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.sqTopK(codes, q, 5, bounds).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SQ8Q sfDir=$sfDir |Q|=$nq min=${times.min}%.2f s passes=${times.map(t => f"$t%.2f").mkString(",")}")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--recall")) {
       // mean recall@5 of IVF-PQ serving vs exact ground truth across
       // configs — evidence the s13 eval's knobs (cells, nprobe, m, k)

@@ -28,20 +28,90 @@ object Downsample {
   def bucket(ts: Column, spec: DownsampleSpec, queryStartMs: Long = 0L,
              tz: String = "UTC"): Column = {
     if (spec.intervalMs == 0L) lit(queryStartMs) // run_all
-    else if (spec.calendar) {
-      val unit = spec.calendarUnit match {
-        case "d" => "DAY"
-        case "w" => "WEEK"
-        case "n" => "MONTH"
-        case "y" => "YEAR"
-        case "h" => "HOUR"
-        case "m" => "MINUTE"
-        case "s" => "SECOND"
-        case _   => "DAY"
-      }
-      val local = from_utc_timestamp(timestamp_millis(ts), tz)
-      unix_millis(to_utc_timestamp(date_trunc(unit, local), tz))
-    } else (ts - (ts % spec.intervalMs))
+    else if (spec.calendar) calendarBucket(ts, spec, tz)
+    else (ts - (ts % spec.intervalMs))
+  }
+
+  /** Normalize a calendar-unit token to (canonical unit, unit millis).
+    * Same dispatch as TimeUtils.parseDuration (reference DateTime
+    * .parseDuration / unitsToCalendarType): `ms` is special-cased, then
+    * the LAST character decides — preserving the reference's lenient
+    * "min" = month quirk. Unknown units are an error, never a silent
+    * DAY fallback. */
+  private def calUnit(u: String): (Char, Long) = {
+    val lc = u.toLowerCase
+    require(lc.nonEmpty, "empty calendar unit")
+    if (lc == "ms" ||
+        (lc.length >= 2 && lc.endsWith("s") && lc.charAt(lc.length - 2) == 'm'))
+      ('x', 1L) // 'x' = milliseconds
+    else lc.last match {
+      case 's' => ('s', 1000L)
+      case 'm' => ('m', 60000L)
+      case 'h' => ('h', 3600000L)
+      case 'd' => ('d', 86400000L)
+      case 'w' => ('w', 7L * 86400000L)
+      case 'n' => ('n', 30L * 86400000L)
+      case 'y' => ('y', 365L * 86400000L)
+      case c => throw new IllegalArgumentException(
+        s"unsupported calendar downsample unit: $u")
+    }
+  }
+
+  /**
+   * Count-aware calendar snapping, mirroring the reference's
+   * DateTime.previousInterval (src/utils/DateTime.java:450-611) exactly:
+   * pick a calendar base boundary at or below the point — the parent
+   * unit's truncation when the count divides the parent (e.g. 5m within
+   * the hour), a coarser boundary otherwise (23s → top of hour, 90m →
+   * top of day, 5h → top of month, multi-day → top of year) — then step
+   * `count` units forward from the base and floor. Time units (ms/s/m/h)
+   * step in exact elapsed millis (Calendar.add on a time field); date
+   * units step in calendar days/months (local-midnight preserving).
+   * Week intervals floor to the week start with the count ignored, as
+   * the reference hardcodes (`interval_override = 7`, DateTime.java:576).
+   * Month/year bases reset at each year start (the shared
+   * MONTH/YEAR case truncates to Jan 1), so e.g. 5n boundaries are
+   * Jan/Jun/Nov of every year.
+   */
+  private def calendarBucket(ts: Column, spec: DownsampleSpec,
+                             tz: String): Column = {
+    val (u, unitMs) = calUnit(spec.calendarUnit)
+    val i = (spec.intervalMs / unitMs).toInt
+    val local = from_utc_timestamp(timestamp_millis(ts), tz)
+    def toUtcMs(t: Column) = unix_millis(to_utc_timestamp(t, tz))
+    // elapsed-ms stepping from a local calendar boundary
+    def stepMs(baseUnit: String, stepSize: Long) = {
+      val base = toUtcMs(date_trunc(baseUnit, local))
+      base + floor((ts - base) / stepSize).cast("long") * stepSize
+    }
+    u match {
+      case 'x' => if (1000 % i == 0) stepMs("SECOND", i.toLong)
+                  else stepMs("MINUTE", i.toLong)
+      case 's' => if (60 % i == 0) stepMs("MINUTE", i * 1000L)
+                  else stepMs("HOUR", i * 1000L)
+      case 'm' => if (60 % i == 0) stepMs("HOUR", i * 60000L)
+                  else stepMs("DAY", i * 60000L)
+      case 'h' => if (24 % i == 0) stepMs("DAY", i * 3600000L)
+                  else stepMs("MONTH", i * 3600000L)
+      case 'd' =>
+        if (i == 1) toUtcMs(date_trunc("DAY", local))
+        else {
+          // calendar-day stepping from Jan 1: local midnights i days apart
+          val yearStart = date_trunc("YEAR", local).cast("date")
+          val off = floor(datediff(local.cast("date"), yearStart) / i)
+            .cast("int") * i
+          toUtcMs(date_add(yearStart, off).cast("timestamp"))
+        }
+      case 'w' => toUtcMs(date_trunc("WEEK", local))
+      case 'n' =>
+        if (i == 1) toUtcMs(date_trunc("MONTH", local))
+        else {
+          val yearStart = date_trunc("YEAR", local)
+          val off = floor((month(local) - 1) / i).cast("int") * i
+          toUtcMs(add_months(yearStart, off).cast("timestamp"))
+        }
+      case 'y' => toUtcMs(date_trunc("YEAR", local))
+    }
   }
 
   /**

@@ -52,25 +52,37 @@ object JsonQuery {
     require(end >= start,
       s"End time [$end] must be greater than or equal to the start time [$start]")
     val subs0 = root.get("queries").elements().asScala.map(parseSub).toSeq
+    // reference TSQuery.validateAndSetQuery: a non-empty timezone must
+    // resolve whenever any sub-query carries a downsampler, with or
+    // without use_calendar (the reference's DateTime.timezones map is
+    // keyed by java.util.TimeZone ids, so three-letter ids like 'EST'
+    // are accepted — TimeZone.getTimeZone-compatible resolution, not
+    // the stricter ZoneId.of)
+    val tzName = root.path("timezone").asText("")
+    if (tzName.nonEmpty && subs0.exists(_.downsample.isDefined) &&
+        java.util.TimeZone.getTimeZone(tzName).getID != tzName)
+      throw new IllegalArgumentException(
+        "The timezone specification could not be found")
     // query-level useCalendar (reference TSQuery.validateAndSetQuery
     // :203-207): flips every PRESENT downsampler to calendar alignment
     // in the query timezone — equivalent to the spec's `c` suffix, with
-    // the unit taken from the interval's own unit (the engine's
-    // calendar trunc, like the reference's, is exact for 1-unit
-    // intervals — 1m/1h/1d/1w/1n/1y). Subs without a downsampler are
-    // untouched (validateVerifyNoDSOverrideWithCalendar). An unknown
-    // timezone is a request error only when it would drive a
-    // downsampler, as in the reference.
+    // the interval count and unit taken from the spec's own interval
+    // token (Downsample.calendarBucket does the reference's
+    // count-aware previousInterval snapping). A spec that is ALREADY
+    // calendar-suffixed keeps its parsed unit — setUseCalendar(true)
+    // on an already-calendar spec is a no-op in the reference. Subs
+    // without a downsampler are untouched.
     val subs =
       if (!root.path("useCalendar").asBoolean(false)) subs0
       else subs0.map { s =>
         s.downsample match {
           case None => s
+          case Some(d) if d.calendar => s
           case Some(d) =>
-            val tzName = root.path("timezone").asText("UTC")
-            try java.util.TimeZone.getTimeZone(java.time.ZoneId.of(tzName))
-            catch { case _: Exception => throw new IllegalArgumentException(
-              "The timezone specification could not be found") }
+            // the unit token off the interval part of the ORIGINAL
+            // spec ('500ms-avg' → 'ms', '1min-sum' → 'min' with the
+            // reference's month quirk; both are normalized by
+            // Downsample's parseDuration-compatible unit dispatch)
             val unit = d.spec.split("-")(0).dropWhile(_.isDigit) match {
               case "" => "m"
               case u  => u

@@ -34,6 +34,11 @@ object Serdes {
       throw new IllegalArgumentException("Unable to parse the given JSON")
     import scala.jdk.CollectionConverters._
     node.fields().asScala.map { e =>
+      // a nested object/array value fails Jackson's binding to
+      // HashMap<String,String> in the reference — same client error
+      // here, never a silent "" coercion
+      if (e.getValue.isContainerNode)
+        throw new IllegalArgumentException("Unable to parse the given JSON")
       e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)
     }.toMap
   }

@@ -16,6 +16,24 @@ import org.apache.spark.sql.types._
  * src/tools/TextImporter.java:40) and `spark.readStream` (live
  * ingest) — the batch/streaming split costs nothing.
  */
+
+/**
+ * Normalize plugin point (reference src/normalize/NormalizePlugin.java:
+ * `normalizeTags(Map<String,String>)` — a point-rewrite hook applied
+ * to every incoming point's tag map). Spark-native shape: the
+ * registered hook is a `Column => Column` rewrite of the parsed `tags`
+ * map column, applied inside parsePutLines/parsePutJson after parsing
+ * and BEFORE validation (so a normalizer may repair tags), fusing into
+ * the parse projection under whole-stage codegen — zero extra passes,
+ * unlike a per-row callback. Default is identity.
+ */
+object NormalizePlugins {
+  @volatile private var rewrite: Column => Column = identity
+  def register(f: Column => Column): Unit = { rewrite = f }
+  def reset(): Unit = { rewrite = identity }
+  private[sources] def apply(tags: Column): Column = rewrite(tags)
+}
+
 object Ingest {
 
   /** Charset rule for metric/tagk/tagv (reference Tags.validateString:
@@ -59,8 +77,8 @@ object Ingest {
       .withColumn("tags",
         // get(), not getItem(): a tag token without '=' must yield a
         // null value (→ _error below), not an ANSI array-index error
-        map_from_entries(transform(tagPairs, p =>
-          struct(get(split(p, "="), lit(0)), get(split(p, "="), lit(1))))))
+        NormalizePlugins(map_from_entries(transform(tagPairs, p =>
+          struct(get(split(p, "="), lit(0)), get(split(p, "="), lit(1)))))))
       // Strict tag-token shape (reference Tags.parse, src/core/Tags.java
       // :128-144 throws on anything but exactly one '=' with non-empty
       // sides): 'a=b=c' and 'a=' / '=b' must route to _error, not
@@ -106,7 +124,7 @@ object Ingest {
         when(col("dp.value").rlike("^-?\\d+$"),
           expr("try_cast(dp.value AS BIGINT)")).as("value_l"),
         col("dp.value").rlike("^-?\\d+$").as("is_int"),
-        col("dp.tags").as("tags"))
+        NormalizePlugins(col("dp.tags")).as("tags"))
   }
 
   /** JSON body schema of /api/rollup (reference

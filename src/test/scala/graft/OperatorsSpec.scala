@@ -480,6 +480,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == 1704092400000L)
   }
 
+  test("calendar downsample honors the interval count (previousInterval)") {
+    // 12:07:33 UTC → 5-minute calendar buckets snap to 12:05, not 12:07
+    // truncation and not 1-minute buckets
+    val t = 1704197253000L // 2024-01-02T12:07:33Z
+    def b(spec: String, tz: String = "UTC") =
+      Downsample(pointsDf(Seq(("m", t, 1.0, host("a")))),
+        DownsampleSpec.parse(spec), None, tz).select("ts")
+        .collect()(0).getLong(0)
+    assert(b("5mc-sum") == 1704197100000L)  // 12:05:00
+    assert(b("2hc-sum") == 1704196800000L)  // 12:00 (24%2==0, day base)
+    assert(b("30sc-sum") == 1704197250000L) // 12:07:30
+    // 90m does not divide the hour → steps from local midnight
+    assert(b("90mc-sum") == 1704196800000L) // midnight + 8*90m = 12:00
+    // multi-day steps from Jan 1 (reference: top-of-year base)
+    assert(b("7dc-sum") == 1704067200000L)  // 2024-01-01T00:00Z
+    // 5-month boundaries are Jan/Jun/Nov of each year
+    val june = 1720000000000L // 2024-07-03
+    assert(Downsample(pointsDf(Seq(("m", june, 1.0, host("a")))),
+      DownsampleSpec.parse("5nc-sum"), None, "UTC").select("ts")
+      .collect()(0).getLong(0) == 1717200000000L) // 2024-06-01
+    // ms-unit calendar spec buckets at its real granularity, not DAY
+    assert(b("500msc-sum") == 1704197253000L)
+    // count-aware snapping in a non-UTC tz: 90m steps from LOCAL
+    // midnight — Denver (UTC-7) midnight = 07:00Z, +3×90m → 11:30Z
+    assert(b("90mc-sum", "America/Denver") == 1704195000000L)
+  }
+
   // ---- rate ----------------------------------------------------------
 
   test("rate, counter rollover, dropResets (TestRateSpan goldens)") {

@@ -422,6 +422,44 @@ class ParserSpec extends AnyFunSuite {
          "queries":[{"aggregator":"sum","metric":"m",
                      "downsample":"1h-avg"}]}""")
       .getMessage.contains("timezone specification"))
+    // ...and WITHOUT useCalendar too (reference validateAndSetQuery
+    // checks the tz whenever a downsampler is present)
+    assert(bad(
+      """{"start":1356998400,"end":1356998460,
+         "timezone":"Not/AZone",
+         "queries":[{"aggregator":"sum","metric":"m",
+                     "downsample":"1h-avg"}]}""")
+      .getMessage.contains("timezone specification"))
+    // three-letter java.util.TimeZone ids like EST are accepted (the
+    // reference's DateTime.timezones map covers all available ids)
+    assert(JsonQuery.parse(
+      """{"start":1356998400,"end":1356998460,
+         "timezone":"EST",
+         "queries":[{"aggregator":"sum","metric":"m",
+                     "downsample":"1h-avg"}]}""", now).timezone == "EST")
+    // useCalendar on an ALREADY-calendar spec is a no-op: the parsed
+    // unit survives ('1hc' must stay 'h', not become the garbage 'hc')
+    val pre = JsonQuery.parse(
+      """{"start":1356998400,"end":1356998460,"useCalendar":true,
+         "queries":[{"aggregator":"sum","metric":"m",
+                     "downsample":"1hc-avg"}]}""", now)
+      .queries.head.downsample.get
+    assert(pre.calendar && pre.calendarUnit == "h")
+    // ms intervals keep their real unit instead of collapsing to DAY
+    val msu = JsonQuery.parse(
+      """{"start":1356998400,"end":1356998460,"useCalendar":true,
+         "queries":[{"aggregator":"sum","metric":"m",
+                     "downsample":"500ms-avg"}]}""", now)
+      .queries.head.downsample.get
+    assert(msu.calendar && msu.calendarUnit == "ms" && msu.intervalMs == 500L)
+    // the reference's lenient '1min' = 1 month quirk flows through
+    val minu = JsonQuery.parse(
+      """{"start":1356998400,"end":1356998460,"useCalendar":true,
+         "queries":[{"aggregator":"sum","metric":"m",
+                     "downsample":"1min-sum"}]}""", now)
+      .queries.head.downsample.get
+    assert(minu.calendar && minu.calendarUnit == "min" &&
+      minu.intervalMs == 30L * 86400000L)
   }
 
   test("/api/query/exp POJO body: parse, compile, validate") {
@@ -510,6 +548,12 @@ class ParserSpec extends AnyFunSuite {
       .getMessage.contains("Missing message content"))
     // parseSuggestV1NotJSON → parse error
     assert(bad(Serdes.parseSuggest("This is unparsable"))
+      .getMessage.contains("Unable to parse the given JSON"))
+    // nested object/array values fail the HashMap<String,String>
+    // binding in the reference — same error, never a silent ""
+    assert(bad(Serdes.parseSuggest("""{"type":{"x":1}}"""))
+      .getMessage.contains("Unable to parse the given JSON"))
+    assert(bad(Serdes.parseSuggest("""{"type":["metrics"]}"""))
       .getMessage.contains("Unable to parse the given JSON"))
 
     // parseUidRenameV1 family — same contract

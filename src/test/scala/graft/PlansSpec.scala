@@ -156,6 +156,33 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SQ8 decode stays below the query join: per-vector, never per-pair") {
+    // sqTopK binds the decode (codes -> floats, the '/ 255.0' subtree)
+    // to a column BEFORE the query cross join. If an optimizer rewrite
+    // ever inlined it into the post-join score expression, the decode
+    // would run once per (query, vector) PAIR — |Q|× the work at a
+    // real query load. Assert every decode expression lives in a join
+    // CHILD subtree of the optimized logical plan, for both the flat
+    // (s15) and cell-pruned (s16) forms.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    val sf = "/root/testdata/sf0.001"
+    for (n <- Seq("s15_sq8_topk", "s16_ivf_sq8")) {
+      val lp = SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan
+      val joinChildren = lp.collect { case j: Join => j }.flatMap(_.children)
+      assert(joinChildren.nonEmpty, s"$n: expected a query join")
+      val decodeNodes = lp.collect {
+        case p: LogicalPlan
+          if p.expressions.exists(_.toString.contains("/ 255.0")) => p
+      }
+      assert(decodeNodes.nonEmpty, s"$n: decode expression not found")
+      decodeNodes.foreach { p =>
+        assert(joinChildren.exists(c =>
+          c.collect { case x if x eq p => x }.nonEmpty),
+          s"$n: decode inlined ABOVE the query join (per-pair decode)")
+      }
+    }
+  }
+
   test("md5_prefix60 is registered as a SQL function by the extension") {
     val r = spark.sql(
       "SELECT md5_prefix60('hello world') AS h").collect()(0).getLong(0)

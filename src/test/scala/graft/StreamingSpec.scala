@@ -287,6 +287,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exists(r => r._3 < r._2))
   }
 
+  test("frozen ref sets refresh mid-stream: post-swap arrivals screen on the new table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Dedup
+    // corpus A: only 'aaa bbb ccc' is boilerplate (df=2 in source s).
+    // corpus B grows with docs repeating 'xxx yyy zzz' — a refit picks
+    // the new segment up. The screen is STATELESS, so the documented
+    // swap is stop → recompute ref sets offline → restart the
+    // transform; this proves arrivals after the swap strip segments
+    // only the NEW table knows.
+    val corpusA = Seq(
+      (1L, "s", "aaa bbb ccc one two three"),
+      (2L, "s", "aaa bbb ccc four five six"))
+      .toDF("doc_id", "source", "text")
+    val corpusB = corpusA.unionByName(Seq(
+      (3L, "s", "xxx yyy zzz seven eight nine"),
+      (4L, "s", "xxx yyy zzz ten eleven twelve"))
+      .toDF("doc_id", "source", "text"))
+    val refA = Dedup.boilerplateRefSets(corpusA, "text", "doc_id", "source",
+      width = 3, minDf = 2)
+    val refB = Dedup.boilerplateRefSets(corpusB, "text", "doc_id", "source",
+      width = 3, minDf = 2)
+    val mem = MemoryStream[(Long, String, String)]
+    def start(ref: org.apache.spark.sql.DataFrame, sink: String) =
+      Dedup.streamBoilerplateStrip(
+          mem.toDF().toDF("doc_id", "source", "text"),
+          "text", "doc_id", "source", ref, width = 3)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+    // phase 1 under refA: the xxx-segment doc passes UNstripped
+    val q1 = start(refA, "swap_phase1")
+    mem.addData((10L, "s", "xxx yyy zzz pre swap words"))
+    q1.processAllAvailable(); q1.stop()
+    val pre = spark.table("swap_phase1")
+      .filter(col("id") === 10L).head
+    assert(pre.getAs[Long]("n_kept") == pre.getAs[Long]("n_seg"))
+    // refit + restart under refB: the SAME content now strips
+    val q2 = start(refB, "swap_phase2")
+    mem.addData((11L, "s", "xxx yyy zzz post swap words"))
+    q2.processAllAvailable(); q2.stop()
+    val post = spark.table("swap_phase2")
+      .filter(col("id") === 11L).head
+    assert(post.getAs[Long]("n_kept") == post.getAs[Long]("n_seg") - 1)
+    assert(!post.getAs[String]("clean_text").contains("xxx"))
+    // and the old boilerplate still strips after the swap
+    mem.addData((12L, "s", "aaa bbb ccc still stripped here"))
+    val q3 = start(refB, "swap_phase3")
+    q3.processAllAvailable(); q3.stop()
+    val old = spark.table("swap_phase3")
+      .filter(col("id") === 12L).head
+    assert(!old.getAs[String]("clean_text").contains("aaa"))
+  }
+
   test("streaming DSIR scoring under a frozen ratio table == batch weights") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1053,6 +1106,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.count(_ == null) == 1)
     assert(errs.contains("too few fields"))
     assert(errs.contains("bad tag"))
+  }
+
+  test("normalize plugin rewrites tags at ingest (put line + JSON round-trip)") {
+    import spark.implicits._
+    import graft.sources.{Ingest, NormalizePlugins}
+    try {
+      // reference NormalizePlugin.normalizeTags: here lowercase keys
+      // and rewrite a legacy tag value
+      NormalizePlugins.register(tags =>
+        transform_values(transform_keys(tags, (k, _) => lower(k)),
+          (_, v) => when(v === "web-one", "web01").otherwise(v)))
+      val parsed = Ingest.parsePutLines(
+        Seq("put cpu 1700000000 1 HOST=web-one DC=east").toDF("value"))
+      val m = parsed.select("tags").head.getMap[String, String](0)
+      assert(m == Map("host" -> "web01", "dc" -> "east"))
+      assert(parsed.select("_error").head.isNullAt(0))
+      // q58-style JSON round-trip under the same normalizer
+      val body = Seq(
+        """{"metric":"cpu","timestamp":1700000000,"value":"2",
+           "tags":{"HOST":"web-one"}}""").toDF("value")
+      val viaJson = Ingest.parsePutJson(body).select("tags").head
+        .getMap[String, String](0)
+      assert(viaJson == Map("host" -> "web01"))
+    } finally NormalizePlugins.reset()
+    // default is identity
+    val raw = Ingest.parsePutLines(
+      Seq("put cpu 1700000000 1 HOST=web-one").toDF("value"))
+      .select("tags").head.getMap[String, String](0)
+    assert(raw == Map("HOST" -> "web-one"))
   }
 
   test("delete-by-query removes only matched series in range") {
