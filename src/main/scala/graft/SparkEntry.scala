@@ -898,6 +898,19 @@ object SparkEntry {
         .orderBy("tsuid", "level", "order")
     }),
 
+    // §2.6 COUNT-AWARE calendar snapping (reference DateTime
+    // .previousInterval): 90-minute buckets step from LOCAL midnight
+    // in a DST-observing timezone — neither fixed epoch-modulo
+    // bucketing nor unit truncation produces these boundaries
+    "q81_calendar_90m" -> ((s, dir) => {
+      val df = pts(s, dir).filter(col("metric") === "view")
+      flat(Downsample(df, DownsampleSpec.parse("90mc-avg"),
+          tz = "America/Denver"))
+        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("ts", "tag_user", "tag_k")
+    }),
+
     // §2.3/§2.8 INTERSECTION join: divideSeries(click, view)
     "q21_intersect_divide" -> ((s, dir) => {
       def hourly(m: String) = Interpolate.aggregate(
@@ -1795,6 +1808,22 @@ object SparkEntry {
            FROM points WHERE metric = 'purchase'
            GROUP BY 1, 2, 3, 4)
          SELECT metric, tag_user, tag_k, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
+         FROM d ORDER BY ts, tag_user, tag_k""",
+
+    "q81_calendar_90m" ->
+      s"""$O, b AS (
+           SELECT metric, tag_user, tag_k, ts, value,
+             epoch_ms(timezone('America/Denver', date_trunc('day',
+               timezone('America/Denver',
+                 timezone('UTC', make_timestamp(ts * 1000)))))) AS mid
+           FROM points WHERE metric = 'view'),
+         d AS (
+           SELECT metric, tag_user, tag_k,
+             mid + ((ts - mid) // 5400000) * 5400000 AS bts,
+             avg(value) AS v
+           FROM b GROUP BY 1, 2, 3, 4)
+         SELECT metric, tag_user, tag_k, bts AS ts,
+           (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d ORDER BY ts, tag_user, tag_k""",
 
     "q37_ep90r3" ->
