@@ -480,6 +480,73 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == 1704092400000L)
   }
 
+  test("calendar snapping matches reference previousInterval goldens") {
+    // ported from /root/reference/test/utils/TestDateTime.java:549-960
+    // (previousIntervalMilliseconds/Seconds/Minutes/Hours/Days/Months/
+    // Years incl. the 30m/45m-offset timezones). Week goldens are NOT
+    // ported: the reference anchors weeks at Calendar.getFirstDayOfWeek
+    // — a JVM-locale property (its test pins Locale.US/Sunday) — while
+    // the engine uses ISO Monday weeks, the only locale-independent
+    // choice an oracle can express.
+    val DST = 1450152145123L     // 2015-12-15T04:02:25.123Z
+    val NON = 1431699673432L     // 2015-05-15T13:41:13.432Z
+    def b(ts: Long, spec: String, tz: String = "UTC") =
+      Downsample(pointsDf(Seq(("m", ts, 1.0, host("a")))),
+        DownsampleSpec.parse(spec), None, tz).select("ts")
+        .collect()(0).getLong(0)
+    // milliseconds: interval 1 = identity; 100 floors within the second
+    assert(b(DST, "1msc-sum") == DST)
+    assert(b(DST, "100msc-sum") == 1450152145100L)
+    assert(b(1450152145000L, "100msc-sum") == 1450152145000L)
+    // seconds: 60000s doesn't divide the minute → top-of-hour base
+    assert(b(DST, "60000sc-sum") == 1450152000000L)
+    assert(b(NON, "60000sc-sum") == 1431698400000L)
+    // minutes: 30 divides; 29 is odd → top-of-day base
+    assert(b(DST, "30mc-sum") == 1450152000000L)
+    assert(b(NON, "30mc-sum") == 1431698400000L)
+    assert(b(1431698400000L, "30mc-sum") == 1431698400000L)
+    assert(b(NON, "29mc-sum") == 1431698460000L)
+    assert(b(DST, "29mc-sum") == 1450151520000L)
+    assert(b(DST, "120mc-sum") == 1450152000000L)
+    // 30m-offset (Asia/Kabul) and 45m-offset (Pacific/Chatham) zones
+    assert(b(DST, "30mc-sum", "Asia/Kabul") == 1450152000000L)
+    assert(b(NON, "15mc-sum", "Asia/Kabul") == 1431699300000L)
+    assert(b(DST, "30mc-sum", "Pacific/Chatham") == 1450151100000L)
+    assert(b(NON, "30mc-sum", "Pacific/Chatham") == 1431699300000L)
+    // hours: 12 divides the day; 15 and 36 step from the month start
+    assert(b(DST, "12hc-sum") == 1450137600000L)
+    assert(b(NON, "12hc-sum") == 1431691200000L)
+    assert(b(NON, "15hc-sum") == 1431680400000L)
+    assert(b(DST, "15hc-sum") == 1450116000000L)
+    assert(b(DST, "36hc-sum") == 1450094400000L)
+    assert(b(NON, "36hc-sum") == 1431604800000L)
+    assert(b(DST, "12hc-sum", "Asia/Kabul") == 1450121400000L)
+    assert(b(NON, "12hc-sum", "Asia/Kabul") == 1431675000000L)
+    // days: 1 = local midnight (incl. leap day); 7/60 step from Jan 1
+    assert(b(DST, "1dc-sum") == 1450137600000L)
+    assert(b(1330516800000L, "1dc-sum") == 1330473600000L)
+    assert(b(DST, "7dc-sum") == 1449705600000L)
+    assert(b(NON, "7dc-sum") == 1431561600000L)
+    assert(b(DST, "60dc-sum") == 1445990400000L)
+    assert(b(NON, "60dc-sum") == 1430438400000L)
+    assert(b(DST, "1dc-sum", "Pacific/Chatham") == 1450088100000L)
+    assert(b(DST, "1dc-sum", "Pacific/Fiji") == 1450090800000L)
+    // months: quarters, odd 5-month, 24-month → year starts
+    assert(b(DST, "1nc-sum") == 1448928000000L)
+    assert(b(DST, "3nc-sum") == 1443657600000L)
+    assert(b(NON, "3nc-sum") == 1427846400000L)
+    assert(b(DST, "5nc-sum") == 1446336000000L)
+    assert(b(NON, "5nc-sum") == 1420070400000L)
+    assert(b(DST, "24nc-sum") == 1420070400000L)
+    assert(b(DST, "1nc-sum", "Asia/Kabul") == 1448911800000L)
+    assert(b(NON, "1nc-sum", "Pacific/Chatham") == 1430392500000L)
+    // years: any count floors to the local year start
+    assert(b(DST, "1yc-sum") == 1420070400000L)
+    assert(b(NON, "5yc-sum") == 1420070400000L)
+    assert(b(DST, "1yc-sum", "Asia/Kabul") == 1420054200000L)
+    assert(b(DST, "1yc-sum", "Pacific/Chatham") == 1420020900000L)
+  }
+
   test("calendar downsample honors the interval count (previousInterval)") {
     // 12:07:33 UTC → 5-minute calendar buckets snap to 12:05, not 12:07
     // truncation and not 1-minute buckets
