@@ -79,6 +79,64 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--q58")) {
+      import org.apache.spark.sql.functions._
+      def stamp(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"STAGE $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      }
+      stamp("raw")(spark.read.parquet(s"$sfDir/events.parquet").count())
+      val evAll = graft.model.Points.fromEvents(spark, sfDir)
+      stamp("fromEvents")(evAll.count())
+      stamp("fromEvents2")(evAll.count())
+      stamp("tagsOnly")(evAll.select("tags").filter(
+        col("tags").getItem("k").isNotNull).count())
+      val ev = graft.model.Points.fromEvents(spark, sfDir)
+        .filter(col("tags").getItem("k").isNotNull)
+      stamp("scan")(ev.count())
+      val lines = ev.select(concat(
+        lit("put "), col("metric"), lit(" "), col("ts").cast("string"),
+        lit(" "), col("value").cast("string"),
+        lit(" user="), col("tags").getItem("user"),
+        lit(" k="), col("tags").getItem("k")).as("value"))
+      stamp("render")(lines.count())
+      stamp("render2")(lines.count())
+      val parsed = graft.sources.Ingest.parsePutLines(lines)
+      stamp("parse")(parsed.count())
+      stamp("parse2")(parsed.count())
+      stamp("parseAgg")(parsed.filter(col("_error").isNull)
+        .groupBy("metric").agg(sum("value")).count())
+      stamp("parseAgg2")(parsed.filter(col("_error").isNull)
+        .groupBy("metric").agg(sum("value")).count())
+      stamp("valOnly")(parsed.groupBy("metric").agg(sum("value")).count())
+      stamp("tagsAgg")(parsed.select("metric", "tags").groupBy("metric")
+        .agg(count(col("tags"))).count())
+      stamp("errOnly")(parsed.select("_error").filter(col("_error").isNull)
+        .count())
+      // piecewise _error cost: rebuild the parse front half and time
+      // each predicate family separately
+      val p2 = lines.withColumn("parts", split(trim(col("value")), " "))
+      stamp("e_cmd")(p2.select((try_element_at(col("parts"), lit(1)) =!= "put" ||
+        size(col("parts")) < 5).as("e")).filter(!col("e")).count())
+      stamp("e_val")(p2.select(
+        expr("try_cast(element_at(parts, 4) AS DOUBLE)").isNull.as("e"))
+        .filter(!col("e")).count())
+      stamp("e_ts")(p2.select(
+        expr("try_cast(element_at(parts, 3) AS DECIMAL(20,3))").isNull.as("e"))
+        .filter(!col("e")).count())
+      stamp("e_rlike")(p2.select(
+        try_element_at(col("parts"), lit(2)).rlike(graft.sources.Ingest.NAME_RE).as("e"))
+        .filter(col("e")).count())
+      val tagPairs2 = expr("slice(parts, 5, greatest(size(parts) - 4, 0))")
+      stamp("e_tags")(p2.withColumn("tagkv",
+          transform(tagPairs2, p => split(p, "=")))
+        .select(exists(col("tagkv"), p =>
+          size(p) =!= 2 || get(p, lit(0)) === "" || get(p, lit(1)) === "").as("e"))
+        .filter(!col("e")).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--sq8q")) {
       // large-|Q| SQ8 serving probe (the bench's s15 runs |Q|=20; the
       // decode-inlining question only shows at a real query load):

@@ -49,7 +49,13 @@ object Ingest {
    * StorageExceptionHandler plugin).
    */
   def parsePutLines(lines: DataFrame): DataFrame = {
-    val parts = split(trim(col("value")), "\\s+")
+    // single-SPACE split, exactly the reference's telnet word splitter
+    // (WordSplitter.decode → Tags.splitString(line, ' ')): doubled
+    // spaces produce empty tokens that fail the charset/tag checks
+    // below, as they do in the reference. Also the fast path — a
+    // one-char non-meta separator skips per-row Pattern compilation,
+    // where "\\s+" recompiled the regex for every line
+    val parts = split(trim(col("value")), " ")
     // try_element_at, not element_at: under ANSI mode (Spark 4 default)
     // an out-of-bounds index THROWS, so a truncated line like "put m"
     // would abort the whole batch instead of flowing to _error
@@ -74,20 +80,22 @@ object Ingest {
       .withColumn("value", expr("try_cast(value_str AS DOUBLE)"))
       .withColumn("value_l",
         when(col("is_int"), expr("try_cast(value_str AS BIGINT)")))
+      // split each tag token ONCE and reuse: codegen subexpression
+      // elimination does not reach across lambda scopes, so inlining
+      // split(p, "=") into every consumer re-tokenizes 5× per tag
+      .withColumn("tagkv", transform(tagPairs, p => split(p, "=")))
       .withColumn("tags",
         // get(), not getItem(): a tag token without '=' must yield a
         // null value (→ _error below), not an ANSI array-index error
-        NormalizePlugins(map_from_entries(transform(tagPairs, p =>
-          struct(get(split(p, "="), lit(0)), get(split(p, "="), lit(1)))))))
+        NormalizePlugins(map_from_entries(transform(col("tagkv"), p =>
+          struct(get(p, lit(0)), get(p, lit(1)))))))
       // Strict tag-token shape (reference Tags.parse, src/core/Tags.java
       // :128-144 throws on anything but exactly one '=' with non-empty
       // sides): 'a=b=c' and 'a=' / '=b' must route to _error, not
       // silently parse as a truncated tag.
       .withColumn("bad_tag",
-        exists(tagPairs, p =>
-          size(split(p, "=")) =!= 2 ||
-            get(split(p, "="), lit(0)) === "" ||
-            get(split(p, "="), lit(1)) === ""))
+        exists(col("tagkv"), p =>
+          size(p) =!= 2 || get(p, lit(0)) === "" || get(p, lit(1)) === ""))
     // NB: refer to the materialized columns — `value` now holds the
     // parsed double, not the raw line
     parsed.withColumn("_error",

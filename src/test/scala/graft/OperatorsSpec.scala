@@ -547,6 +547,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b(DST, "1yc-sum", "Pacific/Chatham") == 1420020900000L)
   }
 
+  test("calendar hour downsample matches TestDownsampler goldens (offset tz)") {
+    // ported from reference test/core/TestDownsampler.java:419-480
+    // (testDownsampler_calendarHour): six points across two UTC hours,
+    // summed per calendar hour. Funafuti (UTC+12, whole-hour offset)
+    // reproduces the UTC split 6|15; Kabul (+4:30) shifts the bucket
+    // boundaries 30 minutes → 1|9|11, and 4hc collapses all six into
+    // the single bucket at 1356996600000.
+    val B = 1356998400000L
+    val df = pointsDf(Seq(
+      ("m", B, 1.0, host("a")), ("m", B + 1800000L, 2.0, host("a")),
+      ("m", B + 3599000L, 3.0, host("a")), ("m", B + 3600000L, 4.0, host("a")),
+      ("m", B + 5400000L, 5.0, host("a")), ("m", B + 7199000L, 6.0, host("a"))))
+    assert(valuesByTs(Downsample(df, DownsampleSpec.parse("1hc-sum"),
+        None, "Pacific/Funafuti").select("ts", "value")) ==
+      Map(B -> 6.0, (B + 3600000L) -> 15.0))
+    assert(valuesByTs(Downsample(df, DownsampleSpec.parse("1hc-sum"),
+        None, "Asia/Kabul").select("ts", "value")) ==
+      Map(1356996600000L -> 1.0, 1357000200000L -> 9.0,
+        1357003800000L -> 11.0))
+    assert(valuesByTs(Downsample(df, DownsampleSpec.parse("4hc-sum"),
+        None, "Asia/Kabul").select("ts", "value")) ==
+      Map(1356996600000L -> 21.0))
+  }
+
   test("calendar downsample honors the interval count (previousInterval)") {
     // 12:07:33 UTC → 5-minute calendar buckets snap to 12:05, not 12:07
     // truncation and not 1-minute buckets

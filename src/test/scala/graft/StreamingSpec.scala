@@ -1108,6 +1108,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.contains("bad tag"))
   }
 
+  test("doubled spaces in put lines are errors, not whitespace collapse") {
+    import spark.implicits._
+    // the reference's WordSplitter splits on a SINGLE space char
+    // (Tags.splitString(line, ' ')) — "put  cpu ..." yields an empty
+    // token where the metric should be, and fails
+    val parsed = Ingest.parsePutLines(Seq(
+      "put  cpu 1700000000 1 host=a",   // doubled space → empty metric
+      "put cpu 1700000000 1 host=a").toDF("value"))
+      .select("_error").collect().map(_.getString(0))
+    assert(parsed.count(_ == null) == 1)
+    assert(parsed.exists(e => e != null))
+  }
+
   test("normalize plugin rewrites tags at ingest (put line + JSON round-trip)") {
     import spark.implicits._
     import graft.sources.{Ingest, NormalizePlugins}
