@@ -898,6 +898,42 @@ object SparkEntry {
         .orderBy("tsuid", "level", "order")
     }),
 
+    // §2.7+§2.12 streaming per-series rate oracle-backed end-to-end
+    // (previously unit-only): unique click points flow through a file
+    // stream → flatMapGroupsWithState rate (one (ts, value) state pair
+    // per series) → parquet sink; the emitted rates must equal the
+    // lag-window batch formulation exactly
+    "q82_stream_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = pts(s, dir).filter(col("metric") === "click" &&
+          col("tags").getItem("k").isNotNull)
+        .groupBy(col("ts"), col("tags").getItem("user").as("u"),
+          col("tags").getItem("k").as("k"))
+        .agg(max(col("value")).as("value"))
+        .select(lit("click").as("metric"), col("ts"), col("value"),
+          map(lit("user"), col("u"), lit("k"), col("k")).as("tags"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q82_")
+      val src = tmp.resolve("src").toString
+      val out = tmp.resolve("out").toString
+      val cp = tmp.resolve("cp").toString
+      // one file → one micro-batch → no cross-batch stragglers
+      base.coalesce(1).write.parquet(src)
+      val stream = s.readStream.schema(base.schema).parquet(src)
+      val q = graft.sources.Ingest.rateStream(stream)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val ser = graft.model.Points.withSeriesId(base)
+        .select(col("series_id").as("seriesId"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k")).distinct()
+      s.read.parquet(out).join(ser, Seq("seriesId"))
+        .select(col("tag_user"), col("tag_k"), col("ts"),
+          r4(col("rate")).as("rate"))
+        .orderBy("tag_user", "tag_k", "ts")
+    }),
+
     // §2.6 COUNT-AWARE calendar snapping (reference DateTime
     // .previousInterval): 90-minute buckets step from LOCAL midnight
     // in a DST-observing timezone — neither fixed epoch-modulo
@@ -1809,6 +1845,22 @@ object SparkEntry {
            GROUP BY 1, 2, 3, 4)
          SELECT metric, tag_user, tag_k, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d ORDER BY ts, tag_user, tag_k""",
+
+    "q82_stream_rate" ->
+      s"""$O, uniq AS (
+           SELECT ts, tag_user, tag_k, max(value) AS value
+           FROM points WHERE metric = 'click' AND tag_k IS NOT NULL
+           GROUP BY ts, tag_user, tag_k),
+         r AS (
+           SELECT tag_user, tag_k, ts, value,
+             lag(ts) OVER w AS pts, lag(value) OVER w AS pv
+           FROM uniq WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts))
+         SELECT tag_user, tag_k, ts,
+           (sign((value - pv) / ((ts - pts) / 1000.0))
+             * floor(abs((value - pv) / ((ts - pts) / 1000.0)) * 10000 + 0.5)
+             / 10000) AS rate
+         FROM r WHERE pts IS NOT NULL
+         ORDER BY tag_user, tag_k, ts""",
 
     "q81_calendar_90m" ->
       s"""$O, b AS (
