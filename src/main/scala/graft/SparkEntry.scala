@@ -934,6 +934,41 @@ object SparkEntry {
         .orderBy("tag_user", "tag_k", "ts")
     }),
 
+    // §2.1 RT publisher oracle-backed (previously unit-only): the
+    // reference's RTPublisher plugin point (publishDataPoint per
+    // ingested point) as a foreachBatch second consumer — the same
+    // micro-batch feeds the durable sink AND the push target. Here the
+    // "push target" is a parquet dir; its contents must reproduce the
+    // ingested stream exactly
+    "q83_rt_publish" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = pts(s, dir).filter(col("metric") === "view" &&
+          col("tags").getItem("k").isNotNull)
+        .select(col("metric"), col("ts"), col("value"),
+          lit(null).cast("long").as("value_l"), lit(false).as("is_int"),
+          col("tags"))
+      val lines = graft.sources.Export.toPutLines(base)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q83_")
+      val src = tmp.resolve("src").toString
+      val out = tmp.resolve("out").toString
+      val cp = tmp.resolve("cp").toString
+      lines.coalesce(1).write.text(src)
+      val parsed = graft.sources.Ingest.parsePutLines(
+        s.readStream.text(src)).filter(col("_error").isNull)
+      val q = graft.sources.Ingest.withPublisher(parsed,
+          (batch, _) => batch.drop("_error", "value_l", "is_int")
+            .withColumn("tag_user", col("tags").getItem("user"))
+            .drop("tags")
+            .write.mode("append").parquet(out))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy("metric", "tag_user")
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .orderBy("metric", "tag_user")
+    }),
+
     // §2.6 COUNT-AWARE calendar snapping (reference DateTime
     // .previousInterval): 90-minute buckets step from LOCAL midnight
     // in a DST-observing timezone — neither fixed epoch-modulo
@@ -1845,6 +1880,12 @@ object SparkEntry {
            GROUP BY 1, 2, 3, 4)
          SELECT metric, tag_user, tag_k, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d ORDER BY ts, tag_user, tag_k""",
+
+    "q83_rt_publish" ->
+      s"""$O SELECT metric, tag_user, count(*) AS n,
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v
+         FROM points WHERE metric = 'view' AND tag_k IS NOT NULL
+         GROUP BY metric, tag_user ORDER BY metric, tag_user""",
 
     "q82_stream_rate" ->
       s"""$O, uniq AS (
