@@ -934,6 +934,22 @@ object SparkEntry {
         .orderBy("tag_user", "tag_k", "ts")
     }),
 
+    // §2.2/§3.1 the GET /api/query form end-to-end: one query STRING
+    // (date-string times, URL-encoded m= with grouping filter, ms +
+    // show flags) through QueryParser.parseUri → Engine.run — the
+    // same pipeline q28 drives from a pre-built TsQuery
+    "q84_uri_get" -> ((s, dir) => {
+      val (q, flags) = QueryParser.parseUri(
+        "start=2024/01/05-00:00:00&end=2024/01/20-00:00:00&ms" +
+          "&m=zimsum:1h-sum:click%7Buser=*%7D&show_query&no_annotations")
+      require(q.startMs == T_0105 && q.endMs == T_0120 && q.msResolution)
+      require(flags.showQuery && flags.noAnnotations && !flags.showTsuids)
+      Engine.run(pts(s, dir), q, q.queries.head)
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.1 RT publisher oracle-backed (previously unit-only): the
     // reference's RTPublisher plugin point (publishDataPoint per
     // ingested point) as a foreachBatch second consumer — the same
@@ -1880,6 +1896,17 @@ object SparkEntry {
            GROUP BY 1, 2, 3, 4)
          SELECT metric, tag_user, tag_k, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d ORDER BY ts, tag_user, tag_k""",
+
+    // identical semantics to q28 — the GET string must change nothing
+    "q84_uri_get" ->
+      s"""$O, d AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'click' AND tag_user IS NOT NULL
+           GROUP BY tag_user, ts - ts % $HOUR)
+         SELECT 'click' AS metric, tag_user, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
+         FROM d WHERE b >= $T_0105 AND b <= $T_0120
+         ORDER BY tag_user, ts""",
 
     "q83_rt_publish" ->
       s"""$O SELECT metric, tag_user, count(*) AS n,

@@ -195,6 +195,77 @@ object QueryParser {
     out.toSeq
   }
 
+  /** The V1 output flags the GET form carries next to the query
+    * proper (reference QueryRpc.parseQuery boolean params). */
+  case class UriFlags(padding: Boolean = false,
+      noAnnotations: Boolean = false, globalAnnotations: Boolean = false,
+      showTsuids: Boolean = false, showQuery: Boolean = false,
+      showStats: Boolean = false, showSummary: Boolean = false)
+
+  /**
+   * GET /api/query query-string form (reference QueryRpc.parseQuery,
+   * src/tsd/QueryRpc.java:517-605): required `start`, optional `end`,
+   * repeated `m=` and `tsuid=` sub-queries, `ms` resolution and the
+   * V1 presentation flags. The reference reads no timezone from the
+   * GET form (tz is a /q graphing param), so calendar specs align in
+   * UTC exactly as they do there. `now` injected for determinism.
+   */
+  def parseUri(qs: String,
+               now: Long = System.currentTimeMillis()): (TsQuery, UriFlags) = {
+    val params: Map[String, Seq[String]] = qs.stripPrefix("?")
+      .split("&").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else kv.take(i) ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      }.groupMap(_._1)(_._2)
+    def flag(k: String) = params.contains(k)
+    val start = params.get("start").flatMap(_.headOption)
+      .filter(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
+        "Missing parameter <start>"))
+    val startMs = graft.model.TimeUtils.parseDateTime(start, now)
+    val endMs = params.get("end").flatMap(_.headOption).filter(_.nonEmpty)
+      .map(graft.model.TimeUtils.parseDateTime(_, now)).getOrElse(now)
+    require(endMs >= startMs,
+      s"End time [$endMs] must be greater than or equal to the " +
+        s"start time [$startMs]")
+    val subs = params.getOrElse("tsuid", Seq.empty).map(parseTsuidSubQuery) ++
+      params.getOrElse("m", Seq.empty).map(parseSubQuery)
+    require(subs.nonEmpty, "Missing sub queries")
+    (TsQuery(startMs, endMs, subs, msResolution = flag("ms")),
+      UriFlags(flag("padding"), flag("no_annotations"),
+        flag("global_annotations"), flag("show_tsuids"), flag("show_query"),
+        flag("show_stats"), flag("show_summary")))
+  }
+
+  /** `tsuid=` sub-query grammar `agg:[interval-agg:][rate:]tsuid[,s]`
+    * (reference QueryRpc.parseTsuidTypeSubQuery: 2-5 colon parts;
+    * middle stages dispatch on rate-prefix / leading digit /
+    * percentiles, unlike the m= grammar's positional form). */
+  def parseTsuidSubQuery(q: String): SubQuery = {
+    require(q.nonEmpty, "The tsuid query string was empty")
+    val parts = splitTop(q, ':')
+    require(parts.length >= 2 && parts.length <= 5,
+      s"Invalid parameter m=$q (" +
+        (if (parts.length < 2) "not enough" else "too many") +
+        " :-separated parts)")
+    var ds: Option[DownsampleSpec] = None
+    var rate: Option[RateOptions] = None
+    var pcts: Seq[Double] = Seq.empty
+    parts.tail.dropRight(1).foreach { p =>
+      if (p.toLowerCase.startsWith("rate")) rate = Some(parseRate(p))
+      else if (p.nonEmpty && p.head.isDigit) ds = Some(DownsampleSpec.parse(p))
+      else if (p.toLowerCase.startsWith("percentiles[") && p.endsWith("]"))
+        pcts = p.stripPrefix("percentiles[").stripSuffix("]")
+          .split(",").toSeq.filter(_.trim.nonEmpty).map(_.trim.toDouble)
+      else throw new IllegalArgumentException(
+        s"Unrecognized tsuid sub-query stage: $p")
+    }
+    SubQuery(parts.head, metric = "", downsample = ds, rate = rate,
+      percentiles = pcts, tsuids = parts.last.split(",").toSeq)
+  }
+
   /** `rate` or `rate{counter[,max[,reset]]}` / `rate{dropcounter}`
     * (reference src/tsd/QueryRpc.java:745-783). */
   def parseRate(s: String): RateOptions = {

@@ -462,6 +462,38 @@ class ParserSpec extends AnyFunSuite {
       minu.intervalMs == 30L * 86400000L)
   }
 
+  test("GET /api/query query-string form parses queries and flags") {
+    import graft.query.QueryParser
+    val now = 1700000000000L
+    def bad(f: => Any) = intercept[IllegalArgumentException](f)
+    val (q, flags) = QueryParser.parseUri(
+      "?start=1h-ago&m=sum:1m-avg:sys.cpu%7Bhost=web01%7D" +
+        "&m=max:other&ms&show_tsuids&global_annotations", now)
+    assert(q.startMs == now - 3600000L && q.endMs == now)
+    assert(q.msResolution && flags.showTsuids && flags.globalAnnotations)
+    assert(!flags.showQuery && !flags.padding)
+    assert(q.queries.map(_.aggregator) == Seq("sum", "max"))
+    assert(q.queries.head.downsample.get.intervalMs == 60000L)
+    assert(q.queries.head.metric == "sys.cpu")
+    // tsuid= sub-queries: agg:[interval-agg:][rate:]tsuid[,s]
+    val (q2, _) = QueryParser.parseUri(
+      "start=1356998400&tsuid=sum:1h-avg:rate:00A1,00B2", now)
+    val sub = q2.queries.head
+    assert(sub.metric.isEmpty && sub.tsuids == Seq("00A1", "00B2"))
+    assert(sub.rate.isDefined &&
+      sub.downsample.get.intervalMs == 3600000L)
+    // reference errors: missing start, no sub-queries, bad part counts
+    assert(bad(QueryParser.parseUri("m=sum:x", now))
+      .getMessage.contains("Missing parameter <start>"))
+    assert(bad(QueryParser.parseUri("start=1h-ago", now))
+      .getMessage.contains("Missing sub queries"))
+    assert(bad(QueryParser.parseUri("start=1h-ago&tsuid=sum", now))
+      .getMessage.contains("not enough"))
+    assert(bad(QueryParser.parseUri(
+      "start=1h-ago&tsuid=sum:a:b:c:d:00A1", now))
+      .getMessage.contains("too many"))
+  }
+
   test("/api/query/exp POJO body: parse, compile, validate") {
     val now = 1700000000000L
     val q = ExpJsonQuery.parse(
