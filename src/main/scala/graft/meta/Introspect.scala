@@ -58,6 +58,41 @@ object Introspect {
     Seq(("200", "Caches dropped")).toDF("status", "message")
   }
 
+  // ---- /api/status (reference src/tsd/RpcManager.java:651-704,
+  // Status RPC): a lifecycle string driven by table availability —
+  // "startup" until the first full check, then ok | partial | error;
+  // "shutting-down" is terminal. The reference probes its HBase
+  // tables; the Spark equivalent probes that each registered table
+  // path/DataFrame is readable.
+  @volatile private var lifecycle = "startup"
+
+  /** RpcManager.shutdown(): the status pins to shutting-down. */
+  def shutdown(): Unit = { lifecycle = "shutting-down" }
+
+  /** Test/restart hook. */
+  def resetStatus(): Unit = { lifecycle = "startup" }
+
+  /**
+   * GET|telnet `status`. `tables` are probes (usually cheap
+   * `spark.read.parquet(path)` frames); a probe is available when its
+   * schema resolves and a 1-row read succeeds. All → ok, some →
+   * partial, none → error — except during startup, where total
+   * unavailability stays "startup" (the reference's
+   * AvailabilityToStatusCB grace).
+   */
+  def status(spark: SparkSession, tables: Seq[() => DataFrame]): DataFrame = {
+    import spark.implicits._
+    if (lifecycle != "shutting-down" && tables.nonEmpty) {
+      val up = tables.count { t =>
+        try { t().limit(1).count(); true } catch { case _: Exception => false }
+      }
+      if (up == tables.length) lifecycle = "ok"
+      else if (up > 0) lifecycle = "partial"
+      else if (lifecycle != "startup") lifecycle = "error"
+    }
+    Seq(lifecycle).toDF("status")
+  }
+
   /** GET /api/stats over a points table: per-metric row counts and time
     * bounds (the reference reports TSD counters; a Spark engine's
     * equivalent operational stats are per-table). */

@@ -1150,6 +1150,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(raw == Map("HOST" -> "web-one"))
   }
 
+  test("/api/status follows table availability through the lifecycle") {
+    import graft.meta.Introspect
+    import spark.implicits._
+    Introspect.resetStatus()
+    def st(tables: Seq[() => org.apache.spark.sql.DataFrame]) =
+      Introspect.status(spark, tables).head.getString(0)
+    val good = () => Seq(1).toDF("x")
+    val bad = () => spark.read.parquet("/nonexistent/graft/table")
+    // startup grace: total unavailability before the first success
+    assert(st(Seq(bad)) == "startup")
+    assert(st(Seq(good, good)) == "ok")
+    assert(st(Seq(good, bad)) == "partial")
+    assert(st(Seq(bad)) == "error")
+    Introspect.shutdown()
+    assert(st(Seq(good)) == "shutting-down")
+    Introspect.resetStatus()
+  }
+
   test("delete-by-query removes only matched series in range") {
     import scala.jdk.CollectionConverters._
     import graft.query.{SubQuery, TsQuery}
