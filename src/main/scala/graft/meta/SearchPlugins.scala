@@ -35,6 +35,12 @@ trait SearchPlugin {
     * /api/search/lookup) from the external index; None = engine scan. */
   def executeLookup(metric: String, tags: Map[String, String])
       : Option[DataFrame] = None
+
+  /** Serve a non-lookup `/api/search/<type>` query (reference
+    * SearchPlugin.executeQuery): tsmeta / tsmeta_summary / tsuids /
+    * uidmeta / annotation. None = this plugin doesn't serve it. */
+  def executeSearch(searchType: String, query: String, limit: Int,
+                    startIndex: Int): Option[DataFrame] = None
 }
 
 object SearchPlugins {
@@ -61,5 +67,38 @@ object SearchPlugins {
       if (r.isDefined) return r
     }
     None
+  }
+
+  /** The `/api/search/<type>` set (reference SearchQuery
+    * .parseSearchType, src/search/SearchQuery.java:156-176 — same
+    * accepted names and error texts). */
+  def parseSearchType(t: String): String = {
+    require(t != null && t.nonEmpty, "Type provided was null or empty")
+    val lc = t.toLowerCase
+    require(Set("tsmeta", "tsmeta_summary", "tsuids", "uidmeta",
+      "annotation", "lookup").contains(lc), s"Unknown type: $t")
+    lc
+  }
+
+  /**
+   * Dispatch a non-lookup search to the registered plugins (reference
+   * SearchRpc → TSDB.executeSearch: every type except LOOKUP is
+   * plugin-served; with no plugin configured the reference throws
+   * IllegalStateException("Searching has not been enabled on this
+   * TSD") — same contract here). Lookup never reaches this: it has a
+   * native engine path (Introspect.lookup).
+   */
+  def search(searchType: String, query: String, limit: Int = 25,
+             startIndex: Int = 0): DataFrame = {
+    val st = parseSearchType(searchType)
+    require(st != "lookup",
+      "lookup is engine-served; use Introspect.lookup")
+    val it = plugins.iterator()
+    while (it.hasNext) {
+      val r = it.next().executeSearch(st, query, limit, startIndex)
+      if (r.isDefined) return r.get
+    }
+    throw new IllegalStateException(
+      "Searching has not been enabled on this TSD")
   }
 }

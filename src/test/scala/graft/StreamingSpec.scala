@@ -1000,6 +1000,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.meta.SearchPlugins.deregister(plugin)
   }
 
+  test("/api/search/<type> dispatches to plugins with reference errors") {
+    import spark.implicits._
+    import graft.meta.SearchPlugins
+    // no plugin registered → the reference's IllegalStateException
+    assert(intercept[IllegalStateException](
+      SearchPlugins.search("tsmeta", "host:web*")
+    ).getMessage.contains("Searching has not been enabled on this TSD"))
+    // type parse errors match SearchQuery.parseSearchType
+    assert(intercept[IllegalArgumentException](
+      SearchPlugins.search("", "q")).getMessage
+      .contains("Type provided was null or empty"))
+    assert(intercept[IllegalArgumentException](
+      SearchPlugins.search("bogus", "q")).getMessage
+      .contains("Unknown type: bogus"))
+    // a registered plugin serves the non-lookup types
+    val hits = Seq(("t1", "sys.cpu")).toDF("tsuid", "metric")
+    val plugin = new graft.meta.SearchPlugin {
+      override def executeSearch(t: String, q: String, limit: Int,
+                                 start: Int) =
+        if (t == "tsmeta" && q == "host:web*") Some(hits) else None
+    }
+    SearchPlugins.register(plugin)
+    try {
+      assert(SearchPlugins.search("TSMETA", "host:web*").count() == 1)
+      // lookup never routes through the plugin-search path
+      assert(intercept[IllegalArgumentException](
+        SearchPlugins.search("lookup", "q")).getMessage
+        .contains("engine-served"))
+    } finally SearchPlugins.deregister(plugin)
+  }
+
   test("export round-trips through the put-line parser") {
     import scala.jdk.CollectionConverters._
     val pts = spark.createDataFrame(Seq(
