@@ -950,6 +950,71 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.13 budget guards oracle-backed (previously unit-only): the
+    // reference's query kill switches (tsd.query.limits.data_points /
+    // .bytes, src/core/QueryLimitOverride.java). The same scan runs
+    // under a 1-byte / 10-point budget (rejected — plan-time for
+    // bytes, execution-time for points) and under a generous budget
+    // (passes untouched). Four bounded counts on the driver — the
+    // guard verdicts are inherently driver-observable.
+    "q85_budget_guards" -> ((s, dir) => {
+      import s.implicits._
+      val df = pts(s, dir).filter(col("metric") === "click" &&
+        col("ts") >= T_0105 && col("ts") < T_0120)
+      def run(check: String)(body: => Long): (String, Boolean, Long) =
+        try { (check, false, body) }
+        catch { case scala.util.control.NonFatal(_) => (check, true, 0L) }
+      Seq(
+        run("bytes_over")   { Engine.withMaxScanBytes(df, 1L).count() },
+        run("bytes_under")  { Engine.withMaxScanBytes(df, Long.MaxValue).count() },
+        run("points_over")  { Engine.withMaxDataPoints(df, 10L).count() },
+        run("points_under") { Engine.withMaxDataPoints(df, 100000000L).count() })
+        .toDF("check", "rejected", "n").orderBy("check")
+    }),
+
+    // §2.4 custom aggregator plugin point oracle-backed (previously
+    // unit-only): register a "range" (max-min) aggregator (reference
+    // Aggregators registry extension, src/core/Aggregators.java:58-120)
+    // and run it through the REAL parse path — DownsampleSpec.parse
+    // validates the name against the registry exactly like the
+    // reference's Aggregators.get, then the engine evaluates it
+    // per series-bucket before the zimsum group aggregation.
+    "q86_custom_agg" -> ((s, dir) => {
+      Aggregators.register("range", (v, _) =>
+        coalesce(max(when(!isnan(v), v)) - min(when(!isnan(v), v)),
+          lit(Double.NaN)))
+      val body =
+        """{"start": 1704412800, "end": 1705708800,
+           "queries": [{"aggregator": "zimsum", "metric": "click",
+             "downsample": "1h-range",
+             "filters": [
+               {"type":"wildcard","tagk":"user","filter":"*","groupBy":true},
+               {"type":"literal_or","tagk":"k",
+                "filter":"10|11|12","groupBy":false}]}]}"""
+      Engine.runJson(pts(s, dir), body).head
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
+    // §2.2 plugin filter point oracle-backed (previously unit-only):
+    // register a custom filter type (reference TagVFilter plugin
+    // loading, src/query/filter/TagVFilter.java:45-68) and use it from
+    // the URI grammar like any built-in — the PluginFilter predicate
+    // is an arbitrary Column expression over the tags map.
+    "q87_filter_plugin" -> ((s, dir) => {
+      QueryParser.registerFilter("ends_with", (tagk, arg, gb) =>
+        PluginFilter(tagk, tags => tags.getItem(tagk).endsWith(arg),
+          groupBy = gb))
+      val (q, _) = QueryParser.parseUri(
+        "start=2024/01/05-00:00:00&end=2024/01/20-00:00:00" +
+          "&m=zimsum:1h-sum:view%7Buser=*%7D%7Bk=ends_with(5)%7D")
+      Engine.run(pts(s, dir), q, q.queries.head)
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.1 RT publisher oracle-backed (previously unit-only): the
     // reference's RTPublisher plugin point (publishDataPoint per
     // ingested point) as a foreachBatch second consumer — the same
@@ -1905,6 +1970,44 @@ object SparkEntry {
            WHERE metric = 'click' AND tag_user IS NOT NULL
            GROUP BY tag_user, ts - ts % $HOUR)
          SELECT 'click' AS metric, tag_user, b AS ts, (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
+         FROM d WHERE b >= $T_0105 AND b <= $T_0120
+         ORDER BY tag_user, ts""",
+
+    "q85_budget_guards" ->
+      s"""$O, c AS (
+           SELECT count(*) AS n FROM points
+           WHERE metric = 'click' AND ts >= $T_0105 AND ts < $T_0120)
+         SELECT * FROM (
+           SELECT 'bytes_over' AS "check", TRUE AS rejected,
+             CAST(0 AS BIGINT) AS n
+           UNION ALL SELECT 'bytes_under', FALSE, n FROM c
+           UNION ALL SELECT 'points_over', TRUE, CAST(0 AS BIGINT)
+           UNION ALL SELECT 'points_under', FALSE, n FROM c)
+         ORDER BY "check"""",
+
+    "q86_custom_agg" ->
+      s"""$O, d AS (
+           SELECT tag_user, tag_k, ts - ts % $HOUR AS b,
+             max(value) - min(value) AS v
+           FROM points
+           WHERE metric = 'click' AND tag_user IS NOT NULL
+             AND tag_k IN ('10','11','12')
+           GROUP BY tag_user, tag_k, ts - ts % $HOUR),
+         g AS (SELECT tag_user, b, sum(v) AS v FROM d GROUP BY tag_user, b)
+         SELECT 'click' AS metric, tag_user, b AS ts,
+           (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
+         FROM g WHERE b >= $T_0105 AND b <= $T_0120
+         ORDER BY tag_user, ts""",
+
+    "q87_filter_plugin" ->
+      s"""$O, d AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
+           FROM points
+           WHERE metric = 'view' AND tag_user IS NOT NULL
+             AND tag_k LIKE '%5'
+           GROUP BY tag_user, ts - ts % $HOUR)
+         SELECT 'view' AS metric, tag_user, b AS ts,
+           (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
          ORDER BY tag_user, ts""",
 

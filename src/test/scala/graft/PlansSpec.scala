@@ -118,7 +118,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q72_query_delete", "q73_fsck_repair", "s15_sq8_topk",
       "s16_ivf_sq8", "q75_agg_none", "q76_tree_collisions",
       "q77_tree_notmatched", "q78_tree_test", "q79_meta_sync_uid",
-      "q80_meta_sync_ts", "q81_calendar_90m")
+      "q80_meta_sync_ts", "q81_calendar_90m", "q86_custom_agg",
+      "q87_filter_plugin")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
