@@ -374,6 +374,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // winnowing fingerprints (MOSS, Schleimer et al. 2003): min-of-
+    // window fingerprint sampling with a deterministic match floor
+    // (any shared run >= w+k-1 tokens collides) — pairs off the
+    // winnowed ~2/(w+1) postings sample instead of full postings
+    "d17_winnow_pairs" -> ((s, dir) => {
+      Dedup.jaccardFromPostings(
+          Dedup.winnowFingerprints(docs(s, dir), "text", "doc_id",
+            k = 4, w = 4),
+          threshold = 0.35)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // SemDeDup: k-means cells (same deterministic Lloyd as s04) +
     // within-cell pairwise cosine; a vector is dropped when a lower-id
     // neighbor sits at cos >= 0.35 in its cell — per-vector verdicts
@@ -651,6 +664,21 @@ object PipelineQueries {
           col("cluster").as("q_cell"))
       Similarity.ivfSqTopK(codes, q, 5, bounds)
         .select(col("q_id"), col("vec_id"), r4(col("sqd")).as("sqd"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // filtered vector search: each query carries an allowed-label
+    // array (its own label + the next) and only qualifying corpus
+    // vectors compete — pre-filtering, so the top-5 is exact under
+    // the constraint; the filter rides the broadcast query side
+    "s17_filtered_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          array(col("label"), col("label") + 1).as("q_allowed"))
+      Similarity.filteredTopK(e, q, 5)
+        .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"),
           col("rank"))
         .orderBy("q_id", "rank")
     }),
@@ -1132,6 +1160,28 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // scene-change detection: frame-differencing shot boundaries over
+    // the m04 4-frame synthetic videos — mean |ΔRGB| of the frame
+    // means vs the previous frame, cut where it clears the threshold;
+    // one per-media lag window on frameSample's bounded output
+    "m09_scene_cuts" -> ((s, dir) => {
+      def frame(f: Int) = {
+        val pix = concat(
+          lpad(hex(pmod(col("doc_id") + f * 17, lit(256))), 2, "0"),
+          lpad(hex(pmod(col("doc_id") * 7 + f * 29, lit(256))), 2, "0"),
+          lpad(hex(pmod(col("doc_id") * 13 + f * 31, lit(256))), 2, "0"))
+        concat(encode(lit("P6\n2 2\n255\n"), "UTF-8"),
+          unhex(concat(pix, pix, pix, pix)))
+      }
+      val payload = concat((0 until 4).map(frame): _*)
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.sceneCuts(media, every = 1, threshold = 0.2)
+        .select(col("media_id"), col("frame_idx"),
+          r4(col("delta")).as("delta"), col("is_cut"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // multimodal: binary payload + metadata + stub feature extraction
     "m01_media_meta" -> ((s, dir) => {
       val m = Multimodal.fromDocuments(docs(s, dir))
@@ -1405,6 +1455,49 @@ object PipelineQueries {
              ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END) * 10000 + 0.5) / 10000) AS dup_frac
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+
+    "d17_winnow_pairs" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 4 THEN
+               list_transform(range(0, len(tk) - 4 + 1),
+                 i -> array_to_string(list_slice(tk,
+                   CAST(i + 1 AS INT), CAST(i + 4 AS INT)), ' '))
+             WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+             ELSE [] END AS sg
+           FROM t),
+         hs AS (
+           SELECT doc_id,
+             list_transform(sg, g -> ${oH60("g")}) AS hh
+           FROM sh),
+         fp AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(hh) >= 4 THEN
+               list_transform(range(0, len(hh) - 4 + 1),
+                 j -> list_min(list_slice(hh,
+                   CAST(j + 1 AS INT), CAST(j + 4 AS INT))))
+             WHEN len(hh) > 0 THEN [list_min(hh)] ELSE [] END) AS h
+           FROM hs),
+         dfq AS (SELECT h, count(*) AS df FROM fp GROUP BY h),
+         post AS (SELECT fp.doc_id, fp.h FROM fp
+           JOIN dfq ON dfq.h = fp.h WHERE dfq.df <= ${Dedup.DEFAULT_MAX_DF}),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM post a JOIN post b
+             ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b,
+           (sign(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)) * floor(abs(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)) * 10000 + 0.5) / 10000) AS jaccard
+         FROM shared JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.35
+         ORDER BY id_a, id_b""",
 
     "d14_semdedup" ->
       s"""WITH $oKmeansA2,
@@ -2053,6 +2146,28 @@ object PipelineQueries {
            FROM scored)
          SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
          FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "s17_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+             label AS q_label
+           FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, q.q_vec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.q_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.q_id
+             AND e.label IN (q.q_label, q.q_label + 1)),
+         ranked AS (
+           SELECT q_id, vec_id, cos, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "s02_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_cell
@@ -2735,6 +2850,27 @@ object PipelineQueries {
              + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE)) * floor(abs((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
              + CAST(0.114 AS DOUBLE) * b) / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS luma
          FROM px ORDER BY media_id, frame_idx""",
+
+    "m09_scene_cuts" ->
+      """WITH px AS (
+           SELECT doc_id AS media_id, f.f AS frame_idx,
+             CAST((doc_id + f.f * 17) % 256 AS DOUBLE)
+               / CAST(255 AS DOUBLE) AS r,
+             CAST((doc_id * 7 + f.f * 29) % 256 AS DOUBLE)
+               / CAST(255 AS DOUBLE) AS g,
+             CAST((doc_id * 13 + f.f * 31) % 256 AS DOUBLE)
+               / CAST(255 AS DOUBLE) AS b
+           FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) f(f)),
+         d AS (
+           SELECT media_id, frame_idx,
+             (abs(r - lag(r) OVER w) + abs(g - lag(g) OVER w)
+               + abs(b - lag(b) OVER w)) / CAST(3 AS DOUBLE) AS delta
+           FROM px
+           WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
+         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           (sign(delta) * floor(abs(delta) * 10000 + 0.5) / 10000) AS delta,
+           coalesce(delta > CAST(0.2 AS DOUBLE), FALSE) AS is_cut
+         FROM d ORDER BY media_id, frame_idx""",
 
     "m02_media_decode" ->
       """WITH px AS (

@@ -387,6 +387,57 @@ object Dedup {
    * cap is needed: a window repeated a million times costs one count
    * row, unlike a postings self-join where it would cost 10^12 pairs.
    */
+  /**
+   * Winnowing fingerprint postings (Schleimer, Wilkerson & Aiken,
+   * "Winnowing: Local Algorithms for Document Fingerprinting",
+   * SIGMOD 2003 — the MOSS algorithm): hash every k-token shingle at
+   * every position (ordered, NOT distinct — position matters), slide
+   * a window of w consecutive shingle hashes, and keep each window's
+   * MINIMUM hash. Set semantics collapse repeats, so a doc stores
+   * only ~2/(w+1) of its shingles, yet any shared token run of length
+   * ≥ w+k-1 is GUARANTEED to contribute at least one common
+   * fingerprint — the deterministic storage/recall dial that MinHash
+   * (probabilistic, d03) and full postings (exhaustive, d02) sit on
+   * either side of.
+   *
+   * Returns distinct (id, h) fingerprint postings — feed to
+   * [[jaccardFromPostings]] / [[containmentFromPostings]] exactly like
+   * the shingle postings. Docs shorter than k tokens collapse to one
+   * whole-text fingerprint (same degenerate rule as
+   * TextAnalysis.shingles); empty docs emit nothing.
+   *
+   * Scale shape: selection is pure per-row column expressions (zero
+   * shuffles — the min-of-window runs inside the projection), then one
+   * distinct on (id, h). The pair join downstream operates on the
+   * winnowed ~2/(w+1) sample instead of the full postings, shrinking
+   * the self-join's input by the same factor.
+   */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 4, w: Int = 4,
+                         portable: Boolean = true): DataFrame = {
+    val tk = col("__tk")
+    val sh = when(size(tk) >= k,
+        transform(sequence(lit(0), size(tk) - k), i =>
+          TextAnalysis.hash60(
+            concat_ws(" ", (1 to k).map(o => element_at(tk, i + o)): _*),
+            portable)))
+      .otherwise(when(size(tk) > 0,
+          array(TextAnalysis.hash60(array_join(tk, " "), portable)))
+        .otherwise(array().cast("array<long>")))
+    val shc = col("__sh")
+    val fps = when(size(shc) >= w,
+        array_distinct(transform(sequence(lit(0), size(shc) - w), j =>
+          array_min(slice(shc, j + 1, lit(w))))))
+      .otherwise(when(size(shc) > 0, array(array_min(shc)))
+        .otherwise(array().cast("array<long>")))
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), sh.as("__sh"))
+      // array_distinct already dedups within the doc, so (id, h) rows
+      // are unique by construction — no shuffle-backed distinct needed
+      .select(col("id"), explode(fps).as("h"))
+  }
+
   def dupSpans(df: DataFrame, textCol: String, idCol: String,
                width: Int = 8, portable: Boolean = true): DataFrame = {
     // tokens materialize as a bound column BEFORE the window lambda:

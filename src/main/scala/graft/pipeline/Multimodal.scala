@@ -893,6 +893,43 @@ object Multimodal {
   }
 
   /**
+   * Scene-change detection over sampled frames: classic
+   * frame-differencing shot-boundary detection — a cut is flagged
+   * where the mean absolute change of the RGB-mean features vs the
+   * previous sampled frame exceeds `threshold`. The cheap first pass
+   * a video pipeline runs before any learned detector; training
+   * pipelines cut clips at these boundaries before captioning or
+   * embedding, so the boundary list is itself a first-class dataset.
+   *
+   * Pure relational composition on [[frameSample]]: one lag window
+   * PARTITIONED BY the media id (per-key row count is bounded by
+   * frameSample's `maxFrames`, so no skew risk), column arithmetic
+   * for the delta. Undecodable frames (null struct) are skipped
+   * before the lag so a corrupt frame doesn't split one real cut
+   * into two.
+   */
+  def sceneCuts(df: DataFrame, every: Int = 1, threshold: Double = 0.1,
+                maxFrames: Int = Int.MaxValue,
+                payloadCol: String = "payload",
+                idCol: String = "media_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    val f = col("frame.features")
+    frameSample(df, every, maxFrames, payloadCol)
+      .filter(col("frame").isNotNull)
+      .select(col(idCol), col("frame.frame_idx").as("frame_idx"),
+        element_at(f, 1).as("__r"), element_at(f, 2).as("__g"),
+        element_at(f, 3).as("__b"))
+      .withColumn("delta",
+        (abs(col("__r") - lag("__r", 1).over(w)) +
+         abs(col("__g") - lag("__g", 1).over(w)) +
+         abs(col("__b") - lag("__b", 1).over(w))) / 3d)
+      .select(col(idCol), col("frame_idx"), col("delta"),
+        when(col("delta").isNotNull, col("delta") > threshold)
+          .otherwise(lit(false)).as("is_cut"))
+  }
+
+  /**
    * Per-partition media decode: payload column → `decoded` struct
    * (null when no codec matches). mapPartitions is deliberate — real
    * codecs have per-batch setup (native contexts, scratch buffers)

@@ -313,6 +313,44 @@ object Similarity {
     topKReduce(scored, k, queryId, corpusId, "cos", ascending = false)
   }
 
+  /**
+   * Filtered vector search: each query carries its own metadata
+   * constraint — an array of allowed values for a corpus filter
+   * column — and only corpus vectors satisfying it compete for the
+   * top-k. This is the "filtered ANN" shape production vector stores
+   * serve (category-/tenant-/language-scoped retrieval), done as
+   * PRE-filtering: the predicate applies before scoring, so the
+   * returned k are exact under the constraint (post-filtering an
+   * unconstrained top-k can come up short or miss qualifying
+   * neighbors entirely).
+   *
+   * The constraint rides the BROADCAST query side (`array_contains`
+   * in the join condition): the corpus streams through exactly once
+   * with no shuffle, the scan reads only (id, vec, filter) columns,
+   * and the bounded-heap [[TopKAgg]] reduction is unchanged. A
+   * corpus-side residency predicate (e.g. a language whitelist shared
+   * by all queries) should instead be a plain `.filter` on `corpus`
+   * so Catalyst pushes it into the parquet scan; this operator is for
+   * the per-query constraint that can't push down.
+   */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   filterCol: String = "label",
+                   queryAllowed: String = "q_allowed",
+                   corpusId: String = "vec_id", corpusVec: String = "embedding",
+                   queryId: String = "q_id", queryVec: String = "q_vec",
+                   dim: Int = 0): DataFrame = {
+    val scored = corpus.select(col(corpusId), col(corpusVec), col(filterCol))
+      .withColumn("__cn", normc(col(corpusVec), dim))
+      .join(broadcast(queries
+          .select(col(queryId), col(queryVec), col(queryAllowed))
+          .withColumn("__qn", normc(col(queryVec), dim))),
+        array_contains(col(queryAllowed), col(filterCol)) &&
+          col(corpusId) =!= col(queryId))
+      .withColumn("cos",
+        dotc(col(corpusVec), col(queryVec), dim) / (col("__cn") * col("__qn")))
+    topKReduce(scored, k, queryId, corpusId, "cos", ascending = false)
+  }
+
   // ---- Product quantization (PQ / ADC) ------------------------------
 
   /**

@@ -1240,6 +1240,47 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("winnowFingerprints: the w+k-1 guarantee and the ~2/(w+1) sample") {
+    import spark.implicits._
+    // k=4, w=4: ANY shared token run of length >= w+k-1 = 7 MUST
+    // yield a common fingerprint (Schleimer et al. correctness
+    // property), however the run is positioned in either doc.
+    val run = (1 to 7).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, "a b c " + run + " p q"),  // run offset 3
+      (2L, run + " x y z w v u t"),   // run offset 0
+      (3L, "only unrelated tokens here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val post = graft.pipeline.Dedup
+      .winnowFingerprints(d, "text", "doc_id", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = post.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "7-token shared run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // density: winnowing keeps far fewer fingerprints than shingles
+    val doc1Shingles = 12 - 4 + 1 // 12 tokens, k=4
+    assert(byDoc(1L).size < doc1Shingles)
+    // (id, h) rows are unique by construction — no distinct needed
+    assert(post.length == post.distinct.length)
+  }
+
+  test("sceneCuts: flags exactly the frames whose mean |dRGB| clears") {
+    import spark.implicits._
+    // two 2x2 frames alike, then a hard cut to white, then alike again
+    def ppm(r: Int, g: Int, b: Int): Array[Byte] = {
+      val px = Array(r.toByte, g.toByte, b.toByte)
+      "P6\n2 2\n255\n".getBytes("UTF-8") ++ px ++ px ++ px ++ px
+    }
+    val payload = ppm(10, 10, 10) ++ ppm(12, 12, 12) ++
+      ppm(250, 250, 250) ++ ppm(248, 248, 248)
+    val media = Seq((7L, payload)).toDF("media_id", "payload")
+    val got = graft.pipeline.Multimodal
+      .sceneCuts(media, every = 1, threshold = 0.2)
+      .collect().map(r => (r.getInt(1), r.getBoolean(3))).sorted
+    assert(got === Seq((0, false), (1, false), (2, true), (3, false)))
+  }
+
   test("semDedup: pairwise lower-id rule, chains stay non-transitive") {
     import spark.implicits._
     // a at 0deg, b at 25deg, c at 50deg: cos(a,b)=cos(b,c)~0.906,

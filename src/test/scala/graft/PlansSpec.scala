@@ -119,7 +119,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "s16_ivf_sq8", "q75_agg_none", "q76_tree_collisions",
       "q77_tree_notmatched", "q78_tree_test", "q79_meta_sync_uid",
       "q80_meta_sync_ts", "q81_calendar_90m", "q86_custom_agg",
-      "q87_filter_plugin")
+      "q87_filter_plugin", "d17_winnow_pairs", "s17_filtered_topk",
+      "m09_scene_cuts")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
@@ -149,7 +150,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
         "s05_ivf_trained", "s06_rhp_multiprobe", "s07_ivf_multiprobe",
         "s08_pq_adc_topk", "s09_ivf_pq_topk", "s10_ivf_pq_residual",
         "s11_ivf_pq_multiprobe", "s12_pq_index_topk",
-        "s14_pq_refine", "s15_sq8_topk", "s16_ivf_sq8")) {
+        "s14_pq_refine", "s15_sq8_topk", "s16_ivf_sq8",
+        "s17_filtered_topk")) {
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode
           .fromString("formatted"))
