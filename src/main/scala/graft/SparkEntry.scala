@@ -1015,6 +1015,34 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.1 write-time data-point filter plugin (reference
+    // WriteableDataPointFilterPlugin, TSDB.storeIntoDB:1453-1461):
+    // points with tag k=10 on metric 'click' are refused at store
+    // time and dropped SILENTLY — parse reports no error, the stored
+    // set just excludes them — with the rejected count surfaced as
+    // the relational `uid.filter.rejected` stat
+    "q88_write_filter" -> ((s, dir) => {
+      graft.sources.WriteFilterPlugins.register((m, _, v, tags) =>
+        !(m === "click" && tags.getItem("k") === "10") && !v.isNull)
+      try {
+        val ev = pts(s, dir).filter(col("tags").getItem("k").isNotNull)
+        val lines = ev.select(concat(
+          lit("put "), col("metric"), lit(" "), col("ts").cast("string"),
+          lit(" "), col("value").cast("string"),
+          lit(" user="), col("tags").getItem("user"),
+          lit(" k="), col("tags").getItem("k")).as("value"))
+        val parsed = graft.sources.Ingest.parsePutLines(lines)
+        val stored = flat(graft.sources.Ingest.applyWriteFilter(
+          parsed.filter(col("_error").isNull)))
+        val rejected = graft.sources.Ingest.writeFilterRejected(parsed)
+          .agg(count(lit(1)).as("rejected_total"))
+        stored.groupBy("metric")
+          .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+          .crossJoin(rejected)
+          .orderBy("metric")
+      } finally graft.sources.WriteFilterPlugins.reset()
+    }),
+
     // §2.1 RT publisher oracle-backed (previously unit-only): the
     // reference's RTPublisher plugin point (publishDataPoint per
     // ingested point) as a foreachBatch second consumer — the same
@@ -2010,6 +2038,20 @@ object SparkEntry {
            (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
          ORDER BY tag_user, ts""",
+
+    "q88_write_filter" ->
+      s"""$O, stored AS (
+           SELECT metric, value FROM points
+           WHERE tag_k IS NOT NULL
+             AND NOT (metric = 'click' AND tag_k = '10')),
+         rej AS (
+           SELECT count(*) AS rejected_total FROM points
+           WHERE tag_k IS NOT NULL AND metric = 'click' AND tag_k = '10')
+         SELECT metric, count(*) AS n,
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v,
+           rejected_total
+         FROM stored, rej
+         GROUP BY metric, rejected_total ORDER BY metric""",
 
     "q83_rt_publish" ->
       s"""$O SELECT metric, tag_user, count(*) AS n,

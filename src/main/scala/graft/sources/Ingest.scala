@@ -34,6 +34,41 @@ object NormalizePlugins {
   private[sources] def apply(tags: Column): Column = rewrite(tags)
 }
 
+/**
+ * Write-time data-point filter plugin (reference
+ * src/core/WriteableDataPointFilterPlugin.java — `allowDataPoint(
+ * metric, timestamp, value, tags, flags)` gates every store when
+ * `filterDataPoints()` is true; `TSDB.storeIntoDB`'s WriteCB drops a
+ * rejected point SILENTLY — the put RPC still reports success — and
+ * counts it in the `uid.filter.rejected` stat, TSDB.java:1453-1461,
+ * :1376-1381, :978).
+ *
+ * Spark-native shape: the registered allow-predicate is a `Column`
+ * expression over the parsed point columns, applied as a plain
+ * `filter` in the store path ([[Ingest.applyWriteFilter]]) — it fuses
+ * into the parse projection under whole-stage codegen instead of
+ * paying a per-row callback, and a predicate on `metric` alone pushes
+ * down to the scan when the source is columnar. The rejected count is
+ * a relational side-output ([[Ingest.writeFilterRejected]]) rather
+ * than a mutable process counter: at 1000 executors a driver-side
+ * AtomicLong cannot see executor-side drops anyway, so the count is
+ * computed where the data is and fed to `Introspect.incr` by the
+ * ingest driver loop per batch.
+ */
+object WriteFilterPlugins {
+  @volatile private var pred
+    : Option[(Column, Column, Column, Column) => Column] = None
+  /** Register the allow-predicate over (metric, ts, value, tags);
+    * registering turns the gate on (= filterDataPoints() true). */
+  def register(f: (Column, Column, Column, Column) => Column): Unit =
+    pred = Some(f)
+  def reset(): Unit = pred = None
+  def enabled: Boolean = pred.isDefined
+  private[sources] def allow(metric: Column, ts: Column, value: Column,
+                             tags: Column): Column =
+    pred.map(f => f(metric, ts, value, tags)).getOrElse(lit(true))
+}
+
 object Ingest {
 
   /** Charset rule for metric/tagk/tagv (reference Tags.validateString:
@@ -194,6 +229,29 @@ object Ingest {
   }
 
   /**
+   * Store-side gate of the [[WriteFilterPlugins]] predicate: keeps
+   * allowed points, drops rejected ones with NO `_error` (the
+   * reference's put summary still reports them as success —
+   * PutDataPointRpc sees a completed deferred). Identity when no
+   * filter is registered, so the unfiltered path pays nothing.
+   */
+  def applyWriteFilter(parsed: DataFrame): DataFrame =
+    if (!WriteFilterPlugins.enabled) parsed
+    else parsed.filter(WriteFilterPlugins.allow(
+      col("metric"), col("ts"), col("value"), col("tags")))
+
+  /** The rejected complement — the relational `uid.filter.rejected`
+    * counter (reference TSDB.java:978). Valid rows the filter refused;
+    * rows that already failed parsing are NOT counted (the reference
+    * throws on those before the filter runs). */
+  def writeFilterRejected(parsed: DataFrame): DataFrame = {
+    val base = if (parsed.columns.contains("_error"))
+      parsed.filter(col("_error").isNull) else parsed
+    base.filter(!WriteFilterPlugins.allow(
+      col("metric"), col("ts"), col("value"), col("tags")))
+  }
+
+  /**
    * Structured Streaming ingest: file/socket/kafka line source →
    * parsed points → parquet sink partitioned by date, with
    * watermarking + per-(series, ts) dedup — the streaming replacement
@@ -202,8 +260,8 @@ object Ingest {
    */
   def streamToParquet(spark: SparkSession, lines: DataFrame, outPath: String,
                       checkpoint: String, lateness: String = "10 minutes") = {
-    val pts = parsePutLines(lines)
-      .filter(col("_error").isNull).drop("_error")
+    val pts = applyWriteFilter(parsePutLines(lines)
+        .filter(col("_error").isNull).drop("_error"))
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", lateness)
       // dedup on the canonical series hash: map-type columns are not

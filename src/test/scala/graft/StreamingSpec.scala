@@ -1181,6 +1181,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(raw == Map("HOST" -> "web-one"))
   }
 
+  test("write filter plugin drops rejected points silently, counted aside") {
+    import spark.implicits._
+    import graft.sources.{Ingest, WriteFilterPlugins}
+    val lines = Seq(
+      "put cpu 1700000000 1 host=bad",
+      "put cpu 1700000001 2 host=ok",
+      "put mem 1700000002 3 host=bad",
+      "not a put line").toDF("value")
+    // gate off: identity, parse errors untouched
+    val parsed = Ingest.parsePutLines(lines)
+    assert(Ingest.applyWriteFilter(
+      parsed.filter(col("_error").isNull)).count() == 3)
+    try {
+      // reference WriteableDataPointFilterPlugin.allowDataPoint:
+      // refuse cpu points carrying host=bad
+      WriteFilterPlugins.register((m, _, _, tags) =>
+        !(m === "cpu" && tags.getItem("host") === "bad"))
+      val stored = Ingest.applyWriteFilter(
+        parsed.filter(col("_error").isNull))
+      assert(stored.select("metric", "tags").collect()
+        .map(r => (r.getString(0), r.getMap[String, String](1)("host")))
+        .toSet == Set(("cpu", "ok"), ("mem", "bad")))
+      // silent drop: the put summary still reports the rejected point
+      // as success (TSDB.storeIntoDB WriteCB returns a completed
+      // deferred on !allowed — only the parse error is a failure)
+      val sm = Ingest.putSummary(parsed).head
+      assert(sm.getLong(0) == 3 && sm.getLong(1) == 1)
+      // the rejected complement counts ONLY valid-but-refused rows
+      assert(Ingest.writeFilterRejected(parsed).count() == 1)
+      // the streaming store path is gated by the same predicate
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wf_")
+      val src = tmp.resolve("src"); java.nio.file.Files.createDirectory(src)
+      java.nio.file.Files.write(src.resolve("a.txt"),
+        ("put cpu 1700000000 1 host=bad\n" +
+         "put cpu 1700000001 2 host=ok\n").getBytes)
+      val q = Ingest.streamToParquet(spark,
+          spark.readStream.text(src.toString),
+          tmp.resolve("out").toString, tmp.resolve("cp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.read.parquet(tmp.resolve("out").toString)
+      assert(out.count() == 1 &&
+        out.head.getAs[Map[String, String]]("tags")("host") == "ok")
+    } finally WriteFilterPlugins.reset()
+  }
+
   test("/api/status follows table availability through the lifecycle") {
     import graft.meta.Introspect
     import spark.implicits._
