@@ -387,6 +387,22 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental dedup: screen an arriving snapshot (every 5th doc
+    // re-id'd, plus verbatim copies of every 50th corpus doc) against
+    // the frozen corpus — exact layer by content hash, near layer by
+    // cross-table MinHash-LSH; corpus×corpus pairs never generated
+    "d18_screen_snapshot" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val arrivals = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 50 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.screenAgainstCorpus(corpus, arrivals, "text", "doc_id",
+          bands = 4, threshold = 0.35, portable = true)
+        .orderBy("id")
+    }),
+
     // SemDeDup: k-means cells (same deterministic Lloyd as s04) +
     // within-cell pairwise cosine; a vector is dropped when a lower-id
     // neighbor sits at cos >= 0.35 in its cell — per-vector verdicts
@@ -1455,6 +1471,77 @@ object PipelineQueries {
              ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END) * 10000 + 0.5) / 10000) AS dup_frac
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+
+    "d18_screen_snapshot" ->
+      s"""WITH docs2 AS (
+           SELECT doc_id, text, 'c' AS side FROM documents
+           WHERE doc_id % 5 <> 0
+           UNION ALL
+           SELECT doc_id + 100000, text, 'a' FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 200000, text, 'a' FROM documents
+           WHERE doc_id % 50 = 1),
+         toks AS (
+           SELECT doc_id, side,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM docs2),
+         sh AS (
+           SELECT doc_id, side, CASE WHEN len(tk) >= 3
+             THEN list_distinct(list_transform(range(len(tk) - 2),
+               i -> tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2]
+                 || ' ' || tk[CAST(i AS INT) + 3]))
+             ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM toks),
+         hpost AS (
+           SELECT DISTINCT doc_id, side, ${oH32("term")} AS h
+           FROM (SELECT doc_id, side, unnest(sh) AS term FROM sh)),
+         params AS (SELECT * FROM (VALUES
+           (0, 836603681, 1), (1, 442543251, 7), (2, 1004818243, 13),
+           (3, 668265263, 31), (4, 374761393, 97), (5, 741103597, 41),
+           (6, 988021567, 151), (7, 540483477, 65537)) p(i, a, b)),
+         sig AS (
+           SELECT doc_id, side, i, min((h * a + b) % 4294967291) AS mh
+           FROM hpost CROSS JOIN params GROUP BY doc_id, side, i),
+         band AS (
+           SELECT doc_id, side, i // 2 AS band,
+             string_agg(mh::VARCHAR, '_' ORDER BY i) AS key
+           FROM sig GROUP BY doc_id, side, i // 2),
+         sizes AS (
+           SELECT doc_id, side, count(*) AS sz FROM hpost
+           GROUP BY doc_id, side),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id, y.doc_id AS cid
+           FROM band x JOIN band y
+             ON x.band = y.band AND x.key = y.key
+           WHERE x.side = 'a' AND y.side = 'c'),
+         shared AS (
+           SELECT id, cid, count(*) AS shared
+           FROM cand
+             JOIN hpost a ON a.doc_id = cand.id AND a.side = 'a'
+             JOIN hpost c ON c.doc_id = cand.cid AND c.side = 'c'
+               AND c.h = a.h
+           GROUP BY id, cid),
+         near AS (
+           SELECT id, min(cid) AS near_of
+           FROM shared
+             JOIN sizes sa ON sa.doc_id = id AND sa.side = 'a'
+             JOIN sizes sc ON sc.doc_id = cid AND sc.side = 'c'
+           WHERE CAST(shared AS DOUBLE) / (sa.sz + sc.sz - shared) >= 0.35
+           GROUP BY id),
+         chash AS (
+           SELECT md5(text) AS ch, min(doc_id) AS exact_of
+           FROM docs2 WHERE side = 'c' GROUP BY 1),
+         basex AS (
+           SELECT a.doc_id AS id, c.exact_of
+           FROM docs2 a LEFT JOIN chash c ON md5(a.text) = c.ch
+           WHERE a.side = 'a')
+         SELECT id, (exact_of IS NULL AND near_of IS NULL) AS keep,
+           CASE WHEN exact_of IS NOT NULL THEN 'exact'
+             WHEN near_of IS NOT NULL THEN 'near' END AS reason,
+           coalesce(exact_of, near_of) AS dup_of
+         FROM basex LEFT JOIN near USING (id) ORDER BY id""",
 
     "d17_winnow_pairs" ->
       s"""WITH t AS (

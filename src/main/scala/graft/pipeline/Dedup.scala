@@ -522,7 +522,6 @@ object Dedup {
   /** MinHash-LSH pairs from pre-materialized (id, h) postings. */
   def minhashLshFromPostings(post: DataFrame, bands: Int,
                              threshold: Double): DataFrame = {
-    val rowsPerBand = MH_PARAMS.length / bands
     // relational signature: the aggregate is a hard barrier, and the
     // partial-agg combine keeps shuffle traffic at 9 longs per doc.
     // The set size rides along in the SAME aggregation — the verify
@@ -530,11 +529,6 @@ object Dedup {
     // over the postings
     // persisted: read by the banding explode AND the sizes join, and
     // recomputing it replays the full postings aggregation
-    val sigRaw = post.groupBy(col("id")).agg(
-      min((col("h") * MH_PARAMS.head._1 + MH_PARAMS.head._2) % MH_PRIME).as("mh0"),
-      MH_PARAMS.zipWithIndex.tail.map { case ((a, b), i) =>
-        min((col("h") * a + b) % MH_PRIME).as(s"mh$i")
-      } :+ count(lit(1)).as("sz"): _*)
     // ONE persist, on the narrow root: sig (9 longs per doc) feeds the
     // banding explode (both self-join sides) and both size joins.
     // banded itself stays lazy — re-deriving it from cached sig is a
@@ -544,14 +538,8 @@ object Dedup {
     // serialize the DAG). Ownership is generation-bounded
     // (Caching.persistOwned): lazy plan, released on next invocation.
     val Seq(sig) = graft.util.Caching.persistOwned(
-      "Dedup.minhashLshFromPostings", sigRaw)
-    val bandedP = sig.select(col("id"), posexplode(
-      array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until rowsPerBand).map(r =>
-            col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
-      }: _*)))
-      .select(col("id"), col("col.band"), col("col.key"))
+      "Dedup.minhashLshFromPostings", minhashSigAgg(post))
+    val bandedP = lshBands(sig, bands)
     val cand = bandedP.as("x").join(bandedP.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -571,6 +559,97 @@ object Dedup {
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The (id, mh0..mh7, sz) MinHash signature aggregation over (id, h)
+    * postings — one shuffle, partial-agg combined to 9 longs per doc. */
+  private def minhashSigAgg(post: DataFrame): DataFrame =
+    post.groupBy(col("id")).agg(
+      min((col("h") * MH_PARAMS.head._1 + MH_PARAMS.head._2) % MH_PRIME).as("mh0"),
+      MH_PARAMS.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((col("h") * a + b) % MH_PRIME).as(s"mh$i")
+      } :+ count(lit(1)).as("sz"): _*)
+
+  /** Banded LSH keys from a signature table: (id, band, key) with
+    * rows-per-band consecutive hashes concatenated into the key. */
+  private def lshBands(sig: DataFrame, bands: Int): DataFrame = {
+    val rowsPerBand = MH_PARAMS.length / bands
+    sig.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+      }: _*)))
+      .select(col("id"), col("col.band"), col("col.key"))
+  }
+
+  /**
+   * Incremental dedup: screen an arriving snapshot against a FROZEN,
+   * already-deduped corpus — the production nightly shape. Only the
+   * arrivals get verdicts; corpus×corpus pairs are NEVER generated.
+   *
+   * Exact layer: an arrival whose full-content hash exists in the
+   * corpus is a duplicate of the lowest corpus id carrying that hash.
+   * Near layer: MinHash-LSH across the two tables — band signatures
+   * of both sides, candidates = arrival bands probing corpus bands
+   * (the corpus side (band, key) table is the persistable "LSH
+   * index": computed once per corpus version, reused every night),
+   * verified by true Jaccard from the two postings sets; an arrival
+   * at >= threshold against any corpus doc is a near-duplicate of the
+   * lowest qualifying corpus id. Exact beats near in the verdict.
+   *
+   * Returns one row per arrival: (id, keep, reason, dup_of) with
+   * reason ∈ ('exact', 'near', null) and dup_of the corpus keeper.
+   *
+   * 100 TB shape: the corpus contributes one postings scan (in
+   * production a stored signature/postings table — zero recompute);
+   * every join is keyed (content hash / band key / candidate id); the
+   * only pair set materialized is arrivals×corpus band-bucket
+   * collisions, linear in the arrival batch for a clean corpus.
+   */
+  def screenAgainstCorpus(corpus: DataFrame, arrivals: DataFrame,
+                          textCol: String, idCol: String,
+                          bands: Int, threshold: Double,
+                          ngram: Int = 3,
+                          portable: Boolean = false): DataFrame = {
+    // exact layer: min corpus id per content hash, left-joined onto
+    // the arrivals' hashes (hash-keyed shuffle join; a nightly batch
+    // small enough to broadcast lets AQE pick that plan from stats)
+    val corpusHash = corpus
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("exact_of"))
+    val base = arrivals
+      .select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
+      .join(corpusHash, Seq("content_hash"), "left")
+      .select(col("id"), col("exact_of"))
+    // near layer: both postings sides are read twice (signature agg +
+    // verify join) — persist under one owner key
+    val Seq(cPost, aPost) = graft.util.Caching.persistOwned(
+      "Dedup.screenAgainstCorpus.post",
+      hashedPostings(corpus, textCol, idCol, ngram, portable),
+      hashedPostings(arrivals, textCol, idCol, ngram, portable))
+    val Seq(cSig, aSig) = graft.util.Caching.persistOwned(
+      "Dedup.screenAgainstCorpus.sig",
+      minhashSigAgg(cPost), minhashSigAgg(aPost))
+    val cand = lshBands(aSig, bands).as("x")
+      .join(lshBands(cSig, bands).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.id").as("id"), col("y.id").as("cid")).distinct()
+    val near = cand
+      .join(aPost.select(col("id"), col("h")), Seq("id"))
+      .join(cPost.select(col("id").as("cid"), col("h")), Seq("cid", "h"))
+      .groupBy(col("id"), col("cid")).agg(count(lit(1)).as("shared"))
+      .join(aSig.select(col("id"), col("sz").as("sz_a")), "id")
+      .join(cSig.select(col("id").as("cid"), col("sz").as("sz_c")), "cid")
+      .filter(col("shared").cast("double") /
+        (col("sz_a") + col("sz_c") - col("shared")) >= threshold)
+      .groupBy(col("id")).agg(min(col("cid")).as("near_of"))
+    base.join(near, Seq("id"), "left")
+      .select(col("id"),
+        (col("exact_of").isNull && col("near_of").isNull).as("keep"),
+        when(col("exact_of").isNotNull, "exact")
+          .when(col("near_of").isNotNull, "near").as("reason"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
   }
 
   /** 32-bit SimHash: per bit j, sum over distinct tokens of

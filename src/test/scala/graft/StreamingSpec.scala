@@ -191,6 +191,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == expected && expected.nonEmpty)
   }
 
+  test("snapshot screen: exact beats near, verdicts per arrival, streamable") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Dedup
+    val longA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, longA),
+      (2L, "completely different content about spark engines and files"),
+      (5L, "short text")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (101L, longA),                               // verbatim → exact of 1
+      (102L, longA.replace("upsilon", "phi")),     // one-token edit → near of 1
+      (103L, "totally unrelated sentence mentioning volcanoes and glaciers"))
+      .toDF("doc_id", "text")
+    val out = Dedup.screenAgainstCorpus(corpus, arrivals, "text", "doc_id",
+        bands = 4, threshold = 0.35)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(101L) == ((false, Some("exact"), Some(1L))))
+    assert(out(102L) == ((false, Some("near"), Some(1L))))
+    assert(out(103L) == ((true, None, None)))
+    // verdicts depend only on (arrival, frozen corpus) — per-arrival
+    // independent, so the screen streams embarrassingly: per-micro-
+    // batch foreachBatch screening must equal the one-shot batch run
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, (Boolean, Option[Any], Option[Any])]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          Dedup.screenAgainstCorpus(corpus, batch.toDF(), "text", "doc_id",
+              bands = 4, threshold = 0.35)
+            .collect().foreach(r => got.synchronized {
+              got(r.getLong(0)) =
+                (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))
+            })
+      }.start()
+    mem.addData((101L, longA))
+    q.processAllAvailable()
+    mem.addData((102L, longA.replace("upsilon", "phi")),
+      (103L, "totally unrelated sentence mentioning volcanoes and glaciers"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toMap == out)
+  }
+
   test("streaming semantic dedup: stateless cell screen == Scala brute force") {
     // arrivals screen against a FROZEN per-cell reference: stateless
     // stream-static broadcast join + array expression — no state
