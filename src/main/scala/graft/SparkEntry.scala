@@ -1419,8 +1419,9 @@ object SparkEntry {
     "q03_filter_not_literal" ->
       s"""$O SELECT metric, tag_user, tag_k, ts, (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
          FROM points
-         WHERE metric = 'error' AND tag_user IS NOT NULL
-           AND tag_user NOT IN ('1','2','3','4','5') AND tag_k IS NOT NULL
+         WHERE metric = 'error'
+           AND (tag_user IS NULL OR tag_user NOT IN ('1','2','3','4','5'))
+           AND tag_k IS NOT NULL
          ORDER BY ts, tag_user""",
 
     "q04_downsample_sum" ->

@@ -29,9 +29,11 @@ object TagFilters {
       if (ci) lower(tv).isin(vs.map(_.toLowerCase): _*) else tv.isin(vs: _*)
     case NotLiteralOr(k, vs, ci, _) =>
       val tv = tags.getItem(k)
-      // reference semantics: series must HAVE the tag and not match
+      // reference semantics: a series WITHOUT the tag passes
+      // (TagVNotLiteralOrFilter.match returns true on tagv == null,
+      // src/query/filter/TagVNotLiteralOrFilter.java:81-83)
       val in = if (ci) lower(tv).isin(vs.map(_.toLowerCase): _*) else tv.isin(vs: _*)
-      tv.isNotNull && !in
+      tv.isNull || !in
     case Wildcard(k, pat, ci, _) =>
       val tv = tags.getItem(k)
       if (pat == "*") tv.isNotNull

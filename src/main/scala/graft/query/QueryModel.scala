@@ -10,15 +10,36 @@ import graft.model.TimeUtils
  * src/core/DownsamplingSpecification.java:116-191).
  */
 
-/** Tag-value filter types (reference src/query/filter/TagV*Filter.java). */
-sealed trait TagFilter { def tagk: String; def groupBy: Boolean }
+/** Tag-value filter types (reference src/query/filter/TagV*Filter.java).
+  * Construction enforces the reference ctor contracts: every filter
+  * needs a tagk (TagVFilter.java:149,200), literal_or rejects a
+  * pipe-only filter (TagVLiteralOrFilter.java:70), wildcard demands an
+  * asterisk (TagVWildcardFilter.java:74), and regexp compiles eagerly
+  * so a bad pattern fails at parse time like Pattern.compile in the
+  * reference ctor (TagVRegexFilter.java:46). */
+sealed trait TagFilter {
+  def tagk: String; def groupBy: Boolean
+  require(tagk != null && tagk.nonEmpty, "Filter must have a tagk")
+}
 case class LiteralOr(tagk: String, values: Seq[String], caseInsensitive: Boolean = false,
-                     groupBy: Boolean = false) extends TagFilter
+                     groupBy: Boolean = false) extends TagFilter {
+  require(values.exists(_.nonEmpty),
+    "Filter must contain more than just a pipe")
+}
 case class NotLiteralOr(tagk: String, values: Seq[String], caseInsensitive: Boolean = false,
-                        groupBy: Boolean = false) extends TagFilter
+                        groupBy: Boolean = false) extends TagFilter {
+  require(values.exists(_.nonEmpty),
+    "Filter must contain more than just a pipe")
+}
 case class Wildcard(tagk: String, pattern: String, caseInsensitive: Boolean = false,
-                    groupBy: Boolean = false) extends TagFilter
-case class RegexpFilter(tagk: String, regex: String, groupBy: Boolean = false) extends TagFilter
+                    groupBy: Boolean = false) extends TagFilter {
+  require(pattern != null && pattern.nonEmpty, "Filter cannot be null or empty")
+  require(pattern.contains("*"), "Filter must contain an asterisk")
+}
+case class RegexpFilter(tagk: String, regex: String, groupBy: Boolean = false) extends TagFilter {
+  require(regex != null && regex.nonEmpty, "Filter cannot be null or empty")
+  java.util.regex.Pattern.compile(regex) // throws PatternSyntaxException
+}
 case class NotKey(tagk: String) extends TagFilter { val groupBy = false }
 /** Group-by-all-values marker (the legacy `{tag=*}` sugar,
   * reference src/core/Tags.java parseWithMetricAndFilters). */
@@ -333,9 +354,17 @@ object QueryParser {
                      fn: (String, String, Boolean) => TagFilter): Unit =
     customFilters.put(name.toLowerCase, fn)
 
-  /** A single filter value in either sugar or `type(value)` form. */
+  /** A single filter value in either sugar or `type(value)` form —
+    * the mirror of TagVFilter.getFilter (src/query/filter/
+    * TagVFilter.java:196-221): a value containing `(` MUST be a
+    * well-formed `type(arg)` ending in `)` (stripParentheses throws
+    * otherwise), anything else containing `*` takes the
+    * case-insensitive wildcard shortcut, and the rest is a literal. */
   def parseFilterValue(k: String, v: String, groupBy: Boolean): TagFilter = {
-    val fnRe = raw"(\w+)\((.*)\)".r
+    require(v != null && v.nonEmpty, "Filter cannot be null or empty")
+    val fnRe = raw"([^(]*)\((.*)\)".r
+    if (v.contains("(") && !v.endsWith(")"))
+      throw new IllegalArgumentException(s"Filter must end with a ')': $v")
     v match {
       case "*" => if (groupBy) GroupByAll(k) else Wildcard(k, "*", groupBy = false)
       case fnRe(fn, arg) => fn.toLowerCase match {
@@ -353,7 +382,12 @@ object QueryParser {
         }
       }
       case s if s.contains("|") => LiteralOr(k, s.split("\\|").toSeq, groupBy = groupBy)
-      case s if s.contains("*") => Wildcard(k, s, groupBy = groupBy)
+      // the implicit-star shortcut is case-INSENSITIVE in the
+      // reference (TagVFilter.getFilter, src/query/filter/
+      // TagVFilter.java:196-221: `new TagVWildcardFilter(tagk,
+      // filter, true)`), unlike the explicit wildcard(...) form
+      case s if s.contains("*") =>
+        Wildcard(k, s, caseInsensitive = true, groupBy = groupBy)
       case s => LiteralOr(k, Seq(s), groupBy = groupBy)
     }
   }

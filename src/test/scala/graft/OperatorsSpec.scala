@@ -37,6 +37,95 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def host(h: String) = Map("host" -> h)
 
+  /** Evaluate one TagFilter the way the reference's match(tags) tests
+    * do: compile to a Column and run it over a single-row tags map. */
+  private def matches(f: TagFilter, tags: Map[String, String]): Boolean = {
+    import spark.implicits._
+    Seq(tags).toDF("tags")
+      .select(coalesce(TagFilters.compile(f, col("tags")), lit(false)))
+      .head.getBoolean(0)
+  }
+
+  test("tag filters match reference TagV*Filter golden vectors") {
+    // ported from reference test/query/filter/TestTagVWildcardFilter
+    // .java:23-260, TestTagVNotLiteralOrFilter.java:24-110,
+    // TestTagVLiteralOrFilter.java, TestTagVNotKeyFilter.java
+    val ogg = Map("host" -> "ogg-01.ops.ankh.morpork.com")
+    def wc(p: String, ci: Boolean = false) =
+      Wildcard("host", p, caseInsensitive = ci)
+    // positives, incl. multi-star collapse and literal-star values
+    for (p <- Seq("*", "*.morpork.com", "ogg*", "ogg*com",
+        "ogg*ops*ank*com", "ogg*ops*com", "*morpork*", "*ops*com",
+        "*ops*mor*com", "ogg*ops*", "ogg*ops*mor*", "ogg***com",
+        "ogg*****", "****com", "****ogg*****mor****com****"))
+      assert(matches(wc(p), ogg), s"wildcard $p should match")
+    assert(matches(wc("*ops*mor"), Map("host" -> "*ops*mor")))
+    val utf = Map("host" -> "Здравей'_хора")
+    for (p <- Seq("*хора", "Здр*", "Здр*ра"))
+      assert(matches(wc(p), utf), s"wildcard $p should match utf8")
+    // negatives: wrong literal, wrong case under case-sensitive match,
+    // and matchAllNoSuchKey — `*` on a MISSING key is false
+    for (p <- Seq("*.morpork.org", "magrat*", "magrat*com", "*quirm*",
+        "*.MorPork.com", "Ogg*"))
+      assert(!matches(wc(p), ogg), s"wildcard $p should not match")
+    assert(!matches(Wildcard("hobbes", "*"), ogg))
+    assert(matches(wc("*.MORPORK.com", ci = true), ogg))
+    // ctor contracts (reference TagVWildcardFilter.java:67-75,
+    // TagVFilter.java:149)
+    intercept[IllegalArgumentException](Wildcard("host", ""))
+    intercept[IllegalArgumentException](Wildcard("host", "someliteral"))
+    intercept[IllegalArgumentException](Wildcard("", "*quirm*"))
+    // literal_or / not_literal_or (value CMTDibbler)
+    val dib = Map("host" -> "CMTDibbler")
+    assert(matches(LiteralOr("host", Seq("LutZe", "CMTDibbler", "Slant")), dib))
+    assert(matches(LiteralOr("host", Seq("CMTDibbler")), dib))
+    assert(!matches(LiteralOr("host", Seq("cmtdibbler")), dib))
+    assert(matches(LiteralOr("host", Seq("cmtdibbler"),
+      caseInsensitive = true), dib))
+    assert(!matches(LiteralOr("host", Seq("LutZe")), Map("colo" -> "lga")))
+    intercept[IllegalArgumentException](
+      LiteralOr("host", "|".split("\\|").toSeq))
+    assert(!matches(NotLiteralOr("host", Seq("LutZe", "CMTDibbler", "Slant")), dib))
+    assert(matches(NotLiteralOr("host", Seq("LutZe", "Keli", "Slant")), dib))
+    // matchNoSuchTagk: a series WITHOUT the tag passes not_literal_or
+    assert(matches(NotLiteralOr("host", Seq("LutZe", "Keli")),
+      Map("colo" -> "lga")))
+    assert(!matches(NotLiteralOr("host", Seq("cmtdibbler"),
+      caseInsensitive = true), dib))
+    // not_key: present fails, absent passes
+    assert(!matches(NotKey("host"), dib))
+    assert(matches(NotKey("host"), Map("colo" -> "lga")))
+    // regexp: compile-at-construction like the reference ctor
+    assert(matches(RegexpFilter("host", "ogg-01.*"), ogg))
+    assert(!matches(RegexpFilter("host", "^magrat.*"), ogg))
+    intercept[java.util.regex.PatternSyntaxException](
+      RegexpFilter("host", "((("))
+    // TagVFilter.getFilter conversion goldens (reference
+    // TestTagVFilter.java:85-180): explicit forms keep their case
+    // flag, the implicit-star / fat-fingered-type shortcut is
+    // case-INSENSITIVE, parens demand a well-formed type(arg)
+    def gf(v: String) = QueryParser.parseFilterValue("host", v, false)
+    assert(gf("wildcard(*bonk.com)") == Wildcard("host", "*bonk.com"))
+    assert(gf("iwildcard(*bonk.com)") ==
+      Wildcard("host", "*bonk.com", caseInsensitive = true))
+    assert(gf("wil@*sugarbean") ==
+      Wildcard("host", "wil@*sugarbean", caseInsensitive = true))
+    assert(gf("rexp@.*sugarbean") ==
+      Wildcard("host", "rexp@.*sugarbean", caseInsensitive = true))
+    assert(gf("*bonk.com") ==
+      Wildcard("host", "*bonk.com", caseInsensitive = true))
+    assert(gf("literal_or(quirm|bonk)") ==
+      LiteralOr("host", Seq("quirm", "bonk")))
+    assert(gf("iliteral_or(quirm|bonk)") ==
+      LiteralOr("host", Seq("quirm", "bonk"), caseInsensitive = true))
+    assert(gf("REGEXP(.*sugarbean)") ==
+      RegexpFilter("host", ".*sugarbean"))
+    intercept[IllegalArgumentException](gf("regexp(.*sugarbean"))
+    intercept[IllegalArgumentException](gf("regexp()"))
+    intercept[IllegalArgumentException](gf("dummyfilter(nothere)"))
+    intercept[IllegalArgumentException](gf(""))
+  }
+
   // ---- interpolation-aware aggregation (the reference's
   // AggregationIterator lerp semantics) --------------------------------
 

@@ -255,14 +255,15 @@ class ParserSpec extends AnyFunSuite {
     // parseQueryMTypeWGroupByWildcard{Explicit,Implicit}
     assert(p("sum:sys.cpu.0{host=wildcard(*quirm)}").filters ==
       Seq(Wildcard("host", "*quirm", groupBy = true)))
+    // implicit-star shortcut is case-insensitive (TagVFilter.getFilter)
     assert(p("sum:sys.cpu.0{host=*quirm}").filters ==
-      Seq(Wildcard("host", "*quirm", groupBy = true)))
+      Seq(Wildcard("host", "*quirm", caseInsensitive = true, groupBy = true)))
     // parseQueryMTypeWWildcardFilter{Explicit,Implicit} — second brace
     // group is non-grouping
     assert(p("sum:sys.cpu.0{}{host=wildcard(*quirm)}").filters ==
       Seq(Wildcard("host", "*quirm", groupBy = false)))
     assert(p("sum:sys.cpu.0{}{host=*quirm}").filters ==
-      Seq(Wildcard("host", "*quirm", groupBy = false)))
+      Seq(Wildcard("host", "*quirm", caseInsensitive = true, groupBy = false)))
     // parseQueryMTypeWGroupByAndWildcardFilterExplicit — both groups
     val both = p("sum:sys.cpu.0{colo=lga}{host=wildcard(*quirm)}").filters
     assert(both.contains(LiteralOr("colo", Seq("lga"), groupBy = true)) &&
