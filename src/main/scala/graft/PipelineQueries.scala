@@ -1199,6 +1199,28 @@ object PipelineQueries {
     }),
 
     // multimodal: binary payload + metadata + stub feature extraction
+    // ViT-style patch extraction: 4×4 synthetic PPMs tile into 2×2
+    // patches of 2×2 pixels; per-patch mean R/G/B + luma checked
+    // arithmetically — the image-tokenization pass before a vision
+    // encoder
+    "m10_patchify" -> ((s, dir) => {
+      val pix = (0 until 16).map { p =>
+        concat(
+          lpad(hex(pmod(col("doc_id") * 3 + lit(p * 7), lit(256))), 2, "0"),
+          lpad(hex(pmod(col("doc_id") * 5 + lit(p * 11), lit(256))), 2, "0"),
+          lpad(hex(pmod(col("doc_id") * 7 + lit(p * 13), lit(256))), 2, "0"))
+      }
+      val payload = concat(encode(lit("P6\n4 4\n255\n"), "UTF-8") +:
+        pix.map(unhex): _*)
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.patchify(media, patch = 2)
+        .select(col("media_id"), col("patch_row"), col("patch_col"),
+          r4(col("mean_r")).as("mean_r"), r4(col("mean_g")).as("mean_g"),
+          r4(col("mean_b")).as("mean_b"), r4(col("luma")).as("luma"))
+        .orderBy("media_id", "patch_row", "patch_col")
+    }),
+
     "m01_media_meta" -> ((s, dir) => {
       val m = Multimodal.fromDocuments(docs(s, dir))
       val f = Multimodal.decodeFeatures(col("payload"), 4)
@@ -2504,6 +2526,37 @@ object PipelineQueries {
            list_min(list_transform(sgl, s -> ${oH32("s")})) AS fp_min,
            len(list_distinct(sgl)) AS n_shingles
          FROM sh ORDER BY doc_id""",
+
+    "m10_patchify" ->
+      s"""WITH cell AS (
+           SELECT doc_id, pr, pc,
+             (pr * 2 + dy) * 4 + pc * 2 + dx AS p
+           FROM (SELECT doc_id FROM documents)
+             CROSS JOIN range(2) t1(pr) CROSS JOIN range(2) t2(pc)
+             CROSS JOIN range(2) t3(dy) CROSS JOIN range(2) t4(dx)),
+         px AS (
+           SELECT doc_id, pr, pc,
+             (doc_id * 3 + p * 7) % 256 AS r,
+             (doc_id * 5 + p * 11) % 256 AS g,
+             (doc_id * 7 + p * 13) % 256 AS b
+           FROM cell),
+         agg AS (
+           SELECT doc_id, pr, pc, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+           FROM px GROUP BY doc_id, pr, pc),
+         m AS (
+           SELECT doc_id AS media_id, CAST(pr AS INT) AS patch_row,
+             CAST(pc AS INT) AS patch_col,
+             CAST(sr AS DOUBLE) / (4 * 255) AS mr,
+             CAST(sg AS DOUBLE) / (4 * 255) AS mg,
+             CAST(sb AS DOUBLE) / (4 * 255) AS mb
+           FROM agg)
+         SELECT media_id, patch_row, patch_col,
+           (sign(mr) * floor(abs(mr) * 10000 + 0.5) / 10000) AS mean_r,
+           (sign(mg) * floor(abs(mg) * 10000 + 0.5) / 10000) AS mean_g,
+           (sign(mb) * floor(abs(mb) * 10000 + 0.5) / 10000) AS mean_b,
+           (sign(0.299 * mr + 0.587 * mg + 0.114 * mb) *
+             floor(abs(0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5) / 10000) AS luma
+         FROM m ORDER BY media_id, patch_row, patch_col""",
 
     "m01_media_meta" ->
       """WITH m AS (

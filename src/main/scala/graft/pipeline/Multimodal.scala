@@ -104,7 +104,10 @@ object Multimodal {
       .reduce(_ + _)
   }
 
-  def decodePpm(bytes: Array[Byte]): Option[Decoded] = {
+  /** P6 header parse → (width, height, maxval, pixel-data offset).
+    * Size check in Long: a crafted huge header would overflow w*h*3
+    * to a small/negative Int and sail past the bounds guard. */
+  private[pipeline] def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 2 ||
         bytes(0) != 'P' || bytes(1) != '6') return None
     var pos = 2
@@ -123,10 +126,15 @@ object Multimodal {
     }
     val (w, h, maxv) = (token(), token(), token())
     pos += 1 // single whitespace after maxval
-    // size check in Long: a crafted huge header would overflow w*h*3
-    // to a small/negative Int and sail past the bounds guard
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || maxv <= 0 ||
-        bytes.length.toLong < pos.toLong + w.toLong * h * 3) return None
+        bytes.length.toLong < pos.toLong + w.toLong * h * 3) None
+    else Some((w, h, maxv, pos))
+  }
+
+  def decodePpm(bytes: Array[Byte]): Option[Decoded] = {
+    val hdr = ppmHeader(bytes)
+    if (hdr.isEmpty) return None
+    val (w, h, maxv, pos) = hdr.get
     var (sr, sg, sb) = (0L, 0L, 0L)
     var i = pos
     val end = pos + w * h * 3
@@ -954,6 +962,70 @@ object Multimodal {
           else Row(d.kind, d.width, d.height, d.channels, d.sampleRate,
             d.features.toSeq)
         Row.fromSeq(r.toSeq :+ dRow)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
+   * ViT-style patch extraction ("image tokenization"): decode each
+   * image and emit one row per non-overlapping patch×patch tile with
+   * the tile's mean R/G/B (maxval-normalized) and mean luma — the
+   * preprocessing pass before a vision encoder consumes the image as
+   * a patch sequence. Trailing pixels that do not fill a whole tile
+   * are dropped, like a ViT crops to a multiple of the patch size.
+   *
+   * 100 TB shape: decode runs ONCE per image inside mapPartitions
+   * (entropy/pixel work Catalyst cannot express — same justification
+   * as decodeMedia); the grid unrolls into rows so everything
+   * downstream (patch stats, filtering, sequence packing) is plain
+   * relational. Output is bounded per image by `maxPatches`, so one
+   * billboard-sized image cannot skew a partition — the frameSample
+   * discipline.
+   */
+  def patchify(df: DataFrame, patch: Int = 2,
+               maxPatches: Int = Int.MaxValue,
+               payloadCol: String = "payload"): DataFrame = {
+    require(patch > 0, s"patch $patch")
+    val idx = df.schema.fieldIndex(payloadCol)
+    val keep = df.schema.fields.indices.filterNot(_ == idx)
+    val outSchema = StructType(
+      keep.map(df.schema.fields).toArray ++ Seq(
+        StructField("patch_row", IntegerType),
+        StructField("patch_col", IntegerType),
+        StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+        StructField("mean_b", DoubleType), StructField("luma", DoubleType)))
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.get(idx).asInstanceOf[Array[Byte]]
+        ppmHeader(bytes) match {
+          case None => Iterator.empty
+          case Some((w, h, maxv, pos)) =>
+            val rest = keep.map(r.get)
+            val grid = for {
+              py <- Iterator.range(0, h / patch)
+              px <- Iterator.range(0, w / patch)
+            } yield {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var dy = 0
+              while (dy < patch) {
+                var dx = 0
+                while (dx < patch) {
+                  val o = pos + ((py * patch + dy) * w + px * patch + dx) * 3
+                  sr += bytes(o) & 0xff; sg += bytes(o + 1) & 0xff
+                  sb += bytes(o + 2) & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              val n = (patch * patch).toDouble * maxv
+              val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+              // Seq[Any], not Seq(...): mixed Int/Double literals
+              // would numeric-widen the patch indices to Double
+              Row.fromSeq(rest ++ Seq[Any](py, px, mr, mg, mb,
+                0.299 * mr + 0.587 * mg + 0.114 * mb))
+            }
+            grid.take(maxPatches)
+        }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -200,6 +200,25 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.frameSample(df, every = 1, maxFrames = 2).count() == 2)
   }
 
+  test("patchify tiles PPM pixels, crops remainders, bounds per image") {
+    import spark.implicits._
+    // 5×3 image: 2×2 patches tile to a 2×1 grid (row 2 and col 4 crop
+    // away); pixel (x,y) has r=g=b = y*5+x so patch means are exact
+    val px = (0 until 15).flatMap(p => Seq(p, p, p)).map(_.toByte).toArray
+    val img = "P6\n5 3\n255\n".getBytes("US-ASCII") ++ px
+    val df = Seq((1L, img), (2L, "not an image".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.patchify(df, patch = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // non-PPM payload contributes no rows; patch (0,0) covers pixels
+    // {0,1,5,6} mean 3, patch (0,1) covers {2,3,7,8} mean 5
+    assert(out.map(t => (t._1, t._2, t._3)).toSet ==
+      Set((1L, 0, 0), (1L, 0, 1)))
+    assert(out.find(t => t._2 == 0 && t._3 == 0).get._4 == 3.0 / 255)
+    assert(out.find(t => t._2 == 0 && t._3 == 1).get._4 == 5.0 / 255)
+    // maxPatches caps the per-image output (frameSample discipline)
+    assert(Multimodal.patchify(df, patch = 2, maxPatches = 1).count() == 1)
+  }
+
   test("decodeMedia dispatches per partition and nulls unknown formats") {
     import spark.implicits._
     val df = Seq(
