@@ -75,6 +75,10 @@ object Ingest {
     * alphanumerics plus `-_./` and unicode letters). */
   val NAME_RE = "^[a-zA-Z0-9\\-_./\\p{L}]+$"
 
+  /** Tag-count cap per point (reference Const.MAX_NUM_TAGS,
+    * src/core/Const.java:28 — a performance guard on series width). */
+  val MAX_NUM_TAGS = 8
+
   /**
    * Parse telnet-style lines `put <metric> <ts> <value> <tagk=tagv> ...`
    * from a one-column DataFrame (`value` string) into the canonical
@@ -139,6 +143,10 @@ object Ingest {
           .when(size(col("parts")) < 5, lit("too few fields"))
           .when(col("value").isNull, lit("bad value"))
           .when(col("ts_num").isNull, lit("bad timestamp"))
+          // reference IncomingDataPoints.checkMetricAndTags:115 — at
+          // most Const.MAX_NUM_TAGS (8) tags per point (the ≥1 rule
+          // is subsumed by the field-count check above)
+          .when(size(col("tags")) > MAX_NUM_TAGS, lit("too many tags"))
           .when(!col("metric").rlike(NAME_RE), lit("bad metric charset"))
           .when(col("bad_tag") ||
             exists(map_values(col("tags")), _.isNull), lit("bad tag")))
@@ -153,7 +161,11 @@ object Ingest {
     StructField("value", StringType),
     StructField("tags", MapType(StringType, StringType)))))
 
-  /** Parse /api/put JSON bodies (one per row, object or array). */
+  /** Parse /api/put JSON bodies (one per row, object or array), with
+    * the same `_error` channel as the line parser — the reference's
+    * JSON path runs the identical IncomingDataPoint validation
+    * (PutDataPointRpc.java:272-430 → checkMetricAndTags), reporting
+    * per-point failures through ?summary/?details. */
   def parsePutJson(bodies: DataFrame): DataFrame = {
     val arr = when(trim(col("value")).startsWith("["), col("value"))
       .otherwise(concat(lit("["), col("value"), lit("]")))
@@ -168,6 +180,18 @@ object Ingest {
           expr("try_cast(dp.value AS BIGINT)")).as("value_l"),
         col("dp.value").rlike("^-?\\d+$").as("is_int"),
         NormalizePlugins(col("dp.tags")).as("tags"))
+      .withColumn("_error",
+        when(col("metric").isNull || col("metric") === "",
+          lit("missing metric"))
+          .when(col("ts").isNull || col("ts") <= 0, lit("bad timestamp"))
+          .when(col("value").isNull, lit("bad value"))
+          .when(col("tags").isNull || size(col("tags")) === 0,
+            lit("need at least one tag"))
+          .when(size(col("tags")) > MAX_NUM_TAGS, lit("too many tags"))
+          .when(!col("metric").rlike(NAME_RE), lit("bad metric charset"))
+          .when(exists(map_keys(col("tags")), k => !k.rlike(NAME_RE)) ||
+            exists(map_values(col("tags")), v => !v.rlike(NAME_RE)),
+            lit("bad tag")))
   }
 
   /** JSON body schema of /api/rollup (reference

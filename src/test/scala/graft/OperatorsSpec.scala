@@ -770,6 +770,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed(0).getAs[Long]("ts") == 1356998400000L)
     assert(parsed(0).getAs[Boolean]("is_int"))
     assert(parsed(1).getAs[Double]("value") == 1.5)
+    assert(parsed.forall(_.getAs[String]("_error") == null))
+  }
+
+  test("put validation: checkMetricAndTags tag-count and JSON rules") {
+    import spark.implicits._
+    // reference IncomingDataPoints.checkMetricAndTags:110-127 — at
+    // least one tag, at most Const.MAX_NUM_TAGS (8)
+    val nine = (1 to 9).map(i => s"t$i=v").mkString(" ")
+    val eight = (1 to 8).map(i => s"t$i=v").mkString(" ")
+    val lines = Ingest.parsePutLines(Seq(
+      s"put cpu 1356998400 1 $nine",
+      s"put cpu 1356998400 1 $eight").toDF("value"))
+      .select("_error").collect().map(_.getString(0))
+    assert(lines(0) == "too many tags" && lines(1) == null)
+    val js = Ingest.parsePutJson(Seq(
+      """{"metric":"cpu","timestamp":1356998400,"value":"1","tags":{}}""",
+      """{"metric":"","timestamp":1356998400,"value":"1","tags":{"h":"a"}}""",
+      """{"metric":"cpu","timestamp":-5,"value":"1","tags":{"h":"a"}}""",
+      """{"metric":"cpu","timestamp":1356998400,"value":"x","tags":{"h":"a"}}""",
+      """{"metric":"cpu","timestamp":1356998400,"value":"1","tags":{"h!":"a"}}""",
+      """{"metric":"cpu","timestamp":1356998400,"value":"1","tags":{"h":"a"}}"""
+    ).toDF("value")).select("_error").collect().map(_.getString(0))
+    assert(js.toSeq == Seq("need at least one tag", "missing metric",
+      "bad timestamp", "bad value", "bad tag", null))
   }
 
   // ---- engine end-to-end ---------------------------------------------
