@@ -107,13 +107,18 @@ object Ingest {
       .withColumn("metric", metric)
       .withColumn("ts_raw", tsRaw)
       // try_* casts: malformed rows must flow to _error, not abort the
-      // batch under ANSI mode
-      .withColumn("ts_num", expr("try_cast(ts_raw AS DECIMAL(20,3))"))
+      // batch under ANSI mode. A dot in the timestamp is STRIPPED
+      // before the long parse — the reference's exact quirk
+      // (PutDataPointRpc.importDataPoint:756-760), which makes
+      // "1356998400.500" the ms form and "1356998400.5" a (weird but
+      // contractual) 13569984005
+      .withColumn("ts_num",
+        expr("try_cast(replace(ts_raw, '.', '') AS BIGINT)"))
       // seconds vs millis auto-detect by magnitude
       // (reference src/core/Const.java:89-92 SECOND_MASK)
       .withColumn("ts",
-        when(col("ts_num") > 4294967295L, col("ts_num").cast("long"))
-          .otherwise((col("ts_num") * 1000).cast("long")))
+        when(col("ts_num") > 4294967295L, col("ts_num"))
+          .otherwise(col("ts_num") * 1000))
       .withColumn("value_str", v)
       .withColumn("is_int", v.rlike("^-?\\d+$"))
       .withColumn("value", expr("try_cast(value_str AS DOUBLE)"))
@@ -142,7 +147,10 @@ object Ingest {
           lit("not a put command"))
           .when(size(col("parts")) < 5, lit("too few fields"))
           .when(col("value").isNull, lit("bad value"))
-          .when(col("ts_num").isNull, lit("bad timestamp"))
+          // <= 0 rejected at the RPC (importDataPoint:761); the ms
+          // form is capped at 13 digits (TSDB.checkTimestampAndTags)
+          .when(col("ts_num").isNull || col("ts_num") <= 0 ||
+            col("ts_num") > 9999999999999L, lit("bad timestamp"))
           // reference IncomingDataPoints.checkMetricAndTags:115 — at
           // most Const.MAX_NUM_TAGS (8) tags per point (the ≥1 rule
           // is subsumed by the field-count check above)

@@ -757,6 +757,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ok(1).getAs[Boolean]("is_int"))
     val errs = parsed.flatMap(r => Option(r.getAs[String]("_error")))
     assert(errs.length == 3)
+    // the reference's dot-strip timestamp quirk (importDataPoint:
+    // 756-760): "1356998400.500" is the ms form; zero and 14-digit
+    // timestamps reject (importDataPoint:761, checkTimestampAndTags)
+    val quirk = Ingest.parsePutLines(Seq(
+      "put m 1356998400.500 1 h=a",
+      "put m 0 1 h=a",
+      "put m 99999999999999 1 h=a").toDF("value")).collect()
+    assert(quirk(0).getAs[String]("_error") == null &&
+      quirk(0).getAs[Long]("ts") == 1356998400500L)
+    assert(quirk(1).getAs[String]("_error") == "bad timestamp")
+    assert(quirk(2).getAs[String]("_error") == "bad timestamp")
   }
 
   test("api/put JSON parsing: single object and array") {
