@@ -71,9 +71,21 @@ object WriteFilterPlugins {
 
 object Ingest {
 
-  /** Charset rule for metric/tagk/tagv (reference Tags.validateString:
-    * alphanumerics plus `-_./` and unicode letters). */
+  /** Charset rule for metric/tagk/tagv (reference Tags.validateString,
+    * src/core/Tags.java:549-565: alphanumerics plus `-_./` and unicode
+    * letters). */
   val NAME_RE = "^[a-zA-Z0-9\\-_./\\p{L}]+$"
+
+  /** Extra characters admitted by the charset rule — the
+    * `tsd.core.tag.allow_specialchars` config knob (reference
+    * Tags.isAllowSpecialChars; empty by default). */
+  @volatile var allowSpecialChars: String = ""
+
+  /** The effective charset regex including any configured specials. */
+  private[sources] def nameRe: String =
+    if (allowSpecialChars.isEmpty) NAME_RE
+    else "^[a-zA-Z0-9\\-_./\\p{L}" +
+      allowSpecialChars.flatMap(c => "\\" + c) + "]+$"
 
   /** Tag-count cap per point (reference Const.MAX_NUM_TAGS,
     * src/core/Const.java:28 — a performance guard on series width). */
@@ -155,7 +167,7 @@ object Ingest {
           // most Const.MAX_NUM_TAGS (8) tags per point (the ≥1 rule
           // is subsumed by the field-count check above)
           .when(size(col("tags")) > MAX_NUM_TAGS, lit("too many tags"))
-          .when(!col("metric").rlike(NAME_RE), lit("bad metric charset"))
+          .when(!col("metric").rlike(nameRe), lit("bad metric charset"))
           .when(col("bad_tag") ||
             exists(map_values(col("tags")), _.isNull), lit("bad tag")))
       .select("metric", "ts", "value", "value_l", "is_int", "tags", "_error")
@@ -196,9 +208,9 @@ object Ingest {
           .when(col("tags").isNull || size(col("tags")) === 0,
             lit("need at least one tag"))
           .when(size(col("tags")) > MAX_NUM_TAGS, lit("too many tags"))
-          .when(!col("metric").rlike(NAME_RE), lit("bad metric charset"))
-          .when(exists(map_keys(col("tags")), k => !k.rlike(NAME_RE)) ||
-            exists(map_values(col("tags")), v => !v.rlike(NAME_RE)),
+          .when(!col("metric").rlike(nameRe), lit("bad metric charset"))
+          .when(exists(map_keys(col("tags")), k => !k.rlike(nameRe)) ||
+            exists(map_values(col("tags")), v => !v.rlike(nameRe)),
             lit("bad tag")))
   }
 

@@ -805,6 +805,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("value")).select("_error").collect().map(_.getString(0))
     assert(js.toSeq == Seq("need at least one tag", "missing metric",
       "bad timestamp", "bad value", "bad tag", null))
+    // tsd.core.tag.allow_specialchars (Tags.isAllowSpecialChars):
+    // configured specials pass the charset rule, others still reject
+    try {
+      Ingest.allowSpecialChars = "%!"
+      val sp = Ingest.parsePutLines(Seq(
+        "put cpu%busy 1356998400 1 h=a!b",
+        "put cpu#busy 1356998400 1 h=a").toDF("value"))
+        .select("_error").collect().map(_.getString(0))
+      assert(sp(0) == null && sp(1) == "bad metric charset")
+    } finally Ingest.allowSpecialChars = ""
+    assert(Ingest.parsePutLines(Seq("put cpu%busy 1356998400 1 h=a")
+      .toDF("value")).select("_error").head.getString(0) != null)
   }
 
   // ---- engine end-to-end ---------------------------------------------
