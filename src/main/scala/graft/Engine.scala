@@ -41,6 +41,23 @@ object Engine {
                          horizonMs: Long = Long.MaxValue)
 
   /**
+   * Strict metric resolution — the reference rejects a query naming a
+   * metric that was never written (TsdbQuery.setTimeSeries UID lookup
+   * → NoSuchUniqueName → HTTP 400), while tag VALUES resolve leniently
+   * (unknown literals just match nothing). Default OFF as a deliberate
+   * scale choice: the relational engine's empty result is free, where
+   * the existence probe costs one (partition-pruned, LIMIT 1) scan job
+   * per sub-query — a serving layer wanting the reference's 400 per
+   * typo'd metric flips this on.
+   */
+  @volatile var strictMetrics: Boolean = false
+
+  private def requireMetric(points: DataFrame, metric: String): Unit =
+    if (strictMetrics &&
+        points.filter(col("metric") === metric).limit(1).isEmpty)
+      throw new NoSuchElementException(s"No such name for 'metrics': '$metric'")
+
+  /**
    * Run one sub-query against a canonical points DataFrame.
    *
    * When `rollups` are registered and the downsample spec can be served
@@ -54,6 +71,7 @@ object Engine {
   def run(points: DataFrame, query: TsQuery, sub: SubQuery,
           rollups: Seq[RollupTable] = Seq.empty): DataFrame = {
     graft.meta.Introspect.incr("query.sub_queries")
+    if (sub.tsuids.isEmpty) requireMetric(points, sub.metric)
     // pre-pad the scan so edge buckets AND the first rate delta / lerp
     // neighbor exist (reference getScanStartTimeSeconds pads for rate
     // too, not just downsample)

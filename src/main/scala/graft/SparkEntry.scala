@@ -1015,6 +1015,30 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.2 strict metric resolution (reference TsdbQuery.setTimeSeries
+    // → NoSuchUniqueName → 400): with the flag on, a query naming a
+    // never-written metric errors instead of returning empty, while a
+    // known metric runs untouched; flag off restores the relational
+    // empty-result default
+    "q89_strict_metric" -> ((s, dir) => {
+      import s.implicits._
+      val q = TsQuery(T_0105, T_0120, Seq.empty)
+      def run(check: String, strict: Boolean, metric: String)
+        : (String, Boolean, Long) = {
+        Engine.strictMetrics = strict
+        try { (check, false,
+          Engine.run(pts(s, dir), q, SubQuery("sum", metric, Seq.empty,
+            Some(DownsampleSpec.parse("1d-sum")))).count()) }
+        catch { case _: NoSuchElementException => (check, true, 0L) }
+        finally Engine.strictMetrics = false
+      }
+      Seq(
+        run("strict_known", strict = true, "click"),
+        run("strict_unknown", strict = true, "no.such.metric"),
+        run("lenient_unknown", strict = false, "no.such.metric"))
+        .toDF("check", "rejected", "n").orderBy("check")
+    }),
+
     // §2.1 write-time data-point filter plugin (reference
     // WriteableDataPointFilterPlugin, TSDB.storeIntoDB:1453-1461):
     // points with tag k=10 on metric 'click' are refused at store
@@ -2039,6 +2063,18 @@ object SparkEntry {
            (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
          FROM d WHERE b >= $T_0105 AND b <= $T_0120
          ORDER BY tag_user, ts""",
+
+    "q89_strict_metric" ->
+      s"""$O, c AS (
+           SELECT count(DISTINCT ts - ts % $DAY) AS n FROM points
+           WHERE metric = 'click' AND ts - ts % $DAY >= $T_0105
+             AND ts - ts % $DAY <= $T_0120)
+         SELECT * FROM (
+           SELECT 'lenient_unknown' AS "check", FALSE AS rejected,
+             CAST(0 AS BIGINT) AS n
+           UNION ALL SELECT 'strict_known', FALSE, n FROM c
+           UNION ALL SELECT 'strict_unknown', TRUE, CAST(0 AS BIGINT))
+         ORDER BY "check"""",
 
     "q88_write_filter" ->
       s"""$O, stored AS (
