@@ -1315,6 +1315,61 @@ object SparkEntry {
     // rendered as RollupDataPointRpc bodies (interval + aggregator ride
     // along), parsed back and re-aggregated — proving externally
     // computed rollups land loss-free in the engine's rollup model
+    // §2.1 telnet `histogram` line sink (reference
+    // HistogramDataPointRpc.importDataPoint `histogram metric ts
+    // [codec-id] base64-blob tags`): hourly purchase histograms
+    // encoded as SimpleHistogram wire blobs, round-tripped through
+    // the line parser and the codec registry back to bucket rows
+    "q91_histogram_lines" -> ((s, dir) => {
+      import s.implicits._
+      val binW = 10.0
+      val hb = pts(s, dir).filter(col("metric") === "purchase")
+        .groupBy(col("metric"), (col("ts") - col("ts") % HOUR).as("ts"),
+          (floor(col("value") / binW) * binW).as("lo"))
+        .agg(count(lit(1)).as("c"))
+      val grouped = hb.groupBy("metric", "ts")
+        .agg(collect_list(struct(col("lo"), (col("lo") + binW).as("hi"),
+          col("c"))).as("bs"))
+      val lines = grouped.map { r =>
+        val bs = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(b => graft.operators.Histograms.Bucket(
+            b.getDouble(0), b.getDouble(1), b.getLong(2)))
+          .sortBy(_.lo)
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          graft.operators.Histograms.simpleHistogramEncode(bs))
+        s"histogram ${r.getString(0)} ${r.getLong(1)} 0 $b64 src=wire"
+      }.toDF("value")
+      val parsed = graft.sources.Ingest.parseHistogramLines(lines)
+        .filter(col("_error").isNull)
+      graft.operators.Histograms
+        .decodeBlobs(parsed, Seq("metric"), "codec_id", "blob")
+        .groupBy(col("metric"), col("bucket_lo"), col("bucket_hi"))
+        .agg(sum(col("count")).as("n"))
+        .orderBy("metric", "bucket_lo")
+    }),
+
+    // §2.1 telnet `rollup` line sink (reference RollupDataPointRpc
+    // .importDataPoint telnet form `rollup 1h-sum:sum metric ts value
+    // tags`): hourly sums rendered as wire lines, parsed back, and
+    // re-aggregated — interval/temporal/spatial agg split checked on
+    // the round-trip
+    "q90_rollup_lines" -> ((s, dir) => {
+      val hour = pts(s, dir).filter(col("metric") === "view")
+        .groupBy(col("metric"), (col("ts") - col("ts") % HOUR).as("ts"),
+          col("tags").getItem("user").as("u"))
+        .agg(sum(col("value")).as("v"))
+      val lines = hour.select(concat(
+        lit("rollup 1h-sum:sum "), col("metric"), lit(" "),
+        col("ts").cast("string"), lit(" "), col("v").cast("string"),
+        lit(" user="), col("u")).as("value"))
+      graft.sources.Ingest.parseRollupLines(lines)
+        .filter(col("_error").isNull)
+        .groupBy(col("metric"), col("interval"), col("aggregator"),
+          col("spatial_agg"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .orderBy("metric")
+    }),
+
     "q69_rollup_json" -> ((s, dir) => {
       val hour = pts(s, dir).filter(col("metric") === "click")
         .groupBy(col("metric"), (col("ts") - col("ts") % HOUR).as("ts"),
@@ -2579,6 +2634,22 @@ object SparkEntry {
            (sign(avg(value)) * floor(abs(avg(value)) * 10000 + 0.5) / 10000) AS avg_v, count(*) AS n
          FROM sl GROUP BY metric, tag_user, tag_k, w
          ORDER BY metric, tag_user, tag_k, ts""",
+
+    "q91_histogram_lines" ->
+      s"""$O SELECT metric, floor(value / 10) * 10 AS bucket_lo,
+           floor(value / 10) * 10 + 10 AS bucket_hi, count(*) AS n
+         FROM points WHERE metric = 'purchase'
+         GROUP BY metric, floor(value / 10) * 10
+         ORDER BY metric, bucket_lo""",
+
+    "q90_rollup_lines" ->
+      s"""$O, h AS (
+           SELECT metric, ts - ts % $HOUR AS ts, tag_user, sum(value) AS v
+           FROM points WHERE metric = 'view' GROUP BY 1, 2, 3)
+         SELECT metric, '1h' AS interval, 'sum' AS aggregator,
+           'sum' AS spatial_agg, count(*) AS n,
+           (sign(sum(v)) * floor(abs(sum(v)) * 10000 + 0.5) / 10000) AS sum_v
+         FROM h GROUP BY metric ORDER BY metric""",
 
     "q69_rollup_json" ->
       s"""$O, h AS (

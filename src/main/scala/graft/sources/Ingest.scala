@@ -243,6 +243,130 @@ object Ingest {
         expr("try_cast(rp.value AS DOUBLE)").as("value"))
   }
 
+  /**
+   * Parse telnet-style rollup lines
+   * `rollup <interval-agg[:spatialagg]> <metric> <ts> <value> <tagk=tagv>...`
+   * (reference RollupDataPointRpc.importDataPoint:85-160: a dash in
+   * the first part splits interval-temporalAgg, a colon appends the
+   * spatial aggregator, a bare token is a spatial-only "groupby"
+   * rollup). Same validation channel as [[parsePutLines]], same
+   * output shape as [[parseRollupJson]] plus `spatial_agg`.
+   */
+  def parseRollupLines(lines: DataFrame): DataFrame = {
+    val parts = split(trim(col("value")), " ")
+    val ia = try_element_at(parts, lit(2))
+    val metric = try_element_at(parts, lit(3))
+    val tsRaw = try_element_at(parts, lit(4))
+    val v = try_element_at(parts, lit(5))
+    val tagPairs = expr("slice(parts, 6, greatest(size(parts) - 5, 0))")
+    val iaParts = split(ia, ":")
+    val ivPart = try_element_at(iaParts, lit(1))
+    val spPart = try_element_at(iaParts, lit(2))
+    val dash = instr(ivPart, "-")
+    val parsed = lines
+      .withColumn("parts", parts)
+      .withColumn("metric", metric)
+      .withColumn("interval",
+        when(dash > 0, substring_index(ivPart, "-", 1)))
+      .withColumn("aggregator",
+        when(dash > 0, lower(substring_index(ivPart, "-", -1))))
+      .withColumn("spatial_agg",
+        lower(coalesce(spPart, when(dash === 0, ivPart))))
+      .withColumn("ts_raw", tsRaw)
+      .withColumn("ts_num",
+        expr("try_cast(replace(ts_raw, '.', '') AS BIGINT)"))
+      .withColumn("ts",
+        when(col("ts_num") > 4294967295L, col("ts_num"))
+          .otherwise(col("ts_num") * 1000))
+      .withColumn("value_str", v)
+      .withColumn("is_int", v.rlike("^-?\\d+$"))
+      .withColumn("value", expr("try_cast(value_str AS DOUBLE)"))
+      .withColumn("tagkv", transform(tagPairs, p => split(p, "=")))
+      .withColumn("tags",
+        NormalizePlugins(map_from_entries(transform(col("tagkv"), p =>
+          struct(get(p, lit(0)), get(p, lit(1)))))))
+      .withColumn("bad_tag",
+        exists(col("tagkv"), p =>
+          size(p) =!= 2 || get(p, lit(0)) === "" || get(p, lit(1)) === ""))
+    parsed.withColumn("_error",
+        when(try_element_at(col("parts"), lit(1)) =!= "rollup",
+          lit("not a rollup command"))
+          .when(size(col("parts")) < 6, lit("too few fields"))
+          .when(col("aggregator").isNull && col("spatial_agg").isNull,
+            lit("missing interval or aggregator"))
+          .when(col("value").isNull, lit("bad value"))
+          .when(col("ts_num").isNull || col("ts_num") <= 0 ||
+            col("ts_num") > 9999999999999L, lit("bad timestamp"))
+          .when(size(col("tags")) > MAX_NUM_TAGS, lit("too many tags"))
+          .when(!col("metric").rlike(nameRe), lit("bad metric charset"))
+          .when(col("bad_tag") ||
+            exists(map_values(col("tags")), _.isNull), lit("bad tag")))
+      .select("metric", "ts", "tags", "interval", "aggregator",
+        "spatial_agg", "value", "_error")
+  }
+
+  /**
+   * Parse telnet-style histogram lines
+   * `histogram <metric> <ts> [codec-id] <base64-blob> <tagk=tagv>...`
+   * (reference HistogramDataPointRpc.importDataPoint:100-145: the
+   * third word is the integer codec id when it parses as one,
+   * otherwise the blob itself — faithfully ambiguous for an all-digit
+   * base64 string, as in the reference). Emits the raw blob +
+   * codec_id for `Histograms.decodeBlobs` to run through the codec
+   * registry; `codec_id` is null when the line omitted it (the
+   * reference falls back to its configured default codec).
+   */
+  def parseHistogramLines(lines: DataFrame): DataFrame = {
+    val parts = split(trim(col("value")), " ")
+    val metric = try_element_at(parts, lit(2))
+    val tsRaw = try_element_at(parts, lit(3))
+    val maybeId = try_element_at(parts, lit(4))
+    val parsed = lines
+      .withColumn("parts", parts)
+      .withColumn("metric", metric)
+      .withColumn("ts_raw", tsRaw)
+      .withColumn("ts_num",
+        expr("try_cast(replace(ts_raw, '.', '') AS BIGINT)"))
+      .withColumn("ts",
+        when(col("ts_num") > 4294967295L, col("ts_num"))
+          .otherwise(col("ts_num") * 1000))
+      .withColumn("has_id", maybeId.rlike("^-?\\d+$"))
+      .withColumn("codec_id",
+        when(col("has_id"), maybeId.cast("int")))
+      .withColumn("blob_b64",
+        when(col("has_id"), try_element_at(col("parts"), lit(5)))
+          .otherwise(maybeId))
+      // unbase64 THROWS on malformed input — gate on the strict
+      // base64 shape so junk flows to _error instead of aborting
+      .withColumn("blob",
+        when(col("blob_b64").rlike("^[A-Za-z0-9+/]+={0,2}$") &&
+          length(col("blob_b64")) % 4 === 0, unbase64(col("blob_b64"))))
+      .withColumn("tagkv", transform(
+        when(col("has_id"),
+          expr("slice(parts, 6, greatest(size(parts) - 5, 0))"))
+          .otherwise(expr("slice(parts, 5, greatest(size(parts) - 4, 0))")),
+        p => split(p, "=")))
+      .withColumn("tags",
+        NormalizePlugins(map_from_entries(transform(col("tagkv"), p =>
+          struct(get(p, lit(0)), get(p, lit(1)))))))
+      .withColumn("bad_tag",
+        exists(col("tagkv"), p =>
+          size(p) =!= 2 || get(p, lit(0)) === "" || get(p, lit(1)) === ""))
+    parsed.withColumn("_error",
+        when(try_element_at(col("parts"), lit(1)) =!= "histogram",
+          lit("not a histogram command"))
+          .when(size(col("parts")) < 5, lit("too few fields"))
+          .when(col("blob_b64").isNull || col("blob").isNull,
+            lit("bad histogram blob"))
+          .when(col("ts_num").isNull || col("ts_num") <= 0 ||
+            col("ts_num") > 9999999999999L, lit("bad timestamp"))
+          .when(size(col("tags")) > MAX_NUM_TAGS, lit("too many tags"))
+          .when(!col("metric").rlike(nameRe), lit("bad metric charset"))
+          .when(col("bad_tag") ||
+            exists(map_values(col("tags")), _.isNull), lit("bad tag")))
+      .select("metric", "ts", "tags", "codec_id", "blob", "_error")
+  }
+
   /** JSON body schema of /api/histogram (reference
     * src/tsd/HistogramDataPointRpc.java; SimpleHistogram pojo with a
     * bucket map keyed "lo,hi"). */

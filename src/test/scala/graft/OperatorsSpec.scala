@@ -784,6 +784,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed.forall(_.getAs[String]("_error") == null))
   }
 
+  test("telnet rollup lines: interval-agg split forms and errors") {
+    import spark.implicits._
+    // reference RollupDataPointRpc.importDataPoint:106-123 — dash
+    // splits interval-temporalAgg, colon appends spatial, bare token
+    // is spatial-only
+    val parsed = Ingest.parseRollupLines(Seq(
+      "rollup 1h-sum cpu 1356998400 5 host=a",
+      "rollup 1h-sum:max cpu 1356998400 5 host=a",
+      "rollup sum cpu 1356998400 5 host=a",
+      "rollup 1h-sum cpu 1356998400 notanum host=a",
+      "put cpu 1356998400 5 host=a").toDF("value")).collect()
+    def t(i: Int) = {
+      val r = parsed(i)
+      (r.getAs[String]("interval"), r.getAs[String]("aggregator"),
+        r.getAs[String]("spatial_agg"), r.getAs[String]("_error"))
+    }
+    assert(t(0) == (("1h", "sum", null, null)))
+    assert(t(1) == (("1h", "sum", "max", null)))
+    assert(t(2) == ((null, null, "sum", null)))
+    assert(t(3)._4 == "bad value")
+    assert(t(4)._4 == "not a rollup command")
+    assert(parsed(0).getAs[Long]("ts") == 1356998400000L)
+  }
+
+  test("telnet histogram lines: optional codec id, blob decode round-trip") {
+    import spark.implicits._
+    import graft.operators.Histograms
+    val blob = java.util.Base64.getEncoder.encodeToString(
+      Histograms.simpleHistogramEncode(Seq(
+        Histograms.Bucket(0.0, 10.0, 3L), Histograms.Bucket(10.0, 20.0, 5L))))
+    val parsed = Ingest.parseHistogramLines(Seq(
+      s"histogram lat 1356998400 0 $blob host=a",   // explicit codec id
+      s"histogram lat 1356998400 $blob host=a",     // id omitted
+      "histogram lat 1356998400",                   // no blob
+      "put lat 1356998400 1 h=a").toDF("value")).collect()
+    assert(parsed(0).getAs[String]("_error") == null &&
+      parsed(0).getAs[Int]("codec_id") == 0)
+    assert(parsed(1).getAs[String]("_error") == null &&
+      parsed(1).isNullAt(parsed(1).fieldIndex("codec_id")))
+    assert(parsed(2).getAs[String]("_error") == "too few fields")
+    assert(parsed(3).getAs[String]("_error") == "not a histogram command")
+    // null codec id falls back to the default codec before decode
+    val withDefault = Ingest.parseHistogramLines(
+        Seq(s"histogram lat 1356998400 $blob host=a").toDF("value"))
+      .withColumn("codec_id",
+        coalesce(col("codec_id"), lit(Histograms.SIMPLE_CODEC_ID)))
+    val rows = Histograms.decodeBlobs(withDefault, Seq("metric"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSet == Set((0.0, 10.0, 3L), (10.0, 20.0, 5L)))
+  }
+
   test("put validation: checkMetricAndTags tag-count and JSON rules") {
     import spark.implicits._
     // reference IncomingDataPoints.checkMetricAndTags:110-127 — at
