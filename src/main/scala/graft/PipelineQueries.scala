@@ -1343,6 +1343,78 @@ object PipelineQueries {
           r4(element_at(col("decoded.features"), 3)).as("mean_b"),
           r4(element_at(col("decoded.features"), 4)).as("luma"))
         .orderBy("media_id")
+    }),
+
+    // per-source distinct-token estimate via a 256-register HLL: the
+    // shuffled payload is one 256 B sketch per (source × partition)
+    // instead of the token stream; exact count rides along so the
+    // estimator error is visible in the oracle-checked output
+    "t25_hll_distinct" -> ((s, dir) => {
+      val tk = docs(s, dir).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val hashed = tk.select(col("source"),
+        TextAnalysis.hash60(col("tok"), portable = true).as("h"))
+      val exact = tk.groupBy("source").agg(countDistinct("tok").as("n_exact"))
+      Sketches.hllDistinct(hashed, "source", "h")
+        .join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"), col("v_zero"),
+          col("harm_x2p50"), r4(col("est")).as("est"))
+        .orderBy("source")
+    }),
+
+    // vocabulary heavy hitters via a 4×2048 Count-Min grid (64 KB of
+    // state regardless of vocabulary size); threshold = total token
+    // count / 256, so the query is scale-free across SFs
+    "t26_cms_heavy" -> ((s, dir) => {
+      val Seq(tk) = graft.util.Caching.persistOwned("PipelineQueries.t26",
+        docs(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(col("tok"),
+            TextAnalysis.hash60(col("tok"), portable = true).as("h")))
+      val threshold = tk.count() / 256L
+      Sketches.cmsHeavyHitters(tk, "tok", "h", threshold)
+        .orderBy("tok")
+    }),
+
+    // decontamination against an 8 KB Bloom filter of the eval side —
+    // the bounded-memory variant of d08's exact broadcast set; same
+    // bench split (every 50th doc) so the spec can assert the
+    // no-false-negative containment against d08's output
+    "d19_bloom_decontam" -> ((s, dir) => {
+      val post = sharedPostings(s, dir, 32)
+      Sketches.bloomDecontaminate(
+          post.filter(col("id") % 50 =!= 0),
+          post.filter(col("id") % 50 === 0))
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_hits"),
+          col("flagged"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source doc-length quantiles from the mergeable log-histogram
+    // sketch: 320 B of state per group regardless of row count
+    "t27_quantile_sketch" -> ((s, dir) => {
+      Sketches.histQuantiles(docs(s, dir), "source", "n_chars")
+        .select(col("source"), col("total"), r4(col("p50")).as("p50"),
+          r4(col("p90")).as("p90"), r4(col("p99")).as("p99"))
+        .orderBy("source")
+    }),
+
+    // gap-based sessionization of the interaction log into per-user
+    // episodes (30-minute inactivity gap)
+    "e01_sessionize" -> ((s, dir) => {
+      Trajectories.sessionStats(
+          graft.model.Points.rawEvents(s, dir), gapMs = 1800000L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_ts"), col("end_ts"), col("dur_ms"),
+          r4(col("sum_v")).as("sum_v"), col("n_types"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // ordered funnel view → click → purchase within 7 days of entry
+    "e02_funnel" -> ((s, dir) => {
+      Trajectories.funnel(graft.model.Points.rawEvents(s, dir),
+          Seq("view", "click", "purchase"), windowMs = 604800000L)
+        .orderBy("stage_idx")
     })
   )
 
@@ -3059,6 +3131,182 @@ object PipelineQueries {
            (sign((CAST(0.299 AS DOUBLE) * g + CAST(0.587 AS DOUBLE) * g
              + CAST(0.114 AS DOUBLE) * g) / CAST(255 AS DOUBLE)) * floor(abs((CAST(0.299 AS DOUBLE) * g + CAST(0.587 AS DOUBLE) * g
              + CAST(0.114 AS DOUBLE) * g) / CAST(255 AS DOUBLE)) * 10000 + 0.5) / 10000) AS luma
-         FROM px ORDER BY media_id"""
+         FROM px ORDER BY media_id""",
+
+    // HLL mirror: register = h mod 256, rank = 53 - bitlength of the
+    // 52-bit remainder (capped at 50), harmonic term kept as the exact
+    // integer sum 2^(50-M_j). The raw estimate is one IEEE division of
+    // deterministic operands; the linear-counting correction joins
+    // against a 256-row table of m·ln(m/V) literals RENDERED FROM THE
+    // ENGINE'S OWN Math.log (Sketches.HllCorrection), so no DuckDB
+    // libm call is in the compare path
+    "t25_hll_distinct" ->
+      s"""WITH corr(v, cest) AS (VALUES ${
+        (1 to 256).map(v => s"($v, ${Sketches.HllCorrection(v)})")
+          .mkString(", ")}),
+         tk AS (
+           SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         h AS (SELECT source, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tk),
+         reg AS (
+           SELECT source, h % 256 AS j,
+             least(max(CASE WHEN h // 256 = 0 THEN 53
+               ELSE 53 - length(bin(h // 256)) END), 50) AS m
+           FROM h GROUP BY source, j),
+         grid AS (
+           SELECT s.source, r.j, coalesce(reg.m, 0) AS m
+           FROM (SELECT DISTINCT source FROM documents) s
+           CROSS JOIN range(256) r(j)
+           LEFT JOIN reg ON reg.source = s.source AND reg.j = r.j),
+         agg AS (
+           SELECT source,
+             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT) AS v_zero,
+             CAST(sum(1::BIGINT << CAST(50 - m AS INT)) AS BIGINT) AS harm_x2p50
+           FROM grid GROUP BY source),
+         exact AS (SELECT source, count(DISTINCT tok) AS n_exact FROM tk GROUP BY source),
+         est0 AS (
+           SELECT source, v_zero, harm_x2p50,
+             (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
+               * 65536.0 * 1125899906842624.0 / harm_x2p50 AS raw
+           FROM agg),
+         est1 AS (
+           SELECT source, v_zero, harm_x2p50,
+             CASE WHEN v_zero > 0 AND raw <= 640.0 THEN c.cest ELSE raw END AS fin
+           FROM est0 LEFT JOIN corr c ON c.v = est0.v_zero)
+         SELECT a.source, e.n_exact, a.v_zero, a.harm_x2p50,
+           (sign(fin) * floor(abs(fin) * 10000 + 0.5) / 10000) AS est
+         FROM est1 a JOIN exact e USING (source)
+         ORDER BY source""",
+
+    // CMS mirror: position_i = (h mod 2048 + i * odd((h div 2048) mod
+    // 2048)) mod 2048; counters = exact integer sums, estimate = min
+    // over the 4 rows — all integer arithmetic end to end
+    "t26_cms_heavy" ->
+      """WITH tk AS (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         h AS (SELECT tok, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tk),
+         pos AS (
+           SELECT tok, h, i,
+             ((h % 2048) + i * (((h // 2048) % 2048) - ((h // 2048) % 2048) % 2 + 1)) % 2048 AS c
+           FROM h CROSS JOIN range(4) t(i)),
+         counters AS (SELECT i, c, count(*) AS n FROM pos GROUP BY i, c),
+         probe AS (SELECT DISTINCT tok, h FROM h),
+         ppos AS (
+           SELECT tok, i,
+             ((h % 2048) + i * (((h // 2048) % 2048) - ((h // 2048) % 2048) % 2 + 1)) % 2048 AS c
+           FROM probe CROSS JOIN range(4) t(i)),
+         est AS (
+           SELECT tok, min(n) AS est
+           FROM ppos JOIN counters USING (i, c) GROUP BY tok),
+         exact AS (SELECT tok, count(*) AS n_exact FROM tk GROUP BY tok),
+         total AS (SELECT count(*) AS n FROM tk)
+         SELECT e.tok, e.est, x.n_exact
+         FROM est e JOIN exact x USING (tok)
+         WHERE e.est >= (SELECT n // 256 FROM total)
+         ORDER BY tok""",
+
+    // Bloom mirror: the filter's set-bit positions materialize as a
+    // table; a probe gram hits iff all 4 of its positions are present
+    "d19_bloom_decontam" ->
+      s"""$O_SH,
+         hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         bench AS (SELECT DISTINCT h FROM hpost WHERE doc_id % 50 = 0),
+         bpos AS (
+           SELECT DISTINCT ((h % 65536) + i * (((h // 65536) % 65536) - ((h // 65536) % 65536) % 2 + 1)) % 65536 AS b
+           FROM bench CROSS JOIN range(4) t(i)),
+         corp AS (SELECT doc_id, h FROM hpost WHERE doc_id % 50 <> 0),
+         cpos AS (
+           SELECT doc_id, h, i,
+             ((h % 65536) + i * (((h // 65536) % 65536) - ((h // 65536) % 65536) % 2 + 1)) % 65536 AS b
+           FROM corp CROSS JOIN range(4) t(i)),
+         hitg AS (
+           SELECT doc_id, cpos.h, count(bpos.b) AS nb
+           FROM cpos LEFT JOIN bpos ON cpos.b = bpos.b
+           GROUP BY doc_id, cpos.h),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN nb = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           FROM hitg GROUP BY doc_id)
+         SELECT doc_id, n_grams, n_hits, n_hits > 0 AS flagged
+         FROM agg ORDER BY doc_id""",
+
+    // log-histogram quantile mirror: bin = bitlength(x+1)-1 (pure
+    // integer), rank = ceil(p·total), interpolation operands all
+    // exactly-representable ints → deterministic doubles
+    "t27_quantile_sketch" ->
+      """WITH v AS (SELECT source, n_chars AS x FROM documents),
+         b AS (SELECT source, length(bin(x + 1)) - 1 AS bin FROM v),
+         c AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY source, bin),
+         t AS (SELECT source, count(*) AS total FROM v GROUP BY source),
+         cum AS (SELECT source, bin, cnt,
+           sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum FROM c),
+         ps(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+           (CAST(0.99 AS DOUBLE))),
+         ranks AS (SELECT t.source, p, total,
+           CAST(ceil(p * total) AS BIGINT) AS r FROM t CROSS JOIN ps),
+         pick AS (
+           SELECT r2.source, r2.p, r2.r, min(cum.bin) AS bin
+           FROM ranks r2 JOIN cum ON cum.source = r2.source AND cum.cum >= r2.r
+           GROUP BY r2.source, r2.p, r2.r),
+         est AS (
+           SELECT p.source, p.p,
+             CAST((1::BIGINT << p.bin) - 1 AS DOUBLE)
+               + CAST(1::BIGINT << p.bin AS DOUBLE)
+                 * CAST(p.r - (c2.cum - c2.cnt) AS DOUBLE)
+                 / CAST(c2.cnt AS DOUBLE) AS e
+           FROM pick p JOIN cum c2 ON c2.source = p.source AND c2.bin = p.bin)
+         SELECT e2.source, max(t.total) AS total,
+           max(CASE WHEN p = 0.5 THEN (sign(e) * floor(abs(e) * 10000 + 0.5) / 10000) END) AS p50,
+           max(CASE WHEN p = 0.9 THEN (sign(e) * floor(abs(e) * 10000 + 0.5) / 10000) END) AS p90,
+           max(CASE WHEN p = 0.99 THEN (sign(e) * floor(abs(e) * 10000 + 0.5) / 10000) END) AS p99
+         FROM est e2 JOIN t ON t.source = e2.source
+         GROUP BY e2.source ORDER BY e2.source""",
+
+    // sessionization mirror: identical lag/gap/running-sum chain
+    "e01_sessionize" ->
+      """WITH ev AS (SELECT event_id, epoch_ms(ts) AS ts, user_id,
+           event_type, value FROM events),
+         x AS (SELECT *, lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+         y AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > 1800000
+           THEN 1 ELSE 0 END AS nw FROM x),
+         z AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx FROM y)
+         SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           max(ts) - min(ts) AS dur_ms,
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v,
+           count(DISTINCT event_type) AS n_types
+         FROM z GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+
+    // funnel mirror: per-stage MIN qualifying ts, window from entry
+    "e02_funnel" ->
+      """WITH ev AS (SELECT event_id, epoch_ms(ts) AS ts, user_id,
+           event_type FROM events),
+         s0 AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, s0.t0, min(e.ts) AS t1
+           FROM ev e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s0.t0
+             AND e.ts - s0.t0 <= 604800000
+           GROUP BY e.user_id, s0.t0),
+         s2 AS (SELECT e.user_id, s1.t0, s1.t1, min(e.ts) AS t2
+           FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+             AND e.ts - s1.t0 <= 604800000
+           GROUP BY e.user_id, s1.t0, s1.t1)
+         SELECT * FROM (
+           SELECT 0 AS stage_idx, 'view' AS stage,
+             CAST(count(*) AS BIGINT) AS n_users FROM s0
+           UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+           UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2)
+         ORDER BY stage_idx"""
   )
 }

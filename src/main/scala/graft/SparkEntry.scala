@@ -1348,6 +1348,13 @@ object SparkEntry {
         .orderBy("metric", "bucket_lo")
     }),
 
+    // operation-mode surface (reference RpcManager.initializeBuiltinRpcs
+    // + TSDB.java:271 mode parse): the full (mode, transport, command)
+    // routing table at default switches; the oracle is an independent
+    // transcription of the Java registration blocks, so drift in either
+    // direction shows as a row diff
+    "q92_rpc_modes" -> ((s, _) => graft.meta.RpcModes.surface(s)),
+
     // §2.1 telnet `rollup` line sink (reference RollupDataPointRpc
     // .importDataPoint telnet form `rollup 1h-sum:sum metric ts value
     // tags`): hourly sums rendered as wire lines, parsed back, and
@@ -2641,6 +2648,32 @@ object SparkEntry {
          FROM points WHERE metric = 'purchase'
          GROUP BY metric, floor(value / 10) * 10
          ORDER BY metric, bucket_lo""",
+
+    "q92_rpc_modes" ->
+      """WITH modes(mode, rd, wr) AS (VALUES
+           ('ro', true, false), ('rw', true, true), ('wo', false, true)),
+         common(transport, command) AS (VALUES
+           ('telnet','stats'),('telnet','dropcaches'),('telnet','version'),
+           ('telnet','status'),('telnet','exit'),('telnet','help'),
+           ('telnet','diediedie'),
+           ('http','aggregators'),('http','logs'),('http','stats'),
+           ('http','version'),('http','diediedie'),
+           ('http','api/aggregators'),('http','api/config'),
+           ('http','api/dropcaches'),('http','api/stats'),
+           ('http','api/version'),('http','api/status'),('http','api/uid')),
+         rdonly(transport, command) AS (VALUES
+           ('http',''),('http','s'),('http','favicon.ico'),
+           ('http','suggest'),('http','q'),
+           ('http','api/query'),('http','api/search'),('http','api/suggest')),
+         wronly(transport, command) AS (VALUES
+           ('telnet','put'),('telnet','rollup'),('telnet','histogram'),
+           ('http','api/annotation'),('http','api/annotations'),
+           ('http','api/put'),('http','api/rollup'),('http','api/histogram'),
+           ('http','api/tree'))
+         SELECT mode, transport, command FROM modes CROSS JOIN common
+         UNION ALL SELECT mode, transport, command FROM modes JOIN rdonly ON rd
+         UNION ALL SELECT mode, transport, command FROM modes JOIN wronly ON wr
+         ORDER BY mode, transport, command""",
 
     "q90_rollup_lines" ->
       s"""$O, h AS (

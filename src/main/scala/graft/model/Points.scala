@@ -151,4 +151,21 @@ object Points {
       ).as("tags")
     )
   }
+
+  /** The events table in its interaction-log shape (event_id, ts
+    * millis, user_id, event_type, value) for the trajectory operators
+    * — same dual NANOS/MICROS ts handling as [[fromEvents]], without
+    * the metric/tags projection. */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsMillis = ev.schema("ts").dataType match {
+      case LongType => expr("CAST(ts AS BIGINT) div 1000000")
+      case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+      case _ => unix_millis(col("ts"))
+    }
+    ev.select(col("event_id"), tsMillis.as("ts"), col("user_id"),
+      col("event_type"), col("value"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Interaction-log trajectory assembly over the events table — the
+ * preprocessing an agent/RL training pipeline runs to turn a raw
+ * clickstream into per-user episodes: gap-based sessionization and
+ * ordered-funnel matching.
+ *
+ * Scale shape: everything here keys on `user_id`. Sessionization is
+ * ONE shuffle (the partitioned window) followed by aggregations that
+ * reuse the same hash partitioning; the funnel is a chain of per-user
+ * aggregations, each a user-keyed shuffle of an already-filtered event
+ * slice. No global windows, no cross-user joins — a 100 TB log with
+ * billions of users spreads evenly unless one user is pathological,
+ * which a per-user event cap upstream handles (same argument as
+ * Multimodal.frameSample's maxFrames).
+ */
+object Trajectories {
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the user's previous event exceeds `gapMs`. Ties break on
+    * event_id, so the assignment is deterministic under duplicate
+    * timestamps. Emits the input plus a 1-based per-user
+    * `session_idx`. */
+  def sessionize(ev: DataFrame, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("ts") - col("__prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(w))
+      .drop("__prev", "__new")
+  }
+
+  /** Per-session episode summary: event count, span, value sum,
+    * distinct event types. One more agg on the window's partitioning. */
+  def sessionStats(ev: DataFrame, gapMs: Long): DataFrame =
+    sessionize(ev, gapMs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        (max(col("ts")) - min(col("ts"))).as("dur_ms"),
+        sum(col("value")).as("sum_v"),
+        countDistinct(col("event_type")).as("n_types"))
+
+  /** Ordered-funnel completion: stage i counts users with an event of
+    * `stages(i)` at-or-after their stage-(i-1) completion time and
+    * within `windowMs` of their stage-0 entry (earliest-entry
+    * semantics — each stage takes the user's MIN qualifying ts).
+    * Emits (stage_idx, stage, n_users). The per-stage state is one
+    * row per surviving user, so each step is a filtered user-keyed
+    * aggregation — no step ever joins events to events. */
+  def funnel(ev: DataFrame, stages: Seq[String], windowMs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var reached = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    var counts = Seq((0, stages.head, reached.count()))
+    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
+      val prior = (0 until i).map(j => s"t$j")
+      reached = ev.filter(col("event_type") === stage)
+        .join(reached, Seq("user_id"))
+        .filter(col("ts") >= col(s"t${i - 1}") &&
+          col("ts") - col("t0") <= windowMs)
+        .groupBy(col("user_id") +: prior.map(col): _*)
+        .agg(min(col("ts")).as(s"t$i"))
+      counts = counts :+ ((i, stage, reached.count()))
+    }
+    val spark = ev.sparkSession
+    import spark.implicits._
+    counts.toDF("stage_idx", "stage", "n_users")
+  }
+}

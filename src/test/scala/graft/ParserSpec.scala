@@ -613,4 +613,61 @@ class ParserSpec extends AnyFunSuite {
     assert(failed.contains("\"error\":\"known\"")
       && failed.contains("\"result\":\"false\""))
   }
+
+  test("tsd.mode parse: ro/wo case-insensitive, anything else is rw") {
+    import graft.meta.RpcModes
+    assert(RpcModes.parse("ro") == RpcModes.ReadOnly)
+    assert(RpcModes.parse("RO") == RpcModes.ReadOnly)
+    assert(RpcModes.parse("wo") == RpcModes.WriteOnly)
+    assert(RpcModes.parse("rw") == RpcModes.ReadWrite)
+    // the reference does NOT error on unknown/empty mode strings
+    assert(RpcModes.parse("bogus") == RpcModes.ReadWrite)
+    assert(RpcModes.parse("") == RpcModes.ReadWrite)
+    assert(RpcModes.parse(null) == RpcModes.ReadWrite)
+  }
+
+  test("RPC command table honors the api/ui/diediedie switches") {
+    import graft.meta.RpcModes
+    val rw = RpcModes.commands(RpcModes.ReadWrite).toSet
+    assert(rw.contains("telnet" -> "put") && rw.contains("http" -> "api/query"))
+    // ro drops the write sinks but keeps the read surface + uid
+    val ro = RpcModes.commands(RpcModes.ReadOnly).toSet
+    assert(!ro.contains("telnet" -> "put") && !ro.contains("http" -> "api/put"))
+    assert(ro.contains("http" -> "api/query") && ro.contains("http" -> "api/uid"))
+    // wo drops the query surface and the UI pages entirely
+    val wo = RpcModes.commands(RpcModes.WriteOnly).toSet
+    assert(!wo.contains("http" -> "api/query") && !wo.contains("http" -> "q"))
+    assert(wo.contains("telnet" -> "put") && wo.contains("http" -> "api/tree"))
+    // switches: no api → no api/* rows; no ui → no legacy http rows;
+    // no_diediedie=true removes the shutdown command everywhere
+    val noApi = RpcModes.commands(RpcModes.ReadWrite, enableApi = false)
+    assert(!noApi.exists(_._2.startsWith("api/")))
+    val noUi = RpcModes.commands(RpcModes.ReadWrite, enableUi = false).toSet
+    assert(!noUi.contains("http" -> "q") && !noUi.contains("http" -> "logs")
+      && noUi.contains("http" -> "api/query"))
+    val noDie = RpcModes.commands(RpcModes.ReadWrite, noDieDieDie = true)
+    assert(!noDie.exists(_._2 == "diediedie"))
+  }
+
+  test("/api/uid endpoint gates match the reference's mode × verb matrix") {
+    import graft.meta.RpcModes
+    def err(f: => Unit): String =
+      intercept[IllegalArgumentException](f).getMessage
+    // assign/rename: write verbs
+    RpcModes.requireUidAllowed("assign", "POST", RpcModes.ReadWrite)
+    RpcModes.requireUidAllowed("rename", "POST", RpcModes.WriteOnly)
+    assert(err(RpcModes.requireUidAllowed("assign", "GET", RpcModes.ReadOnly))
+      == "This operation is not allowed in ro mode.")
+    // uidmeta/tsmeta: GET needs read, POST/PUT/DELETE need write
+    RpcModes.requireUidAllowed("uidmeta", "GET", RpcModes.ReadOnly)
+    RpcModes.requireUidAllowed("tsmeta", "DELETE", RpcModes.WriteOnly)
+    assert(err(RpcModes.requireUidAllowed("uidmeta", "GET", RpcModes.WriteOnly))
+      == "This operation is not allowed in wo mode.")
+    assert(err(RpcModes.requireUidAllowed("tsmeta", "PUT", RpcModes.ReadOnly))
+      == "This operation is not allowed in ro mode.")
+    assert(err(RpcModes.requireUidAllowed("uidmeta", "HEAD", RpcModes.ReadWrite))
+      .contains("not permitted"))
+    assert(err(RpcModes.requireUidAllowed("other", "GET", RpcModes.ReadWrite))
+      .contains("have not been implemented"))
+  }
 }

@@ -120,7 +120,9 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q77_tree_notmatched", "q78_tree_test", "q79_meta_sync_uid",
       "q80_meta_sync_ts", "q81_calendar_90m", "q86_custom_agg",
       "q87_filter_plugin", "d17_winnow_pairs", "s17_filtered_topk",
-      "m09_scene_cuts", "q88_write_filter", "d18_screen_snapshot")
+      "m09_scene_cuts", "q88_write_filter", "d18_screen_snapshot",
+      "t25_hll_distinct", "t26_cms_heavy", "d19_bloom_decontam",
+      "t27_quantile_sketch", "e01_sessionize")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
