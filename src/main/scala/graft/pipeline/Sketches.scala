@@ -64,37 +64,66 @@ object Sketches {
     Array.tabulate(HllM + 1)(v =>
       if (v == 0) 0.0 else HllM * math.log(HllM.toDouble / v))
 
+  /** Fold one hash into a register array (mutates and returns it). */
+  def hllReduce(b: Array[Byte], h: Long): Array[Byte] = {
+    val j = SketchOps.hllRegister(h)
+    val r = math.min(SketchOps.hllRank(h), HllRankCap)
+    if (r > b(j)) b(j) = r.toByte
+    b
+  }
+
+  /** Elementwise-max merge of two register arrays (into the first). */
+  def hllMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < HllM) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  /** Registers → (v_zero, harmonic term, corrected estimate). */
+  def hllFinish(r: Array[Byte]): HllSketch = {
+    var harm = 0L
+    var vZero = 0
+    var j = 0
+    while (j < HllM) {
+      harm += 1L << (HllRankCap - r(j))
+      if (r(j) == 0) vZero += 1
+      j += 1
+    }
+    val raw = HllNumerator / harm
+    val est =
+      if (vZero > 0 && raw <= 2.5 * HllM) HllCorrection(vZero) else raw
+    HllSketch(vZero, harm, est)
+  }
+
   /** HyperLogLog over 60-bit hashes: buffer = 256 byte-wide registers,
     * reduce = elementwise max of ranks, merge = elementwise max. */
   class HllAgg extends Aggregator[Long, Array[Byte], HllSketch] {
     def zero: Array[Byte] = new Array[Byte](HllM)
-    def reduce(b: Array[Byte], h: Long): Array[Byte] = {
-      val j = SketchOps.hllRegister(h)
-      val r = math.min(SketchOps.hllRank(h), HllRankCap)
-      if (r > b(j)) b(j) = r.toByte
-      b
-    }
-    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      var j = 0
-      while (j < HllM) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
-      a
-    }
-    def finish(r: Array[Byte]): HllSketch = {
-      var harm = 0L
-      var vZero = 0
-      var j = 0
-      while (j < HllM) {
-        harm += 1L << (HllRankCap - r(j))
-        if (r(j) == 0) vZero += 1
-        j += 1
-      }
-      val raw = HllNumerator / harm
-      val est =
-        if (vZero > 0 && raw <= 2.5 * HllM) HllCorrection(vZero) else raw
-      HllSketch(vZero, harm, est)
-    }
+    def reduce(b: Array[Byte], h: Long): Array[Byte] = hllReduce(b, h)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = hllMerge(a, b)
+    def finish(r: Array[Byte]): HllSketch = hllFinish(r)
     def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     def outputEncoder: Encoder[HllSketch] = ExpressionEncoder[HllSketch]()
+  }
+
+  /** Register-level variant for incremental pipelines: emits the raw
+    * 256-byte register array so a stored sketch can fold new shards
+    * with [[hllMerge]] and re-finish with [[hllFinish]] — the
+    * streaming/ingest path (state = the sketch, 256 B, exact merge). */
+  class HllRegAgg extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](HllM)
+    def reduce(b: Array[Byte], h: Long): Array[Byte] = hllReduce(b, h)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = hllMerge(a, b)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Build one register array over a hash column (256 B collect). */
+  def hllBuild(hashes: DataFrame, hashCol: String): Array[Byte] = {
+    val agg = udaf(new HllRegAgg, ExpressionEncoder[Long]())
+    hashes.agg(agg(col(hashCol).cast("long")).as("regs"))
+      .collect()(0).getAs[Array[Byte]]("regs")
   }
 
   /** Per-group distinct estimate of a pre-hashed column: one hash-

@@ -669,6 +669,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(published.sum() == 3L)
   }
 
+  test("streaming sketch fold: per-batch HLL/CMS/Bloom merges == one batch build") {
+    import graft.pipeline.Sketches
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    // running state = the sketches themselves: 256 B + 64 KB + 8 KB,
+    // bounded by construction no matter how long the stream runs
+    var hllRegs = new Array[Byte](Sketches.HllM)
+    val cms = new Array[Long](2048 * 4)
+    val bloom = new Array[Byte]((1 << 16) / 8)
+    val q = mem.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hashed = batch.select(
+          graft.pipeline.TextAnalysis.hash60(col("value"), portable = true)
+            .as("h"))
+        hllRegs = Sketches.hllMerge(hllRegs, Sketches.hllBuild(hashed, "h"))
+        val grid = Sketches.cmsBuild(hashed, "h")
+        var i = 0
+        while (i < cms.length) { cms(i) += grid(i); i += 1 }
+        val bits = Sketches.bloomBuild(hashed.distinct(), "h")
+        i = 0
+        while (i < bloom.length) {
+          bloom(i) = (bloom(i) | bits(i)).toByte; i += 1
+        }
+        ()
+      }.start()
+    val all = (0 until 300).map(i => s"tok-${i % 120}")
+    all.grouped(100).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    // one-shot batch build over the union must equal the folded state
+    val batchDf = all.toDF("value").select(
+      graft.pipeline.TextAnalysis.hash60(col("value"), portable = true).as("h"))
+    assert(Sketches.hllFinish(hllRegs) ==
+      Sketches.hllFinish(Sketches.hllBuild(batchDf, "h")))
+    assert(cms.toSeq == Sketches.cmsBuild(batchDf, "h").toSeq)
+    assert(java.util.Arrays.equals(bloom,
+      Sketches.bloomBuild(batchDf.distinct(), "h")))
+    // and the folded estimate is sane for 120 distinct
+    val est = Sketches.hllFinish(hllRegs).est
+    assert(math.abs(est - 120.0) / 120.0 < 0.2, s"est $est")
+  }
+
   test("annotation CRUD: upsert replaces identity, bulk delete by range") {
     import spark.implicits._
     val table = Seq(
