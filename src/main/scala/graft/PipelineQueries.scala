@@ -1350,15 +1350,22 @@ object PipelineQueries {
     // instead of the token stream; exact count rides along so the
     // estimator error is visible in the oracle-checked output
     "t25_hll_distinct" -> ((s, dir) => {
-      val tk = docs(s, dir).select(col("source"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      val hashed = tk.select(col("source"),
-        TextAnalysis.hash60(col("tok"), portable = true).as("h"))
-      val exact = tk.groupBy("source").agg(countDistinct("tok").as("n_exact"))
-      Sketches.hllDistinct(hashed, "source", "h")
-        .join(exact, Seq("source"))
-        .select(col("source"), col("n_exact"), col("v_zero"),
-          col("harm_x2p50"), r4(col("est")).as("est"))
+      val hashed = docs(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          TextAnalysis.hash60(col("tok"), portable = true).as("h"))
+      // exact rider counts distinct HASHES (the domain the sketch
+      // sees): shuffles 8-byte longs instead of token strings, the
+      // oracle mirrors the same domain so equality is definitional,
+      // and both aggregates share ONE tokenize+md5 scan and shuffle
+      hashed.groupBy("source")
+        .agg(Sketches.hll(col("h")).as("__hll"),
+          countDistinct("h").as("n_exact"))
+        .select(col("source"), col("n_exact"),
+          col("__hll.v_zero").as("v_zero"),
+          col("__hll.harm_x2p50").as("harm_x2p50"),
+          r4(col("__hll.est")).as("est"))
         .orderBy("source")
     }),
 
@@ -3165,7 +3172,7 @@ object PipelineQueries {
              CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT) AS v_zero,
              CAST(sum(1::BIGINT << CAST(50 - m AS INT)) AS BIGINT) AS harm_x2p50
            FROM grid GROUP BY source),
-         exact AS (SELECT source, count(DISTINCT tok) AS n_exact FROM tk GROUP BY source),
+         exact AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY source),
          est0 AS (
            SELECT source, v_zero, harm_x2p50,
              (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))

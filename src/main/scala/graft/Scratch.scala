@@ -61,6 +61,28 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--t25")) {
+      import org.apache.spark.sql.functions._
+      def stamp(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"STAGE $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").repartition(32)
+      val hashed = docs.select(col("source"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          graft.pipeline.TextAnalysis.hash60(col("tok"), portable = true).as("h"))
+      stamp("scan+md5")(hashed.count())
+      stamp("hll")(graft.pipeline.Sketches.hllDistinct(hashed, "source", "h").count())
+      stamp("exactCD")(hashed.groupBy("source")
+        .agg(countDistinct("h").as("n")).count())
+      stamp("fused")(hashed.groupBy("source")
+        .agg(graft.pipeline.Sketches.hll(col("h")).as("s"),
+          countDistinct("h").as("n")).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--force")) {
       // full-evaluation timing: count() lets Catalyst prune every
       // projected expression (and eliminate a final unique-key left

@@ -126,17 +126,23 @@ object Sketches {
       .collect()(0).getAs[Array[Byte]]("regs")
   }
 
+  /** The HLL aggregation as a Column, composable next to other
+    * aggregates in one groupBy (single scan, single shuffle). Yields a
+    * struct (v_zero, harm_x2p50, est). */
+  def hll(hash: Column): Column = {
+    val agg = udaf(new HllAgg, ExpressionEncoder[Long]())
+    agg(hash.cast("long"))
+  }
+
   /** Per-group distinct estimate of a pre-hashed column: one hash-
     * partitioned aggregation whose shuffled payload is a 256-byte
     * sketch per (group × map partition). Emits
     * (group, v_zero, harm_x2p50, est). */
-  def hllDistinct(df: DataFrame, groupCol: String, hashCol: String): DataFrame = {
-    val agg = udaf(new HllAgg, ExpressionEncoder[Long]())
+  def hllDistinct(df: DataFrame, groupCol: String, hashCol: String): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(agg(col(hashCol).cast("long")).as("__hll"))
+      .agg(hll(col(hashCol)).as("__hll"))
       .select(col(groupCol), col("__hll.v_zero").as("v_zero"),
         col("__hll.harm_x2p50").as("harm_x2p50"), col("__hll.est").as("est"))
-  }
 
   // -------------------------------------------- histogram quantiles
 
