@@ -48,6 +48,29 @@ object Trajectories {
         sum(col("value")).as("sum_v"),
         countDistinct(col("event_type")).as("n_types"))
 
+  /** Streaming form of [[sessionStats]] on Structured Streaming's
+    * native `session_window`: per-user sessions close when the
+    * watermark passes last-event + gap, and the engine emits ONE final
+    * row per closed session (append mode). State per open session is
+    * the aggregate tuple, evicted at close — bounded by the number of
+    * concurrently OPEN sessions, not by history, which is what lets
+    * the assembly run on an unbounded 100 TB clickstream. Emits the
+    * batch columns except `session_idx` (an order-of-arrival notion;
+    * closed sessions are identified by (user_id, start_ts) instead). */
+  def sessionStream(ev: DataFrame, gapMs: Long,
+                    lateness: String = "10 minutes"): DataFrame =
+    ev.withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapMs milliseconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        (max(col("ts")) - min(col("ts"))).as("dur_ms"),
+        sum(col("value")).as("sum_v"),
+        size(collect_set(col("event_type"))).as("n_types"))
+      .drop("w")
+
   /** Ordered-funnel completion: stage i counts users with an event of
     * `stages(i)` at-or-after their stage-(i-1) completion time and
     * within `windowMs` of their stage-0 entry (earliest-entry

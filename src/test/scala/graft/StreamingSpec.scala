@@ -711,6 +711,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - 120.0) / 120.0 < 0.2, s"est $est")
   }
 
+  test("streaming sessionization: closed session_window rows == batch sessionStats") {
+    import graft.pipeline.Trajectories
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ev = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // lateness must cover cross-batch disorder: user 2's session
+    // continues in batch 2 while batch 1 already saw a later event
+    val q = Trajectories.sessionStream(ev, gapMs = 1800000L,
+        lateness = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    val base = 1700000000000L
+    // user 1: two sessions; user 2: one session, split across batches
+    mem.addData(
+      (1L, base, 1L, "view", 1.0),
+      (2L, base + 60000, 1L, "click", 2.0),
+      (3L, base + 3600000, 1L, "view", 3.0), // 1h gap → session 2
+      (5L, base, 2L, "view", 5.0))
+    q.processAllAvailable()
+    mem.addData((6L, base + 120000, 2L, "click", 6.0))
+    q.processAllAvailable()
+    // sentinel far in the future closes every real session
+    mem.addData((99L, base + 864000000L, 999L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM sess_out WHERE user_id <> 999 ORDER BY user_id, start_ts")
+      .collect()
+    val batch = Trajectories.sessionStats(
+        Seq((1L, base, 1L, "view", 1.0), (2L, base + 60000, 1L, "click", 2.0),
+          (3L, base + 3600000, 1L, "view", 3.0), (5L, base, 2L, "view", 5.0),
+          (6L, base + 120000, 2L, "click", 6.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        gapMs = 1800000L)
+      .select("user_id", "n_events", "start_ts", "end_ts", "dur_ms",
+        "sum_v", "n_types")
+      .orderBy("user_id", "start_ts").collect()
+    assert(streamed.length == batch.length && streamed.length == 3)
+    streamed.zip(batch).foreach { case (s, b) =>
+      Seq("user_id", "n_events", "start_ts", "end_ts", "dur_ms").foreach(c =>
+        assert(s.getAs[Long](c) == b.getAs[Long](c), s"$c: $s vs $b"))
+      assert(s.getAs[Double]("sum_v") == b.getAs[Double]("sum_v"))
+      assert(s.getAs[Int]("n_types") == b.getAs[Long]("n_types").toInt)
+    }
+  }
+
   test("annotation CRUD: upsert replaces identity, bulk delete by range") {
     import spark.implicits._
     val table = Seq(
