@@ -1348,6 +1348,37 @@ object SparkEntry {
         .orderBy("metric", "bucket_lo")
     }),
 
+    // §2.14 `tsd uid fsck` over deliberately-corrupted dual mapping
+    // tables derived from the q49 registry: a shared-uid collision, a
+    // mismatched reverse name, dropped reverse rows (uid % 7 == 3),
+    // and an orphan reverse — every fault class the reference's
+    // UidManager.fsck detects, reported relationally
+    "q93_uid_fsck" -> ((s, dir) => {
+      import s.implicits._
+      val reg = graft.meta.Introspect.uidRegistry(
+        pts(s, dir).filter(col("metric").isin("click", "signup")))
+      val forward = reg.select("kind", "name", "uid")
+        .unionByName(Seq(("tagv", "fsck_dup_a", 900001L),
+          ("tagv", "fsck_dup_b", 900001L)).toDF("kind", "name", "uid"))
+      val reverse = reg.select(col("kind"), col("uid"),
+          when(col("kind") === "tagk" && col("uid") === 1L, lit("wrongname"))
+            .otherwise(col("name")).as("name"))
+        .filter(col("uid") % 7 =!= 3)
+        .unionByName(Seq(("metric", 900100L, "ghost"))
+          .toDF("kind", "uid", "name"))
+      graft.meta.Uids.fsckUid(forward, reverse)
+        .orderBy("kind", "fault", "uid", "name")
+    }),
+
+    // §2.14 `tsd uid grep [kind] <regex>` — distributed regex search
+    // over the registry names, ignore-case variant on the tagv kind
+    "q94_uid_grep" -> ((s, dir) => {
+      val reg = graft.meta.Introspect.uidRegistry(pts(s, dir))
+      graft.meta.Uids.grep(reg, "^[A-Z]?[0-9]*[13579]$",
+          kind = Some("tagv"), ignoreCase = true)
+        .orderBy("kind", "uid")
+    }),
+
     // operation-mode surface (reference RpcManager.initializeBuiltinRpcs
     // + TSDB.java:271 mode parse): the full (mode, transport, command)
     // routing table at default switches; the oracle is an independent
@@ -2648,6 +2679,76 @@ object SparkEntry {
          FROM points WHERE metric = 'purchase'
          GROUP BY metric, floor(value / 10) * 10
          ORDER BY metric, bucket_lo""",
+
+    "q93_uid_fsck" ->
+      s"""$O, f0 AS (SELECT * FROM points WHERE metric IN ('click','signup')),
+         names AS (
+           SELECT DISTINCT 'metric' AS kind, metric AS name FROM f0
+           UNION
+           SELECT DISTINCT 'tagk', k FROM f0
+             CROSS JOIN (VALUES ('user'), ('k')) t(k)
+           UNION
+           SELECT DISTINCT 'tagv', tag_user FROM f0 WHERE tag_user IS NOT NULL
+           UNION
+           SELECT DISTINCT 'tagv', tag_k FROM f0 WHERE tag_k IS NOT NULL),
+         reg AS (SELECT kind, name,
+           CAST(dense_rank() OVER (PARTITION BY kind ORDER BY name) AS BIGINT) AS uid
+           FROM names),
+         f AS (SELECT DISTINCT * FROM (
+           SELECT kind, name, uid FROM reg
+           UNION ALL SELECT 'tagv', 'fsck_dup_a', 900001
+           UNION ALL SELECT 'tagv', 'fsck_dup_b', 900001)),
+         r AS (SELECT DISTINCT * FROM (
+           SELECT kind, uid,
+             CASE WHEN kind = 'tagk' AND uid = 1 THEN 'wrongname'
+               ELSE name END AS name
+           FROM reg WHERE uid % 7 <> 3
+           UNION ALL SELECT 'metric', 900100, 'ghost')),
+         dupF AS (SELECT kind, 'duplicate_forward' AS fault,
+             name, min(uid) AS uid
+           FROM f GROUP BY kind, name HAVING count(DISTINCT uid) > 1),
+         dupR AS (SELECT kind, 'duplicate_reverse' AS fault,
+             min(name) AS name, uid
+           FROM r GROUP BY kind, uid HAVING count(DISTINCT name) > 1),
+         coll AS (SELECT kind, 'uid_collision' AS fault,
+             'fsck.' || string_agg(name, '.' ORDER BY name) AS name, uid
+           FROM f GROUP BY kind, uid HAVING count(DISTINCT name) > 1),
+         missR AS (SELECT f.kind, 'missing_reverse' AS fault, f.name, f.uid
+           FROM f WHERE NOT EXISTS (SELECT 1 FROM r
+             WHERE r.kind = f.kind AND r.uid = f.uid)),
+         misR AS (SELECT f.kind, 'mismatched_reverse' AS fault, f.name, f.uid
+           FROM f JOIN r ON r.kind = f.kind AND r.uid = f.uid
+           WHERE f.name <> r.name),
+         missF AS (SELECT r.kind, 'missing_forward' AS fault, r.name, r.uid
+           FROM r WHERE NOT EXISTS (SELECT 1 FROM f
+             WHERE f.kind = r.kind AND f.name = r.name)),
+         misF AS (SELECT r.kind, 'mismatched_forward' AS fault, r.name, r.uid
+           FROM r JOIN f ON f.kind = r.kind AND f.name = r.name
+           WHERE r.uid <> f.uid)
+         SELECT kind, fault, name, uid FROM (
+           SELECT * FROM dupF UNION ALL SELECT * FROM dupR
+           UNION ALL SELECT * FROM coll UNION ALL SELECT * FROM missR
+           UNION ALL SELECT * FROM misR UNION ALL SELECT * FROM missF
+           UNION ALL SELECT * FROM misF)
+         ORDER BY kind, fault, uid, name""",
+
+    "q94_uid_grep" ->
+      s"""$O, names AS (
+           SELECT DISTINCT 'metric' AS kind, metric AS name FROM points
+           UNION
+           SELECT DISTINCT 'tagk', k FROM points
+             CROSS JOIN (VALUES ('user'), ('k')) t(k)
+           UNION
+           SELECT DISTINCT 'tagv', tag_user FROM points WHERE tag_user IS NOT NULL
+           UNION
+           SELECT DISTINCT 'tagv', tag_k FROM points WHERE tag_k IS NOT NULL),
+         reg AS (SELECT kind, name,
+           CAST(dense_rank() OVER (PARTITION BY kind ORDER BY name) AS BIGINT) AS uid
+           FROM names)
+         SELECT kind, name, uid FROM reg
+         WHERE kind = 'tagv'
+           AND regexp_matches(name, '(?i)^[A-Z]?[0-9]*[13579]$$')
+         ORDER BY kind, uid""",
 
     "q92_rpc_modes" ->
       """WITH modes(mode, rd, wr) AS (VALUES

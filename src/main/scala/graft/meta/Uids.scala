@@ -120,6 +120,103 @@ object Uids {
     registry.filter(!k)
   }
 
+  /**
+   * `tsd uid grep [kind] <regex>` (reference
+   * src/tools/UidManager.java:286-321): regex search over the
+   * name→uid mappings, optionally restricted to one kind; the
+   * `--ignore-case` flag prepends `(?i)` exactly like the CLI does.
+   * The regex runs distributed (`rlike` inside the scan filter), so a
+   * registry of any size greps without a collect.
+   */
+  def grep(registry: DataFrame, pattern: String, kind: Option[String] = None,
+           ignoreCase: Boolean = false): DataFrame = {
+    val re = (if (ignoreCase) "(?i)" else "") + pattern
+    kind.foldLeft(registry)((df, k) => df.filter(col("kind") === k))
+      .filter(col("name").rlike(re))
+  }
+
+  /**
+   * `tsd uid fsck` report over the dual mapping tables (reference
+   * src/tools/UidManager.java:446-800: the forward ID_FAMILY map and
+   * reverse NAME_FAMILY map are stored independently and can drift).
+   * `forward` = (kind, name, uid), `reverse` = (kind, uid, name).
+   * One row per fault, `fault` ∈ {duplicate_forward, duplicate_reverse,
+   * missing_reverse, mismatched_reverse, missing_forward,
+   * mismatched_forward, uid_collision}; a collision row carries the
+   * would-be repair name `fsck.<name1>.<name2>...` (sorted), the
+   * reference's collision-rename convention. All checks are
+   * relational — anti-joins and per-key aggregates on (kind, name) /
+   * (kind, uid) — so the fsck scales to a registry of any size where
+   * the reference builds driver-side hash maps.
+   */
+  def fsckUid(forward: DataFrame, reverse: DataFrame): DataFrame = {
+    val f = forward.select("kind", "name", "uid").distinct()
+    val r = reverse.select("kind", "uid", "name").distinct()
+    val dupF = f.groupBy("kind", "name")
+      .agg(countDistinct("uid").as("n"), min("uid").as("uid"))
+      .filter(col("n") > 1)
+      .select(col("kind"), lit("duplicate_forward").as("fault"),
+        col("name"), col("uid"))
+    val dupR = r.groupBy("kind", "uid")
+      .agg(countDistinct("name").as("n"), min("name").as("name"))
+      .filter(col("n") > 1)
+      .select(col("kind"), lit("duplicate_reverse").as("fault"),
+        col("name"), col("uid"))
+    val coll = collisions(f)
+      .select(col("kind"), lit("uid_collision").as("fault"),
+        col("fsck_name").as("name"), col("uid"))
+    val missR = f.join(r.select("kind", "uid").distinct(),
+        Seq("kind", "uid"), "left_anti")
+      .select(col("kind"), lit("missing_reverse").as("fault"),
+        col("name"), col("uid"))
+    val misR = f.join(r.withColumnRenamed("name", "rname"), Seq("kind", "uid"))
+      .filter(col("name") =!= col("rname"))
+      .select(col("kind"), lit("mismatched_reverse").as("fault"),
+        col("name"), col("uid"))
+    val missF = r.join(f.select("kind", "name").distinct(),
+        Seq("kind", "name"), "left_anti")
+      .select(col("kind"), lit("missing_forward").as("fault"),
+        col("name"), col("uid"))
+    val misF = r.join(f.withColumnRenamed("uid", "fuid"), Seq("kind", "name"))
+      .filter(col("uid") =!= col("fuid"))
+      .select(col("kind"), lit("mismatched_forward").as("fault"),
+        col("name"), col("uid"))
+    dupF.union(dupR).union(coll).union(missR).union(misR)
+      .union(missF).union(misF)
+  }
+
+  /** uids mapped from ≥2 forward names, with the reference's repair
+    * name `fsck.` + sorted names joined by `.`. */
+  private def collisions(f: DataFrame): DataFrame =
+    f.groupBy("kind", "uid")
+      .agg(countDistinct("name").as("n"),
+        concat_ws(".", lit("fsck"),
+          array_join(array_sort(collect_set(col("name"))), "."))
+          .as("fsck_name"))
+      .filter(col("n") > 1)
+      .select("kind", "uid", "fsck_name")
+
+  /**
+   * `tsd uid fsck --fix [--delete_unknown]` net effect (reference
+   * UidManager.java:449-800 fix mode): collided uids are renamed to
+   * the concatenated `fsck.` name and their old forward mappings
+   * dropped; every surviving forward mapping gets its reverse restored
+   * (the reference's restoreReverseMap for missing/mismatched rows);
+   * orphan reverse mappings disappear (removeReverseMap). The net of
+   * all three is "rebuild reverse from the repaired forward", which is
+   * what this computes — returning (forward', reverse').
+   */
+  def fsckUidFix(forward: DataFrame,
+                 reverse: DataFrame): (DataFrame, DataFrame) = {
+    val f = forward.select("kind", "name", "uid").distinct()
+    val coll = collisions(f)
+    val fixedForward = f.join(coll, Seq("kind", "uid"), "left_anti")
+      .select("kind", "name", "uid")
+      .unionByName(coll.select(col("kind"),
+        col("fsck_name").as("name"), col("uid")))
+    (fixedForward, fixedForward.select("kind", "uid", "name"))
+  }
+
   // ---- UIDMeta / TSMeta CRUD ------------------------------------------
   //
   // Reference UIDMeta (src/meta/UIDMeta.java: uid+type identity with

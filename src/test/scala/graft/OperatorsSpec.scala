@@ -1601,4 +1601,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep.values.forall(_ == 0L), rep.toString)
   }
+
+  test("uid fsck --fix: collision rename, reverse rebuild, orphan drop") {
+    import spark.implicits._
+    // forward: 'a'->1, plus a collision ('x','y' both ->5); reverse:
+    // 1 mapped to the WRONG name, an orphan 9->'ghost', nothing for 5
+    val forward = Seq(("metric", "a", 1L), ("metric", "x", 5L),
+      ("metric", "y", 5L)).toDF("kind", "name", "uid")
+    val reverse = Seq(("metric", 1L, "zzz"), ("metric", 9L, "ghost"))
+      .toDF("kind", "uid", "name")
+    val report = graft.meta.Uids.fsckUid(forward, reverse)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(report.contains(("uid_collision", "fsck.x.y")))
+    assert(report.contains(("mismatched_reverse", "a")))
+    assert(report.contains(("missing_forward", "ghost")))
+    assert(report.contains(("missing_forward", "zzz")))
+    assert(report.contains(("missing_reverse", "x")))
+    val (ff, rf) = graft.meta.Uids.fsckUidFix(forward, reverse)
+    val fwdFixed = ff.collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    // old collided names gone, fsck'd name owns the uid
+    assert(fwdFixed == Set(("a", 1L), ("fsck.x.y", 5L)))
+    // reverse rebuilt from the repaired forward: mismatch corrected,
+    // orphan gone
+    val revFixed = rf.collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(revFixed == Set((1L, "a"), (5L, "fsck.x.y")))
+    // a fixed pair reports clean
+    assert(graft.meta.Uids.fsckUid(ff, rf).count() == 0L)
+    // and grep finds the fsck'd name case-insensitively
+    val hits = graft.meta.Uids.grep(ff, "^FSCK\\..*", ignoreCase = true)
+      .collect().map(_.getString(1)).toSeq
+    assert(hits == Seq("fsck.x.y"))
+  }
 }
