@@ -170,6 +170,34 @@ object Trees {
     build(prepared, levels, strictMatch)
   }
 
+  /** `tsd treesync` (reference src/tools/UidManager.java:1102 →
+    * TreeSync): rebuild EVERY tree that has rules, one
+    * [[buildFromRules]] pass per tree, branches labeled by tree_id.
+    * The reference walks all TSMeta through every enabled tree's rule
+    * set; here each tree is one distributed build over the series
+    * table and the union is the synced branch store. */
+  def syncAll(series: DataFrame, rulesTable: DataFrame,
+              uidMeta: Option[DataFrame] = None,
+              strictMatch: Boolean = false): DataFrame = {
+    val ids = rulesTable.select("treeId").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(ids.nonEmpty, "no trees have rules")
+    ids.map { id =>
+      buildFromRules(series, rulesTable, id, uidMeta, strictMatch)
+        .withColumn("tree_id", lit(id))
+    }.reduce(_ unionByName _)
+  }
+
+  /** `tsd treepurge <id> [definition]` (reference
+    * src/tools/UidManager.java:1149 → TreeSync.purgeTree): drop one
+    * tree's branches, and with `deleteDefinition` its rule rows too.
+    * Returns (branches', rules'). */
+  def purge(branches: DataFrame, rulesTable: DataFrame, treeId: Int,
+            deleteDefinition: Boolean = false): (DataFrame, DataFrame) =
+    (branches.filter(col("tree_id") =!= treeId),
+      if (deleteDefinition) rulesTable.filter(col("treeId") =!= treeId)
+      else rulesTable)
+
   /** The reference's per-rule log/trace tag (TreeRule.toString,
     * src/tree/TreeRule.java:227: `[tree:level:order:TYPE]`). */
   private def ruleTag(r: Rule): String =

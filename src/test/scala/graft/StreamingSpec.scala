@@ -990,6 +990,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Trees.buildFromRules(series, rules, 1).count())
   }
 
+  test("treesync builds every ruled tree; treepurge drops one (optionally its rules)") {
+    import spark.implicits._
+    import graft.meta.Trees
+    val series = Seq(
+      ("sys.cpu", Map("host" -> "web01")),
+      ("app.api", Map("host" -> "web02")))
+      .toDF("metric", "tags")
+    var rules = Trees.emptyRules(spark)
+    rules = Trees.upsertRule(rules, Trees.Rule(1, 0, 0, "METRIC"))
+    rules = Trees.upsertRule(rules, Trees.Rule(2, 0, 0, "TAGK", field = "host"))
+    val synced = Trees.syncAll(series, rules)
+    val byTree = synced.collect()
+      .groupBy(_.getAs[Int]("tree_id"))
+      .view.mapValues(_.map(_.getAs[String]("path")).toSet).toMap
+    assert(byTree(1) == Set("sys.cpu", "app.api"))
+    assert(byTree(2) == Set("web01", "web02"))
+    // purge branches only: tree 1 gone, definition intact
+    val (b1, r1) = Trees.purge(synced, rules, treeId = 1)
+    assert(b1.select("tree_id").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+    assert(r1.count() == rules.count())
+    // purge with definition: rules for tree 2 gone too
+    val (b2, r2) = Trees.purge(synced, rules, 2, deleteDefinition = true)
+    assert(!b2.select("tree_id").distinct().collect()
+      .map(_.getInt(0)).contains(2))
+    assert(r2.collect().map(_.getAs[Int]("treeId")).toSet == Set(1))
+    // no ruled trees at all fails fast
+    intercept[IllegalArgumentException](
+      Trees.syncAll(series, Trees.emptyRules(spark)))
+  }
+
   test("tree testRun traces per-rule values with level fallback") {
     import spark.implicits._
     import graft.meta.Trees
