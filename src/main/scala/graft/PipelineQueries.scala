@@ -1406,6 +1406,40 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // pairwise source-vocabulary overlap from KMV (bottom-256)
+    // sketches — the set-INTERSECTION estimate HLL cannot give;
+    // exact counts ride along so the estimator error is visible
+    "t28_kmv_overlap" -> ((s, dir) => {
+      val hashed = docs(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          TextAnalysis.hash60(col("tok"), portable = true).as("h"))
+      val hset = hashed.distinct()
+      val est = Sketches.kmvOverlap(
+        Sketches.kmvSketches(hashed, "source", "h", k = 256), k = 256)
+      val sizes = hset.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = hset.as("x")
+        .join(hset.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      est
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n", "na")), Seq("src_a"))
+        .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n", "nb")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("k2").cast("long").as("k2"),
+          col("n_shared_bk"), r4(col("union_est")).as("union_est"),
+          r4(col("jaccard_est")).as("jaccard_est"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          r4(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))
+              .cast("double")).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // gap-based sessionization of the interaction log into per-user
     // episodes (30-minute inactivity gap)
     "e01_sessionize" -> ((s, dir) => {
@@ -3272,6 +3306,56 @@ object PipelineQueries {
            max(CASE WHEN p = 0.99 THEN (sign(e) * floor(abs(e) * 10000 + 0.5) / 10000) END) AS p99
          FROM est e2 JOIN t ON t.source = e2.source
          GROUP BY e2.source ORDER BY e2.source""",
+
+    // KMV mirror: bottom-256 per source via row_number, merged
+    // bottom-k + shared fraction via list ops; 255·2^60 / h_k is
+    // exact-operand IEEE arithmetic
+    "t28_kmv_overlap" ->
+      """WITH tk AS (
+           SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         h AS (SELECT DISTINCT source,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tk),
+         ranked AS (SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         sk AS (SELECT source, list(h ORDER BY h) AS hs
+           FROM ranked WHERE rn <= 256 GROUP BY source),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+             a.hs AS ha, b.hs AS hb
+           FROM sk a JOIN sk b ON a.source < b.source),
+         comp AS (SELECT src_a, src_b, ha, hb,
+             list_sort(list_distinct(list_concat(ha, hb))) AS u
+           FROM pairs),
+         est AS (SELECT src_a, src_b,
+             CAST(least(256, len(u)) AS BIGINT) AS k2,
+             CAST(len(list_filter(list_slice(u, 1, 256),
+               x -> list_contains(ha, x) AND list_contains(hb, x))) AS BIGINT)
+               AS n_shared_bk,
+             CASE WHEN len(u) < 256 THEN CAST(len(u) AS DOUBLE)
+               ELSE 255.0 * 1152921504606846976.0 / CAST(u[256] AS DOUBLE)
+               END AS union_est,
+             CAST(len(list_filter(list_slice(u, 1, 256),
+               x -> list_contains(ha, x) AND list_contains(hb, x))) AS DOUBLE)
+               / least(256, len(u)) AS jaccard_est
+           FROM comp),
+         sizes AS (SELECT source, count(*) AS n FROM h GROUP BY source),
+         inter AS (SELECT x.source AS src_a, y.source AS src_b,
+             count(*) AS n_inter
+           FROM h x JOIN h y ON x.h = y.h AND x.source < y.source
+           GROUP BY x.source, y.source)
+         SELECT e.src_a, e.src_b, e.k2, e.n_shared_bk,
+           (sign(union_est) * floor(abs(union_est) * 10000 + 0.5) / 10000) AS union_est,
+           (sign(jaccard_est) * floor(abs(jaccard_est) * 10000 + 0.5) / 10000) AS jaccard_est,
+           CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+           (sign(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE))
+             * floor(abs(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE)) * 10000 + 0.5) / 10000) AS jaccard
+         FROM est e
+         LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+         JOIN sizes sa ON sa.source = e.src_a
+         JOIN sizes sb ON sb.source = e.src_b
+         ORDER BY e.src_a, e.src_b""",
 
     // sessionization mirror: identical lag/gap/running-sum chain
     "e01_sessionize" ->

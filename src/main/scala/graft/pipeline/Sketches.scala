@@ -144,6 +144,68 @@ object Sketches {
       .select(col(groupCol), col("__hll.v_zero").as("v_zero"),
         col("__hll.harm_x2p50").as("harm_x2p50"), col("__hll.est").as("est"))
 
+  // ------------------------------------------------ KMV (bottom-k)
+
+  /** Hash domain size for the 60-bit portable hash (2^60, exactly
+    * representable as a double). */
+  val KmvDomain = 1152921504606846976.0
+
+  /** k-minimum-values sketch: the k smallest DISTINCT hash values of a
+    * set. Unlike HLL it supports set INTERSECTION estimates (Beyer et
+    * al. 2007 / the theta-sketch family): bottomk(A ∪ B) =
+    * bottomk(bottomk(A) ∪ bottomk(B)) — mergeable — and the fraction
+    * of the merged bottom-k present in both sketches estimates
+    * Jaccard. Entirely deterministic (no sampling randomness beyond
+    * the hash itself), so the oracle mirrors it with ORDER BY + list
+    * ops. */
+  class BottomKAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b: Seq[Long], h: Long): Seq[Long] =
+      // fast path: full buffer and h can't displace anything
+      if (b.size >= k && h >= b.last) b
+      else if (b.contains(h)) b
+      else ((b :+ h).sorted).take(k)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+    def finish(r: Seq[Long]): Seq[Long] = r
+    def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-group bottom-k sketch table (group, hs sorted ascending). */
+  def kmvSketches(df: DataFrame, groupCol: String, hashCol: String,
+                  k: Int = 256): DataFrame = {
+    val agg = udaf(new BottomKAgg(k), ExpressionEncoder[Long]())
+    df.groupBy(col(groupCol)).agg(agg(col(hashCol).cast("long")).as("hs"))
+  }
+
+  /** Pairwise overlap estimates from a sketch table: for every group
+    * pair (a < b), the merged bottom-k drives a union-size estimate
+    * ((k-1)·D / h_k, or the exact union size when fewer than k values
+    * exist) and a Jaccard estimate (shared fraction of the merged
+    * bottom-k). Pure array expressions over a self-join of the
+    * sketch TABLE — group-count², not data-sized, and each sketch is
+    * ≤ 8·k bytes, so the join side broadcasts. */
+  def kmvOverlap(sketches: DataFrame, k: Int = 256): DataFrame = {
+    val a = sketches.select(col(sketches.columns.head).as("src_a"),
+      col("hs").as("hs_a"))
+    val b = sketches.select(col(sketches.columns.head).as("src_b"),
+      col("hs").as("hs_b"))
+    val u = array_sort(array_union(col("hs_a"), col("hs_b")))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("u", u)
+      .withColumn("k2", least(lit(k), size(col("u"))))
+      .withColumn("bk", slice(col("u"), 1, k))
+      .withColumn("overlap", size(array_intersect(col("bk"),
+        array_intersect(col("hs_a"), col("hs_b")))))
+      .select(col("src_a"), col("src_b"), col("k2"),
+        col("overlap").cast("long").as("n_shared_bk"),
+        when(size(col("u")) < k, size(col("u")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * KmvDomain /
+            element_at(col("u"), k).cast("double")).as("union_est"),
+        (col("overlap").cast("double") / col("k2")).as("jaccard_est"))
+  }
+
   // -------------------------------------------- histogram quantiles
 
   /** Log2 bins over non-negative longs: bin = bitlength(x+1)-1, so

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,49 @@ object Trajectories {
         sum(col("value")).as("sum_v"),
         size(collect_set(col("event_type"))).as("n_types"))
       .drop("w")
+
+  case class FunnelEvent(userId: Long, ts: Long, eventType: String)
+  case class FunnelState(times: Seq[Long])
+  case class FunnelAdvance(userId: Long, stageIdx: Int, ts: Long)
+
+  /** Streaming form of [[funnel]] via `flatMapGroupsWithState`: state
+    * per user is ONE long per stage (the completion time, -1 unset) —
+    * bounded by construction, no event retention. Emits an advance row
+    * the moment a user completes a stage. Greedy in arrival order,
+    * which equals the batch MIN-qualifying-ts semantics when arrivals
+    * are time-ordered per user (the watermark-disciplined case);
+    * within a micro-batch, events sort by ts before applying. */
+  def funnelStream(ev: DataFrame, stages: Seq[String],
+                   windowMs: Long): Dataset[FunnelAdvance] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    ev.select(col("user_id").as("userId"), col("ts"),
+        col("event_type").as("eventType"))
+      .as[FunnelEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[FunnelEvent], st: GroupState[FunnelState]) => {
+          val times = st.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(stages.size)(-1L))
+          val out = Seq.newBuilder[FunnelAdvance]
+          it.toSeq.sortBy(_.ts).foreach { e =>
+            stageIdx.get(e.eventType).foreach { i =>
+              val qualifies =
+                if (i == 0) times(0) < 0
+                else times(i) < 0 && times(i - 1) >= 0 &&
+                  e.ts >= times(i - 1) && e.ts - times(0) <= windowMs
+              if (qualifies) {
+                times(i) = e.ts
+                out += FunnelAdvance(user, i, e.ts)
+              }
+            }
+          }
+          st.update(FunnelState(times.toSeq))
+          out.result().iterator
+        })
+  }
 
   /** Ordered-funnel completion: stage i counts users with an event of
     * `stages(i)` at-or-after their stage-(i-1) completion time and

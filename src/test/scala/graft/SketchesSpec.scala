@@ -179,6 +179,38 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("KMV bottom-k: mergeable, distinct estimate tracks, Jaccard estimate tracks") {
+    val agg = new Sketches.BottomKAgg(256)
+    val setA = (0 until 3000).map(i => h60(s"a-$i"))
+    val setB = (0 until 3000).map(i => h60(s"a-${i + 1500}")) // 50% overlap
+    def sketch(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val (ska, skb) = (sketch(setA), sketch(setB))
+    // mergeability: bottomk(bottomk(A) ∪ bottomk(B)) == bottomk(A ∪ B)
+    assert(agg.merge(ska, skb) == sketch(setA ++ setB))
+    // distinct estimate from one sketch: (k-1)·D / h_k within ~3σ
+    val est = 255.0 * Sketches.KmvDomain / ska.last.toDouble
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.20, s"est $est")
+    // Jaccard estimate from the merged bottom-k: true J = 1500/4500
+    val u = (ska ++ skb).distinct.sorted.take(256)
+    val inA = setA.toSet
+    val inB = setB.toSet
+    val rho = u.count(x => inA(x) && inB(x)).toDouble / u.size
+    assert(math.abs(rho - 1.0 / 3.0) < 0.12, s"rho $rho")
+  }
+
+  test("t28 KMV overlap estimates track the exact jaccard in-output") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = PipelineQueries.queries("t28_kmv_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val estJ = r.getAs[Double]("jaccard_est")
+      val exactJ = r.getAs[Double]("jaccard")
+      // k=256 over small per-source vocabularies → sketch is exact
+      // when the union fits in k; allow slack where it doesn't
+      assert(math.abs(estJ - exactJ) < 0.15, s"$r")
+    }
+  }
+
   test("histogram quantile sketch: mergeable, and tracks exact quantiles") {
     val agg = new Sketches.HistQuantAgg
     val rnd = new scala.util.Random(42)

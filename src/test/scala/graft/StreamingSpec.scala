@@ -990,6 +990,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Trees.buildFromRules(series, rules, 1).count())
   }
 
+  test("streaming funnel == batch funnel under time-ordered arrivals") {
+    import graft.pipeline.Trajectories
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "click", 0.0),
+      (3L, 3000L, 1L, "purchase", 0.0),
+      (4L, 1000L, 2L, "click", 0.0), (5L, 2000L, 2L, "view", 0.0),
+      (6L, 1000L, 3L, "view", 0.0), (7L, 1500L, 3L, "click", 0.0),
+      (8L, 999999999L, 3L, "purchase", 0.0),
+      (9L, 2500L, 2L, "click", 0.0)) // u2 converts AFTER its view
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ev = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Trajectories
+      .funnelStream(ev, Seq("view", "click", "purchase"), windowMs = 10000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    // feed per-user time-ordered, split across batches
+    rows.sortBy(r => (r._2, r._1)).grouped(3).foreach { g =>
+      mem.addData(g: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.sql(
+        "SELECT stageIdx, count(DISTINCT userId) AS n FROM funnel_out GROUP BY stageIdx")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = Trajectories.funnel(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        Seq("view", "click", "purchase"), windowMs = 10000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+    assert(batch == Map(0 -> 3L, 1 -> 3L, 2 -> 1L))
+  }
+
   test("treesync builds every ruled tree; treepurge drops one (optionally its rules)") {
     import spark.implicits._
     import graft.meta.Trees
