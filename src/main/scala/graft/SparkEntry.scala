@@ -1348,6 +1348,22 @@ object SparkEntry {
         .orderBy("metric", "bucket_lo")
     }),
 
+    // GET /api/config/filters (reference RpcManager.ShowConfig filters
+    // endpoint → TagVFilter.loadedFilters): the eight built-in filter
+    // metas, strings transcribed verbatim from the reference's filter
+    // classes. Restricted to the built-ins so a plugin registered by
+    // another contract query (q87) cannot leak into the compare; the
+    // plugin surface is unit-tested.
+    "q95_config_filters" -> ((s, _) => {
+      import s.implicits._
+      val builtins = Set("literal_or", "iliteral_or", "not_literal_or",
+        "not_iliteral_or", "wildcard", "iwildcard", "regexp", "not_key")
+      graft.query.QueryParser.loadedFilters()
+        .filter(f => builtins.contains(f._1))
+        .toDF("filter", "description", "examples")
+        .orderBy("filter")
+    }),
+
     // §2.14 `tsd uid fsck` over deliberately-corrupted dual mapping
     // tables derived from the q49 registry: a shared-uid collision, a
     // mismatched reverse name, dropped reverse rows (uid % 7 == 3),
@@ -2679,6 +2695,35 @@ object SparkEntry {
          FROM points WHERE metric = 'purchase'
          GROUP BY metric, floor(value / 10) * 10
          ORDER BY metric, bucket_lo""",
+
+    "q95_config_filters" ->
+      """SELECT * FROM (VALUES
+         ('literal_or',
+          'Accepts one or more exact values and matches if the series contains any of them. Multiple values can be included and must be separated by the | (pipe) character. The filter is case sensitive and will not allow characters that TSDB does not allow at write time.',
+          'host=literal_or(web01),  host=literal_or(web01|web02|web03)  {"type":"literal_or","tagk":"host","filter":"web01|web02|web03","groupBy":false}'),
+         ('iliteral_or',
+          'Accepts one or more exact values and matches if the series contains any of them. Multiple values can be included and must be separated by the | (pipe) character. The filter is case insensitive and will not allow characters that TSDB does not allow at write time.',
+          'host=iliteral_or(web01),  host=iliteral_or(web01|web02|web03)  {"type":"iliteral_or","tagk":"host","filter":"web01|web02|web03","groupBy":false}'),
+         ('not_literal_or',
+          'Accepts one or more exact values and matches if the series does NOT contain any of them. Multiple values can be included and must be separated by the | (pipe) character. The filter is case sensitive and will not allow characters that TSDB does not allow at write time.',
+          'host=not_literal_or(web01),  host=not_literal_or(web01|web02|web03)  {"type":"not_literal_or","tagk":"host","filter":"web01|web02|web03","groupBy":false}'),
+         ('not_iliteral_or',
+          'Accepts one or more exact values and matches if the series does NOT contain any of them. Multiple values can be included and must be separated by the | (pipe) character. The filter is case insensitive and will not allow characters that TSDB does not allow at write time.',
+          'host=not_iliteral_or(web01),  host=not_iliteral_or(web01|web02|web03)  {"type":"not_iliteral_or","tagk":"host","filter":"web01|web02|web03","groupBy":false}'),
+         ('wildcard',
+          'Performs pre, post and in-fix glob matching of values. The globs are case sensitive and multiple wildcards can be used. The wildcard character is the * (asterisk). At least one wildcard must be present in the filter value. A wildcard by itself can be used as well to match on any value for the tag key.',
+          'host=wildcard(web*),  host=wildcard(web*.tsdb.net)  {"type":"wildcard","tagk":"host","filter":"web*.tsdb.net","groupBy":false}'),
+         ('iwildcard',
+          'Performs pre, post and in-fix glob matching of values. The globs are case insensitive and multiple wildcards can be used. The wildcard character is the * (asterisk). Case insensitivity is achieved by dropping all values to lower case. At least one wildcard must be present in the filter value. A wildcard by itself can be used as well to match on any value for the tag key.',
+          'host=iwildcard(web*),  host=iwildcard(web*.tsdb.net)  {"type":"iwildcard","tagk":"host","filter":"web*.tsdb.net","groupBy":false}'),
+         ('regexp',
+          'Provides full, POSIX compliant regular expression using the built in Java Pattern class. Note that an expression containing curly braces {} will not parse properly in URLs. If the pattern is not a valid regular expression then an exception will be raised.',
+          'host=regexp(.*)  {"type":"regexp","tagk":"host","filter":".*","groupBy":false}'),
+         ('not_key',
+          'Skips any time series with the given tag key, regardless of the value. This can be useful for situations where a metric has inconsistent tag sets. NOTE: The filter value must be null or an empty string.',
+          'host=not_key()  {"type":"not_key","tagk":"host","filter":"","groupBy":false}')
+         ) t(filter, description, examples)
+         ORDER BY filter""",
 
     "q93_uid_fsck" ->
       s"""$O, f0 AS (SELECT * FROM points WHERE metric IN ('click','signup')),

@@ -349,10 +349,96 @@ object QueryParser {
   private val customFilters = scala.collection.concurrent.TrieMap
     .empty[String, (String, String, Boolean) => TagFilter]
 
-  /** Register a custom filter type usable in both grammars. */
+  private val customFilterMeta = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String)]
+
+  /** Register a custom filter type usable in both grammars; the
+    * description/examples surface through `/api/config/filters` like
+    * the reference's per-plugin static description()/examples(). */
   def registerFilter(name: String,
-                     fn: (String, String, Boolean) => TagFilter): Unit =
+                     fn: (String, String, Boolean) => TagFilter,
+                     description: String = "",
+                     examples: String = ""): Unit = {
     customFilters.put(name.toLowerCase, fn)
+    customFilterMeta.put(name.toLowerCase, (description, examples))
+  }
+
+  /** GET /api/config/filters payload: filter name → (description,
+    * examples) for the eight built-ins (strings transcribed verbatim
+    * from the reference's filter classes:
+    * src/query/filter/TagVLiteralOrFilter.java:148-163 etc.) plus any
+    * registered plugin filters — the mirror of
+    * TagVFilter.loadedFilters (src/query/filter/TagVFilter.java:359). */
+  def loadedFilters(): Seq[(String, String, String)] = {
+    val builtins = Seq(
+      ("literal_or",
+        "Accepts one or more exact values and matches if the series contains " +
+          "any of them. Multiple values can be included and must be separated " +
+          "by the | (pipe) character. The filter is case sensitive and will not " +
+          "allow characters that TSDB does not allow at write time.",
+        "host=literal_or(web01),  host=literal_or(web01|web02|web03)  " +
+          "{\"type\":\"literal_or\",\"tagk\":\"host\"," +
+          "\"filter\":\"web01|web02|web03\",\"groupBy\":false}"),
+      ("iliteral_or",
+        "Accepts one or more exact values and matches if the series contains " +
+          "any of them. Multiple values can be included and must be separated " +
+          "by the | (pipe) character. The filter is case insensitive and will not " +
+          "allow characters that TSDB does not allow at write time.",
+        "host=iliteral_or(web01),  host=iliteral_or(web01|web02|web03)  " +
+          "{\"type\":\"iliteral_or\",\"tagk\":\"host\"," +
+          "\"filter\":\"web01|web02|web03\",\"groupBy\":false}"),
+      ("not_literal_or",
+        "Accepts one or more exact values and matches if the series does NOT " +
+          "contain any of them. Multiple values can be included and must be " +
+          "separated by the | (pipe) character. The filter is case sensitive " +
+          "and will not allow characters that TSDB does not allow at write time.",
+        "host=not_literal_or(web01),  host=not_literal_or(web01|web02|web03)  " +
+          "{\"type\":\"not_literal_or\",\"tagk\":\"host\"," +
+          "\"filter\":\"web01|web02|web03\",\"groupBy\":false}"),
+      ("not_iliteral_or",
+        "Accepts one or more exact values and matches if the series does NOT " +
+          "contain any of them. Multiple values can be included and must be " +
+          "separated by the | (pipe) character. The filter is case insensitive " +
+          "and will not allow characters that TSDB does not allow at write time.",
+        "host=not_iliteral_or(web01),  host=not_iliteral_or(web01|web02|web03)  " +
+          "{\"type\":\"not_iliteral_or\",\"tagk\":\"host\"," +
+          "\"filter\":\"web01|web02|web03\",\"groupBy\":false}"),
+      ("wildcard",
+        "Performs pre, post and in-fix glob matching of values. The globs " +
+          "are case sensitive and multiple wildcards can be used. The wildcard " +
+          "character is the * (asterisk). At least one wildcard must be " +
+          "present in the filter value. A wildcard by itself can be used as " +
+          "well to match on any value for the tag key.",
+        "host=wildcard(web*),  host=wildcard(web*.tsdb.net)  " +
+          "{\"type\":\"wildcard\",\"tagk\":\"host\"," +
+          "\"filter\":\"web*.tsdb.net\",\"groupBy\":false}"),
+      ("iwildcard",
+        "Performs pre, post and in-fix glob matching of values. The globs " +
+          "are case insensitive and multiple wildcards can be used. The wildcard " +
+          "character is the * (asterisk). Case insensitivity is achieved by " +
+          "dropping all values to lower case. At least one wildcard must be " +
+          "present in the filter value. A wildcard by itself can be used as " +
+          "well to match on any value for the tag key.",
+        "host=iwildcard(web*),  host=iwildcard(web*.tsdb.net)  " +
+          "{\"type\":\"iwildcard\",\"tagk\":\"host\"," +
+          "\"filter\":\"web*.tsdb.net\",\"groupBy\":false}"),
+      ("regexp",
+        "Provides full, POSIX compliant regular expression using the " +
+          "built in Java Pattern class. Note that an expression containing " +
+          "curly braces {} will not parse properly in URLs. If the pattern " +
+          "is not a valid regular expression then an exception will be raised.",
+        "host=regexp(.*)  {\"type\":\"regexp\",\"tagk\":\"host\"," +
+          "\"filter\":\".*\",\"groupBy\":false}"),
+      ("not_key",
+        "Skips any time series with the given tag key, regardless of the " +
+          "value. This can be useful for situations where a metric has " +
+          "inconsistent tag sets. NOTE: The filter value must be null or an " +
+          "empty string.",
+        "host=not_key()  {\"type\":\"not_key\",\"tagk\":\"host\"," +
+          "\"filter\":\"\",\"groupBy\":false}"))
+    val customs = customFilterMeta.toSeq.map { case (n, (d, e)) => (n, d, e) }
+    (builtins ++ customs).sortBy(_._1)
+  }
 
   /** A single filter value in either sugar or `type(value)` form —
     * the mirror of TagVFilter.getFilter (src/query/filter/

@@ -614,6 +614,23 @@ class ParserSpec extends AnyFunSuite {
       && failed.contains("\"result\":\"false\""))
   }
 
+  test("config/filters lists the eight built-ins plus registered plugin metas") {
+    val base = QueryParser.loadedFilters()
+    assert(base.map(_._1).toSet.intersect(Set("literal_or", "iliteral_or",
+      "not_literal_or", "not_iliteral_or", "wildcard", "iwildcard",
+      "regexp", "not_key")).size == 8)
+    // every built-in carries non-empty description AND examples
+    base.filter(f => Set("literal_or", "regexp", "not_key").contains(f._1))
+      .foreach { case (_, d, e) => assert(d.nonEmpty && e.nonEmpty) }
+    QueryParser.registerFilter("spec_meta_filter",
+      (k, v, g) => LiteralOr(k, Seq(v), groupBy = g),
+      description = "test filter", examples = "host=spec_meta_filter(x)")
+    val withPlugin = QueryParser.loadedFilters()
+      .find(_._1 == "spec_meta_filter")
+    assert(withPlugin.contains(("spec_meta_filter", "test filter",
+      "host=spec_meta_filter(x)")))
+  }
+
   test("tsd.mode parse: ro/wo case-insensitive, anything else is rw") {
     import graft.meta.RpcModes
     assert(RpcModes.parse("ro") == RpcModes.ReadOnly)
