@@ -119,6 +119,18 @@ object Sketches {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Fold STORED register arrays (one row per shard sketch) into one —
+    * the aggregation a sketch-table compaction or a cross-shard
+    * rollup runs: input is already sketches, not hashes. */
+  class HllRegMergeAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](HllM)
+    def reduce(b: Array[Byte], in: Array[Byte]): Array[Byte] = hllMerge(b, in)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = hllMerge(a, b)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** Build one register array over a hash column (256 B collect). */
   def hllBuild(hashes: DataFrame, hashCol: String): Array[Byte] = {
     val agg = udaf(new HllRegAgg, ExpressionEncoder[Long]())

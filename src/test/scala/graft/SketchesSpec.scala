@@ -285,6 +285,35 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.getAs[Long]("n_users")).toSeq == Seq(3L, 2L, 1L))
   }
 
+  test("persisted sketch lifecycle: parquet round-trip + shard fold == rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    // day 1: build per-source HLL register tables and persist them
+    val day1 = (0 until 2000).map(i => (s"src${i % 4}", h60(s"d1-$i")))
+      .toDF("source", "h")
+    val agg = udaf(new Sketches.HllRegAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    day1.groupBy("source").agg(agg(col("h")).as("regs"))
+      .write.mode("overwrite").parquet(s"$dir/hll")
+    // day 2 shard arrives: fold INTO the stored sketch without
+    // re-reading day 1's rows
+    val day2 = (0 until 1000).map(i => (s"src${i % 4}", h60(s"d2-$i")))
+      .toDF("source", "h")
+    val fold = udaf(new Sketches.HllRegMergeAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
+    val folded = spark.read.parquet(s"$dir/hll")
+      .unionByName(day2.groupBy("source").agg(agg(col("h")).as("regs")))
+      .groupBy("source").agg(fold(col("regs")).as("regs"))
+    // fold of sketches == rebuild over the union of rows
+    val rebuilt = day1.unionByName(day2)
+      .groupBy("source").agg(agg(col("h")).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("regs")).toMap
+    folded.collect().foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("regs"),
+        rebuilt(r.getString(0))), r.getString(0))
+    }
+  }
+
   test("HLL relational check: Spark tokens hash to the documented register/rank") {
     // pin the register/rank derivation the oracle mirrors: low 8 bits
     // index, rank = 53 - bitlength(h >> 8)
