@@ -163,6 +163,24 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sketch aggregations partial-aggregate: map-side combine before the shuffle") {
+    // the sketch family's whole 100 TB claim is that the shuffled
+    // payload is the SKETCH (256 B - 64 KB per partition), not the
+    // row stream — which is only true if the typed aggregation runs
+    // in partial mode below the exchange. Assert each sketch query's
+    // physical plan carries a Partial ObjectHashAggregate.
+    val sf = "/root/testdata/sf0.001"
+    for (n <- Seq("t25_hll_distinct", "t27_quantile_sketch",
+        "t28_kmv_overlap")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution
+        .executedPlan.toString()
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$n: expected ObjectHashAggregate for the typed sketch agg")
+      assert("functions=\\[partial_".r.findFirstIn(plan).isDefined,
+        s"$n: sketch aggregation is not partial (no map-side combine)")
+    }
+  }
+
   test("SQ8 decode stays below the query join: per-vector, never per-pair") {
     // sqTopK binds the decode (codes -> floats, the '/ 255.0' subtree)
     // to a column BEFORE the query cross join. If an optimizer rewrite
