@@ -1757,10 +1757,13 @@ object SparkEntry {
            FROM points WHERE metric = 'error'
            GROUP BY metric, tag_user, tag_k, ts - ts % $DAY)
          SELECT metric, tag_user, tag_k, ts,
-           (sign(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
-             ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * floor(abs(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
-             ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000) AS value
-         FROM d ORDER BY tag_user, tag_k, ts""",
+           (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
+         FROM (SELECT metric, tag_user, tag_k, ts,
+           CASE WHEN count(value) OVER w = 3
+             THEN avg(value) OVER w ELSE 0.0 END AS v
+           FROM d WINDOW w AS (PARTITION BY metric, tag_user, tag_k
+             ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         ORDER BY tag_user, tag_k, ts""",
 
     "q13_first_diff" ->
       s"""$O, d AS (
@@ -2031,12 +2034,17 @@ object SparkEntry {
            FROM points WHERE metric = 'purchase'
            GROUP BY metric, tag_user, tag_k, ts - ts % $DAY)
          SELECT metric, tag_user, tag_k, ts,
-           (sign(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
-             ORDER BY ts RANGE BETWEEN ${3 * DAY - 1} PRECEDING
-               AND CURRENT ROW)) * floor(abs(avg(value) OVER (PARTITION BY metric, tag_user, tag_k
-             ORDER BY ts RANGE BETWEEN ${3 * DAY - 1} PRECEDING
-               AND CURRENT ROW)) * 10000 + 0.5) / 10000) AS value
-         FROM d ORDER BY tag_user, tag_k, ts""",
+           (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
+         FROM (SELECT metric, tag_user, tag_k, ts,
+           CASE WHEN min(ts) OVER (PARTITION BY metric, tag_user, tag_k
+               ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               <= ts - ${3 * DAY}
+             THEN avg(value) OVER (PARTITION BY metric, tag_user, tag_k
+               ORDER BY ts RANGE BETWEEN ${3 * DAY - 1} PRECEDING
+                 AND CURRENT ROW)
+             ELSE 0.0 END AS v
+           FROM d)
+         ORDER BY tag_user, tag_k, ts""",
 
     "q31_highest_current" ->
       s"""$O, d AS (

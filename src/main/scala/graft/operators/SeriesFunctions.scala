@@ -64,19 +64,35 @@ object SeriesFunctions {
   }
 
   /** movingAverage(m, window) — trailing average by point count
-    * (reference MovingAverage.java:345). */
+    * (reference MovingAverage.MovingAverageAggregator.runLong/Double,
+    * src/query/expression/MovingAverage.java:191-290): the window
+    * includes the current point, and until n points have accumulated
+    * the output is 0 — NOT a partial average (TestMovingAverage
+    * evaluateWindow2dps expects 0, 1.5, 2.5, ... over 1..5). */
   def movingAverageByCount(df: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(seriesKey(df).map(col): _*).orderBy(col("ts"))
       .rowsBetween(-(n - 1), 0)
-    df.withColumn("value", avg(col("value")).over(w))
+    df.withColumn("value",
+      when(count(col("value")).over(w) === n, avg(col("value")).over(w))
+        .otherwise(lit(0.0)))
   }
 
-  /** movingAverage(m, 'Xm') — trailing average by time window. Uses a
-    * rangeBetween frame on the millis ts — single pass, spill-safe. */
+  /** movingAverage(m, 'Xm') — trailing average by time window
+    * (MovingAverage.java:227-268): points strictly inside the trailing
+    * window (gap < windowMs) average; the output is 0 until the
+    * series' history extends at least windowMs behind the current
+    * point (the condition_met / window_started contract — the first
+    * point of every series is always 0). rangeBetween keeps it a
+    * single sorted pass. */
   def movingAverageByTime(df: DataFrame, windowMs: Long): DataFrame = {
-    val w = Window.partitionBy(seriesKey(df).map(col): _*).orderBy(col("ts"))
+    val keys = seriesKey(df).map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("ts"))
       .rangeBetween(-(windowMs - 1), 0)
-    df.withColumn("value", avg(col("value")).over(w))
+    val histStart = Window.partitionBy(keys: _*).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("value",
+      when(min(col("ts")).over(histStart) <= col("ts") - windowMs,
+        avg(col("value")).over(w)).otherwise(lit(0.0)))
   }
 
   /** highestCurrent(m, n) — top-n series by most-recent value

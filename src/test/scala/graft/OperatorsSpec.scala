@@ -1602,6 +1602,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.values.forall(_ == 0L), rep.toString)
   }
 
+  test("reference TestMovingAverage golden vectors (count + time windows)") {
+    import spark.implicits._
+    // fixture: SeekableViewsForTest.generator(START, 60000, 5, _, 1, 1)
+    // = values 1..5 at 60 s spacing, one series
+    val start = 1356998400000L
+    val pts5 = (0 until 5)
+      .map(i => ("sys.cpu", start + i * 60000L, (i + 1).toDouble))
+      .toDF("metric", "ts", "value")
+    def got(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.orderBy("ts").collect().map(_.getAs[Double]("value")).toSeq
+    import graft.operators.SeriesFunctions._
+    // evaluateWindow1dps / 2dps / 5dps / 6dps
+    assert(got(movingAverageByCount(pts5, 1)) == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(got(movingAverageByCount(pts5, 2)) == Seq(0.0, 1.5, 2.5, 3.5, 4.5))
+    assert(got(movingAverageByCount(pts5, 5)) == Seq(0.0, 0.0, 0.0, 0.0, 3.0))
+    assert(got(movingAverageByCount(pts5, 6)) == Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    // evaluateWindow1min / 2min / 3min / 4min
+    assert(got(movingAverageByTime(pts5, 60000L)) == Seq(0.0, 2.0, 3.0, 4.0, 5.0))
+    assert(got(movingAverageByTime(pts5, 120000L)) == Seq(0.0, 0.0, 2.5, 3.5, 4.5))
+    assert(got(movingAverageByTime(pts5, 180000L)) == Seq(0.0, 0.0, 0.0, 3.0, 4.0))
+    assert(got(movingAverageByTime(pts5, 240000L)) == Seq(0.0, 0.0, 0.0, 0.0, 3.5))
+  }
+
   test("uid fsck --fix: collision rename, reverse rebuild, orphan drop") {
     import spark.implicits._
     // forward: 'a'->1, plus a collision ('x','y' both ->5); reverse:
