@@ -1773,12 +1773,11 @@ object SparkEntry {
            GROUP BY metric, tag_user, tag_k, ts - ts % $DAY),
          r AS (
            SELECT metric, tag_user, tag_k, ts,
-             value - lag(value) OVER (PARTITION BY metric, tag_user, tag_k
-               ORDER BY ts) AS value
+             coalesce(value - lag(value) OVER (PARTITION BY metric, tag_user,
+               tag_k ORDER BY ts), 0.0) AS value
            FROM d)
          SELECT metric, tag_user, tag_k, ts, (sign(value) * floor(abs(value) * 10000 + 0.5) / 10000) AS value
-         FROM r WHERE value IS NOT NULL
-         ORDER BY tag_user, tag_k, ts""",
+         FROM r ORDER BY tag_user, tag_k, ts""",
 
     "q14_shift_scale_abs" ->
       s"""$O SELECT metric, tag_user, tag_k, ts + $HOUR AS ts,

@@ -49,7 +49,11 @@ object SeriesFunctions {
     df.withColumn("metric", metricCol)
   }
 
-  /** shift/timeShift(m, interval) — move series in time
+  /** shift/timeShift(m, interval) — move series in time. NB the
+    * reference's double path (TimeShift.java:136) multiplies the VALUE
+    * by the shift — an evident upstream bug (its long path at :133 and
+    * the class doc both only adjust timestamps); we implement the
+    * documented contract, values unchanged, for both types.
     * (reference TimeShift.java). */
   def timeShift(df: DataFrame, shiftMs: Long): DataFrame =
     df.withColumn("ts", col("ts") + lit(shiftMs))
@@ -58,9 +62,13 @@ object SeriesFunctions {
     * (reference FirstDifference.java; first point emits 0-diff via
     * pairing with itself → we drop the null-lag row like `rate`). */
   def firstDiff(df: DataFrame): DataFrame = {
+    // the reference emits the FIRST point of each series as 0.0 and
+    // keeps its timestamp (FirstDifference.firstDiff `diff.add(0.0)`,
+    // src/query/expression/FirstDifference.java:81) — it does not
+    // drop the row
     val w = Window.partitionBy(seriesKey(df).map(col): _*).orderBy(col("ts"))
-    df.withColumn("value", col("value") - lag(col("value"), 1).over(w))
-      .filter(col("value").isNotNull)
+    df.withColumn("value",
+      coalesce(col("value") - lag(col("value"), 1).over(w), lit(0.0)))
   }
 
   /** movingAverage(m, window) — trailing average by point count

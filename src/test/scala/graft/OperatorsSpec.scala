@@ -1623,6 +1623,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(movingAverageByTime(pts5, 120000L)) == Seq(0.0, 0.0, 2.5, 3.5, 4.5))
     assert(got(movingAverageByTime(pts5, 180000L)) == Seq(0.0, 0.0, 0.0, 3.0, 4.0))
     assert(got(movingAverageByTime(pts5, 240000L)) == Seq(0.0, 0.0, 0.0, 0.0, 3.5))
+    // TestFirstDifference: first point of each series emits 0.0, kept
+    assert(got(firstDiff(pts5)) == Seq(0.0, 1.0, 1.0, 1.0, 1.0))
   }
 
   test("uid fsck --fix: collision rename, reverse rebuild, orphan drop") {
