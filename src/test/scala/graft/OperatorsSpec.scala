@@ -1627,6 +1627,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(firstDiff(pts5)) == Seq(0.0, 1.0, 1.0, 1.0, 1.0))
   }
 
+  test("reference TestHighestMax/TestHighestCurrent golden vectors") {
+    import spark.implicits._
+    val start = 1356998400000L
+    // TestHighestMax fixture: sys.cpu = 1..5, sys.mem = 10..14
+    val two = ((0 until 5).map(i => ("sys.cpu", start + i * 60000L, (i + 1).toDouble)) ++
+      (0 until 5).map(i => ("sys.mem", start + i * 60000L, (i + 10).toDouble)))
+      .toDF("metric", "ts", "value")
+    import graft.operators.SeriesFunctions._
+    // evaluateTopN1with2SeriesLong: only sys.mem survives, values intact
+    val top1 = highestMax(two, 1).orderBy("ts").collect()
+    assert(top1.map(_.getString(0)).distinct.toSeq == Seq("sys.mem"))
+    assert(top1.map(_.getDouble(2)).toSeq == Seq(10.0, 11.0, 12.0, 13.0, 14.0))
+    // evaluateTopN2with2SeriesLong / TopN100: both series, all points
+    assert(highestMax(two, 2).count() == 10)
+    assert(highestMax(two, 100).count() == 10)
+    // highestCurrent ranks by the LATEST value, not the max: a series
+    // with a high spike but low current loses to a steady climber
+    val spiky = two.unionByName(Seq(
+        ("sys.net", start, 100.0), ("sys.net", start + 60000L, 0.5))
+      .toDF("metric", "ts", "value"))
+    assert(highestMax(spiky, 1).select("metric").distinct()
+      .head().getString(0) == "sys.net")
+    assert(highestCurrent(spiky, 1).select("metric").distinct()
+      .head().getString(0) == "sys.mem")
+  }
+
   test("uid fsck --fix: collision rename, reverse rebuild, orphan drop") {
     import spark.implicits._
     // forward: 'a'->1, plus a collision ('x','y' both ->5); reverse:
