@@ -100,6 +100,17 @@ object StreamScale {
       graft.sources.Ingest.slidingAvgStream(in, "10 minutes", "5 minutes",
         "10 minutes"))
 
+    // ---- trajectory operators over the raw interaction log ----------
+    // sessionization: state = concurrently-OPEN session aggregates
+    // (evicted at watermark close); funnel: one stage-times row/user
+    val rawEv = graft.model.Points.rawEvents(spark, srcDir)
+    val evPath = stage(rawEv, "ts", 8, s"$work/rawev_in")
+    drive("sessions", evPath, in => graft.pipeline.Trajectories
+      .sessionStream(in, gapMs = 1800000L, lateness = "10 minutes"))
+    drive("funnel", evPath, in => graft.pipeline.Trajectories
+      .funnelStream(in, Seq("view", "click", "purchase"),
+        windowMs = 604800000L).toDF())
+
     // ---- document operators -----------------------------------------
     // arrivals 1 min apart in doc_id order: the stream spans days of
     // event time, so the 10-minute watermark horizon actually evicts —
