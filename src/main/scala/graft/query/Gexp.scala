@@ -35,6 +35,9 @@ object Gexp {
 
   /** Parse a gexp string into an AST. */
   def parse(s: String): Node = {
+    // reference Expressions.parse:47 error contract
+    require(s != null && s.trim.nonEmpty,
+      "Expression may not be null or empty")
     val t = s.trim
     val open = t.indexOf('(')
     if (open < 0 || !t.take(open).forall(c => c.isLetterOrDigit || c == '_'))

@@ -201,6 +201,35 @@ class ParserSpec extends AnyFunSuite {
         Seq(Gexp.FuncNode("absolute", Seq(Gexp.MetricNode(_)), _)), Seq("2")) =>
       case other => fail(s"unexpected $other")
     }
+    // reference TestExpressions golden vectors
+    // parseWithWhitespace: leading blanks tolerated
+    assert(Gexp.parse("   scale(sum:sys.cpu)") ==
+      Gexp.parse("scale(sum:sys.cpu)"))
+    // parseMultiParameter: two sub-queries, no scalar params
+    Gexp.parse("foo(sum:proc.sys.cpu,, sum:proc.meminfo.memfree)") match {
+      case Gexp.FuncNode("foo",
+        Seq(Gexp.MetricNode("sum:proc.sys.cpu"),
+          Gexp.MetricNode("sum:proc.meminfo.memfree")), Seq()) =>
+      case other => fail(s"unexpected $other")
+    }
+    // parseNestedExpr: metric + nested call
+    Gexp.parse("foo(sum:proc.sys.cpu,, foo(sum:proc.a.b))") match {
+      case Gexp.FuncNode("foo", kids, Seq()) =>
+        assert(kids.toSet == Set(Gexp.MetricNode("sum:proc.sys.cpu"),
+          Gexp.FuncNode("foo", Seq(Gexp.MetricNode("sum:proc.a.b")), Seq())))
+      case other => fail(s"unexpected $other")
+    }
+    // parseExprWithParam: scalar params stay strings, in order
+    Gexp.parse("foo(sum:proc.sys.cpu,, 100,, 3.1415)") match {
+      case Gexp.FuncNode("foo", Seq(Gexp.MetricNode("sum:proc.sys.cpu")),
+        Seq("100", "3.1415")) =>
+      case other => fail(s"unexpected $other")
+    }
+    // parseNullExpression / parseEmptyExpression: reference error text
+    assert(intercept[IllegalArgumentException](Gexp.parse(null))
+      .getMessage.contains("Expression may not be null or empty"))
+    assert(intercept[IllegalArgumentException](Gexp.parse("  "))
+      .getMessage.contains("Expression may not be null or empty"))
   }
 
   test("m= percentiles[] stage and plugin filter registration") {
