@@ -354,11 +354,18 @@ object PipelineQueries {
 
     // exact-substring spans: overlapping 8-token window hashes (every
     // position, unlike d11's disjoint segments) -> per-doc duplicated
-    // fraction; windows join a count table, never each other
+    // fraction; windows join a count table, never each other.
+    // The fraction ships as basis points (BIGINT) computed with pure
+    // integer arithmetic — floor(n_dup*1e4/n_windows + 0.5) ==
+    // (20000*n_dup + n_windows) div (2*n_windows) — so the contract
+    // carries no double at all and hashes identically everywhere.
     "d15_dup_spans" -> ((s, dir) => {
       Dedup.dupSpans(docs(s, dir), "text", "doc_id", width = 8)
         .select(col("id").as("doc_id"), col("n_windows"), col("n_dup"),
-          r4(col("dup_frac")).as("dup_frac"))
+          when(col("n_windows") === 0, lit(0L))
+            .otherwise(expr(
+              "(20000 * n_dup + n_windows) div (2 * n_windows)"))
+            .cast("long").as("dup_frac_bp"))
         .orderBy("doc_id")
     }),
 
@@ -1601,9 +1608,9 @@ object PipelineQueries {
          SELECT d.doc_id,
            coalesce(p.n_windows, 0) AS n_windows,
            coalesce(p.n_dup, 0) AS n_dup,
-           (sign(CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
-             ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END) * floor(abs(CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
-             ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END) * 10000 + 0.5) / 10000) AS dup_frac
+           CAST(CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
+             ELSE (20000 * p.n_dup + p.n_windows) // (2 * p.n_windows)
+             END AS BIGINT) AS dup_frac_bp
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
 

@@ -102,7 +102,8 @@ object StreamScale {
 
     // ---- trajectory operators over the raw interaction log ----------
     // sessionization: state = concurrently-OPEN session aggregates
-    // (evicted at watermark close); funnel: one stage-times row/user
+    // (evicted at watermark close); funnel: buffered stage events per
+    // OPEN user window (emitted + tombstoned at watermark close)
     val rawEv = graft.model.Points.rawEvents(spark, srcDir)
     val evPath = stage(rawEv, "ts", 8, s"$work/rawev_in")
     drive("sessions", evPath, in => graft.pipeline.Trajectories

@@ -89,7 +89,18 @@ object RpcModes {
         throw new IllegalArgumentException(
           "This operation is not allowed in wo mode.")
     endpoint.toLowerCase match {
-      case "assign" | "rename" => needWrite()
+      case "assign" | "rename" =>
+        // reference order: the mode gate fires BEFORE the verb check
+        // (UniqueIdRpc.handleAssign:96-102, handleRename:524-530), so
+        // DELETE-on-assign in ro mode reports the mode error, while in
+        // a write mode the GET/POST-only restriction 405s it
+        // (RpcUtil.allowedMethods:26-36).
+        needWrite()
+        method.toUpperCase match {
+          case "GET" | "POST" =>
+          case other => throw new IllegalArgumentException(
+            s"The HTTP method [$other] is not permitted for this endpoint")
+        }
       case "uidmeta" | "tsmeta" =>
         method.toUpperCase match {
           case "GET"                     => needRead()

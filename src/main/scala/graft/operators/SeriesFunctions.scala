@@ -59,8 +59,10 @@ object SeriesFunctions {
     df.withColumn("ts", col("ts") + lit(shiftMs))
 
   /** firstDiff(m) — successive difference per series
-    * (reference FirstDifference.java; first point emits 0-diff via
-    * pairing with itself → we drop the null-lag row like `rate`). */
+    * (reference FirstDifference.java:81; the first point of each
+    * series is KEPT and emits 0.0 — the reference pairs it with
+    * itself via `diff.add(0.0)` — unlike `rate`, which drops the
+    * null-lag row). */
   def firstDiff(df: DataFrame): DataFrame = {
     // the reference emits the FIRST point of each series as 0.0 and
     // keeps its timestamp (FirstDifference.firstDiff `diff.add(0.0)`,

@@ -72,45 +72,114 @@ object Trajectories {
       .drop("w")
 
   case class FunnelEvent(userId: Long, ts: Long, eventType: String)
-  case class FunnelState(times: Seq[Long])
+  /** Per-user funnel state: buffered stage-relevant (ts, stageIdx)
+    * pairs still inside the candidate window, or — once the funnel has
+    * closed and emitted — an empty `done` tombstone that dedups the
+    * user until its event-time TTL expires. */
+  case class FunnelBuf(ts: Seq[Long], stage: Seq[Int], done: Boolean)
   case class FunnelAdvance(userId: Long, stageIdx: Int, ts: Long)
 
-  /** Streaming form of [[funnel]] via `flatMapGroupsWithState`: state
-    * per user is ONE long per stage (the completion time, -1 unset) —
-    * bounded by construction, no event retention. Emits an advance row
-    * the moment a user completes a stage. Greedy in arrival order,
-    * which equals the batch MIN-qualifying-ts semantics when arrivals
-    * are time-ordered per user (the watermark-disciplined case);
-    * within a micro-batch, events sort by ts before applying. */
-  def funnelStream(ev: DataFrame, stages: Seq[String],
-                   windowMs: Long): Dataset[FunnelAdvance] = {
+  /** Streaming form of [[funnel]], correct under LATE / REORDERED
+    * arrivals up to the event-time watermark: instead of greedily
+    * advancing in arrival order (round-8 behavior, equivalent to batch
+    * only for time-ordered feeds), each user's stage-relevant events
+    * are buffered and the batch MIN-qualifying-ts chain is computed
+    * ONCE, when the watermark passes `t0 + windowMs` — at which point
+    * no event inside the funnel window can still arrive, so the
+    * emitted advances are final (append-mode safe, nothing to
+    * retract).
+    *
+    * State is bounded by construction, event-time evicted:
+    *  - open users hold only events that can still join a chain —
+    *    one stage-0 entry (the running min) plus stage>0 events with
+    *    `ts <= t0 + windowMs` and (`ts >= t0` or `ts >= watermark`,
+    *    since a future t0 can only land at or above the watermark);
+    *    users with no stage-0 event keep nothing older than the
+    *    watermark, so their buffer is capped by the lateness horizon;
+    *  - closed users keep a ~3-field tombstone that expires
+    *    `tombstoneTtlMs` past close via `EventTimeTimeout` (a user
+    *    re-entering the funnel later than that is counted again —
+    *    the documented divergence from batch, which models exactly
+    *    one funnel per user over all history). */
+  def funnelStream(ev: DataFrame, stages: Seq[String], windowMs: Long,
+                   lateness: String = "10 minutes",
+                   tombstoneTtlMs: Long = 7L * 24 * 3600 * 1000)
+      : Dataset[FunnelAdvance] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty, "funnel needs at least one stage")
     val spark = ev.sparkSession
     import spark.implicits._
     val stageIdx = stages.zipWithIndex.toMap
+    val nStages = stages.size
+    // the batch chain over a final event set: t0 = min stage-0 ts,
+    // t_i = min stage-i ts with ts >= t_{i-1} and ts - t0 <= windowMs.
+    // A single pass over (ts, stage)-sorted events computes exactly
+    // that (the first qualifying event in sort order IS the min).
+    def runChain(evs: Array[(Long, Int)]): Array[Long] = {
+      val times = Array.fill(nStages)(-1L)
+      evs.sortBy(identity).foreach { case (ts, i) =>
+        val ok =
+          if (i == 0) times(0) < 0
+          else times(i) < 0 && times(i - 1) >= 0 &&
+            ts >= times(i - 1) && ts - times(0) <= windowMs
+        if (ok) times(i) = ts
+      }
+      times
+    }
     ev.select(col("user_id").as("userId"), col("ts"),
-        col("event_type").as("eventType"))
+        col("event_type").as("eventType"),
+        timestamp_millis(col("ts")).as("event_time"))
+      .withWatermark("event_time", lateness)
       .as[FunnelEvent]
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, it: Iterator[FunnelEvent], st: GroupState[FunnelState]) => {
-          val times = st.getOption.map(_.times.toArray)
-            .getOrElse(Array.fill(stages.size)(-1L))
-          val out = Seq.newBuilder[FunnelAdvance]
-          it.toSeq.sortBy(_.ts).foreach { e =>
-            stageIdx.get(e.eventType).foreach { i =>
-              val qualifies =
-                if (i == 0) times(0) < 0
-                else times(i) < 0 && times(i - 1) >= 0 &&
-                  e.ts >= times(i - 1) && e.ts - times(0) <= windowMs
-              if (qualifies) {
-                times(i) = e.ts
-                out += FunnelAdvance(user, i, e.ts)
-              }
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[FunnelEvent], st: GroupState[FunnelBuf]) => {
+          val w = st.getCurrentWatermarkMs()
+          val prev = st.getOption.getOrElse(FunnelBuf(Nil, Nil, done = false))
+          if (prev.done) {
+            if (st.hasTimedOut) { st.remove(); Iterator.empty }
+            else { // drain arrivals; re-arm the tombstone one more TTL
+              st.update(prev)
+              st.setTimeoutTimestamp(math.max(w + tombstoneTtlMs, w + 1))
+              Iterator.empty
+            }
+          } else {
+            val fresh = it.filter(e => stageIdx.contains(e.eventType))
+              .map(e => (e.ts, stageIdx(e.eventType))).toArray
+            var evs = (prev.ts.zip(prev.stage) ++ fresh).toArray
+            val t0 = evs.collect { case (ts, i) if i == 0 => ts }.minOption
+            // prune events that can never join any final chain (the
+            // future t0 is >= max(watermark, current t0) and the
+            // window end only moves down with t0)
+            evs = t0 match {
+              case Some(t) => (t, 0) +: evs.filter { case (ts, i) =>
+                i != 0 && ts <= t + windowMs && (ts >= t || ts >= w) }
+              case None => evs.filter(_._1 >= w)
+            }
+            val closeAt = t0.map(_ + windowMs)
+            if (closeAt.exists(_ < w)) {
+              // watermark passed the window end: chain is final — emit
+              // every completed stage, tombstone the user
+              val times = runChain(evs)
+              st.update(FunnelBuf(Nil, Nil, done = true))
+              st.setTimeoutTimestamp(math.max(w + tombstoneTtlMs, w + 1))
+              times.zipWithIndex.collect {
+                case (t, i) if t >= 0 => FunnelAdvance(user, i, t)
+              }.iterator
+            } else if (evs.isEmpty) {
+              st.remove(); Iterator.empty
+            } else {
+              st.update(FunnelBuf(evs.map(_._1).toSeq,
+                evs.map(_._2).toSeq, done = false))
+              // wake at window close (funnel open) or once the last
+              // buffered event ages past the watermark (no stage-0 yet
+              // → the buffer can then be dropped wholesale)
+              val next = closeAt.getOrElse(evs.map(_._1).max)
+              st.setTimeoutTimestamp(math.max(next, w + 1))
+              Iterator.empty
             }
           }
-          st.update(FunnelState(times.toSeq))
-          out.result().iterator
         })
   }
 

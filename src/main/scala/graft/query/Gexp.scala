@@ -35,9 +35,13 @@ object Gexp {
 
   /** Parse a gexp string into an AST. */
   def parse(s: String): Node = {
-    // reference Expressions.parse:47 error contract
-    require(s != null && s.trim.nonEmpty,
-      "Expression may not be null or empty")
+    // reference Expressions.parse:46-51 error contract: the
+    // null/empty message fires ONLY for null or "" (no trim there);
+    // whitespace-only input falls through to the Invalid Expression
+    // path (it has no parens, so the reference's paren check throws)
+    require(s != null && s.nonEmpty, "Expression may not be null or empty")
+    if (s.trim.isEmpty)
+      throw new IllegalArgumentException("Invalid Expression: " + s)
     val t = s.trim
     val open = t.indexOf('(')
     if (open < 0 || !t.take(open).forall(c => c.isLetterOrDigit || c == '_'))

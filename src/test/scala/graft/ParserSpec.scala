@@ -225,11 +225,16 @@ class ParserSpec extends AnyFunSuite {
         Seq("100", "3.1415")) =>
       case other => fail(s"unexpected $other")
     }
-    // parseNullExpression / parseEmptyExpression: reference error text
+    // parseNullExpression / parseEmptyExpression: reference error text.
+    // Null/empty gates WITHOUT trimming (Expressions.java:46); a
+    // whitespace-only string is non-empty there and falls through to
+    // the paren check's "Invalid Expression: " error instead.
     assert(intercept[IllegalArgumentException](Gexp.parse(null))
       .getMessage.contains("Expression may not be null or empty"))
-    assert(intercept[IllegalArgumentException](Gexp.parse("  "))
+    assert(intercept[IllegalArgumentException](Gexp.parse(""))
       .getMessage.contains("Expression may not be null or empty"))
+    assert(intercept[IllegalArgumentException](Gexp.parse("  "))
+      .getMessage.contains("Invalid Expression:   "))
   }
 
   test("m= percentiles[] stage and plugin filter registration") {
@@ -704,6 +709,16 @@ class ParserSpec extends AnyFunSuite {
     RpcModes.requireUidAllowed("rename", "POST", RpcModes.WriteOnly)
     assert(err(RpcModes.requireUidAllowed("assign", "GET", RpcModes.ReadOnly))
       == "This operation is not allowed in ro mode.")
+    // assign/rename only accept GET/POST (RpcUtil.allowedMethods via
+    // UniqueIdRpc:102/:530); DELETE in a write mode 405s, but the mode
+    // gate still fires first in ro mode
+    assert(err(RpcModes.requireUidAllowed("assign", "DELETE", RpcModes.ReadWrite))
+      == "The HTTP method [DELETE] is not permitted for this endpoint")
+    assert(err(RpcModes.requireUidAllowed("rename", "PUT", RpcModes.WriteOnly))
+      == "The HTTP method [PUT] is not permitted for this endpoint")
+    assert(err(RpcModes.requireUidAllowed("assign", "DELETE", RpcModes.ReadOnly))
+      == "This operation is not allowed in ro mode.")
+    RpcModes.requireUidAllowed("assign", "GET", RpcModes.ReadWrite)
     // uidmeta/tsmeta: GET needs read, POST/PUT/DELETE need write
     RpcModes.requireUidAllowed("uidmeta", "GET", RpcModes.ReadOnly)
     RpcModes.requireUidAllowed("tsmeta", "DELETE", RpcModes.WriteOnly)

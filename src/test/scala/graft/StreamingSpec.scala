@@ -1011,6 +1011,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.sortBy(r => (r._2, r._1)).grouped(3).foreach { g =>
       mem.addData(g: _*); q.processAllAvailable()
     }
+    // advances emit when the watermark passes t0 + window: the far-
+    // future event already pushed it there; one more tick fires the
+    // event-time timeouts against the advanced watermark
+    mem.addData((10L, 999999999L, 999L, "noop", 0.0))
+    q.processAllAvailable()
     q.stop()
     val streamed = spark.sql(
         "SELECT stageIdx, count(DISTINCT userId) AS n FROM funnel_out GROUP BY stageIdx")
@@ -1021,6 +1026,99 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(streamed == batch, s"$streamed vs $batch")
     assert(batch == Map(0 -> 3L, 1 -> 3L, 2 -> 1L))
+  }
+
+  test("streaming funnel == batch funnel under SHUFFLED arrivals (late within watermark)") {
+    import graft.pipeline.Trajectories
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // u1 is the round-8 killer: the click arrives BEFORE its view.
+    // Greedy arrival-order processing would skip the click (no stage-0
+    // yet) and report u1 at stage 0; the buffered chain recompute must
+    // recover the full view->click->purchase funnel.
+    // u2: click ts precedes its view ts — never qualifies for stage 1.
+    // u3: purchase lands outside the window — stages 0-1 only.
+    val rows = Seq(
+      (1L, 5000L, 1L, "click", 0.0),   // arrives first, out of order
+      (2L, 1000L, 1L, "view", 0.0),    // the late stage-0 entry
+      (3L, 6000L, 1L, "purchase", 0.0),
+      (4L, 100000L, 2L, "view", 0.0),
+      (5L, 99000L, 2L, "click", 0.0),  // before u2's t0: no stage 1
+      (6L, 1000L, 3L, "view", 0.0),
+      (7L, 1500L, 3L, "click", 0.0),
+      (8L, 50000L, 3L, "purchase", 0.0)) // > t0 + 10000: outside window
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ev = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    // lateness must cover the disorder: u1's view is 4 s older than
+    // the click already delivered
+    val q = Trajectories
+      .funnelStream(ev, Seq("view", "click", "purchase"),
+        windowMs = 10000L, lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_shuf").start()
+    // deliver in the scrambled order above, two per micro-batch
+    rows.grouped(2).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    // sentinel advances the watermark past every close; next tick fires
+    mem.addData((90L, 999999999L, 999L, "noop", 0.0))
+    q.processAllAvailable()
+    mem.addData((91L, 999999999L, 999L, "noop", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+        "SELECT stageIdx, count(DISTINCT userId) AS n FROM funnel_shuf GROUP BY stageIdx")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = Trajectories.funnel(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        Seq("view", "click", "purchase"), windowMs = 10000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+    assert(batch == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+    // per-stage timestamps are the batch MIN-qualifying values
+    val u1 = spark.sql(
+        "SELECT stageIdx, ts FROM funnel_shuf WHERE userId = 1 ORDER BY stageIdx")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    assert(u1 == Seq(0 -> 1000L, 1 -> 5000L, 2 -> 6000L), u1.toString)
+  }
+
+  test("streaming sessionization handles SHUFFLED arrivals within the lateness") {
+    import graft.pipeline.Trajectories
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    // session events delivered out of order across batches: the
+    // session start arrives AFTER its middle, and a second session's
+    // event interleaves — native session_window must still merge them
+    val rows = Seq(
+      (2L, base + 60000, 1L, "click", 2.0),   // middle first
+      (3L, base + 3600000, 1L, "view", 3.0),  // next session
+      (1L, base, 1L, "view", 1.0),            // late session start
+      (4L, base + 120000, 1L, "click", 4.0))  // back to session 1
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ev = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Trajectories.sessionStream(ev, gapMs = 1800000L,
+        lateness = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_shuf").start()
+    rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+    mem.addData((99L, base + 864000000L, 999L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+        "SELECT user_id, n_events, start_ts, end_ts, dur_ms, sum_v, n_types " +
+        "FROM sess_shuf WHERE user_id <> 999 ORDER BY start_ts").collect()
+    val batch = Trajectories.sessionStats(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        gapMs = 1800000L)
+      .select("user_id", "n_events", "start_ts", "end_ts", "dur_ms",
+        "sum_v", "n_types")
+      .orderBy("start_ts").collect()
+    assert(streamed.length == batch.length && streamed.length == 2)
+    streamed.zip(batch).foreach { case (s, b) =>
+      Seq("user_id", "n_events", "start_ts", "end_ts", "dur_ms").foreach(c =>
+        assert(s.getAs[Long](c) == b.getAs[Long](c), s"$c: $s vs $b"))
+      assert(s.getAs[Double]("sum_v") == b.getAs[Double]("sum_v"))
+      assert(s.getAs[Int]("n_types") == b.getAs[Long]("n_types").toInt)
+    }
   }
 
   test("treesync builds every ruled tree; treepurge drops one (optionally its rules)") {
