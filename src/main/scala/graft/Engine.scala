@@ -559,7 +559,8 @@ object Engine {
                   showQuery: Boolean = false,
                   showStats: Boolean = false,
                   showSummary: Boolean = false,
-                  seriesAnnotations: Option[DataFrame] = None): DataFrame = {
+                  seriesAnnotations: Option[DataFrame] = None,
+                  exactIntDps: Boolean = false): DataFrame = {
     val groupKeys = TagFilters.groupByKeys(sub.filters)
     val result = run(points, query, sub, rollups)
     val outTs =
@@ -568,8 +569,9 @@ object Engine {
     val tagCols = groupKeys.map(k => col(s"tag_$k"))
     val dps = result
       .groupBy(col("metric") +: tagCols: _*)
-      .agg(map_from_entries(array_sort(collect_list(
-        struct(outTs.as("ts"), col("value"))))).as("dps"))
+      .agg(array_sort(collect_list(
+        struct(outTs.as("ts"), col("value")))).as("dps_arr"))
+      .withColumn("dps", map_from_entries(col("dps_arr")))
     // aggregate tag keys per group, from the matched series
     val scanned = TagFilters(
       points.filter(col("metric") === sub.metric &&
@@ -629,22 +631,67 @@ object Engine {
         withStats.join(perGroup, keys, "left")
     }
     val base = withAnns
-    val fields = Seq(
-      col("metric"),
-      map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*).as("tags"),
-      coalesce(col("aggregateTags"),
-        array().cast("array<string>")).as("aggregateTags"),
-      col("dps")) ++
-      (if (showTsuids) Seq(col("tsuids")) else Seq.empty) ++
-      (if (showQuery) Seq(subQueryStruct(sub).as("query")) else Seq.empty) ++
-      (if (showStats) Seq(struct(
+    val metricF = col("metric")
+    val tagsF =
+      map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*).as("tags")
+    val aggTagsF = coalesce(col("aggregateTags"),
+      array().cast("array<string>")).as("aggregateTags")
+    val tsuidsF =
+      if (showTsuids) Seq(col("tsuids")) else Seq.empty
+    val queryF =
+      if (showQuery) Seq(subQueryStruct(sub).as("query")) else Seq.empty
+    val statsF =
+      if (showStats) Seq(struct(
         size(col("dps")).as("aggregatedSize"),
-        col("__series").as("series")).as("stats")) else Seq.empty) ++
-      (if (seriesAnnotations.isDefined) Seq(coalesce(col("annotations"),
+        col("__series").as("series")).as("stats")) else Seq.empty
+    val annsF =
+      if (seriesAnnotations.isDefined) Seq(coalesce(col("annotations"),
         array().cast("array<struct<start_ts:bigint,end_ts:bigint," +
-          "description:string>>")).as("annotations")) else Seq.empty)
+          "description:string>>")).as("annotations")) else Seq.empty
+    val fields = Seq(metricF, tagsF, aggTagsF, col("dps")) ++
+      tsuidsF ++ queryF ++ statsF ++ annsF
+    // exactIntDps = the reference's wire-number rendering
+    // (HttpJsonSerializer WriteToBuffer, src/tsd/HttpJsonSerializer
+    // .java:743-816 field order, :849-872 per-dp numbers): an
+    // integer-valued dp renders BARE (`"…700":1`), a float keeps its
+    // decimal, and fields follow the serializer's write order
+    // (metric, tags, aggregateTags, query?, tsuids?, annotations?,
+    // globalAnnotations?, dps, stats?). Our aggregation pipeline
+    // carries values as doubles with the long path's truncating
+    // semantics preserved, so "integer-valued" is detected on the
+    // value itself (exact long round-trip) — a float-path result that
+    // lands on an exact integer renders bare here where the reference
+    // keeps `.0`; everything the long path can produce matches byte
+    // for byte. Off (default): every dps value renders as a JSON
+    // double — the engine's stable oracle contract since round 1.
+    def renderExactInt(headFields: Seq[Column], tail: Seq[Column]): Column = {
+      val dpJson = (e: Column) => {
+        val v = e.getField("value")
+        val asLong = v.cast("long")
+        concat(lit("\""), e.getField("ts").cast("string"), lit("\":"),
+          coalesce(
+            when(!isnan(v) && abs(v) < lit(9.007199254740992e15) &&
+                v === asLong.cast("double"), asLong.cast("string"))
+              .otherwise(v.cast("string")),
+            lit("null")))
+      }
+      val dpsJson = concat(lit("{"),
+        array_join(transform(col("dps_arr"), dpJson), ","), lit("}"))
+      val headJson = to_json(struct(headFields: _*))
+      val tailJson =
+        if (tail.isEmpty) lit("{}") else to_json(struct(tail: _*))
+      concat(
+        regexp_replace(headJson, "\\}$", ""),
+        lit(",\"dps\":"), dpsJson,
+        when(tailJson === "{}", lit("}"))
+          .otherwise(concat(lit(","), regexp_replace(tailJson, "^\\{", ""))))
+    }
     val docs = globalAnnotations match {
-      case None => base.select(to_json(struct(fields: _*)).as("json"))
+      case None =>
+        if (exactIntDps) base.select(renderExactInt(
+          Seq(metricF, tagsF, aggTagsF) ++ queryF ++ tsuidsF ++ annsF,
+          statsF).as("json"))
+        else base.select(to_json(struct(fields: _*)).as("json"))
       case Some(ann) =>
         // globalAnnotations=true (reference QueryRpc.java:124-320):
         // annotations with no series key inside the query range ride on
@@ -656,7 +703,12 @@ object Engine {
           .agg(array_sort(collect_list(struct(
             col("start_ts"), col("end_ts"), col("description"))))
             .as("globalAnnotations"))
-        base.crossJoin(broadcast(ga))
+        val joined = base.crossJoin(broadcast(ga))
+        if (exactIntDps) joined.select(renderExactInt(
+          Seq(metricF, tagsF, aggTagsF) ++ queryF ++ tsuidsF ++ annsF :+
+            col("globalAnnotations"),
+          statsF).as("json"))
+        else joined
           .select(to_json(struct(fields :+ col("globalAnnotations"): _*))
             .as("json"))
     }

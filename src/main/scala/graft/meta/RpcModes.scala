@@ -73,6 +73,11 @@ object RpcModes {
       b += ("telnet" -> "diediedie")
       if (enableUi) b += ("http" -> "diediedie")
     }
+    // user HttpRpcPlugins mount under /plugin in EVERY mode — the
+    // reference registers them regardless of tsd.mode
+    // (RpcManager.initializeHttpRpcPlugins:383-395 takes the mode but
+    // does not gate on it; the plugin decides what it honors)
+    for (c <- HttpRpcPlugins.commands) b += ("http" -> c)
     b.result()
   }
 

@@ -343,6 +343,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // formatQueryAsyncV1EmptyDPs: a query matching nothing → no docs
     assert(Engine.serializeV1(pts, q,
       sub.copy(metric = "no.such.metric")).collect().isEmpty)
+    // exactIntDps wire mode: the SAME fixture now matches the
+    // reference's bare-integer rendering byte for byte
+    // (HttpJsonSerializer.java:857 writeNumberField(ts, longValue))
+    val wire = Engine.serializeV1(pts, q, sub, exactIntDps = true)
+      .collect().head.getAs[String]("json")
+    assert(wire.contains("\"1356998700\":1,"))
+    assert(wire.contains("\"1357058700\":201}"))
+    assert(!wire.contains(".0"))
+  }
+
+  test("exactIntDps renders the full reference wire document byte-exactly") {
+    // byte-level golden for the v1 wire mode: integer dps bare, float
+    // dps with decimals, fields in WriteToBuffer's write order
+    // (reference HttpJsonSerializer.java:743-816)
+    val p = pointsDf(Seq(
+      ("m", 1000L, 1.0, Map("host" -> "a", "dc" -> "x")),
+      ("m", 2000L, 2.5, Map("host" -> "a", "dc" -> "y")),
+      ("m", 3000L, 3.0, Map("host" -> "a", "dc" -> "x"))))
+    val q = TsQuery(0L, 10000L, Seq.empty)
+    val sub = SubQuery("zimsum", "m", Seq(GroupByAll("host")))
+    val doc = Engine.serializeV1(p, q, sub, exactIntDps = true)
+      .collect().map(_.getAs[String]("json"))
+    assert(doc.length == 1)
+    // mixed int/float in ONE series: per-dp decision like the
+    // reference's dp.isInteger() branch
+    assert(doc.head ==
+      """{"metric":"m","tags":{"host":"a"},"aggregateTags":["dc"],""" +
+      """"dps":{"1000":1,"2000":2.5,"3000":3}}""")
+    // with a show_* tail the stats object still follows dps
+    val withStats = Engine.serializeV1(p, q, sub, showStats = true,
+      exactIntDps = true).collect().head.getAs[String]("json")
+    assert(withStats ==
+      """{"metric":"m","tags":{"host":"a"},"aggregateTags":["dc"],""" +
+      """"dps":{"1000":1,"2000":2.5,"3000":3},""" +
+      """"stats":{"aggregatedSize":3,"series":2}}""")
+    // default mode is untouched: the stable oracle contract
+    val off = Engine.serializeV1(p, q, sub).collect().head
+      .getAs[String]("json")
+    assert(off.contains(""""dps":{"1000":1.0,"2000":2.5,"3000":3.0}"""))
   }
 
   test("calendar downsample handles DST and week boundaries in a tz") {
@@ -1684,5 +1723,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hits = graft.meta.Uids.grep(ff, "^FSCK\\..*", ignoreCase = true)
       .collect().map(_.getString(1)).toSeq
     assert(hits == Seq("fsck.x.y"))
+  }
+
+  test("HttpRpcPlugin execute: dispatch by canonical path, uniform DataFrame result") {
+    import spark.implicits._
+    import graft.meta.HttpRpcPlugins
+    HttpRpcPlugins.reset()
+    // a user RPC that answers with a DataFrame, like every built-in
+    HttpRpcPlugins.mount("/health/deep", (s, params) => {
+      import s.implicits._
+      Seq(("ok", params.getOrElse("probe", "default"))).toDF("status", "probe")
+    })
+    val hit = HttpRpcPlugins.execute(spark,
+      "/plugin/health/deep?probe=storage", Map("probe" -> "storage"))
+    assert(hit.isDefined)
+    assert(hit.get.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("ok", "storage")))
+    // unknown mount under the base resolves to None (reference 404s)
+    assert(HttpRpcPlugins.execute(spark, "/plugin/nope").isEmpty)
+    // non-plugin URIs never dispatch here
+    assert(HttpRpcPlugins.execute(spark, "/api/query").isEmpty)
+    HttpRpcPlugins.reset()
   }
 }

@@ -665,6 +665,76 @@ class ParserSpec extends AnyFunSuite {
       "host=spec_meta_filter(x)")))
   }
 
+  test("StartupPlugin: config rewrite before init, reference error contract") {
+    import graft.meta.StartupPlugins
+    StartupPlugins.reset()
+    val cfg = Map("tsd.startup.enable" -> "true",
+      "tsd.startup.plugin" -> "my.Startup", "tsd.mode" -> "rw")
+    // missing plugin aborts startup with the reference's text
+    // (TSDMain.loadStartupPlugins:263-265)
+    assert(intercept[IllegalArgumentException](
+        StartupPlugins.applyStartup(cfg)).getMessage
+      == "Unable to locate startup plugin: my.Startup")
+    // disabled → untouched passthrough, no plugin lookup at all
+    assert(StartupPlugins.applyStartup(cfg - "tsd.startup.enable") ==
+      cfg - "tsd.startup.enable")
+    // registered: initialize rewrites the config the engine will see
+    var ready = 0
+    StartupPlugins.register("my.Startup", StartupPlugins.Plugin(
+      initialize = c => c + ("tsd.mode" -> "ro"),
+      setReady = () => ready += 1))
+    val rewritten = StartupPlugins.applyStartup(cfg)
+    assert(rewritten("tsd.mode") == "ro")
+    assert(graft.meta.RpcModes.parse(rewritten("tsd.mode"))
+      == graft.meta.RpcModes.ReadOnly)
+    // setReady fires only once serving (TSDMain:225-227)
+    assert(ready == 0)
+    StartupPlugins.setReady(rewritten)
+    assert(ready == 1)
+    // initialize failures wrap as the reference's RuntimeException
+    StartupPlugins.register("my.Startup", StartupPlugins.Plugin(
+      initialize = _ => throw new IllegalArgumentException("bad key")))
+    assert(intercept[RuntimeException](StartupPlugins.applyStartup(cfg))
+      .getMessage == "Failed to initialize startup plugin")
+    StartupPlugins.reset()
+  }
+
+  test("HttpRpcPlugin: path validation, canonicalization, mode-agnostic mount") {
+    import graft.meta.{HttpRpcPlugins, RpcModes}
+    HttpRpcPlugins.reset()
+    def bad(p: String): String =
+      intercept[IllegalArgumentException](HttpRpcPlugins.validatePath(p))
+        .getMessage
+    // validateHttpRpcPluginPath:398-416 precondition set
+    assert(bad("").contains("Path is null or empty"))
+    assert(bad("/plugin/mine").contains("system's plugin base path"))
+    assert(bad("plugin/mine").contains("system's plugin base path"))
+    assert(bad("/").contains("equal to root"))
+    assert(bad("/mine?x=1").contains("query parameters"))
+    // canonicalizePluginPath:424-436 + the class-doc mount examples
+    assert(HttpRpcPlugins.mount("/myAwesomePlugin", (s, _) => null)
+      == "myAwesomePlugin")
+    assert(HttpRpcPlugins.mount("/myOtherPlugin/operation/", (s, _) => null)
+      == "myOtherPlugin/operation")
+    // isHttpRpcPluginPath:230-244
+    assert(HttpRpcPlugins.isPluginPath("/plugin/myAwesomePlugin"))
+    assert(HttpRpcPlugins.isPluginPath("plugin/myAwesomePlugin/"))
+    assert(HttpRpcPlugins.isPluginPath("/plugin/x?y=1"))
+    assert(!HttpRpcPlugins.isPluginPath("/plugin"))
+    assert(!HttpRpcPlugins.isPluginPath("/api/query"))
+    assert(!HttpRpcPlugins.isPluginPath(""))
+    // mounted rows join the routing table in EVERY mode, like the
+    // reference's registration (q92's transcription surface extends)
+    for (m <- Seq(RpcModes.ReadOnly, RpcModes.WriteOnly, RpcModes.ReadWrite)) {
+      val cmds = RpcModes.commands(m).toSet
+      assert(cmds.contains("http" -> "plugin/myAwesomePlugin"), m.name)
+      assert(cmds.contains("http" -> "plugin/myOtherPlugin/operation"), m.name)
+    }
+    HttpRpcPlugins.reset()
+    assert(!RpcModes.commands(RpcModes.ReadWrite)
+      .exists(_._2.startsWith("plugin/")))
+  }
+
   test("tsd.mode parse: ro/wo case-insensitive, anything else is rw") {
     import graft.meta.RpcModes
     assert(RpcModes.parse("ro") == RpcModes.ReadOnly)
