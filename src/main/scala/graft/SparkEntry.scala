@@ -746,19 +746,25 @@ object SparkEntry {
     "q46_aggregators" -> ((s, dir) =>
       graft.meta.Introspect.aggregators(s).orderBy("aggregator")),
 
-    // §2.4 long/double duality: all-integral series take the
-    // reference's runLong truncating-avg path through the downsample
-    // (src/core/Aggregators.java:365-395) — value_l/is_int drive
-    // Aggregators.dualExpr inside Downsample
+    // §2.4 long/double duality at the CROSS-SERIES layer (round 9:
+    // moved here from the downsample, matching the reference —
+    // Downsampler.java:220/:257 always runs runDouble, while
+    // AggregationIterator's long path integer-lerps
+    // (nextLongValue:705) and truncates the aggregate
+    // (Aggregators.Avg.runLong:371-379, TestTsdbQueryAggregators
+    // runAvg/runAvgOffset). All-integral series, misaligned stamps:
+    // missing slots integer-lerp and every avg truncates toward zero.
     "q50_int_avg" -> ((s, dir) => {
-      val df = pts(s, dir).filter(col("metric") === "click")
-        .withColumn("value_l", expr("CAST(floor(value * 10) AS BIGINT)"))
-        .withColumn("is_int", lit(true))
-        .withColumn("value", col("value_l").cast("double"))
-      flat(Downsample(df, DownsampleSpec.parse("1d-avg")))
-        .select(col("metric"), col("tag_user"), col("tag_k"), col("ts"),
-          col("value"))
-        .orderBy("ts", "tag_user", "tag_k")
+      val base = pts(s, dir).filter(col("metric") === "click")
+        .groupBy(col("tags"), col("ts"))
+        .agg(max(expr("CAST(floor(value * 10) AS BIGINT)")).as("value_l"))
+        .select(lit("click").as("metric"), col("ts"),
+          col("value_l").cast("double").as("value"), col("value_l"),
+          lit(true).as("is_int"), col("tags"))
+      Interpolate.aggregate(base, "avg")
+        .select(col("metric"), col("ts"),
+          col("value").cast("long").as("value"))
+        .orderBy("ts")
     }),
 
     // §2.14 /api/uid registry: deterministic name⇄uid per kind
@@ -1565,12 +1571,38 @@ object SparkEntry {
          ORDER BY ts, tag_user, tag_k""",
 
     "q50_int_avg" ->
-      s"""$O SELECT metric, tag_user, tag_k, ts - ts % $DAY AS ts,
-           CAST(CAST(trunc(sum(CAST(floor(value * 10) AS BIGINT))
-             / count(*)) AS BIGINT) AS DOUBLE) AS value
-         FROM points WHERE metric = 'click'
-         GROUP BY metric, tag_user, tag_k, ts - ts % $DAY
-         ORDER BY ts, tag_user, tag_k""",
+      s"""$O, p AS (
+           SELECT ts,
+             coalesce(tag_user,'') || '|' || coalesce(tag_k,'') AS sid,
+             max(CAST(floor(value * 10) AS BIGINT)) AS vl
+           FROM points WHERE metric = 'click' GROUP BY 1, 2),
+         grid AS (SELECT DISTINCT ts FROM p),
+         sids AS (SELECT DISTINCT sid FROM p),
+         slots AS (SELECT s.sid, g.ts FROM sids s CROSS JOIN grid g),
+         j AS (SELECT sl.sid, sl.ts, p.vl FROM slots sl
+           LEFT JOIN p ON sl.sid = p.sid AND sl.ts = p.ts),
+         w AS (SELECT sid, ts, vl,
+           last_value((CASE WHEN vl IS NOT NULL THEN ts END) IGNORE NULLS)
+             OVER win_p AS pts_,
+           last_value(vl IGNORE NULLS) OVER win_p AS pvl,
+           first_value((CASE WHEN vl IS NOT NULL THEN ts END) IGNORE NULLS)
+             OVER win_n AS nts_,
+           first_value(vl IGNORE NULLS) OVER win_n AS nvl
+           FROM j
+           WINDOW win_p AS (PARTITION BY sid ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           win_n AS (PARTITION BY sid ORDER BY ts
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         c AS (SELECT ts,
+           CASE WHEN vl IS NOT NULL THEN vl
+                WHEN pvl IS NOT NULL AND nvl IS NOT NULL THEN
+                  pvl + CAST(trunc(
+                    CAST((ts - pts_) * (nvl - pvl) AS DOUBLE)
+                      / (nts_ - pts_)) AS BIGINT)
+           END AS lv FROM w)
+         SELECT 'click' AS metric, ts,
+           CAST(trunc(CAST(sum(lv) AS DOUBLE) / count(lv)) AS BIGINT) AS value
+         FROM c WHERE lv IS NOT NULL GROUP BY ts ORDER BY ts""",
 
     "q05_downsample_avg_fill" ->
       s"""$O, agg AS (
@@ -2080,9 +2112,16 @@ object SparkEntry {
          w AS (
            SELECT b, v, last_value(v IGNORE NULLS) OVER
              (PARTITION BY tag_user, tag_k ORDER BY b
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             first_value(v IGNORE NULLS) OVER
+             (PARTITION BY tag_user, tag_k ORDER BY b
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
            FROM j),
-         iv AS (SELECT b, coalesce(v, pv) AS ival FROM w)
+         -- the previous-value carry STOPS at the series' last point
+         -- (iterator expiry, AggregationIterator.next:518-525)
+         iv AS (SELECT b, CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv END AS ival
+           FROM w)
          SELECT 'click' AS metric, b AS ts, (sign(sum(ival)) * floor(abs(sum(ival)) * 10000 + 0.5) / 10000) AS value
          FROM iv GROUP BY b ORDER BY ts""",
 

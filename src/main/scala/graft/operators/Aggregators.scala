@@ -151,29 +151,36 @@ object Aggregators {
     d.toDouble / math.pow(10, d.length)
 
   /**
-   * Long/double dual aggregate (SURVEY hard-part #2): when every point
-   * in the group is integral (`is_int`), `avg` uses truncating long
-   * division and `dev` truncates the result to a long — the reference's
-   * `runLong` paths (src/core/Aggregators.java:365-395 avg, :498-571
-   * dev). Everything else in the registry is value-preserving on longs
-   * (sum/min/max/first/last/diff of integers is integral in doubles up
-   * to 2^53), so double promotion there is intentional and lossless at
-   * realistic magnitudes; only the division-based aggregates observe
-   * the integer path.
+   * Long/double dual aggregate (SURVEY hard-part #2): the reference's
+   * `runLong` path. When every contribution in the group is integral
+   * (`is_int`), the aggregator runs over the LONG values and its
+   * result is a long — `Aggregator.Longs` hands longs in and every
+   * `runLong` returns a long (src/core/Aggregators.java: avg :371-379
+   * truncating division, dev :498-571 truncated, PercentileAgg
+   * `(long) percentile.evaluate()`, median/min/max/sum exact) — so
+   * the long path computes over `vl` and truncates the result toward
+   * zero (Java long semantics; exact for |x| < 2^53). Any non-integral
+   * contribution demotes the whole group to the double path over `v`,
+   * mirroring `AggregationIterator.isInteger`
+   * (src/core/AggregationIterator.java:612-625).
+   *
+   * `v` and `vl` may differ beyond representation: in the cross-series
+   * slot path the long side carries INTEGER-lerped contributions
+   * (truncating lerp division, AggregationIterator.nextLongValue:705)
+   * while the double side carries exact lerps.
    */
   def dualExpr(name: String, v: Column, vl: Column, isInt: Column,
-               ts: Column): Column = name match {
-    case "avg" =>
-      // long/long division truncating toward zero like Java (cast-to-
-      // long truncation; exact for |sum| < 2^53 which covers the
-      // reference's realistic counter magnitudes)
-      when(bool_and(isInt),
-        (sum(vl) / count(vl)).cast("long").cast("double"))
-        .otherwise(expr("avg", v, ts))
-    case "dev" =>
-      val d = expr("dev", v, ts)
-      when(bool_and(isInt), d.cast("long").cast("double")).otherwise(d)
-    case other => expr(other, v, ts)
+               ts: Column): Column = {
+    val longPath = name match {
+      case "avg" =>
+        // long/long division truncating toward zero like Java (cast-
+        // to-long truncation; exact for |sum| < 2^53 which covers the
+        // reference's realistic counter magnitudes)
+        (sum(vl) / count(vl)).cast("long").cast("double")
+      case other =>
+        expr(other, vl.cast("double"), ts).cast("long").cast("double")
+    }
+    when(bool_and(isInt), longPath).otherwise(expr(name, v, ts))
   }
 
   /** Names whose double path skips NaN (all of them, in the reference —

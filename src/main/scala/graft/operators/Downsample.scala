@@ -148,15 +148,16 @@ object Downsample {
       .withColumn("__tags_json", to_json(array_sort(map_entries(col("tags")))))
       .groupBy(col("series_id"), col("bucket"), col("metric"),
         col("__tags_json"))
-      .agg((if (withSeries.columns.contains("value_l") &&
-            withSeries.columns.contains("is_int"))
-          // long/double duality (reference runLong, SURVEY hard-part
-          // #2): all-integral intervals get truncating avg/dev; the
-          // dual falls through to the plain registry for every other
-          // aggregator and for any non-integral interval
-          Aggregators.dualExpr(spec.aggregator, col("value"),
-            col("value_l"), col("is_int"), col("ts"))
-        else Aggregators.expr(spec.aggregator, col("value"), col("ts")))
+      // downsampling always runs the DOUBLE path and its output is
+      // never integral — reference Downsampler.next
+      // (src/core/Downsampler.java:220 `runDouble` unconditionally)
+      // and Downsampler.isInteger():257 returning false ("Downsampled
+      // values are doubles"). The long path (truncating avg/dev,
+      // integer lerp) lives ONLY in the cross-series aggregation
+      // layer (Interpolate.aggregate / AggregationIterator); round 8
+      // and earlier had the duality at this layer instead — fixed in
+      // round 9 after diffing the reference code paths.
+      .agg(Aggregators.expr(spec.aggregator, col("value"), col("ts"))
         .as("value"))
       .withColumn("tags",
         map_from_entries(from_json(col("__tags_json"), tagEntries)))

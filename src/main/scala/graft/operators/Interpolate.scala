@@ -63,10 +63,21 @@ object Interpolate {
       if (df.columns.contains("series_id")) df
       else graft.model.Points.withSeriesId(df)
 
+    // long/double duality rides into the SLOT PATH when the input is
+    // typed: rates are never integral (AggregationIterator.isInteger
+    // :613-616 returns false for rate), and downsampled inputs arrive
+    // untyped by construction (Downsampler.isInteger:257 — "Downsampled
+    // values are doubles")
+    val hasDual = withSeries.columns.contains("value_l") &&
+      withSeries.columns.contains("is_int") && !isRate
+    val dualCols =
+      if (hasDual) Seq(col("value_l"), col("is_int")) else Seq.empty
+
     val tagCols = groupTagKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
     val groupCols = (col("metric") +: groupTagKeys.map(k => col(s"tag_$k")))
     val pts = withSeries.select(
-      (col("metric") +: tagCols) ++ Seq(col("series_id"), col("ts"), col("value")): _*)
+      (col("metric") +: tagCols) ++
+        Seq(col("series_id"), col("ts"), col("value")) ++ dualCols: _*)
 
     if (agg == "none" || agg == "raw") {
       // bypass: no grouping, no interpolation; >1 series is an error
@@ -131,18 +142,30 @@ object Interpolate {
     val slots = grid.join(members,
       ("metric" +: groupTagKeys.map(k => s"tag_$k")).toSeq)
     val joined = slots.join(
-      freshIds(cached.select(col("series_id"), col("ts"), col("value"))),
+      freshIds(cached.select(Seq(col("series_id"), col("ts"),
+        col("value")) ++ dualCols: _*)),
       Seq("series_id", "ts"), "left")
 
     val policy = policy0
     val w = Window.partitionBy(col("series_id")).orderBy(col("ts"))
     val present = col("value").isNotNull
-    val pv = struct(col("ts"), col("value"))
+    val pv = struct(Seq(col("ts"), col("value")) ++ dualCols: _*)
     lazy val prevP = last(when(present, pv), ignoreNulls = true)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     lazy val nextP = first(when(present, pv), ignoreNulls = true)
       .over(w.rowsBetween(1, Window.unboundedFollowing))
 
+    // A series contributes only within its own [first, last] range for
+    // EVERY fill: lerp needs both neighbors by definition, and the
+    // previous-value carry STOPS at the series' last point — the
+    // reference iterator zeroes a span's current slot once its next
+    // slot is exhausted (AggregationIterator.next:518-525 expiry;
+    // TestAggregationIterator.pfsum: no carry of 48 at BASE+30s after
+    // that span's last point at BASE+20s). NB the reference's expiry
+    // scan starts at the previous `current` index, so a lower-indexed
+    // exhausted span can leak ONE extra carry depending on span order —
+    // an order-dependent artifact we deliberately do not reproduce
+    // (this engine is deterministic: the carry always stops).
     val interp: Column = policy match {
       case Lerp =>
         val x0 = prevP.getField("ts"); val y0 = prevP.getField("value")
@@ -154,14 +177,70 @@ object Interpolate {
       case Zim =>
         when(present, col("value")).otherwise(lit(0.0))
       case Prev =>
-        when(present, col("value")).otherwise(prevP.getField("value"))
+        when(present, col("value"))
+          .when(prevP.isNotNull && nextP.isNotNull, prevP.getField("value"))
+          .otherwise(lit(null).cast("double"))
       case Ignore =>
         col("value")
     }
 
-    joined
-      .withColumn("ivalue", interp)
-      .groupBy(groupCols :+ col("ts"): _*)
-      .agg(Aggregators.expr(agg, col("ivalue"), col("ts")).as("value"))
+    val withD = joined.withColumn("ivalue", interp)
+    if (!hasDual) {
+      withD
+        .groupBy(groupCols :+ col("ts"): _*)
+        .agg(Aggregators.expr(agg, col("ivalue"), col("ts")).as("value"))
+    } else {
+      // Long path (reference runLong via AggregationIterator): when
+      // every CONTRIBUTION at a timestamp is integral, the aggregator
+      // runs over longs — lerp itself is INTEGER lerp with truncating
+      // division (nextLongValue:705 `y0 + (x-x0)*(y1-y0)/(x1-x0)` in
+      // long arithmetic) and the aggregate result truncates to a long
+      // (Aggregators.dualExpr). One float contribution demotes that
+      // timestamp to the double path (isInteger:612-625; the
+      // reference also scans LOADED-but-non-contributing slot values,
+      // a span-order artifact we simplify to contributions only —
+      // identical for uniformly-typed groups). try_* arithmetic
+      // degrades overflowing integer lerps to the double path instead
+      // of an ANSI error (same approach as Rate's long deltas).
+      val e = withD
+        .withColumn("__pts", prevP.getField("ts"))
+        .withColumn("__pvl", prevP.getField("value_l"))
+        .withColumn("__pint",
+          coalesce(prevP.getField("is_int"), lit(false)) &&
+            prevP.getField("value_l").isNotNull)
+        .withColumn("__nts", nextP.getField("ts"))
+        .withColumn("__nvl", nextP.getField("value_l"))
+        .withColumn("__nint",
+          coalesce(nextP.getField("is_int"), lit(false)) &&
+            nextP.getField("value_l").isNotNull)
+      val presentInt = col("is_int") && col("value_l").isNotNull
+      val bothNeighbors = col("__pts").isNotNull && col("__nts").isNotNull
+      val lerpL = expr("try_add(__pvl, try_multiply(ts - __pts, " +
+        "try_subtract(__nvl, __pvl)) div (__nts - __pts))")
+      val (lvalue, iflag) = policy match {
+        case Lerp =>
+          (when(present, col("value_l"))
+             .when(bothNeighbors, lerpL)
+             .otherwise(lit(null).cast("long")),
+           when(present, presentInt)
+             .when(bothNeighbors,
+               col("__pint") && col("__nint") && lerpL.isNotNull)
+             .otherwise(lit(null).cast("boolean")))
+        case Prev =>
+          (when(present, col("value_l"))
+             .when(bothNeighbors, col("__pvl"))
+             .otherwise(lit(null).cast("long")),
+           when(present, presentInt)
+             .when(bothNeighbors, col("__pint"))
+             .otherwise(lit(null).cast("boolean")))
+        case _ => // Zim/Ignore short-circuited above
+          (lit(null).cast("long"), lit(null).cast("boolean"))
+      }
+      e.withColumn("__lv", lvalue)
+        .withColumn("__iflag", iflag)
+        .groupBy(groupCols :+ col("ts"): _*)
+        .agg(Aggregators.dualExpr(agg, col("ivalue"), col("__lv"),
+          col("__iflag"), col("ts")).as("value"))
+    }
   }
 }

@@ -158,9 +158,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rates, the lerp step is replaced by previous-value carry-forward
     val r = valuesByTs(Interpolate.aggregate(offset, "sum", isRate = true))
     // ts0: b has no previous -> skipped; 15000: a carries 1 forward;
-    // 30000: b carries 10; 45000: a carries 2 (lerp would give
-    // 11.5 / 17 here instead)
-    assert(r == Map(0L -> 1.0, 15000L -> 11.0, 30000L -> 12.0, 45000L -> 22.0))
+    // 30000: b carries 10; 45000: a is past its LAST point, so the
+    // carry stops (iterator expiry, AggregationIterator.next:518-525)
+    // and only b's 20 remains (lerp would give 11.5 / 17 mid-range)
+    assert(r == Map(0L -> 1.0, 15000L -> 11.0, 30000L -> 12.0, 45000L -> 20.0))
   }
 
   test("zimsum fills zero instead of interpolating") {
@@ -168,9 +169,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map(0L -> 1.0, 15000L -> 10.0, 30000L -> 2.0, 45000L -> 20.0))
   }
 
-  test("pfsum carries previous value forward") {
+  test("pfsum carries previous value forward, stopping at series end") {
+    // reference golden TestAggregationIterator.pfsum: the span whose
+    // last point is BASE+20s contributes NOTHING at BASE+30s — the
+    // carry is bounded by the series' own [first, last] range
     val r = valuesByTs(Interpolate.aggregate(offset, "pfsum"))
-    assert(r == Map(0L -> 1.0, 15000L -> 11.0, 30000L -> 12.0, 45000L -> 22.0))
+    assert(r == Map(0L -> 1.0, 15000L -> 11.0, 30000L -> 12.0, 45000L -> 20.0))
   }
 
   test("mimmin ignores missing (MAX-sentinel semantics)") {
@@ -223,6 +227,85 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = mixed.agg(Aggregators.dualExpr("avg", col("value"),
       col("value_l"), col("is_int"), col("ts")).as("a")).collect()(0)
     assert(m.getAs[Double]("a") == 1.5)
+  }
+
+  // typed (long-path) points: value_l + is_int set
+  private def intPointsDf(rows: Seq[(String, Long, Long, Map[String, String])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val data = rows.map { case (m, t, v, tg) =>
+      Row(m, t, v.toDouble, java.lang.Long.valueOf(v), true, tg)
+    }.asJava
+    spark.createDataFrame(data, Points.schema)
+  }
+
+  test("cross-series avg of aligned long series truncates (reference runAvg)") {
+    // ported from TestTsdbQueryAggregators.runAvg:480-497: two long
+    // series whose values sum to 301 at every aligned timestamp —
+    // the long path's truncating division yields 150 (not 150.5) at
+    // every dp (Aggregators.Avg.runLong:371-379)
+    val p = intPointsDf((0 until 5).flatMap(k => Seq(
+      ("m", 30000L + k * 30000L, (k + 1).toLong, host("a")),
+      ("m", 30000L + k * 30000L, (300 - k).toLong, host("b")))))
+    val r = valuesByTs(Interpolate.aggregate(p, "avg"))
+    assert(r.values.toSet == Set(150.0), r.toString)
+    // one float point anywhere demotes ONLY the affected dp to the
+    // double path (isInteger:612-625)
+    val mixed = pointsDf(Seq(("m", 30000L, 1.0, host("a")),
+        ("m", 30000L, 300.0, host("b"))))
+    val all = intPointsDf(Seq.empty).unionByName(mixed)
+      .unionByName(intPointsDf(Seq(
+        ("m", 60000L, 2L, host("a")), ("m", 60000L, 299L, host("b")))))
+    val r2 = valuesByTs(Interpolate.aggregate(all, "avg"))
+    assert(r2 == Map(30000L -> 150.5, 60000L -> 150.0), r2.toString)
+  }
+
+  test("long path uses INTEGER lerp with truncating division (runAvgOffset semantics)") {
+    // offset long series, non-divisible lerp steps: the long path
+    // lerps in long arithmetic (AggregationIterator.nextLongValue:705
+    // `y0 + (x-x0)*(y1-y0)/(x1-x0)`), so 10+5.5 becomes 15 before the
+    // avg truncates 115/2 to 57
+    val p = intPointsDf(Seq(
+      ("m", 30000L, 10L, host("a")), ("m", 90000L, 21L, host("a")),
+      ("m", 150000L, 30L, host("a")),
+      ("m", 60000L, 100L, host("b")), ("m", 120000L, 200L, host("b"))))
+    val r = valuesByTs(Interpolate.aggregate(p, "avg"))
+    assert(r == Map(30000L -> 10.0, 60000L -> 57.0, 90000L -> 85.0,
+      120000L -> 112.0, 150000L -> 30.0), r.toString)
+    // negative lerp slope: Java long division truncates TOWARD ZERO
+    // (-210000/60000 = -3, not -4) — pins Spark's `div` semantics
+    val neg = intPointsDf(Seq(
+      ("m", 30000L, 10L, host("a")), ("m", 90000L, 3L, host("a")),
+      ("m", 60000L, 0L, host("b")), ("m", 120000L, 0L, host("b"))))
+    val rn = valuesByTs(Interpolate.aggregate(neg, "sum"))
+    // at 60000: a int-lerps to 10 + (-3) = 7; b contributes 0
+    assert(rn(60000L) == 7.0, rn.toString)
+  }
+
+  test("reference TestAggregationIterator.pfsum vector (exact)") {
+    val B = 1356998400000L
+    val p = intPointsDf(Seq(
+      ("m", B, 40L, host("s1")), ("m", B + 30000L, 70L, host("s1")),
+      ("m", B + 10000L, 37L, host("s2")), ("m", B + 20000L, 48L, host("s2"))))
+    val r = valuesByTs(Interpolate.aggregate(p, "pfsum"))
+    assert(r == Map(B -> 40.0, (B + 10000L) -> 77.0,
+      (B + 20000L) -> 88.0, (B + 30000L) -> 70.0), r.toString)
+  }
+
+  test("downsample stays in the double path: integer avg does NOT truncate") {
+    // reference Downsampler.next (src/core/Downsampler.java:220) runs
+    // runDouble unconditionally and isInteger():257 is false — the
+    // truncating long path exists ONLY at the cross-series layer
+    val p = intPointsDf(Seq(
+      ("m", 1000L, 1L, host("a")), ("m", 2000L, 2L, host("a"))))
+    val d = Downsample(p, DownsampleSpec.parse("10s-avg"))
+    assert(d.select("value").head.getDouble(0) == 1.5)
+    // and a downsampled input never re-enters the long path upstream:
+    // cross-series avg over downsampled ints is double math
+    val two = intPointsDf(Seq(
+      ("m", 1000L, 1L, host("a")), ("m", 1000L, 2L, host("b"))))
+    val agg = Interpolate.aggregate(
+      Downsample(two, DownsampleSpec.parse("10s-sum")), "avg")
+    assert(agg.select("value").head.getDouble(0) == 1.5)
   }
 
   test("percentiles[] wiring: Engine.runPercentiles + runJson routing") {
