@@ -335,6 +335,42 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--interp")) {
+      // 100x SERIES-CARDINALITY probe for the lerp union-grid family
+      // (q07/q11 shape): S series in ONE group over a shared bucket
+      // grid, total point count held ~constant (~2M), so the only
+      // axis moving is how many series the slot join and the final
+      // (group, ts) aggregation must fan across — the skew axis for
+      // metric-wide grouping, where the grid and members tables both
+      // hash on the single group key. SCALING.md measures 30x DATA;
+      // this isolates 100x CARDINALITY at fixed data.
+      import org.apache.spark.sql.functions._
+      val total = 2000000L
+      for (s <- Seq(1000L, 10000L, 100000L)) {
+        val grid = math.max((total / s / 0.7).toLong, 4L)
+        val pts = spark.range(s).select(col("id").as("s"))
+          .crossJoin(spark.range(grid).select(col("id").as("k")))
+          .filter(pmod(hash(col("s"), col("k")), lit(10)) < 7)
+          .select(lit("m").as("metric"),
+            (lit(1356998400000L) + col("k") * 10000L).as("ts"),
+            (col("s") + col("k")).cast("double").as("value"),
+            lit(null).cast("long").as("value_l"),
+            lit(false).as("is_int"),
+            map(lit("host"), concat(lit("h"), col("s"))).as("tags"))
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val out = graft.operators.Interpolate.aggregate(pts, "sum")
+          val n = out.select((xxhash64(out.columns.map(col): _*))
+            .as("h")).agg(count("h")).head.getLong(0)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"INTERP series=$s%-7d grid=$grid%-5d " +
+          f"warm=${times.last._1}%6.2f s cold=${times.head._1}%6.2f s " +
+          f"rows=${times.last._2}")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--exec")) {
       // post-execution (AQE-final) plan: shows runtime stage/exchange
       // reuse that the static explain cannot
