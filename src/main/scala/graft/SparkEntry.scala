@@ -754,6 +754,11 @@ object SparkEntry {
     // (Aggregators.Avg.runLong:371-379, TestTsdbQueryAggregators
     // runAvg/runAvgOffset). All-integral series, misaligned stamps:
     // missing slots integer-lerp and every avg truncates toward zero.
+    // Grouped by `user` so each group's slot grid spans ONE user's
+    // k-series — metric-wide grouping would make the slot table
+    // |series| x |union grid| (measured 11 s at sf0.1; the exact
+    // scale-killer shape SCALING.md warns about), while the per-user
+    // grouping keeps it linear in points and is the realistic query.
     "q50_int_avg" -> ((s, dir) => {
       val base = pts(s, dir).filter(col("metric") === "click")
         .groupBy(col("tags"), col("ts"))
@@ -761,10 +766,10 @@ object SparkEntry {
         .select(lit("click").as("metric"), col("ts"),
           col("value_l").cast("double").as("value"), col("value_l"),
           lit(true).as("is_int"), col("tags"))
-      Interpolate.aggregate(base, "avg")
-        .select(col("metric"), col("ts"),
+      Interpolate.aggregate(base, "avg", Seq("user"))
+        .select(col("metric"), col("tag_user"), col("ts"),
           col("value").cast("long").as("value"))
-        .orderBy("ts")
+        .orderBy("ts", "tag_user")
     }),
 
     // §2.14 /api/uid registry: deterministic name⇄uid per kind
@@ -1572,16 +1577,17 @@ object SparkEntry {
 
     "q50_int_avg" ->
       s"""$O, p AS (
-           SELECT ts,
+           SELECT tag_user AS u, ts,
              coalesce(tag_user,'') || '|' || coalesce(tag_k,'') AS sid,
              max(CAST(floor(value * 10) AS BIGINT)) AS vl
-           FROM points WHERE metric = 'click' GROUP BY 1, 2),
-         grid AS (SELECT DISTINCT ts FROM p),
-         sids AS (SELECT DISTINCT sid FROM p),
-         slots AS (SELECT s.sid, g.ts FROM sids s CROSS JOIN grid g),
-         j AS (SELECT sl.sid, sl.ts, p.vl FROM slots sl
+           FROM points WHERE metric = 'click' GROUP BY 1, 2, 3),
+         grid AS (SELECT DISTINCT u, ts FROM p),
+         sids AS (SELECT DISTINCT u, sid FROM p),
+         slots AS (SELECT s.u, s.sid, g.ts FROM sids s
+           JOIN grid g ON s.u = g.u),
+         j AS (SELECT sl.u, sl.sid, sl.ts, p.vl FROM slots sl
            LEFT JOIN p ON sl.sid = p.sid AND sl.ts = p.ts),
-         w AS (SELECT sid, ts, vl,
+         w AS (SELECT u, sid, ts, vl,
            last_value((CASE WHEN vl IS NOT NULL THEN ts END) IGNORE NULLS)
              OVER win_p AS pts_,
            last_value(vl IGNORE NULLS) OVER win_p AS pvl,
@@ -1593,16 +1599,17 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            win_n AS (PARTITION BY sid ORDER BY ts
              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
-         c AS (SELECT ts,
+         c AS (SELECT u, ts,
            CASE WHEN vl IS NOT NULL THEN vl
                 WHEN pvl IS NOT NULL AND nvl IS NOT NULL THEN
                   pvl + CAST(trunc(
                     CAST((ts - pts_) * (nvl - pvl) AS DOUBLE)
                       / (nts_ - pts_)) AS BIGINT)
            END AS lv FROM w)
-         SELECT 'click' AS metric, ts,
+         SELECT 'click' AS metric, u AS tag_user, ts,
            CAST(trunc(CAST(sum(lv) AS DOUBLE) / count(lv)) AS BIGINT) AS value
-         FROM c WHERE lv IS NOT NULL GROUP BY ts ORDER BY ts""",
+         FROM c WHERE lv IS NOT NULL GROUP BY u, ts
+         ORDER BY ts, tag_user""",
 
     "q05_downsample_avg_fill" ->
       s"""$O, agg AS (
