@@ -69,7 +69,8 @@ object Engine {
    * from fresh raw points and stitched in (SplitRollupQuery semantics).
    */
   def run(points: DataFrame, query: TsQuery, sub: SubQuery,
-          rollups: Seq[RollupTable] = Seq.empty): DataFrame = {
+          rollups: Seq[RollupTable] = Seq.empty,
+          emitTypeFlag: Boolean = false): DataFrame = {
     graft.meta.Introspect.incr("query.sub_queries")
     if (sub.tsuids.isEmpty) requireMetric(points, sub.metric)
     // pre-pad the scan so edge buckets AND the first rate delta / lerp
@@ -125,7 +126,7 @@ object Engine {
     }
     val groupKeys = TagFilters.groupByKeys(sub.filters)
     val agged = Interpolate.aggregate(rated, sub.aggregator, groupKeys,
-      isRate = sub.rate.isDefined)
+      isRate = sub.rate.isDefined, emitTypeFlag = emitTypeFlag)
     // clip padded scan back to the query range (reference
     // AggregationIterator bounds, src/core/AggregationIterator.java:218-280)
     agged.filter(col("ts") >= query.startMs && col("ts") <= query.endMs)
@@ -562,16 +563,25 @@ object Engine {
                   seriesAnnotations: Option[DataFrame] = None,
                   exactIntDps: Boolean = false): DataFrame = {
     val groupKeys = TagFilters.groupByKeys(sub.filters)
-    val result = run(points, query, sub, rollups)
+    val result = run(points, query, sub, rollups,
+      emitTypeFlag = exactIntDps)
     val outTs =
       if (query.msResolution) col("ts")
       else (col("ts") / 1000L).cast("long")
     val tagCols = groupKeys.map(k => col(s"tag_$k"))
+    // the exact wire mode rides the per-dp integral flag through the
+    // dps array (dropped again for the plain map column)
+    val dpStruct =
+      if (exactIntDps) struct(outTs.as("ts"), col("value"),
+        coalesce(col("out_int"), lit(false)).as("oi"))
+      else struct(outTs.as("ts"), col("value"))
     val dps = result
       .groupBy(col("metric") +: tagCols: _*)
-      .agg(array_sort(collect_list(
-        struct(outTs.as("ts"), col("value")))).as("dps_arr"))
-      .withColumn("dps", map_from_entries(col("dps_arr")))
+      .agg(array_sort(collect_list(dpStruct)).as("dps_arr"))
+      .withColumn("dps", map_from_entries(
+        if (exactIntDps) transform(col("dps_arr"),
+          e => struct(e.getField("ts"), e.getField("value")))
+        else col("dps_arr")))
     // aggregate tag keys per group, from the matched series
     val scanned = TagFilters(
       points.filter(col("metric") === sub.metric &&
@@ -656,22 +666,22 @@ object Engine {
     // integer-valued dp renders BARE (`"…700":1`), a float keeps its
     // decimal, and fields follow the serializer's write order
     // (metric, tags, aggregateTags, query?, tsuids?, annotations?,
-    // globalAnnotations?, dps, stats?). Our aggregation pipeline
-    // carries values as doubles with the long path's truncating
-    // semantics preserved, so "integer-valued" is detected on the
-    // value itself (exact long round-trip) — a float-path result that
-    // lands on an exact integer renders bare here where the reference
-    // keeps `.0`; everything the long path can produce matches byte
-    // for byte. Off (default): every dps value renders as a JSON
-    // double — the engine's stable oracle contract since round 1.
+    // globalAnnotations?, dps, stats?). "Integer-valued" follows the
+    // reference's dp.isInteger() branch exactly: the aggregation
+    // pipeline threads the long-path flag out as `out_int`
+    // (Interpolate.aggregate emitTypeFlag), so a long-path dp renders
+    // bare while a FLOAT-path dp that happens to land on an integer
+    // keeps its `.0`, byte-for-byte like the reference serializer
+    // (round 9 — closes the SURVEY §2.2 sliver). Off (default): every
+    // dps value renders as a JSON double — the engine's stable oracle
+    // contract since round 1.
     def renderExactInt(headFields: Seq[Column], tail: Seq[Column]): Column = {
       val dpJson = (e: Column) => {
         val v = e.getField("value")
-        val asLong = v.cast("long")
         concat(lit("\""), e.getField("ts").cast("string"), lit("\":"),
           coalesce(
-            when(!isnan(v) && abs(v) < lit(9.007199254740992e15) &&
-                v === asLong.cast("double"), asLong.cast("string"))
+            when(e.getField("oi") && !isnan(v),
+              v.cast("long").cast("string"))
               .otherwise(v.cast("string")),
             lit("null")))
       }

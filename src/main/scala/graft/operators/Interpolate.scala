@@ -48,6 +48,41 @@ object Interpolate {
   }
 
   /**
+   * True when the analyzed plan proves `is_int` is the literal `false`
+   * on every row: the attribute traces (same exprId through
+   * filters/projections) to an `Alias(Literal(false))`. Conservative —
+   * any Union/Intersect/Except in the plan disables the proof (set-op
+   * outputs reuse the first child's exprIds, so a match there would
+   * not cover the other branches), and a re-aliased or computed
+   * `is_int` simply fails to match. False negatives only cost the
+   * dead dual expressions; false positives are impossible by
+   * construction.
+   */
+  private def staticallyUntyped(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Union}
+    import org.apache.spark.sql.types.BooleanType
+    val plan = df.queryExecution.analyzed
+    val hasSetOp = plan.collectFirst {
+      case u: Union => u
+      case s: org.apache.spark.sql.catalyst.plans.logical.Intersect => s
+      case s: org.apache.spark.sql.catalyst.plans.logical.Except => s
+    }.nonEmpty
+    !hasSetOp && plan.output.find(_.name == "is_int").exists { attr =>
+      plan.collectFirst {
+        case p: Project if p.projectList.exists {
+            case a: Alias if a.exprId == attr.exprId =>
+              a.child match {
+                case Literal(false, BooleanType) => true
+                case _ => false
+              }
+            case _ => false
+          } => true
+      }.getOrElse(false)
+    }
+  }
+
+  /**
    * Aggregate series within groups, aligning timestamps by policy.
    *
    * @param df canonical points (metric, ts, value, tags[, series_id])
@@ -55,21 +90,33 @@ object Interpolate {
    * @param groupTagKeys tag keys to group by (empty = group all series
    *   of a metric together)
    * @param isRate rates reuse the previous value instead of lerping
-   * @return (metric, [tag value columns], ts, value)
+   * @param emitTypeFlag also emit `out_int`: whether the output dp is
+   *   integral in the reference's sense (every contribution ran the
+   *   long path — AggregationIterator.isInteger, :612-625). The V1
+   *   serializer's exact wire mode renders bare integers from it;
+   *   downsampled/rate/untyped inputs yield false, matching
+   *   Downsampler.isInteger():257 and RateSpan's double-only output.
+   * @return (metric, [tag value columns], ts, value[, out_int])
    */
   def aggregate(df: DataFrame, agg: String, groupTagKeys: Seq[String] = Seq.empty,
-                isRate: Boolean = false): DataFrame = {
+                isRate: Boolean = false,
+                emitTypeFlag: Boolean = false): DataFrame = {
     val withSeries =
       if (df.columns.contains("series_id")) df
       else graft.model.Points.withSeriesId(df)
 
     // long/double duality rides into the SLOT PATH when the input is
     // typed: rates are never integral (AggregationIterator.isInteger
-    // :613-616 returns false for rate), and downsampled inputs arrive
+    // :613-616 returns false for rate), downsampled inputs arrive
     // untyped by construction (Downsampler.isInteger:257 — "Downsampled
-    // values are doubles")
+    // values are doubles"), and a plan whose `is_int` is PROVABLY the
+    // literal false (e.g. Points.fromEvents' float-only projection)
+    // skips the dual machinery entirely — the long branch could never
+    // fire, and carrying it costs ~10% on the slot path (wider window
+    // structs + dead lerp expressions)
     val hasDual = withSeries.columns.contains("value_l") &&
-      withSeries.columns.contains("is_int") && !isRate
+      withSeries.columns.contains("is_int") && !isRate &&
+      !staticallyUntyped(withSeries)
     val dualCols =
       if (hasDual) Seq(col("value_l"), col("is_int")) else Seq.empty
 
@@ -79,15 +126,25 @@ object Interpolate {
       (col("metric") +: tagCols) ++
         Seq(col("series_id"), col("ts"), col("value")) ++ dualCols: _*)
 
+    // the reference's per-dp integral flag for the present-points-only
+    // paths: a contribution is long iff its point was written long
+    val presentFlag =
+      if (hasDual) coalesce(col("is_int") && col("value_l").isNotNull,
+        lit(false))
+      else lit(false)
+
     if (agg == "none" || agg == "raw") {
       // bypass: no grouping, no interpolation; >1 series is an error
       // (reference src/core/TsdbQuery.java:1006-1028). The guard stays
       // lazy: a broadcast single-row count + assert_true in the plan.
       val n1 = pts.agg(countDistinct(col("series_id")).as("__n"))
+      val outCols: Seq[Column] = (groupCols :+ col("ts")) :+ col("value")
+      val withFlag: Seq[Column] =
+        if (emitTypeFlag) outCols :+ presentFlag.as("out_int") else outCols
       return pts.crossJoin(broadcast(n1))
         .where(assert_true(col("__n") <= 1,
           lit("aggregator 'none' requires exactly one series")).isNull)
-        .select((groupCols :+ col("ts")) :+ col("value"): _*)
+        .select(withFlag: _*)
     }
 
     // rates are never lerped — the previous RATE is reused — but that
@@ -108,9 +165,16 @@ object Interpolate {
       // direct groupBy emits. Saves two distincts + two joins; at scale
       // the slot table is |series|×|union-of-ts| per group — a genuine
       // scale-killer for metric-wide grouping.
+      // (the reference's ZIM/sentinel substitutions are typed to the
+      // group's current mode, so the integral flag is decided by the
+      // PRESENT contributions alone — exactly what bool_and sees here)
+      val aggs = Aggregators.expr(agg, col("value"), col("ts")).as("value") +:
+        (if (emitTypeFlag)
+          Seq(coalesce(bool_and(presentFlag), lit(false)).as("out_int"))
+        else Seq.empty)
       return pts
         .groupBy(groupCols :+ col("ts"): _*)
-        .agg(Aggregators.expr(agg, col("value"), col("ts")).as("value"))
+        .agg(aggs.head, aggs.tail: _*)
     }
 
     // The slot-join path reads `pts` three times (grid, members, left
@@ -186,9 +250,11 @@ object Interpolate {
 
     val withD = joined.withColumn("ivalue", interp)
     if (!hasDual) {
+      val aggs = Aggregators.expr(agg, col("ivalue"), col("ts")).as("value") +:
+        (if (emitTypeFlag) Seq(lit(false).as("out_int")) else Seq.empty)
       withD
         .groupBy(groupCols :+ col("ts"): _*)
-        .agg(Aggregators.expr(agg, col("ivalue"), col("ts")).as("value"))
+        .agg(aggs.head, aggs.tail: _*)
     } else {
       // Long path (reference runLong via AggregationIterator): when
       // every CONTRIBUTION at a timestamp is integral, the aggregator
@@ -236,11 +302,15 @@ object Interpolate {
         case _ => // Zim/Ignore short-circuited above
           (lit(null).cast("long"), lit(null).cast("boolean"))
       }
+      val aggs = Aggregators.dualExpr(agg, col("ivalue"), col("__lv"),
+          col("__iflag"), col("ts")).as("value") +:
+        (if (emitTypeFlag)
+          Seq(coalesce(bool_and(col("__iflag")), lit(false)).as("out_int"))
+        else Seq.empty)
       e.withColumn("__lv", lvalue)
         .withColumn("__iflag", iflag)
         .groupBy(groupCols :+ col("ts"): _*)
-        .agg(Aggregators.dualExpr(agg, col("ivalue"), col("__lv"),
-          col("__iflag"), col("ts")).as("value"))
+        .agg(aggs.head, aggs.tail: _*)
     }
   }
 }

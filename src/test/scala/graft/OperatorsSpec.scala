@@ -238,6 +238,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.createDataFrame(data, Points.schema)
   }
 
+  test("statically-untyped inputs skip the dual slot path (plan-level)") {
+    // a projection whose is_int is the literal false (the
+    // Points.fromEvents shape) must not carry the dual machinery —
+    // the long branch can never fire and costs ~10% on the slot path
+    val base = pointsDf(Seq(("m", 0L, 1.0, host("a")),
+      ("m", 10000L, 3.0, host("b"))))
+    val untyped = base.select(col("metric"), col("ts"), col("value"),
+      lit(null).cast("long").as("value_l"), lit(false).as("is_int"),
+      col("tags"))
+    val skinny = Interpolate.aggregate(untyped, "sum")
+    assert(!skinny.queryExecution.analyzed.toString.contains("__lv"))
+    // typed inputs (createDataFrame: is_int is real data) keep it
+    val typed = intPointsDf(Seq(("m", 0L, 1L, host("a")),
+      ("m", 10000L, 3L, host("b"))))
+    val dual = Interpolate.aggregate(typed, "sum")
+    assert(dual.queryExecution.analyzed.toString.contains("__lv"))
+    // and both produce the same doubles on float-representable values
+    assert(valuesByTs(skinny) == valuesByTs(dual))
+  }
+
   test("cross-series avg of aligned long series truncates (reference runAvg)") {
     // ported from TestTsdbQueryAggregators.runAvg:480-497: two long
     // series whose values sum to 301 at every aligned timestamp —
@@ -398,8 +418,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // reference's bare 1 — SURVEY §2.2 Projection note) and tsuids are
     // series hashes, not UID concatenations (q48 contract).
     val t0 = 1356998400L
-    val pts = pointsDf((1 to 201).map(i =>
-      ("system.cpu.user", (t0 + i * 300L) * 1000L, i.toDouble,
+    // typed fixture: MockDataPoints writes LONG values (step index),
+    // so the wire mode's dp.isInteger() branch sees integral dps
+    val pts = intPointsDf((1 to 201).map(i =>
+      ("system.cpu.user", (t0 + i * 300L) * 1000L, i.toLong,
         host("web01"))))
     val q = TsQuery(t0 * 1000L, (t0 + 202 * 300L) * 1000L, Seq.empty,
       msResolution = false)
@@ -440,31 +462,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // byte-level golden for the v1 wire mode: integer dps bare, float
     // dps with decimals, fields in WriteToBuffer's write order
     // (reference HttpJsonSerializer.java:743-816)
-    val p = pointsDf(Seq(
-      ("m", 1000L, 1.0, Map("host" -> "a", "dc" -> "x")),
-      ("m", 2000L, 2.5, Map("host" -> "a", "dc" -> "y")),
-      ("m", 3000L, 3.0, Map("host" -> "a", "dc" -> "x"))))
+    // mixed-typed fixture: dps at 1000/3000 were WRITTEN as longs,
+    // 2000 as a float, and 4000 as a float that happens to land on an
+    // integer — the reference's dp.isInteger() branch keys on the
+    // written type, not the value
+    import scala.jdk.CollectionConverters._
+    val p = spark.createDataFrame(Seq(
+      Row("m", 1000L, 1.0, java.lang.Long.valueOf(1L), true,
+        Map("host" -> "a", "dc" -> "x")),
+      Row("m", 2000L, 2.5, null, false, Map("host" -> "a", "dc" -> "y")),
+      Row("m", 3000L, 3.0, java.lang.Long.valueOf(3L), true,
+        Map("host" -> "a", "dc" -> "x")),
+      Row("m", 4000L, 4.0, null, false,
+        Map("host" -> "a", "dc" -> "x"))).asJava, Points.schema)
     val q = TsQuery(0L, 10000L, Seq.empty)
     val sub = SubQuery("zimsum", "m", Seq(GroupByAll("host")))
     val doc = Engine.serializeV1(p, q, sub, exactIntDps = true)
       .collect().map(_.getAs[String]("json"))
     assert(doc.length == 1)
-    // mixed int/float in ONE series: per-dp decision like the
-    // reference's dp.isInteger() branch
+    // per-dp decision: long dps bare, float dps keep decimals EVEN
+    // when integral (4.0 stays "4.0" — the round-9 sliver closure)
     assert(doc.head ==
       """{"metric":"m","tags":{"host":"a"},"aggregateTags":["dc"],""" +
-      """"dps":{"1000":1,"2000":2.5,"3000":3}}""")
+      """"dps":{"1000":1,"2000":2.5,"3000":3,"4000":4.0}}""")
     // with a show_* tail the stats object still follows dps
     val withStats = Engine.serializeV1(p, q, sub, showStats = true,
       exactIntDps = true).collect().head.getAs[String]("json")
     assert(withStats ==
       """{"metric":"m","tags":{"host":"a"},"aggregateTags":["dc"],""" +
-      """"dps":{"1000":1,"2000":2.5,"3000":3},""" +
-      """"stats":{"aggregatedSize":3,"series":2}}""")
+      """"dps":{"1000":1,"2000":2.5,"3000":3,"4000":4.0},""" +
+      """"stats":{"aggregatedSize":4,"series":2}}""")
     // default mode is untouched: the stable oracle contract
     val off = Engine.serializeV1(p, q, sub).collect().head
       .getAs[String]("json")
-    assert(off.contains(""""dps":{"1000":1.0,"2000":2.5,"3000":3.0}"""))
+    assert(off.contains(
+      """"dps":{"1000":1.0,"2000":2.5,"3000":3.0,"4000":4.0}"""))
   }
 
   test("calendar downsample handles DST and week boundaries in a tz") {

@@ -141,6 +141,25 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("engine queries over float-only events skip the dual slot path") {
+    // Points.fromEvents projects is_int as the literal false; the
+    // statically-untyped guard must prove it through the real engine
+    // chain (filter -> TagFilters -> withSeriesId -> slot join), so
+    // the lerp/prev plans carry no dead long-path machinery (~10% on
+    // the slot path). q50 builds its OWN typed columns and must keep
+    // the dual aggregation.
+    val sf = "/root/testdata/sf0.001"
+    for (n <- Seq("q07_groupby_lerp_sum", "q26_groupby_tag",
+        "q32_pfsum_group")) {
+      val plan = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(!plan.contains("__lv"), s"$n: dual path not elided")
+    }
+    val q50 = SparkEntry.queries("q50_int_avg")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(q50.contains("__lv"), "q50: dual path missing")
+  }
+
   test("similarity top-k reduces via bounded-heap aggregation, not a per-query window") {
     // the row_number window formulation ships every candidate of a
     // query to ONE task (O(corpus) rows/query for brute-force s01 and
