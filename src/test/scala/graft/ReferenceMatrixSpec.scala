@@ -1,0 +1,392 @@
+package graft
+
+import graft.model.Points
+import graft.query._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Ports of the reference's TestTsdbQueryAggregators matrix suite
+ * (/root/reference/test/core/TestTsdbQueryAggregators.java) — the
+ * full-query integration goldens over the BaseTsdbTest fixtures
+ * (storeLongTimeSeriesSeconds / storeFloatTimeSeriesSeconds /
+ * storeLongTimeSeriesWithMissingData, BaseTsdbTest.java:612-733).
+ * Each test transliterates the reference's assert loop verbatim and
+ * checks `Engine.run` output against it.
+ *
+ * These pin the round-9 semantics directly to reference numbers:
+ * the OFFSET variants assert INTEGER-lerped values (truncating long
+ * division at the cross-series layer, AggregationIterator
+ * .nextLongValue:705) and runDev* assert the truncated long results
+ * of the runLong aggregator path. runAvg/runAvgOffset live in
+ * OperatorsSpec; runPercentiles is skipped (the reference itself only
+ * asserts ±150, and exact percentile goldens live in OperatorsSpec).
+ */
+class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val M = "sys.cpu.user"
+  private def web(i: Int) = Map("host" -> s"web0$i")
+
+  /** storeLongTimeSeriesSeconds: A(web01) 1..300 asc from
+    * 1356998430s step 30s; B(web02) 300..1 desc from 1356998430s
+    * (aligned) or 1356998445s (offset). Long-typed points. */
+  private def longRows(offset: Boolean): Seq[Row] = {
+    val a = (1 to 300).map(i => Row(M, (1356998400L + 30L * i) * 1000L,
+      i.toDouble, java.lang.Long.valueOf(i.toLong), true, web(1)))
+    val base = if (offset) 1356998415L else 1356998400L
+    val b = (1 to 300).map(j => Row(M, (base + 30L * j) * 1000L,
+      (301 - j).toDouble, java.lang.Long.valueOf(301L - j), true, web(2)))
+    a ++ b
+  }
+
+  /** storeFloatTimeSeriesSeconds: A 1.25..76.0 step .25;
+    * B 75.0..0.25 desc. Float-typed (is_int = false). */
+  private def floatRows(offset: Boolean): Seq[Row] = {
+    val a = (1 to 300).map(i => Row(M, (1356998400L + 30L * i) * 1000L,
+      1.0 + i * 0.25, null, false, web(1)))
+    val base = if (offset) 1356998415L else 1356998400L
+    val b = (1 to 300).map(j => Row(M, (base + 30L * j) * 1000L,
+      75.25 - j * 0.25, null, false, web(2)))
+    a ++ b
+  }
+
+  /** storeLongTimeSeriesWithMissingData: A keeps i%3!=0 (value i+1),
+    * B keeps odd values (300-j), both 10s cadence from 1356998400s. */
+  private def missingRows(): Seq[Row] = {
+    val a = (0 until 300).filter(_ % 3 != 0).map(i =>
+      Row(M, (1356998400L + 10L * i) * 1000L, (i + 1).toDouble,
+        java.lang.Long.valueOf(i + 1L), true, web(1)))
+    val b = (0 until 300).filter(j => (300 - j) % 2 != 0).map(j =>
+      Row(M, (1356998400L + 10L * j) * 1000L, (300 - j).toDouble,
+        java.lang.Long.valueOf(300L - j), true, web(2)))
+    a ++ b
+  }
+
+  private def runAgg(rows: Seq[Row], agg: String): Vector[(Long, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, Points.schema)
+    val sub = SubQuery(agg, M)
+    Engine.run(df, TsQuery(1356998400000L, 1357041600000L, Seq(sub)), sub)
+      .orderBy("ts").collect().map { r =>
+        (r.getAs[Long]("ts"), r.getAs[Any]("value") match {
+          case n: Number => n.doubleValue()
+        })
+      }.toVector
+  }
+
+  /** Assert output == expected values on the fixed grid. */
+  private def checkGrid(out: Vector[(Long, Double)], n: Int, stepMs: Long,
+                        exp: Seq[Double], tol: Double = 0.0): Unit = {
+    assert(out.size == n, s"expected $n dps, got ${out.size}")
+    var ts = 1356998430000L
+    out.zip(exp).zipWithIndex.foreach { case (((t, v), e), k) =>
+      assert(t == ts, s"dp $k: ts $t != $ts")
+      if (tol == 0.0) assert(v == e, s"dp $k @ $t: $v != $e")
+      else assert(math.abs(v - e) <= tol, s"dp $k @ $t: $v != $e")
+      ts += stepMs
+    }
+  }
+
+  // ---- zimsum ---------------------------------------------------------
+
+  test("runZimSum: aligned long series sum to 301 everywhere") {
+    checkGrid(runAgg(longRows(false), "zimsum"), 300, 30000L,
+      Seq.fill(300)(301.0))
+  }
+
+  test("runZimSumFloat: aligned float series sum to 76.25") {
+    checkGrid(runAgg(floatRows(false), "zimsum"), 300, 30000L,
+      Seq.fill(300)(76.25), tol = 0.001)
+  }
+
+  test("runZimSumOffset: interleaved series pass through unfilled") {
+    val exp = (0 until 600).map(k =>
+      if (k % 2 == 0) 1.0 + k / 2 else 300.0 - k / 2)
+    checkGrid(runAgg(longRows(true), "zimsum"), 600, 15000L, exp)
+  }
+
+  test("runZimSumFloatOffset: interleaved float pass-through") {
+    val exp = (0 until 600).map(k =>
+      if (k % 2 == 0) 1.25 + 0.25 * (k / 2) else 75.0 - 0.25 * (k / 2))
+    checkGrid(runAgg(floatRows(true), "zimsum"), 600, 15000L, exp,
+      tol = 0.001)
+  }
+
+  test("runZimSumWithMissingData: gaps only where BOTH series miss") {
+    val out = runAgg(missingRows(), "zimsum")
+    assert(out.size == 250, s"got ${out.size}")
+    var i = 0
+    var ts = 1356998400000L
+    out.foreach { case (t, v) =>
+      var off = i % 6
+      if (off == 0) { ts += 10000; i += 1; off = 1 }
+      assert(t == ts, s"i=$i: ts $t != $ts")
+      val e =
+        if (off == 1 || off == 5) 301.0
+        else if (off == 2 || off == 4) (i + 1).toDouble
+        else (300 - i).toDouble
+      assert(v == e, s"i=$i ts=$t: $v != $e")
+      ts += 10000; i += 1
+    }
+  }
+
+  // ---- min / max (LERP policy) ---------------------------------------
+
+  test("runMin: aligned long min walks 1..150 and back") {
+    val exp = ArrayBuffer[Double](); var v = 1L; var dec = false
+    for (_ <- 0 until 300) {
+      exp += v.toDouble
+      if (dec) v -= 1 else v += 1
+      if (v == 151) { v = 150; dec = true }
+    }
+    checkGrid(runAgg(longRows(false), "min"), 300, 30000L, exp.toSeq)
+  }
+
+  test("runMinFloat: aligned float min walks 1.25..38 and back") {
+    val exp = ArrayBuffer[Double](); var v = 1.25; var dec = false
+    for (_ <- 0 until 300) {
+      exp += v
+      if (dec) v -= 0.25 else v += 0.25
+      if (v > 38) { v = 38.0; dec = true }
+    }
+    checkGrid(runAgg(floatRows(false), "min"), 300, 30000L, exp.toSeq,
+      tol = 0.0001)
+  }
+
+  test("runMinOffset: INTEGER lerp min (truncating long division)") {
+    val exp = ArrayBuffer[Double]()
+    var v = 1L; var counter = 0; var dec = false
+    for (_ <- 0 until 600) {
+      exp += v.toDouble
+      if (counter % 2 != 0) { if (dec) v -= 1 else v += 1 }
+      else if (v == 151) { v = 150; dec = true; counter -= 1 }
+      counter += 1
+    }
+    checkGrid(runAgg(longRows(true), "min"), 600, 15000L, exp.toSeq)
+  }
+
+  test("runMinFloatOffset: float lerp min in 0.125 steps") {
+    val exp = ArrayBuffer[Double](); var v = 1.25; var dec = false
+    for (_ <- 0 until 600) {
+      exp += v
+      if (dec) v -= 0.125 else v += 0.125
+      if (v > 38.125) { v = 38.125; dec = true }
+    }
+    checkGrid(runAgg(floatRows(true), "min"), 600, 15000L, exp.toSeq,
+      tol = 0.001)
+  }
+
+  test("runMax: aligned long max walks 300..151 and back") {
+    val exp = ArrayBuffer[Double](); var v = 300L; var dec = true
+    for (_ <- 0 until 300) {
+      exp += v.toDouble
+      if (dec) v -= 1 else v += 1
+      if (v == 150) { v = 151; dec = false }
+    }
+    checkGrid(runAgg(longRows(false), "max"), 300, 30000L, exp.toSeq)
+  }
+
+  test("runMaxFloat: aligned float max walks 75.0..38.25 and back") {
+    val exp = ArrayBuffer[Double](); var v = 75.0; var dec = true
+    for (_ <- 0 until 300) {
+      exp += v
+      if (dec) v -= 0.25 else v += 0.25
+      if (v < 38.25) { v = 38.25; dec = false }
+    }
+    checkGrid(runAgg(floatRows(false), "max"), 300, 30000L, exp.toSeq,
+      tol = 0.001)
+  }
+
+  test("runMaxOffset: INTEGER lerp max with range-boundary singletons") {
+    val exp = ArrayBuffer[Double]()
+    var v = 1L; var counter = 0; var dec = true
+    for (k <- 0 until 600) {
+      val ts = 1356998430000L + 15000L * k
+      exp += v.toDouble
+      if (v == 1) v = 300
+      else if (ts == 1357007400000L) v = 1
+      else if (counter % 2 == 0) { if (dec) v -= 1 else v += 1 }
+      if (v == 150) { v = 151; dec = false; counter -= 1 }
+      counter += 1
+    }
+    checkGrid(runAgg(longRows(true), "max"), 600, 15000L, exp.toSeq)
+  }
+
+  test("runMaxFloatOffset: float lerp max with boundary singletons") {
+    val exp = ArrayBuffer[Double](); var v = 1.25; var dec = true
+    for (k <- 0 until 600) {
+      val ts = 1356998430000L + 15000L * k
+      exp += v
+      if (v == 1.25) v = 75.0
+      else if (ts == 1357007400000L) v = 0.25
+      else {
+        if (dec) v -= 0.125 else v += 0.125
+        if (v < 38.25) { v = 38.25; dec = false }
+      }
+    }
+    checkGrid(runAgg(floatRows(true), "max"), 600, 15000L, exp.toSeq,
+      tol = 0.0001)
+  }
+
+  // ---- dev (runLong truncation at the cross-series layer) -------------
+
+  test("runDev: aligned long dev truncates 149.5 -> 149 (runLong)") {
+    val exp = ArrayBuffer[Double](); var v = 149L; var dec = true
+    for (_ <- 0 until 300) {
+      exp += v.toDouble
+      if (dec) v -= 1 else v += 1
+      if (v < 0) { v = 0; dec = false }
+    }
+    checkGrid(runAgg(longRows(false), "dev"), 300, 30000L, exp.toSeq)
+  }
+
+  test("runDevFloat: aligned float dev keeps fractions") {
+    val exp = ArrayBuffer[Double](); var v = 36.875; var dec = true
+    for (_ <- 0 until 300) {
+      exp += v
+      if (dec) v -= 0.25 else v += 0.25
+      if (v < 0.125) { v = 0.125; dec = false }
+    }
+    checkGrid(runAgg(floatRows(false), "dev"), 300, 30000L, exp.toSeq,
+      tol = 0.001)
+  }
+
+  test("runDevOffset: integer-lerped dev truncates per dp") {
+    val exp = ArrayBuffer[Double]()
+    var v = 0L; var counter = 0; var dec = true
+    for (k <- 0 until 600) {
+      val ts = 1356998430000L + 15000L * k
+      exp += v.toDouble
+      if (ts == 1356998430000L) v = 149
+      else if (ts == 1357007400000L) v = 0
+      else if (counter % 2 == 0) {
+        if (dec) v -= 1 else v += 1
+        if (v < 0) { v = 0; dec = false; counter += 1 }
+      }
+      counter += 1
+    }
+    checkGrid(runAgg(longRows(true), "dev"), 600, 15000L, exp.toSeq)
+  }
+
+  test("runDevFloatOffset: float lerped dev in 0.125 steps") {
+    val exp = ArrayBuffer[Double](); var v = 0.0; var dec = true
+    for (k <- 0 until 600) {
+      val ts = 1356998430000L + 15000L * k
+      exp += v
+      if (ts == 1356998430000L) v = 36.8125
+      else if (ts == 1357007400000L) v = 0.0
+      else {
+        if (dec) v -= 0.125 else v += 0.125
+        if (v < 0.0625) { v = 0.0625; dec = false }
+      }
+    }
+    checkGrid(runAgg(floatRows(true), "dev"), 600, 15000L, exp.toSeq,
+      tol = 0.0001)
+  }
+
+  // ---- mimmin / mimmax (ignore-missing policy) -------------------------
+
+  test("runMimMin: aligned behaves like min") {
+    val exp = ArrayBuffer[Double](); var v = 1L; var dec = false
+    for (_ <- 0 until 300) {
+      exp += v.toDouble
+      if (dec) v -= 1 else v += 1
+      if (v == 151) { v = 150; dec = true }
+    }
+    checkGrid(runAgg(longRows(false), "mimmin"), 300, 30000L, exp.toSeq)
+  }
+
+  test("runMimMinOffset: missing series IGNORED, no lerp") {
+    val exp = (0 until 600).map(k =>
+      if (k % 2 == 0) 1.0 + k / 2 else 300.0 - k / 2)
+    checkGrid(runAgg(longRows(true), "mimmin"), 600, 15000L, exp)
+  }
+
+  test("runMimMinFloat: aligned float behaves like min") {
+    val exp = ArrayBuffer[Double](); var v = 1.25; var dec = false
+    for (_ <- 0 until 300) {
+      exp += v
+      if (dec) v -= 0.25 else v += 0.25
+      if (v > 38) { v = 38.0; dec = true }
+    }
+    checkGrid(runAgg(floatRows(false), "mimmin"), 300, 30000L, exp.toSeq,
+      tol = 0.0001)
+  }
+
+  test("runMimMinFloatOffset: float pass-through under ignore-missing") {
+    val exp = (0 until 600).map(k =>
+      if (k % 2 == 0) 1.25 + 0.25 * (k / 2) else 75.0 - 0.25 * (k / 2))
+    checkGrid(runAgg(floatRows(true), "mimmin"), 600, 15000L, exp,
+      tol = 0.001)
+  }
+
+  test("runMimMax: aligned behaves like max") {
+    val exp = ArrayBuffer[Double](); var v = 300L; var dec = true
+    for (_ <- 0 until 300) {
+      exp += v.toDouble
+      if (dec) v -= 1 else v += 1
+      if (v == 150) { v = 151; dec = false }
+    }
+    checkGrid(runAgg(longRows(false), "mimmax"), 300, 30000L, exp.toSeq)
+  }
+
+  test("runMimMaxFloat: aligned float behaves like max") {
+    val exp = ArrayBuffer[Double](); var v = 75.0; var dec = true
+    for (_ <- 0 until 300) {
+      exp += v
+      if (dec) v -= 0.25 else v += 0.25
+      if (v < 38.25) { v = 38.25; dec = false }
+    }
+    checkGrid(runAgg(floatRows(false), "mimmax"), 300, 30000L, exp.toSeq,
+      tol = 0.001)
+  }
+
+  test("runMimMaxOffset: missing series IGNORED, no lerp") {
+    val exp = (0 until 600).map(k =>
+      if (k % 2 == 0) 1.0 + k / 2 else 300.0 - k / 2)
+    checkGrid(runAgg(longRows(true), "mimmax"), 600, 15000L, exp)
+  }
+
+  test("runMimMaxFloatOffset: float pass-through under ignore-missing") {
+    val exp = (0 until 600).map(k =>
+      if (k % 2 == 0) 1.25 + 0.25 * (k / 2) else 75.0 - 0.25 * (k / 2))
+    checkGrid(runAgg(floatRows(true), "mimmax"), 600, 15000L, exp,
+      tol = 0.001)
+  }
+
+  // ---- count (lerp contributions COUNT) --------------------------------
+
+  test("runCount: aligned series count 2 everywhere") {
+    checkGrid(runAgg(longRows(false), "count"), 300, 30000L,
+      Seq.fill(300)(2.0))
+  }
+
+  test("runCountFloat: aligned float count 2 everywhere") {
+    checkGrid(runAgg(floatRows(false), "count"), 300, 30000L,
+      Seq.fill(300)(2.0))
+  }
+
+  test("runCountOffset: lerped contributions count; singletons at edges") {
+    val exp = (0 until 600).map(k =>
+      if (k == 0 || k == 599) 1.0 else 2.0)
+    checkGrid(runAgg(longRows(true), "count"), 600, 15000L, exp)
+  }
+
+  test("runCountFloatOffset: float edition of the edge singletons") {
+    val exp = (0 until 600).map(k =>
+      if (k == 0 || k == 599) 1.0 else 2.0)
+    checkGrid(runAgg(floatRows(true), "count"), 600, 15000L, exp)
+  }
+}
