@@ -126,9 +126,24 @@ object Downsample {
   def apply(df: DataFrame, spec: DownsampleSpec,
             queryRange: Option[(Long, Long)] = None,
             tz: String = "UTC"): DataFrame = {
-    val withSeries =
+    val withSeries0 =
       if (df.columns.contains("series_id")) df
       else graft.model.Points.withSeriesId(df)
+    // run_all's single bucket is [query_start, query_end) — reference
+    // Downsampler.java:248-254 — so out-of-range points from the scan
+    // pad must be excluded HERE: the bucket is stamped query_start,
+    // which survives the engine's post-aggregation range clip. (Fixed
+    // bucket intervals need no point clip: their padded edge buckets
+    // carry out-of-range stamps and the range clip drops them, while
+    // the bucket containing query_start legitimately includes
+    // pre-start points — that is what the scan pad is FOR.) End is
+    // exclusive, proven by the reference's runLongSingleTSDownsample-
+    // AllSubSet golden (sum 15 over [..500, ..600)).
+    val withSeries = (spec.intervalMs, queryRange) match {
+      case (0L, Some((s, e))) =>
+        withSeries0.filter(col("ts") >= s && col("ts") < e)
+      case _ => withSeries0
+    }
     val qStart = queryRange.map(_._1).getOrElse(0L)
     val b = bucket(col("ts"), spec, qStart, tz)
     // metric and a canonical JSON encoding of tags ride along as GROUP

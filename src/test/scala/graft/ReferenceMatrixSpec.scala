@@ -74,17 +74,21 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     a ++ b
   }
 
-  private def runAgg(rows: Seq[Row], agg: String): Vector[(Long, Double)] = {
+  private def runQ(rows: Seq[Row], sub: SubQuery,
+                   startMs: Long = 1356998400000L,
+                   endMs: Long = 1357041600000L): Vector[(Long, Double)] = {
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, Points.schema)
-    val sub = SubQuery(agg, M)
-    Engine.run(df, TsQuery(1356998400000L, 1357041600000L, Seq(sub)), sub)
+    Engine.run(df, TsQuery(startMs, endMs, Seq(sub)), sub)
       .orderBy("ts").collect().map { r =>
         (r.getAs[Long]("ts"), r.getAs[Any]("value") match {
           case n: Number => n.doubleValue()
         })
       }.toVector
   }
+
+  private def runAgg(rows: Seq[Row], agg: String): Vector[(Long, Double)] =
+    runQ(rows, SubQuery(agg, M))
 
   /** Assert output == expected values on the fixed grid. */
   private def checkGrid(out: Vector[(Long, Double)], n: Int, stepMs: Long,
@@ -388,5 +392,268 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exp = (0 until 600).map(k =>
       if (k == 0 || k == 599) 1.0 else 2.0)
     checkGrid(runAgg(floatRows(true), "count"), 600, 15000L, exp)
+  }
+
+  // =====================================================================
+  // TestTsdbQueryDownsample ports
+  // (/root/reference/test/core/TestTsdbQueryDownsample.java) — the
+  // single-series (host=web01) downsample matrix, the run_all family,
+  // and the two-level agg x fill combos over missing data.
+  // =====================================================================
+
+  /** storeLongTimeSeriesMs / storeFloatTimeSeriesMs: 500 ms cadence. */
+  private def longRowsMs(): Seq[Row] =
+    (1 to 300).flatMap(i => Seq(
+      Row(M, 1356998400000L + 500L * i, i.toDouble,
+        java.lang.Long.valueOf(i.toLong), true, web(1)),
+      Row(M, 1356998400000L + 500L * i, (301 - i).toDouble,
+        java.lang.Long.valueOf(301L - i), true, web(2))))
+  private def floatRowsMs(): Seq[Row] =
+    (1 to 300).flatMap(i => Seq(
+      Row(M, 1356998400000L + 500L * i, 1.0 + i * 0.25, null, false, web(1)),
+      Row(M, 1356998400000L + 500L * i, 75.25 - i * 0.25, null, false,
+        web(2))))
+
+  private def web01 = Seq(LiteralOr("host", Seq("web01")))
+
+  test("runLongSingleTSDownsample: 60s-avg buckets (1),(2,3)..(300)") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1m-avg")))
+    val out = runQ(longRows(false), sub)
+    assert(out.size == 151, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t == 1356998400000L + 60000L * i)
+      val e = if (i == 0) 1.0 else if (i >= 150) 300.0 else i * 2 + 0.5
+      assert(math.abs(v - e) <= 0.00001, s"dp $i: $v != $e")
+    }
+  }
+
+  test("runLongSingleTSDownsampleMs: 1s-avg over 500ms cadence") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1s-avg")))
+    val out = runQ(longRowsMs(), sub)
+    assert(out.size == 151, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t % 1000 == 0)
+      val e = if (i == 0) 1.0 else if (i >= 150) 300.0 else i * 2 + 0.5
+      assert(math.abs(v - e) <= 0.00001, s"dp $i: $v != $e")
+    }
+  }
+
+  test("runLongSingleTSDownsampleAndRate: rate over 60s-avg buckets") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1m-avg")),
+      rate = Some(RateOptions()))
+    val out = runQ(longRows(false), sub)
+    assert(out.size == 150, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t == 1356998460000L + 60000L * i)
+      if (i == 0 || i >= 149)
+        assert(math.abs(v - 0.025) <= 0.001, s"dp $i: $v")
+      else assert(math.abs(v - 0.033) <= 0.001, s"dp $i: $v")
+    }
+  }
+
+  test("runLongSingleTSDownsampleAndRateMs: rate over 1s-avg buckets") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1s-avg")),
+      rate = Some(RateOptions()))
+    val out = runQ(longRowsMs(), sub)
+    assert(out.size == 150, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t % 1000 == 0)
+      if (i == 0 || i >= 149)
+        assert(math.abs(v - 1.5) <= 0.001, s"dp $i: $v")
+      else assert(math.abs(v - 2.0) <= 0.001, s"dp $i: $v")
+    }
+  }
+
+  test("runFloatSingleTSDownsample: 60s-avg float buckets") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1m-avg")))
+    val out = runQ(floatRows(false), sub)
+    assert(out.size == 151, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t % 60000 == 0)
+      val e = if (i == 0) 1.25 else if (i >= 150) 76.0 else (i + 2.25) / 2
+      assert(math.abs(v - e) <= 0.00001, s"dp $i: $v != $e")
+    }
+  }
+
+  test("runFloatSingleTSDownsampleMs: 1s-avg float over 500ms cadence") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1s-avg")))
+    val out = runQ(floatRowsMs(), sub)
+    assert(out.size == 151, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t % 1000 == 0)
+      val e = if (i == 0) 1.25 else if (i >= 150) 76.0 else (i + 2.25) / 2
+      assert(math.abs(v - e) <= 0.00001, s"dp $i: $v != $e")
+    }
+  }
+
+  test("runFloatSingleTSDownsampleAndRate: rate over float 60s-avg") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1m-avg")),
+      rate = Some(RateOptions()))
+    val out = runQ(floatRows(false), sub)
+    assert(out.size == 150, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t == 1356998460000L + 60000L * i)
+      if (i == 0 || i >= 149)
+        assert(math.abs(v - 0.00625) <= 0.000001, s"dp $i: $v")
+      else assert(math.abs(v - 0.00833) <= 0.00001, s"dp $i: $v")
+    }
+  }
+
+  test("runFloatSingleTSDownsampleAndRateMs: rate over float 1s-avg") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1s-avg")),
+      rate = Some(RateOptions()))
+    val out = runQ(floatRowsMs(), sub)
+    assert(out.size == 150, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t % 1000 == 0)
+      if (i == 0 || i >= 149)
+        assert(math.abs(v - 0.375) <= 0.000001, s"dp $i: $v")
+      else assert(math.abs(v - 0.5) <= 0.00001, s"dp $i: $v")
+    }
+  }
+
+  test("runLongSingleTSDownsampleCount: 60s-count 1,2,..,2,1") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1m-count")))
+    val out = runQ(longRows(false), sub)
+    assert(out.size == 151, s"${out.size}")
+    out.zipWithIndex.foreach { case ((_, v), i) =>
+      val e = if (i == 0 || i == 150) 1.0 else 2.0
+      assert(math.abs(v - e) <= 0.00001, s"dp $i: $v != $e")
+    }
+  }
+
+  test("runLongSingleTSDownsampleAll: one [start,end) bucket at start") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("0all-sum")))
+    val out = runQ(longRows(false), sub)
+    assert(out == Vector((1356998400000L, 45150.0)), out.toString)
+  }
+
+  test("runLongSingleTSDownsampleAllSubSet: run_all excludes padded points") {
+    // the reference golden that pins run_all's [start, end) point
+    // bound: only values 4+5+6 = 15 fall in [..500s, ..600s) even
+    // though the engine's lerp pad scans an hour either side
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("0all-sum")))
+    val out = runQ(longRows(false), sub,
+      startMs = 1356998500000L, endMs = 1356998600000L)
+    assert(out == Vector((1356998500000L, 15.0)), out.toString)
+  }
+
+  test("runFloatSingleTSDownsampleAndRateAndCount: rate over counts") {
+    val sub = SubQuery("sum", M, filters = web01,
+      downsample = Some(DownsampleSpec.parse("1m-count")),
+      rate = Some(RateOptions()))
+    val out = runQ(floatRows(false), sub)
+    assert(out.size == 150, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t == 1356998460000L + 60000L * i)
+      val e = if (i == 0) 0.016666 else if (i == 149) -0.016666 else 0.0
+      assert(math.abs(v - e) <= 0.00001, s"dp $i: $v != $e")
+    }
+  }
+
+  // ---- two-level agg x fill combos over missing data -----------------
+  // runTSDownsampleWithMissingData: 30s downsample with a fill policy,
+  // then cross-series aggregation; the first 100 buckets carry data,
+  // the rest are pure fill. NOTE the reference additionally emits its
+  // scan-pad hour of fill buckets PAST the query end (dps == (end -
+  // start + 3600)/30, a getScanEndTimeSeconds artifact); our fill grid
+  // covers exactly [start, end) = 1440 buckets — deliberate divergence,
+  // values identical where both emit.
+
+  private def runWNulls(qAgg: String, dsAgg: String, fill: String)(
+      valid: Double => Boolean)(isMissing: Double => Boolean): Unit = {
+    val sub = SubQuery(qAgg, M,
+      downsample = Some(DownsampleSpec.parse(s"30s-$dsAgg-$fill")))
+    val out = runQ(missingRows(), sub)
+    assert(out.size == 1440, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t == 1356998400000L + 30000L * i, s"dp $i ts $t")
+      if (i < 100) assert(valid(v), s"dp $i: unexpected value $v")
+      else assert(isMissing(v), s"dp $i: expected fill, got $v")
+    }
+  }
+  private def fuzzy(e: Double)(v: Double) = math.abs(v - e) <= 0.0001
+  private def isNaNv(v: Double) = v.isNaN
+  private def isZero(v: Double) = math.abs(v) <= 0.0001
+
+  test("runSumAvgLongSingleTSDownsampleWNulls: sum of 30s avgs = 301.5") {
+    runWNulls("sum", "avg", "nan")(fuzzy(301.5))(isNaNv)
+  }
+
+  test("runAvgSumLongSingleTSDownsampleWNulls: 152, 301.5, 155, 301.5 ...") {
+    var even = false; var evenExpected = 149.0
+    runWNulls("avg", "sum", "nan") { v =>
+      even = !even
+      if (even) { evenExpected += 3.0; fuzzy(evenExpected)(v) }
+      else fuzzy(301.5)(v)
+    }(isNaNv)
+  }
+
+  test("runAvgAvgLongSingleTSDownsampleWNulls: flat 150.75, zero fill") {
+    runWNulls("avg", "avg", "zero")(fuzzy(150.75))(isZero)
+  }
+
+  test("runSumSumLongSingleTSDownsampleWNulls: 304, 603, 310, 603 ...") {
+    var even = false; var evenExpected = 298.0
+    runWNulls("sum", "sum", "nan") { v =>
+      even = !even
+      if (even) { evenExpected += 6.0; fuzzy(evenExpected)(v) }
+      else fuzzy(603.0)(v)
+    }(isNaNv)
+  }
+
+  test("runMinMinLongSingleTSDownsampleWNulls: 2,5,8..149 then back") {
+    var even = false
+    var evenExpected = -4.0; var evenChange = 6.0
+    var oddExpected = -1.0; var oddChange = 6.0
+    runWNulls("min", "min", "zero") { v =>
+      even = !even
+      if (even) {
+        evenExpected += evenChange
+        if (fuzzy(152.0)(evenExpected)) { evenExpected = 149.0; evenChange = -6.0 }
+        fuzzy(evenExpected)(v)
+      } else {
+        oddExpected += oddChange
+        if (fuzzy(155.0)(oddExpected)) { oddExpected = 145.0; oddChange = -6.0 }
+        fuzzy(oddExpected)(v)
+      }
+    }(isZero)
+  }
+
+  test("runMinSumLongSingleTSDownsampleWNulls: 5,11,17.. then the fold") {
+    var even = false
+    var evenExpected = -7.0; var evenChange = 12.0
+    var oddExpected = -1.0; var oddChange = 12.0
+    runWNulls("min", "sum", "nan") { v =>
+      even = !even
+      if (even) {
+        evenExpected += evenChange
+        if (fuzzy(209.0)(evenExpected)) { evenExpected = 197.0; evenChange = -6.0 }
+        fuzzy(evenExpected)(v)
+      } else {
+        oddExpected += oddChange
+        if (fuzzy(311.0)(oddExpected)) { oddExpected = 292.0; oddChange = -12.0 }
+        fuzzy(oddExpected)(v)
+      }
+    }(isNaNv)
+  }
+
+  test("runSumMinLongSingleTSDownsampleWNulls: alternating 301, 300") {
+    var even = false
+    runWNulls("sum", "min", "nan") { v =>
+      even = !even
+      fuzzy(if (even) 301.0 else 300.0)(v)
+    }(isNaNv)
   }
 }
