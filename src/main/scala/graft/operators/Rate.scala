@@ -51,16 +51,17 @@ object Rate {
     val hasLong = withSeries.columns.contains("value_l") &&
       withSeries.columns.contains("is_int")
     val deltaD = col("value") - prevV
-    val (useLong, deltaL, prevL) = if (hasLong) {
+    val (useLong, bothLong, deltaL, prevL) = if (hasLong) {
       val pL0 = lag(col("value_l"), 1).over(w)
       val pI0 = lag(col("is_int"), 1).over(w)
       val pL = if (firstAgainstZero) coalesce(pL0, lit(0L)) else pL0
       val pI = if (firstAgainstZero) coalesce(pI0, lit(true)) else pI0
       val dL = try_subtract(col("value_l"), pL)
-      (col("is_int") && coalesce(pI, lit(false)) &&
-        col("value_l").isNotNull && pL.isNotNull && dL.isNotNull,
-        dL, pL)
-    } else (lit(false), lit(null).cast("long"), lit(null).cast("long"))
+      val both = col("is_int") && coalesce(pI, lit(false)) &&
+        col("value_l").isNotNull && pL.isNotNull
+      (both && dL.isNotNull, both, dL, pL)
+    } else (lit(false), lit(false), lit(null).cast("long"),
+      lit(null).cast("long"))
     val delta = when(useLong, deltaL.cast("double")).otherwise(deltaD)
 
     val rate =
@@ -69,11 +70,18 @@ object Rate {
         // rollover only fires when cur < prev, where
         // (max - prev) + cur <= max cannot overflow; the long form
         // stays exact for counters the double domain cannot represent
+        // (reference runRateCounterDefault golden: MAX-55, MAX-25, 5 →
+        // both rates exactly 1.0, where the double form would cancel
+        // the +5 at 2^63 magnitudes). Gated on BOTH-long rather than
+        // the raw delta being long-computable: same-sign counter
+        // deltas never overflow, but a cross-sign pair (negative value
+        // after a writer glitch) would null the delta while the
+        // rollover form stays exact — keep the exact path available.
         val rolledD = lit(opts.counterMax).cast("double") - prevV + col("value")
         val rolled = (if (hasLong) {
           val rolledL = try_add(try_subtract(lit(opts.counterMax), prevL),
             col("value_l")).cast("double")
-          when(useLong, coalesce(rolledL, rolledD)).otherwise(rolledD)
+          when(bothLong, coalesce(rolledL, rolledD)).otherwise(rolledD)
         } else rolledD) / dtSec
         val r = when(delta < 0, rolled).otherwise(delta / dtSec)
         if (opts.resetValue > 0) when(r > opts.resetValue, lit(0.0)).otherwise(r) else r

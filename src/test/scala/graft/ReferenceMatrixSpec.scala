@@ -656,4 +656,138 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
       fuzzy(if (even) 301.0 else 300.0)(v)
     }(isNaNv)
   }
+
+  // =====================================================================
+  // TestTsdbQueryQueries ports
+  // (/root/reference/test/core/TestTsdbQueryQueries.java) —
+  // interpolation integration vectors, the mixed int/float series, and
+  // the rate-counter family (whose Long.MAX_VALUE vectors REQUIRE exact
+  // long rollover arithmetic: the double form cancels the +5 at 2^63).
+  // =====================================================================
+
+  private def longPt(ts: Long, v: Long) =
+    Row(M, ts, v.toDouble, java.lang.Long.valueOf(v), true, web(1))
+
+  test("runInterpolationSeconds: int-lerped sum alternates 301/302") {
+    val out = runAgg(longRows(true), "sum")
+    assert(out.size == 600, s"${out.size}")
+    var v = 1L
+    var ts = 1356998430000L
+    out.foreach { case (t, value) =>
+      assert(t == ts); ts += 15000
+      assert(value == v.toDouble, s"at $t: $value != $v")
+      if (t == 1357007400000L) v = 1
+      else if (v == 1 || v == 302) v = 301
+      else v = 302
+    }
+  }
+
+  test("runInterpolationMs: 250ms-offset int-lerped sum") {
+    val a = (1 to 300).map(i => longPt(1356998400000L + 500L * i, i.toLong))
+    val b = (1 to 300).map(j => Row(M, 1356998400250L + 500L * j,
+      (301 - j).toDouble, java.lang.Long.valueOf(301L - j), true, web(2)))
+    val out = runAgg(a ++ b, "sum")
+    assert(out.size == 600, s"${out.size}")
+    var v = 1L
+    var ts = 1356998400500L
+    out.foreach { case (t, value) =>
+      assert(t == ts); ts += 250
+      assert(value == v.toDouble, s"at $t: $value != $v")
+      if (t == 1356998550000L) v = 1
+      else if (v == 1 || v == 302) v = 301
+      else v = 302
+    }
+  }
+
+  test("runInterpolationMsDownsampled: FLOAT lerp over double buckets") {
+    // TS1: 500ms cadence to v=100 then 5s cadence to 120; TS2: 250ms-
+    // offset descending. Downsample 1s-sum per series, then lerp sum —
+    // the downsampled gaps interpolate in DOUBLE math (100.2, 100.4 …),
+    // pinning that downsample output drops the integer typing
+    val t1 = {
+      var ts = 1356998400000L
+      (1 to 120).map { i =>
+        ts += (if (i <= 100) 500L else 5000L)
+        longPt(ts, i.toLong)
+      }
+    }
+    val t2 = (1 to 300).map(j => Row(M, 1356998400250L + 500L * j,
+      (301 - j).toDouble, java.lang.Long.valueOf(301L - j), true, web(2)))
+    val sub = SubQuery("sum", M,
+      downsample = Some(DownsampleSpec.parse("1s-sum")))
+    val out = runQ(t1 ++ t2, sub)
+    assert(out.size == 151, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), i) =>
+      assert(t == 1356998400000L + 1000L * i)
+      val e =
+        if (i == 0) 301.0
+        else if (i < 50) 602.0
+        else 701.0 + (i - 50) * 0.2 - i * 4
+      assert(math.abs(v - e) <= 1e-7, s"dp $i @ $t: $v != $e")
+    }
+  }
+
+  test("runMixedSingleTS: single mixed int/float series passes through avg") {
+    // storeMixedTimeSeriesSeconds: 1.25..76 step .25, whole-even values
+    // written as longs — single-series avg is the identity on values
+    val rows = (1 to 300).map { k =>
+      val v = 1.0 + k * 0.25
+      if (v % 2 == 0) longPt((1356998400L + 30L * k) * 1000L, v.toLong)
+      else Row(M, (1356998400L + 30L * k) * 1000L, v, null, false, web(1))
+    }
+    val out = runAgg(rows, "avg")
+    assert(out.size == 300, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), k) =>
+      assert(t == 1356998430000L + 30000L * k)
+      assert(math.abs(v - (1.25 + 0.25 * k)) <= 0.001, s"dp $k: $v")
+    }
+  }
+
+  private def rateCounterRun(values: Seq[Long], opts: RateOptions):
+      Vector[(Long, Double)] = {
+    val pts = values.zipWithIndex.map { case (v, i) =>
+      longPt((1356998400L + 30L * (i + 1)) * 1000L, v)
+    }
+    runQ(pts, SubQuery("sum", M, rate = Some(opts)))
+  }
+
+  test("runRateCounterDefault: Long.MAX_VALUE rollover is exactly 1.0") {
+    // MAX-55 → MAX-25 → 5 with counterMax = MAX: both deltas are
+    // exactly 30 over 30 s ONLY in long arithmetic (double cancels at
+    // 2^63 — reference RateSpan.calculateDelta + this golden)
+    val out = rateCounterRun(
+      Seq(Long.MaxValue - 55, Long.MaxValue - 25, 5L),
+      RateOptions(counter = true))
+    assert(out == Vector((1356998460000L, 1.0), (1356998490000L, 1.0)),
+      out.toString)
+  }
+
+  test("runRateCounterDefaultNoOp: monotone counter never rolls") {
+    val out = rateCounterRun(Seq(30L, 60L, 90L), RateOptions(counter = true))
+    assert(out == Vector((1356998460000L, 1.0), (1356998490000L, 1.0)),
+      out.toString)
+  }
+
+  test("runRateCounterMaxSet: rollover against a 100-cap counter") {
+    val out = rateCounterRun(Seq(45L, 75L, 5L),
+      RateOptions(counter = true, counterMax = 100L))
+    assert(out == Vector((1356998460000L, 1.0), (1356998490000L, 1.0)),
+      out.toString)
+  }
+
+  test("runRateCounterAnomally: rate above resetValue emits 0") {
+    val out = rateCounterRun(Seq(45L, 75L, 25L),
+      RateOptions(counter = true, counterMax = 10000L, resetValue = 35L))
+    assert(out.size == 2 && out(0) == ((1356998460000L, 1.0)) &&
+      out(1)._1 == 1356998490000L && math.abs(out(1)._2) <= 0.001,
+      out.toString)
+  }
+
+  test("runRateCounterAnomallyDrop: dropResets removes the negative delta") {
+    val out = rateCounterRun(Seq(45L, 75L, 25L, 55L),
+      RateOptions(counter = true, counterMax = 10000L, resetValue = 35L,
+        dropResets = true))
+    assert(out == Vector((1356998460000L, 1.0), (1356998520000L, 1.0)),
+      out.toString)
+  }
 }
