@@ -62,9 +62,25 @@ object Rollups {
    * re-sum.
    */
   def downsampleFromRollup(rollup0: DataFrame, spec: DownsampleSpec): DataFrame = {
-    val rollup =
+    val rollup1 =
       if (rollup0.columns.contains("series_id")) rollup0
       else graft.model.Points.withSeriesId(rollup0)
+    // each aggregator reads ITS stored rollup series, and a row where
+    // that series is absent (null column) does not exist for the query
+    // — the reference's per-aggregation-id storage makes this implicit
+    // (a never-written "max" series returns 0 dps even when sums
+    // exist: run10mMaxLongSingleTSNotFound), and avg requires the
+    // sum/count PAIR at a timestamp (unpaired rows are dropped, never
+    // half-averaged: run10mAvgLongSingleTSMissingACount/ASum goldens,
+    // src/core/Downsampler.java:163-210)
+    val rollup = rollup1.filter(spec.aggregator match {
+      case "avg" => col("sum").isNotNull && col("count").isNotNull
+      case "sum" | "zimsum" => col("sum").isNotNull
+      case "count" => col("count").isNotNull
+      case "min" | "mimmin" => col("min").isNotNull
+      case "max" | "mimmax" => col("max").isNotNull
+      case _ => lit(true)
+    })
     val b = col("ts") - col("ts") % spec.intervalMs
     val g = rollup.withColumn("bucket", b)
       .groupBy(col("series_id"), col("bucket"))

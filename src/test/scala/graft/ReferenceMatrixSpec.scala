@@ -790,4 +790,226 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Vector((1356998460000L, 1.0), (1356998520000L, 1.0)),
       out.toString)
   }
+
+  // =====================================================================
+  // TestTsdbQueryRollup ports
+  // (/root/reference/test/core/TestTsdbQueryRollup.java) — routing
+  // (multiple-interval → rollup, otherwise raw), per-aggregation-id
+  // series absence, and the sum/count pairing rule for avg.
+  // =====================================================================
+
+  import org.apache.spark.sql.types._
+  private val rollupSchema = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("ts", LongType, nullable = false),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("sum", DoubleType),
+    StructField("count", LongType),
+    StructField("min", DoubleType),
+    StructField("max", DoubleType)))
+
+  /** (tsSec, tags, sum?, count?, min?, max?) rows at 10m cadence. */
+  private def rollupDf(rows: Seq[(Long, Map[String, String], Option[Double],
+      Option[Long], Option[Double], Option[Double])]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.map { case (s, tg, su, c, mn, mx) =>
+      Row(M, s * 1000L, tg, su.map(Double.box).orNull,
+        c.map(Long.box).orNull, mn.map(Double.box).orNull,
+        mx.map(Double.box).orNull)
+    }.asJava, rollupSchema)
+  }
+
+  /** storeLongRollup(aggr): A sums 600,1200.. asc at 10m; B inverse.
+    * Only the `col` aggregation-id series is populated. */
+  private def longRollupRows(endSec: Long, which: String):
+      Seq[(Long, Map[String, String], Option[Double], Option[Long],
+           Option[Double], Option[Double])] = {
+    val steps = (0 to ((endSec - 1356998400L) / 600L).toInt)
+      .takeWhile(k => 1356998400L + 600L * k <= endSec)
+    val n = steps.size
+    def mk(v: Double, su: Boolean, cn: Boolean, mn: Boolean, mx: Boolean) =
+      (if (su) Some(v) else None, if (cn) Some(v.toLong) else None,
+       if (mn) Some(v) else None, if (mx) Some(v) else None)
+    steps.flatMap { k =>
+      val ts = 1356998400L + 600L * k
+      val va = 600.0 * (k + 1)
+      // loop 2 decrements i from loop 1's final 600n before storing:
+      // B runs 600(n-1) down to 0
+      val vb = 600.0 * (n - 1 - k)
+      val (sa, ca, mna, mxa) = mk(va, which == "sum", which == "count",
+        which == "min", which == "max")
+      val (sb, cb, mnb, mxb) = mk(vb, which == "sum", which == "count",
+        which == "min", which == "max")
+      Seq((ts, web(1), sa, ca, mna, mxa), (ts, web(2), sb, cb, mnb, mxb))
+    }
+  }
+
+  private def runRollup(rollRows: Seq[(Long, Map[String, String],
+        Option[Double], Option[Long], Option[Double], Option[Double])],
+      spec: String, agg: String, filter: Boolean = true,
+      raw: Seq[Row] = longRows(false), rate: Boolean = false,
+      endSec: Long = 1357041600L): Vector[(Long, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val points = spark.createDataFrame(raw.asJava, Points.schema)
+    val sub = SubQuery(agg, M,
+      filters = if (filter) web01 else Seq.empty,
+      downsample = Some(DownsampleSpec.parse(spec)),
+      rate = if (rate) Some(RateOptions()) else None)
+    Engine.run(points, TsQuery(1356998400000L, endSec * 1000L, Seq(sub)),
+        sub, rollups = Seq(Engine.RollupTable(600000L, rollupDf(rollRows))))
+      .orderBy("ts").collect().map { r =>
+        (r.getAs[Long]("ts"), r.getAs[Any]("value") match {
+          case n: Number => n.doubleValue()
+        })
+      }.toVector
+  }
+
+  test("run15mSumLongSingleTS: non-multiple interval falls back to RAW") {
+    // 15m % 10m != 0 → the rollup cannot serve; values are the raw
+    // 30s points re-bucketed (435, 1335, …, 300), not rollup sums
+    val out = runRollup(longRollupRows(1357041600L, "sum"), "15m-sum", "sum")
+    assert(out.size == 11, s"${out.size}")
+    var v = 435.0
+    var ts = 1356998400000L
+    out.foreach { case (t, value) =>
+      assert(t == ts); ts += 900000L
+      assert(math.abs(value - v) <= 0.00001, s"at $t: $value != $v")
+      v = if (v >= 8535.0) 300.0 else v + 900.0
+    }
+  }
+
+  test("run30mSumLongSingleTS: coarser query re-aggregates the rollup") {
+    val out = runRollup(longRollupRows(1357041599L, "sum"), "30m-sum", "sum")
+    assert(out.size == 24, s"${out.size}")
+    var v = 3600.0
+    var ts = 1356998400000L
+    out.foreach { case (t, value) =>
+      assert(t == ts); ts += 1800000L
+      assert(value == v, s"at $t: $value != $v")
+      v += 5400.0
+    }
+  }
+
+  test("run10mZimSumLongSingleTS: zimsum reads the sum rollup series") {
+    val out = runRollup(longRollupRows(1357041599L, "sum"),
+      "10m-zimsum", "zimsum")
+    assert(out.size == 72, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), k) =>
+      assert(t == 1356998400000L + 600000L * k)
+      assert(v == 600.0 * (k + 1), s"dp $k: $v")
+    }
+  }
+
+  test("run10mSumLongSingleTS: direct rollup serve, 73 buckets") {
+    val out = runRollup(longRollupRows(1357041600L, "sum"), "10m-sum", "sum")
+    assert(out.size == 73, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), k) =>
+      assert(t == 1356998400000L + 600000L * k)
+      assert(v == 600.0 * (k + 1), s"dp $k: $v")
+    }
+  }
+
+  test("run10mMaxLongSingleTSNotFound: absent max series gives 0 dps, no raw fallback") {
+    val out = runRollup(longRollupRows(1357041599L, "sum"), "10m-max", "max")
+    assert(out.isEmpty, out.toString)
+  }
+
+  test("run10mMaxLongSingleTS / run10mMinLongSingleTS: stored series serve") {
+    for (a <- Seq("max", "min")) {
+      val out = runRollup(longRollupRows(1357041600L, a), s"10m-$a", a)
+      assert(out.size == 73, s"$a: ${out.size}")
+      out.zipWithIndex.foreach { case ((t, v), k) =>
+        assert(t == 1356998400000L + 600000L * k)
+        assert(v == 600.0 * (k + 1), s"$a dp $k: $v")
+      }
+    }
+  }
+
+  test("run10mSumLongSingleTSRate: rate over rollup sums is 1.0") {
+    val out = runRollup(longRollupRows(1357041600L, "sum"), "10m-sum",
+      "sum", rate = true)
+    assert(out.size == 72, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), k) =>
+      assert(t == 1356998400000L + 600000L * (k + 1))
+      assert(math.abs(v - 1.0) <= 0.00001, s"dp $k: $v")
+    }
+  }
+
+  test("run10mSumLongDoubleTS: unfiltered group over both rollup series") {
+    val out = runRollup(longRollupRows(1357041600L, "sum"), "10m-sum",
+      "sum", filter = false)
+    assert(out.size == 73, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), k) =>
+      assert(t == 1356998400000L + 600000L * k)
+      assert(math.abs(v - 43800.0) <= 0.0001, s"dp $k: $v")
+    }
+  }
+
+  test("run10mAvgLongSingleTS: avg = sum/count over paired series") {
+    val rows = longRollupRows(1357041600L, "sum").map {
+      case (ts, tg, su, _, _, _) => (ts, tg, su, Some(2L),
+        Option.empty[Double], Option.empty[Double])
+    }
+    val out = runRollup(rows, "10m-avg", "avg")
+    assert(out.size == 73, s"${out.size}")
+    out.zipWithIndex.foreach { case ((t, v), k) =>
+      assert(t == 1356998400000L + 600000L * k)
+      assert(math.abs(v - (300.0 + 300.0 * k)) <= 0.0001, s"dp $k: $v")
+    }
+  }
+
+  test("run10mAvgLongSingleTSMissingCount/MissingSum: unpaired → 0 dps") {
+    // counts never written → avg has nothing to pair with (and the
+    // engine must NOT fall back to raw despite raw points existing)
+    assert(runRollup(longRollupRows(1357041600L, "sum"),
+      "10m-avg", "avg").isEmpty)
+    assert(runRollup(longRollupRows(1357041600L, "count"),
+      "10m-avg", "avg").isEmpty)
+  }
+
+  private def avgPoints(rows: (Long, Option[Double], Option[Long])*) =
+    rows.map { case (ts, su, c) =>
+      (ts, web(1), su, c, Option.empty[Double], Option.empty[Double])
+    }
+
+  test("run10mAvgLongSingleTSMissingACount/ASum: unpaired rows dropped") {
+    val aCount = avgPoints(
+      (1356998400L, Some(20.0), Some(2L)), (1356999000L, Some(40.0), None),
+      (1356999600L, Some(60.0), Some(3L)), (1357000200L, Some(80.0), Some(4L)))
+    assert(runRollup(aCount, "10m-avg", "avg") == Vector(
+      (1356998400000L, 10.0), (1356999600000L, 20.0),
+      (1357000200000L, 20.0)))
+    val aSum = avgPoints(
+      (1356998400L, Some(20.0), Some(2L)), (1356999000L, None, Some(5L)),
+      (1356999600L, Some(60.0), Some(3L)), (1357000200L, Some(80.0), Some(4L)))
+    assert(runRollup(aSum, "10m-avg", "avg") == Vector(
+      (1356998400000L, 10.0), (1356999600000L, 20.0),
+      (1357000200000L, 20.0)))
+  }
+
+  test("run10mAvgLongSingleTSMissingToZero: nothing pairs → 0 dps") {
+    val rows = avgPoints(
+      (1356998400L, Some(20.0), None), (1356999000L, None, Some(5L)),
+      (1356999600L, Some(60.0), None), (1357000200L, None, Some(4L)))
+    assert(runRollup(rows, "10m-avg", "avg").isEmpty)
+  }
+
+  test("run10mAvgLongSingleTSMissingToZeroOneSpan: pairs survive across spans") {
+    val rows = avgPoints(
+      (1356998400L, Some(20.0), Some(2L)), (1356999000L, Some(40.0), Some(5L)),
+      (1357084800L, Some(60.0), None), (1357085400L, None, Some(4L)),
+      (1357171200L, Some(90.0), Some(3L)), (1357171800L, Some(100.0), Some(5L)))
+    assert(runRollup(rows, "10m-avg", "avg", endSec = 1359590400L) == Vector(
+      (1356998400000L, 10.0), (1356999000000L, 8.0),
+      (1357171200000L, 30.0), (1357171800000L, 20.0)))
+  }
+
+  test("run10mAvgLongSingleTSMissingToZeroBookends: only the middle span pairs") {
+    val rows = avgPoints(
+      (1356998400L, Some(20.0), None), (1356999000L, None, Some(5L)),
+      (1357084800L, Some(60.0), Some(3L)), (1357085400L, Some(80.0), Some(4L)),
+      (1357171200L, None, Some(3L)), (1357171800L, Some(100.0), None))
+    assert(runRollup(rows, "10m-avg", "avg", endSec = 1359590400L) == Vector(
+      (1357084800000L, 20.0), (1357085400000L, 20.0)))
+  }
 }
