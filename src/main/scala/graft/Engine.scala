@@ -413,19 +413,36 @@ object Engine {
         col("ts") >= query.startMs && col("ts") <= query.endMs),
       sub.filters, sub.explicitTags)
     val groupKeys = TagFilters.groupByKeys(sub.filters)
-    val bucketMs = sub.downsample.map(_.intervalMs).filter(_ > 0)
-      .getOrElse(3600000L)
+    // reference order of operations (runHistogram; proven by the
+    // TestTsdbQueryHistogramQueries.runSingleTsMsTwoAggSum golden,
+    // where two series' p98s SUM to 301*0.98): histogram dps merge
+    // only WITHIN a series' downsample bucket (no downsample → each
+    // dp stands alone at its own timestamp), the percentile is
+    // extracted PER SERIES dp, and the extracted values then ride the
+    // ordinary cross-series aggregation pipeline (lerp and friends)
+    // under the sub-query's aggregator. Round 9: previously this path
+    // merged histograms ACROSS series first and extracted one
+    // percentile of the combined distribution — statistically nicer,
+    // but not what the reference computes.
+    val withSeries = graft.model.Points.withSeriesId(scanned)
+    val bucketTs = sub.downsample.map(_.intervalMs).filter(_ > 0)
+      .map(iv => col("ts") - col("ts") % iv).getOrElse(col("ts"))
     val tagCols = groupKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
-    val base = scanned.select(
-      (col("metric") +: tagCols) ++
-        Seq((col("ts") - col("ts") % bucketMs).as("ts"),
-          col("codec_id"), col("blob")): _*)
-    val gcols = ("metric" +: groupKeys.map(k => s"tag_$k")) :+ "ts"
+    val base = withSeries.select(
+      (col("metric") +: tagCols) ++ Seq(col("series_id"),
+        bucketTs.as("ts"), col("codec_id"), col("blob")): _*)
+    val gcols = (("metric" +: groupKeys.map(k => s"tag_$k")) :+
+      "series_id") :+ "ts"
     val hist = Histograms.decodeBlobs(base, gcols)
-    sub.percentiles
-      .map(p => Histograms.percentile(hist, gcols, p / 100.0)
-        .withColumn("ptile", lit(p)))
-      .reduce(_ unionByName _)
+    sub.percentiles.map { p =>
+      val perSeries = Histograms.percentile(hist, gcols, p / 100.0)
+        .select(Seq(col("metric"), col("series_id"), col("ts"),
+          col("value")) :+
+          map(groupKeys.flatMap(k =>
+            Seq(lit(k), col(s"tag_$k"))): _*).as("tags"): _*)
+      Interpolate.aggregate(perSeries, sub.aggregator, groupKeys)
+        .withColumn("ptile", lit(p))
+    }.reduce(_ unionByName _)
   }
 
   /**

@@ -1012,4 +1012,90 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runRollup(rows, "10m-avg", "avg", endSec = 1359590400L) == Vector(
       (1357084800000L, 20.0), (1357085400000L, 20.0)))
   }
+
+  // =====================================================================
+  // TestTsdbQueryHistogramQueries ports
+  // (/root/reference/test/core/TestTsdbQueryHistogramQueries.java) —
+  // the percentile query path over stored histogram dps. The reference
+  // test decoder's percentile(p) == value * p; a single [0, value]
+  // bucket through the interpolated-CDF walk reproduces it exactly.
+  // =====================================================================
+
+  /** storeTestHistogramTimeSeriesMs: A(web01) 1..300 and B(web02)
+    * 300..1 at 500 ms cadence, single-[0,v]-bucket blobs. */
+  private def histRows(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import graft.operators.Histograms
+    val schema = StructType(Seq(
+      StructField("metric", StringType),
+      StructField("ts", LongType, nullable = false),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("codec_id", IntegerType),
+      StructField("blob", BinaryType)))
+    def blob(v: Double) = Histograms.simpleHistogramEncode(
+      Seq(Histograms.Bucket(0.0, v, 1L)))
+    val rows = (1 to 300).flatMap { i =>
+      Seq(Row("msg.end2end.latency", 1356998400000L + 500L * i,
+            Map("host" -> "web01"), 0, blob(i.toDouble)),
+          Row("msg.end2end.latency", 1356998400000L + 500L * i,
+            Map("host" -> "web02"), 0, blob(301.0 - i)))
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private def runHist(filters: Seq[TagFilter],
+                      ps: Seq[Double]): Vector[Row] = {
+    val sub = SubQuery("sum", "msg.end2end.latency", filters = filters,
+      percentiles = ps)
+    Engine.runPercentilesFromHistograms(histRows(),
+        TsQuery(1356998400000L, 1357041600000L, Seq(sub)), sub)
+      .orderBy("ptile", "ts").collect().toVector
+  }
+
+  test("runSingleTsMsSinglePercentile: per-dp p98 of one series") {
+    val out = runHist(Seq(LiteralOr("host", Seq("web01"))), Seq(98.0))
+    assert(out.size == 300, s"${out.size}")
+    out.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Long]("ts") == 1356998400500L + 500L * k)
+      assert(math.abs(r.getAs[Double]("value") - (k + 1) * 0.98) <= 0.0001,
+        s"dp $k: ${r.getAs[Double]("value")}")
+    }
+  }
+
+  test("runSingleTsMsDoulePercentile: two percentiles, two result sets") {
+    val out = runHist(Seq(LiteralOr("host", Seq("web01"))),
+      Seq(98.0, 95.0))
+    assert(out.size == 600, s"${out.size}")
+    val (p95, p98) = out.partition(_.getAs[Double]("ptile") == 95.0)
+    p98.zipWithIndex.foreach { case (r, k) =>
+      assert(math.abs(r.getAs[Double]("value") - (k + 1) * 0.98) <= 0.0001) }
+    p95.zipWithIndex.foreach { case (r, k) =>
+      assert(math.abs(r.getAs[Double]("value") - (k + 1) * 0.95) <= 0.0001) }
+  }
+
+  test("runSingleTsMsTwoAggSum: percentiles extract PER SERIES then sum") {
+    // the golden that pins the order of operations: sum of the two
+    // series' p98s = 301*0.98 at every timestamp (merging histograms
+    // first would give the p98 of the combined distribution instead)
+    val out = runHist(Seq.empty, Seq(98.0))
+    assert(out.size == 300, s"${out.size}")
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("value") - 301.0 * 0.98) <= 0.0001,
+        s"${r.getAs[Long]("ts")}: ${r.getAs[Double]("value")}")
+    }
+  }
+
+  test("runSingleTsMsAggSumTwoGroups: group-by host keeps series apart") {
+    val out = runHist(Seq(GroupByAll("host")), Seq(98.0))
+    assert(out.size == 600, s"${out.size}")
+    val byHost = out.groupBy(_.getAs[String]("tag_host"))
+    byHost("web01").sortBy(_.getAs[Long]("ts")).zipWithIndex.foreach {
+      case (r, k) =>
+        assert(math.abs(r.getAs[Double]("value") - (k + 1) * 0.98) <= 0.0001)
+    }
+    byHost("web02").sortBy(_.getAs[Long]("ts")).zipWithIndex.foreach {
+      case (r, k) =>
+        assert(math.abs(r.getAs[Double]("value") - (300 - k) * 0.98) <= 0.0001)
+    }
+  }
 }
