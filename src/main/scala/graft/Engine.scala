@@ -67,10 +67,21 @@ object Engine {
    * 100 TB lever: a 1d query over years reads ~1/3600 of the raw bytes
    * from the 1h rollup. Buckets past the rollup's horizon are computed
    * from fresh raw points and stitched in (SplitRollupQuery semantics).
+   *
+   * @param rowClip reproduce the reference's storage-row output clip:
+   *   SpanGroup bounds results by the SCAN times, which align down/up
+   *   to the 1h storage row (Const.MAX_TIMESPAN) when not downsampling
+   *   (TsdbQuery.getScanStartTimeSeconds/getScanEndTimeSeconds +
+   *   SpanGroup ctor doc; pinned by the TestTsdbQueryQueries
+   *   runEndTime golden, which expects trailing points past the query
+   *   end to the hour boundary). Default OFF: exact `[start, end]` —
+   *   the row-granular spill is an HBase layout artifact, not query
+   *   semantics, and the oracle contract clips exactly.
    */
   def run(points: DataFrame, query: TsQuery, sub: SubQuery,
           rollups: Seq[RollupTable] = Seq.empty,
-          emitTypeFlag: Boolean = false): DataFrame = {
+          emitTypeFlag: Boolean = false,
+          rowClip: Boolean = false): DataFrame = {
     graft.meta.Introspect.incr("query.sub_queries")
     if (sub.tsuids.isEmpty) requireMetric(points, sub.metric)
     // pre-pad the scan so edge buckets AND the first rate delta / lerp
@@ -81,13 +92,24 @@ object Engine {
     val padMs = math.max(
       sub.downsample.map(d => math.max(d.intervalMs, 1L)).getOrElse(0L),
       if (needsNeighbors) RATE_LERP_PAD_MS else 0L)
+    // rowClip (no downsample): results bound by the enclosing 1h
+    // storage rows like the reference scan times — see the `run` doc
+    val (clipLo, clipHi) =
+      if (rowClip && sub.downsample.isEmpty) {
+        // the HBase stop row is EXCLUSIVE, so the next-hour boundary
+        // itself is NOT returned (runEndTime: 119 dps, the dp exactly
+        // at the boundary absent) — hence the -1
+        val loSec = (query.startMs / 1000L) / 3600L * 3600L
+        val endSec = query.endMs / 1000L
+        (loSec * 1000L, (endSec + (3600L - endSec % 3600L)) * 1000L - 1L)
+      } else (query.startMs, query.endMs)
     // shared scan shape for raw points AND rollup rows: metric + padded
     // time range (pushdown-friendly) then tag filters. Explicit-series
     // addressing (reference TSSubQuery.tsuids) replaces the
     // metric+filter resolution with a series-id membership test —
     // tsuid = hex of the 64-bit series hash (Points.seriesId).
-    val timeF = col("ts") >= (query.startMs - padMs) &&
-      col("ts") <= (query.endMs + padMs)
+    val timeF = col("ts") >= (clipLo - padMs) &&
+      col("ts") <= (clipHi + padMs)
     def scanned(df: DataFrame): DataFrame =
       if (sub.tsuids.nonEmpty)
         Points.withSeriesId(df.filter(timeF))
@@ -128,8 +150,12 @@ object Engine {
     val agged = Interpolate.aggregate(rated, sub.aggregator, groupKeys,
       isRate = sub.rate.isDefined, emitTypeFlag = emitTypeFlag)
     // clip padded scan back to the query range (reference
-    // AggregationIterator bounds, src/core/AggregationIterator.java:218-280)
-    agged.filter(col("ts") >= query.startMs && col("ts") <= query.endMs)
+    // AggregationIterator bounds, src/core/AggregationIterator.java:218-280);
+    // under rowClip (no downsample) the bounds widen to the enclosing
+    // 1h storage rows like the reference scan times — the end always
+    // advances to the NEXT hour even when aligned
+    // (getScanEndTimeSeconds: "even if it's already aligned")
+    agged.filter(col("ts") >= clipLo && col("ts") <= clipHi)
   }
 
   /** Parse-and-run an `m=`-style sub-query string. */

@@ -3,6 +3,7 @@ package graft
 import graft.model.Points
 import graft.query._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, hex}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -1083,6 +1084,85 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(r.getAs[Double]("value") - 301.0 * 0.98) <= 0.0001,
         s"${r.getAs[Long]("ts")}: ${r.getAs[Double]("value")}")
     }
+  }
+
+  test("runLongTwoGroup: {host=*} sugar groups per tag value") {
+    val sub = SubQuery("sum", M, filters = Seq(GroupByAll("host")))
+    val out = Engine.run(
+      { import scala.jdk.CollectionConverters._
+        spark.createDataFrame(longRows(false).asJava, Points.schema) },
+      TsQuery(1356998400000L, 1357041600000L, Seq(sub)), sub)
+      .orderBy("tag_host", "ts").collect()
+    assert(out.length == 600)
+    val (a, b) = out.partition(_.getAs[String]("tag_host") == "web01")
+    a.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Long]("ts") == 1356998430000L + 30000L * k)
+      assert(r.getAs[Double]("value") == (k + 1).toDouble) }
+    b.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Long]("ts") == 1356998430000L + 30000L * k)
+      assert(r.getAs[Double]("value") == (300 - k).toDouble) }
+  }
+
+  test("runEndTime: exact clip by default, storage-row clip behind the flag") {
+    import scala.jdk.CollectionConverters._
+    val pts = spark.createDataFrame(longRows(false).asJava, Points.schema)
+    val sub = SubQuery("sum", M, filters = web01)
+    val q = TsQuery(1356998400000L, 1357001900000L, Seq(sub))
+    // default: last point <= 1357001900000 is value 116 at ...1880000
+    val exact = Engine.run(pts, q, sub).orderBy("ts").collect()
+    assert(exact.length == 116, s"${exact.length}")
+    assert(exact.last.getAs[Long]("ts") == 1357001880000L)
+    // reference golden (runEndTime): SpanGroup clips by the SCAN
+    // bounds, so the result runs to the enclosing hour — 119 dps
+    val row = Engine.run(pts, q, sub, rowClip = true)
+      .orderBy("ts").collect()
+    assert(row.length == 119, s"${row.length}")
+    row.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Long]("ts") == 1356998430000L + 30000L * k)
+      assert(r.getAs[Double]("value") == (k + 1).toDouble)
+    }
+  }
+
+  test("runTSUIDQuery / runTSUIDsAggSum: explicit series addressing") {
+    import scala.jdk.CollectionConverters._
+    val pts = spark.createDataFrame(longRows(false).asJava, Points.schema)
+    val ids = Points.withSeriesId(pts)
+      .select(col("tags").getItem("host").as("h"),
+        hex(col("series_id")).as("id"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // one tsuid → that series' raw values
+    val one = SubQuery("sum", M, tsuids = Seq(ids("web01")))
+    val o1 = Engine.run(pts,
+      TsQuery(1356998400000L, 1357041600000L, Seq(one)), one)
+      .orderBy("ts").collect()
+    assert(o1.length == 300)
+    o1.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Double]("value") == (k + 1).toDouble) }
+    // both tsuids → aggregated 301 everywhere
+    val two = SubQuery("sum", M, tsuids = Seq(ids("web01"), ids("web02")))
+    val o2 = Engine.run(pts,
+      TsQuery(1356998400000L, 1357041600000L, Seq(two)), two)
+      .orderBy("ts").collect()
+    assert(o2.length == 300)
+    o2.foreach(r => assert(r.getAs[Double]("value") == 301.0))
+  }
+
+  test("runRegexp / runRegexpNoMatch: regexp tag filter end-to-end") {
+    import scala.jdk.CollectionConverters._
+    val pts = spark.createDataFrame(longRows(false).asJava, Points.schema)
+    val hit = SubQuery("sum", M,
+      filters = Seq(RegexpFilter("host", "web01", groupBy = true)))
+    val o = Engine.run(pts,
+      TsQuery(1356998400000L, 1357041600000L, Seq(hit)), hit)
+      .orderBy("ts").collect()
+    assert(o.length == 300)
+    o.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Double]("value") == (k + 1).toDouble) }
+    val miss = SubQuery("sum", M,
+      filters = Seq(RegexpFilter("host", "dbsvr.*", groupBy = true)))
+    assert(Engine.run(pts,
+      TsQuery(1356998400000L, 1357041600000L, Seq(miss)), miss)
+      .collect().isEmpty)
   }
 
   test("runSingleTsMsAggSumTwoGroups: group-by host keeps series apart") {
