@@ -1375,6 +1375,33 @@ object SparkEntry {
         .orderBy("filter")
     }),
 
+    // §2.13 STORED-histogram percentile queries end-to-end (round 9):
+    // purchase points → per-(user, hour) SimpleHistogram blobs via the
+    // codec write side (Histograms.encodeBlobs) → scan + decode +
+    // per-SERIES percentile extraction → cross-series zimsum — the
+    // reference runHistogram order of operations
+    // (TestTsdbQueryHistogramQueries.runSingleTsMsTwoAggSum: the
+    // percentile is extracted per series dp, THEN aggregated)
+    "q96_hist_pct" -> ((s, dir) => {
+      val binW = 10.0
+      val hb = pts(s, dir).filter(col("metric") === "purchase")
+        .select(col("metric"), (col("ts") - col("ts") % HOUR).as("ts"),
+          col("tags").getItem("user").as("u"), col("value"))
+      val bucketed = Histograms.fromPoints(hb, Seq("metric", "ts", "u"),
+        "value", binW)
+      val blobs = Histograms.encodeBlobs(bucketed, Seq("metric", "ts", "u"))
+        .select(col("metric"), col("ts"),
+          map(lit("user"), col("u")).as("tags"),
+          col("codec_id"), col("blob"))
+      val q = TsQuery(0L, 4102444800000L, Seq.empty)
+      val sub = SubQuery("zimsum", "purchase",
+        percentiles = Seq(50.0, 90.0))
+      Engine.runPercentilesFromHistograms(blobs, q, sub)
+        .select(col("metric"), col("ts"), r4(col("value")).as("value"),
+          col("ptile"))
+        .orderBy("ptile", "ts")
+    }),
+
     // §2.14 `tsd uid fsck` over deliberately-corrupted dual mapping
     // tables derived from the q49 registry: a shared-uid collision, a
     // mismatched reverse name, dropped reverse rows (uid % 7 == 3),
@@ -2777,6 +2804,30 @@ object SparkEntry {
           'host=not_key()  {"type":"not_key","tagk":"host","filter":"","groupBy":false}')
          ) t(filter, description, examples)
          ORDER BY filter""",
+
+    "q96_hist_pct" ->
+      s"""$O, hb AS (
+           SELECT tag_user AS u, ts - ts % $HOUR AS ts,
+             floor(value / 10) * 10 AS lo, count(*) AS c
+           FROM points WHERE metric = 'purchase' GROUP BY 1, 2, 3),
+         w AS (
+           SELECT u, ts, lo, c,
+             sum(c) OVER (PARTITION BY u, ts ORDER BY lo) AS cum,
+             sum(c) OVER (PARTITION BY u, ts) AS total
+           FROM hb),
+         px AS (
+           SELECT 0.5 AS p, u, ts,
+             lo + 10 * (0.5 * total - (cum - c)) / c AS v
+           FROM w WHERE cum >= 0.5 * total AND (cum - c) < 0.5 * total
+           UNION ALL
+           SELECT 0.9, u, ts,
+             lo + 10 * (0.9 * total - (cum - c)) / c
+           FROM w WHERE cum >= 0.9 * total AND (cum - c) < 0.9 * total)
+         SELECT 'purchase' AS metric, ts,
+           (sign(sum(v)) * floor(abs(sum(v)) * 10000 + 0.5) / 10000)
+             AS value,
+           p * 100 AS ptile
+         FROM px GROUP BY ts, p ORDER BY ptile, ts""",
 
     "q93_uid_fsck" ->
       s"""$O, f0 AS (SELECT * FROM points WHERE metric IN ('click','signup')),

@@ -98,6 +98,37 @@ object Histograms {
   registerCodec(SIMPLE_CODEC_ID, simpleHistogramDecode)
 
   /**
+   * Inverse of [[decodeBlobs]]: one SimpleHistogram blob per group
+   * from relational bucket rows — the write side of the stored-
+   * histogram lifecycle (reference addHistogramPoint,
+   * src/core/TSDB.java; blob layout SimpleHistogram.java:76-120).
+   * Bounded per group: the collected array is the group's bucket
+   * list (≤ value-range / bin-width entries), never the point count.
+   */
+  def encodeBlobs(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("bucket_lo"),
+        col("bucket_hi"), col("count")))).as("__bs"))
+    val keep = groupCols.map(c => grouped.schema(c))
+    val outSchema = StructType(keep ++ Seq(
+      StructField("codec_id", IntegerType, nullable = false),
+      StructField("blob", BinaryType)))
+    val keptIdx = groupCols.map(grouped.schema.fieldIndex)
+    val bsIdx = grouped.schema.fieldIndex("__bs")
+    grouped.mapPartitions { rows =>
+      rows.map { r =>
+        val kept = keptIdx.map(r.get)
+        val bs = r.getSeq[Row](bsIdx).map(b =>
+          Bucket(b.getDouble(0), b.getDouble(1), b.getLong(2)))
+        Row.fromSeq((kept :+ Int.box(SIMPLE_CODEC_ID)) :+
+          simpleHistogramEncode(bs))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
    * Decode a table of stored histogram blobs to relational bucket rows
    * via the codec registry: (groupCols..., codecIdCol, blobCol) →
    * (groupCols..., bucket_lo, bucket_hi, count). Runs per-partition
