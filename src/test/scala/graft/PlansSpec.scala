@@ -122,7 +122,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q87_filter_plugin", "d17_winnow_pairs", "s17_filtered_topk",
       "m09_scene_cuts", "q88_write_filter", "d18_screen_snapshot",
       "t25_hll_distinct", "t26_cms_heavy", "d19_bloom_decontam",
-      "t27_quantile_sketch", "e01_sessionize", "t28_kmv_overlap")
+      "t27_quantile_sketch", "e01_sessionize", "t28_kmv_overlap",
+      "q96_hist_pct")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
