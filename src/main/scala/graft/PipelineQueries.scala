@@ -1607,7 +1607,7 @@ object PipelineQueries {
            FROM h JOIN c USING (h) GROUP BY doc_id)
          SELECT d.doc_id,
            coalesce(p.n_windows, 0) AS n_windows,
-           coalesce(p.n_dup, 0) AS n_dup,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
            CAST(CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
              ELSE (20000 * p.n_dup + p.n_windows) // (2 * p.n_windows)
              END AS BIGINT) AS dup_frac_bp

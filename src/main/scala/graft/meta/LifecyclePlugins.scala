@@ -102,7 +102,9 @@ object HttpRpcPlugins {
     require(path != null && path.nonEmpty,
       "Invalid HttpRpcPlugin path. Path is null or empty.")
     val t = path.trim
-    require(!t.matches(s"^/?$BasePath/?.*"),
+    // the reference matches the UNTRIMMED path, case-insensitively,
+    // with DOTALL (RpcManager.java:98-100, :408)
+    require(!path.matches(s"(?is)^/?$BasePath/?.*"),
       s"Invalid HttpRpcPlugin path $t. Path contains system's plugin base path.")
     val uri = java.net.URI.create(t)
     require(uri.getPath != null && uri.getPath.nonEmpty,

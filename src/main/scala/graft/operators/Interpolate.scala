@@ -91,8 +91,9 @@ object Interpolate {
    *   of a metric together)
    * @param isRate rates reuse the previous value instead of lerping
    * @param emitTypeFlag also emit `out_int`: whether the output dp is
-   *   integral in the reference's sense (every contribution ran the
-   *   long path — AggregationIterator.isInteger, :612-625). The V1
+   *   integral in the reference's sense (AggregationIterator
+   *   .isInteger, :612-625 — GROUP-wide: one float series demotes
+   *   every dp of the group; see demoteTypeFlagGroupWide). The V1
    *   serializer's exact wire mode renders bare integers from it;
    *   downsampled/rate/untyped inputs yield false, matching
    *   Downsampler.isInteger():257 and RateSpan's double-only output.
@@ -172,9 +173,9 @@ object Interpolate {
         (if (emitTypeFlag)
           Seq(coalesce(bool_and(presentFlag), lit(false)).as("out_int"))
         else Seq.empty)
-      return pts
+      return demoteTypeFlagGroupWide(pts
         .groupBy(groupCols :+ col("ts"): _*)
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(aggs.head, aggs.tail: _*), groupCols, emitTypeFlag)
     }
 
     // The slot-join path reads `pts` three times (grid, members, left
@@ -307,10 +308,28 @@ object Interpolate {
         (if (emitTypeFlag)
           Seq(coalesce(bool_and(col("__iflag")), lit(false)).as("out_int"))
         else Seq.empty)
-      e.withColumn("__lv", lvalue)
+      demoteTypeFlagGroupWide(e.withColumn("__lv", lvalue)
         .withColumn("__iflag", iflag)
         .groupBy(groupCols :+ col("ts"): _*)
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(aggs.head, aggs.tail: _*), groupCols, emitTypeFlag)
     }
   }
+
+  /**
+   * The reference's type flag is GROUP-wide, not per-timestamp: the
+   * serializer's `isInteger` (AggregationIterator.java:612-625) scans
+   * the loaded values of EVERY span in the group — contributing or
+   * not — so one float series demotes the whole group at every output
+   * dp. The per-timestamp bool_and above sees only contributions;
+   * AND-ing it with its own group-wide minimum closes the gap (a
+   * mixed-type group has some timestamp where the float series
+   * contributes, so min-over-group is false exactly when any series
+   * is float-typed). Window partitions on the group key over the
+   * already-aggregated (group, ts) rows — no extra join or scan.
+   */
+  private def demoteTypeFlagGroupWide(df: DataFrame, groupCols: Seq[Column],
+                                      emit: Boolean): DataFrame =
+    if (!emit) df
+    else df.withColumn("out_int",
+      min(col("out_int")).over(Window.partitionBy(groupCols: _*)))
 }

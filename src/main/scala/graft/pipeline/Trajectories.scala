@@ -76,7 +76,8 @@ object Trajectories {
     * pairs still inside the candidate window, or — once the funnel has
     * closed and emitted — an empty `done` tombstone that dedups the
     * user until its event-time TTL expires. */
-  case class FunnelBuf(ts: Seq[Long], stage: Seq[Int], done: Boolean)
+  case class FunnelBuf(ts: Seq[Long], stage: Seq[Int], done: Boolean,
+                       closedAtW: Long = -1L)
   case class FunnelAdvance(userId: Long, stageIdx: Int, ts: Long)
 
   /** Streaming form of [[funnel]], correct under LATE / REORDERED
@@ -139,9 +140,14 @@ object Trajectories {
           val prev = st.getOption.getOrElse(FunnelBuf(Nil, Nil, done = false))
           if (prev.done) {
             if (st.hasTimedOut) { st.remove(); Iterator.empty }
-            else { // drain arrivals; re-arm the tombstone one more TTL
+            else {
+              // drain arrivals but KEEP the timeout anchored at the
+              // close watermark — the TTL measures time since close,
+              // not idle time, so a user spamming stage events cannot
+              // stay deduplicated forever
               st.update(prev)
-              st.setTimeoutTimestamp(math.max(w + tombstoneTtlMs, w + 1))
+              st.setTimeoutTimestamp(
+                math.max(prev.closedAtW + tombstoneTtlMs, w + 1))
               Iterator.empty
             }
           } else {
@@ -162,7 +168,7 @@ object Trajectories {
               // watermark passed the window end: chain is final — emit
               // every completed stage, tombstone the user
               val times = runChain(evs)
-              st.update(FunnelBuf(Nil, Nil, done = true))
+              st.update(FunnelBuf(Nil, Nil, done = true, closedAtW = w))
               st.setTimeoutTimestamp(math.max(w + tombstoneTtlMs, w + 1))
               times.zipWithIndex.collect {
                 case (t, i) if t >= 0 => FunnelAdvance(user, i, t)

@@ -464,8 +464,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (reference HttpJsonSerializer.java:743-816)
     // mixed-typed fixture: dps at 1000/3000 were WRITTEN as longs,
     // 2000 as a float, and 4000 as a float that happens to land on an
-    // integer — the reference's dp.isInteger() branch keys on the
-    // written type, not the value
+    // integer — the reference's aggregated isInteger()
+    // (AggregationIterator.java:612-625) scans EVERY span in the
+    // group, so one float-written point demotes the whole group and
+    // every dp renders through the double path
     import scala.jdk.CollectionConverters._
     val p = spark.createDataFrame(Seq(
       Row("m", 1000L, 1.0, java.lang.Long.valueOf(1L), true,
@@ -480,17 +482,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val doc = Engine.serializeV1(p, q, sub, exactIntDps = true)
       .collect().map(_.getAs[String]("json"))
     assert(doc.length == 1)
-    // per-dp decision: long dps bare, float dps keep decimals EVEN
-    // when integral (4.0 stays "4.0" — the round-9 sliver closure)
+    // group-wide decision: the float-written points at 2000/4000
+    // demote the WHOLE group, so the long-written 1000/3000 render
+    // ".0" too (the round-10 closure of the mixed-group sliver)
     assert(doc.head ==
       """{"metric":"m","tags":{"host":"a"},"aggregateTags":["dc"],""" +
-      """"dps":{"1000":1,"2000":2.5,"3000":3,"4000":4.0}}""")
+      """"dps":{"1000":1.0,"2000":2.5,"3000":3.0,"4000":4.0}}""")
     // with a show_* tail the stats object still follows dps
     val withStats = Engine.serializeV1(p, q, sub, showStats = true,
       exactIntDps = true).collect().head.getAs[String]("json")
     assert(withStats ==
       """{"metric":"m","tags":{"host":"a"},"aggregateTags":["dc"],""" +
-      """"dps":{"1000":1,"2000":2.5,"3000":3,"4000":4.0},""" +
+      """"dps":{"1000":1.0,"2000":2.5,"3000":3.0,"4000":4.0},""" +
       """"stats":{"aggregatedSize":4,"series":2}}""")
     // default mode is untouched: the stable oracle contract
     val off = Engine.serializeV1(p, q, sub).collect().head
