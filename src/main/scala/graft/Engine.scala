@@ -274,61 +274,77 @@ object Engine {
                  now: Long = System.currentTimeMillis(),
                  rollups: Seq[RollupTable] = Seq.empty)
       : Seq[(String, DataFrame)] = {
+    import graft.operators.ExpressionJoin
     val q = ExpJsonQuery.parse(body, now)
     val tsq = q.tsQuery
-    var vars: Map[String, DataFrame] = q.metrics.map { m =>
+    val fills = q.metricFills
+    // per-variable result sets carrying the SpanGroup identity the
+    // series matching consumes; tsFill is the per-metric fill policy
+    // (reference TimeSyncedIterator default ZERO,
+    // TimeSyncedIterator.java:74, overridden by Metric.fillPolicy —
+    // the same value ExpressionIterator substitutes for NaN at eval,
+    // ExpressionIterator.java:336)
+    var vars: Map[String, ExpressionJoin.VarSet] = q.metrics.map { m =>
+      val sub = q.subQuery(m)
       // time-over-time: the offset metric scans a window shifted into
       // the past and its buckets shift forward onto today's clock, so
       // the expression join aligns current against historical values
       val r = m.timeOffsetMs match {
         case Some(off) =>
-          run(points, tsq.copy(startMs = tsq.startMs - off,
-              endMs = tsq.endMs - off), q.subQuery(m), rollups)
+          runForExpression(points, tsq.copy(startMs = tsq.startMs - off,
+              endMs = tsq.endMs - off), sub, rollups)
             .withColumn("ts", col("ts") + off)
-        case None => run(points, tsq, q.subQuery(m), rollups)
+        case None => runForExpression(points, tsq, sub, rollups)
       }
-      m.id -> r
+      m.id -> ExpressionJoin.VarSet(m.id, r,
+        queryTagKs = sub.filters.map(_.tagk).toSet,
+        tsFill = fills.getOrElse(m.id, 0.0))
     }.toMap
-    val fills = q.metricFills
+    // the group keys each variable was grouped on — the output tag
+    // columns of an expression are the keys its variables share
+    var groupKeys: Map[String, Set[String]] = q.metrics.map { m =>
+      m.id -> TagFilters.groupByKeys(q.subQuery(m).filters).toSet
+    }.toMap
+    var outputs: Map[String, DataFrame] = Map.empty
     q.expressions.foreach { e =>
       val names = ExpQuery.variables(ExpQuery.parse(e.expr))
       require(names.nonEmpty,
         s"expression '${e.id}' references no metric or expression ids " +
           s"(constant expressions are not supported): ${e.expr}")
-      val joinKeys = names
-        .map(n => vars(n).columns.filter(_.startsWith("tag_")).toSet)
-        .reduce(_ intersect _).toSeq.sorted
-      val prepared = names.map { n =>
-        val v = vars(n)
-        val extraTags = v.columns
-          .filter(_.startsWith("tag_")).toSet -- joinKeys
-        // Variables grouped by DIFFERENT tag sets: the wider side has
-        // several rows per (joinKeys, ts); joining as-is would multiply
-        // rows instead of collapsing the extra dimension. Aggregate the
-        // surplus tags away (sum — the reference's cross-variable join
-        // sums series that collide on the join tags) before the join.
-        val flat =
-          if (extraTags.isEmpty)
-            v.select((joinKeys :+ "ts" :+ "value").map(col): _*)
-          else v.groupBy((joinKeys :+ "ts").map(col): _*)
-            .agg(sum("value").as("value"))
-        n -> flat
-      }.toMap
-      vars += e.id -> ExpQuery.evalWithFills(e.expr, prepared, joinKeys,
-        intersect = e.join.operator == "intersection",
-        fills = fills,
-        defaultFill = e.fillPolicy.map(_.fill).getOrElse(0.0))
+      val sets = names.map(n => vars(n))
+      // the reference's series matching (QueryExecutor.java:200-213):
+      // UNION or INTERSECTION on the flattened identity, honoring the
+      // join's useQueryTags / includeAggTags flags
+      val joined =
+        if (e.join.operator == "intersection")
+          ExpressionJoin.intersection(e.id, sets,
+            e.join.useQueryTags, e.join.includeAggTags)
+        else ExpressionJoin.union(e.id, sets,
+          e.join.useQueryTags, e.join.includeAggTags)
+      val value = ExpQuery.bindColumns(e.expr, n => col(s"__v_$n"))
+      val keys = names.map(groupKeys(_)).reduce(_ intersect _)
+      val result = joined.withColumn("value", value)
+      outputs += e.id -> result
+        .select(keys.toSeq.sorted.map(k =>
+          col("tags").getItem(k).as(s"tag_$k")) ++
+          Seq(col("ts"), col("value")): _*)
+      groupKeys += e.id -> keys
+      // nested expressions see this result as a variable: identity =
+      // the joined series tags (the reference feeds expression output
+      // back through PostAggregatedDataPoints meta)
+      vars += e.id -> ExpressionJoin.VarSet(e.id,
+        result.select(col("tags"),
+          array().cast("array<string>").as("agg_tags"),
+          col("ts"), col("value")),
+        queryTagKs = sets.flatMap(_.queryTagKs).toSet,
+        tsFill = e.fillPolicy.map(_.fill).getOrElse(0.0))
     }
     val emit =
       if (q.outputs.nonEmpty) q.outputs
       else q.expressions.map(e => ExpJsonQuery.OutputDef(e.id, None))
     emit.map { o =>
-      val df = vars(o.id)
-      val named =
-        if (df.columns.contains("metric"))
-          o.alias.map(a => df.withColumn("metric", lit(a))).getOrElse(df)
-        else df.withColumn("metric", lit(o.alias.getOrElse(o.id)))
-      o.id -> named
+      val df = outputs(o.id)
+      o.id -> df.withColumn("metric", lit(o.alias.getOrElse(o.id)))
     }
   }
 
@@ -550,6 +566,66 @@ object Engine {
   }
 
   /**
+   * Per-group result identity, the reference's SpanGroup.computeTags
+   * (src/core/SpanGroup.java:348-388): `tags` = tag keys carrying
+   * exactly ONE distinct value across the group's member series (a key
+   * missing from some members but single-valued where present stays —
+   * only a second VALUE discards it), `aggregateTags` = keys seen with
+   * two or more values. Input is the filtered point scan; groups are
+   * (metric, grouped tag columns). One aggregation over the DISTINCT
+   * member series — a dimension-sized shuffle, joined back per group
+   * by the caller. Groups whose series carry no tags at all produce no
+   * row (callers left-join and coalesce to empty).
+   */
+  def groupTagMeta(scanned: DataFrame, groupKeys: Seq[String]): DataFrame = {
+    val gcols = col("metric") +: groupKeys.map(k => col(s"tag_$k"))
+    // entries-array form: set ops (distinct) reject MAP columns
+    val series = scanned
+      .select(col("metric") +: groupKeys.map(k =>
+        col("tags").getItem(k).as(s"tag_$k")) :+
+        array_sort(map_entries(col("tags"))).as("__tags"): _*)
+      .distinct()
+    val kv = series
+      .select(gcols :+ explode(col("__tags")).as("__e"): _*)
+      .select(gcols :+ col("__e.key").as("__k") :+
+        col("__e.value").as("__v"): _*)
+    kv.groupBy(gcols :+ col("__k"): _*)
+      .agg(countDistinct(col("__v")).as("__n"), max(col("__v")).as("__v1"))
+      .groupBy(gcols: _*)
+      .agg(
+        map_from_entries(array_sort(collect_list(
+          when(col("__n") === 1, struct(col("__k"), col("__v1"))))))
+          .as("tags"),
+        array_sort(collect_list(when(col("__n") > 1, col("__k"))))
+          .as("aggregateTags"))
+  }
+
+  /**
+   * Run a sub-query and attach the SpanGroup result identity per
+   * series — the shape the expression layer's series matching consumes
+   * ([[graft.operators.ExpressionJoin.VarSet]]): columns `tags`
+   * (map), `agg_tags` (array), `ts`, `value`.
+   */
+  def runForExpression(points: DataFrame, query: TsQuery, sub: SubQuery,
+                       rollups: Seq[RollupTable] = Seq.empty): DataFrame = {
+    val groupKeys = TagFilters.groupByKeys(sub.filters)
+    val res = run(points, query, sub, rollups)
+    val scanned = TagFilters(
+      points.filter(col("metric") === sub.metric &&
+        col("ts") >= query.startMs && col("ts") <= query.endMs),
+      sub.filters, sub.explicitTags)
+    val meta = groupTagMeta(scanned, groupKeys)
+      .withColumnRenamed("tags", "__gtags")
+    val keys = "metric" +: groupKeys.map(k => s"tag_$k")
+    res.join(meta, keys, "left")
+      .select(
+        coalesce(col("__gtags"), map().cast("map<string,string>")).as("tags"),
+        coalesce(col("aggregateTags"), array().cast("array<string>"))
+          .as("agg_tags"),
+        col("ts"), col("value"))
+  }
+
+  /**
    * Full V1 response serialization — one JSON document per group, the
    * reference's `[{metric, tags, aggregateTags, dps:{ts:val}}]` wire
    * shape (HttpJsonSerializer.formatQueryAsyncV1,
@@ -625,18 +701,14 @@ object Engine {
         if (exactIntDps) transform(col("dps_arr"),
           e => struct(e.getField("ts"), e.getField("value")))
         else col("dps_arr")))
-    // aggregate tag keys per group, from the matched series
+    // result-identity tags per group, from the matched series
+    // (SpanGroup.computeTags semantics — see groupTagMeta)
     val scanned = TagFilters(
       points.filter(col("metric") === sub.metric &&
         col("ts") >= query.startMs && col("ts") <= query.endMs),
       sub.filters, sub.explicitTags)
-    val aggTags = scanned
-      .select((col("metric") +: groupKeys.map(k =>
-        col("tags").getItem(k).as(s"tag_$k"))) :+
-        explode(map_keys(col("tags"))).as("__k"): _*)
-      .filter(if (groupKeys.isEmpty) lit(true) else !col("__k").isin(groupKeys: _*))
-      .groupBy(col("metric") +: tagCols: _*)
-      .agg(array_sort(collect_set(col("__k"))).as("aggregateTags"))
+    val aggTags = groupTagMeta(scanned, groupKeys)
+      .withColumnRenamed("tags", "__gtags")
     val keys = "metric" +: groupKeys.map(k => s"tag_$k")
     // showTSUIDs (reference TSQuery.showTSUIDs): the member series of
     // each group as hex series hashes — the ids q48-style tsuids
@@ -685,8 +757,13 @@ object Engine {
     }
     val base = withAnns
     val metricF = col("metric")
-    val tagsF =
-      map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))): _*).as("tags")
+    // the result document's `tags` are the SpanGroup-computed identity
+    // (every single-valued key, not just the grouped keys): a group
+    // with one member series reports the series' FULL tag set — the
+    // reference's well-known single-series aggregation behavior
+    // (SpanGroup.computeTags, src/core/SpanGroup.java:348-388)
+    val tagsF = coalesce(col("__gtags"),
+      map().cast("map<string,string>")).as("tags")
     val aggTagsF = coalesce(col("aggregateTags"),
       array().cast("array<string>")).as("aggregateTags")
     val tsuidsF =

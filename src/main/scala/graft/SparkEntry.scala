@@ -1402,6 +1402,72 @@ object SparkEntry {
         .orderBy("ptile", "ts")
     }),
 
+    // §2.13 the normalize plugin point through the REAL put parse →
+    // query path (reference NormalizePlugin.normalizeTags,
+    // src/normalize/NormalizePlugin.java:19 — every incoming point's
+    // tag map passes through the registered rewrite before storage):
+    // a normalizer prefixes user values with "u", and the recovered
+    // aggregates group on the rewritten tag
+    "q97_normalize_put" -> ((s, dir) => {
+      val ev = pts(s, dir).filter(col("metric") === "signup" &&
+        col("tags").getItem("k").isNotNull)
+      val lines = ev.select(concat(
+        lit("put "), col("metric"), lit(" "), col("ts").cast("string"),
+        lit(" "), col("value").cast("string"),
+        lit(" user="), col("tags").getItem("user"),
+        lit(" k="), col("tags").getItem("k")).as("value"))
+      graft.sources.NormalizePlugins.register(tags =>
+        map_from_entries(transform(map_entries(tags), e => struct(
+          e.getField("key").as("key"),
+          when(e.getField("key") === "user",
+            concat(lit("u"), e.getField("value")))
+            .otherwise(e.getField("value")).as("value")))))
+      // the rewrite fuses into the parse plan at CONSTRUCTION time, so
+      // the global hook resets before other queries build their plans
+      val parsed = graft.sources.Ingest.parsePutLines(lines)
+      graft.sources.NormalizePlugins.reset()
+      flat(parsed.filter(col("_error").isNull))
+        .groupBy(col("metric"), col("tag_user"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum(col("value"))).as("sum_v"))
+        .orderBy("metric", "tag_user")
+    }),
+
+    // §2.14 /api/search/lookup with a registered SearchPlugin: the
+    // external-index path serves one lookup (reference
+    // SearchPlugin.executeQuery / resolveTSQuery,
+    // src/search/SearchPlugin.java:152-164), the other returns None
+    // and falls back to the engine scan — both through the SAME
+    // Introspect.lookup entry point
+    "q98_search_lookup_plugin" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val plugin = new graft.meta.SearchPlugin {
+        override def executeLookup(metric: String,
+                                   tags: Map[String, String]) =
+          if (metric == "view")
+            // a plugin answers from its own index — simulated here as
+            // a precomputed series listing over the same corpus
+            Some(p.filter(col("metric") === "view")
+              .groupBy(col("metric"), col("tags"))
+              .agg(min(col("ts")).as("first_seen"),
+                max(col("ts")).as("last_seen"),
+                count(lit(1)).as("points"))
+              .withColumn("source", lit("plugin")))
+          else None
+      }
+      graft.meta.SearchPlugins.register(plugin)
+      val served = graft.meta.Introspect.lookup(p, metric = "view")
+      val fallback = graft.meta.Introspect.lookup(p, metric = "signup")
+        .withColumn("source", lit("engine"))
+      graft.meta.SearchPlugins.deregister(plugin)
+      served.unionByName(fallback)
+        .select(col("source"), col("metric"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k"),
+          col("points"))
+        .orderBy("source", "metric", "tag_user", "tag_k")
+    }),
+
     // §2.14 `tsd uid fsck` over deliberately-corrupted dual mapping
     // tables derived from the q49 registry: a shared-uid collision, a
     // mismatched reverse name, dropped reverse rows (uid % 7 == 3),
@@ -1438,7 +1504,15 @@ object SparkEntry {
     // routing table at default switches; the oracle is an independent
     // transcription of the Java registration blocks, so drift in either
     // direction shows as a row diff
-    "q92_rpc_modes" -> ((s, _) => graft.meta.RpcModes.surface(s)),
+    "q92_rpc_modes" -> ((s, _) => {
+      // a user HttpRpcPlugin mounts under /plugin in EVERY mode
+      // (reference RpcManager.initializeHttpRpcPlugins:383-395 ignores
+      // tsd.mode) — the mounted row must appear in the routing table
+      // exactly like a built-in
+      graft.meta.HttpRpcPlugins.mount("/myplugin/subpath/",
+        (sp, _) => sp.emptyDataFrame)
+      graft.meta.RpcModes.surface(s)
+    }),
 
     // §2.1 telnet `rollup` line sink (reference RollupDataPointRpc
     // .importDataPoint telnet form `rollup 1h-sum:sum metric ts value
@@ -1695,6 +1769,12 @@ object SparkEntry {
          FROM a JOIN c ON a.tag_user = c.tag_user AND a.b = c.b
          ORDER BY a.tag_user, ts""",
 
+    // the reference's UNION join iterates every surviving series at
+    // EVERY grid timestamp (UnionIterator lock-step), so the result is
+    // the series × grid slot table with per-variable fills — a missing
+    // timestamp in a present series fills the variable's fillPolicy
+    // (zero for a, scalar 5 for b); a series absent from a variable
+    // entirely fills the union's fill_dp ZERO
     "q56_exp_json" ->
       s"""$O, a AS (
            SELECT tag_user, ts - ts % $HOUR AS b, sum(value) AS v
@@ -1706,16 +1786,24 @@ object SparkEntry {
            FROM points
            WHERE metric = 'view' AND tag_user IN ('1', '2', '3')
            GROUP BY 1, 2),
+         ac AS (SELECT * FROM a WHERE b >= $T_0105 AND b <= $T_0120),
+         cc AS (SELECT * FROM c WHERE b >= $T_0105 AND b <= $T_0120),
+         grid AS (SELECT DISTINCT b FROM
+           (SELECT b FROM ac UNION ALL SELECT b FROM cc)),
+         series AS (SELECT DISTINCT tag_user FROM
+           (SELECT tag_user FROM ac UNION ALL SELECT tag_user FROM cc)),
          j AS (
-           SELECT coalesce(a.tag_user, c.tag_user) AS tag_user,
-             coalesce(a.b, c.b) AS b,
-             coalesce(a.v, 0.0) + coalesce(c.v, 5.0) * 2 - 1 AS v
-           FROM a FULL OUTER JOIN c
-             ON a.tag_user = c.tag_user AND a.b = c.b)
+           SELECT s.tag_user, g.b,
+             CASE WHEN s.tag_user IN (SELECT tag_user FROM ac)
+               THEN coalesce(ac.v, 0.0) ELSE 0.0 END
+             + CASE WHEN s.tag_user IN (SELECT tag_user FROM cc)
+               THEN coalesce(cc.v, 5.0) ELSE 0.0 END * 2 - 1 AS v
+           FROM series s CROSS JOIN grid g
+           LEFT JOIN ac ON ac.tag_user = s.tag_user AND ac.b = g.b
+           LEFT JOIN cc ON cc.tag_user = s.tag_user AND cc.b = g.b)
          SELECT 'combined' AS metric, tag_user, b AS ts,
            (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
-         FROM j WHERE b >= $T_0105 AND b <= $T_0120
-         ORDER BY tag_user, ts""",
+         FROM j ORDER BY tag_user, ts""",
 
     "q07_groupby_lerp_sum" ->
       s"""$O, p AS (
@@ -2390,14 +2478,20 @@ object SparkEntry {
            WHERE b >= $start AND b <= $T_0120),
          prev AS (
            SELECT tag_user, b + $DAY AS b, v FROM hourly
-           WHERE b >= ${start - DAY} AND b <= ${T_0120 - DAY})
-         SELECT 'dod' AS metric,
-           coalesce(cur.tag_user, prev.tag_user) AS tag_user,
-           coalesce(cur.b, prev.b) AS ts,
-           (sign(coalesce(cur.v, 0.0) - coalesce(prev.v, 0.0)) * floor(abs(coalesce(cur.v, 0.0) - coalesce(prev.v, 0.0)) * 10000 + 0.5) / 10000) AS value
-         FROM cur FULL OUTER JOIN prev
-           ON cur.tag_user = prev.tag_user AND cur.b = prev.b
-         ORDER BY tag_user, ts"""
+           WHERE b >= ${start - DAY} AND b <= ${T_0120 - DAY}),
+         grid AS (SELECT DISTINCT b FROM
+           (SELECT b FROM cur UNION ALL SELECT b FROM prev)),
+         series AS (SELECT DISTINCT tag_user FROM
+           (SELECT tag_user FROM cur UNION ALL SELECT tag_user FROM prev)),
+         j AS (
+           SELECT s.tag_user, g.b,
+             coalesce(cur.v, 0.0) - coalesce(prev.v, 0.0) AS v
+           FROM series s CROSS JOIN grid g
+           LEFT JOIN cur ON cur.tag_user = s.tag_user AND cur.b = g.b
+           LEFT JOIN prev ON prev.tag_user = s.tag_user AND prev.b = g.b)
+         SELECT 'dod' AS metric, tag_user, b AS ts,
+           (sign(v) * floor(abs(v) * 10000 + 0.5) / 10000) AS value
+         FROM j ORDER BY tag_user, ts"""
     },
 
     "q58_put_parse" ->
@@ -2829,6 +2923,26 @@ object SparkEntry {
            p * 100 AS ptile
          FROM px GROUP BY ts, p ORDER BY ptile, ts""",
 
+    "q97_normalize_put" ->
+      s"""$O SELECT metric, 'u' || tag_user AS tag_user,
+           CAST(count(*) AS BIGINT) AS n,
+           (sign(sum(value)) * floor(abs(sum(value)) * 10000 + 0.5) / 10000) AS sum_v
+         FROM points WHERE metric = 'signup' AND tag_k IS NOT NULL
+         GROUP BY metric, tag_user
+         ORDER BY metric, tag_user""",
+
+    "q98_search_lookup_plugin" ->
+      s"""$O, m AS (
+           SELECT metric, tag_user, tag_k,
+             CAST(count(*) AS BIGINT) AS points
+           FROM points GROUP BY metric, tag_user, tag_k)
+         SELECT 'plugin' AS source, metric, tag_user, tag_k, points
+         FROM m WHERE metric = 'view'
+         UNION ALL
+         SELECT 'engine', metric, tag_user, tag_k, points
+         FROM m WHERE metric = 'signup'
+         ORDER BY source, metric, tag_user, tag_k""",
+
     "q93_uid_fsck" ->
       s"""$O, f0 AS (SELECT * FROM points WHERE metric IN ('click','signup')),
          names AS (
@@ -2910,7 +3024,8 @@ object SparkEntry {
            ('http','version'),('http','diediedie'),
            ('http','api/aggregators'),('http','api/config'),
            ('http','api/dropcaches'),('http','api/stats'),
-           ('http','api/version'),('http','api/status'),('http','api/uid')),
+           ('http','api/version'),('http','api/status'),('http','api/uid'),
+           ('http','plugin/myplugin/subpath')),
          rdonly(transport, command) AS (VALUES
            ('http',''),('http','s'),('http','favicon.ico'),
            ('http','suggest'),('http','q'),

@@ -89,6 +89,12 @@ object ExpQuery {
     case Bin(op, _, _) => throw new IllegalArgumentException(s"op $op")
   }
 
+  /** The parsed expression as one Catalyst Column with `bind`
+    * resolving each variable — the arithmetic runs wholly inside
+    * codegen over whatever join laid the variables out. */
+  def bindColumns(expr: String, bind: String => Column): Column =
+    toColumn(parse(expr), bind)
+
   /**
    * Evaluate an infix expression over named sub-query results. The
    * variable DataFrames (columns: joinKeys..., ts, value) are aligned

@@ -1,0 +1,559 @@
+package graft
+
+import graft.model.Points
+import graft.operators.ExpressionJoin
+import graft.operators.ExpressionJoin.VarSet
+import graft.query._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/**
+ * Ports of the reference's expression-layer iterator suites — the
+ * UNION / INTERSECTION series-matching vectors of
+ * /root/reference/test/query/expression/TestUnionIterator.java and
+ * TestIntersectionIterator.java over the BaseTimeSyncedIteratorTest
+ * fixtures (BaseTimeSyncedIteratorTest.java:147-649). Each fixture
+ * feeds raw points through the real pipeline (Engine.runForExpression:
+ * run + SpanGroup.computeTags identity) and asserts the assembled
+ * expression grid against the reference's expected values.
+ *
+ * The reference tests assert positional arrays ordered by flattened
+ * UID bytes; series here are keyed by their result tags (or the
+ * flattened key where tags collide), so assertions are written as
+ * (series, ts) → (value per variable) maps — same content, order-free.
+ *
+ * The reference's *ExtraDP* variants add points AFTER the query ran
+ * (MockBase is queried inside runQueries), so those points are
+ * invisible and the vectors collapse to their base tests — not
+ * ported separately.
+ */
+class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val T0 = 1431561600000L
+  private val T1 = T0 + 60000L
+  private val T2 = T0 + 120000L
+  private val T3 = T0 + 180000L
+  // START_TS (BaseTimeSyncedIteratorTest.java:34) .. far future
+  private val Q = TsQuery(1388534400000L, 1500000000000L, Seq.empty)
+
+  /** (metric, tsMs, longValue, tags) → typed points df. */
+  private def pts(rows: Seq[(String, Long, Long, Map[String, String])])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.map { case (m, t, v, tg) =>
+      Row(m, t, v.toDouble, java.lang.Long.valueOf(v), true, tg)
+    }.asJava, Points.schema)
+  }
+
+  /** Three points at T0/T1/T2 with ascending values from `v0`. */
+  private def series(m: String, v0: Long, tags: (String, String)*)
+      : Seq[(String, Long, Long, Map[String, String])] =
+    Seq((m, T0, v0, tags.toMap), (m, T1, v0 + 1, tags.toMap),
+      (m, T2, v0 + 2, tags.toMap))
+
+  /** queryAB_Dstar / queryAB_AggAll / queryA_DD sub-queries. */
+  private def varSet(points: DataFrame, name: String, metric: String,
+                     filters: Seq[TagFilter]): VarSet =
+    VarSet(name, Engine.runForExpression(points, Q,
+      SubQuery("sum", metric, filters)),
+      queryTagKs = filters.map(_.tagk).toSet)
+
+  private def dStar(points: DataFrame): Seq[VarSet] = Seq(
+    varSet(points, "a", "A", Seq(GroupByAll("D"))),
+    varSet(points, "b", "B", Seq(GroupByAll("D"))))
+
+  private def aggAll(points: DataFrame): Seq[VarSet] = Seq(
+    varSet(points, "a", "A", Seq.empty),
+    varSet(points, "b", "B", Seq.empty))
+
+  /** Collect the assembled grid as (sorted-tags-repr, ts) →
+    * (v_a, v_b). */
+  private def grid(df: DataFrame): Map[(String, Long), (Double, Double)] =
+    df.collect().map { r =>
+      val tags = r.getMap[String, String](r.fieldIndex("tags")).toMap
+      val repr = tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString(",")
+      ((repr, r.getAs[Long]("ts")),
+        (r.getAs[Double]("__v_a"), r.getAs[Double]("__v_b")))
+    }.toMap
+
+  private def seriesCount(df: DataFrame): Long =
+    df.select("__skey").distinct().count()
+
+  // ---- fixtures (BaseTimeSyncedIteratorTest) --------------------------
+
+  private def oneExtraSameE = pts(
+    series("A", 1, "D" -> "D", "E" -> "E") ++
+    series("A", 4, "D" -> "F", "E" -> "E") ++
+    series("B", 11, "D" -> "D", "E" -> "E") ++
+    series("B", 14, "D" -> "F", "E" -> "E") ++
+    series("B", 17, "D" -> "G", "E" -> "E"))
+
+  private def threeDisjointSameE = pts(
+    series("A", 1, "D" -> "D", "E" -> "E") ++
+    series("A", 4, "D" -> "F", "E" -> "E") ++
+    series("A", 7, "D" -> "G", "E" -> "E") ++
+    series("B", 11, "D" -> "D", "E" -> "E") ++
+    series("B", 14, "D" -> "Q", "E" -> "E") ++
+    series("B", 17, "D" -> "G", "E" -> "E"))
+
+  private def reduceToOne = pts(
+    series("A", 1, "D" -> "D", "E" -> "E") ++
+    series("A", 4, "D" -> "F", "E" -> "E") ++
+    series("A", 7, "D" -> "G", "E" -> "E") ++
+    series("B", 11, "D" -> "P", "E" -> "E") ++
+    series("B", 14, "D" -> "Q", "E" -> "E") ++
+    series("B", 17, "D" -> "G", "E" -> "E"))
+
+  private def threeSameE = pts(
+    series("A", 1, "D" -> "D", "E" -> "E") ++
+    series("A", 4, "D" -> "F", "E" -> "E") ++
+    series("A", 7, "D" -> "G", "E" -> "E") ++
+    series("B", 11, "D" -> "D", "E" -> "E") ++
+    series("B", 14, "D" -> "F", "E" -> "E") ++
+    series("B", 17, "D" -> "G", "E" -> "E"))
+
+  private def threeSameENoB = pts(
+    series("A", 1, "D" -> "D", "E" -> "E") ++
+    series("A", 4, "D" -> "F", "E" -> "E") ++
+    series("A", 7, "D" -> "G", "E" -> "E"))
+
+  private def threeDifE = pts(
+    series("A", 1, "D" -> "D", "E" -> "A") ++
+    series("A", 4, "D" -> "F", "E" -> "B") ++
+    series("A", 7, "D" -> "G", "E" -> "C") ++
+    series("B", 11, "D" -> "D", "E" -> "D") ++
+    series("B", 14, "D" -> "F", "E" -> "F") ++
+    series("B", 17, "D" -> "G", "E" -> "G"))
+
+  private def threeAMissingE = pts(
+    series("A", 1, "D" -> "D") ++
+    series("A", 4, "D" -> "F") ++
+    series("A", 7, "D" -> "G") ++
+    series("B", 11, "D" -> "D", "E" -> "E") ++
+    series("B", 14, "D" -> "F", "E" -> "E") ++
+    series("B", 17, "D" -> "G", "E" -> "E"))
+
+  private def twoSeriesAggedE = pts(
+    series("A", 1, "D" -> "D", "E" -> "E") ++
+    series("A", 1, "D" -> "D", "E" -> "F") ++
+    series("B", 11, "D" -> "D", "E" -> "E") ++
+    series("B", 11, "D" -> "D", "E" -> "F"))
+
+  private def twoSeriesAggedEandExtraTagK = pts(
+    series("A", 1, "D" -> "D", "E" -> "E") ++
+    series("A", 1, "D" -> "D", "E" -> "F") ++
+    series("B", 11, "D" -> "D", "E" -> "E", "Z" -> "A") ++
+    series("B", 11, "D" -> "D", "E" -> "F", "Z" -> "B"))
+
+  private def oneAggedTheOtherTagged = pts(
+    series("A", 1, "D" -> "D", "E" -> "E") ++
+    series("A", 1, "D" -> "E", "E" -> "F") ++
+    series("B", 11, "D" -> "D", "E" -> "E"))
+
+  /** threeSameEGaps: each series is missing one point. */
+  private def threeSameEGaps = pts(Seq(
+    ("A", T0, 1L, Map("D" -> "D", "E" -> "E")),
+    ("A", T2, 3L, Map("D" -> "D", "E" -> "E")),
+    ("A", T0, 4L, Map("D" -> "F", "E" -> "E")),
+    ("A", T1, 5L, Map("D" -> "F", "E" -> "E")),
+    ("A", T1, 8L, Map("D" -> "G", "E" -> "E")),
+    ("A", T2, 9L, Map("D" -> "G", "E" -> "E")),
+    ("B", T2, 13L, Map("D" -> "D", "E" -> "E")),
+    ("B", T1, 15L, Map("D" -> "F", "E" -> "E")),
+    ("B", T2, 19L, Map("D" -> "G", "E" -> "E"))))
+
+  /** timeOffset: A at T0/T1 only, B at T2/T3 only. */
+  private def timeOffset = pts(Seq(
+    ("A", T0, 1L, Map("D" -> "D", "E" -> "E")),
+    ("A", T1, 2L, Map("D" -> "D", "E" -> "E")),
+    ("A", T0, 4L, Map("D" -> "F", "E" -> "E")),
+    ("A", T1, 5L, Map("D" -> "F", "E" -> "E")),
+    ("B", T2, 13L, Map("D" -> "D", "E" -> "E")),
+    ("B", T3, 14L, Map("D" -> "D", "E" -> "E")),
+    ("B", T2, 16L, Map("D" -> "F", "E" -> "E")),
+    ("B", T3, 17L, Map("D" -> "F", "E" -> "E"))))
+
+  private def asc(repr: String, v0: Double, w0: Double,
+                  g: Map[(String, Long), (Double, Double)]): Unit =
+    Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+      assert(g((repr, t)) == (v0 + i, w0 + i), s"$repr @ $t")
+    }
+
+  // ---- IntersectionIterator ports -------------------------------------
+
+  test("intersection: twoAndThreeSeries — B's extra series is kicked") {
+    val out = ExpressionJoin.intersection("it", dStar(oneExtraSameE),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 2)
+    val g = grid(out)
+    assert(g.size == 6)
+    asc("D=D,E=E", 1, 11, g)
+    asc("D=F,E=E", 4, 14, g)
+  }
+
+  test("intersection: threeSeriesIntersectToTwo — disjoint series kicked " +
+       "from both sides") {
+    val out = ExpressionJoin.intersection("it", dStar(threeDisjointSameE),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 2)
+    val g = grid(out)
+    asc("D=D,E=E", 1, 11, g)
+    asc("D=G,E=E", 7, 17, g)
+  }
+
+  test("intersection: threeSeriesIntersectToOne") {
+    val out = ExpressionJoin.intersection("it", dStar(reduceToOne),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 1)
+    asc("D=G,E=E", 7, 17, grid(out))
+  }
+
+  test("intersection: threeSeriesAggedIntoOne — agg-all variables match " +
+       "on the single-valued E") {
+    val out = ExpressionJoin.intersection("it", aggAll(threeSameE),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 1)
+    val g = grid(out)
+    assert(g(("E=E", T0)) == (12.0, 42.0))
+    assert(g(("E=E", T1)) == (15.0, 45.0))
+    assert(g(("E=E", T2)) == (18.0, 48.0))
+  }
+
+  test("intersection: threeSeriesFullIntersectWithNaNs — per-series gaps " +
+       "NaN-fill on the common grid") {
+    val out = ExpressionJoin.intersection("it", dStar(threeSameEGaps),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 3)
+    val g = grid(out)
+    assert(g.size == 9)
+    def chk(repr: String, exp: Seq[(Double, Double)]): Unit =
+      Seq(T0, T1, T2).zip(exp).foreach { case (t, (ea, eb)) =>
+        val (a, b) = g((repr, t))
+        def ok(x: Double, e: Double) = if (e.isNaN) x.isNaN else x == e
+        assert(ok(a, ea) && ok(b, eb), s"$repr @ $t: ($a,$b) != ($ea,$eb)")
+      }
+    val nan = Double.NaN
+    chk("D=D,E=E", Seq((1, nan), (nan, nan), (3, 13)))
+    chk("D=F,E=E", Seq((4, nan), (5, 15), (nan, nan)))
+    chk("D=G,E=E", Seq((nan, nan), (8, nan), (9, 19)))
+  }
+
+  test("intersection: twoSeriesTimeOffset — disjoint time ranges NaN " +
+       "against each other") {
+    val out = ExpressionJoin.intersection("it", dStar(timeOffset),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 2)
+    val g = grid(out)
+    assert(g.size == 8) // 2 series × grid {T0,T1,T2,T3}
+    assert(g(("D=D,E=E", T0)) == (1.0, Double.NaN) ||
+      (g(("D=D,E=E", T0))._1 == 1.0 && g(("D=D,E=E", T0))._2.isNaN))
+    assert(g(("D=D,E=E", T1))._1 == 2.0 && g(("D=D,E=E", T1))._2.isNaN)
+    assert(g(("D=D,E=E", T2))._1.isNaN && g(("D=D,E=E", T2))._2 == 13.0)
+    assert(g(("D=D,E=E", T3))._1.isNaN && g(("D=D,E=E", T3))._2 == 14.0)
+    assert(g(("D=F,E=E", T0))._1 == 4.0 && g(("D=F,E=E", T0))._2.isNaN)
+    assert(g(("D=F,E=E", T3))._1.isNaN && g(("D=F,E=E", T3))._2 == 17.0)
+  }
+
+  test("intersection: noIntersectionUsingResultTags throws") {
+    intercept[IllegalArgumentException] {
+      ExpressionJoin.intersection("it", dStar(threeDifE),
+        useQueryTags = false, includeAggTags = false)
+    }
+  }
+
+  test("intersection: intersectUsingQueryTags matches on the filter keys " +
+       "only") {
+    val out = ExpressionJoin.intersection("it", dStar(threeDifE),
+      useQueryTags = true, includeAggTags = false)
+    assert(seriesCount(out) == 3)
+    val g = grid(out)
+    // tags repr comes from variable a's result identity
+    asc("D=D,E=A", 1, 11, g)
+    asc("D=F,E=B", 4, 14, g)
+    asc("D=G,E=C", 7, 17, g)
+  }
+
+  test("intersection: commonAggregatedTag — both sides aggregated E away") {
+    val out = ExpressionJoin.intersection("it", dStar(twoSeriesAggedE),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 1)
+    val g = grid(out)
+    assert(g(("D=D", T0)) == (2.0, 22.0))
+    assert(g(("D=D", T1)) == (4.0, 24.0))
+    assert(g(("D=D", T2)) == (6.0, 26.0))
+  }
+
+  test("intersection: extraAggTagIgnored without includeAggTags") {
+    val out = ExpressionJoin.intersection("it",
+      dStar(twoSeriesAggedEandExtraTagK),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 1)
+    val g = grid(out)
+    assert(g(("D=D", T0)) == (2.0, 22.0))
+    assert(g(("D=D", T2)) == (6.0, 26.0))
+  }
+
+  test("intersection: extraAggTagNoIntersection — B's extra aggregated Z " +
+       "breaks the match when agg tags are included") {
+    intercept[IllegalArgumentException] {
+      ExpressionJoin.intersection("it",
+        dStar(twoSeriesAggedEandExtraTagK),
+        useQueryTags = false, includeAggTags = true)
+    }
+  }
+
+  test("intersection: onlyOneResultSet throws — B returned nothing") {
+    intercept[IllegalArgumentException] {
+      ExpressionJoin.intersection("it", dStar(threeSameENoB),
+        useQueryTags = false, includeAggTags = true)
+    }
+  }
+
+  test("intersection: oneAggedOneTaggedNoIntersection — empty-tag key vs " +
+       "full-tag key") {
+    intercept[IllegalArgumentException] {
+      ExpressionJoin.intersection("it", aggAll(oneAggedTheOtherTagged),
+        useQueryTags = false, includeAggTags = true)
+    }
+  }
+
+  test("intersection: oneAggedOneTaggedUseQueryTagsWoutQueryTags — both " +
+       "flatten to the empty key and match") {
+    val out = ExpressionJoin.intersection("it",
+      aggAll(oneAggedTheOtherTagged),
+      useQueryTags = true, includeAggTags = false)
+    assert(seriesCount(out) == 1)
+    val g = grid(out)
+    // a is the 2-series aggregate (2,4,6), b the lone tagged series
+    assert(g.values.toSet == Set((2.0, 11.0), (4.0, 12.0), (6.0, 13.0)))
+  }
+
+  test("intersection: singleSeries — one variable intersects with itself") {
+    val p = oneExtraSameE
+    val out = ExpressionJoin.intersection("it", Seq(
+      varSet(p, "a", "A", Seq(LiteralOr("D", Seq("D"), groupBy = true)))),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 1)
+    val vals = out.collect().map(r =>
+      r.getAs[Long]("ts") -> r.getAs[Double]("__v_a")).toMap
+    assert(vals == Map(T0 -> 1.0, T1 -> 2.0, T2 -> 3.0))
+  }
+
+  test("intersection: setAMissingE throws on result tags, matches on " +
+       "query tags") {
+    intercept[IllegalArgumentException] {
+      ExpressionJoin.intersection("it", dStar(threeAMissingE),
+        useQueryTags = false, includeAggTags = false)
+    }
+    val out = ExpressionJoin.intersection("it", dStar(threeAMissingE),
+      useQueryTags = true, includeAggTags = false)
+    assert(seriesCount(out) == 3)
+    val g = grid(out)
+    asc("D=D", 1, 11, g)
+    asc("D=F", 4, 14, g)
+    asc("D=G", 7, 17, g)
+  }
+
+  test("intersection: noData — empty result sets yield an empty grid, " +
+       "no exception") {
+    val p = pts(Seq.empty)
+    val out = ExpressionJoin.intersection("it", dStar(p),
+      useQueryTags = false, includeAggTags = false)
+    assert(out.count() == 0)
+  }
+
+  // ---- UnionIterator ports ---------------------------------------------
+
+  test("union: twoAndThreeSeries — missing series zero-fill") {
+    val out = ExpressionJoin.union("it", dStar(oneExtraSameE),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 3)
+    val g = grid(out)
+    asc("D=D,E=E", 1, 11, g)
+    asc("D=F,E=E", 4, 14, g)
+    Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+      assert(g(("D=G,E=E", t)) == (0.0, 17.0 + i))
+    }
+  }
+
+  test("union: threeSeriesUnionToFour") {
+    val out = ExpressionJoin.union("it", dStar(threeDisjointSameE),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 4)
+    val g = grid(out)
+    asc("D=D,E=E", 1, 11, g)
+    asc("D=G,E=E", 7, 17, g)
+    Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+      assert(g(("D=F,E=E", t)) == (4.0 + i, 0.0))
+      assert(g(("D=Q,E=E", t)) == (0.0, 14.0 + i))
+    }
+  }
+
+  test("union: threeSeriesAgged — agg-all matches into one series") {
+    val out = ExpressionJoin.union("it", aggAll(threeSameE),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 1)
+    val g = grid(out)
+    assert(g(("E=E", T0)) == (12.0, 42.0))
+    assert(g(("E=E", T2)) == (18.0, 48.0))
+  }
+
+  test("union: threeSeriesWithNaNs — ts gaps NaN, missing series zero") {
+    val out = ExpressionJoin.union("it", dStar(threeSameEGaps),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 3)
+    val g = grid(out)
+    // same as the intersection variant: all three keys survive in both
+    val (a0, b0) = g(("D=D,E=E", T1))
+    assert(a0.isNaN && b0.isNaN)
+    assert(g(("D=G,E=E", T2)) == (9.0, 19.0))
+    val (a1, b1) = g(("D=F,E=E", T2))
+    assert(a1.isNaN && b1.isNaN)
+  }
+
+  test("union: twoSeriesTimeOffset") {
+    val out = ExpressionJoin.union("it", dStar(timeOffset),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 2)
+    val g = grid(out)
+    assert(g.size == 8)
+    assert(g(("D=D,E=E", T0))._1 == 1.0 && g(("D=D,E=E", T0))._2.isNaN)
+    assert(g(("D=D,E=E", T3))._1.isNaN && g(("D=D,E=E", T3))._2 == 14.0)
+  }
+
+  test("union: threeSeriesUsingResultTags — six disjoint series") {
+    val out = ExpressionJoin.union("it", dStar(threeDifE),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 6)
+    val g = grid(out)
+    Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+      assert(g(("D=D,E=A", t)) == (1.0 + i, 0.0))
+      assert(g(("D=F,E=B", t)) == (4.0 + i, 0.0))
+      assert(g(("D=G,E=C", t)) == (7.0 + i, 0.0))
+      assert(g(("D=D,E=D", t)) == (0.0, 11.0 + i))
+      assert(g(("D=F,E=F", t)) == (0.0, 14.0 + i))
+      assert(g(("D=G,E=G", t)) == (0.0, 17.0 + i))
+    }
+  }
+
+  test("union: threeSeriesUsingQueryTags — collapses to three matched " +
+       "series") {
+    val out = ExpressionJoin.union("it", dStar(threeDifE),
+      useQueryTags = true, includeAggTags = false)
+    assert(seriesCount(out) == 3)
+    val g = grid(out)
+    asc("D=D,E=A", 1, 11, g)
+    asc("D=F,E=B", 4, 14, g)
+    asc("D=G,E=C", 7, 17, g)
+  }
+
+  test("union: commonAggregatedTag and extraAggTagIgnored") {
+    val g1 = grid(ExpressionJoin.union("it", dStar(twoSeriesAggedE),
+      useQueryTags = false, includeAggTags = false))
+    assert(g1(("D=D", T0)) == (2.0, 22.0))
+    assert(g1(("D=D", T2)) == (6.0, 26.0))
+    val g2 = grid(ExpressionJoin.union("it",
+      dStar(twoSeriesAggedEandExtraTagK),
+      useQueryTags = false, includeAggTags = false))
+    assert(g2(("D=D", T0)) == (2.0, 22.0))
+  }
+
+  test("union: extraAggTag — Z splits the union into two zero-filled " +
+       "series") {
+    val out = ExpressionJoin.union("it", dStar(twoSeriesAggedEandExtraTagK),
+      useQueryTags = false, includeAggTags = true)
+    assert(seriesCount(out) == 2)
+    // tags collide on repr (both {D:D}) — assert the value pairs per ts
+    val byTs = out.collect().groupBy(_.getAs[Long]("ts")).map {
+      case (t, rows) =>
+        t -> rows.map(r => (r.getAs[Double]("__v_a"),
+          r.getAs[Double]("__v_b"))).toSet
+    }
+    assert(byTs(T0) == Set((2.0, 0.0), (0.0, 22.0)))
+    assert(byTs(T1) == Set((4.0, 0.0), (0.0, 24.0)))
+    assert(byTs(T2) == Set((6.0, 0.0), (0.0, 26.0)))
+  }
+
+  test("union: onlyOneResultSet — every B value zero-fills, under all " +
+       "three flag shapes") {
+    for ((uq, iat) <- Seq((false, false), (true, false), (false, true))) {
+      val out = ExpressionJoin.union("it", dStar(threeSameENoB),
+        useQueryTags = uq, includeAggTags = iat)
+      assert(seriesCount(out) == 3, s"uq=$uq iat=$iat")
+      val g = grid(out)
+      Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+        assert(g(("D=D,E=E", t)) == (1.0 + i, 0.0))
+        assert(g(("D=F,E=E", t)) == (4.0 + i, 0.0))
+        assert(g(("D=G,E=E", t)) == (7.0 + i, 0.0))
+      }
+    }
+  }
+
+  test("union: oneAggedOneTagged — empty-tag key and full-tag key stay " +
+       "separate series") {
+    val out = ExpressionJoin.union("it", aggAll(oneAggedTheOtherTagged),
+      useQueryTags = false, includeAggTags = true)
+    assert(seriesCount(out) == 2)
+    val g = grid(out)
+    Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+      assert(g(("", t)) == (2.0 + 2 * i, 0.0))
+      assert(g(("D=D,E=E", t)) == (0.0, 11.0 + i))
+    }
+  }
+
+  test("union: oneAggedOneTaggedUseQueryTagsWoutQueryTags — both flatten " +
+       "empty and merge") {
+    val out = ExpressionJoin.union("it", aggAll(oneAggedTheOtherTagged),
+      useQueryTags = true, includeAggTags = false)
+    assert(seriesCount(out) == 1)
+    val g = grid(out)
+    assert(g.values.toSet == Set((2.0, 11.0), (4.0, 12.0), (6.0, 13.0)))
+  }
+
+  test("union: singleSeries") {
+    val out = ExpressionJoin.union("it", Seq(
+      varSet(oneExtraSameE, "a", "A",
+        Seq(LiteralOr("D", Seq("D"), groupBy = true)))),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 1)
+    val vals = out.collect().map(r =>
+      r.getAs[Long]("ts") -> r.getAs[Double]("__v_a")).toMap
+    assert(vals == Map(T0 -> 1.0, T1 -> 2.0, T2 -> 3.0))
+  }
+
+  test("union: setAMissingE — result-tag keys disjoint (6 series), query " +
+       "tags merge (3)") {
+    val out = ExpressionJoin.union("it", dStar(threeAMissingE),
+      useQueryTags = false, includeAggTags = false)
+    assert(seriesCount(out) == 6)
+    val g = grid(out)
+    Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+      assert(g(("D=D", t)) == (1.0 + i, 0.0))
+      assert(g(("D=D,E=E", t)) == (0.0, 11.0 + i))
+    }
+    val merged = ExpressionJoin.union("it", dStar(threeAMissingE),
+      useQueryTags = true, includeAggTags = false)
+    assert(seriesCount(merged) == 3)
+    val g2 = grid(merged)
+    asc("D=D", 1, 11, g2)
+    asc("D=F", 4, 14, g2)
+    asc("D=G", 7, 17, g2)
+  }
+
+  test("union: noData yields an empty grid") {
+    val out = ExpressionJoin.union("it", dStar(pts(Seq.empty)),
+      useQueryTags = false, includeAggTags = false)
+    assert(out.count() == 0)
+  }
+}

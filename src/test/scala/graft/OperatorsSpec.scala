@@ -399,14 +399,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Engine.serializeV1(p, q, sub).collect()
       .map(_.getAs[String]("json")).sorted
     assert(out.length == 2)
-    assert(out(0).contains(""""metric":"m""""))
-    assert(out(0).contains(""""tags":{"host":"a"}"""))
-    assert(out(0).contains(""""aggregateTags":["dc"]"""))
-    assert(out(0).contains(""""dps":{"1000":1.0,"2000":2.0}"""))
+    // host=a aggregates two dc values away → dc is an aggregateTag;
+    // host=b is a ONE-series group, so its FULL tag set reports as
+    // tags with nothing aggregated — SpanGroup.computeTags
+    // (src/core/SpanGroup.java:348-388; a key joins aggregateTags only
+    // when a second VALUE is seen)
+    val aDoc = out.find(_.contains(""""tags":{"host":"a"}""")).get
+    assert(aDoc.contains(""""metric":"m""""))
+    assert(aDoc.contains(""""aggregateTags":["dc"]"""))
+    assert(aDoc.contains(""""dps":{"1000":1.0,"2000":2.0}"""))
+    val bDoc = out.find(_.contains(""""dps":{"1000":5.0}""")).get
+    assert(bDoc.contains(""""tags":{"dc":"x","host":"b"}"""))
+    assert(bDoc.contains(""""aggregateTags":[]"""))
     // non-ms resolution keys dps by epoch seconds
     val secs = Engine.serializeV1(p, q.copy(msResolution = false), sub)
-      .collect().map(_.getAs[String]("json")).sorted
-    assert(secs(0).contains(""""dps":{"1":1.0,"2":2.0}"""))
+      .collect().map(_.getAs[String]("json"))
+    assert(secs.exists(_.contains(""""dps":{"1":1.0,"2":2.0}""")))
   }
 
   test("reference formatQueryAsyncV1 golden fixture (system.cpu.user wire doc)") {
@@ -1199,11 +1207,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doc.contains("\"dps\":{\"0\":11.0,\"60000\":105.0}"))
   }
 
-  test("runExpJson re-aggregates variables grouped by wider tag sets") {
-    // a grouped by (host, core), b grouped by host only: the expression
-    // join runs on the tag intersection {host}, so a must collapse its
-    // core dimension (sum) BEFORE the join — joining as-is would
-    // multiply b's rows per (host, ts) instead of aggregating
+  test("runExpJson: variables grouped by different tag sets stay " +
+       "DISJOINT union members (reference series matching)") {
+    // a grouped by (host, core), b grouped by host only: the
+    // reference's UnionIterator matches series on their flattened
+    // result identity, so a's (host, core) keys never match b's
+    // (host) keys — every series stands alone, zero-filled on the
+    // side that lacks it (UnionIterator.java:171-244; round 10
+    // replaced the earlier invented collapse-the-extra-dimension
+    // behavior with this)
     val df = pointsDf(Seq(
       ("cpu", 10000L, 1.0, Map("host" -> "a", "core" -> "0")),
       ("cpu", 10000L, 2.0, Map("host" -> "a", "core" -> "1")),
@@ -1229,8 +1241,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Engine.runExpJson(df, body).head._2.collect()
       .map(r => (r.getAs[String]("tag_host"), r.getAs[Long]("ts"),
         r.getAs[Double]("value"))).toSet
-    // ONE row per (host, ts): a collapses cores (a: 1+2=3, b: 4)
-    assert(rows == Set(("a", 0L, 13.0), ("b", 0L, 24.0)), rows.toString)
+    // five union series at ts 0: a's three (b-side 0-filled) and b's
+    // two (a-side 0-filled)
+    assert(rows == Set(("a", 0L, 1.0), ("a", 0L, 2.0), ("b", 0L, 4.0),
+      ("a", 0L, 10.0), ("b", 0L, 20.0)), rows.toString)
   }
 
   test("runExpJson guards: constant expression and empty emit list") {
