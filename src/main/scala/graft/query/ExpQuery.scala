@@ -13,9 +13,19 @@ import org.apache.spark.sql.functions._
  * Catalyst Column arithmetic after the variables are aligned on a
  * UNION or INTERSECTION time join (SURVEY §2.3).
  *
- * Precedence-climbing parser for `+ - * / %`, unary minus, parens,
- * numeric literals, identifiers. No JEXL: the AST maps 1:1 onto
- * Column operators, so the whole expression stays inside codegen.
+ * Precedence-climbing parser for `+ - * / %`, comparisons, unary
+ * minus, parens, numeric literals, identifiers. No JEXL: the AST maps
+ * 1:1 onto Column operators, so the whole expression stays inside
+ * codegen. JEXL quirks the reference's tests pin are reproduced:
+ * division by zero yields 0 (TestExpressionIterator
+ * .aDivideByZeroWithTwoSeries:284 — "Jexl apparently happily allows
+ * this, just emits a zero"), `a < b` evaluates to 1/0 (Booleans
+ * render as 1/0, ExpressionIterator.java:351-353), and `a > b` is
+ * REJECTED as having no variables — JEXL 2's variable collector
+ * returns nothing for the greater-than node, so the reference ctor
+ * throws "didn't appear to have any variables"
+ * (TestExpressionIterator.aGreaterThanb:1086 expects
+ * IllegalArgumentException where aLessThanb:1123 iterates).
  */
 object ExpQuery {
 
@@ -32,6 +42,7 @@ object ExpQuery {
     private def peek: Char = if (pos < s.length) s(pos) else '\u0000'
     private def skipWs(): Unit = while (pos < s.length && s(pos).isWhitespace) pos += 1
     private def prec(c: Char): Int = c match {
+      case '<' | '>' => 0
       case '+' | '-' => 1
       case '*' | '/' | '%' => 2
       case _ => -1
@@ -69,11 +80,16 @@ object ExpQuery {
     }
   }
 
-  /** Free variables of an expression, in first-appearance order. */
+  /** Free variables of an expression, in first-appearance order.
+    * A greater-than subtree contributes NONE — reproducing JEXL 2's
+    * broken variable collector for `>`, which is what makes the
+    * reference reject `a > b` with "didn't appear to have any
+    * variables" while `a < b` runs. */
   def variables(a: Ast): Seq[String] = a match {
     case Num(_) => Seq.empty
     case Var(n) => Seq(n)
     case Neg(e) => variables(e)
+    case Bin('>', _, _) => Seq.empty
     case Bin(_, l, r) => (variables(l) ++ variables(r)).distinct
   }
 
@@ -84,8 +100,19 @@ object ExpQuery {
     case Bin('+', l, r) => toColumn(l, bind) + toColumn(r, bind)
     case Bin('-', l, r) => toColumn(l, bind) - toColumn(r, bind)
     case Bin('*', l, r) => toColumn(l, bind) * toColumn(r, bind)
-    case Bin('/', l, r) => toColumn(l, bind) / toColumn(r, bind)
+    case Bin('/', l, r) =>
+      // JEXL zero-divisor quirk: x / 0 emits 0, never Inf/NaN
+      val (lc, rc) = (toColumn(l, bind), toColumn(r, bind))
+      when(rc === 0.0, lit(0.0)).otherwise(lc / rc)
     case Bin('%', l, r) => toColumn(l, bind) % toColumn(r, bind)
+    case Bin(op @ ('<' | '>'), l, r) =>
+      // Booleans render 1/0 (ExpressionIterator.java:351-353); NaN
+      // comparisons are Java-false on both sides (Spark alone would
+      // order NaN greatest)
+      val (lc, rc) = (toColumn(l, bind), toColumn(r, bind))
+      when(isnan(lc) || isnan(rc), lit(0.0))
+        .otherwise(when(if (op == '<') lc < rc else lc > rc, lit(1.0))
+          .otherwise(lit(0.0)))
     case Bin(op, _, _) => throw new IllegalArgumentException(s"op $op")
   }
 

@@ -556,4 +556,132 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       useQueryTags = false, includeAggTags = false)
     assert(out.count() == 0)
   }
+
+  // ---- ExpressionIterator evaluation ports -----------------------------
+  // (TestExpressionIterator.java; remapResults gives every variable a
+  // fresh TimeSyncedIterator whose fill policy is the DEFAULT ZERO,
+  // TimeSyncedIterator.java:74)
+
+  import org.apache.spark.sql.functions.col
+
+  private def dStarFill(points: DataFrame, fill: Double): Seq[VarSet] =
+    dStar(points).map(_.copy(tsFill = fill))
+
+  private def evalIntersect(expr: String, sets: Seq[VarSet]): DataFrame = {
+    val joined = ExpressionJoin.intersection("ei", sets,
+      useQueryTags = false, includeAggTags = false)
+    joined.withColumn("value",
+      ExpQuery.bindColumns(expr, n => col(s"__v_$n")))
+  }
+
+  private def evalGrid(df: DataFrame): Map[(String, Long), Double] =
+    df.collect().map { r =>
+      val tags = r.getMap[String, String](r.fieldIndex("tags")).toMap
+      val repr = tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString(",")
+      ((repr, r.getAs[Long]("ts")), r.getAs[Double]("value"))
+    }.toMap
+
+  test("expression: aPlusBWithTwoSeries") {
+    val g = evalGrid(evalIntersect("a + b", dStarFill(oneExtraSameE, 0.0)))
+    Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+      assert(g(("D=D,E=E", t)) == 12.0 + 2 * i)
+      assert(g(("D=F,E=E", t)) == 18.0 + 2 * i)
+    }
+  }
+
+  test("expression: aMinusB / aTimesB / aDivideB / aModB") {
+    val sets = dStarFill(oneExtraSameE, 0.0)
+    val gm = evalGrid(evalIntersect("a - b", sets))
+    assert(gm(("D=D,E=E", T0)) == -10.0 && gm(("D=F,E=E", T2)) == -10.0)
+    val gt = evalGrid(evalIntersect("a * b", sets))
+    assert(gt(("D=D,E=E", T0)) == 11.0 && gt(("D=D,E=E", T1)) == 24.0)
+    val gd = evalGrid(evalIntersect("b / a", sets))
+    assert(gd(("D=D,E=E", T0)) == 11.0 && gd(("D=D,E=E", T1)) == 6.0)
+    val gmod = evalGrid(evalIntersect("b % a", sets))
+    assert(gmod(("D=D,E=E", T1)) == 0.0 && gmod(("D=D,E=E", T2)) == 1.0)
+  }
+
+  test("expression: aDivideByZero emits zero (JEXL quirk)") {
+    val g = evalGrid(evalIntersect("a / 0", dStarFill(oneExtraSameE, 0.0)))
+    assert(g.values.forall(_ == 0.0))
+    assert(g.size == 6)
+  }
+
+  test("expression: doubleVariableAndPrecedence a + (b * b)") {
+    val g = evalGrid(evalIntersect("a + (b * b)",
+      dStarFill(oneExtraSameE, 0.0)))
+    assert(g(("D=D,E=E", T0)) == 1.0 + 11.0 * 11.0)
+    assert(g(("D=F,E=E", T2)) == 6.0 + 16.0 * 16.0)
+    // precedence without parens is identical
+    val g2 = evalGrid(evalIntersect("a + b * b",
+      dStarFill(oneExtraSameE, 0.0)))
+    assert(g2 == g)
+  }
+
+  test("expression: aPlusScalarDropB — scalar operand, b ignored") {
+    val g = evalGrid(evalIntersect("a + 1", dStarFill(oneExtraSameE, 0.0)))
+    Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+      assert(g(("D=D,E=E", t)) == 2.0 + i)
+      assert(g(("D=F,E=E", t)) == 5.0 + i)
+    }
+  }
+
+  test("expression: aPlusB missing points — default zero fill, scalar " +
+       "fill, infectious NaN") {
+    // threeSameEGaps intersection, per-variable fill at eval
+    val zero = evalGrid(evalIntersect("a + b", dStarFill(threeSameEGaps, 0.0)))
+    assert(zero(("D=D,E=E", T0)) == 1.0)
+    assert(zero(("D=F,E=E", T0)) == 4.0)
+    assert(zero(("D=G,E=E", T0)) == 0.0)
+    assert(zero(("D=D,E=E", T1)) == 0.0)
+    assert(zero(("D=F,E=E", T1)) == 20.0)
+    assert(zero(("D=G,E=E", T1)) == 8.0)
+    assert(zero(("D=D,E=E", T2)) == 16.0)
+    assert(zero(("D=F,E=E", T2)) == 0.0)
+    assert(zero(("D=G,E=E", T2)) == 28.0)
+    val one = evalGrid(evalIntersect("a + b", dStarFill(threeSameEGaps, 1.0)))
+    assert(one(("D=D,E=E", T0)) == 2.0)
+    assert(one(("D=F,E=E", T0)) == 5.0)
+    assert(one(("D=G,E=E", T0)) == 2.0)
+    assert(one(("D=G,E=E", T1)) == 9.0)
+    assert(one(("D=F,E=E", T2)) == 2.0)
+    val nan = evalGrid(evalIntersect("a + b",
+      dStarFill(threeSameEGaps, Double.NaN)))
+    assert(nan(("D=D,E=E", T2)) == 16.0)
+    assert(nan(("D=D,E=E", T0)).isNaN)
+    assert(nan(("D=G,E=E", T1)).isNaN)
+  }
+
+  test("expression: singleNestedExpression x * 2 over (a + b)") {
+    // the inner expression result feeds the outer join as a variable
+    // whose identity is the joined series tags
+    val inner = evalIntersect("a + b", dStarFill(oneExtraSameE, 0.0))
+    val innerVar = VarSet("x", inner.select(col("tags"),
+      org.apache.spark.sql.functions.array()
+        .cast("array<string>").as("agg_tags"),
+      col("ts"), col("value")), tsFill = 0.0)
+    val g = evalGrid(evalIntersect("x * 2", Seq(innerVar)))
+    Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
+      assert(g(("D=D,E=E", t)) == 24.0 + 4 * i)
+      assert(g(("D=F,E=E", t)) == 36.0 + 4 * i)
+    }
+  }
+
+  test("expression: noIntersectionFound throws") {
+    intercept[IllegalArgumentException] {
+      evalIntersect("a + b", dStarFill(threeDifE, 0.0))
+    }
+  }
+
+  test("expression: aLessThanb yields 1/0; aGreaterThanb is rejected " +
+       "as variable-free (JEXL 2 collector quirk)") {
+    val g = evalGrid(evalIntersect("a < b", dStarFill(oneExtraSameE, 0.0)))
+    assert(g.size == 6)
+    assert(g.values.forall(_ == 1.0))
+    // '>' contributes no variables, so the ctor-level guard fires —
+    // the reference throws IllegalArgumentException("The expression
+    // didn't appear to have any variables")
+    assert(ExpQuery.variables(ExpQuery.parse("a > b")).isEmpty)
+  }
 }
