@@ -371,6 +371,43 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--interp-jitter")) {
+      // The DECLARED worst case of the cross-series slot join:
+      // fully-jittered stamps (every point a unique timestamp) make
+      // the union grid ≈ total points, so the slot table is
+      // |series| × points. This measures exactly how bad that is at
+      // 1x/3x/10x points — and how much the reference's own
+      // mitigation (downsample BEFORE cross-series aggregation,
+      // which collapses the grid to the bucket count) buys.
+      import org.apache.spark.sql.functions._
+      val series = 100L
+      for (p <- Seq(100000L, 300000L, 1000000L)) {
+        val perSeries = p / series
+        // ts = base + (k*S + s)*7 — pairwise distinct by construction
+        val pts = spark.range(series).select(col("id").as("s"))
+          .crossJoin(spark.range(perSeries).select(col("id").as("k")))
+          .select(lit("m").as("metric"),
+            (lit(1356998400000L) + (col("k") * series + col("s")) * 7L)
+              .as("ts"),
+            (col("s") + col("k")).cast("double").as("value"),
+            lit(null).cast("long").as("value_l"),
+            lit(false).as("is_int"),
+            map(lit("host"), concat(lit("h"), col("s"))).as("tags"))
+        def run(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val out = graft.operators.Interpolate.aggregate(df, "sum")
+          val n = out.agg(count(lit(1))).head.getLong(0)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val raw = (1 to 2).map(_ => run(pts)).last
+        val ds = (1 to 2).map(_ => run(graft.operators.Downsample(pts,
+          graft.query.DownsampleSpec.parse("1m-avg")))).last
+        println(f"JITTER pts=$p%-8d raw=${raw._1}%7.2f s (grid=${raw._2}) " +
+          f"ds1m=${ds._1}%6.2f s (grid=${ds._2})")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--exec")) {
       // post-execution (AQE-final) plan: shows runtime stage/exchange
       // reuse that the static explain cannot

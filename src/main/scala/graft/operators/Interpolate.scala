@@ -165,7 +165,13 @@ object Interpolate {
       // set of (group, ts) with ≥1 present point, which is what the
       // direct groupBy emits. Saves two distincts + two joins; at scale
       // the slot table is |series|×|union-of-ts| per group — a genuine
-      // scale-killer for metric-wide grouping.
+      // scale-killer for metric-wide grouping. Measured (SCALING.md
+      // round-10 jitter probe): fully-jittered stamps materialize slot
+      // rows at ~30M/s on local[32] — linear and unbounded in
+      // series×points — while downsampling first collapses the grid to
+      // the bucket count (sub-second, flat across 10× points), which is
+      // why Engine.run downsamples BEFORE this join, like the
+      // reference's per-span Downsampler ahead of AggregationIterator.
       // (the reference's ZIM/sentinel substitutions are typed to the
       // group's current mode, so the integral flag is decided by the
       // PRESENT contributions alone — exactly what bool_and sees here)
