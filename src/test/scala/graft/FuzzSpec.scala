@@ -111,14 +111,17 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
                          ds: Option[DownsampleSpec],
                          rate: Option[RateOptions],
                          filters: Seq[TagFilter],
-                         startMs: Long, endMs: Long) {
+                         startMs: Long, endMs: Long,
+                         emitFlag: Boolean = false,
+                         rowClip: Boolean = false) {
     def typed: Boolean = datasets(view)._2
     def hasDual: Boolean = typed && ds.isEmpty && rate.isEmpty
     override def toString: String =
       s"cfg#$id[$view ${ds.map(_.spec + ":").getOrElse("")}" +
         s"${rate.map(o => s"rate{${o.counter},${o.counterMax}," +
           s"${o.resetValue},${o.dropResets}}:").getOrElse("")}$agg " +
-        s"filters=$filters range=[$startMs,$endMs]]"
+        s"filters=$filters range=[$startMs,$endMs]" +
+        s"${if (emitFlag) " +oi" else ""}${if (rowClip) " +rowClip" else ""}]"
   }
 
   private val crossAggs = Seq("sum", "avg", "min", "max", "dev", "count",
@@ -162,7 +165,14 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val start = T0 + rnd.nextInt(15) * 10000L
     val end = start + (8 + rnd.nextInt(32)) * 10000L
-    Cfg(id, view, agg, ds, rate, filter.toSeq ++ group.toSeq, start, end)
+    // round-10 axes: the exactIntDps flag (typed, undownsampled,
+    // unrated configs — where the dual path is live) and the
+    // storage-row compat clip (meaningful only without downsample)
+    val c0 = Cfg(id, view, agg, ds, rate, filter.toSeq ++ group.toSeq,
+      start, end)
+    c0.copy(
+      emitFlag = c0.hasDual && rnd.nextDouble() < 0.5,
+      rowClip = ds.isEmpty && rnd.nextDouble() < 0.3)
   }
 
   // ---- SQL renderer (independent transcription) ----------------------
@@ -250,14 +260,22 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       c.ds.map(d => math.max(d.intervalMs, 1L)).getOrElse(0L),
       if (needsNeighbors) Engine.RATE_LERP_PAD_MS else 0L)
     val fcond = c.filters.map(filterSql).map(f => s" AND $f").mkString
+    // rowClip widens the output bounds to the enclosing 1h storage
+    // rows (scan floor / EXCLUSIVE next-hour stop row, Engine.run)
+    val (clipLo, clipHi) =
+      if (c.rowClip && c.ds.isEmpty) {
+        val loSec = (c.startMs / 1000L) / 3600L * 3600L
+        val endSec = c.endMs / 1000L
+        (loSec * 1000L, (endSec + (3600L - endSec % 3600L)) * 1000L - 1L)
+      } else (c.startMs, c.endMs)
 
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     val dualSel = if (c.hasDual) ", value_l, is_int" else ""
     ctes += s"""scan AS (
       SELECT sid, metric, tag_host, tag_dc, ts, value$dualSel
       FROM ${c.view}
-      WHERE metric = 'fm' AND ts >= ${c.startMs - pad}
-        AND ts <= ${c.endMs + pad}$fcond)"""
+      WHERE metric = 'fm' AND ts >= ${clipLo - pad}
+        AND ts <= ${clipHi + pad}$fcond)"""
     var prev = "scan"
 
     c.ds.foreach { spec =>
@@ -322,13 +340,33 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case Interpolate.Lerp if c.rate.isDefined => Interpolate.Prev
       case p => p
     }
-    val clip = s"ts >= ${c.startMs} AND ts <= ${c.endMs}"
+    val clip = s"ts >= $clipLo AND ts <= $clipHi"
+    // exactIntDps mirror: the per-timestamp long-path flag, then the
+    // GROUP-wide demotion (one float series demotes every dp —
+    // AggregationIterator.isInteger) — computed over the PADDED
+    // aggregation output, windowed BEFORE the range clip, exactly as
+    // the engine demotes inside Interpolate.aggregate and clips after
+    def withOi(aggBody: String, oi0: String): String = {
+      ctes += s"""agg0 AS (
+        SELECT $g, ts, $aggBody AS value, $oi0 AS oi0
+        FROM $prev GROUP BY $g, ts)"""
+      ctes += s"""agg1 AS (
+        SELECT *, bool_and(oi0) OVER (PARTITION BY $g) AS out_int
+        FROM agg0)"""
+      s"SELECT $g, ts, value, out_int FROM agg1 WHERE $clip"
+    }
     val body =
-      if (policy == Interpolate.Zim || policy == Interpolate.Ignore)
+      if (policy == Interpolate.Zim || policy == Interpolate.Ignore) {
         // zero-fill cannot change a sum and nulls are skipped by
         // min/max — the engine short-circuits, and so does the oracle
-        s"""SELECT $g, ts, ${aggSql(c.agg, "value", "ts")} AS value
-           FROM $prev WHERE $clip GROUP BY $g, ts"""
+        if (c.emitFlag)
+          withOi(aggSql(c.agg, "value", "ts"),
+            "coalesce(bool_and(coalesce(is_int AND value_l IS NOT NULL," +
+              " false)), false)")
+        else
+          s"""SELECT $g, ts, ${aggSql(c.agg, "value", "ts")} AS value
+             FROM $prev WHERE $clip GROUP BY $g, ts"""
+      }
       else {
         val onG = ("metric" +: keys.map(k => s"tag_$k"))
           .map(k => s"g1.$k = g2.$k").mkString(" AND ")
@@ -397,11 +435,16 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           }
           ctes += s"""iv AS (
             SELECT $g, ts, $ivalCol, $lv AS lval, $ifl AS iflag FROM w)"""
-          s"""SELECT $g, ts,
-               CASE WHEN bool_and(iflag)
+          val valueExpr =
+            s"""CASE WHEN bool_and(iflag)
                  THEN ${longAggSql(c.agg, "lval", "ts")}
-                 ELSE ${aggSql(c.agg, "ival", "ts")} END AS value
-             FROM iv WHERE $clip GROUP BY $g, ts"""
+                 ELSE ${aggSql(c.agg, "ival", "ts")} END"""
+          if (c.emitFlag) {
+            prev = "iv"
+            withOi(valueExpr, "coalesce(bool_and(iflag), false)")
+          } else
+            s"""SELECT $g, ts, $valueExpr AS value
+               FROM iv WHERE $clip GROUP BY $g, ts"""
         }
       }
     s"WITH ${ctes.mkString(",\n")}\n$body"
@@ -414,9 +457,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       math.abs(a - b) <=
         1e-8 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
 
-  private def collect(df: DataFrame,
-                      keys: Seq[String]): Map[String, Double] =
-    df.collect().map { r =>
+  private def collect(df: DataFrame, keys: Seq[String],
+                      withOi: Boolean = false): Map[String, Double] =
+    df.collect().flatMap { r =>
       val k = (Seq(r.getAs[String]("metric")) ++
         keys.map(t => String.valueOf(r.getAs[Any](s"tag_$t"))) :+
         r.getAs[Long]("ts").toString).mkString("|")
@@ -424,7 +467,11 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case null => Double.NaN
         case n: Number => n.doubleValue()
       }
-      k -> v
+      val oi =
+        if (!withOi) Seq.empty
+        else Seq(s"$k|oi" ->
+          (if (r.getAs[Boolean]("out_int")) 1.0 else 0.0))
+      (k -> v) +: oi
     }.toMap
 
   private def check(c: Cfg): Option[String] = {
@@ -433,8 +480,10 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       downsample = c.ds, rate = c.rate)
     val eng = collect(
       Engine.run(datasets(c.view)._1,
-        TsQuery(c.startMs, c.endMs, Seq(sub)), sub), keys)
-    val orc = collect(spark.sql(renderSql(c)), keys)
+        TsQuery(c.startMs, c.endMs, Seq(sub)), sub,
+        emitTypeFlag = c.emitFlag, rowClip = c.rowClip),
+      keys, withOi = c.emitFlag)
+    val orc = collect(spark.sql(renderSql(c)), keys, withOi = c.emitFlag)
     if (eng.keySet != orc.keySet) {
       val miss = (orc.keySet -- eng.keySet).take(3)
       val extra = (eng.keySet -- orc.keySet).take(3)
@@ -451,7 +500,25 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def runBatch(seed: Int, n: Int): Unit = {
     val rnd = new Random(seed)
-    val fails = (0 until n).flatMap(i => check(drawCfg(rnd, i)))
+    val cfgs = (0 until n).map(i => drawCfg(rnd, i))
+    // the round-10 axes must actually fire in every batch
+    assert(cfgs.exists(_.emitFlag), "no config drew exactIntDps")
+    assert(cfgs.exists(_.rowClip), "no config drew rowClip")
+    // ...and rowClip must be OBSERVABLE: a start off the hour boundary
+    // widens the scan, so the clipped key set must differ for at least
+    // one drawn config (guards against both sides ignoring the flag)
+    val rc = cfgs.filter(c => c.rowClip && c.startMs % 3600000L != 0)
+    if (rc.nonEmpty) {
+      val c = rc.head
+      val sub = SubQuery(c.agg, "fm", filters = c.filters,
+        downsample = c.ds, rate = c.rate)
+      val q = TsQuery(c.startMs, c.endMs, Seq(sub))
+      val on = Engine.run(datasets(c.view)._1, q, sub, rowClip = true)
+        .count()
+      val off = Engine.run(datasets(c.view)._1, q, sub).count()
+      assert(on > off, s"rowClip had no observable effect on $c")
+    }
+    val fails = cfgs.flatMap(check)
     assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
   }
 
@@ -466,5 +533,220 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   test("fuzz batch 4: 30 random query configs vs SQL oracle") {
     runBatch(0xD00D, 30)
+  }
+
+  // ---- round-10 axis: calendar downsampling under random tz/count ----
+
+  /** Independent driver-side reimplementation of the reference's
+    * DateTime.previousInterval (base calendar boundary + count-unit
+    * stepping, src/utils/DateTime.java:450-611) in java.time,
+    * cross-checking Downsample.bucket's Column formulation. Week
+    * counts are ignored (reference interval_override = 7); week start
+    * is Monday, pinned by the q36 golden. */
+  private def calOracle(tsMs: Long, unit: Char, count: Int,
+                        tz: String): Long = {
+    import java.time._
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    val zone = ZoneId.of(tz)
+    val zdt = Instant.ofEpochMilli(tsMs).atZone(zone)
+    def ms(z: ZonedDateTime): Long = z.toInstant.toEpochMilli
+    def day(z: ZonedDateTime): ZonedDateTime =
+      z.toLocalDate.atStartOfDay(zone)
+    def monthStart: ZonedDateTime =
+      zdt.toLocalDate.withDayOfMonth(1).atStartOfDay(zone)
+    def yearDate: LocalDate = zdt.toLocalDate.withDayOfYear(1)
+    def step(base: ZonedDateTime, stepMs: Long): Long = {
+      val b = ms(base)
+      b + (tsMs - b) / stepMs * stepMs
+    }
+    unit match {
+      case 's' =>
+        if (60 % count == 0)
+          step(zdt.truncatedTo(ChronoUnit.MINUTES), count * 1000L)
+        else step(zdt.truncatedTo(ChronoUnit.HOURS), count * 1000L)
+      case 'm' =>
+        if (60 % count == 0)
+          step(zdt.truncatedTo(ChronoUnit.HOURS), count * 60000L)
+        else step(day(zdt), count * 60000L)
+      case 'h' =>
+        if (24 % count == 0) step(day(zdt), count * 3600000L)
+        else step(monthStart, count * 3600000L)
+      case 'd' =>
+        if (count == 1) ms(day(zdt))
+        else {
+          val off = (zdt.toLocalDate.toEpochDay - yearDate.toEpochDay) /
+            count * count
+          ms(yearDate.plusDays(off).atStartOfDay(zone))
+        }
+      case 'w' => ms(zdt.toLocalDate
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        .atStartOfDay(zone))
+      case 'n' =>
+        if (count == 1) ms(monthStart)
+        else ms(LocalDate.of(zdt.getYear,
+          (zdt.getMonthValue - 1) / count * count + 1, 1)
+          .atStartOfDay(zone))
+      case 'y' => ms(yearDate.atStartOfDay(zone))
+    }
+  }
+
+  test("fuzz calendar buckets: random tz × unit × count vs a java.time " +
+       "reimplementation of previousInterval") {
+    val rnd = new Random(0x0CA1)
+    val zones = Seq("UTC", "America/New_York", "America/Denver",
+      "Europe/London", "Asia/Kolkata", "Australia/Sydney")
+    val unitCounts = Seq(
+      ('s', Seq(10, 23, 30)), ('m', Seq(5, 7, 15, 90)),
+      ('h', Seq(2, 5, 6)), ('d', Seq(1, 3)), ('w', Seq(1, 2)),
+      ('n', Seq(1, 5)), ('y', Seq(1)))
+    val lo = 1325376000000L // 2012-01-01
+    val hi = 1451606400000L // 2016-01-01
+    val fails = scala.collection.mutable.ArrayBuffer[String]()
+    var checked = 0
+    for (_ <- 0 until 50) {
+      val tz = pick(rnd, zones)
+      val (u, counts) = pick(rnd, unitCounts)
+      val c = pick(rnd, counts)
+      val zone = java.time.ZoneId.of(tz)
+      val tss = (0 until 8)
+        .map(_ => lo + math.abs(rnd.nextLong()) % (hi - lo))
+        .filterNot { t =>
+          // skip instants near a zone transition: Spark's
+          // to_utc_timestamp and java.time disambiguate overlap hours
+          // differently — a JVM-API artifact, not reference semantics
+          val i = java.time.Instant.ofEpochMilli(t)
+          Seq(Option(zone.getRules.nextTransition(i)),
+            Option(zone.getRules.previousTransition(i))).flatten
+            .exists(x =>
+              math.abs(x.getInstant.toEpochMilli - t) < 5 * 3600000L)
+        }
+      if (tss.nonEmpty) {
+        val spec = DownsampleSpec.parse(s"$c${u}c-sum")
+        import spark.implicits._
+        val got = tss.toDF("ts")
+          .select(Downsample.bucket(col("ts"), spec, 0L, tz).as("b"))
+          .collect().map(_.getLong(0))
+        tss.zip(got).foreach { case (t, g) =>
+          checked += 1
+          val e = calOracle(t, u.toString.head, c, tz)
+          if (g != e)
+            fails += s"tz=$tz unit=$u count=$c ts=$t: engine=$g oracle=$e"
+        }
+      }
+    }
+    assert(checked > 200, s"transition filter ate the sample: $checked")
+    assert(fails.isEmpty, s"\n${fails.take(10).mkString("\n")}")
+  }
+
+  // ---- round-10 axis: rollup routing with randomly-missing
+  // aggregation-id series --------------------------------------------
+
+  /** A 1m rollup of the typed dataset with per-aggregation-id columns
+    * independently and deterministically knocked out (the reference
+    * stores each aggregation id as its own cell — a never-written
+    * "max" series must contribute nothing to a max query, and avg
+    * requires the sum/count PAIR). Registered as a temp view so the
+    * engine and the SQL oracle read the SAME corruption. */
+  private lazy val corruptedRollup: DataFrame = {
+    val base = Rollups.materialize(datasets("fz_ai")._1, 60000L)
+    def knock(c: String, salt: Int) =
+      when(pmod(hash(col("series_id"), col("ts"), lit(salt)), lit(10)) < 3,
+        lit(null)).otherwise(col(c)).as(c)
+    val r = base.select(col("metric"), col("tags"), col("series_id"),
+      col("ts"), knock("sum", 1), knock("count", 2), knock("min", 3),
+      knock("max", 4))
+    r.select(col("metric"), col("ts"), col("sum"), col("count"),
+        col("min"), col("max"),
+        col("tags").getItem("host").as("tag_host"),
+        col("tags").getItem("dc").as("tag_dc"),
+        concat_ws("|", col("tags").getItem("host"),
+          col("tags").getItem("dc")).as("sid"))
+      .createOrReplaceTempView("fz_rollup")
+    r
+  }
+
+  private def checkRollup(rnd: Random, id: Int): Option[String] = {
+    val ivl = pick(rnd, Seq(60L, 120L, 300L, 600L)) * 1000L
+    val dsAgg = pick(rnd, Seq("sum", "avg", "count", "min", "max"))
+    val crossAgg = pick(rnd, Seq("zimsum", "mimmin", "mimmax"))
+    val group: Seq[TagFilter] = rnd.nextInt(3) match {
+      case 0 => Seq.empty
+      case 1 => Seq(GroupByAll("host"))
+      case 2 => Seq(GroupByAll("dc"))
+    }
+    val start = T0 + rnd.nextInt(10) * 10000L
+    val end = start + (10 + rnd.nextInt(30)) * 10000L
+    // horizon: unlimited, or a mid-range split exercising the stitch
+    val horizon = if (rnd.nextBoolean()) Long.MaxValue
+      else start + rnd.nextInt(20) * 10000L
+    val spec = DownsampleSpec.parse(s"${ivl / 1000}s-$dsAgg")
+    val sub = SubQuery(crossAgg, "fm", filters = group,
+      downsample = Some(spec))
+    val keys = TagFilters.groupByKeys(group)
+    val eng = collect(Engine.run(datasets("fz_ai")._1,
+      TsQuery(start, end, Seq(sub)), sub,
+      rollups = Seq(Engine.RollupTable(60000L, corruptedRollup, horizon))),
+      keys)
+    // oracle: rollup rows (same corrupted view) strictly below the
+    // bucket-aligned horizon, fresh raw at/after it; each aggregation
+    // id reads ITS stored column and a null column row does not exist
+    // for the query (avg needs the pair)
+    val g = ("metric" +: keys.map(k => s"tag_$k")).mkString(", ")
+    val fcond = group.map(filterSql).map(f => s" AND $f").mkString
+    val hz = if (horizon == Long.MaxValue) Long.MaxValue
+      else horizon - horizon % ivl
+    val need = dsAgg match {
+      case "avg" => "sum IS NOT NULL AND count IS NOT NULL"
+      case "sum" => "sum IS NOT NULL"
+      case "count" => "count IS NOT NULL"
+      case "min" => "min IS NOT NULL"
+      case "max" => "max IS NOT NULL"
+    }
+    val rAgg = dsAgg match {
+      case "avg" => "sum(sum) / sum(count)"
+      case "sum" => "sum(sum)"
+      case "count" => "CAST(sum(count) AS DOUBLE)"
+      case "min" => "min(min)"
+      case "max" => "max(max)"
+    }
+    val hzRoll = if (hz == Long.MaxValue) "" else s" AND ts < ${hz}L"
+    val fresh = if (hz == Long.MaxValue) ""
+      else s"""UNION ALL
+        SELECT sid, metric, tag_host, tag_dc, ts - ts % $ivl AS ts,
+          ${aggSql(dsAgg, "value", "ts")} AS value
+        FROM fz_ai
+        WHERE metric = 'fm' AND ts >= GREATEST(${start - ivl}L, ${hz}L)
+          AND ts <= ${end + ivl}L$fcond
+        GROUP BY sid, metric, tag_host, tag_dc, ts - ts % $ivl"""
+    val sql = s"""WITH ds0 AS (
+        SELECT sid, metric, tag_host, tag_dc, ts - ts % $ivl AS ts,
+          $rAgg AS value
+        FROM fz_rollup
+        WHERE metric = 'fm' AND $need AND ts >= ${start - ivl}L
+          AND ts <= ${end + ivl}L$fcond$hzRoll
+        GROUP BY sid, metric, tag_host, tag_dc, ts - ts % $ivl
+        $fresh)
+      SELECT $g, ts, ${aggSql(crossAgg, "value", "ts")} AS value
+      FROM ds0 WHERE ts >= ${start}L AND ts <= ${end}L GROUP BY $g, ts"""
+    val orc = collect(spark.sql(sql), keys)
+    val label = s"rollup#$id[${ivl / 1000}s-$dsAgg:$crossAgg " +
+      s"group=$group range=[$start,$end] hz=$horizon]"
+    if (eng.keySet != orc.keySet)
+      Some(s"$label: key sets differ (engine ${eng.size} vs " +
+        s"oracle ${orc.size})")
+    else {
+      val bad = eng.keys.filterNot(k => approxEq(eng(k), orc(k)))
+      if (bad.isEmpty) None
+      else Some(s"$label: ${bad.size} mismatches, e.g. " +
+        bad.take(3).map(k => s"$k engine=${eng(k)} oracle=${orc(k)}")
+          .mkString("; "))
+    }
+  }
+
+  test("fuzz rollup routing: per-aggregation-id absence + horizon " +
+       "stitch vs SQL oracle") {
+    val rnd = new Random(0x7011)
+    val fails = (0 until 25).flatMap(i => checkRollup(rnd, i))
+    assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
   }
 }
