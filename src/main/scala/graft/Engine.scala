@@ -735,6 +735,12 @@ object Engine {
           .groupBy(col("metric") +: tagCols: _*)
           .agg(countDistinct(col("series_id")).as("__series")),
         keys, "left")
+        // emittedDPs is per QUERY, not per group (reference QueryStats
+        // stats map — TestHttpJsonSerializer asserts the sub-query
+        // total): one broadcast single-row aggregate, never an
+        // unpartitioned window
+        .crossJoin(broadcast(
+          dps.agg(sum(size(col("dps"))).as("__edps"))))
     // per-series annotations (reference HttpJsonSerializer: each result
     // document carries the `annotations` of its MEMBER series whose
     // start time falls in the query range, sorted) — keyed by the
@@ -773,6 +779,7 @@ object Engine {
     val statsF =
       if (showStats) Seq(struct(
         size(col("dps")).as("aggregatedSize"),
+        col("__edps").as("emittedDPs"),
         col("__series").as("series")).as("stats")) else Seq.empty
     val annsF =
       if (seriesAnnotations.isDefined) Seq(coalesce(col("annotations"),

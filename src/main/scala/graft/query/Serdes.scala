@@ -64,6 +64,14 @@ object Serdes {
     wrapJsonp(mapper.writeValueAsString(arr), jsonp)
   }
 
+  /** Frame result documents as the V1 response array — an empty
+    * result set serializes as the literal `[]`
+    * (TestHttpJsonSerializer.formatQueryAsyncV1EmptyDPs:453-467). The
+    * docs are already rendered JSON, so framing is pure
+    * concatenation; jsonp wraps the whole array. */
+  def frameArray(docs: Seq[String], jsonp: Option[String] = None): String =
+    wrapJsonp(docs.mkString("[", ",", "]"), jsonp)
+
   /** UID rename response: `{"result":"true"}` on success,
     * `{"error":<msg>,"result":"false"}` on failure — insertion order
     * preserved like the reference's LinkedHashMap. */

@@ -452,10 +452,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // …and PRESENT with the show_* ride-alongs
     assert(doc(showQuery = true).contains("\"query\":"))
     assert(doc(showTsuids = true).contains("\"tsuids\":["))
-    assert(doc(showStats = true).contains("\"stats\":{"))
-    // formatQueryAsyncV1EmptyDPs: a query matching nothing → no docs
-    assert(Engine.serializeV1(pts, q,
-      sub.copy(metric = "no.such.metric")).collect().isEmpty)
+    // formatQueryAsyncV1wStats: the stats object carries the
+    // sub-query's emitted dp total (the fixture's 201)
+    val st = doc(showStats = true)
+    assert(st.contains("\"stats\":{"))
+    assert(st.contains("\"emittedDPs\":201"))
+    // formatQueryAsyncV1EmptyDPs: a query matching nothing → no docs,
+    // and the framed V1 response is the literal empty array
+    val empty = Engine.serializeV1(pts, q,
+      sub.copy(metric = "no.such.metric")).collect()
+    assert(empty.isEmpty)
+    assert(graft.query.Serdes.frameArray(
+      empty.map(_.getAs[String]("json")).toSeq) == "[]")
+    // ...and jsonp wraps the whole array
+    assert(graft.query.Serdes.frameArray(Seq("{\"a\":1}"),
+      Some("cb")) == "cb([{\"a\":1}])")
     // exactIntDps wire mode: the SAME fixture now matches the
     // reference's bare-integer rendering byte for byte
     // (HttpJsonSerializer.java:857 writeNumberField(ts, longValue))
@@ -502,7 +513,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withStats ==
       """{"metric":"m","tags":{"host":"a"},"aggregateTags":["dc"],""" +
       """"dps":{"1000":1.0,"2000":2.5,"3000":3.0,"4000":4.0},""" +
-      """"stats":{"aggregatedSize":4,"series":2}}""")
+      """"stats":{"aggregatedSize":4,"emittedDPs":4,"series":2}}""")
     // default mode is untouched: the stable oracle contract
     val off = Engine.serializeV1(p, q, sub).collect().head
       .getAs[String]("json")

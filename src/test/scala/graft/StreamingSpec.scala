@@ -1676,9 +1676,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(d.contains("\"filters\":[{\"type\":\"wildcard\"," +
         "\"tagk\":\"host\",\"filter\":\"*\",\"groupBy\":true}]"), d)
     }
-    // per-series stats: host=a emitted 2 dps from 1 series
+    // per-series stats: host=a aggregated 2 dps from 1 series; the
+    // emittedDPs member is the QUERY total (3), like the reference's
+    // QueryStats map (TestHttpJsonSerializer asserts the sub-query
+    // total, not the group's)
     val a = series.find(_.contains("\"host\":\"a\"")).get
-    assert(a.contains("\"stats\":{\"aggregatedSize\":2,\"series\":1}"), a)
+    assert(a.contains(
+      "\"stats\":{\"aggregatedSize\":2,\"emittedDPs\":3,\"series\":1}"), a)
   }
 
   test("show_query echoes the request's original downsample text") {
