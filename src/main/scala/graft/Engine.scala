@@ -296,7 +296,16 @@ object Engine {
             .withColumn("ts", col("ts") + off)
         case None => runForExpression(points, tsq, sub, rollups)
       }
-      m.id -> ExpressionJoin.VarSet(m.id, r,
+      // materialize each variable once: the expression join reads a
+      // variable several times (series dim, grid, values) and the
+      // subtrees prune differently, so exchange reuse never fires —
+      // without the cache the whole scan→aggregate pipeline re-ran
+      // per read (measured 110 exchanges / 0 reused on q56). This is
+      // the reference's own memory model: QueryExecutor materializes
+      // every sub-query's DataPoints[] in RAM before expressions run,
+      // and the cached set here is the POST-aggregation series data
+      // (series × buckets), not raw points.
+      m.id -> ExpressionJoin.VarSet(m.id, r.persist(),
         queryTagKs = sub.filters.map(_.tagk).toSet,
         tsFill = fills.getOrElse(m.id, 0.0))
     }.toMap

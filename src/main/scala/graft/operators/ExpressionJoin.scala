@@ -107,13 +107,23 @@ object ExpressionJoin {
     require(sets.nonEmpty)
     val keyed = sets.map(v =>
       v -> v.df.withColumn("__skey", flatKey(v, useQueryTags, includeAggTags)))
-    val seriesTabs = keyed.map(_._2.select("__skey").distinct())
-    // eager ctor validation on dimension tables (|series| rows each)
-    if (seriesTabs.map(_.count()).max < 1L) return emptyResult(keyed)
-    val common = seriesTabs.reduce((a, b) => a.join(b, Seq("__skey"), "inner"))
-    if (common.isEmpty)
+    // eager ctor validation (the reference throws at construction) in
+    // ONE job: tag each variable's series dim, count per key how many
+    // variables hold it — total==0 means no series anywhere (empty
+    // result), no key held by all means an empty intersection (error)
+    val n = keyed.size
+    val tagged = keyed.zipWithIndex.map { case ((_, d), i) =>
+      d.select(col("__skey")).distinct().withColumn("__set", lit(i))
+    }.reduce(_ unionByName _)
+    val perKey = tagged.groupBy(col("__skey"))
+      .agg(countDistinct(col("__set")).as("__n"))
+    val stats = perKey.agg(count(lit(1)).as("total"),
+      count(when(col("__n") === n, 1)).as("hits")).head()
+    if (stats.getAs[Long]("total") == 0L) return emptyResult(keyed)
+    if (stats.getAs[Long]("hits") == 0L)
       throw new IllegalArgumentException(s"No intersections found: $id")
-    assemble(keyed, common, missingSeriesFill = None)
+    assemble(keyed, perKey.filter(col("__n") === n).select("__skey"),
+      missingSeriesFill = None)
   }
 
   /** UNION join. Output as [[intersection]], over the union of series
@@ -128,41 +138,50 @@ object ExpressionJoin {
       v -> v.df.withColumn("__skey", flatKey(v, useQueryTags, includeAggTags)))
     val all = keyed.map(_._2.select("__skey").distinct())
       .reduce(_ unionByName _).distinct()
-    if (all.isEmpty) return emptyResult(keyed)
+    // no eager action: the union never throws, and empty key/grid
+    // dims flow through assemble to an empty (correctly-shaped) result
     assemble(keyed, all, missingSeriesFill = Some(missingSeriesFill))
   }
 
   /** Shared slot-grid assembly: keys × (union of surviving series'
-    * timestamps), then one left join per variable. */
+    * timestamps), then ONE aggregation + one left join per variable.
+    * The per-series meta (representative tags, presence) is derived
+    * from a single window over the assembled slots instead of extra
+    * per-variable aggregations — the per-variable pipeline appears in
+    * the plan exactly twice (grid + values), and the two subtrees
+    * share one exchange under reuse. */
   private def assemble(keyed: Seq[(VarSet, DataFrame)], keys: DataFrame,
                        missingSeriesFill: Option[Double]): DataFrame = {
     val keyTab = broadcast(keys.select("__skey"))
-    // grid from SURVIVING series only (kicked series never widen it)
-    val grid = keyed.map { case (_, d) =>
-      d.join(keyTab, Seq("__skey"), "left_semi").select("ts")
-    }.reduce(_ unionByName _).distinct()
-    val slots = grid.crossJoin(keyTab)
-    val joined = keyed.foldLeft(slots) { case (acc, (v, d)) =>
-      val vals = d.groupBy(col("__skey"), col("ts"))
-        .agg(max(col("value")).as(s"__raw_${v.name}"))
-      val meta = d.groupBy(col("__skey"))
-        .agg(max(map_entries(col("tags"))).as(s"__ents_${v.name}"))
-        .withColumn(s"__has_${v.name}", lit(true))
-      acc.join(vals, Seq("__skey", "ts"), "left")
-        .join(broadcast(meta), Seq("__skey"), "left")
+    val pvs = keyed.map { case (v, d) =>
+      v -> d.join(keyTab, Seq("__skey"), "left_semi")
+        .groupBy(col("__skey"), col("ts"))
+        .agg(max(col("value")).as(s"__raw_${v.name}"),
+          max(map_entries(col("tags"))).as(s"__e0_${v.name}"))
     }
-    val valueCols = keyed.map { case (v, _) =>
+    // grid from SURVIVING series only (kicked series never widen it)
+    val grid = pvs.map(_._2.select("ts")).reduce(_ unionByName _).distinct()
+    val slots = grid.crossJoin(keyTab)
+    val joined = pvs.foldLeft(slots) { case (acc, (_, pv)) =>
+      acc.join(pv, Seq("__skey", "ts"), "left")
+    }
+    // one per-series window serves every variable: its max entries
+    // array is the representative tags AND the presence witness
+    // (null ⟺ the variable holds no row for the series)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__skey"))
+    val entCols = keyed.map { case (v, _) =>
+      max(col(s"__e0_${v.name}")).over(w)
+    }
+    val valueCols = keyed.zip(entCols).map { case ((v, _), ent) =>
       val within = coalesce(col(s"__raw_${v.name}"), lit(v.tsFill))
       (missingSeriesFill match {
-        case Some(f) =>
-          when(col(s"__has_${v.name}").isNull, lit(f)).otherwise(within)
+        case Some(f) => when(ent.isNull, lit(f)).otherwise(within)
         case None => within
       }).as(s"__v_${v.name}")
     }
     // representative result tags: the first variable holding the series
-    val tagsCol = map_from_entries(coalesce(
-      keyed.map { case (v, _) => col(s"__ents_${v.name}") } :+
-        array().cast("array<struct<key:string,value:string>>"): _*))
+    val tagsCol = map_from_entries(coalesce(entCols :+
+      array().cast("array<struct<key:string,value:string>>"): _*))
       .as("tags")
     joined.select(col("__skey") +: tagsCol +: col("ts") +: valueCols: _*)
   }

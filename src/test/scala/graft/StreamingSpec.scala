@@ -1080,6 +1080,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u1 == Seq(0 -> 1000L, 1 -> 5000L, 2 -> 6000L), u1.toString)
   }
 
+  test("funnel tombstone expires at close + TTL even while the user " +
+       "keeps emitting (TTL measures time since close, not idle time)") {
+    import graft.pipeline.Trajectories
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ev = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Trajectories
+      .funnelStream(ev, Seq("view", "click"), windowMs = 10000L,
+        lateness = "1 second", tombstoneTtlMs = 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_ttl").start()
+    def feed(rows: (Long, Long, Long, String, Double)*): Unit = {
+      mem.addData(rows: _*); q.processAllAvailable()
+    }
+    // first conversion closes once the watermark passes t0 + window;
+    // the tombstone anchors at closedAtW ≈ 49 s → expiry ≈ 109 s
+    feed((1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "click", 0.0),
+      (3L, 50000L, 9L, "noop", 0.0))
+    feed((4L, 50001L, 9L, "noop", 0.0)) // close fires
+    // a stage event arrives while the watermark (≈100 s) is INSIDE
+    // (close, close + TTL): deduplicated, and the expiry must stay
+    // anchored at ≈109 s — the pre-fix bug re-armed to w + TTL
+    // (≈160 s) on every such arrival, so a chatty user never exited
+    feed((5L, 101000L, 9L, "noop", 0.0))
+    feed((6L, 105000L, 1L, "view", 0.0)) // drained by the tombstone
+    // watermark moves past the ANCHORED expiry → tombstone clears
+    // (under the old re-arming it would live to ≈160 s)
+    feed((7L, 115000L, 9L, "noop", 0.0))
+    // re-entry at 120 s is a fresh chain and converts again
+    feed((8L, 120000L, 1L, "view", 0.0), (9L, 121000L, 1L, "click", 0.0))
+    feed((10L, 140000L, 9L, "noop", 0.0))
+    feed((11L, 140001L, 9L, "noop", 0.0))
+    q.stop()
+    val u1 = spark.sql(
+        "SELECT stageIdx, ts FROM funnel_ttl WHERE userId = 1 ORDER BY ts")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(u1 == Seq((0, 1000L), (1, 2000L), (0, 120000L), (1, 121000L)),
+      u1.toString)
+  }
+
   test("streaming sessionization handles SHUFFLED arrivals within the lateness") {
     import graft.pipeline.Trajectories
     import spark.implicits._
