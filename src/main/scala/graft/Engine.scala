@@ -459,11 +459,9 @@ object Engine {
   def runPercentilesFromHistograms(hists: DataFrame, query: TsQuery,
                                    sub: SubQuery): DataFrame = {
     require(sub.percentiles.nonEmpty, "no percentiles requested")
-    val scanned = TagFilters(
-      hists.filter(col("metric") === sub.metric &&
-        col("ts") >= query.startMs && col("ts") <= query.endMs),
-      sub.filters, sub.explicitTags)
     val groupKeys = TagFilters.groupByKeys(sub.filters)
+    val gcols = (("metric" +: groupKeys.map(k => s"tag_$k")) :+
+      "series_id") :+ "ts"
     // reference order of operations (runHistogram; proven by the
     // TestTsdbQueryHistogramQueries.runSingleTsMsTwoAggSum golden,
     // where two series' p98s SUM to 301*0.98): histogram dps merge
@@ -475,16 +473,7 @@ object Engine {
     // merged histograms ACROSS series first and extracted one
     // percentile of the combined distribution — statistically nicer,
     // but not what the reference computes.
-    val withSeries = graft.model.Points.withSeriesId(scanned)
-    val bucketTs = sub.downsample.map(_.intervalMs).filter(_ > 0)
-      .map(iv => col("ts") - col("ts") % iv).getOrElse(col("ts"))
-    val tagCols = groupKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
-    val base = withSeries.select(
-      (col("metric") +: tagCols) ++ Seq(col("series_id"),
-        bucketTs.as("ts"), col("codec_id"), col("blob")): _*)
-    val gcols = (("metric" +: groupKeys.map(k => s"tag_$k")) :+
-      "series_id") :+ "ts"
-    val hist = Histograms.decodeBlobs(base, gcols)
+    val hist = histogramBuckets(hists, query, sub)
     sub.percentiles.map { p =>
       val perSeries = Histograms.percentile(hist, gcols, p / 100.0)
         .select(Seq(col("metric"), col("series_id"), col("ts"),
@@ -494,6 +483,45 @@ object Engine {
       Interpolate.aggregate(perSeries, sub.aggregator, groupKeys)
         .withColumn("ptile", lit(p))
     }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Scan + bucket + decode + merge for stored histograms — the
+   * reference's HistogramDownsampler semantics
+   * (src/core/HistogramDownsampler.java, pinned by
+   * test/core/TestHistogramDownsampler.java): bucket counts SUM-merge
+   * per series downsample bucket; calendar specs align through the
+   * shared calendar bucketer (1hc in a +4:30 zone buckets on the half
+   * hour — testDownsampler_calendarHour); run_all (`0all`) clips to
+   * [start, end) and emits ONE merged histogram stamped at the query
+   * start (testDownsampler_allFilterOnQuery: the dp at the end bound
+   * is excluded and the output timestamp is the start bound).
+   * Output: (metric, tag_*, series_id, ts, bucket_lo, bucket_hi,
+   * count).
+   */
+  def histogramBuckets(hists: DataFrame, query: TsQuery,
+                       sub: SubQuery): DataFrame = {
+    val runAll = sub.downsample.exists(_.intervalMs == 0L)
+    val hiBound =
+      if (runAll) col("ts") < query.endMs else col("ts") <= query.endMs
+    val scanned = TagFilters(
+      hists.filter(col("metric") === sub.metric &&
+        col("ts") >= query.startMs && hiBound),
+      sub.filters, sub.explicitTags)
+    val groupKeys = TagFilters.groupByKeys(sub.filters)
+    val withSeries = graft.model.Points.withSeriesId(scanned)
+    val bucketTs = sub.downsample match {
+      case Some(spec) =>
+        Downsample.bucket(col("ts"), spec, query.startMs, query.timezone)
+      case None => col("ts")
+    }
+    val tagCols = groupKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
+    val base = withSeries.select(
+      (col("metric") +: tagCols) ++ Seq(col("series_id"),
+        bucketTs.as("ts"), col("codec_id"), col("blob")): _*)
+    val gcols = (("metric" +: groupKeys.map(k => s"tag_$k")) :+
+      "series_id") :+ "ts"
+    Histograms.decodeBlobs(base, gcols)
   }
 
   /**

@@ -1178,4 +1178,92 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(math.abs(r.getAs[Double]("value") - (300 - k) * 0.98) <= 0.0001)
     }
   }
+
+  // ---- TestHistogramDownsampler ports ---------------------------------
+  // (/root/reference/test/core/TestHistogramDownsampler.java — each
+  // LongHistogramDataPointForTest(0, v) models as a one-bucket
+  // SimpleHistogram blob with count v; the downsampled "raw data" the
+  // reference asserts is then the merged bucket count per interval)
+
+  private val HB = 1356998400000L // the suite's BASE_TIME
+
+  private def histBlobs(dps: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import graft.operators.Histograms
+    val schema = StructType(Seq(
+      StructField("metric", StringType), StructField("ts", LongType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("codec_id", IntegerType), StructField("blob", BinaryType)))
+    spark.createDataFrame(dps.map { case (t, c) =>
+      Row("hm", t, Map("host" -> "a"),
+        Int.box(Histograms.SIMPLE_CODEC_ID),
+        Histograms.simpleHistogramEncode(
+          Seq(Histograms.Bucket(0.0, 1.0, c))))
+    }.asJava, schema)
+  }
+
+  private def mergedCounts(dps: Seq[(Long, Long)], spec: String,
+                           startMs: Long, endMs: Long,
+                           tz: String = "UTC"): Map[Long, Long] = {
+    val sub = SubQuery("sum", "hm",
+      downsample = Some(DownsampleSpec.parse(spec)))
+    Engine.histogramBuckets(histBlobs(dps),
+        TsQuery(startMs, endMs, Seq.empty, timezone = tz), sub)
+      .groupBy(col("ts"))
+      .agg(org.apache.spark.sql.functions.sum(col("count")).as("c"))
+      .collect().map(r => r.getAs[Long]("ts") -> r.getAs[Long]("c")).toMap
+  }
+
+  private val FAR = 4102444800000L
+
+  test("histDownsampler: 1000s-sum merges within the interval floor") {
+    val dps = Seq(HB -> 40L, (HB + 2000000L) -> 50L,
+      (HB + 3600000L) -> 40L, (HB + 3605000L) -> 50L,
+      (HB + 7200000L) -> 40L, (HB + 9200000L) -> 50L)
+    assert(mergedCounts(dps, "1000s-sum", 0L, FAR) == Map(
+      (HB - 400000L) -> 40L, (HB + 1600000L) -> 50L,
+      (HB + 3600000L) -> 90L, (HB + 6600000L) -> 40L,
+      (HB + 8600000L) -> 50L))
+  }
+
+  private def pow2Dps(stepMs: Long, n: Int, t0: Long = 0L): Seq[(Long, Long)] =
+    (0 until n).map(k => (HB + t0 + stepMs * k) -> (1L << k))
+
+  test("histDownsampler: 10s and 15s bucket sums") {
+    assert(mergedCounts(pow2Dps(5000L, 11), "10s-sum", 0L, FAR) == Map(
+      (HB + 0L) -> 3L, (HB + 10000L) -> 12L, (HB + 20000L) -> 48L,
+      (HB + 30000L) -> 192L, (HB + 40000L) -> 768L, (HB + 50000L) -> 1024L))
+    assert(mergedCounts(pow2Dps(10000L, 6, t0 = 5000L), "15s-sum", 0L, FAR)
+      == Map((HB + 0L) -> 1L, (HB + 15000L) -> 6L,
+        (HB + 30000L) -> 8L, (HB + 45000L) -> 48L))
+  }
+
+  test("histDownsampler: run_all merges [start, end) at the query start") {
+    val dps = pow2Dps(10000L, 6, t0 = 5000L) // 1,2,4,8,16,32 at 5s..55s
+    // full range: one dp at ts 0 summing everything
+    assert(mergedCounts(dps, "0all-sum", 0L, FAR) == Map(0L -> 63L))
+    // clipped: [15s, 45s) keeps 2+4+8, stamped at the start bound —
+    // the dp exactly at the end bound is EXCLUDED
+    assert(mergedCounts(dps, "0all-sum", HB + 15000L, HB + 45000L)
+      == Map((HB + 15000L) -> 14L))
+    // fully out of range on either side: no output
+    assert(mergedCounts(dps, "0all-sum", HB + 65000L, HB + 75000L).isEmpty)
+    assert(mergedCounts(dps, "0all-sum", HB - 15000L, HB - 5000L).isEmpty)
+  }
+
+  test("histDownsampler: calendar hours in offset zones (1hc, 4hc)") {
+    val dps = Seq(HB -> 1L, (HB + 1800000L) -> 2L, (HB + 3599000L) -> 3L,
+      (HB + 3600000L) -> 4L, (HB + 5400000L) -> 5L, (HB + 7199000L) -> 6L)
+    // +12h no-DST zone: hour boundaries stay UTC-hour aligned
+    assert(mergedCounts(dps, "1hc-sum", 0L, FAR, tz = "Pacific/Funafuti")
+      == Map(HB -> 6L, (HB + 3600000L) -> 15L))
+    // +4:30 zone: hour buckets sit on the half hour
+    assert(mergedCounts(dps, "1hc-sum", 0L, FAR, tz = "Asia/Kabul")
+      == Map((HB - 1800000L) -> 1L, (HB + 1800000L) -> 9L,
+        (HB + 5400000L) -> 11L))
+    // 4hc: one half-hour-offset bucket holds everything
+    assert(mergedCounts(dps, "4hc-sum", 0L, FAR, tz = "Asia/Kabul")
+      == Map((HB - 1800000L) -> 21L))
+  }
 }
