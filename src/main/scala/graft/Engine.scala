@@ -296,15 +296,17 @@ object Engine {
             .withColumn("ts", col("ts") + off)
         case None => runForExpression(points, tsq, sub, rollups)
       }
-      // materialize each variable once: the expression join reads a
-      // variable several times (series dim, grid, values) and the
-      // subtrees prune differently, so exchange reuse never fires —
-      // without the cache the whole scan→aggregate pipeline re-ran
-      // per read (measured 110 exchanges / 0 reused on q56). This is
-      // the reference's own memory model: QueryExecutor materializes
-      // every sub-query's DataPoints[] in RAM before expressions run,
-      // and the cached set here is the POST-aggregation series data
-      // (series × buckets), not raw points.
+      // cache each variable: the expression join reads a variable
+      // from several differently-pruned subtrees, so exchange reuse
+      // never fires — without the cache the whole scan→aggregate
+      // pipeline re-ran per read (measured 110 exchanges / 0 reused
+      // on q56, 2.6× slower). persist (columnar, prunable) beats a
+      // checkpoint here: InMemoryTableScan still prunes columns per
+      // subtree where a LogicalRDD scans full rows (measured 2×).
+      // This is the reference's own memory model: QueryExecutor
+      // materializes every sub-query's DataPoints[] in RAM before
+      // expressions run; what is held is the POST-aggregation series
+      // data (series × buckets), not raw points.
       m.id -> ExpressionJoin.VarSet(m.id, r.persist(),
         queryTagKs = sub.filters.map(_.tagk).toSet,
         tsFill = fills.getOrElse(m.id, 0.0))
@@ -314,13 +316,45 @@ object Engine {
     var groupKeys: Map[String, Set[String]] = q.metrics.map { m =>
       m.id -> TagFilters.groupByKeys(q.subQuery(m).filters).toSet
     }.toMap
+    // DAG-order the expressions (reference QueryExecutor.java:292-360
+    // builds a DirectedAcyclicGraph and compiles dependencies first):
+    // forward references between expressions are legal; a self
+    // reference or a cycle is the reference's 400, message for message
+    val exprIds = q.expressions.map(_.id).toSet
+    val deps: Map[String, Seq[String]] = q.expressions.map { e =>
+      val names = ExpQuery.variables(ExpQuery.parse(e.expr))
+      if (names.contains(e.id))
+        throw new IllegalArgumentException(
+          "Self referencing expression found: " + e.id)
+      e.id -> names.filter(exprIds.contains)
+    }.toMap
+    val ordered = {
+      val done = scala.collection.mutable.LinkedHashSet[String]()
+      val visiting = scala.collection.mutable.Set[String]()
+      def visit(id: String): Unit = {
+        if (!done.contains(id)) {
+          if (!visiting.add(id))
+            throw new IllegalArgumentException(
+              "Circular reference found: " + id)
+          deps(id).foreach(visit)
+          visiting.remove(id)
+          done += id
+        }
+      }
+      q.expressions.foreach(e => visit(e.id))
+      done.toSeq.map(id => q.expressions.find(_.id == id).get)
+    }
+    val referenced: Set[String] = deps.values.flatten.toSet
     var outputs: Map[String, DataFrame] = Map.empty
-    q.expressions.foreach { e =>
+    ordered.foreach { e =>
       val names = ExpQuery.variables(ExpQuery.parse(e.expr))
       require(names.nonEmpty,
         s"expression '${e.id}' references no metric or expression ids " +
           s"(constant expressions are not supported): ${e.expr}")
-      val sets = names.map(n => vars(n))
+      // reference ExpressionIterator.compile:257
+      val sets = names.map(n => vars.getOrElse(n,
+        throw new IllegalArgumentException(
+          "Missing results for variable " + n)))
       // the reference's series matching (QueryExecutor.java:200-213):
       // UNION or INTERSECTION on the flattened identity, honoring the
       // join's useQueryTags / includeAggTags flags
@@ -338,23 +372,136 @@ object Engine {
           col("tags").getItem(k).as(s"tag_$k")) ++
           Seq(col("ts"), col("value")): _*)
       groupKeys += e.id -> keys
-      // nested expressions see this result as a variable: identity =
-      // the joined series tags (the reference feeds expression output
-      // back through PostAggregatedDataPoints meta)
-      vars += e.id -> ExpressionJoin.VarSet(e.id,
-        result.select(col("tags"),
-          array().cast("array<string>").as("agg_tags"),
-          col("ts"), col("value")),
-        queryTagKs = sets.flatMap(_.queryTagKs).toSet,
-        tsFill = e.fillPolicy.map(_.fill).getOrElse(0.0))
+      // an expression OTHER expressions reference becomes a variable:
+      // identity = the joined series tags (the reference feeds
+      // expression output back through PostAggregatedDataPoints
+      // meta). CHECKPOINTED, not persisted: a checkpoint truncates
+      // lineage, so nesting depth cannot grow the downstream plan —
+      // without it each level re-embeds the whole upstream join plan
+      // (exponential growth; e4 = e2 + e3 over e OOMed plan
+      // stringification). Built ONLY for referenced expressions:
+      // localCheckpoint forces physical planning of the whole join at
+      // build time (~1 s of driver CPU on q56's plan), a dead cost
+      // for a leaf expression.
+      if (referenced.contains(e.id))
+        vars += e.id -> ExpressionJoin.VarSet(e.id,
+          result.select(col("tags"),
+            array().cast("array<string>").as("agg_tags"),
+            col("ts"), col("value")).localCheckpoint(false),
+          queryTagKs = sets.flatMap(_.queryTagKs).toSet,
+          tsFill = e.fillPolicy.map(_.fill).getOrElse(0.0))
     }
     val emit =
       if (q.outputs.nonEmpty) q.outputs
       else q.expressions.map(e => ExpJsonQuery.OutputDef(e.id, None))
     emit.map { o =>
-      val df = outputs(o.id)
+      // an output may name a METRIC id, not just an expression: the
+      // reference emits the metric's own per-series result set
+      // (TestQueryExecutor.oneExpressionOutputAndBAlso)
+      val df = outputs.getOrElse(o.id, {
+        val v = vars.getOrElse(o.id, throw new IllegalArgumentException(
+          s"Unknown output id: ${o.id}"))
+        v.df.select(groupKeys(o.id).toSeq.sorted.map(k =>
+          col("tags").getItem(k).as(s"tag_$k")) ++
+          Seq(col("ts"), col("value")): _*)
+      })
       o.id -> df.withColumn("metric", lit(o.alias.getOrElse(o.id)))
     }
+  }
+
+  /**
+   * The `/api/query/exp` response DOCUMENT — the reference's V2 shape
+   * (QueryExecutor.serialize, src/tsd/QueryExecutor.java:480-946):
+   * `{"outputs":[{id, alias?, dps:[[ts, v_series...]], dpsMeta:
+   * {firstTimestamp, lastTimestamp, setCount, series}, meta:[{index:0,
+   * metrics:["timestamp"]}, {index:i+1, metrics:[sorted names],
+   * commonTags, aggregatedTags}...]}], "query": <echo>}`. Reference
+   * quirks reproduced: lastTimestamp stays 0 until a SECOND row is
+   * written (first_ts/last_ts split, :698-704), an empty output has
+   * dpsMeta zeros and NO meta array (:725-732), and the metrics list
+   * is the sorted metric names feeding the output (transitively for
+   * nested expressions; MetricsCB sorts, :866-869).
+   *
+   * Driver-side assembly by design: the response document is the
+   * serving tier's unit of work, and the collected rows are the
+   * already-aggregated expression results (series × grid), the same
+   * data the reference holds in RAM to serialize. aggregatedTags
+   * emits [] — the output contract carries the joined group tags
+   * (commonTags), not per-series agg-tag lists.
+   */
+  def serializeExpV2(points: DataFrame, body: String,
+                     now: Long = System.currentTimeMillis(),
+                     rollups: Seq[RollupTable] = Seq.empty): String = {
+    val q = ExpJsonQuery.parse(body, now)
+    val results = runExpJson(points, body, now, rollups)
+    val metricName = q.metrics.map(m => m.id -> m.metric).toMap
+    val exprVars = q.expressions.map(e =>
+      e.id -> ExpQuery.variables(ExpQuery.parse(e.expr))).toMap
+    def metricsOf(id: String, seen: Set[String]): Seq[String] =
+      if (seen(id)) Seq.empty
+      else metricName.get(id).map(Seq(_)).getOrElse(
+        exprVars.getOrElse(id, Seq.empty)
+          .flatMap(v => metricsOf(v, seen + id)))
+    val fills = q.metricFills
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val outs = root.putArray("outputs")
+    results.foreach { case (id, df) =>
+      val alias = q.outputs.find(_.id == id).flatMap(_.alias)
+      val rows = df.collect()
+      val tagCols = df.columns.filter(_.startsWith("tag_")).toSeq
+      def key(r: org.apache.spark.sql.Row): Seq[String] =
+        tagCols.map(c => String.valueOf(r.getAs[Any](c)))
+      val seriesKeys = rows.map(key).distinct
+        .sortBy(_.mkString(" "))
+      val idx = seriesKeys.zipWithIndex.toMap
+      val grid = rows.map(_.getAs[Long]("ts")).distinct.sorted
+      val cells = rows.map(r =>
+        (r.getAs[Long]("ts"), idx(key(r))) -> r.getAs[Double]("value"))
+        .toMap
+      val o = outs.addObject()
+      o.put("id", id)
+      alias.foreach(o.put("alias", _))
+      val dpsArr = o.putArray("dps")
+      var first = Long.MinValue
+      var last = 0L
+      var count = 0L
+      val gapFill = fills.getOrElse(id, 0.0)
+      grid.foreach { t =>
+        val row = dpsArr.addArray()
+        row.add(t)
+        if (first == Long.MinValue) first = t else last = t
+        count += 1
+        seriesKeys.indices.foreach(i =>
+          row.add(cells.getOrElse((t, i), gapFill)))
+      }
+      val dpsMeta = o.putObject("dpsMeta")
+      dpsMeta.put("firstTimestamp", if (first == Long.MinValue) 0L else first)
+      dpsMeta.put("lastTimestamp", last)
+      dpsMeta.put("setCount", count)
+      dpsMeta.put("series", seriesKeys.size)
+      if (seriesKeys.nonEmpty) {
+        val meta = o.putArray("meta")
+        val t0 = meta.addObject()
+        t0.put("index", 0)
+        t0.putArray("metrics").add("timestamp")
+        val ms = metricsOf(id, Set.empty).distinct.sorted
+        seriesKeys.zipWithIndex.foreach { case (ks, i) =>
+          val mo = meta.addObject()
+          mo.put("index", i + 1)
+          val ma = mo.putArray("metrics")
+          ms.foreach(ma.add)
+          val ct = mo.putObject("commonTags")
+          tagCols.zip(ks).foreach { case (c, v) =>
+            if (v != "null") ct.put(c.stripPrefix("tag_"), v)
+          }
+          mo.putArray("aggregatedTags")
+        }
+      }
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("query",
+      mapper.readTree(body))
+    mapper.writeValueAsString(root)
   }
 
   /**

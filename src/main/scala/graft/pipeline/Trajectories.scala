@@ -169,7 +169,9 @@ object Trajectories {
               // every completed stage, tombstone the user
               val times = runChain(evs)
               st.update(FunnelBuf(Nil, Nil, done = true, closedAtW = w))
-              st.setTimeoutTimestamp(math.max(prev.closedAtW + tombstoneTtlMs, w + 1))
+              // w IS the close watermark just stored as closedAtW —
+              // the drain branch re-derives the same expiry from it
+              st.setTimeoutTimestamp(math.max(w + tombstoneTtlMs, w + 1))
               times.zipWithIndex.collect {
                 case (t, i) if t >= 0 => FunnelAdvance(user, i, t)
               }.iterator

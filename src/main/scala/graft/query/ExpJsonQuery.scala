@@ -198,19 +198,17 @@ object ExpJsonQuery {
           .map(parseFill))
     }
     // ids are one namespace: an expression may not shadow a metric
-    // (Query.validate, reference Query.java:134-141), and expression
-    // variables must resolve to a metric or an EARLIER expression (the
-    // reference collects all ids up front, but a forward reference
-    // cannot evaluate — fail it at parse, not mid-query)
+    // (Query.validate, reference Query.java:134-141). A variable may
+    // resolve to a metric or ANY expression — the reference compiles a
+    // dependency DAG, so forward references between expressions are
+    // legal (TestQueryExecutor
+    // .nestedExpressionsTwoLevelsDefaultOutputOrdering declares e
+    // last); self references and cycles are the executor's errors
+    // (Engine.runExpJson), and a variable naming NOTHING is
+    // ExpressionIterator's "Missing results for variable" at compile.
     requireUnique(metrics.map(_.id) ++ expressions.map(_.id),
       "variable or expression")
-    var known = metrics.map(_.id).toSet
-    expressions.foreach { e =>
-      ExpQuery.variables(ExpQuery.parse(e.expr)).foreach(v =>
-        require(known.contains(v),
-          s"Expression [${e.expr}] was missing input $v"))
-      known += e.id
-    }
+    val known = metrics.map(_.id).toSet ++ expressions.map(_.id)
 
     val outputs = arr(root, "outputs").map { o =>
       require(o.hasNonNull("id"), "missing or empty id")

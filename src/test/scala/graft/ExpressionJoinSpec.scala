@@ -684,4 +684,175 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // didn't appear to have any variables")
     assert(ExpQuery.variables(ExpQuery.parse("a > b")).isEmpty)
   }
+
+  // ---- QueryExecutor end-to-end ports ----------------------------------
+  // (/root/reference/test/tsd/TestQueryExecutor.java: the whole
+  // /api/query/exp POJO request through runExpJson; values assert the
+  // per-series dps columns the reference's V2 serializer emits)
+
+  private def expBody(metrics: Seq[(String, String)],
+                      exprs: Seq[(String, String)],
+                      outs: Seq[(String, Option[String])] = Seq.empty,
+                      downsampler: String = ""): String = {
+    val ms = metrics.map { case (id, m) =>
+      s"""{"id":"$id","metric":"$m","filter":"f1"}""" }.mkString(",")
+    val es = exprs.map { case (id, x) =>
+      s"""{"id":"$id","expr":"$x",
+          "join":{"operator":"intersection"}}""" }.mkString(",")
+    val os = outs.map { case (id, al) =>
+      s"""{"id":"$id"${al.map(a => s""","alias":"$a"""").getOrElse("")}}"""
+    }.mkString(",")
+    val ds = if (downsampler.isEmpty) ""
+      else s""","downsampler":$downsampler"""
+    s"""{"time":{"start":1431561600,"aggregator":"sum"$ds},
+        "filters":[{"id":"f1","tags":[
+          {"type":"wildcard","tagk":"D","filter":"*","groupBy":true}]}],
+        "metrics":[$ms],
+        "expressions":[$es]${if (os.isEmpty) "" else s""","outputs":[$os]"""}}"""
+  }
+
+  private val NOW = 1431600000000L
+
+  private def runExp(points: DataFrame, body: String)
+      : Map[String, Map[Long, Set[Double]]] =
+    Engine.runExpJson(points, body, now = NOW).map { case (id, df) =>
+      id -> df.collect().groupBy(_.getAs[Long]("ts")).map {
+        case (t, rs) => t -> rs.map(_.getAs[Double]("value")).toSet
+      }
+    }.toMap
+
+  test("executor: oneExpressionWithOutputAlias + metric outputs") {
+    // oneExpressionWithOutputAlias / oneExpressionOutputAndBAlso
+    val out = runExp(oneExtraSameE, expBody(
+      Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b"),
+      outs = Seq("e" -> Some("A plus B"), "a" -> None, "b" -> None)))
+    assert(out("e") == Map(T0 -> Set(12.0, 18.0), T1 -> Set(14.0, 20.0),
+      T2 -> Set(16.0, 22.0)))
+    assert(out("a")(T0) == Set(1.0, 4.0))
+    assert(out("b")(T0) == Set(11.0, 14.0, 17.0))
+    // the alias names the emitted metric
+    val named = Engine.runExpJson(oneExtraSameE, expBody(
+      Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b"),
+      outs = Seq("e" -> Some("A plus B"))), now = NOW)
+      .head._2.select("metric").distinct().collect().map(_.getString(0))
+    assert(named.toSeq == Seq("A plus B"))
+  }
+
+  test("executor: oneExpressionDefaultFill — missing points zero-fill, " +
+       "with and without a no-fill downsample") {
+    val exp = Map(T0 -> Set(1.0, 4.0, 0.0), T1 -> Set(0.0, 20.0, 8.0),
+      T2 -> Set(16.0, 0.0, 28.0))
+    val plain = runExp(threeSameEGaps, expBody(
+      Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b")))
+    assert(plain("e") == exp)
+    // oneExpressionDownsamplingMissingTimestampNoFill: a 1m-sum
+    // downsample with no fill leaves the same gaps
+    val ds = runExp(threeSameEGaps, expBody(
+      Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b"),
+      downsampler = """{"interval":"1m","aggregator":"sum"}"""))
+    assert(ds("e") == exp)
+  }
+
+  test("executor: two expressions, nested one/two levels, declaration " +
+       "order independent (DAG compile)") {
+    val two = runExp(oneExtraSameE, expBody(Seq("a" -> "A", "b" -> "B"),
+      Seq("e" -> "a + b", "e2" -> "a * b")))
+    assert(two("e")(T1) == Set(14.0, 20.0))
+    assert(two("e2") == Map(T0 -> Set(11.0, 56.0), T1 -> Set(24.0, 75.0),
+      T2 -> Set(39.0, 96.0)))
+    val nested = runExp(oneExtraSameE, expBody(Seq("a" -> "A", "b" -> "B"),
+      Seq("e" -> "a + b", "e2" -> "e * 2", "e3" -> "e * 2",
+        "e4" -> "e2 + e3")))
+    assert(nested("e2") == Map(T0 -> Set(24.0, 36.0), T1 -> Set(28.0, 40.0),
+      T2 -> Set(32.0, 44.0)))
+    assert(nested("e4") == Map(T0 -> Set(48.0, 72.0), T1 -> Set(56.0, 80.0),
+      T2 -> Set(64.0, 88.0)))
+    // nestedExpressionsTwoLevelsDefaultOutputOrdering: same result when
+    // declared with forward references
+    val shuffled = runExp(oneExtraSameE, expBody(Seq("a" -> "A", "b" -> "B"),
+      Seq("e2" -> "e * 2", "e4" -> "e2 + e3", "e3" -> "e * 2",
+        "e" -> "a + b")))
+    assert(shuffled("e4") == nested("e4"))
+    assert(shuffled("e2") == nested("e2"))
+  }
+
+  test("executor: empty result sets are empty, not errors") {
+    // emptyResultSet: no data at all
+    val none = runExp(pts(Seq.empty), expBody(Seq("a" -> "A", "b" -> "B"),
+      Seq("e" -> "a + b")))
+    assert(none("e").isEmpty)
+    // twoExpressionsOneWithoutResultsDefaultOutput: metrics D/F hold no
+    // data — x is empty while e computes normally
+    val mixed = runExp(oneExtraSameE, expBody(
+      Seq("a" -> "A", "b" -> "B", "d" -> "D", "f" -> "F"),
+      Seq("e" -> "a + b", "x" -> "d + f")))
+    assert(mixed("e")(T0) == Set(12.0, 18.0))
+    assert(mixed("x").isEmpty)
+  }
+
+  test("executor: the V2 response document (dps arrays, dpsMeta, " +
+       "per-series meta, query echo)") {
+    // oneExpressionWithOutputAlias's response assertions
+    val resp = Engine.serializeExpV2(oneExtraSameE, expBody(
+      Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b"),
+      outs = Seq("e" -> Some("A plus B"))), now = NOW)
+    assert(resp.contains(""""alias":"A plus B""""))
+    assert(resp.contains(""""dps":[[1431561600000,12.0,18.0]"""))
+    assert(resp.contains("[1431561660000,14.0,20.0]"))
+    assert(resp.contains("[1431561720000,16.0,22.0]"))
+    assert(resp.contains(""""firstTimestamp":1431561600000"""))
+    assert(resp.contains(""""lastTimestamp":1431561720000"""))
+    assert(resp.contains(""""setCount":3"""))
+    assert(resp.contains(""""index":1"""))
+    assert(resp.contains(""""metrics":["A","B"]"""))
+    assert(resp.contains(""""index":2"""))
+    assert(resp.contains(""""metrics":["timestamp"]"""))
+    assert(resp.contains(""""commonTags":{"D":"D"}"""))
+    assert(resp.contains(""""query":{"""))
+    // emptyResultSet: dps:[], zeroed dpsMeta, no meta array
+    val none = Engine.serializeExpV2(pts(Seq.empty), expBody(
+      Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b")), now = NOW)
+    assert(none.contains(""""dps":[]"""))
+    assert(none.contains(""""firstTimestamp":0"""))
+    assert(none.contains(""""series":0"""))
+    assert(!none.contains(""""meta""""))
+    // a metric output serializes its own series columns
+    val withB = Engine.serializeExpV2(oneExtraSameE, expBody(
+      Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b"),
+      outs = Seq("e" -> None, "b" -> None)), now = NOW)
+    assert(withB.contains(""""id":"b""""))
+    assert(withB.contains(""""dps":[[1431561600000,11.0,14.0,17.0]"""))
+    assert(withB.contains(""""metrics":["B"]"""))
+  }
+
+  test("executor: error contracts — self reference, cycle, missing " +
+       "variable, no intersections") {
+    def msg(body: String, points: DataFrame = oneExtraSameE): String =
+      intercept[IllegalArgumentException] {
+        Engine.runExpJson(points, body, now = NOW).foreach(_._2.collect())
+      }.getMessage
+    assert(msg(expBody(Seq("a" -> "A", "b" -> "B"),
+      Seq("e" -> "a + b", "e2" -> "e * 2", "e3" -> "e * 2",
+        "e4" -> "e2 + e4")))
+      .startsWith("Self referencing expression found"))
+    assert(msg(expBody(Seq("a" -> "A", "b" -> "B"),
+      Seq("e" -> "a + e4", "e2" -> "e * 2", "e3" -> "e * 2",
+        "e4" -> "e2 + e3")))
+      .startsWith("Circular reference found"))
+    assert(msg(expBody(Seq("a" -> "A", "b" -> "B"),
+      Seq("e" -> "a + b + c")))
+      .startsWith("Missing results for variable"))
+    // noIntersectionsFound: disjoint tag sets
+    assert(msg(expBody(Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b")),
+      points = threeDifE).startsWith("No intersections found"))
+    // noIntersectionsFoundOneMetricEmpty: one side has series, the
+    // other none at all
+    assert(msg(expBody(Seq("a" -> "A", "b" -> "D"), Seq("e" -> "a + b")))
+      .startsWith("No intersections found"))
+    // noIntersectionsFoundNestedExpression: the empty metric joins a
+    // live expression result
+    assert(msg(expBody(Seq("a" -> "A", "b" -> "B", "d" -> "D"),
+      Seq("e" -> "a + b", "x" -> "d + e")))
+      .startsWith("No intersections found"))
+  }
 }

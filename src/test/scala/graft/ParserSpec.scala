@@ -573,11 +573,15 @@ class ParserSpec extends AnyFunSuite {
     assert(bad(s"""{$base,"metrics":[{"id":"a","metric":"m"}],
         "expressions":[{"id":"a","expr":"a + 1"}]}""")
       .getMessage.contains("duplicated"))
-    // unresolvable expression variable (incl. forward reference)
-    assert(bad(s"""{$base,"metrics":[{"id":"a","metric":"m"}],
+    // forward references between expressions are LEGAL (the executor
+    // compiles a dependency DAG — round 10, TestQueryExecutor
+    // .nestedExpressionsTwoLevelsDefaultOutputOrdering); an
+    // unresolvable variable is the executor's error, not the parser's
+    val fwd = ExpJsonQuery.parse(s"""{$base,"metrics":[
+        {"id":"a","metric":"m"}],
         "expressions":[{"id":"e","expr":"e2 + 1"},
-                       {"id":"e2","expr":"a + 1"}]}""")
-      .getMessage.contains("missing input"))
+                       {"id":"e2","expr":"a + 1"}]}""", now)
+    assert(fwd.expressions.map(_.id) == Seq("e", "e2"))
     // unrecognized filter reference
     assert(bad(s"""{$base,"metrics":[
         {"id":"a","metric":"m","filter":"nope"}]}""")

@@ -1100,24 +1100,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     feed((1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "click", 0.0),
       (3L, 50000L, 9L, "noop", 0.0))
     feed((4L, 50001L, 9L, "noop", 0.0)) // close fires
-    // a stage event arrives while the watermark (≈100 s) is INSIDE
-    // (close, close + TTL): deduplicated, and the expiry must stay
-    // anchored at ≈109 s — the pre-fix bug re-armed to w + TTL
-    // (≈160 s) on every such arrival, so a chatty user never exited
-    feed((5L, 101000L, 9L, "noop", 0.0))
-    feed((6L, 105000L, 1L, "view", 0.0)) // drained by the tombstone
-    // watermark moves past the ANCHORED expiry → tombstone clears
-    // (under the old re-arming it would live to ≈160 s)
-    feed((7L, 115000L, 9L, "noop", 0.0))
-    // re-entry at 120 s is a fresh chain and converts again
-    feed((8L, 120000L, 1L, "view", 0.0), (9L, 121000L, 1L, "click", 0.0))
-    feed((10L, 140000L, 9L, "noop", 0.0))
-    feed((11L, 140001L, 9L, "noop", 0.0))
+    feed((5L, 100000L, 9L, "noop", 0.0)) // watermark → ≈99 s
+    // a stage event drains against the live tombstone at watermark
+    // ≈99 s: the expiry must stay ANCHORED at ≈109 s — the pre-fix
+    // bug re-armed to w + TTL ≈ 159 s on every such arrival, so a
+    // chatty user never exited
+    feed((6L, 105000L, 1L, "view", 0.0))
+    // a dataless tick carries the watermark to ≈124 s, past the
+    // anchored expiry (but well short of the old re-armed 159 s):
+    // the tombstone clears
+    feed((7L, 125000L, 9L, "noop", 0.0))
+    // re-entry at 130 s is a fresh chain and converts again (under
+    // the old re-arming it would be swallowed until 159 s)
+    feed((8L, 130000L, 1L, "view", 0.0), (9L, 131000L, 1L, "click", 0.0))
+    feed((10L, 150000L, 9L, "noop", 0.0))
+    feed((11L, 150001L, 9L, "noop", 0.0))
     q.stop()
     val u1 = spark.sql(
         "SELECT stageIdx, ts FROM funnel_ttl WHERE userId = 1 ORDER BY ts")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    assert(u1 == Seq((0, 1000L), (1, 2000L), (0, 120000L), (1, 121000L)),
+    assert(u1 == Seq((0, 1000L), (1, 2000L), (0, 130000L), (1, 131000L)),
       u1.toString)
   }
 
