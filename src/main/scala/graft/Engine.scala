@@ -274,6 +274,90 @@ object Engine {
                  now: Long = System.currentTimeMillis(),
                  rollups: Seq[RollupTable] = Seq.empty)
       : Seq[(String, DataFrame)] = {
+    val run = runExpJsonMeta(points, body, now, rollups)
+    // DataFrame-returning callers can't signal when they're done with
+    // the run's cached frames, so ownership moves to the bounded ring:
+    // the existing LRU discipline (runCached's) applied to exp runs.
+    expCacheRing.synchronized {
+      expCacheRing.put(expRunSeq.incrementAndGet(), run.handle)
+    }
+    run.outputs.map(o => o.id -> o.df)
+  }
+
+  /** One emitted `/api/query/exp` output: the result frame carries the
+    * oracle-facing projection (tag_K/ts/value/metric) AND the
+    * serializer-facing per-series meta columns `__skey` (flattened
+    * series identity — V2 dps columns are keyed on it, one column per
+    * joined series even when the projected tags collide), `__mtags`
+    * (the series' commonTags map) and `__aggtags` (aggregated tag
+    * keys). `isMetric` routes the V2 serializer to the
+    * SerializeSubIterator dpsMeta shape. */
+  private[graft] case class ExpOutput(id: String, alias: Option[String],
+                                      df: DataFrame, isMetric: Boolean)
+
+  /** Ownership handle over one exp run's cached frames: the persisted
+    * metric variables and the locally-checkpointed nested-expression
+    * frames. `release()` is idempotent; after it fires the run's
+    * RETURNED frames must not be recomputed (a checkpoint's blocks are
+    * its only lineage). */
+  final class ExpCacheHandle private[graft] (persisted: Seq[DataFrame],
+                                             checkpointed: Seq[DataFrame]) {
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit = if (released.compareAndSet(false, true)) {
+      persisted.foreach(df => scala.util.Try(df.unpersist(false)))
+      // Dataset.unpersist is a no-op for checkpoint frames (they are
+      // RDD-persisted, not CacheManager-registered) — drop the blocks
+      // at the RDD the LogicalRDD wraps
+      checkpointed.foreach { df =>
+        df.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            scala.util.Try(l.rdd.unpersist(false))
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  private[graft] case class ExpRun(outputs: Seq[ExpOutput],
+                                   handle: ExpCacheHandle)
+
+  /** Bound on live exp runs for DataFrame-returning callers
+    * ([[runExpJson]]). [[serializeExpV2]] owns its materialization and
+    * releases eagerly; raw callers are bounded by this access-ordered
+    * ring — eviction releases the evicted run's persists AND
+    * checkpoints, so a frame held across `expCacheMaxEntries`
+    * subsequent distinct exp queries is invalidated (the same
+    * ownership contract as runCached's eviction). */
+  @volatile var expCacheMaxEntries: Int = 32
+  private val expCacheRing =
+    new java.util.LinkedHashMap[Long, ExpCacheHandle](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, ExpCacheHandle]): Boolean =
+        if (size > expCacheMaxEntries) {
+          e.getValue.release()
+          graft.meta.Introspect.incr("query.exp_cache_evictions")
+          true
+        } else false
+    }
+  private val expRunSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drop every live exp run's cached frames (test hook). */
+  def clearExpCache(): Unit = expCacheRing.synchronized {
+    expCacheRing.values.forEach(_.release())
+    expCacheRing.clear()
+  }
+
+  /** Data-point budget for each exp output — the [[withMaxDataPoints]]
+    * guard applied to the series × grid result BEFORE any driver-side
+    * collect (the V2 serializer's collect is the reference's
+    * DataPoints-in-RAM contract; the guard keeps an oversized exp
+    * query from reaching it, reference tsd.query.limits). */
+  @volatile var expMaxDataPoints: Long = Long.MaxValue
+
+  private[graft] def runExpJsonMeta(points: DataFrame, body: String,
+                                    now: Long = System.currentTimeMillis(),
+                                    rollups: Seq[RollupTable] = Seq.empty)
+      : ExpRun = {
     import graft.operators.ExpressionJoin
     val q = ExpJsonQuery.parse(body, now)
     val tsq = q.tsQuery
@@ -370,12 +454,16 @@ object Engine {
       outputs += e.id -> result
         .select(keys.toSeq.sorted.map(k =>
           col("tags").getItem(k).as(s"tag_$k")) ++
-          Seq(col("ts"), col("value")): _*)
+          Seq(col("ts"), col("value"),
+            col("__skey"), col("__mtags"), col("__aggtags")): _*)
       groupKeys += e.id -> keys
       // an expression OTHER expressions reference becomes a variable:
-      // identity = the joined series tags (the reference feeds
-      // expression output back through PostAggregatedDataPoints
-      // meta). CHECKPOINTED, not persisted: a checkpoint truncates
+      // identity = the joined series' MERGED meta — variable one's
+      // tags (or the empty fill_dp tags when it misses the series) and
+      // the union of agg tag keys, the exact EDP meta the reference
+      // feeds back through ExpressionIterator.compile
+      // (ExpressionIterator.java:280-297 + ExpressionDataPoint.add).
+      // CHECKPOINTED, not persisted: a checkpoint truncates
       // lineage, so nesting depth cannot grow the downstream plan —
       // without it each level re-embeds the whole upstream join plan
       // (exponential growth; e4 = e2 + e3 over e OOMed plan
@@ -385,8 +473,8 @@ object Engine {
       // for a leaf expression.
       if (referenced.contains(e.id))
         vars += e.id -> ExpressionJoin.VarSet(e.id,
-          result.select(col("tags"),
-            array().cast("array<string>").as("agg_tags"),
+          result.select(col("__mtags").as("tags"),
+            col("__aggtags").as("agg_tags"),
             col("ts"), col("value")).localCheckpoint(false),
           queryTagKs = sets.flatMap(_.queryTagKs).toSet,
           tsFill = e.fillPolicy.map(_.fill).getOrElse(0.0))
@@ -394,19 +482,33 @@ object Engine {
     val emit =
       if (q.outputs.nonEmpty) q.outputs
       else q.expressions.map(e => ExpJsonQuery.OutputDef(e.id, None))
-    emit.map { o =>
+    val metricIds = q.metrics.map(_.id).toSet
+    val outs = emit.map { o =>
       // an output may name a METRIC id, not just an expression: the
       // reference emits the metric's own per-series result set
       // (TestQueryExecutor.oneExpressionOutputAndBAlso)
+      val isMetric = !outputs.contains(o.id) && metricIds.contains(o.id)
       val df = outputs.getOrElse(o.id, {
         val v = vars.getOrElse(o.id, throw new IllegalArgumentException(
           s"Unknown output id: ${o.id}"))
         v.df.select(groupKeys(o.id).toSeq.sorted.map(k =>
           col("tags").getItem(k).as(s"tag_$k")) ++
-          Seq(col("ts"), col("value")): _*)
+          Seq(col("ts"), col("value"),
+            ExpressionJoin.seriesKey(col("tags")).as("__skey"),
+            col("tags").as("__mtags"),
+            coalesce(col("agg_tags"), array().cast("array<string>"))
+              .as("__aggtags")): _*)
       })
-      o.id -> df.withColumn("metric", lit(o.alias.getOrElse(o.id)))
+      val guarded =
+        if (expMaxDataPoints == Long.MaxValue) df
+        else withMaxDataPoints(df, expMaxDataPoints)
+      ExpOutput(o.id, o.alias,
+        guarded.withColumn("metric", lit(o.alias.getOrElse(o.id))), isMetric)
     }
+    val checkpointed = q.expressions.flatMap(e =>
+      if (referenced.contains(e.id)) vars.get(e.id).map(_.df) else None)
+    ExpRun(outs, new ExpCacheHandle(
+      q.metrics.flatMap(m => vars.get(m.id).map(_.df)), checkpointed))
   }
 
   /**
@@ -415,93 +517,112 @@ object Engine {
    * `{"outputs":[{id, alias?, dps:[[ts, v_series...]], dpsMeta:
    * {firstTimestamp, lastTimestamp, setCount, series}, meta:[{index:0,
    * metrics:["timestamp"]}, {index:i+1, metrics:[sorted names],
-   * commonTags, aggregatedTags}...]}], "query": <echo>}`. Reference
-   * quirks reproduced: lastTimestamp stays 0 until a SECOND row is
-   * written (first_ts/last_ts split, :698-704), an empty output has
-   * dpsMeta zeros and NO meta array (:725-732), and the metrics list
-   * is the sorted metric names feeding the output (transitively for
-   * nested expressions; MetricsCB sorts, :866-869).
+   * commonTags, aggregatedTags}...]}], "query": <echo>}`.
+   *
+   * Per-series shape follows the reference exactly: the dps columns
+   * are keyed on the flattened series identity (`__skey`) — one column
+   * per joined series even when the projected tag columns collide —
+   * ordered by key like the reference's sorted ByteMap; `commonTags`
+   * is each series' merged EDP tag map (variable one's tags, or empty
+   * when variable one missed the series — the fill_dp copy quirk) and
+   * `aggregatedTags` the merged aggregated tag keys
+   * (QueryExecutor.java:848-880 collects them, :926-930 writes them).
+   *
+   * dpsMeta quirks reproduced per output kind: an EXPRESSION output's
+   * lastTimestamp stays 0 until a SECOND row is written (first/last
+   * split, :698-704) while a METRIC output writes lastTimestamp on
+   * EVERY row including the first (SerializeSubIterator, :786-800);
+   * an empty output has dpsMeta zeros and NO meta array (:725-732);
+   * the metrics list is the sorted metric names feeding the output
+   * (transitively for nested expressions; MetricsCB sorts, :866-869).
    *
    * Driver-side assembly by design: the response document is the
    * serving tier's unit of work, and the collected rows are the
    * already-aggregated expression results (series × grid), the same
-   * data the reference holds in RAM to serialize. aggregatedTags
-   * emits [] — the output contract carries the joined group tags
-   * (commonTags), not per-series agg-tag lists.
+   * data the reference holds in RAM to serialize — bounded by the
+   * [[expMaxDataPoints]] guard before the collect. This method owns
+   * the run's materialization, so it releases the exp cache handle on
+   * exit (the persist-lifecycle bound).
    */
   def serializeExpV2(points: DataFrame, body: String,
                      now: Long = System.currentTimeMillis(),
                      rollups: Seq[RollupTable] = Seq.empty): String = {
     val q = ExpJsonQuery.parse(body, now)
-    val results = runExpJson(points, body, now, rollups)
-    val metricName = q.metrics.map(m => m.id -> m.metric).toMap
-    val exprVars = q.expressions.map(e =>
-      e.id -> ExpQuery.variables(ExpQuery.parse(e.expr))).toMap
-    def metricsOf(id: String, seen: Set[String]): Seq[String] =
-      if (seen(id)) Seq.empty
-      else metricName.get(id).map(Seq(_)).getOrElse(
-        exprVars.getOrElse(id, Seq.empty)
-          .flatMap(v => metricsOf(v, seen + id)))
-    val fills = q.metricFills
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.createObjectNode()
-    val outs = root.putArray("outputs")
-    results.foreach { case (id, df) =>
-      val alias = q.outputs.find(_.id == id).flatMap(_.alias)
-      val rows = df.collect()
-      val tagCols = df.columns.filter(_.startsWith("tag_")).toSeq
-      def key(r: org.apache.spark.sql.Row): Seq[String] =
-        tagCols.map(c => String.valueOf(r.getAs[Any](c)))
-      val seriesKeys = rows.map(key).distinct
-        .sortBy(_.mkString(" "))
-      val idx = seriesKeys.zipWithIndex.toMap
-      val grid = rows.map(_.getAs[Long]("ts")).distinct.sorted
-      val cells = rows.map(r =>
-        (r.getAs[Long]("ts"), idx(key(r))) -> r.getAs[Double]("value"))
-        .toMap
-      val o = outs.addObject()
-      o.put("id", id)
-      alias.foreach(o.put("alias", _))
-      val dpsArr = o.putArray("dps")
-      var first = Long.MinValue
-      var last = 0L
-      var count = 0L
-      val gapFill = fills.getOrElse(id, 0.0)
-      grid.foreach { t =>
-        val row = dpsArr.addArray()
-        row.add(t)
-        if (first == Long.MinValue) first = t else last = t
-        count += 1
-        seriesKeys.indices.foreach(i =>
-          row.add(cells.getOrElse((t, i), gapFill)))
-      }
-      val dpsMeta = o.putObject("dpsMeta")
-      dpsMeta.put("firstTimestamp", if (first == Long.MinValue) 0L else first)
-      dpsMeta.put("lastTimestamp", last)
-      dpsMeta.put("setCount", count)
-      dpsMeta.put("series", seriesKeys.size)
-      if (seriesKeys.nonEmpty) {
-        val meta = o.putArray("meta")
-        val t0 = meta.addObject()
-        t0.put("index", 0)
-        t0.putArray("metrics").add("timestamp")
-        val ms = metricsOf(id, Set.empty).distinct.sorted
-        seriesKeys.zipWithIndex.foreach { case (ks, i) =>
-          val mo = meta.addObject()
-          mo.put("index", i + 1)
-          val ma = mo.putArray("metrics")
-          ms.foreach(ma.add)
-          val ct = mo.putObject("commonTags")
-          tagCols.zip(ks).foreach { case (c, v) =>
-            if (v != "null") ct.put(c.stripPrefix("tag_"), v)
+    val run = runExpJsonMeta(points, body, now, rollups)
+    try {
+      val metricName = q.metrics.map(m => m.id -> m.metric).toMap
+      val exprVars = q.expressions.map(e =>
+        e.id -> ExpQuery.variables(ExpQuery.parse(e.expr))).toMap
+      def metricsOf(id: String, seen: Set[String]): Seq[String] =
+        if (seen(id)) Seq.empty
+        else metricName.get(id).map(Seq(_)).getOrElse(
+          exprVars.getOrElse(id, Seq.empty)
+            .flatMap(v => metricsOf(v, seen + id)))
+      val fills = q.metricFills
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      val outs = root.putArray("outputs")
+      run.outputs.foreach { case ExpOutput(id, alias, df, isMetric) =>
+        val rows = df.collect()
+        // one dps column per JOINED series (__skey), ordered by the
+        // flattened key — the reference's sorted ByteMap order
+        val seriesKeys = rows.map(_.getAs[String]("__skey")).distinct.sorted
+        val idx = seriesKeys.zipWithIndex.toMap
+        val grid = rows.map(_.getAs[Long]("ts")).distinct.sorted
+        val cells = rows.map(r =>
+          (r.getAs[Long]("ts"), idx(r.getAs[String]("__skey")))
+            -> r.getAs[Double]("value")).toMap
+        // per-series meta off any row of the series
+        val metaOf = rows.map(r => r.getAs[String]("__skey") ->
+          (r.getAs[Map[String, String]]("__mtags"),
+            r.getAs[scala.collection.Seq[String]]("__aggtags"))).toMap
+        val o = outs.addObject()
+        o.put("id", id)
+        alias.foreach(o.put("alias", _))
+        val dpsArr = o.putArray("dps")
+        var first = Long.MinValue
+        var last = 0L
+        var count = 0L
+        val gapFill = fills.getOrElse(id, 0.0)
+        grid.foreach { t =>
+          val row = dpsArr.addArray()
+          row.add(t)
+          // expression outputs: first/last split (lastTimestamp stays 0
+          // for a one-row result); metric outputs: last on EVERY row
+          if (first == Long.MinValue) first = t else last = t
+          if (isMetric) last = t
+          count += 1
+          seriesKeys.indices.foreach(i =>
+            row.add(cells.getOrElse((t, i), gapFill)))
+        }
+        val dpsMeta = o.putObject("dpsMeta")
+        dpsMeta.put("firstTimestamp", if (first == Long.MinValue) 0L else first)
+        dpsMeta.put("lastTimestamp", last)
+        dpsMeta.put("setCount", count)
+        dpsMeta.put("series", seriesKeys.size)
+        if (seriesKeys.nonEmpty) {
+          val meta = o.putArray("meta")
+          val t0 = meta.addObject()
+          t0.put("index", 0)
+          t0.putArray("metrics").add("timestamp")
+          val ms = metricsOf(id, Set.empty).distinct.sorted
+          seriesKeys.zipWithIndex.foreach { case (sk, i) =>
+            val mo = meta.addObject()
+            mo.put("index", i + 1)
+            val ma = mo.putArray("metrics")
+            ms.foreach(ma.add)
+            val (mtags, aggtags) = metaOf(sk)
+            val ct = mo.putObject("commonTags")
+            mtags.toSeq.sortBy(_._1).foreach { case (k, v) => ct.put(k, v) }
+            val at = mo.putArray("aggregatedTags")
+            aggtags.foreach(at.add)
           }
-          mo.putArray("aggregatedTags")
         }
       }
-    }
-    root.set[com.fasterxml.jackson.databind.JsonNode]("query",
-      mapper.readTree(body))
-    mapper.writeValueAsString(root)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("query",
+        mapper.readTree(body))
+      mapper.writeValueAsString(root)
+    } finally run.handle.release()
   }
 
   /**

@@ -95,6 +95,16 @@ object ExpressionJoin {
       .otherwise(concat(pairSegs, aggSegs))
   }
 
+  /** Flattened FULL-tags series key for a raw (un-joined) result set —
+    * the per-series identity a metric-id output serializes under
+    * (reference SerializeSubIterator keys series by their own
+    * DataPoints, QueryExecutor.java:744-838). Same segment encoding as
+    * [[flatKey]] with both flags off, so keys sort consistently. */
+  def seriesKey(tags: Column): Column =
+    array_join(transform(array_sort(map_entries(tags)),
+      e => concat(lit("\u0001"), e.getField("key"), lit("\u0000"),
+        e.getField("value"))), "")
+
   /** INTERSECTION join. Output: one row per (surviving series key,
     * grid ts) with `tags` (first variable's result tags for the key),
     * `ts`, and one `__v_<name>` column per variable (tsFill where the
@@ -145,19 +155,46 @@ object ExpressionJoin {
 
   /** Shared slot-grid assembly: keys × (union of surviving series'
     * timestamps), then ONE aggregation + one left join per variable.
-    * The per-series meta (representative tags, presence) is derived
+    * The per-series meta (winner tags, presence, agg tags) is derived
     * from a single window over the assembled slots instead of extra
     * per-variable aggregations — the per-variable pipeline appears in
     * the plan exactly twice (grid + values), and the two subtrees
-    * share one exchange under reuse. */
+    * share one exchange under reuse.
+    *
+    * Collisions — two series of ONE variable flattening to the same
+    * key (e.g. useQueryTags filtering away their distinguishing
+    * tags) — keep exactly ONE series wholesale, never a pointwise mix:
+    * the reference's ByteMap put overwrites, keeping the last series
+    * inserted (UnionIterator.computeUnion, UnionIterator.java:185-193).
+    * Storage order is not reproducible here, so the winner is the
+    * max-tag-entries series — deterministic where the reference is
+    * storage-order-dependent (same accepted-divergence class as the
+    * PREV-carry determinism). A colliding key's timestamps where only
+    * the kicked series had data get the variable's tsFill, exactly as
+    * if the winner had been the only series.
+    *
+    * Output columns: `__skey`, `tags` (projection contract: the first
+    * variable HOLDING the series — tag values are identical across
+    * variables for pair-matched keys), `__mtags` (reference meta
+    * contract: the FIRST variable's tags, or an EMPTY map when that
+    * variable misses the series — ExpressionIterator copies meta from
+    * variable one's EDP, which is the shared empty fill_dp when
+    * absent; ExpressionIterator.java:280-297 with the
+    * `TODO - tags intersection` in ExpressionDataPoint.add), `__aggtags`
+    * (union of the PRESENT variables' aggregated tag keys, name-sorted —
+    * ExpressionDataPoint.add merges aggregated_tags), `ts`, and one
+    * `__v_<name>` per variable. */
   private def assemble(keyed: Seq[(VarSet, DataFrame)], keys: DataFrame,
                        missingSeriesFill: Option[Double]): DataFrame = {
     val keyTab = broadcast(keys.select("__skey"))
     val pvs = keyed.map { case (v, d) =>
       v -> d.join(keyTab, Seq("__skey"), "left_semi")
         .groupBy(col("__skey"), col("ts"))
-        .agg(max(col("value")).as(s"__raw_${v.name}"),
-          max(map_entries(col("tags"))).as(s"__e0_${v.name}"))
+        .agg(max(struct(
+          map_entries(col("tags")).as("e"),
+          col("value").as("v"),
+          coalesce(col("agg_tags"), array().cast("array<string>")).as("a")))
+          .as(s"__m_${v.name}"))
     }
     // grid from SURVIVING series only (kicked series never widen it)
     val grid = pvs.map(_._2.select("ts")).reduce(_ unionByName _).distinct()
@@ -165,25 +202,41 @@ object ExpressionJoin {
     val joined = pvs.foldLeft(slots) { case (acc, (_, pv)) =>
       acc.join(pv, Seq("__skey", "ts"), "left")
     }
-    // one per-series window serves every variable: its max entries
-    // array is the representative tags AND the presence witness
-    // (null ⟺ the variable holds no row for the series)
+    // one per-series window serves every variable: its max (entries,
+    // agg tags) struct is the WINNER series' identity AND the presence
+    // witness (null ⟺ the variable holds no row for the series)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__skey"))
-    val entCols = keyed.map { case (v, _) =>
-      max(col(s"__e0_${v.name}")).over(w)
+    val winners = keyed.map { case (v, _) =>
+      val m = col(s"__m_${v.name}")
+      // the when() keeps absent slots NULL (struct(null,null) is not
+      // null, and max only skips true nulls) — win is null ⟺ the
+      // variable holds no row at all for the series
+      max(when(m.isNotNull,
+        struct(m.getField("e").as("e"), m.getField("a").as("a")))).over(w)
     }
-    val valueCols = keyed.zip(entCols).map { case ((v, _), ent) =>
-      val within = coalesce(col(s"__raw_${v.name}"), lit(v.tsFill))
+    val valueCols = keyed.zip(winners).map { case ((v, _), win) =>
+      val m = col(s"__m_${v.name}")
+      // a row only counts when it belongs to the winner series; the
+      // kicked series' slots fall back to tsFill
+      val own = when(m.getField("e") === win.getField("e"), m.getField("v"))
+      val within = coalesce(own, lit(v.tsFill))
       (missingSeriesFill match {
-        case Some(f) => when(ent.isNull, lit(f)).otherwise(within)
+        case Some(f) => when(win.isNull, lit(f)).otherwise(within)
         case None => within
       }).as(s"__v_${v.name}")
     }
-    // representative result tags: the first variable holding the series
-    val tagsCol = map_from_entries(coalesce(entCols :+
-      array().cast("array<struct<key:string,value:string>>"): _*))
-      .as("tags")
-    joined.select(col("__skey") +: tagsCol +: col("ts") +: valueCols: _*)
+    val emptyEntries = array().cast("array<struct<key:string,value:string>>")
+    // projection tags: the first variable holding the series
+    val tagsCol = map_from_entries(coalesce(
+      winners.map(_.getField("e")) :+ emptyEntries: _*)).as("tags")
+    // reference meta tags: variable ONE's tags or empty (fill_dp copy)
+    val mtagsCol = map_from_entries(
+      coalesce(winners.head.getField("e"), emptyEntries)).as("__mtags")
+    val aggtagsCol = array_sort(array_distinct(concat(
+      winners.map(win => coalesce(win.getField("a"),
+        array().cast("array<string>"))): _*))).as("__aggtags")
+    joined.select(col("__skey") +: tagsCol +: mtagsCol +: aggtagsCol +:
+      col("ts") +: valueCols: _*)
   }
 
   private def emptyResult(keyed: Seq[(VarSet, DataFrame)]): DataFrame = {
@@ -191,6 +244,8 @@ object ExpressionJoin {
     import org.apache.spark.sql.types._
     val fields = Seq(StructField("__skey", StringType),
       StructField("tags", MapType(StringType, StringType)),
+      StructField("__mtags", MapType(StringType, StringType)),
+      StructField("__aggtags", ArrayType(StringType)),
       StructField("ts", LongType)) ++
       keyed.map { case (v, _) => StructField(s"__v_${v.name}", DoubleType) }
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

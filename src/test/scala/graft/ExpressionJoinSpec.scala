@@ -807,7 +807,11 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resp.contains(""""metrics":["A","B"]"""))
     assert(resp.contains(""""index":2"""))
     assert(resp.contains(""""metrics":["timestamp"]"""))
-    assert(resp.contains(""""commonTags":{"D":"D"}"""))
+    // commonTags = the series' EDP tag map — SpanGroup.computeTags
+    // keeps ALL tags of a one-series group (E=E survives alongside the
+    // grouped D), reference SpanGroup.java:348-388 via
+    // ExpressionDataPoint(dps).tags()
+    assert(resp.contains(""""commonTags":{"D":"D","E":"E"}"""))
     assert(resp.contains(""""query":{"""))
     // emptyResultSet: dps:[], zeroed dpsMeta, no meta array
     val none = Engine.serializeExpV2(pts(Seq.empty), expBody(
