@@ -1468,6 +1468,42 @@ object SparkEntry {
         .orderBy("source", "metric", "tag_user", "tag_k")
     }),
 
+    // §2.13 StartupPlugin through the real engine path: the registered
+    // plugin's initialize() rewrites the parsed config BEFORE anything
+    // serves (reference TSDMain.loadStartupPlugins,
+    // src/tools/TSDMain.java:242-279), adding '%' to
+    // tsd.core.tag.allow_specialchars — so put lines whose metric
+    // carries '%' parse clean while '!' still lands in _error. The
+    // oracle transcribes the post-rewrite accept/reject split; without
+    // the plugin every m%pct row would be rejected and the hashes
+    // would diverge.
+    "q99_startup_plugin" -> ((s, dir) => {
+      val ev = pts(s, dir).filter(col("metric") === "click" &&
+        col("tags").getItem("k").isNotNull)
+      def mk(metric: String) = ev.select(concat(
+        lit(s"put $metric "), col("ts").cast("string"),
+        lit(" "), col("value").cast("string"),
+        lit(" k="), col("tags").getItem("k")).as("value"))
+      val lines = mk("m%pct").unionByName(mk("m!bang"))
+      graft.meta.StartupPlugins.register("charset_rewriter",
+        graft.meta.StartupPlugins.Plugin(cfg =>
+          cfg + ("tsd.core.tag.allow_specialchars" -> "%")))
+      val cfg = graft.meta.StartupPlugins.applyStartup(Map(
+        "tsd.startup.enable" -> "true",
+        "tsd.startup.plugin" -> "charset_rewriter"))
+      graft.sources.Ingest.allowSpecialChars =
+        cfg.getOrElse("tsd.core.tag.allow_specialchars", "")
+      // the charset regex bakes into the plan at CONSTRUCTION time, so
+      // the knob resets before other queries build their plans
+      val parsed = graft.sources.Ingest.parsePutLines(lines)
+      graft.sources.Ingest.allowSpecialChars = ""
+      parsed
+        .groupBy(col("metric"), col("_error").isNull.as("ok"))
+        .agg(count(lit(1)).as("n"), r4(min(col("value"))).as("min_v"),
+          r4(max(col("value"))).as("max_v"))
+        .orderBy("metric", "ok")
+    }),
+
     // §2.14 `tsd uid fsck` over deliberately-corrupted dual mapping
     // tables derived from the q49 registry: a shared-uid collision, a
     // mismatched reverse name, dropped reverse rows (uid % 7 == 3),
@@ -2942,6 +2978,20 @@ object SparkEntry {
          SELECT 'engine', metric, tag_user, tag_k, points
          FROM m WHERE metric = 'signup'
          ORDER BY source, metric, tag_user, tag_k""",
+
+    "q99_startup_plugin" ->
+      s"""$O, src AS (
+           SELECT value FROM points
+           WHERE metric = 'click' AND tag_k IS NOT NULL),
+         agg AS (
+           SELECT count(*) AS n,
+             (sign(min(value)) * floor(abs(min(value)) * 10000 + 0.5) / 10000) AS min_v,
+             (sign(max(value)) * floor(abs(max(value)) * 10000 + 0.5) / 10000) AS max_v
+           FROM src)
+         SELECT 'm!bang' AS metric, FALSE AS ok, n, min_v, max_v FROM agg
+         UNION ALL
+         SELECT 'm%pct', TRUE, n, min_v, max_v FROM agg
+         ORDER BY metric, ok""",
 
     "q93_uid_fsck" ->
       s"""$O, f0 AS (SELECT * FROM points WHERE metric IN ('click','signup')),

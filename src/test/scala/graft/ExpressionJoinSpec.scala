@@ -859,4 +859,152 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("e" -> "a + b", "x" -> "d + e")))
       .startsWith("No intersections found"))
   }
+
+  test("executor: oneExpressionNoFilter — aggregate-all variables join " +
+       "on the agg-tag key; aggregatedTags serialized per series") {
+    // metrics WITHOUT filters: each variable aggregates every series
+    // into one (A: 1+4.., B: 11+14+17..), both flatten to the same
+    // {E:E}+aggD key and the intersection holds exactly one series
+    val body = """{"time":{"start":1431561600,"aggregator":"sum"},
+        "metrics":[{"id":"a","metric":"A"},{"id":"b","metric":"B"}],
+        "expressions":[{"id":"e","expr":"a + b",
+          "join":{"operator":"intersection"}}],
+        "outputs":[{"id":"e","alias":"A plus B"}]}"""
+    val resp = Engine.serializeExpV2(oneExtraSameE, body, now = NOW)
+    assert(resp.contains(""""alias":"A plus B""""))
+    assert(resp.contains(""""dps":[[1431561600000,47.0]"""))
+    assert(resp.contains("[1431561660000,52.0]"))
+    assert(resp.contains("[1431561720000,57.0]"))
+    assert(resp.contains(""""firstTimestamp":1431561600000"""))
+    assert(resp.contains(""""metrics":["A","B"]"""))
+    // the V2 meta reports the aggregated-away keys per series
+    // (QueryExecutor MetaSerializer, QueryExecutor.java:848-880/:926-930)
+    assert(resp.contains(""""commonTags":{"E":"E"}"""))
+    assert(resp.contains(""""aggregatedTags":["D"]"""))
+  }
+
+  test("executor: multiExpressionsOneOutput — only the named output " +
+       "is serialized") {
+    val resp = Engine.serializeExpV2(oneExtraSameE, expBody(
+      Seq("a" -> "A", "b" -> "B"),
+      Seq("e" -> "a + b", "e2" -> "e * 2", "e3" -> "e * 2",
+        "e4" -> "e2 + e3"),
+      outs = Seq("e" -> Some("A plus B"))), now = NOW)
+    assert(resp.contains("[1431561660000,14.0,20.0]"))
+    assert(resp.contains("[1431561720000,16.0,22.0]"))
+    // outputs holds ONLY the named output (the query echo still lists
+    // every expression definition)
+    val outs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(resp).get("outputs")
+    assert(outs.size() == 1 && outs.get(0).get("id").asText() == "e")
+  }
+
+  test("executor: nsunMetric — unknown metric fails under strict " +
+       "resolution (reference NoSuchUniqueName → 400)") {
+    Engine.strictMetrics = true
+    try {
+      val ex = intercept[NoSuchElementException] {
+        Engine.runExpJson(oneExtraSameE, expBody(
+          Seq("a" -> "A", "b" -> "NOPE"), Seq("e" -> "a + b")), now = NOW)
+      }
+      assert(ex.getMessage.startsWith("No such name for"), ex.getMessage)
+    } finally Engine.strictMetrics = false
+  }
+
+  test("executor: dpsMeta quirks — metric outputs stamp lastTimestamp " +
+       "on every row, expression outputs only from the second") {
+    // one timestamp only: the expression output reports lastTimestamp 0
+    // (first/last split, QueryExecutor.java:698-704) while the metric
+    // output reports last == first (SerializeSubIterator stamps last on
+    // every row, :786-800)
+    val oneTs = pts(Seq(("A", T0, 1L, Map("D" -> "D")),
+      ("B", T0, 2L, Map("D" -> "D"))))
+    val resp = Engine.serializeExpV2(oneTs, expBody(
+      Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b"),
+      outs = Seq("e" -> None, "a" -> None)), now = NOW)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val outs = mapper.readTree(resp).get("outputs")
+    val byId = (0 until outs.size()).map(i =>
+      outs.get(i).get("id").asText() -> outs.get(i).get("dpsMeta")).toMap
+    assert(byId("e").get("firstTimestamp").asLong() == T0)
+    assert(byId("e").get("lastTimestamp").asLong() == 0L)
+    assert(byId("a").get("firstTimestamp").asLong() == T0)
+    assert(byId("a").get("lastTimestamp").asLong() == T0)
+  }
+
+  test("union: colliding flat keys keep ONE series wholesale — never a " +
+       "pointwise mix (reference ByteMap overwrite)") {
+    // two series flatten to the same key once useQueryTags drops E;
+    // the winner (max tag entries: E=F) is kept WHOLE — its gap at T1
+    // takes the variable's tsFill, not the kicked series' value
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("agg_tags", ArrayType(StringType)),
+      StructField("ts", LongType), StructField("value", DoubleType)))
+    val rows = Seq(
+      (Map("D" -> "D", "E" -> "E"), T0, 1.0),
+      (Map("D" -> "D", "E" -> "E"), T1, 2.0),
+      (Map("D" -> "D", "E" -> "E"), T2, 3.0),
+      (Map("D" -> "D", "E" -> "F"), T0, 10.0),
+      (Map("D" -> "D", "E" -> "F"), T2, 30.0))
+    val df = spark.createDataFrame(rows.map { case (tg, t, v) =>
+      Row(tg, Seq.empty[String], java.lang.Long.valueOf(t),
+        java.lang.Double.valueOf(v))
+    }.asJava, schema)
+    val out = ExpressionJoin.union("u",
+      Seq(VarSet("a", df, queryTagKs = Set("D"), tsFill = -1.0)),
+      useQueryTags = true, includeAggTags = false)
+    val got = out.collect().map(r =>
+      r.getAs[Long]("ts") -> r.getAs[Double]("__v_a")).toMap
+    assert(got == Map(T0 -> 10.0, T1 -> -1.0, T2 -> 30.0), got.toString)
+    assert(out.select("__skey").distinct().count() == 1)
+  }
+
+  test("exp cache lifecycle: serializeExpV2 releases on exit; raw " +
+       "runExpJson runs are bounded by the eviction ring") {
+    val df = oneExtraSameE
+    // e is referenced by e2, so the run persists two variables AND
+    // checkpoints one expression — both kinds must be released
+    val body = expBody(Seq("a" -> "A", "b" -> "B"),
+      Seq("e" -> "a + b", "e2" -> "e * 2"))
+    Engine.clearExpCache()
+    Engine.clearResultCache()
+    Engine.serializeExpV2(df, body, now = NOW)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach(_ => Engine.serializeExpV2(df, body, now = NOW))
+    // flat: every serializeExpV2 call releases its own persists and
+    // checkpoint blocks (the round-10 lifecycle leak)
+    assert(spark.sparkContext.getPersistentRDDs.size == base)
+
+    val prev = Engine.expCacheMaxEntries
+    Engine.expCacheMaxEntries = 2
+    try {
+      (1 to 5).foreach { _ =>
+        Engine.runExpJson(df, body, now = NOW).foreach(_._2.collect())
+      }
+      // at most 2 runs' frames live: 2 persisted vars + 1 checkpoint
+      assert(spark.sparkContext.getPersistentRDDs.size <= base + 6)
+      Engine.clearExpCache()
+      assert(spark.sparkContext.getPersistentRDDs.size <= base)
+    } finally {
+      Engine.expCacheMaxEntries = prev
+      Engine.clearExpCache()
+    }
+  }
+
+  test("exp data-point budget guard fires before the serializer collect") {
+    Engine.expMaxDataPoints = 3L
+    try {
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+      // e is 2 series × 3 grid timestamps = 6 rows > 3
+      val ex = intercept[Exception] {
+        Engine.serializeExpV2(oneExtraSameE, expBody(
+          Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b")), now = NOW)
+      }
+      assert(chain(ex).contains("data-point budget"), chain(ex))
+    } finally Engine.expMaxDataPoints = Long.MaxValue
+  }
 }
