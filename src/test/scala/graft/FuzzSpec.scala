@@ -749,4 +749,181 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fails = (0 until 25).flatMap(i => checkRollup(rnd, i))
     assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
   }
+
+  // ---- expression-join fuzz ---------------------------------------------
+  // Random variable sets through ExpressionJoin.union/intersection vs a
+  // from-scratch Scala transcription of the reference algorithm
+  // (UnionIterator.computeUnion / IntersectionIterator.computeIntersection
+  // + flattenTags + the lock-step grid), sharing no code with the
+  // operator. Axes: operator × useQueryTags × includeAggTags × variable
+  // count × per-variable queryTagKs × series tag/agg shapes (incl. empty
+  // tags and flat-key collisions) × missing points × fill policies.
+
+  private case class FSeries(tags: Map[String, String],
+                             aggTags: Seq[String], points: Map[Long, Double])
+  private case class FVar(name: String, series: Seq[FSeries],
+                          queryTagKs: Set[String], tsFill: Double)
+
+  private val ET0 = 1431561600000L
+
+  private def drawExpCfg(rnd: Random)
+      : (Seq[FVar], String, Boolean, Boolean) = {
+    val keys = Seq("D", "E", "Z")
+    val nVars = 1 + rnd.nextInt(3)
+    val vars = (0 until nVars).map { vi =>
+      val nSeries = rnd.nextInt(5) // 0 = an empty variable
+      val series = (0 until nSeries).map { _ =>
+        val tagKeys = keys.filter(_ => rnd.nextDouble() < 0.7)
+        val tags = tagKeys.map(k => k -> s"v${rnd.nextInt(3)}").toMap
+        val agg = keys.filterNot(tags.contains).filter(_ => rnd.nextBoolean())
+        val pts = (0 until 4).filter(_ => rnd.nextDouble() < 0.75)
+          .map(i => (ET0 + i * 60000L) -> (rnd.nextInt(100) + 1).toDouble)
+          .toMap
+        FSeries(tags, agg, pts)
+      }
+        // the engine invariant: one series per result identity (a
+        // SpanGroup per group key) and a series exists iff it has rows
+        .filter(_.points.nonEmpty)
+        .groupBy(_.tags).map(_._2.head).toSeq
+      val qks = keys.filter(_ => rnd.nextBoolean()).toSet
+      val fill = pick(rnd, Seq(0.0, -1.0, Double.NaN))
+      FVar(s"v$vi", series, qks, fill)
+    }
+    (vars, if (rnd.nextBoolean()) "union" else "intersection",
+      rnd.nextBoolean(), rnd.nextBoolean())
+  }
+
+  /** flattenTags (UnionIterator.java:259-309): empty result tags →
+    * empty key before any flag applies; else query-tag-filtered pairs,
+    * then agg tag keys when included. */
+  private def expFlatKey(s: FSeries, qks: Set[String],
+                         uqt: Boolean, iat: Boolean): String = {
+    if (s.tags.isEmpty) return ""
+    val pairs = (if (uqt) s.tags.filter(p => qks.contains(p._1))
+                 else s.tags).toSeq.sortBy(_._1)
+    pairs.map(p => "\u0001" + p._1 + "\u0000" + p._2).mkString +
+      (if (iat) s.aggTags.sorted.map("\u0002" + _).mkString else "")
+  }
+
+  /** Spark's array<struct<string,string>> ordering over sorted tag
+    * entries — the documented deterministic winner rule. */
+  private def cmpEntries(a: Seq[(String, String)],
+                         b: Seq[(String, String)]): Int = {
+    val n = math.min(a.size, b.size)
+    var i = 0
+    while (i < n) {
+      val c1 = a(i)._1.compareTo(b(i)._1)
+      if (c1 != 0) return c1
+      val c2 = a(i)._2.compareTo(b(i)._2)
+      if (c2 != 0) return c2
+      i += 1
+    }
+    a.size - b.size
+  }
+
+  private def checkExpJoin(rnd: Random, id: Int): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val (vars, op, uqt, iat) = drawExpCfg(rnd)
+    val schema = StructType(Seq(
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("agg_tags", ArrayType(StringType)),
+      StructField("ts", LongType), StructField("value", DoubleType)))
+    val sets = vars.map { v =>
+      val rows = v.series.flatMap(s => s.points.toSeq.map { case (t, x) =>
+        Row(s.tags, s.aggTags, java.lang.Long.valueOf(t),
+          java.lang.Double.valueOf(x))
+      })
+      ExpressionJoin.VarSet(v.name,
+        spark.createDataFrame(rows.asJava, schema),
+        queryTagKs = v.queryTagKs, tsFill = v.tsFill)
+    }
+    // ---- oracle ----
+    // per variable: flat key → winner series (max sorted entries)
+    val perVar: Seq[Map[String, FSeries]] = vars.map { v =>
+      v.series.groupBy(s => expFlatKey(s, v.queryTagKs, uqt, iat))
+        .map { case (k, ss) =>
+          k -> ss.maxBy(s => s.tags.toSeq.sortBy(_._1))(
+            Ordering.fromLessThan((x: Seq[(String, String)],
+                                   y: Seq[(String, String)]) =>
+              cmpEntries(x, y) < 0))
+        }
+    }
+    val expectThrow = op == "intersection" && {
+      val total = perVar.flatMap(_.keySet).distinct.size
+      val hits = if (perVar.isEmpty) 0
+        else perVar.map(_.keySet).reduce(_ intersect _).size
+      total > 0 && hits == 0
+    }
+    val cfgStr = s"cfg#$id op=$op uqt=$uqt iat=$iat " +
+      vars.map(v => s"${v.name}(qks=${v.queryTagKs.toSeq.sorted
+        .mkString("")},fill=${v.tsFill},series=${v.series.size})")
+        .mkString(" ")
+    val actual =
+      try {
+        val df =
+          if (op == "intersection")
+            ExpressionJoin.intersection("f", sets, uqt, iat)
+          else ExpressionJoin.union("f", sets, uqt, iat)
+        Right(df.collect())
+      } catch { case e: IllegalArgumentException => Left(e) }
+    (expectThrow, actual) match {
+      case (true, Left(_)) => None
+      case (true, Right(_)) => Some(s"$cfgStr: expected throw, got rows")
+      case (false, Left(e)) => Some(s"$cfgStr: unexpected ${e.getMessage}")
+      case (false, Right(rows)) =>
+        val keys =
+          if (op == "intersection") {
+            if (perVar.forall(_.isEmpty)) Set.empty[String]
+            else perVar.map(_.keySet).reduce(_ intersect _)
+          } else perVar.flatMap(_.keySet).toSet
+        val grid = perVar.flatMap(pv => keys.toSeq.flatMap(k =>
+          pv.get(k).toSeq.flatMap(_.points.keys))).distinct.sorted
+        val expRows: Map[(String, Long), Seq[Double]] =
+          (for (k <- keys.toSeq; t <- grid) yield (k, t) ->
+            vars.zip(perVar).map { case (v, pv) =>
+              pv.get(k) match {
+                case None => 0.0 // union missingSeriesFill default
+                case Some(s) => s.points.getOrElse(t, v.tsFill)
+              }
+            }).toMap
+        val expMeta: Map[String, (Map[String, String], Seq[String])] =
+          keys.map { k =>
+            val mtags = perVar.head.get(k).map(_.tags)
+              .getOrElse(Map.empty[String, String])
+            val at = perVar.flatMap(_.get(k)).flatMap(_.aggTags)
+              .distinct.sorted
+            k -> (mtags, at)
+          }.toMap
+        val gotRows = rows.map { r =>
+          (r.getAs[String]("__skey"), r.getAs[Long]("ts")) ->
+            vars.map(v => r.getAs[Double](s"__v_${v.name}"))
+        }.toMap
+        val gotMeta = rows.map { r =>
+          r.getAs[String]("__skey") ->
+            (r.getAs[Map[String, String]]("__mtags").toMap,
+              r.getAs[scala.collection.Seq[String]]("__aggtags").toSeq)
+        }.toMap
+        def eqv(a: Seq[Double], b: Seq[Double]): Boolean =
+          a.size == b.size && a.zip(b).forall { case (x, y) =>
+            (x.isNaN && y.isNaN) || x == y }
+        if (gotRows.keySet != expRows.keySet)
+          Some(s"$cfgStr: slots ${gotRows.keySet.size} vs " +
+            s"${expRows.keySet.size} expected")
+        else expRows.collectFirst {
+          case (k, v) if !eqv(gotRows(k), v) =>
+            s"$cfgStr: $k got ${gotRows(k)} want $v"
+        }.orElse(expMeta.collectFirst {
+          case (k, m) if gotMeta(k) != m =>
+            s"$cfgStr: meta $k got ${gotMeta(k)} want $m"
+        })
+    }
+  }
+
+  test("fuzz expression join: random flags × variables × series shapes " +
+       "vs a from-scratch flattenTags + lock-step grid oracle") {
+    val rnd = new Random(0xE1)
+    val fails = (0 until 40).flatMap(i => checkExpJoin(rnd, i))
+    assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
+  }
 }

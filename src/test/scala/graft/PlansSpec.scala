@@ -142,6 +142,36 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("plan hygiene: expression-join queries — broadcast grid expansion, " +
+       "cached variables, no cartesians or global sorts") {
+    val sf = "/root/testdata/sf0.001"
+    val names = Seq("q20_union_sum_series", "q21_intersect_divide",
+      "q25_exp_infix", "q44_exp_union_fill", "q54_union_by_tag",
+      "q55_intersect_by_tag", "q56_exp_json", "q59_exp_time_offset")
+    try {
+      names.foreach { n =>
+        val plan = SparkEntry.queries(n)(spark, sf).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert(!plan.contains("CartesianProduct"), s"$n: cartesian product")
+        assert(!plan.contains("Window ["), s"$n: unpartitioned window")
+        val globalSorts = "\\bSort \\[[^\\]]*\\], true".r.findAllIn(plan).size
+        assert(globalSorts <= 1, s"$n: $globalSorts global sorts")
+        if (Seq("q56_exp_json", "q59_exp_time_offset").contains(n)) {
+          // the slot grid expands through a BROADCAST nested-loop join
+          // (series dim × grid ts) — the intended bounded expansion;
+          // a non-broadcast cartesian stays banned above
+          assert(plan.contains("BroadcastNestedLoopJoin"),
+            s"$n: slot grid not broadcast")
+          // each persisted variable serves BOTH its reads (grid ts +
+          // values) from the cache: 2 variables × 2 subtrees
+          val imts = "InMemoryTableScan".r.findAllIn(plan).size
+          assert(imts >= 4, s"$n: expected >=4 InMemoryTableScans, $imts")
+        }
+      }
+    } finally Engine.clearExpCache()
+  }
+
   test("engine queries over float-only events skip the dual slot path") {
     // Points.fromEvents projects is_int as the literal false; the
     // statically-untyped guard must prove it through the real engine
