@@ -408,6 +408,54 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--exp-jitter")) {
+      // ExpressionJoin's slot grid under the SAME declared worst case
+      // as --interp-jitter: fully-jittered stamps across TWO variables
+      // (every point a unique timestamp), so the lock-step grid ≈
+      // total points and the slot table is |series| × grid. Measures
+      // the raw path at 1x/3x/10x total points and what the
+      // reference's own mitigation (downsample each variable BEFORE
+      // the expression joins them) buys.
+      import org.apache.spark.sql.functions._
+      import graft.operators.ExpressionJoin
+      import graft.operators.ExpressionJoin.VarSet
+      val series = 100L
+      for (p <- Seq(100000L, 300000L, 1000000L)) {
+        val perSeries = p / series / 2 // two variables share the budget
+        def varFrame(off: Long) = spark.range(series)
+          .select(col("id").as("s"))
+          .crossJoin(spark.range(perSeries).select(col("id").as("k")))
+          .select(
+            map(lit("host"), concat(lit("h"), col("s"))).as("tags"),
+            array().cast("array<string>").as("agg_tags"),
+            (lit(1356998400000L) + (col("k") * series + col("s")) * 14L
+              + off).as("ts"),
+            (col("s") + col("k")).cast("double").as("value"))
+        def bucket1m(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("tags"), col("agg_tags"),
+              (col("ts") - col("ts") % 60000L).as("ts"))
+            .agg(avg(col("value")).as("value"))
+        def run(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val joined = ExpressionJoin.union("e",
+            Seq(VarSet("a", a, tsFill = 0.0), VarSet("b", b, tsFill = 0.0)),
+            useQueryTags = false, includeAggTags = true)
+          val out = joined.withColumn("value",
+            col("__v_a") + col("__v_b"))
+          val n = out.agg(count(lit(1))).head.getLong(0)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val raw = (1 to 2).map(_ =>
+          run(varFrame(0L), varFrame(7L))).last
+        val ds = (1 to 2).map(_ =>
+          run(bucket1m(varFrame(0L)), bucket1m(varFrame(7L)))).last
+        println(f"EXPJITTER pts=$p%-8d raw=${raw._1}%7.2f s " +
+          f"(slots=${raw._2}) ds1m=${ds._1}%6.2f s (slots=${ds._2})")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--exec")) {
       // post-execution (AQE-final) plan: shows runtime stage/exchange
       // reuse that the static explain cannot
