@@ -49,7 +49,11 @@ import org.apache.spark.sql.functions._
  * broadcast); the slot grid is |series| × |grid-ts| — the same
  * boundedness contract as the interpolation slot join, and like it
  * the mitigation for unaligned raw stamps is downsampling before the
- * expression (SCALING.md). The per-variable joins shuffle on
+ * expression (measured: `Scratch --exp-jitter` sustains ~60 M slot
+ * rows/s/32-cores on the fully-jittered worst case, linear in
+ * series × grid; per-variable 1m downsampling first is flat
+ * sub-second across 10× points — SCALING.md round-11 row). The
+ * per-variable joins shuffle on
  * (series key, ts); the two driver-side actions (max series count,
  * intersection emptiness) run on pruned dimension tables only —
  * they are the reference's eager ctor validation.

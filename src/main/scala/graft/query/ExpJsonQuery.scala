@@ -237,9 +237,39 @@ object ExpJsonQuery {
     Option(n.get(field)).filterNot(x => x == null || x.isNull)
       .toSeq.flatMap(_.elements().asScala.toSeq)
 
-  private def parseFill(n: JsonNode): NumericFill =
-    NumericFill(n.path("policy").asText("zero").toLowerCase,
-      n.path("value").asDouble(0.0))
+  /** NumericFillPolicy.validate (reference
+    * src/query/expression/NumericFillPolicy.java:140-175): a missing
+    * policy is INFERRED from the value (0 → zero, NaN → nan, anything
+    * else → scalar), and a present policy must gel with the value —
+    * none/nan/null accept only 0-or-NaN and normalize to NaN, zero
+    * accepts only 0, scalar accepts anything (including 0 and NaN).
+    * Error messages are the reference's, character for character. */
+  private def parseFill(n: JsonNode): NumericFill = {
+    val policy = Option(n.get("policy")).filterNot(x => x == null || x.isNull)
+      .map(_.asText().toLowerCase).filter(_.nonEmpty)
+    val value = n.path("value").asDouble(0.0)
+    policy match {
+      case None =>
+        if (value.isNaN) NumericFill("nan", Double.NaN)
+        else if (value == 0) NumericFill("zero", 0.0)
+        else NumericFill("scalar", value)
+      case Some(p @ ("none" | "nan")) =>
+        if (value != 0 && !value.isNaN) throw new IllegalArgumentException(
+          "The value for NONE and NAN must be NaN")
+        NumericFill(p, Double.NaN)
+      case Some("zero") =>
+        if (value != 0) throw new IllegalArgumentException(
+          "The value for ZERO must be 0")
+        NumericFill("zero", 0.0)
+      case Some("null") =>
+        if (value != 0 && !value.isNaN) throw new IllegalArgumentException(
+          "The value for NULL must be 0")
+        NumericFill("null", Double.NaN)
+      case Some("scalar") => NumericFill("scalar", value)
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported fill policy: $other")
+    }
+  }
 
   private def parseTime(n: JsonNode, now: Long): Long =
     if (n.isNumber) {

@@ -81,6 +81,12 @@ object Gexp {
     case FuncNode(name, args, params) =>
       def a0 = eval(args.head, runMetric, joinKeys)
       def all = args.map(eval(_, runMetric, joinKeys))
+      def combArgs(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+        if (dfs.size < 2 || dfs.size > 26)
+          throw new IllegalArgumentException(
+            s"Must have 2 to 26 series, got ${dfs.size} instead")
+        dfs
+      }
       name match {
         case "absolute" => SeriesFunctions.absolute(a0)
         case "scale" => SeriesFunctions.scale(a0, params.head.toDouble)
@@ -95,14 +101,21 @@ object Gexp {
         case "shift" | "timeShift" => SeriesFunctions.timeShift(a0,
           TimeUtils.parseDuration(params.head.stripPrefix("'").stripSuffix("'")))
         case "firstDiff" => SeriesFunctions.firstDiff(a0)
+        // the four combiners take 2..26 result sets (one letter per
+        // variable in the generated infix) — reference SumSeries/
+        // DiffSeries/MultiplySeries/DivideSeries.evaluate:47-51, same
+        // message in all four
         case "sum" | "sumSeries" =>
-          SeriesFunctions.combineUnion(all, joinKeys, _ + _, fill = 0.0)
+          SeriesFunctions.combineUnion(combArgs(all), joinKeys, _ + _,
+            fill = 0.0)
         case "difference" | "diffSeries" =>
-          SeriesFunctions.combineUnion(all, joinKeys, _ - _, fill = 0.0)
+          SeriesFunctions.combineUnion(combArgs(all), joinKeys, _ - _,
+            fill = 0.0)
         case "multiply" | "multiplySeries" =>
-          SeriesFunctions.combineUnion(all, joinKeys, _ * _, fill = 1.0)
+          SeriesFunctions.combineUnion(combArgs(all), joinKeys, _ * _,
+            fill = 1.0)
         case "divide" | "divideSeries" =>
-          SeriesFunctions.combineIntersection(all, joinKeys, _ / _)
+          SeriesFunctions.combineIntersection(combArgs(all), joinKeys, _ / _)
         case other => custom.get(other) match {
           case Some(fn) => fn(all, params)
           case None =>

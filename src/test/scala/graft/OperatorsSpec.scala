@@ -1327,6 +1327,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val summed = Gexp.eval(Gexp.parse("sumSeries(A{h=x},,B{h=x})"),
       m => run(m.takeWhile(_ != '{')))
     assert(summed.select("value").collect()(0).getDouble(0) == 3.0)
+    // the combiners take 2..26 result sets (reference SumSeries
+    // .evaluate:47-51; TestSumSeries.sumOneResultSet /
+    // sumTooManyResultSets) — one set is a clean error with the
+    // reference's message
+    val one = intercept[IllegalArgumentException] {
+      Gexp.eval(Gexp.parse("sumSeries(A{h=x})"),
+        m => run(m.takeWhile(_ != '{')))
+    }
+    assert(one.getMessage == "Must have 2 to 26 series, got 1 instead")
+    val many = intercept[IllegalArgumentException] {
+      Gexp.eval(Gexp.parse(
+        (1 to 27).map(_ => "A{h=x}").mkString("divideSeries(", ",,", ")")),
+        m => run(m.takeWhile(_ != '{')))
+    }
+    assert(many.getMessage == "Must have 2 to 26 series, got 27 instead")
+  }
+
+  test("gexp sumSeries: multiple series per set match on tags, unpaired " +
+       "series pass through (TestSumSeries.sumMultipleSeriesEach)") {
+    // B has three series (D=D,F,G), A two (D=D,F): paired series sum
+    // (12, 18 at t0, +2 per step), B's unpaired D=G passes through
+    // zero-filled (17, +1 per step)
+    val t0 = 1431561600000L
+    def ser(m: String, v0: Double, d: String) = (0 until 3).map(i =>
+      (m, t0 + i * 60000L, v0 + i, Map("D" -> d)))
+    val a = pointsDf(ser("A", 1, "D") ++ ser("A", 4, "F"))
+      .select(col("metric"), col("tags").getItem("D").as("tag_D"),
+        col("ts"), col("value"))
+    val b = pointsDf(ser("B", 11, "D") ++ ser("B", 14, "F") ++
+        ser("B", 17, "G"))
+      .select(col("metric"), col("tags").getItem("D").as("tag_D"),
+        col("ts"), col("value"))
+    val out = Gexp.eval(Gexp.parse("sumSeries(B{D=*},,A{D=*})"),
+        Map("B" -> b, "A" -> a).compose((m: String) => m.takeWhile(_ != '{')),
+        joinKeys = Seq("tag_D"))
+      .collect().map(r => (r.getAs[String]("tag_D"), r.getAs[Long]("ts"))
+        -> r.getAs[Double]("value")).toMap
+    val exp = (0 until 3).flatMap(i => Seq(
+      ("D", t0 + i * 60000L) -> (12.0 + 2 * i),
+      ("F", t0 + i * 60000L) -> (18.0 + 2 * i),
+      ("G", t0 + i * 60000L) -> (17.0 + i))).toMap
+    assert(out == exp, out.toString)
   }
 
   test("alias @tag templating substitutes tag values into the metric") {

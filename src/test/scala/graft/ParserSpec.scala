@@ -600,6 +600,49 @@ class ParserSpec extends AnyFunSuite {
       .getMessage.contains("unsupported join operator"))
   }
 
+  test("NumericFillPolicy.validate vectors (reference " +
+       "TestNumericFillPolicy.java)") {
+    // fillPolicy parse through the POJO body: missing policy is
+    // INFERRED from the value, a present policy must gel with it
+    // (NumericFillPolicy.validate,
+    // /root/reference/src/query/expression/NumericFillPolicy.java:140-175)
+    val now = 1700000000000L
+    def fillOf(fp: String): Double =
+      ExpJsonQuery.parse(s"""{"time":{"start":1,"aggregator":"sum"},
+        "metrics":[{"id":"a","metric":"m","fillPolicy":$fp}],
+        "expressions":[{"id":"e","expr":"a + 1"}]}""", now)
+        .metricFills("a")
+    // inference from value alone
+    assert(fillOf("""{"value":42}""") == 42.0)        // → SCALAR
+    assert(fillOf("""{"value":42.5}""") == 42.5)
+    assert(fillOf("""{"value":-42.5}""") == -42.5)
+    assert(fillOf("""{"value":0}""") == 0.0)          // → ZERO
+    assert(fillOf("""{"value":"NaN"}""").isNaN)       // → NOT_A_NUMBER
+    assert(fillOf("""{}""") == 0.0)                   // builder default
+    // policy normalizes the value
+    assert(fillOf("""{"policy":"nan"}""").isNaN)
+    assert(fillOf("""{"policy":"nan","value":"NaN"}""").isNaN)
+    assert(fillOf("""{"policy":"none"}""").isNaN)
+    assert(fillOf("""{"policy":"null","value":0}""").isNaN)
+    assert(fillOf("""{"policy":"zero","value":0}""") == 0.0)
+    assert(fillOf("""{"policy":"scalar"}""") == 0.0)  // scalar CAN be 0
+    assert(fillOf("""{"policy":"scalar","value":"NaN"}""").isNaN)
+    assert(fillOf("""{"policy":"scalar","value":42}""") == 42.0)
+    // inappropriate combos throw with the reference's messages
+    def badFill(fp: String): String =
+      intercept[IllegalArgumentException](fillOf(fp)).getMessage
+    assert(badFill("""{"policy":"zero","value":42}""")
+      .contains("The value for ZERO must be 0"))
+    assert(badFill("""{"policy":"none","value":42}""")
+      .contains("The value for NONE and NAN must be NaN"))
+    assert(badFill("""{"policy":"nan","value":42}""")
+      .contains("The value for NONE and NAN must be NaN"))
+    assert(badFill("""{"policy":"null","value":42}""")
+      .contains("The value for NULL must be 0"))
+    assert(badFill("""{"policy":"bogus"}""")
+      .contains("unsupported fill policy"))
+  }
+
   test("reference TestHttpJsonSerializer golden vectors (suggest/rename serdes)") {
     // ported 1:1 from reference test/tsd/TestHttpJsonSerializer.java:
     // parseSuggestV1 (:133-164), parseUidRenameV1 (:167-196),
