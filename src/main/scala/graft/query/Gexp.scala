@@ -90,7 +90,9 @@ object Gexp {
       name match {
         case "absolute" => SeriesFunctions.absolute(a0)
         case "scale" => SeriesFunctions.scale(a0, params.head.toDouble)
-        case "alias" => SeriesFunctions.alias(a0, params.head)
+        // the alias template may itself contain commas — the reference
+        // re-joins every param (Alias.java:49 COMMA_JOINER)
+        case "alias" => SeriesFunctions.alias(a0, params.mkString(","))
         case "movingAverage" =>
           val p = params.head
           if (p.forall(_.isDigit)) SeriesFunctions.movingAverageByCount(a0, p.toInt)
@@ -104,7 +106,13 @@ object Gexp {
         // the four combiners take 2..26 result sets (one letter per
         // variable in the generated infix) — reference SumSeries/
         // DiffSeries/MultiplySeries/DivideSeries.evaluate:47-51, same
-        // message in all four
+        // message in all four. ALL four are UNION joins over the
+        // TimeSyncedIterator default ZERO fill (each builds an infix
+        // over SetOperator.UNION, SumSeries.java:61-62 and siblings) —
+        // so an unpaired series under multiply emits 0 (value × the
+        // 0-fill), never a neutral-1 pass-through, and divide inherits
+        // the JEXL zero-divisor quirk (x / 0 → 0, never Inf/NaN;
+        // TestDivideSeries.divideMultipleSeriesEach's third series)
         case "sum" | "sumSeries" =>
           SeriesFunctions.combineUnion(combArgs(all), joinKeys, _ + _,
             fill = 0.0)
@@ -113,9 +121,12 @@ object Gexp {
             fill = 0.0)
         case "multiply" | "multiplySeries" =>
           SeriesFunctions.combineUnion(combArgs(all), joinKeys, _ * _,
-            fill = 1.0)
+            fill = 0.0)
         case "divide" | "divideSeries" =>
-          SeriesFunctions.combineIntersection(combArgs(all), joinKeys, _ / _)
+          SeriesFunctions.combineUnion(combArgs(all), joinKeys,
+            (a, b) => org.apache.spark.sql.functions.when(b === 0.0,
+              org.apache.spark.sql.functions.lit(0.0)).otherwise(a / b),
+            fill = 0.0)
         case other => custom.get(other) match {
           case Some(fn) => fn(all, params)
           case None =>

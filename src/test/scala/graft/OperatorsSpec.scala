@@ -1369,6 +1369,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("F", t0 + i * 60000L) -> (18.0 + 2 * i),
       ("G", t0 + i * 60000L) -> (17.0 + i))).toMap
     assert(out == exp, out.toString)
+
+    // divide and multiply are ALSO union joins over the zero fill
+    // (TestDivideSeries/TestMultiplySeries .*MultipleSeriesEach): the
+    // unpaired D=G series emits 0 — multiplied by the 0-fill, and
+    // divided under the JEXL zero-divisor quirk — never dropped
+    def runF(f: String) = Gexp.eval(Gexp.parse(s"$f(B{D=*},,A{D=*})"),
+        Map("B" -> b, "A" -> a).compose((m: String) => m.takeWhile(_ != '{')),
+        joinKeys = Seq("tag_D"))
+      .collect().map(r => (r.getAs[String]("tag_D"), r.getAs[Long]("ts"))
+        -> r.getAs[Double]("value")).toMap
+    val div = runF("divideSeries")
+    val mul = runF("multiplySeries")
+    (0 until 3).foreach { i =>
+      val t = t0 + i * 60000L
+      assert(div(("D", t)) == (11.0 + i) / (1.0 + i))
+      assert(div(("F", t)) == (14.0 + i) / (4.0 + i))
+      assert(div(("G", t)) == 0.0) // 17/0 → 0, not Inf and not dropped
+      assert(mul(("D", t)) == (11.0 + i) * (1.0 + i))
+      assert(mul(("G", t)) == 0.0) // 17 × 0-fill, not a neutral-1 pass
+    }
   }
 
   test("alias @tag templating substitutes tag values into the metric") {
