@@ -251,6 +251,26 @@ object SparkEntry {
         .orderBy("metric", "tag_user", "tag_k")
     }),
 
+    // §2.14 /api/query/last through the REAL endpoint semantics
+    // (reference QueryRpc.handleLastDataPointQuery + TSUIDQuery
+    // .getLastPoint): two sub queries — an addressed series set
+    // (click{user=1}, tag-subset meta match) and a whole-metric meta
+    // scan (view) — resolved names, last write per series regardless
+    // of age (the meta path)
+    "q100_query_last_rpc" -> ((s, dir) => {
+      import graft.meta.Introspect
+      val out = Introspect.queryLast(pts(s, dir), Seq(
+          Introspect.LastPointSpec("click", Map("user" -> "1")),
+          Introspect.LastPointSpec("view")),
+        backScan = 0, resolve = true)
+      out.select(col("metric"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k"),
+          col("timestamp").as("ts"),
+          r4(col("value").cast("double")).as("value"))
+        .orderBy("metric", "tag_user", "tag_k")
+    }),
+
     // §2.14 /api/suggest — metric prefix autocomplete
     "q18_suggest" -> ((s, dir) => {
       pts(s, dir).select(col("metric")).where(col("metric").startsWith("c"))
@@ -2020,6 +2040,15 @@ object SparkEntry {
       s"""$O SELECT metric, tag_user, tag_k, max(ts) AS ts,
            (sign(arg_max(value, ts)) * floor(abs(arg_max(value, ts)) * 10000 + 0.5) / 10000) AS value
          FROM points GROUP BY metric, tag_user, tag_k
+         ORDER BY metric, tag_user, tag_k""",
+
+    "q100_query_last_rpc" ->
+      s"""$O, matched AS (
+           SELECT * FROM points
+           WHERE (metric = 'click' AND tag_user = '1') OR metric = 'view')
+         SELECT metric, tag_user, tag_k, max(ts) AS ts,
+           (sign(arg_max(value, ts)) * floor(abs(arg_max(value, ts)) * 10000 + 0.5) / 10000) AS value
+         FROM matched GROUP BY metric, tag_user, tag_k
          ORDER BY metric, tag_user, tag_k""",
 
     "q18_suggest" ->

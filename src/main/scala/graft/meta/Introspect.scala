@@ -167,6 +167,102 @@ object Introspect {
       seriesMeta(points).filter(mf && tf)
     }
 
+  /** One `/api/query/last` sub query: TSUIDs take precedence over
+    * metric+tags (reference QueryRpc.handleLastDataPointQuery:459-484 —
+    * "TSUID queries take precedence so if there are any TSUIDs listed,
+    * process the TSUIDs and ignore the metric/tags"). */
+  case class LastPointSpec(metric: String = "",
+                           tags: Map[String, String] = Map.empty,
+                           tsuids: Seq[String] = Seq.empty)
+
+  /**
+   * `/api/query/last` — the most recent point per addressed series
+   * (reference QueryRpc.handleLastDataPointQuery, src/tsd/QueryRpc
+   * .java:342-505 + TSUIDQuery.getLastPoint, src/meta/TSUIDQuery
+   * .java:146-218).
+   *
+   * `backScan == 0` is the META path: series matching the metric plus
+   * any given tag pairs (no tags → every series of the metric,
+   * TestQueryRpcLastDataPoint.qsMetricMetaScan) report their last
+   * point regardless of age — the meta table remembers the last write.
+   * `backScan = N > 0` is the hour-row scan: the tag set must address
+   * the series exactly ("Tags cannot be null or empty when getting a
+   * TSUID", TSUIDQuery.tsuidFromMetric:481; a partial set builds a
+   * TSUID that stores nothing, so it matches nothing), and only points
+   * within the N hour rows ending at `now`'s hour row are visible
+   * (getLastPoint iterates back from Internal.baseTime(now)). TSUID
+   * addressing bypasses name resolution entirely; series with no point
+   * in range are omitted (FetchCB drops nulls).
+   *
+   * Output: one row per found series — `tsuid` (this engine's series
+   * address: the 64-bit series-hash hex, the q48 contract), `timestamp`
+   * (ms), `value` as a STRING (the reference emits IncomingDataPoint
+   * .value — longs render without a decimal point), plus `metric` and
+   * `tags` when `resolve` (absent otherwise, NON_NULL serialization).
+   */
+  def queryLast(points: DataFrame, specs: Seq[LastPointSpec],
+                backScan: Int = 0, resolve: Boolean = false,
+                now: Long = System.currentTimeMillis()): DataFrame = {
+    if (backScan < 0) throw new IllegalArgumentException(
+      "Backscan must be zero or a positive number")
+    val ws = graft.model.Points.withSeriesId(points)
+      .withColumn("tsuid", hex(col("series_id")))
+    val matched = specs.map { sp =>
+      if (sp.tsuids.nonEmpty)
+        ws.filter(col("tsuid").isin(sp.tsuids.map(_.toUpperCase): _*))
+      else {
+        if (sp.metric.isEmpty) throw new IllegalArgumentException(
+          "The metric cannot be empty")
+        if (backScan > 0 && sp.tags.isEmpty)
+          throw new IllegalArgumentException(
+            "Tags cannot be null or empty when getting a TSUID")
+        val pairs = sp.tags.map { case (k, v) =>
+          col("tags").getItem(k) === v }
+          .reduceOption(_ && _).getOrElse(lit(true))
+        // meta path: tag-subset match; backscan path: the exact series
+        val tf =
+          if (backScan > 0) pairs && size(col("tags")) === sp.tags.size
+          else pairs
+        ws.filter(col("metric") === sp.metric && tf)
+      }
+    }.reduce(_ unionByName _)
+    val cutoff =
+      if (backScan == 0) Long.MinValue
+      else now / 3600000L * 3600000L - backScan * 3600000L
+    val last = matched.filter(col("ts") >= cutoff)
+      .groupBy(col("tsuid"))
+      .agg(max(col("ts")).as("timestamp"),
+        max_by(when(col("is_int"), col("value_l").cast("string"))
+          .otherwise(col("value").cast("string")), col("ts")).as("value"),
+        max_by(col("metric"), col("ts")).as("metric"),
+        max_by(col("tags"), col("ts")).as("tags"))
+    if (resolve)
+      last.select("tsuid", "timestamp", "value", "metric", "tags")
+    else last.select("tsuid", "timestamp", "value")
+  }
+
+  /** formatLastPointQueryV1 (reference HttpJsonSerializer): the JSON
+    * array document over [[queryLast]]'s rows — `[]` when nothing
+    * matched, metric/tags present only on resolved queries. */
+  def lastPointJson(df: DataFrame): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    val resolved = df.columns.contains("metric")
+    df.collect().foreach { r =>
+      val o = arr.addObject()
+      o.put("timestamp", r.getAs[Long]("timestamp"))
+      o.put("value", r.getAs[String]("value"))
+      o.put("tsuid", r.getAs[String]("tsuid"))
+      if (resolved) {
+        o.put("metric", r.getAs[String]("metric"))
+        val t = o.putObject("tags")
+        r.getAs[Map[String, String]]("tags").toSeq.sortBy(_._1)
+          .foreach { case (k, v) => t.put(k, v) }
+      }
+    }
+    mapper.writeValueAsString(arr)
+  }
+
   // ---- runtime counters (the reference's StatsCollector namespace,
   // src/stats/StatsCollector.java — `tsd.rpc.received`-style counts
   // incremented by the engine and ingest paths) ------------------------

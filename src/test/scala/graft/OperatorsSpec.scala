@@ -1313,6 +1313,84 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map(0L -> 1.0, 60000L -> 2.0))
   }
 
+  test("/api/query/last: meta path, back_scan hour rows, tsuid " +
+       "addressing, resolve (TestQueryRpcLastDataPoint ports)") {
+    import graft.meta.Introspect
+    import graft.meta.Introspect.LastPointSpec
+    import scala.jdk.CollectionConverters._
+    val NOW = 1356998400000L   // the suite's mocked currentTimeMillis
+    val LATER = 1388534400000L // a point a year PAST now
+    // integer-typed points so the wire renders "42", not "42.0"
+    val df = spark.createDataFrame(Seq(
+      Row("sys.cpu.user", LATER, 42.0, java.lang.Long.valueOf(42L), true,
+        Map("host" -> "web01")),
+      Row("sys.cpu.user", LATER, 24.0, java.lang.Long.valueOf(24L), true,
+        Map("host" -> "web02"))).asJava, Points.schema)
+    def collect(d: DataFrame) = d.collect()
+      .map(r => r.getAs[String]("value")).toSet
+    // qsMetricMeta / qsMetricMetaScan / BackscanZero: the meta path
+    // reports the last write regardless of age (even past `now`), one
+    // row per matching series; no tags → every series of the metric
+    val one = Introspect.queryLast(df,
+      Seq(LastPointSpec("sys.cpu.user", Map("host" -> "web01"))), now = NOW)
+    assert(collect(one) == Set("42"))
+    assert(one.columns.toSeq == Seq("tsuid", "timestamp", "value"))
+    assert(one.head.getAs[Long]("timestamp") == LATER)
+    val scan = Introspect.queryLast(df,
+      Seq(LastPointSpec("sys.cpu.user")), backScan = 0, now = NOW)
+    assert(collect(scan) == Set("42", "24"))
+    // qsMetricMetaScanResolve: metric + tags join the document
+    val res = Introspect.queryLast(df, Seq(LastPointSpec("sys.cpu.user")),
+      resolve = true, now = NOW)
+    val json = Introspect.lastPointJson(res)
+    assert(json.contains(""""value":"42""""))
+    assert(json.contains(""""metric":"sys.cpu.user""""))
+    assert(json.contains(""""tags":{"host":"web01"}"""))
+    assert(json.contains(""""tags":{"host":"web02"}"""))
+    // unresolved wire carries NO metric/tags fields
+    assert(!Introspect.lastPointJson(scan).contains("metric"))
+    // qsMetricMetaScanNoResults / empty doc
+    assert(Introspect.lastPointJson(Introspect.queryLast(df,
+      Seq(LastPointSpec("nope")), now = NOW)) == "[]")
+    // qsMetricBackscan / qsMetricBackscanNoResult: only the back_scan
+    // hour rows ending at now's hour are visible
+    val recent = spark.createDataFrame(Seq(
+      Row("sys.cpu.user", NOW, 42.0, java.lang.Long.valueOf(42L), true,
+        Map("host" -> "web01"))).asJava, Points.schema)
+    assert(collect(Introspect.queryLast(recent,
+      Seq(LastPointSpec("sys.cpu.user", Map("host" -> "web01"))),
+      backScan = 1, now = NOW)) == Set("42"))
+    assert(Introspect.queryLast(recent,
+      Seq(LastPointSpec("sys.cpu.user", Map("host" -> "web01"))),
+      backScan = 1, now = NOW + 48 * 3600000L).isEmpty)
+    // qsMetricBackscanMissingTags: back_scan demands the full tag set
+    assert(intercept[IllegalArgumentException] {
+      Introspect.queryLast(recent, Seq(LastPointSpec("sys.cpu.user")),
+        backScan = 1, now = NOW)
+    }.getMessage.startsWith("Tags cannot be null or empty"))
+    // a PARTIAL tag set builds a tsuid that stores nothing: on data
+    // whose series carry two tags, addressing by one finds no series
+    val twoTag = spark.createDataFrame(Seq(
+      Row("m", NOW, 1.0, java.lang.Long.valueOf(1L), true,
+        Map("host" -> "a", "dc" -> "e"))).asJava, Points.schema)
+    assert(Introspect.queryLast(twoTag,
+      Seq(LastPointSpec("m", Map("host" -> "a"))),
+      backScan = 1, now = NOW).isEmpty)
+    // qsTSUIDMeta / CommaSeparatedOneMissing: tsuids take precedence,
+    // unknown ids are silently omitted
+    val ids = graft.model.Points.withSeriesId(df)
+      .select(hex(col("series_id"))).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val byId = Introspect.queryLast(df,
+      Seq(LastPointSpec(tsuids = ids :+ "00FF00FF00FF00FF")), now = NOW)
+    assert(collect(byId) == Set("42", "24"))
+    // negative back_scan is the reference's exact error
+    assert(intercept[IllegalArgumentException] {
+      Introspect.queryLast(df, Seq(LastPointSpec("sys.cpu.user")),
+        backScan = -1, now = NOW)
+    }.getMessage == "Backscan must be zero or a positive number")
+  }
+
   // ---- gexp eval -----------------------------------------------------
 
   test("gexp eval: scale and sumSeries over metric leaves") {
