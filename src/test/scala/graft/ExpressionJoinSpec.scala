@@ -829,6 +829,42 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withB.contains(""""metrics":["B"]"""))
   }
 
+  test("executor: V2 response byte-equality golden (regression pin of " +
+       "the whole document)") {
+    // the COMPLETE serialized response for the canonical
+    // oneExpressionWithOutputAlias fixture, pinned byte for byte so
+    // any serializer drift (field order, dps column order, meta
+    // shape, query echo) fails loudly. Body is a fixed string so the
+    // echo is stable.
+    val body = """{"time":{"start":1431561600,"aggregator":"sum"},""" +
+      """"filters":[{"id":"f1","tags":[{"type":"wildcard","tagk":"D",""" +
+      """"filter":"*","groupBy":true}]}],""" +
+      """"metrics":[{"id":"a","metric":"A","filter":"f1"},""" +
+      """{"id":"b","metric":"B","filter":"f1"}],""" +
+      """"expressions":[{"id":"e","expr":"a + b",""" +
+      """"join":{"operator":"intersection"}}],""" +
+      """"outputs":[{"id":"e","alias":"A plus B"}]}"""
+    val resp = Engine.serializeExpV2(oneExtraSameE, body, now = NOW)
+    val expected =
+      """{"outputs":[{"id":"e","alias":"A plus B","dps":""" +
+      """[[1431561600000,12.0,18.0],[1431561660000,14.0,20.0],""" +
+      """[1431561720000,16.0,22.0]],"dpsMeta":""" +
+      """{"firstTimestamp":1431561600000,"lastTimestamp":1431561720000,""" +
+      """"setCount":3,"series":2},"meta":[{"index":0,"metrics":""" +
+      """["timestamp"]},{"index":1,"metrics":["A","B"],"commonTags":""" +
+      """{"D":"D","E":"E"},"aggregatedTags":[]},{"index":2,"metrics":""" +
+      """["A","B"],"commonTags":{"D":"F","E":"E"},"aggregatedTags":[]}]}],""" +
+      """"query":{"time":{"start":1431561600,"aggregator":"sum"},""" +
+      """"filters":[{"id":"f1","tags":[{"type":"wildcard","tagk":"D",""" +
+      """"filter":"*","groupBy":true}]}],""" +
+      """"metrics":[{"id":"a","metric":"A","filter":"f1"},""" +
+      """{"id":"b","metric":"B","filter":"f1"}],""" +
+      """"expressions":[{"id":"e","expr":"a + b",""" +
+      """"join":{"operator":"intersection"}}],""" +
+      """"outputs":[{"id":"e","alias":"A plus B"}]}}"""
+    assert(resp == expected, resp)
+  }
+
   test("executor: error contracts — self reference, cycle, missing " +
        "variable, no intersections") {
     def msg(body: String, points: DataFrame = oneExtraSameE): String =
