@@ -251,6 +251,20 @@ object SparkEntry {
         .orderBy("metric", "tag_user", "tag_k")
     }),
 
+    // §2.14 /api/search/lookup FULL grammar (reference
+    // TimeSeriesLookup.java:49-80): a bare tagk ("k=", series carrying
+    // the key) AND'd with a bare tagv ("=3", the value anywhere) —
+    // beyond q19's exact-pair form
+    "q101_lookup_grammar" -> ((s, dir) => {
+      graft.meta.Introspect.lookupPairs(pts(s, dir),
+          pairs = Seq(("k", ""), ("", "3")))
+        .select(col("metric"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k"),
+          col("points"))
+        .orderBy("metric", "tag_user", "tag_k")
+    }),
+
     // §2.14 /api/query/last through the REAL endpoint semantics
     // (reference QueryRpc.handleLastDataPointQuery + TSUIDQuery
     // .getLastPoint): two sub queries — an addressed series set
@@ -2040,6 +2054,13 @@ object SparkEntry {
       s"""$O SELECT metric, tag_user, tag_k, max(ts) AS ts,
            (sign(arg_max(value, ts)) * floor(abs(arg_max(value, ts)) * 10000 + 0.5) / 10000) AS value
          FROM points GROUP BY metric, tag_user, tag_k
+         ORDER BY metric, tag_user, tag_k""",
+
+    "q101_lookup_grammar" ->
+      s"""$O SELECT metric, tag_user, tag_k, CAST(count(*) AS BIGINT) AS points
+         FROM points
+         WHERE tag_k IS NOT NULL AND (tag_user = '3' OR tag_k = '3')
+         GROUP BY metric, tag_user, tag_k
          ORDER BY metric, tag_user, tag_k""",
 
     "q100_query_last_rpc" ->

@@ -167,6 +167,34 @@ object Introspect {
       seriesMeta(points).filter(mf && tf)
     }
 
+  /**
+   * The FULL lookup grammar over tag pairs where either side may be
+   * absent (reference TimeSeriesLookup, src/search/TimeSeriesLookup
+   * .java:49-80): `(k, v)` matches the exact pair, `(k, "")` matches
+   * any series CARRYING tag key k, `("", v)` matches any series with
+   * v as SOME tag's value. Combination rules, verbatim from the
+   * reference doc: distinct tagks AND; a bare tagk OVERRIDES pairs on
+   * the same key ("host=web01 host=" returns all series with host);
+   * bare tagvs OR among themselves and AND against the rest
+   * ("host=web01 =lga" = the pair AND any tag valued lga). Empty
+   * metric = any metric. Output = [[seriesMeta]] rows.
+   */
+  def lookupPairs(points: DataFrame, metric: String = "",
+                  pairs: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val bareKs = pairs.collect { case (k, "") if k.nonEmpty => k }.toSet
+    val kvPairs = pairs.filter { case (k, v) =>
+      k.nonEmpty && v.nonEmpty && !bareKs.contains(k) }
+    val bareVs = pairs.collect { case ("", v) if v.nonEmpty => v }
+    val mf = if (metric.isEmpty) lit(true) else col("metric") === metric
+    val kf = bareKs.map(k => col("tags").getItem(k).isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val pf = kvPairs.map { case (k, v) => col("tags").getItem(k) === v }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val vf = bareVs.map(v => array_contains(map_values(col("tags")), v))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    seriesMeta(points).filter(mf && kf && pf && vf)
+  }
+
   /** One `/api/query/last` sub query: TSUIDs take precedence over
     * metric+tags (reference QueryRpc.handleLastDataPointQuery:459-484 —
     * "TSUID queries take precedence so if there are any TSUIDs listed,

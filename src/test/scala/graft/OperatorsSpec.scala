@@ -1313,6 +1313,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map(0L -> 1.0, 60000L -> 2.0))
   }
 
+  test("/api/search/lookup grammar: bare tagks, bare tagvs, overrides " +
+       "(TestTimeSeriesLookup ports)") {
+    import graft.meta.Introspect
+    val df = pointsDf(Seq(
+      ("sys.cpu.user", 0L, 1.0, Map("host" -> "web01", "dc" -> "lga")),
+      ("sys.cpu.user", 0L, 2.0, Map("host" -> "web02", "dc" -> "phx")),
+      ("sys.cpu.user", 0L, 3.0, Map("owner" -> "ops")),
+      ("sys.mem", 0L, 4.0, Map("host" -> "web01"))))
+    def hosts(d: DataFrame): Set[String] = d.collect().map(r =>
+      r.getAs[String]("metric") + "|" + Option(r.getAs[Map[String, String]]
+        ("tags")).map(_.toSeq.sorted.mkString(",")).getOrElse("")).toSet
+    // metricOnly: every series of the metric
+    assert(Introspect.lookupPairs(df, "sys.cpu.user").count() == 3)
+    // tagkOnly ("host="): any series carrying the key, any metric
+    assert(Introspect.lookupPairs(df,
+      pairs = Seq(("host", ""))).count() == 3)
+    // tagvOnly ("=lga =phx"): OR'd values anywhere
+    assert(hosts(Introspect.lookupPairs(df,
+      pairs = Seq(("", "lga"), ("", "phx")))) ==
+      Set("sys.cpu.user|(dc,lga),(host,web01)",
+        "sys.cpu.user|(dc,phx),(host,web02)"))
+    // pairs AND: "host=web01 dc=lga"
+    assert(Introspect.lookupPairs(df,
+      pairs = Seq(("host", "web01"), ("dc", "lga"))).count() == 2 - 1)
+    // bare tagk OVERRIDES the pair on the same key: "host=web01 host="
+    assert(Introspect.lookupPairs(df,
+      pairs = Seq(("host", "web01"), ("host", ""))).count() == 3)
+    // pair AND bare tagv: "host=web01 =lga"
+    assert(hosts(Introspect.lookupPairs(df,
+      pairs = Seq(("host", "web01"), ("", "lga")))) ==
+      Set("sys.cpu.user|(dc,lga),(host,web01)"))
+    // noSuchMetric → empty, not an error
+    assert(Introspect.lookupPairs(df, "nope").isEmpty)
+  }
+
   test("/api/query/last: meta path, back_scan hour rows, tsuid " +
        "addressing, resolve (TestQueryRpcLastDataPoint ports)") {
     import graft.meta.Introspect
