@@ -843,6 +843,23 @@ object SparkEntry {
         .orderBy("ts", "value")
     }),
 
+    // §2.14 UID whitelist filter plugin through the real assign path
+    // (reference UniqueIdWhitelistFilter + UniqueId.java:786-794): with
+    // a ^zz metric whitelist active, one new name assigns, one blocks
+    // with the FailedToAssignUniqueIdException message, and an existing
+    // name reports its UID untouched by the filter
+    "q102_uid_whitelist" -> ((s, dir) => {
+      val reg = graft.meta.Introspect.uidRegistry(
+        pts(s, dir).filter(col("metric").isin("click", "signup")))
+      graft.meta.Uids.uidFilter = Some(graft.meta.Uids.whitelistFilter(Map(
+        "tsd.uidfilter.whitelist.metric_patterns" -> "^zz.*")))
+      try {
+        val (_, report) = graft.meta.Uids.assign(reg,
+          Map("metric" -> Seq("zz.new", "web.hits", "click")))
+        report.orderBy("kind", "name")
+      } finally graft.meta.Uids.uidFilter = None
+    }),
+
     "q74_uid_mutations" -> ((s, dir) => {
       val reg = graft.meta.Introspect.uidRegistry(
         pts(s, dir).filter(col("metric").isin("click", "signup")))
@@ -2721,6 +2738,26 @@ object SparkEntry {
 
     // q49's registry + assign (existing 'click' rejected, fresh
     // 'zz.new' = per-kind max + 1) + rename signup→signup2 (uid kept)
+    "q102_uid_whitelist" ->
+      s"""$O, f AS (
+           SELECT DISTINCT metric AS name FROM points
+           WHERE metric IN ('click','signup')),
+         reg AS (
+           SELECT name,
+             CAST(dense_rank() OVER (ORDER BY name) AS BIGINT) AS uid
+           FROM f),
+         mx AS (SELECT max(uid) AS m FROM reg)
+         SELECT * FROM (
+           SELECT 'metric' AS kind, name, uid,
+             'Name already exists with UID: ' || uid AS error
+           FROM reg WHERE name = 'click'
+           UNION ALL
+           SELECT 'metric', 'web.hits', CAST(NULL AS BIGINT),
+             'Failed to assign ID for kind=''metric'' name=''web.hits'' after 0 attempts due to: Blocked by UID filter.'
+           UNION ALL
+           SELECT 'metric', 'zz.new', m + 1, CAST(NULL AS VARCHAR) FROM mx)
+         ORDER BY kind, name""",
+
     "q74_uid_mutations" ->
       s"""$O, f AS (SELECT * FROM points WHERE metric IN ('click','signup')),
          names AS (

@@ -35,6 +35,53 @@ object Uids {
       s"Invalid $kind name ($name): illegal characters")
   }
 
+  /** UID filter plugin point (reference UniqueIdFilterPlugin,
+    * src/uid/UniqueIdFilterPlugin.java): consulted before any NEW
+    * name is assigned an id. */
+  trait UidFilter {
+    def allow(kind: String, value: String): Boolean
+  }
+
+  /** The active UID filter; [[assign]] consults it for fresh names
+    * (reference UniqueId.java:786-794 — rejection throws-per-name,
+    * surfaced in the assign report's error column). */
+  @volatile var uidFilter: Option[UidFilter] = None
+
+  /**
+   * The stock whitelist filter (reference UniqueIdWhitelistFilter,
+   * src/uid/UniqueIdWhitelistFilter.java): per-kind regex lists from
+   * `tsd.uidfilter.whitelist.{metric,tagk,tagv}_patterns`, split on
+   * `tsd.uidfilter.whitelist.delimiter` (default ","). A value must
+   * match EVERY configured pattern for its kind — the reference
+   * rejects when any pattern fails to find, so the list is an AND
+   * (TestUniqueIdWhitelistFilter.allowUIDAssignmentMultiplePaterns:
+   * ".*,^test.*" still rejects "metric"). A kind with no configured
+   * patterns allows everything. Accept/reject counters feed
+   * [[Introspect.incr]] (the plugin's collectStats namespace).
+   */
+  def whitelistFilter(config: Map[String, String]): UidFilter = {
+    val delim = config.getOrElse("tsd.uidfilter.whitelist.delimiter", ",")
+    def pats(key: String): Option[Seq[java.util.regex.Pattern]] =
+      config.get(s"tsd.uidfilter.whitelist.${key}_patterns").map(
+        _.split(java.util.regex.Pattern.quote(delim)).toSeq.map { p =>
+          try java.util.regex.Pattern.compile(p)
+          catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              throw new IllegalArgumentException(
+                s"The $key whitelist pattern [$p] does not compile.", e)
+          }
+        })
+    val byKind = Map("metric" -> pats("metric"), "tagk" -> pats("tagk"),
+      "tagv" -> pats("tagv"))
+    (kind: String, value: String) => {
+      val ok = byKind.getOrElse(kind, None)
+        .forall(_.forall(_.matcher(value).find()))
+      Introspect.incr("uid.filter.whitelist." +
+        (if (ok) "accepted" else "rejected") + s".$kind")
+      ok
+    }
+  }
+
   /**
    * POST/GET /api/uid/assign — allocate ids for new names, one result
    * row per requested name (reference UniqueIdRpc.handleAssign:95-160:
@@ -63,17 +110,46 @@ object Uids {
         concat(lit("Name already exists with UID: "), col("uid"))
           .as("error"))
     val fresh = req.join(registry, Seq("kind", "name"), "left_anti")
+    // the UID filter plugin is consulted ONLY for names needing a new
+    // assignment (reference UniqueId.java:786-794: the filter runs
+    // after NoSuchUniqueName); requests are wire-sized so the
+    // driver-side split is bounded by the request, never the registry
+    val reqSchema = StructType(Seq(StructField("kind", StringType),
+      StructField("name", StringType)))
+    val (granted, blocked) = uidFilter match {
+      case None => (fresh, Seq.empty[Row])
+      case Some(f) =>
+        val (ok, no) = fresh.collect().toSeq.partition(r =>
+          f.allow(r.getAs[String]("kind"), r.getAs[String]("name")))
+        (spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(ok).asJava,
+          reqSchema), no)
+    }
     // dense continuation per kind: window over the REQUEST rows only
     // (wire-sized), rebased on the registry's per-kind max
     val bases = registry.groupBy("kind").agg(max(col("uid")).as("base"))
-    val assigned = fresh
+    val assigned = granted
       .join(broadcast(bases), Seq("kind"), "left")
       .withColumn("uid", coalesce(col("base"), lit(0L)) +
         row_number().over(
           Window.partitionBy(col("kind")).orderBy(col("name"))))
       .drop("base")
+    // rejections surface in the report with the reference's message
+    // (FailedToAssignUniqueIdException, "Blocked by UID filter.")
+    val blockedRows = blocked.map { r =>
+      val (k, n) = (r.getAs[String]("kind"), r.getAs[String]("name"))
+      Row(k, n, null,
+        s"Failed to assign ID for kind='$k' name='$n' after 0 attempts " +
+          "due to: Blocked by UID filter.")
+    }
+    val blockedReport = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(blockedRows).asJava,
+      StructType(Seq(StructField("kind", StringType),
+        StructField("name", StringType), StructField("uid", LongType),
+        StructField("error", StringType))))
     val report = existing
       .unionByName(assigned.withColumn("error", lit(null: String)))
+      .unionByName(blockedReport)
     (registry.unionByName(assigned.select("kind", "name", "uid")), report)
   }
 

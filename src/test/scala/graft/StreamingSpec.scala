@@ -817,6 +817,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reg(pts.repartition(7)) == ids)
   }
 
+  test("UID whitelist filter: AND'd per-kind patterns gate new " +
+       "assignments (TestUniqueIdWhitelistFilter ports)") {
+    import spark.implicits._
+    // allowUIDAssignment / MultiplePaterns: EVERY pattern must find —
+    // ".*,^test.*" still rejects "metric" (an AND whitelist)
+    val f = Uids.whitelistFilter(Map(
+      "tsd.uidfilter.whitelist.metric_patterns" -> ".*,^test.*",
+      "tsd.uidfilter.whitelist.tagk_patterns" -> "^test.*",
+      "tsd.uidfilter.whitelist.tagv_patterns" -> "^test.*"))
+    assert(f.allow("metric", "test_metric") && !f.allow("metric", "metric"))
+    assert(f.allow("tagk", "test_tagk") && !f.allow("tagk", "tagk"))
+    assert(f.allow("tagv", "test_tagv") && !f.allow("tagv", "tagv"))
+    // initalizeMultiplePatternsAlternateDelimiter
+    val alt = Uids.whitelistFilter(Map(
+      "tsd.uidfilter.whitelist.delimiter" -> "|",
+      "tsd.uidfilter.whitelist.metric_patterns" -> "^test.*|.*"))
+    assert(alt.allow("metric", "test_x") && !alt.allow("metric", "x"))
+    // unconfigured kind allows everything
+    assert(Uids.whitelistFilter(Map.empty).allow("metric", "anything"))
+    // initalizeBadRegex: the reference's message
+    assert(intercept[IllegalArgumentException] {
+      Uids.whitelistFilter(Map(
+        "tsd.uidfilter.whitelist.metric_patterns" -> "*noleading"))
+    }.getMessage.contains("does not compile"))
+
+    // assign integration: blocked names land in the report with the
+    // FailedToAssignUniqueIdException message and never enter the
+    // registry; existing names are untouched by the filter
+    val pts = Seq(("click", "a")).toDF("metric", "u")
+      .withColumn("tags", map(lit("host"), col("u")))
+      .select("metric", "tags")
+    val registry = Introspect.uidRegistry(pts)
+    Uids.uidFilter = Some(Uids.whitelistFilter(Map(
+      "tsd.uidfilter.whitelist.metric_patterns" -> "^zz.*")))
+    try {
+      val (reg2, report) = Uids.assign(registry,
+        Map("metric" -> Seq("zz.new", "web.hits", "click")))
+      val rep = report.collect().map(r => r.getString(1) ->
+        r.getString(3)).toMap
+      assert(rep("zz.new") == null)
+      assert(rep("web.hits") == "Failed to assign ID for kind='metric' " +
+        "name='web.hits' after 0 attempts due to: Blocked by UID filter.")
+      assert(rep("click").startsWith("Name already exists"))
+      assert(Uids.resolve(reg2, "metric", "web.hits").isEmpty)
+      assert(Uids.resolve(reg2, "metric", "zz.new").take(1).nonEmpty)
+    } finally Uids.uidFilter = None
+  }
+
   test("uid admin mutations: assign continues numbering, rename keeps uid") {
     import spark.implicits._
     val pts = Seq(("click", "a"), ("view", "b")).toDF("metric", "u")
