@@ -600,6 +600,89 @@ class ParserSpec extends AnyFunSuite {
       .getMessage.contains("unsupported join operator"))
   }
 
+  test("rollup config file: interval validation and the id dictionary " +
+       "(reference TestRollupInterval/TestRollupConfig)") {
+    import graft.operators.Rollups
+    import graft.operators.Rollups.{RollupIntervalDef => I}
+    def bad(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    // ctor vectors: spans h/d/n(month=32d)/y(366d), interval counts
+    assert(I("1s", "t", "t", "1h").intervalsPerSpan == 3600)
+    assert(I("10m", "t", "t", "1d").intervalsPerSpan == 144)
+    assert(I("1h", "t", "t", "1n").intervalsPerSpan == 768)
+    assert(I("1d", "t", "t", "1y").intervalsPerSpan == 366)
+    // 'h' multipliers allowed when even (ctor7SecondHourTwoHoursDelay)
+    assert(I("7s", "t", "t", "2h", delaySla = "2h").delayMs == 7200000L)
+    // validation errors, reference messages verbatim incl. the typo
+    assert(bad(I("1s", "", "t", "1h")) ==
+      "The rollup table cannot be null or empty")
+    assert(bad(I("1s", "t", "", "1h")) ==
+      "The pre-aggregate rollup table cannot be null or empty")
+    assert(bad(I("1s", "t", "t", "1ms")) == "Milliseconds are not supported")
+    assert(bad(I("1s", "t", "t", "1q")).startsWith("Unrecogznied span"))
+    assert(bad(I("1m", "t", "t", "2d")) ==
+      "Multipliers are only usable with the 'h' unit")
+    assert(bad(I("1m", "t", "t", "3h")) ==
+      "The multiplier must be 1 or an even value")
+    assert(bad(I("2h", "t", "t", "1h")).contains("is too large for the span"))
+    assert(bad(I("1s", "t", "t", "1y")).startsWith("Too many intervals"))
+    assert(bad(I("30m", "t", "t", "1h")).startsWith("Not enough intervals"))
+    assert(bad(I("1s", "t", "t", "1h", delaySla = "500ms")) ==
+      "Milliseconds are not supported as the maximum delay")
+
+    // config-level rules
+    val tenmin = I("10m", "tsdb-10m", "tsdb-agg-10m", "1d")
+    val oneh = I("1h", "tsdb-1h", "tsdb-agg-1h", "1n", delaySla = "2h")
+    val raw = I("1m", "tsdb", "tsdb", "1h", defaultInterval = true)
+    val cfg = Rollups.RollupConfigDef(Seq(raw, tenmin, oneh),
+      Map("sum" -> 0, "max" -> 1))
+    assert(cfg.forInterval("10m") eq tenmin)
+    assert(cfg.forTable("tsdb-agg-1h") eq oneh)
+    assert(intercept[NoSuchElementException](cfg.forInterval("5m"))
+      .getMessage.contains("No rollup interval"))
+    assert(bad(Rollups.RollupConfigDef(Seq.empty, Map("sum" -> 0))) ==
+      "Rollup config given but no intervals were found.")
+    assert(bad(Rollups.RollupConfigDef(Seq(raw), Map.empty)) ==
+      "Rollup config given but no aggegation ID mappings found.")
+    assert(bad(Rollups.RollupConfigDef(Seq(tenmin, tenmin.copy()),
+      Map("sum" -> 0))).startsWith("Only one interval of each type"))
+    assert(bad(Rollups.RollupConfigDef(
+      Seq(raw, tenmin.copy(defaultInterval = true)), Map("sum" -> 0)))
+      .startsWith("Multiple default intervals"))
+    assert(bad(Rollups.RollupConfigDef(Seq(raw), Map("sum" -> 128)))
+      .startsWith("ID for aggregator must be between 0 and 127"))
+    assert(bad(Rollups.RollupConfigDef(Seq(raw),
+      Map("sum" -> 0, "max" -> 0)))
+      .contains("Multiple mappings for the ID '0'"))
+    assert(bad(Rollups.RollupConfigDef(Seq(raw), Map("bogus" -> 0))) ==
+      "No such aggregator found for bogus")
+
+    // serdes: the tsd.rollups.config JSON document round-trips
+    val parsed = Rollups.parseConfig("""{
+      "intervals": [
+        {"interval":"1m","table":"tsdb","preAggregationTable":"tsdb",
+         "rowSpan":"1h","defaultInterval":true},
+        {"interval":"10m","table":"tsdb-10m",
+         "preAggregationTable":"tsdb-agg-10m","rowSpan":"1d"},
+        {"interval":"1h","table":"tsdb-1h",
+         "preAggregationTable":"tsdb-agg-1h","rowSpan":"1n",
+         "delaySla":"2h"}],
+      "aggregationIds": {"sum":0,"max":1}}""")
+    assert(parsed.intervals.size == 3)
+    assert(parsed.aggregationIds == Map("sum" -> 0, "max" -> 1))
+    assert(parsed.forInterval("1h").delayMs == 7200000L)
+
+    // bridge to the engine registry: non-default intervals become
+    // RollupTables; delaySla sets the freshness horizon
+    val now = 1700000000000L
+    // resolve is the deployment's table loader; identity of the frame
+    // is irrelevant to the registry contract under test
+    val tabs = Rollups.registryTables(parsed, _ => null, now)
+    assert(tabs.map(_.intervalMs) == Seq(600000L, 3600000L))
+    assert(tabs(0).horizonMs == Long.MaxValue)
+    assert(tabs(1).horizonMs == now - 7200000L)
+  }
+
   test("NumericFillPolicy.validate vectors (reference " +
        "TestNumericFillPolicy.java)") {
     // fillPolicy parse through the POJO body: missing policy is
