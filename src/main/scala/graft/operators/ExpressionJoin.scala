@@ -175,7 +175,12 @@ object ExpressionJoin {
     * storage-order-dependent (same accepted-divergence class as the
     * PREV-carry determinism). A colliding key's timestamps where only
     * the kicked series had data get the variable's tsFill, exactly as
-    * if the winner had been the only series.
+    * if the winner had been the only series. Series with IDENTICAL
+    * identity (equal tags — possible only for nested expression
+    * outputs whose meta collapsed to the empty fill_dp) cannot be
+    * told apart wholesale (the frame carries no series id); their
+    * slots merge pointwise-max — deterministic where the reference
+    * keeps whichever EDP landed last in its ByteMap.
     *
     * Output columns: `__skey`, `tags` (projection contract: the first
     * variable HOLDING the series — tag values are identical across
@@ -198,7 +203,14 @@ object ExpressionJoin {
           map_entries(col("tags")).as("e"),
           col("value").as("v"),
           coalesce(col("agg_tags"), array().cast("array<string>")).as("a")))
-          .as(s"__m_${v.name}"))
+          .as(s"__m_${v.name}"),
+          // identity tracked SEPARATELY from the per-ts value winner,
+          // so an equal-identity merge reports the max agg-tag set
+          // rather than whichever row won on value at some timestamp
+          max(struct(
+            map_entries(col("tags")).as("e"),
+            coalesce(col("agg_tags"), array().cast("array<string>"))
+              .as("a"))).as(s"__i_${v.name}"))
     }
     // grid from SURVIVING series only (kicked series never widen it)
     val grid = pvs.map(_._2.select("ts")).reduce(_ unionByName _).distinct()
@@ -211,12 +223,11 @@ object ExpressionJoin {
     // witness (null ⟺ the variable holds no row for the series)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__skey"))
     val winners = keyed.map { case (v, _) =>
-      val m = col(s"__m_${v.name}")
       // the when() keeps absent slots NULL (struct(null,null) is not
       // null, and max only skips true nulls) — win is null ⟺ the
       // variable holds no row at all for the series
-      max(when(m.isNotNull,
-        struct(m.getField("e").as("e"), m.getField("a").as("a")))).over(w)
+      max(when(col(s"__i_${v.name}").isNotNull,
+        col(s"__i_${v.name}"))).over(w)
     }
     val valueCols = keyed.zip(winners).map { case ((v, _), win) =>
       val m = col(s"__m_${v.name}")

@@ -821,32 +821,31 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.size - b.size
   }
 
-  private def checkExpJoin(rnd: Random, id: Int): Option[String] = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.types._
-    val (vars, op, uqt, iat) = drawExpCfg(rnd)
-    val schema = StructType(Seq(
-      StructField("tags", MapType(StringType, StringType)),
-      StructField("agg_tags", ArrayType(StringType)),
-      StructField("ts", LongType), StructField("value", DoubleType)))
-    val sets = vars.map { v =>
-      val rows = v.series.flatMap(s => s.points.toSeq.map { case (t, x) =>
-        Row(s.tags, s.aggTags, java.lang.Long.valueOf(t),
-          java.lang.Double.valueOf(x))
-      })
-      ExpressionJoin.VarSet(v.name,
-        spark.createDataFrame(rows.asJava, schema),
-        queryTagKs = v.queryTagKs, tsFill = v.tsFill)
-    }
-    // ---- oracle ----
-    // per variable: flat key → winner series (max sorted entries)
+  /** The from-scratch oracle: per-variable winner maps, key set, grid,
+    * slot values and per-series meta. Left(msg) when the reference
+    * would throw at intersection construction. */
+  private def oracleJoin(vars: Seq[FVar], op: String, uqt: Boolean,
+                         iat: Boolean)
+      : Either[String, (Map[(String, Long), Seq[Double]],
+                        Map[String, (Map[String, String], Seq[String])])] = {
     val perVar: Seq[Map[String, FSeries]] = vars.map { v =>
       v.series.groupBy(s => expFlatKey(s, v.queryTagKs, uqt, iat))
         .map { case (k, ss) =>
-          k -> ss.maxBy(s => s.tags.toSeq.sortBy(_._1))(
+          val win = ss.maxBy(s => s.tags.toSeq.sortBy(_._1))(
             Ordering.fromLessThan((x: Seq[(String, String)],
                                    y: Seq[(String, String)]) =>
               cmpEntries(x, y) < 0))
+          // series with IDENTICAL identity (equal tags — possible for
+          // nested outputs whose meta is the empty fill_dp) merge
+          // POINTWISE-max: the frame carries no series id to keep one
+          // wholesale, a documented deterministic divergence from the
+          // reference's arbitrary last-in-ByteMap survivor
+          val winSet = ss.filter(_.tags == win.tags)
+          k -> (if (winSet.size == 1) win
+            else FSeries(win.tags,
+              winSet.map(_.aggTags.sorted).maxBy(_.mkString("\u0001")),
+              winSet.flatMap(_.points.keys).distinct.map(t =>
+                t -> winSet.flatMap(_.points.get(t)).max).toMap))
         }
     }
     val expectThrow = op == "intersection" && {
@@ -855,46 +854,66 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         else perVar.map(_.keySet).reduce(_ intersect _).size
       total > 0 && hits == 0
     }
-    val cfgStr = s"cfg#$id op=$op uqt=$uqt iat=$iat " +
-      vars.map(v => s"${v.name}(qks=${v.queryTagKs.toSeq.sorted
-        .mkString("")},fill=${v.tsFill},series=${v.series.size})")
-        .mkString(" ")
-    val actual =
-      try {
-        val df =
-          if (op == "intersection")
-            ExpressionJoin.intersection("f", sets, uqt, iat)
-          else ExpressionJoin.union("f", sets, uqt, iat)
-        Right(df.collect())
-      } catch { case e: IllegalArgumentException => Left(e) }
-    (expectThrow, actual) match {
-      case (true, Left(_)) => None
-      case (true, Right(_)) => Some(s"$cfgStr: expected throw, got rows")
-      case (false, Left(e)) => Some(s"$cfgStr: unexpected ${e.getMessage}")
-      case (false, Right(rows)) =>
-        val keys =
-          if (op == "intersection") {
-            if (perVar.forall(_.isEmpty)) Set.empty[String]
-            else perVar.map(_.keySet).reduce(_ intersect _)
-          } else perVar.flatMap(_.keySet).toSet
-        val grid = perVar.flatMap(pv => keys.toSeq.flatMap(k =>
-          pv.get(k).toSeq.flatMap(_.points.keys))).distinct.sorted
-        val expRows: Map[(String, Long), Seq[Double]] =
-          (for (k <- keys.toSeq; t <- grid) yield (k, t) ->
-            vars.zip(perVar).map { case (v, pv) =>
-              pv.get(k) match {
-                case None => 0.0 // union missingSeriesFill default
-                case Some(s) => s.points.getOrElse(t, v.tsFill)
-              }
-            }).toMap
-        val expMeta: Map[String, (Map[String, String], Seq[String])] =
-          keys.map { k =>
-            val mtags = perVar.head.get(k).map(_.tags)
-              .getOrElse(Map.empty[String, String])
-            val at = perVar.flatMap(_.get(k)).flatMap(_.aggTags)
-              .distinct.sorted
-            k -> (mtags, at)
-          }.toMap
+    if (expectThrow) return Left("No intersections found")
+    val keys =
+      if (op == "intersection") {
+        if (perVar.forall(_.isEmpty)) Set.empty[String]
+        else perVar.map(_.keySet).reduce(_ intersect _)
+      } else perVar.flatMap(_.keySet).toSet
+    val grid = perVar.flatMap(pv => keys.toSeq.flatMap(k =>
+      pv.get(k).toSeq.flatMap(_.points.keys))).distinct.sorted
+    val rows: Map[(String, Long), Seq[Double]] =
+      (for (k <- keys.toSeq; t <- grid) yield (k, t) ->
+        vars.zip(perVar).map { case (v, pv) =>
+          pv.get(k) match {
+            case None => 0.0 // union missingSeriesFill default
+            case Some(s) => s.points.getOrElse(t, v.tsFill)
+          }
+        }).toMap
+    val meta: Map[String, (Map[String, String], Seq[String])] =
+      keys.map { k =>
+        val mtags = perVar.head.get(k).map(_.tags)
+          .getOrElse(Map.empty[String, String])
+        val at = perVar.flatMap(_.get(k)).flatMap(_.aggTags)
+          .distinct.sorted
+        k -> (mtags, at)
+      }.toMap
+    Right((rows, meta))
+  }
+
+  private def varSetsOf(vars: Seq[FVar]): Seq[ExpressionJoin.VarSet] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("agg_tags", ArrayType(StringType)),
+      StructField("ts", LongType), StructField("value", DoubleType)))
+    vars.map { v =>
+      val rows = v.series.flatMap(s => s.points.toSeq.map { case (t, x) =>
+        Row(s.tags, s.aggTags, java.lang.Long.valueOf(t),
+          java.lang.Double.valueOf(x))
+      })
+      ExpressionJoin.VarSet(v.name,
+        spark.createDataFrame(rows.asJava, schema),
+        queryTagKs = v.queryTagKs, tsFill = v.tsFill)
+    }
+  }
+
+  private def eqv(a: Seq[Double], b: Seq[Double]): Boolean =
+    a.size == b.size && a.zip(b).forall { case (x, y) =>
+      (x.isNaN && y.isNaN) || x == y }
+
+  private def compareJoin(cfgStr: String,
+                          actual: Either[IllegalArgumentException,
+                                         Array[org.apache.spark.sql.Row]],
+                          vars: Seq[FVar], op: String, uqt: Boolean,
+                          iat: Boolean): Option[String] =
+    (oracleJoin(vars, op, uqt, iat), actual) match {
+      case (Left(_), Left(_)) => None
+      case (Left(_), Right(_)) => Some(s"$cfgStr: expected throw, got rows")
+      case (Right(_), Left(e)) =>
+        Some(s"$cfgStr: unexpected ${e.getMessage}")
+      case (Right((expRows, expMeta)), Right(rows)) =>
         val gotRows = rows.map { r =>
           (r.getAs[String]("__skey"), r.getAs[Long]("ts")) ->
             vars.map(v => r.getAs[Double](s"__v_${v.name}"))
@@ -904,9 +923,6 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             (r.getAs[Map[String, String]]("__mtags").toMap,
               r.getAs[scala.collection.Seq[String]]("__aggtags").toSeq)
         }.toMap
-        def eqv(a: Seq[Double], b: Seq[Double]): Boolean =
-          a.size == b.size && a.zip(b).forall { case (x, y) =>
-            (x.isNaN && y.isNaN) || x == y }
         if (gotRows.keySet != expRows.keySet)
           Some(s"$cfgStr: slots ${gotRows.keySet.size} vs " +
             s"${expRows.keySet.size} expected")
@@ -918,10 +934,63 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             s"$cfgStr: meta $k got ${gotMeta(k)} want $m"
         })
     }
+
+  private def checkExpJoin(rnd: Random, id: Int): Option[String] = {
+    val (vars, op, uqt, iat) = drawExpCfg(rnd)
+    val sets = varSetsOf(vars)
+    val cfgStr = s"cfg#$id op=$op uqt=$uqt iat=$iat " +
+      vars.map(v => s"${v.name}(qks=${v.queryTagKs.toSeq.sorted
+        .mkString("")},fill=${v.tsFill},series=${v.series.size})")
+        .mkString(" ")
+    def run(ss: Seq[ExpressionJoin.VarSet], o: String, u: Boolean,
+            i: Boolean) =
+      try Right(
+        (if (o == "intersection") ExpressionJoin.intersection("f", ss, u, i)
+         else ExpressionJoin.union("f", ss, u, i)).collect())
+      catch { case e: IllegalArgumentException => Left(e) }
+    val inner = compareJoin(cfgStr, run(sets, op, uqt, iat),
+      vars, op, uqt, iat)
+    if (inner.isDefined) return inner
+
+    // ---- nested phase: the expression's output feeds an OUTER join
+    // as a variable whose identity is the merged EDP meta (__mtags or
+    // empty, merged __aggtags) — exactly what Engine.runExpJson feeds
+    // back for referenced expressions. Value = sum of the variables.
+    oracleJoin(vars, op, uqt, iat) match {
+      case Left(_) => None // inner threw consistently; nothing to nest
+      case Right((expRows, expMeta)) if expRows.nonEmpty =>
+        val grid = expRows.keys.map(_._2).toSeq.distinct.sorted
+        val nestedSeries = expMeta.keys.toSeq.map { k =>
+          FSeries(expMeta(k)._1, expMeta(k)._2,
+            grid.map(t => t -> expRows((k, t)).sum).toMap)
+        }
+        val qks2 = vars.flatMap(_.queryTagKs).toSet
+        val f2 = pick(rnd, Seq(0.0, -2.0))
+        val (ouqt, oiat) = (rnd.nextBoolean(), rnd.nextBoolean())
+        val outerVars = Seq(FVar("e", nestedSeries, qks2, f2))
+        // actual: joined frame -> sum value -> nested VarSet, as the
+        // engine builds it
+        val joined =
+          if (op == "intersection")
+            ExpressionJoin.intersection("f", sets, uqt, iat)
+          else ExpressionJoin.union("f", sets, uqt, iat)
+        val valueCol = vars.map(v => col(s"__v_${v.name}"))
+          .reduce(_ + _)
+        val nestedDf = joined.select(col("__mtags").as("tags"),
+          col("__aggtags").as("agg_tags"), col("ts"),
+          valueCol.as("value"))
+        val nestedSets = Seq(ExpressionJoin.VarSet("e", nestedDf,
+          queryTagKs = qks2, tsFill = f2))
+        compareJoin(s"$cfgStr NESTED(uqt=$ouqt,iat=$oiat)",
+          run(nestedSets, "union", ouqt, oiat),
+          outerVars, "union", ouqt, oiat)
+      case _ => None
+    }
   }
 
   test("fuzz expression join: random flags × variables × series shapes " +
-       "vs a from-scratch flattenTags + lock-step grid oracle") {
+       "vs a from-scratch flattenTags + lock-step grid oracle, inner " +
+       "AND nested (merged-meta identity feedback)") {
     val rnd = new Random(0xE1)
     val fails = (0 until 40).flatMap(i => checkExpJoin(rnd, i))
     assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
