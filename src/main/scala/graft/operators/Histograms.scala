@@ -51,6 +51,43 @@ object Histograms {
       .select(groupCols.map(col) :+ col("value"): _*)
   }
 
+  /**
+   * The BUNDLED codec's OWN percentile definition (reference
+   * SimpleHistogram.percentile, src/core/SimpleHistogram.java:133-164):
+   * the MIDPOINT of the first bucket whose cumulative share reaches
+   * the percent, on the [1, 100] domain (outside it the reference
+   * returns -1), with underflow/overflow counts excluded from the
+   * total (calcBucketSum:124-131 iterates the bucket map only — and
+   * [[simpleHistogramDecode]] likewise never materializes the blob's
+   * trailing under/overflow longs as buckets).
+   *
+   * The engine's default [[percentile]] interpolates linearly inside
+   * the crossing bucket instead — a deliberate, documented smoothing
+   * divergence (midpoints quantize every percentile of a wide bucket
+   * to one value); a deployment needing SimpleHistogram wire parity
+   * for stored-blob queries extracts with this form.
+   */
+  def simplePercentile(hist: DataFrame, groupCols: Seq[String],
+                       percent: Double): DataFrame = {
+    if (percent < 1.0 || percent > 100.0)
+      return hist.select(groupCols.map(col): _*).distinct()
+        .withColumn("value", lit(-1.0))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket_lo"))
+    val cum = hist
+      .withColumn("cum", sum(col("count")).over(w))
+      .withColumn("total", sum(col("count")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val share = col("cum") * 100.0 / col("total")
+    val prevShare = (col("cum") - col("count")) * 100.0 / col("total")
+    // the first crossing bucket: a zero-count bucket can never be it
+    // (its share equals its predecessor's), matching the reference's
+    // first-entry-where-share-reaches loop
+    cum.filter(share >= percent && prevShare < percent)
+      .withColumn("value", (col("bucket_lo") + col("bucket_hi")) / 2.0)
+      .select(groupCols.map(col) :+ col("value"): _*)
+  }
+
   // ---- codec plugin point (reference HistogramCodecManager,
   // src/core/HistogramCodecManager.java:47-120: a thread-safe map of
   // codec ids to blob decoders; the id travels with the stored blob,

@@ -389,6 +389,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("b", 0L)) == 45.0)
   }
 
+  test("SimpleHistogram's own percentile: crossing-bucket MIDPOINT, " +
+       "[1,100] domain, merge-by-bucket (TestSimpleHistogram ports)") {
+    import graft.operators.Histograms
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket_lo",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("bucket_hi",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("count",
+        org.apache.spark.sql.types.LongType)))
+    def df(rows: (Double, Double, Long)*) = spark.createDataFrame(
+      rows.map { case (lo, hi, c) => Row("x", lo, hi,
+        java.lang.Long.valueOf(c)) }.asJava, schema)
+    def p(d: org.apache.spark.sql.DataFrame, pc: Double): Double =
+      Histograms.simplePercentile(d, Seq("g"), pc)
+        .head.getAs[Double]("value")
+    // testSinglePercentile: [1,6):5 [6,10):10 [10,20):1 (the blob's
+    // trailing under/overflow longs are never buckets) → p50 = the
+    // crossing bucket's midpoint 8.0; out-of-domain → -1
+    val h3 = df((1, 6, 5), (6, 10, 10), (10, 20, 1))
+    assert(p(h3, 50.0) == 8.0)
+    assert(p(h3, 1000.0) == -1.0)
+    // testPercentileList: + a zero-count [20,40) bucket → p50 = 8.0,
+    // p99 = 15.0 (the empty bucket can never be the crossing one)
+    val h4 = df((1, 6, 5), (6, 10, 10), (10, 20, 1), (20, 40, 0))
+    assert(p(h4, 50.0) == 8.0)
+    assert(p(h4, 99.0) == 15.0)
+    // testSingle/MultipleHistogramMerge: merging is per-bucket count
+    // summation — relationally a groupBy(bucket).sum, after which the
+    // percentile walks the merged distribution
+    val merged = df((1, 6, 5), (6, 10, 10), (10, 20, 1),
+        (1, 6, 5), (6, 10, 10), (10, 20, 1),
+        (1, 6, 5), (6, 10, 10), (10, 20, 1))
+      .groupBy("g", "bucket_lo", "bucket_hi")
+      .agg(sum(col("count")).as("count"))
+    assert(merged.count() == 3)
+    assert(merged.orderBy("bucket_lo").collect().map(_.getAs[Long]("count"))
+      .toSeq == Seq(15L, 30L, 3L))
+    assert(p(merged, 50.0) == 8.0)
+  }
+
   test("serializeV1 emits the reference wire shape with aggregateTags") {
     val p = pointsDf(Seq(
       ("m", 1000L, 1.0, Map("host" -> "a", "dc" -> "x")),
