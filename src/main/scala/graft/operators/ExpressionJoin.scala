@@ -171,16 +171,17 @@ object ExpressionJoin {
     * the reference's ByteMap put overwrites, keeping the last series
     * inserted (UnionIterator.computeUnion, UnionIterator.java:185-193).
     * Storage order is not reproducible here, so the winner is the
-    * max-tag-entries series — deterministic where the reference is
-    * storage-order-dependent (same accepted-divergence class as the
-    * PREV-carry determinism). A colliding key's timestamps where only
-    * the kicked series had data get the variable's tsFill, exactly as
-    * if the winner had been the only series. Series with IDENTICAL
-    * identity (equal tags — possible only for nested expression
-    * outputs whose meta collapsed to the empty fill_dp) cannot be
-    * told apart wholesale (the frame carries no series id); their
-    * slots merge pointwise-max — deterministic where the reference
-    * keeps whichever EDP landed last in its ByteMap.
+    * series with the max (tag entries, agg-tag keys) identity —
+    * deterministic where the reference is storage-order-dependent
+    * (same accepted-divergence class as the PREV-carry determinism).
+    * A colliding key's timestamps where only a kicked series had data
+    * get the variable's tsFill, exactly as if the winner had been the
+    * only series. Series whose FULL identity is identical (equal tags
+    * AND agg tags — possible only for nested expression outputs whose
+    * meta collapsed to the empty fill_dp) cannot be told apart
+    * wholesale (the frame carries no series id); their slots merge
+    * pointwise-max — deterministic where the reference keeps
+    * whichever EDP landed last in its ByteMap.
     *
     * Output columns: `__skey`, `tags` (projection contract: the first
     * variable HOLDING the series — tag values are identical across
@@ -199,18 +200,16 @@ object ExpressionJoin {
     val pvs = keyed.map { case (v, d) =>
       v -> d.join(keyTab, Seq("__skey"), "left_semi")
         .groupBy(col("__skey"), col("ts"))
+        // identity-FIRST struct ordering: the per-ts max picks the
+        // max-(tags, agg-tags) series' row, and only among exact
+        // identity ties the max value — so the winner window below
+        // sees a consistent (e, a) identity and the kicked series
+        // never leaks values pointwise
         .agg(max(struct(
           map_entries(col("tags")).as("e"),
-          col("value").as("v"),
-          coalesce(col("agg_tags"), array().cast("array<string>")).as("a")))
-          .as(s"__m_${v.name}"),
-          // identity tracked SEPARATELY from the per-ts value winner,
-          // so an equal-identity merge reports the max agg-tag set
-          // rather than whichever row won on value at some timestamp
-          max(struct(
-            map_entries(col("tags")).as("e"),
-            coalesce(col("agg_tags"), array().cast("array<string>"))
-              .as("a"))).as(s"__i_${v.name}"))
+          coalesce(col("agg_tags"), array().cast("array<string>")).as("a"),
+          col("value").as("v")))
+          .as(s"__m_${v.name}"))
     }
     // grid from SURVIVING series only (kicked series never widen it)
     val grid = pvs.map(_._2.select("ts")).reduce(_ unionByName _).distinct()
@@ -223,17 +222,20 @@ object ExpressionJoin {
     // witness (null ⟺ the variable holds no row for the series)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__skey"))
     val winners = keyed.map { case (v, _) =>
+      val m = col(s"__m_${v.name}")
       // the when() keeps absent slots NULL (struct(null,null) is not
       // null, and max only skips true nulls) — win is null ⟺ the
       // variable holds no row at all for the series
-      max(when(col(s"__i_${v.name}").isNotNull,
-        col(s"__i_${v.name}"))).over(w)
+      max(when(m.isNotNull,
+        struct(m.getField("e").as("e"), m.getField("a").as("a")))).over(w)
     }
     val valueCols = keyed.zip(winners).map { case ((v, _), win) =>
       val m = col(s"__m_${v.name}")
-      // a row only counts when it belongs to the winner series; the
-      // kicked series' slots fall back to tsFill
-      val own = when(m.getField("e") === win.getField("e"), m.getField("v"))
+      // a row only counts when it belongs to the winner series (full
+      // (tags, agg-tags) identity); the kicked series' slots fall
+      // back to tsFill
+      val own = when(struct(m.getField("e").as("e"),
+        m.getField("a").as("a")) === win, m.getField("v"))
       val within = coalesce(own, lit(v.tsFill))
       (missingSeriesFill match {
         case Some(f) => when(win.isNull, lit(f)).otherwise(within)

@@ -831,19 +831,23 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val perVar: Seq[Map[String, FSeries]] = vars.map { v =>
       v.series.groupBy(s => expFlatKey(s, v.queryTagKs, uqt, iat))
         .map { case (k, ss) =>
-          val win = ss.maxBy(s => s.tags.toSeq.sortBy(_._1))(
+          // winner = max (tag entries, agg-tag keys) identity
+          val win = ss.maxBy(s => (s.tags.toSeq.sortBy(_._1),
+            s.aggTags))(Ordering.Tuple2(
             Ordering.fromLessThan((x: Seq[(String, String)],
                                    y: Seq[(String, String)]) =>
-              cmpEntries(x, y) < 0))
-          // series with IDENTICAL identity (equal tags — possible for
-          // nested outputs whose meta is the empty fill_dp) merge
-          // POINTWISE-max: the frame carries no series id to keep one
-          // wholesale, a documented deterministic divergence from the
-          // reference's arbitrary last-in-ByteMap survivor
-          val winSet = ss.filter(_.tags == win.tags)
+              cmpEntries(x, y) < 0),
+            Ordering.Implicits.seqOrdering[Seq, String]))
+          // series with IDENTICAL full identity (equal tags AND agg
+          // tags — possible for nested outputs whose meta is the
+          // empty fill_dp) merge POINTWISE-max: the frame carries no
+          // series id to keep one wholesale, a documented
+          // deterministic divergence from the reference's arbitrary
+          // last-in-ByteMap survivor
+          val winSet = ss.filter(s =>
+            s.tags == win.tags && s.aggTags == win.aggTags)
           k -> (if (winSet.size == 1) win
-            else FSeries(win.tags,
-              winSet.map(_.aggTags.sorted).maxBy(_.mkString("\u0001")),
+            else FSeries(win.tags, win.aggTags,
               winSet.flatMap(_.points.keys).distinct.map(t =>
                 t -> winSet.flatMap(_.points.get(t)).max).toMap))
         }
