@@ -123,7 +123,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "m09_scene_cuts", "q88_write_filter", "d18_screen_snapshot",
       "t25_hll_distinct", "t26_cms_heavy", "d19_bloom_decontam",
       "t27_quantile_sketch", "e01_sessionize", "t28_kmv_overlap",
-      "q96_hist_pct")
+      "q96_hist_pct", "q99_startup_plugin", "q100_query_last_rpc",
+      "q101_lookup_grammar", "q102_uid_whitelist")
     val sf = "/root/testdata/sf0.001"
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
