@@ -251,8 +251,11 @@ object QueryParser {
     require(endMs >= startMs,
       s"End time [$endMs] must be greater than or equal to the " +
         s"start time [$startMs]")
-    val subs = params.getOrElse("tsuid", Seq.empty).map(parseTsuidSubQuery) ++
-      params.getOrElse("m", Seq.empty).map(parseSubQuery)
+    // duplicate sub queries are filtered, first occurrence order kept
+    // (reference QueryRpc.parseQuery:613-616 LinkedHashSet;
+    // TestQueryRpc.executeURIDuplicates)
+    val subs = (params.getOrElse("tsuid", Seq.empty).map(parseTsuidSubQuery) ++
+      params.getOrElse("m", Seq.empty).map(parseSubQuery)).distinct
     require(subs.nonEmpty, "Missing sub queries")
     (TsQuery(startMs, endMs, subs, msResolution = flag("ms")),
       UriFlags(flag("padding"), flag("no_annotations"),

@@ -255,6 +255,16 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("parseUri filters duplicate sub queries, first occurrence order " +
+       "(TestQueryRpc.executeURIDuplicates)") {
+    val now = 1700000000000L
+    val (q, _) = QueryParser.parseUri(
+      "start=1h-ago&m=sum:sys.cpu.user&m=sum:sys.cpu.user" +
+        "&m=sum:sys.cpu.user&m=max:sys.cpu.user", now)
+    assert(q.queries.size == 2)
+    assert(q.queries.map(_.aggregator) == Seq("sum", "max"))
+  }
+
   test("reference TestQueryRpc golden m= vectors parse identically") {
     // ported 1:1 from reference test/tsd/TestQueryRpc.java:102-366
     // (parseQueryMType* family): each vector is the m= component of the
