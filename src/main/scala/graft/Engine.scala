@@ -985,7 +985,8 @@ object Engine {
                   showStats: Boolean = false,
                   showSummary: Boolean = false,
                   seriesAnnotations: Option[DataFrame] = None,
-                  exactIntDps: Boolean = false): DataFrame = {
+                  exactIntDps: Boolean = false,
+                  asArrays: Boolean = false): DataFrame = {
     val groupKeys = TagFilters.groupByKeys(sub.filters)
     val result = run(points, query, sub, rollups,
       emitTypeFlag = exactIntDps)
@@ -1107,18 +1108,28 @@ object Engine {
     // (round 9 — closes the SURVEY §2.2 sliver). Off (default): every
     // dps value renders as a JSON double — the engine's stable oracle
     // contract since round 1.
+    // asArrays = the `arrays=true` wire mode (HttpJsonSerializer
+    // .formatQueryAsyncV1:647,820-846): dps render as [[ts, value]...]
+    // pairs instead of the {"ts": value} object, same order and the
+    // same per-dp number rendering rules
     def renderExactInt(headFields: Seq[Column], tail: Seq[Column]): Column = {
       val dpJson = (e: Column) => {
         val v = e.getField("value")
-        concat(lit("\""), e.getField("ts").cast("string"), lit("\":"),
-          coalesce(
+        val vs = coalesce(
+          if (exactIntDps)
             when(e.getField("oi") && !isnan(v),
-              v.cast("long").cast("string"))
-              .otherwise(v.cast("string")),
-            lit("null")))
+              v.cast("long").cast("string")).otherwise(v.cast("string"))
+          else v.cast("string"),
+          lit("null"))
+        if (asArrays)
+          concat(lit("["), e.getField("ts").cast("string"), lit(","), vs,
+            lit("]"))
+        else
+          concat(lit("\""), e.getField("ts").cast("string"), lit("\":"), vs)
       }
-      val dpsJson = concat(lit("{"),
-        array_join(transform(col("dps_arr"), dpJson), ","), lit("}"))
+      val dpsJson = concat(lit(if (asArrays) "[" else "{"),
+        array_join(transform(col("dps_arr"), dpJson), ","),
+        lit(if (asArrays) "]" else "}"))
       val headJson = to_json(struct(headFields: _*))
       val tailJson =
         if (tail.isEmpty) lit("{}") else to_json(struct(tail: _*))
@@ -1130,7 +1141,7 @@ object Engine {
     }
     val docs = globalAnnotations match {
       case None =>
-        if (exactIntDps) base.select(renderExactInt(
+        if (exactIntDps || asArrays) base.select(renderExactInt(
           Seq(metricF, tagsF, aggTagsF) ++ queryF ++ tsuidsF ++ annsF,
           statsF).as("json"))
         else base.select(to_json(struct(fields: _*)).as("json"))
@@ -1146,7 +1157,7 @@ object Engine {
             col("start_ts"), col("end_ts"), col("description"))))
             .as("globalAnnotations"))
         val joined = base.crossJoin(broadcast(ga))
-        if (exactIntDps) joined.select(renderExactInt(
+        if (exactIntDps || asArrays) joined.select(renderExactInt(
           Seq(metricF, tagsF, aggTagsF) ++ queryF ++ tsuidsF ++ annsF :+
             col("globalAnnotations"),
           statsF).as("json"))

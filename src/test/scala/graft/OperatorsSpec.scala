@@ -459,6 +459,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val secs = Engine.serializeV1(p, q.copy(msResolution = false), sub)
       .collect().map(_.getAs[String]("json"))
     assert(secs.exists(_.contains(""""dps":{"1":1.0,"2":2.0}""")))
+    // arrays=true wire mode (HttpJsonSerializer.formatQueryAsyncV1:647,
+    // :820-846): dps as [[ts, value]...] pairs, same order and number
+    // rendering
+    val arr = Engine.serializeV1(p, q, sub, asArrays = true)
+      .collect().map(_.getAs[String]("json"))
+    assert(arr.exists(_.contains(""""dps":[[1000,1.0],[2000,2.0]]""")),
+      arr.mkString("\n"))
+    assert(arr.exists(_.contains(""""dps":[[1000,5.0]]""")))
+    // composes with the exact wire-number mode: long-path dps bare
+    val arrInt = Engine.serializeV1(p, q, sub, asArrays = true,
+      exactIntDps = true).collect().map(_.getAs[String]("json"))
+    assert(arrInt.exists(_.contains(""""dps":[[1000,""")),
+      arrInt.mkString("\n"))
   }
 
   test("reference formatQueryAsyncV1 golden fixture (system.cpu.user wire doc)") {
