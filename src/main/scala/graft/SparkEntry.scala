@@ -285,6 +285,27 @@ object SparkEntry {
         .orderBy("metric", "tag_user", "tag_k")
     }),
 
+    // §2.14 /api/query/last backScan=0 through the STORED last-write
+    // meta table (reference TSUIDQuery.getLastWriteTimes ts_counter
+    // read, the meta-vs-scan split of getLastPoint:185-190): same sub
+    // queries and answer as q100, but the query path reads only the
+    // O(series) meta table — no raw-history aggregation per poll
+    "q103_last_meta_path" -> ((s, dir) => {
+      import graft.meta.Introspect
+      val p = pts(s, dir)
+      val meta = Introspect.lastWriteMeta(p)
+      val out = Introspect.queryLast(p, Seq(
+          Introspect.LastPointSpec("click", Map("user" -> "1")),
+          Introspect.LastPointSpec("view")),
+        backScan = 0, resolve = true, lastMeta = Some(meta))
+      out.select(col("metric"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k"),
+          col("timestamp").as("ts"),
+          r4(col("value").cast("double")).as("value"))
+        .orderBy("metric", "tag_user", "tag_k")
+    }),
+
     // §2.14 /api/suggest — metric prefix autocomplete
     "q18_suggest" -> ((s, dir) => {
       pts(s, dir).select(col("metric")).where(col("metric").startsWith("c"))
@@ -2081,6 +2102,15 @@ object SparkEntry {
          ORDER BY metric, tag_user, tag_k""",
 
     "q100_query_last_rpc" ->
+      s"""$O, matched AS (
+           SELECT * FROM points
+           WHERE (metric = 'click' AND tag_user = '1') OR metric = 'view')
+         SELECT metric, tag_user, tag_k, max(ts) AS ts,
+           (sign(arg_max(value, ts)) * floor(abs(arg_max(value, ts)) * 10000 + 0.5) / 10000) AS value
+         FROM matched GROUP BY metric, tag_user, tag_k
+         ORDER BY metric, tag_user, tag_k""",
+
+    "q103_last_meta_path" ->
       s"""$O, matched AS (
            SELECT * FROM points
            WHERE (metric = 'click' AND tag_user = '1') OR metric = 'view')

@@ -204,6 +204,54 @@ object Introspect {
                            tsuids: Seq[String] = Seq.empty)
 
   /**
+   * LAST-WRITE meta table — one row per series: (tsuid, timestamp,
+   * value, metric, tags) of its newest point. The reference's
+   * equivalent is the `ts_counter` qualifier in the meta table
+   * (TSUIDQuery.getLastWriteTimes, src/meta/TSUIDQuery.java:239-316 —
+   * an O(series) meta read, NOT a data scan), which `/api/query/last`
+   * with backScan=0 serves from when meta tracking is enabled
+   * (getLastPoint:185-190). Deliberate divergence, documented: keyed
+   * on the DATA timestamp (max ts), not the HBase cell write time the
+   * reference stores — "the timestamp will be the time stored by
+   * HBase, not the actual timestamp of the data point"
+   * (TSUIDQuery.java:245-247) is storage-arrival-order-dependent;
+   * max(data ts) is deterministic under replay and is what the
+   * endpoint's output reports anyway.
+   *
+   * This is the batch recompute (one shuffle on the series hash,
+   * O(series) output). [[mergeLastWrite]] maintains it incrementally
+   * from the streaming sink; [[queryLast]] reads it for the backScan=0
+   * path so a dashboard poll never aggregates raw history.
+   */
+  def lastWriteMeta(points: DataFrame): DataFrame =
+    graft.model.Points.withSeriesId(points)
+      .withColumn("tsuid", hex(col("series_id")))
+      .groupBy(col("tsuid"))
+      .agg(max(col("ts")).as("timestamp"),
+        max_by(when(col("is_int"), col("value_l").cast("string"))
+          .otherwise(col("value").cast("string")), col("ts")).as("value"),
+        max_by(col("metric"), col("ts")).as("metric"),
+        max_by(col("tags"), col("ts")).as("tags"))
+
+  /**
+   * Incremental maintenance for [[lastWriteMeta]]: max-merge a
+   * micro-batch of POINTS into the stored meta table — the
+   * `foreachBatch` body for the streaming ingest sink (the reference
+   * updates ts_counter per write when tsuid tracking is on,
+   * TSDB.java incrementing TSMeta counters). Each merge shuffles only
+   * the batch's series reduction plus the O(series) stored table —
+   * state never grows with stream length. MetaSync reconciles offline
+   * (a batch [[lastWriteMeta]] recompute IS the reconciliation).
+   */
+  def mergeLastWrite(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.unionByName(lastWriteMeta(batch))
+      .groupBy(col("tsuid"))
+      .agg(max(col("timestamp")).as("timestamp"),
+        max_by(col("value"), col("timestamp")).as("value"),
+        max_by(col("metric"), col("timestamp")).as("metric"),
+        max_by(col("tags"), col("timestamp")).as("tags"))
+
+  /**
    * `/api/query/last` — the most recent point per addressed series
    * (reference QueryRpc.handleLastDataPointQuery, src/tsd/QueryRpc
    * .java:342-505 + TSUIDQuery.getLastPoint, src/meta/TSUIDQuery
@@ -227,17 +275,35 @@ object Introspect {
    * (ms), `value` as a STRING (the reference emits IncomingDataPoint
    * .value — longs render without a decimal point), plus `metric` and
    * `tags` when `resolve` (absent otherwise, NON_NULL serialization).
+   *
+   * `lastMeta`: a maintained [[lastWriteMeta]] table. When provided,
+   * the backScan=0 path is served from it — an O(series) pruned read,
+   * the reference's meta-vs-scan split (getLastPoint reads ts_counter
+   * when meta tracking is enabled, TSUIDQuery.java:185-190) — with the
+   * raw aggregation kept as the no-meta fallback, exactly the
+   * reference's behavior with tracking disabled. backScan>0 always
+   * scans raw data (the reference's hour-row iteration reads the data
+   * table regardless of meta).
+   *
+   * `now` anchors the backScan hour-row cutoff and defaults to call
+   * time; a serving tier MUST pin it once per HTTP request (the
+   * reference captures DateTime.currentTimeMillis() once per
+   * getLastPoint call) so retries/replans of the same request see the
+   * same hour window — lazy DataFrames would otherwise re-read the
+   * clock at each action.
    */
   def queryLast(points: DataFrame, specs: Seq[LastPointSpec],
                 backScan: Int = 0, resolve: Boolean = false,
-                now: Long = System.currentTimeMillis()): DataFrame = {
+                now: Long = System.currentTimeMillis(),
+                lastMeta: Option[DataFrame] = None): DataFrame = {
     if (backScan < 0) throw new IllegalArgumentException(
       "Backscan must be zero or a positive number")
-    val ws = graft.model.Points.withSeriesId(points)
-      .withColumn("tsuid", hex(col("series_id")))
-    val matched = specs.map { sp =>
+    val metaPath = backScan == 0 && lastMeta.isDefined
+    // addressing is identical over raw points and the meta table: both
+    // carry (tsuid, metric, tags)
+    def address(src: DataFrame): DataFrame = specs.map { sp =>
       if (sp.tsuids.nonEmpty)
-        ws.filter(col("tsuid").isin(sp.tsuids.map(_.toUpperCase): _*))
+        src.filter(col("tsuid").isin(sp.tsuids.map(_.toUpperCase): _*))
       else {
         if (sp.metric.isEmpty) throw new IllegalArgumentException(
           "The metric cannot be empty")
@@ -251,19 +317,30 @@ object Introspect {
         val tf =
           if (backScan > 0) pairs && size(col("tags")) === sp.tags.size
           else pairs
-        ws.filter(col("metric") === sp.metric && tf)
+        src.filter(col("metric") === sp.metric && tf)
       }
     }.reduce(_ unionByName _)
-    val cutoff =
-      if (backScan == 0) Long.MinValue
-      else now / 3600000L * 3600000L - backScan * 3600000L
-    val last = matched.filter(col("ts") >= cutoff)
-      .groupBy(col("tsuid"))
-      .agg(max(col("ts")).as("timestamp"),
-        max_by(when(col("is_int"), col("value_l").cast("string"))
-          .otherwise(col("value").cast("string")), col("ts")).as("value"),
-        max_by(col("metric"), col("ts")).as("metric"),
-        max_by(col("tags"), col("ts")).as("tags"))
+    val last =
+      if (metaPath)
+        // one row per series already — overlapping sub queries dedup on
+        // the series address; no aggregation over points anywhere
+        address(lastMeta.get.select(
+            "tsuid", "timestamp", "value", "metric", "tags"))
+          .dropDuplicates("tsuid")
+      else {
+        val ws = graft.model.Points.withSeriesId(points)
+          .withColumn("tsuid", hex(col("series_id")))
+        val cutoff =
+          if (backScan == 0) Long.MinValue
+          else now / 3600000L * 3600000L - backScan * 3600000L
+        address(ws).filter(col("ts") >= cutoff)
+          .groupBy(col("tsuid"))
+          .agg(max(col("ts")).as("timestamp"),
+            max_by(when(col("is_int"), col("value_l").cast("string"))
+              .otherwise(col("value").cast("string")), col("ts")).as("value"),
+            max_by(col("metric"), col("ts")).as("metric"),
+            max_by(col("tags"), col("ts")).as("tags"))
+      }
     if (resolve)
       last.select("tsuid", "timestamp", "value", "metric", "tags")
     else last.select("tsuid", "timestamp", "value")

@@ -1483,6 +1483,75 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage == "Backscan must be zero or a positive number")
   }
 
+  test("/api/query/last meta table: lastWriteMeta recompute, stored-" +
+       "meta path == raw path, mergeLastWrite max-merge") {
+    import graft.meta.Introspect
+    import graft.meta.Introspect.LastPointSpec
+    import scala.jdk.CollectionConverters._
+    val H = 3600000L
+    val df = spark.createDataFrame(Seq(
+      Row("sys.cpu.user", 10 * H, 42.0, java.lang.Long.valueOf(42L), true,
+        Map("host" -> "web01")),
+      Row("sys.cpu.user", 11 * H, 24.0, java.lang.Long.valueOf(24L), true,
+        Map("host" -> "web01")),
+      Row("sys.cpu.user", 9 * H, 7.5, null, false,
+        Map("host" -> "web02")),
+      Row("sys.mem", 5 * H, 1.0, java.lang.Long.valueOf(1L), true,
+        Map("host" -> "web01"))).asJava, Points.schema)
+    // batch recompute: one row per series, newest point, wire-rendered
+    val meta = Introspect.lastWriteMeta(df)
+    assert(meta.count() == 3)
+    val w1 = meta.filter(col("metric") === "sys.cpu.user" &&
+      col("tags").getItem("host") === "web01").head
+    assert(w1.getAs[Long]("timestamp") == 11 * H)
+    assert(w1.getAs[String]("value") == "24") // integer renders bare
+    assert(meta.filter(col("tags").getItem("host") === "web02")
+      .head.getAs[String]("value") == "7.5")
+    // the stored-meta path answers every addressing form identically
+    // to the raw fallback: metric scan, tag subset, tsuid, resolve
+    val stored = Some(meta)
+    def rows(d: DataFrame) = d.collect().map(_.toSeq).toSet
+    for (specs <- Seq(
+        Seq(LastPointSpec("sys.cpu.user")),
+        Seq(LastPointSpec("sys.cpu.user", Map("host" -> "web01"))),
+        Seq(LastPointSpec("sys.mem"), LastPointSpec("sys.cpu.user")),
+        // overlapping sub queries must not duplicate a series
+        Seq(LastPointSpec("sys.cpu.user"),
+          LastPointSpec("sys.cpu.user", Map("host" -> "web01"))))) {
+      assert(rows(Introspect.queryLast(df, specs, resolve = true,
+          lastMeta = stored)) ==
+        rows(Introspect.queryLast(df, specs, resolve = true)), specs)
+    }
+    val id = graft.model.Points.withSeriesId(df)
+      .filter(col("metric") === "sys.mem")
+      .select(hex(col("series_id"))).head.getString(0)
+    assert(rows(Introspect.queryLast(df,
+        Seq(LastPointSpec(tsuids = Seq(id))), lastMeta = stored)) ==
+      rows(Introspect.queryLast(df, Seq(LastPointSpec(tsuids = Seq(id))))))
+    // backScan>0 ignores the meta table (hour-row scan semantics):
+    // a meta row past the window must NOT leak in
+    assert(Introspect.queryLast(df,
+      Seq(LastPointSpec("sys.cpu.user", Map("host" -> "web01"))),
+      backScan = 1, now = 100 * H, lastMeta = stored).isEmpty)
+    // incremental maintenance: folding arbitrary batch splits through
+    // mergeLastWrite equals the batch recompute over the union
+    val split1 = df.filter(col("ts") <= 9 * H)
+    val split2 = df.filter(col("ts") > 9 * H && col("ts") <= 10 * H)
+    val split3 = df.filter(col("ts") > 10 * H)
+    val inc = Introspect.mergeLastWrite(
+      Introspect.mergeLastWrite(Introspect.lastWriteMeta(split1), split2),
+      split3)
+    assert(rows(inc.select("tsuid", "timestamp", "value", "metric")) ==
+      rows(meta.select("tsuid", "timestamp", "value", "metric")))
+    // out-of-order replay: an OLD point arriving later never regresses
+    // the stored last write (max-merge, not last-write-wins)
+    val reversed = Introspect.mergeLastWrite(
+      Introspect.mergeLastWrite(Introspect.lastWriteMeta(split3), split2),
+      split1)
+    assert(rows(reversed.select("tsuid", "timestamp", "value")) ==
+      rows(meta.select("tsuid", "timestamp", "value")))
+  }
+
   // ---- gexp eval -----------------------------------------------------
 
   test("gexp eval: scale and sumSeries over metric leaves") {

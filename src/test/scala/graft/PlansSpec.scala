@@ -259,6 +259,52 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("queryLast backScan=0 with a stored meta table never touches " +
+       "the points files") {
+    // the round-11 weak: the meta path must be an O(series) read of
+    // the maintained last-write table (reference TSUIDQuery
+    // .getLastWriteTimes), never an aggregation over raw history. With
+    // parquet-backed points and an in-memory stored meta, the executed
+    // plan must contain NO file scan at all.
+    import graft.meta.Introspect
+    import graft.meta.Introspect.LastPointSpec
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("lastmeta")
+      .toString + "/pts"
+    val pts = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row("cpu", 3600000L, 1.0,
+        java.lang.Long.valueOf(1L), true, Map("host" -> "a")),
+      org.apache.spark.sql.Row("cpu", 7200000L, 2.0,
+        java.lang.Long.valueOf(2L), true, Map("host" -> "b"))).asJava,
+      Points.schema)
+    pts.write.parquet(dir)
+    val filePts = spark.read.parquet(dir)
+    // the "stored" table: collected + recreated locally, as a serving
+    // tier would hold/cache the maintained meta
+    val storedMeta = spark.createDataFrame(
+      Introspect.lastWriteMeta(filePts).collect().toSeq.asJava,
+      Introspect.lastWriteMeta(filePts).schema).cache()
+    val out = Introspect.queryLast(filePts,
+      Seq(LastPointSpec("cpu")), backScan = 0, resolve = true,
+      lastMeta = Some(storedMeta))
+    assert(out.count() == 2) // correct answer first
+    // AQE wraps shuffling plans in AdaptiveSparkPlanExec (a leaf until
+    // executed), so assert on the formatted explain, which lists every
+    // scan node either way
+    def planOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val metaPlan = planOf(out)
+    assert(!metaPlan.contains("Scan parquet"),
+      s"meta path read the points files:\n$metaPlan")
+    // and the fallback (no meta) DOES scan the files — the split is real
+    val fb = Introspect.queryLast(filePts, Seq(LastPointSpec("cpu")),
+      backScan = 0, resolve = true)
+    assert(planOf(fb).contains("Scan parquet"),
+      "fallback path should read points")
+    storedMeta.unpersist()
+  }
+
   test("md5_prefix60 is registered as a SQL function by the extension") {
     val r = spark.sql(
       "SELECT md5_prefix60('hello world') AS h").collect()(0).getLong(0)

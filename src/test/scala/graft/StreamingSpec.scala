@@ -49,6 +49,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 1)
   }
 
+  test("streaming last-write meta: foreachBatch max-merge == batch " +
+       "recompute, out-of-order arrivals included") {
+    // the reference updates the meta ts_counter per ingested point
+    // (tsuid tracking); the Spark maintenance is a foreachBatch
+    // max-merge into the stored lastWriteMeta table. Folding the
+    // micro-batches must equal the offline batch recompute (the
+    // MetaSync reconciliation) even when an old point arrives last.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ptsCols = Points.schema.fieldNames.map(col).toSeq
+    val mem = MemoryStream[String]
+    var stored: org.apache.spark.sql.DataFrame = null
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val pts = Ingest.parsePutLines(batch.toDF())
+          .filter(col("_error").isNull).select(ptsCols: _*)
+        if (!pts.isEmpty) {
+          val merged =
+            if (stored == null) Introspect.lastWriteMeta(pts)
+            else Introspect.mergeLastWrite(stored, pts)
+          // persist the O(series) state locally, as a sink would store it
+          stored = spark.createDataFrame(
+            spark.sparkContext.parallelize(merged.collect().toSeq),
+            merged.schema)
+        }
+      }.start()
+    val lines = Seq(
+      "put cpu 1700003600 1 host=a",
+      "put cpu 1700007200 2 host=a",   // newer write, same series
+      "put cpu 1700000000 9 host=a",   // OLD point arriving later
+      "put cpu 1700003600 5 host=b",
+      "put mem 1700000000 2.5 host=a")
+    mem.addData(lines.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(lines.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val allPts = Ingest.parsePutLines(lines.toDF("value"))
+      .filter(col("_error").isNull).select(ptsCols: _*)
+    val expected = Introspect.lastWriteMeta(allPts)
+      .collect().map(_.toSeq).toSet
+    assert(stored.collect().map(_.toSeq).toSet == expected)
+    // the old arrival did NOT regress the stored last write
+    assert(stored.filter(col("metric") === "cpu" &&
+        col("tags").getItem("host") === "a").head.getAs[String]("value")
+      == "2")
+  }
+
   test("streaming decontamination: eval-shingle overlap flags arriving docs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
