@@ -1540,6 +1540,42 @@ object SparkEntry {
         .orderBy("source", "metric", "tag_user", "tag_k")
     }),
 
+    // §2.14 /api/search/<type> sub-endpoint ROUTING (reference
+    // SearchRpc.execute, src/tsd/SearchRpc.java:57-96): a routed type
+    // (tsmeta) dispatches through the full endpoint parse to the
+    // registered search plugin — which answers from its own index,
+    // simulated as a precomputed series listing filtered by the parsed
+    // query/limit — while `lookup` routes to the engine's meta scan
+    // via the m= pair grammar. Both through searchRpc, never called
+    // directly.
+    "q104_search_routed" -> ((s, dir) => {
+      import graft.meta.SearchPlugins
+      val p = pts(s, dir)
+      val plugin = new graft.meta.SearchPlugin {
+        override def executeSearch(st: String, q: String, limit: Int,
+                                   startIndex: Int) =
+          if (st == "tsmeta")
+            Some(p.filter(col("metric") === q)
+              .groupBy(col("metric"), col("tags"))
+              .agg(count(lit(1)).as("points"))
+              .withColumn("source", lit("plugin")))
+          else None
+      }
+      SearchPlugins.register(plugin)
+      val routed = SearchPlugins.searchRpc(p, "tsmeta",
+        Map("query" -> "view", "limit" -> "1000"))
+      val looked = SearchPlugins.searchRpc(p, "lookup",
+          Map("m" -> "signup{user=,k=}"))
+        .withColumn("source", lit("engine")).drop("first_seen", "last_seen")
+      SearchPlugins.deregister(plugin)
+      routed.unionByName(looked)
+        .select(col("source"), col("metric"),
+          col("tags").getItem("user").as("tag_user"),
+          col("tags").getItem("k").as("tag_k"),
+          col("points"))
+        .orderBy("source", "metric", "tag_user", "tag_k")
+    }),
+
     // §2.13 StartupPlugin through the real engine path: the registered
     // plugin's initialize() rewrites the parsed config BEFORE anything
     // serves (reference TSDMain.loadStartupPlugins,
@@ -3094,6 +3130,19 @@ object SparkEntry {
          UNION ALL
          SELECT 'engine', metric, tag_user, tag_k, points
          FROM m WHERE metric = 'signup'
+         ORDER BY source, metric, tag_user, tag_k""",
+
+    "q104_search_routed" ->
+      s"""$O, m AS (
+           SELECT metric, tag_user, tag_k,
+             CAST(count(*) AS BIGINT) AS points
+           FROM points GROUP BY metric, tag_user, tag_k)
+         SELECT 'plugin' AS source, metric, tag_user, tag_k, points
+         FROM m WHERE metric = 'view'
+         UNION ALL
+         SELECT 'engine', metric, tag_user, tag_k, points
+         FROM m WHERE metric = 'signup'
+           AND tag_user IS NOT NULL AND tag_k IS NOT NULL
          ORDER BY source, metric, tag_user, tag_k""",
 
     "q99_startup_plugin" ->

@@ -101,4 +101,123 @@ object SearchPlugins {
     throw new IllegalStateException(
       "Searching has not been enabled on this TSD")
   }
+
+  /**
+   * `metric{k=v,...}` for the LOOKUP form, either pair side optional
+   * (reference Tags.parseWithMetric(List) overload, src/core/Tags
+   * .java:175-209 + the pair-list parse :111-129): `k=` is a bare
+   * tagk, `=v` a bare tagv, `{...}` alone means any metric. Returns
+   * (metric — empty = absent, pairs with "" for the absent side);
+   * error messages verbatim.
+   */
+  def parseLookupM(m: String): (String, Seq[(String, String)]) = {
+    val curly = m.indexOf('{')
+    if (curly < 0) {
+      if (m.isEmpty)
+        throw new IllegalArgumentException("Metric string was empty")
+      return (m, Seq.empty)
+    }
+    if (m.last != '}')
+      throw new IllegalArgumentException(s"Missing '}' at the end of: $m")
+    if (curly == m.length - 2) { // "foo{}"
+      if (m.head == '{')
+        throw new IllegalArgumentException(s"Missing metric and tags: $m")
+      return (m.substring(0, m.length - 2), Seq.empty)
+    }
+    val pairs = m.substring(curly + 1, m.length - 1).split(",", -1)
+      .toSeq.map { tag =>
+        def fail(msg: String) = throw new IllegalArgumentException(
+          s"When parsing tag '$tag': $msg")
+        if (tag.length < 2) fail("Missing tag pair")
+        if (tag.head == '=') ("", tag.substring(1))
+        else if (tag.last == '=') (tag.substring(0, tag.length - 1), "")
+        else {
+          val kv = tag.split("=", -1)
+          if (kv.length != 2 || kv(0).isEmpty || kv(1).isEmpty)
+            fail(s"invalid tag: $tag")
+          (kv(0), kv(1))
+        }
+      }
+    ((if (m.head == '{') "" else m.substring(0, curly)), pairs)
+  }
+
+  /**
+   * The `/api/search/<type>` HTTP endpoint (reference SearchRpc
+   * .execute, src/tsd/SearchRpc.java:57-96): GET/POST only; the
+   * sub-path picks the search type; `lookup` is engine-served from the
+   * meta scan ([[Introspect.lookupPairs]] — the reference's
+   * processLookup reads the tsdb-meta table directly, never the
+   * plugin) while every other type dispatches to the configured search
+   * plugin and is a clean error without one. Query-string form: `m=`
+   * for lookup (Tags.parseWithMetric grammar), required `query=` plus
+   * optional `limit=`/`start_index=` for the rest; a POST body
+   * replaces the query string (parseSearchQueryV1's POJO:
+   * query/limit/startIndex). All error messages verbatim from the
+   * reference (BadRequestException texts).
+   */
+  def searchRpc(points: DataFrame, endpoint: String,
+                params: Map[String, String] = Map.empty,
+                method: String = "GET",
+                body: Option[String] = None): DataFrame = {
+    method.toUpperCase match {
+      case "GET" | "POST" =>
+      case other => throw new IllegalArgumentException(
+        s"The HTTP method [$other] is not permitted for this endpoint")
+    }
+    val st =
+      try parseSearchType(endpoint)
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          "Invalid search query type supplied")
+      }
+    // POST content replaces the query string (SearchRpc:74-78)
+    case class Parsed(query: String, limit: Int, startIndex: Int,
+                      metric: String, pairs: Seq[(String, String)])
+    val parsed = body match {
+      case Some(json) =>
+        require(json.nonEmpty, "Missing message content")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(json)
+        val q = Option(node.get("query")).map(_.asText("")).getOrElse("")
+        val (met, prs) =
+          if (st == "lookup" && q.nonEmpty) parseLookupM(q) else ("", Nil)
+        Parsed(q,
+          Option(node.get("limit")).map(_.asInt(25)).getOrElse(25),
+          Option(node.get("startIndex")).map(_.asInt(0)).getOrElse(0),
+          met, prs)
+      case None =>
+        def num(name: String, dflt: Int): Int =
+          params.get(name).map { s =>
+            try s.toInt catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"Unable to convert '$name' to a valid number")
+            }
+          }.getOrElse(dflt)
+        if (st == "lookup") {
+          val m = params.getOrElse("m", throw new IllegalArgumentException(
+            "Missing parameter <code>m</code>"))
+          val (met, prs) =
+            try parseLookupM(m)
+            catch { case _: IllegalArgumentException =>
+              throw new IllegalArgumentException("Unable to parse query")
+            }
+          Parsed(m, num("limit", 25), 0, met, prs)
+        } else {
+          val q = params.getOrElse("query",
+            throw new IllegalArgumentException(
+              "Missing parameter <code>query</code>"))
+          Parsed(q, num("limit", 25), num("start_index", 0), "", Nil)
+        }
+    }
+    if (st == "lookup") {
+      if (parsed.metric.isEmpty && parsed.pairs.isEmpty)
+        throw new IllegalArgumentException(
+          "Missing metric and tags. Please supply at least one value.")
+      Introspect.lookupPairs(points, parsed.metric, parsed.pairs)
+    } else
+      try search(st, parsed.query, parsed.limit, parsed.startIndex)
+      catch { case _: IllegalStateException =>
+        throw new IllegalArgumentException("Searching is not enabled")
+      }
+  }
 }

@@ -51,7 +51,11 @@ object Uids {
    * The stock whitelist filter (reference UniqueIdWhitelistFilter,
    * src/uid/UniqueIdWhitelistFilter.java): per-kind regex lists from
    * `tsd.uidfilter.whitelist.{metric,tagk,tagv}_patterns`, split on
-   * `tsd.uidfilter.whitelist.delimiter` (default ","). A value must
+   * `tsd.uidfilter.whitelist.delimiter` (default ",") — the delimiter
+   * is itself a REGEX (`String.split` semantics; the reference's
+   * constant is literally DEFAULT_REGEX_DELIMITER,
+   * UniqueIdWhitelistFilter.java:40,65), so `\s*,\s*` splits on
+   * spaced commas. A value must
    * match EVERY configured pattern for its kind — the reference
    * rejects when any pattern fails to find, so the list is an AND
    * (TestUniqueIdWhitelistFilter.allowUIDAssignmentMultiplePaterns:
@@ -63,7 +67,7 @@ object Uids {
     val delim = config.getOrElse("tsd.uidfilter.whitelist.delimiter", ",")
     def pats(key: String): Option[Seq[java.util.regex.Pattern]] =
       config.get(s"tsd.uidfilter.whitelist.${key}_patterns").map(
-        _.split(java.util.regex.Pattern.quote(delim)).toSeq.map { p =>
+        _.split(delim).toSeq.map { p =>
           try java.util.regex.Pattern.compile(p)
           catch {
             case e: java.util.regex.PatternSyntaxException =>

@@ -1405,6 +1405,103 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Introspect.lookupPairs(df, "nope").isEmpty)
   }
 
+  test("/api/search/<type> routing: plugin dispatch, lookup grammar, " +
+       "error contract (TestSearchRpc ports)") {
+    import graft.meta.{Introspect, SearchPlugin, SearchPlugins}
+    val df = pointsDf(Seq(
+      ("sys.cpu.0", 0L, 1.0, Map("host" -> "web01")),
+      ("sys.cpu.0", 60000L, 2.0, Map("host" -> "web02")),
+      ("sys.mem", 0L, 3.0, Map("host" -> "web01", "dc" -> "lga"))))
+    def err(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    // searchPluginNotEnabled: every routed type is a clean error with
+    // no plugin (reference wraps TSDB.executeSearch's ISE as a 400)
+    for (t <- Seq("tsmeta", "tsmeta_summary", "tsuids", "uidmeta",
+        "annotation"))
+      assert(err(SearchPlugins.searchRpc(df, t,
+        Map("query" -> "*"))) == "Searching is not enabled", t)
+    // searchTSMeta/UIDMeta/POST: a registered plugin serves each type
+    // and sees the parsed query/limit/startIndex
+    var seen: (String, String, Int, Int) = null
+    val plugin = new SearchPlugin {
+      override def executeSearch(st: String, q: String, limit: Int,
+                                 startIndex: Int) = {
+        seen = (st, q, limit, startIndex)
+        Some(Introspect.seriesMeta(df).limit(limit))
+      }
+    }
+    SearchPlugins.register(plugin)
+    try {
+      assert(SearchPlugins.searchRpc(df, "tsmeta",
+        Map("query" -> "*")).count() == 3)
+      assert(seen == ("tsmeta", "*", 25, 0))
+      // searchQSParseLimit / searchQSParseStartIndex
+      SearchPlugins.searchRpc(df, "uidmeta",
+        Map("query" -> "sys", "limit" -> "42", "start_index" -> "4"))
+      assert(seen == ("uidmeta", "sys", 42, 4))
+      // searchPOST: body replaces the query string
+      SearchPlugins.searchRpc(df, "TSMETA_summary", Map.empty,
+        body = Some("""{"query":"*","limit":42,"startIndex":2}"""))
+      assert(seen == ("tsmeta_summary", "*", 42, 2))
+      // lookup routes to the ENGINE meta scan, never the plugin
+      seen = null
+      val found = SearchPlugins.searchRpc(df, "lookup",
+        Map("m" -> "sys.cpu.0{host=web01}"))
+      assert(found.count() == 1 && seen == null)
+      // full pair grammar through the m= string: bare tagk + bare tagv
+      assert(SearchPlugins.searchRpc(df, "lookup",
+        Map("m" -> "{dc=,=web01}")).count() == 1)
+      assert(SearchPlugins.searchRpc(df, "lookup",
+        Map("m" -> "{host=}")).count() == 3)
+    } finally SearchPlugins.deregister(plugin)
+    // searchBadMethod / MissingType / BadTypeType / MissingQuery /
+    // InvalidLimit / InvalidStartIndex — the reference's texts
+    assert(err(SearchPlugins.searchRpc(df, "tsmeta",
+        Map("query" -> "*"), method = "PUT")) ==
+      "The HTTP method [PUT] is not permitted for this endpoint")
+    assert(err(SearchPlugins.searchRpc(df, "", Map("query" -> "*"))) ==
+      "Invalid search query type supplied")
+    assert(err(SearchPlugins.searchRpc(df, "badtype",
+      Map("query" -> "*"))) == "Invalid search query type supplied")
+    assert(err(SearchPlugins.searchRpc(df, "tsmeta", Map.empty)) ==
+      "Missing parameter <code>query</code>")
+    assert(err(SearchPlugins.searchRpc(df, "lookup", Map.empty)) ==
+      "Missing parameter <code>m</code>")
+    assert(err(SearchPlugins.searchRpc(df, "tsmeta",
+        Map("query" -> "*", "limit" -> "nan"))) ==
+      "Unable to convert 'limit' to a valid number")
+    assert(err(SearchPlugins.searchRpc(df, "tsmeta",
+        Map("query" -> "*", "start_index" -> "nan"))) ==
+      "Unable to convert 'start_index' to a valid number")
+    // searchLookupBadQuery → "Unable to parse query"; missing both
+    // metric and tags is the processLookup error
+    assert(err(SearchPlugins.searchRpc(df, "lookup",
+      Map("m" -> "{unfinished"))) == "Unable to parse query")
+    assert(err(SearchPlugins.searchRpc(df, "lookup",
+        Map("m" -> "{}"))).startsWith("Unable to parse query"))
+    // Tags.parseWithMetric vectors (the pair-list overload)
+    assert(SearchPlugins.parseLookupM("sys.cpu") == ("sys.cpu", Seq()))
+    assert(SearchPlugins.parseLookupM("sys.cpu{}") == ("sys.cpu", Seq()))
+    assert(SearchPlugins.parseLookupM("sys{a=b,c=,=d}") ==
+      ("sys", Seq(("a", "b"), ("c", ""), ("", "d"))))
+    assert(SearchPlugins.parseLookupM("{a=b}") == ("", Seq(("a", "b"))))
+    assert(intercept[IllegalArgumentException](
+        SearchPlugins.parseLookupM("")).getMessage ==
+      "Metric string was empty")
+    assert(intercept[IllegalArgumentException](
+        SearchPlugins.parseLookupM("foo{")).getMessage ==
+      "Missing '}' at the end of: foo{")
+    assert(intercept[IllegalArgumentException](
+        SearchPlugins.parseLookupM("{}")).getMessage ==
+      "Missing metric and tags: {}")
+    assert(intercept[IllegalArgumentException](
+        SearchPlugins.parseLookupM("m{a=b=c}")).getMessage ==
+      "When parsing tag 'a=b=c': invalid tag: a=b=c")
+    assert(intercept[IllegalArgumentException](
+        SearchPlugins.parseLookupM("m{x}")).getMessage ==
+      "When parsing tag 'x': Missing tag pair")
+  }
+
   test("/api/query/last: meta path, back_scan hour rows, tsuid " +
        "addressing, resolve (TestQueryRpcLastDataPoint ports)") {
     import graft.meta.Introspect

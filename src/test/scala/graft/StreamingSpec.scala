@@ -877,11 +877,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.allow("metric", "test_metric") && !f.allow("metric", "metric"))
     assert(f.allow("tagk", "test_tagk") && !f.allow("tagk", "tagk"))
     assert(f.allow("tagv", "test_tagv") && !f.allow("tagv", "tagv"))
-    // initalizeMultiplePatternsAlternateDelimiter
+    // initalizeMultiplePatternsAlternateDelimiter: the delimiter is a
+    // REGEX (String.split semantics, UniqueIdWhitelistFilter.java:65 —
+    // the reference's own vector escapes it as "\\|")
     val alt = Uids.whitelistFilter(Map(
-      "tsd.uidfilter.whitelist.delimiter" -> "|",
+      "tsd.uidfilter.whitelist.delimiter" -> "\\|",
       "tsd.uidfilter.whitelist.metric_patterns" -> "^test.*|.*"))
     assert(alt.allow("metric", "test_x") && !alt.allow("metric", "x"))
+    // a genuinely regex delimiter: spaced commas split as one separator
+    val rx = Uids.whitelistFilter(Map(
+      "tsd.uidfilter.whitelist.delimiter" -> "\\s*,\\s*",
+      "tsd.uidfilter.whitelist.metric_patterns" -> "^test.* , .*x$"))
+    assert(rx.allow("metric", "test_x") && !rx.allow("metric", "test_y"))
     // unconfigured kind allows everything
     assert(Uids.whitelistFilter(Map.empty).allow("metric", "anything"))
     // initalizeBadRegex: the reference's message
