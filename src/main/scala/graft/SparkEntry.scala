@@ -459,7 +459,22 @@ object SparkEntry {
       val sub = SubQuery("zimsum", "view",
         Seq(LiteralOr("user", Seq("1", "2", "3", "4", "5"))),
         Some(DownsampleSpec.parse("1d-avg")))
-      Engine.run(p, query, sub, Seq(Engine.RollupTable(HOUR, rollup, T_0120)))
+      // the registry is driven by the tsd.rollups.config DOCUMENT
+      // (parseConfig → registryTables), not hand-built: the 1h
+      // interval's delaySla of 1d against a now of T_0120+1d yields
+      // the same freshness horizon (T_0120) the direct registry used —
+      // so this row oracle-backs the config parse end-to-end
+      val cfg = Rollups.parseConfig(
+        """{"intervals":[
+            {"interval":"1s","table":"tsdb","preAggregationTable":"tsdb",
+             "rowSpan":"1h","defaultInterval":true},
+            {"interval":"1h","table":"tsdb-rollup-1h",
+             "preAggregationTable":"tsdb-rollup-1h-pre","rowSpan":"1d",
+             "delaySla":"1d"}],
+           "aggregationIds":{"sum":0,"count":1,"min":2,"max":3}}""")
+      val registry = Rollups.registryTables(cfg,
+        { case "tsdb-rollup-1h" => rollup }, nowMs = T_0120 + DAY)
+      Engine.run(p, query, sub, registry)
         .select(col("metric"), col("ts"), r4(col("value")).as("value"))
         .orderBy("ts")
     }),

@@ -640,6 +640,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       1700000100000L -> ((4.0, 1L))))
   }
 
+  test("config-document registry (parseConfig → registryTables) routes " +
+       "identically to a hand-built registry") {
+    // the tsd.rollups.config document must be able to DRIVE the engine:
+    // same interval + a delaySla that lands the same freshness horizon
+    // ⇒ byte-identical results with the direct Engine.RollupTable
+    import spark.implicits._
+    import graft.operators.Rollups
+    import graft.query.{QueryParser, TsQuery}
+    val raw = Ingest.parsePutLines(Seq(
+        "put cpu 1700000000 1 host=a",
+        "put cpu 1700000100 3 host=a",
+        "put cpu 1700003700 5 host=a",
+        "put cpu 1700007300 7 host=b").toDF("value"))
+      .filter(col("_error").isNull).drop("_error")
+    val rollup = Rollups.materialize(raw, 3600000L)
+    val query = TsQuery(1699999200000L, 1700010000000L, Seq.empty)
+    val sub = QueryParser.parseSubQuery("sum:1h-sum:cpu")
+    val horizon = 1700007200000L
+    val direct = Engine.run(raw, query, sub,
+        Seq(Engine.RollupTable(3600000L,
+          rollup.filter(col("ts") < horizon), horizonMs = horizon)))
+      .select("ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cfg = Rollups.parseConfig(
+      """{"intervals":[
+          {"interval":"1s","table":"tsdb","preAggregationTable":"tsdb",
+           "rowSpan":"1h","defaultInterval":true},
+          {"interval":"1h","table":"tsdb-rollup-1h",
+           "preAggregationTable":"tsdb-rollup-1h-pre","rowSpan":"1d",
+           "delaySla":"2h"}],
+         "aggregationIds":{"sum":0,"count":1}}""")
+    val registry = Rollups.registryTables(cfg,
+      { case "tsdb-rollup-1h" => rollup.filter(col("ts") < horizon) },
+      nowMs = horizon + 7200000L) // now − 2h delaySla = the horizon
+    assert(registry.map(t => (t.intervalMs, t.horizonMs)) ==
+      Seq((3600000L, horizon)))
+    val routed = Engine.run(raw, query, sub, registry)
+      .select("ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(routed == direct && direct.size == 3)
+  }
+
   test("streamed rollup table serves an Engine query via rollup routing") {
     import spark.implicits._
     import graft.query.{QueryParser, TsQuery}
