@@ -295,10 +295,20 @@ object Introspect {
   def queryLast(points: DataFrame, specs: Seq[LastPointSpec],
                 backScan: Int = 0, resolve: Boolean = false,
                 now: Long = System.currentTimeMillis(),
-                lastMeta: Option[DataFrame] = None): DataFrame = {
+                lastMeta: Option[DataFrame] = None,
+                metaEnabled: Boolean = true): DataFrame = {
     if (backScan < 0) throw new IllegalArgumentException(
       "Backscan must be zero or a positive number")
-    val metaPath = backScan == 0 && lastMeta.isDefined
+    // `metaEnabled` mirrors tsd.core.meta.enable_tsuid_tracking|
+    // incrementing (TSUIDQuery.getLastPoint:171-190): with meta
+    // DISABLED there is no last-write record, so backScan=0 degrades
+    // to scanning ONLY now's hour row (LastPointCB iterates at most
+    // back_scan times past the base row — TestTSUIDQuery
+    // .getLastPointMetricZeroBackscanOutOfRange) and metric addressing
+    // always demands the full tag set (tsuidFromMetric:477-483, even
+    // at backScan=0 — getLastPointMetricEmptyTags).
+    val scanPath = backScan > 0 || !metaEnabled
+    val metaPath = !scanPath && lastMeta.isDefined
     // addressing is identical over raw points and the meta table: both
     // carry (tsuid, metric, tags)
     def address(src: DataFrame): DataFrame = specs.map { sp =>
@@ -307,7 +317,7 @@ object Introspect {
       else {
         if (sp.metric.isEmpty) throw new IllegalArgumentException(
           "The metric cannot be empty")
-        if (backScan > 0 && sp.tags.isEmpty)
+        if (scanPath && sp.tags.isEmpty)
           throw new IllegalArgumentException(
             "Tags cannot be null or empty when getting a TSUID")
         val pairs = sp.tags.map { case (k, v) =>
@@ -315,7 +325,7 @@ object Introspect {
           .reduceOption(_ && _).getOrElse(lit(true))
         // meta path: tag-subset match; backscan path: the exact series
         val tf =
-          if (backScan > 0) pairs && size(col("tags")) === sp.tags.size
+          if (scanPath) pairs && size(col("tags")) === sp.tags.size
           else pairs
         src.filter(col("metric") === sp.metric && tf)
       }
@@ -330,10 +340,17 @@ object Introspect {
       else {
         val ws = graft.model.Points.withSeriesId(points)
           .withColumn("tsuid", hex(col("series_id")))
-        val cutoff =
-          if (backScan == 0) Long.MinValue
-          else now / 3600000L * 3600000L - backScan * 3600000L
-        address(ws).filter(col("ts") >= cutoff)
+        val base = now / 3600000L * 3600000L
+        // the scan path sees the hour rows [base − backScan h, base]
+        // ONLY: LastPointCB iterates DOWNWARD from base, so a point in
+        // a FUTURE hour row is invisible to it (a point later within
+        // the base row itself is visible — a row read returns the
+        // whole row)
+        val range =
+          if (!scanPath) lit(true)
+          else col("ts") >= (base - backScan * 3600000L) &&
+            col("ts") < base + 3600000L
+        address(ws).filter(range)
           .groupBy(col("tsuid"))
           .agg(max(col("ts")).as("timestamp"),
             max_by(when(col("is_int"), col("value_l").cast("string"))

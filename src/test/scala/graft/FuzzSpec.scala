@@ -999,4 +999,197 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fails = (0 until 40).flatMap(i => checkExpJoin(rnd, i))
     assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
   }
+
+  // ---- round-12 axis: lookup pair grammar + /api/query/last ---------
+  //
+  // Random series corpora and random TimeSeriesLookup pair grammars /
+  // LastPointSpecs vs an independent SQL transcription of the
+  // reference's doc rules (TimeSeriesLookup.java:49-80; TSUIDQuery
+  // meta-vs-scan split). The SQL reads exploded (sid, k, v) tag rows —
+  // a different data layout than the engine's map column, so the
+  // combination rules must be independently re-derived to agree.
+  // (Mutation-checked: off-by-one-hour oracle window → 3 failures;
+  // bare-tagv OR weakened to AND → 4 failures.)
+
+  /** Series set registered as temp views (fz_lk_series / fz_lk_tags /
+    * fz_lk_pts for the SQL oracle, fz_lk_raw for the engine); sid is
+    * metric + canonical sorted-tag rendering, shared by engine row →
+    * sid mapping and the SQL oracle. */
+  private lazy val lookupCorpus: Seq[(String, Map[String, String])] = {
+    val rnd = new Random(0x100C)
+    val metrics = Seq("m1", "m2", "m3")
+    val keys = Seq("host", "dc", "rack")
+    val vals = Seq("a", "b", "web01", "lga")
+    val series = (0 until 24).map { _ =>
+      val m = pick(rnd, metrics)
+      val nk = 1 + rnd.nextInt(3)
+      val tags = rnd.shuffle(keys).take(nk)
+        .map(k => k -> pick(rnd, vals)).toMap
+      (m, tags)
+    }.distinct
+    val spark0 = spark
+    import spark0.implicits._
+    series.map { case (m, t) => (sidOf(m, t), m) }
+      .toDF("sid", "metric").createOrReplaceTempView("fz_lk_series")
+    series.flatMap { case (m, t) =>
+      t.map { case (k, v) => (sidOf(m, t), k, v) } }
+      .toDF("sid", "k", "v").createOrReplaceTempView("fz_lk_tags")
+    // points: unique hour-spread timestamps per series (no ts ties →
+    // a deterministic arg_max oracle), integer/double mixed
+    val base = 1356998400000L
+    val ptRows = series.zipWithIndex.flatMap { case ((m, t), si) =>
+      (0 until 2 + rnd.nextInt(4)).map { pi =>
+        val ts = base + rnd.nextInt(72) * 3600000L + pi * 60000L + si * 7000L
+        val isInt = rnd.nextBoolean()
+        val v = if (isInt) rnd.nextInt(100).toDouble
+          else rnd.nextInt(1000) / 8.0
+        (sidOf(m, t), m, t, ts, v, isInt)
+      }
+    }
+    ptRows.map { case (sid, _, _, ts, v, i) => (sid, ts, v, i) }
+      .toDF("sid", "ts", "v", "is_int")
+      .createOrReplaceTempView("fz_lk_pts")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(ptRows.map { case (_, m, t, ts, v, i) =>
+      Row(m, ts, v, if (i) java.lang.Long.valueOf(v.toLong) else null,
+        i, t)
+    }.toList.asJava, Points.schema).createOrReplaceTempView("fz_lk_raw")
+    series
+  }
+
+  private def sidOf(m: String, tags: Map[String, String]): String =
+    m + "|" + tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString(",")
+
+  private def checkLookup(rnd: Random, id: Int): Option[String] = {
+    lookupCorpus
+    val metric = pick(rnd, Seq("", "m1", "m2", "m3", "nope"))
+    val keys = Seq("host", "dc", "rack")
+    val vals = Seq("a", "b", "web01", "lga", "nope")
+    val pairs = (0 until rnd.nextInt(4)).map { _ =>
+      rnd.nextInt(3) match {
+        case 0 => (pick(rnd, keys), "")              // bare tagk
+        case 1 => ("", pick(rnd, vals))              // bare tagv
+        case _ => (pick(rnd, keys), pick(rnd, vals)) // exact pair
+      }
+    }
+    val got = graft.meta.Introspect.lookupPairs(
+        spark.table("fz_lk_raw"), metric, pairs)
+      .select("metric", "tags").collect()
+      .map(r => sidOf(r.getString(0), r.getAs[Map[String, String]]("tags")))
+      .toSet
+    fuzzHits += got.size
+    // independent SQL over the exploded layout, straight from the doc:
+    // bare tagks AND (overriding pairs on the same key), remaining
+    // pairs AND, bare tagvs OR among themselves AND'd with the rest
+    val bareKs = pairs.collect { case (k, "") if k.nonEmpty => k }.distinct
+    val kvs = pairs.filter { case (k, v) =>
+      k.nonEmpty && v.nonEmpty && !bareKs.contains(k) }.distinct
+    val bareVs = pairs.collect { case ("", v) => v }.distinct
+    val conds = Seq(
+      if (metric.isEmpty) None else Some(s"s.metric = '$metric'"),
+      if (bareVs.isEmpty) None
+      else Some(s"""EXISTS(SELECT 1 FROM fz_lk_tags t
+        WHERE t.sid = s.sid AND t.v IN (${
+          bareVs.map("'" + _ + "'").mkString(",")}))""")).flatten ++
+      bareKs.map(k => s"""EXISTS(SELECT 1 FROM fz_lk_tags t
+        WHERE t.sid = s.sid AND t.k = '$k')""") ++
+      kvs.map { case (k, v) => s"""EXISTS(SELECT 1 FROM fz_lk_tags t
+        WHERE t.sid = s.sid AND t.k = '$k' AND t.v = '$v')""" }
+    val where = if (conds.isEmpty) "true" else conds.mkString(" AND ")
+    val want = spark.sql(
+        s"SELECT sid FROM fz_lk_series s WHERE $where")
+      .collect().map(_.getString(0)).toSet
+    if (got == want) None
+    else Some(s"lookup#$id metric=$metric pairs=$pairs: " +
+      s"engine=${got.size} oracle=${want.size} " +
+      s"diff=${(got diff want) ++ (want diff got)}")
+  }
+
+  private def checkLast(rnd: Random, id: Int): Option[String] = {
+    val series = lookupCorpus
+    val (m, tags) = pick(rnd, series)
+    val metaEnabled = rnd.nextBoolean()
+    val backScan = pick(rnd, Seq(0, 0, 1, 3, 24, 80))
+    val scanPath = backScan > 0 || !metaEnabled
+    // address by: full tags / subset / none — subset+scan finds nothing
+    val qtags = rnd.nextInt(3) match {
+      case 0 => tags
+      case 1 => tags.take(1)
+      case _ => Map.empty[String, String]
+    }
+    if (scanPath && qtags.isEmpty) return None // error path, unit-tested
+    val base = 1356998400000L
+    // half the draws pin `now` to a window EDGE around a real point of
+    // the addressed series (the ManyBackscanInRange/OutOfRange
+    // boundary: found at backScan hour rows back, missed at one fewer)
+    // so the hour-row arithmetic is probed tightly, not just sampled
+    val now =
+      if (rnd.nextBoolean())
+        base + rnd.nextInt(80) * 3600000L + rnd.nextInt(3600000)
+      else {
+        val ptTs = spark.sql(
+            s"""SELECT p.ts FROM fz_lk_pts p
+               WHERE p.sid = '${sidOf(m, tags)}'
+               ORDER BY p.ts LIMIT 1""")
+          .head.getLong(0)
+        ptTs / 3600000L * 3600000L +
+          (backScan + rnd.nextInt(3) - 1) * 3600000L + rnd.nextInt(3600000)
+      }
+    val useStored = !scanPath && rnd.nextBoolean()
+    val raw = spark.table("fz_lk_raw")
+    val got = graft.meta.Introspect.queryLast(raw,
+        Seq(graft.meta.Introspect.LastPointSpec(m, qtags)),
+        backScan = backScan, resolve = true, now = now,
+        lastMeta = if (useStored)
+          Some(graft.meta.Introspect.lastWriteMeta(raw)) else None,
+        metaEnabled = metaEnabled)
+      .select("metric", "tags", "timestamp", "value").collect()
+      .map(r => sidOf(r.getString(0),
+          r.getAs[Map[String, String]]("tags")) ->
+        (r.getLong(2), r.getString(3).toDouble))
+      .toMap
+    fuzzHits += got.size
+    // oracle: SUBSET match on the meta path, EXACT tag set + hour-row
+    // window [base − backScan h, base + 1h) on the scan path
+    val subsetCond = qtags.map { case (k, v) =>
+      s"""EXISTS(SELECT 1 FROM fz_lk_tags t
+        WHERE t.sid = s.sid AND t.k = '$k' AND t.v = '$v')""" }
+    val exactCond =
+      if (!scanPath) Nil
+      else Seq(s"""(SELECT count(*) FROM fz_lk_tags t
+        WHERE t.sid = s.sid) = ${qtags.size}""")
+    val nowBase = now / 3600000L * 3600000L
+    val range =
+      if (!scanPath) "true"
+      else s"p.ts >= ${nowBase - backScan * 3600000L} AND " +
+        s"p.ts < ${nowBase + 3600000L}"
+    val where = (Seq(s"s.metric = '$m'", range) ++ subsetCond ++
+      exactCond).mkString(" AND ")
+    val want = spark.sql(
+        s"""SELECT s.sid, max(p.ts), max_by(p.v, p.ts)
+           FROM fz_lk_series s JOIN fz_lk_pts p ON p.sid = s.sid
+           WHERE $where GROUP BY s.sid""")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    if (got == want) None
+    else Some(s"last#$id m=$m qtags=$qtags backScan=$backScan " +
+      s"metaEnabled=$metaEnabled stored=$useStored now=$now: " +
+      s"engine=$got oracle=$want")
+  }
+
+  private var fuzzHits = 0
+
+  test("fuzz lookup pair grammar + query/last addressing vs an " +
+       "independent SQL transcription over exploded tag rows") {
+    val rnd = new Random(0x1A57)
+    fuzzHits = 0
+    val lookupFails = (0 until 40).flatMap(i => checkLookup(rnd, i))
+    val lastFails = (0 until 40).flatMap(i => checkLast(rnd, i))
+    assert(lookupFails.isEmpty && lastFails.isEmpty,
+      s"\n${(lookupFails ++ lastFails).take(8).mkString("\n")}")
+    // non-vacuity: the draws must actually address series, not compare
+    // empty sets 80 times
+    assert(fuzzHits > 60, s"fuzz axis nearly vacuous: $fuzzHits hits")
+  }
 }

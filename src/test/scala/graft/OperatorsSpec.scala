@@ -1649,6 +1649,96 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(meta.select("tsuid", "timestamp", "value")))
   }
 
+  test("/api/query/last meta-DISABLED hour-row scan (TestTSUIDQuery " +
+       "ports: backscan windows, tsuid addressing, tag requirement)") {
+    import graft.meta.Introspect
+    import graft.meta.Introspect.LastPointSpec
+    import scala.jdk.CollectionConverters._
+    // the suite's fixture: sys.cpu.user{host=web01}, integer 42 at
+    // 1356998400; DateTime.currentTimeMillis mocked per vector
+    val T = 1356998400000L
+    def pts(rows: (Long, Long)*) = spark.createDataFrame(rows.map {
+      case (ts, v) => Row("sys.cpu.user", ts, v.toDouble,
+        java.lang.Long.valueOf(v), true, Map("host" -> "web01"))
+    }.asJava, Points.schema)
+    val one = pts(T -> 42L)
+    val spec = Seq(LastPointSpec("sys.cpu.user", Map("host" -> "web01")))
+    def run(df: DataFrame, specs: Seq[LastPointSpec], backScan: Int,
+            now: Long) =
+      Introspect.queryLast(df, specs, backScan, resolve = false,
+        now = now, metaEnabled = false)
+    def valueOf(d: DataFrame) = d.collect().map(_.getAs[String]("value"))
+    // getLastPointMetricZeroBackscanOnePoint: meta disabled, now in the
+    // point's hour row → found, integer renders bare
+    val zp = run(one, spec, 0, T)
+    assert(valueOf(zp).toSeq == Seq("42") &&
+      zp.head.getAs[Long]("timestamp") == T)
+    // ZeroBackscanMostRecent: newest point of the row wins
+    assert(valueOf(run(pts(T -> 42L, (T + 1000) -> 24L, (T + 2000) -> 1L),
+      spec, 0, T)).toSeq == Seq("1"))
+    // ZeroBackscanOutOfRange: now one hour-row later → nothing
+    assert(run(one, spec, 0, 1357002000000L).isEmpty)
+    // a point in a FUTURE hour row is invisible to the downward scan
+    assert(run(pts((T + 3600000L) -> 7L), spec, 0, T).isEmpty)
+    // OneBackscanInRange / OneBackscanOutOfRange
+    assert(valueOf(run(one, spec, 1, 1357002000000L)).toSeq == Seq("42"))
+    assert(run(one, spec, 1, 1357010600000L).isEmpty)
+    // ManyBackscanInRange / OutOfRange: the point sits exactly 1023
+    // hour rows back from 1360681200000
+    assert(valueOf(run(one, spec, 1024, 1360681200000L)).toSeq == Seq("42"))
+    assert(run(one, spec, 1022, 1360681200000L).isEmpty)
+    // getLastPointMetricResolve: names join the document
+    val res = Introspect.queryLast(one, spec, backScan = 0,
+      resolve = true, now = T, metaEnabled = false)
+    assert(res.head.getAs[String]("metric") == "sys.cpu.user" &&
+      res.head.getAs[Map[String, String]]("tags") == Map("host" -> "web01"))
+    // getLastPointMetricEmptyTags: with meta DISABLED the metric form
+    // demands the full tag set even at backScan=0 (tsuidFromMetric)
+    assert(intercept[IllegalArgumentException] {
+      run(one, Seq(LastPointSpec("sys.cpu.user")), 0, T)
+    }.getMessage == "Tags cannot be null or empty when getting a TSUID")
+    // TSUID addressing: ZeroBackscanRecent / RecentOutOfRange /
+    // OneBackscanInRange / OneBackscanRecentOutOfRange / ManyBackscan
+    val id = graft.model.Points.withSeriesId(one)
+      .select(hex(col("series_id"))).head.getString(0)
+    val byId = Seq(LastPointSpec(tsuids = Seq(id)))
+    assert(valueOf(run(one, byId, 0, T)).toSeq == Seq("42"))
+    assert(run(one, byId, 0, 1357002000000L).isEmpty)
+    assert(valueOf(run(one, byId, 1, 1357002000000L)).toSeq == Seq("42"))
+    assert(run(one, byId, 1, 1357010600000L).isEmpty)
+    assert(valueOf(run(one, byId, 1024, 1360681200000L)).toSeq == Seq("42"))
+    assert(run(one, byId, 1022, 1360681200000L).isEmpty)
+    // getLastPointTSUIDMeta / MetaNoPoint: meta ENABLED ignores age —
+    // a point a year past `now` is still the last write
+    val old = pts(1388534400000L -> 42L)
+    assert(valueOf(Introspect.queryLast(old, byId, backScan = 0,
+      now = T, lastMeta = Some(Introspect.lastWriteMeta(old)))).toSeq ==
+      Seq("42"))
+    assert(Introspect.queryLast(old,
+      Seq(LastPointSpec(tsuids = Seq("00FF00FF00FF00FF"))),
+      backScan = 0, now = T,
+      lastMeta = Some(Introspect.lastWriteMeta(old))).isEmpty)
+    // getLastWriteTimes / EmptyTags / NoMatch / QueryNotSet over the
+    // last-write meta (ts_counter scan): tag subset addresses a
+    // series set; empty tags = every series of the metric
+    val two = one.unionByName(spark.createDataFrame(Seq(
+      Row("sys.cpu.user", T + 15L, 3.0, java.lang.Long.valueOf(3L), true,
+        Map("host" -> "web02"))).asJava, Points.schema))
+    val meta = Introspect.lastWriteMeta(two)
+    assert(Introspect.queryLast(two, spec, lastMeta = Some(meta))
+      .count() == 1)
+    assert(Introspect.queryLast(two, Seq(LastPointSpec("sys.cpu.user")),
+      lastMeta = Some(meta)).count() == 2)
+    assert(Introspect.queryLast(two, Seq(LastPointSpec("nope")),
+      lastMeta = Some(meta)).isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      Introspect.queryLast(two, Seq(LastPointSpec()), lastMeta = Some(meta))
+    }.getMessage == "The metric cannot be empty")
+    // NSUN vectors are out of scope by design: addressing is the
+    // series hash, there is no UID registry to miss (documented with
+    // q89's strict-resolution ingest gate)
+  }
+
   // ---- gexp eval -----------------------------------------------------
 
   test("gexp eval: scale and sumSeries over metric leaves") {
