@@ -312,6 +312,23 @@ object SparkEntry {
         .distinct().orderBy("metric").limit(25)
     }),
 
+    // §2.14 /api/suggest through the REAL endpoint contract (reference
+    // SuggestRpc.execute + UniqueId.suggest): all three types routed
+    // with prefix + max, name-sorted, 25-default — one frame per type
+    // union'd under a kind column
+    "q105_suggest_rpc" -> ((s, dir) => {
+      import graft.meta.Introspect
+      val p = pts(s, dir)
+      def one(kind: String, params: Map[String, String]) =
+        Introspect.suggestRpc(p, params)
+          .select(lit(kind).as("kind"), col("suggestion"))
+      one("metrics", Map("type" -> "metrics", "q" -> "c"))
+        .unionByName(one("tagk", Map("type" -> "tagk")))
+        .unionByName(one("tagv", Map("type" -> "tagv", "q" -> "1",
+          "max" -> "5")))
+        .orderBy("kind", "suggestion")
+    }),
+
     // §2.14 /api/search/lookup — series discovery by tag filter,
     // through the plugin-aware resolver (external index first,
     // relational seriesMeta scan as the fallback exercised here)
@@ -2173,6 +2190,22 @@ object SparkEntry {
     "q18_suggest" ->
       s"""$O SELECT DISTINCT metric FROM points WHERE metric LIKE 'c%'
          ORDER BY metric LIMIT 25""",
+
+    "q105_suggest_rpc" ->
+      s"""$O, tv AS (
+           SELECT DISTINCT tag_user AS v FROM points
+             WHERE tag_user IS NOT NULL
+           UNION SELECT DISTINCT tag_k FROM points WHERE tag_k IS NOT NULL)
+         SELECT kind, suggestion FROM (
+           SELECT 'metrics' AS kind, metric AS suggestion FROM (
+             SELECT DISTINCT metric FROM points WHERE metric LIKE 'c%'
+             ORDER BY metric LIMIT 25)
+           UNION ALL SELECT 'tagk', 'user'
+           UNION ALL SELECT 'tagk', 'k'
+             WHERE EXISTS(SELECT 1 FROM points WHERE tag_k IS NOT NULL)
+           UNION ALL SELECT 'tagv', v FROM (
+             SELECT v FROM tv WHERE v LIKE '1%' ORDER BY v LIMIT 5))
+         ORDER BY kind, suggestion""",
 
     "q19_lookup" ->
       s"""$O SELECT DISTINCT metric, tag_user, tag_k FROM points

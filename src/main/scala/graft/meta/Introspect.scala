@@ -145,6 +145,62 @@ object Introspect {
       .select(col("kind"), col("name"), (col("gidx") - col("base") + 1).as("uid"))
   }
 
+  /**
+   * The `/api/suggest` endpoint (reference SuggestRpc,
+   * src/tsd/SuggestRpc.java:40-95 + UniqueId.suggest,
+   * src/uid/UniqueId.java:971-1010): `type` ∈ metrics | tagk | tagv,
+   * prefix match on the name, name-sorted (the reference's UID-table
+   * scan order), `max` defaulting to 25 (MAX_SUGGESTIONS,
+   * UniqueId.java:89). GET reads the query string; POST reads the
+   * flat JSON map ([[graft.query.Serdes.parseSuggest]]) — the V1 API
+   * requires `type` in both with distinct error texts. Returns the
+   * ordered suggestion frame; [[graft.query.Serdes.formatSuggest]]
+   * renders the wire array.
+   */
+  def suggestRpc(points: DataFrame, params: Map[String, String] = Map.empty,
+                 method: String = "GET",
+                 body: Option[String] = None): DataFrame = {
+    method.toUpperCase match {
+      case "GET" | "POST" =>
+      case other => throw new IllegalArgumentException(
+        s"The HTTP method [$other] is not permitted for this endpoint")
+    }
+    val (typ, q, maxS) = body match {
+      case Some(b) =>
+        val m = graft.query.Serdes.parseSuggest(b)
+        val t = m.getOrElse("type", "")
+        if (t == null || t.isEmpty) throw new IllegalArgumentException(
+          "Missing 'type' parameter")
+        (t, Option(m.getOrElse("q", "")).getOrElse(""), m.get("max"))
+      case None =>
+        val t = params.getOrElse("type", throw new IllegalArgumentException(
+          "Missing parameter <code>type</code>"))
+        (t, params.getOrElse("q", ""), params.get("max"))
+    }
+    val max = maxS.filter(_ != null).filter(_.nonEmpty).map { s =>
+      try s.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          "Unable to parse 'max' as a number")
+      }
+    }.filter(_ > 0).getOrElse(25)
+    // a tag name exists only if it was WRITTEN: a null-valued map entry
+    // is an absent tag, exactly as the lookup grammar treats it
+    val names = typ match {
+      case "metrics" => points.select(col("metric").as("suggestion"))
+      case "tagk" =>
+        points.select(explode(col("tags")).as(Seq("suggestion", "v")))
+          .filter(col("v").isNotNull).select("suggestion")
+      case "tagv" =>
+        points.select(explode(map_values(col("tags"))).as("suggestion"))
+      case other => throw new IllegalArgumentException(
+        // the reference's exact text — no space after the colon
+        "Invalid 'type' parameter:" + other)
+    }
+    names.filter(col("suggestion").isNotNull &&
+        col("suggestion").startsWith(q))
+      .distinct().orderBy("suggestion").limit(max)
+  }
+
   /** Distinct-series table (metric + tags), the base for suggest /
     * lookup / tsuid-style queries (reference src/meta/TSMeta.java). */
   def seriesMeta(points: DataFrame): DataFrame =

@@ -1405,6 +1405,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Introspect.lookupPairs(df, "nope").isEmpty)
   }
 
+  test("/api/suggest: type dispatch, prefix + max, QS vs POST body, " +
+       "error contract (TestSuggestRpc ports)") {
+    import graft.meta.Introspect
+    val df = pointsDf(Seq(
+      ("sys.cpu.0.system", 0L, 1.0, Map("host" -> "web01.mysite.com")),
+      ("sys.mem.free", 0L, 2.0, Map("host" -> "web01.mysite.com"))))
+    def run(params: Map[String, String], method: String = "GET",
+            body: Option[String] = None) =
+      Introspect.suggestRpc(df, params, method, body)
+        .collect().map(_.getString(0)).toSeq
+    def err(f: => Any) = intercept[IllegalArgumentException](f).getMessage
+    // metricsQS / metricsPOST
+    assert(run(Map("type" -> "metrics", "q" -> "sys")) ==
+      Seq("sys.cpu.0.system", "sys.mem.free"))
+    assert(run(Map.empty, "POST",
+        Some("""{"type":"metrics","q":"sys"}""")) ==
+      Seq("sys.cpu.0.system", "sys.mem.free"))
+    // metricQSMax / metricsPOSTMax
+    assert(run(Map("type" -> "metrics", "q" -> "sys", "max" -> "1")) ==
+      Seq("sys.cpu.0.system"))
+    assert(run(Map.empty, "POST",
+        Some("""{"type":"metrics","q":"sys","max":1}""")) ==
+      Seq("sys.cpu.0.system"))
+    // tagkQS / tagvQS
+    assert(run(Map("type" -> "tagk", "q" -> "h")) == Seq("host"))
+    assert(run(Map("type" -> "tagv", "q" -> "web")) ==
+      Seq("web01.mysite.com"))
+    // empty q = the first max names
+    assert(run(Map("type" -> "metrics")).size == 2)
+    // badMethod / missingType / missingContent / badType /
+    // missingTypePOST / badMaxQS-POST, the reference's texts
+    assert(err(run(Map("type" -> "metrics"), "PUT")) ==
+      "The HTTP method [PUT] is not permitted for this endpoint")
+    assert(err(run(Map.empty)) == "Missing parameter <code>type</code>")
+    assert(err(run(Map.empty, "POST", Some(""))) ==
+      "Missing message content")
+    assert(err(run(Map("type" -> "nothere"))) ==
+      "Invalid 'type' parameter:nothere")
+    assert(err(run(Map.empty, "POST", Some("""{"q":"sys"}"""))) ==
+      "Missing 'type' parameter")
+    assert(err(run(Map("type" -> "metrics", "max" -> "nan"))) ==
+      "Unable to parse 'max' as a number")
+    assert(err(run(Map.empty, "POST",
+        Some("""{"type":"metrics","max":"nan"}"""))) ==
+      "Unable to parse 'max' as a number")
+    // the not-a-JSON-object body is the serdes client error
+    assert(err(run(Map.empty, "POST", Some("[1,2]"))) ==
+      "Unable to parse the given JSON")
+  }
+
   test("/api/search/<type> routing: plugin dispatch, lookup grammar, " +
        "error contract (TestSearchRpc ports)") {
     import graft.meta.{Introspect, SearchPlugin, SearchPlugins}
