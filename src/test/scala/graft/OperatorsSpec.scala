@@ -1791,6 +1791,76 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- gexp eval -----------------------------------------------------
 
+  test("gexp param contracts: scale / movingAverage / topn / timeShift " +
+       "validation (TestScale, TestMovingAverage, TestHighestCurrent, " +
+       "TestTimeShift ports)") {
+    import graft.query.Gexp
+    val a = pointsDf(Seq(("a", 0L, -3.0, host("x")),
+        ("a", 60000L, 4.0, host("x"))))
+      .select(col("metric"), col("ts"), col("value"))
+    def ev(s: String) = Gexp.eval(Gexp.parse(s), _ => a)
+    def err(s: String) = intercept[RuntimeException](ev(s)).getMessage
+    // evaluateScaleNotaNumber / evaluateScaleEmpty: the reject message
+    // prints the DEFAULT 0.0, not the input (Scale.java:53-54 quirk)
+    assert(err("scale(sum:m,,abc)") == "Unparseable scale factor value: 0.0")
+    assert(err("scale(sum:m)") == "Missing scaling factor")
+    // a "-0-9." matching but unparsable factor is the NFE branch
+    assert(err("scale(sum:m,,1.2.3)") ==
+      "Invalid parameter, must be an integer or floating point")
+    assert(ev("scale(sum:m,,-1.5)").select("value").collect()
+      .map(_.getDouble(0)).sorted.toSeq == Seq(-6.0, 4.5))
+    // TestMovingAverage window contract: bare count, quoted Graphite
+    // units (day|d hr|hour|h min|m sec|s), everything else rejected
+    assert(Gexp.parseMovingParam("'10min'") == 600000L)
+    assert(Gexp.parseMovingParam("'2hour'") == 7200000L)
+    assert(Gexp.parseMovingParam("'1d'") == 86400000L)
+    assert(Gexp.parseMovingParam("'30s'") == 30000L)
+    assert(intercept[IllegalArgumentException](
+        Gexp.parseMovingParam("'10x'")).getMessage ==
+      "Unknown time unit=x in window='10x'")
+    assert(intercept[IllegalArgumentException](
+        Gexp.parseMovingParam("'x'")).getMessage ==
+      "Invalid moving window parameter: 'x'")
+    assert(err("movingAverage(sum:m)") ==
+      "Missing moving average window size")
+    assert(err("movingAverage(sum:m,,10min)") ==
+      "Unparseable window size: 10min")
+    assert(err("movingAverage(sum:m,,0)") ==
+      "Moving average window must be an integer greater than zero")
+    assert(ev("movingAverage(sum:m,,2)").count() == 2)
+    assert(ev("movingAverage(sum:m,,'1min')").count() == 2)
+    // TestHighestCurrent/Max param branch (the params-missing text is
+    // the reference's moving-average copy-paste, HighestCurrent.java:49)
+    assert(err("highestCurrent(sum:m)") ==
+      "Need aggregation window for moving average")
+    assert(err("highestMax(sum:m,,x2)") == "Unparseable top n value: x2")
+    assert(err("highestCurrent(sum:m,,0)") ==
+      "Top n value must be greater than zero: 0")
+    // TestTimeShift.parseParam vectors, verbatim grammar (first char
+    // skipped, trimmed unit, sec/min/hr/day(s)/week(s) only)
+    for ((p, want) <- Seq(
+        "+1week " -> 604800000L, "+1days " -> 86400000L,
+        "+1hr " -> 3600000L, "+1min " -> 60000L, "+1sec " -> 1000L,
+        "+1 week" -> 604800000L, "+1 days" -> 86400000L,
+        "+1 hr" -> 3600000L, "+1 min" -> 60000L, "+1 sec" -> 1000L,
+        "+130days" -> 130L * 86400000L))
+      assert(Gexp.parseShiftParam(p) == want, p)
+    assert(intercept[RuntimeException](
+      Gexp.parseShiftParam("+x")).getMessage == "Invalid Parameter: +x")
+    assert(intercept[RuntimeException](
+        Gexp.parseShiftParam("+1fortnight")).getMessage ==
+      "unknown time unit=fortnight")
+    // evaluate contract: quoting required, shift strictly positive,
+    // timestamps move FORWARD
+    assert(err("timeShift(sum:m)") ==
+      "Need amount of timeshift to perform timeshift")
+    assert(err("timeShift(sum:m,,1min)") ==
+      "Invalid timeshift parameter: eg '10min'")
+    assert(err("timeShift(sum:m,,'0min')") == "timeshift <= 0")
+    assert(ev("timeShift(sum:m,,'1min')").select("ts").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(60000L, 120000L))
+  }
+
   test("gexp eval: scale and sumSeries over metric leaves") {
     val a = pointsDf(Seq(("a", 0L, 1.0, host("x")))).select(
       col("metric"), col("ts"), col("value"))
