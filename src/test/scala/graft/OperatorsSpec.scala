@@ -1791,6 +1791,65 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- gexp eval -----------------------------------------------------
 
+  test("query limit overrides: regex match, defaults, file reload " +
+       "diff-merge (TestQueryLimitOverride ports)") {
+    import graft.query.QueryLimits
+    def write(f: java.io.File, s: String): Unit =
+      java.nio.file.Files.write(f.toPath,
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ctorNoFileConfigured
+    val bare = new QueryLimits(42L, 24L)
+    assert(bare.byteLimit("anything") == 42L &&
+      bare.dataPointLimit("anything") == 24L && bare.limits.isEmpty)
+    // ctorNegativeDefaultsLimit, both messages
+    assert(intercept[IllegalArgumentException](new QueryLimits(-42L, 24L))
+      .getMessage == "The default byte limit cannot be negative")
+    assert(intercept[IllegalArgumentException](new QueryLimits(42L, -24L))
+      .getMessage == "The default data points limit cannot be negative")
+    // ctorWithFile: first match wins; find-not-fullmatch anchoring
+    val f = java.io.File.createTempFile("qlimits", ".json")
+    write(f, """[{"regex":".*sys$","byteLimit":24,"dataPointsLimit":16}]""")
+    val limits = new QueryLimits(42L, 24L, Some(f.getAbsolutePath))
+    assert(limits.limits.size == 1)
+    assert(limits.byteLimit("namespace.app.sys") == 24L &&
+      limits.dataPointLimit("namespace.app.sys") == 16L)
+    assert(limits.byteLimit("namespace.app.sys.cpu") == 42L)
+    assert(limits.byteLimit("") == 42L && limits.byteLimit(null) == 42L)
+    // ctorWithFileBadJSON / BadRegex / missing file: current set kept,
+    // never a ctor failure
+    val bad = java.io.File.createTempFile("qlimits_bad", ".json")
+    write(bad, """[{"regex":".*sys$","byteLim""")
+    assert(new QueryLimits(42L, 24L, Some(bad.getAbsolutePath))
+      .limits.isEmpty)
+    write(bad, """[{"regex":".*sy(notclosed","byteLimit":24,"dataPointsLimit":16}]""")
+    assert(new QueryLimits(42L, 24L, Some(bad.getAbsolutePath))
+      .limits.isEmpty)
+    assert(new QueryLimits(42L, 24L, Some("/nope/nothere.json"))
+      .limits.isEmpty)
+    // timerTaskDiffLimit / AddOne / RemoveOne / Cleared: reload
+    // diff-merges — changed replaced, new added, absent removed
+    write(f, """[{"regex":".*sys$","byteLimit":60,"dataPointsLimit":16},
+                 {"regex":".*if$","byteLimit":96,"dataPointsLimit":32}]""")
+    limits.reload()
+    assert(limits.limits.size == 2 &&
+      limits.byteLimit("namespace.app.sys") == 60L &&
+      limits.byteLimit("eth0.if") == 96L)
+    write(f, """[{"regex":".*sys$","byteLimit":60,"dataPointsLimit":16}]""")
+    limits.reload()
+    assert(limits.limits.size == 1 && limits.byteLimit("eth0.if") == 42L)
+    write(f, "[]")
+    limits.reload()
+    // an empty array clears every override (timerTaskCleared)
+    assert(limits.limits.isEmpty)
+    // a corrupt reload keeps the current set (run()'s catch)
+    write(f, """[{"regex":".*sys$","byteLimit":24,"dataPointsLimit":16}]""")
+    limits.reload()
+    write(f, "not json at all {")
+    limits.reload()
+    assert(limits.limits.size == 1)
+    f.delete(); bad.delete()
+  }
+
   test("gexp param contracts: scale / movingAverage / topn / timeShift " +
        "validation (TestScale, TestMovingAverage, TestHighestCurrent, " +
        "TestTimeShift ports)") {
