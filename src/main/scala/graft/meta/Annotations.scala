@@ -51,13 +51,42 @@ object Annotations {
   // reference's (tsuid, start_time) row key.
 
   /** Create-or-update: rows in `edits` replace table rows with the same
-    * (keyCols, start_ts) identity — the reference's POST/PUT upsert. */
+    * (keyCols, start_ts) identity — the reference's PUT upsert
+    * (Annotation.syncToStorage overwrite=true: every user-accessible
+    * field takes the request's value, unset ones their defaults —
+    * TestAnnotationRpc.modifyPut expects notes reset to ""). */
   def upsert(table: DataFrame, edits: DataFrame,
              keyCols: Seq[String]): DataFrame = {
     SearchPlugins.each(_.indexAnnotation(edits))
     val id = keyCols :+ "start_ts"
     table.join(edits.select(id.map(col): _*), id, "left_anti")
       .unionByName(edits)
+  }
+
+  /**
+   * POST merge-upsert (Annotation.syncToStorage overwrite=false →
+   * syncNote, src/meta/Annotation.java:556-577): a field the request
+   * did NOT set keeps the stored value — TestAnnotationRpc.modify
+   * expects `description=Boo` while the stored `notes` survives. At
+   * the DataFrame level "not set" = null in the edit row, so merged
+   * field = coalesce(edit, stored). New identities insert as-is.
+   * An edit row with EVERY field null is the reference's "No changes
+   * detected in Annotation data" IllegalStateException (the RPC's 304).
+   */
+  def upsertMerge(table: DataFrame, edits: DataFrame,
+                  keyCols: Seq[String]): DataFrame = {
+    SearchPlugins.each(_.indexAnnotation(edits))
+    val fields = table.columns.filterNot((keyCols :+ "start_ts").contains)
+    val id = keyCols :+ "start_ts"
+    val e = edits.select(
+      id.map(c => col(c).as(s"__e_$c")) ++
+        fields.map(c => col(c).as(s"__e_$c")): _*)
+    val cond = id.map(c => table(c) <=> e(s"__e_$c")).reduce(_ && _)
+    val merged = table.join(e, cond, "full_outer")
+      .select(
+        id.map(c => coalesce(table(c), e(s"__e_$c")).as(c)) ++
+          fields.map(c => coalesce(e(s"__e_$c"), table(c)).as(c)): _*)
+    merged
   }
 
   /** Delete by identity — DELETE /api/annotation. `ids` carries the

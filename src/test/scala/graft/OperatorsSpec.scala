@@ -1920,6 +1920,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).sorted.toSeq == Seq(60000L, 120000L))
   }
 
+  test("alias tag templates: @key substitution per series, unknown " +
+       "keys verbatim, comma-joined params (TestAlias ports)") {
+    import graft.operators.SeriesFunctions
+    import graft.query.Gexp
+    val df = pointsDf(Seq(("sys.cpu", 0L, 1.0,
+        Map("host" -> "web01", "dc" -> "lga"))))
+      .select(col("metric"), col("ts"), col("value"),
+        col("tags").getItem("host").as("tag_host"),
+        col("tags").getItem("dc").as("tag_dc"))
+    def metricOf(d: DataFrame) =
+      d.select("metric").head.getString(0)
+    // evaluateWithTags / WithATag
+    assert(metricOf(SeriesFunctions.alias(df, "My Alias.@host.@dc")) ==
+      "My Alias.web01.lga")
+    assert(metricOf(SeriesFunctions.alias(df, "My Alias.@dc")) ==
+      "My Alias.lga")
+    // evaluateWithTagsJoined: params re-join on comma AND an unknown
+    // @none stays verbatim (Alias.java:49 COMMA_JOINER;
+    // PostAggregatedDataPoints only substitutes carried tags)
+    assert(metricOf(Gexp.eval(
+        Gexp.parse("alias(sum:m,,My Alias,,@host,,@dc,,@none)"),
+        _ => df)) == "My Alias,web01,lga,@none")
+    // plain rename without templates (evaluateGroupByLong)
+    assert(metricOf(SeriesFunctions.alias(df, "woot")) == "woot")
+  }
+
   test("gexp eval: scale and sumSeries over metric leaves") {
     val a = pointsDf(Seq(("a", 0L, 1.0, host("x")))).select(
       col("metric"), col("ts"), col("value"))

@@ -873,6 +873,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Annotations.delete(up, delGlobal, Seq("series")).count() == 1)
   }
 
+  test("annotation POST merge vs PUT replace (TestAnnotationRpc.modify/" +
+       "modifyPut ports): unset fields keep stored values under merge") {
+    import spark.implicits._
+    // the reference fixture: stored note with notes="My Notes"; a POST
+    // setting only description merges (notes survives), a PUT replaces
+    // (notes resets to the request's empty value)
+    val table = Seq(
+      (Some("000001"), 1388450562L, 0L, "Hello!", "My Notes"),
+      (None: Option[String], 1328140800L, 0L, "Description", "Notes"))
+      .toDF("series", "start_ts", "end_ts", "description", "notes")
+    def row(d: org.apache.spark.sql.DataFrame, s: Option[String]) =
+      d.filter(if (s.isDefined) col("series") === s.get
+        else col("series").isNull).head
+    // modify / modifyPOST: description set, notes NOT set (null edit)
+    val post = Seq((Some("000001"), 1388450562L,
+        None: Option[Long], Some("Boo"), None: Option[String]))
+      .toDF("series", "start_ts", "end_ts", "description", "notes")
+    val merged = Annotations.upsertMerge(table, post, Seq("series"))
+    assert(merged.count() == 2)
+    val m = row(merged, Some("000001"))
+    assert(m.getAs[String]("description") == "Boo" &&
+      m.getAs[String]("notes") == "My Notes")
+    // modifyGlobalPOST: same merge on a global (null-key) annotation
+    val gpost = Seq((None: Option[String], 1328140800L,
+        None: Option[Long], Some("Boo"), None: Option[String]))
+      .toDF("series", "start_ts", "end_ts", "description", "notes")
+    val gm = row(Annotations.upsertMerge(table, gpost, Seq("series")), None)
+    assert(gm.getAs[String]("description") == "Boo" &&
+      gm.getAs[String]("notes") == "Notes")
+    // modifyPut: PUT replaces wholesale — notes becomes the request's ""
+    val put = Seq((Some("000001"), 1388450562L, 0L, "Boo", ""))
+      .toDF("series", "start_ts", "end_ts", "description", "notes")
+    val p = row(Annotations.upsert(table, put, Seq("series")), Some("000001"))
+    assert(p.getAs[String]("description") == "Boo" &&
+      p.getAs[String]("notes") == "")
+    // postNew: an unmatched identity inserts as-is through the merge
+    val fresh = Seq((Some("000001"), 1388450564L,
+        None: Option[Long], Some("Boo"), None: Option[String]))
+      .toDF("series", "start_ts", "end_ts", "description", "notes")
+    val withNew = Annotations.upsertMerge(table, fresh, Seq("series"))
+    assert(withNew.count() == 3 &&
+      withNew.filter(col("start_ts") === 1388450564L)
+        .head.getAs[String]("description") == "Boo")
+  }
+
   test("introspection endpoints and series meta") {
     assert(Introspect.aggregators(spark).count() > 30)
     assert(Introspect.version(spark).count() == 1)
