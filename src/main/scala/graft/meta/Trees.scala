@@ -122,9 +122,58 @@ object Trees {
     spark.emptyDataset[Rule].toDF()
   }
 
+  /** TreeRule.stringToType (src/tree/TreeRule.java:478-494):
+    * case-insensitive accepted names — note there is NO plain TAGV
+    * type; errors verbatim. */
+  def stringToType(t: String): String = {
+    if (t == null || t.isEmpty)
+      throw new IllegalArgumentException("Rule type was empty")
+    t.toLowerCase match {
+      case "metric" => "METRIC"
+      case "metric_custom" => "METRIC_CUSTOM"
+      case "tagk" => "TAGK"
+      case "tagk_custom" => "TAGK_CUSTOM"
+      case "tagv_custom" => "TAGV_CUSTOM"
+      case _ => throw new IllegalArgumentException("Unrecognized rule type")
+    }
+  }
+
+  /** TreeRule.validateRule + the id gates shared by fetch/store/delete
+    * (src/tree/TreeRule.java:252-254, 346-360, validateRule body):
+    * tree ids are 16-bit nonzero, TAGK and every *_CUSTOM type require
+    * `field`, custom types additionally `customField`; a non-empty
+    * regex must compile (setRegex) and its group index be ≥ 0. */
+  def validateRule(r: Rule): Unit = {
+    if (r.treeId < 1 || r.treeId > 65535)
+      throw new IllegalArgumentException("Invalid Tree ID")
+    if (r.level < 0) throw new IllegalArgumentException("Invalid rule level")
+    if (r.order < 0) throw new IllegalArgumentException("Invalid rule order")
+    val t = stringToType(r.ruleType)
+    t match {
+      case "METRIC" =>
+      case "METRIC_CUSTOM" | "TAGK_CUSTOM" | "TAGV_CUSTOM" =>
+        if (r.field == null || r.field.isEmpty)
+          throw new IllegalArgumentException(
+            s"Missing field name required for $t rule")
+        if (r.customField == null || r.customField.isEmpty)
+          throw new IllegalArgumentException(
+            s"Missing custom field name required for $t rule")
+      case "TAGK" =>
+        if (r.field == null || r.field.isEmpty)
+          throw new IllegalArgumentException(
+            s"Missing field name required for $t rule")
+    }
+    if (r.regex.nonEmpty)
+      java.util.regex.Pattern.compile(r.regex) // PatternSyntaxException
+    if (r.regexGroup < 0) throw new IllegalArgumentException(
+      "Invalid regex group index. Cannot be less than 0")
+  }
+
   /** Create-or-replace a rule; identity = (treeId, level, order) —
-    * the reference's POST /api/tree/rule upsert (TreeRpc.handleRule). */
+    * the reference's POST /api/tree/rule upsert (TreeRpc.handleRule →
+    * TreeRule.syncToStorage, which validates before the CAS). */
   def upsertRule(table: DataFrame, rule: Rule): DataFrame = {
+    validateRule(rule)
     val spark = table.sparkSession
     import spark.implicits._
     table.filter(!(col("treeId") === rule.treeId &&

@@ -1150,6 +1150,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Trees.buildFromRules(series, rules, 9))
   }
 
+  test("tree rule validation: type names, required fields, id gates " +
+       "(TestTreeRule ports)") {
+    import graft.meta.Trees
+    def err(f: => Any) = intercept[IllegalArgumentException](f).getMessage
+    // stringToType vectors: case-insensitive names, no plain TAGV
+    assert(Trees.stringToType("Metric") == "METRIC")
+    assert(Trees.stringToType("Metric_Custom") == "METRIC_CUSTOM")
+    assert(Trees.stringToType("TagK") == "TAGK")
+    assert(Trees.stringToType("TagK_Custom") == "TAGK_CUSTOM")
+    assert(Trees.stringToType("TagV_Custom") == "TAGV_CUSTOM")
+    assert(err(Trees.stringToType(null)) == "Rule type was empty")
+    assert(err(Trees.stringToType("")) == "Rule type was empty")
+    assert(err(Trees.stringToType("NotAType")) == "Unrecognized rule type")
+    // storeRuleBadID0 / BadID65536 / BadLevel / BadOrder
+    val ok = Trees.Rule(1, 1, 0, "TAGK", field = "host")
+    assert(err(Trees.validateRule(ok.copy(treeId = 0))) == "Invalid Tree ID")
+    assert(err(Trees.validateRule(ok.copy(treeId = 65536))) ==
+      "Invalid Tree ID")
+    assert(err(Trees.validateRule(ok.copy(level = -1))) ==
+      "Invalid rule level")
+    assert(err(Trees.validateRule(ok.copy(order = -1))) ==
+      "Invalid rule order")
+    // storeRuleInvalidType (no type set) / MissingFieldTagk / Custom
+    assert(err(Trees.validateRule(ok.copy(ruleType = ""))) ==
+      "Rule type was empty")
+    assert(err(Trees.validateRule(ok.copy(field = ""))) ==
+      "Missing field name required for TAGK rule")
+    assert(err(Trees.validateRule(Trees.Rule(1, 1, 0, "TAGK_CUSTOM",
+        field = ""))) == "Missing field name required for TAGK_CUSTOM rule")
+    assert(err(Trees.validateRule(Trees.Rule(1, 1, 0, "TAGV_CUSTOM",
+        field = "host"))) ==
+      "Missing custom field name required for TAGV_CUSTOM rule")
+    assert(err(Trees.validateRule(Trees.Rule(1, 1, 0, "METRIC_CUSTOM",
+        field = "host"))) ==
+      "Missing custom field name required for METRIC_CUSTOM rule")
+    // setRegexBadPattern → PatternSyntaxException; bad group index
+    intercept[java.util.regex.PatternSyntaxException](
+      Trees.validateRule(ok.copy(regex = "Invalid\\\\(pattern")))
+    assert(err(Trees.validateRule(ok.copy(regexGroup = -1))) ==
+      "Invalid regex group index. Cannot be less than 0")
+    // METRIC needs nothing beyond the ids
+    Trees.validateRule(Trees.Rule(1, 0, 0, "METRIC"))
+    // upsertRule gates on the same validation (syncToStorage order)
+    assert(err(Trees.upsertRule(Trees.emptyRules(spark),
+      Trees.Rule(0, 0, 0, "METRIC"))) == "Invalid Tree ID")
+  }
+
   test("tree buildReport emits collision and not-matched side-channels") {
     import spark.implicits._
     import graft.meta.Trees
