@@ -1475,8 +1475,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("tagv", "web01", Map("rack" -> "r7")))
       .toDF("kind", "name", "custom")
     var rules = Trees.emptyRules(spark)
+    // the reference demands a non-empty field even for METRIC_CUSTOM
+    // (validateRule), though the metric name is the implicit source
     rules = Trees.upsertRule(rules, Trees.Rule(2, 0, 0, "METRIC_CUSTOM",
-      customField = "owner"))
+      field = "metric", customField = "owner"))
     rules = Trees.upsertRule(rules, Trees.Rule(2, 1, 0, "TAGK_CUSTOM",
       field = "host", customField = "datacenter"))
     rules = Trees.upsertRule(rules, Trees.Rule(2, 2, 0, "TAGV_CUSTOM",
@@ -1498,7 +1500,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // separator/regex post-processing applies to custom values too
     var r2 = Trees.emptyRules(spark)
     r2 = Trees.upsertRule(r2, Trees.Rule(3, 0, 0, "METRIC_CUSTOM",
-      customField = "owner", regex = "^(a).*", regexGroup = 1))
+      field = "metric", customField = "owner", regex = "^(a).*",
+      regexGroup = 1))
     val ex = Trees.buildFromRules(series, r2, 3, Some(uidMeta))
       .collect().map(_.getAs[String]("path")).toSet
     assert(ex == Set("a")) // only alice matches ^(a).*
