@@ -159,7 +159,8 @@ object Introspect {
    */
   def suggestRpc(points: DataFrame, params: Map[String, String] = Map.empty,
                  method: String = "GET",
-                 body: Option[String] = None): DataFrame = {
+                 body: Option[String] = None,
+                 meta: Option[DataFrame] = None): DataFrame = {
     method.toUpperCase match {
       case "GET" | "POST" =>
       case other => throw new IllegalArgumentException(
@@ -184,14 +185,18 @@ object Introspect {
       }
     }.filter(_ > 0).getOrElse(25)
     // a tag name exists only if it was WRITTEN: a null-valued map entry
-    // is an absent tag, exactly as the lookup grammar treats it
+    // is an absent tag, exactly as the lookup grammar treats it. With a
+    // maintained seriesMeta the name universe is read from O(series)
+    // meta rows, never the raw points (the reference suggests from the
+    // UID table, an O(names) scan — UniqueId.suggest)
+    val src = meta.getOrElse(points)
     val names = typ match {
-      case "metrics" => points.select(col("metric").as("suggestion"))
+      case "metrics" => src.select(col("metric").as("suggestion"))
       case "tagk" =>
-        points.select(explode(col("tags")).as(Seq("suggestion", "v")))
+        src.select(explode(col("tags")).as(Seq("suggestion", "v")))
           .filter(col("v").isNotNull).select("suggestion")
       case "tagv" =>
-        points.select(explode(map_values(col("tags"))).as("suggestion"))
+        src.select(explode(map_values(col("tags"))).as("suggestion"))
       case other => throw new IllegalArgumentException(
         // the reference's exact text — no space after the colon
         "Invalid 'type' parameter:" + other)
@@ -202,11 +207,29 @@ object Introspect {
   }
 
   /** Distinct-series table (metric + tags), the base for suggest /
-    * lookup / tsuid-style queries (reference src/meta/TSMeta.java). */
+    * lookup / tsuid-style queries (reference src/meta/TSMeta.java).
+    * This is the batch recompute; [[mergeSeriesMeta]] maintains a
+    * STORED copy incrementally so the discovery endpoints (lookup,
+    * suggest) read O(series) meta instead of aggregating raw history
+    * per call — the reference's tsdb-meta table, which
+    * TimeSeriesLookup scans (src/search/TimeSeriesLookup.java:180-210)
+    * and MetaSync rebuilds offline. */
   def seriesMeta(points: DataFrame): DataFrame =
     points.groupBy(col("metric"), col("tags"))
       .agg(min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
         count(lit(1)).as("points"))
+
+  /** Incremental maintenance for a stored [[seriesMeta]]: fold a
+    * micro-batch of points in (foreachBatch body, the companion of
+    * [[mergeLastWrite]]). first_seen/last_seen/points merge
+    * associatively, so any batch split replays to the batch recompute
+    * regardless of arrival order; state is O(series). */
+  def mergeSeriesMeta(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.unionByName(seriesMeta(batch))
+      .groupBy(col("metric"), col("tags"))
+      .agg(min(col("first_seen")).as("first_seen"),
+        max(col("last_seen")).as("last_seen"),
+        sum(col("points")).as("points"))
 
   /** /api/search/lookup — series discovery by metric and exact tag
     * values. Registered search plugins get first chance to serve the
@@ -215,12 +238,13 @@ object Introspect {
     * falls through to the relational scan over [[seriesMeta]]. Empty
     * metric = any metric, matching the reference's lookup API. */
   def lookup(points: DataFrame, metric: String = "",
-             tags: Map[String, String] = Map.empty): DataFrame =
+             tags: Map[String, String] = Map.empty,
+             meta: Option[DataFrame] = None): DataFrame =
     SearchPlugins.lookup(metric, tags).getOrElse {
       val mf = if (metric.isEmpty) lit(true) else col("metric") === metric
       val tf = tags.map { case (k, v) => col("tags").getItem(k) === v }
         .reduceOption(_ && _).getOrElse(lit(true))
-      seriesMeta(points).filter(mf && tf)
+      meta.getOrElse(seriesMeta(points)).filter(mf && tf)
     }
 
   /**
@@ -236,7 +260,8 @@ object Introspect {
    * metric = any metric. Output = [[seriesMeta]] rows.
    */
   def lookupPairs(points: DataFrame, metric: String = "",
-                  pairs: Seq[(String, String)] = Seq.empty): DataFrame = {
+                  pairs: Seq[(String, String)] = Seq.empty,
+                  meta: Option[DataFrame] = None): DataFrame = {
     val bareKs = pairs.collect { case (k, "") if k.nonEmpty => k }.toSet
     val kvPairs = pairs.filter { case (k, v) =>
       k.nonEmpty && v.nonEmpty && !bareKs.contains(k) }
@@ -248,7 +273,7 @@ object Introspect {
       .reduceOption(_ && _).getOrElse(lit(true))
     val vf = bareVs.map(v => array_contains(map_values(col("tags")), v))
       .reduceOption(_ || _).getOrElse(lit(true))
-    seriesMeta(points).filter(mf && kf && pf && vf)
+    meta.getOrElse(seriesMeta(points)).filter(mf && kf && pf && vf)
   }
 
   /** One `/api/query/last` sub query: TSUIDs take precedence over

@@ -158,7 +158,8 @@ object SearchPlugins {
   def searchRpc(points: DataFrame, endpoint: String,
                 params: Map[String, String] = Map.empty,
                 method: String = "GET",
-                body: Option[String] = None): DataFrame = {
+                body: Option[String] = None,
+                meta: Option[DataFrame] = None): DataFrame = {
     method.toUpperCase match {
       case "GET" | "POST" =>
       case other => throw new IllegalArgumentException(
@@ -213,7 +214,7 @@ object SearchPlugins {
       if (parsed.metric.isEmpty && parsed.pairs.isEmpty)
         throw new IllegalArgumentException(
           "Missing metric and tags. Please supply at least one value.")
-      Introspect.lookupPairs(points, parsed.metric, parsed.pairs)
+      Introspect.lookupPairs(points, parsed.metric, parsed.pairs, meta)
     } else
       try search(st, parsed.query, parsed.limit, parsed.startIndex)
       catch { case _: IllegalStateException =>

@@ -330,6 +330,45 @@ object Uids {
     table.filter(col("tsuid") =!= tsuid)
   }
 
+  /** POST merge-upsert (UIDMeta.syncMeta / TSMeta.syncMeta with
+    * overwrite=false, src/meta/UIDMeta.java:447-478 /
+    * src/meta/TSMeta.java:769-812): a field the request did not set
+    * (null in the edit row) keeps the stored value; PUT is the
+    * replace-by-identity [[upsertUidMeta]]/[[upsertTsMeta]]. A
+    * `created` column, when present, only ever moves EARLIER — the
+    * least positive of edit and stored wins regardless of overwrite
+    * (both syncMeta bodies guard `meta.created < created`). */
+  def mergeUidMeta(table: DataFrame, edits: DataFrame): DataFrame = {
+    SearchPlugins.each(_.indexUidMeta(edits))
+    mergeBy(table, edits, Seq("kind", "uid"))
+  }
+
+  /** TSMeta POST merge; identity = tsuid. */
+  def mergeTsMeta(table: DataFrame, edits: DataFrame): DataFrame = {
+    SearchPlugins.each(_.indexTsMeta(edits))
+    mergeBy(table, edits, Seq("tsuid"))
+  }
+
+  private def mergeBy(table: DataFrame, edits: DataFrame,
+                      id: Seq[String]): DataFrame = {
+    val fields = table.columns.filterNot(id.contains)
+    val e = edits.select(table.columns.map(c => col(c).as(s"__e_$c")): _*)
+    val cond = id.map(c => table(c) <=> e(s"__e_$c")).reduce(_ && _)
+    table.join(e, cond, "full_outer")
+      .select(
+        id.map(c => coalesce(table(c), e(s"__e_$c")).as(c)) ++
+          fields.map {
+            case c @ "created" =>
+              // least positive wins; 0/null means unset on either side
+              val ec = e(s"__e_$c"); val sc = table(c)
+              when(ec > 0 && (sc.isNull || sc <= 0), ec)
+                .when(sc > 0 && (ec.isNull || ec <= 0), sc)
+                .when(ec > 0 && sc > 0, least(ec, sc))
+                .otherwise(coalesce(ec, sc)).as(c)
+            case c => coalesce(e(s"__e_$c"), table(c)).as(c)
+          }: _*)
+  }
+
   private def upsertBy(table: DataFrame, edits: DataFrame,
                        id: Seq[String]): DataFrame =
     table.join(edits.select(id.map(col): _*), id, "left_anti")

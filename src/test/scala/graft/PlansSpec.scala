@@ -302,6 +302,23 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       backScan = 0, resolve = true)
     assert(planOf(fb).contains("Scan parquet"),
       "fallback path should read points")
+    // the discovery endpoints share the split: with a stored seriesMeta,
+    // lookup and suggest never touch the points files either
+    val storedSeries = spark.createDataFrame(
+      Introspect.seriesMeta(filePts).collect().toSeq.asJava,
+      Introspect.seriesMeta(filePts).schema)
+    val lk = Introspect.lookupPairs(filePts, "cpu",
+      Seq(("host", "")), meta = Some(storedSeries))
+    assert(lk.count() == 2)
+    assert(!planOf(lk).contains("Scan parquet"),
+      "lookup meta path read the points files")
+    val sg = Introspect.suggestRpc(filePts, Map("type" -> "tagv"),
+      meta = Some(storedSeries))
+    assert(sg.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(!planOf(sg).contains("Scan parquet"),
+      "suggest meta path read the points files")
+    assert(planOf(Introspect.lookupPairs(filePts, "cpu"))
+      .contains("Scan parquet"), "lookup fallback should read points")
     storedMeta.unpersist()
   }
 

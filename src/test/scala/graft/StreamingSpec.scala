@@ -97,6 +97,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "2")
   }
 
+  test("streaming series meta: mergeSeriesMeta folds == batch recompute; " +
+       "lookup/suggest answers match either path") {
+    import spark.implicits._
+    import graft.meta.Introspect
+    val ptsCols = Points.schema.fieldNames.map(col).toSeq
+    def pts(lines: String*) = Ingest.parsePutLines(lines.toDF("value"))
+      .filter(col("_error").isNull).select(ptsCols: _*)
+    val b1 = pts("put cpu 1700003600 1 host=a",
+      "put cpu 1700007200 2 host=a")
+    val b2 = pts("put cpu 1700000000 9 host=a", // out-of-order arrival
+      "put mem 1700000000 2.5 host=a dc=x")
+    val all = b1.unionByName(b2)
+    val inc = Introspect.mergeSeriesMeta(Introspect.seriesMeta(b1), b2)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(inc) == rows(Introspect.seriesMeta(all)))
+    // first_seen survives the out-of-order replay
+    assert(inc.filter(col("metric") === "cpu")
+      .head.getAs[Long]("first_seen") == 1700000000000L)
+    // the discovery endpoints answer identically from the stored table
+    assert(rows(Introspect.lookup(all, "cpu", meta = Some(inc))) ==
+      rows(Introspect.lookup(all, "cpu")))
+    assert(Introspect.suggestRpc(all, Map("type" -> "tagk"),
+        meta = Some(inc)).collect().map(_.getString(0)).toSeq ==
+      Seq("dc", "host"))
+  }
+
   test("streaming decontamination: eval-shingle overlap flags arriving docs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1060,6 +1087,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException](
       Uids.delete(reg4, "metric", "clicks")
     ).getMessage.contains("does not exist"))
+  }
+
+  test("UIDMeta/TSMeta POST merge vs PUT replace; created moves earlier " +
+       "(UIDMeta.syncMeta / TSMeta.syncMeta ports)") {
+    import spark.implicits._
+    import graft.meta.Uids
+    val stored = Seq(
+      ("metric", 1L, Some("Click Events"), Some("old notes"), Some(500L)))
+      .toDF("kind", "uid", "displayName", "notes", "created")
+    // POST sets only displayName: notes survives the merge
+    val post = Seq(("metric", 1L, Some("Clicks"),
+        None: Option[String], None: Option[Long]))
+      .toDF("kind", "uid", "displayName", "notes", "created")
+    val m = Uids.mergeUidMeta(stored, post).head
+    assert(m.getAs[String]("displayName") == "Clicks" &&
+      m.getAs[String]("notes") == "old notes" &&
+      m.getAs[Long]("created") == 500L)
+    // created only moves EARLIER: a later edit value loses, an earlier
+    // one wins (both syncMeta bodies)
+    def withCreated(c: Long) = Seq(("metric", 1L, None: Option[String],
+        None: Option[String], Some(c)))
+      .toDF("kind", "uid", "displayName", "notes", "created")
+    assert(Uids.mergeUidMeta(stored, withCreated(900L))
+      .head.getAs[Long]("created") == 500L)
+    assert(Uids.mergeUidMeta(stored, withCreated(100L))
+      .head.getAs[Long]("created") == 100L)
+    // new identity inserts as-is; other rows untouched
+    val fresh = Seq(("tagk", 7L, Some("Host"), None: Option[String],
+        Some(50L))).toDF("kind", "uid", "displayName", "notes", "created")
+    assert(Uids.mergeUidMeta(stored, fresh).count() == 2)
+    // TSMeta merge: same contract on the tsuid identity
+    val ts = Seq(("AB12", Some("d"), Some("n")))
+      .toDF("tsuid", "displayName", "notes")
+    val tsPost = Seq(("AB12", Some("d2"), None: Option[String]))
+      .toDF("tsuid", "displayName", "notes")
+    val t = Uids.mergeTsMeta(ts, tsPost).head
+    assert(t.getAs[String]("displayName") == "d2" &&
+      t.getAs[String]("notes") == "n")
   }
 
   test("MetaSync reconciles stored meta against data; MetaPurge drops orphans") {
