@@ -379,6 +379,26 @@ object SparkEntry {
         .orderBy("ts")
     }),
 
+    // §2.14 annotation POST merge through the oracle (reference
+    // Annotation.syncToStorage overwrite=false → syncNote): an edit
+    // setting only `description` keeps each stored row's `notes` and
+    // end_ts; untouched identities pass through
+    "q106_annotation_merge" -> ((s, dir) => {
+      val stored = pts(s, dir).groupBy(col("metric"))
+        .agg(min(col("ts")).as("start_ts"))
+        .withColumn("end_ts", col("start_ts") + HOUR)
+        .withColumn("description", concat(lit("d-"), col("metric")))
+        .withColumn("notes", lit("orig"))
+      val edits = stored.filter(col("metric").startsWith("c"))
+        .select(col("metric"), col("start_ts"),
+          lit(null).cast("long").as("end_ts"),
+          concat(lit("new-"), col("metric")).as("description"),
+          lit(null).cast("string").as("notes"))
+      graft.meta.Annotations.upsertMerge(stored, edits, Seq("metric"))
+        .select("metric", "start_ts", "end_ts", "description", "notes")
+        .orderBy("metric")
+    }),
+
     // §2.12 rollup table: 1d avg served from the 1h rollup (sum/count)
     "q24_rollup_avg" -> ((s, dir) => {
       val rollup = Rollups.materialize(pts(s, dir), HOUR)
@@ -2265,6 +2285,18 @@ object SparkEntry {
          FROM sums s LEFT JOIN ann a
            ON s.ts >= a.start_ts AND s.ts <= a.end_ts
          GROUP BY s.ts ORDER BY s.ts""",
+
+    "q106_annotation_merge" ->
+      s"""$O, stored AS (
+           SELECT metric, min(ts) AS start_ts,
+             min(ts) + 3600000 AS end_ts,
+             'd-' || metric AS description, 'orig' AS notes
+           FROM points GROUP BY metric)
+         SELECT metric, start_ts, end_ts,
+           CASE WHEN metric LIKE 'c%' THEN 'new-' || metric
+                ELSE description END AS description,
+           notes
+         FROM stored ORDER BY metric""",
 
     "q24_rollup_avg" ->
       s"""$O, hourly AS (
