@@ -335,6 +335,47 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--lastmeta")) {
+      // the round-12 meta-vs-scan split measured: a dashboard poll via
+      // the stored last-write / series meta table vs the raw-history
+      // recompute, at sf0.1
+      import graft.meta.Introspect
+      import graft.meta.Introspect.LastPointSpec
+      import scala.jdk.CollectionConverters._
+      val p = graft.model.Points.fromEvents(spark, sfDir)
+      def stamp(name: String)(f: => Long): Double = {
+        val t0 = System.nanoTime(); val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"STAGE $name%-22s $s%6.3f s  rows=$n"); s
+      }
+      // one-time maintenance cost (the foreachBatch fold pays this
+      // incrementally in production; here the full build). The stored
+      // tables are PARQUET, the production shape — not driver-local
+      // lists, whose LocalTableScan re-serializes per action.
+      val dir = java.nio.file.Files.createTempDirectory("lastmeta").toString
+      val tBuild = stamp("meta_build") {
+        Introspect.lastWriteMeta(p).write.parquet(s"$dir/last")
+        Introspect.seriesMeta(p).write.parquet(s"$dir/series")
+        0L
+      }
+      val lastMeta = spark.read.parquet(s"$dir/last")
+      val seriesMeta = spark.read.parquet(s"$dir/series")
+      stamp("meta_warm")(lastMeta.count() + seriesMeta.count())
+      val specs = Seq(LastPointSpec("click", Map("user" -> "1")),
+        LastPointSpec("view"))
+      for (pass <- 1 to 3) {
+        stamp(s"last_raw_$pass")(
+          Introspect.queryLast(p, specs, resolve = true).count())
+        stamp(s"last_meta_$pass")(Introspect.queryLast(p, specs,
+          resolve = true, lastMeta = Some(lastMeta)).count())
+        stamp(s"lookup_raw_$pass")(
+          Introspect.lookupPairs(p, pairs = Seq(("k", ""))).count())
+        stamp(s"lookup_meta_$pass")(Introspect.lookupPairs(p,
+          pairs = Seq(("k", "")), meta = Some(seriesMeta)).count())
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--interp")) {
       // 100x SERIES-CARDINALITY probe for the lerp union-grid family
       // (q07/q11 shape): S series in ONE group over a shared bucket
