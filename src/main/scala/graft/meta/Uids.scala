@@ -330,6 +330,35 @@ object Uids {
     table.filter(col("tsuid") =!= tsuid)
   }
 
+  /**
+   * The `/api/uid/assign` V1 response document over an [[assign]]
+   * report (reference UniqueIdRpc.handleAssign:127-160): per kind a
+   * name-sorted `{name: uid}` object, plus a `<kind>_errors` object
+   * only when that kind had failures; uids render as the reference's
+   * 3-byte hex ("000001"). Returns (json, hadErrors) — the RPC answers
+   * 400 when any name failed, 200 otherwise.
+   */
+  def assignJson(report: DataFrame): (String, Boolean) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val rows = report.select("kind", "name", "uid", "error").collect()
+    var errs = false
+    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach {
+      case (kind, rs) =>
+        val ok = root.putObject(kind)
+        rs.filter(_.isNullAt(3)).sortBy(_.getString(1)).foreach(r =>
+          ok.put(r.getString(1), f"${r.getLong(2)}%06X"))
+        val bad = rs.filterNot(_.isNullAt(3))
+        if (bad.nonEmpty) {
+          errs = true
+          val eo = root.putObject(kind + "_errors")
+          bad.sortBy(_.getString(1)).foreach(r =>
+            eo.put(r.getString(1), r.getString(3)))
+        }
+    }
+    (mapper.writeValueAsString(root), errs)
+  }
+
   /** POST merge-upsert (UIDMeta.syncMeta / TSMeta.syncMeta with
     * overwrite=false, src/meta/UIDMeta.java:447-478 /
     * src/meta/TSMeta.java:769-812): a field the request did not set

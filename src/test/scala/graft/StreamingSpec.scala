@@ -1034,6 +1034,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally Uids.uidFilter = None
   }
 
+  test("/api/uid/assign V1 response document (TestUniqueIdRpc " +
+       "assignQs* ports): per-kind name-sorted maps, _errors only on " +
+       "failure, 400 iff any name failed") {
+    import spark.implicits._
+    import graft.meta.Uids
+    val pts = Seq(("click", "a"), ("view", "b")).toDF("metric", "u")
+      .withColumn("tags", map(lit("host"), col("u")))
+      .select("metric", "tags")
+    val registry = Introspect.uidRegistry(pts)
+    // assignQsMetricDouble: all-fresh names → one kind object, no
+    // _errors, 200
+    val (_, repOk) = Uids.assign(registry,
+      Map("metric" -> Seq("sys.cpu.0", "sys.cpu.2")))
+    val (jsonOk, errOk) = Uids.assignJson(repOk)
+    assert(!errOk)
+    assert(jsonOk.contains(""""sys.cpu.0":"000003"""") &&
+      jsonOk.contains(""""sys.cpu.2":"000004""""), jsonOk)
+    assert(!jsonOk.contains("_errors"))
+    // assignQsMetric2Good1Bad: mixed — results AND metric_errors, 400
+    val (_, repMix) = Uids.assign(registry,
+      Map("metric" -> Seq("sys.cpu.0", "click", "sys.cpu.2")))
+    val (jsonMix, errMix) = Uids.assignJson(repMix)
+    assert(errMix)
+    assert(jsonMix.contains(""""metric_errors":{"click":"Name already """))
+    // name-sorted within each object (TreeMap)
+    assert(jsonMix.indexOf("sys.cpu.0") < jsonMix.indexOf("sys.cpu.2"))
+    // assignQsFull: multiple kinds each get their own object
+    val (_, repFull) = Uids.assign(registry, Map(
+      "metric" -> Seq("sys.cpu.0"), "tagk" -> Seq("host2"),
+      "tagv" -> Seq("web42")))
+    val (jsonFull, _) = Uids.assignJson(repFull)
+    assert(jsonFull.contains(""""metric":{""") &&
+      jsonFull.contains(""""tagk":{""") && jsonFull.contains(""""tagv":{"""))
+    // assignQsEmpty: the reference's error
+    assert(intercept[IllegalArgumentException](
+        Uids.assign(registry, Map.empty))
+      .getMessage.contains("Missing values to assign UIDs"))
+  }
+
   test("uid admin mutations: assign continues numbering, rename keeps uid") {
     import spark.implicits._
     val pts = Seq(("click", "a"), ("view", "b")).toDF("metric", "u")
