@@ -102,22 +102,68 @@ object Annotations {
     table.join(idRows, cond, "left_anti")
   }
 
-  /** Bulk delete: all annotations overlapping [startTs, endTs], global
-    * ones only when `global` — the reference's bulk delete endpoint
-    * (AnnotationRpc bulk path). */
+  /** Bulk delete: annotations whose START falls in [startTs, endTs] —
+    * the reference's range membership is the annotation's start_time
+    * read back from the column qualifier, never an interval-overlap
+    * test (Annotation.deleteRange, src/meta/Annotation.java:395-475:
+    * `timestamp < start_time || timestamp > end_time` skips). Global
+    * ones only when `globalOnly` (AnnotationRpc bulk path). */
   def bulkDelete(table: DataFrame, startTs: Long, endTs: Long,
                  keyCols: Seq[String], globalOnly: Boolean = false): DataFrame = {
-    val overlaps = col("start_ts") <= endTs && col("end_ts") >= startTs
+    val inRange = col("start_ts").between(startTs, endTs)
     val isGlobal = keyCols.map(k => col(k).isNull)
       .reduceOption(_ && _).getOrElse(lit(true))
-    table.filter(!(overlaps && (if (globalOnly) isGlobal else lit(true))))
+    table.filter(!(inRange && (if (globalOnly) isGlobal else lit(true))))
   }
 
   /** Global annotations in a time range (null key columns), attached to
     * query output when requested (reference QueryRpc globalAnnotations,
-    * src/tsd/QueryRpc.java:124-320). */
+    * src/tsd/QueryRpc.java:124-320). Membership = the annotation's
+    * START time in [startTs, endTs] (Annotation.getGlobalAnnotations
+    * scans row keys/qualifiers, which encode start_time — an
+    * annotation STARTING before the window never appears, however far
+    * its end_ts reaches; src/meta/Annotation.java:304-390). */
   def globals(table: DataFrame, keyCols: Seq[String],
               startTs: Long, endTs: Long): DataFrame =
-    table.filter(col("start_ts") <= endTs && col("end_ts") >= startTs &&
+    table.filter(col("start_ts").between(startTs, endTs) &&
       keyCols.map(k => col(k).isNull).reduceOption(_ && _).getOrElse(lit(true)))
+
+  /**
+   * GET `/api/annotation` single-fetch (reference AnnotationRpc
+   * .fetchSingleAnnotation:340-350 + the start_time gate in
+   * parseQS:314-318): identity = (key values, start_ts) with null-safe
+   * key matching so global rows (null keys) are addressable; a
+   * start_ts < 1 is the reference's "Missing start time" and an absent
+   * identity its 404 text.
+   */
+  def getOne(table: DataFrame, keyCols: Seq[String],
+             keyVals: Seq[Option[String]], startTs: Long): DataFrame = {
+    if (startTs < 1)
+      throw new IllegalArgumentException("Missing start time")
+    val cond = keyCols.zip(keyVals).map { case (k, v) =>
+      col(k) <=> v.map(lit(_)).getOrElse(lit(null)) }
+      .foldLeft(col("start_ts") === startTs)(_ && _)
+    val out = table.filter(cond)
+    if (out.isEmpty) throw new NoSuchElementException(
+      "Unable to locate annotation in storage")
+    out
+  }
+
+  /** GET `/api/annotations` (reference fetchMultipleAnnotations:
+    * 352-365): global annotations from start_ts to end_ts, end_ts = 0
+    * defaulting to `now`; the "Missing start time" gate plus
+    * getGlobalAnnotations' own end-timestamp validations
+    * (Annotation.java:306-312). */
+  def getGlobalsRpc(table: DataFrame, keyCols: Seq[String], startTs: Long,
+                    endTs: Long = 0L,
+                    now: Long = System.currentTimeMillis()): DataFrame = {
+    if (startTs < 1)
+      throw new IllegalArgumentException("Missing start time")
+    val end = if (endTs == 0L) now else endTs
+    if (end < 1) throw new IllegalArgumentException(
+      "The end timestamp has not been set")
+    if (end < startTs) throw new IllegalArgumentException(
+      "The end timestamp cannot be less than the start timestamp")
+    globals(table, keyCols, startTs, end)
+  }
 }

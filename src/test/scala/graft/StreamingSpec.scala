@@ -943,6 +943,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withNew.count() == 3 &&
       withNew.filter(col("start_ts") === 1388450564L)
         .head.getAs[String]("description") == "Boo")
+    // GET single-fetch (get / getNotFound / getMissingStart): identity
+    // hit, null-key global addressing, the 404 and start-gate texts
+    assert(Annotations.getOne(table, Seq("series"), Seq(Some("000001")),
+      1388450562L).head.getAs[String]("notes") == "My Notes")
+    assert(Annotations.getOne(table, Seq("series"), Seq(None),
+      1328140800L).head.getAs[String]("notes") == "Notes")
+    assert(intercept[NoSuchElementException](
+        Annotations.getOne(table, Seq("series"), Seq(Some("000001")),
+          1388450568L)).getMessage ==
+      "Unable to locate annotation in storage")
+    assert(intercept[IllegalArgumentException](
+        Annotations.getOne(table, Seq("series"), Seq(Some("000001")), 0L))
+      .getMessage == "Missing start time")
+    // getGlobals: end_ts=0 defaults to now; only null-key rows; range
+    // membership is the annotation's START time (row-key scan), so a
+    // window opening after the start misses it even though its end_ts
+    // reaches in
+    val g = Annotations.getGlobalsRpc(table, Seq("series"), 1L,
+      now = 1400000000L * 1000)
+    assert(g.count() == 1 && g.head.isNullAt(0))
+    assert(Annotations.getGlobalsRpc(table, Seq("series"),
+      1328140801L, 1400000000000L).isEmpty)
+    assert(intercept[IllegalArgumentException](
+        Annotations.getGlobalsRpc(table, Seq("series"), 100L, 50L))
+      .getMessage ==
+      "The end timestamp cannot be less than the start timestamp")
+    // bulkDelete shares the start-in-range membership (deleteRange
+    // skips qualifiers outside [start, end]): a window past the global
+    // row's start deletes nothing
+    assert(Annotations.bulkDelete(table, 1328140801L, 1400000000000L,
+      Seq("series"), globalOnly = true).count() == 2)
+    assert(Annotations.bulkDelete(table, 1L, 1328140800L,
+      Seq("series"), globalOnly = true).count() == 1)
   }
 
   test("introspection endpoints and series meta") {
