@@ -135,6 +135,54 @@ object Histograms {
   registerCodec(SIMPLE_CODEC_ID, simpleHistogramDecode)
 
   /**
+   * Parse the `tsd.core.histograms.config` document — `{"decoder
+   * name": id, ...}` — and register each named decoder (reference
+   * HistogramCodecManager ctor, src/core/HistogramCodecManager
+   * .java:70-141, error texts verbatim): a null/empty config, an id
+   * outside 0-255, or a duplicate id are IllegalArgumentExceptions; a
+   * name `resolve` cannot supply is the reference's IllegalState
+   * "Unable to find a decoder named '<name>'". The reference
+   * Class.forName-loads each name; here `resolve` maps a decoder name
+   * to its function (the classpath is the caller's concern — same
+   * split as the rollup registryTables resolver). An empty mapping
+   * object registers nothing and is NOT an error (the reference only
+   * warns). Returns the (name → id) mapping in config order.
+   */
+  def parseCodecConfig(config: String,
+                       resolve: String => Option[Array[Byte] => Seq[Bucket]])
+      : Seq[(String, Int)] = {
+    if (config == null || config.isEmpty)
+      throw new IllegalArgumentException(
+        "Missing configuration 'tsd.core.histograms.config'")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(config)
+    if (node == null || !node.isObject)
+      throw new IllegalArgumentException(
+        "Unable to parse the given JSON")
+    import scala.jdk.CollectionConverters._
+    val mappings = node.fields().asScala.toSeq
+      .map(e => e.getKey -> e.getValue.asInt())
+    val seen = scala.collection.mutable.Set[Int]()
+    // validate + resolve EVERYTHING before touching the registry, so a
+    // bad document never leaves a partial registration behind (the
+    // reference's ctor-owned map gets discarded with the thrown ctor;
+    // a global registry needs the same all-or-nothing)
+    val resolved = mappings.map { case (name, id) =>
+      if (id < 0 || id > 255) throw new IllegalArgumentException(
+        s"ID for codec '$name' must be from 0 to 255.")
+      if (!seen.add(id)) throw new IllegalArgumentException(
+        s"Duplicate ID found for codec '$name': $id")
+      resolve(name) match {
+        case Some(decode) => (id, decode)
+        case None => throw new IllegalStateException(
+          s"Unable to find a decoder named '$name'")
+      }
+    }
+    resolved.foreach { case (id, d) => registerCodec(id, d) }
+    mappings
+  }
+
+  /**
    * Inverse of [[decodeBlobs]]: one SimpleHistogram blob per group
    * from relational bucket rows — the write side of the stored-
    * histogram lifecycle (reference addHistogramPoint,

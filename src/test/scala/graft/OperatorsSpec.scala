@@ -349,6 +349,63 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dfs(1).count() > 0)
   }
 
+  test("histogram codec config parse: id range, duplicates, unknown " +
+       "decoder, all-or-nothing registration (TestHistogramCodecManager " +
+       "ports)") {
+    import graft.operators.Histograms
+    val dec = Histograms.simpleHistogramDecode _
+    def res(known: String*): String => Option[Array[Byte] =>
+        Seq[Histograms.Bucket]] =
+      n => if (known.contains(n)) Some(dec) else None
+    def err(f: => Any) = intercept[RuntimeException](f).getMessage
+    // ctor: a valid single-mapping document registers and returns the
+    // mapping in config order
+    assert(Histograms.parseCodecConfig(
+        """{"net.opentsdb.core.SimpleHistogramDecoder":42}""",
+        res("net.opentsdb.core.SimpleHistogramDecoder")) ==
+      Seq("net.opentsdb.core.SimpleHistogramDecoder" -> 42))
+    // missing config / id out of range / duplicate id / unknown name —
+    // the reference's texts
+    assert(err(Histograms.parseCodecConfig(null, res())) ==
+      "Missing configuration 'tsd.core.histograms.config'")
+    assert(err(Histograms.parseCodecConfig("", res())) ==
+      "Missing configuration 'tsd.core.histograms.config'")
+    assert(err(Histograms.parseCodecConfig("""{"a":256}""", res("a"))) ==
+      "ID for codec 'a' must be from 0 to 255.")
+    assert(err(Histograms.parseCodecConfig("""{"a":-1}""", res("a"))) ==
+      "ID for codec 'a' must be from 0 to 255.")
+    assert(err(Histograms.parseCodecConfig("""{"a":7,"b":7}""",
+      res("a", "b"))) == "Duplicate ID found for codec 'b': 7")
+    assert(intercept[IllegalStateException](Histograms.parseCodecConfig(
+        """{"nothere":9}""", res())).getMessage ==
+      "Unable to find a decoder named 'nothere'")
+    // empty mapping object registers nothing, NOT an error
+    assert(Histograms.parseCodecConfig("{}", res()).isEmpty)
+    // all-or-nothing: a failing document must not leave the valid
+    // prefix registered — id 99 stays unknown after the failed parse
+    intercept[IllegalStateException](Histograms.parseCodecConfig(
+      """{"a":99,"nothere":98}""", res("a")))
+    val probe = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        Row("m", 0L, Map.empty[String, String], 99,
+          Histograms.simpleHistogramEncode(
+            Seq(Histograms.Bucket(0, 10, 5L))))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tags",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("codec_id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("blob",
+          org.apache.spark.sql.types.BinaryType))))
+    assert(Histograms.decodeBlobs(probe, Seq("metric")).isEmpty)
+  }
+
   test("percentiles from STORED histogram blobs via the codec registry") {
     import graft.operators.Histograms
     import graft.operators.Histograms.Bucket
