@@ -727,6 +727,22 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.8 GET /api/query/gexp URI form end-to-end (reference
+    // QueryRpc.handleQuery expressions branch:585-610): the exp=
+    // param parses, its metric leaves become the TSQuery's sub
+    // queries, and each AST evaluates over the fetched data - same
+    // answer as q41's direct AST eval
+    "q107_gexp_uri" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val (q, _, exps) = QueryParser.parseUriGexp(
+        s"?start=${T_0105 / 1000}&end=${T_0120 / 1000}" +
+          "&exp=alias(highestMax(scale(zimsum:1h-sum:view{user=*},,2),,3),,topviews)")
+      Gexp.eval(exps.head, spec => Engine.runM(p, q, spec))
+        .select(col("metric"), col("tag_user"), col("ts"),
+          r4(col("value")).as("value"))
+        .orderBy("tag_user", "ts")
+    }),
+
     // §2.8 alias TAG TEMPLATING through a gexp pipeline: `@user`
     // advances the group tag into the metric name (reference
     // PostAggregatedDataPoints.metricNameAsync:75-97 — Graphite-style
@@ -2763,6 +2779,27 @@ object SparkEntry {
          ORDER BY tag_user, ts""",
 
     "q41_gexp_pipeline" ->
+      s"""$O, d AS (
+           SELECT tag_user, ts - ts % $HOUR AS b, 2 * sum(value) AS v
+           FROM points
+           WHERE metric = 'view' AND tag_user IS NOT NULL
+           GROUP BY tag_user, ts - ts % $HOUR),
+         clipped AS (
+           SELECT tag_user, b, v FROM d
+           WHERE b >= $T_0105 AND b <= $T_0120),
+         scored AS (
+           SELECT tag_user, max(v) AS score FROM clipped GROUP BY tag_user),
+         ranked AS (
+           SELECT tag_user,
+             row_number() OVER (ORDER BY score DESC, tag_user) AS rk
+           FROM scored)
+         SELECT 'topviews' AS metric, c.tag_user, c.b AS ts,
+           (sign(c.v) * floor(abs(c.v) * 10000 + 0.5) / 10000) AS value
+         FROM clipped c JOIN ranked r ON c.tag_user = r.tag_user
+         WHERE r.rk <= 3
+         ORDER BY c.tag_user, ts""",
+
+    "q107_gexp_uri" ->
       s"""$O, d AS (
            SELECT tag_user, ts - ts % $HOUR AS b, 2 * sum(value) AS v
            FROM points

@@ -263,6 +263,57 @@ object QueryParser {
         flag("show_stats"), flag("show_summary")))
   }
 
+  /**
+   * GET `/api/query/gexp` — the URI form plus `exp=` Graphite-style
+   * expressions (reference QueryRpc.handleQuery with expressions,
+   * src/tsd/QueryRpc.java:107-108, 585-610): each `exp=` parses into
+   * its tree (an improper expression tosses up), its METRIC LEAVES
+   * join the TSQuery's sub queries so the data fetch covers them, and
+   * a request with neither `m=` nor a leaf-bearing `exp=` is the
+   * same "Missing sub queries" error. Returns the query (leaf subs
+   * included, duplicates collapsed like m=), the V1 flags, and the
+   * parsed ASTs for [[Gexp.eval]].
+   */
+  def parseUriGexp(qs: String, now: Long = System.currentTimeMillis())
+      : (TsQuery, UriFlags, Seq[Gexp.Node]) = {
+    val params: Map[String, Seq[String]] = qs.stripPrefix("?")
+      .split("&").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else kv.take(i) ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      }.groupMap(_._1)(_._2)
+    val exps = params.getOrElse("exp", Seq.empty).map(Gexp.parse)
+    def leaves(n: Gexp.Node): Seq[String] = n match {
+      case Gexp.MetricNode(spec) => Seq(spec)
+      case Gexp.FuncNode(_, args, _) => args.flatMap(leaves)
+    }
+    val leafSubs = exps.flatMap(leaves).map(parseSubQuery)
+    // reuse the m= parser for everything but exp=, then splice the
+    // expression leaves in (QueryRpc parseMTypeSubQuery per leaf)
+    val base = qs.stripPrefix("?").split("&").filter(_.nonEmpty)
+      .filter(p => p.takeWhile(_ != '=') != "exp").mkString("&")
+    val (q0, flags) =
+      if (params.contains("m") || params.contains("tsuid")) parseUri(base, now)
+      else {
+        // no m/tsuid: parse start/end ourselves, subs come from leaves
+        val start = params.get("start").flatMap(_.headOption)
+          .filter(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
+            "Missing parameter <start>"))
+        val startMs = graft.model.TimeUtils.parseDateTime(start, now)
+        val endMs = params.get("end").flatMap(_.headOption)
+          .filter(_.nonEmpty)
+          .map(graft.model.TimeUtils.parseDateTime(_, now)).getOrElse(now)
+        (TsQuery(startMs, endMs, Seq.empty,
+            msResolution = params.contains("ms")),
+          UriFlags())
+      }
+    val subs = (q0.queries ++ leafSubs).distinct
+    require(subs.nonEmpty, "Missing sub queries")
+    (q0.copy(queries = subs), flags, exps)
+  }
+
   /** `tsuid=` sub-query grammar `agg:[interval-agg:][rate:]tsuid[,s]`
     * (reference QueryRpc.parseTsuidTypeSubQuery: 2-5 colon parts;
     * middle stages dispatch on rate-prefix / leading digit /

@@ -265,6 +265,33 @@ class ParserSpec extends AnyFunSuite {
     assert(q.queries.map(_.aggregator) == Seq("sum", "max"))
   }
 
+  test("parseUriGexp: exp= leaves become sub queries, m= coexists, " +
+       "no-queries error (QueryRpc.handleQuery expressions branch)") {
+    val now = 1700000000000L
+    // leaves of a nested expression splice into the TSQuery
+    val (q1, _, exps1) = QueryParser.parseUriGexp(
+      "?start=1h-ago&exp=scale(sum:sys.cpu{host=*},,2)", now)
+    assert(exps1.size == 1 && q1.queries.size == 1 &&
+      q1.queries.head.metric == "sys.cpu")
+    // combiner expressions contribute EVERY leaf; duplicates collapse
+    val (q2, _, _) = QueryParser.parseUriGexp(
+      "?start=1h-ago&exp=sumSeries(sum:a,,sum:b)" +
+        "&exp=scale(sum:a,,3)", now)
+    assert(q2.queries.map(_.metric) == Seq("a", "b"))
+    // m= rides alongside exp= (handleQuery parses both)
+    val (q3, _, exps3) = QueryParser.parseUriGexp(
+      "?start=1h-ago&m=max:other&exp=absolute(sum:a)", now)
+    assert(q3.queries.map(_.metric) == Seq("other", "a") &&
+      exps3.size == 1)
+    // neither m= nor exp= → the reference's error
+    assert(intercept[IllegalArgumentException](
+        QueryParser.parseUriGexp("?start=1h-ago", now))
+      .getMessage.contains("Missing sub queries"))
+    // an improper expression tosses up from the parser
+    intercept[IllegalArgumentException](
+      QueryParser.parseUriGexp("?start=1h-ago&exp=", now))
+  }
+
   test("reference TestQueryRpc golden m= vectors parse identically") {
     // ported 1:1 from reference test/tsd/TestQueryRpc.java:102-366
     // (parseQueryMType* family): each vector is the m= component of the
