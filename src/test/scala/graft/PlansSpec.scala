@@ -60,6 +60,27 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing pushed upper bound in: $pushed")
   }
 
+  test("queryLast backScan hour-row window pushes to the parquet scan") {
+    // the scan path's [base − backScan h, base + 1h) range must reach
+    // the scan as pushed timestamp bounds — at 100 TB a backscan poll
+    // reads only its hour rows, not the metric's history
+    import graft.meta.Introspect
+    import graft.meta.Introspect.LastPointSpec
+    val p = Points.fromEvents(spark, "/root/testdata/sf0.001")
+    val out = Introspect.queryLast(p,
+      Seq(LastPointSpec("click", Map("user" -> "1"))),
+      backScan = 2, now = 1704420000000L)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    // base 1704420000000 (2024-01-05T02:00Z): lower = base − 2h,
+    // upper exclusive = base + 1h → ≤ 02:59:59.999999
+    assert(pushed.contains("GreaterThanOrEqual(ts,2024-01-05 00:00"),
+      s"missing pushed lower hour-row bound in: $pushed")
+    assert(pushed.contains("LessThanOrEqual(ts,2024-01-05 02:59:59"),
+      s"missing pushed upper hour-row bound in: $pushed")
+  }
+
   test("date-partitioned layout prunes partitions for narrow time ranges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("datepart").toString
