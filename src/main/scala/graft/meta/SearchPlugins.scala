@@ -142,6 +142,51 @@ object SearchPlugins {
   }
 
   /**
+   * The V1 search-results envelope (reference formatSearchResultsV1 →
+   * Jackson over the SearchQuery POJO getters, src/search/SearchQuery
+   * .java:181-231: type, query, metric?, tags?, limit, startIndex,
+   * totalResults, time, results). `results` renders each row as a JSON
+   * object of its columns (map columns → nested objects, key-sorted) —
+   * the reference's results list carries whatever POJOs the plugin or
+   * lookup produced. `time` is the elapsed millis the RPC measured;
+   * the serving tier passes its own stopwatch.
+   */
+  def searchJson(searchType: String, query: String, results: DataFrame,
+                 limit: Int = 25, startIndex: Int = 0,
+                 timeMs: Double = 0.0): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("type", parseSearchType(searchType).toUpperCase)
+    root.put("query", query)
+    root.put("limit", limit)
+    root.put("startIndex", startIndex)
+    val rows = results.collect()
+    root.put("totalResults", rows.length)
+    root.put("time", timeMs)
+    val arr = root.putArray("results")
+    val schema = results.schema
+    rows.foreach { r =>
+      val o = arr.addObject()
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!r.isNullAt(i)) f.dataType match {
+          case _: org.apache.spark.sql.types.MapType =>
+            val m = o.putObject(f.name)
+            r.getAs[Map[String, String]](i).toSeq.sortBy(_._1)
+              .foreach { case (k, v) => m.put(k, v) }
+          case org.apache.spark.sql.types.LongType =>
+            o.put(f.name, r.getLong(i))
+          case org.apache.spark.sql.types.IntegerType =>
+            o.put(f.name, r.getInt(i))
+          case org.apache.spark.sql.types.DoubleType =>
+            o.put(f.name, r.getDouble(i))
+          case _ => o.put(f.name, String.valueOf(r.get(i)))
+        }
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /**
    * The `/api/search/<type>` HTTP endpoint (reference SearchRpc
    * .execute, src/tsd/SearchRpc.java:57-96): GET/POST only; the
    * sub-path picks the search type; `lookup` is engine-served from the

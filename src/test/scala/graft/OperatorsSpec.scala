@@ -1607,6 +1607,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException](
         SearchPlugins.parseLookupM("m{x}")).getMessage ==
       "When parsing tag 'x': Missing tag pair")
+    // the V1 results envelope (formatSearchResultsV1 over the POJO
+    // getters): type/query/limit/startIndex/totalResults/time, rows as
+    // objects with map columns nested key-sorted
+    val found = SearchPlugins.searchRpc(df, "lookup",
+      Map("m" -> "sys.cpu.0"))
+    val doc = SearchPlugins.searchJson("lookup", "sys.cpu.0", found,
+      limit = 25, startIndex = 0, timeMs = 1.5)
+    assert(doc.contains(""""type":"LOOKUP"""") &&
+      doc.contains(""""query":"sys.cpu.0"""") &&
+      doc.contains(""""limit":25""") &&
+      doc.contains(""""startIndex":0""") &&
+      doc.contains(""""totalResults":2""") &&
+      doc.contains(""""time":1.5"""), doc)
+    assert(doc.contains(""""tags":{"host":"web01"}"""))
   }
 
   test("/api/query/last: meta path, back_scan hour rows, tsuid " +
