@@ -78,9 +78,16 @@ object Annotations {
     SearchPlugins.each(_.indexAnnotation(edits))
     val fields = table.columns.filterNot((keyCols :+ "start_ts").contains)
     val id = keyCols :+ "start_ts"
-    val e = edits.select(
-      id.map(c => col(c).as(s"__e_$c")) ++
-        fields.map(c => col(c).as(s"__e_$c")): _*)
+    // duplicate identities within ONE edit batch pre-merge fieldwise
+    // (per-field max, which skips nulls) — the reference's bulk path
+    // applies list items sequentially so the last writer wins by
+    // arrival order; a DataFrame has no order, so the resolution is
+    // the deterministic max (the established collision-winner policy).
+    // Without this a full-outer join would emit one row per duplicate.
+    val e = edits.groupBy(id.map(col): _*)
+      .agg(fields.map(c => max(col(c)).as(c)).head,
+        fields.map(c => max(col(c)).as(c)).tail: _*)
+      .select(table.columns.map(c => col(c).as(s"__e_$c")): _*)
     val cond = id.map(c => table(c) <=> e(s"__e_$c")).reduce(_ && _)
     val merged = table.join(e, cond, "full_outer")
       .select(

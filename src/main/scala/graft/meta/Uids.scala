@@ -381,7 +381,14 @@ object Uids {
   private def mergeBy(table: DataFrame, edits: DataFrame,
                       id: Seq[String]): DataFrame = {
     val fields = table.columns.filterNot(id.contains)
-    val e = edits.select(table.columns.map(c => col(c).as(s"__e_$c")): _*)
+    // duplicate identities in one edit batch pre-merge fieldwise (max
+    // skips nulls) — deterministic where the reference's sequential
+    // CAS order is arrival-dependent; also keeps the full-outer join
+    // from emitting one row per duplicate
+    val dedup = edits.groupBy(id.map(col): _*)
+      .agg(fields.map(c => max(col(c)).as(c)).head,
+        fields.map(c => max(col(c)).as(c)).tail: _*)
+    val e = dedup.select(table.columns.map(c => col(c).as(s"__e_$c")): _*)
     val cond = id.map(c => table(c) <=> e(s"__e_$c")).reduce(_ && _)
     table.join(e, cond, "full_outer")
       .select(

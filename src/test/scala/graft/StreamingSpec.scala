@@ -976,6 +976,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("series"), globalOnly = true).count() == 2)
     assert(Annotations.bulkDelete(table, 1L, 1328140800L,
       Seq("series"), globalOnly = true).count() == 1)
+    // duplicate identities in ONE merge batch pre-merge fieldwise
+    // (deterministic max), never duplicating the output row
+    val dup = Seq(
+      (Some("000001"), 1388450562L, None: Option[Long], Some("A"),
+        None: Option[String]),
+      (Some("000001"), 1388450562L, None: Option[Long], None,
+        Some("zz")))
+      .toDF("series", "start_ts", "end_ts", "description", "notes")
+    val md = Annotations.upsertMerge(table, dup, Seq("series"))
+    assert(md.count() == 2)
+    val mr = row(md, Some("000001"))
+    assert(mr.getAs[String]("description") == "A" &&
+      mr.getAs[String]("notes") == "zz")
   }
 
   test("introspection endpoints and series meta") {
