@@ -227,8 +227,10 @@ object SearchPlugins {
         val q = Option(node.get("query")).map(_.asText("")).getOrElse("")
         val (met, prs) =
           if (st == "lookup" && q.nonEmpty) parseLookupM(q) else ("", Nil)
+        // SearchQuery's limit/startIndex default to 0 = unlimited (the
+        // POJO's int defaults; the ctor only sets use_meta/metric)
         Parsed(q,
-          Option(node.get("limit")).map(_.asInt(25)).getOrElse(25),
+          Option(node.get("limit")).map(_.asInt(0)).getOrElse(0),
           Option(node.get("startIndex")).map(_.asInt(0)).getOrElse(0),
           met, prs)
       case None =>
@@ -247,19 +249,32 @@ object SearchPlugins {
             catch { case _: IllegalArgumentException =>
               throw new IllegalArgumentException("Unable to parse query")
             }
-          Parsed(m, num("limit", 25), 0, met, prs)
+          Parsed(m, num("limit", 0), 0, met, prs)
         } else {
           val q = params.getOrElse("query",
             throw new IllegalArgumentException(
               "Missing parameter <code>query</code>"))
-          Parsed(q, num("limit", 25), num("start_index", 0), "", Nil)
+          Parsed(q, num("limit", 0), num("start_index", 0), "", Nil)
         }
     }
     if (st == "lookup") {
       if (parsed.metric.isEmpty && parsed.pairs.isEmpty)
         throw new IllegalArgumentException(
           "Missing metric and tags. Please supply at least one value.")
-      Introspect.lookupPairs(points, parsed.metric, parsed.pairs, meta)
+      val found = Introspect.lookupPairs(points, parsed.metric,
+        parsed.pairs, meta)
+      // the reference caps lookup by rows scanned per salt bucket
+      // (TimeSeriesLookup.java:176-218, storage-order-dependent); the
+      // deterministic counterpart is a canonical (metric, tags) order
+      // under TakeOrderedAndProject
+      if (parsed.limit > 0)
+        found.orderBy(org.apache.spark.sql.functions.col("metric"),
+          org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.array_sort(
+              org.apache.spark.sql.functions.map_entries(
+                org.apache.spark.sql.functions.col("tags")))))
+          .limit(parsed.limit)
+      else found
     } else
       try search(st, parsed.query, parsed.limit, parsed.startIndex)
       catch { case _: IllegalStateException =>

@@ -1534,14 +1534,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       override def executeSearch(st: String, q: String, limit: Int,
                                  startIndex: Int) = {
         seen = (st, q, limit, startIndex)
-        Some(Introspect.seriesMeta(df).limit(limit))
+        Some(if (limit > 0) Introspect.seriesMeta(df).limit(limit)
+          else Introspect.seriesMeta(df))
       }
     }
     SearchPlugins.register(plugin)
     try {
       assert(SearchPlugins.searchRpc(df, "tsmeta",
         Map("query" -> "*")).count() == 3)
-      assert(seen == ("tsmeta", "*", 25, 0))
+      // SearchQuery's int defaults: limit/startIndex 0 = unlimited
+      assert(seen == ("tsmeta", "*", 0, 0))
       // searchQSParseLimit / searchQSParseStartIndex
       SearchPlugins.searchRpc(df, "uidmeta",
         Map("query" -> "sys", "limit" -> "42", "start_index" -> "4"))
@@ -1560,6 +1562,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Map("m" -> "{dc=,=web01}")).count() == 1)
       assert(SearchPlugins.searchRpc(df, "lookup",
         Map("m" -> "{host=}")).count() == 3)
+      // lookup limit: deterministic (metric, tags) order under the cap
+      val capped = SearchPlugins.searchRpc(df, "lookup",
+        Map("m" -> "{host=}", "limit" -> "2"))
+      assert(capped.count() == 2 &&
+        capped.collect().map(_.getString(0)).forall(_ == "sys.cpu.0"))
     } finally SearchPlugins.deregister(plugin)
     // searchBadMethod / MissingType / BadTypeType / MissingQuery /
     // InvalidLimit / InvalidStartIndex — the reference's texts
