@@ -156,6 +156,44 @@ object Annotations {
     out
   }
 
+  /**
+   * DELETE `/api/annotation/bulk` (reference AnnotationRpc
+   * .executeBulkDelete:245-297 + AnnotationBulkDelete POJO:395-435):
+   * deletes the start-in-range annotations of each listed series and,
+   * with `global`, the global ones; end time defaults to `now`
+   * (getEndTime), the start is required so "a timestamp of 0 to
+   * delete all annotations" can't happen by accident, and a request
+   * naming neither tsuids nor global is rejected — both error texts
+   * verbatim. Returns (survivors, totalDeleted) — the response
+   * document echoes the request with `totalDeleted` filled.
+   */
+  def bulkDeleteRpc(table: DataFrame, keyCols: Seq[String],
+                    tsuids: Seq[Seq[Option[String]]] = Seq.empty,
+                    global: Boolean = false,
+                    startTs: Option[Long] = None, endTs: Long = 0L,
+                    now: Long = System.currentTimeMillis())
+      : (DataFrame, Long) = {
+    val start = startTs.getOrElse(throw new IllegalArgumentException(
+      "Missing the start time value"))
+    if (!global && tsuids.isEmpty) throw new IllegalArgumentException(
+      "Missing the TSUIDs or global annotations flag")
+    val end = if (endTs == 0L) now else endTs
+    val inRange = col("start_ts").between(start, end)
+    val isGlobal = keyCols.map(k => col(k).isNull)
+      .reduceOption(_ && _).getOrElse(lit(false))
+    val matchesSeries = tsuids.map { vals =>
+      keyCols.zip(vals).map { case (k, v) =>
+        col(k) <=> v.map(lit(_)).getOrElse(lit(null)) }
+        .reduceOption(_ && _).getOrElse(lit(false))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val doomed = inRange &&
+      ((if (global) isGlobal else lit(false)) || matchesSeries)
+    val survivors = table.filter(!doomed)
+    val deleted = table.count() - survivors.count()
+    SearchPlugins.each(_.deleteAnnotation(table.filter(doomed)))
+    (survivors, deleted)
+  }
+
   /** GET `/api/annotations` (reference fetchMultipleAnnotations:
     * 352-365): global annotations from start_ts to end_ts, end_ts = 0
     * defaulting to `now`; the "Missing start time" gate plus

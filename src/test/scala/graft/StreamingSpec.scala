@@ -989,6 +989,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mr = row(md, Some("000001"))
     assert(mr.getAs[String]("description") == "A" &&
       mr.getAs[String]("notes") == "zz")
+    // DELETE /api/annotation/bulk: per-tsuid + global start-in-range
+    // deletion with totalDeleted; required start, tsuids-or-global
+    val (surv, n) = Annotations.bulkDeleteRpc(table, Seq("series"),
+      tsuids = Seq(Seq(Some("000001"))), global = true,
+      startTs = Some(1L), now = 1400000000000L)
+    assert(n == 2 && surv.isEmpty)
+    // a series-only delete leaves the global row
+    val (surv2, n2) = Annotations.bulkDeleteRpc(table, Seq("series"),
+      tsuids = Seq(Seq(Some("000001"))), startTs = Some(1L),
+      now = 1400000000000L)
+    assert(n2 == 1 && surv2.head.isNullAt(0))
+    // start-in-range: a window past both starts deletes nothing
+    assert(Annotations.bulkDeleteRpc(table, Seq("series"),
+      global = true, tsuids = Seq(Seq(Some("000001"))),
+      startTs = Some(1388450563L), endTs = 1400000000000L)._2 == 0L)
+    assert(intercept[IllegalArgumentException](
+        Annotations.bulkDeleteRpc(table, Seq("series"), global = true))
+      .getMessage == "Missing the start time value")
+    assert(intercept[IllegalArgumentException](
+        Annotations.bulkDeleteRpc(table, Seq("series"),
+          startTs = Some(1L))).getMessage ==
+      "Missing the TSUIDs or global annotations flag")
   }
 
   test("introspection endpoints and series meta") {
