@@ -1,6 +1,5 @@
 package graft.query
 
-import graft.model.TimeUtils
 import graft.operators.SeriesFunctions
 import org.apache.spark.sql.DataFrame
 
