@@ -3253,13 +3253,19 @@ object SparkEntry {
       s"""$O, m AS (
            SELECT metric, tag_user, tag_k,
              CAST(count(*) AS BIGINT) AS points
-           FROM points GROUP BY metric, tag_user, tag_k)
+           FROM points GROUP BY metric, tag_user, tag_k),
+         -- lookup with no limit= caps at SearchQuery's ctor default 25
+         -- in the deterministic (metric, key-sorted tags) order: tags
+         -- sort k before user, so (tag_k, tag_user) string order
+         looked AS (
+           SELECT metric, tag_user, tag_k, points
+           FROM m WHERE metric = 'signup'
+             AND tag_user IS NOT NULL AND tag_k IS NOT NULL
+           ORDER BY metric, tag_k, tag_user LIMIT 25)
          SELECT 'plugin' AS source, metric, tag_user, tag_k, points
          FROM m WHERE metric = 'view'
          UNION ALL
-         SELECT 'engine', metric, tag_user, tag_k, points
-         FROM m WHERE metric = 'signup'
-           AND tag_user IS NOT NULL AND tag_k IS NOT NULL
+         SELECT 'engine', metric, tag_user, tag_k, points FROM looked
          ORDER BY source, metric, tag_user, tag_k""",
 
     "q99_startup_plugin" ->

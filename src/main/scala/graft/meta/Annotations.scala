@@ -75,9 +75,17 @@ object Annotations {
    */
   def upsertMerge(table: DataFrame, edits: DataFrame,
                   keyCols: Seq[String]): DataFrame = {
-    SearchPlugins.each(_.indexAnnotation(edits))
     val fields = table.columns.filterNot((keyCols :+ "start_ts").contains)
     val id = keyCols :+ "start_ts"
+    // an edit row that sets NOTHING (every field null) is the
+    // reference's IllegalStateException — syncToStorage's
+    // changed-map gate (Annotation.java:162-172) fires before any
+    // storage call. Wire-sized edit batch → the driver-side check is
+    // one action over request rows, never data-scaled.
+    if (!edits.filter(fields.map(col(_).isNull).reduce(_ && _)).isEmpty)
+      throw new IllegalStateException(
+        "No changes detected in Annotation data")
+    SearchPlugins.each(_.indexAnnotation(edits))
     // duplicate identities within ONE edit batch pre-merge fieldwise
     // (per-field max, which skips nulls) — the reference's bulk path
     // applies list items sequentially so the last writer wins by
@@ -178,6 +186,12 @@ object Annotations {
     if (!global && tsuids.isEmpty) throw new IllegalArgumentException(
       "Missing the TSUIDs or global annotations flag")
     val end = if (endTs == 0L) now else endTs
+    // deleteRange's own guards (Annotation.java:397-403) — an inverted
+    // or unset end range is an error, never a silent totalDeleted=0
+    if (end < 1) throw new IllegalArgumentException(
+      "The end timestamp has not been set")
+    if (end < start) throw new IllegalArgumentException(
+      "The end timestamp cannot be less than the start timestamp")
     val inRange = col("start_ts").between(start, end)
     val isGlobal = keyCols.map(k => col(k).isNull)
       .reduceOption(_ && _).getOrElse(lit(false))

@@ -227,10 +227,12 @@ object SearchPlugins {
         val q = Option(node.get("query")).map(_.asText("")).getOrElse("")
         val (met, prs) =
           if (st == "lookup" && q.nonEmpty) parseLookupM(q) else ("", Nil)
-        // SearchQuery's limit/startIndex default to 0 = unlimited (the
-        // POJO's int defaults; the ctor only sets use_meta/metric)
+        // SearchQuery's ctor sets limit = 25 (SearchQuery.java:91);
+        // Jackson binding leaves it when the body omits the field, so
+        // 25 is the default on BOTH parse paths. startIndex is a bare
+        // int field → 0.
         Parsed(q,
-          Option(node.get("limit")).map(_.asInt(0)).getOrElse(0),
+          Option(node.get("limit")).map(_.asInt(25)).getOrElse(25),
           Option(node.get("startIndex")).map(_.asInt(0)).getOrElse(0),
           met, prs)
       case None =>
@@ -249,12 +251,14 @@ object SearchPlugins {
             catch { case _: IllegalArgumentException =>
               throw new IllegalArgumentException("Unable to parse query")
             }
-          Parsed(m, num("limit", 0), 0, met, prs)
+          // parseQueryString starts from new SearchQuery() whose ctor
+          // sets limit = 25 (SearchRpc.java:106, SearchQuery.java:91)
+          Parsed(m, num("limit", 25), 0, met, prs)
         } else {
           val q = params.getOrElse("query",
             throw new IllegalArgumentException(
               "Missing parameter <code>query</code>"))
-          Parsed(q, num("limit", 0), num("start_index", 0), "", Nil)
+          Parsed(q, num("limit", 25), num("start_index", 0), "", Nil)
         }
     }
     if (st == "lookup") {

@@ -160,8 +160,25 @@ object Histograms {
       throw new IllegalArgumentException(
         "Unable to parse the given JSON")
     import scala.jdk.CollectionConverters._
-    val mappings = node.fields().asScala.toSeq
-      .map(e => e.getKey -> e.getValue.asInt())
+    // the reference binds Map<String, Integer> via Jackson
+    // (HistogramCodecManager.java:77-91, JSON.parseToObject wrapping
+    // JsonMappingException as IllegalArgumentException): integral
+    // numbers bind, digit strings coerce, floats truncate
+    // (ACCEPT_FLOAT_AS_INT default), anything else fails the parse —
+    // never a silent 0 that would shadow SIMPLE_CODEC_ID
+    val mappings = node.fields().asScala.toSeq.map { e =>
+      val v = e.getValue
+      val id =
+        if (v.isIntegralNumber && v.canConvertToInt) v.asInt()
+        else if (v.isFloatingPointNumber) v.asDouble().toInt
+        else if (v.isTextual)
+          try v.asText().trim.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException("Unable to parse the given JSON")
+          }
+        else throw new IllegalArgumentException("Unable to parse the given JSON")
+      e.getKey -> id
+    }
     val seen = scala.collection.mutable.Set[Int]()
     // validate + resolve EVERYTHING before touching the registry, so a
     // bad document never leaves a partial registration behind (the

@@ -256,7 +256,8 @@ object QueryParser {
     // TestQueryRpc.executeURIDuplicates)
     val subs = (params.getOrElse("tsuid", Seq.empty).map(parseTsuidSubQuery) ++
       params.getOrElse("m", Seq.empty).map(parseSubQuery)).distinct
-    require(subs.nonEmpty, "Missing sub queries")
+    if (subs.isEmpty)
+      throw new IllegalArgumentException("Missing sub queries")
     (TsQuery(startMs, endMs, subs, msResolution = flag("ms")),
       UriFlags(flag("padding"), flag("no_annotations"),
         flag("global_annotations"), flag("show_tsuids"), flag("show_query"),
@@ -310,7 +311,8 @@ object QueryParser {
           UriFlags())
       }
     val subs = (q0.queries ++ leafSubs).distinct
-    require(subs.nonEmpty, "Missing sub queries")
+    if (subs.isEmpty)
+      throw new IllegalArgumentException("Missing sub queries")
     (q0.copy(queries = subs), flags, exps)
   }
 

@@ -381,6 +381,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Unable to find a decoder named 'nothere'")
     // empty mapping object registers nothing, NOT an error
     assert(Histograms.parseCodecConfig("{}", res()).isEmpty)
+    // Map<String, Integer> binding semantics: a non-numeric id fails
+    // the parse (never a silent 0 shadowing SIMPLE_CODEC_ID), digit
+    // strings coerce, floats truncate (Jackson ACCEPT_FLOAT_AS_INT)
+    assert(err(Histograms.parseCodecConfig("""{"a":"abc"}""", res("a"))) ==
+      "Unable to parse the given JSON")
+    assert(err(Histograms.parseCodecConfig("""{"a":[1]}""", res("a"))) ==
+      "Unable to parse the given JSON")
+    assert(Histograms.parseCodecConfig("""{"a":"42"}""", res("a")) ==
+      Seq("a" -> 42))
+    assert(Histograms.parseCodecConfig("""{"a":41.9}""", res("a")) ==
+      Seq("a" -> 41))
     // all-or-nothing: a failing document must not leave the valid
     // prefix registered — id 99 stays unknown after the failed parse
     intercept[IllegalStateException](Histograms.parseCodecConfig(
@@ -1542,8 +1553,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       assert(SearchPlugins.searchRpc(df, "tsmeta",
         Map("query" -> "*")).count() == 3)
-      // SearchQuery's int defaults: limit/startIndex 0 = unlimited
-      assert(seen == ("tsmeta", "*", 0, 0))
+      // SearchQuery's ctor default: limit 25 (SearchQuery.java:91),
+      // startIndex 0 — on the GET path too (parseQueryString starts
+      // from new SearchQuery())
+      assert(seen == ("tsmeta", "*", 25, 0))
       // searchQSParseLimit / searchQSParseStartIndex
       SearchPlugins.searchRpc(df, "uidmeta",
         Map("query" -> "sys", "limit" -> "42", "start_index" -> "4"))
@@ -1552,6 +1565,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       SearchPlugins.searchRpc(df, "TSMETA_summary", Map.empty,
         body = Some("""{"query":"*","limit":42,"startIndex":2}"""))
       assert(seen == ("tsmeta_summary", "*", 42, 2))
+      // a body that omits limit keeps the ctor's 25 (Jackson binds
+      // onto the constructed POJO)
+      SearchPlugins.searchRpc(df, "tsmeta", Map.empty,
+        body = Some("""{"query":"sys"}"""))
+      assert(seen == ("tsmeta", "sys", 25, 0))
       // lookup routes to the ENGINE meta scan, never the plugin
       seen = null
       val found = SearchPlugins.searchRpc(df, "lookup",

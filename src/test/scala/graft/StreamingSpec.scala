@@ -1011,6 +1011,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         Annotations.bulkDeleteRpc(table, Seq("series"),
           startTs = Some(1L))).getMessage ==
       "Missing the TSUIDs or global annotations flag")
+    // deleteRange's end-timestamp guards (Annotation.java:397-403):
+    // an inverted or unset end range errors, never totalDeleted=0
+    assert(intercept[IllegalArgumentException](
+        Annotations.bulkDeleteRpc(table, Seq("series"), global = true,
+          startTs = Some(100L), endTs = 50L)).getMessage ==
+      "The end timestamp cannot be less than the start timestamp")
+    assert(intercept[IllegalArgumentException](
+        Annotations.bulkDeleteRpc(table, Seq("series"), global = true,
+          startTs = Some(100L), now = -1L)).getMessage ==
+      "The end timestamp has not been set")
+    // an edit row that sets NOTHING is syncToStorage's changed-map
+    // gate (Annotation.java:162-172) — IllegalStateException before
+    // any merge happens, for existing AND fresh identities alike
+    val noop = Seq((Some("000001"), 1388450562L, None: Option[Long],
+        None: Option[String], None: Option[String]))
+      .toDF("series", "start_ts", "end_ts", "description", "notes")
+    assert(intercept[IllegalStateException](
+        Annotations.upsertMerge(table, noop, Seq("series"))).getMessage ==
+      "No changes detected in Annotation data")
   }
 
   test("introspection endpoints and series meta") {
