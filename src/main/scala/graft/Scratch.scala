@@ -376,6 +376,61 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--metafold")) {
+      // fold cost vs series count (the r12 VERDICT's structural note):
+      // the r12 fold union-and-reaggregated the WHOLE stored meta table
+      // per micro-batch; the bucketed MetaStore fold reads and rewrites
+      // only the series-hash buckets the batch touches. Measure both at
+      // 1x/10x/100x series cardinality with a FIXED small batch (8
+      // series): the naive fold's cost must track the store size, the
+      // bucketed fold's the touched slice.
+      import org.apache.spark.sql.functions._
+      import graft.meta.{Introspect, MetaStore}
+      def stamp(name: String)(f: => Long): Double = {
+        val t0 = System.nanoTime(); val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"STAGE $name%-26s $s%7.3f s  rows=$n"); s
+      }
+      def mkPoints(series: Long, perSeries: Int): org.apache.spark.sql.DataFrame =
+        spark.range(series * perSeries).select(
+          concat(lit("m"), (col("id") % 100).cast("string")).as("metric"),
+          ((col("id") / series) * 60000L + 3600000L).as("ts"),
+          col("id").cast("double").as("value"),
+          col("id").as("value_l"), lit(true).as("is_int"),
+          map(lit("host"),
+            concat(lit("h"), (col("id") % series).cast("string"))).as("tags"))
+      val buckets = 256
+      for (series <- Seq(100000L, 1000000L, 10000000L)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"metafold_$series").toString
+        // seed both store shapes with the same S-series meta
+        stamp(s"seed_bucketed_S=$series")(
+          { MetaStore.foldLastWrite(spark, s"$dir/b", mkPoints(series, 1),
+              buckets); 0L })
+        stamp(s"seed_naive_S=$series")(
+          { Introspect.lastWriteMeta(mkPoints(series, 1))
+              .write.parquet(s"$dir/n"); 0L })
+        // the fixed batch: 8 existing series get a newer write
+        val batch = mkPoints(8, 1).withColumn("ts", col("ts") + 7200000L)
+          .localCheckpoint(true)
+        for (pass <- 1 to 3) {
+          stamp(s"fold_bucketed_S=${series}_$pass")(
+            MetaStore.foldLastWrite(spark, s"$dir/b", batch, buckets).size)
+          stamp(s"fold_naive_S=${series}_$pass") {
+            // the r12 shape: full read + union-reaggregate + full rewrite
+            val stored = spark.read.parquet(s"$dir/n")
+            Introspect.mergeLastWrite(stored, batch).localCheckpoint(true)
+              .write.mode("overwrite").parquet(s"$dir/n")
+            0L
+          }
+        }
+        // the bucketed store still answers correctly after the folds
+        stamp(s"probe_S=$series")(MetaStore.read(spark, s"$dir/b")
+          .filter(col("tags").getItem("host") === "h3").count())
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--interp")) {
       // 100x SERIES-CARDINALITY probe for the lerp union-grid family
       // (q07/q11 shape): S series in ONE group over a shared bucket

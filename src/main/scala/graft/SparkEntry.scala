@@ -743,6 +743,43 @@ object SparkEntry {
         .orderBy("tag_user", "ts")
     }),
 
+    // §2.14 /api/stats/query — the daemon's completed-query stats ring
+    // (reference StatsRpc.printQueryStats:326-340 serving
+    // QueryStats.getRunningAndCompleteStats, QueryStats.java:398-430):
+    // a serving tier registers each query, completion moves it into
+    // the size-capped ring keyed by (remote, query, code) with
+    // re-executions bumping `executed`, and the endpoint's V1 document
+    // explodes relationally. emittedDPs is sourced from the data so
+    // the oracle derives the same count.
+    "q108_stats_query" -> ((s, dir) => {
+      import graft.query.QueryStatsLog
+      QueryStatsLog.reset()
+      var n = 0L
+      val nano = () => { n += 500000000L; n }
+      val ms = () => 1388534400000L
+      def serve(remote: String, q: String, code: Int, reason: String,
+                emitted: Long): Unit = {
+        val st = new QueryStatsLog.QueryStats(remote, q,
+          nanoClock = nano, msClock = ms)
+        st.addStat("emittedDPs", emitted)
+        st.markSerialized(code, reason, null)
+      }
+      val dps = pts(s, dir).filter(col("metric") === "click").count()
+      serve("192.168.1.1:4242", "m=sum:click", 200, "OK", dps)
+      serve("192.168.1.1:4242", "m=sum:click", 200, "OK", dps)
+      serve("10.1.1.2:4242", "m=sum:view", 408, "Request Timeout", 0L)
+      val doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+      QueryStatsLog.reset()
+      import s.implicits._
+      s.read.json(Seq(doc).toDS)
+        .select(explode(col("completed")).as("c"))
+        .select(col("c.remote").as("remote"), col("c.query").as("query"),
+          col("c.httpResponse.code").as("code"),
+          col("c.executed").as("executed"),
+          col("c.stats.emittedDPs").cast("long").as("emitted_dps"))
+        .orderBy("remote", "query")
+    }),
+
     // §2.8 alias TAG TEMPLATING through a gexp pipeline: `@user`
     // advances the group tag into the metric name (reference
     // PostAggregatedDataPoints.metricNameAsync:75-97 — Graphite-style
@@ -2798,6 +2835,19 @@ object SparkEntry {
          FROM clipped c JOIN ranked r ON c.tag_user = r.tag_user
          WHERE r.rk <= 3
          ORDER BY c.tag_user, ts""",
+
+    "q108_stats_query" ->
+      s"""$O, n AS (
+           SELECT CAST(count(*) AS BIGINT) AS dps FROM points
+           WHERE metric = 'click')
+         SELECT remote, query, code, executed, emitted_dps FROM (
+           SELECT '10.1.1.2:4242' AS remote, 'm=sum:view' AS query,
+             CAST(408 AS BIGINT) AS code, CAST(1 AS BIGINT) AS executed,
+             CAST(0 AS BIGINT) AS emitted_dps
+           UNION ALL
+           SELECT '192.168.1.1:4242', 'm=sum:click',
+             CAST(200 AS BIGINT), CAST(2 AS BIGINT), dps FROM n)
+         ORDER BY remote, query""",
 
     "q107_gexp_uri" ->
       s"""$O, d AS (

@@ -225,7 +225,13 @@ object Introspect {
     * associatively, so any batch split replays to the batch recompute
     * regardless of arrival order; state is O(series). */
   def mergeSeriesMeta(stored: DataFrame, batch: DataFrame): DataFrame =
-    stored.unionByName(seriesMeta(batch))
+    combineSeriesMeta(stored, seriesMeta(batch))
+
+  /** Associative merge of two [[seriesMeta]] TABLES (both already
+    * aggregated) — the kernel [[mergeSeriesMeta]] and the bucketed
+    * [[MetaStore]] fold share. */
+  def combineSeriesMeta(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
       .groupBy(col("metric"), col("tags"))
       .agg(min(col("first_seen")).as("first_seen"),
         max(col("last_seen")).as("last_seen"),
@@ -325,7 +331,12 @@ object Introspect {
    * (a batch [[lastWriteMeta]] recompute IS the reconciliation).
    */
   def mergeLastWrite(stored: DataFrame, batch: DataFrame): DataFrame =
-    stored.unionByName(lastWriteMeta(batch))
+    combineLastWrite(stored, lastWriteMeta(batch))
+
+  /** Associative max-merge of two [[lastWriteMeta]] TABLES — shared by
+    * [[mergeLastWrite]] and the bucketed [[MetaStore]] fold. */
+  def combineLastWrite(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
       .groupBy(col("tsuid"))
       .agg(max(col("timestamp")).as("timestamp"),
         max_by(col("value"), col("timestamp")).as("value"),

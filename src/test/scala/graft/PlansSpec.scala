@@ -343,6 +343,67 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     storedMeta.unpersist()
   }
 
+  test("bucketed meta fold rewrites ONLY touched buckets and " +
+       "partition-prunes its read of the store") {
+    // the O(batch) fold shape: a micro-batch that touches one series
+    // must leave every other bucket's files byte-identical on disk,
+    // and its read of the stored table must carry a PartitionFilter on
+    // the bucket directory column so untouched buckets are never
+    // opened. This is the relational equivalent of the reference's
+    // per-write ts_counter increment (TSUIDQuery.java:239-316).
+    import graft.meta.MetaStore
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("metastore")
+      .toString + "/last"
+    def pts(rows: (String, Long, Double, Map[String, String])*) =
+      spark.createDataFrame(rows.map { case (m, ts, v, tg) =>
+        org.apache.spark.sql.Row(m, ts, v,
+          java.lang.Long.valueOf(v.toLong), true, tg) }.asJava,
+        Points.schema)
+    // seed: many series spread across the 8 buckets
+    val seed = pts((0 until 40).map(i =>
+      (s"m$i", 3600000L, i.toDouble, Map("host" -> s"h$i"))): _*)
+    MetaStore.foldLastWrite(spark, dir, seed, buckets = 8)
+    def listing(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).toSet
+      }.toMap
+    }
+    val before = listing()
+    assert(before.size > 4, s"seed should span several buckets: $before")
+    // fold a single-series batch: exactly one bucket is touched
+    val touched = MetaStore.foldLastWrite(spark, dir,
+      pts(("m7", 7200000L, 99.0, Map("host" -> "h7"))), buckets = 8)
+    assert(touched.size == 1, s"one series must touch one bucket: $touched")
+    val after = listing()
+    val touchedDir = s"bucket=${touched.head}"
+    assert(after.keySet == before.keySet)
+    before.foreach { case (d, files) =>
+      if (d == touchedDir)
+        assert(after(d) != files, s"touched bucket $d was not rewritten")
+      else
+        assert(after(d) == files,
+          s"untouched bucket $d was rewritten: ${files} -> ${after(d)}")
+    }
+    // and the merge is correct: the new write won, everything else kept
+    val store = MetaStore.read(spark, dir)
+    assert(store.count() == 40)
+    assert(store.filter(col("metric") === "m7").head
+      .getAs[String]("value") == "99")
+    // read-side pruning: the store read filtered to touched buckets
+    // plans with a PartitionFilter on the directory column
+    val pruned = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched.map(Int.box): _*))
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("bucket"),
+      s"store read must prune on the bucket partition column:\n$plan")
+  }
+
   test("md5_prefix60 is registered as a SQL function by the extension") {
     val r = spark.sql(
       "SELECT md5_prefix60('hello world') AS h").collect()(0).getLong(0)

@@ -1266,4 +1266,129 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mergedCounts(dps, "4hc-sum", 0L, FAR, tz = "Asia/Kabul")
       == Map((HB - 1800000L) -> 21L))
   }
+
+  // ---- TestQueryStats ports (/root/reference/test/stats/
+  // TestQueryStats.java) — the /api/stats/query registry contract ----
+
+  private def fixedClocks(stepNs: Long = 1000000000L): (() => Long, () => Long) = {
+    var n = 0L
+    (() => { n += stepNs; n }, () => 1388534400000L)
+  }
+
+  test("QueryStats ctor/registry: running set, duplicate policy, " +
+       "null guards (TestQueryStats ctor* vectors)") {
+    import graft.query.QueryStatsLog
+    QueryStatsLog.reset()
+    val (nano, ms) = fixedClocks()
+    val q = """{"start":"1h-ago"}"""
+    val stats = new QueryStatsLog.QueryStats("192.168.1.1:4242", q,
+      Map("Host" -> "localhost"), nanoClock = nano, msClock = ms)
+    assert(QueryStatsLog.numRunning == 1)
+    val doc = QueryStatsLog.getRunningAndCompleteStats(nano())
+    assert(doc.contains(""""completed":[]""") &&
+      doc.contains(""""remote":"192.168.1.1:4242"""") &&
+      doc.contains(""""queryStart":1388534400000""") &&
+      doc.contains(""""headers":{"Host":"localhost"}"""), doc)
+    // ctorDuplicate: duplicates allowed by default — still ONE running
+    // entry (putIfAbsent keeps the first), no throw
+    new QueryStatsLog.QueryStats("192.168.1.1:4242", q,
+      nanoClock = nano, msClock = ms)
+    assert(QueryStatsLog.numRunning == 1)
+    // with duplicates disabled the second registration throws
+    QueryStatsLog.setEnableDuplicates(false)
+    assert(intercept[IllegalStateException](
+        new QueryStatsLog.QueryStats("192.168.1.1:4242", q,
+          nanoClock = nano, msClock = ms)).getMessage ==
+      "Query is already executing for endpoint: 192.168.1.1:4242")
+    QueryStatsLog.setEnableDuplicates(true)
+    // ctorNullRemote / ctorNullQuery
+    assert(intercept[IllegalArgumentException](
+        new QueryStatsLog.QueryStats("", q)).getMessage ==
+      "Remote address was null or empty")
+    assert(intercept[IllegalArgumentException](
+        new QueryStatsLog.QueryStats("1.2.3.4:80", null)).getMessage ==
+      "Query object was null")
+    QueryStatsLog.reset()
+  }
+
+  test("QueryStats completion: ring membership, executed counter, " +
+       "response code, exception text (markComplete/executed* vectors)") {
+    import graft.query.QueryStatsLog
+    QueryStatsLog.reset()
+    val q = """{"start":"1h-ago"}"""
+    def run(code: Int, reason: String, ex: Throwable = null): Unit = {
+      val (nano, ms) = fixedClocks()
+      new QueryStatsLog.QueryStats("192.168.1.1:4242", q,
+        nanoClock = nano, msClock = ms).markSerialized(code, reason, ex)
+    }
+    // markComplete: running -> completed with the 200 code
+    run(200, "OK")
+    assert(QueryStatsLog.numRunning == 0)
+    var doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+    assert(doc.contains(""""running":[]""") &&
+      doc.contains(""""code":200""") &&
+      doc.contains(""""executed":1"""), doc)
+    // markCompleteTimeout: the 408 + exception message with its first
+    // stack frame on the next line (getException:718-726)
+    run(408, "Request Timeout", new RuntimeException("Timeout!"))
+    doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+    assert(doc.contains(""""code":408"""))
+    assert(doc.contains(""""exception":"Timeout!\n"""), doc)
+    // executedTwice: same (remote, query, code) increments `executed`
+    // instead of adding a ring row
+    run(408, "Request Timeout")
+    doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+    assert(doc.contains(""""executed":2"""), doc)
+    // a DIFFERENT code is a different ring identity
+    run(500, "Internal Server Error")
+    doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+    assert(doc.contains(""""code":500"""))
+    QueryStatsLog.reset()
+  }
+
+  test("QueryStats stats: getStat/getTimeStat vectors, sub-query " +
+       "rollup with the reference's mis-wired AGG_MAP slots") {
+    import graft.query.QueryStatsLog
+    QueryStatsLog.reset()
+    val (nano, ms) = fixedClocks() // 1s per nano-clock read
+    val stats = new QueryStatsLog.QueryStats("10.0.0.1:4242",
+      """{"start":"1h-ago"}""", nanoClock = nano, msClock = ms)
+    stats.addStat("emittedDPs", 42L)
+    // getStatTime's NaN-before-completion + the non-time guard
+    assert(stats.getTimeStat("avgAggregationTime").isNaN)
+    assert(intercept[IllegalArgumentException](
+        stats.getTimeStat("emittedDPs")).getMessage ==
+      "The stat is not a time stat")
+    // sub-query time stats (nanos): two sub queries with queryScanTime
+    // 2s and 4s -> rollup writes avg (3s) and max (4s) — into the
+    // SWAPPED slots the reference wires (QueryStats.java:222-223):
+    // avg lands in maxQueryScanTime, max in avgQueryScanTime
+    stats.addStat(0, "queryScanTime", 2000000000L)
+    stats.addStat(1, "queryScanTime", 4000000000L)
+    // counters roll up by SUM into overall
+    stats.addStat(0, "rowsFromStorage", 10L)
+    stats.addStat(1, "rowsFromStorage", 5L)
+    // updateStat accumulates within one sub query
+    stats.updateStat(0, "dpsPostFilter", 3L)
+    stats.updateStat(0, "dpsPostFilter", 4L)
+    stats.markSerializationSuccessful()
+    assert(stats.getStat("emittedDPs") == 42L)
+    assert(stats.getStat("bytesFromStorage") == -1L)       // getStat miss
+    // ctor read the clock twice (start ns, then register logging is
+    // clock-free) and markSerialized read it once more: the mocked
+    // step is 1s per read, so processingPreWriteTime == 1000.0 ms
+    // (the TestQueryStats.getStatTime vector)
+    assert(stats.getTimeStat("processingPreWriteTime") == 1000.0)
+    assert(stats.getTimeStat("maxQueryScanTime") == 3000.0)  // the AVG
+    assert(stats.getTimeStat("avgQueryScanTime") == 4000.0)  // the MAX
+    assert(stats.getStat("rowsFromStorage") == 15L)
+    assert(stats.getStat("dpsPostFilter") == 7L)
+    // the serialized ring row carries the nested queryIdx_NN maps with
+    // time stats as floating ms
+    val doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+    assert(doc.contains(""""queryIdx_00":{"""), doc)
+    assert(doc.contains(""""queryScanTime":2000.0"""), doc)
+    assert(doc.contains(""""sentToClient":false"""))
+    QueryStatsLog.reset()
+  }
 }

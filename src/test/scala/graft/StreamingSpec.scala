@@ -97,6 +97,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "2")
   }
 
+  test("bucketed meta store: streamed folds == batch recompute for both " +
+       "stores, out-of-order arrivals included; endpoints answer from it") {
+    // the scale-shaped fold (VERDICT r12 #3): the stored meta persists
+    // partitioned by series-hash bucket and each micro-batch rewrites
+    // ONLY the buckets it touches. The proof obligation is the same as
+    // the in-memory fold's: any batch split, in any order, replays to
+    // the offline batch recompute.
+    import spark.implicits._
+    import graft.meta.{Introspect, MetaStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ptsCols = Points.schema.fieldNames.map(col).toSeq
+    val lastDir = Files.createTempDirectory("graft_meta_last").toString + "/t"
+    val seriesDir = Files.createTempDirectory("graft_meta_series").toString + "/t"
+    val mem = MemoryStream[String]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val pts = Ingest.parsePutLines(batch.toDF())
+          .filter(col("_error").isNull).select(ptsCols: _*)
+        MetaStore.foldLastWrite(spark, lastDir, pts, buckets = 8)
+        MetaStore.foldSeriesMeta(spark, seriesDir, pts, buckets = 8)
+        ()
+      }.start()
+    val lines = Seq(
+      "put cpu 1700003600 1 host=a",
+      "put cpu 1700007200 2 host=a",   // newer write, same series
+      "put cpu 1700000000 9 host=a",   // OLD point arriving later
+      "put cpu 1700003600 5 host=b",
+      "put mem 1700000000 2.5 host=a dc=x")
+    mem.addData(lines.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(lines.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val allPts = Ingest.parsePutLines(lines.toDF("value"))
+      .filter(col("_error").isNull).select(ptsCols: _*)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    // bucketed fold == batch recompute (the MetaSync reconciliation)
+    val lastStore = MetaStore.read(spark, lastDir)
+    val seriesStore = MetaStore.read(spark, seriesDir)
+    assert(rows(lastStore.select("tsuid", "timestamp", "value", "metric",
+        "tags")) == rows(Introspect.lastWriteMeta(allPts)))
+    assert(rows(seriesStore.select("metric", "tags", "first_seen",
+        "last_seen", "points")) == rows(Introspect.seriesMeta(allPts)))
+    // the endpoints answer from the stored tables directly
+    val ql = Introspect.queryLast(allPts,
+      Seq(Introspect.LastPointSpec("cpu")), backScan = 0, resolve = true,
+      lastMeta = Some(lastStore))
+    assert(rows(ql) == rows(Introspect.queryLast(allPts,
+      Seq(Introspect.LastPointSpec("cpu")), backScan = 0, resolve = true)))
+    assert(rows(Introspect.lookup(allPts, "cpu", meta = Some(seriesStore)))
+      == rows(Introspect.lookup(allPts, "cpu")))
+    assert(Introspect.suggestRpc(allPts, Map("type" -> "tagk"),
+        meta = Some(seriesStore)).collect().map(_.getString(0)).toSeq ==
+      Seq("dc", "host"))
+  }
+
   test("streaming series meta: mergeSeriesMeta folds == batch recompute; " +
        "lookup/suggest answers match either path") {
     import spark.implicits._
