@@ -479,9 +479,15 @@ object Engine {
           queryTagKs = sets.flatMap(_.queryTagKs).toSet,
           tsFill = e.fillPolicy.map(_.fill).getOrElse(0.0))
     }
+    // no outputs -> default to the expressions if any, else the
+    // METRICS (reference QueryExecutor.serialize:499-517 — a
+    // metrics-only body is legal, TestQuery.justMetrics, and emits
+    // each metric's own per-series result set)
     val emit =
       if (q.outputs.nonEmpty) q.outputs
-      else q.expressions.map(e => ExpJsonQuery.OutputDef(e.id, None))
+      else if (q.expressions.nonEmpty)
+        q.expressions.map(e => ExpJsonQuery.OutputDef(e.id, None))
+      else q.metrics.map(m => ExpJsonQuery.OutputDef(m.id, None))
     val metricIds = q.metrics.map(_.id).toSet
     val outs = emit.map { o =>
       // an output may name a METRIC id, not just an expression: the

@@ -431,6 +431,63 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--discovery100x")) {
+      // 100x SERIES-CARDINALITY probe for the discovery endpoints
+      // (VERDICT r12 Next #6): sf0.1 has 93.6k series; synthesize the
+      // same shape at 1x/10x/100x series (fixed 5 points/series — the
+      // raw path scales with POINTS, the meta path must scale with
+      // SERIES) and measure lookup/suggest/queryLast raw vs the
+      // parquet-backed meta path.
+      import org.apache.spark.sql.functions._
+      import graft.meta.Introspect
+      import graft.meta.Introspect.LastPointSpec
+      def stamp(name: String)(f: => Long): Double = {
+        val t0 = System.nanoTime(); val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"STAGE $name%-28s $s%7.3f s  rows=$n"); s
+      }
+      val baseSeries = 93600L
+      for (fx <- Seq(1, 10, 100)) {
+        val series = baseSeries * fx
+        val per = 5
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"disc_$fx").toString
+        val pts = spark.range(series * per).select(
+          concat(lit("m"), (col("id") % 40).cast("string")).as("metric"),
+          ((col("id") / series) * 60000L + 3600000L).as("ts"),
+          col("id").cast("double").as("value"),
+          col("id").as("value_l"), lit(true).as("is_int"),
+          map(lit("user"), (col("id") % series % 1000).cast("string"),
+            lit("k"), concat(lit("k"),
+              ((col("id") % series) / 1000).cast("string"))).as("tags"))
+        stamp(s"gen_${fx}x")({
+          pts.write.parquet(s"$dir/pts"); 0L })
+        val p = spark.read.parquet(s"$dir/pts")
+        stamp(s"meta_build_${fx}x")({
+          Introspect.seriesMeta(p).write.parquet(s"$dir/series")
+          Introspect.lastWriteMeta(p).write.parquet(s"$dir/last"); 0L })
+        val sm = spark.read.parquet(s"$dir/series")
+        val lm = spark.read.parquet(s"$dir/last")
+        val specs = Seq(LastPointSpec("m7", Map("user" -> "1")))
+        for (pass <- 1 to 3) {
+          stamp(s"lookup_raw_${fx}x_$pass")(
+            Introspect.lookupPairs(p, "m7", Seq(("user", "1"))).count())
+          stamp(s"lookup_meta_${fx}x_$pass")(
+            Introspect.lookupPairs(p, "m7", Seq(("user", "1")),
+              meta = Some(sm)).count())
+          stamp(s"suggest_meta_${fx}x_$pass")(
+            Introspect.suggestRpc(p, Map("type" -> "tagv", "q" -> "9"),
+              meta = Some(sm)).count())
+          stamp(s"last_raw_${fx}x_$pass")(
+            Introspect.queryLast(p, specs, resolve = true).count())
+          stamp(s"last_meta_${fx}x_$pass")(
+            Introspect.queryLast(p, specs, resolve = true,
+              lastMeta = Some(lm)).count())
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--interp")) {
       // 100x SERIES-CARDINALITY probe for the lerp union-grid family
       // (q07/q11 shape): S series in ONE group over a shared bucket

@@ -497,6 +497,29 @@ object Introspect {
       .sorted.toDF("metric", "value")
   }
 
+  private val latencies = new java.util.concurrent.ConcurrentHashMap[
+    String, LatencyHistogram]()
+
+  /** Track a latency sample under `name` — the reference's
+    * `httplatency.add(processing_time)` (HttpQuery.java:701), with the
+    * same default histogram shape (max 16 s, 2 ms linear buckets up to
+    * 100 ms: `new Histogram(16000, (short) 2, 100)`). */
+  def recordLatency(name: String, ms: Int): Unit =
+    latencies.computeIfAbsent(name,
+      _ => new LatencyHistogram(16000, 2, 100)).add(ms)
+
+  /** GET /api/stats, latency half: each tracked histogram reported as
+    * the reference's four percentile rows (StatsCollector
+    * .record(name, histo): `<name>_50pct/_75pct/_90pct/_95pct`). */
+  def statsLatency(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    latencies.asScala.toSeq.flatMap { case (name, h) =>
+      Seq(50, 75, 90, 95).map(p =>
+        (s"${name}_${p}pct", h.percentile(p).toLong))
+    }.sorted.toDF("metric", "value")
+  }
+
   /** Test hook: reset all runtime counters. */
-  def resetStats(): Unit = counters.clear()
+  def resetStats(): Unit = { counters.clear(); latencies.clear() }
 }

@@ -122,17 +122,32 @@ object ExpJsonQuery {
             now: Long = System.currentTimeMillis()): ExpRequest = {
     val root = mapper.readTree(body)
     val time = root.get("time")
-    require(time != null && !time.isNull, "missing time")
-    require(time.hasNonNull("start"), "missing start")
-    require(time.hasNonNull("aggregator"), "missing or empty aggregator")
+    req(time != null && !time.isNull, "missing time")
+    // Timespan.validate (Timespan.java:124-146) — texts verbatim,
+    // including the case split ("missing or empty start" lowercase,
+    // "Missing or empty aggregator" capital)
+    req(time.hasNonNull("start") && time.get("start").asText().nonEmpty,
+      "missing or empty start")
+    req(time.hasNonNull("aggregator") &&
+      time.get("aggregator").asText().nonEmpty,
+      "Missing or empty aggregator")
+    req(graft.operators.Aggregators.isKnown(
+      time.get("aggregator").asText().toLowerCase), "Invalid aggregator")
     val startMs = parseTime(time.get("start"), now)
     val endMs =
-      if (time.hasNonNull("end")) parseTime(time.get("end"), now) else now
-    require(endMs > startMs, s"end time $endMs must be after start $startMs")
+      if (time.hasNonNull("end") && time.get("end").asText().nonEmpty)
+        parseTime(time.get("end"), now) else now
+    req(endMs > startMs, s"end time $endMs must be after start $startMs")
     val downsample = Option(time.get("downsampler"))
       .filterNot(x => x == null || x.isNull).map { d =>
-        require(d.hasNonNull("interval"), "downsampler missing interval")
-        require(d.hasNonNull("aggregator"), "downsampler missing aggregator")
+        // Downsampler.validate (Downsampler.java:58-73)
+        req(d.hasNonNull("interval") && d.get("interval").asText().nonEmpty,
+          "Missing or empty interval")
+        req(d.hasNonNull("aggregator") &&
+          d.get("aggregator").asText().nonEmpty,
+          "Missing or empty aggregator")
+        req(graft.operators.Aggregators.isKnown(
+          d.get("aggregator").asText().toLowerCase), "Invalid aggregator")
         // the reference executor compiles interval + "-" + aggregator
         // (QueryExecutor.java:158-161); the POJO also validates an
         // optional fillPolicy, which our downsample honors directly
@@ -145,7 +160,7 @@ object ExpJsonQuery {
       }
 
     val filters = arr(root, "filters").map { f =>
-      require(f.hasNonNull("id"), "Missing or empty id")
+      req(f.hasNonNull("id"), "Missing or empty id")
       val id = f.get("id").asText()
       validateId(id)
       val tags = arr(f, "tags").map { t =>
@@ -158,37 +173,51 @@ object ExpJsonQuery {
     requireUnique(filters.map(_.id), "filter")
 
     val metrics = arr(root, "metrics").map { m =>
-      require(m.hasNonNull("metric"), "missing or empty metric")
-      require(m.hasNonNull("id"), "missing or empty id")
+      // Metric.validate (Metric.java:102-121)
+      req(m.hasNonNull("metric") && m.get("metric").asText().nonEmpty,
+        "missing or empty metric")
+      req(m.hasNonNull("id") && m.get("id").asText().nonEmpty,
+        "missing or empty id")
       val id = m.get("id").asText()
       validateId(id)
+      val agg = Option(m.get("aggregator"))
+        .filterNot(x => x == null || x.isNull)
+        .map(_.asText()).filter(_.nonEmpty)
+      agg.foreach(a => req(graft.operators.Aggregators.isKnown(a.toLowerCase),
+        "Invalid aggregator"))
       MetricDef(id, m.get("metric").asText(),
         Option(m.get("filter")).filterNot(x => x == null || x.isNull)
           .map(_.asText()).filter(_.nonEmpty),
-        Option(m.get("aggregator")).filterNot(x => x == null || x.isNull)
-          .map(_.asText()).filter(_.nonEmpty),
+        agg,
         Option(m.get("fillPolicy")).filterNot(x => x == null || x.isNull)
           .map(parseFill),
         Option(m.get("timeOffset")).filterNot(x => x == null || x.isNull)
           .map(_.asText()).filter(_.nonEmpty)
           .map(s => TimeUtils.parseDuration(s.stripSuffix("-ago"))))
     }
-    require(metrics.nonEmpty, "missing or empty metrics")
+    req(metrics.nonEmpty, "missing or empty metrics")
     requireUnique(metrics.map(_.id), "metric")
     val filterIds = filters.map(_.id).toSet
     metrics.foreach(m => m.filter.foreach(fid =>
-      require(filterIds.contains(fid),
+      req(filterIds.contains(fid),
         s"unrecognized filter id $fid in metric ${m.id}")))
 
     val expressions = arr(root, "expressions").map { e =>
-      require(e.hasNonNull("id"), "missing or empty id")
-      require(e.hasNonNull("expr"), "missing or empty expr")
+      // Expression.validate (Expression.java:97-105)
+      req(e.hasNonNull("id") && e.get("id").asText().nonEmpty,
+        "missing or empty id")
+      req(e.hasNonNull("expr") && e.get("expr").asText().nonEmpty,
+        "missing or empty expr")
       val id = e.get("id").asText()
       validateId(id)
       val join = Option(e.get("join")).filterNot(x => x == null || x.isNull)
         .map { j =>
-          val op = j.path("operator").asText("union").toLowerCase
-          require(op == "union" || op == "intersection",
+          // Join.validate (Join.java:75-78): a join object without an
+          // operator is an error, never a silent union
+          req(j.hasNonNull("operator") &&
+            j.get("operator").asText().nonEmpty, "Missing join operator")
+          val op = j.get("operator").asText().toLowerCase
+          req(op == "union" || op == "intersection",
             s"unsupported join operator: $op")
           JoinDef(op, j.path("useQueryTags").asBoolean(false),
             j.path("includeAggTags").asBoolean(true))
@@ -209,23 +238,30 @@ object ExpJsonQuery {
     requireUnique(metrics.map(_.id) ++ expressions.map(_.id),
       "variable or expression")
     val known = metrics.map(_.id).toSet ++ expressions.map(_.id)
+    // Query.validate's input check (Query.java:165-170): every
+    // variable an expression reads must name a metric or an expression
+    // (forward references included — variable_ids holds ALL ids by
+    // this point). The executor's own compile-time "Missing results
+    // for variable" only fires for ids this gate can't see.
+    expressions.foreach { e =>
+      ExpQuery.variables(ExpQuery.parse(e.expr)).foreach(v =>
+        req(known.contains(v),
+          s"Expression [${e.expr}] was missing input $v"))
+    }
 
     val outputs = arr(root, "outputs").map { o =>
-      require(o.hasNonNull("id"), "missing or empty id")
+      req(o.hasNonNull("id"), "missing or empty id")
       val id = o.get("id").asText()
       validateId(id)
-      require(known.contains(id), s"unknown output id $id")
+      req(known.contains(id), s"unknown output id $id")
       OutputDef(id,
         Option(o.get("alias")).filterNot(x => x == null || x.isNull)
           .map(_.asText()).filter(_.nonEmpty))
     }
 
-    // The reference executor fails a body with nothing to emit deep in
-    // serialization; validate up front with an actionable message so an
-    // empty expressions+outputs list never reaches a reduce over an
-    // empty emit list.
-    require(expressions.nonEmpty || outputs.nonEmpty,
-      "request must declare at least one expression or output")
+    // a metrics-only body (no expressions, no outputs) is LEGAL: the
+    // executor defaults the outputs to the metrics
+    // (QueryExecutor.serialize:499-517; TestQuery.justMetrics)
 
     ExpRequest(startMs, endMs, time.path("timezone").asText("UTC"),
       time.get("aggregator").asText(),
@@ -280,16 +316,29 @@ object ExpJsonQuery {
   /** Reference Query.validateId (Query.java:203-221): letters and
     * digits only, and a single-character id may not be a digit (it
     * would be ambiguous with a numeric literal in the expression). */
+  /** The reference's validations throw bare IllegalArgumentExceptions
+    * with VERBATIM messages (Query/Metric/Filter/Expression.validate);
+    * Scala's require() would prefix "requirement failed: ". */
+  private def req(cond: Boolean, msg: => Any): Unit =
+    if (!cond) throw new IllegalArgumentException(String.valueOf(msg))
+
   def validateId(id: String): Unit = {
-    require(id != null && id.nonEmpty, "The ID cannot be null or empty")
-    id.foreach(c => require(c.isLetterOrDigit,
+    req(id != null && id.nonEmpty, "The ID cannot be null or empty")
+    id.foreach(c => req(c.isLetterOrDigit,
       s"""Invalid id ("$id"): illegal character: $c"""))
     if (id.length == 1)
-      require(!id.charAt(0).isDigit, "The ID cannot be an integer")
+      req(!id.charAt(0).isDigit, "The ID cannot be an integer")
   }
 
   private def requireUnique(ids: Seq[String], what: String): Unit = {
     val dup = ids.diff(ids.distinct).distinct
-    require(dup.isEmpty, s"duplicated $what id: ${dup.mkString(", ")}")
+    // Query.validate's three duplicate messages, case included: metric
+    // and filter are lowercase "duplicated <x> id:", the combined
+    // variable namespace is "Duplicated variable or expression id:"
+    // (Query.java:117-141)
+    val prefix =
+      if (what == "variable or expression") s"Duplicated $what id: "
+      else s"duplicated $what id: "
+    req(dup.isEmpty, prefix + dup.mkString(", "))
   }
 }

@@ -738,6 +738,15 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(named.toSeq == Seq("A plus B"))
   }
 
+  test("executor: justMetrics — a metrics-only body emits each metric " +
+       "(outputs default to the metrics, QueryExecutor.serialize:499-517)") {
+    val out = runExp(oneExtraSameE, expBody(
+      Seq("a" -> "A", "b" -> "B"), Seq.empty))
+    assert(out.keySet == Set("a", "b"))
+    assert(out("a")(T0) == Set(1.0, 4.0))
+    assert(out("b")(T0) == Set(11.0, 14.0, 17.0))
+  }
+
   test("executor: oneExpressionDefaultFill — missing points zero-fill, " +
        "with and without a no-fill downsample") {
     val exp = Map(T0 -> Set(1.0, 4.0, 0.0), T1 -> Set(0.0, 20.0, 8.0),
@@ -879,9 +888,14 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("e" -> "a + e4", "e2" -> "e * 2", "e3" -> "e * 2",
         "e4" -> "e2 + e3")))
       .startsWith("Circular reference found"))
+    // an unknown variable dies in Query.validate BEFORE the executor
+    // runs (Query.java:165-170 — QueryRpc validates the POJO first);
+    // the executor's own "Missing results for variable" guard
+    // (ExpressionIterator.java:257) stays as the backstop for ids the
+    // gate can't see
     assert(msg(expBody(Seq("a" -> "A", "b" -> "B"),
       Seq("e" -> "a + b + c")))
-      .startsWith("Missing results for variable"))
+      == "Expression [a + b + c] was missing input c")
     // noIntersectionsFound: disjoint tag sets
     assert(msg(expBody(Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b")),
       points = threeDifE).startsWith("No intersections found"))

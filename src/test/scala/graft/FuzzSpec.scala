@@ -1192,4 +1192,153 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty sets 80 times
     assert(fuzzHits > 60, s"fuzz axis nearly vacuous: $fuzzHits hits")
   }
+
+  // ---- gexp surface fuzz (VERDICT r13: the r12 surface without an
+  // axis): random nested trees round-trip through the grammar and the
+  // URI form, and the per-function param contracts are drawn against
+  // an INDEPENDENT transcription of the reference's evaluate guards
+  // (Scale.java:39-55, MovingAverage.java:47-175, HighestCurrent/
+  // HighestMax.java:48-72, TimeShift.java:39-108, SumSeries.java:47-51
+  // and siblings) — expected messages are DATA here, never computed by
+  // the code under test. --------------------------------------------
+
+  private def renderGexp(n: Gexp.Node): String = n match {
+    case Gexp.MetricNode(spec) => spec
+    case Gexp.FuncNode(name, args, params) =>
+      name + "(" + (args.map(renderGexp) ++ params).mkString(",,") + ")"
+  }
+
+  private def drawGexpTree(rnd: Random, depth: Int): Gexp.Node = {
+    def leaf() = Gexp.MetricNode(
+      pick(rnd, Seq("sum", "zimsum", "max")) + ":" +
+        pick(rnd, Seq("click", "view", "signup")) + "{user=*}")
+    if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+    else pick(rnd, Seq[() => Gexp.Node](
+      () => Gexp.FuncNode("absolute", Seq(drawGexpTree(rnd, depth - 1)), Nil),
+      () => Gexp.FuncNode("firstDiff", Seq(drawGexpTree(rnd, depth - 1)), Nil),
+      () => Gexp.FuncNode("scale", Seq(drawGexpTree(rnd, depth - 1)),
+        Seq(pick(rnd, Seq("2", "0.5", "-3", "1.25")))),
+      () => Gexp.FuncNode("alias", Seq(drawGexpTree(rnd, depth - 1)),
+        Seq(pick(rnd, Seq("renamed", "user.@user.v", "a b")))),
+      () => Gexp.FuncNode("movingAverage", Seq(drawGexpTree(rnd, depth - 1)),
+        Seq(pick(rnd, Seq("5", "'10min'", "'2h'", "'1day'", "'30sec'")))),
+      () => Gexp.FuncNode(pick(rnd, Seq("highestCurrent", "highestMax")),
+        Seq(drawGexpTree(rnd, depth - 1)),
+        Seq(pick(rnd, Seq("1", "2", "7")))),
+      () => Gexp.FuncNode("timeShift", Seq(drawGexpTree(rnd, depth - 1)),
+        Seq(pick(rnd, Seq("'1hr'", "'2min'", "'1week'", "'10sec'")))),
+      () => Gexp.FuncNode(
+        pick(rnd, Seq("sumSeries", "difference", "multiplySeries",
+          "divideSeries")),
+        (0 until 2 + rnd.nextInt(2)).map(_ => drawGexpTree(rnd, depth - 1)),
+        Nil)))()
+  }
+
+  private def checkGexpRoundTrip(rnd: Random, id: Int): Option[String] = {
+    val t = drawGexpTree(rnd, 1 + rnd.nextInt(2)) match {
+      case m: Gexp.MetricNode => Gexp.FuncNode("absolute", Seq(m), Nil)
+      case f => f
+    }
+    val rendered = renderGexp(t)
+    val reparsed = Gexp.parse(rendered)
+    if (reparsed != t)
+      return Some(s"[$id] round-trip: $rendered -> $reparsed != $t")
+    // the URI form splices each distinct metric leaf into the TSQuery
+    def leaves(n: Gexp.Node): Seq[String] = n match {
+      case Gexp.MetricNode(spec) => Seq(spec)
+      case Gexp.FuncNode(_, args, _) => args.flatMap(leaves)
+    }
+    val (q, _, exps) = QueryParser.parseUriGexp(
+      "?start=1425440315306&end=1425440436006&exp=" +
+        java.net.URLEncoder.encode(rendered, "UTF-8"), T0)
+    if (exps != Seq(t))
+      return Some(s"[$id] URI parse: $rendered -> ${exps.head} != $t")
+    val want = leaves(t).distinct.map(QueryParser.parseSubQuery)
+    if (q.queries != want)
+      return Some(s"[$id] URI subs: ${q.queries} != $want")
+    None
+  }
+
+  /** (function, rendered params, expected error message or None=ok) —
+    * the reference contracts transcribed as data. `missing` renders
+    * the function with NO param list entry at all. */
+  private val gexpParamContract: Seq[(String, Option[String], Option[String])] = Seq(
+    ("scale", Some("2"), None),
+    ("scale", Some("2.5"), None),
+    ("scale", Some("-1.5"), None),
+    ("scale", None, Some("Missing scaling factor")),
+    ("scale", Some("abc"), Some("Unparseable scale factor value: 0.0")),
+    ("scale", Some("1a"), Some("Unparseable scale factor value: 0.0")),
+    ("scale", Some("--2"),
+      Some("Invalid parameter, must be an integer or floating point")),
+    ("scale", Some("1.2.3"),
+      Some("Invalid parameter, must be an integer or floating point")),
+    ("movingAverage", Some("5"), None),
+    ("movingAverage", Some("'10min'"), None),
+    ("movingAverage", Some("'2h'"), None),
+    ("movingAverage", Some("'1day'"), None),
+    ("movingAverage", Some("'30sec'"), None),
+    ("movingAverage", Some("'3hr'"), None),
+    ("movingAverage", None, Some("Missing moving average window size")),
+    ("movingAverage", Some("0"),
+      Some("Moving average window must be an integer greater than zero")),
+    ("movingAverage", Some("'0m'"),
+      Some("Moving average window must be an integer greater than zero")),
+    ("movingAverage", Some("xx"), Some("Unparseable window size: xx")),
+    ("movingAverage", Some("'10xyz'"),
+      Some("Unknown time unit=xyz in window='10xyz'")),
+    ("movingAverage", Some("'min'"),
+      Some("Invalid moving window parameter: 'min'")),
+    ("highestCurrent", Some("2"), None),
+    ("highestMax", Some("1"), None),
+    ("highestCurrent", None,
+      Some("Need aggregation window for moving average")),
+    ("highestMax", Some(""),
+      Some("Missing top n value (number of series to return)")),
+    ("highestCurrent", Some("abc"), Some("Unparseable top n value: abc")),
+    ("highestMax", Some("0"),
+      Some("Top n value must be greater than zero: 0")),
+    ("highestCurrent", Some("-1"), Some("Unparseable top n value: -1")),
+    ("timeShift", Some("'1hr'"), None),
+    ("timeShift", Some("'2min'"), None),
+    ("timeShift", Some("'1week'"), None),
+    ("timeShift", Some("'3day'"), None),
+    ("timeShift", Some("'10sec'"), None),
+    ("timeShift", None,
+      Some("Need amount of timeshift to perform timeshift")),
+    ("timeShift", Some("1hr"),
+      Some("Invalid timeshift parameter: eg '10min'")),
+    ("timeShift", Some("'1xyz'"), Some("unknown time unit=xyz")),
+    ("timeShift", Some("'0min'"), Some("timeshift <= 0")),
+    ("timeShift", Some("'xmin'"), Some("Invalid Parameter: 'xmin")))
+
+  private lazy val gexpTinyDf: DataFrame = {
+    import spark.implicits._
+    Seq(("click", "1", T0, 1.0), ("click", "1", T0 + 60000L, -2.0),
+      ("click", "2", T0, 3.0), ("view", "1", T0, 4.0))
+      .toDF("metric", "tag_user", "ts", "value")
+  }
+
+  private def checkGexpParam(fn: String, param: Option[String],
+                             expect: Option[String]): Option[String] = {
+    val rendered = fn + "(sum:click{user=*}" +
+      param.map(",," + _).getOrElse("") + ")"
+    val got =
+      try { Gexp.eval(Gexp.parse(rendered), _ => gexpTinyDf); None }
+      catch { case e: Throwable => Some(e.getMessage) }
+    if (got != expect) Some(s"$rendered: got $got want $expect") else None
+  }
+
+  test("fuzz gexp: random nested trees round-trip the grammar and the " +
+       "URI form; param contracts vs the transcribed reference guards") {
+    val rnd = new Random(20260815)
+    val errs = (1 to 40).flatMap(i => checkGexpRoundTrip(rnd, i)) ++
+      gexpParamContract.flatMap { case (f, p, e) => checkGexpParam(f, p, e) } ++
+      // combiner arity guard (SumSeries.evaluate:47-51, all four)
+      checkGexpParam("sumSeries", None,
+        Some("Must have 2 to 26 series, got 1 instead")) ++
+      checkGexpParam("divideSeries", None,
+        Some("Must have 2 to 26 series, got 1 instead"))
+    assert(errs.isEmpty, errs.take(5).mkString("\n"))
+  }
 }

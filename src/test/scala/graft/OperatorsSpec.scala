@@ -1393,14 +1393,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expressions": [{"id": "e", "expr": "4 * 2",
         "join": {"operator": "union"}}]}"""
     intercept[IllegalArgumentException] { Engine.runExpJson(df, constBody) }
-    // nothing to emit is rejected at parse time with a clear message
-    val emptyBody = """{
+    // a metrics-only body is LEGAL (TestQuery.justMetrics): the
+    // executor defaults the outputs to the metrics
+    // (QueryExecutor.serialize:499-517) — round 13 fix of the r12
+    // parse-time rejection
+    val metricsOnly = """{
       "time": {"start": 0, "end": 100, "aggregator": "sum"},
       "metrics": [{"id": "a", "metric": "cpu"}]}"""
-    val ex = intercept[IllegalArgumentException] {
-      graft.query.ExpJsonQuery.parse(emptyBody, 1700000000000L)
-    }
-    assert(ex.getMessage.contains("expression or output"), ex.getMessage)
+    val out = Engine.runExpJson(df, metricsOnly, now = 1700000000000L)
+    assert(out.map(_._1) == Seq("a") && out.head._2.count() == 1)
   }
 
   test("Engine.runExpJson time-over-time: offset metric joins on today") {

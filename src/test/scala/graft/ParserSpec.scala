@@ -606,10 +606,11 @@ class ParserSpec extends AnyFunSuite {
     assert(bad(s"""{$base,"metrics":[
         {"id":"a","metric":"m"},{"id":"a","metric":"n"}]}""")
       .getMessage.contains("duplicated"))
-    // expression id shadowing a metric id
+    // expression id shadowing a metric id — the combined variable
+    // namespace uses the reference's capital-D text (Query.java:138)
     assert(bad(s"""{$base,"metrics":[{"id":"a","metric":"m"}],
         "expressions":[{"id":"a","expr":"a + 1"}]}""")
-      .getMessage.contains("duplicated"))
+      .getMessage.contains("Duplicated variable or expression id"))
     // forward references between expressions are LEGAL (the executor
     // compiles a dependency DAG — round 10, TestQueryExecutor
     // .nestedExpressionsTwoLevelsDefaultOutputOrdering); an
@@ -666,6 +667,22 @@ class ParserSpec extends AnyFunSuite {
     assert(bad(I("30m", "t", "t", "1h")).startsWith("Not enough intervals"))
     assert(bad(I("1s", "t", "t", "1h", delaySla = "500ms")) ==
       "Milliseconds are not supported as the maximum delay")
+
+    // TestRollupQuery: the delay-SLA blackout (RollupQuery
+    // .getLastRollupTimestampSeconds/isInBlackoutPeriod:196-210) — a
+    // 1h interval with delaySla 2d has its freshness horizon exactly
+    // now − 2d; a point 1h ago is in the blackout (raw-served), one
+    // 3d ago is rollup-served. Our split uses horizonMs = now − delayMs
+    // with ts > horizon = blackout, the identical predicate.
+    locally {
+      val MOCK = 1420147200000L
+      val withDelay = I("1h", "fake-rollup-table", "fake-preagg-table",
+        "1d", delaySla = "2d")
+      val horizon = MOCK - withDelay.delayMs
+      assert(horizon / 1000 == MOCK / 1000 - 2 * 86400)
+      assert(MOCK - 3600000L > horizon)              // 1h ago: blackout
+      assert(!(MOCK - 3L * 86400000L > horizon))     // 3d ago: rollup
+    }
 
     // config-level rules
     val tenmin = I("10m", "tsdb-10m", "tsdb-agg-10m", "1d")
@@ -967,5 +984,103 @@ class ParserSpec extends AnyFunSuite {
       .contains("not permitted"))
     assert(err(RpcModes.requireUidAllowed("other", "GET", RpcModes.ReadWrite))
       .contains("have not been implemented"))
+  }
+
+  // ---- /api/query/exp POJO validation vectors (reference
+  // test/query/pojo/TestQuery/TestMetric/TestFilter/TestExpression/
+  // TestTimeSpan/TestJoin/TestDownsampler/TestOutput) ----------------
+
+  test("exp POJO validation: Query/Timespan/Metric/Filter/Expression/" +
+       "Join/Downsampler vectors with verbatim error texts") {
+    import graft.query.ExpJsonQuery
+    val NOW = 1431600000000L
+    def err(body: String): String =
+      intercept[IllegalArgumentException](
+        ExpJsonQuery.parse(body, NOW)).getMessage
+    def body(time: String =
+               """{"start":"3h-ago","end":"1h-ago","aggregator":"avg"}""",
+             filters: String = """[{"id":"f1","tags":[{"tagk":"host",
+               "filter":"*","type":"iwildcard","groupBy":false}]}]""",
+             metrics: String = """[{"metric":"YAMAS.cpu.idle","id":"m1",
+               "filter":"f1","aggregator":"sum"}]""",
+             exprs: String = """[{"id":"e1","expr":"m1 * 1024"}]""",
+             outs: String = """[{"id":"m1","alias":"CPU Idle EAST DC"}]""")
+        : String =
+      s"""{"time":$time,"filters":$filters,"metrics":$metrics,
+          "expressions":$exprs,"outputs":$outs}"""
+    // deserialize: the TestQuery fixture body parses clean
+    val q = ExpJsonQuery.parse(body(), NOW)
+    assert(q.metrics.map(_.id) == Seq("m1") &&
+      q.expressions.map(_.id) == Seq("e1") &&
+      q.outputs.map(_.id) == Seq("m1"))
+    // justMetrics: metrics-only is legal (outputs default to metrics
+    // in the executor, QueryExecutor.serialize:499-517)
+    ExpJsonQuery.parse(body(exprs = "[]", outs = "[]"), NOW)
+    // validationErrorWhenTimeIsNull / invalidTime
+    assert(err(body(time = "null")) == "missing time")
+    assert(err(body(time = "{}")) == "missing or empty start")
+    // TestTimeSpan: start null/empty, aggregator missing/empty, both
+    // with the reference's case split; end empty is LEGAL (defaults)
+    assert(err(body(time = """{"start":"","aggregator":"avg"}"""))
+      == "missing or empty start")
+    assert(err(body(time = """{"start":"3h-ago"}"""))
+      == "Missing or empty aggregator")
+    assert(err(body(time = """{"start":"3h-ago","aggregator":""}"""))
+      == "Missing or empty aggregator")
+    assert(err(body(time = """{"start":"3h-ago","aggregator":"nosuch"}"""))
+      == "Invalid aggregator")
+    ExpJsonQuery.parse(body(
+      time = """{"start":"3h-ago","end":"","aggregator":"AVG"}"""), NOW)
+    // metricsIsNull / metricsIsEmpty / invalidMetric / Invalid aggregator
+    assert(err(body(metrics = "null")) == "missing or empty metrics")
+    assert(err(body(metrics = "[]")) == "missing or empty metrics")
+    assert(err(body(metrics = "[{}]")) == "missing or empty metric")
+    assert(err(body(metrics = """[{"metric":"x"}]"""))
+      == "missing or empty id")
+    assert(err(body(metrics = """[{"metric":"x","id":"m1",
+      "aggregator":"nosuch"}]""")) == "Invalid aggregator")
+    // invalidFilter / duplicatedFilterId / noSuchFilterIdInMetric
+    assert(err(body(filters = "[{}]")) == "Missing or empty id")
+    assert(err(body(filters = """[{"id":"f1"},{"id":"f1"}]"""))
+      == "duplicated filter id: f1")
+    assert(err(body(metrics = """[{"metric":"x","id":"m2",
+      "filter":"f2"}]""", exprs = "[]", outs = "[]"))
+      == "unrecognized filter id f2 in metric m2")
+    // duplicatedMetricId / duplicatedExpressionId (capital D on the
+    // combined variable namespace, Query.java:138)
+    assert(err(body(metrics = """[{"metric":"x","id":"m1"},
+      {"metric":"y","id":"m1"}]""")) == "duplicated metric id: m1")
+    assert(err(body(exprs = """[{"id":"e1","expr":"m1"},
+      {"id":"e1","expr":"m1 + 1"}]"""))
+      == "Duplicated variable or expression id: e1")
+    assert(err(body(exprs = """[{"id":"m1","expr":"m1 + 1"}]"""))
+      == "Duplicated variable or expression id: m1")
+    // invalidExpression: missing id / missing expr
+    assert(err(body(exprs = "[{}]")) == "missing or empty id")
+    assert(err(body(exprs = """[{"id":"e1"}]""")) == "missing or empty expr")
+    // Query.validate's input gate (Query.java:165-170)
+    assert(err(body(exprs = """[{"id":"e1","expr":"m1 + zz"}]"""))
+      == "Expression [m1 + zz] was missing input zz")
+    // TestJoin: a join object without an operator is an error
+    assert(err(body(exprs = """[{"id":"e1","expr":"m1 * 2",
+      "join":{}}]""")) == "Missing join operator")
+    // TestDownsampler: interval/aggregator required, names verbatim
+    def ts(ds: String) =
+      s"""{"start":"3h-ago","aggregator":"avg","downsampler":$ds}"""
+    assert(err(body(time = ts("""{"aggregator":"avg"}""")))
+      == "Missing or empty interval")
+    assert(err(body(time = ts("""{"interval":"15m"}""")))
+      == "Missing or empty aggregator")
+    assert(err(body(time = ts("""{"interval":"15m",
+      "aggregator":"nosuch"}"""))) == "Invalid aggregator")
+    intercept[Exception](ExpJsonQuery.parse(
+      body(time = ts("""{"interval":"xxx","aggregator":"avg"}""")), NOW))
+    // TestOutput: output id required; validateId vectors (Query
+    // .validateId:204-220)
+    assert(err(body(outs = "[{}]")) == "missing or empty id")
+    assert(err(body(outs = """[{"id":"m-1"}]"""))
+      == """Invalid id ("m-1"): illegal character: -""")
+    assert(err(body(metrics = """[{"metric":"x","id":"7"}]""",
+      exprs = "[]", outs = "[]")) == "The ID cannot be an integer")
   }
 }

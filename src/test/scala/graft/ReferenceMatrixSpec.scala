@@ -1391,4 +1391,64 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doc.contains(""""sentToClient":false"""))
     QueryStatsLog.reset()
   }
+
+  // ---- TestHistogram ports (/root/reference/test/stats/
+  // TestHistogram.java) — the latency self-metric histogram ----
+
+  test("LatencyHistogram: bucket placement vectors (TestHistogram " +
+       "16/1/5, 16/2/5, 160/20/50) and percentile walk") {
+    import graft.meta.LatencyHistogram
+    def assertBuckets(h: LatencyHistogram, pairs: (Int, Int)*): Unit =
+      pairs.foreach { case (b, n) =>
+        assert(h.valueInBucket(b) == n, s"bucket $b") }
+    // percentile_empty_histogram
+    val empty = new LatencyHistogram(16000, 2, 100)
+    assert(empty.percentile(1) == 0 && empty.percentile(50) == 0 &&
+      empty.percentile(99) == 0)
+    // 16Max_1Interval_5Cutoff
+    val h1 = new LatencyHistogram(16, 1, 5)
+    assert(h1.buckets == 10)
+    Seq(4, 5, 5, 0, 42, 6, 9, 10).foreach(h1.add)
+    assertBuckets(h1, 0 -> 1, 1 -> 0, 2 -> 0, 3 -> 0, 4 -> 1, 5 -> 3,
+      6 -> 0, 7 -> 2, 8 -> 0, 9 -> 1)
+    // 16Max_2Interval_5Cutoff (effective cutoff snaps down to 4)
+    val h2 = new LatencyHistogram(16, 2, 5)
+    assert(h2.buckets == 6)
+    Seq(4, 6, 7, 0, 42, 8, 9, 10, 11, 12).foreach(h2.add)
+    assertBuckets(h2, 0 -> 1, 1 -> 0, 2 -> 3, 3 -> 4, 4 -> 1, 5 -> 1)
+    // 160Max_20Interval_50Cutoff
+    val h3 = new LatencyHistogram(160, 20, 50)
+    assert(h3.buckets == 6)
+    Seq(0, 40, 50, 60, 71, 72, 103, 104, 130, 160, 167, 168, 420)
+      .foreach(h3.add)
+    assertBuckets(h3, 0 -> 1, 1 -> 0, 2 -> 4, 3 -> 2, 4 -> 4, 5 -> 2)
+    // ctor guards, negative add, percentile range — the exact texts
+    assert(intercept[IllegalArgumentException](
+      new LatencyHistogram(10, 11, 5)).getMessage ==
+      "interval > max! interval=11, max=10")
+    assert(intercept[IllegalArgumentException](
+      new LatencyHistogram(10, 2, 11)).getMessage ==
+      "cutoff > max! cutoff=11, max=10")
+    assert(intercept[IllegalArgumentException](
+      h1.add(-1)).getMessage == "negative value: -1")
+    intercept[IllegalArgumentException](h1.percentile(0))
+    intercept[IllegalArgumentException](h1.percentile(101))
+    // percentile returns the bucket's EXCLUSIVE high bound; the
+    // overflow bucket reports Int.MaxValue (the reference behavior)
+    val hp = new LatencyHistogram(16, 1, 5)
+    (1 to 99).foreach(_ => hp.add(2))
+    hp.add(42) // one overflow sample
+    assert(hp.percentile(50) == 3)  // bucket [2,3) -> high bound 3
+    assert(hp.percentile(100) == Int.MaxValue)
+    // /api/stats reports name_50pct.._95pct rows over the registry
+    graft.meta.Introspect.resetStats()
+    (1 to 100).foreach(i => graft.meta.Introspect.recordLatency(
+      "http.latency", i % 10))
+    val rows = graft.meta.Introspect.statsLatency(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("http.latency_50pct", "http.latency_75pct",
+      "http.latency_90pct", "http.latency_95pct"))
+    assert(rows("http.latency_50pct") == 6L) // values 0..9 x10, 2ms buckets
+    graft.meta.Introspect.resetStats()
+  }
 }
