@@ -1180,4 +1180,40 @@ object Engine {
       .select(to_json(struct(struct(col("groups"), col("emittedDPs"))
         .as("statsSummary"))).as("json")))
   }
+
+  /**
+   * Serving-tier tracking wrapper — the flow QueryRpc.handleQuery has
+   * around every served query (reference src/tsd/QueryRpc.java:127-137
+   * registers `new QueryStats(remote, query, headers)` before parsing;
+   * the serializer callbacks markSerialized/markSent on the way out and
+   * the error path records the failure code): `body` builds and is
+   * materialized ONCE (the count doubles as the response's emittedDPs —
+   * the reference's AGGREGATED_SIZE stat), success records 200/OK +
+   * sent, an IllegalArgumentException is the reference's 400 mapping
+   * and anything else its 500, both re-thrown after recording. The
+   * completed ring ([[graft.query.QueryStatsLog]]) then serves
+   * `/api/stats/query`.
+   */
+  def serveTracked(remote: String, queryText: String,
+                   headers: Map[String, String] = Map.empty)
+                  (body: => DataFrame): DataFrame = {
+    val st = new graft.query.QueryStatsLog.QueryStats(
+      remote, queryText, headers)
+    try {
+      val df = body
+      st.addStat("emittedDPs", df.count())
+      st.markSerialized(200, "OK", null)
+      st.markSent()
+      df
+    } catch {
+      case e: IllegalArgumentException =>
+        st.markSerialized(400, "Bad Request", e)
+        st.markSendFailed()
+        throw e
+      case e: Throwable =>
+        st.markSerialized(500, "Internal Server Error", e)
+        st.markSendFailed()
+        throw e
+    }
+  }
 }

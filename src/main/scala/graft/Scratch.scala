@@ -394,7 +394,8 @@ object Scratch {
       def mkPoints(series: Long, perSeries: Int): org.apache.spark.sql.DataFrame =
         spark.range(series * perSeries).select(
           concat(lit("m"), (col("id") % 100).cast("string")).as("metric"),
-          ((col("id") / series) * 60000L + 3600000L).as("ts"),
+          (floor(col("id") / series).cast("long") * 60000L + 3600000L)
+            .as("ts"),
           col("id").cast("double").as("value"),
           col("id").as("value_l"), lit(true).as("is_int"),
           map(lit("host"),
@@ -454,12 +455,19 @@ object Scratch {
           .createTempDirectory(s"disc_$fx").toString
         val pts = spark.range(series * per).select(
           concat(lit("m"), (col("id") % 40).cast("string")).as("metric"),
-          ((col("id") / series) * 60000L + 3600000L).as("ts"),
+          (floor(col("id") / series).cast("long") * 60000L + 3600000L)
+            .as("ts"),
           col("id").cast("double").as("value"),
           col("id").as("value_l"), lit(true).as("is_int"),
-          map(lit("user"), (col("id") % series % 1000).cast("string"),
+          // user derives from the series index ABOVE the metric digits
+          // so every (metric, user) pair is populated and the probe's
+          // m7{user=1} addressing finds series at every scale
+          map(lit("user"),
+            (floor((col("id") % series) / 40) % 1000)
+              .cast("long").cast("string"),
             lit("k"), concat(lit("k"),
-              ((col("id") % series) / 1000).cast("string"))).as("tags"))
+              floor((col("id") % series) / 40000)
+                .cast("long").cast("string"))).as("tags"))
         stamp(s"gen_${fx}x")({
           pts.write.parquet(s"$dir/pts"); 0L })
         val p = spark.read.parquet(s"$dir/pts")

@@ -82,6 +82,30 @@ object MetaStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("bucket")
 
+  /** Read ONLY the buckets that can hold the given tsuids — the
+    * point-lookup path for a tsuid-addressed `/api/query/last` over a
+    * bucketed lastWriteMeta store: bucket = f(tsuid) is computed
+    * driver-side (a wire-sized request list), so the scan carries a
+    * PartitionFilter and opens ≤ |tsuids| directories of the store no
+    * matter how many series it holds. */
+  def readLastWriteFor(spark: SparkSession, path: String,
+                       tsuids: Seq[String],
+                       buckets: Int = DefaultBuckets): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    // the same hash the fold used, evaluated on the request list
+    val ids = spark.createDataFrame(
+      tsuids.map(t => Row(t.toUpperCase)).asJava,
+      StructType(Seq(StructField("tsuid", StringType))))
+      .select(lastWriteBucket(buckets).as("b"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(ids.map(Int.box): _*))
+      .drop("bucket")
+      .filter(col("tsuid").isin(tsuids.map(_.toUpperCase): _*))
+  }
+
   private def fold(spark: SparkSession, path: String, batchAgg: DataFrame,
                    bucket: Column, combine: (DataFrame, DataFrame) => DataFrame)
       : Seq[Int] = {

@@ -402,6 +402,20 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("bucket"),
       s"store read must prune on the bucket partition column:\n$plan")
+    // the tsuid point-lookup read computes the bucket driver-side from
+    // the request list and carries the same PartitionFilter
+    val someTsuid = store.filter(col("metric") === "m3")
+      .head.getAs[String]("tsuid")
+    val byId = MetaStore.readLastWriteFor(spark, dir, Seq(someTsuid),
+      buckets = 8)
+    assert(byId.count() == 1 &&
+      byId.head.getAs[String]("metric") == "m3")
+    val idPlan = byId.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(idPlan.replaceAll(
+        "(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("bucket"),
+      s"tsuid lookup must prune on the bucket column:\n$idPlan")
   }
 
   test("md5_prefix60 is registered as a SQL function by the extension") {

@@ -1451,4 +1451,40 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("http.latency_50pct") == 6L) // values 0..9 x10, 2ms buckets
     graft.meta.Introspect.resetStats()
   }
+
+  test("Engine.serveTracked: success/failure paths feed the query ring " +
+       "(QueryRpc.handleQuery's QueryStats flow)") {
+    import graft.query.QueryStatsLog
+    QueryStatsLog.reset()
+    import scala.jdk.CollectionConverters._
+    val pts = spark.createDataFrame(Seq(
+      Row("cpu", HB, 1.0, java.lang.Long.valueOf(1L), true,
+        Map("host" -> "a")),
+      Row("cpu", HB + 60000L, 2.0, java.lang.Long.valueOf(2L), true,
+        Map("host" -> "a"))).asJava, Points.schema)
+    val q = TsQuery(HB - 1000L, HB + 3600000L,
+      Seq(QueryParser.parseSubQuery("sum:cpu")))
+    val ok = Engine.serveTracked("1.2.3.4:4242", "m=sum:cpu")(
+      Engine.run(pts, q, q.queries.head))
+    assert(ok.count() == 2)
+    var doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+    assert(QueryStatsLog.numRunning == 0)
+    assert(doc.contains(""""code":200""") &&
+      doc.contains(""""emittedDPs":2""") &&
+      doc.contains(""""sentToClient":true"""), doc)
+    // failure: the 400 mapping records the exception and re-throws
+    intercept[IllegalArgumentException] {
+      Engine.serveTracked("1.2.3.4:4242", "m=bogus:cpu")(
+        Engine.runM(pts, q, "bogus:cpu"))
+    }
+    doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+    assert(doc.contains(""""code":400""") &&
+      doc.contains(""""sentToClient":false"""), doc)
+    // the same (remote, query, code) re-executed bumps the ring counter
+    Engine.serveTracked("1.2.3.4:4242", "m=sum:cpu")(
+      Engine.run(pts, q, q.queries.head))
+    doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+    assert(doc.contains(""""executed":2"""), doc)
+    QueryStatsLog.reset()
+  }
 }
