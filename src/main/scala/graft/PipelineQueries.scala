@@ -626,6 +626,34 @@ object PipelineQueries {
         .orderBy("q_id")
     }),
 
+    // graded ranking quality of the same IVF-PQ serving path: s13's
+    // recall sees only SET overlap; nDCG@5 + MRR grade the ORDER of
+    // the returned list (a hit at rank 5 vs rank 1 is invisible to
+    // recall and exactly what retrieval tuning optimizes). Truth =
+    // the exact brute-force top-5 with graded relevance 6 − rank
+    "s18_ranking_eval" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val truth = Similarity.bruteForceTopK(e, q, 5)
+        .select(col("q_id"), col("vec_id"),
+          (lit(6) - col("rank")).cast("double").as("rel"))
+      val assigned = Similarity.kmeansAssign(e, "embedding", "vec_id",
+        k = 4, iters = 1)
+      val books = Similarity.pqTrain(e, "embedding", "vec_id",
+        m = 2, k = 4, iters = 1)
+      val encoded = Similarity.pqEncode(assigned, "embedding", books)
+      val qc = encoded.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("cluster").as("q_cell"))
+      val approx = Similarity.ivfPqTopK(
+        encoded.select("vec_id", "codes", "cluster"), qc, 5, books)
+      Similarity.rankingEval(approx, truth, 5)
+        .select(col("q_id"), r4(col("ndcg")).as("ndcg"),
+          r4(col("mrr")).as("mrr"))
+        .orderBy("q_id")
+    }),
+
     // exact re-rank refine (FAISS IndexRefineFlat): the IVF-PQ ADC
     // scan proposes a top-10 shortlist per query, then ONLY those
     // |Q|×10 rows pay full-precision cosine against the float
@@ -922,6 +950,50 @@ object PipelineQueries {
           salt = "q", portable = true)
         .select(col("stratum").as("band"), col("id").as("doc_id"))
         .orderBy("band", "doc_id")
+    }),
+
+    // hashed logistic-regression quality classifier, trained IN the
+    // engine (fastText/CCNet-style linear model over a hashed bag of
+    // words): 2 full-batch GD steps against the is-English label on
+    // 16 hash buckets, then the zero-shuffle scoring projection over
+    // the corpus. The discriminative sibling of t16/t24's generative
+    // ratio scores — the oracle re-derives the SAME weights by
+    // unrolling both GD steps in SQL
+    "t29_classifier_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (w, bias) = TextAnalysis.trainHashedLogreg(d, "text", "doc_id",
+        col("lang") === "en", buckets = 16, iters = 2, lr = 0.5,
+        portable = true)
+      TextAnalysis.classifierScore(d, "text", "doc_id", w, bias,
+          portable = true)
+        .filter(col("n_tok") > 0)
+        .select(col("id").as("doc_id"), col("n_tok"),
+          r4(col("score")).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML → text extraction (the WET pass): each doc wraps into a
+    // synthesized page — comments, a style block, a script whose BODY
+    // contains < > && and a quoted tag, entity-escaped text, named
+    // entities — and the extractor must strip structure and restore
+    // the text. Both sides synthesize the same page and run their own
+    // regex chains
+    "t30_html_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), id,
+        lit("</title><style type=\"text/css\">p { color: #333; }" +
+          "</style><script>if (1 < 2 && 3 > 0) { var s = \"<p>\"; }" +
+          "</script></head><body><!-- header --><h1>Doc "), id,
+        lit("</h1><p class=\"main\">"),
+        replace(replace(col("text"), lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;")),
+        lit("</p><div>tail &amp;amp; &lt;end&gt;&nbsp;fin</div>" +
+          "<!-- footer\n spans lines --></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.htmlExtract(page).as("text_plain"))
+        .withColumn("n_chars", length(col("text_plain")))
+        .orderBy("doc_id")
     }),
 
     // sequence packing: 8 salted packing streams, 64-token training
@@ -2141,6 +2213,63 @@ object PipelineQueries {
          FROM exact5 LEFT JOIN approx5 USING (q_id, vec_id)
          GROUP BY exact5.q_id ORDER BY q_id""",
 
+    // s13's approximate list re-derived WITH ranks, graded against
+    // the exact top-5 (rel = 6 - exact rank): nDCG@5 + MRR
+    "s18_ranking_eval" ->
+      s"""WITH $oKmeansA2,
+         ${oPqSub("p0", 1, 32)},
+         ${oPqSub("p1", 33, 64)},
+         summed AS (
+           SELECT a0.q_id, a0.vec_id, a0.d + a1.d AS adc
+           FROM p0adc a0 JOIN p1adc a1 USING (q_id, vec_id)
+           WHERE vec_id <> q_id),
+         cellok AS (
+           SELECT s.q_id, s.vec_id, s.adc
+           FROM summed s
+             JOIN a2 cq ON cq.vec_id = s.q_id
+             JOIN a2 cc ON cc.vec_id = s.vec_id
+           WHERE cq.cluster = cc.cluster),
+         approx5 AS (
+           SELECT q_id, vec_id, rank FROM (
+             SELECT q_id, vec_id, row_number() OVER
+               (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+             FROM cellok) t WHERE rank <= 5),
+         escore AS (
+           SELECT q.vec_id AS q_id, c.vec_id,
+             list_sum(list_transform(list_zip(c.embedding, q.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM e c CROSS JOIN e q
+           WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+         exact5 AS (
+           SELECT q_id, vec_id, CAST(6 - rank AS DOUBLE) AS rel FROM (
+             SELECT q_id, vec_id, row_number() OVER
+               (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+             FROM escore) t WHERE rank <= 5),
+         got AS (
+           SELECT a.q_id,
+             sum(coalesce(e.rel, 0.0) / log2(a.rank + 1)) AS dcg,
+             min(CASE WHEN coalesce(e.rel, 0.0) > 0 THEN a.rank END) AS fr
+           FROM approx5 a LEFT JOIN exact5 e USING (q_id, vec_id)
+           GROUP BY a.q_id),
+         ideal AS (
+           SELECT q_id, sum(rel / log2(i + 1)) AS idcg FROM (
+             SELECT q_id, rel, row_number() OVER
+               (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS i
+             FROM exact5) t GROUP BY q_id),
+         fin AS (
+           SELECT got.q_id,
+             coalesce(got.dcg / ideal.idcg, 0.0) AS ndcg,
+             coalesce(1.0 / got.fr, 0.0) AS mrr
+           FROM got LEFT JOIN ideal USING (q_id))
+         SELECT q_id,
+           (sign(ndcg) * floor(abs(ndcg) * 10000 + 0.5) / 10000) AS ndcg,
+           (sign(mrr) * floor(abs(mrr) * 10000 + 0.5) / 10000) AS mrr
+         FROM fin ORDER BY q_id""",
+
     // the persisted-index path serves the SAME computation as s09 —
     // one oracle proves both the in-session plan and the index
     // round-trip (train → store → reload → query)
@@ -3008,6 +3137,86 @@ object PipelineQueries {
            ORDER BY k DESC, doc_id LIMIT 50)
          SELECT doc_id, n_tok, (sign(log_w) * floor(abs(log_w) * 10000 + 0.5) / 10000) AS log_w
          FROM sel ORDER BY doc_id""",
+
+    // the hashed-logreg trainer unrolled: both GD steps re-derived in
+    // SQL (iteration 1 collapses to p = 0.5 under w = 0), then the
+    // scoring projection under the iteration-2 weights. b = 16 is the
+    // intercept pseudo-feature
+    "t29_classifier_score" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tks
+           FROM documents),
+         nz AS (SELECT doc_id, y, tks, len(tks) AS n_tok
+                FROM base WHERE len(tks) > 0),
+         tk AS (SELECT doc_id, y, n_tok, unnest(tks) AS tok FROM nz),
+         feat AS (
+           SELECT doc_id, y, CAST(${oH32("tok")} % 16 AS INT) AS b,
+             count(*) * 1.0 / n_tok AS x
+           FROM tk GROUP BY doc_id, y, n_tok, b
+           UNION ALL
+           SELECT doc_id, y, 16 AS b, 1.0 AS x FROM nz),
+         n AS (SELECT count(*) * 1.0 AS nd FROM nz),
+         g1 AS (SELECT b, sum((0.5 - y) * x) AS g FROM feat GROUP BY b),
+         w1 AS (SELECT b, -0.5 * g / nd AS w FROM g1 CROSS JOIN n),
+         s2 AS (SELECT f.doc_id, f.y, sum(w1.w * f.x) AS s
+                FROM feat f JOIN w1 USING (b) GROUP BY f.doc_id, f.y),
+         r2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-s)) - y AS r FROM s2),
+         g2 AS (SELECT f.b, sum(r2.r * f.x) AS g
+                FROM feat f JOIN r2 USING (doc_id) GROUP BY f.b),
+         w2 AS (SELECT w1.b, w1.w - 0.5 * g2.g / nd AS w
+                FROM w1 JOIN g2 USING (b) CROSS JOIN n),
+         sco AS (
+           SELECT t.doc_id, max(t.n_tok) AS n_tok,
+             sum(w2.w) / max(t.n_tok) AS dot
+           FROM tk t JOIN w2 ON w2.b = CAST(${oH32("t.tok")} % 16 AS INT)
+           GROUP BY t.doc_id),
+         fin AS (
+           SELECT sco.doc_id, sco.n_tok,
+             1.0 / (1.0 + exp(-(sco.dot + bias.w))) AS score
+           FROM sco CROSS JOIN (SELECT w FROM w2 WHERE b = 16) bias)
+         SELECT doc_id, n_tok,
+           (sign(score) * floor(abs(score) * 10000 + 0.5) / 10000) AS score
+         FROM fin ORDER BY doc_id""",
+
+    // the WET extraction chain mirrored pass-for-pass on the same
+    // synthesized page (patterns are RE2-safe by construction; &amp;
+    // decodes LAST on both sides)
+    "t30_html_extract" ->
+      """WITH page AS (
+           SELECT doc_id,
+             '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title><style type="text/css">p { color: #333; }</style>' ||
+             '<script>if (1 < 2 && 3 > 0) { var s = "<p>"; }</script></head>' ||
+             '<body><!-- header --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</h1><p class="main">' ||
+             replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+             '</p><div>tail &amp;amp; &lt;end&gt;&nbsp;fin</div><!-- footer
+ spans lines --></body></html>' AS h
+           FROM documents),
+         c1 AS (SELECT doc_id,
+             regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM page),
+         c2 AS (SELECT doc_id, regexp_replace(h,
+             '(?is)<script\b[^>]*>.*?</script[ \t\n\r]*>', ' ', 'g') AS h
+           FROM c1),
+         c3 AS (SELECT doc_id, regexp_replace(h,
+             '(?is)<style\b[^>]*>.*?</style[ \t\n\r]*>', ' ', 'g') AS h
+           FROM c2),
+         c4 AS (SELECT doc_id,
+             regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM c3),
+         c5 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(h,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' ') AS h
+           FROM c4),
+         c6 AS (SELECT doc_id, replace(h, '&amp;', '&') AS h FROM c5),
+         fin AS (SELECT doc_id,
+             trim(regexp_replace(h, '[ \t\n\r\f]+', ' ', 'g')) AS text_plain
+           FROM c6)
+         SELECT doc_id, text_plain, length(text_plain) AS n_chars
+         FROM fin ORDER BY doc_id""",
 
     "t05_sample_stratified" ->
       s"""WITH h AS (

@@ -750,6 +750,56 @@ object Similarity {
         col("n_match").cast("double") / col("n_exact"))
 
   /**
+   * Graded ranking-quality evaluation — nDCG@k and MRR per query —
+   * of a retrieval result list against ground-truth relevance: the
+   * ORDER-sensitive complement of [[annRecall]] (recall@k cannot see
+   * that the best hit ranks 5th instead of 1st; a retrieval-backed
+   * training pipeline tunes on exactly that difference).
+   *
+   *   DCG@k  = Σ_{r ≤ k} rel(doc at rank r) / log2(r + 1)
+   *   IDCG@k = the same sum over the k most relevant judged docs
+   *            (ties broken on id, so the ideal is deterministic)
+   *   nDCG   = DCG / IDCG (0 when the query has no judged-relevant
+   *            docs); MRR = 1 / first rank holding rel > 0 (0 if the
+   *            list holds none).
+   *
+   * Unjudged retrieved docs score rel = 0 (the standard convention).
+   * Scale shape: both inputs are per-query bounded lists (≤ k rows
+   * and the judgment set), so the left join and both aggregations key
+   * on the high-cardinality query id; the ideal-ranking window
+   * partitions by query over those bounded judgment rows — no global
+   * sort, nothing data-sized.
+   */
+  def rankingEval(approx: DataFrame, truth: DataFrame, k: Int,
+                  queryId: String = "q_id", corpusId: String = "vec_id",
+                  relCol: String = "rel", rankCol: String = "rank")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = truth.select(col(queryId), col(corpusId),
+      col(relCol).cast("double").as("__rel"))
+    val got = approx.filter(col(rankCol) <= k)
+      .select(col(queryId), col(corpusId), col(rankCol))
+      .join(t, Seq(queryId, corpusId), "left")
+      .na.fill(0.0, Seq("__rel"))
+      .groupBy(col(queryId))
+      .agg(sum(col("__rel") / log2(col(rankCol).cast("double") + 1))
+          .as("dcg"),
+        min(when(col("__rel") > 0, col(rankCol))).as("__first"))
+    val ideal = t.filter(col("__rel") > 0)
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("__rel").desc, col(corpusId))))
+      .filter(col("__i") <= k)
+      .groupBy(col(queryId))
+      .agg(sum(col("__rel") / log2(col("__i").cast("double") + 1))
+        .as("idcg"))
+    got.join(ideal, Seq(queryId), "left")
+      .select(col(queryId),
+        coalesce(col("dcg") / col("idcg"), lit(0.0)).as("ndcg"),
+        coalesce(lit(1.0) / col("__first"), lit(0.0)).as("mrr"))
+  }
+
+  /**
    * ANN top-k via multi-table random-hyperplane LSH: only corpus
    * vectors sharing a bucket with the query (in any of `tables`
    * independent tables) are scored — the trained-quantizer-free scale

@@ -604,4 +604,123 @@ object TextAnalysis {
       .withColumn("novelty",
         col("n_unique").cast("double") / col("n_shingles"))
   }
+
+  /**
+   * Hashed-feature logistic regression, trained IN the engine by
+   * full-batch gradient descent — the fastText/CCNet-style quality
+   * classifier (a linear model over a hashed bag of words) without
+   * shipping the corpus to a separate trainer. Features are the
+   * L1-normalized hashed bag of tokens (x_b = count of tokens hashing
+   * to bucket b / n_tok — fastText's mean of one-hot buckets), the
+   * intercept rides as a constant pseudo-feature at index `buckets`
+   * (the augmented-vector trick), and each GD step is
+   * w ← w − lr·(1/N)·Σ_d (σ(w·x_d) − y_d)·x_d.
+   *
+   * Scale shape: the corpus is tokenized ONCE into a (doc, bucket, x)
+   * feature table, repartitioned by doc id and persisted; every
+   * iteration after that is (a) a per-doc margin aggregation and a
+   * join back to the feature table — both satisfied by the id
+   * partitioning, so NO per-iteration shuffle of the corpus — and
+   * (b) a bucket-keyed gradient aggregation whose output is exactly
+   * `buckets + 1` rows to the driver. The weight vector enters each
+   * plan as a broadcast array literal (element_at, no join). Zero
+   * tokenization or scan work repeats across iterations; doubling
+   * `iters` costs two more bounded aggregations, not another corpus
+   * pass. Training docs with zero tokens carry no evidence and are
+   * excluded (x would be the zero vector).
+   */
+  def trainHashedLogreg(df: DataFrame, textCol: String, idCol: String,
+                        label: Column, buckets: Int = 64, iters: Int = 2,
+                        lr: Double = 0.5, portable: Boolean = false)
+      : (Array[Double], Double) = {
+    val base = df.select(col(idCol).as("id"),
+        label.cast("double").as("y"), tokens(col(textCol)).as("tks"))
+      .withColumn("n_tok", size(col("tks")))
+      .filter(col("n_tok") > 0)
+    val feat = base
+      .select(col("id"), col("y"), col("n_tok"),
+        explode(col("tks")).as("tok"))
+      .withColumn("b", (hash32(col("tok"), portable) % buckets).cast("int"))
+      .groupBy("id", "y", "n_tok", "b").agg(count(lit(1)).as("cnt"))
+      .select(col("id"), col("y"), col("b"),
+        (col("cnt").cast("double") / col("n_tok")).as("x"))
+      .unionByName(base.select(col("id"), col("y"),
+        lit(buckets).as("b"), lit(1.0).as("x")))
+      .repartition(col("id"))
+      .persist()
+    val nDocs = feat.filter(col("b") === buckets).count().toDouble
+    // w(buckets) is the intercept (its feature is the constant 1.0)
+    val w = Array.fill(buckets + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val wl = lit(w)
+      val perDoc = feat.groupBy("id", "y")
+        .agg(sum(element_at(wl, col("b") + 1) * col("x")).as("s"))
+        .select(col("id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("r"))
+      val grad = feat.join(perDoc, "id")
+        .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+        .collect()
+      grad.foreach { row =>
+        val b = row.getInt(0)
+        w(b) -= lr * row.getDouble(1) / nDocs
+      }
+    }
+    feat.unpersist()
+    (w.dropRight(1), w(buckets))
+  }
+
+  /**
+   * Apply a hashed linear classifier ([[trainHashedLogreg]] output, or
+   * any externally trained fastText-style model's hashed weights):
+   * score = σ(Σ_tok w[h(tok) % buckets] / n_tok + bias). A pure
+   * column expression — the weight vector is an array literal probed
+   * per token with element_at inside `aggregate`, so scoring is a
+   * zero-shuffle, whole-stage-codegen'd scan projection that pushes
+   * down like any filter. Stateless, so it runs unchanged on a
+   * stream (no state store, no watermark). Zero-token docs score
+   * σ(bias) — the prior.
+   */
+  def classifierScore(df: DataFrame, textCol: String, idCol: String,
+                      weights: Array[Double], bias: Double,
+                      portable: Boolean = false): DataFrame = {
+    val buckets = weights.length
+    val wl = lit(weights)
+    val tks = tokens(col(textCol))
+    val dot = aggregate(tks, lit(0.0), (acc, t) =>
+      acc + element_at(wl, (hash32(t, portable) % buckets).cast("int") + 1))
+    val s = when(size(tks) > 0, dot / size(tks) + lit(bias))
+      .otherwise(lit(bias))
+    df.select(col(idCol).as("id"), size(tks).as("n_tok"),
+      (lit(1.0) / (lit(1.0) + exp(-s))).as("score"))
+  }
+
+  /**
+   * HTML → plain-text extraction (the WET-style pass a crawl corpus
+   * runs before every text-quality/dedup stage): drops comments and
+   * whole script/style elements (lazy block matches so one unclosed
+   * element cannot swallow the document past its real close tag),
+   * strips every remaining tag to a space, decodes the common named
+   * entities — `&amp;` strictly LAST, so `&amp;lt;` round-trips to
+   * the literal `&lt;` instead of double-decoding to `<` — and
+   * collapses runs of whitespace. Pure regexp/replace column
+   * expressions: zero shuffles, whole-stage codegen, and every
+   * pattern is RE2-compatible (inline (?is) flags, lazy quantifiers,
+   * NO backreferences — script and style are two passes instead of a
+   * `\1` close tag) so external engines can mirror it. The
+   * whitespace class is spelled explicitly ([ \t\n\r\f]) because
+   * Java's \s and RE2's \s disagree on vertical tab.
+   */
+  def htmlExtract(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script\\b[^>]*>.*?</script[ \\t\\n\\r]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style[ \\t\\n\\r]*>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val amp = replace(named, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "[ \\t\\n\\r\\f]+", " "))
+  }
 }

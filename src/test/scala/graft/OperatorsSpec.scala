@@ -2678,4 +2678,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(HttpRpcPlugins.execute(spark, "/api/query").isEmpty)
     HttpRpcPlugins.reset()
   }
+
+  test("rankingEval: perfect list = 1/1, graded misorder, zero-relevant query") {
+    import spark.implicits._
+    val truth = Seq(
+      (1L, 10L, 3.0), (1L, 11L, 2.0), (1L, 12L, 1.0),
+      (2L, 20L, 1.0)).toDF("q_id", "vec_id", "rel")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // exact ideal order
+      (2L, 99L, 1), (2L, 20L, 2),               // unjudged hit first
+      (3L, 50L, 1)                               // no judged docs at all
+    ).toDF("q_id", "vec_id", "rank")
+    val got = graft.pipeline.Similarity.rankingEval(approx, truth, 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L) == ((1.0, 1.0)))
+    // q2: dcg = 0/log2(2) + 1/log2(3); idcg = 1/log2(2) = 1; mrr = 1/2
+    val nd2 = 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(got(2L)._1 - nd2) < 1e-12 && got(2L)._2 == 0.5)
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
+  test("trainHashedLogreg: two GD steps hand-derived on one doc; score applies") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val d = Seq((1L, "aaa", "en")).toDF("doc_id", "text", "lang")
+    val (w, bias) = TextAnalysis.trainHashedLogreg(d, "text", "doc_id",
+      col("lang") === "en", buckets = 8, iters = 2, lr = 0.5)
+    // step 1 from w = 0: p = 0.5, r = -0.5, w = 0.25 on both the token
+    // bucket and the intercept; step 2: s = 0.5, r = sigma(0.5) - 1,
+    // w = 0.25 + 0.5 * 0.377541 = 0.438770
+    val exp = 0.25 + 0.5 * (1.0 - 1.0 / (1.0 + math.exp(-0.5)))
+    assert(math.abs(bias - exp) < 1e-9)
+    assert(math.abs(w.sum - exp) < 1e-9)   // exactly one token bucket hit
+    val scored = TextAnalysis.classifierScore(
+        Seq((1L, "aaa"), (2L, "")).toDF("doc_id", "text"),
+        "text", "doc_id", w, bias)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    // doc 1: sigma(w + bias); doc 2 (zero tokens): sigma(bias) = prior
+    assert(scored(1L)._1 == 1 &&
+      math.abs(scored(1L)._2 - 1.0 / (1.0 + math.exp(-2 * exp))) < 1e-9)
+    assert(scored(2L)._1 == 0 &&
+      math.abs(scored(2L)._2 - 1.0 / (1.0 + math.exp(-exp))) < 1e-9)
+  }
+
+  test("htmlExtract: script body with tags/angles, &amp;lt; round-trip, collapse") {
+    import spark.implicits._
+    val html = "<html><head><style>p{x:1}</style>" +
+      "<script>if(1<2){var s=\"<b>\";}</script></head>" +
+      "<body><!-- c1 --><p>A &amp;lt; B&nbsp;&amp; C</p>\n<div>D</div>" +
+      "<!-- multi\nline --></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(graft.pipeline.TextAnalysis.htmlExtract(col("h")).as("t"))
+      .head().getString(0)
+    // &amp;lt; must decode to the literal text "&lt;", not "<"
+    assert(got == "A &lt; B & C D")
+  }
 }
