@@ -162,6 +162,89 @@ object PipelineQueries {
   private def oH32(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 4294967296"
 
+  /** Deterministic messy URL per doc for the t31/t32 URL family:
+    * mixed-case scheme/host, default vs non-default port (scheme-
+    * consistent), doubled slashes, mixed-case path, tracking params
+    * out of order, a co.uk-family host on every third doc, and a
+    * fragment — every branch of canonicalUrl/registeredDomain fires. */
+  private def synthUrl(id: Column, source: Column): Column = concat(
+    when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
+    lit("://WWW."), source,
+    when(id % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+    when(id % 2 === 0, lit(":443"))
+      .otherwise(when(id % 3 === 0, lit(":8080")).otherwise(lit(":80"))),
+    lit("//Docs//"), id.cast("string"),
+    when(id % 2 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&b=2&a=1"),
+    when(id % 5 === 0, lit("&gclid=xyz")).otherwise(lit("")),
+    lit("#sec"))
+
+  /** DuckDB mirror of synthUrl (same branch structure). */
+  private val oSynthUrl: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+       '://WWW.' || source ||
+       (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END) ||
+       (CASE WHEN doc_id % 2 = 0 THEN ':443'
+             WHEN doc_id % 3 = 0 THEN ':8080' ELSE ':80' END) ||
+       '//Docs//' || CAST(doc_id AS VARCHAR) ||
+       (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+       '?utm_source=feed&b=2&a=1' ||
+       (CASE WHEN doc_id % 5 = 0 THEN '&gclid=xyz' ELSE '' END) ||
+       '#sec'"""
+
+  /** DuckDB mirror of the canonicalUrl + urlHost + registeredDomain
+    * chain over a CTE `u(doc_id, url)` — yields
+    * `fin(doc_id, url_canon, host, domain)`. */
+  private val oUrlCanonChain: String =
+    """c AS (
+           SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS nofrag,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM u),
+         h AS (
+           SELECT doc_id, scheme, nofrag,
+             lower(regexp_extract(rest, '^([^/?#]+)', 1)) AS hostport,
+             regexp_extract(rest, '^[^/?#]+([^?#]*)', 1) AS rawpath
+           FROM c),
+         h2 AS (
+           SELECT doc_id, scheme, nofrag, rawpath,
+             regexp_replace(hostport, ':[0-9]*$', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+           FROM h),
+         p AS (
+           SELECT doc_id, scheme, host,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443') THEN ''
+                  ELSE ':' || port END AS portpart,
+             CASE WHEN regexp_replace(regexp_replace(rawpath,
+                    '/{2,}', '/', 'g'), '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(regexp_replace(rawpath,
+                    '/{2,}', '/', 'g'), '/+$', '') END AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(nofrag, '\?([^#]*)', 1), '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS qs
+           FROM h2),
+         fin AS (
+           SELECT doc_id,
+             scheme || '://' || host || portpart || path ||
+               (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url_canon,
+             host,
+             CASE WHEN len(string_split(host, '.')) >= 3
+                    AND string_split(host, '.')[len(string_split(host, '.')) - 1]
+                      IN ('co', 'com', 'net', 'org', 'gov', 'ac', 'edu')
+                    AND length(string_split(host, '.')[len(string_split(host, '.'))]) = 2
+                  THEN array_to_string(string_split(host, '.')[
+                    len(string_split(host, '.')) - 2:len(string_split(host, '.'))], '.')
+                  WHEN len(string_split(host, '.')) >= 2
+                  THEN array_to_string(string_split(host, '.')[
+                    len(string_split(host, '.')) - 1:len(string_split(host, '.'))], '.')
+                  ELSE host END AS domain
+           FROM p)"""
+
   /** DuckDB mirror of TextAnalysis.h60 (same 15 hex digits, no mod). */
   private def oH60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
@@ -994,6 +1077,36 @@ object PipelineQueries {
           TextAnalysis.htmlExtract(page).as("text_plain"))
         .withColumn("n_chars", length(col("text_plain")))
         .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + registered domain (the crawl pipeline's
+    // URL-dedup key): each doc synthesizes a deliberately messy URL
+    // (mixed case, default/non-default ports, doubled slashes,
+    // tracking params, co.uk hosts, fragments) and both sides run
+    // their own normalization chains
+    "t31_url_canonicalize" -> ((s, dir) => {
+      val url = synthUrl(col("doc_id"), col("source"))
+      val host = TextAnalysis.urlHost(url)
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.canonicalUrl(url).as("url_canon"),
+          host.as("host"),
+          TextAnalysis.registeredDomain(host).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // per-domain cap (SEO-spam / politeness budget): at most 5 docs
+    // per registered domain, picked in deterministic salted-hash
+    // order — registeredDomain feeding the bounded-heap stratified
+    // pick, the composition a crawl corpus runs after t31
+    "t32_domain_cap" -> ((s, dir) => {
+      val url = synthUrl(col("doc_id"), col("source"))
+      val withDom = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.registeredDomain(TextAnalysis.urlHost(url))
+          .as("domain"))
+      Sampling.stratifiedTopN(withDom, "domain", "doc_id", 5,
+          "d7", portable = true)
+        .select(col("stratum").as("domain"), col("id").as("doc_id"))
+        .orderBy("domain", "doc_id")
     }),
 
     // sequence packing: 8 salted packing streams, 64-token training
@@ -3217,6 +3330,32 @@ object PipelineQueries {
            FROM c6)
          SELECT doc_id, text_plain, length(text_plain) AS n_chars
          FROM fin ORDER BY doc_id""",
+
+    // the URL normalization chain mirrored stage-for-stage on the
+    // same synthesized messy URLs
+    "t31_url_canonicalize" ->
+      s"""WITH u AS (
+           SELECT doc_id, $oSynthUrl AS url FROM documents),
+         $oUrlCanonChain
+         SELECT doc_id, url_canon, host, domain
+         FROM fin ORDER BY doc_id""",
+
+    // registered-domain derivation + the t05-style deterministic
+    // salted-hash pick, capped at 5 per domain
+    "t32_domain_cap" ->
+      s"""WITH u AS (
+           SELECT doc_id, $oSynthUrl AS url FROM documents),
+         $oUrlCanonChain,
+         hh AS (
+           SELECT domain, doc_id,
+             ${oH32("'d7' || CAST(doc_id AS VARCHAR)")} AS h
+           FROM fin),
+         r AS (
+           SELECT domain, doc_id,
+             row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+           FROM hh)
+         SELECT domain, doc_id FROM r WHERE rn <= 5
+         ORDER BY domain, doc_id""",
 
     "t05_sample_stratified" ->
       s"""WITH h AS (

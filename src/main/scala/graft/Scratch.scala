@@ -432,6 +432,34 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--t29scale")) {
+      // t29 trainer cost decomposition vs corpus scale: the feature
+      // build (tokenize + hash + persist) happens ONCE and tracks the
+      // corpus; each GD iteration after it is one per-doc margin agg
+      // + one bucket-keyed gradient agg over the persisted feature
+      // table. If the design claim holds, (iters=6 − iters=2)/4 — the
+      // marginal per-iteration cost — stays a small fraction of the
+      // iters=2 total at every scale. min-of-2 per cell (first pass
+      // absorbs JIT).
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.TextAnalysis
+      for (dir <- args.drop(1)) {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val n = d.count()
+        for (iters <- Seq(2, 6)) {
+          val s = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            TextAnalysis.trainHashedLogreg(d, "text", "doc_id",
+              col("lang") === "en", buckets = 64, iters = iters,
+              portable = true)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          println(f"T29 docs=$n%-7d iters=$iters min2=$s%7.2f s")
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--discovery100x")) {
       // 100x SERIES-CARDINALITY probe for the discovery endpoints
       // (VERDICT r12 Next #6): sf0.1 has 93.6k series; synthesize the

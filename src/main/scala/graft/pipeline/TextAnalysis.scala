@@ -723,4 +723,70 @@ object TextAnalysis {
     val amp = replace(named, lit("&amp;"), lit("&"))
     trim(regexp_replace(amp, "[ \\t\\n\\r\\f]+", " "))
   }
+
+  /** Lowercased host of an absolute URL, port stripped. */
+  def urlHost(url: Column): Column = {
+    val afterScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(afterScheme, "^([^/?#]+)", 1))
+    regexp_replace(hostport, ":[0-9]*$", "")
+  }
+
+  /**
+   * Registered (pay-level) domain of a lowercased host — the key a
+   * crawl pipeline groups by for per-site caps, politeness budgets
+   * and URL dedup. Heuristic public-suffix rule kept deliberately
+   * small and mirrorable: hosts ending in a two-letter ccTLD behind a
+   * common second-level label (co/com/net/org/gov/ac/edu, the co.uk
+   * family) keep THREE labels, everything else keeps two; bare or
+   * single-label hosts pass through. A full PSL snapshot would slot
+   * in as a broadcast join against this same column shape.
+   */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val sld = element_at(labels, -2)
+    val tld = element_at(labels, -1)
+    when(n >= 3 &&
+        sld.isin("co", "com", "net", "org", "gov", "ac", "edu") &&
+        length(tld) === 2,
+        concat_ws(".", slice(labels, -3, 3)))
+      .when(n >= 2, concat_ws(".", slice(labels, -2, 2)))
+      .otherwise(host)
+  }
+
+  /**
+   * Canonical form of an absolute http(s) URL — the normalization a
+   * crawl corpus applies before URL-keyed dedup, so the dozens of
+   * spellings of one page collapse to a single key: scheme and host
+   * lowercase; default port (http:80 / https:443) dropped, explicit
+   * non-default ports kept; duplicate slashes in the path collapsed
+   * and trailing slashes stripped (empty path → "/"; path CASE is
+   * preserved — it is significant); tracking parameters (utm_*,
+   * gclid, fbclid) removed and the surviving query parameters sorted
+   * (first `?` starts the query); the fragment dropped. Pure
+   * RE2-safe regexp/array column expressions — zero shuffles,
+   * whole-stage codegen, runs unchanged on a stream.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(afterScheme, "^([^/?#]+)", 1))
+    val host = regexp_replace(hostport, ":[0-9]*$", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portPart = when(port === "" || defaultPort, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(afterScheme, "^[^/?#]+([^?#]*)", 1)
+    val stripped =
+      regexp_replace(regexp_replace(rawPath, "/{2,}", "/"), "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"))
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, portPart, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
 }

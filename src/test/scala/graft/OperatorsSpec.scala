@@ -2723,6 +2723,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       math.abs(scored(2L)._2 - 1.0 / (1.0 + math.exp(-exp))) < 1e-9)
   }
 
+  test("canonicalUrl + registeredDomain: golden edge cases") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis.{canonicalUrl, registeredDomain, urlHost}
+    val cases = Seq(
+      // default port dropped, host lowered, path case kept, frag dropped
+      ("HTTPS://Ex.COM:443/A//B/?b=2&utm_source=x&a=1#f",
+        "https://ex.com/A/B?a=1&b=2", "ex.com", "ex.com"),
+      // non-default port kept; utm-only query vanishes entirely
+      ("http://ex.com:8080/p/?utm_campaign=z",
+        "http://ex.com:8080/p", "ex.com", "ex.com"),
+      // no path, no query -> root path; bare two-label host
+      ("https://WWW.Ex.COM", "https://www.ex.com/", "www.ex.com", "ex.com"),
+      // co.uk family keeps three labels; gclid dropped
+      ("http://a.b.Ex.CO.UK/x?gclid=1&k=v",
+        "http://a.b.ex.co.uk/x?k=v", "a.b.ex.co.uk", "ex.co.uk"),
+      // single-label host passes through registeredDomain
+      ("http://localhost:80/x", "http://localhost/x",
+        "localhost", "localhost"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), canonicalUrl(col("url")).as("c"),
+        urlHost(col("url")).as("h"),
+        registeredDomain(urlHost(col("url"))).as("d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    cases.foreach { case (in, c, h, d) =>
+      assert(got(in) == ((c, h, d)), s"for $in")
+    }
+  }
+
   test("htmlExtract: script body with tags/angles, &amp;lt; round-trip, collapse") {
     import spark.implicits._
     val html = "<html><head><style>p{x:1}</style>" +

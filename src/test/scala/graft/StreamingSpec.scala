@@ -592,6 +592,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("streaming classifier scoring under frozen weights == batch (stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.TextAnalysis
+    val corpus = Seq(
+      (1L, "alpha beta beta", "en"), (2L, "un deux trois", "fr"),
+      (3L, "alpha gamma", "en"), (4L, "", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val (w, bias) = TextAnalysis.trainHashedLogreg(corpus, "text", "doc_id",
+      col("lang") === "en", buckets = 8, iters = 2)
+    val batch = TextAnalysis.classifierScore(corpus, "text", "doc_id", w, bias)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val out = TextAnalysis.classifierScore(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", w, bias)
+    val q = out.writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "alpha beta beta"), (2L, "un deux trois"))
+    q.processAllAvailable()
+    mem.addData((3L, "alpha gamma"), (4L, ""))
+    q.processAllAvailable()
+    // a pure projection: no state store, no watermark, emits per batch
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "classifier scoring must run without streaming state")
+    q.stop()
+    val streamed = spark.table("clf_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming segment dedup: repeated segments dropped across documents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
