@@ -1341,4 +1341,90 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         Some("Must have 2 to 26 series, got 1 instead"))
     assert(errs.isEmpty, errs.take(5).mkString("\n"))
   }
+
+  // ---- URL canonicalization fuzz (t31) -------------------------------
+
+  /** Independent driver-side transcription of the canonicalUrl
+    * contract: plain string walking, no regexes shared with the
+    * engine implementation. */
+  private def canonRef(url: String): String = {
+    val noFrag = url.takeWhile(_ != '#')
+    val schemeEnd = url.indexOf("://")
+    val scheme = url.substring(0, schemeEnd).toLowerCase
+    val rest = url.substring(schemeEnd + 3)
+    val hostEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
+      match { case -1 => rest.length; case i => i }
+    val hostport = rest.substring(0, hostEnd).toLowerCase
+    val colon = hostport.lastIndexOf(':')
+    val (host, port) =
+      if (colon >= 0 && hostport.drop(colon + 1).forall(_.isDigit))
+        (hostport.take(colon), hostport.drop(colon + 1))
+      else (hostport, "")
+    val defaultPort = (scheme == "http" && port == "80") ||
+      (scheme == "https" && port == "443")
+    val portPart = if (port.isEmpty || defaultPort) "" else ":" + port
+    val afterHost = rest.drop(hostEnd)
+    val rawPath = afterHost.takeWhile(c => c != '?' && c != '#')
+    val collapsed = rawPath.foldLeft(new StringBuilder) { (sb, c) =>
+      if (c == '/' && sb.nonEmpty && sb.last == '/') sb else sb.append(c)
+    }.toString
+    val strippedP = collapsed.reverse.dropWhile(_ == '/').reverse
+    val path = if (strippedP.isEmpty) "/" else strippedP
+    val qIdx = noFrag.indexOf('?')
+    val qstr = if (qIdx < 0) "" else noFrag.drop(qIdx + 1)
+    def tracked(p: String): Boolean = {
+      val key = p.takeWhile(_ != '=')
+      key == "gclid" || key == "fbclid" || key.startsWith("utm_")
+    }
+    val params = qstr.split("&", -1).toSeq
+      .filter(p => p.nonEmpty && !tracked(p)).sorted
+    val qs = params.mkString("&")
+    scheme + "://" + host + portPart + path +
+      (if (qs.isEmpty) "" else "?" + qs)
+  }
+
+  private def drawUrl(rnd: Random): String = {
+    def pickS(xs: String*) = xs(rnd.nextInt(xs.size))
+    def mixCase(s: String) = s.map(c =>
+      if (rnd.nextBoolean()) c.toUpper else c)
+    val scheme = pickS("http", "https", "HTTP", "HTTPS", "HttpS")
+    val labels = (1 to 1 + rnd.nextInt(3)).map(_ =>
+      mixCase(pickS("alpha", "bravo9", "x", "data7")))
+    val suffix = rnd.nextInt(3) match {
+      case 0 => Seq(pickS("com", "org", "io"))
+      case 1 => Seq(pickS("co", "ac"), pickS("uk", "jp"))
+      case _ => Seq()
+    }
+    val host = mixCase((labels ++ suffix).mkString("."))
+    val port = pickS("", ":80", ":443", ":8080", ":9")
+    val path = (0 to rnd.nextInt(3)).map(_ =>
+      "/" * (1 + rnd.nextInt(3)) + mixCase(pickS("Docs", "a", "B2", "")))
+      .mkString + "/" * rnd.nextInt(3)
+    val qp = (0 until rnd.nextInt(5)).map(_ => pickS(
+      "a=1", "B=2", "a=1", "z", "k=", "utm_source=f", "utm_=x",
+      "gclid=1", "gclid", "gclidx=1", "fbclid=2", ""))
+    val query = if (qp.isEmpty && rnd.nextBoolean()) ""
+      else "?" + qp.mkString("&")
+    val frag = pickS("", "#sec", "#a?b=1")
+    s"$scheme://$host$port$path$query$frag"
+  }
+
+  test("fuzz URL canonicalization: 300 random messy URLs vs an " +
+       "independent transcription; canonicalUrl is idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis.canonicalUrl
+    val rnd = new Random(20260816)
+    val urls = (1 to 300).map(_ => drawUrl(rnd))
+    val got = urls.toDF("url")
+      .select(col("url"), canonicalUrl(col("url")).as("c"),
+        canonicalUrl(canonicalUrl(col("url"))).as("cc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val errs = got.flatMap { case (u, c, cc) =>
+      val want = canonRef(u)
+      (if (c != want) Seq(s"$u: got $c want $want") else Nil) ++
+        (if (cc != c) Seq(s"$u: not idempotent, $c -> $cc") else Nil)
+    }
+    assert(errs.isEmpty, errs.take(5).mkString("\n"))
+  }
 }
