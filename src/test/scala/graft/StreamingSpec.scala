@@ -624,6 +624,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming WET extraction + URL normalization == batch (stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.TextAnalysis
+    val pages = Seq(
+      (1L, "<p>A &amp; B</p><script>x<1</script>",
+        "HTTPS://Ex.COM:443//a/?utm_source=x&b=1#f"),
+      (2L, "<div>plain</div><!-- c -->",
+        "http://a.Ex.CO.UK:8080/P"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextAnalysis.htmlExtract(col("html")).as("text_plain"),
+        TextAnalysis.canonicalUrl(col("url")).as("url_canon"),
+        TextAnalysis.registeredDomain(
+          TextAnalysis.urlHost(col("url"))).as("domain"))
+    val batch = shape(pages.toDF("doc_id", "html", "url"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String, String)]
+    val q = shape(mem.toDF().toDF("doc_id", "html", "url"))
+      .writeStream.format("memory").queryName("wet_stream")
+      .outputMode("append").start()
+    mem.addData(pages.head)
+    q.processAllAvailable()
+    mem.addData(pages(1))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "extraction/normalization must run without streaming state")
+    q.stop()
+    val streamed = spark.table("wet_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming segment dedup: repeated segments dropped across documents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
