@@ -1109,6 +1109,24 @@ object PipelineQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // within-document repeated-line removal (RefinedWeb intra-doc
+    // dedup): each doc synthesizes a 6-line page with intra-doc
+    // repeats (A B A footer B footer) — "footer" also repeats ACROSS
+    // docs and must survive once per doc, the exact boundary with
+    // d16's cross-doc rule
+    "t33_line_dedup" -> ((s, dir) => {
+      val tk = TextAnalysis.tokens(col("text"))
+      val a = concat_ws(" ", slice(tk, 1, 5))
+      val b = concat_ws(" ", slice(tk, 6, 5))
+      val synth = concat_ws("\n", a, b, a, lit("footer"), b, lit("footer"))
+      TextAnalysis.stripRepeatedLines(
+          docs(s, dir).select(col("doc_id"), synth.as("text")),
+          "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("text_clean"))
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: 8 salted packing streams, 64-token training
     // sequences — each doc lands in (bucket, pack) at pack_off
     "t14_sequence_packing" -> ((s, dir) => {
@@ -3356,6 +3374,41 @@ object PipelineQueries {
            FROM hh)
          SELECT domain, doc_id FROM r WHERE rn <= 5
          ORDER BY domain, doc_id""",
+
+    // the intra-doc line dedup mirrored: positioned unnest, first
+    // occurrence per (doc, line), ordered reassembly
+    "t33_line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         pg AS (
+           SELECT doc_id,
+             string_split(
+               array_to_string(tk[1:5], ' ') || chr(10) ||
+               array_to_string(tk[6:10], ' ') || chr(10) ||
+               array_to_string(tk[1:5], ' ') || chr(10) ||
+               'footer' || chr(10) ||
+               array_to_string(tk[6:10], ' ') || chr(10) ||
+               'footer', chr(10)) AS ls
+           FROM t),
+         ln AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+             i -> struct_pack(pos := i,
+               line := ls[CAST(i AS INT)]))) AS e
+           FROM pg),
+         l2 AS (SELECT doc_id, e.pos AS pos, e.line AS line FROM ln),
+         fo AS (
+           SELECT doc_id, line, min(pos) AS pos, count(*) AS occ
+           FROM l2 GROUP BY doc_id, line),
+         fin AS (
+           SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_lines,
+             count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean
+           FROM fo GROUP BY doc_id)
+         SELECT doc_id, n_lines, n_kept, text_clean
+         FROM fin ORDER BY doc_id""",
 
     "t05_sample_stratified" ->
       s"""WITH h AS (

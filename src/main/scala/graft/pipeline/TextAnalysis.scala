@@ -724,6 +724,34 @@ object TextAnalysis {
     trim(regexp_replace(amp, "[ \\t\\n\\r\\f]+", " "))
   }
 
+  /**
+   * Within-document repeated-line removal — RefinedWeb's
+   * intra-document dedup pass, the complement of
+   * [[graft.pipeline.Dedup.boilerplateStrip]]'s CROSS-document
+   * frequency rule: a line repeated inside ONE document keeps only
+   * its first occurrence (nav menus, footers, pagination stamped
+   * down the same page), while the same line appearing in other
+   * documents is untouched. Output per doc: total line count, kept
+   * count, and the reassembled text in original order. One
+   * posexplode + two aggregations, both keyed on the
+   * high-cardinality (doc, line) / doc ids — nothing corpus-global,
+   * no window over corpus-sized partitions.
+   */
+  def stripRepeatedLines(df: DataFrame, textCol: String, idCol: String,
+                         sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"), posexplode(
+      split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val first = lines.groupBy("id", "line")
+      .agg(min("pos").as("pos"), count(lit(1)).as("occ"))
+    first.groupBy("id").agg(
+      sum(col("occ")).as("n_lines"),
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        _.getField("line")), sep).as("text_clean"))
+  }
+
   /** Lowercased host of an absolute URL, port stripped. */
   def urlHost(url: Column): Column = {
     val afterScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")

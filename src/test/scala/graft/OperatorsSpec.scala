@@ -2723,6 +2723,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       math.abs(scored(2L)._2 - 1.0 / (1.0 + math.exp(-exp))) < 1e-9)
   }
 
+  test("stripRepeatedLines: intra-doc keep-first; cross-doc repeats untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "nav\nbody one\nnav\nfooter\nbody two\nfooter"),
+      (2L, "nav\nother text\nfooter"), // nav/footer repeat ACROSS docs only
+      (3L, "solo"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .stripRepeatedLines(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1: nav(0) body one(1) footer(3) body two(4) — order preserved
+    assert(got(1L) == ((6L, 4L, "nav\nbody one\nfooter\nbody two")))
+    // doc 2 keeps its own nav/footer — intra-doc rule only
+    assert(got(2L) == ((3L, 3L, "nav\nother text\nfooter")))
+    assert(got(3L) == ((1L, 1L, "solo")))
+    assert(got(4L) == ((1L, 1L, ""))) // empty doc = one empty line
+  }
+
   test("canonicalUrl + registeredDomain: golden edge cases") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis.{canonicalUrl, registeredDomain, urlHost}
