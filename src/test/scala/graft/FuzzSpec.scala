@@ -1409,6 +1409,130 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     s"$scheme://$host$port$path$query$frag"
   }
 
+  // ---- HTML extraction fuzz (t30) ------------------------------------
+
+  /** Independent driver-side transcription of the htmlExtract
+    * contract: indexOf-based scanning, no regexes. Models the regex
+    * chain's semantics pass for pass: lazy comment/script/style
+    * block removal (an element with no valid close stays for the
+    * generic tag pass), generic `<...>` strip (a stray `<` swallows
+    * up to the NEXT `>` wherever it is), entity decode with `&amp;`
+    * last, and single-space collapse of the explicit class. */
+  private def htmlRef(html: String): String = {
+    def dropBlocks(s: String, openTok: String,
+                   closeTok: String): String = {
+      val sb = new StringBuilder(s)
+      var from = 0
+      var done = false
+      while (!done) {
+        val low = sb.toString.toLowerCase
+        val i = low.indexOf(openTok, from)
+        if (i < 0) done = true
+        else {
+          val after = i + openTok.length
+          val boundaryOk = after >= low.length ||
+            !(low(after).isLetterOrDigit || low(after) == '_')
+          if (!boundaryOk) { from = after }
+          else {
+            val openEnd = low.indexOf('>', after)
+            if (openEnd < 0) done = true // no open tag end -> no match
+            else {
+              // first VALID close: closeTok + [ \t\n\r]* + '>'
+              var c = low.indexOf(closeTok, openEnd + 1)
+              var closeEnd = -1
+              while (c >= 0 && closeEnd < 0) {
+                var j = c + closeTok.length
+                while (j < low.length && " \t\n\r".indexOf(low(j)) >= 0) j += 1
+                if (j < low.length && low(j) == '>') closeEnd = j
+                else c = low.indexOf(closeTok, c + 1)
+              }
+              if (closeEnd < 0) done = true // lazy body finds no close
+              else { sb.replace(i, closeEnd + 1, " "); from = i + 1 }
+            }
+          }
+        }
+      }
+      sb.toString
+    }
+    def dropComments(s: String): String = {
+      val sb = new StringBuilder(s)
+      var from = 0
+      var done = false
+      while (!done) {
+        val i = sb.indexOf("<!--", from)
+        val j = if (i < 0) -1 else sb.indexOf("-->", i + 4)
+        if (i < 0 || j < 0) done = true
+        else { sb.replace(i, j + 3, " "); from = i + 1 }
+      }
+      sb.toString
+    }
+    def dropTags(s: String): String = {
+      val sb = new StringBuilder(s)
+      var from = 0
+      var done = false
+      while (!done) {
+        val i = sb.indexOf("<", from)
+        val j = if (i < 0) -1 else sb.indexOf(">", i + 1)
+        if (i < 0 || j < 0) done = true
+        else { sb.replace(i, j + 1, " "); from = i + 1 }
+      }
+      sb.toString
+    }
+    var s = dropTags(dropBlocks(dropBlocks(dropComments(html),
+      "<script", "</script"), "<style", "</style"))
+    for ((e, r) <- Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ",
+        "&amp;" -> "&"))
+      s = s.replace(e, r)
+    val collapsed = s.foldLeft(new StringBuilder) { (sb, c) =>
+      val ws = " \t\n\r\f".indexOf(c) >= 0
+      if (ws && sb.nonEmpty && sb.last == ' ') sb
+      else sb.append(if (ws) ' ' else c)
+    }.toString
+    collapsed.stripPrefix(" ").stripSuffix(" ")
+  }
+
+  private def drawHtml(rnd: Random): String = {
+    def pickS(xs: String*) = xs(rnd.nextInt(xs.size))
+    val bits = (0 until 4 + rnd.nextInt(8)).map { _ =>
+      rnd.nextInt(10) match {
+        case 0 => pickS("<p>", "<div class=\"x\">", "<br/>", "</div>",
+          "<ScRiPtS>")                       // fake: \b fails on ScRiPtS
+        case 1 => pickS("<!-- c -->", "<!-- multi\nline -->", "<!--")
+        case 2 => pickS(
+          "<script>if(1<2 && a>0){s=\"<b>\";}</script>",
+          "<SCRIPT a=1>x</ScRiPt \n>",
+          "<script>no close here",            // unterminated block
+          "<script></scriptx></script>")      // invalid then valid close
+        case 3 => pickS("<style>p{a:1}</style>", "<STYLE>x</style\t>",
+          "<style>open")
+        case 4 => pickS("&amp;", "&amp;lt;", "&lt;tag&gt;", "&nbsp;",
+          "&#39;", "&quot;")
+        case 5 => pickS("< stray", "stray >", "a < b")
+        case _ => pickS("alpha", "Beta9", "text text", "x\ty",
+          "line\nbreak")
+      }
+    }
+    bits.mkString(pickS(" ", "", "\n"))
+  }
+
+  test("fuzz HTML extraction: 300 random pages vs an independent " +
+       "scanner transcription") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(20260817)
+    val pages = (1 to 300).map(_ => drawHtml(rnd))
+    val got = pages.toDF("h")
+      .select(col("h"),
+        graft.pipeline.TextAnalysis.htmlExtract(col("h")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val errs = got.flatMap { case (h, t) =>
+      val want = htmlRef(h)
+      if (t != want) Seq(s"[$h]: got [$t] want [$want]") else Nil
+    }
+    assert(errs.isEmpty, errs.take(3).mkString("\n"))
+  }
+
   test("fuzz URL canonicalization: 300 random messy URLs vs an " +
        "independent transcription; canonicalUrl is idempotent") {
     import org.apache.spark.sql.functions._
