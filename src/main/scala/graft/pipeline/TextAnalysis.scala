@@ -732,24 +732,27 @@ object TextAnalysis {
    * its first occurrence (nav menus, footers, pagination stamped
    * down the same page), while the same line appearing in other
    * documents is untouched. Output per doc: total line count, kept
-   * count, and the reassembled text in original order. One
-   * posexplode + two aggregations, both keyed on the
-   * high-cardinality (doc, line) / doc ids — nothing corpus-global,
-   * no window over corpus-sized partitions.
+   * count, and the reassembled text in original order.
+   *
+   * A pure column expression — keep line i iff its FIRST occurrence
+   * index is i (`array_position` inside an indexed `filter`), so the
+   * pass is a zero-shuffle, whole-stage-codegen'd scan projection
+   * that runs unchanged on a stream (no state store). The expression
+   * is quadratic in the PER-DOC line count (array_position rescans
+   * the array per line) — the right trade for real documents (tens
+   * to hundreds of lines, all in cache); a corpus of pathological
+   * million-line docs should route through the d11-style
+   * explode + (doc, line)-keyed first-occurrence aggregation, whose
+   * shuffles stay doc-keyed.
    */
   def stripRepeatedLines(df: DataFrame, textCol: String, idCol: String,
                          sep: String = "\n"): DataFrame = {
-    val lines = df.select(col(idCol).as("id"), posexplode(
-      split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("pos", "line")))
-    val first = lines.groupBy("id", "line")
-      .agg(min("pos").as("pos"), count(lit(1)).as("occ"))
-    first.groupBy("id").agg(
-      sum(col("occ")).as("n_lines"),
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("line")))),
-        _.getField("line")), sep).as("text_clean"))
+    val ls = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = filter(ls, (l, i) => array_position(ls, l) === i + 1)
+    df.select(col(idCol).as("id"),
+      size(ls).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, sep).as("text_clean"))
   }
 
   /** Lowercased host of an absolute URL, port stripped. */

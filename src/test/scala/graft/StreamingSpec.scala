@@ -656,6 +656,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming intra-doc line dedup == batch (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.TextAnalysis
+    val rows = Seq((1L, "nav\nbody\nnav\nfooter"), (2L, "a\na\na"),
+      (3L, ""))
+    val batch = TextAnalysis.stripRepeatedLines(
+        rows.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.stripRepeatedLines(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("linededup_stream")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "line dedup must run without streaming state")
+    q.stop()
+    val streamed = spark.table("linededup_stream")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming segment dedup: repeated segments dropped across documents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
