@@ -846,4 +846,100 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").collect().map(_.getLong(0)).toSet
     ids.foreach(i => assert(all.contains(i)))
   }
+
+  test("property: rankingEval == independent driver-side nDCG/MRR") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val r = new scala.util.Random(20260818)
+    val k = 4
+    val queries = (1 to 12).map(_.toLong)
+    // distinct judged docs per query, graded 0-3 (rel = 0 judged docs
+    // must behave exactly like unjudged ones)
+    val truthRows = queries.flatMap { q =>
+      r.shuffle((0 to 9).toList).take(r.nextInt(6))
+        .map(d => (q, d.toLong, r.nextInt(4).toDouble))
+    }
+    // result lists with ranks 1.., some docs unjudged (ids 10-11),
+    // some lists longer than k, some queries absent
+    val approxRows = queries.filter(_ => r.nextInt(5) > 0).flatMap { q =>
+      r.shuffle((0 to 11).toList).take(1 + r.nextInt(6))
+        .zipWithIndex.map { case (d, i) => (q, d.toLong, i + 1) }
+    }
+    val got = Similarity.rankingEval(
+        approxRows.toDF("q_id", "vec_id", "rank"),
+        truthRows.toDF("q_id", "vec_id", "rel"), k)
+      .collect().map(row => row.getLong(0) ->
+        (row.getDouble(1), row.getDouble(2))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    val relMap = truthRows.map { case (q, d, rel) => (q, d) -> rel }.toMap
+    val expect = approxRows.groupBy(_._1).flatMap { case (q, rows) =>
+      val topk = rows.filter(_._3 <= k)
+      if (topk.isEmpty) None else {
+        val dcg = topk.map { case (_, d, rk) =>
+          relMap.getOrElse((q, d), 0.0) / lg2(rk + 1.0) }.sum
+        val ideal = truthRows.filter(t => t._1 == q && t._3 > 0)
+          .sortBy(t => (-t._3, t._2)).take(k)
+        val idcg = ideal.zipWithIndex
+          .map { case (t, i) => t._3 / lg2(i + 2.0) }.sum
+        val first = topk
+          .filter { case (_, d, _) => relMap.getOrElse((q, d), 0.0) > 0 }
+          .map(_._3).sorted.headOption
+        Some(q -> (if (idcg == 0) 0.0 else dcg / idcg,
+          first.map(1.0 / _).getOrElse(0.0)))
+      }
+    }
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (q, (nd, mrr)) =>
+      assert(math.abs(got(q)._1 - nd) < 1e-9, s"ndcg q$q")
+      assert(math.abs(got(q)._2 - mrr) < 1e-9, s"mrr q$q")
+    }
+  }
+
+  test("property: trainHashedLogreg == independent driver-side GD") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val r = new scala.util.Random(20260819)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val corpus = (1 to 25).map { i =>
+      val text = (0 until r.nextInt(6))
+        .map(_ => words(r.nextInt(words.size))).mkString(" ")
+      (i.toLong, text, if (r.nextBoolean()) "en" else "fr")
+    }
+    val buckets = 8; val iters = 3; val lr = 0.4
+    val (w, bias) = TextAnalysis.trainHashedLogreg(
+      corpus.toDF("doc_id", "text", "lang"), "text", "doc_id",
+      col("lang") === "en", buckets, iters, lr, portable = true)
+    // independent trainer: own MD5 hashing, dense per-doc loops
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16) % 4294967296L
+    }
+    val feats = corpus
+      .map { case (_, text, lang) =>
+        (text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty),
+          if (lang == "en") 1.0 else 0.0) }
+      .filter(_._1.nonEmpty)
+      .map { case (tk, y) =>
+        val m = scala.collection.mutable.Map[Int, Double]()
+          .withDefaultValue(0.0)
+        tk.foreach(t => m((h32(t) % buckets).toInt) += 1.0 / tk.length)
+        m(buckets) = 1.0
+        (m.toMap, y)
+      }
+    val ww = Array.fill(buckets + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val grad = Array.fill(buckets + 1)(0.0)
+      feats.foreach { case (x, y) =>
+        val s = x.map { case (b, v) => ww(b) * v }.sum
+        val rr = 1.0 / (1.0 + math.exp(-s)) - y
+        x.foreach { case (b, v) => grad(b) += rr * v }
+      }
+      for (b <- 0 to buckets) ww(b) -= lr * grad(b) / feats.size
+    }
+    (0 until buckets).foreach(b =>
+      assert(math.abs(w(b) - ww(b)) < 1e-8, s"w($b)"))
+    assert(math.abs(bias - ww(buckets)) < 1e-8)
+  }
 }
