@@ -240,14 +240,41 @@ object Engine {
   /** Parse-and-run a POST /api/query JSON body: one result DataFrame
     * per sub-query, routed through percentile extraction when the
     * sub-query sets `percentiles` (reference TSSubQuery.percentiles,
-    * src/core/TSSubQuery.java:94-95). */
+    * src/core/TSSubQuery.java:94-95).
+    *
+    * When [[trackServes]] is on, this is the reference's
+    * QueryRpc.handleQuery flow: a QueryStats registers BEFORE parsing
+    * (QueryRpc.java:127-137), parse errors record the 400 mapping, and
+    * each sub-query frame carries observe-based emittedDPs tracking
+    * that completes the stats entry when the caller consumes the last
+    * frame — one execution, no pre-count. */
   def runJson(points: DataFrame, body: String,
               now: Long = System.currentTimeMillis(),
-              rollups: Seq[RollupTable] = Seq.empty): Seq[DataFrame] = {
-    val q = JsonQuery.parse(body, now)
-    q.queries.map { sub =>
-      if (sub.percentiles.nonEmpty) runPercentiles(points, q, sub)
-      else run(points, q, sub, rollups)
+              rollups: Seq[RollupTable] = Seq.empty,
+              remote: String = "0.0.0.0:0",
+              headers: Map[String, String] = Map.empty): Seq[DataFrame] = {
+    def build(): Seq[DataFrame] = {
+      val q = JsonQuery.parse(body, now)
+      q.queries.map { sub =>
+        if (sub.percentiles.nonEmpty) runPercentiles(points, q, sub)
+        else run(points, q, sub, rollups)
+      }
+    }
+    if (!trackServes) build()
+    else {
+      val st = new graft.query.QueryStatsLog.QueryStats(
+        remote, body, headers)
+      try attachTracking(st, build())
+      catch {
+        case e: IllegalArgumentException =>
+          st.markSerialized(400, "Bad Request", e)
+          st.markSendFailed()
+          throw e
+        case e: Throwable =>
+          st.markSerialized(500, "Internal Server Error", e)
+          st.markSendFailed()
+          throw e
+      }
     }
   }
 
@@ -1186,26 +1213,26 @@ object Engine {
    * around every served query (reference src/tsd/QueryRpc.java:127-137
    * registers `new QueryStats(remote, query, headers)` before parsing;
    * the serializer callbacks markSerialized/markSent on the way out and
-   * the error path records the failure code): `body` builds and is
-   * materialized ONCE (the count doubles as the response's emittedDPs —
-   * the reference's AGGREGATED_SIZE stat), success records 200/OK +
-   * sent, an IllegalArgumentException is the reference's 400 mapping
-   * and anything else its 500, both re-thrown after recording. The
-   * completed ring ([[graft.query.QueryStatsLog]]) then serves
-   * `/api/stats/query`.
+   * the error path records the failure code). The result is consumed
+   * ONCE, by the caller: tracking rides the caller's own action as a
+   * `CollectMetrics` (Dataset.observe) row count — the reference's
+   * emittedDPs is incremented during serialization and pays nothing
+   * extra, and so does this (no pre-`count()`, no second execution).
+   * The query stays in the RUNNING set until the caller's first action
+   * completes; a [[ServeListener]] then records emittedDPs from the
+   * observed metric and moves the entry into the completed ring
+   * ([[graft.query.QueryStatsLog]]) that serves `/api/stats/query`.
+   * Build-time IllegalArgumentException is the reference's 400 mapping
+   * and anything else its 500, both re-thrown after recording;
+   * execution-time failures record 500 through the listener.
    */
   def serveTracked(remote: String, queryText: String,
                    headers: Map[String, String] = Map.empty)
                   (body: => DataFrame): DataFrame = {
     val st = new graft.query.QueryStatsLog.QueryStats(
       remote, queryText, headers)
-    try {
-      val df = body
-      st.addStat("emittedDPs", df.count())
-      st.markSerialized(200, "OK", null)
-      st.markSent()
-      df
-    } catch {
+    try attachTracking(st, Seq(body)).head
+    catch {
       case e: IllegalArgumentException =>
         st.markSerialized(400, "Bad Request", e)
         st.markSendFailed()
@@ -1216,4 +1243,106 @@ object Engine {
         throw e
     }
   }
+
+  /** When true, [[runJson]] (the V1 POST /api/query serving entry)
+    * registers a [[graft.query.QueryStatsLog.QueryStats]] per body and
+    * tracks each sub-query's emittedDPs through the observe path —
+    * `/api/stats/query` then reflects actually-served queries. Off by
+    * default: library callers running plans outside a serving tier
+    * should not populate a daemon stats ring. */
+  @volatile var trackServes: Boolean = false
+
+  private val serveSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** One tracked serve over `n` result frames (one HTTP query = one
+    * QueryStats covering all its sub-queries). Completion fires when
+    * the LAST frame's first action lands; any frame failing first
+    * records the error code and wins (reference: serialization aborts
+    * on the first sub-query error). */
+  private final class TrackedServe(
+      val st: graft.query.QueryStatsLog.QueryStats, n: Int) {
+    private val remaining = new java.util.concurrent.atomic.AtomicInteger(n)
+    private val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def succeed(idx: Int, emitted: Long): Unit = {
+      if (n == 1) st.addStat("emittedDPs", emitted)
+      else st.addStat(idx, "emittedDPs", emitted)
+      if (remaining.decrementAndGet() == 0 && !failed.get()) {
+        st.markSerialized(200, "OK", null)
+        st.markSent()
+      }
+    }
+    def fail(e: Throwable): Unit = if (failed.compareAndSet(false, true)) {
+      val (code, reason) = e match {
+        case _: IllegalArgumentException => (400, "Bad Request")
+        case _ => (500, "Internal Server Error")
+      }
+      st.markSerialized(code, reason, e)
+      st.markSendFailed()
+    }
+  }
+
+  private val pendingServes =
+    new java.util.concurrent.ConcurrentHashMap[String, (TrackedServe, Int)]()
+  private val serveListenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Completes tracked serves when the caller's action lands: reads
+    * the observed `graft_serve_*` row count on success, or maps the
+    * failing plan's pending serves to a 500 on failure. Registered
+    * once per SparkSession; fires on the (async) execution-listener
+    * bus, so a serve completes shortly AFTER the caller's action
+    * returns — [[awaitTrackedServes]] is the test barrier. */
+  private object ServeListener
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        if (name.startsWith("graft_serve_"))
+          Option(pendingServes.remove(name)).foreach { case (ts, idx) =>
+            ts.succeed(idx, row.getLong(0))
+          }
+      }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        ex: Exception): Unit =
+      qe.analyzed.collect {
+        case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+            if c.name.startsWith("graft_serve_") => c.name
+      }.foreach(name =>
+        Option(pendingServes.remove(name)).foreach(_._1.fail(ex)))
+  }
+
+  /** Attach observe-based tracking to each result frame: a uniquely
+    * named `CollectMetrics(count)` rides the caller's own action, so
+    * one tracked serve executes ONE job over the result. */
+  private def attachTracking(st: graft.query.QueryStatsLog.QueryStats,
+                             dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    val ts = new TrackedServe(st, dfs.size)
+    dfs.zipWithIndex.map { case (df, i) =>
+      val sess = df.sparkSession
+      if (serveListenerSessions.add(
+          java.lang.System.identityHashCode(sess).toString))
+        sess.listenerManager.register(ServeListener)
+      val name = s"graft_serve_${serveSeq.incrementAndGet()}"
+      pendingServes.put(name, (ts, i))
+      df.observe(name, count(lit(1)).as("emittedDPs"))
+    }
+  }
+
+  /** Test/diagnostic barrier: true when every tracked serve whose
+    * action has run has been recorded (the execution-listener bus is
+    * async). Serves whose frames were never consumed stay pending —
+    * they are still "running" queries by contract. */
+  def awaitTrackedServes(timeoutMs: Long = 30000L): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!pendingServes.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(5)
+    pendingServes.isEmpty
+  }
+
+  /** Test hook: abandon tracked serves whose frames will never be
+    * consumed, so a later [[awaitTrackedServes]] doesn't time out on
+    * another test's leftovers. */
+  def clearPendingServes(): Unit = pendingServes.clear()
 }

@@ -1466,7 +1466,18 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(QueryParser.parseSubQuery("sum:cpu")))
     val ok = Engine.serveTracked("1.2.3.4:4242", "m=sum:cpu")(
       Engine.run(pts, q, q.queries.head))
+    // ONE-EXECUTION PROOF: serveTracked itself runs no job — the query
+    // is still RUNNING (the old pre-count() would have completed it
+    // here), and the returned plan carries the CollectMetrics node
+    // that makes the caller's own action do the counting.
+    assert(QueryStatsLog.numRunning == 1,
+      "serveTracked must not execute the plan itself")
+    assert(ok.queryExecution.analyzed.collect {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+          if c.name.startsWith("graft_serve_") => c
+    }.nonEmpty, "tracking must ride the caller's action via observe")
     assert(ok.count() == 2)
+    assert(Engine.awaitTrackedServes(), "tracked serve never recorded")
     var doc = QueryStatsLog.getRunningAndCompleteStats(0L)
     assert(QueryStatsLog.numRunning == 0)
     assert(doc.contains(""""code":200""") &&
@@ -1482,9 +1493,60 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
       doc.contains(""""sentToClient":false"""), doc)
     // the same (remote, query, code) re-executed bumps the ring counter
     Engine.serveTracked("1.2.3.4:4242", "m=sum:cpu")(
-      Engine.run(pts, q, q.queries.head))
+      Engine.run(pts, q, q.queries.head)).count()
+    assert(Engine.awaitTrackedServes(), "tracked serve never recorded")
     doc = QueryStatsLog.getRunningAndCompleteStats(0L)
     assert(doc.contains(""""executed":2"""), doc)
     QueryStatsLog.reset()
+  }
+
+  test("Engine.runJson under trackServes: one QueryStats per body, " +
+       "per-sub-query emittedDPs roll up, parse errors record 400 " +
+       "(QueryRpc.handleQuery registers before parsing)") {
+    import graft.query.QueryStatsLog
+    QueryStatsLog.reset()
+    Engine.clearPendingServes()
+    import scala.jdk.CollectionConverters._
+    val pts = spark.createDataFrame(Seq(
+      Row("cpu", HB, 1.0, java.lang.Long.valueOf(1L), true,
+        Map("host" -> "a")),
+      Row("cpu", HB + 60000L, 2.0, java.lang.Long.valueOf(2L), true,
+        Map("host" -> "a")),
+      Row("mem", HB, 5.0, java.lang.Long.valueOf(5L), true,
+        Map("host" -> "a"))).asJava, Points.schema)
+    val body =
+      s"""{"start":${HB - 1000L},"end":${HB + 3600000L},"queries":[
+         |{"aggregator":"sum","metric":"cpu"},
+         |{"aggregator":"sum","metric":"mem"}]}""".stripMargin
+    Engine.trackServes = true
+    try {
+      val dfs = Engine.runJson(pts, body, remote = "5.6.7.8:4242")
+      assert(dfs.size == 2)
+      // still running until the LAST frame is consumed
+      assert(QueryStatsLog.numRunning == 1)
+      assert(dfs.head.count() == 2)
+      Thread.sleep(50)
+      assert(QueryStatsLog.numRunning == 1,
+        "must stay running until every sub-query frame is served")
+      assert(dfs(1).count() == 1)
+      assert(Engine.awaitTrackedServes(), "tracked serve never recorded")
+      assert(QueryStatsLog.numRunning == 0)
+      val doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+      // counters sum into overall through aggSubQueryStats
+      assert(doc.contains(""""emittedDPs":3"""), doc)
+      assert(doc.contains("queryIdx_00") && doc.contains("queryIdx_01"),
+        doc)
+      assert(doc.contains(""""remote":"5.6.7.8:4242""""), doc)
+      // parse error: registered before parsing, recorded as 400
+      intercept[IllegalArgumentException] {
+        Engine.runJson(pts, """{"start":1}""", remote = "5.6.7.8:4242")
+      }
+      val doc2 = QueryStatsLog.getRunningAndCompleteStats(0L)
+      assert(doc2.contains(""""code":400"""), doc2)
+    } finally {
+      Engine.trackServes = false
+      Engine.clearPendingServes()
+      QueryStatsLog.reset()
+    }
   }
 }
