@@ -780,6 +780,30 @@ object SparkEntry {
         .orderBy("remote", "query")
     }),
 
+    // §2.14 /api/tree/branch hex-addressed browsing (reference
+    // TreeRpc.handleBranch:213-253 over Branch.fetchBranch:426-553):
+    // the tree builds once into the branch/leaf store, then two
+    // branch GETs — the 'click' node (child branches, one per user)
+    // and the 'click/7' node (leaves with Leaf's displayName/tsuid/
+    // metric fields) — addressed by the reference's row-key hex
+    // (2-byte tree id + per-element String.hashCode). The lookups are
+    // pushed-down (tree_id, depth, hash-chain) scans, never collects.
+    "q109_tree_branch" -> ((s, dir) => {
+      import graft.meta.{TreeDefs, Trees}
+      val rules = Seq(
+        Trees.Rule(1, 0, 0, "METRIC"),
+        Trees.Rule(1, 1, 0, "TAGK", field = "user"),
+        Trees.Rule(1, 2, 0, "TAGK", field = "k"))
+        .foldLeft(Trees.emptyRules(s))(Trees.upsertRule)
+      val (branches, leaves) =
+        Trees.buildBranchStore(pts(s, dir), rules, treeId = 1)
+      val b1 = TreeDefs.browseRows(branches, leaves,
+        TreeDefs.branchIdHex(1, Seq("click")))
+      val b2 = TreeDefs.browseRows(branches, leaves,
+        TreeDefs.branchIdHex(1, Seq("click", "7")))
+      b1.unionByName(b2).orderBy("branch", "kind", "display_name")
+    }),
+
     // §2.8 alias TAG TEMPLATING through a gexp pipeline: `@user`
     // advances the group tag into the metric name (reference
     // PostAggregatedDataPoints.metricNameAsync:75-97 — Graphite-style
@@ -2848,6 +2872,26 @@ object SparkEntry {
            SELECT '192.168.1.1:4242', 'm=sum:click',
              CAST(200 AS BIGINT), CAST(2 AS BIGINT), dps FROM n)
          ORDER BY remote, query""",
+
+    "q109_tree_branch" ->
+      s"""$O, series AS (
+           SELECT DISTINCT metric, tag_user, tag_k,
+             metric || '|k=' || coalesce(tag_k, '-')
+               || ',user=' || coalesce(tag_user, '-') AS tsuid
+           FROM points WHERE metric = 'click'),
+         kids AS (
+           SELECT 'click' AS branch, 'branch' AS kind,
+             tag_user AS display_name, 'click/' || tag_user AS path,
+             CAST(NULL AS VARCHAR) AS tsuid, CAST(NULL AS VARCHAR) AS metric
+           FROM series WHERE tag_user IS NOT NULL GROUP BY tag_user),
+         leafs AS (
+           SELECT 'click/7' AS branch, 'leaf' AS kind,
+             tag_k AS display_name, 'click/7/' || tag_k AS path,
+             min(tsuid) AS tsuid, 'click' AS metric
+           FROM series WHERE tag_user = '7' AND tag_k IS NOT NULL
+           GROUP BY tag_k)
+         SELECT * FROM (SELECT * FROM kids UNION ALL SELECT * FROM leafs)
+         ORDER BY branch, kind, display_name""",
 
     "q107_gexp_uri" ->
       s"""$O, d AS (

@@ -67,6 +67,33 @@ object CdcBoundaries {
     Bridge.column(new CdcBoundaries(Bridge.expression(c), width, modulus))
 }
 
+/**
+ * `java.lang.String.hashCode` of a string column — the hash the
+ * reference addresses tree branches with (each path element contributes
+ * `Bytes.fromInt(name.hashCode())` to the branch row key,
+ * reference src/tree/Branch.java:268-307). Native expression so branch
+ * lookups stay inside whole-stage codegen; exact UTF-16 semantics via
+ * the JDK's own implementation.
+ */
+case class JavaHashCode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "java_hash_code"
+
+  override protected def nullSafeEval(input: Any): Any =
+    input.asInstanceOf[UTF8String].toString.hashCode
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$c.toString().hashCode()")
+
+  override protected def withNewChildInternal(newChild: Expression): JavaHashCode =
+    copy(child = newChild)
+}
+
+object JavaHashCode {
+  def apply(c: Column): Column = Bridge.column(new JavaHashCode(Bridge.expression(c)))
+}
+
 object Md5Prefix60 {
 
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>

@@ -36,7 +36,8 @@ object Trees {
                   field: String = "", separator: String = "",
                   component: Int = 0, regex: String = "",
                   regexGroup: Int = 0, description: String = "",
-                  customField: String = "")
+                  customField: String = "", notes: String = "",
+                  displayFormat: String = "")
 
   /** separator-then-regex post-processing shared by every rule type
     * (reference TreeBuilder.processParsedValue order). */
@@ -329,6 +330,57 @@ object Trees {
       .select(col("__tsuid").as("tsuid"), col("existing_tsuid"), col("path"))
     BuildReport(build(prepared, levelCols, strictMatch), collisions,
       notMatched)
+  }
+
+  /**
+   * Branch + leaf store for `/api/tree/branch` browsing (reference
+   * Branch/Leaf rows, src/tree/Branch.java:88, Leaf.java:60): branches
+   * are the adjacency nodes ABOVE the leaf level (depth 1..n-1 — the
+   * reference materializes the final rule level as LEAVES on the
+   * depth-(n-1) branch, not as branches), leaves are one row per
+   * full-depth series keyed by the parent branch's path and carrying
+   * the reference Leaf fields (displayName, tsuid, metric, tags —
+   * Leaf.java:60-86). Leaf collisions on (branch, displayName) keep
+   * the MIN tsuid — the same deterministic winner as [[buildReport]].
+   * One shuffle each; both frames are (tree_id, path)-addressable so
+   * browse lookups are pushed-down scans, never table collects.
+   */
+  def buildBranchStore(series: DataFrame, rulesTable: DataFrame,
+                       treeId: Int,
+                       uidMeta: Option[DataFrame] = None,
+                       strictMatch: Boolean = false,
+                       tsuid: Column = canonicalTsuid)
+      : (DataFrame, DataFrame) = {
+    val rules = rulesFor(rulesTable, treeId)
+    require(rules.nonEmpty, s"tree $treeId has no rules")
+    require(uidMeta.isDefined || !rules.exists(isCustom),
+      s"tree $treeId has *_CUSTOM rules but no uidMeta table was given")
+    val prepared = uidMeta match {
+      case Some(m) => withCustomSources(series, rules, m)
+      case None => series
+    }
+    val byLevel = rules.groupBy(_.level).toSeq.sortBy(_._1)
+    val levelCols = byLevel.map { case (_, rs) =>
+      coalesce(rs.sortBy(_.order).map(compileRule): _*) }
+    val n = levelCols.length
+    val branches = build(prepared, levelCols, strictMatch)
+      .filter(col("depth") < n)
+      .withColumn("tree_id", lit(treeId))
+    val full = prepared
+      .select(Seq(tsuid.as("tsuid"), col("metric"), col("tags")) ++
+        levelCols.zipWithIndex.map { case (c, i) => c.as(s"__l$i") }: _*)
+      .filter((0 until n).map(i => col(s"__l$i").isNotNull).reduce(_ && _))
+      .withColumn("branch_path",
+        if (n == 1) lit("")
+        else concat_ws("/", (0 until n - 1).map(i => col(s"__l$i")): _*))
+      .withColumn("display_name", col(s"__l${n - 1}"))
+    val leaves = full.groupBy("branch_path", "display_name")
+      .agg(min_by(struct(col("tsuid"), col("metric"), col("tags")),
+        col("tsuid")).as("__w"))
+      .select(lit(treeId).as("tree_id"), col("branch_path"),
+        col("display_name"), col("__w.tsuid").as("tsuid"),
+        col("__w.metric").as("metric"), col("__w.tags").as("tags"))
+    (branches, leaves)
   }
 
   /**
