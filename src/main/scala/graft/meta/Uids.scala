@@ -410,6 +410,107 @@ object Uids {
     table.join(edits.select(id.map(col): _*), id, "left_anti")
       .unionByName(edits)
 
+  /**
+   * UIDMeta.syncToStorage's single-entity RPC sync (reference
+   * src/meta/UIDMeta.java:175-277, routed by UniqueIdRpc
+   * .handleUIDMeta:167-273): the Missing UID / Missing type gates, the
+   * all-unset no-changes IllegalStateException (304), the UID-must-
+   * resolve check (the reference's NoSuchUniqueId → the RPC's 404
+   * "Could not find the requested UID"), then fetch-merge-replace —
+   * POST keeps stored values where the edit is null (syncMeta
+   * overwrite=false), PUT replaces every user field, and `created`
+   * only ever moves EARLIER under both (syncMeta's unconditional
+   * guard). `edit` is one wire-sized row on the uidMeta table's
+   * schema; the stored-row fetch is a pushed-down point lookup.
+   */
+  def syncUidMetaRpc(table: DataFrame, registry: DataFrame,
+                     edit: DataFrame, overwrite: Boolean): DataFrame = {
+    val row = edit.limit(1).collect().headOption.getOrElse(
+      throw new IllegalArgumentException("Missing UID"))
+    val cols = edit.columns.toSeq
+    val uidIx = cols.indexOf("uid")
+    val kindIx = cols.indexOf("kind")
+    if (uidIx < 0 || row.isNullAt(uidIx))
+      throw new IllegalArgumentException("Missing UID")
+    if (kindIx < 0 || row.isNullAt(kindIx) ||
+        row.getString(kindIx).isEmpty)
+      throw new IllegalArgumentException("Missing type")
+    val uid = row.getLong(uidIx)
+    val kind = row.getString(kindIx)
+    if (registry.filter(col("kind") === kind && col("uid") === uid)
+        .isEmpty)
+      throw new NoSuchElementException("Could not find the requested UID")
+    syncOneRow(table, Seq("kind", "uid"), row, overwrite,
+      noChanges = "No changes detected in UID meta data",
+      mustExist = None)
+  }
+
+  /**
+   * TSMeta.syncToStorage's single-entity RPC sync (reference
+   * src/meta/TSMeta.java:220-330, routed by UniqueIdRpc
+   * .handleTSMeta:280-400): Missing TSUID, the no-changes
+   * IllegalStateException, and — unlike UIDMeta — the row MUST already
+   * exist ("Requested TSMeta did not exist", TSMeta.java:309; TSMeta
+   * rows are system-created by the meta tracking path, never by the
+   * RPC). Same POST-merge / PUT-replace / created-moves-earlier
+   * contract.
+   */
+  def syncTsMetaRpc(table: DataFrame, edit: DataFrame,
+                    overwrite: Boolean): DataFrame = {
+    val row = edit.limit(1).collect().headOption.getOrElse(
+      throw new IllegalArgumentException("Missing TSUID"))
+    val cols = edit.columns.toSeq
+    val idIx = cols.indexOf("tsuid")
+    if (idIx < 0 || row.isNullAt(idIx) || row.getString(idIx).isEmpty)
+      throw new IllegalArgumentException("Missing TSUID")
+    syncOneRow(table, Seq("tsuid"), row, overwrite,
+      noChanges = "No changes detected in TSUID meta data",
+      mustExist = Some("Requested TSMeta did not exist"))
+  }
+
+  /** The shared fetch-merge-replace body: one stored-row point lookup,
+    * driver-side field merge (the reference's syncMeta), one
+    * replace-by-identity write back. */
+  private def syncOneRow(table: DataFrame, id: Seq[String],
+                         edit: org.apache.spark.sql.Row,
+                         overwrite: Boolean, noChanges: String,
+                         mustExist: Option[String]): DataFrame = {
+    val cols = table.columns.toSeq
+    val fields = cols.filterNot(id.contains)
+    def at(r: org.apache.spark.sql.Row, c: String): Any = {
+      val i = r.schema.fieldNames.indexOf(c)
+      if (i < 0 || r.isNullAt(i)) null else r.get(i)
+    }
+    if (fields.forall(c => at(edit, c) == null))
+      throw new IllegalStateException(noChanges)
+    val idMatch = id.map(c => col(c) === lit(at(edit, c))).reduce(_ && _)
+    val stored = table.filter(idMatch).limit(1).collect().headOption
+    if (stored.isEmpty && mustExist.isDefined)
+      throw new IllegalArgumentException(mustExist.get)
+    val merged = stored match {
+      case None => org.apache.spark.sql.Row.fromSeq(cols.map(at(edit, _)))
+      case Some(s) => org.apache.spark.sql.Row.fromSeq(cols.map { c =>
+        val ev = at(edit, c); val sv = at(s, c)
+        if (id.contains(c)) sv
+        else if (c == "created") (ev, sv) match {
+          // least positive wins regardless of overwrite (syncMeta's
+          // `meta.created > 0 && (created == 0 || meta.created <
+          // created)` guard in both POJOs)
+          case (e: Long, st: Long) if e > 0 && st > 0 => math.min(e, st)
+          case (e: Long, _) if e > 0 => e
+          case (_, st: Long) => st
+          case _ => if (ev != null) ev else sv
+        }
+        else if (overwrite) ev
+        else if (ev != null) ev else sv
+      })
+    }
+    val spark = table.sparkSession
+    val one = spark.createDataFrame(
+      java.util.Arrays.asList(merged), table.schema)
+    table.filter(!idMatch).unionByName(one)
+  }
+
   // ---- MetaSync / MetaPurge -------------------------------------------
   //
   // Reference src/tools/MetaSync.java:40-50 (scan the data table,

@@ -2597,6 +2597,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(movingAverageByTime(pts5, 240000L)) == Seq(0.0, 0.0, 0.0, 0.0, 3.5))
     // TestFirstDifference: first point of each series emits 0.0, kept
     assert(got(firstDiff(pts5)) == Seq(0.0, 1.0, 1.0, 1.0, 1.0))
+    // TestFirstDifference's two-series evaluate matrix (reference
+    // test/query/expression/TestFirstDifference.java:85-305): a second
+    // sys.mem series with start 10 and increment {1, 1.5, -1} diffs
+    // independently of sys.cpu, keeps every timestamp, and emits the
+    // per-series leading 0.0 — covering the PositiveGroupByLong/
+    // Double, PositiveGroupBy1point5Double, FactorNegativeGroupByLong
+    // and NegativeGroupByDouble/SubQuerySeries vectors (long vs
+    // double inputs are one code path here: `value` is double-typed)
+    for (inc <- Seq(1.0, 1.5, -1.0)) {
+      val mem = (0 until 5)
+        .map(i => ("sys.mem", start + i * 60000L, 10.0 + i * inc))
+        .toDF("metric", "ts", "value")
+      val out = firstDiff(pts5.unionByName(mem))
+        .orderBy("metric", "ts").collect()
+      assert(out.map(_.getString(0)).toSeq ==
+        Seq.fill(5)("sys.cpu") ++ Seq.fill(5)("sys.mem"))
+      assert(out.map(_.getLong(1)).toSeq ==
+        (0 until 5).map(start + _ * 60000L) ++
+          (0 until 5).map(start + _ * 60000L))
+      assert(out.map(_.getDouble(2)).toSeq ==
+        (0.0 +: Seq.fill(4)(1.0)) ++ (0.0 +: Seq.fill(4)(inc)))
+    }
+    // evaluateEmptyResults/NullResults: empty in → empty out, no throw
+    assert(firstDiff(pts5.limit(0)).count() == 0)
   }
 
   test("reference TestHighestMax/TestHighestCurrent golden vectors") {

@@ -1400,6 +1400,82 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       t.getAs[String]("notes") == "n")
   }
 
+  test("UIDMeta/TSMeta single-entity RPC sync: gates, 304, merge vs " +
+       "overwrite (TestUIDMeta.syncToStorage*, TestTSMeta.syncToStorage*)") {
+    import spark.implicits._
+    import graft.meta.Uids
+    val registry = Seq(("metric", 1L, "sys.cpu.0"))
+      .toDF("kind", "uid", "name")
+    // stored row mirrors TestUIDMeta's fixture: notes "MyNotes",
+    // created 1328140801
+    val stored = Seq(("metric", 1L, Some("Name"), Some("MyNotes"),
+        Some(1328140801L)))
+      .toDF("kind", "uid", "displayName", "notes", "created")
+    def edit(dn: Option[String], notes: Option[String] = None,
+             created: Option[Long] = None) =
+      Seq(("metric", 1L, dn, notes, created))
+        .toDF("kind", "uid", "displayName", "notes", "created")
+    // POST: un-set fields keep stored values (syncToStorage)
+    val post = Uids.syncUidMetaRpc(stored, registry,
+      edit(Some("New Display Name")), overwrite = false).head
+    assert(post.getAs[String]("displayName") == "New Display Name")
+    assert(post.getAs[String]("notes") == "MyNotes")
+    assert(post.getAs[Long]("created") == 1328140801L)
+    // PUT: user fields replace wholesale (syncToStorageOverwrite) but
+    // created still only moves earlier
+    val put = Uids.syncUidMetaRpc(stored, registry,
+      edit(Some("New Display Name"), created = Some(9999999999L)),
+      overwrite = true).head
+    assert(put.getAs[String]("displayName") == "New Display Name")
+    assert(put.isNullAt(put.fieldIndex("notes")))
+    assert(put.getAs[Long]("created") == 1328140801L)
+    // gates, texts verbatim (UIDMeta.java:177-192 + the RPC's 404)
+    assert(intercept[IllegalStateException] {
+      Uids.syncUidMetaRpc(stored, registry,
+        edit(None), overwrite = false)
+    }.getMessage == "No changes detected in UID meta data")
+    assert(intercept[IllegalArgumentException] {
+      Uids.syncUidMetaRpc(stored, registry,
+        Seq((null.asInstanceOf[String], 1L, Some("x")))
+          .toDF("kind", "uid", "displayName"), overwrite = true)
+    }.getMessage == "Missing type")
+    assert(intercept[NoSuchElementException] {
+      Uids.syncUidMetaRpc(stored, registry,
+        Seq(("metric", 2L, Some("Testing")))
+          .toDF("kind", "uid", "displayName"), overwrite = true)
+    }.getMessage == "Could not find the requested UID")
+    // TSMeta: fixture retention 42; POST keeps it, PUT resets it
+    // (TestTSMeta.syncToStorage / syncToStorageOverwrite)
+    val tsStored = Seq(("000001000001000001", Some("ts"), Some(42L),
+        Some(1357300800L)))
+      .toDF("tsuid", "displayName", "retention", "created")
+    def tsEdit(dn: Option[String]) =
+      Seq(("000001000001000001", dn, None: Option[Long],
+        None: Option[Long]))
+        .toDF("tsuid", "displayName", "retention", "created")
+    val tsPost2 = Uids.syncTsMetaRpc(tsStored, tsEdit(Some("New DN")),
+      overwrite = false).head
+    assert(tsPost2.getAs[String]("displayName") == "New DN")
+    assert(tsPost2.getAs[Long]("retention") == 42L)
+    val tsPut = Uids.syncTsMetaRpc(tsStored, tsEdit(Some("New DN")),
+      overwrite = true).head
+    assert(tsPut.isNullAt(tsPut.fieldIndex("retention")))
+    assert(intercept[IllegalStateException] {
+      Uids.syncTsMetaRpc(tsStored, tsEdit(None), overwrite = true)
+    }.getMessage == "No changes detected in TSUID meta data")
+    assert(intercept[IllegalArgumentException] {
+      Uids.syncTsMetaRpc(tsStored,
+        Seq(("", Some("x"))).toDF("tsuid", "displayName"),
+        overwrite = true)
+    }.getMessage == "Missing TSUID")
+    assert(intercept[IllegalArgumentException] {
+      Uids.syncTsMetaRpc(tsStored,
+        Seq(("FFFF", Some("x"), None: Option[Long], None: Option[Long]))
+          .toDF("tsuid", "displayName", "retention", "created"),
+        overwrite = false)
+    }.getMessage == "Requested TSMeta did not exist")
+  }
+
   test("MetaSync reconciles stored meta against data; MetaPurge drops orphans") {
     import spark.implicits._
     import graft.meta.Uids
