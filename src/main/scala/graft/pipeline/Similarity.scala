@@ -764,11 +764,18 @@ object Similarity {
    *            list holds none).
    *
    * Unjudged retrieved docs score rel = 0 (the standard convention).
+   * The output is TRUTH-driven like the sibling [[annRecall]]: every
+   * query appearing in either input emits a row, so a query whose
+   * retrieval returned nothing (or nothing within k) scores
+   * ndcg=0/mrr=0 instead of silently dropping out — a macro-average
+   * over the output never overstates quality. Duplicate (query, doc)
+   * judgment rows pre-merge to their max relevance, so a sloppy
+   * judgment file cannot double-count a doc in DCG or inflate IDCG.
    * Scale shape: both inputs are per-query bounded lists (≤ k rows
-   * and the judgment set), so the left join and both aggregations key
-   * on the high-cardinality query id; the ideal-ranking window
-   * partitions by query over those bounded judgment rows — no global
-   * sort, nothing data-sized.
+   * and the judgment set), so the joins and every aggregation
+   * (including the dedup) key on the high-cardinality query id; the
+   * ideal-ranking window partitions by query over those bounded
+   * judgment rows — no global sort, nothing data-sized.
    */
   def rankingEval(approx: DataFrame, truth: DataFrame, k: Int,
                   queryId: String = "q_id", corpusId: String = "vec_id",
@@ -776,9 +783,12 @@ object Similarity {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = truth.select(col(queryId), col(corpusId),
-      col(relCol).cast("double").as("__rel"))
-    val got = approx.filter(col(rankCol) <= k)
+        col(relCol).cast("double").as("__rel"))
+      .groupBy(col(queryId), col(corpusId))
+      .agg(max(col("__rel")).as("__rel"))
+    val retrieved = approx.filter(col(rankCol) <= k)
       .select(col(queryId), col(corpusId), col(rankCol))
+    val got = retrieved
       .join(t, Seq(queryId, corpusId), "left")
       .na.fill(0.0, Seq("__rel"))
       .groupBy(col(queryId))
@@ -793,7 +803,10 @@ object Similarity {
       .groupBy(col(queryId))
       .agg(sum(col("__rel") / log2(col("__i").cast("double") + 1))
         .as("idcg"))
-    got.join(ideal, Seq(queryId), "left")
+    val spine = t.select(col(queryId))
+      .unionByName(retrieved.select(col(queryId))).distinct()
+    spine.join(got, Seq(queryId), "left")
+      .join(ideal, Seq(queryId), "left")
       .select(col(queryId),
         coalesce(col("dcg") / col("idcg"), lit(0.0)).as("ndcg"),
         coalesce(lit(1.0) / col("__first"), lit(0.0)).as("mrr"))

@@ -627,7 +627,10 @@ object TextAnalysis {
    * tokenization or scan work repeats across iterations; doubling
    * `iters` costs two more bounded aggregations, not another corpus
    * pass. Training docs with zero tokens carry no evidence and are
-   * excluded (x would be the zero vector).
+   * excluded (x would be the zero vector); docs whose label evaluates
+   * to null are excluded too — a null label would stay in nDocs while
+   * its margin dropped out of the gradient sums, silently shrinking
+   * the effective learning rate instead of erroring.
    */
   def trainHashedLogreg(df: DataFrame, textCol: String, idCol: String,
                         label: Column, buckets: Int = 64, iters: Int = 2,
@@ -636,7 +639,7 @@ object TextAnalysis {
     val base = df.select(col(idCol).as("id"),
         label.cast("double").as("y"), tokens(col(textCol)).as("tks"))
       .withColumn("n_tok", size(col("tks")))
-      .filter(col("n_tok") > 0)
+      .filter(col("n_tok") > 0 && col("y").isNotNull)
     val feat = base
       .select(col("id"), col("y"), col("n_tok"),
         explode(col("tks")).as("tok"))
@@ -755,10 +758,15 @@ object TextAnalysis {
       array_join(kept, sep).as("text_clean"))
   }
 
-  /** Lowercased host of an absolute URL, port stripped. */
+  /** Lowercased host of an absolute URL: an optional userinfo prefix
+    * (`user:pass@`) is stripped — credentials must never reach a dedup
+    * key or domain grouping — then the port. A bracketed IPv6 literal
+    * keeps its brackets (the port regex only strips after `]`); bare
+    * unbracketed IPv6 is not a valid URL host and is out of scope. */
   def urlHost(url: Column): Column = {
     val afterScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = lower(regexp_extract(afterScheme, "^([^/?#]+)", 1))
+    val authority = lower(regexp_extract(afterScheme, "^([^/?#]+)", 1))
+    val hostport = regexp_replace(authority, "^[^/?#@]*@", "")
     regexp_replace(hostport, ":[0-9]*$", "")
   }
 
@@ -769,8 +777,10 @@ object TextAnalysis {
    * small and mirrorable: hosts ending in a two-letter ccTLD behind a
    * common second-level label (co/com/net/org/gov/ac/edu, the co.uk
    * family) keep THREE labels, everything else keeps two; bare or
-   * single-label hosts pass through. A full PSL snapshot would slot
-   * in as a broadcast join against this same column shape.
+   * single-label hosts pass through. It misclassifies multi-part
+   * suffixes outside that list (github.io, com.au) — the real
+   * public-suffix path is [[withRegisteredDomainPsl]]; this heuristic
+   * stays as its no-rule fallback and as the zero-join column form.
    */
   def registeredDomain(host: Column): Column = {
     val labels = split(host, "\\.")
@@ -783,6 +793,110 @@ object TextAnalysis {
         concat_ws(".", slice(labels, -3, 3)))
       .when(n >= 2, concat_ws(".", slice(labels, -2, 2)))
       .otherwise(host)
+  }
+
+  /** One parsed public-suffix rule: `suffix` is the rule with any
+    * `*.` / `!` marker stripped, `kind` ∈ rule|wildcard|exception. */
+  case class PslRule(suffix: String, kind: String)
+
+  /** Parse public-suffix-list lines (the publicsuffix.org file format:
+    * `//` comments and blanks skipped, `*.foo` wildcard rules, `!bar`
+    * exception rules) into [[PslRule]]s. Feed it the full PSL snapshot
+    * in production; [[defaultPsl]] is a curated slice for tests. */
+  def pslRules(lines: Seq[String]): Seq[PslRule] =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map {
+        case l if l.startsWith("!")  => PslRule(l.drop(1), "exception")
+        case l if l.startsWith("*.") => PslRule(l.drop(2), "wildcard")
+        case l                       => PslRule(l, "rule")
+      }
+
+  /** A curated snapshot of publicsuffix.org rules covering the common
+    * TLD families plus the shapes the heuristic gets wrong
+    * (multi-part ccSLDs like com.au, private-registry suffixes like
+    * github.io, wildcard + exception rules). Swap in the full list
+    * file via [[pslRules]] for production. */
+  val defaultPsl: Seq[PslRule] = pslRules(Seq(
+    "com", "net", "org", "edu", "gov", "mil", "int", "io", "co", "ai",
+    "dev", "app", "info", "biz", "me", "tv", "us", "de", "fr", "nl",
+    "it", "es", "se", "ch", "ru", "cn", "in", "ca", "eu",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk",
+    "jp", "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "br", "com.br", "net.br", "org.br", "gov.br",
+    "nz", "co.nz", "net.nz", "org.nz", "govt.nz",
+    "kr", "co.kr", "or.kr", "za", "co.za", "org.za",
+    "mx", "com.mx", "pl", "com.pl",
+    // wildcard + exception family (the PSL's *.ck carve-out)
+    "*.ck", "!www.ck",
+    // private-registry suffixes a crawl MUST split sites on
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "cloudfront.net", "s3.amazonaws.com", "web.app", "pages.dev"))
+
+  /**
+   * Registered domain against a real public-suffix table — the scale
+   * path the heuristic [[registeredDomain]] documents a slot for.
+   * Implements the PSL algorithm: the LONGEST matching rule is the
+   * public suffix (wildcard `*.foo` counts as one label longer;
+   * a matching exception rule `!bar` IS the registered domain), the
+   * registered domain is the suffix plus one label, a host equal to
+   * its public suffix has none (null), and a host matching no rule
+   * falls back to the heuristic (stricter than the PSL's implicit `*`
+   * — an unknown TLD still groups co.uk-style hosts sanely).
+   *
+   * Plan shape: rules pre-bucket by label count driver-side (the PSL
+   * is wire-sized), then ONE BROADCAST JOIN per suffix length 1..
+   * `maxSuffixLabels` against the host's k-label tail — no shuffle of
+   * the host side, no explode, no per-row scan of the rule set; the
+   * host column streams through whole-stage codegen between the hash
+   * probes. PSL rules longer than `maxSuffixLabels` labels are rare
+   * (a handful of 5-label private entries); raise the cap if the full
+   * snapshot needs them.
+   */
+  def withRegisteredDomainPsl(df: DataFrame, host: Column,
+                              rules: Seq[PslRule] = defaultPsl,
+                              out: String = "registered_domain",
+                              maxSuffixLabels: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byLen: Map[Int, Seq[PslRule]] =
+      rules.groupBy(_.suffix.count(_ == '.') + 1).view.mapValues(_.toSeq)
+        .toMap
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def tail(k: Int) = concat_ws(".", slice(labels, -k, k))
+    val ks = (1 to maxSuffixLabels).filter(byLen.contains)
+    val joined = ks.foldLeft(df.withColumn("__n", n)) { (d, k) =>
+      val flags = byLen(k)
+        .groupBy(_.suffix).map { case (sfx, rs) =>
+          (sfx, rs.exists(_.kind == "rule"),
+            rs.exists(_.kind == "wildcard"),
+            rs.exists(_.kind == "exception"))
+        }.toSeq
+        .toDF(s"__sfx$k", s"__r$k", s"__w$k", s"__e$k")
+      d.join(broadcast(flags),
+        when(col("__n") >= k, tail(k)) === col(s"__sfx$k"), "left")
+    }
+    def f(c: String) = coalesce(col(c), lit(false))
+    // longest exception wins outright: the exception IS the regdom
+    val excDom = ks.reverse.map(k =>
+      when(f(s"__e$k"), tail(k))).reduceOption(coalesce(_, _))
+      .getOrElse(lit(null: String))
+    // longest public suffix: wildcard at k means k+1 labels when the
+    // wildcard label actually exists
+    val sufLen = ks.reverse.flatMap(k => Seq(
+        when(f(s"__w$k") && col("__n") >= k + 1, lit(k + 1)),
+        when(f(s"__r$k"), lit(k))))
+      .reduceOption(greatest(_, _)).getOrElse(lit(null: Integer))
+    val psl = when(excDom.isNotNull, excDom)
+      .when(sufLen.isNotNull && col("__n") >= sufLen + 1,
+        concat_ws(".",
+          slice(labels, -(sufLen + lit(1)), sufLen + lit(1))))
+      .when(sufLen.isNotNull, lit(null: String)) // host IS a suffix
+      .otherwise(registeredDomain(host))
+    joined.withColumn(out, psl)
+      .drop("__n" +: ks.flatMap(k =>
+        Seq(s"__sfx$k", s"__r$k", s"__w$k", s"__e$k")): _*)
   }
 
   /**
@@ -802,7 +916,11 @@ object TextAnalysis {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val afterScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = lower(regexp_extract(afterScheme, "^([^/?#]+)", 1))
+    val authority = lower(regexp_extract(afterScheme, "^([^/?#]+)", 1))
+    // userinfo never survives canonicalization: spellings with and
+    // without credentials collapse, and a secret-bearing URL cannot
+    // leak its password into the dedup key
+    val hostport = regexp_replace(authority, "^[^/?#@]*@", "")
     val host = regexp_replace(hostport, ":[0-9]*$", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val defaultPort = (scheme === "http" && port === "80") ||

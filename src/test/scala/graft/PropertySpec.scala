@@ -872,22 +872,25 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         (row.getDouble(1), row.getDouble(2))).toMap
     def lg2(x: Double) = math.log(x) / math.log(2)
     val relMap = truthRows.map { case (q, d, rel) => (q, d) -> rel }.toMap
-    val expect = approxRows.groupBy(_._1).flatMap { case (q, rows) =>
-      val topk = rows.filter(_._3 <= k)
-      if (topk.isEmpty) None else {
-        val dcg = topk.map { case (_, d, rk) =>
-          relMap.getOrElse((q, d), 0.0) / lg2(rk + 1.0) }.sum
-        val ideal = truthRows.filter(t => t._1 == q && t._3 > 0)
-          .sortBy(t => (-t._3, t._2)).take(k)
-        val idcg = ideal.zipWithIndex
-          .map { case (t, i) => t._3 / lg2(i + 2.0) }.sum
-        val first = topk
-          .filter { case (_, d, _) => relMap.getOrElse((q, d), 0.0) > 0 }
-          .map(_._3).sorted.headOption
-        Some(q -> (if (idcg == 0) 0.0 else dcg / idcg,
-          first.map(1.0 / _).getOrElse(0.0)))
-      }
-    }
+    // truth-driven spine: every query judged OR retrieved-within-k
+    // emits a row; a query retrieval missed scores 0/0 instead of
+    // dropping out of the macro-average
+    val spine = truthRows.map(_._1).toSet ++
+      approxRows.filter(_._3 <= k).map(_._1).toSet
+    val expect = spine.map { q =>
+      val topk = approxRows.filter(r => r._1 == q && r._3 <= k)
+      val dcg = topk.map { case (_, d, rk) =>
+        relMap.getOrElse((q, d), 0.0) / lg2(rk + 1.0) }.sum
+      val ideal = truthRows.filter(t => t._1 == q && t._3 > 0)
+        .sortBy(t => (-t._3, t._2)).take(k)
+      val idcg = ideal.zipWithIndex
+        .map { case (t, i) => t._3 / lg2(i + 2.0) }.sum
+      val first = topk
+        .filter { case (_, d, _) => relMap.getOrElse((q, d), 0.0) > 0 }
+        .map(_._3).sorted.headOption
+      q -> (if (idcg == 0) 0.0 else dcg / idcg,
+        first.map(1.0 / _).getOrElse(0.0))
+    }.toMap
     assert(got.keySet == expect.keySet)
     expect.foreach { case (q, (nd, mrr)) =>
       assert(math.abs(got(q)._1 - nd) < 1e-9, s"ndcg q$q")
