@@ -432,6 +432,48 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--metafoldN")) {
+      // bucket-count sensitivity of the bucketed meta fold at FIXED
+      // 10M stored series (the r13 table fixed N=64/256; this sweep
+      // pins the "size N with the table" guidance): per-fold cost =
+      // touched-slice read/rewrite (shrinks as N grows — fewer series
+      // per bucket) + fixed per-job overhead times touched-bucket
+      // count (grows once the 8-series batch spreads over 8 distinct
+      // buckets) + small-file pressure at high N. Also stamps the
+      // point-lookup read (readLastWriteFor's partition-pruned scan).
+      import org.apache.spark.sql.functions._
+      import graft.meta.MetaStore
+      def stamp(name: String)(f: => Long): Double = {
+        val t0 = System.nanoTime(); val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"STAGE $name%-28s $s%7.3f s  rows=$n"); s
+      }
+      def mkPoints(series: Long): org.apache.spark.sql.DataFrame =
+        spark.range(series).select(
+          concat(lit("m"), (col("id") % 100).cast("string")).as("metric"),
+          lit(3600000L).as("ts"),
+          col("id").cast("double").as("value"),
+          col("id").as("value_l"), lit(true).as("is_int"),
+          map(lit("host"),
+            concat(lit("h"), (col("id") % series).cast("string"))).as("tags"))
+      val series = 10000000L
+      for (buckets <- Seq(16, 64, 256, 1024)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"metafoldN_$buckets").toString
+        stamp(s"seed_N=$buckets")(
+          { MetaStore.foldLastWrite(spark, s"$dir/b", mkPoints(series),
+              buckets); 0L })
+        val batch = mkPoints(8).withColumn("ts", col("ts") + 7200000L)
+          .localCheckpoint(true)
+        for (pass <- 1 to 3)
+          stamp(s"fold_N=${buckets}_$pass")(
+            MetaStore.foldLastWrite(spark, s"$dir/b", batch, buckets).size)
+        stamp(s"probe_N=$buckets")(MetaStore.read(spark, s"$dir/b")
+          .filter(col("tags").getItem("host") === "h3").count())
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--t29scale")) {
       // t29 trainer cost decomposition vs corpus scale: the feature
       // build (tokenize + hash + persist) happens ONCE and tracks the
