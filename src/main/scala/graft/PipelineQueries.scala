@@ -1109,6 +1109,28 @@ object PipelineQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // public-suffix-list registered domains end-to-end (the t31
+    // heuristic's production path): one host per doc exercising every
+    // PSL rule family — private-registry suffix (github.io), 2-label
+    // ccSLD (com.au), co.uk, the !www.ck exception, the *.ck wildcard
+    // and a plain gTLD — resolved by the per-length broadcast joins of
+    // withRegisteredDomainPsl; the oracle states each family's
+    // expected pay-level domain directly
+    "t34_psl_domain" -> ((s, dir) => {
+      val m = col("doc_id") % 6
+      val host = when(m === 0,
+          concat(lit("docs."), col("source"), lit(".github.io")))
+        .when(m === 1, concat(lit("www."), col("source"), lit(".com.au")))
+        .when(m === 2, concat(col("source"), lit(".co.uk")))
+        .when(m === 3, lit("sub.www.ck"))
+        .when(m === 4, concat(lit("a.b."), col("source"), lit(".ck")))
+        .otherwise(concat(col("source"), lit(".com")))
+      TextAnalysis.withRegisteredDomainPsl(
+          docs(s, dir).select(col("doc_id"), host.as("host")), col("host"))
+        .select("doc_id", "host", "registered_domain")
+        .orderBy("doc_id")
+    }),
+
     // within-document repeated-line removal (RefinedWeb intra-doc
     // dedup): each doc synthesizes a 6-line page with intra-doc
     // repeats (A B A footer B footer) — "footer" also repeats ACROSS
@@ -3374,6 +3396,29 @@ object PipelineQueries {
            FROM hh)
          SELECT domain, doc_id FROM r WHERE rn <= 5
          ORDER BY domain, doc_id""",
+
+    // per-family expected pay-level domain stated directly: the PSL
+    // algorithm itself is pinned by the unit fuzz vs the heuristic;
+    // this row pins the end-to-end broadcast-join plumbing
+    "t34_psl_domain" ->
+      s"""SELECT doc_id,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'docs.' || source || '.github.io'
+             WHEN 1 THEN 'www.' || source || '.com.au'
+             WHEN 2 THEN source || '.co.uk'
+             WHEN 3 THEN 'sub.www.ck'
+             WHEN 4 THEN 'a.b.' || source || '.ck'
+             ELSE source || '.com'
+           END AS host,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN source || '.github.io'
+             WHEN 1 THEN source || '.com.au'
+             WHEN 2 THEN source || '.co.uk'
+             WHEN 3 THEN 'www.ck'
+             WHEN 4 THEN 'b.' || source || '.ck'
+             ELSE source || '.com'
+           END AS registered_domain
+         FROM documents ORDER BY doc_id""",
 
     // the intra-doc line dedup mirrored: positioned unnest, first
     // occurrence per (doc, line), ordered reassembly

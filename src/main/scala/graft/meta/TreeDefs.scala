@@ -845,6 +845,62 @@ object TreeDefs {
     }
   }
 
+  /**
+   * `/api/tree/test` endpoint gates + routing (TreeRpc
+   * .handleTest:410-505): treeId required ("Missing or invalid Tree
+   * ID" on the POJO path, the required-param error on the QS path),
+   * the tree must exist, the TSUID list must be non-empty, and only
+   * GET/POST/PUT route. The per-TSUID result is the relational
+   * [[Trees.testRun]] trace (tried/matched per rule — the same
+   * semantics TreeBuilder's testing-mode messages narrate); a TSUID
+   * with no series row emits the reference's "Unable to locate TSUID
+   * meta data" message row. Returns (tsuid, level, order, rule,
+   * value, tried, matched, message).
+   */
+  def handleTest(store: TreeStore, series: DataFrame, method: String,
+                 qs: Map[String, String] = Map.empty,
+                 body: Option[String] = None,
+                 uidMeta: Option[DataFrame] = None,
+                 tsuid: org.apache.spark.sql.Column = Trees.canonicalTsuid)
+      : DataFrame = {
+    if (!Set("GET", "POST", "PUT").contains(method.toUpperCase))
+      throw new IllegalArgumentException("Unsupported HTTP request method")
+    val (treeId, tsuids) = body match {
+      case Some(b) if b.nonEmpty =>
+        val n = mapper.readTree(b)
+        if (!n.hasNonNull("treeId"))
+          throw new IllegalArgumentException("Missing or invalid Tree ID")
+        import scala.jdk.CollectionConverters._
+        (n.get("treeId").asInt(),
+          if (n.hasNonNull("tsuids"))
+            n.get("tsuids").elements().asScala.map(_.asText()).toSeq
+          else Seq.empty[String])
+      case _ =>
+        (parseTreeId(qs, required = true),
+          qs.get("tsuids").map(_.split(",").toSeq)
+            .getOrElse(Seq.empty[String]))
+    }
+    if (fetchTree(store.trees, treeId).isEmpty)
+      throw new NoSuchElementException(s"Unable to locate tree: $treeId")
+    if (tsuids.isEmpty)
+      throw new IllegalArgumentException("Missing or empty TSUID list")
+    val trace = Trees.testRun(series, store.rules, treeId, uidMeta, tsuid)
+      .filter(col("tsuid").isInCollection(tsuids))
+      .withColumn("message", lit(null: String))
+    val spark = series.sparkSession
+    import spark.implicits._
+    val missing = tsuids.toDF("tsuid")
+      .join(trace.select("tsuid").distinct(), Seq("tsuid"), "left_anti")
+      .select(col("tsuid"), lit(null).cast("int").as("level"),
+        lit(null).cast("int").as("order"),
+        lit(null).cast("string").as("rule"),
+        lit(null).cast("string").as("value"),
+        lit(null).cast("boolean").as("tried"),
+        lit(null).cast("boolean").as("matched"),
+        lit("Unable to locate TSUID meta data").as("message"))
+    trace.unionByName(missing).orderBy("tsuid", "level", "order")
+  }
+
   /** `/api/tree/collisions|notmatched` (TreeRpc
     * .handleCollisionNotMatched:519-556 over Tree.fetchCollisions /
     * fetchNotMatched:634-795): the tree must exist, treeId is

@@ -404,6 +404,42 @@ class TreeRpcSpec extends AnyFunSuite with BeforeAndAfterAll {
       TreeDefs.handleRules(s, "DELETE", Map("treeid" -> "5")) }
   }
 
+  // ---- /api/tree/test (TestTreeRpc.handleTest*) --------------------
+
+  test("tree test endpoint: per-TSUID trace, missing-meta message, " +
+       "gates (TestTreeRpc.handleTest*)") {
+    import spark.implicits._
+    val s = setupStore()
+    val series = Seq(("sys.cpu.0", Map("host" -> "web01")))
+      .toDF("metric", "tags")
+    val good = "sys.cpu.0|host=web01" // Trees.canonicalTsuid rendering
+    val rows = TreeDefs.handleTest(s, series, "GET",
+      Map("treeid" -> "1", "tsuids" -> s"$good,ghost")).collect()
+    // tree 1 has two rules (0:0 TAGK host, 1:0 METRIC) → two trace
+    // rows for the resolvable tsuid, both matched
+    val g = rows.filter(_.getString(0) == good)
+    assert(g.length == 2 && g.forall(_.getBoolean(6)))
+    // the unresolvable tsuid emits the reference's meta-miss message
+    val ghost = rows.filter(_.getString(0) == "ghost")
+    assert(ghost.map(_.getString(7)).toSeq ==
+      Seq("Unable to locate TSUID meta data"))
+    // body form (handleTestPOST/PUT)
+    assert(TreeDefs.handleTest(s, series, "PUT", body = Some(
+      s"""{"treeId":1,"tsuids":["$good"]}""")).count() == 2)
+    // gates
+    intercept[NoSuchElementException] { TreeDefs.handleTest(s, series,
+      "GET", Map("treeid" -> "3", "tsuids" -> good)) }
+    assert(intercept[IllegalArgumentException] {
+      TreeDefs.handleTest(s, series, "GET", Map("treeid" -> "1"))
+    }.getMessage == "Missing or empty TSUID list")
+    assert(intercept[IllegalArgumentException] {
+      TreeDefs.handleTest(s, series, "POST",
+        body = Some(s"""{"tsuids":["$good"]}"""))
+    }.getMessage == "Missing or invalid Tree ID")
+    intercept[IllegalArgumentException] {
+      TreeDefs.handleTest(s, series, "TRACE", Map("treeid" -> "1")) }
+  }
+
   // ---- /api/tree/collisions|notmatched (TestTreeRpc vectors) -------
 
   test("collisions/notmatched documents: full map, tsuid filters, " +
