@@ -1109,6 +1109,26 @@ object PipelineQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // CCNet-style perplexity bucketing: per-language head/middle/tail
+    // thirds over the t17 bigram-LM score — thresholds are discrete
+    // percentiles (actual data values at rank ceil(n/3), ceil(2n/3),
+    // no interpolation, fitted per language) and assignment is a
+    // broadcast-compare; docs with <2 tokens carry no LM evidence and
+    // drop (t17's contract). Scores pre-rounded to 4dp so both
+    // engines threshold identical doubles.
+    "t35_ppl_buckets" -> ((s, dir) => {
+      val scored = TextAnalysis.bigramLogProb(docs(s, dir), "text",
+          "doc_id")
+        .select(col("id").as("doc_id"), r4(col("logprob")).as("score"))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+      val thr = TextAnalysis.pplThresholds(scored, "lang", "score")
+      TextAnalysis.assignPplBuckets(scored, "lang", "score", thr)
+        .select(col("doc_id"), col("lang"), col("score"),
+          col("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+
     // public-suffix-list registered domains end-to-end (the t31
     // heuristic's production path): one host per doc exercising every
     // PSL rule family — private-registry suffix (github.io), 2-label
@@ -3396,6 +3416,51 @@ object PipelineQueries {
            FROM hh)
          SELECT domain, doc_id FROM r WHERE rn <= 5
          ORDER BY domain, doc_id""",
+
+    // the t17 LM-score chain feeding per-language discrete-percentile
+    // thresholds (list_sort + 1-based pick at ceil(f*n), the same
+    // float formula as the engine) and the three-way CASE
+    "t35_ppl_buckets" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         bi AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(range(1, len(tk)),
+                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])
+               ELSE [] END) AS bg
+           FROM tk),
+         c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+         c1 AS (
+           SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+           FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS V FROM bi),
+         sc AS (
+           SELECT doc_id,
+             (sign(avg(ln((c2 + 1.0) / (c1 + 1.0 * V)))) * floor(abs(avg(ln((c2 + 1.0) / (c1 + 1.0 * V)))) * 10000 + 0.5) / 10000) AS score
+           FROM bi JOIN c2 USING (bg)
+             JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w1
+             CROSS JOIN v
+           GROUP BY doc_id),
+         scl AS (
+           SELECT s.doc_id, d.lang, s.score
+           FROM sc s JOIN documents d USING (doc_id)),
+         thr AS (
+           SELECT lang,
+             arr[CAST(ceil((1.0/3) * n) AS INT)] AS t0,
+             arr[CAST(ceil((2.0/3) * n) AS INT)] AS t1
+           FROM (SELECT lang, list_sort(list(score)) AS arr,
+                   count(*) AS n
+                 FROM scl GROUP BY lang))
+         SELECT doc_id, lang, score,
+           CASE WHEN score <= t0 THEN 'tail'
+                WHEN score <= t1 THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
+         FROM scl JOIN thr USING (lang)
+         ORDER BY doc_id""",
 
     // per-family expected pay-level domain stated directly: the PSL
     // algorithm itself is pinned by the unit fuzz vs the heuristic;

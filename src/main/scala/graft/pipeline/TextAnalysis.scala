@@ -346,6 +346,55 @@ object TextAnalysis {
   }
 
   /**
+   * Per-language discrete score thresholds for CCNet-style perplexity
+   * bucketing (CCNet splits each language's corpus into head/middle/
+   * tail thirds by KenLM perplexity and trains preferentially on the
+   * head). Thresholds are DISCRETE percentiles — the value at
+   * ascending rank ceil(f·n), an actual data value with no
+   * interpolation, so any engine mirrors them bit-exactly. Score
+   * convention: HIGHER = more fluent (a logprob; perplexity is
+   * exp(-logprob)), so the f=1/3 threshold bounds the TAIL.
+   *
+   * Fit this on a per-language SAMPLE at scale — CCNet fits its
+   * thresholds offline on a sample too. The collect inside is
+   * per-language data-sized (the price of exact discrete percentiles
+   * without a global sort); assignment over the full corpus is
+   * [[assignPplBuckets]]'s zero-shuffle broadcast comparison.
+   */
+  def pplThresholds(scored: DataFrame, langCol: String, scoreCol: String,
+                    fracs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3))
+      : DataFrame = {
+    require(fracs.nonEmpty && fracs == fracs.sorted, s"bad fracs $fracs")
+    scored.groupBy(col(langCol))
+      .agg(count(lit(1)).as("__n"),
+        sort_array(collect_list(col(scoreCol))).as("__arr"))
+      .select(col(langCol) +: fracs.zipWithIndex.map { case (f, i) =>
+        element_at(col("__arr"),
+          ceil(lit(f) * col("__n")).cast("int")).as(s"t$i")
+      }: _*)
+  }
+
+  /**
+   * CCNet head/middle/tail assignment: each document's score compares
+   * against its language's fitted thresholds ([[pplThresholds]] t0/t1
+   * shape) — tail = score ≤ t0 (least fluent third), middle ≤ t1,
+   * head above (most fluent = lowest perplexity). One broadcast join
+   * on the language key, then a pure comparison projection: zero
+   * shuffles over the corpus, stream-ready (frozen thresholds — the
+   * same discipline as the other frozen-table streaming screens). A
+   * language absent from the threshold table yields a null bucket.
+   */
+  def assignPplBuckets(df: DataFrame, langCol: String, scoreCol: String,
+                       thresholds: DataFrame): DataFrame =
+    df.join(broadcast(thresholds), Seq(langCol), "left")
+      .withColumn("ppl_bucket",
+        when(col("t0").isNull, lit(null).cast("string"))
+          .when(col(scoreCol) <= col("t0"), "tail")
+          .when(col(scoreCol) <= col("t1"), "middle")
+          .otherwise("head"))
+      .drop("t0", "t1")
+
+  /**
    * Sequence packing — the pretraining batch-assembly op: documents
    * are concatenated (in id order) and cut into fixed `budget`-token
    * training sequences; each document is assigned the pack its first

@@ -2787,6 +2787,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       math.abs(scored(2L)._2 - 1.0 / (1.0 + math.exp(-exp))) < 1e-9)
   }
 
+  test("pplThresholds/assignPplBuckets: per-language discrete terciles, " +
+       "boundary ties go down, unseen language yields null bucket") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // en: scores 1..9 → t0 = value at ceil(9/3)=rank3 = 3, t1 = rank6
+    // = 6; de: 10,20 → t0 = rank ceil(2/3)=1 = 10, t1 = rank 2 = 20
+    val scored = ((1 to 9).map(i => ("en", i.toLong, i.toDouble)) ++
+      Seq(("de", 100L, 10.0), ("de", 101L, 20.0)))
+      .toDF("lang", "doc_id", "score")
+    val thr = TextAnalysis.pplThresholds(scored, "lang", "score")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(thr("en") == ((3.0, 6.0)) && thr("de") == ((10.0, 20.0)))
+    val buckets = TextAnalysis.assignPplBuckets(
+        scored.unionByName(Seq(("fr", 200L, 5.0))
+          .toDF("lang", "doc_id", "score")),
+        "lang", "score",
+        TextAnalysis.pplThresholds(scored, "lang", "score"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("ppl_bucket")).toMap
+    // ties at the threshold land in the LOWER bucket (<=)
+    assert((1 to 3).forall(i => buckets(i.toLong) == "tail"))
+    assert((4 to 6).forall(i => buckets(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => buckets(i.toLong) == "head"))
+    assert(buckets(100L) == "tail" && buckets(101L) == "middle")
+    assert(buckets(200L) == null) // unseen language: no thresholds
+  }
+
   test("stripRepeatedLines: intra-doc keep-first; cross-doc repeats untouched") {
     import spark.implicits._
     val d = Seq(
