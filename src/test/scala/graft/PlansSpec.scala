@@ -194,6 +194,29 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally Engine.clearExpCache()
   }
 
+  test("plan hygiene: round-14 rows — PSL and ppl-threshold joins are " +
+       "BROADCAST, branch browse carries no cartesian/global-sort debt") {
+    val sf = "/root/testdata/sf0.001"
+    for (n <- Seq("t34_psl_domain", "t35_ppl_buckets",
+        "q109_tree_branch")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"), s"$n: cartesian")
+      assert(!plan.contains("Window ["), s"$n: unpartitioned window")
+      val globalSorts = "\\bSort \\[[^\\]]*\\], true".r
+        .findAllIn(plan).size
+      assert(globalSorts <= 1, s"$n: $globalSorts global sorts")
+      // every rule/threshold join must ride the broadcast side — a
+      // SortMergeJoin here would shuffle the corpus for a wire-sized
+      // dimension table
+      if (n != "q109_tree_branch")
+        assert(plan.contains("BroadcastHashJoin") &&
+          !plan.contains("SortMergeJoin"),
+          s"$n: dimension join not broadcast")
+    }
+  }
+
   test("engine queries over float-only events skip the dual slot path") {
     // Points.fromEvents projects is_int as the literal false; the
     // statically-untyped guard must prove it through the real engine
