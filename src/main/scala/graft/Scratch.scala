@@ -432,6 +432,48 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--branchscale")) {
+      // browse-latency-vs-store-size probe for the parquet-backed
+      // branch store: the tree builds once (data-sized), then a hex
+      // browse must be a POINT READ — (tree_id, depth)-pruned scan
+      // plus the addressed node's bounded fan-out — so browse latency
+      // must stay flat across 10× series growth.
+      import org.apache.spark.sql.functions._
+      import graft.meta.{TreeDefs, Trees}
+      def stamp(name: String)(f: => Long): Double = {
+        val t0 = System.nanoTime(); val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"STAGE $name%-28s $s%7.3f s  rows=$n"); s
+      }
+      val rules = Seq(
+        Trees.Rule(1, 0, 0, "METRIC"),
+        Trees.Rule(1, 1, 0, "TAGK", field = "g"),
+        Trees.Rule(1, 2, 0, "TAGK", field = "host"))
+        .foldLeft(Trees.emptyRules(spark))(Trees.upsertRule)
+      for (series <- Seq(1000000L, 10000000L)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"branchscale_$series").toString
+        val pts = spark.range(series).select(
+          concat(lit("m"), (col("id") % 100).cast("string")).as("metric"),
+          map(lit("g"),
+            concat(lit("g"), (col("id") % 9973).cast("string")),
+            lit("host"),
+            concat(lit("h"), col("id").cast("string"))).as("tags"))
+        stamp(s"build_S=$series") {
+          val (b, l) = Trees.buildBranchStore(pts, rules, 1)
+          TreeDefs.writeBranchStore(b, l, dir); 0L
+        }
+        val (b, l) = TreeDefs.readBranchStore(spark, dir)
+        for (pass <- 1 to 3) {
+          stamp(s"browse_d1_S=${series}_$pass")(TreeDefs.browseRows(b, l,
+            TreeDefs.branchIdHex(1, Seq("m3"))).count())
+          stamp(s"browse_d2_S=${series}_$pass")(TreeDefs.browseRows(b, l,
+            TreeDefs.branchIdHex(1, Seq("m3", "g42"))).count())
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--metafoldN")) {
       // bucket-count sensitivity of the bucketed meta fold at FIXED
       // 10M stored series (the r13 table fixed N=64/256; this sweep

@@ -516,6 +516,37 @@ object TreeDefs {
     kids.unionByName(leafRows).orderBy("kind", "display_name")
   }
 
+  /**
+   * Persist a branch/leaf store as partitioned parquet — the layout
+   * that makes [[browseRows]]/[[branchDoc]] POINT READS at any scale:
+   * branches partition by (tree_id, depth) so a browse lists exactly
+   * one directory (the reference reads one HBase row per branch; this
+   * is the columnar analog), leaves by tree_id with the branch_path
+   * equality pushed into the scan. At 10⁹ series the branch table is
+   * data-sized, and browse cost must stay bounded by the addressed
+   * node's fan-out — partition pruning + pushed filters deliver that
+   * (PlansSpec proves the PartitionFilters and the pruned file count).
+   */
+  def writeBranchStore(branches: DataFrame, leaves: DataFrame,
+                       path: String): Unit = {
+    branches.write.partitionBy("tree_id", "depth")
+      .mode("overwrite").parquet(s"$path/branches")
+    leaves.write.partitionBy("tree_id")
+      .mode("overwrite").parquet(s"$path/leaves")
+  }
+
+  /** The stored pair back, partition columns restored to the browse
+    * schema's types. */
+  def readBranchStore(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val b = spark.read.parquet(s"$path/branches")
+      .withColumn("tree_id", col("tree_id").cast("int"))
+      .withColumn("depth", col("depth").cast("int"))
+    val l = spark.read.parquet(s"$path/leaves")
+      .withColumn("tree_id", col("tree_id").cast("int"))
+    (b, l)
+  }
+
   /** formatBranchV1 (HttpJsonSerializer over the Branch POJO): the
     * branch document with its `path` map (ROOT at 0), leaves and
     * one-level child branches — null (not empty) arrays when absent,

@@ -217,6 +217,69 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("parquet-backed branch browse is a point read: (tree_id, depth) " +
+       "PartitionFilters prune to one directory, leaf path pushes down") {
+    import spark.implicits._
+    import graft.meta.TreeDefs
+    val dir = java.nio.file.Files.createTempDirectory("branchstore")
+      .toString
+    // two trees, depths 1..3 — 6 branch partitions, 2 leaf partitions
+    val branches = (for {
+      t <- Seq(1, 2); d <- Seq(1, 2, 3); i <- 0 until 4
+    } yield {
+      val path = (1 to d).map(l => s"t${t}n$l$i").mkString("/")
+      (t, d, path, s"t${t}n$d$i",
+        path.split("/").dropRight(1).mkString("/"), 1L)
+    }).toDF("tree_id", "depth", "path", "name", "parent", "leaves")
+    val leaves = Seq(
+      (1, "t1n10/t1n20", "leafA", "ts1", "m", Map("k" -> "v")),
+      (2, "t2n10/t2n20", "leafB", "ts2", "m", Map("k" -> "v")))
+      .toDF("tree_id", "branch_path", "display_name", "tsuid", "metric",
+        "tags")
+    TreeDefs.writeBranchStore(branches, leaves, dir)
+    val (b, l) = TreeDefs.readBranchStore(spark, dir)
+    // browse tree 1's node t1n10/t1n20 (depth 2): the target lookup
+    // and the children filter each address exactly ONE (tree_id,
+    // depth) directory
+    val hex = TreeDefs.branchIdHex(1, Seq("t1n10", "t1n20"))
+    // AQE wraps the union+sort plan and hides the scan leaves from a
+    // static collect; the pruning property is plan-time either way.
+    // executedPlan materializes lazily, so AQE stays off until the
+    // scans are in hand.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (rows, scans) =
+      try {
+        val r = TreeDefs.browseRows(b, l, hex)
+        (r, r.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        })
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.nonEmpty)
+    val branchScans = scans.filter(
+      _.metadata("Location").contains("branches"))
+    assert(branchScans.nonEmpty)
+    branchScans.foreach { s =>
+      assert(s.metadata("PartitionFilters").contains("tree_id") &&
+        s.metadata("PartitionFilters").contains("depth"),
+        s.metadata("PartitionFilters"))
+      assert(s.relation.location
+        .listFiles(s.partitionFilters, Nil).length == 1,
+        "branch scan did not prune to one (tree_id, depth) directory")
+    }
+    val leafScans = scans.filter(_.metadata("Location").contains("leaves"))
+    assert(leafScans.nonEmpty)
+    leafScans.foreach { s =>
+      assert(s.metadata("PartitionFilters").contains("tree_id"),
+        s.metadata("PartitionFilters"))
+      assert(s.metadata("PushedFilters").contains("branch_path"),
+        s.metadata("PushedFilters"))
+    }
+    // and the browse answers correctly off the stored layout
+    val got = rows.collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got.count(_._1 == "leaf") == 1 &&
+      got.count(_._1 == "branch") == 1, got.toSeq.toString)
+  }
+
   test("engine queries over float-only events skip the dual slot path") {
     // Points.fromEvents projects is_int as the literal false; the
     // statically-untyped guard must prove it through the real engine
