@@ -1551,4 +1551,212 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(errs.isEmpty, errs.take(5).mkString("\n"))
   }
+
+  test("fuzz tree-definition CRUD: 100 random endpoint ops vs a " +
+       "driver-side transcription of the fetch-copy-save semantics") {
+    import graft.meta.{TreeDefs, Trees}
+    import graft.meta.TreeDefs.{TreeDef, TreeStore}
+    val rnd = new Random(20260816)
+    val NOW = 1388534400L
+    // driver-side model: plain maps + a from-scratch restatement of
+    // Tree.copyChanges / TreeRule.copyChanges+validateRule (shares no
+    // code with TreeDefs beyond the Rule case class as a record)
+    var mTrees = Map.empty[Int, TreeDef]
+    var mRules = Map.empty[(Int, Int, Int), Trees.Rule]
+    var store = TreeStore.empty(spark)
+    def word(): String = Seq("", "alpha", "beta", "gamma")(rnd.nextInt(4))
+    def mValidate(r: Trees.Rule): Option[String] = {
+      if (r.ruleType.isEmpty) Some("Missing rule type")
+      else r.ruleType match {
+        case "METRIC" => None
+        case "TAGK" =>
+          if (r.field.isEmpty) Some("Missing field name required for TAGK rule")
+          else None
+        case t =>
+          if (r.field.isEmpty) Some(s"Missing field name required for $t rule")
+          else if (r.customField.isEmpty)
+            Some(s"Missing custom field name required for $t rule")
+          else None
+      }
+    }
+    sealed trait Want
+    case object Ok extends Want
+    case object NotModified extends Want
+    case class Err(cls: String, msg: String) extends Want
+    def attempt(want: Want)(run: => TreeDefs.RpcReply): Unit = want match {
+      case Ok =>
+        val r = run; assert(r.status == 200 || r.status == 204,
+          s"expected ok, got ${r.status}")
+        store = r.store
+      case NotModified =>
+        val r = run; assert(r.status == 304, s"expected 304, got ${r.status}")
+      case Err(cls, msg) =>
+        val e = intercept[Exception](run)
+        assert(e.getClass.getSimpleName == cls && e.getMessage == msg,
+          s"expected $cls($msg), got ${e.getClass.getSimpleName}(${e.getMessage})")
+    }
+    for (i <- 1 to 100) {
+      rnd.nextInt(10) match {
+        case 0 | 1 => // create
+          val name = word()
+          val desc = word()
+          val qs = (if (rnd.nextBoolean()) Map("name" -> name)
+            else Map.empty[String, String]) ++
+            (if (desc.nonEmpty) Map("description" -> desc) else Map.empty)
+          val want =
+            if (!qs.contains("name") || name.isEmpty)
+              Err("IllegalArgumentException", "Tree was missing the name")
+            else Ok
+          attempt(want)(TreeDefs.handleTree(store, "POST", qs, now = NOW))
+          if (want == Ok) {
+            val id = mTrees.keys.maxOption.getOrElse(0) + 1
+            mTrees += id -> TreeDef(id, name,
+              qs.getOrElse("description", ""), created = NOW)
+          }
+        case 2 | 3 => // modify POST/PUT
+          val t = 1 + rnd.nextInt(5)
+          val m = if (rnd.nextBoolean()) "POST" else "PUT"
+          val fields = Seq("description" -> word(), "notes" -> word(),
+            "strict_match" -> (if (rnd.nextBoolean()) "true" else "false"))
+            .filter(_ => rnd.nextBoolean())
+          val qs = Map("treeid" -> t.toString) ++ fields.toMap
+          val want =
+            if (!mTrees.contains(t))
+              Err("NoSuchElementException", s"Unable to locate tree: $t")
+            else if (fields.isEmpty) NotModified
+            else Ok
+          attempt(want)(TreeDefs.handleTree(store, m, qs, now = NOW))
+          if (want == Ok) {
+            val s0 = mTrees(t)
+            val f = fields.toMap
+            def pick(k: String, cur: String): String =
+              if (m == "PUT") f.getOrElse(k, "") else f.getOrElse(k, cur)
+            val strict =
+              if (f.contains("strict_match")) f("strict_match") == "true"
+              else if (m == "PUT") false else s0.strictMatch
+            mTrees += t -> s0.copy(
+              name = if (m == "PUT") "" else s0.name,
+              description = pick("description", s0.description),
+              notes = pick("notes", s0.notes),
+              strictMatch = strict,
+              enabled = if (m == "PUT") false else s0.enabled,
+              storeFailures = if (m == "PUT") false else s0.storeFailures)
+          }
+        case 4 => // delete
+          val t = 1 + rnd.nextInt(5)
+          val definition = rnd.nextBoolean()
+          val qs = Map("treeid" -> t.toString) ++
+            (if (definition) Map("definition" -> "true") else Map.empty)
+          val want =
+            if (!mTrees.contains(t))
+              Err("NoSuchElementException", s"Unable to locate tree: $t")
+            else Ok
+          attempt(want)(TreeDefs.handleTree(store, "DELETE", qs))
+          if (want == Ok && definition) {
+            mTrees -= t
+            mRules = mRules.filterNot(_._1._1 == t)
+          }
+        case 5 | 6 | 7 => // rule sync POST/PUT
+          val t = 1 + rnd.nextInt(5)
+          val (level, order) = (rnd.nextInt(3), rnd.nextInt(2))
+          val m = if (rnd.nextBoolean()) "POST" else "PUT"
+          val typeP = rnd.nextInt(4) match {
+            case 0 => None
+            case 1 => Some("metric")
+            case 2 => Some("tagk")
+            case 3 => Some("metric_custom")
+          }
+          val fieldP = word(); val cfP = word()
+          val descP = word(); val notesP = word()
+          val qs = Map("treeid" -> t.toString, "level" -> level.toString,
+            "order" -> order.toString) ++
+            typeP.map("type" -> _).toMap ++
+            (if (rnd.nextBoolean()) Map("field" -> fieldP) else Map.empty) ++
+            (if (rnd.nextBoolean()) Map("custom_field" -> cfP)
+             else Map.empty) ++
+            (if (rnd.nextBoolean()) Map("description" -> descP)
+             else Map.empty) ++
+            (if (rnd.nextBoolean()) Map("notes" -> notesP) else Map.empty)
+          // parse-equivalent local rule + changed set (parseRule's
+          // setters only flag when the value differs from the default)
+          var changed = Set.empty[String]
+          if (level != 0) changed += "level"
+          if (order != 0) changed += "order"
+          typeP.foreach(_ => changed += "type")
+          val local = Trees.Rule(t, level, order,
+            typeP.map(Trees.stringToType).getOrElse(""),
+            field = qs.getOrElse("field", ""),
+            customField = qs.getOrElse("custom_field", ""),
+            description = qs.getOrElse("description", ""),
+            notes = qs.getOrElse("notes", ""))
+          if (local.field.nonEmpty) changed += "field"
+          if (local.customField.nonEmpty) changed += "custom_field"
+          if (local.description.nonEmpty) changed += "description"
+          if (local.notes.nonEmpty) changed += "notes"
+          val stored = mRules.get((t, level, order))
+          val (merged, any) = stored match {
+            case None => (local, changed.nonEmpty)
+            case Some(s) =>
+              var a = false
+              def pick(flag: String, sv: String, lv: String): String =
+                if (m == "PUT" || (changed(flag) && sv != lv)) {
+                  a = true; lv
+                } else sv
+              val mg = s.copy(
+                ruleType = pick("type", s.ruleType, local.ruleType),
+                field = pick("field", s.field, local.field),
+                customField =
+                  pick("custom_field", s.customField, local.customField),
+                description =
+                  pick("description", s.description, local.description),
+                notes = pick("notes", s.notes, local.notes))
+              (mg, if (m == "PUT") true else a)
+          }
+          val want =
+            if (!mTrees.contains(t))
+              Err("NoSuchElementException", s"Unable to locate tree: $t")
+            else if (changed.isEmpty || !any) NotModified
+            else mValidate(merged) match {
+              case Some(msg) => Err("IllegalArgumentException", msg)
+              case None => Ok
+            }
+          attempt(want)(TreeDefs.handleRule(store, m, qs))
+          if (want == Ok) mRules += (t, level, order) -> merged
+        case 8 => // rule delete
+          val t = 1 + rnd.nextInt(5)
+          val (level, order) = (rnd.nextInt(3), rnd.nextInt(2))
+          val qs = Map("treeid" -> t.toString, "level" -> level.toString,
+            "order" -> order.toString)
+          val tag = "[" + t + ":" + level + ":" + order + ":null]"
+          val want =
+            if (!mTrees.contains(t))
+              Err("NoSuchElementException", s"Unable to locate tree: $t")
+            else if (!mRules.contains((t, level, order)))
+              Err("NoSuchElementException", s"Unable to locate rule: $tag")
+            else Ok
+          attempt(want)(TreeDefs.handleRule(store, "DELETE", qs))
+          if (want == Ok) mRules -= ((t, level, order))
+        case 9 => // bulk rules delete
+          val t = 1 + rnd.nextInt(5)
+          val want =
+            if (!mTrees.contains(t))
+              Err("NoSuchElementException", s"Unable to locate tree: $t")
+            else Ok
+          attempt(want)(TreeDefs.handleRules(store, "DELETE",
+            Map("treeid" -> t.toString)))
+          if (want == Ok) mRules = mRules.filterNot(_._1._1 == t)
+      }
+      if (i % 25 == 0 || i == 100) {
+        val gotTrees = TreeDefs.fetchAllTrees(store.trees)
+          .map(t => t.treeId -> t).toMap
+        assert(gotTrees == mTrees, s"op $i: trees diverged\n" +
+          s"got  $gotTrees\nwant $mTrees")
+        import spark.implicits._
+        val gotRules = store.rules.as[Trees.Rule].collect()
+          .map(r => (r.treeId, r.level, r.order) -> r).toMap
+        assert(gotRules == mRules, s"op $i: rules diverged\n" +
+          s"got  $gotRules\nwant $mRules")
+      }
+    }
+  }
 }
