@@ -780,6 +780,45 @@ object SparkEntry {
         .orderBy("remote", "query")
     }),
 
+    // §2.14 /api/stats/query fed by ACTUALLY-SERVED queries: the V1
+    // POST path (Engine.runJson under trackServes) registers one
+    // QueryStats per body BEFORE parsing (QueryRpc.handleQuery:127),
+    // per-sub-query emittedDPs ride the caller's own actions as
+    // observe metrics (no pre-count, no second execution), the last
+    // frame's completion rolls sub-query stats into the overall slots
+    // and the re-served body bumps the ring's executed counter — the
+    // oracle derives both sub-queries' emitted row counts from data
+    "q110_tracked_serving" -> ((s, dir) => {
+      import graft.query.QueryStatsLog
+      QueryStatsLog.reset()
+      Engine.clearPendingServes()
+      val body =
+        s"""{"start":$T_0105,"end":$T_0120,"queries":[
+           |{"aggregator":"sum","metric":"click","downsample":"1h-sum"},
+           |{"aggregator":"max","metric":"view","downsample":"1h-max"}]}"""
+          .stripMargin
+      Engine.trackServes = true
+      try {
+        for (_ <- 1 to 2)
+          Engine.runJson(pts(s, dir), body, remote = "10.7.7.7:4242")
+            .foreach(_.count())
+        require(Engine.awaitTrackedServes(), "tracked serves not recorded")
+      } finally Engine.trackServes = false
+      val doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+      QueryStatsLog.reset()
+      import s.implicits._
+      s.read.json(Seq(doc).toDS)
+        .select(explode(col("completed")).as("c"))
+        .select(col("c.remote").as("remote"),
+          col("c.httpResponse.code").cast("long").as("code"),
+          col("c.executed").cast("long").as("executed"),
+          col("c.stats.queryIdx_00.emittedDPs").cast("long")
+            .as("dps_click"),
+          col("c.stats.queryIdx_01.emittedDPs").cast("long")
+            .as("dps_view"),
+          col("c.stats.emittedDPs").cast("long").as("dps_total"))
+    }),
+
     // §2.14 /api/tree/branch hex-addressed browsing (reference
     // TreeRpc.handleBranch:213-253 over Branch.fetchBranch:426-553):
     // the tree builds once into the branch/leaf store, then two
@@ -2872,6 +2911,26 @@ object SparkEntry {
            SELECT '192.168.1.1:4242', 'm=sum:click',
              CAST(200 AS BIGINT), CAST(2 AS BIGINT), dps FROM n)
          ORDER BY remote, query""",
+
+    "q110_tracked_serving" ->
+      // emitted rows per sub-query = 1h buckets surviving the clip:
+      // scan is padded one interval past the end and the clip keeps
+      // bucket ts <= end, so the end-boundary bucket (fed by points in
+      // [end, end+1h)) is emitted — hence `< end + 3600000`
+      s"""$O, c AS (
+           SELECT CAST(count(DISTINCT ts // 3600000) AS BIGINT) AS dps
+           FROM points
+           WHERE metric = 'click' AND ts >= $T_0105
+             AND ts < $T_0120 + 3600000),
+         v AS (
+           SELECT CAST(count(DISTINCT ts // 3600000) AS BIGINT) AS dps
+           FROM points
+           WHERE metric = 'view' AND ts >= $T_0105
+             AND ts < $T_0120 + 3600000)
+         SELECT '10.7.7.7:4242' AS remote, CAST(200 AS BIGINT) AS code,
+           CAST(2 AS BIGINT) AS executed, c.dps AS dps_click,
+           v.dps AS dps_view, c.dps + v.dps AS dps_total
+         FROM c, v""",
 
     "q109_tree_branch" ->
       s"""$O, series AS (
