@@ -1292,16 +1292,25 @@ object Engine {
     * once per SparkSession; fires on the (async) execution-listener
     * bus, so a serve completes shortly AFTER the caller's action
     * returns — [[awaitTrackedServes]] is the test barrier. */
+  /** Listener invocations currently BETWEEN removing a pending entry
+    * and finishing its stats recording — [[awaitTrackedServes]] must
+    * not report done inside that window (the remove-then-record gap
+    * is otherwise a race against readers of the stats ring). */
+  private val servesInFlight =
+    new java.util.concurrent.atomic.AtomicInteger()
+
   private object ServeListener
       extends org.apache.spark.sql.util.QueryExecutionListener {
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
         durationNs: Long): Unit =
       qe.observedMetrics.foreach { case (name, row) =>
-        if (name.startsWith("graft_serve_"))
-          Option(pendingServes.remove(name)).foreach { case (ts, idx) =>
+        if (name.startsWith("graft_serve_")) {
+          servesInFlight.incrementAndGet()
+          try Option(pendingServes.remove(name)).foreach { case (ts, idx) =>
             ts.succeed(idx, row.getLong(0))
-          }
+          } finally servesInFlight.decrementAndGet()
+        }
       }
     override def onFailure(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
@@ -1309,8 +1318,11 @@ object Engine {
       qe.analyzed.collect {
         case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
             if c.name.startsWith("graft_serve_") => c.name
-      }.foreach(name =>
-        Option(pendingServes.remove(name)).foreach(_._1.fail(ex)))
+      }.foreach { name =>
+        servesInFlight.incrementAndGet()
+        try Option(pendingServes.remove(name)).foreach(_._1.fail(ex))
+        finally servesInFlight.decrementAndGet()
+      }
   }
 
   /** Attach observe-based tracking to each result frame: a uniquely
@@ -1336,9 +1348,10 @@ object Engine {
     * they are still "running" queries by contract. */
   def awaitTrackedServes(timeoutMs: Long = 30000L): Boolean = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (!pendingServes.isEmpty && System.nanoTime() < deadline)
+    while ((!pendingServes.isEmpty || servesInFlight.get() > 0) &&
+        System.nanoTime() < deadline)
       Thread.sleep(5)
-    pendingServes.isEmpty
+    pendingServes.isEmpty && servesInFlight.get() == 0
   }
 
   /** Test hook: abandon tracked serves whose frames will never be

@@ -1109,6 +1109,27 @@ object PipelineQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // classifier calibration report: a fixed-weight hashed linear
+    // scorer (the t29 scoring projection with literal weights — no
+    // training, so the oracle mirrors only the scoring chain) binned
+    // into the reliability table against the is-English label; bins
+    // computed on the 4dp-rounded score so both engines bin identical
+    // doubles. Zero-token docs score sigma(bias) and participate.
+    "t36_calibration_bins" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = Array(-1.2, 0.8, -0.4, 1.5, 0.3, -0.9, 0.6, -0.2)
+      val scored = TextAnalysis.classifierScore(d, "text", "doc_id",
+          w, bias = 0.1137, portable = true)
+        .join(d.select(col("doc_id").as("id"),
+          (col("lang") === "en").as("label")), Seq("id"))
+        .withColumn("score_r", r4(col("score")))
+      TextAnalysis.calibrationBins(scored, "score_r", "label", bins = 10)
+        .select(col("bin"), col("n"),
+          r4(col("mean_score")).as("mean_score"),
+          r4(col("frac_pos")).as("frac_pos"))
+        .orderBy("bin")
+    }),
+
     // CCNet-style perplexity bucketing: per-language head/middle/tail
     // thirds over the t17 bigram-LM score — thresholds are discrete
     // percentiles (actual data values at rank ceil(n/3), ceil(2n/3),
@@ -3416,6 +3437,41 @@ object PipelineQueries {
            FROM hh)
          SELECT domain, doc_id FROM r WHERE rn <= 5
          ORDER BY domain, doc_id""",
+
+    // the fixed-weight scoring chain mirrored (hash -> bucket weight
+    // CASE -> mean -> sigmoid -> 4dp round), then the equal-width
+    // probability binning over the rounded scores
+    "t36_calibration_bins" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tks
+           FROM documents),
+         tk AS (
+           SELECT doc_id, len(tks) AS n_tok, unnest(tks) AS tok
+           FROM base WHERE len(tks) > 0),
+         sco AS (
+           SELECT doc_id,
+             sum(CASE CAST(${oH32("tok")} % 8 AS INT)
+               WHEN 0 THEN -1.2 WHEN 1 THEN 0.8 WHEN 2 THEN -0.4
+               WHEN 3 THEN 1.5 WHEN 4 THEN 0.3 WHEN 5 THEN -0.9
+               WHEN 6 THEN 0.6 ELSE -0.2 END) / max(n_tok) AS dot
+           FROM tk GROUP BY doc_id),
+         fin AS (
+           SELECT b.doc_id, b.y,
+             1.0 / (1.0 + exp(-(coalesce(s.dot, 0) + 0.1137))) AS score
+           FROM base b LEFT JOIN sco s USING (doc_id)),
+         rr AS (
+           SELECT doc_id, y,
+             (sign(score) * floor(abs(score) * 10000 + 0.5) / 10000)
+               AS score_r
+           FROM fin)
+         SELECT least(CAST(floor(score_r * 10) AS INT), 9) AS bin,
+           count(*) AS n,
+           (sign(avg(score_r)) * floor(abs(avg(score_r)) * 10000 + 0.5) / 10000) AS mean_score,
+           (sign(avg(y)) * floor(abs(avg(y)) * 10000 + 0.5) / 10000) AS frac_pos
+         FROM rr GROUP BY 1 ORDER BY bin""",
 
     // the t17 LM-score chain feeding per-language discrete-percentile
     // thresholds (list_sort + 1-based pick at ceil(f*n), the same

@@ -346,6 +346,29 @@ object TextAnalysis {
   }
 
   /**
+   * Reliability (calibration) report for a probabilistic classifier —
+   * the table behind a reliability diagram and expected-calibration-
+   * error: scores fall into `bins` equal-width probability bins and
+   * each bin reports its population, mean predicted score and
+   * empirical positive rate. A quality-classifier pipeline checks
+   * this before thresholding on scores (a mis-calibrated score makes
+   * any "keep if p > 0.8" rule mean something else). One aggregation
+   * keyed by bin id — a single corpus pass with map-side combine,
+   * `bins` rows out; stateless, so it runs on a stream per window.
+   * Scores at a bin's upper edge belong to the lower bin except 1.0,
+   * which folds into the top bin.
+   */
+  def calibrationBins(scored: DataFrame, scoreCol: String,
+                      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins $bins")
+    scored.groupBy(least(floor(col(scoreCol) * bins).cast("int"),
+        lit(bins - 1)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(col(scoreCol)).as("mean_score"),
+        avg(col(labelCol).cast("double")).as("frac_pos"))
+  }
+
+  /**
    * Per-language discrete score thresholds for CCNet-style perplexity
    * bucketing (CCNet splits each language's corpus into head/middle/
    * tail thirds by KenLM perplexity and trains preferentially on the

@@ -2787,6 +2787,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       math.abs(scored(2L)._2 - 1.0 / (1.0 + math.exp(-exp))) < 1e-9)
   }
 
+  test("calibrationBins: equal-width probability bins, upper-edge-down, " +
+       "1.0 folds into the top bin") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, true), (0.05, false), (0.10, true),   // 0.10 = edge of bin 1
+      (0.95, true), (1.0, true), (0.45, false))
+      .toDF("score", "label")
+    val got = graft.pipeline.TextAnalysis
+      .calibrationBins(scored, "score", "label", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // 0.10 lands in bin 1 (floor semantics: lower edge inclusive)
+    assert(got(0) == ((2L, 0.05, 0.5)))
+    assert(got(1) == ((1L, 0.10, 1.0)))
+    assert(got(4) == ((1L, 0.45, 0.0)))
+    // 1.0 would floor to bin 10 — folds into bin 9 with the 0.95
+    assert(got(9)._1 == 2L && got(9)._3 == 1.0)
+    assert(got.values.map(_._1).sum == 6L)
+  }
+
   test("pplThresholds/assignPplBuckets: per-language discrete terciles, " +
        "boundary ties go down, unseen language yields null bucket") {
     import spark.implicits._
