@@ -71,9 +71,11 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, ok)
         }
         val (t1, ok1) = onePass()
-        // extra passes are noise reduction, not correctness — skip them
-        // when the budget is gone so a slow box still covers every query
-        val secs = if (!ok1 || passes < 2 || elapsed() >= budgetS) t1
+        // extra passes are noise reduction, not coverage — they stop at
+        // HALF the budget so the first pass always gets the rest of it
+        // (a degraded box should lose per-query noise floors, never
+        // whole tail queries)
+        val secs = if (!ok1 || passes < 2 || elapsed() >= budgetS * 0.5) t1
           else math.min(t1, (2 to passes).map(_ => onePass()._1).min)
         if (trace) {
           val rt = Runtime.getRuntime
