@@ -1552,6 +1552,66 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.isEmpty, errs.take(5).mkString("\n"))
   }
 
+  test("fuzz PSL registered domain: 300 random hosts vs an independent " +
+       "string-walking transcription of the PSL algorithm") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val rules = TextAnalysis.defaultPsl
+    // driver-side PSL from scratch: exceptions beat everything, else
+    // the longest matching rule (wildcards count one label longer) is
+    // the public suffix, regdom = suffix + 1 label, host == suffix →
+    // null, no rule → the heuristic
+    def heurRef(host: String): String = {
+      val l = host.split("\\."); val n = l.length
+      if (n >= 3 && Set("co", "com", "net", "org", "gov", "ac",
+          "edu")(l(n - 2)) && l(n - 1).length == 2)
+        l.takeRight(3).mkString(".")
+      else if (n >= 2) l.takeRight(2).mkString(".")
+      else host
+    }
+    def pslRef(host: String): String = {
+      val l = host.split("\\."); val n = l.length
+      def tail(k: Int) = l.takeRight(k).mkString(".")
+      def lbl(s: String) = s.count(_ == '.') + 1
+      val exc = rules.filter(_.kind == "exception")
+        .filter(r => lbl(r.suffix) <= n && tail(lbl(r.suffix)) == r.suffix)
+        .sortBy(r => -lbl(r.suffix)).headOption
+      exc match {
+        case Some(e) => tail(lbl(e.suffix))
+        case None =>
+          val normLens = rules.filter(_.kind == "rule")
+            .filter(r => lbl(r.suffix) <= n &&
+              tail(lbl(r.suffix)) == r.suffix).map(r => lbl(r.suffix))
+          val wildLens = rules.filter(_.kind == "wildcard")
+            .filter(r => lbl(r.suffix) + 1 <= n &&
+              tail(lbl(r.suffix)) == r.suffix).map(r => lbl(r.suffix) + 1)
+          (normLens ++ wildLens).maxOption match {
+            case None => heurRef(host)
+            case Some(sl) if n >= sl + 1 => tail(sl + 1)
+            case Some(_) => null
+          }
+      }
+    }
+    val rnd = new Random(20260816)
+    val prefixPool = Seq("www", "a", "b7", "foo", "site", "deep")
+    val tails = rules.map(_.suffix) ++
+      Seq("www.ck", "x.ck", "zz", "co.zz", "weird.unknown", "localhost")
+    val hosts = (1 to 300).map { _ =>
+      val prefix = (0 until rnd.nextInt(4))
+        .map(_ => prefixPool(rnd.nextInt(prefixPool.size)))
+      (prefix :+ tails(rnd.nextInt(tails.size))).mkString(".")
+    }.distinct
+    val got = TextAnalysis.withRegisteredDomainPsl(
+        hosts.toDF("host"), col("host"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val errs = hosts.flatMap { h =>
+      val want = pslRef(h)
+      if (got(h) != want) Seq(s"$h: got ${got(h)} want $want") else Nil
+    }
+    assert(errs.isEmpty, errs.take(5).mkString("\n"))
+  }
+
   test("fuzz tree-definition CRUD: 100 random endpoint ops vs a " +
        "driver-side transcription of the fetch-copy-save semantics") {
     import graft.meta.{TreeDefs, Trees}
