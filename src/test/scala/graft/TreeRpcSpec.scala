@@ -275,6 +275,23 @@ class TreeRpcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rootKids.map(_.getString(2)).toSeq == Seq("sys"))
   }
 
+  test("branch store round-trips through parquet: the V1 doc and the " +
+       "root browse serve off the stored partitioned layout") {
+    val s = setupStore()
+    val dir = java.nio.file.Files.createTempDirectory("treestore").toString
+    TreeDefs.writeBranchStore(s.branches, s.leaves, dir)
+    val (b, l) = TreeDefs.readBranchStore(spark, dir)
+    val doc = TreeDefs.branchDoc(s.trees, b, l, "00010001BECD000181A8")
+    assert(doc.contains("\"metric\":\"sys.cpu.0\""))
+    assert(doc.contains("\"displayName\":\"mboard\""))
+    assert(doc.contains("\"tsuid\":\"000001000001000001\""))
+    assert(doc.contains("\"host\":\"web01\""))
+    val root = TreeDefs.branchDoc(s.trees, b, l,
+      TreeDefs.idToString(TreeDefs.treeIdToBytes(1)))
+    assert(root.contains("\"displayName\":\"ROOT\""))
+    assert(root.contains("\"branches\":null"))
+  }
+
   // ---- /api/tree/rule (TestTreeRpc.handleRule*) --------------------
 
   test("rule GET: fetch, rule-404 with the [t:l:o:TYPE] identity, " +
