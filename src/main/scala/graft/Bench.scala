@@ -1,17 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicBoolean
 
 /** Benchmark main. Prints one JSON line per completed query (append-only
-  * progress — a killed run still yields a parseable prefix) and a final
-  * aggregate line `{"metric":"total",...}` compatible with earlier rounds.
+  * progress — a killed run still yields a parseable prefix), a final
+  * aggregate line `{"metric":"total",...}` compatible with earlier rounds,
+  * and — as the very LAST line — an ultra-compact
+  * `{"metric":"summary",...}` (&lt;300 bytes) so a harness that captures
+  * only a small tail of stdout always lands the headline numbers.
   *
   * Wall budget: `SPARK_GRAFT_BENCH_BUDGET_S` (seconds, default 480) bounds
-  * the time spent *launching* queries. Once exceeded, no new query (or
-  * second pass) starts; already-running work finishes, remaining queries
-  * are recorded in `skipped`, and the total line is still printed. This
-  * exists because the round-13 driver run was killed at its own timeout
-  * (rc=124) with zero output — a harness that emits nothing when killed
-  * turns an environment hiccup into a lost gate.
+  * the time spent *launching* queries. Pass structure is COVERAGE-FIRST:
+  * pass 1 runs every query once before ANY noise-reduction pass starts, so
+  * a degraded box loses timing precision, never tail coverage (the
+  * round-14 driver box ran ~8 s/query vs ~0.9 s on a healthy box and the
+  * old interleaved min-of-2 policy burned the budget on re-runs of the
+  * head while 136 tail queries were skipped). Extra passes then run
+  * per-query only while `elapsed + 2 * observed_first_pass_cost` stays
+  * inside the budget — the 2x halves the apparent headroom, so estimate
+  * error degrades to a skipped re-run, never a blown budget.
+  *
+  * A JVM shutdown hook prints the summary line if the normal path did not
+  * (rc=124-style SIGTERM kills still yield a parseable tail; SIGKILL is
+  * unsurvivable by design).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,11 +49,11 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY: comma-separated subset for local profiling
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    // per-query time = MIN over `passes` warm executions. Two rounds
-    // running, the per-round environment has degraded single passes
-    // 2-3x and masqueraded as regression; the min of two warm passes
-    // is robust to transient GC/page-cache/co-tenant noise while still
-    // measuring a full execution.
+    // per-query time = MIN over up to `passes` warm executions (budget
+    // permitting). The min of two warm passes is robust to transient
+    // GC/page-cache/co-tenant noise while still measuring a full
+    // execution; on a degraded box the coverage-first structure degrades
+    // this to a single pass per query instead of dropping tail queries.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .map(_.toInt).getOrElse(2)
     val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
@@ -55,37 +66,71 @@ object Bench {
       .sortBy(_._1)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
+
+    val summaryPrinted = new AtomicBoolean(false)
+    // <300 bytes regardless of query count: counts, total, median, top-5.
+    // MUST stay the last stdout line of a healthy run — the driver's tail
+    // capture is small and the total line grows with the query count.
+    def summaryLine(): String = {
+      val ts = results.values.toSeq.sorted
+      val median = if (ts.isEmpty) 0.0
+        else if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+      val slowest = results.toSeq.sortBy(-_._2).take(5)
+        .map { case (n, s) => f"""["$n",${s}%.2f]""" }.mkString("[", ",", "]")
+      f"""{"metric":"summary","n":${results.size},"n_err":${errors.size},"n_skip":${skipped.size},"total_s":${results.values.sum}%.1f,"median_s":$median%.3f,"elapsed_s":${elapsed()}%.1f,"slowest":$slowest}"""
+    }
+    def printSummaryOnce(): Unit =
+      if (summaryPrinted.compareAndSet(false, true)) {
+        println(summaryLine()); System.out.flush()
+      }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => printSummaryOnce()))
+
+    def onePass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          // a broken query must read as broken, not as a fast query
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    def progressLine(name: String, secs: Double): Unit = {
+      println(f"""{"metric":"query","name":"$name","value":$secs%.4f,"unit":"sec","ok":${!errors.contains(name)}}""")
+      System.out.flush()
+    }
+    // PASS 1 — coverage: every query exactly once, budget-bounded.
     todo.foreach { case (name, fn) =>
       if (elapsed() >= budgetS) skipped += name
       else {
-        def onePass(): (Double, Boolean) = {
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              // a broken query must read as broken, not as a fast query
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-            }
-          ((System.nanoTime() - t0) / 1e9, ok)
-        }
-        val (t1, ok1) = onePass()
-        // extra passes are noise reduction, not coverage — they stop at
-        // HALF the budget so the first pass always gets the rest of it
-        // (a degraded box should lose per-query noise floors, never
-        // whole tail queries)
-        val secs = if (!ok1 || passes < 2 || elapsed() >= budgetS * 0.5) t1
-          else math.min(t1, (2 to passes).map(_ => onePass()._1).min)
+        val (t, _) = onePass(name, fn)
+        results(name) = t
         if (trace) {
           val rt = Runtime.getRuntime
-          System.err.println(f"[bench] $name%-28s $secs%7.2f s  heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5d MB")
+          System.err.println(f"[bench] $name%-28s $t%7.2f s  heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5d MB")
         }
-        results(name) = secs
-        // progress line: a killed run yields one parseable line per
-        // completed query, so the driver can still reconstruct timings
-        println(f"""{"metric":"query","name":"$name","value":$secs%.4f,"unit":"sec","ok":${!errors.contains(name)}}""")
-        System.out.flush()
+        progressLine(name, t)
+      }
+    }
+    // PASSES 2..n — noise reduction, never at coverage's expense: only
+    // after a complete first pass, and per-query only while the budget
+    // holds twice the query's observed cost (conservative headroom; an
+    // estimate that is off by <2x still cannot overrun).
+    if (passes >= 2 && skipped.isEmpty) {
+      (2 to passes).foreach { _ =>
+        todo.foreach { case (name, fn) =>
+          if (results.contains(name) && !errors.contains(name) &&
+              elapsed() + 2 * results(name) < budgetS) {
+            val (t, ok) = onePass(name, fn)
+            if (ok && t < results(name)) {
+              results(name) = t
+              progressLine(name, t)
+            }
+          }
+        }
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -95,7 +140,7 @@ object Bench {
     val skippedJson = skipped.map(s => s"\"$s\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skippedJson,"n_skipped":${skipped.size},"budget_s":$budgetS,"sf":"$sfDir"}""")
-    System.out.flush()
+    printSummaryOnce()
     spark.stop()
   }
 }

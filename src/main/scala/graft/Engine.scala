@@ -1282,9 +1282,46 @@ object Engine {
   }
 
   private val pendingServes =
-    new java.util.concurrent.ConcurrentHashMap[String, (TrackedServe, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (TrackedServe, Int, Long)]()
+  // Keyed on the session OBJECT (weak, identity — SparkSession does not
+  // override equals), not its identity hash: hash collisions between live
+  // sessions, or a GC'd session's hash being reused, must not skip
+  // registering the listener on a new session. Double registration after a
+  // GC'd entry is the safe failure mode (pendingServes.remove is
+  // idempotent, so a twice-fired listener is a no-op the second time).
   private val serveListenerSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+          java.lang.Boolean]()))
+
+  /** Age (ms) after which a tracked serve whose result frame was never
+    * consumed is reaped as a failed send — a long-lived daemon must not
+    * grow [[pendingServes]] (and the stats ring's running set) without
+    * bound when a caller abandons a frame. Reaping runs on each new
+    * tracked serve; a legitimately-running query older than the TTL is
+    * safe only if it completes before reap, so keep this comfortably
+    * above the slowest expected serve. */
+  @volatile var serveTtlMs: Long = 600000L
+
+  /** Reap pending serves older than [[serveTtlMs]]: each is recorded as
+    * a failed send (the frame will never be consumed) and evicted.
+    * Returns the number reaped. Also callable directly by tests. */
+  def reapExpiredServes(): Int = {
+    val cutoff = System.nanoTime() - serveTtlMs * 1000000L
+    var n = 0
+    val it = pendingServes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._3 < cutoff &&
+          pendingServes.remove(e.getKey, e.getValue)) {
+        e.getValue._1.fail(new RuntimeException(
+          "tracked serve expired: result frame never consumed"))
+        n += 1
+      }
+    }
+    n
+  }
 
   /** Completes tracked serves when the caller's action lands: reads
     * the observed `graft_serve_*` row count on success, or maps the
@@ -1299,19 +1336,52 @@ object Engine {
   private val servesInFlight =
     new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Names of graft_serve_ CollectMetrics nodes sitting BELOW a
+    * row-limiting operator in `plan` — a partial action
+    * (`limit(n).collect()`, `show()`, `isEmpty`) pushes only a prefix of
+    * the result through the observe node, so its count is an UNDER-count
+    * and must not complete the serve (the reference serializer always
+    * materializes the full response before marking it sent). */
+  private def limitedServeNames(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val out = scala.collection.mutable.Set[String]()
+    def walk(p: LogicalPlan, limited: Boolean): Unit = {
+      val lim = limited || (p match {
+        case _: GlobalLimit | _: LocalLimit | _: Sample => true
+        case _ => false
+      })
+      p match {
+        case c: CollectMetrics
+            if lim && c.name.startsWith("graft_serve_") => out += c.name
+        case _ =>
+      }
+      p.children.foreach(walk(_, lim))
+      p.subqueries.foreach(walk(_, lim))
+    }
+    walk(plan, limited = false)
+    out.toSet
+  }
+
   private object ServeListener
       extends org.apache.spark.sql.util.QueryExecutionListener {
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
-        durationNs: Long): Unit =
+        durationNs: Long): Unit = {
+      val partial = limitedServeNames(qe.analyzed)
       qe.observedMetrics.foreach { case (name, row) =>
-        if (name.startsWith("graft_serve_")) {
+        // a metric observed under a limit is a prefix count: leave the
+        // serve pending (a later full materialization still completes
+        // it; an abandoned frame is reaped by reapExpiredServes)
+        if (name.startsWith("graft_serve_") && !partial.contains(name)) {
           servesInFlight.incrementAndGet()
-          try Option(pendingServes.remove(name)).foreach { case (ts, idx) =>
+          try Option(pendingServes.remove(name)).foreach { case (ts, idx, _) =>
             ts.succeed(idx, row.getLong(0))
           } finally servesInFlight.decrementAndGet()
         }
       }
+    }
     override def onFailure(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
         ex: Exception): Unit =
@@ -1327,17 +1397,24 @@ object Engine {
 
   /** Attach observe-based tracking to each result frame: a uniquely
     * named `CollectMetrics(count)` rides the caller's own action, so
-    * one tracked serve executes ONE job over the result. */
+    * one tracked serve executes ONE job over the result.
+    *
+    * CONTRACT: each returned frame must be FULLY materialized exactly
+    * once (`collect()`, `count()`, a full write — anything that pulls
+    * every row). A row-limited action (`show()`, `limit(n).collect()`,
+    * `isEmpty`) is detected and ignored (prefix counts must not
+    * complete the serve); a frame never fully consumed is reaped after
+    * [[serveTtlMs]] as a failed send. */
   private def attachTracking(st: graft.query.QueryStatsLog.QueryStats,
                              dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    reapExpiredServes()
     val ts = new TrackedServe(st, dfs.size)
     dfs.zipWithIndex.map { case (df, i) =>
       val sess = df.sparkSession
-      if (serveListenerSessions.add(
-          java.lang.System.identityHashCode(sess).toString))
+      if (serveListenerSessions.add(sess))
         sess.listenerManager.register(ServeListener)
       val name = s"graft_serve_${serveSeq.incrementAndGet()}"
-      pendingServes.put(name, (ts, i))
+      pendingServes.put(name, (ts, i, System.nanoTime()))
       df.observe(name, count(lit(1)).as("emittedDPs"))
     }
   }

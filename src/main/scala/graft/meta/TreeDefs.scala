@@ -466,12 +466,15 @@ object TreeDefs {
 
   /** The hash-chain match column: a branch row whose path elements
     * hash (java String.hashCode, the reference's row-key hash) to the
-    * requested chain. Pushed-down depth/tree filters keep this a
-    * narrow scan; the hash runs in whole-stage codegen
+    * requested chain. Stored elements are %-escaped ("/" is a legal
+    * reference name character) so the split is boundary-exact; the
+    * hash runs over the UNESCAPED element — Branch.compileBranchId
+    * hashes whole raw names. Pushed-down depth/tree filters keep this
+    * a narrow scan; hash + replace run in whole-stage codegen
     * ([[graft.functions.JavaHashCode]]). */
   private def hashChainMatches(hashes: Seq[Int]) =
     transform(split(col("path"), "/"),
-      e => graft.functions.JavaHashCode(e)) ===
+      e => graft.functions.JavaHashCode(Trees.unescapeElem(e))) ===
       lit(hashes.toArray)
 
   /**
@@ -486,10 +489,20 @@ object TreeDefs {
    * live on the branches frame itself.
    */
   def browseRows(branches: DataFrame, leaves: DataFrame,
-                 branchHex: String): DataFrame = {
+                 branchHex: String,
+                 trees: Option[DataFrame] = None): DataFrame = {
     val (treeId, hashes, rendered) = decodeBranchId(branchHex)
     val targetPath: String =
-      if (hashes.isEmpty) ""
+      if (hashes.isEmpty) {
+        // same 404 as branchDoc for an undefined tree: a root browse
+        // must not silently return an empty frame when the tree has
+        // neither a definition nor any branch rows
+        if (trees.forall(t => fetchTree(t, treeId).isEmpty) &&
+            branches.filter(col("tree_id") === treeId).isEmpty)
+          throw new NoSuchElementException(
+            s"Unable to locate branch '$rendered' for tree '$treeId'")
+        ""
+      }
       else {
         val hit = branches
           .filter(col("tree_id") === treeId &&
@@ -506,12 +519,13 @@ object TreeDefs {
       .select(lit(targetPath).as("branch"), lit("branch").as("kind"),
         col("name").as("display_name"), col("path"),
         lit(null: String).as("tsuid"), lit(null: String).as("metric"))
+    val escName = Trees.escapeElem(col("display_name"))
     val leafRows = leaves
       .filter(col("tree_id") === treeId && col("branch_path") === targetPath)
       .select(lit(targetPath).as("branch"), lit("leaf").as("kind"),
         col("display_name"),
-        (if (targetPath.isEmpty) col("display_name")
-         else concat(lit(targetPath + "/"), col("display_name"))).as("path"),
+        (if (targetPath.isEmpty) escName
+         else concat(lit(targetPath + "/"), escName)).as("path"),
         col("tsuid"), col("metric"))
     kids.unionByName(leafRows).orderBy("kind", "display_name")
   }
@@ -576,7 +590,7 @@ object TreeDefs {
         hit.head.getString(0)
       }
     val elems = if (targetPath.isEmpty) Seq.empty
-      else targetPath.split("/").toSeq
+      else targetPath.split("/").toSeq.map(Trees.unescapeElemStr)
     val o = mapper.createObjectNode()
     def pathMap(node: ObjectNode, es: Seq[String]): Unit = {
       val p = node.putObject("path")
@@ -615,7 +629,7 @@ object TreeDefs {
       kidRows.foreach { r =>
         val b = arr.addObject()
         b.put("treeId", treeId)
-        pathMap(b, r.getString(1).split("/").toSeq)
+        pathMap(b, r.getString(1).split("/").toSeq.map(Trees.unescapeElemStr))
         b.put("displayName", r.getString(0))
         b.put("depth", r.getInt(2))
         b.putNull("leaves")
@@ -938,11 +952,20 @@ object TreeDefs {
     * required, an optional tsuid list filters, and the response is the
     * flat {tsuid: value} map document. `frame` is a buildReport side
     * channel — (tsuid, existing_tsuid, …) for collisions, (tsuid,
-    * message) for not-matched. */
+    * message) for not-matched.
+    *
+    * `limit` bounds the unfiltered document: the reference returns the
+    * FULL map (its single HBase row), which at 10⁶+ collisions makes
+    * the response itself the bottleneck — a `limit` (query-string or
+    * param; default unlimited = reference-compatible) caps the collect
+    * at the first N tsuids in sort order via a TakeOrdered plan, so
+    * driver memory stays bounded no matter the tree's collision
+    * count. */
   def handleCollisionsNotMatched(store: TreeStore, frame: DataFrame,
                                  forCollisions: Boolean,
                                  qs: Map[String, String] = Map.empty,
-                                 body: Option[String] = None): RpcReply = {
+                                 body: Option[String] = None,
+                                 limit: Option[Int] = None): RpcReply = {
     // parseTSUIDsList (QS: treeid required, tsuids comma-split) vs the
     // POJO body, whose missing treeId is "Missing or invalid Tree ID"
     val (treeId, tsuids) = body match {
@@ -966,8 +989,16 @@ object TreeDefs {
     val filtered =
       if (tsuids.isEmpty) frame
       else frame.filter(col("tsuid").isInCollection(tsuids))
-    val rows = filtered.select("tsuid", valueCol).collect()
-      .sortBy(_.getString(0))
+    val cap = qs.get("limit").map(_.toInt).orElse(limit)
+    cap.filter(_ < 0).foreach(_ => throw new IllegalArgumentException(
+      "Invalid limit: must be a non-negative integer"))
+    val rows = (cap match {
+      // orderBy+limit = TakeOrderedAndProject: first N tsuids in sort
+      // order, bounded driver memory at any collision count
+      case Some(n) => filtered.select("tsuid", valueCol)
+        .orderBy("tsuid").limit(n).collect()
+      case None => filtered.select("tsuid", valueCol).collect()
+    }).sortBy(_.getString(0))
     val o = mapper.createObjectNode()
     rows.foreach(r => o.put(r.getString(0), r.getString(1)))
     RpcReply(store, 200, mapper.writeValueAsString(o))

@@ -20,6 +20,30 @@ object Trees {
   /** Rule: level from a tag value (reference TAGK rule). */
   def tagRule(tagk: String): Column = col("tags").getItem(tagk)
 
+  // ---- path-element escaping -----------------------------------------
+  // "/" is a LEGAL character in reference metric/tag names
+  // (Tags.validateString allows a-zA-Z0-9-_./), so element boundaries in
+  // the "/"-joined path/parent/branch_path identity columns must survive
+  // names containing it — otherwise two distinct element tuples (e.g.
+  // ["a/b"] vs ["a","b"]) conflate, and the hex branch address (which
+  // hashes WHOLE element names, Branch.compileBranchId) can never match
+  // a stored row. %-encoding of just {%, /}: identity for every name
+  // without those characters, so stored paths (and the oracle contract)
+  // are unchanged for ordinary names; literal `replace` stays in
+  // whole-stage codegen.
+
+  /** Escape one path element for storage inside a "/"-joined path. */
+  def escapeElem(c: Column): Column =
+    replace(replace(c, lit("%"), lit("%25")), lit("/"), lit("%2F"))
+
+  /** Inverse of [[escapeElem]] (column form). */
+  def unescapeElem(c: Column): Column =
+    replace(replace(c, lit("%2F"), lit("/")), lit("%25"), lit("%"))
+
+  /** Inverse of [[escapeElem]] (driver-side form, for rendering). */
+  def unescapeElemStr(s: String): String =
+    s.replace("%2F", "/").replace("%25", "%")
+
   // ---- rules as data (reference TreeRule model, src/tree/TreeRule.java:
   // 57-110 — tree_id/level/order identity, type, field, regex,
   // separator; CRUD via src/tsd/TreeRpc.java handleRule) ---------------
@@ -322,7 +346,7 @@ object Trees {
           .as("message"))
     val full = leveled.filter(fullDepth)
       .withColumn("path",
-        concat_ws("/", (0 until n).map(i => col(s"__l$i")): _*))
+        concat_ws("/", (0 until n).map(i => escapeElem(col(s"__l$i"))): _*))
     val winners = full.groupBy("path")
       .agg(min(col("__tsuid")).as("existing_tsuid"))
     val collisions = full.join(winners, Seq("path"))
@@ -372,7 +396,8 @@ object Trees {
       .filter((0 until n).map(i => col(s"__l$i").isNotNull).reduce(_ && _))
       .withColumn("branch_path",
         if (n == 1) lit("")
-        else concat_ws("/", (0 until n - 1).map(i => col(s"__l$i")): _*))
+        else concat_ws("/",
+          (0 until n - 1).map(i => escapeElem(col(s"__l$i"))): _*))
       .withColumn("display_name", col(s"__l${n - 1}"))
     val leaves = full.groupBy("branch_path", "display_name")
       .agg(min_by(struct(col("tsuid"), col("metric"), col("tags")),
@@ -456,15 +481,16 @@ object Trees {
       else leveled0
     val paths = (1 to rules.length).map { depth =>
       val lvls = (0 until depth).map(i => col(s"__l$i"))
+      val esc = lvls.map(escapeElem)
       leveled
         .filter(lvls.map(_.isNotNull).reduce(_ && _))
         .groupBy(lvls: _*)
         .agg(countDistinct(col("series_id")).as("leaves"))
         .select(
           lit(depth).as("depth"),
-          concat_ws("/", lvls: _*).as("path"),
+          concat_ws("/", esc: _*).as("path"),
           lvls.last.as("name"),
-          (if (depth == 1) lit("") else concat_ws("/", lvls.dropRight(1): _*))
+          (if (depth == 1) lit("") else concat_ws("/", esc.dropRight(1): _*))
             .as("parent"),
           col("leaves"))
     }

@@ -437,6 +437,17 @@ object Uids {
       throw new IllegalArgumentException("Missing type")
     val uid = row.getLong(uidIx)
     val kind = row.getString(kindIx)
+    // reference gate ORDER (UIDMeta.syncToStorage:189-193 before the
+    // getFromStorage chain): the all-unset no-changes IllegalStateException
+    // (304) fires BEFORE UID resolution — an all-unset edit for an unknown
+    // UID is a 304, not a 404
+    val fields = table.columns.toSeq.filterNot(Seq("kind", "uid").contains)
+    def unset(c: String): Boolean = {
+      val i = row.schema.fieldNames.indexOf(c)
+      i < 0 || row.isNullAt(i)
+    }
+    if (fields.forall(unset))
+      throw new IllegalStateException("No changes detected in UID meta data")
     if (registry.filter(col("kind") === kind && col("uid") === uid)
         .isEmpty)
       throw new NoSuchElementException("Could not find the requested UID")

@@ -1549,4 +1549,78 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
       QueryStatsLog.reset()
     }
   }
+
+  test("Engine.serveTracked: partial actions (show/limit/isEmpty) must " +
+       "NOT complete the serve — prefix counts are under-counts; a full " +
+       "materialization still completes it afterwards") {
+    import graft.query.QueryStatsLog
+    QueryStatsLog.reset()
+    Engine.clearPendingServes()
+    import scala.jdk.CollectionConverters._
+    val pts = spark.createDataFrame(Seq(
+      Row("cpu", HB, 1.0, java.lang.Long.valueOf(1L), true,
+        Map("host" -> "a")),
+      Row("cpu", HB + 60000L, 2.0, java.lang.Long.valueOf(2L), true,
+        Map("host" -> "a")),
+      Row("cpu", HB + 120000L, 3.0, java.lang.Long.valueOf(3L), true,
+        Map("host" -> "a"))).asJava, Points.schema)
+    val q = TsQuery(HB - 1000L, HB + 3600000L,
+      Seq(QueryParser.parseSubQuery("sum:cpu")))
+    val ok = Engine.serveTracked("1.2.3.4:4242", "m=sum:cpu")(
+      Engine.run(pts, q, q.queries.head))
+    // each of these pushes only a prefix through the observe node
+    assert(ok.limit(1).collect().length == 1)
+    assert(!ok.isEmpty)
+    ok.show(1)
+    // the listener bus is async — give it time to (wrongly) fire
+    Thread.sleep(200)
+    assert(QueryStatsLog.numRunning == 1,
+      "a row-limited action must not complete the serve")
+    // the full materialization completes it with the EXACT count
+    assert(ok.count() == 3)
+    assert(Engine.awaitTrackedServes(), "tracked serve never recorded")
+    val doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+    assert(QueryStatsLog.numRunning == 0)
+    assert(doc.contains(""""code":200""") &&
+      doc.contains(""""emittedDPs":3"""), doc)
+    QueryStatsLog.reset()
+  }
+
+  test("Engine.reapExpiredServes: an abandoned tracked frame is evicted " +
+       "after serveTtlMs as a failed send (no unbounded pendingServes " +
+       "growth in a long-lived daemon)") {
+    import graft.query.QueryStatsLog
+    QueryStatsLog.reset()
+    Engine.clearPendingServes()
+    import scala.jdk.CollectionConverters._
+    val pts = spark.createDataFrame(Seq(
+      Row("cpu", HB, 1.0, java.lang.Long.valueOf(1L), true,
+        Map("host" -> "a"))).asJava, Points.schema)
+    val q = TsQuery(HB - 1000L, HB + 3600000L,
+      Seq(QueryParser.parseSubQuery("sum:cpu")))
+    val oldTtl = Engine.serveTtlMs
+    try {
+      Engine.serveTtlMs = 0L
+      Engine.serveTracked("1.2.3.4:4242", "m=sum:cpu")(
+        Engine.run(pts, q, q.queries.head)) // frame never consumed
+      assert(QueryStatsLog.numRunning == 1)
+      Thread.sleep(5)
+      assert(Engine.reapExpiredServes() == 1)
+      assert(Engine.awaitTrackedServes(), "reap must drain pendingServes")
+      assert(QueryStatsLog.numRunning == 0)
+      val doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+      assert(doc.contains(""""code":500""") &&
+        doc.contains(""""sentToClient":false"""), doc)
+      // a fresh serve after the reap still works end-to-end
+      Engine.serveTtlMs = oldTtl
+      val ok = Engine.serveTracked("1.2.3.4:4242", "m=sum:cpu")(
+        Engine.run(pts, q, q.queries.head))
+      assert(ok.count() == 1)
+      assert(Engine.awaitTrackedServes())
+    } finally {
+      Engine.serveTtlMs = oldTtl
+      Engine.clearPendingServes()
+      QueryStatsLog.reset()
+    }
+  }
 }

@@ -1444,6 +1444,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(("metric", 2L, Some("Testing")))
           .toDF("kind", "uid", "displayName"), overwrite = true)
     }.getMessage == "Could not find the requested UID")
+    // GATE ORDER (UIDMeta.syncToStorage:184-193 runs the no-changes
+    // check BEFORE the NameCB UID resolution): an all-unset edit for an
+    // UNKNOWN UID is a 304, not a 404
+    assert(intercept[IllegalStateException] {
+      Uids.syncUidMetaRpc(stored, registry,
+        Seq(("metric", 2L, None: Option[String]))
+          .toDF("kind", "uid", "displayName"), overwrite = false)
+    }.getMessage == "No changes detected in UID meta data")
     // TSMeta: fixture retention 42; POST keeps it, PUT resets it
     // (TestTSMeta.syncToStorage / syncToStorageOverwrite)
     val tsStored = Seq(("000001000001000001", Some("ts"), Some(42L),

@@ -501,4 +501,67 @@ class TreeRpcSpec extends AnyFunSuite with BeforeAndAfterAll {
         forCollisions = true, body = Some("""{"tsuids":["010101"]}"""))
     }.getMessage == "Missing or invalid Tree ID")
   }
+
+  test("collisions/notmatched limit: caps the document at the first N " +
+       "tsuids in sort order (bounded driver memory at 10^6+ collisions)") {
+    import spark.implicits._
+    val s = setupStore()
+    val collisions = (1 to 50).map(i => (f"$i%06d", "AAAAAA", s"p$i"))
+      .toDF("tsuid", "existing_tsuid", "path")
+    val capped = TreeDefs.handleCollisionsNotMatched(s, collisions,
+      forCollisions = true, Map("treeid" -> "1", "limit" -> "3"))
+    assert(capped.body == """{"000001":"AAAAAA","000002":"AAAAAA","000003":"AAAAAA"}""")
+    // param form, and limit over a tsuid filter composes
+    val both = TreeDefs.handleCollisionsNotMatched(s, collisions,
+      forCollisions = true,
+      Map("treeid" -> "1", "tsuids" -> "000002,000005"), limit = Some(1))
+    assert(both.body == """{"000002":"AAAAAA"}""")
+    // default stays reference-compatible: unlimited
+    val all = TreeDefs.handleCollisionsNotMatched(s, collisions,
+      forCollisions = true, Map("treeid" -> "1"))
+    assert(all.body.contains("\"000050\":"))
+    intercept[IllegalArgumentException] {
+      TreeDefs.handleCollisionsNotMatched(s, collisions,
+        forCollisions = true, Map("treeid" -> "1", "limit" -> "-1")) }
+  }
+
+  test("path elements containing '/' stay addressable: the branch id " +
+       "hashes WHOLE element names (Branch.compileBranchId) and the " +
+       "stored path escapes the separator, so ['a/b'] never conflates " +
+       "with ['a','b']") {
+    import spark.implicits._
+    val series = Seq(
+      ("req/s", Map("route" -> "api/v1")),   // both elements contain "/"
+      ("req/s", Map("route" -> "web")),
+      ("mem", Map("route" -> "api", "extra" -> "v1")))
+      .toDF("metric", "tags")
+      .withColumn("ts", lit(0L)).withColumn("value", lit(1.0))
+    val rules = Seq(
+      Trees.Rule(1, 0, 0, "METRIC"),
+      Trees.Rule(1, 1, 0, "TAGK", field = "route"))
+      .foldLeft(Trees.emptyRules(spark))(Trees.upsertRule)
+    val (branches, leaves) = Trees.buildBranchStore(series, rules, 1)
+    // the depth-1 node "req/s" is ONE branch (not two), addressable by
+    // the hex of its whole name
+    val hex = TreeDefs.branchIdHex(1, Seq("req/s"))
+    val kids = TreeDefs.browseRows(branches, leaves, hex).collect()
+    assert(kids.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("leaf", "api/v1"), ("leaf", "web")))
+    // and the V1 doc renders the RAW (unescaped) element names
+    val trees = TreeDefs.storeTree(TreeDefs.emptyTrees(spark),
+      TreeDefs.TreeDef(1, "t"), changed = Set("name"), overwrite = false)
+    val doc = TreeDefs.branchDoc(trees, branches, leaves, hex)
+    assert(doc.contains("\"1\":\"req/s\""), doc)
+    assert(doc.contains("\"displayName\":\"req/s\""), doc)
+    assert(doc.contains("\"displayName\":\"api/v1\""), doc)
+    // distinct tuples ["api/v1"] vs ["api","v1"]-shaped names never
+    // share an address: a 2-element chain over metric "req/s" is a 404
+    intercept[NoSuchElementException] {
+      TreeDefs.browseRows(branches, leaves,
+        TreeDefs.branchIdHex(1, Seq("req", "s"))).collect() }
+    // root browse of an UNDEFINED tree 404s like branchDoc does
+    intercept[NoSuchElementException] {
+      TreeDefs.browseRows(branches.filter(col("tree_id") === 99), leaves,
+        TreeDefs.idToString(TreeDefs.treeIdToBytes(7))).collect() }
+  }
 }
