@@ -1172,6 +1172,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the FULL bundled publicsuffix.org snapshot end-to-end (~9.5k
+    // rules, suffixes to 5 labels): families the curated slice cannot
+    // resolve — a 5-label private rule (s3.dualstack), a 5-label
+    // wildcard match (*.compute.amazonaws.com.cn), the Japanese
+    // city exception/wildcard pair, 4-label ICANN registries
+    // (schools.nsw.edu.au, pvt.k12.ma.us), a host EQUAL to its suffix
+    // (null regdom), the unknown-TLD heuristic fallback, and the
+    // private-beats-ICANN longest-rule case (blogspot.com over com)
+    "t37_psl_full" -> ((s, dir) => {
+      val m = col("doc_id") % 10
+      val host = when(m === 0, concat(col("source"),
+          lit(".s3.dualstack.ap-south-1.amazonaws.com")))
+        .when(m === 1, concat(lit("x."), col("source"),
+          lit(".compute.amazonaws.com.cn")))
+        .when(m === 2, lit("foo.city.kawasaki.jp"))
+        .when(m === 3, lit("a.b.kawasaki.jp"))
+        .when(m === 4, concat(col("source"), lit(".schools.nsw.edu.au")))
+        .when(m === 5, lit("s3.cn-north-1.amazonaws.com.cn"))
+        .when(m === 6, concat(lit("www."), col("source"), lit(".qqq")))
+        .when(m === 7, concat(lit("a.b.c."), col("source"), lit(".com")))
+        .when(m === 8, concat(col("source"), lit(".pvt.k12.ma.us")))
+        .otherwise(concat(col("source"), lit(".blogspot.com")))
+      TextAnalysis.withRegisteredDomainPsl(
+          docs(s, dir).select(col("doc_id"), host.as("host")),
+          col("host"), rules = TextAnalysis.fullPsl)
+        .select("doc_id", "host", "registered_domain")
+        .orderBy("doc_id")
+    }),
+
     // within-document repeated-line removal (RefinedWeb intra-doc
     // dedup): each doc synthesizes a 6-line page with intra-doc
     // repeats (A B A footer B footer) — "footer" also repeats ACROSS
@@ -1494,18 +1523,33 @@ object PipelineQueries {
         .orderBy("media_id", "patch_row", "patch_col")
     }),
 
+    // multimodal metadata contract through the REAL codec dispatch
+    // (no byte-peek fake): each doc carries a 4×2 P6 image split into
+    // two 2-column color blocks; withMediaMeta derives (n_bytes,
+    // format, width, height) from the DECODED header and the features
+    // are the codec's channel means + 2×2 resized luma, all checked
+    // arithmetically by the oracle
     "m01_media_meta" -> ((s, dir) => {
-      val m = Multimodal.fromDocuments(docs(s, dir))
-      val f = Multimodal.decodeFeatures(col("payload"), 4)
-      m.select(
+      def px(mul: Int, off: Int) =
+        lpad(hex(pmod(col("doc_id") * mul + off, lit(256))), 2, "0")
+      val c1 = concat(px(1, 0), px(5, 0), px(9, 0))
+      val c2 = concat(px(3, 0), px(7, 0), px(11, 0))
+      val row = concat(c1, c1, c2, c2)
+      val payload = concat(encode(lit("P6\n4 2\n255\n"), "UTF-8"),
+        unhex(concat(row, row)))
+      val media = docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.withMediaMeta(media)
+        .select(
           col("media_id"),
           col("meta.n_bytes").as("n_bytes"),
+          col("meta.format").as("format"),
           col("meta.width").as("width"),
           col("meta.height").as("height"),
-          r4(element_at(f, 1)).as("f0"),
-          r4(element_at(f, 2)).as("f1"),
-          r4(element_at(f, 3)).as("f2"),
-          r4(element_at(f, 4)).as("f3"))
+          r4(element_at(col("decoded.features"), 1)).as("f0"),
+          r4(element_at(col("decoded.features"), 2)).as("f1"),
+          r4(element_at(col("decoded.features"), 3)).as("f2"),
+          r4(element_at(col("decoded.features"), 4)).as("f3"))
         .orderBy("media_id")
     }),
 
@@ -3001,19 +3045,36 @@ object PipelineQueries {
              floor(abs(0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5) / 10000) AS luma
          FROM m ORDER BY media_id, patch_row, patch_col""",
 
+    // the 4×2 two-block P6 arithmetic: channel means average the two
+    // blocks, the 2×2 luma resize samples pixels (0,0)/(2,0)/(0,1)/
+    // (2,1) so feature 4 is block-1's luma; n_bytes = 11-byte header
+    // + 24 pixel bytes, format/width/height from the decoded header
     "m01_media_meta" ->
       """WITH m AS (
-           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS n_bytes,
-             CAST(doc_id % 64 + 1 AS INT) AS width,
-             CAST(doc_id % 48 + 1 AS INT) AS height
-           FROM documents)
-         SELECT media_id, n_bytes, width, height,
-           (sign(CAST(concat('0x', substr(hx, 1, 2)) AS INT) / 255.0) * floor(abs(CAST(concat('0x', substr(hx, 1, 2)) AS INT) / 255.0) * 10000 + 0.5) / 10000) AS f0,
-           (sign(CAST(concat('0x', substr(hx, 3, 2)) AS INT) / 255.0) * floor(abs(CAST(concat('0x', substr(hx, 3, 2)) AS INT) / 255.0) * 10000 + 0.5) / 10000) AS f1,
-           (sign(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0) * floor(abs(CAST(concat('0x', substr(hx, 5, 2)) AS INT) / 255.0) * 10000 + 0.5) / 10000) AS f2,
-           (sign(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0) * floor(abs(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0) * 10000 + 0.5) / 10000) AS f3
-         FROM m ORDER BY media_id""",
+           SELECT doc_id AS media_id,
+             CAST(doc_id % 256 AS DOUBLE) AS r1,
+             CAST((doc_id * 5) % 256 AS DOUBLE) AS g1,
+             CAST((doc_id * 9) % 256 AS DOUBLE) AS b1,
+             CAST((doc_id * 3) % 256 AS DOUBLE) AS r2,
+             CAST((doc_id * 7) % 256 AS DOUBLE) AS g2,
+             CAST((doc_id * 11) % 256 AS DOUBLE) AS b2
+           FROM documents),
+         f AS (
+           SELECT media_id,
+             CAST(35 AS BIGINT) AS n_bytes,
+             'image/ppm' AS format,
+             CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+             (r1 + r2) / 2 / 255.0 AS v0,
+             (g1 + g2) / 2 / 255.0 AS v1,
+             (b1 + b2) / 2 / 255.0 AS v2,
+             (0.299 * r1 + 0.587 * g1 + 0.114 * b1) / 255.0 AS v3
+           FROM m)
+         SELECT media_id, n_bytes, format, width, height,
+           (sign(v0) * floor(abs(v0) * 10000 + 0.5) / 10000) AS f0,
+           (sign(v1) * floor(abs(v1) * 10000 + 0.5) / 10000) AS f1,
+           (sign(v2) * floor(abs(v2) * 10000 + 0.5) / 10000) AS f2,
+           (sign(v3) * floor(abs(v3) * 10000 + 0.5) / 10000) AS f3
+         FROM f ORDER BY media_id""",
 
     "t07_clean_corpus" ->
       """WITH t AS (
@@ -3538,6 +3599,40 @@ object PipelineQueries {
              WHEN 3 THEN 'www.ck'
              WHEN 4 THEN 'b.' || source || '.ck'
              ELSE source || '.com'
+           END AS registered_domain
+         FROM documents ORDER BY doc_id""",
+
+    // per-family expected pay-level domain against the FULL bundled
+    // snapshot, stated directly (rule existence verified against
+    // publicsuffix.org: s3.dualstack.ap-south-1.amazonaws.com,
+    // *.compute.amazonaws.com.cn, !city.kawasaki.jp, *.kawasaki.jp,
+    // schools.nsw.edu.au, s3.cn-north-1.amazonaws.com.cn,
+    // pvt.k12.ma.us, blogspot.com)
+    "t37_psl_full" ->
+      s"""SELECT doc_id,
+           CASE CAST(doc_id % 10 AS INT)
+             WHEN 0 THEN source || '.s3.dualstack.ap-south-1.amazonaws.com'
+             WHEN 1 THEN 'x.' || source || '.compute.amazonaws.com.cn'
+             WHEN 2 THEN 'foo.city.kawasaki.jp'
+             WHEN 3 THEN 'a.b.kawasaki.jp'
+             WHEN 4 THEN source || '.schools.nsw.edu.au'
+             WHEN 5 THEN 's3.cn-north-1.amazonaws.com.cn'
+             WHEN 6 THEN 'www.' || source || '.qqq'
+             WHEN 7 THEN 'a.b.c.' || source || '.com'
+             WHEN 8 THEN source || '.pvt.k12.ma.us'
+             ELSE source || '.blogspot.com'
+           END AS host,
+           CASE CAST(doc_id % 10 AS INT)
+             WHEN 0 THEN source || '.s3.dualstack.ap-south-1.amazonaws.com'
+             WHEN 1 THEN 'x.' || source || '.compute.amazonaws.com.cn'
+             WHEN 2 THEN 'city.kawasaki.jp'
+             WHEN 3 THEN 'a.b.kawasaki.jp'
+             WHEN 4 THEN source || '.schools.nsw.edu.au'
+             WHEN 5 THEN NULL
+             WHEN 6 THEN source || '.qqq'
+             WHEN 7 THEN source || '.com'
+             WHEN 8 THEN source || '.pvt.k12.ma.us'
+             ELSE source || '.blogspot.com'
            END AS registered_domain
          FROM documents ORDER BY doc_id""",
 

@@ -8,14 +8,14 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video as opaque `binary`
  * columns with typed metadata, plus a decode/feature-extract stage.
  *
- * The decode stage is REAL: hand-rolled pure-JVM codecs for binary
- * PPM (P6), RIFF/WAVE PCM, BMP, PNG (RFC 2083 — zlib inflate, all
- * five filter types), and baseline JPEG (ITU-T T.81 — marker walk,
- * Huffman decode, dequant, IDCT, 4:2:0 upsampling), each feeding the
- * same header-parse → pixel/sample math → feature/resize shape a
- * production codec would. The ONLY remaining stub is
- * [[decodeFeatures]], a byte-peek fake kept as the minimal
- * columnar-expression harness for the m01/m02 schema contract.
+ * The decode stage is REAL, with no stubs: hand-rolled pure-JVM
+ * codecs for binary PPM (P6), RIFF/WAVE PCM, BMP, PNG (RFC 2083 —
+ * zlib inflate, all five filter types), and baseline JPEG (ITU-T
+ * T.81 — marker walk, Huffman decode, dequant, IDCT, 4:2:0
+ * upsampling), each feeding the same header-parse → pixel/sample
+ * math → feature/resize shape a production codec would. The typed
+ * metadata contract ([[withMediaMeta]]) derives from the decoded
+ * container, not from byte peeks.
  *
  * At scale the pattern is: binary payloads live in their own parquet
  * column (column pruning keeps metadata-only queries from reading
@@ -33,38 +33,6 @@ object Multimodal {
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true))), nullable = false)
   ))
-
-  /** Wrap a text table as fake media rows (payload = utf-8 bytes,
-    * metadata derived deterministically) — test harness for the
-    * pipeline shape. */
-  def fromDocuments(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
-    docs.select(
-      col(idCol).as("media_id"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      struct(
-        octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
-        lit("fake/raw").as("format"),
-        (pmod(col(idCol), lit(64)) + 1).cast("int").as("width"),
-        (pmod(col(idCol), lit(48)) + 1).cast("int").as("height")).as("meta"))
-
-  /**
-   * STUB decode / feature-extract (the one remaining fake in this
-   * file): nFeatures values from the leading payload bytes (hex-pair
-   * → [0,1]). The real codecs below ([[decodePpm]] … [[decodeJpeg]])
-   * are the production-shaped path; this expression form is kept for
-   * the m01/m02 contract where the payload is arbitrary bytes with no
-   * container format. Swapping it for a per-partition codec call
-   * changes nothing downstream (schema, partitioning, batch shape).
-   */
-  def decodeFeatures(payload: Column, nFeatures: Int): Column = {
-    val hx = hex(payload)
-    array((0 until nFeatures).map { i =>
-      coalesce(
-        conv(substring(hx, i * 2 + 1, 2), 16, 10).cast("double") / 255.0,
-        lit(0.0))
-    }: _*)
-  }
 
   // ---- real pure-JVM codecs ------------------------------------------
   //
@@ -965,6 +933,25 @@ object Multimodal {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /**
+   * Typed media metadata through the REAL codec dispatch — the
+   * [[mediaSchema]] `meta` struct (n_bytes, format, width, height)
+   * derived from the DECODED container: format is the codec's own
+   * kind string, width/height come out of the header parse, n_bytes
+   * is the payload length. Payloads no codec recognizes keep a
+   * metadata row (`unknown` format, null dimensions) — an ingest
+   * survey must count them, not drop them.
+   */
+  def withMediaMeta(df: DataFrame,
+                    payloadCol: String = "payload"): DataFrame =
+    decodeMedia(df, payloadCol)
+      .withColumn("meta", struct(
+        coalesce(octet_length(col(payloadCol)).cast("long"), lit(0L))
+          .as("n_bytes"),
+        coalesce(col("decoded.kind"), lit("unknown")).as("format"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height")))
 
   /**
    * ViT-style patch extraction ("image tokenization"): decode each

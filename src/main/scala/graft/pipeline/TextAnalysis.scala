@@ -905,6 +905,20 @@ object TextAnalysis {
     "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
     "cloudfront.net", "s3.amazonaws.com", "web.app", "pages.dev"))
 
+  /** The FULL publicsuffix.org snapshot, bundled as a resource
+    * (public content, MPL 2.0 — the file's own header; ~9.5k rules,
+    * suffixes up to 5 labels). This is the production rule set for
+    * [[withRegisteredDomainPsl]]; [[defaultPsl]] stays as the small
+    * fixture the unit vectors read by eye. Loaded once per JVM;
+    * rules are broadcast per suffix length at query time, so the
+    * snapshot's size never touches the corpus-side plan. */
+  lazy val fullPsl: Seq[PslRule] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "bundled public_suffix_list.dat missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try pslRules(src.getLines().toSeq) finally src.close()
+  }
+
   /**
    * Registered domain against a real public-suffix table — the scale
    * path the heuristic [[registeredDomain]] documents a slot for.
@@ -921,14 +935,15 @@ object TextAnalysis {
    * `maxSuffixLabels` against the host's k-label tail — no shuffle of
    * the host side, no explode, no per-row scan of the rule set; the
    * host column streams through whole-stage codegen between the hash
-   * probes. PSL rules longer than `maxSuffixLabels` labels are rare
-   * (a handful of 5-label private entries); raise the cap if the full
-   * snapshot needs them.
+   * probes. The default cap of 5 covers every rule in the bundled
+   * [[fullPsl]] snapshot (its longest suffixes — the 5-label s3/cloud9
+   * private entries — and its longest wildcards, whose 4-label
+   * suffixes match one label longer).
    */
   def withRegisteredDomainPsl(df: DataFrame, host: Column,
                               rules: Seq[PslRule] = defaultPsl,
                               out: String = "registered_domain",
-                              maxSuffixLabels: Int = 4): DataFrame = {
+                              maxSuffixLabels: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val byLen: Map[Int, Seq[PslRule]] =

@@ -1553,11 +1553,18 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("fuzz PSL registered domain: 300 random hosts vs an independent " +
-       "string-walking transcription of the PSL algorithm") {
+       "string-walking transcription of the PSL algorithm — over the " +
+       "curated slice AND the full bundled publicsuffix.org snapshot") {
+    import graft.pipeline.TextAnalysis
+    for (rules <- Seq(TextAnalysis.defaultPsl, TextAnalysis.fullPsl))
+      pslFuzzRound(rules)
+  }
+
+  private def pslFuzzRound(
+      rules: Seq[graft.pipeline.TextAnalysis.PslRule]): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.pipeline.TextAnalysis
-    val rules = TextAnalysis.defaultPsl
     // driver-side PSL from scratch: exceptions beat everything, else
     // the longest matching rule (wildcards count one label longer) is
     // the public suffix, regdom = suffix + 1 label, host == suffix →
@@ -1603,7 +1610,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       (prefix :+ tails(rnd.nextInt(tails.size))).mkString(".")
     }.distinct
     val got = TextAnalysis.withRegisteredDomainPsl(
-        hosts.toDF("host"), col("host"))
+        hosts.toDF("host"), col("host"), rules = rules)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val errs = hosts.flatMap { h =>
       val want = pslRef(h)

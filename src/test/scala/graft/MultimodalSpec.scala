@@ -297,6 +297,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeJpeg(Array(0xff, 0xd8).map(_.toByte)).isEmpty)
   }
 
+  test("withMediaMeta: typed metadata derives from the DECODED " +
+       "container; unrecognized payloads keep a row with unknown/null " +
+       "meta") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ppmBytes),
+      (2L, wavBytes),
+      (3L, "not a media file".getBytes("US-ASCII")),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    val got = Multimodal.withMediaMeta(df)
+      .select("media_id", "meta.n_bytes", "meta.format", "meta.width",
+        "meta.height")
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getLong(1) == ppmBytes.length &&
+      got(0).getString(2) == "image/ppm" &&
+      got(0).getInt(3) == 2 && got(0).getInt(4) == 2)
+    assert(got(1).getLong(1) == wavBytes.length &&
+      got(1).getString(2) == "audio/wav")
+    assert(got(2).getString(2) == "unknown" && got(2).isNullAt(3))
+    assert(got(3).getLong(1) == 0L && got(3).getString(2) == "unknown")
+  }
+
   test("decode paths stay inside the SQL engine (no RDD scan barrier)") {
     import spark.implicits._
     val df = Seq((1L, ppmBytes)).toDF("media_id", "payload")
