@@ -269,10 +269,12 @@ object Engine {
         case e: IllegalArgumentException =>
           st.markSerialized(400, "Bad Request", e)
           st.markSendFailed()
+          recordServeLatency(st)
           throw e
         case e: Throwable =>
           st.markSerialized(500, "Internal Server Error", e)
           st.markSendFailed()
+          recordServeLatency(st)
           throw e
       }
     }
@@ -1236,10 +1238,12 @@ object Engine {
       case e: IllegalArgumentException =>
         st.markSerialized(400, "Bad Request", e)
         st.markSendFailed()
+        recordServeLatency(st)
         throw e
       case e: Throwable =>
         st.markSerialized(500, "Internal Server Error", e)
         st.markSendFailed()
+        recordServeLatency(st)
         throw e
     }
   }
@@ -1253,6 +1257,19 @@ object Engine {
   @volatile var trackServes: Boolean = false
 
   private val serveSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The reference's `http.latency` self-metric (HttpQuery.done():
+    * `httplatency.add(processing_time)`, src/tsd/HttpQuery.java:701):
+    * every tracked serve — success or failure — records its total
+    * wall time into the `/api/stats` latency histogram at completion.
+    * Clamped non-negative; values past the histogram's 16 s max land
+    * in its overflow bucket, as the reference's does. */
+  private def recordServeLatency(
+      st: graft.query.QueryStatsLog.QueryStats): Unit = {
+    val ms = st.getQueryCompletedTimestamp - st.getQueryStartTimestamp
+    graft.meta.Introspect.recordLatency("http.latency",
+      math.max(ms, 0L).min(Int.MaxValue).toInt)
+  }
 
   /** One tracked serve over `n` result frames (one HTTP query = one
     * QueryStats covering all its sub-queries). Completion fires when
@@ -1269,6 +1286,7 @@ object Engine {
       if (remaining.decrementAndGet() == 0 && !failed.get()) {
         st.markSerialized(200, "OK", null)
         st.markSent()
+        recordServeLatency(st)
       }
     }
     def fail(e: Throwable): Unit = if (failed.compareAndSet(false, true)) {
@@ -1278,6 +1296,7 @@ object Engine {
       }
       st.markSerialized(code, reason, e)
       st.markSendFailed()
+      recordServeLatency(st)
     }
   }
 

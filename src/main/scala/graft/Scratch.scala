@@ -729,6 +729,55 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--exp-width")) {
+      // ExpressionJoin's slot grid at WIDTH: many joined series over a
+      // fixed 10k-slot grid with ALIGNED stamps, so the whole cost is
+      // the |keys| × |grid| slot table plus the broadcast key dim —
+      // the axis --exp-jitter (which widens the GRID) does not probe.
+      // Also exercises the opt-in broadcastKeyCeiling fail-fast.
+      import org.apache.spark.sql.functions._
+      import graft.operators.ExpressionJoin
+      import graft.operators.ExpressionJoin.VarSet
+      val grid = 10000L
+      def varFrame(series: Long, off: Long) = spark.range(series)
+        .select(col("id").as("s"))
+        .crossJoin(spark.range(grid).select(col("id").as("k")))
+        .select(
+          map(lit("host"), concat(lit("h"), col("s"))).as("tags"),
+          array().cast("array<string>").as("agg_tags"),
+          (lit(1356998400000L) + col("k") * 60000L).as("ts"),
+          (col("s") + col("k") + off).cast("double").as("value"))
+      for (series <- Seq(1000L, 3000L, 10000L)) {
+        def run(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val joined = ExpressionJoin.union("e",
+            Seq(VarSet("a", varFrame(series, 0L), tsFill = 0.0),
+                VarSet("b", varFrame(series, 7L), tsFill = 0.0)),
+            useQueryTags = false, includeAggTags = true)
+          val n = joined.withColumn("value", col("__v_a") + col("__v_b"))
+            .agg(count(lit(1))).head.getLong(0)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (secs, slots) = (1 to 2).map(_ => run()).last
+        println(f"EXPWIDTH series=$series%-6d grid=$grid " +
+          f"slots=$slots%-10d ${secs}%7.2f s  " +
+          f"${slots / secs / 1e6}%6.1f M slots/s")
+      }
+      // fail-fast: ceiling below the key count must throw the 400
+      ExpressionJoin.broadcastKeyCeiling = 500L
+      try {
+        ExpressionJoin.union("e",
+          Seq(VarSet("a", varFrame(1000L, 0L), tsFill = 0.0),
+              VarSet("b", varFrame(1000L, 7L), tsFill = 0.0)),
+          useQueryTags = false, includeAggTags = true).count()
+        println("CEILING missed (BUG)")
+      } catch {
+        case e: IllegalArgumentException =>
+          println(s"CEILING enforced: ${e.getMessage}")
+      } finally ExpressionJoin.broadcastKeyCeiling = 0L
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--exec")) {
       // post-execution (AQE-final) plan: shows runtime stage/exchange
       // reuse that the static explain cannot

@@ -69,6 +69,30 @@ object ExpressionJoin {
                     queryTagKs: Set[String] = Set.empty,
                     tsFill: Double = Double.NaN)
 
+  /** Opt-in ceiling on the broadcast series-key table (0 = off,
+    * reference-compatible: the reference materializes every joined
+    * series in TSD heap with no limit either). The slot assembly
+    * broadcasts the flattened key dim to every executor and builds a
+    * |keys| × |grid| slot table; the keys themselves are cheap
+    * (~40 B/series flattened — 1M series ≈ 40 MB broadcast) but the
+    * slot table is the real cost driver, measured LINEAR at
+    * ~50-60 M slot rows/s/32-cores out to 10k series × 10k grid
+    * slots (`Scratch --exp-width`, SCALING.md). A serving tier sets
+    * this to fail fast with a clear 400 instead of an executor OOM
+    * deep in the join; enforcement costs one bounded `limit(n+1)`
+    * count on the pruned key dim (union only — intersection's eager
+    * validation already counts its keys for free). */
+  @volatile var broadcastKeyCeiling: Long = 0L
+
+  private def enforceCeiling(nKeys: => Long): Unit = {
+    val cap = broadcastKeyCeiling
+    if (cap > 0 && nKeys > cap)
+      throw new IllegalArgumentException(
+        s"Expression join exceeds the configured ceiling of $cap " +
+          "series keys; narrow the filters or aggregate away a " +
+          "dimension before the expression")
+  }
+
   /** Flattened series-identity key (flattenTags). Per-segment markers
     * ("" k "" v for pairs, "" k for agg keys) keep
     * pairs and agg keys unambiguous where the reference relies on
@@ -136,6 +160,7 @@ object ExpressionJoin {
     if (stats.getAs[Long]("total") == 0L) return emptyResult(keyed)
     if (stats.getAs[Long]("hits") == 0L)
       throw new IllegalArgumentException(s"No intersections found: $id")
+    enforceCeiling(stats.getAs[Long]("hits")) // already counted — free
     assemble(keyed, perKey.filter(col("__n") === n).select("__skey"),
       missingSeriesFill = None)
   }
@@ -152,8 +177,13 @@ object ExpressionJoin {
       v -> v.df.withColumn("__skey", flatKey(v, useQueryTags, includeAggTags)))
     val all = keyed.map(_._2.select("__skey").distinct())
       .reduce(_ unionByName _).distinct()
-    // no eager action: the union never throws, and empty key/grid
-    // dims flow through assemble to an empty (correctly-shaped) result
+    // no eager action by default: the union never throws, and empty
+    // key/grid dims flow through assemble to an empty (correctly-
+    // shaped) result. With a ceiling set, ONE bounded count on the
+    // pruned key dim buys the fail-fast.
+    if (broadcastKeyCeiling > 0)
+      enforceCeiling(all.limit(
+        math.min(broadcastKeyCeiling + 1, Int.MaxValue).toInt).count())
     assemble(keyed, all, missingSeriesFill = Some(missingSeriesFill))
   }
 

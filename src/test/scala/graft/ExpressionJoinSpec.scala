@@ -1057,4 +1057,38 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(chain(ex).contains("data-point budget"), chain(ex))
     } finally Engine.expMaxDataPoints = Long.MaxValue
   }
+
+  test("broadcastKeyCeiling: opt-in fail-fast on the series-key dim " +
+       "for both join kinds; off by default; boundary exact") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("agg_tags", ArrayType(StringType)),
+      StructField("ts", LongType), StructField("value", DoubleType)))
+    def frame(nSeries: Int) = spark.createDataFrame(
+      (0 until nSeries).map(i =>
+        Row(Map("host" -> s"h$i"), Seq.empty[String],
+          java.lang.Long.valueOf(T0), java.lang.Double.valueOf(i.toDouble))
+      ).asJava, schema)
+    def sets(n: Int) = Seq(
+      VarSet("a", frame(n), tsFill = 0.0),
+      VarSet("b", frame(n), tsFill = 0.0))
+    assert(ExpressionJoin.broadcastKeyCeiling == 0L) // default: off
+    try {
+      ExpressionJoin.broadcastKeyCeiling = 3L
+      // at the ceiling: allowed
+      assert(ExpressionJoin.union("u", sets(3), useQueryTags = false,
+        includeAggTags = false).count() == 3)
+      // one past it: clear 400 for union AND intersection
+      val eu = intercept[IllegalArgumentException] {
+        ExpressionJoin.union("u", sets(4), useQueryTags = false,
+          includeAggTags = false).count() }
+      assert(eu.getMessage.contains("exceeds the configured ceiling"))
+      val ei = intercept[IllegalArgumentException] {
+        ExpressionJoin.intersection("i", sets(4), useQueryTags = false,
+          includeAggTags = false).count() }
+      assert(ei.getMessage.contains("exceeds the configured ceiling"))
+    } finally ExpressionJoin.broadcastKeyCeiling = 0L
+  }
 }

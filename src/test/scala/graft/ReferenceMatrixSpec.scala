@@ -1586,6 +1586,47 @@ class ReferenceMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     QueryStatsLog.reset()
   }
 
+  test("tracked serves feed the /api/stats latency histogram " +
+       "(HttpQuery.done → httplatency.add(processing_time)): success " +
+       "AND failure paths record http.latency") {
+    import graft.query.QueryStatsLog
+    import graft.meta.Introspect
+    QueryStatsLog.reset()
+    Engine.clearPendingServes()
+    Introspect.resetStats()
+    import scala.jdk.CollectionConverters._
+    val pts = spark.createDataFrame(Seq(
+      Row("cpu", HB, 1.0, java.lang.Long.valueOf(1L), true,
+        Map("host" -> "a"))).asJava, Points.schema)
+    val q = TsQuery(HB - 1000L, HB + 3600000L,
+      Seq(QueryParser.parseSubQuery("sum:cpu")))
+    try {
+      assert(Introspect.statsLatency(spark).count() == 0)
+      Engine.serveTracked("1.2.3.4:4242", "m=sum:cpu")(
+        Engine.run(pts, q, q.queries.head)).count()
+      assert(Engine.awaitTrackedServes())
+      val rows = Introspect.statsLatency(spark).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.keySet == Set("http.latency_50pct", "http.latency_75pct",
+        "http.latency_90pct", "http.latency_95pct"), rows.toString)
+      // the 400 path records too (the reference's done() runs on every
+      // response, error replies included)
+      intercept[IllegalArgumentException] {
+        Engine.serveTracked("1.2.3.4:4242", "m=bogus:cpu")(
+          Engine.runM(pts, q, "bogus:cpu"))
+      }
+      // two samples now: the served query + the failed parse — the
+      // 95th-pct bound can only move up or stay
+      val rows2 = Introspect.statsLatency(spark).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows2("http.latency_95pct") >= rows("http.latency_95pct"))
+    } finally {
+      Engine.clearPendingServes()
+      QueryStatsLog.reset()
+      Introspect.resetStats()
+    }
+  }
+
   test("Engine.reapExpiredServes: an abandoned tracked frame is evicted " +
        "after serveTtlMs as a failed send (no unbounded pendingServes " +
        "growth in a long-lived daemon)") {
