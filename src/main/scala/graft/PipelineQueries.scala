@@ -1232,6 +1232,19 @@ object PipelineQueries {
     // domain mixing toward target source proportions at a 0.2 global
     // budget: src0/src1 clamp to keep-all, src2 keeps ~80%, every
     // unlisted source drops
+    // temperature-α mixture sampling (the mBERT/XLM-R/mT5 exponential
+    // smoothing): target shares q_i = p_i^α/Σp_j^α computed from the
+    // corpus itself (α=0.5 — the IEEE-exact sqrt path — up-samples
+    // tail sources), membership by the same deterministic salted hash
+    // as t15; weights/thresholds are an in-plan |sources|-row dim,
+    // no driver-side map
+    "t38_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(docs(s, dir), "source", "doc_id",
+          alpha = 0.5, frac = 0.3, salt = "tmix", portable = true)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "t15_domain_mix" -> ((s, dir) => {
       Sampling.domainMix(docs(s, dir), "source", "doc_id",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
@@ -3284,6 +3297,27 @@ object PipelineQueries {
            (cum - n_tok) // 64 AS pack,
            CAST((cum - n_tok) % 64 AS INT) AS pack_off
          FROM c ORDER BY doc_id""",
+
+    // the sqrt path is IEEE-correctly-rounded in BOTH engines (unlike
+    // pow), so the weight math mirrors exactly; threshold floor is the
+    // same 2^32 grid as t15
+    "t38_temperature_mix" ->
+      s"""WITH n AS (SELECT count(*) AS n_total FROM documents),
+         c AS (SELECT source, count(*) AS n_docs
+           FROM documents GROUP BY source),
+         t AS (SELECT c.source, c.n_docs,
+             sqrt(CAST(c.n_docs AS DOUBLE) / n.n_total) AS p
+           FROM c CROSS JOIN n),
+         z AS (SELECT sum(p) AS zz FROM t),
+         r AS (SELECT t.source,
+             CAST(floor(least(1.0,
+               (t.p / z.zz) * 0.3 * n.n_total / t.n_docs)
+               * 4294967296.0) AS BIGINT) AS thresh
+           FROM t CROSS JOIN z CROSS JOIN n)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE ${oH32("'tmix' || CAST(doc_id AS VARCHAR)")} < r.thresh
+         ORDER BY d.doc_id""",
 
     "t15_domain_mix" ->
       s"""WITH n AS (SELECT count(*) AS n_total FROM documents),

@@ -78,6 +78,65 @@ object Sampling {
     applyDomainMix(df, sourceCol, idCol,
       domainMixRates(df, sourceCol, targets, frac), salt, portable)
 
+  /**
+   * Temperature-smoothed mixture weights — the multilingual-corpus
+   * sampling standard (mBERT/XLM-R/mT5 exponential smoothing): with
+   * p_i a source's natural share, its target share is
+   * q_i = p_i^α / Σ_j p_j^α. α = 1 keeps natural proportions, α → 0
+   * approaches uniform, the usual α ∈ [0.2, 0.7] up-samples tail
+   * languages/domains without flattening the head. Instead of a
+   * hand-maintained [[domainMix]] targets map, the weights come from
+   * the corpus itself: one |sources|-row count aggregation + two
+   * 1-row broadcasts — the corpus is never reshuffled and no counts
+   * reach the driver. IEEE-exact exponent paths (α ∈ {0, 0.5, 1} →
+   * const/sqrt/identity) are special-cased so oracle contracts avoid
+   * cross-engine pow() last-ulp drift; other α use pow().
+   */
+  def temperatureTargets(df: DataFrame, sourceCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha >= 0, s"alpha $alpha")
+    def tpow(c: Column): Column = alpha match {
+      case 0.0 => lit(1.0)
+      case 0.5 => sqrt(c)
+      case 1.0 => c
+      case a => pow(c, a)
+    }
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__N"))
+    val powed = counts.crossJoin(broadcast(total))
+      .withColumn("__p", tpow(col("n_docs").cast("double") / col("__N")))
+    val z = powed.agg(sum(col("__p")).as("__Z"))
+    powed.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n_docs"),
+        (col("__p") / col("__Z")).as("weight"))
+  }
+
+  /** [[domainMixRates]] with the targets computed IN-PLAN by
+    * [[temperatureTargets]] — per-source keep thresholds with no
+    * driver-side map, streamable like any rates table. */
+  def temperatureMixRates(df: DataFrame, sourceCol: String,
+                          alpha: Double, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac $frac")
+    val targets = temperatureTargets(df, sourceCol, alpha)
+    val total = df.agg(count(lit(1)).as("__n_total"))
+    targets.crossJoin(broadcast(total))
+      .select(col(sourceCol),
+        floor(least(lit(1.0),
+          col("weight") * frac * col("__n_total") / col("n_docs"))
+          * 4294967296.0).cast("long").as("__thresh"))
+  }
+
+  /** Temperature-α mixture sample at a `frac` global budget: the
+    * [[domainMix]] membership filter under [[temperatureMixRates]].
+    * Same deterministic salted-hash membership — batch == streaming
+    * (rates are stream-static), re-run-stable. */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     alpha: Double, frac: Double,
+                     salt: String = "mix",
+                     portable: Boolean = false): DataFrame =
+    applyDomainMix(df, sourceCol, idCol,
+      temperatureMixRates(df, sourceCol, alpha, frac), salt, portable)
+
   /** Bounded top-n buffer: keeps the n smallest (hash, id) pairs.
     * The buffer never exceeds n entries, so map-side partial
     * aggregation ships at most n pairs per stratum per partition —

@@ -2525,6 +2525,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2 == out)
   }
 
+  test("temperatureTargets: α=1 reproduces natural shares, α=0 is " +
+       "uniform, α=0.5 up-samples the tail; weights sum to 1; " +
+       "temperatureMix == domainMix under the same targets") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // 3 sources, 100/60/40 docs — natural shares 0.5/0.3/0.2
+    val df = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 160L).map(i => (i, "b")) ++
+      (161L to 200L).map(i => (i, "c"))).toDF("doc_id", "source")
+    def w(alpha: Double): Map[String, Double] =
+      Sampling.temperatureTargets(df, "source", alpha)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val nat = w(1.0)
+    assert(math.abs(nat("a") - 0.5) < 1e-12 &&
+      math.abs(nat("b") - 0.3) < 1e-12 && math.abs(nat("c") - 0.2) < 1e-12)
+    val uni = w(0.0)
+    assert(uni.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+    val half = w(0.5)
+    assert(math.abs(half.values.sum - 1.0) < 1e-12)
+    // smoothing moves every share TOWARD uniform, never across it
+    assert(half("a") < nat("a") && half("a") > 1.0 / 3)
+    assert(half("c") > nat("c") && half("c") < 1.0 / 3)
+    // the composed sample == domainMix fed the same (collected) map
+    val viaTemp = Sampling.temperatureMix(df, "source", "doc_id",
+      alpha = 0.5, frac = 0.4, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaMap = Sampling.domainMix(df, "source", "doc_id", half,
+      frac = 0.4, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaTemp == viaMap && viaTemp.nonEmpty)
+  }
+
   test("stratified sampling: bounded-heap agg == window formulation") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (s"s${i % 3}", i)).toDF("lang", "doc_id")

@@ -198,7 +198,7 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
        "BROADCAST, branch browse carries no cartesian/global-sort debt") {
     val sf = "/root/testdata/sf0.001"
     for (n <- Seq("t34_psl_domain", "t37_psl_full", "t35_ppl_buckets",
-        "q109_tree_branch")) {
+        "t38_temperature_mix", "q109_tree_branch")) {
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode
           .fromString("formatted"))
