@@ -1619,6 +1619,67 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.isEmpty, errs.take(5).mkString("\n"))
   }
 
+  test("fuzz branch addressing under hostile element names: every node " +
+       "of a random 2-level tree (names drawing '/', '%', '.', unicode) " +
+       "is hex-addressable by its RAW name hashes, docs render raw, " +
+       "and no two distinct element tuples share an address") {
+    import graft.meta.{TreeDefs, Trees}
+    import spark.implicits._
+    val rnd = new Random(20260816)
+    val alphabet = "ab/%.日"
+    def name(): String =
+      (1 to (1 + rnd.nextInt(5))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    // 60 random (metric, route) series; names may BE "/" runs entirely.
+    // A third constant level keeps (metric, route) nodes BRANCHES, so
+    // 2-element hash chains resolve against real stored rows.
+    val series0 = (1 to 60).map(_ => (name(), name())).distinct
+    val series = series0
+      .map { case (m, r) => (m, Map("route" -> r, "k" -> "x")) }
+      .toDF("metric", "tags")
+      .withColumn("ts", lit(0L)).withColumn("value", lit(1.0))
+    val rules = Seq(
+      Trees.Rule(1, 0, 0, "METRIC"),
+      Trees.Rule(1, 1, 0, "TAGK", field = "route"),
+      Trees.Rule(1, 2, 0, "TAGK", field = "k"))
+      .foldLeft(Trees.emptyRules(spark))(Trees.upsertRule)
+    val (branches, leaves) = Trees.buildBranchStore(series, rules, 1)
+    val metrics = series0.map(_._1).distinct
+    // depth-1: each metric node browsable by the hash of its WHOLE
+    // raw name; children = exactly its routes (raw display names)
+    val errs = metrics.flatMap { m =>
+      val want = series0.filter(_._1 == m).map(_._2).distinct.sorted
+      val got = TreeDefs.browseRows(branches, leaves,
+          TreeDefs.branchIdHex(1, Seq(m)))
+        .collect().map(_.getString(2)).sorted.toSeq
+      if (got != want) Seq(s"[$m]: got $got want $want") else Nil
+    }
+    assert(errs.isEmpty, errs.take(3).mkString("\n"))
+    // no cross-talk: a fabricated 2-element split of a metric that
+    // contains "/" must NOT resolve unless that tuple really exists
+    val withSlash = metrics.filter(_.contains("/"))
+    withSlash.take(10).foreach { m =>
+      val cut = m.indexOf('/')
+      val (a, b) = (m.substring(0, cut), m.substring(cut + 1))
+      val exists = metrics.contains(a) &&
+        series0.exists(p => p._1 == a && p._2 == b)
+      if (!exists && a.nonEmpty && b.nonEmpty) {
+        intercept[NoSuchElementException] {
+          TreeDefs.browseRows(branches, leaves,
+            TreeDefs.branchIdHex(1, Seq(a, b))).collect()
+        }
+      }
+    }
+    // escape round-trip: unescapeElemStr(escape(s)) == s for every name
+    val esc = series0.map(_._1).toDF("s")
+      .select(col("s"), Trees.escapeElem(col("s")).as("e"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    esc.foreach { case (s, e) =>
+      assert(Trees.unescapeElemStr(e) == s, s"round-trip [$s] via [$e]")
+      assert(!e.split("/", -1).exists(_.contains("%2F")) || s.contains("/"))
+    }
+  }
+
   test("fuzz tree-definition CRUD: 100 random endpoint ops vs a " +
        "driver-side transcription of the fetch-copy-save semantics") {
     import graft.meta.{TreeDefs, Trees}
