@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 import java.util.concurrent.atomic.AtomicBoolean
 
 /** Benchmark main. Prints one JSON line per completed query (append-only
-  * progress — a killed run still yields a parseable prefix), a final
+  * progress — a killed run still yields a parseable prefix; a query
+  * improved by a noise-reduction pass re-emits its line, so per-name
+  * reconstruction is LAST-WINS), a final
   * aggregate line `{"metric":"total",...}` compatible with earlier rounds,
   * and — as the very LAST line — an ultra-compact
   * `{"metric":"summary",...}` (&lt;300 bytes) so a harness that captures
@@ -89,12 +91,17 @@ object Bench {
       .sortBy { case (n, _) => (hints.getOrElse(n, hintMedian), n) }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    // guards results/errors/skipped between the main thread and the
+    // shutdown hook: a SIGTERM mid-rehash must not crash the hook with
+    // a ConcurrentModificationException — losing the summary line is
+    // exactly the failure the hook exists to prevent
+    val stateLock = new Object
 
     val summaryPrinted = new AtomicBoolean(false)
     // <300 bytes regardless of query count: counts, total, median, top-5.
     // MUST stay the last stdout line of a healthy run — the driver's tail
     // capture is small and the total line grows with the query count.
-    def summaryLine(): String = {
+    def summaryLine(): String = stateLock.synchronized {
       val ts = results.values.toSeq.sorted
       val median = if (ts.isEmpty) 0.0
         else if (ts.size % 2 == 1) ts(ts.size / 2)
@@ -114,8 +121,10 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           // a broken query must read as broken, not as a fast query
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          stateLock.synchronized {
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          }
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
@@ -127,10 +136,10 @@ object Bench {
     }
     // PASS 1 — coverage: every query exactly once, budget-bounded.
     todo.foreach { case (name, fn) =>
-      if (elapsed() >= budgetS) skipped += name
+      if (elapsed() >= budgetS) stateLock.synchronized { skipped += name }
       else {
         val (t, _) = onePass(name, fn)
-        results(name) = t
+        stateLock.synchronized { results(name) = t }
         if (trace) {
           val rt = Runtime.getRuntime
           System.err.println(f"[bench] $name%-28s $t%7.2f s  heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5d MB")
@@ -149,7 +158,10 @@ object Bench {
               elapsed() + 2 * results(name) < budgetS) {
             val (t, ok) = onePass(name, fn)
             if (ok && t < results(name)) {
-              results(name) = t
+              stateLock.synchronized { results(name) = t }
+              // re-emitted line for an improved time: per-name
+              // reconstruction is LAST-WINS (the total line is
+              // authoritative for sums)
               progressLine(name, t)
             }
           }

@@ -1368,7 +1368,7 @@ object Engine {
     val out = scala.collection.mutable.Set[String]()
     def walk(p: LogicalPlan, limited: Boolean): Unit = {
       val lim = limited || (p match {
-        case _: GlobalLimit | _: LocalLimit | _: Sample => true
+        case _: GlobalLimit | _: LocalLimit | _: Sample | _: Tail => true
         case _ => false
       })
       p match {
@@ -1388,6 +1388,11 @@ object Engine {
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
         durationNs: Long): Unit = {
+      // the plan walk is O(plan size) and this listener fires for EVERY
+      // action on a registered session — only pay it when a tracked
+      // metric was actually observed
+      if (!qe.observedMetrics.keys.exists(_.startsWith("graft_serve_")))
+        return
       val partial = limitedServeNames(qe.analyzed)
       qe.observedMetrics.foreach { case (name, row) =>
         // a metric observed under a limit is a prefix count: leave the

@@ -494,9 +494,13 @@ object TreeDefs {
     val (treeId, hashes, rendered) = decodeBranchId(branchHex)
     val targetPath: String =
       if (hashes.isEmpty) {
-        // same 404 as branchDoc for an undefined tree: a root browse
-        // must not silently return an empty frame when the tree has
-        // neither a definition nor any branch rows
+        // a root browse of a tree with no stored branches is a 404,
+        // not a silent empty frame — the reference's fetchBranch finds
+        // no root row for a tree that never built (TreeRpc 404s it).
+        // Passing `trees` opts into branchDoc's LENIENT divergence
+        // (the virtual root is addressable for any DEFINED tree, built
+        // or not); without it, defined-but-never-built trees 404 like
+        // the reference.
         if (trees.forall(t => fetchTree(t, treeId).isEmpty) &&
             branches.filter(col("tree_id") === treeId).isEmpty)
           throw new NoSuchElementException(

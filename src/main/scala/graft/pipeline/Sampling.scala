@@ -118,7 +118,9 @@ object Sampling {
                           alpha: Double, frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac $frac")
     val targets = temperatureTargets(df, sourceCol, alpha)
-    val total = df.agg(count(lit(1)).as("__n_total"))
+    // N from the |sources|-row targets frame — NOT a second corpus
+    // scan (targets already paid the one groupBy-count pass)
+    val total = targets.agg(sum(col("n_docs")).as("__n_total"))
     targets.crossJoin(broadcast(total))
       .select(col(sourceCol),
         floor(least(lit(1.0),
