@@ -763,6 +763,28 @@ object Scratch {
           f"slots=$slots%-10d ${secs}%7.2f s  " +
           f"${slots / secs / 1e6}%6.1f M slots/s")
       }
+      // KEY-DIM axis: the broadcast key table alone at 100k/1M joined
+      // series over a tiny grid (slots stay ~10x series) — validates
+      // the "keys are cheap, slots are the cost" claim at the scale
+      // the ceiling doc quotes (~40 B/series flattened)
+      for (series <- Seq(100000L, 1000000L)) {
+        val tinyGrid = 10L
+        def vf(off: Long) = spark.range(series).select(col("id").as("s"))
+          .crossJoin(spark.range(tinyGrid).select(col("id").as("k")))
+          .select(
+            map(lit("host"), concat(lit("h"), col("s"))).as("tags"),
+            array().cast("array<string>").as("agg_tags"),
+            (lit(1356998400000L) + col("k") * 60000L).as("ts"),
+            (col("s") + col("k") + off).cast("double").as("value"))
+        val t0 = System.nanoTime()
+        val n = ExpressionJoin.union("e",
+          Seq(VarSet("a", vf(0L), tsFill = 0.0),
+              VarSet("b", vf(7L), tsFill = 0.0)),
+          useQueryTags = false, includeAggTags = true)
+          .agg(count(lit(1))).head.getLong(0)
+        println(f"EXPKEYS  series=$series%-8d grid=$tinyGrid " +
+          f"slots=$n%-9d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
       // fail-fast: ceiling below the key count must throw the 400
       ExpressionJoin.broadcastKeyCeiling = 500L
       try {

@@ -761,6 +761,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = spark.table("mix_stream")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed == expected)
+
+    // temperature-α rates are just another rates table: arrivals filter
+    // under the FROZEN thresholds (fit on the landed corpus), stateless
+    val tRates = graft.pipeline.Sampling
+      .temperatureMixRates(corpus, "source", alpha = 0.5, frac = 0.5)
+    val tExpected = graft.pipeline.Sampling
+      .applyDomainMix(corpus, "source", "doc_id", tRates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tExpected.nonEmpty)
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.pipeline.Sampling
+      .applyDomainMix(mem2.toDF().toDF("doc_id", "source"),
+        "source", "doc_id", tRates)
+      .writeStream.format("memory").queryName("tmix_stream")
+      .outputMode("append").start()
+    corpus.collect().foreach(r => mem2.addData((r.getLong(0), r.getString(1))))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("tmix_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == tExpected)
   }
 
   test("streaming rollup materialization (tumbling window agg)") {
