@@ -41,6 +41,22 @@ object Scratch {
         (if (warn.nonEmpty) s"WARN=${warn.mkString(",")}" else "ok"))
     }
 
+    if (args.headOption.contains("--audit-all")) {
+      // static plan hygiene over EVERY contract query: cartesians,
+      // unpartitioned windows, non-TakeOrdered global sorts, pushed
+      // filters — the per-row WARN list should be empty
+      var warned = 0
+      SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+        try audit(n)
+        catch { case e: Throwable =>
+          warned += 1
+          println(s"AUDIT $n ERROR ${e.getMessage.take(120)}")
+        }
+      }
+      println(s"AUDIT-ALL done errors=$warned")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--d03")) {
       import org.apache.spark.sql.functions._
       def stamp(name: String)(f: => Long): Unit = {
