@@ -1455,6 +1455,10 @@ object Engine {
     pendingServes.isEmpty && servesInFlight.get() == 0
   }
 
+  /** Diagnostic: tracked serves whose completion has not yet landed
+    * (frames unconsumed, partially consumed, or listener in flight). */
+  def pendingServeCount: Int = pendingServes.size
+
   /** Test hook: abandon tracked serves whose frames will never be
     * consumed, so a later [[awaitTrackedServes]] doesn't time out on
     * another test's leftovers. */

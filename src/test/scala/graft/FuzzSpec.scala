@@ -1619,6 +1619,95 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.isEmpty, errs.take(5).mkString("\n"))
   }
 
+  test("fuzz tracked-serve lifecycle: 60 random serve ops (full consume, " +
+       "partial-only, abandon+reap, parse-fail) vs a driver-side model " +
+       "of the stats ring — every op sequence converges to the model's " +
+       "running/completed counts with zero leaked pendingServes") {
+    import graft.query.QueryStatsLog
+    import scala.jdk.CollectionConverters._
+    QueryStatsLog.reset()
+    Engine.clearPendingServes()
+    // wait until only the model's deliberate pendings remain (the
+    // listener bus is async — a full consume's completion lands
+    // shortly AFTER count() returns)
+    def settle(expectPending: Int): Unit = {
+      val deadline = System.nanoTime() + 10000000000L
+      while (Engine.pendingServeCount != expectPending &&
+          System.nanoTime() < deadline) Thread.sleep(5)
+      assert(Engine.pendingServeCount == expectPending,
+        s"pending ${Engine.pendingServeCount}, want $expectPending")
+    }
+    val hb = 1356998400000L // hour-aligned base
+    val pts = spark.createDataFrame(Seq(
+      Row("cpu", hb, 1.0, java.lang.Long.valueOf(1L), true,
+        Map("host" -> "a")),
+      Row("cpu", hb + 60000L, 2.0, java.lang.Long.valueOf(2L), true,
+        Map("host" -> "a"))).asJava, Points.schema)
+    val q = TsQuery(hb - 1000L, hb + 3600000L,
+      Seq(QueryParser.parseSubQuery("sum:cpu")))
+    val rnd = new Random(20260816)
+    val oldTtl = Engine.serveTtlMs
+    // model counts
+    var mOk = 0      // completed 200
+    var mFail = 0    // completed 4xx/5xx (parse fails + reaped abandons)
+    var mPending = 0 // consumed partially or not at all, not yet reaped
+    try {
+      Engine.serveTtlMs = 3600000L // reap only when the op says so
+      (1 to 60).foreach { i =>
+        rnd.nextInt(4) match {
+          case 0 => // full consume → 200
+            Engine.serveTracked("f:1", s"m=sum:cpu#$i")(
+              Engine.run(pts, q, q.queries.head)).count()
+            mOk += 1
+          case 1 => // partial-only consume → stays running
+            val df = Engine.serveTracked("f:1", s"m=sum:cpu#$i")(
+              Engine.run(pts, q, q.queries.head))
+            df.limit(1).collect(); df.show(1)
+            mPending += 1
+          case 2 => // abandoned frame, then an explicit reap → 500
+            Engine.serveTracked("f:1", s"m=sum:cpu#$i")(
+              Engine.run(pts, q, q.queries.head))
+            // completed serves must drain off the listener bus first,
+            // or the TTL=0 reap would steal them
+            settle(mPending + 1)
+            Engine.serveTtlMs = 0L
+            Thread.sleep(2)
+            // the reap takes THIS abandon plus every accumulated
+            // partial/abandoned serve (all are older than 0ms)
+            val reaped = Engine.reapExpiredServes()
+            Engine.serveTtlMs = 3600000L
+            assert(reaped == mPending + 1,
+              s"op $i: reaped $reaped, model ${mPending + 1}")
+            mFail += mPending + 1
+            mPending = 0
+          case 3 => // parse failure → immediate 400
+            intercept[IllegalArgumentException] {
+              Engine.serveTracked("f:1", s"m=bogus#$i")(
+                Engine.runM(pts, q, "bogus:cpu"))
+            }
+            mFail += 1
+        }
+      }
+      settle(mPending)
+      if (mPending == 0)
+        assert(Engine.awaitTrackedServes(30000),
+          "barrier must report done when nothing is pending")
+      assert(QueryStatsLog.numRunning == mPending,
+        s"running ${QueryStatsLog.numRunning}, model $mPending")
+      val doc = QueryStatsLog.getRunningAndCompleteStats(0L)
+      val codes = """"code":(\d+)""".r.findAllMatchIn(doc)
+        .map(_.group(1).toInt).toSeq
+      assert(codes.count(_ == 200) == mOk,
+        s"200s ${codes.count(_ == 200)}, model $mOk")
+      assert(codes.count(c => c == 400 || c == 500) == mFail,
+        s"fails ${codes.count(c => c >= 400)}, model $mFail")
+    } finally {
+      Engine.serveTtlMs = oldTtl
+      Engine.clearPendingServes()
+      QueryStatsLog.reset()
+    }
+  }
+
   test("fuzz branch addressing under hostile element names: every node " +
        "of a random 2-level tree (names drawing '/', '%', '.', unicode) " +
        "is hex-addressable by its RAW name hashes, docs render raw, " +
