@@ -992,6 +992,109 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__seg_hash")
       .drop("__seg_hash")
 
+  /** One stored member of a streaming LSH band bucket (public only
+    * because encoder codegen must construct it; internal otherwise). */
+  case class BucketMember(id: Long, tsMs: Long, hs: Seq[Long])
+  /** One banded arrival row (encoder-visible, internal otherwise). */
+  case class BucketRow(key: String, id: Long,
+                       eventTime: java.sql.Timestamp, hs: Seq[Long])
+  /** Emitted near-dup pair, ids ordered ascending. */
+  case class StreamNearPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /**
+   * Streaming NEAR-dup pair detection over the arrival stream itself —
+   * arrivals vs EARLIER ARRIVALS, the stateful sibling of
+   * [[screenAgainstCorpus]] (which screens against a frozen corpus)
+   * and the near-dup analog of [[streamExactDedup]]. Each arrival's
+   * MinHash signature is a per-row column expression (no explode of
+   * the corpus, no streaming aggregation); the signature bands into
+   * `bands` bucket keys, and each band bucket keeps a bounded state of
+   * recent members. An arrival pairs with every stored member of any
+   * shared bucket, and the pair is verified by EXACT Jaccard over the
+   * stored shingle-hash sets — the batch operator's verification, not
+   * a signature estimate, so within the state horizon the emitted
+   * pair set EQUALS [[minhashLshPairs]] over the same documents
+   * (proven in StreamingSpec).
+   *
+   * State bounds (the unbounded-ingest contract): per bucket at most
+   * `maxPerBucket` members — a hot bucket (the streaming analog of a
+   * high-DF shingle) stops ADMITTING members but keeps screening
+   * arrivals against the stored ones, mirroring the batch DF cap's
+   * skew discipline — each member one (id, ts, shingle-hash set);
+   * buckets idle `stateTtlMs` past their newest member expire via
+   * event-time timeout. Duplicates farther apart than the horizon
+   * remain the batch backstop's job, like every streaming screen
+   * here. Band collisions can emit a pair once per shared bucket —
+   * `dropDuplicates(id_a, id_b)` downstream, exactly like the batch
+   * operator's distinct-before-verify.
+   */
+  def streamNearDedup(docs: DataFrame, textCol: String, idCol: String,
+                      tsCol: String, watermarkDelay: String,
+                      bands: Int = 4, threshold: Double = 0.5,
+                      ngram: Int = 3, portable: Boolean = false,
+                      maxPerBucket: Int = 64,
+                      stateTtlMs: Long = 3600000L)
+      : org.apache.spark.sql.Dataset[StreamNearPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(bands > 0 && MH_PARAMS.length % bands == 0,
+      s"bands $bands must divide ${MH_PARAMS.length}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = MH_PARAMS.length / bands
+    val base = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("id"),
+        col(tsCol).as("eventTime"),
+        array_distinct(termHashes(col(textCol), ngram, portable)).as("hs"))
+      // empty-shingle docs have no postings in the batch operator and
+      // would all collide on the null-signature key here — drop them
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", minhashSigFromHashes(col("hs")))
+      .select(col("id"), col("eventTime"), col("hs"),
+        explode(array((0 until bands).map { b =>
+          concat_ws("_", lit(b.toString) +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        }: _*)).as("key"))
+      .as[BucketRow]
+    base.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+        (_: String, it: Iterator[BucketRow],
+         st: GroupState[Seq[BucketMember]]) => {
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            val stored = scala.collection.mutable.ArrayBuffer[BucketMember](
+              st.getOption.getOrElse(Seq.empty): _*)
+            val out = scala.collection.mutable.ArrayBuffer[StreamNearPair]()
+            // arrival order within the batch: event time then id, so
+            // same-batch pairs resolve exactly like cross-batch ones
+            it.toSeq.sortBy(r => (r.eventTime.getTime, r.id)).foreach { r =>
+              val hsSet = r.hs.toSet
+              stored.foreach { m =>
+                if (m.id != r.id) {
+                  val shared = m.hs.count(hsSet.contains)
+                  val j = shared.toDouble /
+                    (hsSet.size + m.hs.size - shared)
+                  if (j >= threshold)
+                    out += StreamNearPair(math.min(m.id, r.id),
+                      math.max(m.id, r.id), j)
+                }
+              }
+              if (stored.size < maxPerBucket)
+                stored += BucketMember(r.id, r.eventTime.getTime, r.hs)
+            }
+            if (stored.isEmpty) st.remove()
+            else {
+              st.update(stored.toSeq)
+              st.setTimeoutTimestamp(math.max(
+                stored.map(_.tsMs).max + stateTtlMs,
+                st.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+        })
+  }
+
   /**
    * Streaming benchmark decontamination at the ingest edge: flag (and
    * let the caller drop) arriving documents that share any n-gram

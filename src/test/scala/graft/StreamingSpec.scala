@@ -238,6 +238,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 3L))
   }
 
+  test("streaming near-dup (stateful banded LSH) == batch minhashLshPairs " +
+       "over the same documents within the state horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    // pairs (2k, 2k+1): the odd doc mutates the even doc's last word —
+    // 5 of 11 union shingles shared (J ≈ 0.45); whether a given pair
+    // also LANDS a band collision is the operator's own business, and
+    // identical for both forms
+    val docs = (0 until 24).map { i =>
+      val base = (0 until 10).map(w => words((i / 2 * 3 + w) % words.size))
+      val text = if (i % 2 == 1) (base.dropRight(1) :+ "mut").mkString(" ")
+                 else base.mkString(" ")
+      (i.toLong, text, 1700000000L + i * 10)
+    }
+    val expected = graft.pipeline.Dedup.minhashLshPairs(
+        docs.toDF("doc_id", "text", "epoch"), "text", "doc_id",
+        bands = 4, threshold = 0.4, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce near-dup pairs")
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = graft.pipeline.Dedup.streamNearDedup(
+      mem.toDF().toDF("doc_id", "text", "epoch")
+        .withColumn("arrival", timestamp_seconds(col("epoch"))),
+      "text", "doc_id", "arrival", "10 minutes",
+      bands = 4, threshold = 0.4, portable = true)
+    val q = stream.writeStream.format("memory")
+      .queryName("near_dedup_stream").outputMode("append").start()
+    val (first, second) = docs.splitAt(9) // pairs span micro-batches
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("near_dedup_stream")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected,
+      s"stream $streamed vs batch $expected")
+  }
+
   test("streaming index ingest: foreachBatch appends == one batch append") {
     // the persisted-ANN ingest path: arriving vectors encode under the
     // STORED codebooks inside foreachBatch (stateless per batch), so a
