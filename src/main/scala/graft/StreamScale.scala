@@ -133,6 +133,13 @@ object StreamScale {
     // exact dedup at the ingest edge: 16 B per retained content hash
     drive("exactdedup", docsPath, in => graft.pipeline.Dedup
       .streamExactDedup(in, "text", "arrival", "10 minutes"))
+    // arrivals-vs-arrivals NEAR-dup: state = band buckets of recent
+    // members (≤ maxPerBucket shingle sets each), TTL-evicted at the
+    // same 10-minute horizon — state must plateau with the horizon,
+    // not grow with the corpus
+    drive("neardedup", docsPath, in => graft.pipeline.Dedup
+      .streamNearDedup(in, "text", "doc_id", "arrival", "10 minutes",
+        stateTtlMs = 600000L).toDF())
     // boilerplate screen: STATELESS claim at volume — frozen per-source
     // hash arrays broadcast; state rows must read 0 in every batch
     val refSets = graft.pipeline.Dedup.boilerplateRefSets(
