@@ -945,4 +945,45 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(w(b) - ww(b)) < 1e-8, s"w($b)"))
     assert(math.abs(bias - ww(buckets)) < 1e-8)
   }
+
+  test("property: temperatureTargets == driver transcription for random " +
+       "counts and alphas; monotone toward uniform as alpha falls") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val rnd = new scala.util.Random(20260816)
+    (1 to 5).foreach { trial =>
+      val nSrc = 2 + rnd.nextInt(8)
+      val counts = (0 until nSrc).map(i => s"s$i" -> (1 + rnd.nextInt(500)))
+      val df = counts.flatMap { case (s, n) =>
+        (1 to n).map(i => (s, i.toLong))
+      }.toDF("source", "doc_id")
+      for (alpha <- Seq(0.0, 0.3, 0.5, 0.7, 1.0)) {
+        val got = Sampling.temperatureTargets(df, "source", alpha)
+          .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+        // driver transcription: q_i = p_i^a / sum p_j^a
+        val tot = counts.map(_._2).sum.toDouble
+        val powed = counts.map { case (s, n) =>
+          s -> math.pow(n / tot, alpha) }
+        val z = powed.map(_._2).sum
+        powed.foreach { case (s, p) =>
+          assert(math.abs(got(s) - p / z) < 1e-9,
+            s"trial $trial alpha $alpha source $s") }
+      }
+      // smoothing monotonicity at the extremes (provable: q_max =
+      // 1/Σ(p_j/p_max)^α with ratios ≤ 1, so falling α raises the sum
+      // and lowers q_max; dually for q_min — MIDDLE sources can cross
+      // the uniform line, so no per-source claim there)
+      val byAlpha = Seq(1.0, 0.5, 0.0).map(a =>
+        Sampling.temperatureTargets(df, "source", a)
+          .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap)
+      val sMax = counts.maxBy(_._2)._1
+      val sMin = counts.minBy(_._2)._1
+      assert(byAlpha(0)(sMax) >= byAlpha(1)(sMax) - 1e-12 &&
+        byAlpha(1)(sMax) >= byAlpha(2)(sMax) - 1e-12,
+        s"trial $trial head source must shrink toward uniform")
+      assert(byAlpha(0)(sMin) <= byAlpha(1)(sMin) + 1e-12 &&
+        byAlpha(1)(sMin) <= byAlpha(2)(sMin) + 1e-12,
+        s"trial $trial tail source must grow toward uniform")
+    }
+  }
 }
