@@ -22,6 +22,24 @@ import java.util.concurrent.atomic.AtomicBoolean
   * inside the budget — the 2x halves the apparent headroom, so estimate
   * error degrades to a skipped re-run, never a blown budget.
   *
+  * Pace-projected TIME-BOXING closes the r15 gap (pass 1 on a 15-60x
+  * degraded box tripped the budget after 159/197 and — because launch
+  * order is cheap-first — the untimed tail was exactly the most
+  * expensive queries): each pass-1 iteration projects
+  * `elapsed + degradation_factor * remaining_hint_cost` where the
+  * factor is measured elapsed-vs-hints over the queries already run.
+  * Once the projection exceeds the budget, every remaining query runs
+  * under a time-box of `remaining_budget / remaining_queries` (floor
+  * 0.5 s), enforced by running the count on a worker thread and
+  * cancelling its Spark job group at the deadline. A boxed-out query
+  * records its elapsed-at-cancel as a LOWER-BOUND time with
+  * `"truncated":true` on its progress line (and is counted in the
+  * summary's `n_trunc`) — so a degraded box yields 197 numbers, the
+  * heavy tail flagged as floors, instead of 38 missing rows. A healthy
+  * box never trips the projection and behaves exactly as before. The
+  * compact summary line is also re-emitted every 25 completed queries,
+  * so even a SIGKILL mid-run leaves a recent snapshot in the tail.
+  *
   * A JVM shutdown hook prints the summary line if the normal path did not
   * (rc=124-style SIGTERM kills still yield a parseable tail; SIGKILL is
   * unsurvivable by design).
@@ -91,6 +109,7 @@ object Bench {
       .sortBy { case (n, _) => (hints.getOrElse(n, hintMedian), n) }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    val truncated = scala.collection.mutable.LinkedHashSet[String]()
     // guards results/errors/skipped between the main thread and the
     // shutdown hook: a SIGTERM mid-rehash must not crash the hook with
     // a ConcurrentModificationException — losing the summary line is
@@ -108,7 +127,7 @@ object Bench {
         else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       val slowest = results.toSeq.sortBy(-_._2).take(5)
         .map { case (n, s) => f"""["$n",${s}%.2f]""" }.mkString("[", ",", "]")
-      f"""{"metric":"summary","n":${results.size},"n_err":${errors.size},"n_skip":${skipped.size},"total_s":${results.values.sum}%.1f,"median_s":$median%.3f,"elapsed_s":${elapsed()}%.1f,"slowest":$slowest}"""
+      f"""{"metric":"summary","n":${results.size},"n_err":${errors.size},"n_skip":${skipped.size},"n_trunc":${truncated.size},"total_s":${results.values.sum}%.1f,"median_s":$median%.3f,"elapsed_s":${elapsed()}%.1f,"slowest":$slowest}"""
     }
     def printSummaryOnce(): Unit =
       if (summaryPrinted.compareAndSet(false, true)) {
@@ -116,36 +135,110 @@ object Bench {
       }
     Runtime.getRuntime.addShutdownHook(new Thread(() => printSummaryOnce()))
 
+    def recordError(name: String, e: Throwable): Unit = {
+      // a broken query must read as broken, not as a fast query
+      stateLock.synchronized {
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
+      System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    }
     def onePass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          // a broken query must read as broken, not as a fast query
-          stateLock.synchronized {
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-          }
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
+        catch { case e: Throwable => recordError(name, e); false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // time-boxed execution: the count runs on a daemon worker thread
+    // under a dedicated Spark job group; at the deadline the job group
+    // is cancelled (interruptOnCancel also interrupts driver-side
+    // waits, e.g. a streaming awaitTermination inside a query fn) and
+    // the elapsed-at-cancel time is recorded as a LOWER BOUND. A task
+    // that ignores cancellation for >30 s abandons its (daemon) thread
+    // and the pool is replaced, so one stuck query cannot wedge the
+    // remaining tail.
+    def newPool() = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r, "bench-boxed"); t.setDaemon(true); t })
+    var boxPool = newPool()
+    def onePassBoxed(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        boxS: Double): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val group = s"bench-box-$name"
+      val fut = boxPool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          try fn(spark, sfDir).count() finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try {
+        fut.get((boxS * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+        ((System.nanoTime() - t0) / 1e9, true)
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          fut.cancel(true)
+          val t = (System.nanoTime() - t0) / 1e9
+          stateLock.synchronized { truncated += name }
+          try fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              boxPool = newPool() // abandon the stuck daemon thread
+            case _: Throwable => () // cancellation surfacing: expected
+          }
+          (t, true)
+        case e: java.util.concurrent.ExecutionException =>
+          recordError(name, Option(e.getCause).getOrElse(e))
+          ((System.nanoTime() - t0) / 1e9, false)
+      }
+    }
     def progressLine(name: String, secs: Double): Unit = {
-      println(f"""{"metric":"query","name":"$name","value":$secs%.4f,"unit":"sec","ok":${!errors.contains(name)}}""")
+      val tr = stateLock.synchronized(truncated.contains(name))
+      println(f"""{"metric":"query","name":"$name","value":$secs%.4f,"unit":"sec","ok":${!errors.contains(name)},"truncated":$tr}""")
       System.out.flush()
     }
-    // PASS 1 — coverage: every query exactly once, budget-bounded.
+    def hintOf(name: String): Double = hints.getOrElse(name, hintMedian)
+    // PASS 1 — coverage: every query exactly once. Pace projection
+    // switches to per-query time-boxing the moment the measured
+    // degradation factor says the plain pass will not fit the budget;
+    // the hard skip only remains as a last-resort backstop (floor-
+    // boxed queries can overrun the budget by at most 0.5 s each).
+    var timeboxMode = false
+    var doneHintSum = 0.0
+    var remainingHintSum = todo.map { case (n, _) => hintOf(n) }.sum
+    var sinceSummary = 0
     todo.foreach { case (name, fn) =>
-      if (elapsed() >= budgetS) stateLock.synchronized { skipped += name }
+      val remainingCount = (todo.size - results.size - skipped.size).max(1)
+      if (elapsed() >= budgetS * 1.25) stateLock.synchronized { skipped += name }
       else {
-        val (t, _) = onePass(name, fn)
+        if (!timeboxMode && results.size >= 5 && doneHintSum > 0) {
+          val factor = elapsed() / doneHintSum
+          if (elapsed() + factor * remainingHintSum > budgetS) {
+            timeboxMode = true
+            System.err.println(f"[bench] pace projection ${elapsed() + factor * remainingHintSum}%.0f s > budget $budgetS%.0f s after ${results.size} queries (degradation ${factor}%.1fx) — time-boxing the remaining $remainingCount")
+          }
+        }
+        val (t, _) =
+          if (timeboxMode) {
+            val box = math.max(0.5, (budgetS - elapsed()) / remainingCount)
+            onePassBoxed(name, fn, box)
+          } else onePass(name, fn)
         stateLock.synchronized { results(name) = t }
         if (trace) {
           val rt = Runtime.getRuntime
           System.err.println(f"[bench] $name%-28s $t%7.2f s  heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5d MB")
         }
         progressLine(name, t)
+        sinceSummary += 1
+        if (sinceSummary >= 25) {
+          // periodic snapshot (NOT the final line): a SIGKILL tail
+          // capture still lands a recent summary
+          sinceSummary = 0
+          println(summaryLine()); System.out.flush()
+        }
       }
+      doneHintSum += hintOf(name)
+      remainingHintSum -= hintOf(name)
     }
     // PASSES 2..n — noise reduction, never at coverage's expense: only
     // after a complete first pass, and per-query only while the budget
@@ -154,7 +247,11 @@ object Bench {
     if (passes >= 2 && skipped.isEmpty) {
       (2 to passes).foreach { _ =>
         todo.foreach { case (name, fn) =>
+          // a truncated time is a lower bound from a cancelled run —
+          // an unboxed re-run would cost the query's FULL degraded
+          // time, exactly the overrun time-boxing exists to prevent
           if (results.contains(name) && !errors.contains(name) &&
+              !truncated.contains(name) &&
               elapsed() + 2 * results(name) < budgetS) {
             val (t, ok) = onePass(name, fn)
             if (ok && t < results(name)) {
@@ -173,8 +270,9 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val skippedJson = skipped.map(s => s"\"$s\"").mkString("[", ",", "]")
+    val truncJson = truncated.map(s => s"\"$s\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skippedJson,"n_skipped":${skipped.size},"budget_s":$budgetS,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skippedJson,"n_skipped":${skipped.size},"truncated":$truncJson,"n_truncated":${truncated.size},"budget_s":$budgetS,"sf":"$sfDir"}""")
     printSummaryOnce()
     spark.stop()
   }
