@@ -162,6 +162,43 @@ object PipelineQueries {
   private def oH32(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 4294967296"
 
+  /** DuckDB formulation of the MinHash-LSH verified pair list (4 bands
+    * × 2 rows, threshold 0.5, 32-bit hashes) — the shared oracle of the
+    * batch (d03) and streaming (d20) forms, which provably agree inside
+    * the streaming state horizon. */
+  private lazy val oLshPairsSql: String =
+    s"""$O_SH,
+       hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+       params AS (SELECT * FROM (VALUES
+         (0, 836603681, 1), (1, 442543251, 7), (2, 1004818243, 13),
+         (3, 668265263, 31), (4, 374761393, 97), (5, 741103597, 41),
+         (6, 988021567, 151), (7, 540483477, 65537)) p(i, a, b)),
+       sig AS (
+         SELECT doc_id, i, min((h * a + b) % 4294967291) AS mh
+         FROM hpost CROSS JOIN params GROUP BY doc_id, i),
+       band AS (
+         SELECT doc_id, i // 2 AS band,
+           string_agg(mh::VARCHAR, '_' ORDER BY i) AS key
+         FROM sig GROUP BY doc_id, i // 2),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM band x JOIN band y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM hpost GROUP BY doc_id),
+       shared AS (
+         SELECT id_a, id_b, count(*) AS shared
+         FROM cand
+           JOIN hpost a ON a.doc_id = cand.id_a
+           JOIN hpost b ON b.doc_id = cand.id_b AND b.h = a.h
+         GROUP BY id_a, id_b),
+       verified AS (
+         SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+         FROM shared JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b)
+       SELECT id_a, id_b, (sign(jaccard) * floor(abs(jaccard) * 10000 + 0.5) / 10000) AS jaccard
+       FROM verified WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+
   /** Deterministic messy URL per doc for the t31/t32 URL family:
     * mixed-case scheme/host, default vs non-default port (scheme-
     * consistent), doubled slashes, mixed-case path, tracking params
@@ -1727,6 +1764,42 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // streaming arrivals-vs-arrivals near-dup on the REAL file-stream
+    // path: the corpus lands as a 4-file parquet source consumed one
+    // file per micro-batch, arrival times synthesized 1 s apart from
+    // doc_id so every document sits inside the 1 h state horizon —
+    // where the stateful banded-LSH operator provably emits the same
+    // pair set as batch minhashLshPairs (StreamingSpec equivalence),
+    // so d03's oracle formulation applies verbatim. maxPerBucket is
+    // lifted above the corpus size: the admission cap is a skew
+    // defense, and a capped bucket would (by design) trade recall —
+    // the contract row pins the uncapped semantics
+    "d20_stream_neardedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_d20_")
+      val src = tmp.resolve("src").toString
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(src)
+      val sch = s.read.parquet(src).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("arrival",
+          timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      val sink = s"d20_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = Dedup.streamNearDedup(stream, "text", "doc_id", "arrival",
+          "1 hour", bands = 4, threshold = 0.5, portable = true,
+          maxPerBucket = 1 << 20)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // band collisions emit a pair once per shared bucket with the
+      // SAME exact jaccard — distinct like the batch operator
+      s.table(sink)
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // per-source doc-length quantiles from the mergeable log-histogram
     // sketch: 320 B of state per group regardless of row count
     "t27_quantile_sketch" -> ((s, dir) => {
@@ -2206,38 +2279,12 @@ object PipelineQueries {
          FROM hpost JOIN dfq USING (h)
          GROUP BY doc_id ORDER BY doc_id""",
 
-    "d03_minhash_lsh" ->
-      s"""$O_SH,
-         hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
-         params AS (SELECT * FROM (VALUES
-           (0, 836603681, 1), (1, 442543251, 7), (2, 1004818243, 13),
-           (3, 668265263, 31), (4, 374761393, 97), (5, 741103597, 41),
-           (6, 988021567, 151), (7, 540483477, 65537)) p(i, a, b)),
-         sig AS (
-           SELECT doc_id, i, min((h * a + b) % 4294967291) AS mh
-           FROM hpost CROSS JOIN params GROUP BY doc_id, i),
-         band AS (
-           SELECT doc_id, i // 2 AS band,
-             string_agg(mh::VARCHAR, '_' ORDER BY i) AS key
-           FROM sig GROUP BY doc_id, i // 2),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           FROM band x JOIN band y
-             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM hpost GROUP BY doc_id),
-         shared AS (
-           SELECT id_a, id_b, count(*) AS shared
-           FROM cand
-             JOIN hpost a ON a.doc_id = cand.id_a
-             JOIN hpost b ON b.doc_id = cand.id_b AND b.h = a.h
-           GROUP BY id_a, id_b),
-         verified AS (
-           SELECT id_a, id_b,
-             CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
-           FROM shared JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b)
-         SELECT id_a, id_b, (sign(jaccard) * floor(abs(jaccard) * 10000 + 0.5) / 10000) AS jaccard
-         FROM verified WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "d03_minhash_lsh" -> oLshPairsSql,
+
+    // the streaming form equals the batch form inside the state
+    // horizon (StreamingSpec equivalence proof), and the contract row
+    // keeps every document inside it — same oracle formulation
+    "d20_stream_neardedup" -> oLshPairsSql,
 
     "d04_simhash" ->
       s"""$O_SH,
