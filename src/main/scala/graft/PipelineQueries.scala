@@ -1788,7 +1788,7 @@ object PipelineQueries {
       val sink = s"d20_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = Dedup.streamNearDedup(stream, "text", "doc_id", "arrival",
           "1 hour", bands = 4, threshold = 0.5, portable = true,
-          maxPerBucket = 1 << 20)
+          maxPerBucket = 1 << 20, maxStoredHashes = 1 << 20)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

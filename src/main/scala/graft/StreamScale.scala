@@ -140,6 +140,25 @@ object StreamScale {
     drive("neardedup", docsPath, in => graft.pipeline.Dedup
       .streamNearDedup(in, "text", "doc_id", "arrival", "10 minutes",
         stateTtlMs = 600000L).toDF())
+    // long-document ADVERSARY for the near-dup state bound: 48 docs of
+    // ~20k distinct shingles each (every token unique corpus-wide), so
+    // per-member state is dominated by the stored shingle set. The
+    // uncapped form's state grows with document length x bands; the
+    // KMV-capped form (bottom-256 per member) must stay flat — the
+    // measured counterpart of the maxStoredHashes bound
+    val adv = spark.range(48).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19999)),
+          i => concat(lit("w"), col("id") * 20000 + i))).as("text"))
+      .withColumn("arrival",
+        timestamp_millis(lit(1704412800000L) + col("doc_id") * 60000L))
+    val advPath = stage(adv, "doc_id", 8, s"$work/adv_in")
+    drive("neardedup_adv_uncapped", advPath, in => graft.pipeline.Dedup
+      .streamNearDedup(in, "text", "doc_id", "arrival", "10 minutes",
+        stateTtlMs = 600000L, maxStoredHashes = Int.MaxValue).toDF())
+    drive("neardedup_adv_kmv256", advPath, in => graft.pipeline.Dedup
+      .streamNearDedup(in, "text", "doc_id", "arrival", "10 minutes",
+        stateTtlMs = 600000L, maxStoredHashes = 256).toDF())
     // boilerplate screen: STATELESS claim at volume — frozen per-source
     // hash arrays broadcast; state rows must read 0 in every batch
     val refSets = graft.pipeline.Dedup.boilerplateRefSets(

@@ -492,10 +492,13 @@ object Dedup {
     }: _*)
 
   /** MinHash signature column (prefer materializing termHashes first
-    * when the text expression is reused). */
+    * when the text expression is reused). The hash array binds once
+    * per row (TextAnalysis.bindOnce doc): inlined, each of the 8
+    * per-param transforms re-ran the tokenize+md5 scan. */
   def minhashSignature(text: Column, ngram: Int = 3,
                        portable: Boolean = false): Column =
-    minhashSigFromHashes(termHashes(text, ngram, portable))
+    TextAnalysis.bindOnce(termHashes(text, ngram, portable))(
+      minhashSigFromHashes)
 
   /**
    * MinHash-LSH candidate pairs: signatures banded (rows-per-band
@@ -993,8 +996,12 @@ object Dedup {
       .drop("__seg_hash")
 
   /** One stored member of a streaming LSH band bucket (public only
-    * because encoder codegen must construct it; internal otherwise). */
-  case class BucketMember(id: Long, tsMs: Long, hs: Seq[Long])
+    * because encoder codegen must construct it; internal otherwise).
+    * `hs` is the member's distinct shingle-hash set, or its bottom-k
+    * (k smallest hashes — a KMV sketch) when the set exceeded
+    * `maxStoredHashes` at admission; `n` is the full distinct count,
+    * so `n > hs.size` marks a truncated member. */
+  case class BucketMember(id: Long, tsMs: Long, hs: Seq[Long], n: Int)
   /** One banded arrival row (encoder-visible, internal otherwise). */
   case class BucketRow(key: String, id: Long,
                        eventTime: java.sql.Timestamp, hs: Seq[Long])
@@ -1027,13 +1034,29 @@ object Dedup {
    * here. Band collisions can emit a pair once per shared bucket —
    * `dropDuplicates(id_a, id_b)` downstream, exactly like the batch
    * operator's distinct-before-verify.
+   *
+   * Per-MEMBER state is bounded too: a stored set is capped at its
+   * bottom-`maxStoredHashes` hashes (a KMV sketch — the k smallest of
+   * a uniform hash are a uniform sample of the set, the same
+   * machinery as [[Sketches.kmvSketches]]), so a pathological long
+   * document costs at most `8 * maxStoredHashes` bytes per band
+   * instead of its full shingle count. Verification tradeoff,
+   * documented: a pair against an UNtruncated member is exact Jaccard
+   * (identical to the batch operator); against a truncated member it
+   * degrades to the KMV overlap estimate — shared fraction of the k
+   * smallest hashes of the union, relative error ~ 1/sqrt(k), k =
+   * `maxStoredHashes` — since the true intersection against a
+   * subsampled set is unrecoverable. The default cap (4096) keeps
+   * every document under ~4k distinct shingles (>= 99% of web-scale
+   * corpora) on the exact path.
    */
   def streamNearDedup(docs: DataFrame, textCol: String, idCol: String,
                       tsCol: String, watermarkDelay: String,
                       bands: Int = 4, threshold: Double = 0.5,
                       ngram: Int = 3, portable: Boolean = false,
                       maxPerBucket: Int = 64,
-                      stateTtlMs: Long = 3600000L)
+                      stateTtlMs: Long = 3600000L,
+                      maxStoredHashes: Int = 4096)
       : org.apache.spark.sql.Dataset[StreamNearPair] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(bands > 0 && MH_PARAMS.length % bands == 0,
@@ -1070,18 +1093,39 @@ object Dedup {
             // same-batch pairs resolve exactly like cross-batch ones
             it.toSeq.sortBy(r => (r.eventTime.getTime, r.id)).foreach { r =>
               val hsSet = r.hs.toSet
+              // the arrival's bottom-k, for screening against members
+              // stored as KMV sketches (computed once, only if needed)
+              lazy val arrBottomK = r.hs.sorted.take(maxStoredHashes)
               stored.foreach { m =>
                 if (m.id != r.id) {
-                  val shared = m.hs.count(hsSet.contains)
-                  val j = shared.toDouble /
-                    (hsSet.size + m.hs.size - shared)
+                  val j =
+                    if (m.n == m.hs.size) {
+                      // untruncated member: exact Jaccard, identical
+                      // to the batch operator's verification
+                      val shared = m.hs.count(hsSet.contains)
+                      shared.toDouble / (hsSet.size + m.n - shared)
+                    } else {
+                      // truncated member: KMV overlap estimate —
+                      // shared fraction of the k smallest hashes of
+                      // the union of the two bottom-k sketches
+                      // (kmvOverlap's jaccard_est, in closure form)
+                      val k = m.hs.size
+                      val mSet = m.hs.toSet
+                      val u = (arrBottomK ++ m.hs).distinct.sorted.take(k)
+                      u.count(h => hsSet.contains(h) && mSet.contains(h))
+                        .toDouble / u.size
+                    }
                   if (j >= threshold)
                     out += StreamNearPair(math.min(m.id, r.id),
                       math.max(m.id, r.id), j)
                 }
               }
-              if (stored.size < maxPerBucket)
-                stored += BucketMember(r.id, r.eventTime.getTime, r.hs)
+              if (stored.size < maxPerBucket) {
+                val hsStored =
+                  if (r.hs.size <= maxStoredHashes) r.hs else arrBottomK
+                stored += BucketMember(r.id, r.eventTime.getTime,
+                  hsStored, r.hs.size)
+              }
             }
             if (stored.isEmpty) st.remove()
             else {

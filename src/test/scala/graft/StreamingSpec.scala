@@ -280,6 +280,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream $streamed vs batch $expected")
   }
 
+  test("streaming near-dup: KMV-capped member state still catches a " +
+       "long-document near-dup (estimate path)") {
+    // long-document adversary: ~2000 distinct shingles per doc, far
+    // above the 64-hash cap, so the stored member is a bottom-64 KMV
+    // sketch and verification takes the estimate path. Doc 1 mutates
+    // doc 0's last token → true Jaccard ≈ 0.997; the KMV estimate
+    // (shared fraction of the 64 smallest union hashes) must stay
+    // near 1 and well above the 0.5 threshold. Doc 2 is disjoint
+    // vocabulary — no shared band bucket, no pair.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (0 until 2002).map(i => s"tok$i")
+    val docs = Seq(
+      (0L, base.mkString(" "), 1700000000L),
+      (1L, (base.dropRight(1) :+ "mut").mkString(" "), 1700000010L),
+      (2L, (0 until 2002).map(i => s"other$i").mkString(" "), 1700000020L))
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = graft.pipeline.Dedup.streamNearDedup(
+      mem.toDF().toDF("doc_id", "text", "epoch")
+        .withColumn("arrival", timestamp_seconds(col("epoch"))),
+      "text", "doc_id", "arrival", "10 minutes",
+      bands = 4, threshold = 0.5, portable = true,
+      maxStoredHashes = 64)
+    val q = stream.writeStream.format("memory")
+      .queryName("near_dedup_kmv").outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("near_dedup_kmv")
+      .select("id_a", "id_b", "jaccard").dropDuplicates("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)),
+      s"pairs ${pairs.toSeq}")
+    assert(pairs.head._3 >= 0.9 && pairs.head._3 <= 1.0,
+      s"KMV estimate ${pairs.head._3} should be near the true ~0.997")
+  }
+
   test("streaming index ingest: foreachBatch appends == one batch append") {
     // the persisted-ANN ingest path: arriving vectors encode under the
     // STORED codebooks inside foreachBatch (stateless per batch), so a
