@@ -819,6 +819,32 @@ object SparkEntry {
           col("c.stats.emittedDPs").cast("long").as("dps_total"))
     }),
 
+    // §2.10 duration/date parsing oracle-backed (reference
+    // src/utils/DateTime.java:57-240, golden vectors from
+    // test/utils/TestDateTime.java): the SAME TimeUtils functions every
+    // engine start/end/downsample-interval spec routes through, run as
+    // a typed Dataset map over a battery covering every unit, both
+    // reference quirks ("1min" = 1 month via last-char dispatch;
+    // dotted epoch CONCATENATES its digits), the explicit `ms` suffix,
+    // string-length epoch disambiguation, relative `-ago` against an
+    // injected now, and all three absolute formats — compared against
+    // literal expected epochs in the oracle
+    "q111_time_parse" -> ((s, dir) => {
+      import s.implicits._
+      val now = 1700000000000L
+      val durs = Seq("5m", "100ms", "4000ms", "30s", "2h", "3d", "2w",
+        "1n", "2y", "1min")
+      val dates = Seq("now", "5m-ago", "1y-ago", "2018/01/01",
+        "2018/01/01-12:30", "2018/01/01 12:30:15", "1356998400",
+        "1356998400123", "1356998400.5", "789ms")
+      val d = durs.toDS().map(x =>
+        (x, "duration", graft.model.TimeUtils.parseDuration(x)))
+      val t = dates.toDS().map(x =>
+        (x, "date", graft.model.TimeUtils.parseDateTime(x, now)))
+      d.union(t).toDF("input", "kind", "value_ms")
+        .orderBy("kind", "input")
+    }),
+
     // §2.14 /api/tree/branch hex-addressed browsing (reference
     // TreeRpc.handleBranch:213-253 over Branch.fetchBranch:426-553):
     // the tree builds once into the branch/leaf store, then two
@@ -2931,6 +2957,36 @@ object SparkEntry {
            CAST(2 AS BIGINT) AS executed, c.dps AS dps_click,
            v.dps AS dps_view, c.dps + v.dps AS dps_total
          FROM c, v""",
+
+    "q111_time_parse" ->
+      // literal expected epochs (now injected as 1700000000000):
+      // the quirk rows are "1min" (last-char dispatch → 1 month =
+      // 2592000000 ms) and "1356998400.5" (digits concatenate to
+      // 13569984005, NOT padded to .500)
+      """SELECT input, kind, CAST(value_ms AS BIGINT) AS value_ms
+         FROM (VALUES
+           ('5m', 'duration', 300000),
+           ('100ms', 'duration', 100),
+           ('4000ms', 'duration', 4000),
+           ('30s', 'duration', 30000),
+           ('2h', 'duration', 7200000),
+           ('3d', 'duration', 259200000),
+           ('2w', 'duration', 1209600000),
+           ('1n', 'duration', 2592000000),
+           ('2y', 'duration', 63072000000),
+           ('1min', 'duration', 2592000000),
+           ('now', 'date', 1700000000000),
+           ('5m-ago', 'date', 1699999700000),
+           ('1y-ago', 'date', 1668464000000),
+           ('2018/01/01', 'date', 1514764800000),
+           ('2018/01/01-12:30', 'date', 1514809800000),
+           ('2018/01/01 12:30:15', 'date', 1514809815000),
+           ('1356998400', 'date', 1356998400000),
+           ('1356998400123', 'date', 1356998400123),
+           ('1356998400.5', 'date', 13569984005),
+           ('789ms', 'date', 789)
+         ) t(input, kind, value_ms)
+         ORDER BY kind, input""",
 
     "q109_tree_branch" ->
       s"""$O, series AS (
