@@ -964,12 +964,20 @@ object TreeDefs {
     * param; default unlimited = reference-compatible) caps the collect
     * at the first N tsuids in sort order via a TakeOrdered plan, so
     * driver memory stays bounded no matter the tree's collision
-    * count. */
+    * count.
+    *
+    * `start_tsuid` is the continuation cursor: rows strictly AFTER the
+    * given tsuid in sort order, so `(limit = N, start_tsuid =
+    * last-key-of-previous-page)` pages the full document in
+    * deterministic N-row pages — the same resumable-scan shape the
+    * reference's HBase scanner start-row gives for free, with the same
+    * bounded-memory TakeOrdered plan per page. */
   def handleCollisionsNotMatched(store: TreeStore, frame: DataFrame,
                                  forCollisions: Boolean,
                                  qs: Map[String, String] = Map.empty,
                                  body: Option[String] = None,
-                                 limit: Option[Int] = None): RpcReply = {
+                                 limit: Option[Int] = None,
+                                 startTsuid: Option[String] = None): RpcReply = {
     // parseTSUIDsList (QS: treeid required, tsuids comma-split) vs the
     // POJO body, whose missing treeId is "Missing or invalid Tree ID"
     val (treeId, tsuids) = body match {
@@ -996,12 +1004,16 @@ object TreeDefs {
     val cap = qs.get("limit").map(_.toInt).orElse(limit)
     cap.filter(_ < 0).foreach(_ => throw new IllegalArgumentException(
       "Invalid limit: must be a non-negative integer"))
+    // continuation cursor: strictly-after filter pushed into the scan,
+    // so each page is an independent pushed-predicate + TakeOrdered
+    val cursor = qs.get("start_tsuid").orElse(startTsuid)
+    val paged = cursor.fold(filtered)(c => filtered.filter(col("tsuid") > c))
     val rows = (cap match {
       // orderBy+limit = TakeOrderedAndProject: first N tsuids in sort
       // order, bounded driver memory at any collision count
-      case Some(n) => filtered.select("tsuid", valueCol)
+      case Some(n) => paged.select("tsuid", valueCol)
         .orderBy("tsuid").limit(n).collect()
-      case None => filtered.select("tsuid", valueCol).collect()
+      case None => paged.select("tsuid", valueCol).collect()
     }).sortBy(_.getString(0))
     val o = mapper.createObjectNode()
     rows.foreach(r => o.put(r.getString(0), r.getString(1)))

@@ -525,6 +525,37 @@ class TreeRpcSpec extends AnyFunSuite with BeforeAndAfterAll {
         forCollisions = true, Map("treeid" -> "1", "limit" -> "-1")) }
   }
 
+  test("collisions/notmatched start_tsuid cursor: (limit, last-key) " +
+       "pages the full document in deterministic disjoint pages") {
+    import spark.implicits._
+    val s = setupStore()
+    val collisions = (1 to 10).map(i => (f"$i%06d", "AAAAAA", s"p$i"))
+      .toDF("tsuid", "existing_tsuid", "path")
+    def keysOf(body: String): Seq[String] =
+      """"(\d{6})":""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    // page through with limit 4: 4 + 4 + 2, strictly-after semantics
+    var cursor = Option.empty[String]
+    val pages = Iterator.continually {
+      val page = TreeDefs.handleCollisionsNotMatched(s, collisions,
+        forCollisions = true,
+        Map("treeid" -> "1", "limit" -> "4") ++
+          cursor.map("start_tsuid" -> _))
+      val ks = keysOf(page.body)
+      cursor = ks.lastOption
+      ks
+    }.takeWhile(_.nonEmpty).take(5).toSeq
+    assert(pages.map(_.size) == Seq(4, 4, 2))
+    // concatenated pages == the uncapped document, in order, no overlap
+    val all = keysOf(TreeDefs.handleCollisionsNotMatched(s, collisions,
+      forCollisions = true, Map("treeid" -> "1")).body)
+    assert(pages.flatten == all)
+    // the param form composes with a limit param
+    val p2 = TreeDefs.handleCollisionsNotMatched(s, collisions,
+      forCollisions = true, Map("treeid" -> "1"),
+      limit = Some(3), startTsuid = Some("000008"))
+    assert(keysOf(p2.body) == Seq("000009", "000010"))
+  }
+
   test("path elements containing '/' stay addressable: the branch id " +
        "hashes WHOLE element names (Branch.compileBranchId) and the " +
        "stored path escapes the separator, so ['a/b'] never conflates " +
