@@ -58,6 +58,21 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
+  /** Relational let-binding: evaluate `v` ONCE per row and hand it to
+    * `body` as a bound lambda variable. Higher-order-function lambdas
+    * are interpreted (no codegen, no subexpression elimination), so an
+    * expression referenced INSIDE a lambda re-evaluates at every
+    * element — e.g. a shingle window that reads `tokens(text)` inline
+    * re-splits the whole text once per shingle, turning a linear
+    * per-row scan O(tokens * text_len)-quadratic on long documents
+    * (measured: a 20k-token document took minutes; bound, it takes
+    * milliseconds). `transform` over a 1-element array is the
+    * cheapest let Spark's expression language offers; operators that
+    * span several exprs materialize a real column instead (the `__tk`
+    * pattern in Dedup.winnowFingerprints / dupSpans). */
+  private[pipeline] def bindOnce(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Whitespace-ish token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -65,13 +80,15 @@ object TextAnalysis {
     * than n tokens collapse to one whole-text shingle. The shingle
     * space is |vocab|^n, which keeps postings joins discriminative even
     * over small vocabularies. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tk = tokens(text)
-    when(size(tk) >= n,
-      array_distinct(transform(sequence(lit(0), size(tk) - n), i =>
-        concat_ws(" ", (1 to n).map(o => element_at(tk, i + o)): _*))))
-      .otherwise(array(array_join(tk, " ")))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // tokens bound once per row (bindOnce doc): inlined, the split
+    // re-ran inside every window's element_at
+    bindOnce(tokens(text)) { tk =>
+      when(size(tk) >= n,
+        array_distinct(transform(sequence(lit(0), size(tk) - n), i =>
+          concat_ws(" ", (1 to n).map(o => element_at(tk, i + o)): _*))))
+        .otherwise(array(array_join(tk, " ")))
+    }
 
   /** BPE-ish subword count: alnum runs + punctuation marks each count
     * (a cheap proxy for byte-pair tokenizers: words + symbols). */
@@ -240,16 +257,19 @@ object TextAnalysis {
   def chunks(text: Column, width: Int, overlap: Int): Column = {
     require(width > overlap && overlap >= 0, s"width $width overlap $overlap")
     val stride = width - overlap
-    val tk = tokens(text)
-    val n = size(tk)
-    // CaseWhen evaluates only the branch taken, so the empty-doc row
-    // never reaches sequence() (whose bounds would be inverted there)
-    when(n === 0,
-        array().cast("array<struct<start:int,n_tok:int,chunk:string>>"))
-      .otherwise(transform(sequence(lit(0), n - 1, lit(stride)), s =>
-        struct(s.cast("int").as("start"),
-          least(lit(width), n - s).cast("int").as("n_tok"),
-          array_join(slice(tk, s + 1, lit(width)), " ").as("chunk"))))
+    // tokens bound once per row (bindOnce doc): inlined, the split
+    // re-ran inside every chunk's slice
+    bindOnce(tokens(text)) { tk =>
+      val n = size(tk)
+      // CaseWhen evaluates only the branch taken, so the empty-doc row
+      // never reaches sequence() (whose bounds would be inverted there)
+      when(n === 0,
+          array().cast("array<struct<start:int,n_tok:int,chunk:string>>"))
+        .otherwise(transform(sequence(lit(0), n - 1, lit(stride)), s =>
+          struct(s.cast("int").as("start"),
+            least(lit(width), n - s).cast("int").as("n_tok"),
+            array_join(slice(tk, s + 1, lit(width)), " ").as("chunk"))))
+    }
   }
 
   /**
@@ -571,28 +591,35 @@ object TextAnalysis {
    * expression (graft.functions.CdcBoundaries); the chunk assembly is
    * small per-row array algebra. Scan-shaped, zero shuffles.
    */
-  def cdcChunks(text: Column, width: Int = 16, modulus: Int = 64): Column = {
-    val b = graft.functions.CdcBoundaries(text, width, modulus)
-    val starts = concat(array(lit(1)), transform(b, x => x + 1))
-    val ends = concat(b, array(length(text)))
-    filter(
-      transform(sequence(lit(0), size(ends) - 1), j =>
-        struct(element_at(starts, j + 1).as("start"),
-          (element_at(ends, j + 1) - element_at(starts, j + 1) + 1).as("len"),
-          text.substr(element_at(starts, j + 1),
-            element_at(ends, j + 1) - element_at(starts, j + 1) + 1)
-            .as("chunk"))),
-      c => c.getField("len") > 0)
-  }
+  def cdcChunks(text: Column, width: Int = 16, modulus: Int = 64): Column =
+    // boundary scan and start/end arrays each bound once per row
+    // (bindOnce doc): inlined, the O(text) boundary scan re-ran inside
+    // every chunk's element_at
+    bindOnce(graft.functions.CdcBoundaries(text, width, modulus)) { b =>
+      bindOnce(concat(array(lit(1)), transform(b, x => x + 1))) { starts =>
+        bindOnce(concat(b, array(length(text)))) { ends =>
+          filter(
+            transform(sequence(lit(0), size(ends) - 1), j =>
+              struct(element_at(starts, j + 1).as("start"),
+                (element_at(ends, j + 1) - element_at(starts, j + 1) + 1)
+                  .as("len"),
+                text.substr(element_at(starts, j + 1),
+                  element_at(ends, j + 1) - element_at(starts, j + 1) + 1)
+                  .as("chunk"))),
+            c => c.getField("len") > 0)
+        }
+      }
+    }
 
   /** Non-distinct word bigrams (repetition measures need counts). */
-  private def bigrams(text: Column): Column = {
-    val tk = tokens(text)
-    when(size(tk) >= 2,
-      transform(sequence(lit(0), size(tk) - 2), i =>
-        concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def bigrams(text: Column): Column =
+    // tokens bound once per row (bindOnce doc)
+    bindOnce(tokens(text)) { tk =>
+      when(size(tk) >= 2,
+        transform(sequence(lit(0), size(tk) - 2), i =>
+          concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /**
    * Repetition signal: fraction of bigrams taken by the most frequent
@@ -601,13 +628,16 @@ object TextAnalysis {
    * expressions — quadratic in tokens-per-doc (bounded, ~tens), zero
    * shuffles over the corpus.
    */
-  def topBigramFraction(text: Column): Column = {
-    val bi = bigrams(text)
-    val top = array_max(transform(array_distinct(bi), b =>
-      size(filter(bi, x => x === b))))
-    when(size(bi) === 0, lit(0.0))
-      .otherwise(top.cast("double") / size(bi))
-  }
+  def topBigramFraction(text: Column): Column =
+    // the bigram array binds once per row; the count-per-distinct
+    // filter inside stays quadratic in BIGRAMS by design (documented
+    // above), but no longer re-tokenizes per element
+    bindOnce(bigrams(text)) { bi =>
+      val top = array_max(transform(array_distinct(bi), b =>
+        size(filter(bi, x => x === b))))
+      when(size(bi) === 0, lit(0.0))
+        .otherwise(top.cast("double") / size(bi))
+    }
 
   /** Lexical-diversity signal: distinct tokens / tokens (type-token
     * ratio); heavily repeated boilerplate scores low. */
