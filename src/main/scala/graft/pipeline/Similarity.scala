@@ -66,11 +66,14 @@ object Similarity {
     * and the metric-mismatch recall gap closes (measured in
     * SCALING.md's recall sweep). Zero-vector inputs pass through
     * unscaled rather than dividing by zero. */
-  def l2Normalize(vec: Column): Column = {
-    val n = graft.functions.VectorMath.normCol(vec)
-    transform(vec, x =>
-      when(n === 0.0, x.cast("double")).otherwise(x.cast("double") / n))
-  }
+  def l2Normalize(vec: Column): Column =
+    // the norm binds once per row (TextAnalysis.bindOnce doc):
+    // referenced inline, the O(dim) norm re-ran inside every
+    // element's division — O(dim^2) per vector
+    TextAnalysis.bindOnce(graft.functions.VectorMath.normCol(vec)) { n =>
+      transform(vec, x =>
+        when(n === 0.0, x.cast("double")).otherwise(x.cast("double") / n))
+    }
 
   /** Cosine similarity of two float-array columns, computed in double. */
   def cosine(a: Column, b: Column): Column =
