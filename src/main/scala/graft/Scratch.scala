@@ -77,6 +77,36 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--longdoc")) {
+      // doc-LENGTH sweep at a FIXED total token budget (1.28M tokens):
+      // the shingle scan and the char-window fingerprint must cost the
+      // same per token at every document length — linear in corpus
+      // bytes. Before the round-16 bindOnce/CharWindows fixes both
+      // were quadratic in document length (the 20k row ran minutes).
+      import org.apache.spark.sql.functions._
+      for ((nDocs, tokPerDoc) <- Seq((1280, 1000), (256, 5000), (64, 20000))) {
+        val docs = spark.range(nDocs).select(
+            col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+              i => concat(lit("w"), pmod(col("id") * 131 + i, lit(50000)))))
+              .as("text"))
+          .repartition(32).persist()
+        docs.count() // materialize text OUTSIDE the timed region
+        def t(f: => Long): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tPost = t(graft.pipeline.Dedup.hashedPostings(
+          docs, "text", "doc_id", 3, portable = true).count())
+        val (fp, nsh) = graft.pipeline.TextAnalysis.fingerprint(col("text"), 8)
+        val tFp = t(docs.select(fp.as("f"), nsh.as("n"))
+          .agg(sum("n")).count())
+        println(f"LONGDOC docs=$nDocs%5d tok/doc=$tokPerDoc%6d " +
+          f"postings=$tPost%6.2f s fingerprint=$tFp%6.2f s")
+        docs.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--t25")) {
       import org.apache.spark.sql.functions._
       def stamp(name: String)(f: => Long): Unit = {

@@ -68,6 +68,41 @@ object CdcBoundaries {
 }
 
 /**
+ * All `width`-char windows of a string in ONE forward pass:
+ * `[substr(1,w), substr(2,w), ..., substr(n-w+1,w)]`, or `[text]` when
+ * the text is shorter than the window — exactly the array the
+ * substr-per-position form builds, but O(chars) instead of O(chars²):
+ * `substr(i, w)` re-scans the UTF-8 bytes from the string START to
+ * find character i, so a transform over positions is quadratic on
+ * long documents (the rolling-fingerprint analog of the interpreted-
+ * lambda trap documented at TextAnalysis.bindOnce). One char-offset
+ * walk here makes every window an O(width) byte slice.
+ */
+case class CharWindows(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "char_windows"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix60.charWindows(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Md5Prefix60.charWindows($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharWindows =
+    copy(child = newChild)
+}
+
+object CharWindows {
+  def apply(c: Column, width: Int): Column =
+    Bridge.column(new CharWindows(Bridge.expression(c), width))
+}
+
+/**
  * `java.lang.String.hashCode` of a string column — the hash the
  * reference addresses tree branches with (each path element contributes
  * `Bytes.fromInt(name.hashCode())` to the branch row key,
@@ -135,6 +170,40 @@ object Md5Prefix60 {
     * case — byte count == char count) digests raw byte windows with
     * ZERO per-position allocation; multi-byte text falls back to
     * char-correct substrings. */
+  /** Byte length of the UTF-8 character starting at lead byte `b`
+    * (only ever called on character-start bytes of valid UTF-8). */
+  private def utf8CharLen(b: Byte): Int = {
+    val u = b & 0xFF
+    if (u < 0x80) 1 else if (u < 0xE0) 2 else if (u < 0xF0) 3 else 4
+  }
+
+  /** Called from generated code (CharWindows). One char-offset walk,
+    * then each window is a byte-range slice — O(chars + windows·width)
+    * total. Character semantics match substr/substringSQL (code-point
+    * indexed, surrogate-safe). */
+  def charWindows(s: UTF8String, width: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val nChars = s.numChars()
+    if (nChars <= width)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](s))
+    val bytes = s.getBytes
+    // byte offset of each character start, plus the end sentinel
+    val offs = new Array[Int](nChars + 1)
+    var b = 0; var c = 0
+    while (c < nChars) { offs(c) = b; b += utf8CharLen(bytes(b)); c += 1 }
+    offs(nChars) = bytes.length
+    val n = nChars - width + 1
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i),
+        offs(i + width) - offs(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cdcBoundaries(s: UTF8String, width: Int,
                     modulus: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val out = new scala.collection.mutable.ArrayBuffer[Int]()

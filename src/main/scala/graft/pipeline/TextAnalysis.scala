@@ -213,10 +213,13 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: min h32 over k-char shingles (winnowing-
-    * style rolling signature) plus the distinct-shingle count. */
+    * style rolling signature) plus the distinct-shingle count. The
+    * window array comes from ONE native forward pass
+    * (graft.functions.CharWindows) — the substr-per-position form
+    * re-scanned the UTF-8 bytes from the string start for every
+    * window, O(chars²) on long documents. */
   def fingerprint(text: Column, k: Int = 8): (Column, Column) = {
-    val n = greatest(length(text) - (k - 1), lit(1))
-    val sh = transform(sequence(lit(1), n), i => text.substr(i, lit(k)))
+    val sh = graft.functions.CharWindows(text, k)
     (array_min(transform(sh, s => h32(s))), size(array_distinct(sh)))
   }
 

@@ -986,4 +986,28 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"trial $trial tail source must grow toward uniform")
     }
   }
+
+  test("CharWindows == substr-per-position windows on random text " +
+       "(ASCII, multibyte, short, empty)") {
+    import spark.implicits._
+    val pieces = Seq("ab", "x", "\u00e9", "\u4e16\u754c", " ", "0", "\ud83d\ude00", "qrs")
+    val texts = (0 until 60).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => pieces(rnd.nextInt(pieces.size))).mkString)
+    } ++ Seq((100L, ""), (101L, "exact8ch"), (102L, "a" * 200))
+    val df = texts.toDF("id", "text")
+    for (k <- Seq(3, 8)) {
+      val legacy = transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+        i => col("text").substr(i, lit(k)))
+      val rows = df.select(col("id"),
+          graft.functions.CharWindows(col("text"), k).as("native"),
+          legacy.as("legacy"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"k=$k id=${r.getLong(0)}")
+      }
+    }
+  }
 }
