@@ -162,6 +162,47 @@ object PipelineQueries {
   private def oH32(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 4294967296"
 
+  /** DuckDB mirror of Similarity.bm25TopK over documents with the
+    * s19/s20 query set (first 6 tokens of docs 0/150/300, self
+    * excluded): ends at the `bm25_ranked` CTE. Constants are written
+    * as the SAME arithmetic the Scala side compiles (`1.2 + 1`, not
+    * `2.2` — the two differ in the last bit), and per-(q,d) sums fold
+    * in sorted term order via an ordered list, so scores are
+    * bit-identical across engines. */
+  private lazy val O_BM25: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       tf AS (
+         SELECT doc_id, t AS term, count(*) AS tf
+         FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+       dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       stats AS (SELECT sum(dl) AS tok, count(*) AS n FROM dl),
+       qt AS (
+         SELECT doc_id AS q_id, unnest(list_distinct(tk[1:6])) AS term
+         FROM toks WHERE doc_id IN (0, 150, 300)),
+       qidf AS (
+         SELECT q_id, term,
+           ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf,
+           CAST(tok AS DOUBLE) / n AS avgdl
+         FROM dfq JOIN qt USING (term) CROSS JOIN stats),
+       contrib AS (
+         SELECT q_id, tf.doc_id, term,
+           idf * (tf * (1.2 + 1)) /
+             (tf + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))) AS c
+         FROM tf JOIN qidf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+         WHERE tf.doc_id <> q_id),
+       bm25_scored AS (
+         SELECT q_id, doc_id, list_sum(list(c ORDER BY term)) AS bm25
+         FROM contrib GROUP BY 1, 2),
+       bm25_ranked AS (
+         SELECT q_id, doc_id, bm25, row_number() OVER
+           (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rank
+         FROM bm25_scored)"""
+
   /** DuckDB formulation of the MinHash-LSH verified pair list (4 bands
     * × 2 rows, threshold 0.5, 32-bit hashes) — the shared oracle of the
     * batch (d03) and streaming (d20) forms, which provably agree inside
@@ -932,6 +973,46 @@ object PipelineQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.bruteForceTopK(e, q, 10)
         .select(col("q_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Okapi BM25 lexical top-10 for 3 query strings derived from the
+    // corpus itself (the first 6 tokens of docs 0/150/300 — so each
+    // query has a known best answer), self excluded like the vector
+    // top-k rows; scores fold per-term contributions in sorted term
+    // order (bit-deterministic, oracle-mirrored)
+    "s19_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id").isin(0, 150, 300))
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
+            .as("q_text"))
+      Similarity.bm25TopK(d, q, 10, excludeSelf = true)
+        .select(col("q_id"), col("id").as("doc_id"),
+          r4(col("bm25")).as("bm25"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // hybrid retrieval: BM25 lexical top-10 + brute-force cosine
+    // top-10 (documents and embeddings pair by id) fused by
+    // reciprocal rank (k=60) — the standard score-free lexical+vector
+    // combination; both input lists are bounded per query so the
+    // fusion is |Q|-sized at any corpus scale
+    "s20_rrf_hybrid" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val q = d.filter(col("doc_id").isin(0, 150, 300))
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
+            .as("q_text"))
+      val lex = Similarity.bm25TopK(d, q, 10, excludeSelf = true)
+      val qv = e.filter(col("vec_id").isin(0, 150, 300))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val vec = Similarity.bruteForceTopK(e, qv, 10)
+        .withColumnRenamed("vec_id", "id")
+      Similarity.rrfFuse(Seq(lex, vec), 10)
+        .select(col("q_id"), col("id").as("doc_id"),
+          r4(col("rrf")).as("rrf"), col("rank"), col("n_rankers"))
         .orderBy("q_id", "rank")
     }),
 
@@ -2802,6 +2883,50 @@ object PipelineQueries {
            FROM scored)
          SELECT q_id, vec_id, (sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000) AS cos, rank
          FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "s19_bm25_topk" ->
+      s"""$O_BM25
+         SELECT q_id, doc_id,
+           (sign(bm25) * floor(abs(bm25) * 10000 + 0.5) / 10000) AS bm25,
+           rank
+         FROM bm25_ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "s20_rrf_hybrid" ->
+      s"""$O_BM25,
+         cq AS (SELECT vec_id AS q_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id IN (0, 150, 300)),
+         cos_scored AS (
+           SELECT cq.q_id, e.vec_id AS doc_id,
+             list_sum(list_transform(list_zip(e.embedding, cq.q_vec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(cq.q_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings e CROSS JOIN cq WHERE e.vec_id <> cq.q_id),
+         cos_ranked AS (
+           SELECT q_id, doc_id, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+           FROM cos_scored),
+         allr AS (
+           SELECT q_id, doc_id, rank, 0 AS ranker
+           FROM bm25_ranked WHERE rank <= 10
+           UNION ALL
+           SELECT q_id, doc_id, rank, 1 AS ranker
+           FROM cos_ranked WHERE rank <= 10),
+         fused AS (
+           SELECT q_id, doc_id,
+             list_sum(list(1.0 / (60 + rank) ORDER BY ranker)) AS rrf,
+             count(*) AS n_rankers
+           FROM allr GROUP BY 1, 2),
+         franked AS (
+           SELECT q_id, doc_id, rrf, n_rankers, row_number() OVER
+             (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS frank
+           FROM fused)
+         SELECT q_id, doc_id,
+           (sign(rrf) * floor(abs(rrf) * 10000 + 0.5) / 10000) AS rrf,
+           frank AS rank, CAST(n_rankers AS BIGINT) AS n_rankers
+         FROM franked WHERE frank <= 10 ORDER BY q_id, rank""",
 
     "s17_filtered_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,

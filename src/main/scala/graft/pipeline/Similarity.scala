@@ -910,4 +910,100 @@ object Similarity {
     }
     planes.reduce((a, b) => a + b)
   }
+
+  // ------------------------------------------------ lexical retrieval
+
+  /**
+   * Okapi BM25 top-k — the lexical half of hybrid retrieval (the
+   * other half is any of the vector top-k forms above). Distinct
+   * query terms score each document
+   * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+   * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))` (the non-negative
+   * Lucene variant).
+   *
+   * Scale shape: one token explode feeds both the (id, term) tf
+   * aggregation and the per-doc length (a second agg on the same
+   * partitioning); df is vocabulary-sized with map-side combine;
+   * N/avgdl ride a broadcast 1-row aggregate (never a driver count);
+   * the query-term dim joins df FIRST (vocabulary join pruned to
+   * |query terms| rows) and the result broadcasts into the tf table —
+   * the corpus is scanned once and shuffled only on (id, term)/(id),
+   * exactly the postings discipline of the dedup family. Per-(q,d)
+   * scores fold the per-term contributions in SORTED term order (a
+   * sequential IEEE sum the oracle mirrors with an ordered list_sum),
+   * so scores are bit-deterministic; ties rank by doc id ([[TopKAgg]]).
+   */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               textCol: String = "text", idCol: String = "doc_id",
+               queryId: String = "q_id", queryText: String = "q_text",
+               k1: Double = 1.2, b: Double = 0.75,
+               excludeSelf: Boolean = false): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // persisted (generation-bounded ownership): the tf table is the
+    // BM25 analog of the dedup family's postings — read THREE times
+    // (doc lengths, document frequencies, the scoring join), and every
+    // uncached replay re-pays the tokenize+explode corpus scan
+    val Seq(tf) = graft.util.Caching.persistOwned("Similarity.bm25TopK",
+      toks.groupBy("id", "term").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // integer total/count → avgdl division is engine-deterministic
+    val stats = dl.agg(sum("dl").as("__tok"), count(lit(1)).as("__n"))
+    val qterms = queries.select(col(queryId).cast("long").as(queryId),
+      explode(array_distinct(TextAnalysis.tokens(col(queryText))))
+        .as("term"))
+    val qidf = dfT.join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(queryId), col("term"),
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"),
+        (col("__tok").cast("double") / col("__n")).as("avgdl"))
+    val scoredTerms = tf.join(broadcast(qidf), "term")
+      .join(dl, "id")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * (col("dl") / col("avgdl")))))
+    val filtered =
+      if (excludeSelf) scoredTerms.filter(col("id") =!= col(queryId))
+      else scoredTerms
+    val scored = filtered.groupBy(col(queryId), col("id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")).as("bm25"))
+    topKReduce(scored, k, queryId, "id", "bm25", ascending = false)
+  }
+
+  /**
+   * Reciprocal-rank fusion of ranked lists (Cormack et al. 2009):
+   * `rrf(d) = Σ_r 1/(kRrf + rank_r(d))` over the rankers that
+   * returned d — the standard score-free way to combine a lexical
+   * (BM25) and a vector (cosine/ANN) ranking into one hybrid list,
+   * robust to incomparable score scales. Input lists are already
+   * bounded (top-k per query per ranker), so the fusion works on
+   * |Q|·k·|rankers| rows — a rounding error at any corpus scale; the
+   * contributions fold in ranker order (sequential IEEE sum, oracle-
+   * mirrored), ties rank by doc id.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60,
+              queryId: String = "q_id", docId: String = "id"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(queryId), col(docId).cast("long").as("__doc"),
+        col("rank").cast("int").as("__rank"), lit(i).as("__ranker"))
+    }.reduce(_ unionByName _)
+    val fused = tagged.groupBy(col(queryId), col("__doc"))
+      .agg(aggregate(
+          array_sort(collect_list(struct(col("__ranker"), col("__rank")))),
+          lit(0.0),
+          (acc, x) => acc + lit(1.0) / (lit(kRrf) + x.getField("__rank")))
+        .as("rrf"),
+        count(lit(1)).as("n_rankers"))
+    topKReduce(fused.withColumnRenamed("__doc", docId), k,
+        queryId, docId, "rrf", ascending = false)
+      .join(fused.withColumnRenamed("__doc", docId)
+          .select(col(queryId), col(docId), col("n_rankers")),
+        Seq(queryId, docId))
+  }
 }

@@ -1010,4 +1010,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("BM25 matches a scalar reimplementation on a tiny fixture; " +
+       "RRF of a ranking with itself doubles every score") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val docs = Seq((0L, "a a b"), (1L, "a c"), (2L, "b c c"))
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "a")).toDF("q_id", "q_text")
+    val got = Similarity.bm25TopK(docs, q, 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // scalar BM25 with the same constants: N=3, df(a)=2, avgdl=8/3
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    val avgdl = 8.0 / 3
+    def s(tf: Long, dl: Long): Double =
+      idf * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))
+    val expected = Seq((0L, s(2, 3), 1), (1L, s(1, 2), 2))
+    assert(got.length == 2)
+    got.zip(expected).foreach { case ((id, sc, rk), (eid, esc, erk)) =>
+      assert(id == eid && rk == erk && math.abs(sc - esc) < 1e-12,
+        s"got ${got.toSeq} expected $expected")
+    }
+    // RRF self-fusion: each doc scores exactly 2/(60+rank), order kept
+    val base = Similarity.bm25TopK(docs, q, 10)
+    val fused = Similarity.rrfFuse(Seq(base, base), 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4)))
+    assert(fused.toSeq.sortBy(_._3) == Seq(
+      (0L, 2.0 / 61, 1, 2L), (1L, 2.0 / 62, 2, 2L)))
+  }
 }
