@@ -787,6 +787,29 @@ object PipelineQueries {
         .orderBy("q_id")
     }),
 
+    // matryoshka truncation sweep: recall@5 of brute-force cosine over
+    // PREFIX dims 8/16/32 against the full-dim truth — the evaluation
+    // a pipeline runs before serving truncated (matryoshka) embeddings
+    // to cut index bytes; each prefix search is the same broadcast-
+    // query scan shape as s01 on a sliced vector column
+    "s21_matryoshka_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = Similarity.bruteForceTopK(e, q, 5)
+      Seq(8, 16, 32).map { d =>
+        val ep = e.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val qp = q.select(col("q_id"),
+          slice(col("q_vec"), 1, d).as("q_vec"))
+        Similarity.annRecall(exact, Similarity.bruteForceTopK(ep, qp, 5))
+          .withColumn("dim", lit(d))
+      }.reduce(_ unionByName _)
+        .select(col("dim"), col("q_id"), col("n_match"),
+          r4(col("recall")).as("recall"))
+        .orderBy("dim", "q_id")
+    }),
+
     // graded ranking quality of the same IVF-PQ serving path: s13's
     // recall sees only SET overlap; nDCG@5 + MRR grade the ORDER of
     // the returned list (a hit at rank 5 vs rank 1 is invisible to
@@ -1388,6 +1411,37 @@ object PipelineQueries {
           salt = "sp42", portable = true)
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
+    }),
+
+    // cross-split leakage report over the REAL split assignment: for
+    // every non-train split, how many documents share at least one
+    // 3-shingle with the train split (the train→eval contamination a
+    // published data card reports), with the per-doc max shared count.
+    // Same postings discipline as the dedup family: the train shingle
+    // set is a distinct vocab-sized table, the probe joins on the
+    // hash key — co-partitioned, no pairwise doc join anywhere
+    "t39_split_leakage" -> ((s, dir) => {
+      val sp = Sampling.splitAssign(docs(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "sp42", portable = true)
+        .select(col("doc_id").as("id"), col("split"))
+      val post = sharedPostings(s, dir, 32).join(sp, "id")
+      val trainH = post.filter(col("split") === "train")
+        .select("h").distinct()
+      val leaked = post.filter(col("split") =!= "train")
+        .join(trainH, "h")
+        .groupBy("split", "id").agg(count(lit(1)).as("n_shared"))
+      val tot = sp.filter(col("split") =!= "train")
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      tot.join(leaked, Seq("split"), "left")
+        .groupBy("split", "n_docs")
+        .agg(count(col("id")).as("n_leaked"),
+          coalesce(max(col("n_shared")), lit(0L)).as("max_shared"))
+        .select(col("split"), col("n_docs"), col("n_leaked"),
+          r4(col("n_leaked").cast("double") / col("n_docs"))
+            .as("leak_rate"),
+          col("max_shared"))
+        .orderBy("split")
     }),
 
     // token-budget prefix: 10k tokens in salted-hash order — banded
@@ -2592,6 +2646,45 @@ object PipelineQueries {
          FROM exact5 LEFT JOIN approx5 USING (q_id, vec_id)
          GROUP BY exact5.q_id ORDER BY q_id""",
 
+    "s21_matryoshka_recall" -> {
+      def cosSub(eVec: String, qVec: String): String =
+        s"""SELECT q.q_id, e.vec_id,
+             list_sum(list_transform(list_zip($eVec, $qVec),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform($eVec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform($qVec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id"""
+      def ranked(sub: String): String =
+        s"""(SELECT q_id, vec_id, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM ($sub) t)"""
+      val approx = Seq(8, 16, 32).map(d =>
+        s"""SELECT $d AS dim, q_id, vec_id FROM ${ranked(
+          cosSub(s"e.embedding[1:$d]", s"q.q_vec[1:$d]"))} r
+           WHERE rank <= 5""").mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 3),
+         exact AS (
+           SELECT q_id, vec_id FROM ${ranked(
+        cosSub("e.embedding", "q.q_vec"))} r WHERE rank <= 5),
+         approx AS ($approx),
+         m AS (
+           SELECT d.dim, e.q_id, count(*) AS n_exact,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_match
+           FROM exact e CROSS JOIN (VALUES (8), (16), (32)) d(dim)
+           LEFT JOIN approx a ON a.dim = d.dim AND a.q_id = e.q_id
+             AND a.vec_id = e.vec_id
+           GROUP BY 1, 2)
+         SELECT dim, q_id, n_match,
+           (sign(CAST(n_match AS DOUBLE) / n_exact)
+             * floor(abs(CAST(n_match AS DOUBLE) / n_exact)
+               * 10000 + 0.5) / 10000) AS recall
+         FROM m ORDER BY dim, q_id"""
+    },
+
     // s13's approximate list re-derived WITH ranks, graded against
     // the exact top-5 (rel = 6 - exact rank): nDCG@5 + MRR
     "s18_ranking_eval" ->
@@ -3540,6 +3633,34 @@ object PipelineQueries {
                < ${(0.9 * 4294967296.0).toLong} THEN 'val'
              ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+
+    "t39_split_leakage" ->
+      s"""$O_SH,
+         hpost AS (SELECT DISTINCT doc_id, ${oH32("term")} AS h FROM post),
+         sp AS (SELECT doc_id,
+           CASE WHEN ${oH32("'sp42' || CAST(doc_id AS VARCHAR)")}
+               < ${(0.8 * 4294967296.0).toLong} THEN 'train'
+             WHEN ${oH32("'sp42' || CAST(doc_id AS VARCHAR)")}
+               < ${(0.9 * 4294967296.0).toLong} THEN 'val'
+             ELSE 'test' END AS split
+           FROM documents),
+         hs AS (SELECT split, hpost.doc_id, h
+           FROM hpost JOIN sp USING (doc_id)),
+         train_h AS (SELECT DISTINCT h FROM hs WHERE split = 'train'),
+         leaked AS (
+           SELECT split, doc_id, count(*) AS n_shared
+           FROM hs JOIN train_h USING (h)
+           WHERE split <> 'train' GROUP BY 1, 2),
+         tot AS (SELECT split, count(*) AS n_docs FROM sp
+           WHERE split <> 'train' GROUP BY 1)
+         SELECT tot.split, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(count(leaked.doc_id) AS BIGINT) AS n_leaked,
+           (sign(CAST(count(leaked.doc_id) AS DOUBLE) / n_docs)
+             * floor(abs(CAST(count(leaked.doc_id) AS DOUBLE) / n_docs)
+               * 10000 + 0.5) / 10000) AS leak_rate,
+           CAST(coalesce(max(n_shared), 0) AS BIGINT) AS max_shared
+         FROM tot LEFT JOIN leaked ON leaked.split = tot.split
+         GROUP BY tot.split, n_docs ORDER BY tot.split""",
 
     "t21_token_budget" ->
       s"""WITH t AS (
