@@ -1976,4 +1976,65 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("fuzz BM25: 20 random tiny corpora vs a from-scratch scalar " +
+       "transcription (same fold order, so scores match to 1e-12; " +
+       "ranks exact)") {
+    import spark.implicits._
+    val rnd = new Random(20260818)
+    for (trial <- 1 to 20) {
+      val vocab = (0 until (3 + rnd.nextInt(8)))
+        .map(i => ('a' + i).toChar.toString)
+      val nDocs = 4 + rnd.nextInt(8)
+      val docs = (0 until nDocs).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i.toLong,
+          (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val qText = (0 until 1 + rnd.nextInt(3))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val exclude = rnd.nextBoolean()
+      val k = 1 + rnd.nextInt(nDocs)
+      val got = graft.pipeline.Similarity.bm25TopK(
+          docs.toDF("doc_id", "text"),
+          Seq((2L, qText)).toDF("q_id", "q_text"),
+          k, excludeSelf = exclude)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      // scalar transcription: same tokenize rule, BM25 from scratch,
+      // per-term contributions summed in sorted term order
+      def toks(t: String): Seq[String] =
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val tf = docs.map { case (id, t) =>
+        id -> toks(t).groupBy(identity).map { case (w, o) => w -> o.size }
+      }.toMap
+      val dls = docs.map { case (id, t) => id -> toks(t).size }.toMap
+      val avgdl = dls.values.sum.toDouble / nDocs
+      val dfm = vocab.map(w =>
+        w -> docs.count { case (id, _) => tf(id).contains(w) }).toMap
+      val qTerms = toks(qText).distinct
+      val expected = docs.flatMap { case (id, _) =>
+        if (exclude && id == 2L) None
+        else {
+          val contribs = qTerms
+            .filter(t => tf(id).contains(t) && dfm(t) > 0)
+            .sorted
+            .map { t =>
+              val idf = math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5))
+              idf * (tf(id)(t) * (1.2 + 1)) /
+                (tf(id)(t) + 1.2 * ((1 - 0.75) + 0.75 * (dls(id) / avgdl)))
+            }
+          if (contribs.isEmpty) None
+          else Some(id -> contribs.foldLeft(0.0)(_ + _))
+        }
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+      assert(got.length == expected.length,
+        s"trial $trial: got ${got.toSeq} expected $expected")
+      got.zip(expected).zipWithIndex.foreach {
+        case (((gid, gs, grk), (eid, es)), i) =>
+          assert(gid == eid && grk == i + 1 && math.abs(gs - es) < 1e-12,
+            s"trial $trial rank ${i + 1}: got ($gid, $gs) expected ($eid, $es)")
+      }
+    }
+  }
 }
