@@ -77,6 +77,33 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--q58")) {
+      // stage decomposition of the put-parse round trip: where do the
+      // seconds go — render, parse, validate, or aggregate?
+      import org.apache.spark.sql.functions._
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"Q58 $name%-10s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      }
+      val ev = graft.model.Points.fromEvents(spark, sfDir)
+        .filter(col("tags").getItem("k").isNotNull)
+      t("scan")(ev.count())
+      val lines = ev.select(concat(
+        lit("put "), col("metric"), lit(" "), col("ts").cast("string"),
+        lit(" "), col("value").cast("string"),
+        lit(" user="), col("tags").getItem("user"),
+        lit(" k="), col("tags").getItem("k")).as("value"))
+      t("render")(lines.count())
+      val cached = lines.persist()
+      t("renderP")(cached.count())
+      t("parse")(graft.sources.Ingest.parsePutLines(cached).count())
+      t("parse2")(graft.sources.Ingest.parsePutLines(cached).count())
+      t("full")(SparkEntry.queries("q58_put_parse")(spark, sfDir).count())
+      t("full2")(SparkEntry.queries("q58_put_parse")(spark, sfDir).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--longdoc")) {
       // doc-LENGTH sweep at a FIXED total token budget (1.28M tokens):
       // the shingle scan and the char-window fingerprint must cost the
