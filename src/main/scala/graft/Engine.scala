@@ -743,10 +743,16 @@ object Engine {
         Seq((col("ts") - col("ts") % bucketMs).as("ts"), col("value")): _*)
     val gcols = ("metric" +: groupKeys.map(k => s"tag_$k")) :+ "ts"
     val hist = Histograms.fromPoints(base, gcols, "value", binWidth)
-    sub.percentiles
-      .map(p => Histograms.percentile(hist, gcols, p / 100.0)
-        .withColumn("ptile", lit(p)))
-      .reduce(_ unionByName _)
+    // ONE pass for every requested percentile (Histograms.percentiles
+    // doc) — the old per-p unionByName re-ran the scan+histogram per
+    // percentile. __p (the exact fraction literal) maps back to the
+    // API's 0-100 ptile by bit-equality, never by *100 arithmetic
+    // (0.9 * 100 != 90.0 in binary).
+    val ptileOf = sub.percentiles.foldLeft(lit(null).cast("double")) {
+      (acc, p) => when(col("__p") === lit(p / 100.0), lit(p)).otherwise(acc)
+    }
+    Histograms.percentiles(hist, gcols, sub.percentiles.map(_ / 100.0))
+      .withColumn("ptile", ptileOf).drop("__p")
   }
 
   /**
@@ -777,15 +783,45 @@ object Engine {
     // percentile of the combined distribution — statistically nicer,
     // but not what the reference computes.
     val hist = histogramBuckets(hists, query, sub)
-    sub.percentiles.map { p =>
-      val perSeries = Histograms.percentile(hist, gcols, p / 100.0)
-        .select(Seq(col("metric"), col("series_id"), col("ts"),
-          col("value")) :+
-          map(groupKeys.flatMap(k =>
-            Seq(lit(k), col(s"tag_$k"))): _*).as("tags"): _*)
-      Interpolate.aggregate(perSeries, sub.aggregator, groupKeys)
-        .withColumn("ptile", lit(p))
-    }.reduce(_ unionByName _)
+    if (sub.percentiles.size == 1 || sub.aggregator == "none") {
+      // single percentile (nothing to share), or the 'none' bypass
+      // (its one-series assertion must see each ptile separately)
+      return sub.percentiles.map { p =>
+        val perSeries = Histograms.percentile(hist, gcols, p / 100.0)
+          .select(Seq(col("metric"), col("series_id"), col("ts"),
+            col("value")) :+
+            map(groupKeys.flatMap(k =>
+              Seq(lit(k), col(s"tag_$k"))): _*).as("tags"): _*)
+        Interpolate.aggregate(perSeries, sub.aggregator, groupKeys)
+          .withColumn("ptile", lit(p))
+      }.reduce(_ unionByName _)
+    }
+    // Multi-percentile single pass: extraction probes the cumulative
+    // distribution once for every requested fraction
+    // (Histograms.percentiles), and the percentile rides the
+    // cross-series aggregation as a synthetic grouping tag — each
+    // (group, __ptile) aggregation sees exactly the rows the per-p
+    // branch saw, so values are unchanged while the scan+decode+merge
+    // upstream runs ONCE instead of once per percentile (the old
+    // unionByName form showed P full histogram subtrees in the plan).
+    // series_id is re-hashed with the ptile so per-series interpolation
+    // windows cannot collide across percentile groups.
+    val ptileOf = sub.percentiles.foldLeft(lit(null).cast("double")) {
+      (acc, p) => when(col("__p") === lit(p / 100.0), lit(p)).otherwise(acc)
+    }
+    val perSeries = Histograms
+      .percentiles(hist, gcols, sub.percentiles.map(_ / 100.0))
+      .withColumn("__ptile", ptileOf)
+      .select(Seq(col("metric"),
+        xxhash64(col("series_id"), col("__ptile")).as("series_id"),
+        col("ts"), col("value")) :+
+        map(groupKeys.flatMap(k => Seq(lit(k), col(s"tag_$k"))) ++
+          Seq(lit("__ptile"), col("__ptile").cast("string")): _*)
+          .as("tags"): _*)
+    Interpolate.aggregate(perSeries, sub.aggregator,
+        groupKeys :+ "__ptile")
+      .withColumn("ptile", col("tag___ptile").cast("double"))
+      .drop("tag___ptile")
   }
 
   /**

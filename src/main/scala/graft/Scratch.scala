@@ -41,6 +41,29 @@ object Scratch {
         (if (warn.nonEmpty) s"WARN=${warn.mkString(",")}" else "ok"))
     }
 
+    if (args.headOption.contains("--dump")) {
+      // write `.explain("formatted")` for the named queries to files —
+      // the before/after plan evidence for optimization rounds.
+      // Streaming contract rows EXECUTE inside their query fn, so only
+      // batch rows should be dumped.
+      val outDir = args(1)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      args.drop(2).foreach { spec =>
+        val (name, suffix) = spec.split(":") match {
+          case Array(n, sfx) => (n, sfx)
+          case Array(n) => (n, "plan")
+        }
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+          plan.getBytes("UTF-8"))
+        println(s"DUMPED $name -> $outDir/${name}_$suffix.txt")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--audit-all")) {
       // static plan hygiene over EVERY contract query: cartesians,
       // unpartitioned windows, non-TakeOrdered global sorts, pushed

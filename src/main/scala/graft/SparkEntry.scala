@@ -1332,14 +1332,29 @@ object SparkEntry {
           lit(" "), col("value").cast("string"),
           lit(" user="), col("tags").getItem("user"),
           lit(" k="), col("tags").getItem("k")).as("value"))
+        // ONE pass computes both the stored aggregate and the rejected
+        // count: the old applyWriteFilter / writeFilterRejected split
+        // aggregated two complementary filters of the same parse
+        // subtree, and because the filters differ Spark cannot reuse
+        // the exchange — .explain showed TWO full scan→render→parse
+        // branches (2x the ingest-parse bytes at scale). Here the
+        // filter verdict is a flag, conditional aggregates split the
+        // rows, and the global rejected total re-aggregates the
+        // |metrics|-row result (the same broadcast 1-row crossJoin
+        // shape as before). Output identical: metrics with no stored
+        // row are filtered (n > 0), like groupBy over stored rows.
         val parsed = graft.sources.Ingest.parsePutLines(lines)
-        val stored = flat(graft.sources.Ingest.applyWriteFilter(
-          parsed.filter(col("_error").isNull)))
-        val rejected = graft.sources.Ingest.writeFilterRejected(parsed)
-          .agg(count(lit(1)).as("rejected_total"))
-        stored.groupBy("metric")
-          .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
-          .crossJoin(rejected)
+          .filter(col("_error").isNull)
+        val flagged = parsed.withColumn("__ok",
+          graft.sources.Ingest.writeFilterAllows(
+            col("metric"), col("ts"), col("value"), col("tags")))
+        val perMetric = flagged.groupBy("metric")
+          .agg(sum(when(col("__ok"), 1L)).as("n"),
+            r4(sum(when(col("__ok"), col("value")))).as("sum_v"),
+            sum(when(!col("__ok"), 1L).otherwise(0L)).as("__rej"))
+        val rejected = perMetric.agg(sum(col("__rej")).as("rejected_total"))
+        perMetric.filter(col("n") > 0).drop("__rej")
+          .crossJoin(broadcast(rejected))
           .orderBy("metric")
       } finally graft.sources.WriteFilterPlugins.reset()
     }),

@@ -117,6 +117,16 @@ object Points {
    * row-group pruning sees it (the analogue of the reference's rowkey
    * scan-range pruning, src/core/TsdbQuery.java:1446-1546).
    */
+  // NOTE (optimization r16): a scale-adaptive small-input fan-out
+  // (repartition when inputFiles < defaultParallelism, like
+  // PipelineQueries.docs) was tried here and REVERTED: multi-partition
+  // map-side partial aggregation merges float partials in shuffle-fetch
+  // order, which made cancellation-sensitive aggregators (q15 dev)
+  // drift by 1 ulp across the r4 rounding boundary vs the DuckDB
+  // oracle (4/150 rows). The TSDB query family's float sums rely on
+  // the deterministic single-partial accumulation a single-file scan
+  // gives; the pipeline docs() family is safe because its float folds
+  // are explicitly sorted (array_sort + aggregate()).
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
     // events.ts has shipped as both parquet TIMESTAMP(NANOS) (readable
     // in Spark 4 only as a raw long behind nanosAsLong; millis =

@@ -36,19 +36,36 @@ object Histograms {
    * the bucket that crosses the threshold:
    *   v = lo + (hi - lo) * (p*total - cum_below) / bucket_count
    */
-  def percentile(hist: DataFrame, groupCols: Seq[String], p: Double): DataFrame = {
+  def percentile(hist: DataFrame, groupCols: Seq[String], p: Double): DataFrame =
+    percentiles(hist, groupCols, Seq(p)).drop("__p")
+
+  /**
+   * Multi-percentile extraction in ONE pass: the cumulative
+   * distribution (two windows over the histogram rows) is computed
+   * once and every requested fraction probes it via an exploded
+   * literal — where the old per-p form union'd one full
+   * scan→aggregate→window branch PER percentile (P passes over the
+   * histogram table for P percentiles, visible as P `Scan parquet`
+   * nodes in q96's before-plan). Per-p rows and values are identical
+   * to the single-p form (same crossing filter, same interpolation,
+   * evaluated against the same cum/total). Emits groupCols + `__p`
+   * (the requested fraction, exactly as passed) + `value`.
+   */
+  def percentiles(hist: DataFrame, groupCols: Seq[String],
+                  ps: Seq[Double]): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket_lo"))
     val cum = hist
       .withColumn("cum", sum(col("count")).over(w))
       .withColumn("total", sum(col("count")).over(
         Window.partitionBy(groupCols.map(col): _*)))
-    val target = col("total") * p
+      .withColumn("__p", explode(typedlit(ps)))
+    val target = col("total") * col("__p")
     // first bucket whose cumulative count reaches the target
     cum.filter(col("cum") >= target && (col("cum") - col("count")) < target)
       .withColumn("value",
         col("bucket_lo") + (col("bucket_hi") - col("bucket_lo")) *
           (target - (col("cum") - col("count"))) / col("count"))
-      .select(groupCols.map(col) :+ col("value"): _*)
+      .select(groupCols.map(col) ++ Seq(col("__p"), col("value")): _*)
   }
 
   /**

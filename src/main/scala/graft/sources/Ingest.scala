@@ -99,78 +99,98 @@ object Ingest {
    * letter sink — the analogue of the reference's
    * StorageExceptionHandler plugin).
    */
+  /** Relational let-binding (same trick as TextAnalysis.bindOnce): the
+    * lambda sees `v` as a bound variable, so however many times the
+    * BODY references it, `v` evaluates once per evaluation of the
+    * whole expression. */
+  private def bindOnce(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   def parsePutLines(lines: DataFrame): DataFrame = {
-    // single-SPACE split, exactly the reference's telnet word splitter
-    // (WordSplitter.decode → Tags.splitString(line, ' ')): doubled
-    // spaces produce empty tokens that fail the charset/tag checks
-    // below, as they do in the reference. Also the fast path — a
-    // one-char non-meta separator skips per-row Pattern compilation,
-    // where "\\s+" recompiled the regex for every line
-    val parts = split(trim(col("value")), " ")
-    // try_element_at, not element_at: under ANSI mode (Spark 4 default)
-    // an out-of-bounds index THROWS, so a truncated line like "put m"
-    // would abort the whole batch instead of flowing to _error
-    val metric = try_element_at(parts, lit(2))
-    val tsRaw = try_element_at(parts, lit(3))
-    val v = try_element_at(parts, lit(4))
-    val tagPairs = expr("slice(parts, 5, greatest(size(parts) - 4, 0))")
-    val parsed = lines
-      .withColumn("parts", parts)
-      .withColumn("metric", metric)
-      .withColumn("ts_raw", tsRaw)
-      // try_* casts: malformed rows must flow to _error, not abort the
-      // batch under ANSI mode. A dot in the timestamp is STRIPPED
-      // before the long parse — the reference's exact quirk
-      // (PutDataPointRpc.importDataPoint:756-760), which makes
-      // "1356998400.500" the ms form and "1356998400.5" a (weird but
-      // contractual) 13569984005
-      .withColumn("ts_num",
-        expr("try_cast(replace(ts_raw, '.', '') AS BIGINT)"))
-      // seconds vs millis auto-detect by magnitude
-      // (reference src/core/Const.java:89-92 SECOND_MASK)
-      .withColumn("ts",
-        when(col("ts_num") > 4294967295L, col("ts_num"))
-          .otherwise(col("ts_num") * 1000))
-      .withColumn("value_str", v)
-      .withColumn("is_int", v.rlike("^-?\\d+$"))
-      .withColumn("value", expr("try_cast(value_str AS DOUBLE)"))
-      .withColumn("value_l",
-        when(col("is_int"), expr("try_cast(value_str AS BIGINT)")))
-      // split each tag token ONCE and reuse: codegen subexpression
-      // elimination does not reach across lambda scopes, so inlining
-      // split(p, "=") into every consumer re-tokenizes 5× per tag
-      .withColumn("tagkv", transform(tagPairs, p => split(p, "=")))
-      .withColumn("tags",
-        // get(), not getItem(): a tag token without '=' must yield a
-        // null value (→ _error below), not an ANSI array-index error
-        NormalizePlugins(map_from_entries(transform(col("tagkv"), p =>
-          struct(get(p, lit(0)), get(p, lit(1)))))))
-      // Strict tag-token shape (reference Tags.parse, src/core/Tags.java
-      // :128-144 throws on anything but exactly one '=' with non-empty
-      // sides): 'a=b=c' and 'a=' / '=b' must route to _error, not
-      // silently parse as a truncated tag.
-      .withColumn("bad_tag",
-        exists(col("tagkv"), p =>
-          size(p) =!= 2 || get(p, lit(0)) === "" || get(p, lit(1)) === ""))
-    // NB: refer to the materialized columns — `value` now holds the
-    // parsed double, not the raw line
-    parsed.withColumn("_error",
-        when(try_element_at(col("parts"), lit(1)) =!= "put",
-          lit("not a put command"))
-          .when(size(col("parts")) < 5, lit("too few fields"))
-          .when(col("value").isNull, lit("bad value"))
-          // <= 0 rejected at the RPC (importDataPoint:761); the ms
-          // form is capped at 13 digits (TSDB.checkTimestampAndTags)
-          .when(col("ts_num").isNull || col("ts_num") <= 0 ||
-            col("ts_num") > 9999999999999L, lit("bad timestamp"))
-          // reference IncomingDataPoints.checkMetricAndTags:115 — at
-          // most Const.MAX_NUM_TAGS (8) tags per point (the ≥1 rule
-          // is subsumed by the field-count check above)
-          .when(size(col("tags")) > MAX_NUM_TAGS, lit("too many tags"))
-          .when(!col("metric").rlike(nameRe), lit("bad metric charset"))
-          .when(col("bad_tag") ||
-            exists(map_values(col("tags")), _.isNull), lit("bad tag")))
-      .select("metric", "ts", "value", "value_l", "is_int", "tags", "_error")
+    // The whole parse is ONE struct-valued expression, let-bound at
+    // every expensive intermediate (parts / tagkv / tags / ts_num) and
+    // emitted through a GENERATOR (explode of a 1-element array).
+    // Why the generator: downstream queries filter on `_error` and
+    // project several of these columns; Catalyst pushes such filters
+    // below the parse projections and SUBSTITUTES the aliased
+    // expressions into the predicate — .explain showed the full
+    // render+split tree inlined 15+ times into a single Filter
+    // condition (once per `parts` reference, including inside
+    // interpreted exists/transform lambdas where codegen subexpression
+    // elimination cannot reach). A Generate node is a barrier neither
+    // CollapseProject nor predicate pushdown rewrites through on the
+    // generated column, so the parse runs EXACTLY once per line no
+    // matter what the consumer does — at ingest scale this is the
+    // difference between one and ~15 split+regex passes per byte.
+    //
+    // Parse semantics (all reference-contract, unchanged):
+    // - single-SPACE split, exactly the reference's telnet word
+    //   splitter (WordSplitter.decode → Tags.splitString(line, ' ')):
+    //   doubled spaces produce empty tokens that fail the charset/tag
+    //   checks, as they do in the reference
+    // - try_element_at / try_cast, not element_at / cast: under ANSI
+    //   mode (Spark 4 default) out-of-bounds or bad casts THROW, so a
+    //   truncated line like "put m" would abort the whole batch
+    //   instead of flowing to _error
+    // - a dot in the timestamp is STRIPPED before the long parse — the
+    //   reference's exact quirk (PutDataPointRpc.importDataPoint:
+    //   756-760), which makes "1356998400.500" the ms form and
+    //   "1356998400.5" a (weird but contractual) 13569984005; seconds
+    //   vs millis auto-detect by magnitude (Const.java:89-92)
+    // - get(), not getItem(): a tag token without '=' must yield a
+    //   null value (→ _error), not an ANSI array-index error
+    // - strict tag-token shape (Tags.parse, src/core/Tags.java:128-144
+    //   throws on anything but exactly one '=' with non-empty sides):
+    //   'a=b=c' and 'a=' / '=b' route to _error
+    val rec = bindOnce(split(trim(col("value")), " ")) { p =>
+      bindOnce(transform(
+          slice(p, lit(5), greatest(size(p) - 4, lit(0))),
+          t => split(t, "="))) { tagkv =>
+        bindOnce(NormalizePlugins(map_from_entries(transform(tagkv, t =>
+            struct(get(t, lit(0)), get(t, lit(1))))))) { tags =>
+          bindOnce(replace(try_element_at(p, lit(3)), lit("."), lit(""))
+              .try_cast("bigint")) { tsNum =>
+            val metric = try_element_at(p, lit(2))
+            val vStr = try_element_at(p, lit(4))
+            val isInt = vStr.rlike("^-?\\d+$")
+            val value = vStr.try_cast("double")
+            val err =
+              when(try_element_at(p, lit(1)) =!= "put",
+                lit("not a put command"))
+                .when(size(p) < 5, lit("too few fields"))
+                .when(value.isNull, lit("bad value"))
+                // <= 0 rejected at the RPC (importDataPoint:761); the
+                // ms form is capped at 13 digits
+                // (TSDB.checkTimestampAndTags)
+                .when(tsNum.isNull || tsNum <= 0 ||
+                  tsNum > 9999999999999L, lit("bad timestamp"))
+                // reference IncomingDataPoints.checkMetricAndTags:115
+                // — at most Const.MAX_NUM_TAGS (8) tags per point (the
+                // ≥1 rule is subsumed by the field-count check above)
+                .when(size(tags) > MAX_NUM_TAGS, lit("too many tags"))
+                .when(!metric.rlike(nameRe), lit("bad metric charset"))
+                .when(exists(tagkv, t =>
+                    size(t) =!= 2 || get(t, lit(0)) === "" ||
+                      get(t, lit(1)) === "") ||
+                  exists(map_values(tags), _.isNull), lit("bad tag"))
+            struct(
+              metric.as("metric"),
+              when(tsNum > 4294967295L, tsNum).otherwise(tsNum * 1000)
+                .as("ts"),
+              value.as("value"),
+              when(isInt, vStr.try_cast("bigint")).as("value_l"),
+              isInt.as("is_int"),
+              tags.as("tags"),
+              err.as("_error"))
+          }
+        }
+      }
+    }
+    lines.select(explode(array(rec)).as("__p"))
+      .select(col("__p.metric").as("metric"), col("__p.ts").as("ts"),
+        col("__p.value").as("value"), col("__p.value_l").as("value_l"),
+        col("__p.is_int").as("is_int"), col("__p.tags").as("tags"),
+        col("__p._error").as("_error"))
   }
 
   /** JSON body schema of /api/put (single object or array of
@@ -253,56 +273,66 @@ object Ingest {
    * output shape as [[parseRollupJson]] plus `spatial_agg`.
    */
   def parseRollupLines(lines: DataFrame): DataFrame = {
-    val parts = split(trim(col("value")), " ")
-    val ia = try_element_at(parts, lit(2))
-    val metric = try_element_at(parts, lit(3))
-    val tsRaw = try_element_at(parts, lit(4))
-    val v = try_element_at(parts, lit(5))
-    val tagPairs = expr("slice(parts, 6, greatest(size(parts) - 5, 0))")
-    val iaParts = split(ia, ":")
-    val ivPart = try_element_at(iaParts, lit(1))
-    val spPart = try_element_at(iaParts, lit(2))
-    val dash = instr(ivPart, "-")
-    val parsed = lines
-      .withColumn("parts", parts)
-      .withColumn("metric", metric)
-      .withColumn("interval",
-        when(dash > 0, substring_index(ivPart, "-", 1)))
-      .withColumn("aggregator",
-        when(dash > 0, lower(substring_index(ivPart, "-", -1))))
-      .withColumn("spatial_agg",
-        lower(coalesce(spPart, when(dash === 0, ivPart))))
-      .withColumn("ts_raw", tsRaw)
-      .withColumn("ts_num",
-        expr("try_cast(replace(ts_raw, '.', '') AS BIGINT)"))
-      .withColumn("ts",
-        when(col("ts_num") > 4294967295L, col("ts_num"))
-          .otherwise(col("ts_num") * 1000))
-      .withColumn("value_str", v)
-      .withColumn("is_int", v.rlike("^-?\\d+$"))
-      .withColumn("value", expr("try_cast(value_str AS DOUBLE)"))
-      .withColumn("tagkv", transform(tagPairs, p => split(p, "=")))
-      .withColumn("tags",
-        NormalizePlugins(map_from_entries(transform(col("tagkv"), p =>
-          struct(get(p, lit(0)), get(p, lit(1)))))))
-      .withColumn("bad_tag",
-        exists(col("tagkv"), p =>
-          size(p) =!= 2 || get(p, lit(0)) === "" || get(p, lit(1)) === ""))
-    parsed.withColumn("_error",
-        when(try_element_at(col("parts"), lit(1)) =!= "rollup",
-          lit("not a rollup command"))
-          .when(size(col("parts")) < 6, lit("too few fields"))
-          .when(col("aggregator").isNull && col("spatial_agg").isNull,
-            lit("missing interval or aggregator"))
-          .when(col("value").isNull, lit("bad value"))
-          .when(col("ts_num").isNull || col("ts_num") <= 0 ||
-            col("ts_num") > 9999999999999L, lit("bad timestamp"))
-          .when(size(col("tags")) > MAX_NUM_TAGS, lit("too many tags"))
-          .when(!col("metric").rlike(nameRe), lit("bad metric charset"))
-          .when(col("bad_tag") ||
-            exists(map_values(col("tags")), _.isNull), lit("bad tag")))
-      .select("metric", "ts", "tags", "interval", "aggregator",
-        "spatial_agg", "value", "_error")
+    // Same one-evaluation generator shape as [[parsePutLines]] (see
+    // the rationale there): the whole parse is a single let-bound
+    // struct expression behind an explode barrier.
+    val rec = bindOnce(split(trim(col("value")), " ")) { p =>
+      bindOnce(transform(
+          slice(p, lit(6), greatest(size(p) - 5, lit(0))),
+          t => split(t, "="))) { tagkv =>
+        bindOnce(NormalizePlugins(map_from_entries(transform(tagkv, t =>
+            struct(get(t, lit(0)), get(t, lit(1))))))) { tags =>
+          bindOnce(replace(try_element_at(p, lit(4)), lit("."), lit(""))
+              .try_cast("bigint")) { tsNum =>
+            bindOnce(try_element_at(split(try_element_at(p, lit(2)), ":"),
+                lit(1))) { ivPart =>
+              val spPart = try_element_at(
+                split(try_element_at(p, lit(2)), ":"), lit(2))
+              val dash = instr(ivPart, "-")
+              val metric = try_element_at(p, lit(3))
+              val vStr = try_element_at(p, lit(5))
+              val value = vStr.try_cast("double")
+              val interval = when(dash > 0, substring_index(ivPart, "-", 1))
+              val aggregator =
+                when(dash > 0, lower(substring_index(ivPart, "-", -1)))
+              val spatialAgg =
+                lower(coalesce(spPart, when(dash === 0, ivPart)))
+              val err =
+                when(try_element_at(p, lit(1)) =!= "rollup",
+                  lit("not a rollup command"))
+                  .when(size(p) < 6, lit("too few fields"))
+                  .when(aggregator.isNull && spatialAgg.isNull,
+                    lit("missing interval or aggregator"))
+                  .when(value.isNull, lit("bad value"))
+                  .when(tsNum.isNull || tsNum <= 0 ||
+                    tsNum > 9999999999999L, lit("bad timestamp"))
+                  .when(size(tags) > MAX_NUM_TAGS, lit("too many tags"))
+                  .when(!metric.rlike(nameRe), lit("bad metric charset"))
+                  .when(exists(tagkv, t =>
+                      size(t) =!= 2 || get(t, lit(0)) === "" ||
+                        get(t, lit(1)) === "") ||
+                    exists(map_values(tags), _.isNull), lit("bad tag"))
+              struct(
+                metric.as("metric"),
+                when(tsNum > 4294967295L, tsNum).otherwise(tsNum * 1000)
+                  .as("ts"),
+                tags.as("tags"),
+                interval.as("interval"),
+                aggregator.as("aggregator"),
+                spatialAgg.as("spatial_agg"),
+                value.as("value"),
+                err.as("_error"))
+            }
+          }
+        }
+      }
+    }
+    lines.select(explode(array(rec)).as("__p"))
+      .select(col("__p.metric").as("metric"), col("__p.ts").as("ts"),
+        col("__p.tags").as("tags"), col("__p.interval").as("interval"),
+        col("__p.aggregator").as("aggregator"),
+        col("__p.spatial_agg").as("spatial_agg"),
+        col("__p.value").as("value"), col("__p._error").as("_error"))
   }
 
   /**
@@ -317,54 +347,59 @@ object Ingest {
    * reference falls back to its configured default codec).
    */
   def parseHistogramLines(lines: DataFrame): DataFrame = {
-    val parts = split(trim(col("value")), " ")
-    val metric = try_element_at(parts, lit(2))
-    val tsRaw = try_element_at(parts, lit(3))
-    val maybeId = try_element_at(parts, lit(4))
-    val parsed = lines
-      .withColumn("parts", parts)
-      .withColumn("metric", metric)
-      .withColumn("ts_raw", tsRaw)
-      .withColumn("ts_num",
-        expr("try_cast(replace(ts_raw, '.', '') AS BIGINT)"))
-      .withColumn("ts",
-        when(col("ts_num") > 4294967295L, col("ts_num"))
-          .otherwise(col("ts_num") * 1000))
-      .withColumn("has_id", maybeId.rlike("^-?\\d+$"))
-      .withColumn("codec_id",
-        when(col("has_id"), maybeId.cast("int")))
-      .withColumn("blob_b64",
-        when(col("has_id"), try_element_at(col("parts"), lit(5)))
-          .otherwise(maybeId))
-      // unbase64 THROWS on malformed input — gate on the strict
-      // base64 shape so junk flows to _error instead of aborting
-      .withColumn("blob",
-        when(col("blob_b64").rlike("^[A-Za-z0-9+/]+={0,2}$") &&
-          length(col("blob_b64")) % 4 === 0, unbase64(col("blob_b64"))))
-      .withColumn("tagkv", transform(
-        when(col("has_id"),
-          expr("slice(parts, 6, greatest(size(parts) - 5, 0))"))
-          .otherwise(expr("slice(parts, 5, greatest(size(parts) - 4, 0))")),
-        p => split(p, "=")))
-      .withColumn("tags",
-        NormalizePlugins(map_from_entries(transform(col("tagkv"), p =>
-          struct(get(p, lit(0)), get(p, lit(1)))))))
-      .withColumn("bad_tag",
-        exists(col("tagkv"), p =>
-          size(p) =!= 2 || get(p, lit(0)) === "" || get(p, lit(1)) === ""))
-    parsed.withColumn("_error",
-        when(try_element_at(col("parts"), lit(1)) =!= "histogram",
-          lit("not a histogram command"))
-          .when(size(col("parts")) < 5, lit("too few fields"))
-          .when(col("blob_b64").isNull || col("blob").isNull,
-            lit("bad histogram blob"))
-          .when(col("ts_num").isNull || col("ts_num") <= 0 ||
-            col("ts_num") > 9999999999999L, lit("bad timestamp"))
-          .when(size(col("tags")) > MAX_NUM_TAGS, lit("too many tags"))
-          .when(!col("metric").rlike(nameRe), lit("bad metric charset"))
-          .when(col("bad_tag") ||
-            exists(map_values(col("tags")), _.isNull), lit("bad tag")))
-      .select("metric", "ts", "tags", "codec_id", "blob", "_error")
+    // Same one-evaluation generator shape as [[parsePutLines]] (see
+    // the rationale there).
+    val rec = bindOnce(split(trim(col("value")), " ")) { p =>
+      bindOnce(try_element_at(p, lit(4)).rlike("^-?\\d+$")) { hasId =>
+        bindOnce(transform(
+            when(hasId, slice(p, lit(6), greatest(size(p) - 5, lit(0))))
+              .otherwise(slice(p, lit(5), greatest(size(p) - 4, lit(0)))),
+            t => split(t, "="))) { tagkv =>
+          bindOnce(NormalizePlugins(map_from_entries(transform(tagkv, t =>
+              struct(get(t, lit(0)), get(t, lit(1))))))) { tags =>
+            bindOnce(replace(try_element_at(p, lit(3)), lit("."), lit(""))
+                .try_cast("bigint")) { tsNum =>
+              bindOnce(when(hasId, try_element_at(p, lit(5)))
+                  .otherwise(try_element_at(p, lit(4)))) { blobB64 =>
+                val metric = try_element_at(p, lit(2))
+                // unbase64 THROWS on malformed input — gate on the
+                // strict base64 shape so junk flows to _error instead
+                // of aborting
+                val blob = when(blobB64.rlike("^[A-Za-z0-9+/]+={0,2}$") &&
+                  length(blobB64) % 4 === 0, unbase64(blobB64))
+                val err =
+                  when(try_element_at(p, lit(1)) =!= "histogram",
+                    lit("not a histogram command"))
+                    .when(size(p) < 5, lit("too few fields"))
+                    .when(blobB64.isNull || blob.isNull,
+                      lit("bad histogram blob"))
+                    .when(tsNum.isNull || tsNum <= 0 ||
+                      tsNum > 9999999999999L, lit("bad timestamp"))
+                    .when(size(tags) > MAX_NUM_TAGS, lit("too many tags"))
+                    .when(!metric.rlike(nameRe), lit("bad metric charset"))
+                    .when(exists(tagkv, t =>
+                        size(t) =!= 2 || get(t, lit(0)) === "" ||
+                          get(t, lit(1)) === "") ||
+                      exists(map_values(tags), _.isNull), lit("bad tag"))
+                struct(
+                  metric.as("metric"),
+                  when(tsNum > 4294967295L, tsNum).otherwise(tsNum * 1000)
+                    .as("ts"),
+                  tags.as("tags"),
+                  when(hasId, try_element_at(p, lit(4)).cast("int"))
+                    .as("codec_id"),
+                  blob.as("blob"),
+                  err.as("_error"))
+              }
+            }
+          }
+        }
+      }
+    }
+    lines.select(explode(array(rec)).as("__p"))
+      .select(col("__p.metric").as("metric"), col("__p.ts").as("ts"),
+        col("__p.tags").as("tags"), col("__p.codec_id").as("codec_id"),
+        col("__p.blob").as("blob"), col("__p._error").as("_error"))
   }
 
   /** JSON body schema of /api/histogram (reference
@@ -407,6 +442,16 @@ object Ingest {
     if (!WriteFilterPlugins.enabled) parsed
     else parsed.filter(WriteFilterPlugins.allow(
       col("metric"), col("ts"), col("value"), col("tags")))
+
+  /** The registered write filter's verdict as a column (true = allow;
+    * literal true when no filter is registered) — lets a caller fold
+    * the stored/rejected split into ONE pass with conditional
+    * aggregates instead of two complementary filters of the same
+    * parse subtree. */
+  def writeFilterAllows(metric: Column, ts: Column, value: Column,
+                        tags: Column): Column =
+    if (!WriteFilterPlugins.enabled) lit(true)
+    else WriteFilterPlugins.allow(metric, ts, value, tags)
 
   /** The rejected complement — the relational `uid.filter.rejected`
     * counter (reference TSDB.java:978). Valid rows the filter refused;
