@@ -391,6 +391,38 @@ object Engine {
     val q = ExpJsonQuery.parse(body, now)
     val tsq = q.tsQuery
     val fills = q.metricFills
+    // ONE combined storage scan feeding every variable (guide §2.4/§6):
+    // every variable's pipeline starts from the same points table with
+    // a (metric, padded time window, tag) filter, and each
+    // differently-pruned subtree used to re-derive its own parquet
+    // scan — 32 Scan nodes on q56's plan, an O(#variables) scan
+    // asymptote. The persisted base is the union of every variable's
+    // padded scan window over the union of the variables' metrics;
+    // each pipeline re-applies its exact metric + window + tag filters
+    // on top (a strict subset), so results are unchanged while storage
+    // is read once. The pad is conservative (max downsample interval,
+    // plus the rate/lerp neighbor pad unconditionally) — wider never
+    // changes results, the per-variable filter narrows exactly.
+    // strictMetrics keeps the old direct path: its 400-on-unknown
+    // existence probe is defined over the WHOLE table, not the window.
+    val combinedBase: Option[DataFrame] =
+      if (strictMetrics) None
+      else {
+        val windows = q.metrics.map { m =>
+          val sub = q.subQuery(m)
+          val pad = math.max(
+            sub.downsample.map(d => math.max(d.intervalMs, 1L)).getOrElse(0L),
+            RATE_LERP_PAD_MS)
+          val off = m.timeOffsetMs.getOrElse(0L)
+          (tsq.startMs - off - pad, tsq.endMs - off + pad)
+        }
+        val names = q.metrics.map(_.metric).distinct
+        Some(points.filter(col("metric").isin(names: _*) &&
+            col("ts") >= windows.map(_._1).min &&
+            col("ts") <= windows.map(_._2).max)
+          .persist())
+      }
+    val basePts = combinedBase.getOrElse(points)
     // per-variable result sets carrying the SpanGroup identity the
     // series matching consumes; tsFill is the per-metric fill policy
     // (reference TimeSyncedIterator default ZERO,
@@ -404,10 +436,10 @@ object Engine {
       // the expression join aligns current against historical values
       val r = m.timeOffsetMs match {
         case Some(off) =>
-          runForExpression(points, tsq.copy(startMs = tsq.startMs - off,
+          runForExpression(basePts, tsq.copy(startMs = tsq.startMs - off,
               endMs = tsq.endMs - off), sub, rollups)
             .withColumn("ts", col("ts") + off)
-        case None => runForExpression(points, tsq, sub, rollups)
+        case None => runForExpression(basePts, tsq, sub, rollups)
       }
       // cache each variable: the expression join reads a variable
       // from several differently-pruned subtrees, so exchange reuse
@@ -543,7 +575,8 @@ object Engine {
     val checkpointed = q.expressions.flatMap(e =>
       if (referenced.contains(e.id)) vars.get(e.id).map(_.df) else None)
     ExpRun(outs, new ExpCacheHandle(
-      q.metrics.flatMap(m => vars.get(m.id).map(_.df)), checkpointed))
+      combinedBase.toSeq ++ q.metrics.flatMap(m => vars.get(m.id).map(_.df)),
+      checkpointed))
   }
 
   /**
@@ -783,9 +816,15 @@ object Engine {
     // percentile of the combined distribution — statistically nicer,
     // but not what the reference computes.
     val hist = histogramBuckets(hists, query, sub)
-    if (sub.percentiles.size == 1 || sub.aggregator == "none") {
-      // single percentile (nothing to share), or the 'none' bypass
-      // (its one-series assertion must see each ptile separately)
+    if (sub.percentiles.size == 1 || sub.aggregator == "none" ||
+        sub.aggregator == "raw" ||
+        sub.percentiles.distinct.size != sub.percentiles.size) {
+      // single percentile (nothing to share); the 'none'/'raw' bypasses
+      // (their one-series assertion must see each ptile separately —
+      // the rehashed series_id below would read as P series and abort);
+      // or duplicate percentile requests (the shared __ptile tag would
+      // merge the duplicates into one doubled aggregation — the old
+      // unionByName emitted two independent, each-correct row sets)
       return sub.percentiles.map { p =>
         val perSeries = Histograms.percentile(hist, gcols, p / 100.0)
           .select(Seq(col("metric"), col("series_id"), col("ts"),

@@ -46,10 +46,14 @@ object Scratch {
       // the before/after plan evidence for optimization rounds.
       // Streaming contract rows EXECUTE inside their query fn, so only
       // batch rows should be dumped.
+      if (args.length < 2) {
+        System.err.println("usage: --dump <outDir> <query[:suffix]>...")
+        sys.exit(2)
+      }
       val outDir = args(1)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       args.drop(2).foreach { spec =>
-        val (name, suffix) = spec.split(":") match {
+        val (name, suffix) = spec.split(":", 2) match {
           case Array(n, sfx) => (n, sfx)
           case Array(n) => (n, "plan")
         }

@@ -1339,10 +1339,15 @@ object SparkEntry {
         // the exchange — .explain showed TWO full scan→render→parse
         // branches (2x the ingest-parse bytes at scale). Here the
         // filter verdict is a flag, conditional aggregates split the
-        // rows, and the global rejected total re-aggregates the
-        // |metrics|-row result (the same broadcast 1-row crossJoin
-        // shape as before). Output identical: metrics with no stored
-        // row are filtered (n > 0), like groupBy over stored rows.
+        // rows, and the global rejected total rides a global window
+        // over the |metrics|-row aggregate (the r16 shape re-aggregated
+        // that subtree into a broadcast crossJoin, and the two reads'
+        // pruning divergence defeated ReuseExchange — the plan kept a
+        // second full scan→parse branch). The window reads perMetric
+        // once, so the whole query is ONE scan. Output identical:
+        // the total sums every metric's __rej (including stored-row-
+        // less ones) before the n > 0 filter, exactly like the old
+        // pre-filter re-aggregation.
         val parsed = graft.sources.Ingest.parsePutLines(lines)
           .filter(col("_error").isNull)
         val flagged = parsed.withColumn("__ok",
@@ -1352,9 +1357,10 @@ object SparkEntry {
           .agg(sum(when(col("__ok"), 1L)).as("n"),
             r4(sum(when(col("__ok"), col("value")))).as("sum_v"),
             sum(when(!col("__ok"), 1L).otherwise(0L)).as("__rej"))
-        val rejected = perMetric.agg(sum(col("__rej")).as("rejected_total"))
-        perMetric.filter(col("n") > 0).drop("__rej")
-          .crossJoin(broadcast(rejected))
+        perMetric
+          .withColumn("rejected_total", sum(col("__rej")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .filter(col("n") > 0).drop("__rej")
           .orderBy("metric")
       } finally graft.sources.WriteFilterPlugins.reset()
     }),

@@ -284,10 +284,9 @@ object Ingest {
             struct(get(t, lit(0)), get(t, lit(1))))))) { tags =>
           bindOnce(replace(try_element_at(p, lit(4)), lit("."), lit(""))
               .try_cast("bigint")) { tsNum =>
-            bindOnce(try_element_at(split(try_element_at(p, lit(2)), ":"),
-                lit(1))) { ivPart =>
-              val spPart = try_element_at(
-                split(try_element_at(p, lit(2)), ":"), lit(2))
+            bindOnce(split(try_element_at(p, lit(2)), ":")) { iaParts =>
+              val ivPart = try_element_at(iaParts, lit(1))
+              val spPart = try_element_at(iaParts, lit(2))
               val dash = instr(ivPart, "-")
               val metric = try_element_at(p, lit(3))
               val vStr = try_element_at(p, lit(5))
