@@ -201,6 +201,39 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--q79")) {
+      // stage decomposition of the q79 meta-sync pipeline (run twice,
+      // read the second block — JIT warmup)
+      import org.apache.spark.sql.functions._
+      import graft.meta.{Introspect, Uids}
+      import spark.implicits._
+      def stamp(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"STAGE $name%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      }
+      (1 to 2).foreach { pass =>
+        println(s"-- pass $pass")
+        val p = SparkEntry.pts(spark, sfDir)
+          .filter(col("metric").isin("click", "signup"))
+        var reg0: org.apache.spark.sql.DataFrame = null
+        stamp("uidRegistry") { reg0 = Introspect.uidRegistry(p); reg0.count() }
+        var reg: org.apache.spark.sql.DataFrame = null
+        stamp("assign+del") {
+          val (regTmp, _) = Uids.assign(reg0, Map("metric" -> Seq("zz.tmp")))
+          reg = Uids.delete(regTmp, "metric", "zz.tmp"); 0L
+        }
+        val stored = reg.filter(col("kind") === "metric")
+          .withColumn("created", lit(9999999999999L))
+          .unionByName(Seq(("metric", "ghost", 999L, 123L))
+            .toDF("kind", "name", "uid", "created"))
+        stamp("syncUidMeta") {
+          Uids.syncUidMeta(p, reg, stored).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--q58")) {
       import org.apache.spark.sql.functions._
       def stamp(name: String)(f: => Long): Unit = {

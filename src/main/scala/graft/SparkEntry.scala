@@ -25,7 +25,7 @@ object SparkEntry {
   private val T_0105 = 1704412800000L // 2024-01-05T00:00:00Z
   private val T_0120 = 1705708800000L // 2024-01-20T00:00:00Z
 
-  private def pts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pts(s: SparkSession, dir: String): DataFrame =
     Points.fromEvents(s, dir)
 
   /** Flatten the tags map to tag_user / tag_k output columns. */

@@ -120,11 +120,16 @@ object Introspect {
    */
   def uidRegistry(points: DataFrame): DataFrame = {
     val spark = points.sparkSession
-    val names = points.select(lit("metric").as("kind"), col("metric").as("name"))
-      .unionByName(points.select(lit("tagk").as("kind"),
-        explode(map_keys(col("tags"))).as("name")))
-      .unionByName(points.select(lit("tagv").as("kind"),
-        explode(map_values(col("tags"))).as("name")))
+    // ONE scan for all three kinds (guide §2.4): the old 3-branch
+    // union re-scanned the points table per kind; one explode of the
+    // concatenated (kind, name) struct array emits the same rows
+    val names = points.select(explode(concat(
+        array(struct(lit("metric").as("kind"), col("metric").as("name"))),
+        transform(map_keys(col("tags")),
+          k => struct(lit("tagk").as("kind"), k.as("name"))),
+        transform(map_values(col("tags")),
+          v => struct(lit("tagv").as("kind"), v.as("name"))))).as("kn"))
+      .select(col("kn.kind").as("kind"), col("kn.name").as("name"))
       .filter(col("name").isNotNull)
       .distinct()
     val sorted = names.repartitionByRange(col("kind"), col("name"))
@@ -141,8 +146,18 @@ object Introspect {
         org.apache.spark.sql.types.StructField("gidx",
           org.apache.spark.sql.types.LongType))))
     val base = idx.groupBy("kind").agg(min(col("gidx")).as("base"))
+    // localCheckpoint: registry consumers (assign/rename/delete point
+    // checks, fsck/sync joins, stored-table derivations) read the
+    // registry several times, and zipWithIndex has ALREADY run its
+    // offsets job eagerly — without the checkpoint every read re-runs
+    // the distinct→range-shuffle→sort→index lineage as its own multi-
+    // stage job (q79's profile: the registry subtree re-derived ~6
+    // times). Truncating to the materialized blocks makes each read a
+    // LogicalRDD scan and keeps downstream Catalyst plans small. The
+    // registry is the distinct name set — wire-scale next to the data.
     idx.join(broadcast(base), "kind")
       .select(col("kind"), col("name"), (col("gidx") - col("base") + 1).as("uid"))
+      .localCheckpoint(true)
   }
 
   /**

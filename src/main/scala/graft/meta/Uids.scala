@@ -544,12 +544,17 @@ object Uids {
    */
   def syncUidMeta(points: DataFrame, registry: DataFrame,
                   stored: DataFrame): DataFrame = {
+    // ONE scan for all three kinds (guide §2.4; same shape as
+    // Introspect.uidRegistry): explode the concatenated (kind, name)
+    // struct array instead of three union branches over the table
     val names = points
-      .select(lit("metric").as("kind"), col("metric").as("name"), col("ts"))
-      .unionByName(points.select(lit("tagk").as("kind"),
-        explode(map_keys(col("tags"))).as("name"), col("ts")))
-      .unionByName(points.select(lit("tagv").as("kind"),
-        explode(map_values(col("tags"))).as("name"), col("ts")))
+      .select(col("ts"), explode(concat(
+        array(struct(lit("metric").as("kind"), col("metric").as("name"))),
+        transform(map_keys(col("tags")),
+          k => struct(lit("tagk").as("kind"), k.as("name"))),
+        transform(map_values(col("tags")),
+          v => struct(lit("tagv").as("kind"), v.as("name"))))).as("kn"))
+      .select(col("kn.kind").as("kind"), col("kn.name").as("name"), col("ts"))
       .filter(col("name").isNotNull)
       .groupBy("kind", "name").agg(min(col("ts")).as("earliest"))
     val dataSide = names.join(registry, Seq("kind", "name"), "left")
