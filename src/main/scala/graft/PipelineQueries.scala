@@ -1916,7 +1916,11 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"), col("text"))
         .repartition(4).write.parquet(src)
       val sch = s.read.parquet(src).schema
-      val stream = s.readStream.schema(sch)
+      // bounded state-partition clone (Ingest.streamSession doc): the
+      // banded-LSH state op committed 32 store deltas per band per
+      // trigger × 4 triggers
+      val ss = graft.sources.Ingest.streamSession(s)
+      val stream = ss.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .withColumn("arrival",
           timestamp_seconds(lit(1700000000L) + col("doc_id")))
@@ -1929,7 +1933,7 @@ object PipelineQueries {
       q.awaitTermination()
       // band collisions emit a pair once per shared bucket with the
       // SAME exact jaccard — distinct like the batch operator
-      s.table(sink)
+      ss.table(sink)
         .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id_a", "id_b")

@@ -201,6 +201,41 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("--stream")) {
+      // A/B: streaming micro-batch fixed costs vs state/shuffle
+      // partition count (VERDICT r16 next-round #8). Same q63 pipeline,
+      // run in a session clone with shuffle.partitions = N.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      for (n <- Seq("32", "8", "4", "1", "32", "8", "4", "1")) {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", n)
+        val t0 = System.nanoTime()
+        val base = SparkEntry.pts(ss, sfDir).filter(col("metric") === "signup" &&
+            col("tags").getItem("k").isNotNull)
+          .groupBy(col("metric"), col("ts"),
+            col("tags").getItem("user").as("u"), col("tags").getItem("k").as("k"))
+          .agg(max(col("value")).as("value"))
+          .select(col("metric"), col("ts"), col("value"),
+            lit(null).cast("long").as("value_l"), lit(false).as("is_int"),
+            map(lit("user"), col("u"), lit("k"), col("k")).as("tags"))
+        val lines = graft.sources.Export.toPutLines(base)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sx_")
+        val src = tmp.resolve("src").toString
+        val out = tmp.resolve("out").toString
+        val cp = tmp.resolve("cp").toString
+        lines.unionByName(lines).coalesce(1).write.text(src)
+        val stream = ss.readStream.text(src)
+        val q = graft.sources.Ingest
+          .streamToParquet(ss, stream, out, cp, lateness = "36500 days")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val c = ss.read.parquet(out).count()
+        println(f"STREAM parts=$n%3s ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$c")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("--q79")) {
       // stage decomposition of the q79 meta-sync pipeline (run twice,
       // read the second block — JIT warmup)

@@ -1195,7 +1195,8 @@ object SparkEntry {
       val cp = tmp.resolve("cp").toString
       // one file → one micro-batch → no cross-batch stragglers
       base.coalesce(1).write.parquet(src)
-      val stream = s.readStream.schema(base.schema).parquet(src)
+      val ss = graft.sources.Ingest.streamSession(s)
+      val stream = ss.readStream.schema(base.schema).parquet(src)
       val q = graft.sources.Ingest.rateStream(stream)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", cp)
@@ -1384,8 +1385,9 @@ object SparkEntry {
       val out = tmp.resolve("out").toString
       val cp = tmp.resolve("cp").toString
       lines.coalesce(1).write.text(src)
+      val ss = graft.sources.Ingest.streamSession(s)
       val parsed = graft.sources.Ingest.parsePutLines(
-        s.readStream.text(src)).filter(col("_error").isNull)
+        ss.readStream.text(src)).filter(col("_error").isNull)
       val q = graft.sources.Ingest.withPublisher(parsed,
           (batch, _) => batch.drop("_error", "value_l", "is_int")
             .withColumn("tag_user", col("tags").getItem("user"))
@@ -1511,9 +1513,12 @@ object SparkEntry {
       // one output file → one micro-batch → the watermark can never
       // discard in-flight rows as late, whatever the file read order
       lines.unionByName(lines).coalesce(1).write.text(src)
-      val stream = s.readStream.text(src)
+      // bounded state-partition clone (Ingest.streamSession doc): the
+      // dedup's 32 state stores were per-trigger fixed cost
+      val ss = graft.sources.Ingest.streamSession(s)
+      val stream = ss.readStream.text(src)
       val q = graft.sources.Ingest
-        .streamToParquet(s, stream, out, cp, lateness = "36500 days")
+        .streamToParquet(ss, stream, out, cp, lateness = "36500 days")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.read.parquet(out).groupBy("metric")
@@ -1534,7 +1539,8 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q64_")
       val src = tmp.resolve("src").toString
       graft.sources.Export.toPutLines(base).coalesce(1).write.text(src)
-      val stream = s.readStream.text(src)
+      val ss = graft.sources.Ingest.streamSession(s)
+      val stream = ss.readStream.text(src)
       val ptsStream = graft.sources.Ingest.parsePutLines(stream)
         .filter(col("_error").isNull).drop("_error")
       val sink = s"q64_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1542,7 +1548,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink).groupBy("metric", "ts")
+      ss.table(sink).groupBy("metric", "ts")
         .agg(sum(col("count")).as("n"), r4(sum(col("sum"))).as("sum_v"),
           r4(min(col("min"))).as("min_v"), r4(max(col("max"))).as("max_v"))
         .orderBy("metric", "ts")
@@ -1594,7 +1600,8 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q68_")
       val src = tmp.resolve("src").toString
       graft.sources.Export.toPutLines(base).coalesce(1).write.text(src)
-      val ptsStream = graft.sources.Ingest.parsePutLines(s.readStream.text(src))
+      val ss = graft.sources.Ingest.streamSession(s)
+      val ptsStream = graft.sources.Ingest.parsePutLines(ss.readStream.text(src))
         .filter(col("_error").isNull).drop("_error")
       val sink = s"q68_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = graft.sources.Ingest
@@ -1602,7 +1609,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink).select(col("metric"),
+      ss.table(sink).select(col("metric"),
           col("tags").getItem("user").as("tag_user"),
           col("tags").getItem("k").as("tag_k"),
           col("ts"), r4(col("avg")).as("avg_v"), col("count").as("n"))
