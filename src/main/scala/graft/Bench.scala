@@ -51,6 +51,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE size-based partition coalescing (guide §2.2/§9): the
+      // default parallelismFirst=true refuses to coalesce below the
+      // core count, so every tiny post-shuffle stage launches |cores|
+      // tasks — pure scheduling overhead at sf0.1 and exactly the
+      // wrong call on an oversubscribed box. Size-based coalescing is
+      // also the production recommendation (partitions sized by
+      // bytes, not core count); results are unchanged — coalescing
+      // concatenates whole reducer partitions, it never re-partitions
+      // rows. Declared as a session-conf change in OPTIMIZATION_r17.md
+      // (timed methodology untouched).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
