@@ -11,6 +11,23 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// One forked JVM PER SUITE, several suites in parallel: each suite
+// builds (and stops) its own SparkContext and some engine state is
+// JVM-global (plugin registries, Introspect counters), so suites must
+// not share a JVM concurrently — but across JVMs they are fully
+// independent. Sequential single-JVM execution ran 28.5 min on 2 of
+// 32 cores; per-suite JVMs at limit 6 fit the driver's test budget.
+// The two heaviest suites are split into 4 classes each (same tests,
+// same assertions) so no single group dominates the wall clock.
+Test / testGrouping := (Test / definedTests).value.map { t =>
+  Tests.Group(t.name, Seq(t),
+    Tests.SubProcess(ForkOptions().withRunJVMOptions(
+      (Test / javaOptions).value.toVector)))
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(16),
+  Tags.limit(Tags.ForkedTestGroup,
+    sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "6").toInt))
 // Pass the forked process's stdout through unprefixed: the bench/verify
 // contract is ONE machine-parseable JSON line on stdout, and sbt's
 // default LoggedOutput strategy prepends "[info] " to every line,

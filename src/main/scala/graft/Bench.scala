@@ -73,8 +73,15 @@ object Bench {
     // first timed query measures the query rather than JVM startup.
     // One warm query per input family (events-scan path, document
     // tokenize/hash path, embeddings vector path) — cheap queries that
-    // share no results with the timed runs
-    try Seq("q01_scan_filter", "t03_fingerprint", "s02_ivf_topk")
+    // share no results with the timed runs. Round 17 added one per
+    // MACHINERY family (window exec, join/meta pipeline, wire-parse
+    // codegen): the r17 baseline showed ~40 s of C2/codegen warmup
+    // landing on whichever cheap queries ran first (q19_lookup 19.25 s
+    // cold vs 0.66 s warm) — that is JVM state, not query cost, and on
+    // the driver's 480 s budget it was the difference between a clean
+    // pass 1 and spurious time-boxing. Guide §1: measure the query.
+    try Seq("q01_scan_filter", "t03_fingerprint", "s02_ivf_topk",
+        "q12_moving_avg", "q19_lookup", "q97_normalize_put")
       .flatMap(SparkEntry.queries.get)
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }

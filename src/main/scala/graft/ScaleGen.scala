@@ -81,10 +81,13 @@ object ScaleGen {
         // similar vectors, inflating true near-dup pair density
         // quadratically as a data artifact (measured: 1069 pairs at
         // 1x -> 111k at 10x with rotation only)
+        // rotation index wraps modulo the dimension so copy counts
+        // above dim don't drive slice lengths negative
         val n = size(col("embedding"))
+        val r = pmod(lit(i), n)
         val rotated = concat(
-          slice(col("embedding"), lit(i + 1), n - lit(i)),
-          slice(col("embedding"), lit(1), lit(i)))
+          slice(col("embedding"), r + 1, n - r),
+          slice(col("embedding"), lit(1), r))
         val signs = typedlit((0 until 64).map(d =>
           graft.pipeline.Similarity.rhpSign(i, d).toFloat))
         df.withColumn("vec_id", col("vec_id") + lit(i * ID_STRIDE))

@@ -155,9 +155,13 @@ object Introspect {
     // times). Truncating to the materialized blocks makes each read a
     // LogicalRDD scan and keeps downstream Catalyst plans small. The
     // registry is the distinct name set — wire-scale next to the data.
-    idx.join(broadcast(base), "kind")
+    val out = idx.join(broadcast(base), "kind")
       .select(col("kind"), col("name"), (col("gidx") - col("base") + 1).as("uid"))
       .localCheckpoint(true)
+    // generation-bounded ownership: dropcaches / session teardown must
+    // release the checkpoint blocks (Caching.ownMaterialized doc)
+    graft.util.Caching.ownMaterialized("introspect.uidRegistry", out)
+    out
   }
 
   /**

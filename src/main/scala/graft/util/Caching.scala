@@ -68,14 +68,43 @@ object Caching {
     val persisted = dfs.map(_.persist(StorageLevel.MEMORY_AND_DISK))
     dfs.headOption.foreach { head =>
       owned.put((owner, head.sparkSession), persisted)
-        .foreach(_.foreach(d => scala.util.Try(d.unpersist(false))))
+        .foreach(_.foreach(releaseOne))
     }
     persisted
   }
 
+  /**
+   * Register ALREADY-materialized frames (localCheckpoint results)
+   * under an owner key with the same generation-bounded release as
+   * [[persistOwned]]. A checkpoint's blocks are RDD-persisted, not
+   * CacheManager-registered, so Dataset.unpersist is a no-op on them;
+   * release goes through the wrapped RDD. Unlike a persist, a released
+   * checkpoint CANNOT recompute (its blocks are its only lineage) —
+   * owners must be call sites whose previous generation is dead by the
+   * time the next is built (sequential query execution).
+   */
+  def ownMaterialized(owner: String, dfs: DataFrame*): Unit = {
+    owned.keys.foreach { k =>
+      if (k._2.sparkContext.isStopped) owned.remove(k)
+    }
+    dfs.headOption.foreach { head =>
+      owned.put((owner, head.sparkSession), dfs)
+        .foreach(_.foreach(releaseOne))
+    }
+  }
+
+  private def releaseOne(df: DataFrame): Unit = scala.util.Try {
+    df.unpersist(false)
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** Release every operator-owned cache generation (session teardown). */
   def releaseOwned(): Unit = {
-    owned.values.foreach(_.foreach(d => scala.util.Try(d.unpersist(false))))
+    owned.values.foreach(_.foreach(releaseOne))
     owned.clear()
   }
 }

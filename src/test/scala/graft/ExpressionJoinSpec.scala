@@ -5,6 +5,7 @@ import graft.operators.ExpressionJoin
 import graft.operators.ExpressionJoin.VarSet
 import graft.query._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -28,7 +29,7 @@ import org.scalatest.BeforeAndAfterAll
  * invisible and the vectors collapse to their base tests — not
  * ported separately.
  */
-class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+abstract class ExpressionJoinSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
@@ -39,15 +40,15 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private val T0 = 1431561600000L
-  private val T1 = T0 + 60000L
-  private val T2 = T0 + 120000L
-  private val T3 = T0 + 180000L
+  protected val T0 = 1431561600000L
+  protected val T1 = T0 + 60000L
+  protected val T2 = T0 + 120000L
+  protected val T3 = T0 + 180000L
   // START_TS (BaseTimeSyncedIteratorTest.java:34) .. far future
-  private val Q = TsQuery(1388534400000L, 1500000000000L, Seq.empty)
+  protected val Q = TsQuery(1388534400000L, 1500000000000L, Seq.empty)
 
   /** (metric, tsMs, longValue, tags) → typed points df. */
-  private def pts(rows: Seq[(String, Long, Long, Map[String, String])])
+  protected def pts(rows: Seq[(String, Long, Long, Map[String, String])])
       : DataFrame = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.map { case (m, t, v, tg) =>
@@ -56,29 +57,29 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Three points at T0/T1/T2 with ascending values from `v0`. */
-  private def series(m: String, v0: Long, tags: (String, String)*)
+  protected def series(m: String, v0: Long, tags: (String, String)*)
       : Seq[(String, Long, Long, Map[String, String])] =
     Seq((m, T0, v0, tags.toMap), (m, T1, v0 + 1, tags.toMap),
       (m, T2, v0 + 2, tags.toMap))
 
   /** queryAB_Dstar / queryAB_AggAll / queryA_DD sub-queries. */
-  private def varSet(points: DataFrame, name: String, metric: String,
+  protected def varSet(points: DataFrame, name: String, metric: String,
                      filters: Seq[TagFilter]): VarSet =
     VarSet(name, Engine.runForExpression(points, Q,
       SubQuery("sum", metric, filters)),
       queryTagKs = filters.map(_.tagk).toSet)
 
-  private def dStar(points: DataFrame): Seq[VarSet] = Seq(
+  protected def dStar(points: DataFrame): Seq[VarSet] = Seq(
     varSet(points, "a", "A", Seq(GroupByAll("D"))),
     varSet(points, "b", "B", Seq(GroupByAll("D"))))
 
-  private def aggAll(points: DataFrame): Seq[VarSet] = Seq(
+  protected def aggAll(points: DataFrame): Seq[VarSet] = Seq(
     varSet(points, "a", "A", Seq.empty),
     varSet(points, "b", "B", Seq.empty))
 
   /** Collect the assembled grid as (sorted-tags-repr, ts) →
     * (v_a, v_b). */
-  private def grid(df: DataFrame): Map[(String, Long), (Double, Double)] =
+  protected def grid(df: DataFrame): Map[(String, Long), (Double, Double)] =
     df.collect().map { r =>
       val tags = r.getMap[String, String](r.fieldIndex("tags")).toMap
       val repr = tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
@@ -87,19 +88,19 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         (r.getAs[Double]("__v_a"), r.getAs[Double]("__v_b")))
     }.toMap
 
-  private def seriesCount(df: DataFrame): Long =
+  protected def seriesCount(df: DataFrame): Long =
     df.select("__skey").distinct().count()
 
   // ---- fixtures (BaseTimeSyncedIteratorTest) --------------------------
 
-  private def oneExtraSameE = pts(
+  protected def oneExtraSameE = pts(
     series("A", 1, "D" -> "D", "E" -> "E") ++
     series("A", 4, "D" -> "F", "E" -> "E") ++
     series("B", 11, "D" -> "D", "E" -> "E") ++
     series("B", 14, "D" -> "F", "E" -> "E") ++
     series("B", 17, "D" -> "G", "E" -> "E"))
 
-  private def threeDisjointSameE = pts(
+  protected def threeDisjointSameE = pts(
     series("A", 1, "D" -> "D", "E" -> "E") ++
     series("A", 4, "D" -> "F", "E" -> "E") ++
     series("A", 7, "D" -> "G", "E" -> "E") ++
@@ -107,7 +108,7 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     series("B", 14, "D" -> "Q", "E" -> "E") ++
     series("B", 17, "D" -> "G", "E" -> "E"))
 
-  private def reduceToOne = pts(
+  protected def reduceToOne = pts(
     series("A", 1, "D" -> "D", "E" -> "E") ++
     series("A", 4, "D" -> "F", "E" -> "E") ++
     series("A", 7, "D" -> "G", "E" -> "E") ++
@@ -115,7 +116,7 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     series("B", 14, "D" -> "Q", "E" -> "E") ++
     series("B", 17, "D" -> "G", "E" -> "E"))
 
-  private def threeSameE = pts(
+  protected def threeSameE = pts(
     series("A", 1, "D" -> "D", "E" -> "E") ++
     series("A", 4, "D" -> "F", "E" -> "E") ++
     series("A", 7, "D" -> "G", "E" -> "E") ++
@@ -123,12 +124,12 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     series("B", 14, "D" -> "F", "E" -> "E") ++
     series("B", 17, "D" -> "G", "E" -> "E"))
 
-  private def threeSameENoB = pts(
+  protected def threeSameENoB = pts(
     series("A", 1, "D" -> "D", "E" -> "E") ++
     series("A", 4, "D" -> "F", "E" -> "E") ++
     series("A", 7, "D" -> "G", "E" -> "E"))
 
-  private def threeDifE = pts(
+  protected def threeDifE = pts(
     series("A", 1, "D" -> "D", "E" -> "A") ++
     series("A", 4, "D" -> "F", "E" -> "B") ++
     series("A", 7, "D" -> "G", "E" -> "C") ++
@@ -136,7 +137,7 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     series("B", 14, "D" -> "F", "E" -> "F") ++
     series("B", 17, "D" -> "G", "E" -> "G"))
 
-  private def threeAMissingE = pts(
+  protected def threeAMissingE = pts(
     series("A", 1, "D" -> "D") ++
     series("A", 4, "D" -> "F") ++
     series("A", 7, "D" -> "G") ++
@@ -144,25 +145,25 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     series("B", 14, "D" -> "F", "E" -> "E") ++
     series("B", 17, "D" -> "G", "E" -> "E"))
 
-  private def twoSeriesAggedE = pts(
+  protected def twoSeriesAggedE = pts(
     series("A", 1, "D" -> "D", "E" -> "E") ++
     series("A", 1, "D" -> "D", "E" -> "F") ++
     series("B", 11, "D" -> "D", "E" -> "E") ++
     series("B", 11, "D" -> "D", "E" -> "F"))
 
-  private def twoSeriesAggedEandExtraTagK = pts(
+  protected def twoSeriesAggedEandExtraTagK = pts(
     series("A", 1, "D" -> "D", "E" -> "E") ++
     series("A", 1, "D" -> "D", "E" -> "F") ++
     series("B", 11, "D" -> "D", "E" -> "E", "Z" -> "A") ++
     series("B", 11, "D" -> "D", "E" -> "F", "Z" -> "B"))
 
-  private def oneAggedTheOtherTagged = pts(
+  protected def oneAggedTheOtherTagged = pts(
     series("A", 1, "D" -> "D", "E" -> "E") ++
     series("A", 1, "D" -> "E", "E" -> "F") ++
     series("B", 11, "D" -> "D", "E" -> "E"))
 
   /** threeSameEGaps: each series is missing one point. */
-  private def threeSameEGaps = pts(Seq(
+  protected def threeSameEGaps = pts(Seq(
     ("A", T0, 1L, Map("D" -> "D", "E" -> "E")),
     ("A", T2, 3L, Map("D" -> "D", "E" -> "E")),
     ("A", T0, 4L, Map("D" -> "F", "E" -> "E")),
@@ -174,7 +175,7 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("B", T2, 19L, Map("D" -> "G", "E" -> "E"))))
 
   /** timeOffset: A at T0/T1 only, B at T2/T3 only. */
-  private def timeOffset = pts(Seq(
+  protected def timeOffset = pts(Seq(
     ("A", T0, 1L, Map("D" -> "D", "E" -> "E")),
     ("A", T1, 2L, Map("D" -> "D", "E" -> "E")),
     ("A", T0, 4L, Map("D" -> "F", "E" -> "E")),
@@ -184,13 +185,136 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("B", T2, 16L, Map("D" -> "F", "E" -> "E")),
     ("B", T3, 17L, Map("D" -> "F", "E" -> "E"))))
 
-  private def asc(repr: String, v0: Double, w0: Double,
+  protected def asc(repr: String, v0: Double, w0: Double,
                   g: Map[(String, Long), (Double, Double)]): Unit =
     Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
       assert(g((repr, t)) == (v0 + i, w0 + i), s"$repr @ $t")
     }
 
   // ---- IntersectionIterator ports -------------------------------------
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+  // ---- UnionIterator ports ---------------------------------------------
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+  // ---- ExpressionIterator evaluation ports -----------------------------
+  // (TestExpressionIterator.java; remapResults gives every variable a
+  // fresh TimeSyncedIterator whose fill policy is the DEFAULT ZERO,
+  // TimeSyncedIterator.java:74)
+
+  import org.apache.spark.sql.functions.col
+
+  protected def dStarFill(points: DataFrame, fill: Double): Seq[VarSet] =
+    dStar(points).map(_.copy(tsFill = fill))
+
+  protected def evalIntersect(expr: String, sets: Seq[VarSet]): DataFrame = {
+    val joined = ExpressionJoin.intersection("ei", sets,
+      useQueryTags = false, includeAggTags = false)
+    joined.withColumn("value",
+      ExpQuery.bindColumns(expr, n => col(s"__v_$n")))
+  }
+
+  protected def evalGrid(df: DataFrame): Map[(String, Long), Double] =
+    df.collect().map { r =>
+      val tags = r.getMap[String, String](r.fieldIndex("tags")).toMap
+      val repr = tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString(",")
+      ((repr, r.getAs[Long]("ts")), r.getAs[Double]("value"))
+    }.toMap
+
+
+
+
+
+
+
+
+
+
+  // ---- QueryExecutor end-to-end ports ----------------------------------
+  // (/root/reference/test/tsd/TestQueryExecutor.java: the whole
+  // /api/query/exp POJO request through runExpJson; values assert the
+  // per-series dps columns the reference's V2 serializer emits)
+
+  protected def expBody(metrics: Seq[(String, String)],
+                      exprs: Seq[(String, String)],
+                      outs: Seq[(String, Option[String])] = Seq.empty,
+                      downsampler: String = ""): String = {
+    val ms = metrics.map { case (id, m) =>
+      s"""{"id":"$id","metric":"$m","filter":"f1"}""" }.mkString(",")
+    val es = exprs.map { case (id, x) =>
+      s"""{"id":"$id","expr":"$x",
+          "join":{"operator":"intersection"}}""" }.mkString(",")
+    val os = outs.map { case (id, al) =>
+      s"""{"id":"$id"${al.map(a => s""","alias":"$a"""").getOrElse("")}}"""
+    }.mkString(",")
+    val ds = if (downsampler.isEmpty) ""
+      else s""","downsampler":$downsampler"""
+    s"""{"time":{"start":1431561600,"aggregator":"sum"$ds},
+        "filters":[{"id":"f1","tags":[
+          {"type":"wildcard","tagk":"D","filter":"*","groupBy":true}]}],
+        "metrics":[$ms],
+        "expressions":[$es]${if (os.isEmpty) "" else s""","outputs":[$os]"""}}"""
+  }
+
+  protected val NOW = 1431600000000L
+
+  protected def runExp(points: DataFrame, body: String)
+      : Map[String, Map[Long, Set[Double]]] =
+    Engine.runExpJson(points, body, now = NOW).map { case (id, df) =>
+      id -> df.collect().groupBy(_.getAs[Long]("ts")).map {
+        case (t, rs) => t -> rs.map(_.getAs[Double]("value")).toSet
+      }
+    }.toMap
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+}
+
+class ExpressionJoinSpec extends ExpressionJoinSpecBase {
 
   test("intersection: twoAndThreeSeries — B's extra series is kicked") {
     val out = ExpressionJoin.intersection("it", dStar(oneExtraSameE),
@@ -373,7 +497,42 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 0)
   }
 
-  // ---- UnionIterator ports ---------------------------------------------
+  test("broadcastKeyCeiling: opt-in fail-fast on the series-key dim " +
+       "for both join kinds; off by default; boundary exact") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("agg_tags", ArrayType(StringType)),
+      StructField("ts", LongType), StructField("value", DoubleType)))
+    def frame(nSeries: Int) = spark.createDataFrame(
+      (0 until nSeries).map(i =>
+        Row(Map("host" -> s"h$i"), Seq.empty[String],
+          java.lang.Long.valueOf(T0), java.lang.Double.valueOf(i.toDouble))
+      ).asJava, schema)
+    def sets(n: Int) = Seq(
+      VarSet("a", frame(n), tsFill = 0.0),
+      VarSet("b", frame(n), tsFill = 0.0))
+    assert(ExpressionJoin.broadcastKeyCeiling == 0L) // default: off
+    try {
+      ExpressionJoin.broadcastKeyCeiling = 3L
+      // at the ceiling: allowed
+      assert(ExpressionJoin.union("u", sets(3), useQueryTags = false,
+        includeAggTags = false).count() == 3)
+      // one past it: clear 400 for union AND intersection
+      val eu = intercept[IllegalArgumentException] {
+        ExpressionJoin.union("u", sets(4), useQueryTags = false,
+          includeAggTags = false).count() }
+      assert(eu.getMessage.contains("exceeds the configured ceiling"))
+      val ei = intercept[IllegalArgumentException] {
+        ExpressionJoin.intersection("i", sets(4), useQueryTags = false,
+          includeAggTags = false).count() }
+      assert(ei.getMessage.contains("exceeds the configured ceiling"))
+    } finally ExpressionJoin.broadcastKeyCeiling = 0L
+  }
+}
+
+class ExpressionJoinUnionSpec extends ExpressionJoinSpecBase {
 
   test("union: twoAndThreeSeries — missing series zero-fill") {
     val out = ExpressionJoin.union("it", dStar(oneExtraSameE),
@@ -557,30 +716,38 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 0)
   }
 
-  // ---- ExpressionIterator evaluation ports -----------------------------
-  // (TestExpressionIterator.java; remapResults gives every variable a
-  // fresh TimeSyncedIterator whose fill policy is the DEFAULT ZERO,
-  // TimeSyncedIterator.java:74)
-
-  import org.apache.spark.sql.functions.col
-
-  private def dStarFill(points: DataFrame, fill: Double): Seq[VarSet] =
-    dStar(points).map(_.copy(tsFill = fill))
-
-  private def evalIntersect(expr: String, sets: Seq[VarSet]): DataFrame = {
-    val joined = ExpressionJoin.intersection("ei", sets,
-      useQueryTags = false, includeAggTags = false)
-    joined.withColumn("value",
-      ExpQuery.bindColumns(expr, n => col(s"__v_$n")))
+  test("union: colliding flat keys keep ONE series wholesale — never a " +
+       "pointwise mix (reference ByteMap overwrite)") {
+    // two series flatten to the same key once useQueryTags drops E;
+    // the winner (max tag entries: E=F) is kept WHOLE — its gap at T1
+    // takes the variable's tsFill, not the kicked series' value
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("agg_tags", ArrayType(StringType)),
+      StructField("ts", LongType), StructField("value", DoubleType)))
+    val rows = Seq(
+      (Map("D" -> "D", "E" -> "E"), T0, 1.0),
+      (Map("D" -> "D", "E" -> "E"), T1, 2.0),
+      (Map("D" -> "D", "E" -> "E"), T2, 3.0),
+      (Map("D" -> "D", "E" -> "F"), T0, 10.0),
+      (Map("D" -> "D", "E" -> "F"), T2, 30.0))
+    val df = spark.createDataFrame(rows.map { case (tg, t, v) =>
+      Row(tg, Seq.empty[String], java.lang.Long.valueOf(t),
+        java.lang.Double.valueOf(v))
+    }.asJava, schema)
+    val out = ExpressionJoin.union("u",
+      Seq(VarSet("a", df, queryTagKs = Set("D"), tsFill = -1.0)),
+      useQueryTags = true, includeAggTags = false)
+    val got = out.collect().map(r =>
+      r.getAs[Long]("ts") -> r.getAs[Double]("__v_a")).toMap
+    assert(got == Map(T0 -> 10.0, T1 -> -1.0, T2 -> 30.0), got.toString)
+    assert(out.select("__skey").distinct().count() == 1)
   }
+}
 
-  private def evalGrid(df: DataFrame): Map[(String, Long), Double] =
-    df.collect().map { r =>
-      val tags = r.getMap[String, String](r.fieldIndex("tags")).toMap
-      val repr = tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-        .mkString(",")
-      ((repr, r.getAs[Long]("ts")), r.getAs[Double]("value"))
-    }.toMap
+class ExpressionJoinExprSpec extends ExpressionJoinSpecBase {
 
   test("expression: aPlusBWithTwoSeries") {
     val g = evalGrid(evalIntersect("a + b", dStarFill(oneExtraSameE, 0.0)))
@@ -685,41 +852,54 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExpQuery.variables(ExpQuery.parse("a > b")).isEmpty)
   }
 
-  // ---- QueryExecutor end-to-end ports ----------------------------------
-  // (/root/reference/test/tsd/TestQueryExecutor.java: the whole
-  // /api/query/exp POJO request through runExpJson; values assert the
-  // per-series dps columns the reference's V2 serializer emits)
+  test("exp cache lifecycle: serializeExpV2 releases on exit; raw " +
+       "runExpJson runs are bounded by the eviction ring") {
+    val df = oneExtraSameE
+    // e is referenced by e2, so the run persists two variables AND
+    // checkpoints one expression — both kinds must be released
+    val body = expBody(Seq("a" -> "A", "b" -> "B"),
+      Seq("e" -> "a + b", "e2" -> "e * 2"))
+    Engine.clearExpCache()
+    Engine.clearResultCache()
+    Engine.serializeExpV2(df, body, now = NOW)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach(_ => Engine.serializeExpV2(df, body, now = NOW))
+    // flat: every serializeExpV2 call releases its own persists and
+    // checkpoint blocks (the round-10 lifecycle leak)
+    assert(spark.sparkContext.getPersistentRDDs.size == base)
 
-  private def expBody(metrics: Seq[(String, String)],
-                      exprs: Seq[(String, String)],
-                      outs: Seq[(String, Option[String])] = Seq.empty,
-                      downsampler: String = ""): String = {
-    val ms = metrics.map { case (id, m) =>
-      s"""{"id":"$id","metric":"$m","filter":"f1"}""" }.mkString(",")
-    val es = exprs.map { case (id, x) =>
-      s"""{"id":"$id","expr":"$x",
-          "join":{"operator":"intersection"}}""" }.mkString(",")
-    val os = outs.map { case (id, al) =>
-      s"""{"id":"$id"${al.map(a => s""","alias":"$a"""").getOrElse("")}}"""
-    }.mkString(",")
-    val ds = if (downsampler.isEmpty) ""
-      else s""","downsampler":$downsampler"""
-    s"""{"time":{"start":1431561600,"aggregator":"sum"$ds},
-        "filters":[{"id":"f1","tags":[
-          {"type":"wildcard","tagk":"D","filter":"*","groupBy":true}]}],
-        "metrics":[$ms],
-        "expressions":[$es]${if (os.isEmpty) "" else s""","outputs":[$os]"""}}"""
+    val prev = Engine.expCacheMaxEntries
+    Engine.expCacheMaxEntries = 2
+    try {
+      (1 to 5).foreach { _ =>
+        Engine.runExpJson(df, body, now = NOW).foreach(_._2.collect())
+      }
+      // at most 2 runs' frames live: 2 persisted vars + 1 checkpoint
+      assert(spark.sparkContext.getPersistentRDDs.size <= base + 6)
+      Engine.clearExpCache()
+      assert(spark.sparkContext.getPersistentRDDs.size <= base)
+    } finally {
+      Engine.expCacheMaxEntries = prev
+      Engine.clearExpCache()
+    }
   }
 
-  private val NOW = 1431600000000L
-
-  private def runExp(points: DataFrame, body: String)
-      : Map[String, Map[Long, Set[Double]]] =
-    Engine.runExpJson(points, body, now = NOW).map { case (id, df) =>
-      id -> df.collect().groupBy(_.getAs[Long]("ts")).map {
-        case (t, rs) => t -> rs.map(_.getAs[Double]("value")).toSet
+  test("exp data-point budget guard fires before the serializer collect") {
+    Engine.expMaxDataPoints = 3L
+    try {
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+      // e is 2 series × 3 grid timestamps = 6 rows > 3
+      val ex = intercept[Exception] {
+        Engine.serializeExpV2(oneExtraSameE, expBody(
+          Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b")), now = NOW)
       }
-    }.toMap
+      assert(chain(ex).contains("data-point budget"), chain(ex))
+    } finally Engine.expMaxDataPoints = Long.MaxValue
+  }
+}
+
+class ExpressionJoinExecutorSpec extends ExpressionJoinSpecBase {
 
   test("executor: oneExpressionWithOutputAlias + metric outputs") {
     // oneExpressionWithOutputAlias / oneExpressionOutputAndBAlso
@@ -980,115 +1160,5 @@ class ExpressionJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId("e").get("lastTimestamp").asLong() == 0L)
     assert(byId("a").get("firstTimestamp").asLong() == T0)
     assert(byId("a").get("lastTimestamp").asLong() == T0)
-  }
-
-  test("union: colliding flat keys keep ONE series wholesale — never a " +
-       "pointwise mix (reference ByteMap overwrite)") {
-    // two series flatten to the same key once useQueryTags drops E;
-    // the winner (max tag entries: E=F) is kept WHOLE — its gap at T1
-    // takes the variable's tsFill, not the kicked series' value
-    import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("tags", MapType(StringType, StringType)),
-      StructField("agg_tags", ArrayType(StringType)),
-      StructField("ts", LongType), StructField("value", DoubleType)))
-    val rows = Seq(
-      (Map("D" -> "D", "E" -> "E"), T0, 1.0),
-      (Map("D" -> "D", "E" -> "E"), T1, 2.0),
-      (Map("D" -> "D", "E" -> "E"), T2, 3.0),
-      (Map("D" -> "D", "E" -> "F"), T0, 10.0),
-      (Map("D" -> "D", "E" -> "F"), T2, 30.0))
-    val df = spark.createDataFrame(rows.map { case (tg, t, v) =>
-      Row(tg, Seq.empty[String], java.lang.Long.valueOf(t),
-        java.lang.Double.valueOf(v))
-    }.asJava, schema)
-    val out = ExpressionJoin.union("u",
-      Seq(VarSet("a", df, queryTagKs = Set("D"), tsFill = -1.0)),
-      useQueryTags = true, includeAggTags = false)
-    val got = out.collect().map(r =>
-      r.getAs[Long]("ts") -> r.getAs[Double]("__v_a")).toMap
-    assert(got == Map(T0 -> 10.0, T1 -> -1.0, T2 -> 30.0), got.toString)
-    assert(out.select("__skey").distinct().count() == 1)
-  }
-
-  test("exp cache lifecycle: serializeExpV2 releases on exit; raw " +
-       "runExpJson runs are bounded by the eviction ring") {
-    val df = oneExtraSameE
-    // e is referenced by e2, so the run persists two variables AND
-    // checkpoints one expression — both kinds must be released
-    val body = expBody(Seq("a" -> "A", "b" -> "B"),
-      Seq("e" -> "a + b", "e2" -> "e * 2"))
-    Engine.clearExpCache()
-    Engine.clearResultCache()
-    Engine.serializeExpV2(df, body, now = NOW)
-    val base = spark.sparkContext.getPersistentRDDs.size
-    (1 to 3).foreach(_ => Engine.serializeExpV2(df, body, now = NOW))
-    // flat: every serializeExpV2 call releases its own persists and
-    // checkpoint blocks (the round-10 lifecycle leak)
-    assert(spark.sparkContext.getPersistentRDDs.size == base)
-
-    val prev = Engine.expCacheMaxEntries
-    Engine.expCacheMaxEntries = 2
-    try {
-      (1 to 5).foreach { _ =>
-        Engine.runExpJson(df, body, now = NOW).foreach(_._2.collect())
-      }
-      // at most 2 runs' frames live: 2 persisted vars + 1 checkpoint
-      assert(spark.sparkContext.getPersistentRDDs.size <= base + 6)
-      Engine.clearExpCache()
-      assert(spark.sparkContext.getPersistentRDDs.size <= base)
-    } finally {
-      Engine.expCacheMaxEntries = prev
-      Engine.clearExpCache()
-    }
-  }
-
-  test("exp data-point budget guard fires before the serializer collect") {
-    Engine.expMaxDataPoints = 3L
-    try {
-      def chain(t: Throwable): String =
-        if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
-      // e is 2 series × 3 grid timestamps = 6 rows > 3
-      val ex = intercept[Exception] {
-        Engine.serializeExpV2(oneExtraSameE, expBody(
-          Seq("a" -> "A", "b" -> "B"), Seq("e" -> "a + b")), now = NOW)
-      }
-      assert(chain(ex).contains("data-point budget"), chain(ex))
-    } finally Engine.expMaxDataPoints = Long.MaxValue
-  }
-
-  test("broadcastKeyCeiling: opt-in fail-fast on the series-key dim " +
-       "for both join kinds; off by default; boundary exact") {
-    import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("tags", MapType(StringType, StringType)),
-      StructField("agg_tags", ArrayType(StringType)),
-      StructField("ts", LongType), StructField("value", DoubleType)))
-    def frame(nSeries: Int) = spark.createDataFrame(
-      (0 until nSeries).map(i =>
-        Row(Map("host" -> s"h$i"), Seq.empty[String],
-          java.lang.Long.valueOf(T0), java.lang.Double.valueOf(i.toDouble))
-      ).asJava, schema)
-    def sets(n: Int) = Seq(
-      VarSet("a", frame(n), tsFill = 0.0),
-      VarSet("b", frame(n), tsFill = 0.0))
-    assert(ExpressionJoin.broadcastKeyCeiling == 0L) // default: off
-    try {
-      ExpressionJoin.broadcastKeyCeiling = 3L
-      // at the ceiling: allowed
-      assert(ExpressionJoin.union("u", sets(3), useQueryTags = false,
-        includeAggTags = false).count() == 3)
-      // one past it: clear 400 for union AND intersection
-      val eu = intercept[IllegalArgumentException] {
-        ExpressionJoin.union("u", sets(4), useQueryTags = false,
-          includeAggTags = false).count() }
-      assert(eu.getMessage.contains("exceeds the configured ceiling"))
-      val ei = intercept[IllegalArgumentException] {
-        ExpressionJoin.intersection("i", sets(4), useQueryTags = false,
-          includeAggTags = false).count() }
-      assert(ei.getMessage.contains("exceeds the configured ceiling"))
-    } finally ExpressionJoin.broadcastKeyCeiling = 0L
   }
 }

@@ -32,7 +32,7 @@ import scala.util.Random
  * run_all, `mult`/`diff` cross-series (ts ties make max_by/min_by
  * nondeterministic across plans), and ms-vs-s timestamp parsing.
  */
-class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+abstract class FuzzSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
@@ -43,8 +43,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private val T0 = 1356998400000L // 2013-01-01T00:00:00Z
-  private val NAN = "CAST('NaN' AS DOUBLE)"
+  protected val T0 = 1356998400000L // 2013-01-01T00:00:00Z
+  protected val NAN = "CAST('NaN' AS DOUBLE)"
 
   // ---- datasets -------------------------------------------------------
 
@@ -53,7 +53,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * types the values: f = floats (eighths, exact in binary), i = longs
     * (signed, exercising truncation toward zero), m = mixed per series
     * (demotes the long path only where float series contribute). */
-  private def genRows(seed: Int, jitter: Boolean,
+  protected def genRows(seed: Int, jitter: Boolean,
                       style: String): Seq[Row] = {
     val rnd = new Random(seed)
     val combos = for (h <- Seq("h0", "h1", "h2", "h3");
@@ -82,7 +82,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** (points DF for the engine, temp view for the SQL oracle). */
-  private def mkDataset(name: String, seed: Int, jitter: Boolean,
+  protected def mkDataset(name: String, seed: Int, jitter: Boolean,
                         style: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(genRows(seed, jitter, style).asJava,
@@ -97,7 +97,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     df
   }
 
-  private lazy val datasets: Map[String, (DataFrame, Boolean)] = Map(
+  protected lazy val datasets: Map[String, (DataFrame, Boolean)] = Map(
     // name -> (engine df, typed: value_l/is_int carry information)
     "fz_af" -> (mkDataset("fz_af", 101, jitter = false, "f"), false),
     "fz_jf" -> (mkDataset("fz_jf", 102, jitter = true,  "f"), false),
@@ -107,7 +107,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- config drawing -------------------------------------------------
 
-  private case class Cfg(id: Int, view: String, agg: String,
+  protected case class Cfg(id: Int, view: String, agg: String,
                          ds: Option[DownsampleSpec],
                          rate: Option[RateOptions],
                          filters: Seq[TagFilter],
@@ -124,14 +124,14 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${if (emitFlag) " +oi" else ""}${if (rowClip) " +rowClip" else ""}]"
   }
 
-  private val crossAggs = Seq("sum", "avg", "min", "max", "dev", "count",
+  protected val crossAggs = Seq("sum", "avg", "min", "max", "dev", "count",
     "median", "zimsum", "pfsum", "mimmin", "mimmax", "p50", "p90")
-  private val dsAggs = Seq("sum", "avg", "min", "max", "count",
+  protected val dsAggs = Seq("sum", "avg", "min", "max", "count",
     "first", "last")
 
-  private def pick[A](rnd: Random, xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+  protected def pick[A](rnd: Random, xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
 
-  private def drawCfg(rnd: Random, id: Int): Cfg = {
+  protected def drawCfg(rnd: Random, id: Int): Cfg = {
     val view = pick(rnd, datasets.keys.toSeq.sorted)
     val agg = pick(rnd, crossAggs)
     val ds = if (rnd.nextDouble() < 0.45) None else {
@@ -179,7 +179,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Mirror of the aggregator registry's double-path semantics (NaN
     * inputs skipped; empty group yields NaN, count yields 0). */
-  private def aggSql(name: String, v: String, ts: String): String = {
+  protected def aggSql(name: String, v: String, ts: String): String = {
     def nn = s"(CASE WHEN NOT isnan($v) THEN $v END)"
     def srt = s"sort_array(collect_list($nn))"
     def pctR6(p: Double): String = {
@@ -217,7 +217,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Truncating long-path result (reference runLong): avg is exact
     * long-sum / count truncated toward zero; every other aggregator
     * runs over the long contributions and truncates its result. */
-  private def longAggSql(name: String, lv: String, ts: String): String =
+  protected def longAggSql(name: String, lv: String, ts: String): String =
     name match {
       case "avg" => s"CAST(CAST(sum($lv) / count($lv) AS BIGINT) AS DOUBLE)"
       case other =>
@@ -228,10 +228,10 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Reference glob → Java regex; fuzz patterns are [a-z0-9*] so no
     * quoting is needed (the engine quotes; same matches on this
     * alphabet). */
-  private def glob(pat: String): String =
+  protected def glob(pat: String): String =
     pat.split("\\*", -1).mkString(".*")
 
-  private def filterSql(f: TagFilter): String = f match {
+  protected def filterSql(f: TagFilter): String = f match {
     case LiteralOr(k, vs, ci, _) =>
       if (ci) s"lower(tag_$k) IN (${vs.map(v => s"'${v.toLowerCase}'").mkString(",")})"
       else s"tag_$k IN (${vs.map(v => s"'$v'").mkString(",")})"
@@ -251,7 +251,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Render the full pipeline for one config as a single SQL query. */
-  private def renderSql(c: Cfg): String = {
+  protected def renderSql(c: Cfg): String = {
     val keys = TagFilters.groupByKeys(c.filters)
     val g = ("metric" +: keys.map(k => s"tag_$k")).mkString(", ")
     val needsNeighbors = c.rate.isDefined ||
@@ -452,12 +452,12 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- compare --------------------------------------------------------
 
-  private def approxEq(a: Double, b: Double): Boolean =
+  protected def approxEq(a: Double, b: Double): Boolean =
     (a.isNaN && b.isNaN) || a == b ||
       math.abs(a - b) <=
         1e-8 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
 
-  private def collect(df: DataFrame, keys: Seq[String],
+  protected def collect(df: DataFrame, keys: Seq[String],
                       withOi: Boolean = false): Map[String, Double] =
     df.collect().flatMap { r =>
       val k = (Seq(r.getAs[String]("metric")) ++
@@ -474,7 +474,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       (k -> v) +: oi
     }.toMap
 
-  private def check(c: Cfg): Option[String] = {
+  protected def check(c: Cfg): Option[String] = {
     val keys = TagFilters.groupByKeys(c.filters)
     val sub = SubQuery(c.agg, "fm", filters = c.filters,
       downsample = c.ds, rate = c.rate)
@@ -498,7 +498,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  private def runBatch(seed: Int, n: Int): Unit = {
+  protected def runBatch(seed: Int, n: Int): Unit = {
     val rnd = new Random(seed)
     val cfgs = (0 until n).map(i => drawCfg(rnd, i))
     // the round-10 axes must actually fire in every batch
@@ -522,18 +522,6 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
   }
 
-  test("fuzz batch 1: 30 random query configs vs SQL oracle") {
-    runBatch(0xA11CE, 30)
-  }
-  test("fuzz batch 2: 30 random query configs vs SQL oracle") {
-    runBatch(0xB0B, 30)
-  }
-  test("fuzz batch 3: 30 random query configs vs SQL oracle") {
-    runBatch(0xCAFE, 30)
-  }
-  test("fuzz batch 4: 30 random query configs vs SQL oracle") {
-    runBatch(0xD00D, 30)
-  }
 
   // ---- round-10 axis: calendar downsampling under random tz/count ----
 
@@ -543,7 +531,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * cross-checking Downsample.bucket's Column formulation. Week
     * counts are ignored (reference interval_override = 7); week start
     * is Monday, pinned by the q36 golden. */
-  private def calOracle(tsMs: Long, unit: Char, count: Int,
+  protected def calOracle(tsMs: Long, unit: Char, count: Int,
                         tz: String): Long = {
     import java.time._
     import java.time.temporal.{ChronoUnit, TemporalAdjusters}
@@ -590,53 +578,6 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("fuzz calendar buckets: random tz × unit × count vs a java.time " +
-       "reimplementation of previousInterval") {
-    val rnd = new Random(0x0CA1)
-    val zones = Seq("UTC", "America/New_York", "America/Denver",
-      "Europe/London", "Asia/Kolkata", "Australia/Sydney")
-    val unitCounts = Seq(
-      ('s', Seq(10, 23, 30)), ('m', Seq(5, 7, 15, 90)),
-      ('h', Seq(2, 5, 6)), ('d', Seq(1, 3)), ('w', Seq(1, 2)),
-      ('n', Seq(1, 5)), ('y', Seq(1)))
-    val lo = 1325376000000L // 2012-01-01
-    val hi = 1451606400000L // 2016-01-01
-    val fails = scala.collection.mutable.ArrayBuffer[String]()
-    var checked = 0
-    for (_ <- 0 until 50) {
-      val tz = pick(rnd, zones)
-      val (u, counts) = pick(rnd, unitCounts)
-      val c = pick(rnd, counts)
-      val zone = java.time.ZoneId.of(tz)
-      val tss = (0 until 8)
-        .map(_ => lo + math.abs(rnd.nextLong()) % (hi - lo))
-        .filterNot { t =>
-          // skip instants near a zone transition: Spark's
-          // to_utc_timestamp and java.time disambiguate overlap hours
-          // differently — a JVM-API artifact, not reference semantics
-          val i = java.time.Instant.ofEpochMilli(t)
-          Seq(Option(zone.getRules.nextTransition(i)),
-            Option(zone.getRules.previousTransition(i))).flatten
-            .exists(x =>
-              math.abs(x.getInstant.toEpochMilli - t) < 5 * 3600000L)
-        }
-      if (tss.nonEmpty) {
-        val spec = DownsampleSpec.parse(s"$c${u}c-sum")
-        import spark.implicits._
-        val got = tss.toDF("ts")
-          .select(Downsample.bucket(col("ts"), spec, 0L, tz).as("b"))
-          .collect().map(_.getLong(0))
-        tss.zip(got).foreach { case (t, g) =>
-          checked += 1
-          val e = calOracle(t, u.toString.head, c, tz)
-          if (g != e)
-            fails += s"tz=$tz unit=$u count=$c ts=$t: engine=$g oracle=$e"
-        }
-      }
-    }
-    assert(checked > 200, s"transition filter ate the sample: $checked")
-    assert(fails.isEmpty, s"\n${fails.take(10).mkString("\n")}")
-  }
 
   // ---- round-10 axis: rollup routing with randomly-missing
   // aggregation-id series --------------------------------------------
@@ -647,7 +588,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * "max" series must contribute nothing to a max query, and avg
     * requires the sum/count PAIR). Registered as a temp view so the
     * engine and the SQL oracle read the SAME corruption. */
-  private lazy val corruptedRollup: DataFrame = {
+  protected lazy val corruptedRollup: DataFrame = {
     val base = Rollups.materialize(datasets("fz_ai")._1, 60000L)
     def knock(c: String, salt: Int) =
       when(pmod(hash(col("series_id"), col("ts"), lit(salt)), lit(10)) < 3,
@@ -665,7 +606,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     r
   }
 
-  private def checkRollup(rnd: Random, id: Int): Option[String] = {
+  protected def checkRollup(rnd: Random, id: Int): Option[String] = {
     val ivl = pick(rnd, Seq(60L, 120L, 300L, 600L)) * 1000L
     val dsAgg = pick(rnd, Seq("sum", "avg", "count", "min", "max"))
     val crossAgg = pick(rnd, Seq("zimsum", "mimmin", "mimmax"))
@@ -743,12 +684,6 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("fuzz rollup routing: per-aggregation-id absence + horizon " +
-       "stitch vs SQL oracle") {
-    val rnd = new Random(0x7011)
-    val fails = (0 until 25).flatMap(i => checkRollup(rnd, i))
-    assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
-  }
 
   // ---- expression-join fuzz ---------------------------------------------
   // Random variable sets through ExpressionJoin.union/intersection vs a
@@ -759,14 +694,14 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   // count × per-variable queryTagKs × series tag/agg shapes (incl. empty
   // tags and flat-key collisions) × missing points × fill policies.
 
-  private case class FSeries(tags: Map[String, String],
+  protected case class FSeries(tags: Map[String, String],
                              aggTags: Seq[String], points: Map[Long, Double])
-  private case class FVar(name: String, series: Seq[FSeries],
+  protected case class FVar(name: String, series: Seq[FSeries],
                           queryTagKs: Set[String], tsFill: Double)
 
-  private val ET0 = 1431561600000L
+  protected val ET0 = 1431561600000L
 
-  private def drawExpCfg(rnd: Random)
+  protected def drawExpCfg(rnd: Random)
       : (Seq[FVar], String, Boolean, Boolean) = {
     val keys = Seq("D", "E", "Z")
     val nVars = 1 + rnd.nextInt(3)
@@ -796,7 +731,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** flattenTags (UnionIterator.java:259-309): empty result tags →
     * empty key before any flag applies; else query-tag-filtered pairs,
     * then agg tag keys when included. */
-  private def expFlatKey(s: FSeries, qks: Set[String],
+  protected def expFlatKey(s: FSeries, qks: Set[String],
                          uqt: Boolean, iat: Boolean): String = {
     if (s.tags.isEmpty) return ""
     val pairs = (if (uqt) s.tags.filter(p => qks.contains(p._1))
@@ -807,7 +742,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Spark's array<struct<string,string>> ordering over sorted tag
     * entries — the documented deterministic winner rule. */
-  private def cmpEntries(a: Seq[(String, String)],
+  protected def cmpEntries(a: Seq[(String, String)],
                          b: Seq[(String, String)]): Int = {
     val n = math.min(a.size, b.size)
     var i = 0
@@ -824,7 +759,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** The from-scratch oracle: per-variable winner maps, key set, grid,
     * slot values and per-series meta. Left(msg) when the reference
     * would throw at intersection construction. */
-  private def oracleJoin(vars: Seq[FVar], op: String, uqt: Boolean,
+  protected def oracleJoin(vars: Seq[FVar], op: String, uqt: Boolean,
                          iat: Boolean)
       : Either[String, (Map[(String, Long), Seq[Double]],
                         Map[String, (Map[String, String], Seq[String])])] = {
@@ -885,7 +820,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     Right((rows, meta))
   }
 
-  private def varSetsOf(vars: Seq[FVar]): Seq[ExpressionJoin.VarSet] = {
+  protected def varSetsOf(vars: Seq[FVar]): Seq[ExpressionJoin.VarSet] = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -903,11 +838,11 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  private def eqv(a: Seq[Double], b: Seq[Double]): Boolean =
+  protected def eqv(a: Seq[Double], b: Seq[Double]): Boolean =
     a.size == b.size && a.zip(b).forall { case (x, y) =>
       (x.isNaN && y.isNaN) || x == y }
 
-  private def compareJoin(cfgStr: String,
+  protected def compareJoin(cfgStr: String,
                           actual: Either[IllegalArgumentException,
                                          Array[org.apache.spark.sql.Row]],
                           vars: Seq[FVar], op: String, uqt: Boolean,
@@ -939,7 +874,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         })
     }
 
-  private def checkExpJoin(rnd: Random, id: Int): Option[String] = {
+  protected def checkExpJoin(rnd: Random, id: Int): Option[String] = {
     val (vars, op, uqt, iat) = drawExpCfg(rnd)
     val sets = varSetsOf(vars)
     val cfgStr = s"cfg#$id op=$op uqt=$uqt iat=$iat " +
@@ -992,13 +927,6 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("fuzz expression join: random flags × variables × series shapes " +
-       "vs a from-scratch flattenTags + lock-step grid oracle, inner " +
-       "AND nested (merged-meta identity feedback)") {
-    val rnd = new Random(0xE1)
-    val fails = (0 until 40).flatMap(i => checkExpJoin(rnd, i))
-    assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
-  }
 
   // ---- round-12 axis: lookup pair grammar + /api/query/last ---------
   //
@@ -1015,7 +943,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * fz_lk_pts for the SQL oracle, fz_lk_raw for the engine); sid is
     * metric + canonical sorted-tag rendering, shared by engine row →
     * sid mapping and the SQL oracle. */
-  private lazy val lookupCorpus: Seq[(String, Map[String, String])] = {
+  protected lazy val lookupCorpus: Seq[(String, Map[String, String])] = {
     val rnd = new Random(0x100C)
     val metrics = Seq("m1", "m2", "m3")
     val keys = Seq("host", "dc", "rack")
@@ -1057,11 +985,11 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     series
   }
 
-  private def sidOf(m: String, tags: Map[String, String]): String =
+  protected def sidOf(m: String, tags: Map[String, String]): String =
     m + "|" + tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString(",")
 
-  private def checkLookup(rnd: Random, id: Int): Option[String] = {
+  protected def checkLookup(rnd: Random, id: Int): Option[String] = {
     lookupCorpus
     val metric = pick(rnd, Seq("", "m1", "m2", "m3", "nope"))
     val keys = Seq("host", "dc", "rack")
@@ -1106,7 +1034,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"diff=${(got diff want) ++ (want diff got)}")
   }
 
-  private def checkLast(rnd: Random, id: Int): Option[String] = {
+  protected def checkLast(rnd: Random, id: Int): Option[String] = {
     val series = lookupCorpus
     val (m, tags) = pick(rnd, series)
     val metaEnabled = rnd.nextBoolean()
@@ -1178,20 +1106,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"engine=$got oracle=$want")
   }
 
-  private var fuzzHits = 0
+  protected var fuzzHits = 0
 
-  test("fuzz lookup pair grammar + query/last addressing vs an " +
-       "independent SQL transcription over exploded tag rows") {
-    val rnd = new Random(0x1A57)
-    fuzzHits = 0
-    val lookupFails = (0 until 40).flatMap(i => checkLookup(rnd, i))
-    val lastFails = (0 until 40).flatMap(i => checkLast(rnd, i))
-    assert(lookupFails.isEmpty && lastFails.isEmpty,
-      s"\n${(lookupFails ++ lastFails).take(8).mkString("\n")}")
-    // non-vacuity: the draws must actually address series, not compare
-    // empty sets 80 times
-    assert(fuzzHits > 60, s"fuzz axis nearly vacuous: $fuzzHits hits")
-  }
 
   // ---- gexp surface fuzz (VERDICT r13: the r12 surface without an
   // axis): random nested trees round-trip through the grammar and the
@@ -1202,13 +1118,13 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   // and siblings) — expected messages are DATA here, never computed by
   // the code under test. --------------------------------------------
 
-  private def renderGexp(n: Gexp.Node): String = n match {
+  protected def renderGexp(n: Gexp.Node): String = n match {
     case Gexp.MetricNode(spec) => spec
     case Gexp.FuncNode(name, args, params) =>
       name + "(" + (args.map(renderGexp) ++ params).mkString(",,") + ")"
   }
 
-  private def drawGexpTree(rnd: Random, depth: Int): Gexp.Node = {
+  protected def drawGexpTree(rnd: Random, depth: Int): Gexp.Node = {
     def leaf() = Gexp.MetricNode(
       pick(rnd, Seq("sum", "zimsum", "max")) + ":" +
         pick(rnd, Seq("click", "view", "signup")) + "{user=*}")
@@ -1234,7 +1150,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         Nil)))()
   }
 
-  private def checkGexpRoundTrip(rnd: Random, id: Int): Option[String] = {
+  protected def checkGexpRoundTrip(rnd: Random, id: Int): Option[String] = {
     val t = drawGexpTree(rnd, 1 + rnd.nextInt(2)) match {
       case m: Gexp.MetricNode => Gexp.FuncNode("absolute", Seq(m), Nil)
       case f => f
@@ -1262,7 +1178,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** (function, rendered params, expected error message or None=ok) —
     * the reference contracts transcribed as data. `missing` renders
     * the function with NO param list entry at all. */
-  private val gexpParamContract: Seq[(String, Option[String], Option[String])] = Seq(
+  protected val gexpParamContract: Seq[(String, Option[String], Option[String])] = Seq(
     ("scale", Some("2"), None),
     ("scale", Some("2.5"), None),
     ("scale", Some("-1.5"), None),
@@ -1312,14 +1228,14 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("timeShift", Some("'0min'"), Some("timeshift <= 0")),
     ("timeShift", Some("'xmin'"), Some("Invalid Parameter: 'xmin")))
 
-  private lazy val gexpTinyDf: DataFrame = {
+  protected lazy val gexpTinyDf: DataFrame = {
     import spark.implicits._
     Seq(("click", "1", T0, 1.0), ("click", "1", T0 + 60000L, -2.0),
       ("click", "2", T0, 3.0), ("view", "1", T0, 4.0))
       .toDF("metric", "tag_user", "ts", "value")
   }
 
-  private def checkGexpParam(fn: String, param: Option[String],
+  protected def checkGexpParam(fn: String, param: Option[String],
                              expect: Option[String]): Option[String] = {
     val rendered = fn + "(sum:click{user=*}" +
       param.map(",," + _).getOrElse("") + ")"
@@ -1329,25 +1245,13 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (got != expect) Some(s"$rendered: got $got want $expect") else None
   }
 
-  test("fuzz gexp: random nested trees round-trip the grammar and the " +
-       "URI form; param contracts vs the transcribed reference guards") {
-    val rnd = new Random(20260815)
-    val errs = (1 to 40).flatMap(i => checkGexpRoundTrip(rnd, i)) ++
-      gexpParamContract.flatMap { case (f, p, e) => checkGexpParam(f, p, e) } ++
-      // combiner arity guard (SumSeries.evaluate:47-51, all four)
-      checkGexpParam("sumSeries", None,
-        Some("Must have 2 to 26 series, got 1 instead")) ++
-      checkGexpParam("divideSeries", None,
-        Some("Must have 2 to 26 series, got 1 instead"))
-    assert(errs.isEmpty, errs.take(5).mkString("\n"))
-  }
 
   // ---- URL canonicalization fuzz (t31) -------------------------------
 
   /** Independent driver-side transcription of the canonicalUrl
     * contract: plain string walking, no regexes shared with the
     * engine implementation. */
-  private def canonRef(url: String): String = {
+  protected def canonRef(url: String): String = {
     val noFrag = url.takeWhile(_ != '#')
     val schemeEnd = url.indexOf("://")
     val scheme = url.substring(0, schemeEnd).toLowerCase
@@ -1383,7 +1287,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       (if (qs.isEmpty) "" else "?" + qs)
   }
 
-  private def drawUrl(rnd: Random): String = {
+  protected def drawUrl(rnd: Random): String = {
     def pickS(xs: String*) = xs(rnd.nextInt(xs.size))
     def mixCase(s: String) = s.map(c =>
       if (rnd.nextBoolean()) c.toUpper else c)
@@ -1418,7 +1322,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * generic tag pass), generic `<...>` strip (a stray `<` swallows
     * up to the NEXT `>` wherever it is), entity decode with `&amp;`
     * last, and single-space collapse of the explicit class. */
-  private def htmlRef(html: String): String = {
+  protected def htmlRef(html: String): String = {
     def dropBlocks(s: String, openTok: String,
                    closeTok: String): String = {
       val sb = new StringBuilder(s)
@@ -1492,7 +1396,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     collapsed.stripPrefix(" ").stripSuffix(" ")
   }
 
-  private def drawHtml(rnd: Random): String = {
+  protected def drawHtml(rnd: Random): String = {
     def pickS(xs: String*) = xs(rnd.nextInt(xs.size))
     val bits = (0 until 4 + rnd.nextInt(8)).map { _ =>
       rnd.nextInt(10) match {
@@ -1516,51 +1420,10 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     bits.mkString(pickS(" ", "", "\n"))
   }
 
-  test("fuzz HTML extraction: 300 random pages vs an independent " +
-       "scanner transcription") {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val rnd = new Random(20260817)
-    val pages = (1 to 300).map(_ => drawHtml(rnd))
-    val got = pages.toDF("h")
-      .select(col("h"),
-        graft.pipeline.TextAnalysis.htmlExtract(col("h")).as("t"))
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    val errs = got.flatMap { case (h, t) =>
-      val want = htmlRef(h)
-      if (t != want) Seq(s"[$h]: got [$t] want [$want]") else Nil
-    }
-    assert(errs.isEmpty, errs.take(3).mkString("\n"))
-  }
 
-  test("fuzz URL canonicalization: 300 random messy URLs vs an " +
-       "independent transcription; canonicalUrl is idempotent") {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    import graft.pipeline.TextAnalysis.canonicalUrl
-    val rnd = new Random(20260816)
-    val urls = (1 to 300).map(_ => drawUrl(rnd))
-    val got = urls.toDF("url")
-      .select(col("url"), canonicalUrl(col("url")).as("c"),
-        canonicalUrl(canonicalUrl(col("url"))).as("cc"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    val errs = got.flatMap { case (u, c, cc) =>
-      val want = canonRef(u)
-      (if (c != want) Seq(s"$u: got $c want $want") else Nil) ++
-        (if (cc != c) Seq(s"$u: not idempotent, $c -> $cc") else Nil)
-    }
-    assert(errs.isEmpty, errs.take(5).mkString("\n"))
-  }
 
-  test("fuzz PSL registered domain: 300 random hosts vs an independent " +
-       "string-walking transcription of the PSL algorithm — over the " +
-       "curated slice AND the full bundled publicsuffix.org snapshot") {
-    import graft.pipeline.TextAnalysis
-    for (rules <- Seq(TextAnalysis.defaultPsl, TextAnalysis.fullPsl))
-      pslFuzzRound(rules)
-  }
 
-  private def pslFuzzRound(
+  protected def pslFuzzRound(
       rules: Seq[graft.pipeline.TextAnalysis.PslRule]): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -1617,6 +1480,232 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (got(h) != want) Seq(s"$h: got ${got(h)} want $want") else Nil
     }
     assert(errs.isEmpty, errs.take(5).mkString("\n"))
+  }
+
+
+
+
+}
+
+class FuzzSpec extends FuzzSpecBase {
+
+  test("fuzz batch 1: 30 random query configs vs SQL oracle") {
+    runBatch(0xA11CE, 30)
+  }
+
+  test("fuzz batch 2: 30 random query configs vs SQL oracle") {
+    runBatch(0xB0B, 30)
+  }
+
+  test("fuzz calendar buckets: random tz × unit × count vs a java.time " +
+       "reimplementation of previousInterval") {
+    val rnd = new Random(0x0CA1)
+    val zones = Seq("UTC", "America/New_York", "America/Denver",
+      "Europe/London", "Asia/Kolkata", "Australia/Sydney")
+    val unitCounts = Seq(
+      ('s', Seq(10, 23, 30)), ('m', Seq(5, 7, 15, 90)),
+      ('h', Seq(2, 5, 6)), ('d', Seq(1, 3)), ('w', Seq(1, 2)),
+      ('n', Seq(1, 5)), ('y', Seq(1)))
+    val lo = 1325376000000L // 2012-01-01
+    val hi = 1451606400000L // 2016-01-01
+    val fails = scala.collection.mutable.ArrayBuffer[String]()
+    var checked = 0
+    for (_ <- 0 until 50) {
+      val tz = pick(rnd, zones)
+      val (u, counts) = pick(rnd, unitCounts)
+      val c = pick(rnd, counts)
+      val zone = java.time.ZoneId.of(tz)
+      val tss = (0 until 8)
+        .map(_ => lo + math.abs(rnd.nextLong()) % (hi - lo))
+        .filterNot { t =>
+          // skip instants near a zone transition: Spark's
+          // to_utc_timestamp and java.time disambiguate overlap hours
+          // differently — a JVM-API artifact, not reference semantics
+          val i = java.time.Instant.ofEpochMilli(t)
+          Seq(Option(zone.getRules.nextTransition(i)),
+            Option(zone.getRules.previousTransition(i))).flatten
+            .exists(x =>
+              math.abs(x.getInstant.toEpochMilli - t) < 5 * 3600000L)
+        }
+      if (tss.nonEmpty) {
+        val spec = DownsampleSpec.parse(s"$c${u}c-sum")
+        import spark.implicits._
+        val got = tss.toDF("ts")
+          .select(Downsample.bucket(col("ts"), spec, 0L, tz).as("b"))
+          .collect().map(_.getLong(0))
+        tss.zip(got).foreach { case (t, g) =>
+          checked += 1
+          val e = calOracle(t, u.toString.head, c, tz)
+          if (g != e)
+            fails += s"tz=$tz unit=$u count=$c ts=$t: engine=$g oracle=$e"
+        }
+      }
+    }
+    assert(checked > 200, s"transition filter ate the sample: $checked")
+    assert(fails.isEmpty, s"\n${fails.take(10).mkString("\n")}")
+  }
+
+  test("fuzz rollup routing: per-aggregation-id absence + horizon " +
+       "stitch vs SQL oracle") {
+    val rnd = new Random(0x7011)
+    val fails = (0 until 25).flatMap(i => checkRollup(rnd, i))
+    assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
+  }
+}
+
+class FuzzBatchBSpec extends FuzzSpecBase {
+
+  test("fuzz batch 3: 30 random query configs vs SQL oracle") {
+    runBatch(0xCAFE, 30)
+  }
+
+  test("fuzz batch 4: 30 random query configs vs SQL oracle") {
+    runBatch(0xD00D, 30)
+  }
+}
+
+class FuzzJoinSpec extends FuzzSpecBase {
+
+  test("fuzz expression join: random flags × variables × series shapes " +
+       "vs a from-scratch flattenTags + lock-step grid oracle, inner " +
+       "AND nested (merged-meta identity feedback)") {
+    val rnd = new Random(0xE1)
+    val fails = (0 until 40).flatMap(i => checkExpJoin(rnd, i))
+    assert(fails.isEmpty, s"\n${fails.mkString("\n")}")
+  }
+
+  test("fuzz BM25: 20 random tiny corpora vs a from-scratch scalar " +
+       "transcription (same fold order, so scores match to 1e-12; " +
+       "ranks exact)") {
+    import spark.implicits._
+    val rnd = new Random(20260818)
+    for (trial <- 1 to 20) {
+      val vocab = (0 until (3 + rnd.nextInt(8)))
+        .map(i => ('a' + i).toChar.toString)
+      val nDocs = 4 + rnd.nextInt(8)
+      val docs = (0 until nDocs).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i.toLong,
+          (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val qText = (0 until 1 + rnd.nextInt(3))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val exclude = rnd.nextBoolean()
+      val k = 1 + rnd.nextInt(nDocs)
+      val got = graft.pipeline.Similarity.bm25TopK(
+          docs.toDF("doc_id", "text"),
+          Seq((2L, qText)).toDF("q_id", "q_text"),
+          k, excludeSelf = exclude)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      // scalar transcription: same tokenize rule, BM25 from scratch,
+      // per-term contributions summed in sorted term order
+      def toks(t: String): Seq[String] =
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val tf = docs.map { case (id, t) =>
+        id -> toks(t).groupBy(identity).map { case (w, o) => w -> o.size }
+      }.toMap
+      val dls = docs.map { case (id, t) => id -> toks(t).size }.toMap
+      val avgdl = dls.values.sum.toDouble / nDocs
+      val dfm = vocab.map(w =>
+        w -> docs.count { case (id, _) => tf(id).contains(w) }).toMap
+      val qTerms = toks(qText).distinct
+      val expected = docs.flatMap { case (id, _) =>
+        if (exclude && id == 2L) None
+        else {
+          val contribs = qTerms
+            .filter(t => tf(id).contains(t) && dfm(t) > 0)
+            .sorted
+            .map { t =>
+              val idf = math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5))
+              idf * (tf(id)(t) * (1.2 + 1)) /
+                (tf(id)(t) + 1.2 * ((1 - 0.75) + 0.75 * (dls(id) / avgdl)))
+            }
+          if (contribs.isEmpty) None
+          else Some(id -> contribs.foldLeft(0.0)(_ + _))
+        }
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+      assert(got.length == expected.length,
+        s"trial $trial: got ${got.toSeq} expected $expected")
+      got.zip(expected).zipWithIndex.foreach {
+        case (((gid, gs, grk), (eid, es)), i) =>
+          assert(gid == eid && grk == i + 1 && math.abs(gs - es) < 1e-12,
+            s"trial $trial rank ${i + 1}: got ($gid, $gs) expected ($eid, $es)")
+      }
+    }
+  }
+}
+
+class FuzzRpcSpec extends FuzzSpecBase {
+
+  test("fuzz lookup pair grammar + query/last addressing vs an " +
+       "independent SQL transcription over exploded tag rows") {
+    val rnd = new Random(0x1A57)
+    fuzzHits = 0
+    val lookupFails = (0 until 40).flatMap(i => checkLookup(rnd, i))
+    val lastFails = (0 until 40).flatMap(i => checkLast(rnd, i))
+    assert(lookupFails.isEmpty && lastFails.isEmpty,
+      s"\n${(lookupFails ++ lastFails).take(8).mkString("\n")}")
+    // non-vacuity: the draws must actually address series, not compare
+    // empty sets 80 times
+    assert(fuzzHits > 60, s"fuzz axis nearly vacuous: $fuzzHits hits")
+  }
+
+  test("fuzz gexp: random nested trees round-trip the grammar and the " +
+       "URI form; param contracts vs the transcribed reference guards") {
+    val rnd = new Random(20260815)
+    val errs = (1 to 40).flatMap(i => checkGexpRoundTrip(rnd, i)) ++
+      gexpParamContract.flatMap { case (f, p, e) => checkGexpParam(f, p, e) } ++
+      // combiner arity guard (SumSeries.evaluate:47-51, all four)
+      checkGexpParam("sumSeries", None,
+        Some("Must have 2 to 26 series, got 1 instead")) ++
+      checkGexpParam("divideSeries", None,
+        Some("Must have 2 to 26 series, got 1 instead"))
+    assert(errs.isEmpty, errs.take(5).mkString("\n"))
+  }
+
+  test("fuzz HTML extraction: 300 random pages vs an independent " +
+       "scanner transcription") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(20260817)
+    val pages = (1 to 300).map(_ => drawHtml(rnd))
+    val got = pages.toDF("h")
+      .select(col("h"),
+        graft.pipeline.TextAnalysis.htmlExtract(col("h")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val errs = got.flatMap { case (h, t) =>
+      val want = htmlRef(h)
+      if (t != want) Seq(s"[$h]: got [$t] want [$want]") else Nil
+    }
+    assert(errs.isEmpty, errs.take(3).mkString("\n"))
+  }
+
+  test("fuzz URL canonicalization: 300 random messy URLs vs an " +
+       "independent transcription; canonicalUrl is idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis.canonicalUrl
+    val rnd = new Random(20260816)
+    val urls = (1 to 300).map(_ => drawUrl(rnd))
+    val got = urls.toDF("url")
+      .select(col("url"), canonicalUrl(col("url")).as("c"),
+        canonicalUrl(canonicalUrl(col("url"))).as("cc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val errs = got.flatMap { case (u, c, cc) =>
+      val want = canonRef(u)
+      (if (c != want) Seq(s"$u: got $c want $want") else Nil) ++
+        (if (cc != c) Seq(s"$u: not idempotent, $c -> $cc") else Nil)
+    }
+    assert(errs.isEmpty, errs.take(5).mkString("\n"))
+  }
+
+  test("fuzz PSL registered domain: 300 random hosts vs an independent " +
+       "string-walking transcription of the PSL algorithm — over the " +
+       "curated slice AND the full bundled publicsuffix.org snapshot") {
+    import graft.pipeline.TextAnalysis
+    for (rules <- Seq(TextAnalysis.defaultPsl, TextAnalysis.fullPsl))
+      pslFuzzRound(rules)
   }
 
   test("fuzz tracked-serve lifecycle: 60 random serve ops (full consume, " +
@@ -1973,67 +2062,6 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           .map(r => (r.treeId, r.level, r.order) -> r).toMap
         assert(gotRules == mRules, s"op $i: rules diverged\n" +
           s"got  $gotRules\nwant $mRules")
-      }
-    }
-  }
-
-  test("fuzz BM25: 20 random tiny corpora vs a from-scratch scalar " +
-       "transcription (same fold order, so scores match to 1e-12; " +
-       "ranks exact)") {
-    import spark.implicits._
-    val rnd = new Random(20260818)
-    for (trial <- 1 to 20) {
-      val vocab = (0 until (3 + rnd.nextInt(8)))
-        .map(i => ('a' + i).toChar.toString)
-      val nDocs = 4 + rnd.nextInt(8)
-      val docs = (0 until nDocs).map { i =>
-        val len = 1 + rnd.nextInt(12)
-        (i.toLong,
-          (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
-            .mkString(" "))
-      }
-      val qText = (0 until 1 + rnd.nextInt(3))
-        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
-      val exclude = rnd.nextBoolean()
-      val k = 1 + rnd.nextInt(nDocs)
-      val got = graft.pipeline.Similarity.bm25TopK(
-          docs.toDF("doc_id", "text"),
-          Seq((2L, qText)).toDF("q_id", "q_text"),
-          k, excludeSelf = exclude)
-        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
-      // scalar transcription: same tokenize rule, BM25 from scratch,
-      // per-term contributions summed in sorted term order
-      def toks(t: String): Seq[String] =
-        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-      val tf = docs.map { case (id, t) =>
-        id -> toks(t).groupBy(identity).map { case (w, o) => w -> o.size }
-      }.toMap
-      val dls = docs.map { case (id, t) => id -> toks(t).size }.toMap
-      val avgdl = dls.values.sum.toDouble / nDocs
-      val dfm = vocab.map(w =>
-        w -> docs.count { case (id, _) => tf(id).contains(w) }).toMap
-      val qTerms = toks(qText).distinct
-      val expected = docs.flatMap { case (id, _) =>
-        if (exclude && id == 2L) None
-        else {
-          val contribs = qTerms
-            .filter(t => tf(id).contains(t) && dfm(t) > 0)
-            .sorted
-            .map { t =>
-              val idf = math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5))
-              idf * (tf(id)(t) * (1.2 + 1)) /
-                (tf(id)(t) + 1.2 * ((1 - 0.75) + 0.75 * (dls(id) / avgdl)))
-            }
-          if (contribs.isEmpty) None
-          else Some(id -> contribs.foldLeft(0.0)(_ + _))
-        }
-      }.sortBy { case (id, s) => (-s, id) }.take(k)
-      assert(got.length == expected.length,
-        s"trial $trial: got ${got.toSeq} expected $expected")
-      got.zip(expected).zipWithIndex.foreach {
-        case (((gid, gs, grk), (eid, es)), i) =>
-          assert(gid == eid && grk == i + 1 && math.abs(gs - es) < 1e-12,
-            s"trial $trial rank ${i + 1}: got ($gid, $gs) expected ($eid, $es)")
       }
     }
   }
