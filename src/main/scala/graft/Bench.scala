@@ -29,7 +29,8 @@ import java.util.concurrent.atomic.AtomicBoolean
   * `elapsed + degradation_factor * remaining_hint_cost` where the
   * factor is measured elapsed-vs-hints over the queries already run.
   * Once the projection exceeds the budget, every remaining query runs
-  * under a time-box of `remaining_budget / remaining_queries` (floor
+  * under a time-box of `remaining_budget * hint_share` (its own hint's
+  * share of the remaining hint mass; floor
   * 0.5 s), enforced by running the count on a worker thread and
   * cancelling its Spark job group at the deadline. A boxed-out query
   * records its elapsed-at-cancel as a LOWER-BOUND time with
@@ -251,8 +252,18 @@ object Bench {
         }
         val (t, _) =
           if (timeboxMode) {
-            val box = math.max(0.5, (budgetS - elapsed()) / remainingCount)
-            onePassBoxed(name, fn, box)
+            // box ∝ the query's own expected cost (hint share of the
+            // remaining budget), not budget/count: the uniform box
+            // gave every query the same slice, which over-boxed
+            // exactly the expensive tail the cheap-first order saves
+            // for last — r16's driver run floored 10 rows at 8.5 s
+            // that a proportional slice would have completed. The 0.5 s
+            // floor and the budget ceiling keep the degenerate cases
+            // (zero-hint rows / one huge hint) bounded.
+            val box = math.max(0.5,
+              (budgetS - elapsed()) *
+                (hintOf(name) / math.max(remainingHintSum, 1e-9)))
+            onePassBoxed(name, fn, math.min(box, budgetS - elapsed()))
           } else onePass(name, fn)
         stateLock.synchronized { results(name) = t }
         if (trace) {

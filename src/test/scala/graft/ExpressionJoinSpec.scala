@@ -749,6 +749,37 @@ class ExpressionJoinUnionSpec extends ExpressionJoinSpecBase {
 
 class ExpressionJoinExprSpec extends ExpressionJoinSpecBase {
 
+  test("combined-base equivalence: the shared variable scan computes " +
+       "exactly what the per-variable direct scans computed") {
+    // round-17 optimization: runExpJsonMeta feeds every variable from
+    // ONE persisted (metric-set, padded-window) scan. strictMetrics
+    // keeps the old per-variable direct path, so the same body run
+    // both ways must produce identical rows — including under
+    // timeOffset (shifted windows) and a downsampler (padded scans).
+    val body = s"""{"time":{"start":${T0 / 1000},"aggregator":"sum",
+        "downsampler":{"interval":"1m","aggregator":"sum"}},
+        "filters":[{"id":"f1","tags":[
+          {"type":"wildcard","tagk":"D","filter":"*","groupBy":true}]}],
+        "metrics":[{"id":"a","metric":"A","filter":"f1"},
+          {"id":"b","metric":"B","filter":"f1",
+           "timeOffset":"1m-ago"}],
+        "expressions":[{"id":"e","expr":"a + b * 2",
+          "join":{"operator":"union"}}]}"""
+    def run(): Seq[(String, Long, Double)] =
+      Engine.runExpJson(threeSameEGaps, body, now = T3 + 1000)
+        .head._2.collect().map { r =>
+          (r.getAs[String]("__skey"), r.getAs[Long]("ts"),
+            r.getAs[Double]("value"))
+        }.sortBy(t => (t._1, t._2)).toSeq
+    val combined = run()
+    Engine.strictMetrics = false // (default — combined path)
+    val direct =
+      try { Engine.strictMetrics = true; run() }
+      finally Engine.strictMetrics = false
+    assert(combined.nonEmpty)
+    assert(combined == direct)
+  }
+
   test("expression: aPlusBWithTwoSeries") {
     val g = evalGrid(evalIntersect("a + b", dStarFill(oneExtraSameE, 0.0)))
     Seq(T0, T1, T2).zipWithIndex.foreach { case (t, i) =>
