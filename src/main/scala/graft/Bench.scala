@@ -228,42 +228,58 @@ object Bench {
     var doneHintSum = 0.0
     var remainingHintSum = todo.map { case (n, _) => hintOf(n) }.sum
     var sinceSummary = 0
+    // post-JIT baseline for the degradation factor: even with the
+    // widened warmup, the first ~10 timed queries absorb residual
+    // C2/codegen compilation of engine machinery — measured 6.7x
+    // apparent "degradation" over the first 9 queries of a healthy
+    // run whose post-JIT marginal factor was ~1.2. The factor is
+    // therefore measured from query 10 onward (elapsed and hint mass
+    // both offset), so it estimates the MARGINAL seconds-per-hint-
+    // second — the quantity the projection actually extrapolates.
+    // A genuinely degraded box still trips within a handful of
+    // post-baseline queries: its floor and its marginal rate are both
+    // inflated, and the hard budget skip (1.25x) remains the backstop.
+    var elapsedAtBase = 0.0
+    var hintAtBase = 0.0
     todo.foreach { case (name, fn) =>
       val remainingCount = (todo.size - results.size - skipped.size).max(1)
       if (elapsed() >= budgetS * 1.25) stateLock.synchronized { skipped += name }
       else {
-        // The degradation factor is only meaningful once enough HINT
-        // MASS has been consumed: with cheap-first ordering the first
-        // few queries carry milliseconds of hint, so elapsed/doneHintSum
-        // measures the fixed per-query floor (JVM/codegen/scheduling),
-        // not proportional degradation — measured 34x "degradation" on
-        // a healthy box from the first 5 queries alone, which flipped
-        // the whole suite into time-box mode under a 3000 s budget.
-        // Requiring ~2 s of consumed hints (and hints calibrated to
-        // cold pass-1 costs, see resources/graft/README.md) makes the
-        // factor ≈1 on a healthy box and still trips within the first
-        // few queries of a genuinely 15-60x degraded box.
-        if (!timeboxMode && results.size >= 5 && doneHintSum >= 2.0) {
-          val factor = elapsed() / doneHintSum
+        if (results.size == 10) {
+          elapsedAtBase = elapsed(); hintAtBase = doneHintSum
+        }
+        // The marginal factor is only meaningful once enough POST-
+        // BASELINE hint mass has been consumed: with cheap-first
+        // ordering the early queries carry milliseconds of hint, so a
+        // small denominator measures the fixed per-query floor
+        // (scheduling), not proportional degradation (the r16 guard's
+        // lesson, re-learned against the baseline offset this round).
+        if (!timeboxMode && results.size >= 15 &&
+            doneHintSum - hintAtBase >= 2.0) {
+          val factor = (elapsed() - elapsedAtBase) /
+            (doneHintSum - hintAtBase)
           if (elapsed() + factor * remainingHintSum > budgetS) {
             timeboxMode = true
-            System.err.println(f"[bench] pace projection ${elapsed() + factor * remainingHintSum}%.0f s > budget $budgetS%.0f s after ${results.size} queries (degradation ${factor}%.1fx) — time-boxing the remaining $remainingCount")
+            System.err.println(f"[bench] pace projection ${elapsed() + factor * remainingHintSum}%.0f s > budget $budgetS%.0f s after ${results.size} queries (marginal degradation ${factor}%.1fx) — time-boxing the remaining $remainingCount")
           }
         }
         val (t, _) =
           if (timeboxMode) {
-            // box ∝ the query's own expected cost (hint share of the
-            // remaining budget), not budget/count: the uniform box
-            // gave every query the same slice, which over-boxed
-            // exactly the expensive tail the cheap-first order saves
-            // for last — r16's driver run floored 10 rows at 8.5 s
-            // that a proportional slice would have completed. The 0.5 s
-            // floor and the budget ceiling keep the degenerate cases
-            // (zero-hint rows / one huge hint) bounded.
-            val box = math.max(0.5,
-              (budgetS - elapsed()) *
-                (hintOf(name) / math.max(remainingHintSum, 1e-9)))
-            onePassBoxed(name, fn, math.min(box, budgetS - elapsed()))
+            // box = the larger of the query's proportional share of
+            // the remaining budget (hint share — so the expensive
+            // tail that cheap-first ordering saves for last gets a
+            // slice sized to its own cost; r16's uniform budget/count
+            // slice floored 10 tail rows at 8.5 s that a proportional
+            // slice completes) and the uniform slice (so a cheap
+            // query's sub-second share never truncates it while it
+            // pays the fixed floor). Boxes are ceilings, not spend:
+            // queries that finish early return their slack to the
+            // remaining-budget term of every later box.
+            val remB = budgetS - elapsed()
+            val box = math.max(0.5, math.max(
+              remB * (hintOf(name) / math.max(remainingHintSum, 1e-9)),
+              remB / remainingCount))
+            onePassBoxed(name, fn, math.min(box, math.max(remB, 0.5)))
           } else onePass(name, fn)
         stateLock.synchronized { results(name) = t }
         if (trace) {
